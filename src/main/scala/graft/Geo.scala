@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+import graft.functions._
+
+/**
+ * Column-level st_* function catalog (SURVEY.md §2.6). Import
+ * `graft.Geo._` (or call `Geo.registerAll(spark)` for the SQL surface).
+ *
+ * Geometry kinds with identical physical schemas (multipoint vs line:
+ * array<double>; multiline vs polygon: array<array<double>>) get explicit
+ * per-kind predicate variants, mirroring the reference's per-dtype
+ * dispatch (reference: geometry/base.py:51-87).
+ */
+object Geo {
+
+  // ---- constructors --------------------------------------------------
+  /** Point as struct<x,y> — plain Catalyst struct: codegen'd, prunable. */
+  def st_point(x: Column, y: Column): Column = struct(x.as("x"), y.as("y"))
+  def st_x(g: Column): Column = g.getField("x")
+  def st_y(g: Column): Column = g.getField("y")
+
+  // ---- measures ------------------------------------------------------
+  def st_area(g: Column): Column = Bridge.column(StArea(Bridge.expression(g)))
+  def st_length(g: Column): Column = Bridge.column(StLength(Bridge.expression(g)))
+  def st_bounds(g: Column): Column = Bridge.column(StBounds(Bridge.expression(g)))
+
+  /** 4 aggregate columns (xmin, ymin, xmax, ymax) over a geometry column —
+    * Spark's partial aggregation gives the reference's tree-aggregate for
+    * free (reference: dask.py:43-51). */
+  def st_total_bounds(g: Column): Seq[Column] = {
+    val b = st_bounds(g)
+    Seq(min(b.getField("x0")).as("x0"), min(b.getField("y0")).as("y0"),
+        max(b.getField("x1")).as("x1"), max(b.getField("y1")).as("y1"))
+  }
+
+  // ---- predicates ----------------------------------------------------
+  private def intersectsBounds(g: Column, kind: String,
+                               x0: Column, y0: Column, x1: Column, y1: Column): Column =
+    Bridge.column(StIntersectsBounds(Bridge.expression(g),
+      Bridge.expression(x0.cast("double")), Bridge.expression(y0.cast("double")),
+      Bridge.expression(x1.cast("double")), Bridge.expression(y1.cast("double")), kind))
+
+  def st_point_intersects_bounds(g: Column, x0: Column, y0: Column, x1: Column, y1: Column): Column =
+    intersectsBounds(g, "point", x0, y0, x1, y1)
+  def st_multipoint_intersects_bounds(g: Column, x0: Column, y0: Column, x1: Column, y1: Column): Column =
+    intersectsBounds(g, "multipoint", x0, y0, x1, y1)
+  def st_line_intersects_bounds(g: Column, x0: Column, y0: Column, x1: Column, y1: Column): Column =
+    intersectsBounds(g, "line", x0, y0, x1, y1)
+  def st_multiline_intersects_bounds(g: Column, x0: Column, y0: Column, x1: Column, y1: Column): Column =
+    intersectsBounds(g, "multiline", x0, y0, x1, y1)
+  def st_polygon_intersects_bounds(g: Column, x0: Column, y0: Column, x1: Column, y1: Column): Column =
+    intersectsBounds(g, "polygon", x0, y0, x1, y1)
+  def st_multipolygon_intersects_bounds(g: Column, x0: Column, y0: Column, x1: Column, y1: Column): Column =
+    intersectsBounds(g, "multipolygon", x0, y0, x1, y1)
+
+  /** Exact point-in-geometry intersection; rightKind in {point, multipoint,
+    * line, multiline, polygon, multipolygon}. */
+  def st_intersects(point: Column, other: Column, rightKind: String): Column =
+    Bridge.column(StIntersects(Bridge.expression(point), Bridge.expression(other), rightKind))
+
+  // ---- spatial ordering ----------------------------------------------
+  /** Hilbert distance of the geometry bbox center on a 2^p x 2^p grid over
+    * totalBounds (must be precomputed, mirroring dask.py:542-550). */
+  def st_hilbert_distance(g: Column, tx0: Column, ty0: Column,
+                          tx1: Column, ty1: Column, p: Int = 15): Column =
+    Bridge.column(StHilbertDistance(Bridge.expression(g),
+      Bridge.expression(tx0.cast("double")), Bridge.expression(ty0.cast("double")),
+      Bridge.expression(tx1.cast("double")), Bridge.expression(ty1.cast("double")), p))
+
+  // ---- transforms ----------------------------------------------------
+  def st_boundary(g: Column): Column = Bridge.column(StBoundary(Bridge.expression(g)))
+  def st_oriented(g: Column): Column = Bridge.column(StOriented(Bridge.expression(g)))
+
+  /** Register the SQL-surface st_* functions on a session. Kind-ambiguous
+    * predicates are registered per kind (e.g. st_polygon_intersects_bounds). */
+  def registerAll(spark: SparkSession): Unit = {
+    Bridge.registerFunction(spark, "st_area", es => StArea(es.head))
+    Bridge.registerFunction(spark, "st_length", es => StLength(es.head))
+    Bridge.registerFunction(spark, "st_bounds", es => StBounds(es.head))
+    Bridge.registerFunction(spark, "st_boundary", es => StBoundary(es.head))
+    Bridge.registerFunction(spark, "st_oriented", es => StOriented(es.head))
+    for (kind <- Seq("point", "multipoint", "line", "multiline", "polygon", "multipolygon")) {
+      Bridge.registerFunction(spark, s"st_${kind}_intersects_bounds",
+        es => StIntersectsBounds(es(0), es(1), es(2), es(3), es(4), kind))
+      Bridge.registerFunction(spark, s"st_intersects_$kind",
+        es => StIntersects(es(0), es(1), kind))
+    }
+  }
+}

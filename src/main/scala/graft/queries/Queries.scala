@@ -1,0 +1,275 @@
+package graft.queries
+
+import graft.Geo._
+import graft.tools.SpatialJoin
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * The driver-facing query catalog: each query has a Spark implementation
+ * here and (where ANSI-SQL-expressible) a DuckDB oracle in `oracles`.
+ *
+ * The testdata has no geometry columns (TESTDATA.md), so geometry is
+ * derived DETERMINISTICALLY from integer keys; coordinates are integer-
+ * valued doubles so every kernel result (shoelace areas, min/max bounds,
+ * winding numbers) is exact and hash-comparable against the oracle.
+ *
+ * Derivations (documented next to each query's oracle SQL):
+ *   customer points: px = (c_custkey*7919) % 1000, py = (c_custkey*104729) % 1000
+ *   part polygons:   square shell (CCW) + square hole (CW), half-sizes
+ *                    h = p_partkey%5 + 1, hh = h - 1
+ *   supplier diamonds: rotated squares of odd "radius" over even-coordinate
+ *                    centers so no point ever lies exactly on a boundary.
+ */
+object Queries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // ---- derived geometry helpers (Spark side) -------------------------
+
+  private def custPoints(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .withColumn("px", ((col("c_custkey") * 7919) % 1000).cast("double"))
+      .withColumn("py", ((col("c_custkey") * 104729) % 1000).cast("double"))
+      .withColumn("pt", st_point(col("px"), col("py")))
+
+  /** part squares-with-holes; shell CCW, hole CW (SURVEY §1.2 orientation). */
+  private def partPolygons(spark: SparkSession, dir: String): DataFrame = {
+    val cx = ((col("p_partkey") * 7919) % 1000).cast("double")
+    val cy = ((col("p_partkey") * 104729) % 1000).cast("double")
+    val h = ((col("p_partkey") % 5) + 1).cast("double")
+    val hh = h - lit(1.0)
+    val shell = array(
+      cx - h, cy - h, cx + h, cy - h, cx + h, cy + h, cx - h, cy + h, cx - h, cy - h)
+    val hole = array(
+      cx - hh, cy - hh, cx - hh, cy + hh, cx + hh, cy + hh, cx + hh, cy - hh, cx - hh, cy - hh)
+    t(spark, dir, "part").withColumn("poly", array(shell, hole))
+  }
+
+  /** supplier diamonds: CCW rotated squares, radius odd, centers even. */
+  private def supplierDiamonds(spark: SparkSession, dir: String): DataFrame = {
+    val sx = (((col("s_suppkey") * 7919) % 500) * 2).cast("double")
+    val sy = (((col("s_suppkey") * 104729) % 500) * 2).cast("double")
+    val r = ((col("s_suppkey") % 25) * 2 + 21).cast("double")
+    val ring = array(sx + r, sy, sx, sy + r, sx - r, sy, sx, sy - r, sx + r, sy)
+    t(spark, dir, "supplier").withColumn("diamond", array(ring))
+      .withColumn("sx", sx).withColumn("sy", sy).withColumn("r", r)
+  }
+
+  // ---- query catalog --------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SURVEY §3.1 flagship: bbox selection over a point column (cx).
+    "cx_bbox_points" -> ((s, dir) => {
+      custPoints(s, dir)
+        .where(st_point_intersects_bounds(col("pt"), lit(100), lit(100), lit(600), lit(600)))
+        .select(col("c_custkey"), col("px"), col("py"))
+    }),
+
+    // SURVEY §2.6 st_area: signed shoelace with CW holes subtracting.
+    "area_polygons" -> ((s, dir) => {
+      partPolygons(s, dir)
+        .groupBy(col("p_brand"))
+        .agg(sum(st_area(col("poly"))).as("total_area"), count(lit(1)).as("n"))
+    }),
+
+    // SURVEY §2.6 st_length over a 3-vertex polyline.
+    "length_lines" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").where(col("l_linenumber") === 1)
+      val x0 = (col("l_orderkey") % 1000).cast("double")
+      val y0 = (col("l_partkey") % 1000).cast("double")
+      val x1 = (col("l_suppkey") % 1000).cast("double")
+      val y1 = ((col("l_orderkey") * 7) % 1000).cast("double")
+      val x2 = ((col("l_partkey") * 3) % 1000).cast("double")
+      val y2 = ((col("l_suppkey") * 11) % 1000).cast("double")
+      li.select(col("l_orderkey"),
+        st_length(array(x0, y0, x1, y1, x2, y2)).as("len"))
+    }),
+
+    // SURVEY §2.6 st_bounds over per-order multipoints.
+    "bounds_multipoint" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("x", (col("l_partkey") % 1000).cast("double"))
+        .withColumn("y", (col("l_suppkey") % 1000).cast("double"))
+      val mp = li.groupBy(col("l_orderkey"))
+        .agg(flatten(collect_list(array(col("x"), col("y")))).as("mp"))
+      val b = st_bounds(col("mp"))
+      mp.select(col("l_orderkey"), b.getField("x0").as("x0"), b.getField("y0").as("y0"),
+        b.getField("x1").as("x1"), b.getField("y1").as("y1"))
+    }),
+
+    // SURVEY §2.4 total_bounds as a partial-aggregating min/max compose.
+    "total_bounds_points" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+        .withColumn("pt", st_point(((col("s_suppkey") * 7919) % 1000).cast("double"),
+          ((col("s_suppkey") * 104729) % 1000).cast("double")))
+      val tb = st_total_bounds(col("pt"))
+      sup.agg(tb.head, tb.tail: _*)
+    }),
+
+    // SURVEY §3.2 sjoin: point-in-polygon via grid-cell equi-join +
+    // exact winding-number refine (non-axis-aligned polygons).
+    "sjoin_points_in_diamonds" -> ((s, dir) => {
+      // even-coordinate points so nothing ever lands exactly on a diamond
+      // boundary (odd radius) — winding-number result is unambiguous
+      val pts = t(s, dir, "customer")
+        .withColumn("pt", st_point((((col("c_custkey") * 7919) % 500) * 2).cast("double"),
+          (((col("c_custkey") * 104729) % 500) * 2).cast("double")))
+      val dia = supplierDiamonds(s, dir)
+      SpatialJoin.pointInGeom(pts, dia.select(col("s_suppkey"), col("diamond")),
+          "pt", "diamond", "polygon", cellSize = 128.0)
+        .select(col("c_custkey"), col("s_suppkey"))
+    }),
+
+    // SURVEY §2.2 exact point-on-line intersects (cross-product == 0).
+    "intersects_point_line" -> ((s, dir) => {
+      val line = array(lit(0.0), lit(0.0), lit(1000.0), lit(1000.0))
+      custPoints(s, dir)
+        .where(st_intersects(col("pt"), line, "line"))
+        .select(col("c_custkey"))
+    }),
+
+    // SURVEY §2.5/§3.3 hilbert packing (rows-only check; sortedness is
+    // asserted in ScalaTest). Returns per-partition hilbert ranges.
+    "hilbert_pack_stats" -> ((s, dir) => {
+      val pts = custPoints(s, dir)
+        .withColumn("h", st_hilbert_distance(col("pt"),
+          lit(0.0), lit(0.0), lit(1000.0), lit(1000.0), 15))
+      pts.repartitionByRange(8, col("h"))
+        .sortWithinPartitions(col("h"))
+        .select(col("h"))
+        .withColumn("pid", spark_partition_id())
+        .groupBy(col("pid"))
+        .agg(count(lit(1)).as("n"), min(col("h")).as("hmin"), max(col("h")).as("hmax"))
+    }),
+
+    // Relational sanity: TPC-H Q1-style aggregate (integer-valued sums).
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+    }),
+
+    // Relational sanity: 4-way join + aggregate.
+    "join_agg_nation" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val nat = t(s, dir, "nation")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+    }),
+
+    // Relational sanity: window top-3 orders per customer.
+    "window_top_orders" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+    }),
+
+    // Events: hourly tumbling aggregate (streaming-compatible shape).
+    // events.ts is TIMESTAMP(NANOS) parquet — read as long ns
+    // (spark.sql.legacy.parquet.nanosAsLong=true) and truncate to micros.
+    "events_hourly" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+    }),
+
+    // Pipeline: exact dedup on documents.
+    "dedup_exact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
+        .select(col("keep_id"), col("dup_cnt"))
+    }),
+
+    // Pipeline: token/char counts.
+    "token_stats" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("tokens"),
+        length(col("text")).as("chars"))
+    })
+  )
+
+  /** DuckDB-equivalent SQL per query (same column names — the driver's
+    * compare sorts columns by name before hashing). */
+  val oracles: Map[String, String] = Map(
+    "cx_bbox_points" ->
+      """SELECT c_custkey,
+         CAST((c_custkey*7919)%1000 AS DOUBLE) AS px,
+         CAST((c_custkey*104729)%1000 AS DOUBLE) AS py
+         FROM customer
+         WHERE (c_custkey*7919)%1000 BETWEEN 100 AND 600
+           AND (c_custkey*104729)%1000 BETWEEN 100 AND 600""",
+    "area_polygons" ->
+      """SELECT p_brand,
+         sum(4.0*((p_partkey%5)+1)*((p_partkey%5)+1)
+             - 4.0*(p_partkey%5)*(p_partkey%5)) AS total_area,
+         count(*) AS n
+         FROM part GROUP BY p_brand""",
+    "length_lines" ->
+      """SELECT l_orderkey,
+         sqrt( CAST((l_suppkey%1000)-(l_orderkey%1000) AS DOUBLE)*((l_suppkey%1000)-(l_orderkey%1000))
+             + CAST(((l_orderkey*7)%1000)-(l_partkey%1000) AS DOUBLE)*(((l_orderkey*7)%1000)-(l_partkey%1000)) )
+         + sqrt( CAST(((l_partkey*3)%1000)-(l_suppkey%1000) AS DOUBLE)*(((l_partkey*3)%1000)-(l_suppkey%1000))
+             + CAST(((l_suppkey*11)%1000)-((l_orderkey*7)%1000) AS DOUBLE)*(((l_suppkey*11)%1000)-((l_orderkey*7)%1000)) )
+         AS len
+         FROM lineitem WHERE l_linenumber = 1""",
+    "bounds_multipoint" ->
+      """SELECT l_orderkey,
+         CAST(min(l_partkey%1000) AS DOUBLE) AS x0, CAST(min(l_suppkey%1000) AS DOUBLE) AS y0,
+         CAST(max(l_partkey%1000) AS DOUBLE) AS x1, CAST(max(l_suppkey%1000) AS DOUBLE) AS y1
+         FROM lineitem GROUP BY l_orderkey""",
+    "total_bounds_points" ->
+      """SELECT CAST(min((s_suppkey*7919)%1000) AS DOUBLE) AS x0,
+                CAST(min((s_suppkey*104729)%1000) AS DOUBLE) AS y0,
+                CAST(max((s_suppkey*7919)%1000) AS DOUBLE) AS x1,
+                CAST(max((s_suppkey*104729)%1000) AS DOUBLE) AS y1
+         FROM supplier""",
+    "sjoin_points_in_diamonds" ->
+      """SELECT c_custkey, s_suppkey
+         FROM customer, supplier
+         WHERE abs(((c_custkey*7919)%500)*2 - ((s_suppkey*7919)%500)*2)
+             + abs(((c_custkey*104729)%500)*2 - ((s_suppkey*104729)%500)*2)
+             <= (s_suppkey%25)*2 + 21""",
+    "intersects_point_line" ->
+      """SELECT c_custkey FROM customer
+         WHERE (c_custkey*7919)%1000 = (c_custkey*104729)%1000""",
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "join_agg_nation" ->
+      """SELECT n_name, count(*) AS n, sum(l_quantity) AS qty
+         FROM lineitem, orders, customer, nation
+         WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+           AND c_nationkey = n_nationkey
+         GROUP BY n_name""",
+    "window_top_orders" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+           SELECT o_custkey, o_orderkey,
+                  row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 3""",
+    "events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+                count(*) AS n, min(value) AS vmin, max(value) AS vmax
+         FROM events GROUP BY 1, 2""",
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS dup_cnt
+         FROM documents GROUP BY text""",
+    "token_stats" ->
+      """SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS tokens,
+                length(text) AS chars
+         FROM documents"""
+  )
+}
