@@ -1,0 +1,99 @@
+package graft.api
+
+import graft.Geo._
+import graft.tools.SpatialJoin
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Active-geometry wrapper over a DataFrame — the Spark analog of the
+ * reference's GeoDataFrame (reference: geodataframe.py:17-135).
+ *
+ * A GeoFrame is a plain DataFrame plus (geometryCol, kind); every method
+ * delegates to declarative DataFrame ops so Catalyst keeps optimizing.
+ * `kind` is one of point|multipoint|line|multiline|polygon|multipolygon
+ * (needed because multipoint/line share a physical schema — SURVEY §1.2).
+ */
+final case class GeoFrame(df: DataFrame, geometryCol: String, kind: String) {
+
+  def geometry: Column = df(geometryCol)
+
+  /** Switch the active geometry column (reference: geodataframe.py:86-117). */
+  def setGeometry(col: String, kind: String): GeoFrame = GeoFrame(df, col, kind)
+
+  // ---- measures (reference: geoseries.py:68-117) ----------------------
+  def area: DataFrame = df.withColumn("area", st_area(geometry))
+  def length: DataFrame = df.withColumn("length", st_length(geometry))
+  def bounds: DataFrame = {
+    val b = st_bounds(geometry)
+    df.withColumn("x0", b.getField("x0")).withColumn("y0", b.getField("y0"))
+      .withColumn("x1", b.getField("x1")).withColumn("y1", b.getField("y1"))
+  }
+
+  /** (xmin, ymin, xmax, ymax) over the whole frame — one distributed
+    * partial-aggregating job (reference: dask.py:43-51). */
+  def totalBounds: (Double, Double, Double, Double) = {
+    val tb = st_total_bounds(geometry)
+    val row = df.agg(tb.head, tb.tail: _*).head()
+    def d(i: Int): Double = if (row.isNullAt(i)) Double.NaN else row.getDouble(i)
+    (d(0), d(1), d(2), d(3))
+  }
+
+  /** Row-level bbox predicate for this geometry kind. For points this is
+    * plain column comparisons — fully codegen'd AND pushed down to
+    * Parquet row-group stats (the Spark analog of the reference's
+    * R-tree covers/overlaps split, SURVEY §3.1). */
+  def intersectsBounds(x0: Double, y0: Double, x1: Double, y1: Double): Column = {
+    // normalize inverted rects like the reference (base.py:684-688)
+    val (lx0, lx1) = if (x1 < x0) (x1, x0) else (x0, x1)
+    val (ly0, ly1) = if (y1 < y0) (y1, y0) else (y0, y1)
+    kind match {
+      case "point" =>
+        st_x(geometry).between(lx0, lx1) && st_y(geometry).between(ly0, ly1)
+      case "multipoint" =>
+        st_multipoint_intersects_bounds(geometry, lit(lx0), lit(ly0), lit(lx1), lit(ly1))
+      case "line" =>
+        st_line_intersects_bounds(geometry, lit(lx0), lit(ly0), lit(lx1), lit(ly1))
+      case "multiline" =>
+        st_multiline_intersects_bounds(geometry, lit(lx0), lit(ly0), lit(lx1), lit(ly1))
+      case "polygon" =>
+        st_polygon_intersects_bounds(geometry, lit(lx0), lit(ly0), lit(lx1), lit(ly1))
+      case "multipolygon" =>
+        st_multipolygon_intersects_bounds(geometry, lit(lx0), lit(ly0), lit(lx1), lit(ly1))
+      case other => throw new IllegalArgumentException(s"unknown kind $other")
+    }
+  }
+
+  /** Bounding-box selection — the reference's `gdf.cx[x0:x1, y0:y1]`
+    * (reference: geometry/base.py:657-729, dask.py:611-638). */
+  def cx(x0: Double, y0: Double, x1: Double, y1: Double): GeoFrame =
+    copy(df = df.where(intersectsBounds(x0, y0, x1, y1)))
+
+  /** Hilbert distance column over given (or computed) total bounds
+    * (reference: geometry/base.py:603-615). */
+  def hilbertDistance(p: Int = 15,
+                      totalBoundsOpt: Option[(Double, Double, Double, Double)] = None): DataFrame = {
+    val (tx0, ty0, tx1, ty1) = totalBoundsOpt.getOrElse(totalBounds)
+    df.withColumn("hilbert_distance",
+      st_hilbert_distance(geometry, lit(tx0), lit(ty0), lit(tx1), lit(ty1), p))
+  }
+
+  /** Spatially pack partitions: hilbert range-repartition + local sort —
+    * the Spark-native equivalent of the reference's quantile/digitize
+    * shuffle machinery (reference: dask.py:207-532; SURVEY §2.1:
+    * repartitionByRange replaces manual quantiles). */
+  def packPartitions(numPartitions: Int, p: Int = 15): GeoFrame = {
+    val withH = hilbertDistance(p)
+    copy(df = withH.repartitionByRange(numPartitions, col("hilbert_distance"))
+      .sortWithinPartitions("hilbert_distance"))
+  }
+
+  /** Spatial join on exact intersection (reference: tools/sjoin.py:26-133). */
+  def sjoin(other: GeoFrame, how: String = "inner", cellSize: Double,
+            leftKey: String = null, rightKey: String = null): DataFrame = {
+    require(kind == "point", "sjoin currently requires point left side " +
+      "(same support matrix as the reference, base.py:634-651)")
+    SpatialJoin.pointInGeom(df, other.df, geometryCol, other.geometryCol,
+      other.kind, cellSize, how, leftKey, rightKey)
+  }
+}

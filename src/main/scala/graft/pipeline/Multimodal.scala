@@ -1,0 +1,83 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Multimodal-column plumbing: image/audio/video payloads are opaque
+ * `binary` columns with typed metadata; decode / feature-extraction /
+ * resize / frame-sampling run as batched per-partition transforms.
+ *
+ * The actual codec step is a STUB in this container (no image/audio
+ * libraries available): `decodeStub` derives deterministic fake
+ * dimensions/features from a hash of the payload bytes. Everything
+ * around it — schema, null handling, partition-parallel batch shape,
+ * column pruning — is real Spark plumbing: swap `stubDecode` for a JNI
+ * or vectorized decoder without touching the plan.
+ */
+object Multimodal {
+
+  val mediaMetaType: StructType = StructType(Seq(
+    StructField("width", IntegerType), StructField("height", IntegerType),
+    StructField("format", StringType)))
+
+  /** Deterministic fake "decode": width/height/format derived from the
+    * payload hash. STUB — replace with a real codec at deployment. */
+  def decodeStub(content: Column): Column = {
+    val h = xxhash64(content)
+    struct(
+      (pmod(h, lit(1920)) + 32).cast("int").as("width"),
+      (pmod(shiftrightunsigned(h, 13), lit(1080)) + 32).cast("int").as("height"),
+      when(pmod(h, lit(3)) === 0, "jpeg").when(pmod(h, lit(3)) === 1, "png")
+        .otherwise("webp").as("format"))
+  }
+
+  /** Deterministic fake feature vector (dim floats in [0,1)) from the
+    * payload — the plumbing (fixed-dim array<float> schema, codegen'd
+    * per-row transform) is what a real embedding UDF would use. STUB. */
+  def extractFeaturesStub(content: Column, dim: Int): Column =
+    transform(sequence(lit(0), lit(dim - 1)),
+      i => (pmod(xxhash64(content, i), lit(100000)) / lit(100000.0)).cast("float"))
+
+  /** "Resize": with a real codec this re-encodes pixels; the stub keeps
+    * the payload and rewrites metadata, preserving aspect ratio. */
+  def resizeStub(meta: Column, maxSide: Int): Column = {
+    val w = meta.getField("width")
+    val h = meta.getField("height")
+    val scale = lit(maxSide) / greatest(w, h)
+    struct(
+      when(scale < 1, floor(w * scale)).otherwise(w).cast("int").as("width"),
+      when(scale < 1, floor(h * scale)).otherwise(h).cast("int").as("height"),
+      meta.getField("format").as("format"))
+  }
+
+  /**
+   * Batched per-partition decode path — the Scala analog of a pandas
+   * mapInPandas UDF: one iterator pass per partition, batching amortizes
+   * per-batch codec setup. Output schema: input columns + meta struct.
+   * The decode inside is the same STUB; the partition/batch mechanics
+   * are real.
+   */
+  def mapDecodePartitions(df: DataFrame, contentCol: String,
+                          batchSize: Int = 256): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField("meta", mediaMetaType))
+    val contentIdx = df.schema.fieldIndex(contentCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // per-batch "codec init" would go here
+        batch.iterator.map { row =>
+          val bytes = row.getAs[Array[Byte]](contentIdx)
+          val h = if (bytes == null) 0L
+            else graft.functions.TextHashing.bytesHash(bytes, 0, bytes.length, 7L)
+          val meta = Row((math.floorMod(h, 1920) + 32).toInt,
+            (math.floorMod(h >>> 13, 1080) + 32).toInt,
+            Seq("jpeg", "png", "webp")(math.floorMod(h, 3).toInt))
+          Row.fromSeq(row.toSeq :+ meta)
+        }
+      }
+    }(enc)
+  }
+}

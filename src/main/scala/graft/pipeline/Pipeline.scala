@@ -1,0 +1,191 @@
+package graft.pipeline
+
+import graft.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+
+/**
+ * Large-scale training-data pipeline operators: deduplication families,
+ * similarity search, text analysis. All operators are expressed as
+ * DataFrame transformations over native expressions — no driver-side
+ * materialization, every shuffle keyed so the plan scales to 100 TB
+ * (LSH buckets / band keys / grid cells are the shuffle keys; skew is
+ * bounded by band width).
+ */
+object Tx {
+  def simhash64(text: Column, ngram: Int = 3, seed: Long = 42L): Column =
+    Bridge.column(SimHash64(Bridge.expression(text), ngram, seed))
+  def minhash_signature(text: Column, shingle: Int = 3, numHashes: Int = 64,
+                        seed: Long = 42L): Column =
+    Bridge.column(MinHashSignature(Bridge.expression(text), shingle, numHashes, seed))
+  def ngram_jaccard(a: Column, b: Column, ngram: Int = 3): Column =
+    Bridge.column(NgramJaccard(Bridge.expression(a), Bridge.expression(b), ngram))
+  def doc_fingerprint(text: Column, seed: Long = 42L): Column =
+    Bridge.column(DocFingerprint(Bridge.expression(text), seed))
+  def cosine_similarity(a: Column, b: Column): Column =
+    Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
+  def srp_bits(vec: Column, bits: Int = 16, seed: Long = 42L): Column =
+    Bridge.column(SrpBits(Bridge.expression(vec), bits, seed))
+}
+
+object Dedup {
+  import Tx._
+
+  /** Exact dedup: keep the lowest id per identical value of `col`.
+    * A single hash-aggregate shuffle on the dedup key. */
+  def exact(df: DataFrame, byCol: String, idCol: String): DataFrame = {
+    val keep = df.groupBy(col(byCol)).agg(min(col(idCol)).as(idCol))
+    df.join(keep, Seq(byCol, idCol), "left_semi")
+  }
+
+  /**
+   * MinHash + LSH near-duplicate candidate pairs, verified with exact
+   * n-gram Jaccard.
+   *
+   * Plan shape (scales to 100 TB):
+   *   1. one pass computing the signature (narrow),
+   *   2. explode to `bands` rows per doc (narrow, bounded 'bands'x blowup),
+   *   3. shuffle on (band index, band hash) — near-dups collide,
+   *   4. within-bucket self-join (skew bounded: identical docs cap bucket
+   *      size; a pathological bucket can be salted upstream),
+   *   5. distinct pairs + exact Jaccard refine (joins text back in).
+   *
+   * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+   */
+  def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
+                      shingle: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                      threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    val sig = df.select(col(idCol), col(textCol),
+      minhash_signature(col(textCol), shingle, numHashes).as("__sig"))
+
+    val banded = sig.select(col(idCol),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("__sig"), b * rows + 1, lit(rows)), b))))
+      .withColumnRenamed("pos", "__band")
+      .withColumnRenamed("col", "__bandhash")
+
+    val l = banded.withColumnRenamed(idCol, "id_a")
+    val r = banded.withColumnRenamed(idCol, "id_b")
+    val candidates = l.join(r, Seq("__band", "__bandhash"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+
+    val ta = df.select(col(idCol).as("id_a"), col(textCol).as("__text_a"))
+    val tb = df.select(col(idCol).as("id_b"), col(textCol).as("__text_b"))
+    candidates.join(ta, "id_a").join(tb, "id_b")
+      .withColumn("jaccard", ngram_jaccard(col("__text_a"), col("__text_b"), shingle))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /**
+   * SimHash near-dup pairs within a Hamming radius. Banding the 64-bit
+   * fingerprint into `chunks` equal pieces guarantees (pigeonhole) that
+   * any pair within hamming <= chunks-1 shares at least one exact chunk;
+   * the exact Hamming distance is the bit_count(xor) refine.
+   */
+  def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
+                      ngram: Int = 3, maxHamming: Int = 3): DataFrame = {
+    val chunks = maxHamming + 1
+    val width = 64 / chunks
+    val withSim = df.select(col(idCol), simhash64(col(textCol), ngram).as("__sim"))
+    val banded = withSim.select(col(idCol), col("__sim"),
+        posexplode(transform(sequence(lit(0), lit(chunks - 1)),
+          c => call_function("shiftrightunsigned", col("__sim"), c * width)
+            .bitwiseAND(lit((1L << width) - 1)))))
+      .withColumnRenamed("pos", "__chunk")
+      .withColumnRenamed("col", "__chunkval")
+    val l = banded.select(col(idCol).as("id_a"), col("__sim").as("__sim_a"),
+      col("__chunk"), col("__chunkval"))
+    val r = banded.select(col(idCol).as("id_b"), col("__sim").as("__sim_b"),
+      col("__chunk"), col("__chunkval"))
+    l.join(r, Seq("__chunk", "__chunkval"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("__sim_a").bitwiseXOR(col("__sim_b"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-duplicate pairs: SRP-LSH bucket join + cosine refine.
+    * Same LSH shape as minhash (shuffle on bucket bits). */
+  def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double = 0.95, bandsSeeds: Seq[Long] = Seq(1L, 2L, 3L, 4L),
+                        bits: Int = 16): DataFrame = {
+    val withBits = df.select(col(idCol), col(vecCol),
+      array(bandsSeeds.map(s => Tx.srp_bits(col(vecCol), bits, s)): _*).as("__bkts"))
+    val banded = withBits.select(col(idCol), col(vecCol),
+        posexplode(col("__bkts")))
+      .withColumnRenamed("pos", "__band")
+      .withColumnRenamed("col", "__bucket")
+    val l = banded.select(col(idCol).as("id_a"), col(vecCol).as("__v_a"),
+      col("__band"), col("__bucket"))
+    val r = banded.select(col(idCol).as("id_b"), col(vecCol).as("__v_b"),
+      col("__band"), col("__bucket"))
+    l.join(r, Seq("__band", "__bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__v_a"), col("__v_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", Tx.cosine_similarity(col("__v_a"), col("__v_b")))
+      .where(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}
+
+object Similarity {
+  import Tx._
+
+  /**
+   * Brute-force cosine top-k: every (query, corpus) pair scored, window
+   * top-k per query. The BASELINE path — exact, O(|Q| * |C|); correct
+   * use at scale is a broadcast of the (small) query set, which Catalyst
+   * picks automatically when `queries` is under the broadcast threshold.
+   */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     corpusId: String, corpusVec: String,
+                     queryId: String, queryVec: String, k: Int): DataFrame = {
+    val scored = queries.crossJoin(corpus)
+      .withColumn("cosine", cosine_similarity(col(queryVec), col(corpusVec)))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("cosine").desc, col(corpusId))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(queryId), col(corpusId), col("cosine"), col("rank"))
+  }
+
+  /**
+   * LSH-bucketed ANN (the scale path): queries and corpus hashed to SRP
+   * buckets over several bands; candidates = bucket collisions; exact
+   * cosine + top-k on the (much smaller) candidate set. Recall grows
+   * with bands; the shuffle is keyed on bucket bits, never all-pairs.
+   */
+  def srpTopK(corpus: DataFrame, queries: DataFrame,
+              corpusId: String, corpusVec: String,
+              queryId: String, queryVec: String, k: Int,
+              bandsSeeds: Seq[Long] = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L),
+              bits: Int = 12): DataFrame = {
+    def banded(df: DataFrame, vecCol: String): DataFrame =
+      df.select(df.columns.map(col) :+
+          posexplode(array(bandsSeeds.map(s => srp_bits(col(vecCol), bits, s)): _*)): _*)
+        .withColumnRenamed("pos", "__band")
+        .withColumnRenamed("col", "__bucket")
+
+    val c = banded(corpus, corpusVec)
+    val q = banded(queries, queryVec)
+    val candidates = q.join(c, Seq("__band", "__bucket"))
+      .select(col(queryId), col(queryVec), col(corpusId), col(corpusVec))
+      .dropDuplicates(queryId, corpusId)
+    val scored = candidates
+      .withColumn("cosine", cosine_similarity(col(queryVec), col(corpusVec)))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("cosine").desc, col(corpusId))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(queryId), col(corpusId), col("cosine"), col("rank"))
+  }
+}

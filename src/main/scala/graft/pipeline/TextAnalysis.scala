@@ -1,0 +1,62 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for training-data pipelines: token counting,
+ * language ID (stopword heuristic), quality scoring. Built from
+ * codegen'd built-in expressions only (no UDFs), so they inline into
+ * whole-stage codegen and push down through Catalyst.
+ *
+ * Where an operator is used in a driver query, the identical arithmetic
+ * is expressed in the DuckDB oracle (integer counts — exact compare).
+ */
+object TextAnalysis {
+
+  /** Number of whitespace-delimited tokens. */
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\S+"), lit(0)))
+
+  /** Occurrences of `needle` in `text` (non-overlapping, left-to-right) —
+    * pure length arithmetic so it is expressible in any SQL oracle. */
+  def occurrences(text: Column, needle: String): Column =
+    ((length(text) - length(replace(text, lit(needle), lit("")))) / needle.length).cast("int")
+
+  /** Per-language stopword hit counts. Padded with spaces so only whole
+    * words count. */
+  val langStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" the ", " and ", " of ", " is "),
+    "de" -> Seq(" der ", " die ", " und ", " ist "),
+    "fr" -> Seq(" le ", " la ", " et ", " est "),
+    "es" -> Seq(" el ", " los ", " que ", " es ")
+  )
+
+  private def langScore(text: Column, lang: String): Column =
+    langStopwords(lang).map(w => occurrences(text, w)).reduce(_ + _)
+
+  /** Heuristic language ID: argmax of stopword hits over a padded,
+    * lowercased copy; ties broken by fixed order en>de>fr>es; zero hits
+    * => "unknown". */
+  def langId(text: Column): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val scores = Seq("en", "de", "fr", "es").map(l => (l, langScore(padded, l)))
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("unknown"): Column) { case ((l, s), acc) =>
+      when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Quality features: token count, char count, mean token length x100
+    * (integer), stopword hits; quality flag = enough tokens, sane mean
+    * token length, at least one stopword. All-integer arithmetic. */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val toks = tokenCount(text)
+    val chars = length(text)
+    val stop = langScore(concat(lit(" "), lower(text), lit(" ")), "en")
+    val meanTokLenX100 = when(toks > 0, floor((chars * 100) / toks)).otherwise(lit(0)).cast("long")
+    val flag = (toks >= 5) && (meanTokLenX100 >= 200) && (meanTokLenX100 <= 2000) && (stop >= 1)
+    Seq("tokens" -> toks, "chars" -> chars, "stop_hits" -> stop,
+      "mean_tok_len_x100" -> meanTokLenX100, "quality_ok" -> flag.cast("int"))
+  }
+}

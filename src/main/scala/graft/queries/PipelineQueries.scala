@@ -1,0 +1,216 @@
+package graft.queries
+
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis, Tx}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Training-data pipeline queries over the documents/embeddings tables:
+ * dedup (exact / minhash-LSH / simhash / embedding-cosine), similarity
+ * search (brute-force + LSH ANN), text analysis, multimodal stubs.
+ *
+ * Oracle notes:
+ *  - minhash_dup_pairs has a REAL differential oracle: DuckDB recomputes
+ *    exact 3-gram Jaccard over all pairs; LSH recall at the 0.8 threshold
+ *    is ~1 (miss probability < 1e-6 for the j>=0.88 population in the
+ *    testdata).
+ *  - embedding dup/ANN oracles use planted duplicate vectors (the raw
+ *    corpus has max off-diagonal cosine 0.60, verified empirically).
+ *  - ann_quant_topk quantizes to integer dot products so ranking is
+ *    bit-exact across engines; ann_cosine_topk (true cosine) is the
+ *    rows-only twin.
+ */
+object PipelineQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** documents plus exact copies of every 10th doc (id +100000). */
+  private def docsWithPlanted(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.unionAll(d.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+  }
+
+  private def embWithPlanted(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    e.unionAll(e.where(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- text analysis ---------------------------------------------------
+    "lang_id_counts" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+        .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"))
+    }),
+
+    "quality_flags" -> ((s, dir) => {
+      val cols = TextAnalysis.qualityColumns(col("text"))
+      t(s, dir, "documents").select(
+        col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+    }),
+
+    "fingerprint_md5" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        md5(col("text").cast("binary")).as("fp"))
+    }),
+
+    // rows-only: 64-bit rolling-hash fingerprint (custom expression)
+    "doc_fingerprint64" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        Tx.doc_fingerprint(col("text")).as("fp64"))
+    }),
+
+    // -- dedup families ----------------------------------------------------
+    "minhash_dup_pairs" -> ((s, dir) => {
+      Dedup.minhashDupPairs(t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", shingle = 3, numHashes = 64, bands = 16, threshold = 0.8)
+    }),
+
+    // rows-only aggregate (near-dup population varies by sf; the planted
+    // -dup correctness matrix lives in DedupSpec)
+    "simhash_pair_stats" -> ((s, dir) => {
+      val pairs = Dedup.simhashDupPairs(docsWithPlanted(s, dir), "doc_id", "text",
+        ngram = 3, maxHamming = 3)
+      pairs.agg(count(lit(1)).as("n_pairs"),
+        coalesce(min(col("hamming")), lit(-1)).as("min_hamming"),
+        coalesce(max(col("hamming")), lit(-1)).as("max_hamming"))
+    }),
+
+    "embed_dup_pairs" -> ((s, dir) => {
+      Dedup.embeddingDupPairs(embWithPlanted(s, dir), "vec_id", "embedding",
+          threshold = 0.999999)
+        .select(col("id_a"), col("id_b"))
+    }),
+
+    "embed_dedup_exact" -> ((s, dir) => {
+      embWithPlanted(s, dir)
+        .groupBy(col("embedding"))
+        .agg(min(col("vec_id")).as("keep_id"), count(lit(1)).as("n"))
+        .select(col("keep_id"), col("n"))
+    }),
+
+    // -- similarity search -------------------------------------------------
+    // exact ranking parity via integer-quantized dot products
+    "ann_quant_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val qdot = aggregate(
+        zip_with(col("q_vec"), col("c_vec"),
+          (x, y) => round(x * 1000) * round(y * 1000)),
+        lit(0.0), (acc, v) => acc + v)
+      val scored = queries.crossJoin(corpus).withColumn("dot", qdot)
+      val w = Window.partitionBy(col("q_id")).orderBy(col("dot").desc, col("c_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 5)
+        .select(col("q_id"), col("c_id"), col("dot"), col("rank"))
+    }),
+
+    // rows-only: true-cosine brute force top-k (double accumulation)
+    "ann_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+        emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
+        emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+        "c_id", "c_vec", "q_id", "q_vec", k = 5)
+    }),
+
+    // rows-only: LSH-bucketed approximate ANN (the 100 TB scale path)
+    "ann_srp_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.srpTopK(
+        emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
+        emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+        "c_id", "c_vec", "q_id", "q_vec", k = 5)
+    }),
+
+    // -- multimodal stubs ----------------------------------------------------
+    // rows-only: binary payload decode/feature plumbing (codec stubbed)
+    "multimodal_features" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+      val meta = Multimodal.decodeStub(col("content"))
+      docs.select(col("doc_id"), meta.getField("width").as("width"),
+          meta.getField("height").as("height"), meta.getField("format").as("format"),
+          element_at(Multimodal.extractFeaturesStub(col("content"), 8), 1).as("f0"))
+    })
+  )
+
+  // ---- oracle SQL -------------------------------------------------------
+
+  private def occSql(padded: String, w: String): String =
+    s"CAST((length($padded)-length(replace($padded,'$w','')))/${w.length} AS INT)"
+
+  private def langScoreSql(lang: String): String =
+    TextAnalysis.langStopwords(lang).map(w => occSql("p", w)).mkString("(", " + ", ")")
+
+  private val langCase: String = {
+    val langs = Seq("en", "de", "fr", "es")
+    val best = "greatest(" + langs.map(l => s"s_$l").mkString(",") + ")"
+    val whens = langs.map(l => s"WHEN s_$l = $best AND $best > 0 THEN '$l'").mkString(" ")
+    s"CASE $whens ELSE 'unknown' END"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "lang_id_counts" ->
+      s"""SELECT $langCase AS lang_pred, count(*) AS n FROM (
+            SELECT ${Seq("en", "de", "fr", "es").map(l => s"${langScoreSql(l)} AS s_$l").mkString(", ")}
+            FROM (SELECT ' '||lower(text)||' ' AS p FROM documents)
+          ) GROUP BY 1""",
+    "quality_flags" ->
+      s"""SELECT doc_id, tokens, chars, stop_hits,
+            CASE WHEN tokens > 0 THEN CAST(floor((chars*100)/tokens) AS BIGINT) ELSE 0 END AS mean_tok_len_x100,
+            CAST((tokens >= 5 AND
+                  (CASE WHEN tokens > 0 THEN CAST(floor((chars*100)/tokens) AS BIGINT) ELSE 0 END) BETWEEN 200 AND 2000
+                  AND stop_hits >= 1) AS INT) AS quality_ok
+          FROM (
+            SELECT doc_id,
+              len(regexp_extract_all(text, '\\S+')) AS tokens,
+              length(text) AS chars,
+              ${langScoreSql("en")} AS stop_hits
+            FROM (SELECT doc_id, text, ' '||lower(text)||' ' AS p FROM documents)
+          )""",
+    "fingerprint_md5" ->
+      "SELECT doc_id, md5(text) AS fp FROM documents",
+    "minhash_dup_pairs" ->
+      """WITH grams AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(range(1, len(w)-1),
+                    i -> w[i]||chr(31)||w[i+1]||chr(31)||w[i+2])) AS g
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
+         )
+         SELECT id_a, id_b, jaccard FROM (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jaccard
+           FROM grams a, grams b WHERE a.doc_id < b.doc_id
+         ) WHERE jaccard >= 0.8""",
+    "embed_dup_pairs" ->
+      """SELECT vec_id AS id_a, vec_id + 100000 AS id_b
+         FROM embeddings WHERE vec_id % 10 = 0""",
+    "embed_dedup_exact" ->
+      """SELECT min(vec_id) AS keep_id, count(*) AS n FROM (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 10 = 0
+         ) GROUP BY embedding""",
+    "ann_quant_topk" ->
+      """SELECT q_id, c_id, dot, rank FROM (
+           SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                  list_dot_product(list_transform(CAST(q.embedding AS DOUBLE[]), x -> round(x*1000)),
+                                   list_transform(CAST(c.embedding AS DOUBLE[]), x -> round(x*1000))) AS dot,
+                  row_number() OVER (PARTITION BY q.vec_id
+                                     ORDER BY list_dot_product(list_transform(CAST(q.embedding AS DOUBLE[]), x -> round(x*1000)),
+                                                               list_transform(CAST(c.embedding AS DOUBLE[]), x -> round(x*1000))) DESC,
+                                              c.vec_id) AS rank
+           FROM embeddings q, embeddings c WHERE q.vec_id < 10
+         ) WHERE rank <= 5"""
+  )
+}

@@ -60,7 +60,12 @@ object Queries {
 
   // ---- query catalog --------------------------------------------------
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] = spatialQueries ++
+    PipelineQueries.queries
+
+  val oracles: Map[String, String] = spatialOracles ++ PipelineQueries.oracles
+
+  private lazy val spatialQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // SURVEY §3.1 flagship: bbox selection over a point column (cx).
     "cx_bbox_points" -> ((s, dir) => {
       custPoints(s, dir)
@@ -203,7 +208,7 @@ object Queries {
 
   /** DuckDB-equivalent SQL per query (same column names — the driver's
     * compare sorts columns by name before hashing). */
-  val oracles: Map[String, String] = Map(
+  private lazy val spatialOracles: Map[String, String] = Map(
     "cx_bbox_points" ->
       """SELECT c_custkey,
          CAST((c_custkey*7919)%1000 AS DOUBLE) AS px,

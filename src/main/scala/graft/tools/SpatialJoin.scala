@@ -31,13 +31,16 @@ object SpatialJoin {
    * @param geomCol   name of the geometry column in `geoms`
    * @param geomKind  "polygon" | "multipolygon" | "line" | ... (right side)
    * @param cellSize  grid cell edge length (in data units)
-   * @param how       "inner" or "left" ("right" = flip + left)
+   * @param how       "inner", "left" (all points kept) or "right" (all
+   *                  geometries kept — the reference's right join keeps the
+   *                  right geometry column, tools/sjoin.py:249-270)
    * @param leftKey   required for how="left": a unique key column in `points`
+   * @param rightKey  required for how="right": a unique key column in `geoms`
    */
   def pointInGeom(points: DataFrame, geoms: DataFrame,
                   pointCol: String, geomCol: String, geomKind: String,
                   cellSize: Double, how: String = "inner",
-                  leftKey: String = null): DataFrame = {
+                  leftKey: String = null, rightKey: String = null): DataFrame = {
     require(cellSize > 0, "cellSize must be positive")
     val cs = lit(cellSize)
 
@@ -68,6 +71,11 @@ object SpatialJoin {
         val rightCols = geoms.columns.toSeq
         // keep all left rows; attach match attributes where present
         points.join(matched.select((leftKey +: rightCols).map(col): _*), Seq(leftKey), "left")
+      case "right" =>
+        require(rightKey != null, "right join requires rightKey")
+        val leftCols = points.columns.toSeq
+        // keep all right rows (and the right geometry); attach point attrs
+        geoms.join(matched.select((rightKey +: leftCols).map(col): _*), Seq(rightKey), "left")
       case other => throw new IllegalArgumentException(s"unsupported how=$other")
     }
   }

@@ -1,0 +1,119 @@
+package graft.api
+
+import graft.Geo._
+import graft.io.GeoParquet
+import graft.tools.SpatialJoin
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GeoFrameSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  import spark.implicits._
+
+  def pointsDf(n: Int) = {
+    val rnd = new scala.util.Random(11)
+    (0 until n).map(i => (i.toLong, rnd.nextDouble() * 100, rnd.nextDouble() * 100))
+      .toDF("id", "x", "y")
+      .withColumn("pt", st_point(col("x"), col("y")))
+  }
+
+  test("cx bbox selection matches brute-force filter; inverted bounds normalized") {
+    val df = pointsDf(500)
+    val gf = GeoFrame(df, "pt", "point")
+    val expected = df.where(col("x").between(20, 60) && col("y").between(30, 70))
+      .select("id").as[Long].collect().toSet
+    assert(gf.cx(20, 30, 60, 70).df.select("id").as[Long].collect().toSet == expected)
+    // inverted rect (reference normalizes: base.py:684-688)
+    assert(gf.cx(60, 70, 20, 30).df.select("id").as[Long].collect().toSet == expected)
+  }
+
+  test("totalBounds matches min/max") {
+    val df = pointsDf(200)
+    val gf = GeoFrame(df, "pt", "point")
+    val r = df.agg(min("x"), min("y"), max("x"), max("y")).head()
+    val tb = gf.totalBounds
+    assert(tb == ((r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))))
+  }
+
+  test("packPartitions: hilbert ranges of partitions are disjoint and sorted") {
+    // port of the reference's pack sortedness property (test_parquet.py:136-167)
+    val gf = GeoFrame(pointsDf(1000), "pt", "point").packPartitions(8)
+    val stats = gf.df
+      .select(col("hilbert_distance"), spark_partition_id().as("pid"))
+      .groupBy("pid")
+      .agg(min("hilbert_distance").as("lo"), max("hilbert_distance").as("hi"),
+        count(lit(1)).as("n"))
+      .orderBy("pid").collect()
+    assert(stats.map(_.getLong(3)).sum == 1000)
+    val nonEmpty = stats.filter(_.getLong(3) > 0)
+    nonEmpty.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(2) <= b.getLong(1),
+        s"partition ranges overlap: $a vs $b")
+      case _ =>
+    }
+    // within-partition sortedness
+    val sortedOk = gf.df.select("hilbert_distance").rdd
+      .mapPartitions { it =>
+        val v = it.map(_.getLong(0)).toArray
+        Iterator.single(v.sameElements(v.sorted))
+      }.collect()
+    assert(sortedOk.forall(identity))
+  }
+
+  test("GeoParquet round trip + sidecar + bounds-pruned read") {
+    val dir = Files.createTempDirectory("geoparquet").toString + "/pts"
+    val gf = GeoFrame(pointsDf(1000), "pt", "point").packPartitions(4)
+    GeoParquet.write(gf.copy(df = gf.df.drop("x", "y")), dir)
+
+    assert(Files.exists(java.nio.file.Paths.get(dir, GeoParquet.SidecarName)))
+    val full = GeoParquet.read(spark, dir, "pt", "point")
+    assert(full.df.count() == 1000)
+
+    // pruned read must return a subset of files but ALL rows whose file
+    // bounds intersect the query box (partition-pruning semantics — no
+    // residual row filter, like read_parquet_dask(bounds=...))
+    val pruned = GeoParquet.read(spark, dir, "pt", "point", Some((0.0, 0.0, 10.0, 10.0)))
+    val prunedFiles = pruned.df.select(input_file_name()).distinct().count()
+    val allFiles = full.df.select(input_file_name()).distinct().count()
+    assert(allFiles == 4)
+    assert(prunedFiles < allFiles, "hilbert packing should let a small box prune files")
+    // every point in the box must survive pruning
+    val inBox = full.cx(0, 0, 10, 10).df.select("id").as[Long].collect().toSet
+    val prunedIds = pruned.df.select("id").as[Long].collect().toSet
+    assert(inBox.subsetOf(prunedIds))
+
+    // disjoint query box -> empty
+    val none = GeoParquet.read(spark, dir, "pt", "point", Some((500.0, 500.0, 600.0, 600.0)))
+    assert(none.df.count() == 0)
+  }
+
+  test("sjoin left/right keep unmatched rows with nulls") {
+    val pts = Seq((1L, 5.0, 5.0), (2L, 50.0, 50.0), (3L, 95.0, 95.0))
+      .toDF("pid", "x", "y").withColumn("pt", st_point(col("x"), col("y")))
+    // one square polygon covering (0..10, 0..10)
+    val polys = Seq((100L, Seq(Seq(0.0, 0.0, 10.0, 0.0, 10.0, 10.0, 0.0, 10.0, 0.0, 0.0))))
+      .toDF("gid", "poly")
+    val inner = SpatialJoin.pointInGeom(pts, polys, "pt", "poly", "polygon", 16.0)
+    assert(inner.select("pid", "gid").as[(Long, Long)].collect().toSeq == Seq((1L, 100L)))
+
+    val left = SpatialJoin.pointInGeom(pts, polys, "pt", "poly", "polygon", 16.0,
+      how = "left", leftKey = "pid")
+    val leftRows = left.select("pid", "gid").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(leftRows == Set((1L, 100L), (2L, -1L), (3L, -1L)))
+
+    val polys2 = polys.unionAll(
+      Seq((200L, Seq(Seq(90.0, 90.0, 99.0, 90.0, 99.0, 99.0, 90.0, 99.0, 90.0, 90.0))))
+        .toDF("gid", "poly"))
+    val right = SpatialJoin.pointInGeom(pts, polys2, "pt", "poly", "polygon", 16.0,
+      how = "right", rightKey = "gid")
+    val rightRows = right.select("gid", "pid").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(rightRows == Set((100L, 1L), (200L, 3L)))
+  }
+}

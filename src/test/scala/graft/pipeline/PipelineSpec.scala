@@ -1,0 +1,126 @@
+package graft.pipeline
+
+import graft.pipeline.Tx._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  import spark.implicits._
+
+  val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near-dup of 1
+    (3L, "completely different words about spark query engines and columnar formats"),
+    (4L, "the quick brown fox jumps over the lazy dog again and again today"),   // exact dup of 1
+    (5L, "unrelated content mentioning hilbert curves rtrees and parquet files")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id per text") {
+    val out = Dedup.exact(corpus, "text", "doc_id").select("doc_id")
+      .as[Long].collect().toSet
+    assert(out == Set(1L, 2L, 3L, 5L))
+  }
+
+  test("minhash LSH finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minhashDupPairs(corpus, "doc_id", "text",
+        shingle = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // exact dup always found
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L))) // near dup (1 token differs)
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("minhash jaccard of exact dup is 1.0 regardless of whitespace") {
+    val df = Seq((1L, "a b c d e"), (2L, "a  b\tc \n d e")).toDF("doc_id", "text")
+    val pairs = Dedup.minhashDupPairs(df, "doc_id", "text",
+      shingle = 3, numHashes = 64, bands = 16, threshold = 0.9)
+    val row = pairs.collect()
+    assert(row.length == 1 && row(0).getDouble(2) == 1.0)
+  }
+
+  test("simhash: exact dup -> hamming 0; unrelated -> no pair at radius 3") {
+    val pairs = Dedup.simhashDupPairs(corpus, "doc_id", "text", ngram = 3, maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m.get((1L, 4L)).contains(0))
+    assert(!m.contains((3L, 5L)))
+  }
+
+  test("doc fingerprint is whitespace-invariant and text-sensitive") {
+    val df = Seq(("a b c", 1), ("a  b\t c", 2), ("a b d", 3)).toDF("t", "i")
+      .select(doc_fingerprint(col("t")).as("fp"), col("i"))
+    val fps = df.as[(Long, Int)].collect().sortBy(_._2).map(_._1)
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+  }
+
+  test("embedding dup pairs via SRP-LSH: planted dup found, others not") {
+    val rnd = new scala.util.Random(3)
+    def vec(): Array[Float] = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+    val base = (0L until 20L).map(i => (i, vec()))
+    val planted = base.filter(_._1 % 10 == 0).map { case (i, v) => (i + 100, v) }
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingDupPairs(df, "vec_id", "embedding", threshold = 0.999999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 100L), (10L, 110L)))
+  }
+
+  test("brute-force top-k: self is rank 1 with cosine ~1") {
+    val rnd = new scala.util.Random(5)
+    val vecs = (0L until 30L).map(i => (i, Array.fill(8)(rnd.nextFloat())))
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(
+      df.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
+      df.where(col("vec_id") < 3).select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+      "c_id", "c_vec", "q_id", "q_vec", k = 3)
+    val rank1 = out.where(col("rank") === 1)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toMap
+    assert(rank1 == Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+  }
+
+  test("srp ANN recall vs brute force on clustered vectors") {
+    val rnd = new scala.util.Random(7)
+    // clusters: 5 centers, 20 members each with small jitter
+    val centers = Array.fill(5)(Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    val vecs = for (c <- 0 until 5; m <- 0 until 20) yield {
+      val v = centers(c).map(x => x + rnd.nextFloat() * 0.05f)
+      (c * 100L + m, v)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val corpus = df.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val queries = df.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val exact = Similarity.bruteForceTopK(corpus, queries, "c_id", "c_vec", "q_id", "q_vec", 5)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.srpTopK(corpus, queries, "c_id", "c_vec", "q_id", "q_vec", 5)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall too low")
+  }
+
+  test("langId picks the language with most stopword hits") {
+    val df = Seq(
+      "the cat and the dog is here of course",
+      "der hund und die katze ist hier",
+      "le chat et la maison est ici",
+      "el gato y los perros que es").toDF("text")
+      .select(TextAnalysis.langId(col("text")).as("lang"))
+    assert(df.as[String].collect().toSeq == Seq("en", "de", "fr", "es"))
+  }
+
+  test("multimodal mapDecodePartitions: schema + deterministic stub") {
+    val df = corpus.select(col("doc_id"), col("text").cast("binary").as("content"))
+    val out = Multimodal.mapDecodePartitions(df, "content")
+    assert(out.schema.fieldNames.toSeq == Seq("doc_id", "content", "meta"))
+    val metas = out.select("doc_id", "meta.width", "meta.height", "meta.format")
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(metas(1L) == metas(4L)) // same bytes -> same fake decode
+    assert(metas.values.forall { case (w, h, f) =>
+      w >= 32 && h >= 32 && Set("jpeg", "png", "webp")(f) })
+  }
+}
