@@ -13,11 +13,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // JIT/codegen/session warmup on the smallest sf so the first timed
+    // query doesn't absorb one-time startup cost.
+    val warmDir = "/root/testdata/sf0.001"
+    Seq("cx_bbox_points", "area_polygons", "q1_agg", "window_top_orders")
+      .foreach { q =>
+        try SparkEntry.queries(q)(spark, warmDir).count()
+        catch { case _: Throwable => }
+      }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

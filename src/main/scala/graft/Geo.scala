@@ -74,6 +74,12 @@ object Geo {
   def st_boundary(g: Column): Column = Bridge.column(StBoundary(Bridge.expression(g)))
   def st_oriented(g: Column): Column = Bridge.column(StOriented(Bridge.expression(g)))
 
+  // ---- serde ----------------------------------------------------------
+  def st_astext(g: Column, kind: String): Column =
+    Bridge.column(StAsText(Bridge.expression(g), kind))
+  def st_geomfromtext(text: Column, kind: String): Column =
+    Bridge.column(StGeomFromText(Bridge.expression(text), kind))
+
   /** Register the SQL-surface st_* functions on a session. Kind-ambiguous
     * predicates are registered per kind (e.g. st_polygon_intersects_bounds). */
   def registerAll(spark: SparkSession): Unit = {
@@ -83,10 +89,18 @@ object Geo {
     Bridge.registerFunction(spark, "st_boundary", es => StBoundary(es.head))
     Bridge.registerFunction(spark, "st_oriented", es => StOriented(es.head))
     for (kind <- Seq("point", "multipoint", "line", "multiline", "polygon", "multipolygon")) {
+      // SQL numeric literals may arrive as Decimal — cast bounds to double
       Bridge.registerFunction(spark, s"st_${kind}_intersects_bounds",
-        es => StIntersectsBounds(es(0), es(1), es(2), es(3), es(4), kind))
+        es => StIntersectsBounds(es(0),
+          org.apache.spark.sql.catalyst.expressions.Cast(es(1), org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.catalyst.expressions.Cast(es(2), org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.catalyst.expressions.Cast(es(3), org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.catalyst.expressions.Cast(es(4), org.apache.spark.sql.types.DoubleType), kind))
       Bridge.registerFunction(spark, s"st_intersects_$kind",
         es => StIntersects(es(0), es(1), kind))
+      Bridge.registerFunction(spark, s"st_astext_$kind", es => StAsText(es.head, kind))
+      Bridge.registerFunction(spark, s"st_geomfromtext_$kind",
+        es => StGeomFromText(es.head, kind))
     }
   }
 }

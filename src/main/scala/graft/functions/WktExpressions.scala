@@ -1,0 +1,69 @@
+package graft.functions
+
+import graft.geom.Wkt
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** WKT serialization (reference export surface: to_shapely/to_geopandas,
+  * geometry/point.py:36-44 etc.). `kind` disambiguates multipoint vs line
+  * for the shared array<double> schema. */
+case class StAsText(child: Expression, kind: String)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "st_astext"
+
+  override protected def nullSafeEval(g: Any): Any = {
+    val s = kind match {
+      case "point" =>
+        val r = g.asInstanceOf[InternalRow]
+        Wkt.point(r.getDouble(0), r.getDouble(1))
+      case "multipoint" => Wkt.multiPoint(GeomData.flat1(g.asInstanceOf[ArrayData]))
+      case "line" => Wkt.lineString(GeomData.flat1(g.asInstanceOf[ArrayData]))
+      case "multiline" =>
+        val (v, o) = GeomData.flat2(g.asInstanceOf[ArrayData])
+        Wkt.multiLineString(v, o)
+      case "polygon" =>
+        val (v, o) = GeomData.flat2(g.asInstanceOf[ArrayData])
+        Wkt.polygon(v, o)
+      case "multipolygon" =>
+        val (v, ro, po) = GeomData.flat3(g.asInstanceOf[ArrayData])
+        Wkt.multiPolygon(v, ro, po)
+      case other => throw new IllegalArgumentException(s"unknown geometry kind $other")
+    }
+    UTF8String.fromString(s)
+  }
+  override protected def withNewChildInternal(c: Expression): StAsText = copy(c)
+}
+
+/** WKT parsing into the nested-array geometry schema for `kind`
+  * (reference ingestion surface: from_shapely/_shapely_to_coordinates). */
+case class StGeomFromText(child: Expression, kind: String)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = kind match {
+    case "point" => GeomData.pointType
+    case "multipoint" | "line" => GeomData.coordsType
+    case "multiline" | "polygon" => GeomData.ringsType
+    case "multipolygon" => GeomData.polysType
+    case other => throw new IllegalArgumentException(s"unknown geometry kind $other")
+  }
+  override def prettyName: String = "st_geomfromtext"
+
+  override protected def nullSafeEval(t: Any): Any = {
+    val g = Wkt.parse(t.asInstanceOf[UTF8String].toString)
+    require(g.kind == kind,
+      s"WKT kind ${g.kind} does not match expected $kind")
+    kind match {
+      case "point" =>
+        if (g.values.isEmpty) InternalRow(Double.NaN, Double.NaN)
+        else InternalRow(g.values(0), g.values(1))
+      case "multipoint" | "line" => GeomData.toArrayData(g.values)
+      case "multiline" | "polygon" => GeomData.nest2(g.values, g.offsets1)
+      case "multipolygon" => GeomData.nest3(g.values, g.offsets1, g.offsets2)
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): StGeomFromText = copy(c)
+}

@@ -37,14 +37,20 @@ object TextAnalysis {
 
   /** Heuristic language ID: argmax of stopword hits over a padded,
     * lowercased copy; ties broken by fixed order en>de>fr>es; zero hits
-    * => "unknown". */
+    * => "unknown".
+    *
+    * Encoded as greatest(score*8 + langIdx) so each score expression
+    * appears once — a naive when-chain repeats every score O(langs^2)
+    * times and the codegen blowup dominates runtime on small data. */
   def langId(text: Column): Column = {
     val padded = concat(lit(" "), lower(text), lit(" "))
-    val scores = Seq("en", "de", "fr", "es").map(l => (l, langScore(padded, l)))
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.foldRight(lit("unknown"): Column) { case ((l, s), acc) =>
-      when(s === best && best > 0, lit(l)).otherwise(acc)
+    val langs = Seq("es", "fr", "de", "en") // index = tie-break priority
+    val encoded = langs.zipWithIndex.map { case (l, i) =>
+      langScore(padded, l) * 8 + i
     }
+    val g = greatest(encoded: _*)
+    when(g >= 8, get(array(langs.map(lit): _*), g % 8))
+      .otherwise(lit("unknown"))
   }
 
   /** Quality features: token count, char count, mean token length x100

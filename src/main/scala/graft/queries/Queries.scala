@@ -67,10 +67,48 @@ object Queries {
 
   private lazy val spatialQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // SURVEY §3.1 flagship: bbox selection over a point column (cx).
+    // Point path composes built-in comparisons (whole-stage codegen +
+    // parquet pushdown) — the custom-expression kinds are exercised by
+    // the *_bbox queries below.
     "cx_bbox_points" -> ((s, dir) => {
-      custPoints(s, dir)
-        .where(st_point_intersects_bounds(col("pt"), lit(100), lit(100), lit(600), lit(600)))
-        .select(col("c_custkey"), col("px"), col("py"))
+      graft.api.GeoFrame(custPoints(s, dir), "pt", "point")
+        .cx(100, 100, 600, 600)
+        .df.select(col("c_custkey"), col("px"), col("py"))
+    }),
+
+    // SURVEY §2.8 multipoint-vs-rect kernel over per-order multipoints.
+    "multipoint_bbox" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("x", (col("l_partkey") % 1000).cast("double"))
+        .withColumn("y", (col("l_suppkey") % 1000).cast("double"))
+      li.groupBy(col("l_orderkey"))
+        .agg(flatten(collect_list(array(col("x"), col("y")))).as("mp"))
+        .where(st_multipoint_intersects_bounds(col("mp"),
+          lit(200), lit(200), lit(800), lit(800)))
+        .select(col("l_orderkey"))
+    }),
+
+    // SURVEY §2.8 polygon-vs-rect kernel (diamonds; oracle = L1 distance
+    // from center to rect, exact for integer coords with odd radius).
+    "polygon_bbox" -> ((s, dir) => {
+      supplierDiamonds(s, dir)
+        .where(st_polygon_intersects_bounds(col("diamond"),
+          lit(350), lit(350), lit(650), lit(650)))
+        .select(col("s_suppkey"))
+    }),
+
+    // SURVEY §2.8 line(segment)-vs-rect kernel; oracle = bbox overlap +
+    // separating-axis corner-side test, exact in integer arithmetic.
+    "line_bbox" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").where(col("l_linenumber") === 1)
+      val x0 = (col("l_orderkey") % 1000).cast("double")
+      val y0 = (col("l_partkey") % 1000).cast("double")
+      val x1 = ((col("l_suppkey") * 13) % 1000).cast("double")
+      val y1 = ((col("l_orderkey") * 17) % 1000).cast("double")
+      li.select(col("l_orderkey"), array(x0, y0, x1, y1).as("seg"))
+        .where(st_line_intersects_bounds(col("seg"),
+          lit(300), lit(300), lit(700), lit(700)))
+        .select(col("l_orderkey"))
     }),
 
     // SURVEY §2.6 st_area: signed shoelace with CW holes subtracting.
@@ -150,6 +188,14 @@ object Queries {
         .agg(count(lit(1)).as("n"), min(col("h")).as("hmin"), max(col("h")).as("hmax"))
     }),
 
+    // SURVEY §2.1 serde: WKT export of derived points (round-trip parsing
+    // is covered in ExpressionsSpec; integer coords make the text exact).
+    "wkt_points" -> ((s, dir) => {
+      custPoints(s, dir)
+        .select(col("c_custkey"), st_astext(col("pt"), "point").as("wkt"))
+        .where(col("c_custkey") % 10 === 0)
+    }),
+
     // Relational sanity: TPC-H Q1-style aggregate (integer-valued sums).
     "q1_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -216,6 +262,34 @@ object Queries {
          FROM customer
          WHERE (c_custkey*7919)%1000 BETWEEN 100 AND 600
            AND (c_custkey*104729)%1000 BETWEEN 100 AND 600""",
+    "multipoint_bbox" ->
+      """SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+         HAVING max(CASE WHEN l_partkey%1000 BETWEEN 200 AND 800
+                          AND l_suppkey%1000 BETWEEN 200 AND 800
+                    THEN 1 ELSE 0 END) = 1""",
+    "polygon_bbox" ->
+      """SELECT s_suppkey FROM supplier
+         WHERE greatest(0, 350 - ((s_suppkey*7919)%500)*2, ((s_suppkey*7919)%500)*2 - 650)
+             + greatest(0, 350 - ((s_suppkey*104729)%500)*2, ((s_suppkey*104729)%500)*2 - 650)
+             <= (s_suppkey%25)*2 + 21""",
+    "line_bbox" ->
+      """SELECT l_orderkey FROM (
+           SELECT l_orderkey,
+                  l_orderkey%1000 AS x0, l_partkey%1000 AS y0,
+                  (l_suppkey*13)%1000 AS x1, (l_orderkey*17)%1000 AS y1
+           FROM lineitem WHERE l_linenumber = 1
+         ) WHERE greatest(x0,x1) >= 300 AND least(x0,x1) <= 700
+             AND greatest(y0,y1) >= 300 AND least(y0,y1) <= 700
+             AND NOT (
+                   (x1-x0)*(300-y0)-(y1-y0)*(300-x0) > 0 AND
+                   (x1-x0)*(300-y0)-(y1-y0)*(700-x0) > 0 AND
+                   (x1-x0)*(700-y0)-(y1-y0)*(700-x0) > 0 AND
+                   (x1-x0)*(700-y0)-(y1-y0)*(300-x0) > 0 )
+             AND NOT (
+                   (x1-x0)*(300-y0)-(y1-y0)*(300-x0) < 0 AND
+                   (x1-x0)*(300-y0)-(y1-y0)*(700-x0) < 0 AND
+                   (x1-x0)*(700-y0)-(y1-y0)*(700-x0) < 0 AND
+                   (x1-x0)*(700-y0)-(y1-y0)*(300-x0) < 0 )""",
     "area_polygons" ->
       """SELECT p_brand,
          sum(4.0*((p_partkey%5)+1)*((p_partkey%5)+1)
@@ -250,6 +324,10 @@ object Queries {
     "intersects_point_line" ->
       """SELECT c_custkey FROM customer
          WHERE (c_custkey*7919)%1000 = (c_custkey*104729)%1000""",
+    "wkt_points" ->
+      """SELECT c_custkey,
+                'POINT (' || ((c_custkey*7919)%1000) || ' ' || ((c_custkey*104729)%1000) || ')' AS wkt
+         FROM customer WHERE c_custkey % 10 = 0""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
          FROM lineitem GROUP BY l_returnflag, l_linestatus""",

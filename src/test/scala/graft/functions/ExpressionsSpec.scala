@@ -1,0 +1,135 @@
+package graft.functions
+
+import graft.Geo._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DataFrame-level golden tests for the st_* catalog (fixtures from
+  * FIXTURES.md §2 / reference tests/geometry/test_geometry.py). */
+class ExpressionsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  import spark.implicits._
+
+  val unitCw = Seq(1.0, 1, 1, 2, 2, 2, 2, 1, 1, 1)
+  val largeCcw = Seq(0.0, 0, 3, 0, 3, 3, 0, 3, 0, 0)
+
+  test("st_area / st_length on polygon with hole; signed area preserved") {
+    val df = Seq((Seq(largeCcw, unitCw), Seq(unitCw))).toDF("withHole", "cwOnly")
+    val r = df.select(st_area($"withHole"), st_length($"withHole"), st_area($"cwOnly")).head()
+    assert(r.getDouble(0) == 8.0 && r.getDouble(1) == 16.0 && r.getDouble(2) == -1.0)
+  }
+
+  test("st_area on multipolygon; st_length zero for points") {
+    val shifted = largeCcw.map(_ + 4.0)
+    val df = Seq((Seq(Seq(largeCcw, unitCw), Seq(shifted)), (1.5, 2.5)))
+      .toDF("mp", "pt")
+    val r = df.select(st_area($"mp"), st_length($"pt"), st_area($"pt")).head()
+    assert(r.getDouble(0) == 17.0 && r.getDouble(1) == 0.0 && r.getDouble(2) == 0.0)
+  }
+
+  test("st_bounds and null propagation") {
+    val df = Seq((Some(unitCw), 1), (None, 2)).toDF("line", "id")
+    val rows = df.select(st_bounds($"line"), $"id").orderBy($"id").collect()
+    assert(rows(0).getStruct(0).toSeq == Seq(1.0, 1.0, 2.0, 2.0))
+    assert(rows(1).isNullAt(0))
+  }
+
+  test("st_boundary: multipolygon -> multiline flattening") {
+    val shifted = largeCcw.map(_ + 4.0)
+    val df = Seq(Tuple1(Seq(Seq(largeCcw, unitCw), Seq(shifted)))).toDF("mp")
+    val b = df.select(st_boundary($"mp").as("b")).head().getSeq[Seq[Double]](0)
+    assert(b.length == 3)
+    assert(st_lengthOf(df.select(st_length(st_boundary($"mp"))).head()) == 28.0)
+  }
+
+  private def st_lengthOf(r: org.apache.spark.sql.Row): Double = r.getDouble(0)
+
+  test("st_oriented flips a CW shell to CCW") {
+    val df = Seq(Tuple1(Seq(unitCw))).toDF("poly")
+    val r = df.select(st_area(st_oriented($"poly"))).head()
+    assert(r.getDouble(0) == 1.0)
+  }
+
+  test("st_hilbert_distance orders near points together") {
+    val df = Seq((0.0, 0.0), (0.1, 0.1), (100.0, 100.0))
+      .toDF("x", "y").withColumn("pt", st_point($"x", $"y"))
+    val h = df.select(st_hilbert_distance($"pt", lit(0), lit(0), lit(100), lit(100), 15))
+      .as[Long].collect()
+    assert(math.abs(h(0) - h(1)) < math.abs(h(0) - h(2)))
+  }
+
+  test("WKT round trip for all six kinds") {
+    val shifted = largeCcw.map(_ + 4.0)
+    val df = Seq((
+      (1.5, -2.5),
+      Seq(1.0, 2, 3, 4),
+      Seq(0.0, 0, 1, 1, 2, 0),
+      Seq(Seq(0.0, 0, 1, 1), Seq(2.0, 2, 3, 3)),
+      Seq(largeCcw, unitCw),
+      Seq(Seq(largeCcw, unitCw), Seq(shifted))
+    )).toDF("pt", "mp", "ln", "ml", "pg", "mpg")
+
+    val texts = df.select(
+      st_astext($"pt", "point"), st_astext($"mp", "multipoint"),
+      st_astext($"ln", "line"), st_astext($"ml", "multiline"),
+      st_astext($"pg", "polygon"), st_astext($"mpg", "multipolygon")).head()
+    assert(texts.getString(0) == "POINT (1.5 -2.5)")
+    assert(texts.getString(1) == "MULTIPOINT (1 2, 3 4)")
+    assert(texts.getString(2) == "LINESTRING (0 0, 1 1, 2 0)")
+    assert(texts.getString(4) == "POLYGON ((0 0, 3 0, 3 3, 0 3, 0 0), (1 1, 1 2, 2 2, 2 1, 1 1))")
+
+    val back = df.select(
+      st_geomfromtext(st_astext($"pt", "point"), "point").as("pt2"),
+      st_geomfromtext(st_astext($"mp", "multipoint"), "multipoint").as("mp2"),
+      st_geomfromtext(st_astext($"ln", "line"), "line").as("ln2"),
+      st_geomfromtext(st_astext($"ml", "multiline"), "multiline").as("ml2"),
+      st_geomfromtext(st_astext($"pg", "polygon"), "polygon").as("pg2"),
+      st_geomfromtext(st_astext($"mpg", "multipolygon"), "multipolygon").as("mpg2")).head()
+    assert(back.getStruct(0).toSeq == Seq(1.5, -2.5))
+    assert(back.getSeq[Double](1) == Seq(1.0, 2, 3, 4))
+    assert(back.getSeq[Double](2) == Seq(0.0, 0, 1, 1, 2, 0))
+    assert(back.getSeq[Seq[Double]](3) == Seq(Seq(0.0, 0, 1, 1), Seq(2.0, 2, 3, 3)))
+    assert(back.getSeq[Seq[Double]](4) == Seq(largeCcw, unitCw))
+    assert(back.getSeq[Seq[Seq[Double]]](5) == Seq(Seq(largeCcw, unitCw), Seq(shifted)))
+  }
+
+  test("SQL registry: st_* callable from spark.sql") {
+    registerAll(spark)
+    Seq(Tuple1(Seq(largeCcw, unitCw))).toDF("poly").createOrReplaceTempView("polys")
+    val r = spark.sql(
+      """SELECT st_area(poly) a, st_length(poly) l,
+                st_polygon_intersects_bounds(poly, 0.5, 0.5, 0.6, 0.6) hit,
+                st_astext_polygon(poly) wkt
+         FROM polys""").head()
+    assert(r.getDouble(0) == 8.0 && r.getDouble(1) == 16.0 && r.getBoolean(2))
+    assert(r.getString(3).startsWith("POLYGON"))
+  }
+
+  test("streaming: st_* + windowed agg over the events table shape") {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "ts TIMESTAMP, x DOUBLE, y DOUBLE")
+    val src = (0 until 100).map { i =>
+      (java.sql.Timestamp.valueOf(f"2026-01-01 00:${i % 60}%02d:00"),
+        (i % 10).toDouble, (i % 7).toDouble)
+    }.toDF("ts", "x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("stream").toString
+    src.write.parquet(dir + "/in")
+    val stream = spark.readStream.schema(schema).parquet(dir + "/in")
+      .withColumn("pt", st_point($"x", $"y"))
+      .where(st_x($"pt") < 5)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.outputMode("append").format("memory")
+      .queryName("st_stream").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    // append mode holds back open windows past the watermark; the point
+    // is st_* expressions compose with streaming plans without error
+    assert(spark.table("st_stream").schema.fieldNames.contains("n"))
+  }
+}
