@@ -88,6 +88,35 @@ final case class GeoFrame(df: DataFrame, geometryCol: String, kind: String) {
       .sortWithinPartitions("hilbert_distance"))
   }
 
+  // ---- missing data (reference: geometry/base.py:315, 510-560) --------
+  def isNa: Column = geometry.isNull
+  def dropNa: GeoFrame = copy(df = df.where(geometry.isNotNull))
+  def fillNa(value: Column): GeoFrame =
+    copy(df = df.withColumn(geometryCol, coalesce(geometry, value)))
+
+  /** Pad-fill nulls with the previous non-null geometry in `orderCol`
+    * order — the reference's fillna(method='pad') as a window
+    * (SURVEY §2.2: last(ignoreNulls) over unbounded preceding). */
+  def padNa(orderCol: Column): GeoFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(orderCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    copy(df = df.withColumn(geometryCol, last(geometry, ignoreNulls = true).over(w)))
+  }
+
+  /** Lexicographic geometry sort over flat coordinates, shorter-first on
+    * ties — Spark's array ordering IS the reference's comparison
+    * (reference: baselist.py:249-290); nested kinds compare flattened. */
+  def sortByGeometry: GeoFrame = {
+    val key = kind match {
+      case "point" => geometry
+      case "multipoint" | "line" => geometry
+      case "multiline" | "polygon" => flatten(geometry)
+      case "multipolygon" => flatten(flatten(geometry))
+      case other => throw new IllegalArgumentException(s"unknown kind $other")
+    }
+    copy(df = df.orderBy(key))
+  }
+
   /** Spatial join on exact intersection (reference: tools/sjoin.py:26-133). */
   def sjoin(other: GeoFrame, how: String = "inner", cellSize: Double,
             leftKey: String = null, rightKey: String = null): DataFrame = {

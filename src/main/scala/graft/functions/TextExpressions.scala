@@ -246,6 +246,50 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Integer-quantized dot product: sum of round(x*scale)*round(y*scale)
+  * accumulated in double. Products of quantized values are exact
+  * integers (< 2^53), so the sum is order-independent and bit-exact
+  * across engines — the ranking primitive for oracle-checkable ANN. */
+case class QuantizedDot(left: Expression, right: Expression, scale: Double)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "quantized_dot"
+
+  private lazy val leftFloat = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  private lazy val rightFloat = right.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (leftFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rightFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      // BigDecimal HALF_UP matches both Spark's round() and DuckDB's
+      // round() (ties away from zero) — plain math.round floors ties
+      // for negative values and would diverge
+      dot += roundHalfUp(x * scale) * roundHalfUp(y * scale)
+      i += 1
+    }
+    dot
+  }
+
+  @inline private def roundHalfUp(v: Double): Double = {
+    if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): QuantizedDot =
+    copy(left = l, right = r)
+}
+
 /** Sign-random-projection LSH bits for cosine ANN: bit j = sign of
   * <v, r_j> where r_j components are deterministic ±1 from mix64(seed,
   * j, dim). Vectors with high cosine similarity agree on most bits. */

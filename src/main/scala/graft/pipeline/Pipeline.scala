@@ -26,6 +26,8 @@ object Tx {
     Bridge.column(DocFingerprint(Bridge.expression(text), seed))
   def cosine_similarity(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
+  def quantized_dot(a: Column, b: Column, scale: Double = 1000.0): Column =
+    Bridge.column(QuantizedDot(Bridge.expression(a), Bridge.expression(b), scale))
   def srp_bits(vec: Column, bits: Int = 16, seed: Long = 42L): Column =
     Bridge.column(SrpBits(Bridge.expression(vec), bits, seed))
 }

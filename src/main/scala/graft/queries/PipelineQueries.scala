@@ -100,11 +100,8 @@ object PipelineQueries {
       val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
       val queries = emb.where(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-      val qdot = aggregate(
-        zip_with(col("q_vec"), col("c_vec"),
-          (x, y) => round(x * 1000) * round(y * 1000)),
-        lit(0.0), (acc, v) => acc + v)
-      val scored = queries.crossJoin(corpus).withColumn("dot", qdot)
+      val scored = queries.crossJoin(corpus)
+        .withColumn("dot", Tx.quantized_dot(col("q_vec"), col("c_vec"), 1000.0))
       val w = Window.partitionBy(col("q_id")).orderBy(col("dot").desc, col("c_id"))
       scored.withColumn("rank", row_number().over(w))
         .where(col("rank") <= 5)

@@ -36,16 +36,24 @@ object SpatialJoin {
    *                  right geometry column, tools/sjoin.py:249-270)
    * @param leftKey   required for how="left": a unique key column in `points`
    * @param rightKey  required for how="right": a unique key column in `geoms`
+   * @param salt      >1 splits each grid cell into `salt` shuffle keys:
+   *                  points hash into one sub-key, geometries replicate to
+   *                  all of them — bounds the reducer size for skewed
+   *                  cells (dense hotspots) at the cost of salt-x geometry
+   *                  replication. Leave 1 unless AQE skew handling isn't
+   *                  enough.
    */
   def pointInGeom(points: DataFrame, geoms: DataFrame,
                   pointCol: String, geomCol: String, geomKind: String,
                   cellSize: Double, how: String = "inner",
-                  leftKey: String = null, rightKey: String = null): DataFrame = {
+                  leftKey: String = null, rightKey: String = null,
+                  salt: Int = 1): DataFrame = {
     require(cellSize > 0, "cellSize must be positive")
+    require(salt >= 1, "salt must be >= 1")
     val cs = lit(cellSize)
 
     val bounds = st_bounds(col(geomCol))
-    val gridded = geoms
+    val gridded0 = geoms
       .withColumn("__gb", bounds)
       .withColumn("__cx",
         explode(sequence(floor(col("__gb.x0") / cs).cast("long"),
@@ -54,15 +62,22 @@ object SpatialJoin {
         explode(sequence(floor(col("__gb.y0") / cs).cast("long"),
                          floor(col("__gb.y1") / cs).cast("long"))))
       .drop("__gb")
+    val gridded =
+      if (salt == 1) gridded0.withColumn("__salt", lit(0))
+      else gridded0.withColumn("__salt",
+        explode(sequence(lit(0), lit(salt - 1))))
 
     val cellPoints = points
       .withColumn("__cx", floor(st_x(col(pointCol)) / cs).cast("long"))
       .withColumn("__cy", floor(st_y(col(pointCol)) / cs).cast("long"))
+      .withColumn("__salt",
+        if (salt == 1) lit(0)
+        else pmod(hash(col(pointCol)), lit(salt)))
 
     val matched = cellPoints
-      .join(gridded, Seq("__cx", "__cy"), "inner")
+      .join(gridded, Seq("__cx", "__cy", "__salt"), "inner")
       .where(st_intersects(col(pointCol), col(geomCol), geomKind))
-      .drop("__cx", "__cy")
+      .drop("__cx", "__cy", "__salt")
 
     how match {
       case "inner" => matched

@@ -1,0 +1,75 @@
+package graft.api
+
+import graft.Geo._
+import graft.tools.SpatialJoin
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GeoFrameNaSortSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  import spark.implicits._
+
+  test("isNa / dropNa / fillNa / padNa") {
+    val df = Seq(
+      (1L, Some(Seq(1.0, 1, 2, 2))),
+      (2L, None),
+      (3L, Some(Seq(5.0, 5, 6, 6))),
+      (4L, None)).toDF("id", "line")
+    val gf = GeoFrame(df, "line", "line")
+    assert(gf.df.select(gf.isNa).as[Boolean].collect().count(identity) == 2)
+    assert(gf.dropNa.df.count() == 2)
+    val filled = gf.fillNa(typedLit(Seq(0.0, 0))).df
+      .select("line").as[Seq[Double]].collect()
+    assert(filled.count(_ == Seq(0.0, 0)) == 2)
+    val padded = gf.padNa(col("id")).df.orderBy("id")
+      .select("line").as[Seq[Double]].collect()
+    assert(padded(1) == Seq(1.0, 1, 2, 2) && padded(3) == Seq(5.0, 5, 6, 6))
+  }
+
+  test("lexicographic geometry sort, shorter-first ties") {
+    val df = Seq(
+      (1L, Seq(2.0, 0)),
+      (2L, Seq(1.0, 5, 0, 0)),
+      (3L, Seq(1.0, 5)),
+      (4L, Seq(0.0, 9))).toDF("id", "mp")
+    val sorted = GeoFrame(df, "mp", "multipoint").sortByGeometry
+      .df.select("id").as[Long].collect().toSeq
+    assert(sorted == Seq(4L, 3L, 2L, 1L)) // [0,9] < [1,5] < [1,5,0,0] < [2,0]
+    // nested kind sorts on flattened coords
+    val polys = Seq(
+      (1L, Seq(Seq(3.0, 3, 4, 4))),
+      (2L, Seq(Seq(1.0, 1), Seq(2.0, 2)))).toDF("id", "poly")
+    val ps = GeoFrame(polys, "poly", "polygon").sortByGeometry
+      .df.select("id").as[Long].collect().toSeq
+    assert(ps == Seq(2L, 1L)) // flat [1,1,2,2] < [3,3,4,4]
+  }
+
+  test("groupBy on geometry values uses structural equality") {
+    val df = Seq(
+      (1L, Seq(1.0, 1)), (2L, Seq(1.0, 1)), (3L, Seq(2.0, 2))).toDF("id", "mp")
+    val counts = df.groupBy("mp").count()
+      .select("count").as[Long].collect().sorted.toSeq
+    assert(counts == Seq(1L, 2L))
+  }
+
+  test("salted spatial join returns identical pairs to unsalted") {
+    val rnd = new scala.util.Random(19)
+    val pts = (0 until 400).map(i =>
+        (i.toLong, rnd.nextDouble() * 100, rnd.nextDouble() * 100))
+      .toDF("pid", "x", "y").withColumn("pt", st_point(col("x"), col("y")))
+    val polys = (0 until 20).map { i =>
+      val cx = rnd.nextDouble() * 100; val cy = rnd.nextDouble() * 100
+      val r = 5 + rnd.nextDouble() * 10
+      (i.toLong, Seq(Seq(cx + r, cy, cx, cy + r, cx - r, cy, cx, cy - r, cx + r, cy)))
+    }.toDF("gid", "poly")
+    def pairs(salt: Int) = SpatialJoin.pointInGeom(pts, polys, "pt", "poly",
+        "polygon", cellSize = 20.0, salt = salt)
+      .select("pid", "gid").as[(Long, Long)].collect().toSet
+    assert(pairs(1) == pairs(4))
+    assert(pairs(1).nonEmpty)
+  }
+}
