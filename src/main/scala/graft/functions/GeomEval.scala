@@ -1,0 +1,306 @@
+package graft.functions
+
+import graft.geom.{HilbertCurve, Kernels}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Statically-callable eval bodies shared by interpreted `eval` and
+ * generated code (`doGenCode` emits calls to these), keeping the st_* /
+ * pipeline expressions inside whole-stage codegen instead of falling
+ * back to interpreted evaluation per row.
+ *
+ * Geometry kind ids match the order point, multipoint, line, multiline,
+ * polygon, multipolygon.
+ */
+object GeomEval {
+  final val Point = 0
+  final val MultiPoint = 1
+  final val Line = 2
+  final val MultiLine = 3
+  final val Polygon = 4
+  final val MultiPolygon = 5
+
+  def kindId(kind: String): Int = kind match {
+    case "point" => Point
+    case "multipoint" => MultiPoint
+    case "line" => Line
+    case "multiline" => MultiLine
+    case "polygon" => Polygon
+    case "multipolygon" => MultiPolygon
+    case other => throw new IllegalArgumentException(s"unknown geometry kind $other")
+  }
+
+  def area(depth: Int, g: AnyRef): Double = depth match {
+    case 2 =>
+      val (v, o) = GeomData.flat2(g.asInstanceOf[ArrayData])
+      Kernels.area(v, o)
+    case 3 =>
+      val (v, ro, _) = GeomData.flat3(g.asInstanceOf[ArrayData])
+      Kernels.area(v, ro)
+    case _ => 0.0
+  }
+
+  def length(depth: Int, g: AnyRef): Double = depth match {
+    case 1 =>
+      val v = GeomData.flat1(g.asInstanceOf[ArrayData])
+      Kernels.lineLength(v, Array(0, v.length))
+    case 2 =>
+      val (v, o) = GeomData.flat2(g.asInstanceOf[ArrayData])
+      Kernels.lineLength(v, o)
+    case 3 =>
+      val (v, ro, _) = GeomData.flat3(g.asInstanceOf[ArrayData])
+      Kernels.lineLength(v, ro)
+    case _ => 0.0
+  }
+
+  def bounds(depth: Int, g: AnyRef): InternalRow = {
+    val values = GeomData.flatValues(g, depth)
+    val b = Kernels.totalBounds(values)
+    InternalRow(b(0), b(1), b(2), b(3))
+  }
+
+  def intersectsBounds(kind: Int, g: AnyRef,
+                       bx0: Double, by0: Double, bx1: Double, by1: Double): Boolean =
+    kind match {
+      case Point =>
+        val row = g.asInstanceOf[InternalRow]
+        val px = row.getDouble(0)
+        val py = row.getDouble(1)
+        var lx0 = bx0; var ly0 = by0; var lx1 = bx1; var ly1 = by1
+        if (lx1 < lx0) { val t = lx0; lx0 = lx1; lx1 = t }
+        if (ly1 < ly0) { val t = ly0; ly0 = ly1; ly1 = t }
+        // NaN x => outside; the reference tests only x for NaN
+        // (reference: point.py:74-86, point.py:196-210)
+        !(px.isNaN || px < lx0 || px > lx1 || py < ly0 || py > ly1)
+      case MultiPoint =>
+        val v = GeomData.flat1(g.asInstanceOf[ArrayData])
+        Kernels.multipointIntersectsBounds(bx0, by0, bx1, by1, v, 0, v.length)
+      case Line =>
+        val v = GeomData.flat1(g.asInstanceOf[ArrayData])
+        Kernels.lineIntersectsBounds(bx0, by0, bx1, by1, v, Array(0, v.length))
+      case MultiLine =>
+        val (v, o) = GeomData.flat2(g.asInstanceOf[ArrayData])
+        Kernels.lineIntersectsBounds(bx0, by0, bx1, by1, v, o)
+      case Polygon =>
+        val (v, o) = GeomData.flat2(g.asInstanceOf[ArrayData])
+        Kernels.polygonIntersectsBounds(bx0, by0, bx1, by1, v, o)
+      case MultiPolygon =>
+        val (v, ro, po) = GeomData.flat3(g.asInstanceOf[ArrayData])
+        Kernels.multipolygonIntersectsBounds(bx0, by0, bx1, by1, v, ro, po)
+    }
+
+  def intersectsPoint(rightKind: Int, p: InternalRow, g: AnyRef): Boolean = {
+    val x = p.getDouble(0)
+    val y = p.getDouble(1)
+    rightKind match {
+      case Point =>
+        val r = g.asInstanceOf[InternalRow]
+        x == r.getDouble(0) && y == r.getDouble(1)
+      case MultiPoint =>
+        val v = GeomData.flat1(g.asInstanceOf[ArrayData])
+        var i = 0
+        var found = false
+        while (i + 1 < v.length && !found) {
+          found = v(i) == x && v(i + 1) == y
+          i += 2
+        }
+        found
+      case Line =>
+        val v = GeomData.flat1(g.asInstanceOf[ArrayData])
+        pointIntersectsLine(x, y, v, Array(0, v.length))
+      case MultiLine =>
+        val (v, o) = GeomData.flat2(g.asInstanceOf[ArrayData])
+        pointIntersectsLine(x, y, v, o)
+      case Polygon =>
+        val (v, o) = GeomData.flat2(g.asInstanceOf[ArrayData])
+        Kernels.pointIntersectsPolygon(x, y, v, o)
+      case MultiPolygon =>
+        val (v, ro, _) = GeomData.flat3(g.asInstanceOf[ArrayData])
+        Kernels.pointIntersectsPolygon(x, y, v, ro)
+    }
+  }
+
+  /** Point-on-line: per part, bbox check then vertex check then segment
+    * pass-through (reference: point.py:270-311, _perform_intersects_line). */
+  def pointIntersectsLine(x: Double, y: Double,
+                          v: Array[Double], offsets: Array[Int]): Boolean = {
+    var part = 0
+    while (part < offsets.length - 1) {
+      val start = offsets(part)
+      val stop = offsets(part + 1)
+      val b = new Array[Double](4)
+      Kernels.totalBoundsInterleaved(v, start, stop, b)
+      if (!(x < b(0) || y < b(1) || x > b(2) || y > b(3))) {
+        var i = start
+        while (i + 1 < stop) {
+          if (v(i) == x && v(i + 1) == y) return true
+          i += 2
+        }
+        i = start
+        while (i < stop - 2) {
+          if (Kernels.segmentIntersectsPoint(v(i), v(i + 1), v(i + 2), v(i + 3), x, y))
+            return true
+          i += 2
+        }
+      }
+      part += 1
+    }
+    false
+  }
+
+  def hilbert(depth: Int, p: Int, g: AnyRef,
+              tx0: Double, ty0: Double, tx1: Double, ty1: Double): Long = {
+    val bounds =
+      if (depth == 0) {
+        val row = g.asInstanceOf[InternalRow]
+        val x = row.getDouble(0); val y = row.getDouble(1)
+        Array(x, y, x, y)
+      } else Kernels.totalBounds(GeomData.flatValues(g, depth))
+    HilbertCurve.distanceFromBounds(p, bounds(0), bounds(1), bounds(2), bounds(3),
+      tx0, ty0, tx1, ty1)
+  }
+}
+
+/** Static bodies for the text/vector pipeline expressions. */
+object TextEval {
+
+  def simhash(t: UTF8String, ngram: Int, seed: Long): Long = {
+    val bytes = t.getBytes
+    val toks = TextHashing.tokenHashes(bytes, seed)
+    val counts = new Array[Int](64)
+    val n = toks.length
+    if (n >= ngram) {
+      var i = 0
+      while (i + ngram <= n) {
+        val h = TextHashing.gramHash(toks, i, ngram, seed)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+        i += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  def minhash(t: UTF8String, shingle: Int, numHashes: Int, seed: Long): ArrayData = {
+    val bytes = t.getBytes
+    val toks = TextHashing.tokenHashes(bytes, seed)
+    val n = toks.length
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val seeds = new Array[Long](numHashes)
+    var j = 0
+    while (j < numHashes) {
+      seeds(j) = TextHashing.mix64(seed + 0x9e3779b97f4a7c15L * (j + 1))
+      j += 1
+    }
+    var i = 0
+    while (i + shingle <= n) {
+      val h = TextHashing.gramHash(toks, i, shingle, seed)
+      j = 0
+      while (j < numHashes) {
+        val hj = TextHashing.mix64(h ^ seeds(j))
+        if (hj < mins(j)) mins(j) = hj
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  def jaccard(l: UTF8String, r: UTF8String, ngram: Int): Double = {
+    def grams(t: UTF8String): scala.collection.mutable.HashSet[Long] = {
+      val bytes = t.getBytes
+      val toks = TextHashing.tokenHashes(bytes, 0L)
+      val set = new scala.collection.mutable.HashSet[Long]
+      var i = 0
+      while (i + ngram <= toks.length) {
+        set += TextHashing.gramHash(toks, i, ngram, 0L)
+        i += 1
+      }
+      set
+    }
+    val a = grams(l)
+    val b = grams(r)
+    if (a.isEmpty && b.isEmpty) 1.0
+    else {
+      val inter = a.count(b.contains)
+      inter.toDouble / (a.size + b.size - inter)
+    }
+  }
+
+  def fingerprint(t: UTF8String, seed: Long): Long = {
+    val bytes = t.getBytes
+    val toks = TextHashing.tokenHashes(bytes, seed)
+    var h = seed
+    var i = 0
+    while (i < toks.length) {
+      h = h * 0x100000001b3L + toks(i)
+      i += 1
+    }
+    TextHashing.mix64(h)
+  }
+
+  def cosine(leftFloat: Boolean, rightFloat: Boolean, a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (leftFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rightFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def quantizedDot(leftFloat: Boolean, rightFloat: Boolean,
+                   a: ArrayData, b: ArrayData, scale: Double): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (leftFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rightFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += roundHalfUp(x * scale) * roundHalfUp(y * scale)
+      i += 1
+    }
+    dot
+  }
+
+  @inline private def roundHalfUp(v: Double): Double =
+    if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)
+
+  def srpBits(isFloat: Boolean, v: ArrayData, bits: Int, seed: Long): Long = {
+    val n = v.numElements()
+    var out = 0L
+    var j = 0
+    while (j < bits) {
+      var acc = 0.0
+      var d = 0
+      while (d < n) {
+        val sign = if ((TextHashing.mix64(seed ^ (j.toLong << 32) ^ d.toLong) & 1L) == 1L) 1.0 else -1.0
+        val x = if (isFloat) v.getFloat(d).toDouble else v.getDouble(d)
+        acc += sign * x
+        d += 1
+      }
+      if (acc > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+}
