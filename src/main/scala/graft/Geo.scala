@@ -31,9 +31,15 @@ object Geo {
     * Spark's partial aggregation gives the reference's tree-aggregate for
     * free (reference: dask.py:43-51). */
   def st_total_bounds(g: Column): Seq[Column] = {
+    // NaN bounds (empty / all-non-finite geometries) must not poison the
+    // frame totals: Spark sorts NaN greater than any value, so max() would
+    // return NaN — the reference's bounds kernels skip non-finite coords
+    // (reference: _algorithms/bounds.py:16-25; ADVICE r1). Map NaN->null;
+    // min/max ignore nulls.
+    def finite(c: Column): Column = when(isnan(c), lit(null)).otherwise(c)
     val b = st_bounds(g)
-    Seq(min(b.getField("x0")).as("x0"), min(b.getField("y0")).as("y0"),
-        max(b.getField("x1")).as("x1"), max(b.getField("y1")).as("y1"))
+    Seq(min(finite(b.getField("x0"))).as("x0"), min(finite(b.getField("y0"))).as("y0"),
+        max(finite(b.getField("x1"))).as("x1"), max(finite(b.getField("y1"))).as("y1"))
   }
 
   // ---- predicates ----------------------------------------------------

@@ -96,11 +96,49 @@ final case class GeoFrame(df: DataFrame, geometryCol: String, kind: String) {
 
   /** Pad-fill nulls with the previous non-null geometry in `orderCol`
     * order — the reference's fillna(method='pad') as a window
-    * (SURVEY §2.2: last(ignoreNulls) over unbounded preceding). */
+    * (SURVEY §2.2: last(ignoreNulls) over unbounded preceding).
+    *
+    * NOTE: a global Window.orderBy collapses to ONE task — correct but
+    * sequential; use only for frames that fit one executor. For large
+    * frames use [[padNaPartitioned]]. */
   def padNa(orderCol: Column): GeoFrame = {
     val w = org.apache.spark.sql.expressions.Window.orderBy(orderCol)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     copy(df = df.withColumn(geometryCol, last(geometry, ignoreNulls = true).over(w)))
+  }
+
+  /** Distributed pad-fill: two-pass partition-boundary carry (ADVICE r1).
+    *
+    * Pass 1: range-repartition on `orderCol`; fill within each partition
+    * with a per-partition window (parallel across partitions). Pass 2:
+    * the last non-null geometry of every partition (a numPartitions-row
+    * aggregate) is carried forward to fill each partition's leading
+    * nulls via a broadcast join. Same result as [[padNa]] whenever
+    * `orderCol` is a total order; scales to arbitrarily large frames
+    * (the only single-task step runs over numPartitions rows). */
+  def padNaPartitioned(orderCol: Column, numPartitions: Int): GeoFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // persist so pass 1 and pass 2 observe identical partition ids
+    val bucketed = df.repartitionByRange(numPartitions, orderCol)
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    val w = Window.partitionBy(col("__pid")).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = bucketed.withColumn(geometryCol,
+      last(geometry, ignoreNulls = true).over(w))
+    // last non-null geometry per partition, carried to later partitions
+    val lasts = bucketed.where(geometry.isNotNull)
+      .groupBy(col("__pid")).agg(max_by(geometry, orderCol).as("__last"))
+    val allPids = bucketed.select(col("__pid")).distinct()
+    val carryW = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = allPids.join(lasts, Seq("__pid"), "left")
+      .withColumn("__carry", last(col("__last"), ignoreNulls = true).over(carryW))
+      .select(col("__pid"), col("__carry"))
+    val out = filled.join(broadcast(carries), Seq("__pid"))
+      .withColumn(geometryCol, coalesce(col(geometryCol), col("__carry")))
+      .drop("__pid", "__carry")
+    copy(df = out)
   }
 
   /** Lexicographic geometry sort over flat coordinates, shorter-first on

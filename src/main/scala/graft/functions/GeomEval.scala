@@ -231,11 +231,41 @@ object TextEval {
     }
     val a = grams(l)
     val b = grams(r)
-    if (a.isEmpty && b.isEmpty) 1.0
+    // empty-vs-empty = 0.0: two docs too short to have any n-grams share
+    // no content; a SQL oracle's 0/0 division (NULL) drops such pairs the
+    // same way (ADVICE r1: short docs must not read as perfect dups)
+    if (a.isEmpty && b.isEmpty) 0.0
     else {
       val inter = a.count(b.contains)
       inter.toDouble / (a.size + b.size - inter)
     }
+  }
+
+  /** " " + lower(text) + " " as UTF-8 bytes (lowercased exactly as
+    * Spark's lower(), so oracle parity is unchanged). */
+  def paddedLowerBytes(t: UTF8String): Array[Byte] = {
+    val low = t.toLowerCase.getBytes
+    val out = new Array[Byte](low.length + 2)
+    out(0) = ' '
+    System.arraycopy(low, 0, out, 1, low.length)
+    out(out.length - 1) = ' '
+    out
+  }
+
+  /** Non-overlapping left-to-right occurrence count — exactly the
+    * (length(s) - length(replace(s, needle, ''))) / length(needle)
+    * arithmetic of the SQL oracle, without materializing the replace. */
+  def countOccurrences(hay: Array[Byte], needle: Array[Byte]): Int = {
+    var count = 0
+    var i = 0
+    val limit = hay.length - needle.length
+    while (i <= limit) {
+      var j = 0
+      while (j < needle.length && hay(i + j) == needle(j)) j += 1
+      if (j == needle.length) { count += 1; i += needle.length }
+      else i += 1
+    }
+    count
   }
 
   def fingerprint(t: UTF8String, seed: Long): Long = {

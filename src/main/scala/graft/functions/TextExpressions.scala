@@ -1,8 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -14,6 +13,8 @@ import org.apache.spark.unsafe.types.UTF8String
  *
  * All hashing is deterministic (fixed mixing constants, seeds passed
  * explicitly) so results are reproducible across runs and cluster sizes.
+ * Interpreted eval and generated code both call the static bodies in
+ * [[TextEval]] — one copy of each kernel.
  */
 object TextHashing {
   /** 64-bit avalanche mix (splitmix64 finalizer — public domain constant
@@ -84,36 +85,14 @@ object TextHashing {
   * the sign of each bit-sum forms the fingerprint. Near-duplicate texts
   * have fingerprints within a small Hamming distance. */
 case class SimHash64(child: Expression, ngram: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(ngram >= 1)
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
-
-  override protected def nullSafeEval(t: Any): Any = {
-    val bytes = t.asInstanceOf[UTF8String].getBytes
-    val toks = TextHashing.tokenHashes(bytes, seed)
-    val counts = new Array[Int](64)
-    val n = toks.length
-    if (n >= ngram) {
-      var i = 0
-      while (i + ngram <= n) {
-        val h = TextHashing.gramHash(toks, i, ngram, seed)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-          b += 1
-        }
-        i += 1
-      }
-    }
-    var out = 0L
-    var b = 0
-    while (b < 64) {
-      if (counts(b) > 0) out |= (1L << b)
-      b += 1
-    }
-    out
-  }
+  override protected def nullSafeEval(t: Any): Any =
+    TextEval.simhash(t.asInstanceOf[UTF8String], ngram, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextEval.simhash($c, $ngram, ${seed}L)")
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
 }
 
@@ -122,63 +101,31 @@ case class SimHash64(child: Expression, ngram: Int, seed: Long)
   * identical shingle sets => identical signatures, Jaccard-similar sets
   * agree on ~J fraction of slots (standard MinHash estimator). */
 case class MinHashSignature(child: Expression, shingle: Int, numHashes: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(shingle >= 1 && numHashes >= 1)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
-
-  private lazy val seeds: Array[Long] =
-    Array.tabulate(numHashes)(i => TextHashing.mix64(seed + 0x9e3779b97f4a7c15L * (i + 1)))
-
-  override protected def nullSafeEval(t: Any): Any = {
-    val bytes = t.asInstanceOf[UTF8String].getBytes
-    val toks = TextHashing.tokenHashes(bytes, seed)
-    val n = toks.length
-    val mins = Array.fill(numHashes)(Long.MaxValue)
-    var i = 0
-    while (i + shingle <= n) {
-      val h = TextHashing.gramHash(toks, i, shingle, seed)
-      var j = 0
-      while (j < numHashes) {
-        val hj = TextHashing.mix64(h ^ seeds(j))
-        if (hj < mins(j)) mins(j) = hj
-        j += 1
-      }
-      i += 1
-    }
-    new GenericArrayData(mins)
-  }
+  override protected def nullSafeEval(t: Any): Any =
+    TextEval.minhash(t.asInstanceOf[UTF8String], shingle, numHashes, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextEval.minhash($c, $shingle, $numHashes, ${seed}L)")
   override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(c)
 }
 
 /** Exact word-n-gram Jaccard similarity between two texts (the verify
-  * stage after LSH candidate generation). */
+  * stage after LSH candidate generation). Empty-vs-empty gram sets
+  * compare as 0.0 (no shared content — matches a division-free SQL
+  * oracle that drops 0/0 pairs). */
 case class NgramJaccard(left: Expression, right: Expression, ngram: Int)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "ngram_jaccard"
-
-  private def grams(t: UTF8String): scala.collection.mutable.HashSet[Long] = {
-    val bytes = t.getBytes
-    val toks = TextHashing.tokenHashes(bytes, 0L)
-    val set = new scala.collection.mutable.HashSet[Long]
-    var i = 0
-    while (i + ngram <= toks.length) {
-      set += TextHashing.gramHash(toks, i, ngram, 0L)
-      i += 1
-    }
-    set
-  }
-
-  override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val a = grams(l.asInstanceOf[UTF8String])
-    val b = grams(r.asInstanceOf[UTF8String])
-    if (a.isEmpty && b.isEmpty) 1.0
-    else {
-      val inter = a.count(b.contains)
-      inter.toDouble / (a.size + b.size - inter)
-    }
-  }
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    TextEval.jaccard(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String], ngram)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (l, r) => s"graft.functions.TextEval.jaccard($l, $r, $ngram)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): NgramJaccard =
     copy(left = l, right = r)
 }
@@ -187,32 +134,22 @@ case class NgramJaccard(left: Expression, right: Expression, ngram: Int)
   * (whitespace-collapsed) token stream. Equal token streams => equal
   * fingerprints regardless of whitespace layout. */
 case class DocFingerprint(child: Expression, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "doc_fingerprint"
-  override protected def nullSafeEval(t: Any): Any = {
-    val bytes = t.asInstanceOf[UTF8String].getBytes
-    val toks = TextHashing.tokenHashes(bytes, seed)
-    var h = seed
-    var i = 0
-    while (i < toks.length) {
-      h = h * 0x100000001b3L + toks(i)
-      i += 1
-    }
-    TextHashing.mix64(h)
-  }
+  override protected def nullSafeEval(t: Any): Any =
+    TextEval.fingerprint(t.asInstanceOf[UTF8String], seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextEval.fingerprint($c, ${seed}L)")
   override protected def withNewChildInternal(c: Expression): DocFingerprint = copy(c)
 }
 
 /** Cosine similarity between two numeric arrays (float or double),
   * accumulated in double, sequential order. 0.0 when either norm is 0. */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_similarity"
-
-  @inline private def get(ad: ArrayData, isFloat: Boolean, i: Int): Double =
-    if (isFloat) ad.getFloat(i).toDouble else ad.getDouble(i)
 
   private lazy val leftFloat = left.dataType match {
     case ArrayType(FloatType, _) => true
@@ -223,25 +160,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
     case _ => false
   }
 
-  override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
-    var dot = 0.0
-    var na = 0.0
-    var nb = 0.0
-    var i = 0
-    while (i < n) {
-      val x = get(a, leftFloat, i)
-      val y = get(b, rightFloat, i)
-      dot += x * y
-      na += x * x
-      nb += y * y
-      i += 1
-    }
-    if (na == 0.0 || nb == 0.0) 0.0
-    else dot / (math.sqrt(na) * math.sqrt(nb))
-  }
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    TextEval.cosine(leftFloat, rightFloat,
+      l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (l, r) => s"graft.functions.TextEval.cosine($leftFloat, $rightFloat, $l, $r)")
+
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
     copy(left = l, right = r)
 }
@@ -249,9 +176,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
 /** Integer-quantized dot product: sum of round(x*scale)*round(y*scale)
   * accumulated in double. Products of quantized values are exact
   * integers (< 2^53), so the sum is order-independent and bit-exact
-  * across engines — the ranking primitive for oracle-checkable ANN. */
+  * across engines — the ranking primitive for oracle-checkable ANN.
+  * Rounding is HALF_UP (ties away from zero), matching both Spark's and
+  * DuckDB's round(). */
 case class QuantizedDot(left: Expression, right: Expression, scale: Double)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "quantized_dot"
 
@@ -264,37 +193,76 @@ case class QuantizedDot(left: Expression, right: Expression, scale: Double)
     case _ => false
   }
 
-  override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
-    var dot = 0.0
-    var i = 0
-    while (i < n) {
-      val x = if (leftFloat) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (rightFloat) b.getFloat(i).toDouble else b.getDouble(i)
-      // BigDecimal HALF_UP matches both Spark's round() and DuckDB's
-      // round() (ties away from zero) — plain math.round floors ties
-      // for negative values and would diverge
-      dot += roundHalfUp(x * scale) * roundHalfUp(y * scale)
-      i += 1
-    }
-    dot
-  }
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    TextEval.quantizedDot(leftFloat, rightFloat,
+      l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], scale)
 
-  @inline private def roundHalfUp(v: Double): Double = {
-    if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (l, r) => s"graft.functions.TextEval.quantizedDot($leftFloat, $rightFloat, $l, $r, ${scale}D)")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): QuantizedDot =
     copy(left = l, right = r)
+}
+
+/** Heuristic language ID in ONE pass over the text: lowercase once, count
+  * non-overlapping stopword occurrences for every language, argmax with
+  * later-index-wins tie-break; zero hits => "unknown".
+  *
+  * Semantically identical to the greatest()-of-replace()-counts formula
+  * (and its SQL oracle) but O(langs * needles) byte scans instead of
+  * O(langs * needles) full replace+length string materializations — the
+  * replace-based plan was the slowest query in the r1 bench.
+  *
+  * `langs` is ordered lowest -> highest tie-break priority. */
+case class LangId(child: Expression, langs: Seq[(String, Seq[String])])
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "lang_id"
+
+  @transient private lazy val labels: Array[UTF8String] =
+    langs.map(l => UTF8String.fromString(l._1)).toArray
+  @transient private lazy val needles: Array[Array[Array[Byte]]] =
+    langs.map(_._2.map(_.getBytes("UTF-8")).toArray).toArray
+  private val unknown = UTF8String.fromString("unknown")
+
+  def compute(t: UTF8String): UTF8String = {
+    val hay = TextEval.paddedLowerBytes(t)
+    var bestScore = 0
+    var bestIdx = -1
+    var i = 0
+    while (i < needles.length) {
+      var score = 0
+      var j = 0
+      while (j < needles(i).length) {
+        score += TextEval.countOccurrences(hay, needles(i)(j))
+        j += 1
+      }
+      // >= : later (higher-priority) language wins ties, matching the
+      // encoded-greatest formula score*8 + idx
+      if (score >= 1 && score >= bestScore) { bestScore = score; bestIdx = i }
+      i += 1
+    }
+    if (bestIdx < 0) unknown else labels(bestIdx)
+  }
+
+  override protected def nullSafeEval(t: Any): Any =
+    compute(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("langId", this, classOf[LangId].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): LangId = copy(c)
 }
 
 /** Sign-random-projection LSH bits for cosine ANN: bit j = sign of
   * <v, r_j> where r_j components are deterministic ±1 from mix64(seed,
   * j, dim). Vectors with high cosine similarity agree on most bits. */
 case class SrpBits(child: Expression, bits: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(bits >= 1 && bits <= 64)
   override def dataType: DataType = LongType
   override def prettyName: String = "srp_bits"
@@ -304,24 +272,13 @@ case class SrpBits(child: Expression, bits: Int, seed: Long)
     case _ => false
   }
 
-  override protected def nullSafeEval(v: Any): Any = {
-    val a = v.asInstanceOf[ArrayData]
-    val n = a.numElements()
-    var out = 0L
-    var j = 0
-    while (j < bits) {
-      var acc = 0.0
-      var d = 0
-      while (d < n) {
-        val sign = if ((TextHashing.mix64(seed ^ (j.toLong << 32) ^ d.toLong) & 1L) == 1L) 1.0 else -1.0
-        val x = if (isFloat) a.getFloat(d).toDouble else a.getDouble(d)
-        acc += sign * x
-        d += 1
-      }
-      if (acc > 0) out |= (1L << j)
-      j += 1
-    }
-    out
-  }
+  override protected def nullSafeEval(v: Any): Any =
+    TextEval.srpBits(isFloat,
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], bits, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextEval.srpBits($isFloat, $c, $bits, ${seed}L)")
+
   override protected def withNewChildInternal(c: Expression): SrpBits = copy(c)
 }

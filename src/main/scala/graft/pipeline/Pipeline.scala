@@ -61,7 +61,13 @@ object Dedup {
                       threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
-    val sig = df.select(col(idCol), col(textCol),
+    // docs with fewer than `shingle` tokens have no shingles: their
+    // signatures are all Long.MaxValue and every such pair would collide
+    // in every band (ADVICE r1). They can never pass the Jaccard refine
+    // (empty-vs-empty = 0), so drop them before banding.
+    val eligible = df.where(
+      TextAnalysis.tokenCount(col(textCol)) >= shingle)
+    val sig = eligible.select(col(idCol), col(textCol),
       minhash_signature(col(textCol), shingle, numHashes).as("__sig"))
 
     val banded = sig.select(col(idCol),

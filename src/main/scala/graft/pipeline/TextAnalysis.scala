@@ -39,18 +39,16 @@ object TextAnalysis {
     * lowercased copy; ties broken by fixed order en>de>fr>es; zero hits
     * => "unknown".
     *
-    * Encoded as greatest(score*8 + langIdx) so each score expression
-    * appears once — a naive when-chain repeats every score O(langs^2)
-    * times and the codegen blowup dominates runtime on small data. */
+    * One custom expression scanning the text once (lowercase once, count
+    * all needles) — the pure-builtin formulation repeated a full
+    * replace()+length() pass per stopword and was the slowest r1 bench
+    * query. The SQL-oracle arithmetic is unchanged. */
   def langId(text: Column): Column = {
-    val padded = concat(lit(" "), lower(text), lit(" "))
     val langs = Seq("es", "fr", "de", "en") // index = tie-break priority
-    val encoded = langs.zipWithIndex.map { case (l, i) =>
-      langScore(padded, l) * 8 + i
-    }
-    val g = greatest(encoded: _*)
-    when(g >= 8, get(array(langs.map(lit): _*), g % 8))
-      .otherwise(lit("unknown"))
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.LangId(
+        org.apache.spark.sql.graftbridge.Bridge.expression(text),
+        langs.map(l => l -> langStopwords(l))))
   }
 
   /** Quality features: token count, char count, mean token length x100

@@ -230,8 +230,10 @@ object Queries {
     // events.ts is TIMESTAMP(NANOS) parquet — read as long ns
     // (spark.sql.legacy.parquet.nanosAsLong=true) and truncate to micros.
     "events_hourly" -> ((s, dir) => {
+      // integer div: double division of int64 nanos (~1.7e18 > 2^53) loses
+      // up to ~128ns near hour boundaries (ADVICE r1)
       t(s, dir, "events")
-        .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), min(col("value")).as("vmin"), max(col("value")).as("vmax"))
     }),
