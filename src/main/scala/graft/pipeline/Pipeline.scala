@@ -156,9 +156,13 @@ object Similarity {
    */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      corpusId: String, corpusVec: String,
-                     queryId: String, queryVec: String, k: Int): DataFrame = {
+                     queryId: String, queryVec: String, k: Int,
+                     roundDigits: Int = -1): DataFrame = {
+    // roundDigits >= 0 rounds the score BEFORE ranking: makes the ranking
+    // reproducible across engines whose float association differs by ulps
+    val cos = cosine_similarity(col(queryVec), col(corpusVec))
     val scored = queries.crossJoin(corpus)
-      .withColumn("cosine", cosine_similarity(col(queryVec), col(corpusVec)))
+      .withColumn("cosine", if (roundDigits >= 0) round(cos, roundDigits) else cos)
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("cosine").desc, col(corpusId))
     scored.withColumn("rank", row_number().over(w))

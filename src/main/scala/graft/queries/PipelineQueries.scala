@@ -80,6 +80,16 @@ object PipelineQueries {
         coalesce(max(col("hamming")), lit(-1)).as("max_hamming"))
     }),
 
+    // planted exact dups MUST surface as hamming-0 simhash pairs — an
+    // end-to-end DuckDB-checked path through the simhash pipeline (the
+    // natural near-dup population stays in simhash_pair_stats/DedupSpec)
+    "simhash_planted_pairs" -> ((s, dir) => {
+      Dedup.simhashDupPairs(docsWithPlanted(s, dir), "doc_id", "text",
+          ngram = 3, maxHamming = 3)
+        .where(col("id_b") === col("id_a") + 100000 && col("hamming") === 0)
+        .select(col("id_a"), col("id_b"))
+    }),
+
     "embed_dup_pairs" -> ((s, dir) => {
       Dedup.embeddingDupPairs(embWithPlanted(s, dir), "vec_id", "embedding",
           threshold = 0.999999)
@@ -108,14 +118,18 @@ object PipelineQueries {
         .select(col("q_id"), col("c_id"), col("dot"), col("rank"))
     }),
 
-    // rows-only: true-cosine brute force top-k (double accumulation)
+    // true-cosine brute force top-k. The cosine is rounded to 12 decimals
+    // BEFORE ranking so the DuckDB oracle (list_cosine_similarity uses a
+    // different association: 1-ulp differences on self-pairs) orders and
+    // hashes identically; ties at 1e-12 break on c_id in both engines.
     "ann_cosine_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.bruteForceTopK(
+      val raw = Similarity.bruteForceTopK(
         emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
         emb.where(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
-        "c_id", "c_vec", "q_id", "q_vec", k = 5)
+        "c_id", "c_vec", "q_id", "q_vec", k = 5, roundDigits = 12)
+      raw
     }),
 
     // rows-only: LSH-bucketed approximate ANN (the 100 TB scale path)
@@ -189,9 +203,23 @@ object PipelineQueries {
                     / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jaccard
            FROM grams a, grams b WHERE a.doc_id < b.doc_id
          ) WHERE jaccard >= 0.8""",
+    "simhash_planted_pairs" ->
+      """SELECT doc_id AS id_a, doc_id + 100000 AS id_b
+         FROM documents WHERE doc_id % 10 = 0""",
     "embed_dup_pairs" ->
       """SELECT vec_id AS id_a, vec_id + 100000 AS id_b
          FROM embeddings WHERE vec_id % 10 = 0""",
+    "ann_cosine_topk" ->
+      """SELECT q_id, c_id, cosine, rank FROM (
+           SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                               CAST(c.embedding AS DOUBLE[])), 12) AS cosine,
+                  row_number() OVER (PARTITION BY q.vec_id
+                                     ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                                           CAST(c.embedding AS DOUBLE[])), 12) DESC,
+                                              c.vec_id) AS rank
+           FROM embeddings q, embeddings c WHERE q.vec_id < 10
+         ) WHERE rank <= 5""",
     "embed_dedup_exact" ->
       """SELECT min(vec_id) AS keep_id, count(*) AS n FROM (
            SELECT vec_id, embedding FROM embeddings

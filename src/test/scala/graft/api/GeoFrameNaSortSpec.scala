@@ -30,6 +30,24 @@ class GeoFrameNaSortSpec extends AnyFunSuite {
     assert(padded(1) == Seq(1.0, 1, 2, 2) && padded(3) == Seq(5.0, 5, 6, 6))
   }
 
+  test("padNaPartitioned matches single-window padNa") {
+    val rnd = new scala.util.Random(7)
+    // leading nulls (ids 0,1) stay null in both; null runs crossing
+    // partition boundaries take the carry from an earlier partition
+    val rows = (0L until 500L).map { i =>
+      val g = if (i < 2 || rnd.nextDouble() < 0.6) None
+              else Some(Seq(i.toDouble, i.toDouble))
+      (i, g)
+    }
+    val df = spark.createDataFrame(rows).toDF("id", "line").repartition(7)
+    val gf = GeoFrame(df, "line", "line")
+    val expect = gf.padNa(col("id")).df.orderBy("id")
+      .select("line").collect().map(r => Option(r.get(0)).map(_.toString))
+    val got = gf.padNaPartitioned(col("id"), 6).df.orderBy("id")
+      .select("line").collect().map(r => Option(r.get(0)).map(_.toString))
+    assert(got.toSeq == expect.toSeq)
+  }
+
   test("lexicographic geometry sort, shorter-first ties") {
     val df = Seq(
       (1L, Seq(2.0, 0)),
