@@ -315,17 +315,43 @@ object TextEval {
   @inline private def roundHalfUp(v: Double): Double =
     if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)
 
+  /** Per-executor cache of SRP sign tables: the ±1 projection components
+    * depend only on (seed, bits, dim), so computing mix64 per (row, bit,
+    * dim) wastes bits*dim hashes on every row — at 100 TB that's the
+    * dominant cost of the LSH pass. Built once, published safely via
+    * computeIfAbsent; one entry per (seed,bits,dim) triple in practice. */
+  private val srpTables =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), Array[Double]]
+
+  private def srpSigns(seed: Long, bits: Int, dim: Int): Array[Double] =
+    srpTables.computeIfAbsent((seed, bits, dim), { key =>
+      val (s, b, n) = key
+      val tbl = new Array[Double](b * n)
+      var j = 0
+      while (j < b) {
+        var d = 0
+        while (d < n) {
+          tbl(j * n + d) =
+            if ((TextHashing.mix64(s ^ (j.toLong << 32) ^ d.toLong) & 1L) == 1L) 1.0 else -1.0
+          d += 1
+        }
+        j += 1
+      }
+      tbl
+    })
+
   def srpBits(isFloat: Boolean, v: ArrayData, bits: Int, seed: Long): Long = {
     val n = v.numElements()
+    val signs = srpSigns(seed, bits, n)
     var out = 0L
     var j = 0
     while (j < bits) {
       var acc = 0.0
+      val base = j * n
       var d = 0
       while (d < n) {
-        val sign = if ((TextHashing.mix64(seed ^ (j.toLong << 32) ^ d.toLong) & 1L) == 1L) 1.0 else -1.0
         val x = if (isFloat) v.getFloat(d).toDouble else v.getDouble(d)
-        acc += sign * x
+        acc += signs(base + d) * x
         d += 1
       }
       if (acc > 0) out |= (1L << j)

@@ -171,6 +171,60 @@ object Similarity {
   }
 
   /**
+   * IVF-flat ANN (the other scale path, alongside [[srpTopK]]): partition
+   * the corpus into `nlist` Voronoi cells around centroids, probe only
+   * the `nprobe` nearest cells per query.
+   *
+   * Centroids are a deterministic hash-ordered sample of the corpus
+   * (IVF quality depends mostly on cell balance, not centroid
+   * optimality; a k-means refinement can be layered on the same plan).
+   * Plan shape at scale: centroids broadcast everywhere (nlist rows);
+   * corpus assignment is one narrow pass (broadcast join + max_by — no
+   * corpus shuffle); candidate generation shuffles on cell id only.
+   */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              corpusId: String, corpusVec: String,
+              queryId: String, queryVec: String, k: Int,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    require(nlist >= 2 && nprobe >= 1 && nprobe <= nlist)
+    // deterministic hash-ordered sample as centroids (nlist rows to the
+    // driver — the only collected state, analogous to the sidecar tables)
+    val centVecs: Array[Seq[Double]] = corpus
+      .withColumn("__h", pmod(hash(col(corpusId)), lit(1000003)))
+      .orderBy(col("__h"), col(corpusId))
+      .limit(nlist)
+      .select(col(corpusVec).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0))
+
+    // per-cell (similarity, cell) structs against the literal centroids —
+    // a narrow, codegen'd projection; no shuffle, no row blowup
+    def cellScores(vec: Column): Seq[Column] =
+      centVecs.toSeq.zipWithIndex.map { case (cv, i) =>
+        struct(cosine_similarity(vec, typedLit(cv)).as("s"), lit(i.toLong).as("cell"))
+      }
+
+    // corpus assignment: argmax cell per vector (greatest = lexicographic
+    // on (sim, cell) — ties break to the higher cell, deterministically)
+    val assigned = corpus.withColumn("__cell",
+      greatest(cellScores(col(corpusVec)): _*).getField("cell"))
+
+    // queries probe their nprobe nearest cells
+    val probes = queries.withColumn("__probe",
+        explode(slice(reverse(array_sort(array(cellScores(col(queryVec)): _*))),
+          1, nprobe)))
+      .select(col(queryId), col(queryVec), col("__probe.cell").as("__cell"))
+
+    // candidate join shuffles on cell id only; exact cosine + top-k after
+    val scored = probes.join(assigned, Seq("__cell"))
+      .withColumn("cosine", cosine_similarity(col(queryVec), col(corpusVec)))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("cosine").desc, col(corpusId))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(queryId), col(corpusId), col("cosine"), col("rank"))
+  }
+
+  /**
    * LSH-bucketed ANN (the scale path): queries and corpus hashed to SRP
    * buckets over several bands; candidates = bucket collisions; exact
    * cosine + top-k on the (much smaller) candidate set. Recall grows

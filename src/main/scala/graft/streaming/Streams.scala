@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One document observation on the stream: id, content fingerprint
+  * (e.g. [[graft.pipeline.Tx.doc_fingerprint]]), event time. */
+case class DocEvent(docId: Long, fp: Long, ts: java.sql.Timestamp)
+
+/**
+ * Structured Streaming operators (SURVEY §2.7: the reference has no
+ * streaming surface — these are the engine's scale extensions; every
+ * stateless st_ and pipeline expression composes with them unchanged).
+ *
+ * All operators are plan fragments over readStream DataFrames: watermark
+ * + windowed aggregation for time rollups, session_window for gap
+ * sessions, and a keyed flatMapGroupsWithState for streaming first-seen
+ * dedup (state bounded by an event-time TTL so it scales indefinitely).
+ */
+object Streams {
+
+  /** Streaming twin of the batch `events_hourly` query: tumbling 1-hour
+    * counts per event type, late data bounded by `watermark`. */
+  def hourlyCounts(events: DataFrame, tsCol: String = "ts",
+                   typeCol: String = "event_type",
+                   watermark: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), "1 hour"), col(typeCol))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+
+  /** Gap-based sessionization per key (built-in session_window — state
+    * merge + watermark eviction handled by Spark). */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String = "ts",
+                 gap: String = "10 minutes",
+                 watermark: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+
+  /**
+   * Streaming first-seen dedup: emit only the first observation of every
+   * fingerprint; later occurrences (same or later micro-batch) are
+   * dropped. Custom keyed state via flatMapGroupsWithState.
+   *
+   * With `stateTtl` set (and a watermark on `ts`), a fingerprint's state
+   * times out `stateTtl` after its event time passes the watermark, so
+   * total state is bounded by the dedup horizon — the knob that makes
+   * this run forever at 100 TB/day (an exact-forever dedup would need
+   * unbounded state in ANY engine).
+   */
+  def dedupFirstSeen(docs: Dataset[DocEvent],
+                     stateTtl: Option[String] = None): Dataset[DocEvent] = {
+    import docs.sparkSession.implicits._
+    val ttlMs = stateTtl.map(s =>
+      org.apache.spark.network.util.JavaUtils.timeStringAsMs(s))
+    val timeout = if (ttlMs.isDefined) GroupStateTimeout.EventTimeTimeout
+                  else GroupStateTimeout.NoTimeout
+
+    def fn(fp: Long, events: Iterator[DocEvent],
+           state: GroupState[Boolean]): Iterator[DocEvent] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else if (state.exists) Iterator.empty
+      else {
+        val first = events.reduceOption((a, b) =>
+          if (b.ts.before(a.ts) || (a.ts == b.ts && b.docId < a.docId)) b else a)
+        state.update(true)
+        ttlMs.foreach(ttl => state.setTimeoutTimestamp(
+          first.map(_.ts.getTime).getOrElse(0L) + ttl))
+        first.iterator
+      }
+    }
+
+    docs.groupByKey(_.fp)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(fn)
+  }
+}

@@ -1,8 +1,10 @@
 package graft.tools
 
 import graft.Geo._
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.geom.HilbertRtree
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField}
 
 /**
  * Spatial join (reference: tools/sjoin.py:26-133) re-expressed Spark-first.
@@ -93,5 +95,62 @@ object SpatialJoin {
         geoms.join(matched.select((rightKey +: leftCols).map(col): _*), Seq(rightKey), "left")
       case other => throw new IllegalArgumentException(s"unsupported how=$other")
     }
+  }
+
+  /**
+   * Broadcast-index spatial join — the reference's index-nested-loop
+   * sjoin (tools/sjoin.py:136-272) re-expressed for Spark: when the
+   * geometry side is dimension-table-sized, collect ONLY (key, bbox)
+   * (40 bytes/geometry) to the driver, build a packed [[HilbertRtree]]
+   * once, broadcast it, and probe it per point partition — no shuffle of
+   * the (huge) point side at all. Candidates are refined with the exact
+   * intersection kernel after a (broadcast) key join re-attaches the
+   * geometry coordinates.
+   *
+   * Use when `geoms` fits the driver as bboxes (≲ 10^8 rows); for two
+   * large sides use the grid-cell [[pointInGeom]], which stays fully
+   * distributed. Inner join; `rightKey` must be unique and long-castable.
+   */
+  def broadcastPointInGeom(points: DataFrame, geoms: DataFrame,
+                           pointCol: String, geomCol: String, geomKind: String,
+                           rightKey: String): DataFrame = {
+    val spark = points.sparkSession
+    val keyed = geoms.select(col(rightKey).cast("long"),
+      st_bounds(col(geomCol))).collect()
+    val n = keyed.length
+    val keys = new Array[Long](n)
+    val bounds = new Array[Double](n * 4)
+    var i = 0
+    while (i < n) {
+      val r = keyed(i)
+      keys(i) = r.getLong(0)
+      val b = r.getStruct(1)
+      bounds(i * 4) = b.getDouble(0); bounds(i * 4 + 1) = b.getDouble(1)
+      bounds(i * 4 + 2) = b.getDouble(2); bounds(i * 4 + 3) = b.getDouble(3)
+      i += 1
+    }
+    val tree = HilbertRtree.build(bounds)
+    val bc = spark.sparkContext.broadcast((keys, tree))
+
+    val outSchema = points.schema.add(StructField("__rkey", LongType, nullable = false))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val pIdx = points.schema.fieldIndex(pointCol)
+    val probed = points.mapPartitions { it =>
+      val (ks, t) = bc.value
+      it.flatMap { row =>
+        if (row.isNullAt(pIdx)) Iterator.empty
+        else {
+          val p = row.getStruct(pIdx)
+          val x = p.getDouble(0); val y = p.getDouble(1)
+          if (x.isNaN) Iterator.empty
+          else t.intersects(x, y, x, y).iterator
+            .map(j => Row.fromSeq(row.toSeq :+ ks(j)))
+        }
+      }
+    }(enc)
+
+    probed.join(geoms, probed("__rkey") === geoms(rightKey).cast("long"))
+      .where(st_intersects(col(pointCol), col(geomCol), geomKind))
+      .drop("__rkey")
   }
 }

@@ -103,6 +103,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall too low")
   }
 
+  test("IVF ANN recall vs brute force on clustered vectors") {
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(5)(Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    val vecs = for (c <- 0 until 5; m <- 0 until 20) yield {
+      val v = centers(c).map(x => x + rnd.nextFloat() * 0.05f)
+      (c * 100L + m, v)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val corpus = df.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val queries = df.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val exact = Similarity.bruteForceTopK(corpus, queries, "c_id", "c_vec", "q_id", "q_vec", 5)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(corpus, queries, "c_id", "c_vec", "q_id", "q_vec", 5,
+        nlist = 8, nprobe = 3)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall too low")
+  }
+
   test("langId picks the language with most stopword hits") {
     val df = Seq(
       "the cat and the dog is here of course",

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("streaming dedupFirstSeen drops repeats across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[DocEvent]
+    val q = Streams.dedupFirstSeen(input.toDS())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: fp=10 twice (keep earliest), fp=20 once
+      input.addData(DocEvent(1, 10, ts(0)), DocEvent(2, 10, ts(1)),
+        DocEvent(3, 20, ts(2)))
+      q.processAllAvailable()
+      // batch 2: fp=10 again (drop — state persists), fp=30 new (keep)
+      input.addData(DocEvent(4, 10, ts(3)), DocEvent(5, 30, ts(4)))
+      q.processAllAvailable()
+      val kept = spark.table("dedup_out").select("docId").as[Long]
+        .collect().toSet
+      assert(kept == Set(1L, 3L, 5L))
+    } finally q.stop()
+  }
+
+  test("watermarked hourly counts and session windows run on a stream") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = Streams.hourlyCounts(events)
+      .writeStream.format("memory").queryName("hourly_out")
+      .outputMode("update").start()
+    try {
+      input.addData((ts(5), "click", 1.0), (ts(15), "click", 3.0),
+        (ts(25), "view", 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly_out")
+        .select("event_type", "n").as[(String, Long)].collect().toMap
+      assert(rows == Map("click" -> 2L, "view" -> 1L))
+    } finally q.stop()
+
+    val q2 = Streams.sessionize(events, "event_type", gap = "5 minutes")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("complete").start()
+    try {
+      input.addData((ts(30), "click", 1.0), (ts(32), "click", 1.0),
+        (ts(50), "click", 1.0))
+      q2.processAllAvailable()
+      // two click sessions: {30,32} and {50} (plus earlier batch events)
+      assert(spark.table("sess_out").count() >= 2)
+    } finally q2.stop()
+  }
+}

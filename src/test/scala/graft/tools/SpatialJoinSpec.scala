@@ -1,0 +1,52 @@
+package graft.tools
+
+import graft.Geo._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SpatialJoinSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  import spark.implicits._
+
+  test("broadcast r-tree sjoin matches grid-cell sjoin") {
+    val rnd = new scala.util.Random(23)
+    val pts = (0 until 500).map(i =>
+        (i.toLong, rnd.nextDouble() * 100, rnd.nextDouble() * 100))
+      .toDF("pid", "x", "y").withColumn("pt", st_point(col("x"), col("y")))
+    val polys = (0 until 25).map { i =>
+      val cx = rnd.nextDouble() * 100; val cy = rnd.nextDouble() * 100
+      val r = 5 + rnd.nextDouble() * 10
+      (i.toLong, Seq(Seq(cx + r, cy, cx, cy + r, cx - r, cy, cx, cy - r, cx + r, cy)))
+    }.toDF("gid", "poly")
+    val grid = SpatialJoin.pointInGeom(pts, polys, "pt", "poly", "polygon",
+        cellSize = 20.0)
+      .select("pid", "gid").as[(Long, Long)].collect().toSet
+    val bcast = SpatialJoin.broadcastPointInGeom(pts, polys, "pt", "poly",
+        "polygon", rightKey = "gid")
+      .select("pid", "gid").as[(Long, Long)].collect().toSet
+    assert(bcast == grid)
+    assert(grid.nonEmpty)
+  }
+
+  test("broadcast sjoin skips null and NaN points") {
+    val pts = Seq(
+      (1L, Some((5.0, 5.0))),
+      (2L, None),
+      (3L, Some((Double.NaN, 5.0)))).map { case (id, p) =>
+        (id, p.map { case (a, b) => (a, b) })
+      }.toDF("pid", "raw")
+      .withColumn("pt", when(col("raw").isNotNull,
+        st_point(col("raw._1"), col("raw._2"))))
+      .drop("raw")
+    val polys = Seq((1L, Seq(Seq(0.0, 0, 10, 0, 10, 10, 0, 10, 0, 0))))
+      .toDF("gid", "poly")
+    val out = SpatialJoin.broadcastPointInGeom(pts, polys, "pt", "poly",
+        "polygon", rightKey = "gid")
+      .select("pid").as[Long].collect().toSeq
+    assert(out == Seq(1L))
+  }
+}
