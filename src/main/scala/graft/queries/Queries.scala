@@ -166,6 +166,42 @@ object Queries {
         .select(col("c_custkey"), col("s_suppkey"))
     }),
 
+    // SURVEY §2.6 st_oriented: polygons constructed with the WRONG
+    // orientation (shell CW, hole CCW) are normalized before the signed
+    // area — the result is the canonical shell-minus-hole value; without
+    // orient() the sign would flip.
+    "oriented_area" -> ((s, dir) => {
+      val cx = ((col("p_partkey") * 7919) % 1000).cast("double")
+      val cy = ((col("p_partkey") * 104729) % 1000).cast("double")
+      val h = ((col("p_partkey") % 5) + 1).cast("double")
+      val hh = h - lit(1.0)
+      val shellCw = array(
+        cx - h, cy - h, cx - h, cy + h, cx + h, cy + h, cx + h, cy - h, cx - h, cy - h)
+      val holeCcw = array(
+        cx - hh, cy - hh, cx + hh, cy - hh, cx + hh, cy + hh, cx - hh, cy + hh, cx - hh, cy - hh)
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          st_area(st_oriented(array(shellCw, holeCcw))).as("area"))
+    }),
+
+    // SURVEY §2.6 st_boundary: polygon -> multiline; its st_length is the
+    // full perimeter (shell + hole), exact in integer coordinates.
+    "boundary_length" -> ((s, dir) => {
+      partPolygons(s, dir)
+        .select(col("p_partkey"), st_length(st_boundary(col("poly"))).as("blen"))
+    }),
+
+    // SURVEY §2.2 fillna(method=pad) — the DISTRIBUTED two-pass variant
+    // (partition-boundary carry), checked against SQL last_value IGNORE
+    // NULLS over the same total order.
+    "padna_points" -> ((s, dir) => {
+      val pts = custPoints(s, dir)
+        .withColumn("pt", when(col("c_custkey") % 7 =!= 0, col("pt")))
+      graft.api.GeoFrame(pts, "pt", "point")
+        .padNaPartitioned(col("c_custkey"), numPartitions = 8)
+        .df.select(col("c_custkey"), st_x(col("pt")).as("fx"), st_y(col("pt")).as("fy"))
+    }),
+
     // SURVEY §2.2 exact point-on-line intersects (cross-product == 0).
     "intersects_point_line" -> ((s, dir) => {
       val line = array(lit(0.0), lit(0.0), lit(1000.0), lit(1000.0))
@@ -323,6 +359,23 @@ object Queries {
          WHERE abs(((c_custkey*7919)%500)*2 - ((s_suppkey*7919)%500)*2)
              + abs(((c_custkey*104729)%500)*2 - ((s_suppkey*104729)%500)*2)
              <= (s_suppkey%25)*2 + 21""",
+    "oriented_area" ->
+      """SELECT p_partkey,
+         4.0*((p_partkey%5)+1)*((p_partkey%5)+1) - 4.0*(p_partkey%5)*(p_partkey%5) AS area
+         FROM part""",
+    "boundary_length" ->
+      """SELECT p_partkey,
+         8.0*((p_partkey%5)+1) + 8.0*(p_partkey%5) AS blen
+         FROM part""",
+    "padna_points" ->
+      """SELECT c_custkey,
+         last_value(CASE WHEN c_custkey%7=0 THEN NULL
+                         ELSE CAST((c_custkey*7919)%1000 AS DOUBLE) END IGNORE NULLS)
+           OVER (ORDER BY c_custkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fx,
+         last_value(CASE WHEN c_custkey%7=0 THEN NULL
+                         ELSE CAST((c_custkey*104729)%1000 AS DOUBLE) END IGNORE NULLS)
+           OVER (ORDER BY c_custkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fy
+         FROM customer""",
     "intersects_point_line" ->
       """SELECT c_custkey FROM customer
          WHERE (c_custkey*7919)%1000 = (c_custkey*104729)%1000""",

@@ -1,0 +1,94 @@
+package graft.api
+
+import graft.Geo._
+import graft.tools.SpatialJoin
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.WholeStageCodegenExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Plan-quality gates: correctness tests prove WHAT is computed; these
+ * prove the plans keep the shapes that survive a 100 TB scale-up —
+ * filters pushed to the parquet scan, spatial joins planned as hash
+ * joins on cell keys (never nested-loop), aggregates partial-aggregated
+ * map-side, and custom expressions inside whole-stage codegen.
+ */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  import spark.implicits._
+
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // materialize so AQE settles on the final plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("point cx filter pushes down to the parquet scan") {
+    val dir = java.nio.file.Files.createTempDirectory("planspec").toFile
+    try {
+      val pts = (0 until 1000).map(i => (i.toLong, (i % 97).toDouble, (i % 89).toDouble))
+        .toDF("id", "x", "y").withColumn("pt", st_point(col("x"), col("y")))
+        .select("id", "pt")
+      pts.write.mode("overwrite").parquet(s"$dir/pts")
+      val read = spark.read.parquet(s"$dir/pts")
+      val q = GeoFrame(read, "pt", "point").cx(10, 10, 40, 40).df
+      val scan = q.queryExecution.executedPlan.toString
+      // struct-field comparisons reach the scan as pushed filters on pt.x/pt.y
+      assert(scan.contains("PushedFilters") &&
+        (scan.contains("pt.x") || scan.contains("GreaterThanOrEqual")),
+        s"no pushdown in:\n$scan")
+      assert(q.count() > 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    }
+  }
+
+  test("grid spatial join plans as a hash join, never nested-loop") {
+    val pts = (0 until 500).map(i => (i.toLong, (i % 97).toDouble, (i % 89).toDouble))
+      .toDF("pid", "x", "y").withColumn("pt", st_point(col("x"), col("y")))
+    val polys = (0 until 20).map { i =>
+      val c = i * 5.0
+      (i.toLong, Seq(Seq(c + 5, c, c, c + 5, c - 5, c, c, c - 5, c + 5, c)))
+    }.toDF("gid", "poly")
+    val j = SpatialJoin.pointInGeom(pts, polys, "pt", "poly", "polygon", cellSize = 10.0)
+    val plan = finalPlan(j)
+    assert(plan.contains("HashJoin"), s"no hash join in:\n$plan")
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"nested loop in:\n$plan")
+  }
+
+  test("aggregations partial-aggregate map-side") {
+    val df = (0 until 1000).map(i => (i % 7, i.toLong)).toDF("k", "v")
+      .groupBy("k").agg(sum("v").as("s"))
+    val plan = finalPlan(df)
+    assert(plan.contains("partial_sum"), s"no partial aggregation in:\n$plan")
+  }
+
+  test("custom spatial predicate runs inside whole-stage codegen") {
+    // spark.range (not a LocalRelation) so the filter cannot be
+    // constant-folded away at plan time
+    val c = col("id").cast("double")
+    val df = spark.range(100)
+      .withColumn("poly", array(array(
+        c + 5, c, c, c + 5, c - 5, c, c, c - 5, c + 5, c)))
+      .where(st_polygon_intersects_bounds(col("poly"), lit(0), lit(0), lit(50), lit(50)))
+    df.collect()
+    val hasCodegenFilter = df.queryExecution.executedPlan.exists {
+      case w: WholeStageCodegenExec =>
+        w.toString.contains("st_intersects_bounds")
+      case a: AdaptiveSparkPlanExec =>
+        a.executedPlan.exists {
+          case w: WholeStageCodegenExec => w.toString.contains("st_intersects_bounds")
+          case _ => false
+        }
+      case _ => false
+    }
+    assert(hasCodegenFilter,
+      s"predicate not codegen'd:\n${df.queryExecution.executedPlan}")
+  }
+}
