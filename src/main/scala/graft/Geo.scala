@@ -85,6 +85,10 @@ object Geo {
     Bridge.column(StAsText(Bridge.expression(g), kind))
   def st_geomfromtext(text: Column, kind: String): Column =
     Bridge.column(StGeomFromText(Bridge.expression(text), kind))
+  def st_asgeojson(g: Column, kind: String): Column =
+    Bridge.column(StAsGeoJson(Bridge.expression(g), kind))
+  def st_geomfromgeojson(text: Column, kind: String): Column =
+    Bridge.column(StGeomFromGeoJson(Bridge.expression(text), kind))
 
   /** Register the SQL-surface st_* functions on a session. Kind-ambiguous
     * predicates are registered per kind (e.g. st_polygon_intersects_bounds). */
@@ -107,6 +111,10 @@ object Geo {
       Bridge.registerFunction(spark, s"st_astext_$kind", es => StAsText(es.head, kind))
       Bridge.registerFunction(spark, s"st_geomfromtext_$kind",
         es => StGeomFromText(es.head, kind))
+      Bridge.registerFunction(spark, s"st_asgeojson_$kind",
+        es => StAsGeoJson(es.head, kind))
+      Bridge.registerFunction(spark, s"st_geomfromgeojson_$kind",
+        es => StGeomFromGeoJson(es.head, kind))
     }
   }
 }

@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.geom.Wkt
+import graft.geom.{GeoJson, Wkt}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -37,6 +37,64 @@ case class StAsText(child: Expression, kind: String)
     UTF8String.fromString(s)
   }
   override protected def withNewChildInternal(c: Expression): StAsText = copy(c)
+}
+
+/** GeoJSON serialization (RFC 7946 §3.1 geometry objects) — the second
+  * export surface next to WKT. */
+case class StAsGeoJson(child: Expression, kind: String)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "st_asgeojson"
+
+  override protected def nullSafeEval(g: Any): Any = {
+    val s = kind match {
+      case "point" =>
+        val r = g.asInstanceOf[InternalRow]
+        GeoJson.point(r.getDouble(0), r.getDouble(1))
+      case "multipoint" => GeoJson.multiPoint(GeomData.flat1(g.asInstanceOf[ArrayData]))
+      case "line" => GeoJson.lineString(GeomData.flat1(g.asInstanceOf[ArrayData]))
+      case "multiline" =>
+        val (v, o) = GeomData.flat2(g.asInstanceOf[ArrayData])
+        GeoJson.multiLineString(v, o)
+      case "polygon" =>
+        val (v, o) = GeomData.flat2(g.asInstanceOf[ArrayData])
+        GeoJson.polygon(v, o)
+      case "multipolygon" =>
+        val (v, ro, po) = GeomData.flat3(g.asInstanceOf[ArrayData])
+        GeoJson.multiPolygon(v, ro, po)
+      case other => throw new IllegalArgumentException(s"unknown geometry kind $other")
+    }
+    UTF8String.fromString(s)
+  }
+  override protected def withNewChildInternal(c: Expression): StAsGeoJson = copy(c)
+}
+
+/** GeoJSON parsing into the nested-array geometry schema for `kind`. */
+case class StGeomFromGeoJson(child: Expression, kind: String)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = kind match {
+    case "point" => GeomData.pointType
+    case "multipoint" | "line" => GeomData.coordsType
+    case "multiline" | "polygon" => GeomData.ringsType
+    case "multipolygon" => GeomData.polysType
+    case other => throw new IllegalArgumentException(s"unknown geometry kind $other")
+  }
+  override def prettyName: String = "st_geomfromgeojson"
+
+  override protected def nullSafeEval(t: Any): Any = {
+    val g = GeoJson.parse(t.asInstanceOf[UTF8String].toString)
+    require(g.kind == kind,
+      s"GeoJSON kind ${g.kind} does not match expected $kind")
+    kind match {
+      case "point" =>
+        if (g.values.isEmpty) InternalRow(Double.NaN, Double.NaN)
+        else InternalRow(g.values(0), g.values(1))
+      case "multipoint" | "line" => GeomData.toArrayData(g.values)
+      case "multiline" | "polygon" => GeomData.nest2(g.values, g.offsets1)
+      case "multipolygon" => GeomData.nest3(g.values, g.offsets1, g.offsets2)
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): StGeomFromGeoJson = copy(c)
 }
 
 /** WKT parsing into the nested-array geometry schema for `kind`

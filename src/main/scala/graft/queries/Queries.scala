@@ -232,6 +232,14 @@ object Queries {
         .where(col("c_custkey") % 10 === 0)
     }),
 
+    // SURVEY §2.1 serde: GeoJSON export (the WKT twin; integer coords so
+    // the JSON text is exact).
+    "geojson_points" -> ((s, dir) => {
+      custPoints(s, dir)
+        .select(col("c_custkey"), st_asgeojson(col("pt"), "point").as("gj"))
+        .where(col("c_custkey") % 10 === 0)
+    }),
+
     // Relational sanity: TPC-H Q1-style aggregate (integer-valued sums).
     "q1_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -382,6 +390,11 @@ object Queries {
     "wkt_points" ->
       """SELECT c_custkey,
                 'POINT (' || ((c_custkey*7919)%1000) || ' ' || ((c_custkey*104729)%1000) || ')' AS wkt
+         FROM customer WHERE c_custkey % 10 = 0""",
+    "geojson_points" ->
+      """SELECT c_custkey,
+                '{"type":"Point","coordinates":[' || ((c_custkey*7919)%1000) || ','
+                  || ((c_custkey*104729)%1000) || ']}' AS gj
          FROM customer WHERE c_custkey % 10 = 0""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n

@@ -97,6 +97,40 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(back.getSeq[Seq[Seq[Double]]](5) == Seq(Seq(largeCcw, unitCw), Seq(shifted)))
   }
 
+  test("GeoJSON round trip for all six kinds") {
+    val shifted = largeCcw.map(_ + 4.0)
+    val df = Seq((
+      (1.5, -2.5),
+      Seq(1.0, 2, 3, 4),
+      Seq(0.0, 0, 1, 1, 2, 0),
+      Seq(Seq(0.0, 0, 1, 1), Seq(2.0, 2, 3, 3)),
+      Seq(largeCcw, unitCw),
+      Seq(Seq(largeCcw, unitCw), Seq(shifted))
+    )).toDF("pt", "mp", "ln", "ml", "pg", "mpg")
+
+    val texts = df.select(
+      st_asgeojson($"pt", "point"), st_asgeojson($"mp", "multipoint"),
+      st_asgeojson($"ln", "line"), st_asgeojson($"pg", "polygon")).head()
+    assert(texts.getString(0) == """{"type":"Point","coordinates":[1.5,-2.5]}""")
+    assert(texts.getString(1) == """{"type":"MultiPoint","coordinates":[[1,2],[3,4]]}""")
+    assert(texts.getString(2) == """{"type":"LineString","coordinates":[[0,0],[1,1],[2,0]]}""")
+    assert(texts.getString(3).startsWith("""{"type":"Polygon","coordinates":[[[0,0],[3,0]"""))
+
+    val back = df.select(
+      st_geomfromgeojson(st_asgeojson($"pt", "point"), "point").as("pt2"),
+      st_geomfromgeojson(st_asgeojson($"mp", "multipoint"), "multipoint").as("mp2"),
+      st_geomfromgeojson(st_asgeojson($"ln", "line"), "line").as("ln2"),
+      st_geomfromgeojson(st_asgeojson($"ml", "multiline"), "multiline").as("ml2"),
+      st_geomfromgeojson(st_asgeojson($"pg", "polygon"), "polygon").as("pg2"),
+      st_geomfromgeojson(st_asgeojson($"mpg", "multipolygon"), "multipolygon").as("mpg2")).head()
+    assert(back.getStruct(0).toSeq == Seq(1.5, -2.5))
+    assert(back.getSeq[Double](1) == Seq(1.0, 2, 3, 4))
+    assert(back.getSeq[Double](2) == Seq(0.0, 0, 1, 1, 2, 0))
+    assert(back.getSeq[Seq[Double]](3) == Seq(Seq(0.0, 0, 1, 1), Seq(2.0, 2, 3, 3)))
+    assert(back.getSeq[Seq[Double]](4) == Seq(largeCcw, unitCw))
+    assert(back.getSeq[Seq[Seq[Double]]](5) == Seq(Seq(largeCcw, unitCw), Seq(shifted)))
+  }
+
   test("SQL registry: st_* callable from spark.sql") {
     registerAll(spark)
     Seq(Tuple1(Seq(largeCcw, unitCw))).toDF("poly").createOrReplaceTempView("polys")
