@@ -99,8 +99,9 @@ object GeoParquet {
   }
 
   /** Minimal JSON extraction of {file -> [x0,y0,x1,y1]} for one geometry
-    * column (sidecar is machine-written; no general JSON parser needed). */
-  private[io] def parseSidecar(json: String, geomCol: String): Map[String, Array[Double]] = {
+    * column (sidecar is machine-written; no general JSON parser needed).
+    * Shared with the planner rule graft.plans.SpatialFilePruning. */
+  private[graft] def parseSidecar(json: String, geomCol: String): Map[String, Array[Double]] = {
     val colKey = "\"" + geomCol + "\":{"
     val start = json.indexOf(colKey)
     if (start < 0) return Map.empty

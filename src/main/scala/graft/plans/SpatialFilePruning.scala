@@ -1,0 +1,124 @@
+package graft.plans
+
+import graft.functions.StIntersectsBounds
+import graft.io.GeoParquet
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
+
+/**
+ * Optimizer rule making spatial partition pruning AUTOMATIC: a
+ * `Filter(st_intersects_bounds(geom, <literal box>))` directly above a
+ * parquet relation whose root directory carries a
+ * `_spatial_metadata.json` sidecar gets its file list pruned to the
+ * files whose stored bounds intersect the query box. The filter is kept
+ * as the exact residual — only the scan shrinks.
+ *
+ * This is the planner-integrated version of `GeoParquet.read(bounds=…)`
+ * (reference: io/parquet.py:411-446 — partition skipping on read), the
+ * same way the reference's dask `cx` prunes partitions before running
+ * the row predicate (dask.py:611-638). The rule is conservative: files
+ * missing from the sidecar, NaN bounds, multi-root or hive-partitioned
+ * relations are left untouched, and it converges because a second
+ * application finds nothing more to drop.
+ */
+case class SpatialFilePruning(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, l: LogicalRelation)
+        if l.relation.isInstanceOf[HadoopFsRelation] =>
+      val fsRel = l.relation.asInstanceOf[HadoopFsRelation]
+      pruneBox(cond, l.output) match {
+        case Some((geomName, qx0, qy0, qx1, qy1))
+            if fsRel.partitionSchema.isEmpty &&
+               fsRel.location.rootPaths.length == 1 =>
+          val root = fsRel.location.rootPaths.head
+          sidecarBounds(root, geomName) match {
+            case Some(perFile) =>
+              val current = fsRel.location.inputFiles
+              val kept = current.filter { uri =>
+                val name = uri.substring(uri.lastIndexOf('/') + 1)
+                perFile.get(name) match {
+                  case Some(Array(x0, y0, x1, y1)) =>
+                    // NaN bounds (empty file) compare false -> kept
+                    !(x1 < qx0 || x0 > qx1 || y1 < qy0 || y0 > qy1)
+                  case _ => true // unknown file: conservative keep
+                }
+              }
+              if (kept.length < current.length) {
+                val prunedIndex = new InMemoryFileIndex(spark,
+                  kept.toIndexedSeq.map(new Path(_)), fsRel.options,
+                  Some(fsRel.dataSchema))
+                val newRel = fsRel.copy(location = prunedIndex)(spark)
+                Filter(cond, l.copy(relation = newRel))
+              } else f
+            case None => f
+          }
+        case _ => f
+      }
+  }
+
+  /** First conjunct of the form st_intersects_bounds(attr, 4 foldable
+    * doubles); returns (geometry column name, normalized query box). */
+  private def pruneBox(cond: Expression,
+                       output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute])
+      : Option[(String, Double, Double, Double, Double)] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(a, b) => conjuncts(a) ++ conjuncts(b)
+      case other => Seq(other)
+    }
+    def d(e: Expression): Option[Double] =
+      if (e.foldable) Option(e.eval(null)).collect { case v: Double => v }
+      else None
+    conjuncts(cond).collectFirst {
+      case StIntersectsBounds(g: AttributeReference, ex0, ey0, ex1, ey1, _)
+          if output.exists(_.exprId == g.exprId) &&
+             Seq(ex0, ey0, ex1, ey1).forall(e => d(e).exists(v => !v.isNaN)) =>
+        val x0 = d(ex0).get; val y0 = d(ey0).get
+        val x1 = d(ex1).get; val y1 = d(ey1).get
+        (g.name, math.min(x0, x1), math.min(y0, y1),
+          math.max(x0, x1), math.max(y0, y1))
+    }
+  }
+
+  /** Per-file bounds from the sidecar at `root`, if present. */
+  private def sidecarBounds(root: Path,
+                            geomCol: String): Option[Map[String, Array[Double]]] = {
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val sidecar = new Path(root, GeoParquet.SidecarName)
+    if (!fs.exists(sidecar)) None
+    else {
+      val in = fs.open(sidecar)
+      try {
+        val bytes = new Array[Byte](fs.getFileStatus(sidecar).getLen.toInt)
+        in.readFully(bytes)
+        val parsed = GeoParquet.parseSidecar(
+          new String(bytes, java.nio.charset.StandardCharsets.UTF_8), geomCol)
+        if (parsed.isEmpty) None else Some(parsed)
+      } finally in.close()
+    }
+  }
+}
+
+object SpatialFilePruning {
+  /** Install on an existing session (tests / interactive use). New
+    * sessions get it from `spark.sql.extensions=graft.plans.GraftExtensions`. */
+  def install(spark: SparkSession): Unit = {
+    val rule = SpatialFilePruning(spark)
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[SpatialFilePruning]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ rule
+  }
+}
+
+/** Session-extension entry point: optimizer rule injection for
+  * `spark.sql.extensions=graft.plans.GraftExtensions`. (The SQL st_*
+  * function surface is session-registered via `Geo.registerAll`.) */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(session => SpatialFilePruning(session))
+  }
+}

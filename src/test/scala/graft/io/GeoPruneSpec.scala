@@ -1,0 +1,62 @@
+package graft.io
+
+import graft.Geo._
+import graft.api.GeoFrame
+import graft.plans.SpatialFilePruning
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The automatic planner-side file pruning (SpatialFilePruning rule):
+  * a plain `spark.read.parquet(dir).where(st_*_intersects_bounds(...))`
+  * must scan only the sidecar-surviving files — no GeoParquet.read call
+  * needed — and return exactly the same rows. */
+class GeoPruneSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  import spark.implicits._
+
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.executedPlan.collectFirst {
+      case s: FileSourceScanExec => s.relation.location.inputFiles.length
+    }.getOrElse(-1)
+
+  test("filter over sidecar'd parquet scans only intersecting files") {
+    val dir = java.nio.file.Files.createTempDirectory("prunespec").toFile
+    try {
+      // 4 spatially-separated files: x in [0,25), [25,50), [50,75), [75,100)
+      val df = (0 until 400).map { i =>
+        val x = i % 100
+        (i.toLong, Seq(x.toDouble, (x % 13).toDouble))
+      }.toDF("id", "mp")
+        .repartitionByRange(4, element_at(col("mp"), 1))
+      GeoParquet.write(GeoFrame(df, "mp", "multipoint"), s"$dir/mp", mode = "overwrite")
+
+      SpatialFilePruning.install(spark)
+      val pred = st_multipoint_intersects_bounds(
+        col("mp"), lit(0), lit(0), lit(20), lit(20))
+      val pruned = spark.read.parquet(s"$dir/mp").where(pred)
+      val rows = pruned.select("id").as[Long].collect().toSet
+
+      // correctness: same rows as an unpruned evaluation
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_.isInstanceOf[SpatialFilePruning])
+      val expect = spark.read.parquet(s"$dir/mp").where(pred)
+        .select("id").as[Long].collect().toSet
+      assert(rows == expect && rows.nonEmpty)
+
+      SpatialFilePruning.install(spark)
+      val total = spark.read.parquet(s"$dir/mp").inputFiles.length
+      val scanned = scannedFiles(spark.read.parquet(s"$dir/mp").where(pred))
+      assert(total == 4, s"expected 4 files, got $total")
+      assert(scanned == 1, s"expected 1 scanned file of $total, got $scanned")
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_.isInstanceOf[SpatialFilePruning])
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    }
+  }
+}
