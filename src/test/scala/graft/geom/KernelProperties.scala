@@ -1,0 +1,173 @@
+package graft.geom
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.{forAll, propBoolean}
+
+/**
+ * Property-based differential tests of the geometry kernels against
+ * INDEPENDENT oracle implementations — the Spark port of the reference's
+ * hypothesis-vs-shapely layer (reference: tests/geometry/strategies.py
+ * and the tests/geometry/algorithms suite).
+ *
+ * All generators emit integer (or half-integer) coordinates small enough
+ * that every product/sum below is exact in double arithmetic, so kernel
+ * and oracle can be compared with == (no tolerance hiding real bugs).
+ */
+object KernelProperties extends Properties("kernels") {
+
+  private val coord: Gen[Int] = Gen.choose(-50, 50)
+
+  // -- simple polygon: integer points, one per angle, sorted around the
+  // centroid (star-shaped => simple by construction) -------------------
+  private val simplePolyGen: Gen[Array[Double]] = for {
+    n <- Gen.choose(4, 14)
+    pts <- Gen.listOfN(n, Gen.zip(coord, coord))
+  } yield {
+    val distinct = pts.distinct
+    val cx = distinct.map(_._1).sum.toDouble / distinct.size
+    val cy = distinct.map(_._2).sum.toDouble / distinct.size
+    val byAngle = distinct
+      .groupBy { case (x, y) => math.atan2(y - cy, x - cx) }
+      .map { case (_, same) => same.maxBy { case (x, y) =>
+        (x - cx) * (x - cx) + (y - cy) * (y - cy) } }
+      .toList
+    val sorted = byAngle.sortBy { case (x, y) => math.atan2(y - cy, x - cx) }
+    if (sorted.size < 3) Array.empty[Double]
+    else {
+      val ring = sorted :+ sorted.head
+      ring.flatMap { case (x, y) => Seq(x.toDouble, y.toDouble) }.toArray
+    }
+  }
+
+  /** Exact: (x, y) lies on segment (x0,y0)-(x1,y1). All inputs are
+    * multiples of 0.5 with magnitude <= 100, so every product is exact. */
+  private def onSegment(x: Double, y: Double,
+                        x0: Double, y0: Double, x1: Double, y1: Double): Boolean = {
+    val cross = (x1 - x0) * (y - y0) - (y1 - y0) * (x - x0)
+    cross == 0.0 &&
+      x >= math.min(x0, x1) && x <= math.max(x0, x1) &&
+      y >= math.min(y0, y1) && y <= math.max(y0, y1)
+  }
+
+  private def onBoundary(x: Double, y: Double, ring: Array[Double]): Boolean = {
+    var i = 0
+    while (i < ring.length - 2) {
+      if (onSegment(x, y, ring(i), ring(i + 1), ring(i + 2), ring(i + 3))) return true
+      i += 2
+    }
+    false
+  }
+
+  // -- oracle 1: crossing-number PIP, division-free (exact) --------------
+  private def crossingNumberInside(x: Double, y: Double, ring: Array[Double]): Boolean = {
+    var crossings = 0
+    var i = 0
+    while (i < ring.length - 2) {
+      val x0 = ring(i); val y0 = ring(i + 1)
+      val x1 = ring(i + 2); val y1 = ring(i + 3)
+      if ((y0 <= y) != (y1 <= y)) {
+        // crossing strictly right of x  <=>  sign((x0-x)*den + num) == sign(den)
+        val den = y1 - y0
+        val num = (y - y0) * (x1 - x0)
+        val lhs = (x0 - x) * den + num
+        if ((den > 0 && lhs > 0) || (den < 0 && lhs < 0)) crossings += 1
+      }
+      i += 2
+    }
+    crossings % 2 == 1
+  }
+
+  property("winding-number PIP == crossing-number oracle (simple polygons)") =
+    forAll(simplePolyGen, coord, coord) { (ring, qx, qy) =>
+      (ring.length >= 8) ==> {
+        // half-integer query point, filtered off the boundary (a
+        // diagonal edge can still pass through half-integers)
+        val x = qx + 0.5
+        val y = qy + 0.5
+        !onBoundary(x, y, ring) ==> {
+          val got = Kernels.pointIntersectsPolygon(x, y, ring, Array(0, ring.length))
+          val want = crossingNumberInside(x, y, ring)
+          Prop(got == want) :| s"point ($x,$y) ring ${ring.toSeq} kernel=$got oracle=$want"
+        }
+      }
+    }
+
+  // -- oracle 2: shoelace invariances (exact in integer coords) ----------
+  private def rotateRing(ring: Array[Double], k: Int): Array[Double] = {
+    val open = ring.dropRight(2)
+    val n = open.length / 2
+    val s = ((k % n) + n) % n
+    val rot = open.drop(2 * s) ++ open.take(2 * s)
+    rot ++ rot.take(2)
+  }
+
+  property("signed area invariant under ring rotation; negated by reversal") =
+    forAll(simplePolyGen, Gen.choose(0, 11)) { (ring, k) =>
+      (ring.length >= 8) ==> {
+        val a0 = Kernels.area(ring, Array(0, ring.length))
+        val aRot = Kernels.area(rotateRing(ring, k), Array(0, ring.length))
+        val rev = ring.grouped(2).toArray.reverse.flatten
+        val aRev = Kernels.area(rev, Array(0, ring.length))
+        Prop(a0 == aRot && a0 == -aRev) :| s"a0=$a0 rot=$aRot rev=$aRev"
+      }
+    }
+
+  // -- oracle 3: multipoint-vs-rect == exists(point in rect) -------------
+  private val multipointGen: Gen[Array[Double]] = for {
+    n <- Gen.choose(1, 20)
+    pts <- Gen.listOfN(n, Gen.zip(coord, coord))
+  } yield pts.flatMap { case (x, y) => Seq(x.toDouble, y.toDouble) }.toArray
+
+  property("multipoint-vs-rect kernel == brute-force point-in-rect") =
+    forAll(multipointGen, coord, coord, coord, coord) { (mp, x0, y0, x1, y1) =>
+      val lx0 = math.min(x0, x1).toDouble; val lx1 = math.max(x0, x1).toDouble
+      val ly0 = math.min(y0, y1).toDouble; val ly1 = math.max(y0, y1).toDouble
+      val got = Kernels.multipointIntersectsBounds(lx0, ly0, lx1, ly1, mp, 0, mp.length)
+      val want = mp.grouped(2).exists(p =>
+        p(0) >= lx0 && p(0) <= lx1 && p(1) >= ly0 && p(1) <= ly1)
+      Prop(got == want) :| s"kernel=$got oracle=$want"
+    }
+
+  // -- oracle 4: segment-vs-rect via SAT corner-side test (exact; the
+  // same independent formulation as the line_bbox DuckDB oracle) ---------
+  private def satSegmentHitsRect(x0: Double, y0: Double, x1: Double, y1: Double,
+                                 rx0: Double, ry0: Double, rx1: Double, ry1: Double): Boolean = {
+    val bboxOverlap = math.max(x0, x1) >= rx0 && math.min(x0, x1) <= rx1 &&
+      math.max(y0, y1) >= ry0 && math.min(y0, y1) <= ry1
+    if (!bboxOverlap) return false
+    def side(cx: Double, cy: Double): Double =
+      (x1 - x0) * (cy - y0) - (y1 - y0) * (cx - x0)
+    val s = Seq(side(rx0, ry0), side(rx0, ry1), side(rx1, ry0), side(rx1, ry1))
+    !(s.forall(_ > 0) || s.forall(_ < 0))
+  }
+
+  property("segment-vs-rect kernel == SAT oracle (non-degenerate rects)") =
+    forAll(Gen.zip(coord, coord, coord, coord), Gen.zip(coord, coord, coord, coord)) {
+      case ((sx0, sy0, sx1, sy1), (rx0, ry0, rx1, ry1)) =>
+        val lx0 = math.min(rx0, rx1).toDouble; val lx1 = math.max(rx0, rx1).toDouble
+        val ly0 = math.min(ry0, ry1).toDouble; val ly1 = math.max(ry0, ry1).toDouble
+        // the kernel defines zero-area rects as intersecting nothing
+        // (reference: intersection.py:332-334): oracle covers the rest
+        (lx1 > lx0 && ly1 > ly0) ==> {
+          val seg = Array(sx0.toDouble, sy0.toDouble, sx1.toDouble, sy1.toDouble)
+          val got = Kernels.lineIntersectsBounds(lx0, ly0, lx1, ly1, seg, Array(0, 4))
+          val want = satSegmentHitsRect(sx0, sy0, sx1, sy1, lx0, ly0, lx1, ly1)
+          Prop(got == want) :|
+            s"seg=${seg.toSeq} rect=($lx0,$ly0,$lx1,$ly1) kernel=$got oracle=$want"
+        }
+    }
+
+  // -- serde round trips on arbitrary doubles ----------------------------
+  private val doubleCoord: Gen[Double] =
+    Gen.oneOf(Gen.choose(-1e6, 1e6), Gen.choose(-1.0, 1.0),
+      Gen.oneOf(0.0, -0.0, 1.5, -2.25e-10, 3.14159e15))
+
+  property("WKT and GeoJSON round-trip arbitrary line coordinates bit-exactly") =
+    forAll(Gen.choose(2, 8).flatMap(n => Gen.listOfN(2 * n, doubleCoord))) { coords =>
+      val v = coords.toArray
+      val wkt = Wkt.parse(Wkt.lineString(v))
+      val gj = GeoJson.parse(GeoJson.lineString(v))
+      Prop(wkt.values.sameElements(v) && gj.values.sameElements(v)) :|
+        s"wkt=${wkt.values.toSeq} gj=${gj.values.toSeq} orig=${v.toSeq}"
+    }
+}
