@@ -101,10 +101,21 @@ final case class GeoFrame(df: DataFrame, geometryCol: String, kind: String) {
     * NOTE: a global Window.orderBy collapses to ONE task — correct but
     * sequential; use only for frames that fit one executor. For large
     * frames use [[padNaPartitioned]]. */
-  def padNa(orderCol: Column): GeoFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(orderCol)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+  def padNa(orderCol: Column, limit: Int = -1): GeoFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lo = if (limit > 0) -limit.toLong else Window.unboundedPreceding
+    val w = Window.orderBy(orderCol).rowsBetween(lo, 0)
     copy(df = df.withColumn(geometryCol, last(geometry, ignoreNulls = true).over(w)))
+  }
+
+  /** Backward fill: nulls take the NEXT non-null geometry in `orderCol`
+    * order, at most `limit` rows ahead (reference fillna(method=
+    * 'backfill'), base.py:510-560). Same single-task caveat as [[padNa]]. */
+  def backfillNa(orderCol: Column, limit: Int = -1): GeoFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hi = if (limit > 0) limit.toLong else Window.unboundedFollowing
+    val w = Window.orderBy(orderCol).rowsBetween(0, hi)
+    copy(df = df.withColumn(geometryCol, first(geometry, ignoreNulls = true).over(w)))
   }
 
   /** Distributed pad-fill: two-pass partition-boundary carry (ADVICE r1).

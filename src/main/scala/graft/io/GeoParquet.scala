@@ -98,6 +98,27 @@ object GeoParquet {
     GeoFrame(df, geomCol, kind)
   }
 
+  /** Driver-side R-tree over the dataset's per-file bounds — the
+    * reference's `partition_sindex` (dask.py:73-76, rtree over
+    * partition_bounds). Returns the tree plus the file name per leaf
+    * index, for interactive partition queries beyond the planner rule. */
+  def partitionSindex(path: String, geomCol: String)
+      : Option[(graft.geom.HilbertRtree, Array[String])] = {
+    val sidecar = Paths.get(path, SidecarName)
+    if (!Files.exists(sidecar)) return None
+    val perFile = parseSidecar(new String(Files.readAllBytes(sidecar),
+      StandardCharsets.UTF_8), geomCol)
+    if (perFile.isEmpty) return None
+    val files = perFile.keys.toArray.sorted
+    val bounds = new Array[Double](files.length * 4)
+    files.zipWithIndex.foreach { case (f, i) =>
+      val b = perFile(f)
+      bounds(i * 4) = b(0); bounds(i * 4 + 1) = b(1)
+      bounds(i * 4 + 2) = b(2); bounds(i * 4 + 3) = b(3)
+    }
+    Some((graft.geom.HilbertRtree.build(bounds), files))
+  }
+
   /** Minimal JSON extraction of {file -> [x0,y0,x1,y1]} for one geometry
     * column (sidecar is machine-written; no general JSON parser needed).
     * Shared with the planner rule graft.plans.SpatialFilePruning. */

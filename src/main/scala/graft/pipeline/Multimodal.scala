@@ -53,6 +53,19 @@ object Multimodal {
       meta.getField("format").as("format"))
   }
 
+  /** "Frame sampling": with a real codec this decodes every `everyN`th
+    * video frame; the stub derives a deterministic frame count from the
+    * payload hash and emits (frame_idx, frame_hash) structs. The 1→N
+    * array-building + downstream `explode` plumbing is what a real
+    * sampler uses. STUB. */
+  def frameSampleStub(content: Column, everyN: Int): Column = {
+    require(everyN >= 1)
+    val frameCount = (pmod(xxhash64(content, lit(99)), lit(64)) + 1).cast("int")
+    transform(
+      sequence(lit(0), frameCount - 1, lit(everyN)),
+      i => struct(i.as("frame_idx"), xxhash64(content, i).as("frame_hash")))
+  }
+
   /**
    * Batched per-partition decode path — the Scala analog of a pandas
    * mapInPandas UDF: one iterator pass per partition, batching amortizes

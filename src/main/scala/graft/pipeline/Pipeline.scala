@@ -30,6 +30,26 @@ object Tx {
     Bridge.column(QuantizedDot(Bridge.expression(a), Bridge.expression(b), scale))
   def srp_bits(vec: Column, bits: Int = 16, seed: Long = 42L): Column =
     Bridge.column(SrpBits(Bridge.expression(vec), bits, seed))
+
+  /** Register the pipeline functions on a session's SQL surface (default
+    * hyperparameters), completing the spark.sql story next to
+    * Geo.registerAll. */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    Bridge.registerFunction(spark, "simhash64", es => SimHash64(es.head, 3, 42L))
+    Bridge.registerFunction(spark, "minhash_signature",
+      es => MinHashSignature(es.head, 3, 64, 42L))
+    Bridge.registerFunction(spark, "ngram_jaccard",
+      es => NgramJaccard(es(0), es(1), 3))
+    Bridge.registerFunction(spark, "doc_fingerprint",
+      es => DocFingerprint(es.head, 42L))
+    Bridge.registerFunction(spark, "cosine_similarity",
+      es => CosineSimilarity(es(0), es(1)))
+    Bridge.registerFunction(spark, "quantized_dot",
+      es => QuantizedDot(es(0), es(1), 1000.0))
+    Bridge.registerFunction(spark, "srp_bits", es => SrpBits(es.head, 16, 42L))
+    Bridge.registerFunction(spark, "lang_id", es => LangId(es.head,
+      Seq("es", "fr", "de", "en").map(l => l -> TextAnalysis.langStopwords(l))))
+  }
 }
 
 object Dedup {

@@ -30,6 +30,26 @@ class GeoFrameNaSortSpec extends AnyFunSuite {
     assert(padded(1) == Seq(1.0, 1, 2, 2) && padded(3) == Seq(5.0, 5, 6, 6))
   }
 
+  test("backfillNa and fill limits") {
+    val df = Seq(
+      (1L, None), (2L, None), (3L, Some(Seq(3.0, 3))),
+      (4L, None), (5L, None), (6L, None), (7L, Some(Seq(7.0, 7)))
+    ).toDF("id", "mp")
+    val gf = GeoFrame(df, "mp", "multipoint")
+    val back = gf.backfillNa(col("id")).df.orderBy("id")
+      .select("mp").collect().map(r => Option(r.getSeq[Double](0)))
+    assert(back(0).contains(Seq(3.0, 3)) && back(1).contains(Seq(3.0, 3)))
+    assert(back(3).contains(Seq(7.0, 7)) && back(5).contains(Seq(7.0, 7)))
+    // limit=1: only the row immediately after/before a non-null fills
+    val back1 = gf.backfillNa(col("id"), limit = 1).df.orderBy("id")
+      .select("mp").collect().map(r => Option(r.getSeq[Double](0)))
+    assert(back1(0).isEmpty && back1(1).contains(Seq(3.0, 3)))
+    assert(back1(3).isEmpty && back1(4).isEmpty && back1(5).contains(Seq(7.0, 7)))
+    val pad1 = gf.padNa(col("id"), limit = 1).df.orderBy("id")
+      .select("mp").collect().map(r => Option(r.getSeq[Double](0)))
+    assert(pad1(3).contains(Seq(3.0, 3)) && pad1(4).isEmpty && pad1(5).isEmpty)
+  }
+
   test("padNaPartitioned matches single-window padNa") {
     val rnd = new scala.util.Random(7)
     // leading nulls (ids 0,1) stay null in both; null runs crossing

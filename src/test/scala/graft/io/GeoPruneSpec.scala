@@ -53,6 +53,12 @@ class GeoPruneSpec extends AnyFunSuite {
       val scanned = scannedFiles(spark.read.parquet(s"$dir/mp").where(pred))
       assert(total == 4, s"expected 4 files, got $total")
       assert(scanned == 1, s"expected 1 scanned file of $total, got $scanned")
+
+      // driver-side partition sindex over the same sidecar (the
+      // reference's partition_sindex): same 1-of-4 candidate set
+      val Some((tree, files)) = GeoParquet.partitionSindex(s"$dir/mp", "mp")
+      assert(files.length == 4)
+      assert(tree.intersects(0, 0, 20, 20).length == 1)
     } finally {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations.filterNot(_.isInstanceOf[SpatialFilePruning])

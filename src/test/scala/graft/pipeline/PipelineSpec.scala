@@ -133,6 +133,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(df.as[String].collect().toSeq == Seq("en", "de", "fr", "es"))
   }
 
+  test("multimodal frameSampleStub: deterministic every-Nth sampling") {
+    val df = Seq((1L, "payload-a"), (2L, "payload-b"))
+      .toDF("id", "s").withColumn("content", col("s").cast("binary"))
+    val frames = df.select(col("id"),
+        explode(Multimodal.frameSampleStub(col("content"), everyN = 4)).as("f"))
+      .select(col("id"), col("f.frame_idx"), col("f.frame_hash"))
+    val rows = frames.collect()
+    assert(rows.nonEmpty)
+    // sampled indices step by 4, hashes deterministic per (payload, idx)
+    assert(rows.forall(_.getInt(1) % 4 == 0))
+    val again = frames.collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("pipeline functions callable from spark.sql") {
+    Tx.registerAll(spark)
+    Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("id", "text").createOrReplaceTempView("docs_sql")
+    val r = spark.sql(
+      """SELECT simhash64(text) sh, doc_fingerprint(text) fp,
+                ngram_jaccard(text, text) j, lang_id(text) lang,
+                size(minhash_signature(text)) nsig
+         FROM docs_sql""").head()
+    assert(r.getDouble(2) == 1.0)
+    assert(r.getString(3) == "en")
+    assert(r.getInt(4) == 64)
+  }
+
   test("multimodal mapDecodePartitions: schema + deterministic stub") {
     val df = corpus.select(col("doc_id"), col("text").cast("binary").as("content"))
     val out = Multimodal.mapDecodePartitions(df, "content")
