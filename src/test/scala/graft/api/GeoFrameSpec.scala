@@ -40,6 +40,17 @@ class GeoFrameSpec extends AnyFunSuite {
     assert(tb == ((r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))))
   }
 
+  test("totalBounds ignores empty/all-NaN geometries (ADVICE r1)") {
+    // an empty multipoint has NaN per-row bounds; the frame totals must
+    // skip it like the reference's bounds kernels skip non-finite coords
+    val df = Seq(
+      (1L, Seq(1.0, 2.0, 3.0, 4.0)),
+      (2L, Seq.empty[Double]),
+      (3L, Seq(5.0, 6.0))).toDF("id", "mp")
+    val tb = GeoFrame(df, "mp", "multipoint").totalBounds
+    assert(tb == ((1.0, 2.0, 5.0, 6.0)), s"got $tb")
+  }
+
   test("packPartitions: hilbert ranges of partitions are disjoint and sorted") {
     // port of the reference's pack sortedness property (test_parquet.py:136-167)
     val gf = GeoFrame(pointsDf(1000), "pt", "point").packPartitions(8)
