@@ -116,9 +116,11 @@ object SpatialFilePruning {
 
 /** Session-extension entry point: optimizer rule injection for
   * `spark.sql.extensions=graft.plans.GraftExtensions`. (The SQL st_*
-  * function surface is session-registered via `Geo.registerAll`.) */
+  * function surface is session-registered via `Geo.registerAll` /
+  * `Tx.registerAll`.) */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(session => SpatialFilePruning(session))
+    ext.injectOptimizerRule(session => SpatialJoinRewrite(session))
   }
 }

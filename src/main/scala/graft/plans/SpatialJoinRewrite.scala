@@ -1,0 +1,94 @@
+package graft.plans
+
+import graft.functions.StIntersects
+import graft.tools.SpatialJoin
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.graftbridge.Bridge
+
+/**
+ * Optimizer rule planning spatial joins automatically: an INNER
+ * `Join(left, right, condition = st_intersects(pointAttr, geomAttr))`
+ * — which Catalyst would otherwise execute as a BroadcastNestedLoopJoin
+ * (O(n*m) comparisons) — is rewritten into the grid-cell HASH equi-join
+ * + exact-refine plan of [[SpatialJoin.gridInner]] (SURVEY §3.2's
+ * target plan; the automatic version of the reference's index-
+ * accelerated sjoin, tools/sjoin.py:97-133).
+ *
+ * The grid cell edge length comes from `spark.graft.sjoin.cellSize`
+ * (data units, default 64): any value is correct — it only shifts the
+ * candidate-blowup / selectivity balance. Extra conjuncts in the join
+ * condition are preserved as a residual filter; non-inner spatial joins
+ * and non-attribute operands fall through untouched (BNLJ remains the
+ * correct fallback).
+ */
+case class SpatialJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private def cellSize: Double =
+    spark.conf.get("spark.graft.sjoin.cellSize", "64.0").toDouble
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => conjuncts(a) ++ conjuncts(b)
+    case other => Seq(other)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case j @ Join(l, r, Inner, Some(cond), _) =>
+      val parts = conjuncts(cond)
+      parts.collectFirst {
+        case si @ StIntersects(p: AttributeReference, g: AttributeReference, _) => (si, p, g)
+      } match {
+        case Some((si, p, g)) =>
+          val rest = parts.filterNot(_ eq si)
+          // Only rewrite PURE spatial theta joins. If the condition also
+          // carries cross-side equi-keys, Catalyst already hash-joins on
+          // them — and, crucially, our OWN output can reappear here
+          // (PushDownPredicates merges the exact-refine filter back into
+          // the grid equi-join), so rewriting again would corrupt the
+          // __cx/__cy keys.
+          val hasEquiKeys = rest.exists {
+            case EqualTo(a, b) =>
+              (a.references.subsetOf(l.outputSet) && b.references.subsetOf(r.outputSet)) ||
+              (a.references.subsetOf(r.outputSet) && b.references.subsetOf(l.outputSet))
+            case _ => false
+          }
+          val hasTempCols = (l.output ++ r.output).exists(a =>
+            a.name == "__cx" || a.name == "__cy" || a.name == "__salt")
+          val sides =
+            if (hasEquiKeys || hasTempCols) None
+            else if (l.outputSet.contains(p) && r.outputSet.contains(g)) Some((l, r))
+            else if (r.outputSet.contains(p) && l.outputSet.contains(g)) Some((r, l))
+            else None
+          sides match {
+            case Some((ptSide, gmSide)) =>
+              val joined = SpatialJoin.gridInner(
+                Bridge.ofRows(spark, ptSide), Bridge.ofRows(spark, gmSide),
+                Bridge.column(p), Bridge.column(g),
+                si.rightKind, cellSize)
+              // child plans are embedded as-is, so every original
+              // attribute (exprId included) survives; restore the
+              // join's output order with a final Project
+              val rewritten = joined.queryExecution.analyzed
+              val filtered =
+                if (rest.isEmpty) rewritten
+                else Filter(rest.reduce(And), rewritten)
+              Project(j.output, filtered)
+            case None => j
+          }
+        case None => j
+      }
+  }
+}
+
+object SpatialJoinRewrite {
+  /** Install on an existing session (tests / interactive use); new
+    * sessions get it via `spark.sql.extensions=graft.plans.GraftExtensions`. */
+  def install(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[SpatialJoinRewrite]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ SpatialJoinRewrite(spark)
+  }
+}

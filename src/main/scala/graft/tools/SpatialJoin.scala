@@ -45,16 +45,17 @@ object SpatialJoin {
    *                  replication. Leave 1 unless AQE skew handling isn't
    *                  enough.
    */
-  def pointInGeom(points: DataFrame, geoms: DataFrame,
-                  pointCol: String, geomCol: String, geomKind: String,
-                  cellSize: Double, how: String = "inner",
-                  leftKey: String = null, rightKey: String = null,
-                  salt: Int = 1): DataFrame = {
+  /** Column-based inner grid join — shared by the name-based API below
+    * and the planner rewrite (graft.plans.SpatialJoinRewrite). Returns
+    * every column of both inputs for the matching pairs. */
+  def gridInner(points: DataFrame, geoms: DataFrame,
+                pointCol: Column, geomCol: Column, geomKind: String,
+                cellSize: Double, salt: Int = 1): DataFrame = {
     require(cellSize > 0, "cellSize must be positive")
     require(salt >= 1, "salt must be >= 1")
     val cs = lit(cellSize)
 
-    val bounds = st_bounds(col(geomCol))
+    val bounds = st_bounds(geomCol)
     val gridded0 = geoms
       .withColumn("__gb", bounds)
       .withColumn("__cx",
@@ -70,16 +71,25 @@ object SpatialJoin {
         explode(sequence(lit(0), lit(salt - 1))))
 
     val cellPoints = points
-      .withColumn("__cx", floor(st_x(col(pointCol)) / cs).cast("long"))
-      .withColumn("__cy", floor(st_y(col(pointCol)) / cs).cast("long"))
+      .withColumn("__cx", floor(st_x(pointCol) / cs).cast("long"))
+      .withColumn("__cy", floor(st_y(pointCol) / cs).cast("long"))
       .withColumn("__salt",
         if (salt == 1) lit(0)
-        else pmod(hash(col(pointCol)), lit(salt)))
+        else pmod(hash(pointCol), lit(salt)))
 
-    val matched = cellPoints
+    cellPoints
       .join(gridded, Seq("__cx", "__cy", "__salt"), "inner")
-      .where(st_intersects(col(pointCol), col(geomCol), geomKind))
+      .where(st_intersects(pointCol, geomCol, geomKind))
       .drop("__cx", "__cy", "__salt")
+  }
+
+  def pointInGeom(points: DataFrame, geoms: DataFrame,
+                  pointCol: String, geomCol: String, geomKind: String,
+                  cellSize: Double, how: String = "inner",
+                  leftKey: String = null, rightKey: String = null,
+                  salt: Int = 1): DataFrame = {
+    val matched = gridInner(points, geoms, points(pointCol), geoms(geomCol),
+      geomKind, cellSize, salt)
 
     how match {
       case "inner" => matched

@@ -32,6 +32,40 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(grid.nonEmpty)
   }
 
+  test("optimizer rewrites a plain st_intersects join to the grid hash join") {
+    graft.plans.SpatialJoinRewrite.install(spark)
+    try {
+      spark.conf.set("spark.graft.sjoin.cellSize", "20.0")
+      val rnd = new scala.util.Random(31)
+      val pts = (0 until 300).map(i =>
+          (i.toLong, rnd.nextDouble() * 100, rnd.nextDouble() * 100))
+        .toDF("pid", "x", "y").withColumn("pt", st_point(col("x"), col("y")))
+      val polys = (0 until 15).map { i =>
+        val cx = rnd.nextDouble() * 100; val cy = rnd.nextDouble() * 100
+        val r = 5 + rnd.nextDouble() * 10
+        (i.toLong, Seq(Seq(cx + r, cy, cx, cy + r, cx - r, cy, cx, cy - r, cx + r, cy)))
+      }.toDF("gid", "poly")
+
+      // plain DataFrame join with the spatial predicate — no SpatialJoin call
+      val j = pts.join(polys, st_intersects(pts("pt"), polys("poly"), "polygon"))
+      val pairs = j.select("pid", "gid").as[(Long, Long)].collect().toSet
+      val expect = SpatialJoin.pointInGeom(pts, polys, "pt", "poly", "polygon",
+          cellSize = 20.0)
+        .select("pid", "gid").as[(Long, Long)].collect().toSet
+      assert(pairs == expect && pairs.nonEmpty)
+
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+        s"nested loop survived:\n$plan")
+      assert(plan.contains("HashJoin"), s"no hash join in:\n$plan")
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_.isInstanceOf[graft.plans.SpatialJoinRewrite])
+    }
+  }
+
   test("broadcast sjoin skips null and NaN points") {
     val pts = Seq(
       (1L, Some((5.0, 5.0))),
