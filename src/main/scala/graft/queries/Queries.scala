@@ -202,6 +202,33 @@ object Queries {
         .df.select(col("c_custkey"), st_x(col("pt")).as("fx"), st_y(col("pt")).as("fy"))
     }),
 
+    // SURVEY §3.2 via the PLANNER: a plain DataFrame join with the
+    // st_intersects predicate — no SpatialJoin call. The
+    // SpatialJoinRewrite rule (enabled through spark.sql.extensions in
+    // Verify/Bench) must turn this into the grid hash join; same oracle
+    // as sjoin_points_in_diamonds.
+    "sjoin_auto" -> ((s, dir) => {
+      val pts = t(s, dir, "customer")
+        .withColumn("pt", st_point((((col("c_custkey") * 7919) % 500) * 2).cast("double"),
+          (((col("c_custkey") * 104729) % 500) * 2).cast("double")))
+      val dia = supplierDiamonds(s, dir).select(col("s_suppkey"), col("diamond"))
+      pts.join(dia, st_intersects(pts("pt"), dia("diamond"), "polygon"))
+        .select(col("c_custkey"), col("s_suppkey"))
+    }),
+
+    // SURVEY §2.6 multipolygon boundary: two disjoint squares -> one
+    // multiline whose length is the sum of both perimeters (exact).
+    "mpoly_boundary_len" -> ((s, dir) => {
+      val cx = ((col("p_partkey") * 7919) % 1000).cast("double")
+      val cy = ((col("p_partkey") * 104729) % 1000).cast("double")
+      val h = ((col("p_partkey") % 5) + 1).cast("double")
+      val sq1 = array(cx - h, cy - h, cx + h, cy - h, cx + h, cy + h, cx - h, cy + h, cx - h, cy - h)
+      val off = cy + lit(3000.0)
+      val sq2 = array(cx - h, off - h, cx + h, off - h, cx + h, off + h, cx - h, off + h, cx - h, off - h)
+      t(s, dir, "part").select(col("p_partkey"),
+        st_length(st_boundary(array(array(sq1), array(sq2)))).as("blen"))
+    }),
+
     // SURVEY §2.2 exact point-on-line intersects (cross-product == 0).
     "intersects_point_line" -> ((s, dir) => {
       val line = array(lit(0.0), lit(0.0), lit(1000.0), lit(1000.0))
@@ -367,6 +394,14 @@ object Queries {
          WHERE abs(((c_custkey*7919)%500)*2 - ((s_suppkey*7919)%500)*2)
              + abs(((c_custkey*104729)%500)*2 - ((s_suppkey*104729)%500)*2)
              <= (s_suppkey%25)*2 + 21""",
+    "sjoin_auto" ->
+      """SELECT c_custkey, s_suppkey
+         FROM customer, supplier
+         WHERE abs(((c_custkey*7919)%500)*2 - ((s_suppkey*7919)%500)*2)
+             + abs(((c_custkey*104729)%500)*2 - ((s_suppkey*104729)%500)*2)
+             <= (s_suppkey%25)*2 + 21""",
+    "mpoly_boundary_len" ->
+      """SELECT p_partkey, 16.0*((p_partkey%5)+1) AS blen FROM part""",
     "oriented_area" ->
       """SELECT p_partkey,
          4.0*((p_partkey%5)+1)*((p_partkey%5)+1) - 4.0*(p_partkey%5)*(p_partkey%5) AS area
