@@ -157,6 +157,36 @@ object KernelProperties extends Properties("kernels") {
         }
     }
 
+  // -- oracle 5: polygon-vs-rect via edge-SAT + corner containment -------
+  // polygon ∩ rect ≠ ∅  ⟺  some edge hits the rect (covers polygon-
+  // inside-rect too: a segment interior to the rect always separates its
+  // corners)  ∨  the rect is entirely inside the polygon (all corners in)
+  property("polygon-vs-rect kernel == edge-SAT + corner-containment oracle") =
+    forAll(simplePolyGen, coord, coord, Gen.choose(1, 30), Gen.choose(1, 30)) {
+      (ring, rx, ry, w, h) =>
+        (ring.length >= 8) ==> {
+          // half-integer rect corners never coincide with integer vertices
+          val rx0 = rx + 0.5; val ry0 = ry + 0.5
+          val rx1 = rx0 + w; val ry1 = ry0 + h
+          val corners = Seq((rx0, ry0), (rx0, ry1), (rx1, ry0), (rx1, ry1))
+          // skip rects whose corner sits exactly on a polygon edge — the
+          // oracle's strict/non-strict boundary choices differ there
+          corners.forall { case (cx, cy) => !onBoundary(cx, cy, ring) } ==> {
+            val edgeHit = (0 until ring.length - 2 by 2).exists { i =>
+              satSegmentHitsRect(ring(i), ring(i + 1), ring(i + 2), ring(i + 3),
+                rx0, ry0, rx1, ry1)
+            }
+            val rectInside = corners.forall { case (cx, cy) =>
+              crossingNumberInside(cx, cy, ring) }
+            val want = edgeHit || rectInside
+            val got = Kernels.polygonIntersectsBounds(rx0, ry0, rx1, ry1,
+              ring, Array(0, ring.length))
+            Prop(got == want) :|
+              s"ring=${ring.toSeq} rect=($rx0,$ry0,$rx1,$ry1) kernel=$got edge=$edgeHit inside=$rectInside"
+          }
+        }
+    }
+
   // -- serde round trips on arbitrary doubles ----------------------------
   private val doubleCoord: Gen[Double] =
     Gen.oneOf(Gen.choose(-1e6, 1e6), Gen.choose(-1.0, 1.0),
