@@ -114,13 +114,59 @@ object SpatialFilePruning {
   }
 }
 
-/** Session-extension entry point: optimizer rule injection for
-  * `spark.sql.extensions=graft.plans.GraftExtensions`. (The SQL st_*
-  * function surface is session-registered via `Geo.registerAll` /
-  * `Tx.registerAll`.) */
+/** Session-extension entry point — `spark.sql.extensions=
+  * graft.plans.GraftExtensions` gives a session the whole engine: both
+  * optimizer rules AND the SQL function surface (st_* spatial catalog +
+  * the text/vector pipeline functions), no registerAll call needed. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  import graft.functions._
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+  import org.apache.spark.sql.types.DoubleType
+
+  private def fn(ext: org.apache.spark.sql.SparkSessionExtensions,
+                 name: String, clazz: String,
+                 builder: Seq[Expression] => Expression): Unit =
+    ext.injectFunction((FunctionIdentifier(name),
+      new ExpressionInfo(clazz, name), builder))
+
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(session => SpatialFilePruning(session))
     ext.injectOptimizerRule(session => SpatialJoinRewrite(session))
+
+    fn(ext, "st_area", classOf[StArea].getName, es => StArea(es.head))
+    fn(ext, "st_length", classOf[StLength].getName, es => StLength(es.head))
+    fn(ext, "st_bounds", classOf[StBounds].getName, es => StBounds(es.head))
+    fn(ext, "st_boundary", classOf[StBoundary].getName, es => StBoundary(es.head))
+    fn(ext, "st_oriented", classOf[StOriented].getName, es => StOriented(es.head))
+    for (kind <- Seq("point", "multipoint", "line", "multiline", "polygon", "multipolygon")) {
+      fn(ext, s"st_${kind}_intersects_bounds", classOf[StIntersectsBounds].getName,
+        es => StIntersectsBounds(es(0), Cast(es(1), DoubleType), Cast(es(2), DoubleType),
+          Cast(es(3), DoubleType), Cast(es(4), DoubleType), kind))
+      fn(ext, s"st_intersects_$kind", classOf[StIntersects].getName,
+        es => StIntersects(es(0), es(1), kind))
+      fn(ext, s"st_astext_$kind", classOf[StAsText].getName, es => StAsText(es.head, kind))
+      fn(ext, s"st_geomfromtext_$kind", classOf[StGeomFromText].getName,
+        es => StGeomFromText(es.head, kind))
+      fn(ext, s"st_asgeojson_$kind", classOf[StAsGeoJson].getName,
+        es => StAsGeoJson(es.head, kind))
+      fn(ext, s"st_geomfromgeojson_$kind", classOf[StGeomFromGeoJson].getName,
+        es => StGeomFromGeoJson(es.head, kind))
+    }
+    fn(ext, "simhash64", classOf[SimHash64].getName, es => SimHash64(es.head, 3, 42L))
+    fn(ext, "minhash_signature", classOf[MinHashSignature].getName,
+      es => MinHashSignature(es.head, 3, 64, 42L))
+    fn(ext, "ngram_jaccard", classOf[NgramJaccard].getName,
+      es => NgramJaccard(es(0), es(1), 3))
+    fn(ext, "doc_fingerprint", classOf[DocFingerprint].getName,
+      es => DocFingerprint(es.head, 42L))
+    fn(ext, "cosine_similarity", classOf[CosineSimilarity].getName,
+      es => CosineSimilarity(es(0), es(1)))
+    fn(ext, "quantized_dot", classOf[QuantizedDot].getName,
+      es => QuantizedDot(es(0), es(1), 1000.0))
+    fn(ext, "srp_bits", classOf[SrpBits].getName, es => SrpBits(es.head, 16, 42L))
+    fn(ext, "lang_id", classOf[LangId].getName, es => LangId(es.head,
+      Seq("es", "fr", "de", "en").map(l =>
+        l -> graft.pipeline.TextAnalysis.langStopwords(l))))
   }
 }
