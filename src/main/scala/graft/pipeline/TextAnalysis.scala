@@ -18,6 +18,18 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("\\S+"), lit(0)))
 
+  /** BPE-style pre-tokenizer pattern (GPT-2 family): contractions,
+    * letter runs, digit runs, punctuation runs, whitespace runs — kept
+    * RE2-compatible (no lookahead) so the same pattern runs in the
+    * DuckDB oracle. */
+  val bpePattern: String =
+    "'(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Number of BPE-ish pre-tokens — the token-budget estimator a
+    * training-data pipeline uses before real BPE. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpePattern), lit(0)))
+
   /** Occurrences of `needle` in `text` (non-overlapping, left-to-right) —
     * pure length arithmetic so it is expressible in any SQL oracle. */
   def occurrences(text: Column, needle: String): Column =

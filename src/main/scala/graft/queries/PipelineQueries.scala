@@ -53,6 +53,12 @@ object PipelineQueries {
         col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
     }),
 
+    "bpe_token_stats" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.bpeTokenCount(col("text")).as("bpe_tokens"),
+        TextAnalysis.tokenCount(col("text")).as("ws_tokens"))
+    }),
+
     "fingerprint_md5" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
         md5(col("text").cast("binary")).as("fp"))
@@ -188,6 +194,11 @@ object PipelineQueries {
               ${langScoreSql("en")} AS stop_hits
             FROM (SELECT doc_id, text, ' '||lower(text)||' ' AS p FROM documents)
           )""",
+    "bpe_token_stats" ->
+      s"""SELECT doc_id,
+            len(regexp_extract_all(text, '${TextAnalysis.bpePattern.replace("'", "''")}')) AS bpe_tokens,
+            len(regexp_extract_all(text, '\\S+')) AS ws_tokens
+          FROM documents""",
     "fingerprint_md5" ->
       "SELECT doc_id, md5(text) AS fp FROM documents",
     "minhash_dup_pairs" ->
