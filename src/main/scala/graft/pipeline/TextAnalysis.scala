@@ -63,16 +63,25 @@ object TextAnalysis {
         langs.map(l => l -> langStopwords(l))))
   }
 
-  /** Quality features: token count, char count, mean token length x100
-    * (integer), stopword hits; quality flag = enough tokens, sane mean
-    * token length, at least one stopword. All-integer arithmetic. */
+  /** Quality features: token count, char count, punctuation count, mean
+    * token length x100 (integer), stopword hits; quality flag = enough
+    * tokens, sane mean token length, at least one stopword, not
+    * punctuation-drowned. All-integer arithmetic (engine-portable). */
   def qualityColumns(text: Column): Seq[(String, Column)] = {
     val toks = tokenCount(text)
     val chars = length(text)
     val stop = langScore(concat(lit(" "), lower(text), lit(" ")), "en")
+    // count of . , ! ? ; : — plain length/replace arithmetic so any SQL
+    // oracle computes the identical number (no regex class divergence)
+    val punct = Seq(".", ",", "!", "?", ";", ":")
+      .map(c => occurrences(text, c)).reduce(_ + _)
     val meanTokLenX100 = when(toks > 0, floor((chars * 100) / toks)).otherwise(lit(0)).cast("long")
-    val flag = (toks >= 5) && (meanTokLenX100 >= 200) && (meanTokLenX100 <= 2000) && (stop >= 1)
-    Seq("tokens" -> toks, "chars" -> chars, "stop_hits" -> stop,
-      "mean_tok_len_x100" -> meanTokLenX100, "quality_ok" -> flag.cast("int"))
+    // punct_x1000: punctuation per 1000 chars (integer ratio)
+    val punctX1000 = when(chars > 0, floor((punct * 1000) / chars)).otherwise(lit(0)).cast("long")
+    val flag = (toks >= 5) && (meanTokLenX100 >= 200) && (meanTokLenX100 <= 2000) &&
+      (stop >= 1) && (punctX1000 <= 300)
+    Seq("tokens" -> toks, "chars" -> chars, "stop_hits" -> stop, "punct" -> punct,
+      "mean_tok_len_x100" -> meanTokLenX100, "punct_x1000" -> punctX1000,
+      "quality_ok" -> flag.cast("int"))
   }
 }

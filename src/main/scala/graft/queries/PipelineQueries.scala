@@ -182,16 +182,20 @@ object PipelineQueries {
             FROM (SELECT ' '||lower(text)||' ' AS p FROM documents)
           ) GROUP BY 1""",
     "quality_flags" ->
-      s"""SELECT doc_id, tokens, chars, stop_hits,
+      s"""SELECT doc_id, tokens, chars, stop_hits, punct,
             CASE WHEN tokens > 0 THEN CAST(floor((chars*100)/tokens) AS BIGINT) ELSE 0 END AS mean_tok_len_x100,
+            CASE WHEN chars > 0 THEN CAST(floor((punct*1000)/chars) AS BIGINT) ELSE 0 END AS punct_x1000,
             CAST((tokens >= 5 AND
                   (CASE WHEN tokens > 0 THEN CAST(floor((chars*100)/tokens) AS BIGINT) ELSE 0 END) BETWEEN 200 AND 2000
-                  AND stop_hits >= 1) AS INT) AS quality_ok
+                  AND stop_hits >= 1
+                  AND (CASE WHEN chars > 0 THEN CAST(floor((punct*1000)/chars) AS BIGINT) ELSE 0 END) <= 300) AS INT) AS quality_ok
           FROM (
             SELECT doc_id,
               len(regexp_extract_all(text, '\\S+')) AS tokens,
               length(text) AS chars,
-              ${langScoreSql("en")} AS stop_hits
+              ${langScoreSql("en")} AS stop_hits,
+              ${Seq(".", ",", "!", "?", ";", ":").map(c =>
+                s"(length(text)-length(replace(text,'$c','')))").mkString("(", " + ", ")")} AS punct
             FROM (SELECT doc_id, text, ' '||lower(text)||' ' AS p FROM documents)
           )""",
     "bpe_token_stats" ->
