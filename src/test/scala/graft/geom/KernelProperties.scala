@@ -187,6 +187,60 @@ object KernelProperties extends Properties("kernels") {
         }
     }
 
+  // -- oracle 6: multi-part kernels == any(part hits) over the same
+  // single-part oracles (catches offset-slicing bugs) --------------------
+  private val multiSegGen: Gen[List[Array[Double]]] = for {
+    n <- Gen.choose(1, 5)
+    segs <- Gen.listOfN(n, Gen.zip(coord, coord, coord, coord))
+  } yield segs.map { case (a, b, c, d) =>
+    Array(a.toDouble, b.toDouble, c.toDouble, d.toDouble) }
+
+  property("multiline-vs-rect kernel == any(segment SAT oracle)") =
+    forAll(multiSegGen, coord, coord, Gen.choose(1, 30), Gen.choose(1, 30)) {
+      (segs, rx, ry, w, h) =>
+        val rx0 = rx.toDouble; val ry0 = ry.toDouble
+        val rx1 = rx0 + w; val ry1 = ry0 + h
+        val values = segs.flatten.toArray
+        val offsets = segs.scanLeft(0)(_ + _.length).toArray
+        val got = Kernels.lineIntersectsBounds(rx0, ry0, rx1, ry1, values, offsets)
+        val want = segs.exists(s =>
+          satSegmentHitsRect(s(0), s(1), s(2), s(3), rx0, ry0, rx1, ry1))
+        Prop(got == want) :| s"kernel=$got oracle=$want"
+    }
+
+  property("multipolygon-vs-rect kernel == any(polygon kernel)") =
+    forAll(Gen.listOfN(3, simplePolyGen), coord, coord,
+      Gen.choose(1, 30), Gen.choose(1, 30)) { (rings0, rx, ry, w, h) =>
+        val rings = rings0.filter(_.length >= 8)
+        (rings.nonEmpty) ==> {
+          val rx0 = rx + 0.5; val ry0 = ry + 0.5
+          val rx1 = rx0 + w; val ry1 = ry0 + h
+          val values = rings.flatten.toArray
+          val ringOffsets = rings.scanLeft(0)(_ + _.length).toArray
+          val polyOffsets = (0 to rings.length).toArray // one ring per polygon
+          val got = Kernels.multipolygonIntersectsBounds(rx0, ry0, rx1, ry1,
+            values, ringOffsets, polyOffsets)
+          val want = rings.exists(r =>
+            Kernels.polygonIntersectsBounds(rx0, ry0, rx1, ry1, r, Array(0, r.length)))
+          Prop(got == want) :| s"kernel=$got oracle=$want"
+        }
+    }
+
+  // -- oracle 7: orientation normalization invariants --------------------
+  property("orientPolygons: shell CCW afterwards, |area| preserved, idempotent") =
+    forAll(simplePolyGen) { ring =>
+      (ring.length >= 8) ==> {
+        val v1 = ring.clone()
+        Kernels.orientPolygons(v1, Array(0, ring.length), Array(0, 1))
+        val a1 = Kernels.area(v1, Array(0, v1.length))
+        val a0 = Kernels.area(ring, Array(0, ring.length))
+        val v2 = v1.clone()
+        Kernels.orientPolygons(v2, Array(0, v2.length), Array(0, 1))
+        Prop(a1 == math.abs(a0) && v2.sameElements(v1)) :|
+          s"a0=$a0 a1=$a1 idempotent=${v2.sameElements(v1)}"
+      }
+    }
+
   // -- serde round trips on arbitrary doubles ----------------------------
   private val doubleCoord: Gen[Double] =
     Gen.oneOf(Gen.choose(-1e6, 1e6), Gen.choose(-1.0, 1.0),
