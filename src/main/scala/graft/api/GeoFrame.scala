@@ -129,7 +129,9 @@ final case class GeoFrame(df: DataFrame, geometryCol: String, kind: String) {
     * (the only single-task step runs over numPartitions rows). */
   def padNaPartitioned(orderCol: Column, numPartitions: Int): GeoFrame = {
     import org.apache.spark.sql.expressions.Window
-    // persist so pass 1 and pass 2 observe identical partition ids
+    // persist so pass 1 and pass 2 observe identical partition ids; the
+    // cached bucketed frame stays pinned until the session drops it
+    // (spark.catalog.clearCache() or df.unpersist() by the caller)
     val bucketed = df.repartitionByRange(numPartitions, orderCol)
       .withColumn("__pid", spark_partition_id())
       .persist()

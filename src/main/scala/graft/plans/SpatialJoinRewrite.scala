@@ -29,6 +29,8 @@ case class SpatialJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def cellSize: Double =
     spark.conf.get("spark.graft.sjoin.cellSize", "64.0").toDouble
+  private def salt: Int =
+    spark.conf.get("spark.graft.sjoin.salt", "1").toInt
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(a, b) => conjuncts(a) ++ conjuncts(b)
@@ -67,7 +69,7 @@ case class SpatialJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
               val joined = SpatialJoin.gridInner(
                 Bridge.ofRows(spark, ptSide), Bridge.ofRows(spark, gmSide),
                 Bridge.column(p), Bridge.column(g),
-                si.rightKind, cellSize)
+                si.rightKind, cellSize, salt)
               // child plans are embedded as-is, so every original
               // attribute (exprId included) survives; restore the
               // join's output order with a final Project
