@@ -38,6 +38,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("geofencing: streaming points spatially joined to static polygons") {
+    import graft.Geo._
+    implicit val sc = spark.sqlContext
+    // static fences: two diamonds around (10,10) and (50,50)
+    val fences = Seq(
+      (1L, Seq(Seq(15.0, 10, 10, 15, 5, 10, 10, 5, 15, 10))),
+      (2L, Seq(Seq(55.0, 50, 50, 55, 45, 50, 50, 45, 55, 50)))
+    ).toDF("fence_id", "fence")
+    val input = MemoryStream[(Long, Double, Double)]
+    val pts = input.toDF().toDF("event_id", "x", "y")
+      .withColumn("pt", st_point(col("x"), col("y")))
+    val enriched = graft.tools.SpatialJoin.gridInner(
+      pts, fences, col("pt"), col("fence"), "polygon", cellSize = 20.0)
+    val q = enriched.select("event_id", "fence_id")
+      .writeStream.format("memory").queryName("geofence_out")
+      .outputMode("append").start()
+    try {
+      input.addData((100L, 10.0, 10.0), (101L, 30.0, 30.0), (102L, 50.0, 50.0))
+      q.processAllAvailable()
+      input.addData((103L, 12.0, 10.0), (104L, 90.0, 90.0))
+      q.processAllAvailable()
+      val hits = spark.table("geofence_out")
+        .as[(Long, Long)].collect().toSet
+      assert(hits == Set((100L, 1L), (102L, 2L), (103L, 1L)), hits.toString)
+    } finally q.stop()
+  }
+
   test("watermarked hourly counts and session windows run on a stream") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
