@@ -42,6 +42,12 @@ object Geo {
         max(finite(b.getField("x1"))).as("x1"), max(finite(b.getField("y1"))).as("y1"))
   }
 
+  /** The same four totals as ONE custom aggregate expression returning
+    * struct(x0,y0,x1,y1) — usable in SQL (`SELECT st_total_bounds(g)`)
+    * and anywhere a single aggregate column is more ergonomic. */
+  def st_total_bounds_agg(g: Column): Column =
+    Bridge.column(StTotalBoundsAgg(Bridge.expression(g)).toAggregateExpression())
+
   // ---- predicates ----------------------------------------------------
   private def intersectsBounds(g: Column, kind: String,
                                x0: Column, y0: Column, x1: Column, y1: Column): Column =
@@ -98,6 +104,8 @@ object Geo {
     Bridge.registerFunction(spark, "st_bounds", es => StBounds(es.head))
     Bridge.registerFunction(spark, "st_boundary", es => StBoundary(es.head))
     Bridge.registerFunction(spark, "st_oriented", es => StOriented(es.head))
+    Bridge.registerFunction(spark, "st_total_bounds",
+      es => StTotalBoundsAgg(es.head).toAggregateExpression())
     for (kind <- Seq("point", "multipoint", "line", "multiline", "polygon", "multipolygon")) {
       // SQL numeric literals may arrive as Decimal — cast bounds to double
       Bridge.registerFunction(spark, s"st_${kind}_intersects_bounds",

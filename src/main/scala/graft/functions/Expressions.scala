@@ -4,6 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -178,6 +179,53 @@ case class StHilbertDistance(geom: Expression, tx0: Expression, ty0: Expression,
 
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
     copy(geom = cs(0), tx0 = cs(1), ty0 = cs(2), tx1 = cs(3), ty1 = cs(4))
+}
+
+/** Whole-frame bounds as ONE custom aggregate: (x0, y0, x1, y1) over all
+  * finite per-row bounds — the reference's total_bounds
+  * (_algorithms/bounds.py:6-33; dask tree-aggregate dask.py:43-51).
+  * DeclarativeAggregate: updates/merges are pure expressions, so Spark
+  * plans map-side partial aggregation (the tree-aggregate) natively.
+  * NaN per-row bounds (empty geometries) are mapped to null before
+  * Least/Greatest, which skip nulls — empties never poison the totals. */
+case class StTotalBoundsAgg(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
+    with UnaryLike[Expression] {
+  override def dataType: DataType = GeomData.boundsType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_total_bounds"
+
+  private lazy val bx0 = AttributeReference("bx0", DoubleType)()
+  private lazy val by0 = AttributeReference("by0", DoubleType)()
+  private lazy val bx1 = AttributeReference("bx1", DoubleType)()
+  private lazy val by1 = AttributeReference("by1", DoubleType)()
+  override lazy val aggBufferAttributes: Seq[AttributeReference] =
+    Seq(bx0, by0, bx1, by1)
+  override lazy val initialValues: Seq[Expression] =
+    Seq.fill(4)(Literal(null, DoubleType))
+
+  private def nanToNull(e: Expression): Expression =
+    If(IsNaN(e), Literal(null, DoubleType), e)
+
+  override lazy val updateExpressions: Seq[Expression] = {
+    val b = StBounds(child)
+    Seq(
+      Least(Seq(bx0, nanToNull(GetStructField(b, 0, Some("x0"))))),
+      Least(Seq(by0, nanToNull(GetStructField(b, 1, Some("y0"))))),
+      Greatest(Seq(bx1, nanToNull(GetStructField(b, 2, Some("x1"))))),
+      Greatest(Seq(by1, nanToNull(GetStructField(b, 3, Some("y1"))))))
+  }
+
+  override lazy val mergeExpressions: Seq[Expression] = Seq(
+    Least(Seq(bx0.left, bx0.right)), Least(Seq(by0.left, by0.right)),
+    Greatest(Seq(bx1.left, bx1.right)), Greatest(Seq(by1.left, by1.right)))
+
+  override lazy val evaluateExpression: Expression =
+    CreateNamedStruct(Seq(
+      Literal("x0"), bx0, Literal("y0"), by0,
+      Literal("x1"), bx1, Literal("y1"), by1))
+
+  override protected def withNewChildInternal(c: Expression): StTotalBoundsAgg = copy(c)
 }
 
 /** Boundary: polygon -> multiline (same physical value), multipolygon ->

@@ -139,6 +139,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     fn(ext, "st_bounds", classOf[StBounds].getName, es => StBounds(es.head))
     fn(ext, "st_boundary", classOf[StBoundary].getName, es => StBoundary(es.head))
     fn(ext, "st_oriented", classOf[StOriented].getName, es => StOriented(es.head))
+    fn(ext, "st_total_bounds", classOf[StTotalBoundsAgg].getName,
+      es => StTotalBoundsAgg(es.head).toAggregateExpression())
     for (kind <- Seq("point", "multipoint", "line", "multiline", "polygon", "multipolygon")) {
       fn(ext, s"st_${kind}_intersects_bounds", classOf[StIntersectsBounds].getName,
         es => StIntersectsBounds(es(0), Cast(es(1), DoubleType), Cast(es(2), DoubleType),

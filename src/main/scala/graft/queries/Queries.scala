@@ -143,13 +143,17 @@ object Queries {
         b.getField("x1").as("x1"), b.getField("y1").as("y1"))
     }),
 
-    // SURVEY §2.4 total_bounds as a partial-aggregating min/max compose.
+    // SURVEY §2.4 total_bounds via the custom DeclarativeAggregate
+    // (st_total_bounds_agg — one aggregate, native partial aggregation);
+    // the min/max-compose twin is covered by GeoFrame.totalBounds tests.
     "total_bounds_points" -> ((s, dir) => {
       val sup = t(s, dir, "supplier")
         .withColumn("pt", st_point(((col("s_suppkey") * 7919) % 1000).cast("double"),
           ((col("s_suppkey") * 104729) % 1000).cast("double")))
-      val tb = st_total_bounds(col("pt"))
-      sup.agg(tb.head, tb.tail: _*)
+      val tb = st_total_bounds_agg(col("pt"))
+      sup.agg(tb.as("tb"))
+        .select(col("tb.x0").as("x0"), col("tb.y0").as("y0"),
+          col("tb.x1").as("x1"), col("tb.y1").as("y1"))
     }),
 
     // SURVEY §3.2 sjoin: point-in-polygon via grid-cell equi-join +

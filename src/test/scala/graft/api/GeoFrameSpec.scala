@@ -40,6 +40,25 @@ class GeoFrameSpec extends AnyFunSuite {
     assert(tb == ((r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))))
   }
 
+  test("st_total_bounds_agg == min/max compose, skips empties, groups") {
+    val df = Seq(
+      ("a", Seq(1.0, 2.0, 3.0, 4.0)),
+      ("a", Seq.empty[Double]),
+      ("b", Seq(5.0, 6.0)),
+      ("b", Seq(-1.0, 9.0))).toDF("k", "mp")
+    val r = df.groupBy("k")
+      .agg(st_total_bounds_agg(col("mp")).as("tb"))
+      .orderBy("k")
+      .select(col("k"), col("tb.x0"), col("tb.y0"), col("tb.x1"), col("tb.y1"))
+      .collect()
+    assert(r(0).toSeq == Seq("a", 1.0, 2.0, 3.0, 4.0))
+    assert(r(1).toSeq == Seq("b", -1.0, 6.0, 5.0, 9.0))
+    // all-empty group -> all-null struct
+    val empty = Seq(("z", Seq.empty[Double])).toDF("k", "mp")
+      .agg(st_total_bounds_agg(col("mp")).as("tb")).select("tb.x0").head()
+    assert(empty.isNullAt(0))
+  }
+
   test("totalBounds ignores empty/all-NaN geometries (ADVICE r1)") {
     // an empty multipoint has NaN per-row bounds; the frame totals must
     // skip it like the reference's bounds kernels skip non-finite coords
