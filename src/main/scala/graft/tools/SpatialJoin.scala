@@ -125,8 +125,10 @@ object SpatialJoin {
                            pointCol: String, geomCol: String, geomKind: String,
                            rightKey: String): DataFrame = {
     val spark = points.sparkSession
-    val keyed = geoms.select(col(rightKey).cast("long"),
-      st_bounds(col(geomCol))).collect()
+    // null geometries can match nothing — drop them from the index build
+    // (the reference's sjoin skips missing rows the same way)
+    val keyed = geoms.where(col(geomCol).isNotNull)
+      .select(col(rightKey).cast("long"), st_bounds(col(geomCol))).collect()
     val n = keyed.length
     val keys = new Array[Long](n)
     val bounds = new Array[Double](n * 4)

@@ -76,7 +76,10 @@ class SpatialJoinSpec extends AnyFunSuite {
       .withColumn("pt", when(col("raw").isNotNull,
         st_point(col("raw._1"), col("raw._2"))))
       .drop("raw")
-    val polys = Seq((1L, Seq(Seq(0.0, 0, 10, 0, 10, 10, 0, 10, 0, 0))))
+    // a null build-side geometry must be skipped, not NPE the index build
+    val polys = Seq(
+      (1L, Some(Seq(Seq(0.0, 0, 10, 0, 10, 10, 0, 10, 0, 0)))),
+      (2L, Option.empty[Seq[Seq[Double]]]))
       .toDF("gid", "poly")
     val out = SpatialJoin.broadcastPointInGeom(pts, polys, "pt", "poly",
         "polygon", rightKey = "gid")
