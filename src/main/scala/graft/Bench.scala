@@ -15,14 +15,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JIT/codegen/session warmup on the smallest sf so the first timed
-    // query doesn't absorb one-time startup cost.
+    // JIT/codegen/session warmup: run EVERY query once on the smallest
+    // sf so the timed sf0.1 pass measures steady state, not one-time
+    // codegen compilation.
     val warmDir = "/root/testdata/sf0.001"
-    Seq("cx_bbox_points", "area_polygons", "q1_agg", "window_top_orders")
-      .foreach { q =>
-        try SparkEntry.queries(q)(spark, warmDir).count()
-        catch { case _: Throwable => }
-      }
+    SparkEntry.queries.keys.foreach { q =>
+      try SparkEntry.queries(q)(spark, warmDir).count()
+      catch { case _: Throwable => }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -313,6 +313,25 @@ object Queries {
         .agg(count(lit(1)).as("n"), min(col("value")).as("vmin"), max(col("value")).as("vmax"))
     }),
 
+    // SURVEY §2.7 sessionization — session_window (the Structured
+    // Streaming session operator, here in batch) checked against a
+    // gaps-and-islands SQL oracle: a session breaks when the gap to the
+    // previous event is >= 30 minutes (Spark session end is exclusive).
+    "event_sessions" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .groupBy(session_window(col("ts"), "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("ts")).as("session_start"))
+        .select(col("event_type"), col("session_start"), col("n"))
+    }),
+
+    // Vocabulary stats via explode (Generate): exact distinct tokens.
+    "vocab_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("tok"))
+        .agg(count_distinct(col("tok")).as("vocab"), count(lit(1)).as("total_tokens"))
+    }),
+
     // Pipeline: exact dedup on documents.
     "dedup_exact" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -454,6 +473,24 @@ object Queries {
       """SELECT date_trunc('hour', ts) AS hour, event_type,
                 count(*) AS n, min(value) AS vmin, max(value) AS vmax
          FROM events GROUP BY 1, 2""",
+    "event_sessions" ->
+      """WITH d AS (
+           SELECT event_type, ts,
+                  CASE WHEN lag(ts) OVER (PARTITION BY event_type ORDER BY ts) IS NULL
+                         OR ts - lag(ts) OVER (PARTITION BY event_type ORDER BY ts)
+                            >= INTERVAL '30 minutes'
+                       THEN 1 ELSE 0 END AS brk
+           FROM events),
+         s AS (
+           SELECT event_type, ts,
+                  sum(brk) OVER (PARTITION BY event_type ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+           FROM d)
+         SELECT event_type, min(ts) AS session_start, count(*) AS n
+         FROM s GROUP BY event_type, sid""",
+    "vocab_stats" ->
+      """SELECT count(DISTINCT tok) AS vocab, count(*) AS total_tokens
+         FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS tok FROM documents)""",
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS dup_cnt
          FROM documents GROUP BY text""",
