@@ -53,22 +53,38 @@ object Streams {
   def dedupFirstSeen(docs: Dataset[DocEvent],
                      stateTtl: Option[String] = None): Dataset[DocEvent] = {
     import docs.sparkSession.implicits._
-    val ttlMs = stateTtl.map(s =>
-      org.apache.spark.network.util.JavaUtils.timeStringAsMs(s))
+    // same "10 minutes"-style parsing as withWatermark
+    val ttlMs = stateTtl.map { s =>
+      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      require(iv.months == 0, s"stateTtl must not use months: $s")
+      iv.days * 86400000L + iv.microseconds / 1000L
+    }
     val timeout = if (ttlMs.isDefined) GroupStateTimeout.EventTimeTimeout
                   else GroupStateTimeout.NoTimeout
 
+    // state value = expiry timestamp (first-seen time + TTL). NOTE:
+    // GroupState timeouts are CLEARED on every function invocation, so
+    // the timeout must be re-armed each time the group receives data —
+    // including on duplicates — or the state would never expire.
     def fn(fp: Long, events: Iterator[DocEvent],
-           state: GroupState[Boolean]): Iterator[DocEvent] = {
+           state: GroupState[Long]): Iterator[DocEvent] = {
       if (state.hasTimedOut) { state.remove(); Iterator.empty }
-      else if (state.exists) Iterator.empty
       else {
-        val first = events.reduceOption((a, b) =>
-          if (b.ts.before(a.ts) || (a.ts == b.ts && b.docId < a.docId)) b else a)
-        state.update(true)
-        ttlMs.foreach(ttl => state.setTimeoutTimestamp(
-          first.map(_.ts.getTime).getOrElse(0L) + ttl))
-        first.iterator
+        val wm = if (ttlMs.isDefined) state.getCurrentWatermarkMs() else Long.MinValue
+        val expired = state.exists && ttlMs.isDefined && state.get <= wm
+        if (state.exists && !expired) {
+          ttlMs.foreach(_ => state.setTimeoutTimestamp(state.get)) // re-arm
+          Iterator.empty
+        } else {
+          if (expired) state.remove()
+          val first = events.reduceOption((a, b) =>
+            if (b.ts.before(a.ts) || (a.ts == b.ts && b.docId < a.docId)) b else a)
+          val expiry = first.map(_.ts.getTime).getOrElse(0L) + ttlMs.getOrElse(0L)
+          state.update(expiry)
+          ttlMs.foreach(_ => state.setTimeoutTimestamp(math.max(expiry, wm + 1)))
+          first.iterator
+        }
       }
     }
 

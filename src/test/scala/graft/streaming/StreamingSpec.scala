@@ -16,7 +16,7 @@ class StreamingSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def ts(minute: Int): Timestamp =
-    Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+    Timestamp.valueOf(f"2026-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00")
 
   test("streaming dedupFirstSeen drops repeats across micro-batches") {
     implicit val sc = spark.sqlContext
@@ -35,6 +35,38 @@ class StreamingSpec extends AnyFunSuite {
       val kept = spark.table("dedup_out").select("docId").as[Long]
         .collect().toSet
       assert(kept == Set(1L, 3L, 5L))
+    } finally q.stop()
+  }
+
+  test("dedupFirstSeen with state TTL re-admits a fingerprint after expiry") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[DocEvent]
+    val q = Streams.dedupFirstSeen(
+        input.toDS().withWatermark("ts", "0 seconds"),
+        stateTtl = Some("10 minutes"))
+      .writeStream.format("memory").queryName("dedup_ttl_out")
+      .outputMode("append").start()
+    try {
+      // t=0: first sighting of fp=10 -> kept; state times out at t=10min
+      input.addData(DocEvent(1, 10, ts(0)))
+      q.processAllAvailable()
+      // t=5min (within TTL): duplicate dropped; watermark advances
+      input.addData(DocEvent(2, 10, ts(5)))
+      q.processAllAvailable()
+      // advance the watermark far past the timeout...
+      input.addData(DocEvent(3, 99, ts(59)))
+      q.processAllAvailable()
+      // ...then a batch WITHOUT fp=10 lets its timed-out state get
+      // removed (timeouts fire only for groups absent from the batch);
+      // event times stay ahead of the watermark so rows aren't late
+      input.addData(DocEvent(5, 98, ts(75)))
+      q.processAllAvailable()
+      // fp=10 reappears after expiry -> treated as first-seen again
+      input.addData(DocEvent(4, 10, ts(80)))
+      q.processAllAvailable()
+      val kept = spark.table("dedup_ttl_out").select("docId").as[Long]
+        .collect().toSet
+      assert(kept == Set(1L, 3L, 5L, 4L), kept.toString)
     } finally q.stop()
   }
 
