@@ -69,6 +69,21 @@ final case class GeoFrame(df: DataFrame, geometryCol: String, kind: String) {
   def cx(x0: Double, y0: Double, x1: Double, y1: Double): GeoFrame =
     copy(df = df.where(intersectsBounds(x0, y0, x1, y1)))
 
+  /** `cx` with open slice ends: a None bound defaults to the frame's
+    * total bounds, like the reference's open slices `gdf.cx[:x1, y0:]`
+    * (reference: geometry/base.py:661-689 — open ends resolve against
+    * total_bounds). Costs one bounds aggregate when any end is open. */
+  def cxOpen(x0: Option[Double] = None, y0: Option[Double] = None,
+             x1: Option[Double] = None, y1: Option[Double] = None): GeoFrame = {
+    if (Seq(x0, y0, x1, y1).forall(_.isDefined))
+      cx(x0.get, y0.get, x1.get, y1.get)
+    else {
+      val (tx0, ty0, tx1, ty1) = totalBounds
+      cx(x0.getOrElse(tx0), y0.getOrElse(ty0),
+         x1.getOrElse(tx1), y1.getOrElse(ty1))
+    }
+  }
+
   /** Hilbert distance column over given (or computed) total bounds
     * (reference: geometry/base.py:603-615). */
   def hilbertDistance(p: Int = 15,

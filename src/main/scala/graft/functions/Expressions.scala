@@ -140,6 +140,7 @@ case class StIntersects(point: Expression, other: Expression, rightKind: String)
 case class StHilbertDistance(geom: Expression, tx0: Expression, ty0: Expression,
                              tx1: Expression, ty1: Expression, p: Int)
     extends Expression {
+  require(p >= 1 && p <= 31, s"hilbert order p must be in [1,31] (2p bits in a long), got $p")
   override def children: Seq[Expression] = Seq(geom, tx0, ty0, tx1, ty1)
   override def dataType: DataType = LongType
   override def nullable: Boolean = children.exists(_.nullable)

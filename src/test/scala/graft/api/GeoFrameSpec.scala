@@ -40,6 +40,17 @@ class GeoFrameSpec extends AnyFunSuite {
     assert(tb == ((r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))))
   }
 
+  test("cxOpen: open slice ends default to total bounds") {
+    val df = pointsDf(200)
+    val gf = GeoFrame(df, "pt", "point")
+    // only an upper x bound: everything with x <= 40 (y unbounded)
+    val open = gf.cxOpen(x1 = Some(40.0)).df.select("id").as[Long].collect().toSet
+    val expect = df.where(col("x") <= 40.0).select("id").as[Long].collect().toSet
+    assert(open == expect && open.nonEmpty)
+    // all ends open = identity
+    assert(gf.cxOpen().df.count() == df.count())
+  }
+
   test("st_total_bounds_agg == min/max compose, skips empties, groups") {
     val df = Seq(
       ("a", Seq(1.0, 2.0, 3.0, 4.0)),
