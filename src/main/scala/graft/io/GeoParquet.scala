@@ -98,6 +98,27 @@ object GeoParquet {
     GeoFrame(df, geomCol, kind)
   }
 
+  /** Read a CSV (header, any options via `options`) whose `wktCol`
+    * column holds WKT text, parsing it into a geometry column — the
+    * text-format ingestion twin of the parquet reader (reference's
+    * from_geopandas entry point over a different container). The parse
+    * is a per-row expression, so it streams at scan parallelism. */
+  def readCsvWkt(spark: SparkSession, path: String, wktCol: String,
+                 kind: String, geomCol: String = "geometry",
+                 options: Map[String, String] = Map("header" -> "true")): GeoFrame = {
+    val df = spark.read.options(options).csv(path)
+      .withColumn(geomCol, st_geomfromtext(col(wktCol), kind))
+      .drop(wktCol)
+    GeoFrame(df, geomCol, kind)
+  }
+
+  /** Write a frame as CSV with the geometry serialized to WKT. */
+  def writeCsvWkt(gf: GeoFrame, path: String, mode: String = "error",
+                  wktCol: String = "wkt"): Unit =
+    gf.df.withColumn(wktCol, st_astext(gf.geometry, gf.kind))
+      .drop(gf.geometryCol)
+      .write.mode(mode).option("header", "true").csv(path)
+
   /** Driver-side R-tree over the dataset's per-file bounds — the
     * reference's `partition_sindex` (dask.py:73-76, rtree over
     * partition_bounds). Returns the tree plus the file name per leaf

@@ -291,6 +291,17 @@ object Queries {
         .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
     }),
 
+    // SURVEY §2.5 set ops (built-in): customers that placed orders vs
+    // not, via INTERSECT / EXCEPT on key sets.
+    "set_ops_counts" -> ((s, dir) => {
+      val custKeys = t(s, dir, "customer").select(col("c_custkey").as("k"))
+      val orderCust = t(s, dir, "orders").select(col("o_custkey").as("k"))
+      val active = custKeys.intersect(orderCust)
+      val inactive = custKeys.except(orderCust)
+      active.agg(count(lit(1)).as("n")).withColumn("which", lit("active"))
+        .unionAll(inactive.agg(count(lit(1)).as("n")).withColumn("which", lit("inactive")))
+    }),
+
     // Relational sanity: window top-3 orders per customer.
     "window_top_orders" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -463,6 +474,12 @@ object Queries {
          WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
            AND c_nationkey = n_nationkey
          GROUP BY n_name""",
+    "set_ops_counts" ->
+      """SELECT count(*) AS n, 'active' AS which
+         FROM (SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders)
+         UNION ALL
+         SELECT count(*) AS n, 'inactive' AS which
+         FROM (SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders)""",
     "window_top_orders" ->
       """SELECT o_custkey, o_orderkey, rn FROM (
            SELECT o_custkey, o_orderkey,

@@ -24,6 +24,29 @@ class GeoPruneSpec extends AnyFunSuite {
       case s: FileSourceScanExec => s.relation.location.inputFiles.length
     }.getOrElse(-1)
 
+  test("CSV+WKT round trip preserves geometry exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("csvwkt").toFile
+    try {
+      import spark.implicits._
+      val df = Seq(
+        (1L, Seq(Seq(0.0, 0, 3, 0, 3, 3, 0, 3, 0, 0))),
+        (2L, Seq(Seq(1.5, -2.5, 4.25, 0, 1.5, 7, 1.5, -2.5)))).toDF("id", "poly")
+      GeoParquet.writeCsvWkt(GeoFrame(df, "poly", "polygon"), s"$dir/csv",
+        mode = "overwrite")
+      val back = GeoParquet.readCsvWkt(spark, s"$dir/csv", "wkt", "polygon", "poly")
+      val got = back.df.select("id", "poly").as[(String, Seq[Seq[Double]])]
+        .collect().map { case (k, v) => (k.toLong, v) }.toMap
+      assert(got == Map(
+        1L -> Seq(Seq(0.0, 0, 3, 0, 3, 3, 0, 3, 0, 0)),
+        2L -> Seq(Seq(1.5, -2.5, 4.25, 0, 1.5, 7, 1.5, -2.5))))
+      // and the geometry functions work straight off the CSV source
+      assert(back.area.where(col("id") === 1).select("area")
+        .head().getDouble(0) == 9.0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    }
+  }
+
   test("filter over sidecar'd parquet scans only intersecting files") {
     val dir = java.nio.file.Files.createTempDirectory("prunespec").toFile
     try {
