@@ -48,6 +48,25 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("nested-schema pruning reads only the projected coordinate") {
+    val dir = java.nio.file.Files.createTempDirectory("nestedprune").toFile
+    try {
+      val pts = (0 until 100).map(i => (i.toLong, i.toDouble, (i * 2).toDouble))
+        .toDF("id", "x", "y").withColumn("pt", st_point(col("x"), col("y")))
+        .select("id", "pt")
+      pts.write.mode("overwrite").parquet(s"$dir/pts")
+      val q = spark.read.parquet(s"$dir/pts").select(st_x(col("pt")).as("px"))
+      val scan = q.queryExecution.executedPlan.toString
+      // the scan schema must contain pt.x but NOT pt.y
+      val readSchema = scan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+      assert(readSchema.contains("x:double") && !readSchema.contains("y:double"),
+        s"nested pruning missing: $readSchema")
+      assert(q.count() == 100)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    }
+  }
+
   test("grid spatial join plans as a hash join, never nested-loop") {
     val pts = (0 until 500).map(i => (i.toLong, (i % 97).toDouble, (i % 89).toDouble))
       .toDF("pid", "x", "y").withColumn("pt", st_point(col("x"), col("y")))
