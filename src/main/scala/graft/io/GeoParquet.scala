@@ -26,10 +26,15 @@ object GeoParquet {
 
   val SidecarName = "_spatial_metadata.json"
 
-  /** Write `gf` as parquet and attach the per-file bounds sidecar. */
-  def write(gf: GeoFrame, path: String, mode: String = "error"): Unit = {
+  /** Write `gf` as parquet and attach the per-file bounds sidecar. The
+    * sidecar covers the active geometry plus `extraGeomCols` — the
+    * reference records partition bounds for EVERY geometry column
+    * (io/parquet.py:143-182); queries filtering any sidecar'd column get
+    * file pruning. */
+  def write(gf: GeoFrame, path: String, mode: String = "error",
+            extraGeomCols: Seq[String] = Nil): Unit = {
     gf.df.write.mode(mode).parquet(path)
-    writeSidecar(gf.df.sparkSession, path, Seq(gf.geometryCol))
+    writeSidecar(gf.df.sparkSession, path, gf.geometryCol +: extraGeomCols)
   }
 
   /** Hilbert-pack into `numPartitions` then write with sidecar — the

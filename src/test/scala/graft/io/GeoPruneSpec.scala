@@ -47,6 +47,39 @@ class GeoPruneSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-column sidecar prunes on whichever geometry is filtered") {
+    val dir = java.nio.file.Files.createTempDirectory("multigeom").toFile
+    try {
+      import spark.implicits._
+      // two geometry columns with OPPOSITE spatial layouts
+      val df = (0 until 200).map { i =>
+        val x = i % 100
+        (i.toLong, Seq(x.toDouble, 0.0), Seq((99 - x).toDouble, 0.0))
+      }.toDF("id", "a", "b")
+        .repartitionByRange(4, element_at(col("a"), 1))
+      GeoParquet.write(GeoFrame(df, "a", "multipoint"), s"$dir/two",
+        mode = "overwrite", extraGeomCols = Seq("b"))
+
+      SpatialFilePruning.install(spark)
+      def scanned(c: String): Int = {
+        val q = spark.read.parquet(s"$dir/two")
+          .where(st_multipoint_intersects_bounds(col(c), lit(0), lit(0), lit(20), lit(5)))
+        q.collect()
+        q.queryExecution.executedPlan.collectFirst {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.relation.location.inputFiles.length
+        }.get
+      }
+      // both columns prune, selecting OPPOSITE ends of the file range
+      assert(scanned("a") == 1, s"a scanned ${scanned("a")}")
+      assert(scanned("b") == 1, s"b scanned ${scanned("b")}")
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_.isInstanceOf[SpatialFilePruning])
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    }
+  }
+
   test("filter over sidecar'd parquet scans only intersecting files") {
     val dir = java.nio.file.Files.createTempDirectory("prunespec").toFile
     try {
