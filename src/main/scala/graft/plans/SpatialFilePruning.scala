@@ -4,7 +4,7 @@ import graft.functions.StIntersectsBounds
 import graft.io.GeoParquet
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Expression, GetStructField, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
@@ -31,41 +31,45 @@ case class SpatialFilePruning(spark: SparkSession) extends Rule[LogicalPlan] {
     case f @ Filter(cond, l: LogicalRelation)
         if l.relation.isInstanceOf[HadoopFsRelation] =>
       val fsRel = l.relation.asInstanceOf[HadoopFsRelation]
-      pruneBox(cond, l.output) match {
-        case Some((geomName, qx0, qy0, qx1, qy1))
-            if fsRel.partitionSchema.isEmpty &&
-               fsRel.location.rootPaths.length == 1 =>
-          val root = fsRel.location.rootPaths.head
+      val boxes = pruneBoxes(cond, l.output)
+      if (boxes.nonEmpty && fsRel.partitionSchema.isEmpty &&
+          fsRel.location.rootPaths.length == 1) {
+        val root = fsRel.location.rootPaths.head
+        val current = fsRel.location.inputFiles
+        // every (column, box) pair prunes independently; keep the
+        // intersection of survivors
+        val kept = boxes.foldLeft(current) { case (files, (geomName, qx0, qy0, qx1, qy1)) =>
           sidecarBounds(root, geomName) match {
-            case Some(perFile) =>
-              val current = fsRel.location.inputFiles
-              val kept = current.filter { uri =>
-                val name = uri.substring(uri.lastIndexOf('/') + 1)
-                perFile.get(name) match {
-                  case Some(Array(x0, y0, x1, y1)) =>
-                    // NaN bounds (empty file) compare false -> kept
-                    !(x1 < qx0 || x0 > qx1 || y1 < qy0 || y0 > qy1)
-                  case _ => true // unknown file: conservative keep
-                }
+            case Some(perFile) => files.filter { uri =>
+              val name = uri.substring(uri.lastIndexOf('/') + 1)
+              perFile.get(name) match {
+                case Some(Array(x0, y0, x1, y1)) =>
+                  // NaN bounds (empty file) compare false -> kept
+                  !(x1 < qx0 || x0 > qx1 || y1 < qy0 || y0 > qy1)
+                case _ => true // unknown file: conservative keep
               }
-              if (kept.length < current.length) {
-                val prunedIndex = new InMemoryFileIndex(spark,
-                  kept.toIndexedSeq.map(new Path(_)), fsRel.options,
-                  Some(fsRel.dataSchema))
-                val newRel = fsRel.copy(location = prunedIndex)(spark)
-                Filter(cond, l.copy(relation = newRel))
-              } else f
-            case None => f
+            }
+            case None => files
           }
-        case _ => f
-      }
+        }
+        if (kept.length < current.length) {
+          val prunedIndex = new InMemoryFileIndex(spark,
+            kept.toIndexedSeq.map(new Path(_)), fsRel.options,
+            Some(fsRel.dataSchema))
+          val newRel = fsRel.copy(location = prunedIndex)(spark)
+          Filter(cond, l.copy(relation = newRel))
+        } else f
+      } else f
   }
 
-  /** First conjunct of the form st_intersects_bounds(attr, 4 foldable
-    * doubles); returns (geometry column name, normalized query box). */
-  private def pruneBox(cond: Expression,
-                       output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute])
-      : Option[(String, Double, Double, Double, Double)] = {
+  /** Query boxes recoverable from the filter, per geometry column:
+    *  - st_intersects_bounds(attr, 4 foldable doubles) conjuncts;
+    *  - plain struct-field comparisons attr.x >= lit etc. — the shape
+    *    the point-kind `cx` compiles to (codegen-friendly comparisons),
+    *    combined into one (possibly half-open) box per attribute. */
+  private def pruneBoxes(cond: Expression,
+                         output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute])
+      : Seq[(String, Double, Double, Double, Double)] = {
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(a, b) => conjuncts(a) ++ conjuncts(b)
       case other => Seq(other)
@@ -73,7 +77,9 @@ case class SpatialFilePruning(spark: SparkSession) extends Rule[LogicalPlan] {
     def d(e: Expression): Option[Double] =
       if (e.foldable) Option(e.eval(null)).collect { case v: Double => v }
       else None
-    conjuncts(cond).collectFirst {
+    val parts = conjuncts(cond)
+
+    val kernelBoxes = parts.collect {
       case StIntersectsBounds(g: AttributeReference, ex0, ey0, ex1, ey1, _)
           if output.exists(_.exprId == g.exprId) &&
              Seq(ex0, ey0, ex1, ey1).forall(e => d(e).exists(v => !v.isNaN)) =>
@@ -82,6 +88,47 @@ case class SpatialFilePruning(spark: SparkSession) extends Rule[LogicalPlan] {
         (g.name, math.min(x0, x1), math.min(y0, y1),
           math.max(x0, x1), math.max(y0, y1))
     }
+
+    // attr -> (xLo, yLo, xHi, yHi) accumulated from field comparisons
+    val fieldBoxes = scala.collection.mutable.LinkedHashMap
+      .empty[String, Array[Double]]
+    def box(g: AttributeReference): Array[Double] =
+      fieldBoxes.getOrElseUpdate(g.name,
+        Array(Double.NegativeInfinity, Double.NegativeInfinity,
+          Double.PositiveInfinity, Double.PositiveInfinity))
+    def axis(name: String): Option[Int] = name match {
+      case "x" => Some(0)
+      case "y" => Some(1)
+      case _ => None
+    }
+    parts.foreach {
+      case GreaterThanOrEqual(GetStructField(g: AttributeReference, _, Some(fld)), v)
+          if output.exists(_.exprId == g.exprId) =>
+        for (a <- axis(fld); lim <- d(v)) {
+          val b = box(g); b(a) = math.max(b(a), lim)
+        }
+      case GreaterThan(GetStructField(g: AttributeReference, _, Some(fld)), v)
+          if output.exists(_.exprId == g.exprId) =>
+        for (a <- axis(fld); lim <- d(v)) {
+          val b = box(g); b(a) = math.max(b(a), lim)
+        }
+      case LessThanOrEqual(GetStructField(g: AttributeReference, _, Some(fld)), v)
+          if output.exists(_.exprId == g.exprId) =>
+        for (a <- axis(fld); lim <- d(v)) {
+          val b = box(g); b(a + 2) = math.min(b(a + 2), lim)
+        }
+      case LessThan(GetStructField(g: AttributeReference, _, Some(fld)), v)
+          if output.exists(_.exprId == g.exprId) =>
+        for (a <- axis(fld); lim <- d(v)) {
+          val b = box(g); b(a + 2) = math.min(b(a + 2), lim)
+        }
+      case _ =>
+    }
+    val pointBoxes = fieldBoxes.toSeq.collect {
+      case (name, b) if b.exists(v => !v.isInfinite) =>
+        (name, b(0), b(1), b(2), b(3))
+    }
+    kernelBoxes ++ pointBoxes
   }
 
   /** Per-file bounds from the sidecar at `root`, if present. */

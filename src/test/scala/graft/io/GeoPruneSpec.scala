@@ -47,6 +47,42 @@ class GeoPruneSpec extends AnyFunSuite {
     }
   }
 
+  test("point cx comparisons prune files too (no kernel predicate needed)") {
+    val dir = java.nio.file.Files.createTempDirectory("pointprune").toFile
+    try {
+      import graft.api.GeoFrame
+      import spark.implicits._
+      val df = (0 until 400).map { i =>
+        val x = (i % 100).toDouble
+        (i.toLong, x, (i % 7).toDouble)
+      }.toDF("id", "x", "y").withColumn("pt", st_point(col("x"), col("y")))
+        .select("id", "pt")
+        .repartitionByRange(4, col("pt.x"))
+      GeoParquet.write(GeoFrame(df, "pt", "point"), s"$dir/pts", mode = "overwrite")
+
+      SpatialFilePruning.install(spark)
+      // plain cx: compiles to pt.x/pt.y comparisons, NOT a kernel call
+      val q = GeoFrame(spark.read.parquet(s"$dir/pts"), "pt", "point")
+        .cx(0, 0, 20, 10).df
+      val rows = q.select("id").as[Long].collect().toSet
+      val scanned = q.queryExecution.executedPlan.collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.relation.location.inputFiles.length
+      }.get
+      assert(scanned == 1, s"expected 1 of 4 files, scanned $scanned")
+      // parity with unpruned
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_.isInstanceOf[SpatialFilePruning])
+      val expect = GeoFrame(spark.read.parquet(s"$dir/pts"), "pt", "point")
+        .cx(0, 0, 20, 10).df.select("id").as[Long].collect().toSet
+      assert(rows == expect && rows.nonEmpty)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_.isInstanceOf[SpatialFilePruning])
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    }
+  }
+
   test("multi-column sidecar prunes on whichever geometry is filtered") {
     val dir = java.nio.file.Files.createTempDirectory("multigeom").toFile
     try {
