@@ -130,12 +130,11 @@ object PipelineQueries {
     // hashes identically; ties at 1e-12 break on c_id in both engines.
     "ann_cosine_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val raw = Similarity.bruteForceTopK(
+      Similarity.bruteForceTopK(
         emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
         emb.where(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
         "c_id", "c_vec", "q_id", "q_vec", k = 5, roundDigits = 12)
-      raw
     }),
 
     // rows-only: LSH-bucketed approximate ANN (the 100 TB scale path)

@@ -278,6 +278,14 @@ object Queries {
         .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
     }),
 
+    // SURVEY §2.4 inherited aggregates: CUBE over two dims (subtotals +
+    // grand total in one pass — Expand + partial aggregation).
+    "cube_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("qty"), count(lit(1)).as("n"))
+    }),
+
     // Relational sanity: 4-way join + aggregate.
     "join_agg_nation" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
@@ -468,6 +476,9 @@ object Queries {
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
          FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "cube_agg" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS qty, count(*) AS n
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
     "join_agg_nation" ->
       """SELECT n_name, count(*) AS n, sum(l_quantity) AS qty
          FROM lineitem, orders, customer, nation
