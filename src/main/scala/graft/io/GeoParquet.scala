@@ -110,7 +110,8 @@ object GeoParquet {
     * is a per-row expression, so it streams at scan parallelism. */
   def readCsvWkt(spark: SparkSession, path: String, wktCol: String,
                  kind: String, geomCol: String = "geometry",
-                 options: Map[String, String] = Map("header" -> "true")): GeoFrame = {
+                 options: Map[String, String] =
+                   Map("header" -> "true", "inferSchema" -> "true")): GeoFrame = {
     val df = spark.read.options(options).csv(path)
       .withColumn(geomCol, st_geomfromtext(col(wktCol), kind))
       .drop(wktCol)

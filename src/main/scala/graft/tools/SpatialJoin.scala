@@ -53,6 +53,9 @@ object SpatialJoin {
                 cellSize: Double, salt: Int = 1): DataFrame = {
     require(cellSize > 0, "cellSize must be positive")
     require(salt >= 1, "salt must be >= 1")
+    val reserved = Set("__cx", "__cy", "__salt", "__gb")
+    require(!(points.columns ++ geoms.columns).exists(reserved),
+      s"input columns collide with reserved grid-join names $reserved")
     val cs = lit(cellSize)
 
     val bounds = st_bounds(geomCol)

@@ -34,8 +34,8 @@ class GeoPruneSpec extends AnyFunSuite {
       GeoParquet.writeCsvWkt(GeoFrame(df, "poly", "polygon"), s"$dir/csv",
         mode = "overwrite")
       val back = GeoParquet.readCsvWkt(spark, s"$dir/csv", "wkt", "polygon", "poly")
-      val got = back.df.select("id", "poly").as[(String, Seq[Seq[Double]])]
-        .collect().map { case (k, v) => (k.toLong, v) }.toMap
+      val got = back.df.select("id", "poly").as[(Long, Seq[Seq[Double]])]
+        .collect().toMap
       assert(got == Map(
         1L -> Seq(Seq(0.0, 0, 3, 0, 3, 3, 0, 3, 0, 0)),
         2L -> Seq(Seq(1.5, -2.5, 4.25, 0, 1.5, 7, 1.5, -2.5))))
