@@ -106,6 +106,16 @@ object Geo {
     Bridge.registerFunction(spark, "st_oriented", es => StOriented(es.head))
     Bridge.registerFunction(spark, "st_total_bounds",
       es => StTotalBoundsAgg(es.head).toAggregateExpression())
+    Bridge.registerFunction(spark, "st_hilbert_distance", { es =>
+      val p = es(5) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _) => v.intValue
+        case other => throw new IllegalArgumentException(
+          s"st_hilbert_distance p must be an integer literal, got $other")
+      }
+      def dbl(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+        org.apache.spark.sql.catalyst.expressions.Cast(e, org.apache.spark.sql.types.DoubleType)
+      StHilbertDistance(es(0), dbl(es(1)), dbl(es(2)), dbl(es(3)), dbl(es(4)), p)
+    })
     for (kind <- Seq("point", "multipoint", "line", "multiline", "polygon", "multipolygon")) {
       // SQL numeric literals may arrive as Decimal — cast bounds to double
       Bridge.registerFunction(spark, s"st_${kind}_intersects_bounds",

@@ -141,6 +141,13 @@ class ExpressionsSpec extends AnyFunSuite {
          FROM polys""").head()
     assert(r.getDouble(0) == 8.0 && r.getDouble(1) == 16.0 && r.getBoolean(2))
     assert(r.getString(3).startsWith("POLYGON"))
+
+    // the custom AGGREGATE and hilbert are SQL-surface citizens too
+    val agg = spark.sql(
+      """SELECT st_total_bounds(poly).x0 x0, st_total_bounds(poly).y1 y1,
+                min(st_hilbert_distance(poly, 0, 0, 10, 10, 10)) h
+         FROM polys""").head()
+    assert(agg.getDouble(0) == 0.0 && agg.getDouble(1) == 3.0 && agg.getLong(2) >= 0L)
   }
 
   test("streaming: st_* + windowed agg over the events table shape") {
