@@ -83,6 +83,11 @@ case class StGeomFromGeoJson(child: Expression, kind: String)
 
   override protected def nullSafeEval(t: Any): Any = {
     val g = GeoJson.parse(t.asInstanceOf[UTF8String].toString)
+    // A pen-up line (NaN-pair separators) is written as MultiLineString
+    // (RFC 7946 has no non-finite numbers); reading it back as "line"
+    // rejoins the parts with NaN separators so st_length round-trips.
+    if (kind == "line" && g.kind == "multiline")
+      return GeomData.toArrayData(rejoinParts(g.values, g.offsets1))
     require(g.kind == kind,
       s"GeoJSON kind ${g.kind} does not match expected $kind")
     kind match {
@@ -93,6 +98,21 @@ case class StGeomFromGeoJson(child: Expression, kind: String)
       case "multiline" | "polygon" => GeomData.nest2(g.values, g.offsets1)
       case "multipolygon" => GeomData.nest3(g.values, g.offsets1, g.offsets2)
     }
+  }
+
+  private def rejoinParts(v: Array[Double], offsets: Array[Int]): Array[Double] = {
+    val parts = offsets.length - 1
+    if (parts <= 0) return Array.empty
+    val out = new Array[Double](v.length + 2 * (parts - 1))
+    var w = 0
+    var p = 0
+    while (p < parts) {
+      if (p > 0) { out(w) = Double.NaN; out(w + 1) = Double.NaN; w += 2 }
+      var i = offsets(p)
+      while (i < offsets(p + 1)) { out(w) = v(i); w += 1; i += 1 }
+      p += 1
+    }
+    out
   }
   override protected def withNewChildInternal(c: Expression): StGeomFromGeoJson = copy(c)
 }

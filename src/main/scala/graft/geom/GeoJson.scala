@@ -14,14 +14,58 @@ import scala.collection.mutable.ArrayBuffer
  * so write→read is bit-exact; the parser is a small hand-rolled scanner
  * (numbers, brackets, the "type"/"coordinates" members) — no JSON
  * library dependency.
+ *
+ * Non-finite coordinates: RFC 7946 only allows finite JSON numbers, so
+ * NaN/Infinity can never be emitted. Line kinds use the engine's pen-up
+ * convention (a non-finite pair separates sub-lines — see StLength):
+ * on write those runs become MultiLineString parts, and a read that
+ * expects kind "line" rejoins MultiLineString parts with a NaN-pair
+ * separator, so st_length survives the round trip. Every other kind
+ * rejects non-finite coordinates with an error (they have no pen-up
+ * semantics), and the parser fails loudly on NaN/Infinity tokens
+ * instead of skipping them.
  */
 object GeoJson {
 
   // ---------- writing ----------
 
-  private def fmt(d: Double): String =
-    if (d == math.rint(d) && !d.isInfinite && math.abs(d) < 1e15) d.toLong.toString
+  private def fmt(d: Double): String = {
+    if (d.isNaN || d.isInfinite)
+      throw new IllegalArgumentException(
+        "non-finite coordinate in GeoJSON output (RFC 7946 requires finite numbers)")
+    if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString
     else d.toString
+  }
+
+  private def finitePair(v: Array[Double], i: Int): Boolean =
+    java.lang.Double.isFinite(v(i)) && java.lang.Double.isFinite(v(i + 1))
+
+  /** Maximal [start, end) runs of finite pairs inside [from, until) —
+    * the pen-up split (non-finite pairs are the separators). */
+  private def finiteRuns(v: Array[Double], from: Int, until: Int): Seq[(Int, Int)] = {
+    val out = ArrayBuffer.empty[(Int, Int)]
+    var i = from
+    while (i + 1 < until) {
+      if (finitePair(v, i)) {
+        var j = i
+        while (j + 1 < until && finitePair(v, j)) j += 2
+        out += ((i, j))
+        i = j
+      } else i += 2
+    }
+    out.toSeq
+  }
+
+  private def requireFinite(kind: String, v: Array[Double]): Unit = {
+    var i = 0
+    while (i < v.length) {
+      if (!java.lang.Double.isFinite(v(i)))
+        throw new IllegalArgumentException(
+          s"non-finite coordinate in $kind: GeoJSON (RFC 7946) requires finite numbers " +
+            "and only line kinds carry pen-up separators")
+      i += 1
+    }
+  }
 
   private def pairs(sb: StringBuilder, v: Array[Double], from: Int, until: Int): Unit = {
     var i = from
@@ -40,15 +84,33 @@ object GeoJson {
     else wrap("Point", s"[${fmt(x)},${fmt(y)}]")
 
   def multiPoint(v: Array[Double]): String = {
+    requireFinite("MultiPoint", v)
     val sb = new StringBuilder("[")
     pairs(sb, v, 0, v.length)
     wrap("MultiPoint", sb.append(']').toString)
   }
 
-  def lineString(v: Array[Double]): String = {
+  private def runsJson(v: Array[Double], runs: Seq[(Int, Int)]): String = {
     val sb = new StringBuilder("[")
-    pairs(sb, v, 0, v.length)
-    wrap("LineString", sb.append(']').toString)
+    var p = 0
+    while (p < runs.length) {
+      if (p > 0) sb.append(',')
+      sb.append('[')
+      pairs(sb, v, runs(p)._1, runs(p)._2)
+      sb.append(']')
+      p += 1
+    }
+    sb.append(']').toString
+  }
+
+  def lineString(v: Array[Double]): String = {
+    val runs = finiteRuns(v, 0, v.length)
+    if (runs.isEmpty) wrap("LineString", "[]")
+    else if (runs.length == 1) {
+      val sb = new StringBuilder("[")
+      pairs(sb, v, runs.head._1, runs.head._2)
+      wrap("LineString", sb.append(']').toString)
+    } else wrap("MultiLineString", runsJson(v, runs))
   }
 
   private def nested(v: Array[Double], offsets: Array[Int]): String = {
@@ -64,14 +126,23 @@ object GeoJson {
     sb.append(']').toString
   }
 
-  def multiLineString(v: Array[Double], offsets: Array[Int]): String =
-    wrap("MultiLineString", nested(v, offsets))
+  def multiLineString(v: Array[Double], offsets: Array[Int]): String = {
+    // Pen-up split inside each part: non-finite pairs separate runs, each
+    // run becomes its own MultiLineString part (st_length is preserved —
+    // the length kernel skips non-finite pairs either way).
+    val runs = (0 until offsets.length - 1)
+      .flatMap(p => finiteRuns(v, offsets(p), offsets(p + 1)))
+    wrap("MultiLineString", runsJson(v, runs))
+  }
 
-  def polygon(v: Array[Double], ringOffsets: Array[Int]): String =
+  def polygon(v: Array[Double], ringOffsets: Array[Int]): String = {
+    requireFinite("Polygon", v)
     wrap("Polygon", nested(v, ringOffsets))
+  }
 
   def multiPolygon(v: Array[Double], ringOffsets: Array[Int],
                    polyOffsets: Array[Int]): String = {
+    requireFinite("MultiPolygon", v)
     val sb = new StringBuilder("[")
     var p = 0
     while (p < polyOffsets.length - 1) {
@@ -172,7 +243,10 @@ object GeoJson {
     out.toSeq
   }
 
-  /** All numbers in a (possibly nested) coordinate array, in order. */
+  /** All numbers in a (possibly nested) coordinate array, in order.
+    * Fails loudly on anything that is not a finite JSON number — bare
+    * NaN/Infinity tokens or malformed runs raise instead of being
+    * silently skipped (they would otherwise merge pen-up line parts). */
   private def flatNumbers(arr: String): Array[Double] = {
     val out = ArrayBuffer.empty[Double]
     var i = 0
@@ -181,8 +255,24 @@ object GeoJson {
       if (c == '-' || c == '+' || c.isDigit) {
         var j = i
         while (j < arr.length && "+-0123456789.eE".indexOf(arr.charAt(j)) >= 0) j += 1
-        out += java.lang.Double.parseDouble(arr.substring(i, j))
+        val run = arr.substring(i, j)
+        // A sign directly followed by a letter is a non-finite token
+        // ("-Infinity"): report the full token, not the bare sign.
+        if (j < arr.length && arr.charAt(j).isLetter)
+          throw new IllegalArgumentException(
+            s"invalid number in GeoJSON coordinates at offset $i: " +
+              s"'${arr.substring(i, math.min(i + 12, arr.length))}...'")
+        try out += java.lang.Double.parseDouble(run)
+        catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"invalid number in GeoJSON coordinates at offset $i: '$run'")
+        }
         i = j
+      } else if (c.isLetter) {
+        throw new IllegalArgumentException(
+          s"invalid token in GeoJSON coordinates at offset $i: " +
+            s"'${arr.substring(i, math.min(i + 12, arr.length))}'")
       } else i += 1
     }
     out.toArray

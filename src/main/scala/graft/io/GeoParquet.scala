@@ -3,7 +3,8 @@ package graft.io
 import graft.Geo._
 import graft.api.GeoFrame
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HadoopPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.jdk.CollectionConverters._
@@ -75,7 +76,28 @@ object GeoParquet {
       "\"" + g + "\":{" + entries.mkString(",") + "}"
     }.mkString(","))
     sb.append("}}")
-    Files.writeString(Paths.get(path, SidecarName), sb.toString)
+    val p = new HadoopPath(path, SidecarName)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Sidecar text via the Hadoop FileSystem API, so every helper works
+    * on any supported filesystem (file:, hdfs://, s3a://, ...) exactly
+    * like the planner rule. None when no sidecar exists. */
+  private[graft] def readSidecarText(path: String, conf: Configuration): Option[String] = {
+    val p = new HadoopPath(path, SidecarName)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        in.readFully(bytes)
+        Some(new String(bytes, StandardCharsets.UTF_8))
+      } finally in.close()
+    }
   }
 
   /** Read a dataset, pruning files whose stored bounds do not intersect
@@ -85,11 +107,11 @@ object GeoParquet {
     * no sidecar exists. */
   def read(spark: SparkSession, path: String, geomCol: String, kind: String,
            bounds: Option[(Double, Double, Double, Double)] = None): GeoFrame = {
-    val sidecar = Paths.get(path, SidecarName)
-    val df = bounds match {
-      case Some((qx0, qy0, qx1, qy1)) if Files.exists(sidecar) =>
-        val perFile = parseSidecar(new String(Files.readAllBytes(sidecar),
-          StandardCharsets.UTF_8), geomCol)
+    val sidecarText = bounds.flatMap(_ =>
+      readSidecarText(path, spark.sessionState.newHadoopConf()))
+    val df = (bounds, sidecarText) match {
+      case (Some((qx0, qy0, qx1, qy1)), Some(text)) =>
+        val perFile = parseSidecar(text, geomCol)
         val keep = perFile.collect {
           case (file, Array(x0, y0, x1, y1))
             if !(x1 < qx0 || x0 > qx1 || y1 < qy0 || y0 > qy1) => file
@@ -129,12 +151,12 @@ object GeoParquet {
     * reference's `partition_sindex` (dask.py:73-76, rtree over
     * partition_bounds). Returns the tree plus the file name per leaf
     * index, for interactive partition queries beyond the planner rule. */
-  def partitionSindex(path: String, geomCol: String)
+  def partitionSindex(path: String, geomCol: String,
+                      spark: SparkSession = SparkSession.active)
       : Option[(graft.geom.HilbertRtree, Array[String])] = {
-    val sidecar = Paths.get(path, SidecarName)
-    if (!Files.exists(sidecar)) return None
-    val perFile = parseSidecar(new String(Files.readAllBytes(sidecar),
-      StandardCharsets.UTF_8), geomCol)
+    val text = readSidecarText(path, spark.sessionState.newHadoopConf())
+      .getOrElse(return None)
+    val perFile = parseSidecar(text, geomCol)
     if (perFile.isEmpty) return None
     val files = perFile.keys.toArray.sorted
     val bounds = new Array[Double](files.length * 4)

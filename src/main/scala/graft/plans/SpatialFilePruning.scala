@@ -133,21 +133,10 @@ case class SpatialFilePruning(spark: SparkSession) extends Rule[LogicalPlan] {
 
   /** Per-file bounds from the sidecar at `root`, if present. */
   private def sidecarBounds(root: Path,
-                            geomCol: String): Option[Map[String, Array[Double]]] = {
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val sidecar = new Path(root, GeoParquet.SidecarName)
-    if (!fs.exists(sidecar)) None
-    else {
-      val in = fs.open(sidecar)
-      try {
-        val bytes = new Array[Byte](fs.getFileStatus(sidecar).getLen.toInt)
-        in.readFully(bytes)
-        val parsed = GeoParquet.parseSidecar(
-          new String(bytes, java.nio.charset.StandardCharsets.UTF_8), geomCol)
-        if (parsed.isEmpty) None else Some(parsed)
-      } finally in.close()
-    }
-  }
+                            geomCol: String): Option[Map[String, Array[Double]]] =
+    GeoParquet.readSidecarText(root.toString, spark.sessionState.newHadoopConf())
+      .map(GeoParquet.parseSidecar(_, geomCol))
+      .filter(_.nonEmpty)
 }
 
 object SpatialFilePruning {

@@ -58,7 +58,7 @@ case class SpatialJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             case _ => false
           }
           val hasTempCols = (l.output ++ r.output).exists(a =>
-            a.name == "__cx" || a.name == "__cy" || a.name == "__salt")
+            SpatialJoin.ReservedGridCols.contains(a.name))
           val sides =
             if (hasEquiKeys || hasTempCols) None
             else if (l.outputSet.contains(p) && r.outputSet.contains(g)) Some((l, r))

@@ -21,14 +21,17 @@ case class DocEvent(docId: Long, fp: Long, ts: java.sql.Timestamp)
 object Streams {
 
   /** Streaming twin of the batch `events_hourly` query: tumbling 1-hour
-    * counts per event type, late data bounded by `watermark`. */
+    * counts per event type, late data bounded by `watermark`. Extra
+    * aggregates (e.g. `min($"value").as("vmin")`) are caller-supplied so
+    * the helper stays schema-generic — the default is count-only and
+    * analyzes against any stream with just `tsCol`/`typeCol`. */
   def hourlyCounts(events: DataFrame, tsCol: String = "ts",
                    typeCol: String = "event_type",
-                   watermark: String = "1 hour"): DataFrame =
+                   watermark: String = "1 hour",
+                   extraAggs: Seq[org.apache.spark.sql.Column] = Nil): DataFrame =
     events.withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), "1 hour"), col(typeCol))
-      .agg(count(lit(1)).as("n"),
-        min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+      .agg(count(lit(1)).as("n"), extraAggs: _*)
 
   /** Gap-based sessionization per key (built-in session_window — state
     * merge + watermark eviction handled by Spark). */

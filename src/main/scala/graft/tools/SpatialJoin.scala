@@ -24,6 +24,12 @@ import org.apache.spark.sql.types.{LongType, StructField}
  */
 object SpatialJoin {
 
+  /** Temp column names the grid join claims internally. Shared with the
+    * planner rewrite's guard so an input that already carries any of
+    * them makes the rule fall back (BNLJ) instead of failing inside
+    * gridInner's reserved-name check. */
+  val ReservedGridCols: Set[String] = Set("__cx", "__cy", "__salt", "__gb")
+
   /**
    * Join points (left) to geometries (right) on exact intersection.
    *
@@ -53,9 +59,8 @@ object SpatialJoin {
                 cellSize: Double, salt: Int = 1): DataFrame = {
     require(cellSize > 0, "cellSize must be positive")
     require(salt >= 1, "salt must be >= 1")
-    val reserved = Set("__cx", "__cy", "__salt", "__gb")
-    require(!(points.columns ++ geoms.columns).exists(reserved),
-      s"input columns collide with reserved grid-join names $reserved")
+    require(!(points.columns ++ geoms.columns).exists(ReservedGridCols),
+      s"input columns collide with reserved grid-join names $ReservedGridCols")
     val cs = lit(cellSize)
 
     val bounds = st_bounds(geomCol)

@@ -131,6 +131,45 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(back.getSeq[Seq[Seq[Double]]](5) == Seq(Seq(largeCcw, unitCw), Seq(shifted)))
   }
 
+  test("GeoJSON non-finite coordinates: pen-up lines split/rejoin, others reject") {
+    import graft.geom.GeoJson
+    // A pen-up line (NaN-pair separator, see StLength) becomes a
+    // MultiLineString — valid RFC 7946 JSON, no bare NaN tokens.
+    val nan = Double.NaN
+    val penUp = Array(0.0, 0, 3, 4, nan, nan, 10, 0, 10, 2)
+    val json = GeoJson.lineString(penUp)
+    assert(json ==
+      """{"type":"MultiLineString","coordinates":[[[0,0],[3,4]],[[10,0],[10,2]]]}""")
+    // ...and reading it back as a line restores the separator, so
+    // st_length round-trips (5.0 + 2.0).
+    val df = Seq(Tuple1(penUp.toSeq)).toDF("ln")
+    val rt = df.select(
+      st_length($"ln").as("len0"),
+      st_length(st_geomfromgeojson(st_asgeojson($"ln", "line"), "line")).as("len1")).head()
+    assert(rt.getDouble(0) == 7.0 && rt.getDouble(1) == 7.0)
+    // multiline parts with internal separators split into more parts
+    val mlJson = GeoJson.multiLineString(penUp, Array(0, penUp.length))
+    assert(mlJson ==
+      """{"type":"MultiLineString","coordinates":[[[0,0],[3,4]],[[10,0],[10,2]]]}""")
+    // leading/trailing separators collapse; all-NaN line writes empty
+    assert(GeoJson.lineString(Array(nan, nan, 1.0, 0, 2, 0)) ==
+      """{"type":"LineString","coordinates":[[1,0],[2,0]]}""")
+    assert(GeoJson.lineString(Array(nan, nan)) ==
+      """{"type":"LineString","coordinates":[]}""")
+    // non-line kinds have no pen-up semantics: reject loudly
+    intercept[IllegalArgumentException](GeoJson.multiPoint(Array(1.0, nan)))
+    intercept[IllegalArgumentException](
+      GeoJson.polygon(Array(0.0, 0, 1, 0, Double.NegativeInfinity, 1), Array(0, 6)))
+    intercept[IllegalArgumentException](GeoJson.point(1.0, Double.PositiveInfinity))
+    // the parser fails loudly on non-finite tokens instead of skipping
+    val e1 = intercept[IllegalArgumentException](GeoJson.parse(
+      """{"type":"LineString","coordinates":[[0,0],[NaN,NaN],[1,1]]}"""))
+    assert(e1.getMessage.contains("invalid token"))
+    val e2 = intercept[IllegalArgumentException](GeoJson.parse(
+      """{"type":"LineString","coordinates":[[0,0],[-Infinity,1]]}"""))
+    assert(e2.getMessage.contains("invalid number"))
+  }
+
   test("SQL registry: st_* callable from spark.sql") {
     registerAll(spark)
     Seq(Tuple1(Seq(largeCcw, unitCw))).toDF("poly").createOrReplaceTempView("polys")

@@ -101,7 +101,10 @@ class StreamingSpec extends AnyFunSuite {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
     val events = input.toDF().toDF("ts", "event_type", "value")
-    val q = Streams.hourlyCounts(events)
+    // schema-generic: analyzes against a stream with no `value` column
+    Streams.hourlyCounts(events.drop("value"))
+    val q = Streams.hourlyCounts(events,
+        extraAggs = Seq(min(col("value")).as("vmin")))
       .writeStream.format("memory").queryName("hourly_out")
       .outputMode("update").start()
     try {
