@@ -220,6 +220,131 @@ object Queries {
         .select(col("c_custkey"), col("s_suppkey"))
     }),
 
+    // SURVEY §2.3 sjoin how=left: every point row kept, diamond key null
+    // where no diamond contains the point (tools/sjoin.py:26-94 left
+    // semantics via key-preserving outer join on the inner grid join).
+    "sjoin_left" -> ((s, dir) => {
+      val pts = t(s, dir, "customer")
+        .withColumn("pt", st_point((((col("c_custkey") * 7919) % 500) * 2).cast("double"),
+          (((col("c_custkey") * 104729) % 500) * 2).cast("double")))
+        .select(col("c_custkey"), col("pt"))
+      val dia = supplierDiamonds(s, dir).select(col("s_suppkey"), col("diamond"))
+      SpatialJoin.pointInGeom(pts, dia, "pt", "diamond", "polygon",
+          cellSize = 128.0, how = "left", leftKey = "c_custkey")
+        .select(col("c_custkey"), col("s_suppkey"))
+    }),
+
+    // SURVEY §2.3 sjoin how=right: every diamond row kept (right keeps
+    // the right geometry side — sjoin.py:249-270).
+    "sjoin_right" -> ((s, dir) => {
+      val pts = t(s, dir, "customer")
+        .withColumn("pt", st_point((((col("c_custkey") * 7919) % 500) * 2).cast("double"),
+          (((col("c_custkey") * 104729) % 500) * 2).cast("double")))
+        .select(col("c_custkey"), col("pt"))
+      val dia = supplierDiamonds(s, dir).select(col("s_suppkey"), col("diamond"))
+      SpatialJoin.pointInGeom(pts, dia, "pt", "diamond", "polygon",
+          cellSize = 128.0, how = "right", rightKey = "s_suppkey")
+        .select(col("c_custkey"), col("s_suppkey"))
+    }),
+
+    // SURVEY §2.3 sjoin via the broadcast R-tree path (the reference's
+    // index-nested-loop join): driver-built HilbertRtree over diamond
+    // bboxes, zero shuffle of the point side. Same oracle as the grid
+    // join — the two physical strategies must agree exactly.
+    "sjoin_broadcast" -> ((s, dir) => {
+      val pts = t(s, dir, "customer")
+        .withColumn("pt", st_point((((col("c_custkey") * 7919) % 500) * 2).cast("double"),
+          (((col("c_custkey") * 104729) % 500) * 2).cast("double")))
+        .select(col("c_custkey"), col("pt"))
+      val dia = supplierDiamonds(s, dir).select(col("s_suppkey"), col("diamond"))
+      SpatialJoin.broadcastPointInGeom(pts, dia, "pt", "diamond", "polygon",
+          rightKey = "s_suppkey")
+        .select(col("c_custkey"), col("s_suppkey"))
+    }),
+
+    // SURVEY §2.4 GROUPED total_bounds through the custom
+    // DeclarativeAggregate — per-nation bounding boxes in one pass
+    // (partial aggregation native; the reference only has whole-array
+    // total_bounds, this is its groupBy generalization).
+    "group_total_bounds" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+        .withColumn("pt", st_point(((col("s_suppkey") * 7919) % 1000).cast("double"),
+          ((col("s_suppkey") * 104729) % 1000).cast("double")))
+      sup.groupBy(col("s_nationkey"))
+        .agg(st_total_bounds_agg(col("pt")).as("tb"))
+        .select(col("s_nationkey"), col("tb.x0").as("x0"), col("tb.y0").as("y0"),
+          col("tb.x1").as("x1"), col("tb.y1").as("y1"))
+    }),
+
+    // SURVEY §3.1 cx with OPEN slice ends: open ends resolve against the
+    // frame's total bounds (reference base.py:661-689) — here x0=300 is
+    // given, the other three ends default to total_bounds, so exactly
+    // the px >= 300 half-plane survives.
+    "cx_open_slice" -> ((s, dir) => {
+      graft.api.GeoFrame(custPoints(s, dir), "pt", "point")
+        .cxOpen(x0 = Some(300.0))
+        .df.select(col("c_custkey"))
+    }),
+
+    // SURVEY §2.2 exact point-vs-multipoint intersects (equality against
+    // any member point — point.py:87-149 support matrix beyond the line
+    // and polygon cases proven elsewhere).
+    "intersects_point_multipoint" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val pt = st_point((col("l_partkey") % 10).cast("double"),
+        (col("l_suppkey") % 10).cast("double"))
+      val mp = array(
+        (col("l_orderkey") % 10).cast("double"), (col("l_partkey") % 10).cast("double"),
+        (col("l_suppkey") % 10).cast("double"), (col("l_orderkey") % 10).cast("double"))
+      li.where(st_intersects(pt, mp, "multipoint"))
+        .select(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // SURVEY §1.3 NaN pen-up separators in st_length: a non-finite pair
+    // splits the polyline, so only the two finite segments count
+    // (reference measures.py:21-23, test_geometry.py:67-77) — proven
+    // against an oracle computing exactly those two segment lengths.
+    "length_penup" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").where(col("l_linenumber") === 1)
+      val x0 = (col("l_orderkey") % 1000).cast("double")
+      val y0 = (col("l_partkey") % 1000).cast("double")
+      val x1 = (col("l_suppkey") % 1000).cast("double")
+      val y1 = ((col("l_orderkey") * 7) % 1000).cast("double")
+      val x2 = ((col("l_partkey") * 3) % 1000).cast("double")
+      val y2 = ((col("l_suppkey") * 11) % 1000).cast("double")
+      val x3 = ((col("l_orderkey") * 13) % 1000).cast("double")
+      val y3 = ((col("l_partkey") * 17) % 1000).cast("double")
+      val nan = lit(Double.NaN)
+      li.select(col("l_orderkey"),
+        st_length(array(x0, y0, x1, y1, nan, nan, x2, y2, x3, y3)).as("len"))
+    }),
+
+    // SURVEY §2.2 fillna(value): null geometries replaced by a constant
+    // point (reference base.py:510-560 value-fill path).
+    "fillna_points" -> ((s, dir) => {
+      val pts = custPoints(s, dir)
+        .withColumn("pt", when(col("c_custkey") % 7 =!= 0, col("pt")))
+      graft.api.GeoFrame(pts, "pt", "point")
+        .fillNa(st_point(lit(-1.0), lit(-1.0)))
+        .df.select(col("c_custkey"), st_x(col("pt")).as("fx"), st_y(col("pt")).as("fy"))
+    }),
+
+    // SURVEY §2.5 lexicographic geometry ordering (baselist.py:249-290):
+    // rank segments by their coordinate arrays — Spark's array ordering
+    // and the oracle's list ordering are both lexicographic with
+    // shorter-first, so the ranks must agree exactly.
+    "geom_sort_rank" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").where(col("l_linenumber") === 1)
+      val x0 = (col("l_orderkey") % 7).cast("double")
+      val y0 = (col("l_partkey") % 7).cast("double")
+      val x1 = (col("l_suppkey") % 7).cast("double")
+      val y1 = ((col("l_orderkey") * 3) % 7).cast("double")
+      val w = Window.orderBy(col("seg"), col("l_orderkey"))
+      li.select(col("l_orderkey"), array(x0, y0, x1, y1).as("seg"))
+        .withColumn("rnk", row_number().over(w))
+        .select(col("l_orderkey"), col("rnk"))
+    }),
+
     // SURVEY §2.6 multipolygon boundary: two disjoint squares -> one
     // multiline whose length is the sum of both perimeters (exact).
     "mpoly_boundary_len" -> ((s, dir) => {
@@ -442,6 +567,57 @@ object Queries {
          WHERE abs(((c_custkey*7919)%500)*2 - ((s_suppkey*7919)%500)*2)
              + abs(((c_custkey*104729)%500)*2 - ((s_suppkey*104729)%500)*2)
              <= (s_suppkey%25)*2 + 21""",
+    "sjoin_left" ->
+      """SELECT c_custkey, s_suppkey
+         FROM customer LEFT JOIN supplier
+           ON abs(((c_custkey*7919)%500)*2 - ((s_suppkey*7919)%500)*2)
+            + abs(((c_custkey*104729)%500)*2 - ((s_suppkey*104729)%500)*2)
+            <= (s_suppkey%25)*2 + 21""",
+    "sjoin_right" ->
+      """SELECT c_custkey, s_suppkey
+         FROM supplier LEFT JOIN customer
+           ON abs(((c_custkey*7919)%500)*2 - ((s_suppkey*7919)%500)*2)
+            + abs(((c_custkey*104729)%500)*2 - ((s_suppkey*104729)%500)*2)
+            <= (s_suppkey%25)*2 + 21""",
+    "sjoin_broadcast" ->
+      """SELECT c_custkey, s_suppkey
+         FROM customer, supplier
+         WHERE abs(((c_custkey*7919)%500)*2 - ((s_suppkey*7919)%500)*2)
+             + abs(((c_custkey*104729)%500)*2 - ((s_suppkey*104729)%500)*2)
+             <= (s_suppkey%25)*2 + 21""",
+    "group_total_bounds" ->
+      """SELECT s_nationkey,
+                CAST(min((s_suppkey*7919)%1000) AS DOUBLE) AS x0,
+                CAST(min((s_suppkey*104729)%1000) AS DOUBLE) AS y0,
+                CAST(max((s_suppkey*7919)%1000) AS DOUBLE) AS x1,
+                CAST(max((s_suppkey*104729)%1000) AS DOUBLE) AS y1
+         FROM supplier GROUP BY s_nationkey""",
+    "cx_open_slice" ->
+      """SELECT c_custkey FROM customer WHERE (c_custkey*7919)%1000 >= 300""",
+    "intersects_point_multipoint" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+         WHERE (l_partkey%10 = l_orderkey%10 AND l_suppkey%10 = l_partkey%10)
+            OR (l_partkey%10 = l_suppkey%10 AND l_suppkey%10 = l_orderkey%10)""",
+    "length_penup" ->
+      """SELECT l_orderkey,
+         sqrt( CAST((l_suppkey%1000)-(l_orderkey%1000) AS DOUBLE)*((l_suppkey%1000)-(l_orderkey%1000))
+             + CAST(((l_orderkey*7)%1000)-(l_partkey%1000) AS DOUBLE)*(((l_orderkey*7)%1000)-(l_partkey%1000)) )
+         + sqrt( CAST(((l_orderkey*13)%1000)-((l_partkey*3)%1000) AS DOUBLE)*(((l_orderkey*13)%1000)-((l_partkey*3)%1000))
+             + CAST(((l_partkey*17)%1000)-((l_suppkey*11)%1000) AS DOUBLE)*(((l_partkey*17)%1000)-((l_suppkey*11)%1000)) )
+         AS len
+         FROM lineitem WHERE l_linenumber = 1""",
+    "fillna_points" ->
+      """SELECT c_custkey,
+         CASE WHEN c_custkey%7=0 THEN -1.0 ELSE CAST((c_custkey*7919)%1000 AS DOUBLE) END AS fx,
+         CASE WHEN c_custkey%7=0 THEN -1.0 ELSE CAST((c_custkey*104729)%1000 AS DOUBLE) END AS fy
+         FROM customer""",
+    "geom_sort_rank" ->
+      """SELECT l_orderkey,
+                row_number() OVER (ORDER BY
+                  [CAST(l_orderkey%7 AS DOUBLE), CAST(l_partkey%7 AS DOUBLE),
+                   CAST(l_suppkey%7 AS DOUBLE), CAST((l_orderkey*3)%7 AS DOUBLE)],
+                  l_orderkey) AS rnk
+         FROM lineitem WHERE l_linenumber = 1""",
     "mpoly_boundary_len" ->
       """SELECT p_partkey, 16.0*((p_partkey%5)+1) AS blen FROM part""",
     "oriented_area" ->
