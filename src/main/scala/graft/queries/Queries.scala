@@ -332,16 +332,18 @@ object Queries {
     // SURVEY §2.5 lexicographic geometry ordering (baselist.py:249-290):
     // rank segments by their coordinate arrays — Spark's array ordering
     // and the oracle's list ordering are both lexicographic with
-    // shorter-first, so the ranks must agree exactly.
+    // shorter-first, so the ranks must agree exactly. The rank itself is
+    // the DISTRIBUTED two-pass global row number (Ranks.globalRowNumber),
+    // not a single-task global window.
     "geom_sort_rank" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").where(col("l_linenumber") === 1)
       val x0 = (col("l_orderkey") % 7).cast("double")
       val y0 = (col("l_partkey") % 7).cast("double")
       val x1 = (col("l_suppkey") % 7).cast("double")
       val y1 = ((col("l_orderkey") * 3) % 7).cast("double")
-      val w = Window.orderBy(col("seg"), col("l_orderkey"))
-      li.select(col("l_orderkey"), array(x0, y0, x1, y1).as("seg"))
-        .withColumn("rnk", row_number().over(w))
+      val segs = li.select(col("l_orderkey"), array(x0, y0, x1, y1).as("seg"))
+      graft.tools.Ranks.globalRowNumber(segs, "rnk", 16,
+          col("seg"), col("l_orderkey"))
         .select(col("l_orderkey"), col("rnk"))
     }),
 

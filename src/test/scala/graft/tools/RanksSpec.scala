@@ -1,0 +1,39 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RanksSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  import spark.implicits._
+
+  test("distributed globalRowNumber equals the single-window row_number") {
+    val rnd = new scala.util.Random(7)
+    // heavy ties on the primary key force the tiebreak + range-boundary
+    // paths; id is the unique total-order tail
+    val df = (0 until 5000).map(i => (i.toLong, rnd.nextInt(20)))
+      .toDF("id", "k")
+    val distributed = Ranks.globalRowNumber(df, "rnk", 8, col("k"), col("id"))
+      .select("id", "rnk").as[(Long, Long)].collect().toMap
+    val single = df.withColumn("rnk",
+        row_number().over(Window.orderBy(col("k"), col("id"))).cast("long"))
+      .select("id", "rnk").as[(Long, Long)].collect().toMap
+    assert(distributed == single)
+  }
+
+  test("globalRowNumber ranks array sort keys (lexicographic)") {
+    val df = Seq(
+      (1L, Seq(2.0, 1.0)), (2L, Seq(1.0, 5.0)), (3L, Seq(1.0)),
+      (4L, Seq(1.0, 5.0)), (5L, Seq.empty[Double])
+    ).toDF("id", "seg")
+    val got = Ranks.globalRowNumber(df, "rnk", 3, col("seg"), col("id"))
+      .select("id", "rnk").as[(Long, Long)].collect().toMap
+    // empty < [1.0] < [1.0,5.0](id 2) < [1.0,5.0](id 4) < [2.0,1.0]
+    assert(got == Map(5L -> 1L, 3L -> 2L, 2L -> 3L, 4L -> 4L, 1L -> 5L))
+  }
+}
