@@ -90,11 +90,16 @@ object Dedup {
     val sig = eligible.select(col(idCol), col(textCol),
       minhash_signature(col(textCol), shingle, numHashes).as("__sig"))
 
+    // Repartition on the bucket key BEFORE the self-join: both join
+    // inputs then sit above the SAME exchange (ReuseExchange), so the
+    // signature pass runs ONCE — and a shuffle join on the bucket key is
+    // exactly the plan a 100 TB self-join needs (no broadcast exists).
     val banded = sig.select(col(idCol),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("__sig"), b * rows + 1, lit(rows)), b))))
       .withColumnRenamed("pos", "__band")
       .withColumnRenamed("col", "__bandhash")
+      .repartition(col("__band"), col("__bandhash"))
 
     val l = banded.withColumnRenamed(idCol, "id_a")
     val r = banded.withColumnRenamed(idCol, "id_b")
@@ -122,12 +127,15 @@ object Dedup {
     val chunks = maxHamming + 1
     val width = 64 / chunks
     val withSim = df.select(col(idCol), simhash64(col(textCol), ngram).as("__sim"))
+    // same ReuseExchange trick as minhashDupPairs: one signature pass,
+    // shuffle-join on the chunk key (the 100 TB shape)
     val banded = withSim.select(col(idCol), col("__sim"),
         posexplode(transform(sequence(lit(0), lit(chunks - 1)),
           c => call_function("shiftrightunsigned", col("__sim"), c * width)
             .bitwiseAND(lit((1L << width) - 1)))))
       .withColumnRenamed("pos", "__chunk")
       .withColumnRenamed("col", "__chunkval")
+      .repartition(col("__chunk"), col("__chunkval"))
     val l = banded.select(col(idCol).as("id_a"), col("__sim").as("__sim_a"),
       col("__chunk"), col("__chunkval"))
     val r = banded.select(col(idCol).as("id_b"), col("__sim").as("__sim_b"),
@@ -145,20 +153,27 @@ object Dedup {
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double = 0.95, bandsSeeds: Seq[Long] = Seq(1L, 2L, 3L, 4L),
                         bits: Int = 16): DataFrame = {
-    val withBits = df.select(col(idCol), col(vecCol),
+    val withBits = df.select(col(idCol),
       array(bandsSeeds.map(s => Tx.srp_bits(col(vecCol), bits, s)): _*).as("__bkts"))
-    val banded = withBits.select(col(idCol), col(vecCol),
-        posexplode(col("__bkts")))
+    // Bucket join carries ONLY ids — vectors are joined back for the
+    // refine (same shape as minhashDupPairs's text re-join). Shuffling
+    // (id, band, bucket) is bands x 24 bytes/row; shuffling the vectors
+    // themselves would be bands x the whole corpus. The repartition on
+    // the bucket key makes both self-join inputs share one exchange
+    // (ReuseExchange), so the SRP pass runs once.
+    val banded = withBits.select(col(idCol), posexplode(col("__bkts")))
       .withColumnRenamed("pos", "__band")
       .withColumnRenamed("col", "__bucket")
-    val l = banded.select(col(idCol).as("id_a"), col(vecCol).as("__v_a"),
-      col("__band"), col("__bucket"))
-    val r = banded.select(col(idCol).as("id_b"), col(vecCol).as("__v_b"),
-      col("__band"), col("__bucket"))
-    l.join(r, Seq("__band", "__bucket"))
+      .repartition(col("__band"), col("__bucket"))
+    val l = banded.withColumnRenamed(idCol, "id_a")
+    val r = banded.withColumnRenamed(idCol, "id_b")
+    val candidates = l.join(r, Seq("__band", "__bucket"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("__v_a"), col("__v_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val va = df.select(col(idCol).as("id_a"), col(vecCol).as("__v_a"))
+    val vb = df.select(col(idCol).as("id_b"), col(vecCol).as("__v_b"))
+    candidates.join(va, "id_a").join(vb, "id_b")
       .withColumn("cosine", Tx.cosine_similarity(col("__v_a"), col("__v_b")))
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
