@@ -147,6 +147,23 @@ object PipelineQueries {
         "c_id", "c_vec", "q_id", "q_vec", k = 5)
     }),
 
+    // -- composed pipeline -------------------------------------------------
+    // The realistic training-data chain: quality filter -> exact dedup
+    // (keep lowest id per text) -> language distribution. Each stage is
+    // an operator proven alone elsewhere; this proves they COMPOSE to
+    // the same result as one relational program (each stage stays a
+    // keyed shuffle, so the chain runs at corpus scale unchanged).
+    "pipeline_compose" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val ok = TextAnalysis.qualityColumns(col("text"))
+        .find(_._1 == "quality_ok").get._2
+      val good = docs.where(ok === 1)
+      val deduped = graft.pipeline.Dedup.exact(good, "text", "doc_id")
+      deduped.withColumn("lang_pred", TextAnalysis.langId(col("text")))
+        .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"),
+          min(col("doc_id")).as("first_id"))
+    }),
+
     // -- multimodal stubs ----------------------------------------------------
     // rows-only: binary payload decode/feature plumbing (codec stubbed)
     "multimodal_features" -> ((s, dir) => {
@@ -204,6 +221,34 @@ object PipelineQueries {
           FROM documents""",
     "fingerprint_md5" ->
       "SELECT doc_id, md5(text) AS fp FROM documents",
+    "pipeline_compose" ->
+      s"""WITH feat AS (
+            SELECT doc_id, text, tokens, chars, stop_hits, punct,
+              CASE WHEN tokens > 0 THEN CAST(floor((chars*100)/tokens) AS BIGINT) ELSE 0 END AS mtl,
+              CASE WHEN chars > 0 THEN CAST(floor((punct*1000)/chars) AS BIGINT) ELSE 0 END AS px
+            FROM (
+              SELECT doc_id, text,
+                len(regexp_extract_all(text, '\\S+')) AS tokens,
+                length(text) AS chars,
+                ${langScoreSql("en")} AS stop_hits,
+                ${Seq(".", ",", "!", "?", ";", ":").map(c =>
+                  s"(length(text)-length(replace(text,'$c','')))").mkString("(", " + ", ")")} AS punct
+              FROM (SELECT doc_id, text, ' '||lower(text)||' ' AS p FROM documents)
+            )
+          ),
+          keep AS (
+            SELECT text, min(doc_id) AS doc_id FROM feat
+            WHERE tokens >= 5 AND mtl BETWEEN 200 AND 2000
+              AND stop_hits >= 1 AND px <= 300
+            GROUP BY text
+          ),
+          scored AS (
+            SELECT doc_id, ${Seq("en", "de", "fr", "es").map(l =>
+              s"${langScoreSql(l)} AS s_$l").mkString(", ")}
+            FROM (SELECT doc_id, ' '||lower(text)||' ' AS p FROM keep)
+          )
+          SELECT $langCase AS lang_pred, count(*) AS n, min(doc_id) AS first_id
+          FROM scored GROUP BY 1""",
     "minhash_dup_pairs" ->
       """WITH grams AS (
            SELECT doc_id,

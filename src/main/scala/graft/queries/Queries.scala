@@ -382,6 +382,25 @@ object Queries {
         .agg(count(lit(1)).as("n"), min(col("h")).as("hmin"), max(col("h")).as("hmax"))
     }),
 
+    // SURVEY §3.3 END-TO-END lifecycle: hilbert-pack to parquet (range
+    // shuffle + sort + sidecar), re-read with bounds (file pruning
+    // against the sidecar), exact cx residual — the reference's
+    // pack_partitions_to_parquet + read_parquet_dask(bounds=...) cycle
+    // under the driver's oracle gate. The box filter is exact, so the
+    // result is independent of which files survive pruning.
+    "pack_roundtrip" -> ((s, dir) => {
+      val out = System.getProperty("java.io.tmpdir") +
+        "/graft_pack_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val gf = graft.api.GeoFrame(
+        custPoints(s, dir).select(col("c_custkey"), col("pt")), "pt", "point")
+      graft.io.GeoParquet.packPartitionsToParquet(gf, out, numPartitions = 8,
+        mode = "overwrite")
+      graft.io.GeoParquet.read(s, out, "pt", "point",
+          bounds = Some((200.0, 200.0, 700.0, 700.0)))
+        .cx(200, 200, 700, 700)
+        .df.select(col("c_custkey"))
+    }),
+
     // SURVEY §2.1 serde: WKT export of derived points (round-trip parsing
     // is covered in ExpressionsSpec; integer coords make the text exact).
     "wkt_points" -> ((s, dir) => {
@@ -596,6 +615,10 @@ object Queries {
          FROM supplier GROUP BY s_nationkey""",
     "cx_open_slice" ->
       """SELECT c_custkey FROM customer WHERE (c_custkey*7919)%1000 >= 300""",
+    "pack_roundtrip" ->
+      """SELECT c_custkey FROM customer
+         WHERE (c_custkey*7919)%1000 BETWEEN 200 AND 700
+           AND (c_custkey*104729)%1000 BETWEEN 200 AND 700""",
     "intersects_point_multipoint" ->
       """SELECT l_orderkey, l_linenumber FROM lineitem
          WHERE (l_partkey%10 = l_orderkey%10 AND l_suppkey%10 = l_partkey%10)
