@@ -48,6 +48,14 @@ object Geo {
   def st_total_bounds_agg(g: Column): Column =
     Bridge.column(StTotalBoundsAgg(Bridge.expression(g)).toAggregateExpression())
 
+  /** Aggregate constructor: collect (x, y) pairs into one multipoint
+    * (flat interleaved array) — groupBy analog of the reference's
+    * coordinate-list construction (base.py:799-871). Null coordinates
+    * are skipped; element order matches collect_list semantics. */
+  def st_collect_points(x: Column, y: Column): Column =
+    Bridge.column(StCollectPoints(Bridge.expression(x), Bridge.expression(y))
+      .toAggregateExpression())
+
   // ---- predicates ----------------------------------------------------
   private def intersectsBounds(g: Column, kind: String,
                                x0: Column, y0: Column, x1: Column, y1: Column): Column =
@@ -106,6 +114,8 @@ object Geo {
     Bridge.registerFunction(spark, "st_oriented", es => StOriented(es.head))
     Bridge.registerFunction(spark, "st_total_bounds",
       es => StTotalBoundsAgg(es.head).toAggregateExpression())
+    Bridge.registerFunction(spark, "st_collect_points",
+      es => StCollectPoints(es(0), es(1)).toAggregateExpression())
     Bridge.registerFunction(spark, "st_hilbert_distance", { es =>
       val p = es(5) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _) => v.intValue

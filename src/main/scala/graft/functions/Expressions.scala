@@ -229,6 +229,94 @@ case class StTotalBoundsAgg(child: Expression)
   override protected def withNewChildInternal(c: Expression): StTotalBoundsAgg = copy(c)
 }
 
+/** Multipoint-building aggregate: collects (x, y) pairs into one flat
+  * interleaved coordinate array — the groupBy constructor for the
+  * multipoint data model (SURVEY §1.2), the aggregate analog of the
+  * reference's from-raw-coordinates construction (base.py:799-871).
+  *
+  * A TypedImperativeAggregate over a growable primitive double buffer:
+  * updates append two doubles (no per-row array allocation, unlike
+  * collect_list(array(x,y)) + flatten), merges concatenate buffers, and
+  * partial results serialize as raw little-endian doubles. Rows where
+  * either coordinate is null are skipped. Element order follows row
+  * arrival order (like collect_list, not deterministic across runs) —
+  * every multipoint kernel is order-insensitive. */
+case class StCollectPoints(xExpr: Expression, yExpr: Expression,
+                           mutableAggBufferOffset: Int = 0,
+                           inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[StCollectPoints.Buf] {
+  override def children: Seq[Expression] = Seq(xExpr, yExpr)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "st_collect_points"
+
+  override def createAggregationBuffer(): StCollectPoints.Buf =
+    new StCollectPoints.Buf()
+
+  override def update(b: StCollectPoints.Buf, input: InternalRow): StCollectPoints.Buf = {
+    val xv = xExpr.eval(input)
+    val yv = yExpr.eval(input)
+    if (xv != null && yv != null)
+      b.append(xv.asInstanceOf[Double], yv.asInstanceOf[Double])
+    b
+  }
+
+  override def merge(b: StCollectPoints.Buf, o: StCollectPoints.Buf): StCollectPoints.Buf = {
+    b.appendAll(o); b
+  }
+
+  override def eval(b: StCollectPoints.Buf): Any =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(b.result())
+
+  override def serialize(b: StCollectPoints.Buf): Array[Byte] = {
+    val bytes = java.nio.ByteBuffer.allocate(b.size * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bytes.asDoubleBuffer().put(b.values, 0, b.size)
+    bytes.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): StCollectPoints.Buf = {
+    val n = bytes.length / 8
+    val vals = new Array[Double](n)
+    java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .asDoubleBuffer().get(vals)
+    val b = new StCollectPoints.Buf(vals, n)
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): StCollectPoints =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): StCollectPoints =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): StCollectPoints =
+    copy(xExpr = cs(0), yExpr = cs(1))
+}
+
+object StCollectPoints {
+  /** Growable primitive buffer of interleaved coordinates. */
+  final class Buf(var values: Array[Double], var size: Int) {
+    def this() = this(new Array[Double](16), 0)
+    private def ensure(extra: Int): Unit = {
+      if (size + extra > values.length) {
+        var cap = values.length * 2
+        while (cap < size + extra) cap *= 2
+        values = java.util.Arrays.copyOf(values, cap)
+      }
+    }
+    def append(x: Double, y: Double): Unit = {
+      ensure(2); values(size) = x; values(size + 1) = y; size += 2
+    }
+    def appendAll(o: Buf): Unit = {
+      ensure(o.size)
+      System.arraycopy(o.values, 0, values, size, o.size)
+      size += o.size
+    }
+    def result(): Array[Double] = java.util.Arrays.copyOf(values, size)
+  }
+}
+
 /** Boundary: polygon -> multiline (same physical value), multipolygon ->
   * multiline (drop one nesting level).
   * Reference: geometry/polygon.py:92-95, multipolygon.py:103-107. */

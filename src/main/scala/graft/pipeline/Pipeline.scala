@@ -55,11 +55,16 @@ object Tx {
 object Dedup {
   import Tx._
 
-  /** Exact dedup: keep the lowest id per identical value of `col`.
-    * A single hash-aggregate shuffle on the dedup key. */
+  /** Exact dedup: keep the lowest-id row per identical value of `byCol`.
+    * ONE shuffle on the dedup key (rank within identical values) —
+    * strictly better than groupBy + semi-join, which shuffles the key
+    * twice and computes the input twice. Skew is bounded by the
+    * duplicate count per value. */
   def exact(df: DataFrame, byCol: String, idCol: String): DataFrame = {
-    val keep = df.groupBy(col(byCol)).agg(min(col(idCol)).as(idCol))
-    df.join(keep, Seq(byCol, idCol), "left_semi")
+    val w = Window.partitionBy(col(byCol)).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
   }
 
   /**

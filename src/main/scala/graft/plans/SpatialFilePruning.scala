@@ -177,6 +177,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     fn(ext, "st_oriented", classOf[StOriented].getName, es => StOriented(es.head))
     fn(ext, "st_total_bounds", classOf[StTotalBoundsAgg].getName,
       es => StTotalBoundsAgg(es.head).toAggregateExpression())
+    fn(ext, "st_collect_points", classOf[StCollectPoints].getName,
+      es => StCollectPoints(es(0), es(1)).toAggregateExpression())
     for (kind <- Seq("point", "multipoint", "line", "multiline", "polygon", "multipolygon")) {
       fn(ext, s"st_${kind}_intersects_bounds", classOf[StIntersectsBounds].getName,
         es => StIntersectsBounds(es(0), Cast(es(1), DoubleType), Cast(es(2), DoubleType),

@@ -76,13 +76,15 @@ object Queries {
         .df.select(col("c_custkey"), col("px"), col("py"))
     }),
 
-    // SURVEY §2.8 multipoint-vs-rect kernel over per-order multipoints.
+    // SURVEY §2.8 multipoint-vs-rect kernel over per-order multipoints,
+    // built with the st_collect_points aggregate (primitive buffer — no
+    // per-row array allocation, unlike collect_list + flatten).
     "multipoint_bbox" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .withColumn("x", (col("l_partkey") % 1000).cast("double"))
         .withColumn("y", (col("l_suppkey") % 1000).cast("double"))
       li.groupBy(col("l_orderkey"))
-        .agg(flatten(collect_list(array(col("x"), col("y")))).as("mp"))
+        .agg(st_collect_points(col("x"), col("y")).as("mp"))
         .where(st_multipoint_intersects_bounds(col("mp"),
           lit(200), lit(200), lit(800), lit(800)))
         .select(col("l_orderkey"))
@@ -137,7 +139,7 @@ object Queries {
         .withColumn("x", (col("l_partkey") % 1000).cast("double"))
         .withColumn("y", (col("l_suppkey") % 1000).cast("double"))
       val mp = li.groupBy(col("l_orderkey"))
-        .agg(flatten(collect_list(array(col("x"), col("y")))).as("mp"))
+        .agg(st_collect_points(col("x"), col("y")).as("mp"))
       val b = st_bounds(col("mp"))
       mp.select(col("l_orderkey"), b.getField("x0").as("x0"), b.getField("y0").as("y0"),
         b.getField("x1").as("x1"), b.getField("y1").as("y1"))

@@ -170,6 +170,34 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("invalid number"))
   }
 
+  test("st_collect_points builds multipoints (nulls skipped, merge across partitions)") {
+    val df = spark.range(0, 1000, 1, 8)
+      .select(col("id") % 10 as "k",
+        when(col("id") % 97 =!= 0, (col("id") % 31).cast("double")).as("x"),
+        (col("id") % 17).cast("double").as("y"))
+    val viaAgg = df.groupBy(col("k"))
+      .agg(st_collect_points(col("x"), col("y")).as("mp"))
+      .select(col("k"), sort_array(col("mp")).as("sorted"), size(col("mp")).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Double](1), r.getInt(2))).toMap
+    val viaList = df.where(col("x").isNotNull)
+      .groupBy(col("k"))
+      .agg(flatten(collect_list(array(col("x"), col("y")))).as("mp"))
+      .select(col("k"), sort_array(col("mp")).as("sorted"), size(col("mp")).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Double](1), r.getInt(2))).toMap
+    // multiset equality via sorted contents (both orders are arrival order)
+    assert(viaAgg == viaList)
+    // null coordinates were skipped, not zero-filled
+    assert(viaAgg.values.map(_._2).sum == 2 * (1000 - 1000 / 97 - 1))
+
+    registerAll(spark)
+    df.createOrReplaceTempView("cp_in")
+    val sqlN = spark.sql(
+      """SELECT sum(n) FROM (
+           SELECT size(st_collect_points(x, y)) AS n FROM cp_in GROUP BY k)""")
+      .head().getLong(0)
+    assert(sqlN == viaAgg.values.map(_._2.toLong).sum)
+  }
+
   test("SQL registry: st_* callable from spark.sql") {
     registerAll(spark)
     Seq(Tuple1(Seq(largeCcw, unitCw))).toDF("poly").createOrReplaceTempView("polys")
