@@ -169,6 +169,36 @@ final case class GeoFrame(df: DataFrame, geometryCol: String, kind: String) {
     copy(df = out)
   }
 
+  /** Distributed backward fill — the [[backfillNa]] twin of
+    * [[padNaPartitioned]], everything mirrored to descending order:
+    * range-repartition descending, fill within partitions from the NEXT
+    * non-null, then carry each partition's minimum-order non-null
+    * geometry backwards across partitions via a broadcast. */
+  def backfillNaPartitioned(orderCol: Column, numPartitions: Int): GeoFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = df.repartitionByRange(numPartitions, orderCol.desc)
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    val w = Window.partitionBy(col("__pid")).orderBy(orderCol.desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = bucketed.withColumn(geometryCol,
+      last(geometry, ignoreNulls = true).over(w))
+    // earliest (minimum-order) non-null geometry per partition — the
+    // value leading nulls of LATER pids (earlier order values) backfill to
+    val firsts = bucketed.where(geometry.isNotNull)
+      .groupBy(col("__pid")).agg(min_by(geometry, orderCol).as("__first"))
+    val allPids = bucketed.select(col("__pid")).distinct()
+    val carryW = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = allPids.join(firsts, Seq("__pid"), "left")
+      .withColumn("__carry", last(col("__first"), ignoreNulls = true).over(carryW))
+      .select(col("__pid"), col("__carry"))
+    val out = filled.join(broadcast(carries), Seq("__pid"))
+      .withColumn(geometryCol, coalesce(col(geometryCol), col("__carry")))
+      .drop("__pid", "__carry")
+    copy(df = out)
+  }
+
   /** Lexicographic geometry sort over flat coordinates, shorter-first on
     * ties — Spark's array ordering IS the reference's comparison
     * (reference: baselist.py:249-290); nested kinds compare flattened. */

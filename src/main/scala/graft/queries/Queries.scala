@@ -208,6 +208,17 @@ object Queries {
         .df.select(col("c_custkey"), st_x(col("pt")).as("fx"), st_y(col("pt")).as("fy"))
     }),
 
+    // SURVEY §2.2 fillna(method=backfill) — the DISTRIBUTED variant
+    // (descending partition-boundary carry), checked against SQL
+    // first_value IGNORE NULLS over the following frame.
+    "backfillna_points" -> ((s, dir) => {
+      val pts = custPoints(s, dir)
+        .withColumn("pt", when(col("c_custkey") % 7 =!= 0, col("pt")))
+      graft.api.GeoFrame(pts, "pt", "point")
+        .backfillNaPartitioned(col("c_custkey"), numPartitions = 8)
+        .df.select(col("c_custkey"), st_x(col("pt")).as("fx"), st_y(col("pt")).as("fy"))
+    }),
+
     // SURVEY §3.2 via the PLANNER: a plain DataFrame join with the
     // st_intersects predicate — no SpatialJoin call. The
     // SpatialJoinRewrite rule (enabled through spark.sql.extensions in
@@ -663,6 +674,15 @@ object Queries {
          last_value(CASE WHEN c_custkey%7=0 THEN NULL
                          ELSE CAST((c_custkey*104729)%1000 AS DOUBLE) END IGNORE NULLS)
            OVER (ORDER BY c_custkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fy
+         FROM customer""",
+    "backfillna_points" ->
+      """SELECT c_custkey,
+         first_value(CASE WHEN c_custkey%7=0 THEN NULL
+                          ELSE CAST((c_custkey*7919)%1000 AS DOUBLE) END IGNORE NULLS)
+           OVER (ORDER BY c_custkey ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fx,
+         first_value(CASE WHEN c_custkey%7=0 THEN NULL
+                          ELSE CAST((c_custkey*104729)%1000 AS DOUBLE) END IGNORE NULLS)
+           OVER (ORDER BY c_custkey ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fy
          FROM customer""",
     "intersects_point_line" ->
       """SELECT c_custkey FROM customer

@@ -68,6 +68,24 @@ class GeoFrameNaSortSpec extends AnyFunSuite {
     assert(got.toSeq == expect.toSeq)
   }
 
+  test("backfillNaPartitioned matches single-window backfillNa") {
+    val rnd = new scala.util.Random(11)
+    // trailing nulls (ids 498,499) stay null in both; null runs crossing
+    // partition boundaries take the carry from a LATER partition
+    val rows = (0L until 500L).map { i =>
+      val g = if (i >= 498 || rnd.nextDouble() < 0.6) None
+              else Some(Seq(i.toDouble, i.toDouble))
+      (i, g)
+    }
+    val df = spark.createDataFrame(rows).toDF("id", "line").repartition(7)
+    val gf = GeoFrame(df, "line", "line")
+    val expect = gf.backfillNa(col("id")).df.orderBy("id")
+      .select("line").collect().map(r => Option(r.get(0)).map(_.toString))
+    val got = gf.backfillNaPartitioned(col("id"), 6).df.orderBy("id")
+      .select("line").collect().map(r => Option(r.get(0)).map(_.toString))
+    assert(got.toSeq == expect.toSeq)
+  }
+
   test("lexicographic geometry sort, shorter-first ties") {
     val df = Seq(
       (1L, Seq(2.0, 0)),
