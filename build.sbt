@@ -31,3 +31,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// extra -D flags for the forked run/test JVMs (e.g. the CODEGEN_ONLY
+// verification pass: SPARK_GRAFT_EXTRA_JAVA_OPTS="-Dspark.sql.codegen.
+// factoryMode=CODEGEN_ONLY -Dspark.sql.codegen.fallback=false")
+javaOptions ++= sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS")
+  .map(_.trim.split("\\s+").toSeq).getOrElse(Seq.empty)
