@@ -88,6 +88,45 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_sum"), s"no partial aggregation in:\n$plan")
   }
 
+  test("outer spatial joins plan without nested loops") {
+    val pts = (0 until 300).map(i => (i.toLong, (i % 97).toDouble, (i % 89).toDouble))
+      .toDF("pid", "x", "y").withColumn("pt", st_point(col("x"), col("y")))
+      .select("pid", "pt")
+    val polys = (0 until 20).map { i =>
+      val c = i * 5.0
+      (i.toLong, Seq(Seq(c + 5, c, c, c + 5, c - 5, c, c, c - 5, c + 5, c)))
+    }.toDF("gid", "poly")
+    for ((how, key) <- Seq(("left", "pid"), ("right", "gid"))) {
+      val j = SpatialJoin.pointInGeom(pts, polys, "pt", "poly", "polygon",
+        cellSize = 10.0, how = how,
+        leftKey = if (how == "left") key else null,
+        rightKey = if (how == "right") key else null)
+      val plan = finalPlan(j)
+      assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+        s"nested loop in $how join:\n$plan")
+    }
+  }
+
+  test("LSH self-join computes the signature pass once (exchange reuse)") {
+    val docs = (0 until 400).map(i => (i.toLong, s"alpha beta gamma delta ${i % 40} epsilon zeta"))
+      .toDF("doc_id", "text")
+    val pairs = graft.pipeline.Dedup.simhashDupPairs(docs, "doc_id", "text")
+    val plan = finalPlan(pairs)
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"banded exchange not reused (signatures computed twice):\n$plan")
+  }
+
+  test("exact dedup is a single shuffle") {
+    val docs = (0 until 500).map(i => (i.toLong, s"t${i % 50}")).toDF("id", "t")
+    val d = graft.pipeline.Dedup.exact(docs, "t", "id")
+    val plan = finalPlan(d)
+    val shuffles = "hashpartitioning|rangepartitioning".r
+      .findAllIn(plan).size
+    assert(d.count() == 50)
+    assert(shuffles <= 2, // one exchange; AQE may print it twice (stage + reuse)
+      s"too many shuffles in exact dedup:\n$plan")
+  }
+
   test("custom spatial predicate runs inside whole-stage codegen") {
     // spark.range (not a LocalRelation) so the filter cannot be
     // constant-folded away at plan time
