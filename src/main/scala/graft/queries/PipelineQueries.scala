@@ -147,6 +147,18 @@ object PipelineQueries {
         "c_id", "c_vec", "q_id", "q_vec", k = 5)
     }),
 
+    // rows-only: IVF-flat ANN (the other scale path — broadcast centroid
+    // cells, probe nprobe cells per query; recall vs brute force is
+    // asserted in PipelineSpec)
+    "ann_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(
+        emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
+        emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+        "c_id", "c_vec", "q_id", "q_vec", k = 5, nlist = 16, nprobe = 4)
+    }),
+
     // -- composed pipeline -------------------------------------------------
     // The realistic training-data chain: quality filter -> exact dedup
     // (keep lowest id per text) -> language distribution. Each stage is
@@ -173,6 +185,27 @@ object PipelineQueries {
       docs.select(col("doc_id"), meta.getField("width").as("width"),
           meta.getField("height").as("height"), meta.getField("format").as("format"),
           element_at(Multimodal.extractFeaturesStub(col("content"), 8), 1).as("f0"))
+    }),
+
+    // rows-only: resize + video frame-sampling plumbing (1->N explode)
+    "multimodal_frames" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+      val small = Multimodal.resizeStub(Multimodal.decodeStub(col("content")), 512)
+      docs.select(col("doc_id"),
+        size(Multimodal.frameSampleStub(col("content"), 4)).as("n_frames"),
+        small.getField("width").as("rw"), small.getField("height").as("rh"))
+    }),
+
+    // rows-only: the batched per-partition decode path (mapPartitions —
+    // the Scala analog of mapInPandas; per-format counts aggregate the
+    // decoded metadata)
+    "multimodal_batch_decode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+      Multimodal.mapDecodePartitions(docs, "content", batchSize = 128)
+        .groupBy(col("meta.format").as("format"))
+        .agg(count(lit(1)).as("n"), max(col("meta.width")).as("max_w"))
     })
   )
 
