@@ -197,19 +197,21 @@ object TextEval {
     val toks = TextHashing.tokenHashes(bytes, seed)
     val n = toks.length
     val mins = Array.fill(numHashes)(Long.MaxValue)
-    val seeds = new Array[Long](numHashes)
-    var j = 0
-    while (j < numHashes) {
-      seeds(j) = TextHashing.mix64(seed + 0x9e3779b97f4a7c15L * (j + 1))
-      j += 1
-    }
+    // 2-universal per-gram family: hash_j = h1 + j*h2 (h2 odd). Two
+    // mix64 per shingle instead of numHashes of them — the signature
+    // stage is CPU-bound at corpus scale and this is its hot loop. The
+    // standard LSH band analysis holds for this family.
+    val seedA = TextHashing.mix64(seed + 0x9e3779b97f4a7c15L)
+    val seedB = TextHashing.mix64(seed + 2 * 0x9e3779b97f4a7c15L)
     var i = 0
     while (i + shingle <= n) {
       val h = TextHashing.gramHash(toks, i, shingle, seed)
-      j = 0
+      val h2 = TextHashing.mix64(h ^ seedB) | 1L
+      var hj = TextHashing.mix64(h ^ seedA)
+      var j = 0
       while (j < numHashes) {
-        val hj = TextHashing.mix64(h ^ seeds(j))
         if (hj < mins(j)) mins(j) = hj
+        hj += h2
         j += 1
       }
       i += 1
