@@ -254,4 +254,39 @@ object KernelProperties extends Properties("kernels") {
       Prop(wkt.values.sameElements(v) && gj.values.sameElements(v)) :|
         s"wkt=${wkt.values.toSeq} gj=${gj.values.toSeq} orig=${v.toSeq}"
     }
+
+  // -- GeoJSON pen-up lines: NaN separators survive via MultiLineString --
+  private val penUpLineGen: Gen[Array[Double]] = for {
+    n <- Gen.choose(2, 10)
+    pairs <- Gen.listOfN(n, Gen.zip(Gen.choose(-100, 100), Gen.choose(-100, 100)))
+    nanMask <- Gen.listOfN(n, Gen.frequency(4 -> false, 1 -> true))
+  } yield pairs.zip(nanMask).flatMap { case ((x, y), isNan) =>
+    if (isNan) Seq(Double.NaN, Double.NaN) else Seq(x.toDouble, y.toDouble)
+  }.toArray
+
+  property("GeoJSON pen-up lines write valid JSON and preserve st_length") =
+    forAll(penUpLineGen) { v =>
+      val json = GeoJson.lineString(v)
+      val parsed = GeoJson.parse(json)
+      // rejoin MultiLineString parts with NaN separators (the expression
+      // layer's read-as-line path)
+      val rejoined: Array[Double] =
+        if (parsed.kind != "multiline") parsed.values
+        else {
+          val out = scala.collection.mutable.ArrayBuffer.empty[Double]
+          var p = 0
+          while (p < parsed.offsets1.length - 1) {
+            if (p > 0) { out += Double.NaN; out += Double.NaN }
+            var i = parsed.offsets1(p)
+            while (i < parsed.offsets1(p + 1)) { out += parsed.values(i); i += 1 }
+            p += 1
+          }
+          out.toArray
+        }
+      val lenBefore = Kernels.lineLength(v, Array(0, v.length))
+      val lenAfter = Kernels.lineLength(rejoined, Array(0, rejoined.length))
+      Prop(!json.contains("NaN") && !json.contains("Infinity") &&
+        (lenBefore == lenAfter || (lenBefore.isNaN && lenAfter.isNaN))) :|
+        s"json=$json lenBefore=$lenBefore lenAfter=$lenAfter"
+    }
 }
