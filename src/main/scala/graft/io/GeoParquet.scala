@@ -107,19 +107,33 @@ object GeoParquet {
     * no sidecar exists. */
   def read(spark: SparkSession, path: String, geomCol: String, kind: String,
            bounds: Option[(Double, Double, Double, Double)] = None): GeoFrame = {
-    val sidecarText = bounds.flatMap(_ =>
-      readSidecarText(path, spark.sessionState.newHadoopConf()))
+    val conf = spark.sessionState.newHadoopConf()
+    val sidecarText = bounds.flatMap(_ => readSidecarText(path, conf))
     val df = (bounds, sidecarText) match {
       case (Some((qx0, qy0, qx1, qy1)), Some(text)) =>
         val perFile = parseSidecar(text, geomCol)
-        val keep = perFile.collect {
-          case (file, Array(x0, y0, x1, y1))
-            if !(x1 < qx0 || x0 > qx1 || y1 < qy0 || y0 > qy1) => file
+        // Conservative pruning, mirroring the planner rule: a sidecar
+        // that doesn't cover this column prunes nothing, and data files
+        // the sidecar doesn't mention (e.g. appended after the sidecar
+        // was written) are always kept. NaN bounds compare false → kept.
+        if (perFile.isEmpty) spark.read.parquet(path)
+        else {
+          val root = new HadoopPath(path)
+          val fs = root.getFileSystem(conf)
+          val dataFiles = fs.listStatus(root).map(_.getPath.getName)
+            .filter(n => !n.startsWith("_") && !n.startsWith("."))
+          val keep = dataFiles.filter { name =>
+            perFile.get(name) match {
+              case Some(Array(x0, y0, x1, y1)) =>
+                !(x1 < qx0 || x0 > qx1 || y1 < qy0 || y0 > qy1)
+              case _ => true // unknown file: conservative keep
+            }
+          }
+          if (keep.isEmpty)
+            spark.read.parquet(path).limit(0)
+          else
+            spark.read.parquet(keep.map(f => s"$path/$f").toSeq: _*)
         }
-        if (keep.isEmpty)
-          spark.read.parquet(path).limit(0)
-        else
-          spark.read.parquet(keep.map(f => s"$path/$f").toSeq: _*)
       case _ => spark.read.parquet(path)
     }
     GeoFrame(df, geomCol, kind)

@@ -47,6 +47,33 @@ class GeoPruneSpec extends AnyFunSuite {
     }
   }
 
+  test("bounds read is conservative: unknown files and uncovered columns survive") {
+    val dir = java.nio.file.Files.createTempDirectory("conserv").toFile
+    try {
+      val pts = (0 until 100).map(i => (i.toLong, (i % 10).toDouble, (i / 10).toDouble))
+        .toDF("id", "x", "y").withColumn("pt", st_point(col("x"), col("y")))
+        .select("id", "pt")
+      GeoParquet.write(GeoFrame(pts, "pt", "point"), s"$dir/d", mode = "overwrite")
+      // append data AFTER the sidecar was written (id 1000 far outside box)
+      Seq((1000L, 500.0, 500.0)).toDF("id", "x", "y")
+        .withColumn("pt", st_point(col("x"), col("y"))).select("id", "pt")
+        .write.mode("append").parquet(s"$dir/d")
+      val got = GeoParquet.read(spark, s"$dir/d", "pt", "point",
+          bounds = Some((0.0, 0.0, 2.0, 2.0)))
+        .df.select("id").as[Long].collect().toSet
+      // sidecar-unknown file must be kept (bounds read prunes FILES only)
+      assert(got.contains(1000L), s"appended file dropped: $got")
+      assert((0 until 100).map(_.toLong).toSet.subsetOf(got) || got.size > 1)
+      // a column the sidecar doesn't cover: no pruning, full read
+      val all = GeoParquet.read(spark, s"$dir/d", "pt2", "point",
+          bounds = Some((0.0, 0.0, 1.0, 1.0)))
+        .df.count()
+      assert(all == 101, s"uncovered column pruned to $all rows")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    }
+  }
+
   test("point cx comparisons prune files too (no kernel predicate needed)") {
     val dir = java.nio.file.Files.createTempDirectory("pointprune").toFile
     try {
