@@ -275,18 +275,23 @@ object Similarity {
               queryId: String, queryVec: String, k: Int,
               bandsSeeds: Seq[Long] = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L),
               bits: Int = 12): DataFrame = {
-    def banded(df: DataFrame, vecCol: String): DataFrame =
-      df.select(df.columns.map(col) :+
-          posexplode(array(bandsSeeds.map(s => srp_bits(col(vecCol), bits, s)): _*)): _*)
+    // Band only (id, band, bucket) — the bucket join must not shuffle
+    // the vectors bands-times over; they are re-joined by id for the
+    // exact-cosine refine (candidates << corpus x bands at scale).
+    def banded(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+      df.select(col(idCol),
+          posexplode(array(bandsSeeds.map(s => srp_bits(col(vecCol), bits, s)): _*)))
         .withColumnRenamed("pos", "__band")
         .withColumnRenamed("col", "__bucket")
 
-    val c = banded(corpus, corpusVec)
-    val q = banded(queries, queryVec)
+    val c = banded(corpus, corpusId, corpusVec)
+    val q = banded(queries, queryId, queryVec)
     val candidates = q.join(c, Seq("__band", "__bucket"))
-      .select(col(queryId), col(queryVec), col(corpusId), col(corpusVec))
+      .select(col(queryId), col(corpusId))
       .dropDuplicates(queryId, corpusId)
     val scored = candidates
+      .join(queries.select(col(queryId), col(queryVec)), queryId)
+      .join(corpus.select(col(corpusId), col(corpusVec)), corpusId)
       .withColumn("cosine", cosine_similarity(col(queryVec), col(corpusVec)))
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("cosine").desc, col(corpusId))
