@@ -35,4 +35,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // verification pass: SPARK_GRAFT_EXTRA_JAVA_OPTS="-Dspark.sql.codegen.
 // factoryMode=CODEGEN_ONLY -Dspark.sql.codegen.fallback=false")
 javaOptions ++= sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS")
-  .map(_.trim.split("\\s+").toSeq).getOrElse(Seq.empty)
+  .map(_.trim.split("\\s+").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)

@@ -53,7 +53,8 @@ object Geo {
     * coordinate-list construction (base.py:799-871). Null coordinates
     * are skipped; element order matches collect_list semantics. */
   def st_collect_points(x: Column, y: Column): Column =
-    Bridge.column(StCollectPoints(Bridge.expression(x), Bridge.expression(y))
+    Bridge.column(StCollectPoints(Bridge.expression(x.cast("double")),
+        Bridge.expression(y.cast("double")))
       .toAggregateExpression())
 
   // ---- predicates ----------------------------------------------------
@@ -115,7 +116,10 @@ object Geo {
     Bridge.registerFunction(spark, "st_total_bounds",
       es => StTotalBoundsAgg(es.head).toAggregateExpression())
     Bridge.registerFunction(spark, "st_collect_points",
-      es => StCollectPoints(es(0), es(1)).toAggregateExpression())
+      es => StCollectPoints(
+        org.apache.spark.sql.catalyst.expressions.Cast(es(0), org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.catalyst.expressions.Cast(es(1), org.apache.spark.sql.types.DoubleType))
+        .toAggregateExpression())
     Bridge.registerFunction(spark, "st_hilbert_distance", { es =>
       val p = es(5) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _) => v.intValue

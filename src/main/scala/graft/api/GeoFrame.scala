@@ -142,26 +142,38 @@ final case class GeoFrame(df: DataFrame, geometryCol: String, kind: String) {
     * nulls via a broadcast join. Same result as [[padNa]] whenever
     * `orderCol` is a total order; scales to arbitrarily large frames
     * (the only single-task step runs over numPartitions rows). */
-  def padNaPartitioned(orderCol: Column, numPartitions: Int): GeoFrame = {
+  def padNaPartitioned(orderCol: Column, numPartitions: Int): GeoFrame =
+    directionalFillPartitioned(orderCol, numPartitions, forward = true)
+
+  /** Shared two-pass fill: range-repartition in fill direction, fill
+    * within each partition with a per-partition window, then carry each
+    * partition's boundary non-null geometry across partitions via a
+    * broadcast (a numPartitions-row table). The bucketed frame is
+    * persisted so both passes observe identical partition ids; the
+    * cache stays pinned until the caller drops it
+    * (spark.catalog.clearCache() or unpersist). */
+  private def directionalFillPartitioned(orderCol: Column, numPartitions: Int,
+                                         forward: Boolean): GeoFrame = {
     import org.apache.spark.sql.expressions.Window
-    // persist so pass 1 and pass 2 observe identical partition ids; the
-    // cached bucketed frame stays pinned until the session drops it
-    // (spark.catalog.clearCache() or df.unpersist() by the caller)
-    val bucketed = df.repartitionByRange(numPartitions, orderCol)
+    val dir = if (forward) orderCol.asc else orderCol.desc
+    val bucketed = df.repartitionByRange(numPartitions, dir)
       .withColumn("__pid", spark_partition_id())
       .persist()
-    val w = Window.partitionBy(col("__pid")).orderBy(orderCol)
+    val w = Window.partitionBy(col("__pid")).orderBy(dir)
       .rowsBetween(Window.unboundedPreceding, 0)
     val filled = bucketed.withColumn(geometryCol,
       last(geometry, ignoreNulls = true).over(w))
-    // last non-null geometry per partition, carried to later partitions
-    val lasts = bucketed.where(geometry.isNotNull)
-      .groupBy(col("__pid")).agg(max_by(geometry, orderCol).as("__last"))
+    // boundary non-null geometry per partition (last in fill direction),
+    // carried to partitions later in that direction
+    val boundaryAgg =
+      if (forward) max_by(geometry, orderCol) else min_by(geometry, orderCol)
+    val boundaries = bucketed.where(geometry.isNotNull)
+      .groupBy(col("__pid")).agg(boundaryAgg.as("__edge"))
     val allPids = bucketed.select(col("__pid")).distinct()
     val carryW = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val carries = allPids.join(lasts, Seq("__pid"), "left")
-      .withColumn("__carry", last(col("__last"), ignoreNulls = true).over(carryW))
+    val carries = allPids.join(boundaries, Seq("__pid"), "left")
+      .withColumn("__carry", last(col("__edge"), ignoreNulls = true).over(carryW))
       .select(col("__pid"), col("__carry"))
     val out = filled.join(broadcast(carries), Seq("__pid"))
       .withColumn(geometryCol, coalesce(col(geometryCol), col("__carry")))
@@ -170,34 +182,10 @@ final case class GeoFrame(df: DataFrame, geometryCol: String, kind: String) {
   }
 
   /** Distributed backward fill — the [[backfillNa]] twin of
-    * [[padNaPartitioned]], everything mirrored to descending order:
-    * range-repartition descending, fill within partitions from the NEXT
-    * non-null, then carry each partition's minimum-order non-null
-    * geometry backwards across partitions via a broadcast. */
-  def backfillNaPartitioned(orderCol: Column, numPartitions: Int): GeoFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val bucketed = df.repartitionByRange(numPartitions, orderCol.desc)
-      .withColumn("__pid", spark_partition_id())
-      .persist()
-    val w = Window.partitionBy(col("__pid")).orderBy(orderCol.desc)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = bucketed.withColumn(geometryCol,
-      last(geometry, ignoreNulls = true).over(w))
-    // earliest (minimum-order) non-null geometry per partition — the
-    // value leading nulls of LATER pids (earlier order values) backfill to
-    val firsts = bucketed.where(geometry.isNotNull)
-      .groupBy(col("__pid")).agg(min_by(geometry, orderCol).as("__first"))
-    val allPids = bucketed.select(col("__pid")).distinct()
-    val carryW = Window.orderBy(col("__pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val carries = allPids.join(firsts, Seq("__pid"), "left")
-      .withColumn("__carry", last(col("__first"), ignoreNulls = true).over(carryW))
-      .select(col("__pid"), col("__carry"))
-    val out = filled.join(broadcast(carries), Seq("__pid"))
-      .withColumn(geometryCol, coalesce(col(geometryCol), col("__carry")))
-      .drop("__pid", "__carry")
-    copy(df = out)
-  }
+    * [[padNaPartitioned]]: the same two-pass shape mirrored to
+    * descending order (nulls take the NEXT non-null geometry). */
+  def backfillNaPartitioned(orderCol: Column, numPartitions: Int): GeoFrame =
+    directionalFillPartitioned(orderCol, numPartitions, forward = false)
 
   /** Lexicographic geometry sort over flat coordinates, shorter-first on
     * ties — Spark's array ordering IS the reference's comparison

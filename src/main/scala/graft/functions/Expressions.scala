@@ -300,7 +300,7 @@ object StCollectPoints {
     def this() = this(new Array[Double](16), 0)
     private def ensure(extra: Int): Unit = {
       if (size + extra > values.length) {
-        var cap = values.length * 2
+        var cap = math.max(values.length * 2, 16) // floor: 0-capacity never doubles
         while (cap < size + extra) cap *= 2
         values = java.util.Arrays.copyOf(values, cap)
       }

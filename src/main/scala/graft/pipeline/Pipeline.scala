@@ -59,10 +59,13 @@ object Dedup {
     * ONE shuffle on the dedup key (rank within identical values) —
     * strictly better than groupBy + semi-join, which shuffles the key
     * twice and computes the input twice. Skew is bounded by the
-    * duplicate count per value. */
+    * duplicate count per value. Rows with a null key or null id never
+    * survive (same as the equi-join formulation, where null never
+    * matches). */
   def exact(df: DataFrame, byCol: String, idCol: String): DataFrame = {
     val w = Window.partitionBy(col(byCol)).orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w))
+    df.where(col(byCol).isNotNull && col(idCol).isNotNull)
+      .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)
       .drop("__rn")
   }

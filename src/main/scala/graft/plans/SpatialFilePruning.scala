@@ -178,7 +178,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     fn(ext, "st_total_bounds", classOf[StTotalBoundsAgg].getName,
       es => StTotalBoundsAgg(es.head).toAggregateExpression())
     fn(ext, "st_collect_points", classOf[StCollectPoints].getName,
-      es => StCollectPoints(es(0), es(1)).toAggregateExpression())
+      es => StCollectPoints(Cast(es(0), DoubleType), Cast(es(1), DoubleType))
+        .toAggregateExpression())
     for (kind <- Seq("point", "multipoint", "line", "multiline", "polygon", "multipolygon")) {
       fn(ext, s"st_${kind}_intersects_bounds", classOf[StIntersectsBounds].getName,
         es => StIntersectsBounds(es(0), Cast(es(1), DoubleType), Cast(es(2), DoubleType),

@@ -48,6 +48,15 @@ object Queries {
     t(spark, dir, "part").withColumn("poly", array(shell, hole))
   }
 
+  /** even-coordinate customer probe points for the diamond joins —
+    * nothing ever lands exactly on a diamond boundary (odd radius), so
+    * the winding-number result is unambiguous. */
+  private def diamondProbePoints(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .withColumn("pt", st_point((((col("c_custkey") * 7919) % 500) * 2).cast("double"),
+        (((col("c_custkey") * 104729) % 500) * 2).cast("double")))
+      .select(col("c_custkey"), col("pt"))
+
   /** supplier diamonds: CCW rotated squares, radius odd, centers even. */
   private def supplierDiamonds(spark: SparkSession, dir: String): DataFrame = {
     val sx = (((col("s_suppkey") * 7919) % 500) * 2).cast("double")
@@ -237,10 +246,7 @@ object Queries {
     // where no diamond contains the point (tools/sjoin.py:26-94 left
     // semantics via key-preserving outer join on the inner grid join).
     "sjoin_left" -> ((s, dir) => {
-      val pts = t(s, dir, "customer")
-        .withColumn("pt", st_point((((col("c_custkey") * 7919) % 500) * 2).cast("double"),
-          (((col("c_custkey") * 104729) % 500) * 2).cast("double")))
-        .select(col("c_custkey"), col("pt"))
+      val pts = diamondProbePoints(s, dir)
       val dia = supplierDiamonds(s, dir).select(col("s_suppkey"), col("diamond"))
       SpatialJoin.pointInGeom(pts, dia, "pt", "diamond", "polygon",
           cellSize = 128.0, how = "left", leftKey = "c_custkey")
@@ -250,10 +256,7 @@ object Queries {
     // SURVEY §2.3 sjoin how=right: every diamond row kept (right keeps
     // the right geometry side — sjoin.py:249-270).
     "sjoin_right" -> ((s, dir) => {
-      val pts = t(s, dir, "customer")
-        .withColumn("pt", st_point((((col("c_custkey") * 7919) % 500) * 2).cast("double"),
-          (((col("c_custkey") * 104729) % 500) * 2).cast("double")))
-        .select(col("c_custkey"), col("pt"))
+      val pts = diamondProbePoints(s, dir)
       val dia = supplierDiamonds(s, dir).select(col("s_suppkey"), col("diamond"))
       SpatialJoin.pointInGeom(pts, dia, "pt", "diamond", "polygon",
           cellSize = 128.0, how = "right", rightKey = "s_suppkey")
@@ -265,10 +268,7 @@ object Queries {
     // bboxes, zero shuffle of the point side. Same oracle as the grid
     // join — the two physical strategies must agree exactly.
     "sjoin_broadcast" -> ((s, dir) => {
-      val pts = t(s, dir, "customer")
-        .withColumn("pt", st_point((((col("c_custkey") * 7919) % 500) * 2).cast("double"),
-          (((col("c_custkey") * 104729) % 500) * 2).cast("double")))
-        .select(col("c_custkey"), col("pt"))
+      val pts = diamondProbePoints(s, dir)
       val dia = supplierDiamonds(s, dir).select(col("s_suppkey"), col("diamond"))
       SpatialJoin.broadcastPointInGeom(pts, dia, "pt", "diamond", "polygon",
           rightKey = "s_suppkey")

@@ -29,7 +29,8 @@ object Ranks {
    * the sorted partition). Pass 2: per-partition row counts (a
    * numPartitions-row aggregate) become cumulative offsets, broadcast
    * back. The frame is persisted across the two passes so both observe
-   * identical partition ids.
+   * identical partition ids; the cache stays pinned until the caller
+   * drops it (spark.catalog.clearCache() or unpersist).
    */
   def globalRowNumber(df: DataFrame, outCol: String, numPartitions: Int,
                       keys: Column*): DataFrame = {

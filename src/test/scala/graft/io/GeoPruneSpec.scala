@@ -63,7 +63,11 @@ class GeoPruneSpec extends AnyFunSuite {
         .df.select("id").as[Long].collect().toSet
       // sidecar-unknown file must be kept (bounds read prunes FILES only)
       assert(got.contains(1000L), s"appended file dropped: $got")
-      assert((0 until 100).map(_.toLong).toSet.subsetOf(got) || got.size > 1)
+      // rows actually inside the box can never be pruned away (their
+      // file's bounds intersect the box by definition)
+      val inBox = (0 until 100).filter(i => i % 10 <= 2 && i / 10 <= 2)
+        .map(_.toLong).toSet
+      assert(inBox.subsetOf(got), s"in-box rows missing: ${inBox.diff(got)}")
       // a column the sidecar doesn't cover: no pruning, full read
       val all = GeoParquet.read(spark, s"$dir/d", "pt2", "point",
           bounds = Some((0.0, 0.0, 1.0, 1.0)))
