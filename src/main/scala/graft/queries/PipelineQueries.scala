@@ -159,6 +159,17 @@ object PipelineQueries {
         "c_id", "c_vec", "q_id", "q_vec", k = 5, nlist = 16, nprobe = 4)
     }),
 
+    // exact n-gram Jaccard proven STANDALONE (it also backs the minhash
+    // refine): each doc scored against the next doc id — a linear number
+    // of pairs, so the differential DuckDB oracle stays cheap at any sf.
+    "ngram_jaccard_adjacent" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val a = docs.select(col("doc_id").as("id_a"), col("text").as("__ta"))
+      val b = docs.select((col("doc_id") - 1).as("id_a"), col("text").as("__tb"))
+      a.join(b, "id_a")
+        .select(col("id_a"), Tx.ngram_jaccard(col("__ta"), col("__tb"), 3).as("jacc"))
+    }),
+
     // -- composed pipeline -------------------------------------------------
     // The realistic training-data chain: quality filter -> exact dedup
     // (keep lowest id per text) -> language distribution. Each stage is
@@ -295,6 +306,18 @@ object PipelineQueries {
                     / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jaccard
            FROM grams a, grams b WHERE a.doc_id < b.doc_id
          ) WHERE jaccard >= 0.8""",
+    "ngram_jaccard_adjacent" ->
+      """WITH grams AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(range(1, len(w)-1),
+                    i -> w[i]||chr(31)||w[i+1]||chr(31)||w[i+2])) AS g
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
+         )
+         SELECT a.doc_id AS id_a,
+                CASE WHEN len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) = 0 THEN 0.0
+                     ELSE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                          / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) END AS jacc
+         FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1""",
     "simhash_planted_pairs" ->
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b
          FROM documents WHERE doc_id % 10 = 0""",
