@@ -202,7 +202,7 @@ final case class GeoFrame(df: DataFrame, geometryCol: String, kind: String) {
   }
 
   /** Spatial join on exact intersection (reference: tools/sjoin.py:26-133). */
-  def sjoin(other: GeoFrame, how: String = "inner", cellSize: Double,
+  def sjoin(other: GeoFrame, how: String = "inner", cellSize: Double = 0,
             leftKey: String = null, rightKey: String = null): DataFrame = {
     require(kind == "point", "sjoin currently requires point left side " +
       "(same support matrix as the reference, base.py:634-651)")

@@ -30,6 +30,21 @@ object SpatialJoin {
     * gridInner's reserved-name check. */
   val ReservedGridCols: Set[String] = Set("__cx", "__cy", "__salt", "__gb")
 
+  /** Data-derived grid cell size: 2x the median bbox edge of the
+    * geometry side, so a typical geometry replicates to at most ~4
+    * cells while cells stay small enough to prune. approxQuantile is
+    * the distributed Greenwald-Khanna sketch — one cheap pass, no
+    * collect beyond the quantile itself. Degenerate inputs (all empty /
+    * point-sized bboxes) fall back to 1.0. */
+  def autoCellSize(geoms: DataFrame, geomCol: Column): Double = {
+    val b = st_bounds(geomCol)
+    val edge = greatest(b.getField("x1") - b.getField("x0"),
+      b.getField("y1") - b.getField("y0"))
+    val q = geoms.select(edge.as("__edge")).na.drop
+      .stat.approxQuantile("__edge", Array(0.5), 0.05)
+    if (q.isEmpty || q(0).isNaN || q(0) <= 0) 1.0 else q(0) * 2
+  }
+
   /**
    * Join points (left) to geometries (right) on exact intersection.
    *
@@ -93,11 +108,14 @@ object SpatialJoin {
 
   def pointInGeom(points: DataFrame, geoms: DataFrame,
                   pointCol: String, geomCol: String, geomKind: String,
-                  cellSize: Double, how: String = "inner",
+                  cellSize: Double = 0, how: String = "inner",
                   leftKey: String = null, rightKey: String = null,
                   salt: Int = 1): DataFrame = {
+    // cellSize <= 0 = derive from the data (median bbox edge)
+    val cs = if (cellSize > 0) cellSize
+             else autoCellSize(geoms, geoms(geomCol))
     val matched = gridInner(points, geoms, points(pointCol), geoms(geomCol),
-      geomKind, cellSize, salt)
+      geomKind, cs, salt)
 
     how match {
       case "inner" => matched

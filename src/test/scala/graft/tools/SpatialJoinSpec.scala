@@ -32,6 +32,27 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(grid.nonEmpty)
   }
 
+  test("auto cell size (cellSize<=0) matches an explicit cell size") {
+    val rnd = new scala.util.Random(41)
+    val pts = (0 until 400).map(i =>
+        (i.toLong, rnd.nextDouble() * 100, rnd.nextDouble() * 100))
+      .toDF("pid", "x", "y").withColumn("pt", st_point(col("x"), col("y")))
+    val polys = (0 until 20).map { i =>
+      val cx = rnd.nextDouble() * 100; val cy = rnd.nextDouble() * 100
+      val r = 5 + rnd.nextDouble() * 10
+      (i.toLong, Seq(Seq(cx + r, cy, cx, cy + r, cx - r, cy, cx, cy - r, cx + r, cy)))
+    }.toDF("gid", "poly")
+    val auto = SpatialJoin.pointInGeom(pts, polys, "pt", "poly", "polygon")
+      .select("pid", "gid").as[(Long, Long)].collect().toSet
+    val explicit = SpatialJoin.pointInGeom(pts, polys, "pt", "poly", "polygon",
+        cellSize = 20.0)
+      .select("pid", "gid").as[(Long, Long)].collect().toSet
+    assert(auto == explicit && auto.nonEmpty)
+    // derived size is ~2x the median bbox edge (edges are 2r in [10,30])
+    val cs = SpatialJoin.autoCellSize(polys, col("poly"))
+    assert(cs >= 20.0 && cs <= 62.0, s"implausible auto cell size $cs")
+  }
+
   test("optimizer rewrites a plain st_intersects join to the grid hash join") {
     graft.plans.SpatialJoinRewrite.install(spark)
     try {
