@@ -42,10 +42,11 @@ object GeoParquet {
     * reference's pack_partitions_to_parquet (dask.py:207-532) as
     * repartitionByRange + sortWithinPartitions + write. */
   def packPartitionsToParquet(gf: GeoFrame, path: String, numPartitions: Int,
-                              p: Int = 15, mode: String = "error"): Unit = {
+                              p: Int = 15, mode: String = "error",
+                              extraGeomCols: Seq[String] = Nil): Unit = {
     val packed = gf.packPartitions(numPartitions, p)
     packed.df.write.mode(mode).parquet(path)
-    writeSidecar(gf.df.sparkSession, path, Seq(gf.geometryCol))
+    writeSidecar(gf.df.sparkSession, path, gf.geometryCol +: extraGeomCols)
   }
 
   /** Compute per-file bounds for the geometry columns and write the
