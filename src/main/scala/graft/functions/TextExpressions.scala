@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
@@ -142,6 +143,83 @@ case class DocFingerprint(child: Expression, seed: Long)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextEval.fingerprint($c, ${seed}L)")
   override protected def withNewChildInternal(c: Expression): DocFingerprint = copy(c)
+}
+
+/** Element-wise vector sum aggregate over a numeric-array column (float
+  * or double elements, accumulated in double). The reduction primitive
+  * for centroid computation (k-means / IVF refinement): groupBy(cell)
+  * .agg(vector_sum(vec), count(*)) gives the mean vector with native
+  * map-side partials and no per-element explode. Null rows are skipped;
+  * mismatched lengths raise. Empty groups evaluate to null. */
+case class VectorSumAgg(child: Expression,
+                        mutableAggBufferOffset: Int = 0,
+                        inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[Array[Double]] {
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "vector_sum"
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def createAggregationBuffer(): Array[Double] = null
+
+  override def update(b: Array[Double], input: InternalRow): Array[Double] = {
+    val v = child.eval(input)
+    if (v == null) return b
+    val ad = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = ad.numElements()
+    val acc = if (b == null) new Array[Double](n) else b
+    require(acc.length == n,
+      s"vector_sum: mismatched vector lengths ${acc.length} vs $n")
+    var i = 0
+    while (i < n) {
+      acc(i) += (if (isFloat) ad.getFloat(i).toDouble else ad.getDouble(i))
+      i += 1
+    }
+    acc
+  }
+
+  override def merge(b: Array[Double], o: Array[Double]): Array[Double] = {
+    if (o == null) return b
+    if (b == null) return o
+    require(b.length == o.length,
+      s"vector_sum: mismatched vector lengths ${b.length} vs ${o.length}")
+    var i = 0
+    while (i < b.length) { b(i) += o(i); i += 1 }
+    b
+  }
+
+  override def eval(b: Array[Double]): Any =
+    if (b == null) null
+    else org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(b)
+
+  override def serialize(b: Array[Double]): Array[Byte] = {
+    if (b == null) return Array.empty
+    val bytes = java.nio.ByteBuffer.allocate(b.length * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bytes.asDoubleBuffer().put(b)
+    bytes.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    if (bytes.isEmpty) return null
+    val vals = new Array[Double](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .asDoubleBuffer().get(vals)
+    vals
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): VectorSumAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): VectorSumAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): VectorSumAgg = copy(child = cs(0))
 }
 
 /** Cosine similarity between two numeric arrays (float or double),

@@ -30,6 +30,8 @@ object Tx {
     Bridge.column(QuantizedDot(Bridge.expression(a), Bridge.expression(b), scale))
   def srp_bits(vec: Column, bits: Int = 16, seed: Long = 42L): Column =
     Bridge.column(SrpBits(Bridge.expression(vec), bits, seed))
+  def vector_sum(vec: Column): Column =
+    Bridge.column(VectorSumAgg(Bridge.expression(vec)).toAggregateExpression())
 
   /** Register the pipeline functions on a session's SQL surface (default
     * hyperparameters), completing the spark.sql story next to
@@ -47,6 +49,8 @@ object Tx {
     Bridge.registerFunction(spark, "quantized_dot",
       es => QuantizedDot(es(0), es(1), 1000.0))
     Bridge.registerFunction(spark, "srp_bits", es => SrpBits(es.head, 16, 42L))
+    Bridge.registerFunction(spark, "vector_sum",
+      es => VectorSumAgg(es.head).toAggregateExpression())
     Bridge.registerFunction(spark, "lang_id", es => LangId(es.head,
       Seq("es", "fr", "de", "en").map(l => l -> TextAnalysis.langStopwords(l))))
   }
@@ -228,23 +232,19 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               corpusId: String, corpusVec: String,
               queryId: String, queryVec: String, k: Int,
-              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+              nlist: Int = 16, nprobe: Int = 4,
+              refineIters: Int = 0): DataFrame = {
     require(nlist >= 2 && nprobe >= 1 && nprobe <= nlist)
-    // deterministic hash-ordered sample as centroids (nlist rows to the
-    // driver — the only collected state, analogous to the sidecar tables)
-    val centVecs: Array[Seq[Double]] = corpus
-      .withColumn("__h", pmod(hash(col(corpusId)), lit(1000003)))
-      .orderBy(col("__h"), col(corpusId))
-      .limit(nlist)
-      .select(col(corpusVec).cast("array<double>"))
-      .collect().map(_.getSeq[Double](0))
+    val centVecs: Array[Seq[Double]] = {
+      val init = sampleCentroids(corpus, corpusId, corpusVec, nlist)
+      if (refineIters > 0)
+        kmeansCentroids(corpus, corpusVec, init, refineIters)
+      else init
+    }
 
     // per-cell (similarity, cell) structs against the literal centroids —
     // a narrow, codegen'd projection; no shuffle, no row blowup
-    def cellScores(vec: Column): Seq[Column] =
-      centVecs.toSeq.zipWithIndex.map { case (cv, i) =>
-        struct(cosine_similarity(vec, typedLit(cv)).as("s"), lit(i.toLong).as("cell"))
-      }
+    def cellScores(vec: Column): Seq[Column] = cellScoreCols(centVecs, vec)
 
     // corpus assignment: argmax cell per vector (greatest = lexicographic
     // on (sim, cell) — ties break to the higher cell, deterministically)
@@ -265,6 +265,52 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col(queryId), col(corpusId), col("cosine"), col("rank"))
+  }
+
+  /** Deterministic hash-ordered sample of `nlist` corpus vectors — the
+    * only collected state (analogous to the sidecar tables). */
+  private def sampleCentroids(corpus: DataFrame, corpusId: String,
+                              corpusVec: String, nlist: Int): Array[Seq[Double]] =
+    corpus
+      .withColumn("__h", pmod(hash(col(corpusId)), lit(1000003)))
+      .orderBy(col("__h"), col(corpusId))
+      .limit(nlist)
+      .select(col(corpusVec).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0))
+
+  private def cellScoreCols(cents: Array[Seq[Double]], vec: Column): Seq[Column] =
+    cents.toSeq.zipWithIndex.map { case (cv, i) =>
+      struct(cosine_similarity(vec, typedLit(cv)).as("s"), lit(i.toLong).as("cell"))
+    }
+
+  /**
+   * Lloyd refinement of IVF centroids: per iteration, assign each corpus
+   * vector to its nearest centroid (narrow argmax projection against
+   * broadcast literals — no shuffle) and recompute means with the
+   * [[Tx.vector_sum]] aggregate (ONE keyed shuffle, k rows collected).
+   * Cells that lose all members keep their previous centroid. Cost per
+   * iteration = one corpus pass — the same shape at any corpus size.
+   */
+  def kmeansCentroids(corpus: DataFrame, corpusVec: String,
+                      init: Array[Seq[Double]], iters: Int): Array[Seq[Double]] = {
+    var cents = init
+    for (_ <- 0 until iters) {
+      val assigned = corpus.withColumn("__cell",
+        greatest(cellScoreCols(cents, col(corpusVec)): _*).getField("cell"))
+      val stats = assigned.groupBy(col("__cell"))
+        .agg(vector_sum(col(corpusVec).cast("array<double>")).as("__sum"),
+          count(lit(1)).as("__n"))
+        .collect()
+        .map(r => r.getLong(0).toInt -> ((r.getSeq[Double](1), r.getLong(2))))
+        .toMap
+      cents = cents.zipWithIndex.map { case (old, i) =>
+        stats.get(i) match {
+          case Some((sum, n)) if n > 0 => sum.map(_ / n)
+          case _ => old
+        }
+      }
+    }
+    cents
   }
 
   /**

@@ -121,6 +121,30 @@ class PipelineSpec extends AnyFunSuite {
       .select("q_id", "c_id").as[(Long, Long)].collect().toSet
     val recall = exact.count(approx.contains).toDouble / exact.size
     assert(recall >= 0.8, s"recall $recall too low")
+    // Lloyd-refined centroids must not lose recall (they converge toward
+    // the true cluster centers on this clustered corpus)
+    val refined = Similarity.ivfTopK(corpus, queries, "c_id", "c_vec", "q_id", "q_vec", 5,
+        nlist = 8, nprobe = 3, refineIters = 3)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val refinedRecall = exact.count(refined.contains).toDouble / exact.size
+    assert(refinedRecall >= recall, s"refined $refinedRecall < sampled $recall")
+  }
+
+  test("vector_sum aggregates element-wise (floats accumulate in double, nulls skipped)") {
+    val df = Seq(
+      (0, Some(Array(1.0f, 2.0f))),
+      (0, Some(Array(3.0f, 4.5f))),
+      (0, None),
+      (1, Some(Array(10.0f, 20.0f)))
+    ).toDF("k", "v")
+    val got = df.groupBy(col("k")).agg(Tx.vector_sum(col("v")).as("s"))
+      .select("k", "s").as[(Int, Seq[Double])].collect().toMap
+    assert(got == Map(0 -> Seq(4.0, 6.5), 1 -> Seq(10.0, 20.0)))
+    // all-null group evaluates to null
+    val allNull = Seq((0, Option.empty[Array[Float]])).toDF("k", "v")
+      .groupBy(col("k")).agg(Tx.vector_sum(col("v")).as("s"))
+      .select("s").collect().head
+    assert(allNull.isNullAt(0))
   }
 
   test("langId picks the language with most stopword hits") {
