@@ -275,6 +275,25 @@ object Queries {
         .select(col("c_custkey"), col("s_suppkey"))
     }),
 
+    // SURVEY §2.2/§2.3 point-in-MULTIPOLYGON join: two diamonds per
+    // supplier (second center shifted +100,+100 — parity preserved, so
+    // still no boundary ties) — the 3-level-nested kind through the
+    // whole grid-join path; oracle = point within L1 radius of EITHER
+    // center.
+    "sjoin_multipolygon" -> ((s, dir) => {
+      val pts = diamondProbePoints(s, dir)
+      val sx = (((col("s_suppkey") * 7919) % 500) * 2).cast("double")
+      val sy = (((col("s_suppkey") * 104729) % 500) * 2).cast("double")
+      val r = ((col("s_suppkey") % 25) * 2 + 21).cast("double")
+      def ring(cx: org.apache.spark.sql.Column, cy: org.apache.spark.sql.Column) =
+        array(cx + r, cy, cx, cy + r, cx - r, cy, cx, cy - r, cx + r, cy)
+      val mp = array(array(ring(sx, sy)), array(ring(sx + 100, sy + 100)))
+      val dia = t(s, dir, "supplier").select(col("s_suppkey"), mp.as("mpoly"))
+      SpatialJoin.pointInGeom(pts, dia, "pt", "mpoly", "multipolygon",
+          cellSize = 128.0)
+        .select(col("c_custkey"), col("s_suppkey"))
+    }),
+
     // SURVEY §2.4 GROUPED total_bounds through the custom
     // DeclarativeAggregate — per-nation bounding boxes in one pass
     // (partial aggregation native; the reference only has whole-array
@@ -618,6 +637,15 @@ object Queries {
          FROM customer, supplier
          WHERE abs(((c_custkey*7919)%500)*2 - ((s_suppkey*7919)%500)*2)
              + abs(((c_custkey*104729)%500)*2 - ((s_suppkey*104729)%500)*2)
+             <= (s_suppkey%25)*2 + 21""",
+    "sjoin_multipolygon" ->
+      """SELECT c_custkey, s_suppkey
+         FROM customer, supplier
+         WHERE abs(((c_custkey*7919)%500)*2 - ((s_suppkey*7919)%500)*2)
+             + abs(((c_custkey*104729)%500)*2 - ((s_suppkey*104729)%500)*2)
+             <= (s_suppkey%25)*2 + 21
+            OR abs(((c_custkey*7919)%500)*2 - (((s_suppkey*7919)%500)*2 + 100))
+             + abs(((c_custkey*104729)%500)*2 - (((s_suppkey*104729)%500)*2 + 100))
              <= (s_suppkey%25)*2 + 21""",
     "group_total_bounds" ->
       """SELECT s_nationkey,
