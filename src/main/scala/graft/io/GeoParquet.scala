@@ -123,12 +123,11 @@ object GeoParquet {
     if (newFiles.nonEmpty) {
       val newBounds = boundsPerFile(
         spark.read.parquet(newFiles.map(f => s"$path/$f"): _*), geomCols)
+      // parse EVERY column already in the sidecar, so appending with a
+      // subset of the geometry columns preserves the others' entries
       val existing: Map[String, Map[String, Array[Double]]] =
-        readSidecarText(path, conf) match {
-          case Some(text) => geomCols.map(g => g -> parseSidecar(text, g)).toMap
-          case None => Map.empty
-        }
-      val merged = geomCols.map { g =>
+        readSidecarText(path, conf).map(parseSidecarAll).getOrElse(Map.empty)
+      val merged = (existing.keySet ++ geomCols).map { g =>
         g -> (existing.getOrElse(g, Map.empty) ++ newBounds.getOrElse(g, Map.empty))
       }.toMap
       writeSidecarText(spark, path, renderSidecar(merged))
@@ -232,6 +231,20 @@ object GeoParquet {
       bounds(i * 4 + 2) = b(2); bounds(i * 4 + 3) = b(3)
     }
     Some((graft.geom.HilbertRtree.build(bounds), files))
+  }
+
+  /** Every geometry column recorded in a sidecar, with its per-file
+    * bounds (column blocks are flat `{file:[...],...}` objects, so the
+    * column names are exactly the keys directly followed by '{'). */
+  private[graft] def parseSidecarAll(json: String): Map[String, Map[String, Array[Double]]] = {
+    val marker = "\"partition_bounds\":{"
+    val start = json.indexOf(marker)
+    if (start < 0) return Map.empty
+    val body = json.substring(start + marker.length)
+    "\"([^\"]+)\":\\{".r.findAllMatchIn(body)
+      .map(_.group(1))
+      .map(g => g -> parseSidecar(json, g))
+      .toMap
   }
 
   /** Minimal JSON extraction of {file -> [x0,y0,x1,y1]} for one geometry

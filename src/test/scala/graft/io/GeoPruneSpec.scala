@@ -78,6 +78,40 @@ class GeoPruneSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental sidecar append preserves other geometry columns") {
+    val dir = java.nio.file.Files.createTempDirectory("sideapp").toFile
+    try {
+      val rows = (0 until 40).map(i => (i.toLong, (i % 10).toDouble, (i / 10).toDouble))
+        .toDF("id", "x", "y")
+        .withColumn("a", st_point(col("x"), col("y")))
+        .withColumn("b", st_point(col("x") + 1000, col("y") + 1000))
+        .select("id", "a", "b")
+      GeoParquet.write(GeoFrame(rows, "a", "point"), s"$dir/d",
+        mode = "overwrite", extraGeomCols = Seq("b"))
+      // append updating only column a's bounds
+      val more = Seq((100L, 500.0, 500.0)).toDF("id", "x", "y")
+        .withColumn("a", st_point(col("x"), col("y")))
+        .withColumn("b", st_point(col("x") + 1000, col("y") + 1000))
+        .select("id", "a", "b")
+      GeoParquet.appendWithSidecar(more, s"$dir/d", Seq("a"))
+      // column b's entries must still prune (appended file unknown for b
+      // -> conservatively kept, so expect its row plus the b-box hits)
+      val gotB = GeoParquet.read(spark, s"$dir/d", "b", "point",
+          bounds = Some((1000.0, 1000.0, 1002.0, 1002.0)))
+        .df.count()
+      val total = spark.read.parquet(s"$dir/d").count()
+      assert(total == 41 && gotB < total, s"no pruning on b: $gotB of $total")
+      // and column a's sidecar now covers the appended file exactly
+      val sidecar = GeoParquet.readSidecarText(s"$dir/d",
+        spark.sessionState.newHadoopConf()).get
+      val all = GeoParquet.parseSidecarAll(sidecar)
+      assert(all.keySet == Set("a", "b"))
+      assert(all("a").size == all("b").size + 1, s"a=${all("a").size} b=${all("b").size}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    }
+  }
+
   test("point cx comparisons prune files too (no kernel predicate needed)") {
     val dir = java.nio.file.Files.createTempDirectory("pointprune").toFile
     try {
