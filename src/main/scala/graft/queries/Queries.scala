@@ -449,6 +449,29 @@ object Queries {
         .where(col("c_custkey") % 10 === 0)
     }),
 
+    // The SQL surface end-to-end: geometry constructed and measured in
+    // pure spark.sql text through the extension-registered st_*
+    // functions (area, boundary length, bbox predicate) — proving the
+    // FunctionRegistry path under the driver gate, not just the
+    // DataFrame API.
+    "sql_surface" -> ((s, dir) => {
+      t(s, dir, "part").createOrReplaceTempView("graft_parts")
+      s.sql("""
+        SELECT p_partkey,
+               st_area(poly) AS area,
+               st_length(st_boundary(poly)) AS perim,
+               st_polygon_intersects_bounds(poly, 300, 300, 700, 700) AS hits
+        FROM (
+          SELECT p_partkey,
+                 array(array(cx-h, cy-h, cx+h, cy-h, cx+h, cy+h, cx-h, cy+h, cx-h, cy-h)) AS poly
+          FROM (
+            SELECT p_partkey,
+                   CAST((p_partkey*7919)%1000 AS DOUBLE) AS cx,
+                   CAST((p_partkey*104729)%1000 AS DOUBLE) AS cy,
+                   CAST((p_partkey%5)+1 AS DOUBLE) AS h
+            FROM graft_parts))""")
+    }),
+
     // Relational sanity: TPC-H Q1-style aggregate (integer-valued sums).
     "q1_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -724,6 +747,15 @@ object Queries {
                 '{"type":"Point","coordinates":[' || ((c_custkey*7919)%1000) || ','
                   || ((c_custkey*104729)%1000) || ']}' AS gj
          FROM customer WHERE c_custkey % 10 = 0""",
+    "sql_surface" ->
+      """SELECT p_partkey,
+                4.0*((p_partkey%5)+1)*((p_partkey%5)+1) AS area,
+                8.0*((p_partkey%5)+1) AS perim,
+                (p_partkey*7919)%1000 - ((p_partkey%5)+1) <= 700
+                  AND (p_partkey*7919)%1000 + ((p_partkey%5)+1) >= 300
+                  AND (p_partkey*104729)%1000 - ((p_partkey%5)+1) <= 700
+                  AND (p_partkey*104729)%1000 + ((p_partkey%5)+1) >= 300 AS hits
+         FROM part""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
          FROM lineitem GROUP BY l_returnflag, l_linestatus""",
