@@ -53,6 +53,39 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("spatial-join rewrite fires on a stream-static st_intersects join") {
+    import graft.Geo._
+    graft.plans.SpatialJoinRewrite.install(spark)
+    implicit val sc = spark.sqlContext
+    spark.conf.set("spark.graft.sjoin.cellSize", "20.0")
+    val input = MemoryStream[(Long, Double, Double)]
+    val pts = input.toDF().toDF("event_id", "x", "y")
+      .withColumn("pt", st_point(col("x"), col("y")))
+      .select("event_id", "pt")
+    val fences = Seq(
+      (1L, Seq(Seq(0.0, 0, 20, 0, 20, 20, 0, 20, 0, 0))),
+      (2L, Seq(Seq(40.0, 40, 60, 40, 60, 60, 40, 60, 40, 40)))).toDF("fence_id", "fence")
+    // a PLAIN stream-static join with the spatial predicate — the
+    // optimizer rule must turn it into the grid hash join in streaming
+    val j = pts.join(fences, st_intersects(pts("pt"), fences("fence"), "polygon"))
+    val q = j.select("event_id", "fence_id")
+      .writeStream.format("memory").queryName("sjoin_stream_out")
+      .outputMode("append").start()
+    try {
+      input.addData((100L, 10.0, 10.0), (101L, 50.0, 50.0), (102L, 90.0, 90.0))
+      q.processAllAvailable()
+      val hits = spark.table("sjoin_stream_out")
+        .as[(Long, Long)].collect().toSet
+      assert(hits == Set((100L, 1L), (101L, 2L)))
+      val exec = spark.streams.active.find(_.id == q.id).get
+        .asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      assert(!exec.contains("NestedLoop") && !exec.contains("Cartesian"),
+        s"nested loop in streaming plan:\n$exec")
+      assert(exec.contains("HashJoin"), s"no hash join in streaming plan:\n$exec")
+    } finally q.stop()
+  }
+
   test("streaming dedupFirstSeen drops repeats across micro-batches") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[DocEvent]
