@@ -161,6 +161,15 @@ case class VectorSumAgg(child: Expression,
   override def nullable: Boolean = true
   override def prettyName: String = "vector_sum"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vector_sum requires array<float> or array<double>, got $other")
+    }
+
   private lazy val isFloat = child.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
@@ -198,18 +207,22 @@ case class VectorSumAgg(child: Expression,
     if (b == null) null
     else org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(b)
 
+  // a leading marker byte distinguishes the null "no input seen" buffer
+  // from a genuine zero-length vector sum
   override def serialize(b: Array[Double]): Array[Byte] = {
     if (b == null) return Array.empty
-    val bytes = java.nio.ByteBuffer.allocate(b.length * 8)
+    val bytes = java.nio.ByteBuffer.allocate(1 + b.length * 8)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bytes.put(1.toByte)
     bytes.asDoubleBuffer().put(b)
     bytes.array()
   }
 
   override def deserialize(bytes: Array[Byte]): Array[Double] = {
     if (bytes.isEmpty) return null
-    val vals = new Array[Double](bytes.length / 8)
-    java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val vals = new Array[Double]((bytes.length - 1) / 8)
+    java.nio.ByteBuffer.wrap(bytes, 1, bytes.length - 1)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       .asDoubleBuffer().get(vals)
     vals
   }

@@ -94,13 +94,29 @@ object GeoParquet {
     sb.append("}}").toString
   }
 
+  /** Write the sidecar via temp-file + rename. A reader racing the swap
+    * either sees the old complete file or (in the tiny delete→rename
+    * window) no sidecar at all — which every reader treats as
+    * "no pruning", never a partial-JSON crash. */
   private def writeSidecarText(spark: SparkSession, path: String, text: String): Unit = {
     val p = new HadoopPath(path, SidecarName)
+    val tmp = new HadoopPath(path, s".$SidecarName.tmp")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(p, true)
+    val out = fs.create(tmp, true)
     try out.write(text.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    fs.rename(tmp, p)
   }
+
+  /** Names of the data files directly under `root` (excludes metadata
+    * and hidden files) — the single definition shared by the reader's
+    * conservative pruning and the incremental append. */
+  private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+                            root: HadoopPath): Array[String] =
+    if (!fs.exists(root)) Array.empty
+    else fs.listStatus(root).map(_.getPath.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith("."))
 
   /** Append a batch to the dataset and update the sidecar INCREMENTALLY:
     * bounds are computed only over the files this append created (diff
@@ -113,13 +129,9 @@ object GeoParquet {
     val conf = spark.sessionState.newHadoopConf()
     val root = new HadoopPath(path)
     val fs = root.getFileSystem(conf)
-    def dataFiles(): Set[String] =
-      if (!fs.exists(root)) Set.empty
-      else fs.listStatus(root).map(_.getPath.getName)
-        .filter(n => !n.startsWith("_") && !n.startsWith(".")).toSet
-    val before = dataFiles()
+    val before = listDataFiles(fs, root).toSet
     batch.write.mode("append").parquet(path)
-    val newFiles = (dataFiles() -- before).toSeq.sorted
+    val newFiles = (listDataFiles(fs, root).toSet -- before).toSeq.sorted
     if (newFiles.nonEmpty) {
       val newBounds = boundsPerFile(
         spark.read.parquet(newFiles.map(f => s"$path/$f"): _*), geomCols)
@@ -171,9 +183,7 @@ object GeoParquet {
         else {
           val root = new HadoopPath(path)
           val fs = root.getFileSystem(conf)
-          val dataFiles = fs.listStatus(root).map(_.getPath.getName)
-            .filter(n => !n.startsWith("_") && !n.startsWith("."))
-          val keep = dataFiles.filter { name =>
+          val keep = listDataFiles(fs, root).filter { name =>
             perFile.get(name) match {
               case Some(Array(x0, y0, x1, y1)) =>
                 !(x1 < qx0 || x0 > qx1 || y1 < qy0 || y0 > qy1)

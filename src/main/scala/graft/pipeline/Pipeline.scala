@@ -50,7 +50,9 @@ object Tx {
       es => QuantizedDot(es(0), es(1), 1000.0))
     Bridge.registerFunction(spark, "srp_bits", es => SrpBits(es.head, 16, 42L))
     Bridge.registerFunction(spark, "vector_sum",
-      es => VectorSumAgg(es.head).toAggregateExpression())
+      es => VectorSumAgg(org.apache.spark.sql.catalyst.expressions.Cast(es.head,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))
+        .toAggregateExpression())
     Bridge.registerFunction(spark, "lang_id", es => LangId(es.head,
       Seq("es", "fr", "de", "en").map(l => l -> TextAnalysis.langStopwords(l))))
   }
@@ -299,14 +301,14 @@ object Similarity {
         greatest(cellScoreCols(cents, col(corpusVec)): _*).getField("cell"))
       val stats = assigned.groupBy(col("__cell"))
         .agg(vector_sum(col(corpusVec).cast("array<double>")).as("__sum"),
-          count(lit(1)).as("__n"))
+          count(col(corpusVec)).as("__n")) // non-null vectors only
         .collect()
-        .map(r => r.getLong(0).toInt -> ((r.getSeq[Double](1), r.getLong(2))))
+        .map(r => r.getLong(0).toInt -> ((Option(r.getSeq[Double](1)), r.getLong(2))))
         .toMap
       cents = cents.zipWithIndex.map { case (old, i) =>
         stats.get(i) match {
-          case Some((sum, n)) if n > 0 => sum.map(_ / n)
-          case _ => old
+          case Some((Some(sum), n)) if n > 0 => sum.map(_ / n)
+          case _ => old // empty or all-null cell keeps its centroid
         }
       }
     }

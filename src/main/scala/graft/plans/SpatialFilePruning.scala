@@ -207,7 +207,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       es => QuantizedDot(es(0), es(1), 1000.0))
     fn(ext, "srp_bits", classOf[SrpBits].getName, es => SrpBits(es.head, 16, 42L))
     fn(ext, "vector_sum", classOf[VectorSumAgg].getName,
-      es => VectorSumAgg(es.head).toAggregateExpression())
+      es => VectorSumAgg(Cast(es.head,
+        org.apache.spark.sql.types.ArrayType(DoubleType))).toAggregateExpression())
     fn(ext, "lang_id", classOf[LangId].getName, es => LangId(es.head,
       Seq("es", "fr", "de", "en").map(l =>
         l -> graft.pipeline.TextAnalysis.langStopwords(l))))

@@ -282,13 +282,16 @@ object Queries {
     // center.
     "sjoin_multipolygon" -> ((s, dir) => {
       val pts = diamondProbePoints(s, dir)
-      val sx = (((col("s_suppkey") * 7919) % 500) * 2).cast("double")
-      val sy = (((col("s_suppkey") * 104729) % 500) * 2).cast("double")
-      val r = ((col("s_suppkey") % 25) * 2 + 21).cast("double")
-      def ring(cx: org.apache.spark.sql.Column, cy: org.apache.spark.sql.Column) =
-        array(cx + r, cy, cx, cy + r, cx - r, cy, cx, cy - r, cx + r, cy)
-      val mp = array(array(ring(sx, sy)), array(ring(sx + 100, sy + 100)))
-      val dia = t(s, dir, "supplier").select(col("s_suppkey"), mp.as("mpoly"))
+      // reuse supplierDiamonds' geometry: polygon 1 is its diamond ring,
+      // polygon 2 the same ring shifted via its sx/sy/r columns
+      val sd = supplierDiamonds(s, dir)
+      val (cx2, cy2, r2) = (col("sx") + 100, col("sy") + 100, col("r"))
+      val ring2 = array(cx2 + r2, cy2, cx2, cy2 + r2, cx2 - r2, cy2,
+        cx2, cy2 - r2, cx2 + r2, cy2)
+      // diamond is already one polygon (array of rings), so the
+      // multipolygon is [diamond, [ring2]]
+      val dia = sd.select(col("s_suppkey"),
+        array(col("diamond"), array(ring2)).as("mpoly"))
       SpatialJoin.pointInGeom(pts, dia, "pt", "mpoly", "multipolygon",
           cellSize = 128.0)
         .select(col("c_custkey"), col("s_suppkey"))

@@ -38,9 +38,10 @@ object Streams {
     * (bounds computed only over each batch's new files), so a streaming
     * ingest gets the same file pruning as batch writes — queries against
     * the landing dataset prune on bounds while the stream keeps running.
-    * Exactly-once at file granularity comes from the checkpointed batch
-    * id (re-delivered batches re-append; idempotence can be layered with
-    * dedupFirstSeen upstream). */
+    * Delivery is AT-LEAST-ONCE (foreachBatch semantics): a batch
+    * replayed after a crash between the append and the checkpoint
+    * commit appends again — dedupe upstream (dedupFirstSeen) or on read
+    * where duplicates matter. */
   def geoParquetSink(stream: DataFrame, path: String, geomCols: Seq[String],
                      checkpoint: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =

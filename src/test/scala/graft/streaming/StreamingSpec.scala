@@ -55,9 +55,13 @@ class StreamingSpec extends AnyFunSuite {
 
   test("spatial-join rewrite fires on a stream-static st_intersects join") {
     import graft.Geo._
+    // restore the shared session's optimizer state afterwards, so later
+    // suites don't run under a leaked rule/cell-size configuration
+    val prevRules = spark.experimental.extraOptimizations
     graft.plans.SpatialJoinRewrite.install(spark)
     implicit val sc = spark.sqlContext
     spark.conf.set("spark.graft.sjoin.cellSize", "20.0")
+    try {
     val input = MemoryStream[(Long, Double, Double)]
     val pts = input.toDF().toDF("event_id", "x", "y")
       .withColumn("pt", st_point(col("x"), col("y")))
@@ -84,6 +88,10 @@ class StreamingSpec extends AnyFunSuite {
         s"nested loop in streaming plan:\n$exec")
       assert(exec.contains("HashJoin"), s"no hash join in streaming plan:\n$exec")
     } finally q.stop()
+    } finally {
+      spark.experimental.extraOptimizations = prevRules
+      spark.conf.unset("spark.graft.sjoin.cellSize")
+    }
   }
 
   test("streaming dedupFirstSeen drops repeats across micro-batches") {
