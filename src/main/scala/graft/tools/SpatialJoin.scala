@@ -106,6 +106,65 @@ object SpatialJoin {
       .drop("__cx", "__cy", "__salt")
   }
 
+  /**
+   * Persist `geoms` as a cell-exploded BUCKETED table, so RECURRING
+   * point-in-geometry joins skip the geometry-side shuffle entirely:
+   * the table is bucketed and sorted on the grid cell key, Spark reads
+   * it already distributed by that key, and only the point side moves
+   * at query time ([[pointInGeomBucketed]]). This is the co-located
+   * join setup for a static geometry corpus probed by many point
+   * streams/batches — the bucketing analog of hilbert packing.
+   *
+   * The cell size is recorded in the `__cx` column's metadata and
+   * validated on the read side, so a mismatched probe fails loudly
+   * instead of silently missing pairs.
+   */
+  def saveGeomsBucketedByCell(geoms: DataFrame, geomCol: String,
+                              table: String, cellSize: Double,
+                              numBuckets: Int): Unit = {
+    require(cellSize > 0, "cellSize must be positive")
+    require(!geoms.columns.exists(ReservedGridCols),
+      s"input columns collide with reserved grid-join names $ReservedGridCols")
+    val cs = lit(cellSize)
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putDouble("graft.cellSize", cellSize).build()
+    geoms.withColumn("__gb", st_bounds(col(geomCol)))
+      .withColumn("__cx",
+        explode(sequence(floor(col("__gb.x0") / cs).cast("long"),
+                         floor(col("__gb.x1") / cs).cast("long"))))
+      .withColumn("__cy",
+        explode(sequence(floor(col("__gb.y0") / cs).cast("long"),
+                         floor(col("__gb.y1") / cs).cast("long"))))
+      .drop("__gb")
+      .withMetadata("__cx", meta)
+      .write.format("parquet")
+      .bucketBy(numBuckets, "__cx", "__cy")
+      .sortBy("__cx", "__cy")
+      .mode("overwrite")
+      .saveAsTable(table)
+  }
+
+  /** Probe a [[saveGeomsBucketedByCell]] table: hash join on the cell
+    * key where the geometry side's distribution comes from its buckets
+    * (no exchange over the geometries), then the exact refine. */
+  def pointInGeomBucketed(points: DataFrame, table: String,
+                          pointCol: String, geomCol: String,
+                          geomKind: String): DataFrame = {
+    val gridded = points.sparkSession.table(table)
+    val cxField = gridded.schema(gridded.schema.fieldIndex("__cx"))
+    require(cxField.metadata.contains("graft.cellSize"),
+      s"$table was not written by saveGeomsBucketedByCell")
+    val cellSize = cxField.metadata.getDouble("graft.cellSize")
+    val cs = lit(cellSize)
+    val cellPoints = points
+      .withColumn("__cx", floor(st_x(col(pointCol)) / cs).cast("long"))
+      .withColumn("__cy", floor(st_y(col(pointCol)) / cs).cast("long"))
+    cellPoints
+      .join(gridded, Seq("__cx", "__cy"), "inner")
+      .where(st_intersects(col(pointCol), col(geomCol), geomKind))
+      .drop("__cx", "__cy")
+  }
+
   def pointInGeom(points: DataFrame, geoms: DataFrame,
                   pointCol: String, geomCol: String, geomKind: String,
                   cellSize: Double = 0, how: String = "inner",

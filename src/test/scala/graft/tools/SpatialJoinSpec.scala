@@ -32,6 +32,41 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(grid.nonEmpty)
   }
 
+  test("bucketed geometry table joins without a geometry-side exchange") {
+    val rnd = new scala.util.Random(59)
+    val pts = (0 until 400).map(i =>
+        (i.toLong, rnd.nextDouble() * 100, rnd.nextDouble() * 100))
+      .toDF("pid", "x", "y").withColumn("pt", st_point(col("x"), col("y")))
+      .select("pid", "pt")
+    val polys = (0 until 30).map { i =>
+      val cx = rnd.nextDouble() * 100; val cy = rnd.nextDouble() * 100
+      val r = 5 + rnd.nextDouble() * 10
+      (i.toLong, Seq(Seq(cx + r, cy, cx, cy + r, cx - r, cy, cx, cy - r, cx + r, cy)))
+    }.toDF("gid", "poly")
+    val table = "graft_bucketed_polys_test"
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      SpatialJoin.saveGeomsBucketedByCell(polys, "poly", table,
+        cellSize = 20.0, numBuckets = 4)
+      // force a shuffle-based join so the bucket distribution matters
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = SpatialJoin.pointInGeomBucketed(pts, table, "pt", "poly", "polygon")
+      val got = j.select("pid", "gid").as[(Long, Long)].collect().toSet
+      val expect = SpatialJoin.pointInGeom(pts, polys, "pt", "poly", "polygon",
+          cellSize = 20.0)
+        .select("pid", "gid").as[(Long, Long)].collect().toSet
+      assert(got == expect && got.nonEmpty)
+      // exactly ONE exchange: the point side; the geometry side reads
+      // its buckets pre-distributed
+      val plan = j.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
   test("auto cell size (cellSize<=0) matches an explicit cell size") {
     val rnd = new scala.util.Random(41)
     val pts = (0 until 400).map(i =>
