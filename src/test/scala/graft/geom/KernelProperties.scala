@@ -285,8 +285,11 @@ object KernelProperties extends Properties("kernels") {
         }
       val lenBefore = Kernels.lineLength(v, Array(0, v.length))
       val lenAfter = Kernels.lineLength(rejoined, Array(0, rejoined.length))
-      Prop(!json.contains("NaN") && !json.contains("Infinity") &&
+      // WKT, unlike JSON, carries NaN tokens natively: bit-exact trip
+      // (Arrays.equals treats NaN == NaN)
+      val wktTrip = java.util.Arrays.equals(Wkt.parse(Wkt.lineString(v)).values, v)
+      Prop(!json.contains("NaN") && !json.contains("Infinity") && wktTrip &&
         (lenBefore == lenAfter || (lenBefore.isNaN && lenAfter.isNaN))) :|
-        s"json=$json lenBefore=$lenBefore lenAfter=$lenAfter"
+        s"json=$json wktTrip=$wktTrip lenBefore=$lenBefore lenAfter=$lenAfter"
     }
 }
