@@ -275,6 +275,28 @@ object Queries {
         .select(col("c_custkey"), col("s_suppkey"))
     }),
 
+    // SURVEY §2.3 the CO-LOCATED recurring-join path: geometry corpus
+    // persisted as a cell-exploded bucketed table (only the point side
+    // shuffles at probe time); must produce exactly the grid join's
+    // pairs (same oracle as sjoin_points_in_diamonds).
+    "sjoin_bucketed" -> ((s, dir) => {
+      val pts = diamondProbePoints(s, dir)
+      val dia = supplierDiamonds(s, dir).select(col("s_suppkey"), col("diamond"))
+      val table = "graft_bucketed_diamonds"
+      // a fresh session's in-memory catalog doesn't know the table, but
+      // its warehouse directory can survive from a previous run — clear
+      // both so saveAsTable never hits a stale non-empty location
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      val wh = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), table)
+      val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(wh)) fs.delete(wh, true)
+      SpatialJoin.saveGeomsBucketedByCell(dia, "diamond", table,
+        cellSize = 128.0, numBuckets = 8)
+      SpatialJoin.pointInGeomBucketed(pts, table, "pt", "diamond", "polygon")
+        .select(col("c_custkey"), col("s_suppkey"))
+    }),
+
     // SURVEY §2.2/§2.3 point-in-MULTIPOLYGON join: two diamonds per
     // supplier (second center shifted +100,+100 — parity preserved, so
     // still no boundary ties) — the 3-level-nested kind through the
@@ -659,6 +681,12 @@ object Queries {
             + abs(((c_custkey*104729)%500)*2 - ((s_suppkey*104729)%500)*2)
             <= (s_suppkey%25)*2 + 21""",
     "sjoin_broadcast" ->
+      """SELECT c_custkey, s_suppkey
+         FROM customer, supplier
+         WHERE abs(((c_custkey*7919)%500)*2 - ((s_suppkey*7919)%500)*2)
+             + abs(((c_custkey*104729)%500)*2 - ((s_suppkey*104729)%500)*2)
+             <= (s_suppkey%25)*2 + 21""",
+    "sjoin_bucketed" ->
       """SELECT c_custkey, s_suppkey
          FROM customer, supplier
          WHERE abs(((c_custkey*7919)%500)*2 - ((s_suppkey*7919)%500)*2)
