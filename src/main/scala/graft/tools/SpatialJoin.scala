@@ -121,13 +121,24 @@ object SpatialJoin {
    */
   def saveGeomsBucketedByCell(geoms: DataFrame, geomCol: String,
                               table: String, cellSize: Double,
-                              numBuckets: Int): Unit = {
+                              numBuckets: Int, geomKind: String = ""): Unit = {
     require(cellSize > 0, "cellSize must be positive")
     require(!geoms.columns.exists(ReservedGridCols),
       s"input columns collide with reserved grid-join names $ReservedGridCols")
+    val spark = geoms.sparkSession
+    // overwrite must also recover from a stale warehouse directory: a
+    // fresh session's in-memory catalog doesn't know the table, but its
+    // managed location can survive from a previous run and fail CTAS
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val whFs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (whFs.exists(wh)) whFs.delete(wh, true)
     val cs = lit(cellSize)
-    val meta = new org.apache.spark.sql.types.MetadataBuilder()
-      .putDouble("graft.cellSize", cellSize).build()
+    val metaB = new org.apache.spark.sql.types.MetadataBuilder()
+      .putDouble("graft.cellSize", cellSize)
+    if (geomKind.nonEmpty) metaB.putString("graft.geomKind", geomKind)
+    val meta = metaB.build()
     geoms.withColumn("__gb", st_bounds(col(geomCol)))
       .withColumn("__cx",
         explode(sequence(floor(col("__gb.x0") / cs).cast("long"),
@@ -150,10 +161,16 @@ object SpatialJoin {
   def pointInGeomBucketed(points: DataFrame, table: String,
                           pointCol: String, geomCol: String,
                           geomKind: String): DataFrame = {
+    require(!points.columns.exists(ReservedGridCols),
+      s"input columns collide with reserved grid-join names $ReservedGridCols")
     val gridded = points.sparkSession.table(table)
     val cxField = gridded.schema(gridded.schema.fieldIndex("__cx"))
     require(cxField.metadata.contains("graft.cellSize"),
       s"$table was not written by saveGeomsBucketedByCell")
+    if (cxField.metadata.contains("graft.geomKind"))
+      require(cxField.metadata.getString("graft.geomKind") == geomKind,
+        s"$table stores kind ${cxField.metadata.getString("graft.geomKind")}, " +
+          s"probe requested $geomKind")
     val cellSize = cxField.metadata.getDouble("graft.cellSize")
     val cs = lit(cellSize)
     val cellPoints = points
