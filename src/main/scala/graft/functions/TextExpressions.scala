@@ -187,6 +187,10 @@ case class VectorSumAgg(child: Expression,
       s"vector_sum: mismatched vector lengths ${acc.length} vs $n")
     var i = 0
     while (i < n) {
+      // getFloat/getDouble on a null slot silently reads 0.0 — reject
+      // instead of corrupting the sum (null ROWS are skipped above, but
+      // a null ELEMENT inside a vector has no meaningful sum)
+      require(!ad.isNullAt(i), s"vector_sum: null element at index $i")
       acc(i) += (if (isFloat) ad.getFloat(i).toDouble else ad.getDouble(i))
       i += 1
     }

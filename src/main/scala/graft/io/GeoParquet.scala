@@ -97,16 +97,27 @@ object GeoParquet {
   /** Write the sidecar via temp-file + rename. A reader racing the swap
     * either sees the old complete file or (in the tiny delete→rename
     * window) no sidecar at all — which every reader treats as
-    * "no pruning", never a partial-JSON crash. */
+    * "no pruning", never a partial-JSON crash. Hadoop FileSystem
+    * delete/rename signal failure by RETURNING false (not throwing), so
+    * both results are checked: a silent failure here would leave the
+    * dataset permanently unprunable with a stray tmp file. */
   private def writeSidecarText(spark: SparkSession, path: String, text: String): Unit = {
     val p = new HadoopPath(path, SidecarName)
     val tmp = new HadoopPath(path, s".$SidecarName.tmp")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(tmp, true)
-    try out.write(text.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    fs.rename(tmp, p)
+    try {
+      val out = fs.create(tmp, true)
+      try out.write(text.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      if (fs.exists(p) && !fs.delete(p, false))
+        throw new java.io.IOException(s"failed to delete old sidecar $p")
+      if (!fs.rename(tmp, p))
+        throw new java.io.IOException(s"failed to rename $tmp to $p")
+    } catch {
+      case e: Throwable =>
+        try fs.delete(tmp, false) catch { case _: Throwable => () }
+        throw e
+    }
   }
 
   /** Names of the data files directly under `root` (excludes metadata

@@ -67,7 +67,12 @@ object Dedup {
     * twice and computes the input twice. Skew is bounded by the
     * duplicate count per value. Rows with a null key or null id never
     * survive (same as the equi-join formulation, where null never
-    * matches). */
+    * matches).
+    *
+    * `idCol` is expected to be UNIQUE per key value: exactly ONE row per
+    * key survives. If several rows tie at the minimum id, one arbitrary
+    * tied row is kept (row_number semantics) — unlike a min-id semi-join,
+    * which would keep every tied row. */
   def exact(df: DataFrame, byCol: String, idCol: String): DataFrame = {
     val w = Window.partitionBy(col(byCol)).orderBy(col(idCol))
     df.where(col(byCol).isNotNull && col(idCol).isNotNull)

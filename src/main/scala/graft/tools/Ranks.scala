@@ -1,7 +1,6 @@
 package graft.tools
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -12,8 +11,8 @@ import org.apache.spark.sql.functions._
  * heavy step fully parallel, so a global rank works at 100 TB:
  * range-repartition on the sort keys (sampling-based boundaries, the same
  * machinery as the hilbert packing path), order within partitions, and
- * stitch partitions together with a numPartitions-row broadcast — the
- * same two-pass shape as GeoFrame.padNaPartitioned.
+ * stitch partitions together with a numPartitions-entry literal lookup —
+ * the same two-pass shape as GeoFrame.padNaPartitioned.
  */
 object Ranks {
 
@@ -24,33 +23,57 @@ object Ranks {
    * deterministic.
    *
    * Pass 1: `repartitionByRange(keys)` + `sortWithinPartitions(keys)`;
-   * the within-partition position comes from `monotonically_increasing_id`
-   * (partitionId·2^33 + rowIndex — a narrow, shuffle-free projection over
-   * the sorted partition). Pass 2: per-partition row counts (a
-   * numPartitions-row aggregate) become cumulative offsets, broadcast
-   * back. The frame is persisted across the two passes so both observe
-   * identical partition ids; the cache stays pinned until the caller
-   * drops it (spark.catalog.clearCache() or unpersist).
+   * the within-partition position is `monotonically_increasing_id`
+   * relative to the partition's MINIMUM id (ids are consecutive within a
+   * partition per the function's contract, so `mid - min(mid)` is the
+   * 0-based row index — no dependence on the id's bit layout). Pass 2:
+   * one tiny per-partition aggregate `(count, min(mid))` is collected
+   * eagerly — which also materializes the cache, pinning the partition
+   * ids the offsets were computed from — and folded into a literal
+   * pid-indexed adjustment array applied as a narrow O(1)-per-row
+   * projection (no join, no window at all).
+   *
+   * The input is persisted across the two passes so both observe
+   * identical partition ids; the returned release handle unpersists it.
    */
-  def globalRowNumber(df: DataFrame, outCol: String, numPartitions: Int,
-                      keys: Column*): DataFrame = {
+  def globalRowNumberWithRelease(df: DataFrame, outCol: String,
+                                 numPartitions: Int,
+                                 keys: Column*): (DataFrame, () => Unit) = {
     require(keys.nonEmpty, "globalRowNumber requires at least one sort key")
     val bucketed = df.repartitionByRange(numPartitions, keys: _*)
       .sortWithinPartitions(keys: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__mid", monotonically_increasing_id())
       .persist()
-    val counts = bucketed.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
-    // cumulative offset of each partition — numPartitions rows, so the
-    // single-task window here is over a tiny frame
-    val offW = Window.orderBy(col("__pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = counts
-      .withColumn("__off", coalesce(sum(col("__cnt")).over(offW), lit(0L)))
-      .select(col("__pid"), col("__off"))
-    bucketed.join(broadcast(offsets), Seq("__pid"))
-      .withColumn(outCol,
-        col("__mid") - col("__pid").cast("long") * lit(1L << 33) + col("__off") + 1)
-      .drop("__pid", "__mid", "__off")
+    val stats = bucketed.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__cnt"), min(col("__mid")).as("__base"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // rank = (mid - base) + cumulativeOffset + 1; fold everything except
+    // mid into one per-partition constant, indexed by the (dense)
+    // partition id in a literal array — an O(1) lookup per row
+    val adjust = new Array[Long](stats.lastOption.map(_._1 + 1).getOrElse(0))
+    var cum = 0L
+    stats.foreach { case (pid, cnt, base) =>
+      adjust(pid) = cum + 1L - base
+      cum += cnt
+    }
+    val result =
+      if (adjust.isEmpty) // empty input: keep the schema, zero rows
+        bucketed.withColumn(outCol, lit(0L)).drop("__pid", "__mid")
+      else
+        bucketed
+          .withColumn(outCol, col("__mid") +
+            element_at(typedLit(adjust.toSeq), col("__pid") + 1))
+          .drop("__pid", "__mid")
+    (result, () => { bucketed.unpersist(false); () })
   }
+
+  /** [[globalRowNumberWithRelease]] without the unpersist handle — the
+    * cache stays pinned until `spark.catalog.clearCache()`. Prefer the
+    * handle variant when the caller controls result consumption. */
+  def globalRowNumber(df: DataFrame, outCol: String, numPartitions: Int,
+                      keys: Column*): DataFrame =
+    globalRowNumberWithRelease(df, outCol, numPartitions, keys: _*)._1
 }

@@ -145,6 +145,12 @@ class PipelineSpec extends AnyFunSuite {
       .groupBy(col("k")).agg(Tx.vector_sum(col("v")).as("s"))
       .select("s").collect().head
     assert(allNull.isNullAt(0))
+    // a null ELEMENT inside a vector is rejected, not summed as 0
+    val holed = Seq((0, Seq(Some(1.0), None))).toDF("k", "v")
+      .groupBy(col("k")).agg(Tx.vector_sum(col("v")).as("s"))
+    val err = intercept[org.apache.spark.SparkException] { holed.collect() }
+    assert(err.getMessage.contains("null element") ||
+      Option(err.getCause).exists(_.getMessage.contains("null element")))
   }
 
   test("langId picks the language with most stopword hits") {

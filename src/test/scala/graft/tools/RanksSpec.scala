@@ -26,6 +26,18 @@ class RanksSpec extends AnyFunSuite {
     assert(distributed == single)
   }
 
+  test("globalRowNumberWithRelease: correct ranks and the handle unpersists") {
+    val df = (0 until 1000).map(i => ((i * 37) % 1000, i.toLong)).toDF("k", "id")
+    val (ranked, release) =
+      Ranks.globalRowNumberWithRelease(df, "rnk", 6, col("k"), col("id"))
+    val got = ranked.select("k", "rnk").as[(Int, Long)].collect().toMap
+    assert(got.size == 1000 && (0 until 1000).forall(k => got(k) == k + 1L))
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    assert(cachedBefore > 0, "the two-pass frame should be cached while live")
+    release()
+    assert(spark.sparkContext.getPersistentRDDs.size < cachedBefore)
+  }
+
   test("globalRowNumber ranks array sort keys (lexicographic)") {
     val df = Seq(
       (1L, Seq(2.0, 1.0)), (2L, Seq(1.0, 5.0)), (3L, Seq(1.0)),
