@@ -1,0 +1,61 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Train/eval decontamination: remove training documents that share any
+ * token n-gram with a held-out evaluation set — the standard guard
+ * against benchmark leakage into a training corpus.
+ *
+ * Plan shape at scale: both sides explode to (id, gram) — a bounded
+ * ~tokens-per-doc blowup — the eval grams are distinct'd (eval sets are
+ * small: AQE broadcasts them when they fit), the contaminated-id set
+ * comes from one hash join on the gram key, and survivors are an
+ * anti-join on the id. Nothing is ever collected to the driver.
+ */
+object Decontaminate {
+
+  /** All `n`-token grams of whitespace-tokenized `text`, joined with
+    * single spaces (so differing whitespace does not defeat matching).
+    * Documents shorter than `n` tokens produce no grams. */
+  def tokenNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, "n-gram size must be >= 1")
+    val toks = split(trim(text), "\\s+")
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Training rows whose text shares at least one `n`-gram with any
+    * eval row, as a distinct set of `idCol` values (plus the overlap
+    * count per id — the contamination evidence). With `hashGrams` the
+    * join key is `xxhash64(gram)` instead of the gram string: an 8-byte
+    * shuffle key instead of a ~50-byte one (a 64-bit collision could
+    * only over-flag, with probability ~n_grams²/2⁶⁴). */
+  def contaminatedIds(train: DataFrame, eval: DataFrame, idCol: String,
+                      textCol: String, n: Int,
+                      hashGrams: Boolean = true): DataFrame = {
+    def grams(df: DataFrame, cols: Column*): DataFrame = {
+      val g = explode(tokenNgrams(col(textCol), n)).as("__gram")
+      val keyed = df.select(cols :+ g: _*)
+      if (hashGrams) keyed.select(cols :+ xxhash64(col("__gram")).as("__gram"): _*)
+      else keyed
+    }
+    val evalGrams = grams(eval).distinct()
+    grams(train, col(idCol))
+      .join(evalGrams, "__gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("overlap_grams"))
+  }
+
+  /** `train` minus every row contaminated by `eval` (shared `n`-gram). */
+  def byNgramOverlap(train: DataFrame, eval: DataFrame, idCol: String,
+                     textCol: String, n: Int,
+                     hashGrams: Boolean = true): DataFrame =
+    train.join(
+      contaminatedIds(train, eval, idCol, textCol, n, hashGrams)
+        .select(col(idCol)),
+      Seq(idCol), "left_anti")
+}

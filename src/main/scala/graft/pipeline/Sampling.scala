@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic sampling for training-data pipelines.
+ *
+ * Every operator here keys off `md5(salt || "|" || key)` — a pure,
+ * codegen'd projection — so a sample is (a) reproducible across runs,
+ * engines, and cluster layouts, (b) stable under repartitioning (unlike
+ * `df.sample`, whose output depends on partition iteration order), and
+ * (c) cheap at 100 TB: selection is a narrow filter with NO shuffle;
+ * only the explicitly-ordering operators (stratified top-k, global
+ * shuffle) move data, and then exactly once on the hash key.
+ *
+ * The uniform variate is the first 8 hex digits of the md5, compared
+ * LEXICOGRAPHICALLY against a precomputed threshold string: fixed-width
+ * lowercase hex compares identically to the integer it encodes, in any
+ * engine, with no 64-bit parsing portability traps.
+ */
+object Sampling {
+
+  /** Deterministic per-row hash in hex — the sampling/shuffle key. */
+  def hashHex(key: Column, salt: String): Column =
+    md5(concat_ws("|", lit(salt), key.cast("string")))
+
+  /** First-8-hex-digits threshold encoding `fraction` of the 2^32 hash
+    * space (clamped to [0, 1]); rows survive when `hash8 < threshold`
+    * (strict, so fraction 0 keeps nothing). */
+  def thresholdHex(fraction: Double): String = {
+    val f = math.max(0.0, math.min(1.0, fraction))
+    "%08x".format(math.round(f * 4294967296.0).min(4294967295L))
+  }
+
+  /** Keep a deterministic `fraction` of rows, decided per-row by hash of
+    * `key` — same rows survive on every run and any partitioning. */
+  def deterministicSample(df: DataFrame, key: Column, fraction: Double,
+                          salt: String): DataFrame =
+    if (fraction >= 1.0) df
+    else df.where(
+      substring(hashHex(key, salt), 1, 8) < lit(thresholdHex(fraction)))
+
+  /** Per-group sampling rates — the dataset-MIXTURE operator: one pass,
+    * no shuffle, each row kept with its group's fraction (e.g. upsample
+    * high-quality sources, downsample boilerplate ones). Groups absent
+    * from `fractions` use `default`. */
+  def deterministicSampleByGroup(df: DataFrame, key: Column, group: Column,
+                                 fractions: Map[String, Double],
+                                 default: Double, salt: String): DataFrame = {
+    val thresh = fractions.foldLeft(lit(thresholdHex(default))) {
+      case (acc, (g, f)) => when(group === g, lit(thresholdHex(f))).otherwise(acc)
+    }
+    df.where(substring(hashHex(key, salt), 1, 8) < thresh)
+  }
+
+  /** Deterministic stratified sample: the `k` rows with the smallest
+    * hash per stratum (`key` as tiebreak). One shuffle on the stratum
+    * key; parallel across strata. A pathologically hot stratum bounds a
+    * single task by that stratum's row count — pre-filter with
+    * [[deterministicSample]] at ~10·k/|stratum| first if that matters. */
+  def stratifiedTopK(df: DataFrame, stratum: Column, key: Column, k: Int,
+                     salt: String): DataFrame = {
+    val w = Window.partitionBy(stratum).orderBy(hashHex(key, salt), key)
+    df.withColumn("__srn", row_number().over(w))
+      .where(col("__srn") <= k)
+      .drop("__srn")
+  }
+
+  /** Deterministic global shuffle for training-example ordering: every
+    * row gets its global position under the hash order (hash, key as
+    * total-order tiebreak). Distributed two-pass rank — no single-task
+    * window (see [[graft.tools.Ranks.globalRowNumber]]). */
+  def shuffleRank(df: DataFrame, key: Column, outCol: String,
+                  numPartitions: Int, salt: String): DataFrame =
+    graft.tools.Ranks.globalRowNumber(
+      df.withColumn("__shash", hashHex(key, salt)),
+      outCol, numPartitions, col("__shash"), key)
+      .drop("__shash")
+}

@@ -84,4 +84,30 @@ object TextAnalysis {
       "mean_tok_len_x100" -> meanTokLenX100, "punct_x1000" -> punctX1000,
       "quality_ok" -> flag.cast("int"))
   }
+
+  /** Repetition signals (the Gopher/C4-style within-document dedup
+    * features): token count, distinct-token count, duplicate-token
+    * count, distinct-bigram count, and the top single token's frequency.
+    * All integers — engine-portable for exact oracle compare.
+    *
+    * Everything is array arithmetic inside one projection (no shuffle,
+    * no explode). `top_tok` is O(distinct·tokens) per row — fine for
+    * document-sized text; for book-length inputs explode + count
+    * instead. */
+  def repetitionColumns(text: Column): Seq[(String, Column)] = {
+    val toks = split(trim(text), "\\s+")
+    val n = size(toks)
+    val nDistinct = size(array_distinct(toks))
+    val bigrams = when(n >= 2,
+      transform(sequence(lit(1), n - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val topTok = when(n > 0,
+      array_max(transform(array_distinct(toks),
+        u => size(filter(toks, x => x === u))))).otherwise(lit(0))
+    Seq("n_tokens" -> n, "n_distinct" -> nDistinct,
+      "dup_tokens" -> (n - nDistinct),
+      "distinct_bigrams" -> size(array_distinct(bigrams)),
+      "top_tok" -> topTok)
+  }
 }

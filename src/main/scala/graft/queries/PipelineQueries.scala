@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis, Tx}
+import graft.pipeline.{Decontaminate, Dedup, Multimodal, Sampling, Similarity, TextAnalysis, Tx}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -187,6 +187,53 @@ object PipelineQueries {
           min(col("doc_id")).as("first_id"))
     }),
 
+    // -- deterministic sampling / mixing / decontamination -------------------
+    // hash-threshold sampling: same survivors on any run/partitioning
+    "det_sample" -> ((s, dir) => {
+      Sampling.deterministicSample(t(s, dir, "documents"),
+          col("doc_id"), 0.25, "s42")
+        .select(col("doc_id"), col("lang"))
+    }),
+
+    // per-group rates = dataset mixture (upsample zh, downsample the rest)
+    "mixture_sample" -> ((s, dir) => {
+      Sampling.deterministicSampleByGroup(t(s, dir, "documents"),
+          col("doc_id"), col("lang"),
+          Map("en" -> 0.5, "zh" -> 0.9, "fr" -> 0.25),
+          default = 0.1, salt = "mix1")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    }),
+
+    // k smallest hashes per language — deterministic stratified sample
+    "stratified_sample" -> ((s, dir) => {
+      Sampling.stratifiedTopK(t(s, dir, "documents"),
+          col("lang"), col("doc_id"), k = 30, salt = "st7")
+        .select(col("doc_id"), col("lang"))
+    }),
+
+    // deterministic global training-order shuffle; the rank is the
+    // distributed two-pass Ranks path, not a single-task window
+    "shuffle_rank" -> ((s, dir) => {
+      Sampling.shuffleRank(t(s, dir, "documents").select(col("doc_id")),
+        col("doc_id"), "pos", numPartitions = 8, salt = "sh1")
+    }),
+
+    // train/eval 8-gram decontamination evidence: every doc sharing an
+    // 8-token gram with the held-out slice (doc_id % 10 = 0), with its
+    // matched-gram count; 0 rows of overlap => doc survives byNgramOverlap
+    "decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val eval = docs.where(col("doc_id") % 10 === 0)
+      Decontaminate.contaminatedIds(docs, eval, "doc_id", "text", n = 8)
+    }),
+
+    // Gopher/C4-style repetition features per document
+    "repetition_stats" -> ((s, dir) => {
+      val cols = TextAnalysis.repetitionColumns(col("text"))
+      t(s, dir, "documents").select(
+        col("doc_id") +: cols.map { case (nm, c) => c.as(nm) }: _*)
+    }),
+
     // -- multimodal stubs ----------------------------------------------------
     // rows-only: binary payload decode/feature plumbing (codec stubbed)
     "multimodal_features" -> ((s, dir) => {
@@ -265,6 +312,53 @@ object PipelineQueries {
           FROM documents""",
     "fingerprint_md5" ->
       "SELECT doc_id, md5(text) AS fp FROM documents",
+    "det_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+          WHERE substr(md5(concat_ws('|','s42',CAST(doc_id AS VARCHAR))),1,8)
+                  < '${Sampling.thresholdHex(0.25)}'""",
+    "mixture_sample" ->
+      s"""SELECT lang, count(*) AS n FROM documents
+          WHERE substr(md5(concat_ws('|','mix1',CAST(doc_id AS VARCHAR))),1,8) <
+            CASE lang WHEN 'en' THEN '${Sampling.thresholdHex(0.5)}'
+                      WHEN 'zh' THEN '${Sampling.thresholdHex(0.9)}'
+                      WHEN 'fr' THEN '${Sampling.thresholdHex(0.25)}'
+                      ELSE '${Sampling.thresholdHex(0.1)}' END
+          GROUP BY 1""",
+    "stratified_sample" ->
+      """SELECT doc_id, lang FROM (
+           SELECT doc_id, lang,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY md5(concat_ws('|','st7',CAST(doc_id AS VARCHAR))),
+                             doc_id) AS rn
+           FROM documents) WHERE rn <= 30""",
+    "shuffle_rank" ->
+      """SELECT doc_id,
+                CAST(row_number() OVER (
+                  ORDER BY md5(concat_ws('|','sh1',CAST(doc_id AS VARCHAR))),
+                           doc_id) AS BIGINT) AS pos
+         FROM documents""",
+    "decontaminate" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+         grams AS (
+           SELECT doc_id,
+                  [array_to_string(w[i:i+7], ' ') for i in range(1, len(w)-6)] AS g
+           FROM toks),
+         eg AS (SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 10 = 0),
+         tg AS (SELECT doc_id, unnest(g) AS gram FROM grams)
+         SELECT tg.doc_id, count(*) AS overlap_grams
+         FROM tg JOIN eg USING (gram) GROUP BY tg.doc_id""",
+    "repetition_stats" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)
+         SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct,
+                len(t) - len(list_distinct(t)) AS dup_tokens,
+                len(list_distinct([t[i]||' '||t[i+1] for i in range(1, len(t))]))
+                  AS distinct_bigrams,
+                CASE WHEN len(t) > 0 THEN
+                  list_max([len(list_filter(t, x -> x = u)) for u in list_distinct(t)])
+                ELSE 0 END AS top_tok
+         FROM toks""",
     "pipeline_compose" ->
       s"""WITH feat AS (
             SELECT doc_id, text, tokens, chars, stop_hits, punct,

@@ -1,0 +1,102 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  import spark.implicits._
+
+  lazy val docs = (0L until 2000L).map(i => (i, s"g${i % 5}")).toDF("id", "grp")
+
+  test("deterministicSample: stable under reruns and repartitioning, ~fraction") {
+    val a = Sampling.deterministicSample(docs, col("id"), 0.3, "t1")
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.deterministicSample(docs.repartition(13), col("id"), 0.3, "t1")
+      .select("id").as[Long].collect().toSet
+    assert(a == b)
+    assert(math.abs(a.size / 2000.0 - 0.3) < 0.05)
+    // different salt = a different (still deterministic) sample
+    val c = Sampling.deterministicSample(docs, col("id"), 0.3, "t2")
+      .select("id").as[Long].collect().toSet
+    assert(c != a)
+    // edge fractions
+    assert(Sampling.deterministicSample(docs, col("id"), 0.0, "t1").count() == 0)
+    assert(Sampling.deterministicSample(docs, col("id"), 1.0, "t1").count() == 2000)
+  }
+
+  test("deterministicSampleByGroup applies per-group fractions") {
+    val out = Sampling.deterministicSampleByGroup(docs, col("id"), col("grp"),
+        Map("g0" -> 1.0, "g1" -> 0.5), default = 0.0, salt = "m")
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(out.getOrElse("g0", 0L) >= 399L) // ~all (strict '<' can drop hash==max)
+    assert(out.getOrElse("g1", 0L) > 120L && out("g1") < 280L)
+    assert(!out.contains("g2") && !out.contains("g3") && !out.contains("g4"))
+  }
+
+  test("stratifiedTopK: exactly k per stratum, deterministic, subset-consistent") {
+    val got = Sampling.stratifiedTopK(docs, col("grp"), col("id"), 7, "s")
+      .select("grp", "id").as[(String, Long)].collect()
+    assert(got.groupBy(_._1).forall(_._2.length == 7))
+    val again = Sampling.stratifiedTopK(docs.repartition(17), col("grp"), col("id"), 7, "s")
+      .select("grp", "id").as[(String, Long)].collect()
+    assert(got.toSet == again.toSet)
+  }
+
+  test("shuffleRank is a deterministic permutation of 1..n") {
+    val r1 = Sampling.shuffleRank(docs.select("id"), col("id"), "pos", 5, "sh")
+      .as[(Long, Long)].collect().toMap
+    assert(r1.values.toSeq.sorted == (1L to 2000L))
+    val r2 = Sampling.shuffleRank(docs.select("id").repartition(9), col("id"), "pos", 5, "sh")
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == r2)
+    // hash order, not id order
+    assert((0L until 2000L).exists(i => r1(i) != i + 1))
+  }
+
+  test("decontaminate removes exactly the n-gram-overlapping docs") {
+    val evalSet = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (101L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      // shares the 8-gram "beta gamma delta epsilon zeta eta theta iota"
+      (1L, "prefix beta gamma delta epsilon zeta eta theta iota suffix words"),
+      // shares no 8-gram (7-token overlap only)
+      (2L, "gamma delta epsilon zeta eta theta iota DIFFERENT tail tokens"),
+      (3L, "entirely unrelated text with enough tokens to form grams here"),
+      (4L, "short doc") // < 8 tokens: no grams at all
+    ).toDF("doc_id", "text")
+    val survivors = Decontaminate
+      .byNgramOverlap(train, evalSet, "doc_id", "text", 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(2L, 3L, 4L))
+    // hashed-gram fast path == string-gram path
+    val survivorsStr = Decontaminate
+      .byNgramOverlap(train, evalSet, "doc_id", "text", 8, hashGrams = false)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivorsStr == survivors)
+    // evidence counts: doc 1 matches exactly one 8-gram slot
+    val ev = Decontaminate.contaminatedIds(train, evalSet, "doc_id", "text", 8)
+      .as[(Long, Long)].collect().toMap
+    assert(ev == Map(1L -> 1L))
+  }
+
+  test("repetitionColumns on a hand-computed fixture") {
+    val df = Seq((1L, "a b a b c"), (2L, "x x x x"), (3L, "solo")).toDF("id", "text")
+    val cols = TextAnalysis.repetitionColumns(col("text"))
+    val got = df.select(col("id") +: cols.map { case (n, c) => c.as(n) }: _*)
+      .as[(Long, Int, Int, Int, Int, Int)].collect()
+      .map { case (id, a, b, c2, d, e) => id -> ((a, b, c2, d, e)) }.toMap
+    // "a b a b c": 5 toks, 3 distinct, 2 dup; bigrams ab,ba,ab,bc -> 3 distinct; top=2
+    assert(got(1L) == ((5, 3, 2, 3, 2)))
+    // "x x x x": 4 toks, 1 distinct, 3 dup; bigrams xx*3 -> 1 distinct; top=4
+    assert(got(2L) == ((4, 1, 3, 1, 4)))
+    // "solo": 1 tok, 0 bigrams
+    assert(got(3L) == ((1, 1, 0, 0, 1)))
+  }
+}
