@@ -219,6 +219,24 @@ object TextEval {
     new GenericArrayData(mins)
   }
 
+  /** All n-gram hashes of the whitespace-tokenized text, one per
+    * position (with duplicates — slot semantics, not set semantics).
+    * Fuses tokenize + gram-build + hash into one pass with zero
+    * intermediate strings: the vectorized replacement for
+    * explode(transform(slice…)) + xxhash64 in the decontamination path. */
+  def ngramHashes(t: UTF8String, ngram: Int, seed: Long): ArrayData = {
+    val toks = TextHashing.tokenHashes(t.getBytes, seed)
+    val count = toks.length - ngram + 1
+    if (count <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](count)
+    var i = 0
+    while (i < count) {
+      out(i) = TextHashing.gramHash(toks, i, ngram, seed)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def jaccard(l: UTF8String, r: UTF8String, ngram: Int): Double = {
     def grams(t: UTF8String): scala.collection.mutable.HashSet[Long] = {
       val bytes = t.getBytes

@@ -114,6 +114,24 @@ case class MinHashSignature(child: Expression, shingle: Int, numHashes: Int, see
   override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(c)
 }
 
+/** All word-n-gram hashes of a text, one per gram position (duplicates
+  * kept). One pass, no intermediate token/gram strings — feeds the
+  * decontamination explode+join without materializing grams. Gram hashes
+  * depend only on token CONTENT (tokens hashed individually), so any
+  * whitespace layout yields the same hashes as a split-based oracle. */
+case class TokenNgramHashes(child: Expression, ngram: Int, seed: Long)
+    extends UnaryExpression {
+  require(ngram >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_ngram_hashes"
+  override protected def nullSafeEval(t: Any): Any =
+    TextEval.ngramHashes(t.asInstanceOf[UTF8String], ngram, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextEval.ngramHashes($c, $ngram, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): TokenNgramHashes = copy(c)
+}
+
 /** Exact word-n-gram Jaccard similarity between two texts (the verify
   * stage after LSH candidate generation). Empty-vs-empty gram sets
   * compare as 0.0 (no shared content — matches a division-free SQL

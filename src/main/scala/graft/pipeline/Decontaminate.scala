@@ -31,17 +31,19 @@ object Decontaminate {
   /** Training rows whose text shares at least one `n`-gram with any
     * eval row, as a distinct set of `idCol` values (plus the overlap
     * count per id — the contamination evidence). With `hashGrams` the
-    * join key is `xxhash64(gram)` instead of the gram string: an 8-byte
-    * shuffle key instead of a ~50-byte one (a 64-bit collision could
-    * only over-flag, with probability ~n_grams²/2⁶⁴). */
+    * grams never exist as strings at all: one fused expression
+    * ([[graft.functions.TokenNgramHashes]]) tokenizes, grams, and hashes
+    * in a single pass, and the join/shuffle key is an 8-byte long
+    * instead of a ~50-byte string (a 64-bit collision could only
+    * over-flag, with probability ~n_grams²/2⁶⁴). */
   def contaminatedIds(train: DataFrame, eval: DataFrame, idCol: String,
                       textCol: String, n: Int,
                       hashGrams: Boolean = true): DataFrame = {
     def grams(df: DataFrame, cols: Column*): DataFrame = {
-      val g = explode(tokenNgrams(col(textCol), n)).as("__gram")
-      val keyed = df.select(cols :+ g: _*)
-      if (hashGrams) keyed.select(cols :+ xxhash64(col("__gram")).as("__gram"): _*)
-      else keyed
+      val g =
+        if (hashGrams) Tx.token_ngram_hashes(col(textCol), n)
+        else tokenNgrams(col(textCol), n)
+      df.select(cols :+ explode(g).as("__gram"): _*)
     }
     val evalGrams = grams(eval).distinct()
     grams(train, col(idCol))

@@ -24,6 +24,8 @@ object Tx {
     Bridge.column(NgramJaccard(Bridge.expression(a), Bridge.expression(b), ngram))
   def doc_fingerprint(text: Column, seed: Long = 42L): Column =
     Bridge.column(DocFingerprint(Bridge.expression(text), seed))
+  def token_ngram_hashes(text: Column, ngram: Int, seed: Long = 0L): Column =
+    Bridge.column(TokenNgramHashes(Bridge.expression(text), ngram, seed))
   def cosine_similarity(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
   def quantized_dot(a: Column, b: Column, scale: Double = 1000.0): Column =
@@ -44,6 +46,8 @@ object Tx {
       es => NgramJaccard(es(0), es(1), 3))
     Bridge.registerFunction(spark, "doc_fingerprint",
       es => DocFingerprint(es.head, 42L))
+    Bridge.registerFunction(spark, "token_ngram_hashes",
+      es => TokenNgramHashes(es.head, 8, 0L))
     Bridge.registerFunction(spark, "cosine_similarity",
       es => CosineSimilarity(es(0), es(1)))
     Bridge.registerFunction(spark, "quantized_dot",
