@@ -507,17 +507,26 @@ object Queries {
         .agg(sum(col("l_quantity")).as("qty"), count(lit(1)).as("n"))
     }),
 
-    // Relational sanity: 4-way join + aggregate.
+    // Relational sanity: 4-way join + aggregate. The fact table is
+    // pre-aggregated on its join key BEFORE the joins (reduce-before-
+    // join): every downstream shuffle is then proportional to DISTINCT
+    // orders, not lineitem rows — the shape that holds at 100 TB, where
+    // the fact-side row count dwarfs the key count. Catalyst doesn't
+    // push aggregates below joins itself; the final rollup re-aggregates
+    // the partial (count, sum) pairs, which is exact here (counts are
+    // longs, quantities integer-valued).
     "join_agg_nation" -> ((s, dir) => {
-      val cust = t(s, dir, "customer")
-      val ord = t(s, dir, "orders")
       val li = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("__n"), sum(col("l_quantity")).as("__qty"))
+      val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
       val nat = t(s, dir, "nation")
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(cust, col("o_custkey") === col("c_custkey"))
         .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+        .agg(sum(col("__n")).as("n"), sum(col("__qty")).as("qty"))
     }),
 
     // SURVEY §2.5 set ops (built-in): customers that placed orders vs

@@ -51,6 +51,22 @@ object Streams {
         graft.io.GeoParquet.appendWithSidecar(batch, path, geomCols)
       }
 
+  /** Per-micro-batch training-data ingest filter (use inside
+    * foreachBatch, like [[geoParquetSink]]): deterministic hash
+    * sampling, then n-gram decontamination against a static eval
+    * corpus. Hash sampling is replay-stable — a batch redelivered
+    * after a crash keeps exactly the same rows, so at-least-once
+    * delivery never changes WHICH documents survive. Runs with full
+    * batch join machinery inside the callback and carries no streaming
+    * state at all, so throughput scales like the batch operators. */
+  def ingestFilter(batch: DataFrame, idCol: String, textCol: String,
+                   evalDocs: DataFrame, fraction: Double,
+                   n: Int = 8, salt: String = "ingest"): DataFrame =
+    graft.pipeline.Decontaminate.byNgramOverlap(
+      graft.pipeline.Sampling.deterministicSample(
+        batch, col(idCol), fraction, salt),
+      evalDocs, idCol, textCol, n)
+
   /** Gap-based sessionization per key (built-in session_window — state
     * merge + watermark eviction handled by Spark). */
   def sessionize(events: DataFrame, keyCol: String, tsCol: String = "ts",

@@ -127,6 +127,29 @@ class PlanSpec extends AnyFunSuite {
       s"too many shuffles in exact dedup:\n$plan")
   }
 
+  test("deterministic sampling is a narrow filter: zero exchanges") {
+    val docs = (0 until 500).map(i => (i.toLong, s"d$i")).toDF("id", "t")
+    val sampled = graft.pipeline.Sampling
+      .deterministicSample(docs, col("id"), 0.5, "s")
+    val plan = finalPlan(sampled)
+    assert(!plan.contains("Exchange"),
+      s"sampling must not shuffle:\n$plan")
+  }
+
+  test("decontamination joins on gram hashes, never nested-loop") {
+    val docs = (0 until 300).map(i =>
+      (i.toLong, s"token$i alpha beta gamma delta epsilon zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val evalDocs = docs.where(col("doc_id") % 10 === 0)
+    val out = graft.pipeline.Decontaminate
+      .byNgramOverlap(docs, evalDocs, "doc_id", "text", 8)
+    val plan = finalPlan(out)
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"decontamination must stay a hash/broadcast equi-join:\n$plan")
+    assert(plan.contains("token_ngram_hashes"),
+      s"fused gram-hash expression missing from:\n$plan")
+  }
+
   test("custom spatial predicate runs inside whole-stage codegen") {
     // spark.range (not a LocalRelation) so the filter cannot be
     // constant-folded away at plan time

@@ -94,6 +94,39 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("ingestFilter: replay-stable sampling + decontamination per batch") {
+    implicit val sc = spark.sqlContext
+    val evalDocs = Seq(
+      (900L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    // enough-token docs; 10 and 11 contain an eval 8-gram
+    val mk = (i: Long) =>
+      (i, if (i % 10 == 0 || i % 10 == 1)
+            s"x$i beta gamma delta epsilon zeta eta theta iota tail"
+          else s"doc $i with its own completely distinct token payload $i")
+    val input = MemoryStream[(Long, String)]
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Seq[Long])]()
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val kept = Streams.ingestFilter(batch, "doc_id", "text",
+            evalDocs, fraction = 0.5, salt = "t")
+          .select("doc_id").as[Long].collect().toSeq.sorted
+        seen.synchronized { seen += ((id, kept)) }; ()
+      }.start()
+    try {
+      input.addData((0L until 40L).map(mk): _*)
+      q.processAllAvailable()
+      input.addData((0L until 40L).map(mk): _*) // replayed batch
+      q.processAllAvailable()
+    } finally q.stop()
+    val batches = seen.sortBy(_._1).map(_._2)
+    assert(batches.length == 2 && batches(0) == batches(1),
+      "redelivered batch must keep exactly the same rows")
+    assert(batches(0).nonEmpty && batches(0).size < 40)
+    // contaminated ids never survive
+    assert(!batches(0).exists(i => i % 10 == 0 || i % 10 == 1))
+  }
+
   test("streaming dedupFirstSeen drops repeats across micro-batches") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[DocEvent]
