@@ -82,6 +82,13 @@ object Geo {
   def st_intersects(point: Column, other: Column, rightKind: String): Column =
     Bridge.column(StIntersects(Bridge.expression(point), Bridge.expression(other), rightKind))
 
+  /** Exact geometry-vs-geometry intersection, ANY kind on either side —
+    * the extension past the reference's point-LHS-only matrix. */
+  def st_geom_intersects(a: Column, leftKind: String,
+                         b: Column, rightKind: String): Column =
+    Bridge.column(StGeomIntersects(Bridge.expression(a), Bridge.expression(b),
+      leftKind, rightKind))
+
   // ---- spatial ordering ----------------------------------------------
   /** Hilbert distance of the geometry bbox center on a 2^p x 2^p grid over
     * totalBounds (must be precomputed, mirroring dask.py:542-550). */
@@ -129,6 +136,17 @@ object Geo {
       def dbl(e: org.apache.spark.sql.catalyst.expressions.Expression) =
         org.apache.spark.sql.catalyst.expressions.Cast(e, org.apache.spark.sql.types.DoubleType)
       StHilbertDistance(es(0), dbl(es(1)), dbl(es(2)), dbl(es(3)), dbl(es(4)), p)
+    })
+    // kinds as string literals (36 per-kind names would bloat the catalog):
+    //   st_geom_intersects(a, 'line', b, 'polygon')
+    Bridge.registerFunction(spark, "st_geom_intersects", { es =>
+      def kindOf(e: org.apache.spark.sql.catalyst.expressions.Expression) = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(
+               s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+        case other => throw new IllegalArgumentException(
+          s"st_geom_intersects kinds must be string literals, got $other")
+      }
+      StGeomIntersects(es(0), es(2), kindOf(es(1)), kindOf(es(3)))
     })
     for (kind <- Seq("point", "multipoint", "line", "multiline", "polygon", "multipolygon")) {
       // SQL numeric literals may arrive as Decimal — cast bounds to double

@@ -134,6 +134,33 @@ case class StIntersects(point: Expression, other: Expression, rightKind: String)
     copy(point = l, other = r)
 }
 
+/** Exact geometry-vs-geometry intersection over the FULL kind matrix —
+  * the engine's extension past the reference's point-LHS-only exact
+  * predicate (geometry/base.py:634-651 raises NotImplementedError for
+  * non-point left-hand sides). Composed from the same ported kernels:
+  * segment-pair intersection, point-on-line, winding-number containment.
+  * Kinds are declared per side, as in [[StIntersects]]. */
+case class StGeomIntersects(a: Expression, b: Expression,
+                            leftKind: String, rightKind: String)
+    extends BinaryExpression {
+  override def left: Expression = a
+  override def right: Expression = b
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "st_geom_intersects"
+  private lazy val kidA = GeomEval.kindId(leftKind)
+  private lazy val kidB = GeomEval.kindId(rightKind)
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    GeomEval.intersectsGeom(kidA, l.asInstanceOf[AnyRef], kidB, r.asInstanceOf[AnyRef])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (l, r) => s"graft.functions.GeomEval.intersectsGeom($kidA, $l, $kidB, $r)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(a = l, b = r)
+}
+
 /** Hilbert distance of the geometry's bbox center on a 2^p grid over the
   * given total bounds (degenerate bounds widened by 1.0).
   * Reference: geometry/base.py:603-615, spatialindex/rtree.py:50-65. */

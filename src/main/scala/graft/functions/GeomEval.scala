@@ -122,6 +122,82 @@ object GeomEval {
     }
   }
 
+  /** Flat coordinate parts of any geometry kind: (values, offsets) where
+    * part i spans values[offsets(i) until offsets(i+1)). For polygons /
+    * multipolygons the parts are the (closed) RINGS — i.e. the boundary
+    * as a segment soup, plus the same arrays feed the winding-number
+    * interior test. */
+  private def partsOf(kind: Int, g: AnyRef): (Array[Double], Array[Int]) = kind match {
+    case Point =>
+      val r = g.asInstanceOf[InternalRow]
+      (Array(r.getDouble(0), r.getDouble(1)), Array(0, 2))
+    case MultiPoint | Line =>
+      val v = GeomData.flat1(g.asInstanceOf[ArrayData])
+      (v, Array(0, v.length))
+    case MultiLine | Polygon =>
+      GeomData.flat2(g.asInstanceOf[ArrayData])
+    case MultiPolygon =>
+      val (v, ro, _) = GeomData.flat3(g.asInstanceOf[ArrayData])
+      (v, ro)
+  }
+
+  private def isPointy(kind: Int): Boolean = kind == Point || kind == MultiPoint
+  private def isPolygonal(kind: Int): Boolean = kind == Polygon || kind == MultiPolygon
+
+  /** Exact geometry × geometry intersection over the FULL kind matrix —
+    * the extension past the reference's point-LHS-only support
+    * (geometry/base.py:634-651 raises NotImplementedError there; SURVEY
+    * §2.2 "extension: full matrix"). Composed entirely from the ported
+    * reference kernels: point equality / point-on-line / winding-number
+    * point-in-polygon for point sides, exact segment-pair intersection
+    * for line/boundary sides, plus vertex-containment for polygon
+    * interiors (if two closed shapes overlap with no boundary crossing,
+    * one contains the other, so some vertex is interior). */
+  def intersectsGeom(kindA: Int, a: AnyRef, kindB: Int, b: AnyRef): Boolean = {
+    if (isPointy(kindA) && isPointy(kindB)) {
+      val (va, _) = partsOf(kindA, a)
+      val (vb, _) = partsOf(kindB, b)
+      var i = 0
+      while (i + 1 < va.length) {
+        var j = 0
+        while (j + 1 < vb.length) {
+          if (va(i) == vb(j) && va(i + 1) == vb(j + 1)) return true
+          j += 2
+        }
+        i += 2
+      }
+      return false
+    }
+    if (isPointy(kindA)) return pointsIntersectGeom(kindA, a, kindB, b)
+    if (isPointy(kindB)) return pointsIntersectGeom(kindB, b, kindA, a)
+    val (va, oa) = partsOf(kindA, a)
+    val (vb, ob) = partsOf(kindB, b)
+    if (Kernels.anySegmentsCross(va, oa, vb, ob)) return true
+    if (isPolygonal(kindA) && Kernels.anyVertexInPolygon(vb, va, oa)) return true
+    if (isPolygonal(kindB) && Kernels.anyVertexInPolygon(va, vb, ob)) return true
+    false
+  }
+
+  /** Any point of the point/multipoint side intersects the line-ish or
+    * polygonal geometry (same per-point kernels as [[intersectsPoint]]). */
+  private def pointsIntersectGeom(ptKind: Int, p: AnyRef, kind: Int, g: AnyRef): Boolean = {
+    val (pts, _) = partsOf(ptKind, p)
+    val (v, o) = partsOf(kind, g)
+    val polygonal = isPolygonal(kind)
+    var i = 0
+    while (i + 1 < pts.length) {
+      val x = pts(i); val y = pts(i + 1)
+      if (java.lang.Double.isFinite(x) && java.lang.Double.isFinite(y)) {
+        val hit =
+          if (polygonal) Kernels.pointIntersectsPolygon(x, y, v, o)
+          else pointIntersectsLine(x, y, v, o)
+        if (hit) return true
+      }
+      i += 2
+    }
+    false
+  }
+
   /** Point-on-line: per part, bbox check then vertex check then segment
     * pass-through (reference: point.py:270-311, _perform_intersects_line). */
   def pointIntersectsLine(x: Double, y: Double,

@@ -384,6 +384,70 @@ object Kernels {
     false
   }
 
+  /** Any segment of part-set A intersects any segment of part-set B
+    * (parts = consecutive-pair segment chains; rings are stored closed,
+    * so polygon boundaries are the same shape). Per-part bbox prefilter
+    * on B; segments with non-finite endpoints (pen-up separators) never
+    * intersect anything. Built on [[segmentsIntersect]] — the exact
+    * reference arithmetic (intersection.py:63-119) pair-wise. */
+  def anySegmentsCross(va: Array[Double], oa: Array[Int],
+                       vb: Array[Double], ob: Array[Int]): Boolean = {
+    val nb = ob.length - 1
+    val bb = new Array[Double](nb * 4)
+    val tmp = new Array[Double](4)
+    var p = 0
+    while (p < nb) {
+      totalBoundsInterleaved(vb, ob(p), ob(p + 1), tmp)
+      bb(p * 4) = tmp(0); bb(p * 4 + 1) = tmp(1)
+      bb(p * 4 + 2) = tmp(2); bb(p * 4 + 3) = tmp(3)
+      p += 1
+    }
+    var pa = 0
+    while (pa < oa.length - 1) {
+      var i = oa(pa)
+      while (i < oa(pa + 1) - 2) {
+        val ax0 = va(i); val ay0 = va(i + 1)
+        val ax1 = va(i + 2); val ay1 = va(i + 3)
+        if (java.lang.Double.isFinite(ax0) && java.lang.Double.isFinite(ay0) &&
+            java.lang.Double.isFinite(ax1) && java.lang.Double.isFinite(ay1)) {
+          val sx0 = math.min(ax0, ax1); val sx1 = math.max(ax0, ax1)
+          val sy0 = math.min(ay0, ay1); val sy1 = math.max(ay0, ay1)
+          var pb = 0
+          while (pb < nb) {
+            if (!(sx1 < bb(pb * 4) || sx0 > bb(pb * 4 + 2) ||
+                  sy1 < bb(pb * 4 + 1) || sy0 > bb(pb * 4 + 3))) {
+              var j = ob(pb)
+              while (j < ob(pb + 1) - 2) {
+                if (segmentsIntersect(ax0, ay0, ax1, ay1,
+                      vb(j), vb(j + 1), vb(j + 2), vb(j + 3))) return true
+                j += 2
+              }
+            }
+            pb += 1
+          }
+        }
+        i += 2
+      }
+      pa += 1
+    }
+    false
+  }
+
+  /** Any finite vertex of the part-set lies inside the polygon (winding
+    * number over all rings). Every vertex is tested, so NaN-separated
+    * runs of a pen-up line are each covered. */
+  def anyVertexInPolygon(v: Array[Double], pv: Array[Double],
+                         pRingOffsets: Array[Int]): Boolean = {
+    var i = 0
+    while (i + 1 < v.length) {
+      val x = v(i); val y = v(i + 1)
+      if (java.lang.Double.isFinite(x) && java.lang.Double.isFinite(y) &&
+          pointIntersectsPolygon(x, y, pv, pRingOffsets)) return true
+      i += 2
+    }
+    false
+  }
+
   /** Flip rings whose orientation doesn't match the convention
     * (ring at polyOffsets start = shell CCW; others = holes CW). Mutates
     * `values`. Reference: orientation.py:38-77 (orient_polygons). */

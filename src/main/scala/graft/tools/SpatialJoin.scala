@@ -107,6 +107,49 @@ object SpatialJoin {
   }
 
   /**
+   * Geometry × geometry inner join on exact intersection (any kind on
+   * either side) — the extension past the reference's point-left-only
+   * sjoin. BOTH sides cell-explode on their bboxes; a bbox pair can
+   * share many cells, so each candidate pair is evaluated in exactly ONE
+   * canonical cell — the top-left cell of the bbox intersection
+   * (`cx == max(aCellX0, bCellX0)`, same for y): the standard
+   * partition-based-spatial-merge reference-point trick, which removes
+   * duplicate pairs WITHOUT a distinct (no second shuffle). The join
+   * itself stays a hash equi-join on the cell key; the exact
+   * [[graft.Geo.st_geom_intersects]] kernel refines.
+   */
+  def geomGridInner(left: DataFrame, right: DataFrame,
+                    leftCol: Column, leftKind: String,
+                    rightCol: Column, rightKind: String,
+                    cellSize: Double): DataFrame = {
+    require(cellSize > 0, "cellSize must be positive")
+    val reserved = ReservedGridCols ++ Set("__ax0", "__ay0", "__bx0", "__by0")
+    require(!(left.columns ++ right.columns).exists(reserved),
+      s"input columns collide with reserved grid-join names $reserved")
+    val cs = lit(cellSize)
+
+    def gridded(df: DataFrame, g: Column, cx0: String, cy0: String): DataFrame = {
+      val b = st_bounds(g)
+      df.withColumn("__gb", b)
+        .withColumn(cx0, floor(col("__gb.x0") / cs).cast("long"))
+        .withColumn(cy0, floor(col("__gb.y0") / cs).cast("long"))
+        .withColumn("__cx",
+          explode(sequence(col(cx0), floor(col("__gb.x1") / cs).cast("long"))))
+        .withColumn("__cy",
+          explode(sequence(col(cy0), floor(col("__gb.y1") / cs).cast("long"))))
+        .drop("__gb")
+    }
+
+    gridded(left, leftCol, "__ax0", "__ay0")
+      .join(gridded(right, rightCol, "__bx0", "__by0"),
+        Seq("__cx", "__cy"), "inner")
+      .where(col("__cx") === greatest(col("__ax0"), col("__bx0")) &&
+             col("__cy") === greatest(col("__ay0"), col("__by0")))
+      .where(st_geom_intersects(leftCol, leftKind, rightCol, rightKind))
+      .drop("__cx", "__cy", "__ax0", "__ay0", "__bx0", "__by0")
+  }
+
+  /**
    * Persist `geoms` as a cell-exploded BUCKETED table, so RECURRING
    * point-in-geometry joins skip the geometry-side shuffle entirely:
    * the table is bucketed and sorted on the grid cell key, Spark reads

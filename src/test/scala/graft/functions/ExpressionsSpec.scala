@@ -198,6 +198,60 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(sqlN == viaAgg.values.map(_._2.toLong).sum)
   }
 
+  test("st_geom_intersects: full kind matrix goldens") {
+    // big CCW square (0..3)^2 with the unit hole (1..2)^2; small square
+    // inside the hole; shifted-away square; crossing "plus" rectangles
+    val inHole = Seq(1.2, 1.2, 1.8, 1.2, 1.8, 1.8, 1.2, 1.8, 1.2, 1.2)
+    val far = largeCcw.map(_ + 100.0)
+    val wide = Seq(-10.0, 1, 10, 1, 10, 2, -10, 2, -10, 1)
+    val df = Seq(1).toDF("one")
+      .withColumn("holed", typedLit(Seq(largeCcw, unitCw)))
+      .withColumn("inHole", typedLit(Seq(inHole)))
+      .withColumn("far", typedLit(Seq(far)))
+      .withColumn("wide", typedLit(Seq(wide)))
+      .withColumn("innerSq",
+        typedLit(Seq(Seq(0.5, 0.5, 0.7, 0.5, 0.7, 0.7, 0.5, 0.7, 0.5, 0.5))))
+      .withColumn("mp", typedLit(Seq(Seq(far), Seq(inHole))))
+      .withColumn("lineIn", typedLit(Seq(0.2, 0.2, 0.8, 0.8)))
+      .withColumn("lineCross", typedLit(Seq(-1.0, -1.0, 4.0, 4.0)))
+      .withColumn("lineFar", typedLit(Seq(50.0, 50.0, 60.0, 60.0)))
+      .withColumn("mpts", typedLit(Seq(0.5, 0.5, 50.0, 50.0)))
+    def b(c: org.apache.spark.sql.Column): Boolean =
+      df.select(c).head().getBoolean(0)
+    // polygon x polygon: containment both orders, hole exclusion, crossing
+    assert(b(st_geom_intersects($"innerSq", "polygon", $"holed", "polygon")))
+    assert(b(st_geom_intersects($"holed", "polygon", $"innerSq", "polygon")))
+    assert(!b(st_geom_intersects($"inHole", "polygon", $"holed", "polygon")),
+      "a polygon inside the hole does not intersect")
+    assert(!b(st_geom_intersects($"far", "polygon", $"holed", "polygon")))
+    assert(b(st_geom_intersects($"wide", "polygon", $"holed", "polygon")),
+      "crossing rectangles intersect with no vertex containment")
+    // multipolygon: one part in the hole (miss), so only far part decides
+    assert(!b(st_geom_intersects($"mp", "multipolygon", $"holed", "polygon")))
+    assert(b(st_geom_intersects($"mp", "multipolygon", $"far", "polygon")))
+    // line x polygon: inside, crossing, far; line x line
+    assert(b(st_geom_intersects($"lineIn", "line", $"holed", "polygon")))
+    assert(b(st_geom_intersects($"holed", "polygon", $"lineCross", "line")))
+    assert(!b(st_geom_intersects($"lineFar", "line", $"holed", "polygon")))
+    assert(b(st_geom_intersects($"lineIn", "line", $"lineCross", "line")))
+    assert(!b(st_geom_intersects($"lineIn", "line", $"lineFar", "line")))
+    // multipoint: one point inside the polygon interior; (0.5,0.5) lies
+    // exactly ON the diagonal lineIn segment (boundary counts); a point
+    // off the diagonal misses it
+    assert(b(st_geom_intersects($"mpts", "multipoint", $"holed", "polygon")))
+    assert(b(st_geom_intersects($"holed", "polygon", $"mpts", "multipoint")))
+    assert(b(st_geom_intersects($"mpts", "multipoint", $"lineIn", "line")))
+    val mptsOff = typedLit(Seq(0.5, 0.6, 50.0, 50.0))
+    assert(!b(st_geom_intersects(mptsOff, "multipoint", $"lineIn", "line")))
+    // SQL surface with kind literals
+    graft.Geo.registerAll(spark)
+    df.createOrReplaceTempView("gi")
+    val viaSql = spark.sql(
+      "SELECT st_geom_intersects(innerSq, 'polygon', holed, 'polygon') FROM gi")
+      .head().getBoolean(0)
+    assert(viaSql)
+  }
+
   test("SQL registry: st_* callable from spark.sql") {
     registerAll(spark)
     Seq(Tuple1(Seq(largeCcw, unitCw))).toDF("poly").createOrReplaceTempView("polys")

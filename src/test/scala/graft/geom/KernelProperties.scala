@@ -226,6 +226,89 @@ object KernelProperties extends Properties("kernels") {
         }
     }
 
+  // -- oracle: CLRS-formulation segment intersection (independent of the
+  // kernel's 1-D-overlap + double-orientation structure; exact in Long
+  // arithmetic for integer coords) --------------------------------------
+  private def clrsSegsIntersect(ax0: Long, ay0: Long, ax1: Long, ay1: Long,
+                                bx0: Long, by0: Long, bx1: Long, by1: Long): Boolean = {
+    def cross(ox: Long, oy: Long, px: Long, py: Long, qx: Long, qy: Long): Long =
+      (px - ox) * (qy - oy) - (py - oy) * (qx - ox)
+    def onSeg(px: Long, py: Long, x0: Long, y0: Long, x1: Long, y1: Long): Boolean =
+      px >= math.min(x0, x1) && px <= math.max(x0, x1) &&
+        py >= math.min(y0, y1) && py <= math.max(y0, y1)
+    val d1 = cross(ax0, ay0, ax1, ay1, bx0, by0)
+    val d2 = cross(ax0, ay0, ax1, ay1, bx1, by1)
+    val d3 = cross(bx0, by0, bx1, by1, ax0, ay0)
+    val d4 = cross(bx0, by0, bx1, by1, ax1, ay1)
+    (((d1 > 0 && d2 < 0) || (d1 < 0 && d2 > 0)) &&
+     ((d3 > 0 && d4 < 0) || (d3 < 0 && d4 > 0))) ||
+      (d1 == 0 && onSeg(bx0, by0, ax0, ay0, ax1, ay1)) ||
+      (d2 == 0 && onSeg(bx1, by1, ax0, ay0, ax1, ay1)) ||
+      (d3 == 0 && onSeg(ax0, ay0, bx0, by0, bx1, by1)) ||
+      (d4 == 0 && onSeg(ax1, ay1, bx0, by0, bx1, by1))
+  }
+
+  // line strings with no zero-length segments (the reference kernel's
+  // zero-length semantics — endpoint-contact only — are deliberately
+  // NOT CLRS's; degenerate inputs are excluded the same way the sjoin
+  // queries exclude them)
+  private val lineStringGen: Gen[Array[Double]] = for {
+    n <- Gen.choose(2, 6)
+    pts <- Gen.listOfN(n, Gen.zip(coord, coord))
+  } yield {
+    val dedup = pts.foldLeft(List.empty[(Int, Int)]) {
+      case (acc, p) if acc.headOption.contains(p) => acc
+      case (acc, p) => p :: acc
+    }.reverse
+    dedup.flatMap { case (x, y) => Seq(x.toDouble, y.toDouble) }.toArray
+  }
+
+  property("line-vs-line segment sweep == CLRS pairwise oracle") =
+    forAll(lineStringGen, lineStringGen) { (a, b) =>
+      (a.length >= 4 && b.length >= 4) ==> {
+        val got = Kernels.anySegmentsCross(a, Array(0, a.length), b, Array(0, b.length))
+        val pairs = for {
+          i <- 0 until (a.length - 2) by 2
+          j <- 0 until (b.length - 2) by 2
+        } yield clrsSegsIntersect(
+          a(i).toLong, a(i + 1).toLong, a(i + 2).toLong, a(i + 3).toLong,
+          b(j).toLong, b(j + 1).toLong, b(j + 2).toLong, b(j + 3).toLong)
+        val want = pairs.contains(true)
+        Prop(got == want) :| s"a=${a.toSeq} b=${b.toSeq} kernel=$got oracle=$want"
+      }
+    }
+
+  property("polygon-vs-polygon intersects == boundary-CLRS + containment oracle") =
+    forAll(simplePolyGen, simplePolyGen, Gen.choose(-8, 8), Gen.choose(-8, 8)) {
+      (pa, pb0, sx, sy) =>
+        (pa.length >= 8 && pb0.length >= 8) ==> {
+          // shift B so overlap / containment / disjoint all occur
+          val pb = pb0.zipWithIndex.map { case (v, i) =>
+            if (i % 2 == 0) v + sx else v + sy }
+          val oa = Array(0, pa.length)
+          val ob = Array(0, pb.length)
+          // the kernel composition used by GeomEval.intersectsGeom
+          val got = Kernels.anySegmentsCross(pa, oa, pb, ob) ||
+            Kernels.anyVertexInPolygon(pb, pa, oa) ||
+            Kernels.anyVertexInPolygon(pa, pb, ob)
+          // independent: CLRS boundary pairs + crossing-number/boundary
+          // vertex containment
+          val segPairs = for {
+            i <- 0 until (pa.length - 2) by 2
+            j <- 0 until (pb.length - 2) by 2
+          } yield clrsSegsIntersect(
+            pa(i).toLong, pa(i + 1).toLong, pa(i + 2).toLong, pa(i + 3).toLong,
+            pb(j).toLong, pb(j + 1).toLong, pb(j + 2).toLong, pb(j + 3).toLong)
+          def vertexIn(v: Array[Double], ring: Array[Double]): Boolean =
+            (0 until v.length - 2 by 2).exists(i =>
+              crossingNumberInside(v(i), v(i + 1), ring) ||
+                onBoundary(v(i), v(i + 1), ring))
+          val want = segPairs.contains(true) ||
+            vertexIn(pb, pa) || vertexIn(pa, pb)
+          Prop(got == want) :| s"kernel=$got oracle=$want a=${pa.toSeq} b=${pb.toSeq}"
+        }
+    }
+
   // -- oracle 7: orientation normalization invariants --------------------
   property("orientPolygons: shell CCW afterwards, |area| preserved, idempotent") =
     forAll(simplePolyGen) { ring =>
