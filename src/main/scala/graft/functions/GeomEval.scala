@@ -394,6 +394,19 @@ object TextEval {
     else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  def dot(leftFloat: Boolean, rightFloat: Boolean, a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (leftFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rightFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      s += x * y
+      i += 1
+    }
+    s
+  }
+
   def quantizedDot(leftFloat: Boolean, rightFloat: Boolean,
                    a: ArrayData, b: ArrayData, scale: Double): Double = {
     val n = math.min(a.numElements(), b.numElements())

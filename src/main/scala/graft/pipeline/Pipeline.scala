@@ -28,6 +28,8 @@ object Tx {
     Bridge.column(TokenNgramHashes(Bridge.expression(text), ngram, seed))
   def cosine_similarity(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
+  def dot_product(a: Column, b: Column): Column =
+    Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
   def quantized_dot(a: Column, b: Column, scale: Double = 1000.0): Column =
     Bridge.column(QuantizedDot(Bridge.expression(a), Bridge.expression(b), scale))
   def srp_bits(vec: Column, bits: Int = 16, seed: Long = 42L): Column =
@@ -50,6 +52,8 @@ object Tx {
       es => TokenNgramHashes(es.head, 8, 0L))
     Bridge.registerFunction(spark, "cosine_similarity",
       es => CosineSimilarity(es(0), es(1)))
+    Bridge.registerFunction(spark, "dot_product",
+      es => DotProduct(es(0), es(1)))
     Bridge.registerFunction(spark, "quantized_dot",
       es => QuantizedDot(es(0), es(1), 1000.0))
     Bridge.registerFunction(spark, "srp_bits", es => SrpBits(es.head, 16, 42L))
@@ -270,6 +274,108 @@ object Similarity {
 
     // candidate join shuffles on cell id only; exact cosine + top-k after
     val scored = probes.join(assigned, Seq("__cell"))
+      .withColumn("cosine", cosine_similarity(col(queryVec), col(corpusVec)))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("cosine").desc, col(corpusId))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(queryId), col(corpusId), col("cosine"), col("rank"))
+  }
+
+  /**
+   * Product-quantization ANN (asymmetric distance computation) — the
+   * memory-bound scale path: the corpus is compressed to `m` sub-codes
+   * (one per vector subspace), and candidate scoring touches ONLY those
+   * codes via per-query lookup tables; raw corpus vectors appear once at
+   * encode time and once for the final exact refine of a small
+   * candidate set.
+   *
+   *  - train: per subspace, k-means (`ksub` centroids) over the sliced
+   *    corpus — reusing [[kmeansCentroids]]; the full codebook is
+   *    m*ksub short vectors of driver state (like the IVF centroids).
+   *  - encode: one narrow projection computes each vector's nearest
+   *    sub-centroid per subspace (min reconstruction L2 ==
+   *    max(dot - |c|²/2)) -> an `array<long>` code column. At scale this
+   *    column is what you persist: 8 longs instead of a 768-float
+   *    vector, and NOTHING else ever shuffles.
+   *  - search: per query, an m x ksub dot-product lookup table is one
+   *    projection over codebook literals; each candidate's approximate
+   *    cosine = sum of m table lookups / (|q| * reconstructed-|x|),
+   *    where the reconstructed norms come from a query-independent
+   *    literal table. Approximate top `refineFactor * k` per query, then
+   *    exact cosine refine to the final k — the standard ADC + refine.
+   */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+             corpusId: String, corpusVec: String,
+             queryId: String, queryVec: String, k: Int,
+             m: Int = 8, ksub: Int = 16, trainIters: Int = 2,
+             refineFactor: Int = 4): DataFrame = {
+    require(m >= 1 && ksub >= 2 && refineFactor >= 1)
+    val dim = corpus.select(size(col(corpusVec))).where(col(corpusVec).isNotNull)
+      .head().getInt(0)
+    require(dim % m == 0, s"vector dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+
+    def sub(vec: Column, i: Int): Column =
+      slice(vec.cast("array<double>"), i * dsub + 1, dsub)
+
+    // train: per-subspace codebooks (hash-sampled init + Lloyd passes)
+    val codebook: Array[Array[Seq[Double]]] = (0 until m).toArray.map { i =>
+      val subDf = corpus.where(col(corpusVec).isNotNull)
+        .select(col(corpusId), sub(col(corpusVec), i).as("__sub"))
+      val init = sampleCentroids(subDf, corpusId, "__sub", ksub)
+      if (trainIters > 0) kmeansCentroids(subDf, "__sub", init, trainIters).toArray
+      else init.toArray
+    }
+
+    // encode: nearest sub-centroid per subspace, by reconstruction L2
+    def codeFor(vec: Column, i: Int): Column =
+      greatest(codebook(i).toSeq.zipWithIndex.map { case (c, j) =>
+        val half = c.map(x => x * x).sum / 2
+        struct((Tx.dot_product(sub(vec, i), typedLit(c)) - half).as("s"),
+          lit(j.toLong).as("j"))
+      }: _*).getField("j")
+    val encoded = corpus.where(col(corpusVec).isNotNull)
+      .select(col(corpusId),
+        array((0 until m).map(i => codeFor(col(corpusVec), i)): _*).as("__codes"))
+
+    // reconstructed squared norms per (subspace, code) — query-independent
+    val normTable: Seq[Seq[Double]] =
+      codebook.toSeq.map(_.toSeq.map(c => c.map(x => x * x).sum))
+
+    // per-query LUT of sub-dot-products against every sub-centroid
+    val lut = array(codebook.toSeq.zipWithIndex.map { case (cents, i) =>
+      array(cents.toSeq.map(c =>
+        Tx.dot_product(sub(col(queryVec), i), typedLit(c))): _*)
+    }: _*)
+    val qNorm = sqrt(Tx.dot_product(col(queryVec).cast("array<double>"),
+      col(queryVec).cast("array<double>")))
+    val q = queries.where(col(queryVec).isNotNull)
+      .select(col(queryId), col(queryVec), lut.as("__lut"), qNorm.as("__qn"))
+
+    // ADC scoring over codes only (m O(1) lookups per pair)
+    def lookups(table: Column): Column =
+      (0 until m).map(i =>
+        element_at(element_at(table, i + 1),
+          (element_at(col("__codes"), i + 1) + 1).cast("int"))
+      ).reduce(_ + _)
+    val approx = q.crossJoin(encoded)
+      .withColumn("__adc", lookups(col("__lut")))
+      .withColumn("__xn", sqrt(lookups(typedLit(normTable))))
+      .withColumn("__score",
+        when(col("__qn") > 0 && col("__xn") > 0,
+          col("__adc") / (col("__qn") * col("__xn"))).otherwise(lit(0.0)))
+    val wApprox = Window.partitionBy(col(queryId))
+      .orderBy(col("__score").desc, col(corpusId))
+    val candidates = approx
+      .withColumn("__arank", row_number().over(wApprox))
+      .where(col("__arank") <= k * refineFactor)
+      .select(col(queryId), col(corpusId))
+
+    // exact refine of the small candidate set
+    val scored = candidates
+      .join(queries.select(col(queryId), col(queryVec)), queryId)
+      .join(corpus.select(col(corpusId), col(corpusVec)), corpusId)
       .withColumn("cosine", cosine_similarity(col(queryVec), col(corpusVec)))
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("cosine").desc, col(corpusId))

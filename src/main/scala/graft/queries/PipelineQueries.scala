@@ -159,6 +159,17 @@ object PipelineQueries {
         "c_id", "c_vec", "q_id", "q_vec", k = 5, nlist = 16, nprobe = 4)
     }),
 
+    // rows-only: product-quantization ADC path (codes + LUT scoring +
+    // exact refine); recall gated in PipelineSpec like ivf/srp
+    "ann_pq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqTopK(
+        emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
+        emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+        "c_id", "c_vec", "q_id", "q_vec", k = 5, m = 8, ksub = 16)
+    }),
+
     // exact n-gram Jaccard proven STANDALONE (it also backs the minhash
     // refine): each doc scored against the next doc id — a linear number
     // of pairs, so the differential DuckDB oracle stays cheap at any sf.

@@ -130,6 +130,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(refinedRecall >= recall, s"refined $refinedRecall < sampled $recall")
   }
 
+  test("PQ ANN recall vs brute force on clustered vectors") {
+    val rnd = new scala.util.Random(13)
+    val centers = Array.fill(5)(Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    val vecs = for (c <- 0 until 5; m <- 0 until 20) yield {
+      val v = centers(c).map(x => x + rnd.nextFloat() * 0.05f)
+      (c * 100L + m, v)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val corpus = df.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val queries = df.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val exact = Similarity.bruteForceTopK(corpus, queries, "c_id", "c_vec", "q_id", "q_vec", 5)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.pqTopK(corpus, queries, "c_id", "c_vec", "q_id", "q_vec", 5,
+        m = 4, ksub = 8, trainIters = 2)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall too low")
+    // the returned cosine is the EXACT refined score, so rank-1 per query
+    // is that query's own cluster center member (itself)
+    val rank1 = Similarity.pqTopK(corpus, queries, "c_id", "c_vec", "q_id", "q_vec", 5,
+        m = 4, ksub = 8, trainIters = 2)
+      .where(col("rank") === 1)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toMap
+    assert(rank1.forall { case (q, c) => q == c })
+  }
+
   test("vector_sum aggregates element-wise (floats accumulate in double, nulls skipped)") {
     val df = Seq(
       (0, Some(Array(1.0f, 2.0f))),
