@@ -205,6 +205,74 @@ object Dedup {
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /**
+   * Connected components over an undirected candidate-pair edge list:
+   * every node gets the MINIMUM id reachable from it as its component
+   * label — the step that turns near-dup PAIRS into dedupable CLUSTERS
+   * (pairs alone under-dedup: a~b and b~c must collapse to one survivor,
+   * not two).
+   *
+   * Min-label propagation, one hash-join + aggregate per round,
+   * converging in O(component diameter) rounds. Near-dup clusters from
+   * LSH are almost-cliques (diameter 2-3), so a handful of rounds
+   * suffices at any corpus size; every round is fully distributed with
+   * the labels frame persisted and the previous round's cache released.
+   * (For adversarial long-chain graphs swap in large-star/small-star —
+   * same join shapes, log-bounded rounds.)
+   *
+   * The returned (id, component) frame stays cached — it was already
+   * materialized by the convergence check — `unpersist()` it when done.
+   */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+                          maxIters: Int = 20): DataFrame = {
+    val sym = edges.select(col(aCol).as("__s"), col(bCol).as("__d"))
+      .unionAll(edges.select(col(bCol).as("__s"), col(aCol).as("__d")))
+      .where(col("__s").isNotNull && col("__d").isNotNull)
+      .distinct()
+      .persist()
+    var labels = sym.select(col("__s").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .persist()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIters) {
+      val nbrMin = sym.join(labels, sym("__d") === labels("id"))
+        .groupBy(col("__s"))
+        .agg(min(col("component")).as("__nbr"))
+      val updated = labels
+        .join(nbrMin, labels("id") === nbrMin("__s"), "left")
+        .select(col("id"), col("component"),
+          least(col("component"), coalesce(col("__nbr"), col("component")))
+            .as("__next"))
+        .persist()
+      changed = updated.where(col("__next") < col("component")).count()
+      val prev = labels
+      labels = updated.select(col("id"), col("__next").as("component")).persist()
+      updated.unpersist(false)
+      prev.unpersist(false)
+      i += 1
+    }
+    sym.unpersist(false)
+    labels
+  }
+
+  /**
+   * Near-duplicate CLUSTER dedup end-to-end: minhash-LSH candidate
+   * pairs -> exact-Jaccard refine -> connected components -> keep the
+   * minimum-id document of every cluster (docs in no cluster survive
+   * untouched). Returns the surviving rows of `df`.
+   */
+  def dedupNearClusters(df: DataFrame, idCol: String, textCol: String,
+                        shingle: Int = 3, numHashes: Int = 64,
+                        bands: Int = 16, threshold: Double = 0.7): DataFrame = {
+    val pairs = minhashDupPairs(df, idCol, textCol, shingle, numHashes,
+      bands, threshold)
+    val comps = connectedComponents(pairs, "id_a", "id_b")
+    val losers = comps.where(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
 }
 
 object Similarity {

@@ -76,6 +76,18 @@ object PipelineQueries {
         "doc_id", "text", shingle = 3, numHashes = 64, bands = 16, threshold = 0.8)
     }),
 
+    // near-dup CLUSTER dedup end-to-end: LSH pairs -> connected
+    // components -> min-id representative per cluster. The oracle
+    // recomputes exact all-pairs Jaccard AND the components with a
+    // recursive CTE — transitive closure checked cross-engine.
+    "dedup_clusters" -> ((s, dir) => {
+      Dedup.dedupNearClusters(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text", shingle = 3, numHashes = 64, bands = 16,
+          threshold = 0.8)
+        .select(col("doc_id"))
+    }),
+
     // rows-only aggregate (near-dup population varies by sf; the planted
     // -dup correctness matrix lives in DedupSpec)
     "simhash_pair_stats" -> ((s, dir) => {
@@ -411,6 +423,33 @@ object PipelineQueries {
                     / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jaccard
            FROM grams a, grams b WHERE a.doc_id < b.doc_id
          ) WHERE jaccard >= 0.8""",
+    "dedup_clusters" ->
+      """WITH RECURSIVE grams AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(range(1, len(w)-1),
+                    i -> w[i]||chr(31)||w[i+1]||chr(31)||w[i+2])) AS g
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
+         ),
+         pairs AS (
+           SELECT id_a, id_b FROM (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                    CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                      / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jaccard
+             FROM grams a, grams b WHERE a.doc_id < b.doc_id
+           ) WHERE jaccard >= 0.8
+         ),
+         sym AS (SELECT id_a AS s, id_b AS d FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+         reach(id, lab) AS (
+           SELECT s, s FROM sym
+           UNION
+           SELECT sym.d, reach.lab FROM reach JOIN sym ON sym.s = reach.id
+         ),
+         losers AS (
+           SELECT id FROM (SELECT id, min(lab) AS component FROM reach GROUP BY id)
+           WHERE component <> id)
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT id FROM losers)""",
     "ngram_jaccard_adjacent" ->
       """WITH grams AS (
            SELECT doc_id,

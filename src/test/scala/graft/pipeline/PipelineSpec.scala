@@ -130,6 +130,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(refinedRecall >= recall, s"refined $refinedRecall < sampled $recall")
   }
 
+  test("connectedComponents labels chains and cliques with the min id") {
+    // components: {1,2,3,4} (chain), {10,11} (edge), {20} absent (no edges)
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)).toDF("a", "b")
+    val comps = Dedup.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("dedupNearClusters keeps one representative per transitive cluster") {
+    // 1~2~4 form one cluster via pairwise near-dups; 3 and 5 untouched
+    val out = Dedup.dedupNearClusters(corpus, "doc_id", "text",
+        threshold = 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 3L, 5L))
+  }
+
   test("PQ ANN recall vs brute force on clustered vectors") {
     val rnd = new scala.util.Random(13)
     val centers = Array.fill(5)(Array.fill(16)(rnd.nextFloat() * 2 - 1))
