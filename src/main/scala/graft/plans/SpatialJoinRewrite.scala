@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.StIntersects
+import graft.functions.{StGeomIntersects, StIntersects}
 import graft.tools.SpatialJoin
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression}
@@ -16,7 +16,10 @@ import org.apache.spark.sql.graftbridge.Bridge
  * (O(n*m) comparisons) — is rewritten into the grid-cell HASH equi-join
  * + exact-refine plan of [[SpatialJoin.gridInner]] (SURVEY §3.2's
  * target plan; the automatic version of the reference's index-
- * accelerated sjoin, tools/sjoin.py:97-133).
+ * accelerated sjoin, tools/sjoin.py:97-133). A
+ * `st_geom_intersects(aAttr, bAttr)` condition (any kind pair) is
+ * planned the same way through [[SpatialJoin.geomGridInner]], with both
+ * sides cell-exploded and pairs deduped by reference cell.
  *
  * The grid cell edge length comes from `spark.graft.sjoin.cellSize`
  * (data units, default 64): any value is correct — it only shifts the
@@ -38,6 +41,50 @@ case class SpatialJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case j @ Join(l, r, Inner, Some(cond), _)
+        if conjuncts(cond).exists {
+          case StGeomIntersects(_: AttributeReference, _: AttributeReference, _, _) => true
+          case _ => false
+        } =>
+      // geometry x geometry predicate -> dual-side grid join with
+      // reference-cell dedup (SpatialJoin.geomGridInner); same guards
+      // and residual handling as the point-in-geom arm below
+      val parts = conjuncts(cond)
+      val (sg, a, b) = parts.collectFirst {
+        case e @ StGeomIntersects(x: AttributeReference, y: AttributeReference, _, _) =>
+          (e, x, y)
+      }.get
+      val rest = parts.filterNot(_ eq sg)
+      val hasEquiKeys = rest.exists {
+        case EqualTo(x, y) =>
+          (x.references.subsetOf(l.outputSet) && y.references.subsetOf(r.outputSet)) ||
+          (x.references.subsetOf(r.outputSet) && y.references.subsetOf(l.outputSet))
+        case _ => false
+      }
+      val hasTempCols = (l.output ++ r.output).exists(attr =>
+        SpatialJoin.ReservedGeomGridCols.contains(attr.name))
+      // (side holding a, side holding b, kinds in that order)
+      val sides =
+        if (hasEquiKeys || hasTempCols) None
+        else if (l.outputSet.contains(a) && r.outputSet.contains(b))
+          Some((l, r, sg.leftKind, sg.rightKind, a, b))
+        else if (r.outputSet.contains(a) && l.outputSet.contains(b))
+          Some((r, l, sg.leftKind, sg.rightKind, a, b))
+        else None
+      sides match {
+        case Some((aSide, bSide, aKind, bKind, aAttr, bAttr)) =>
+          val joined = SpatialJoin.geomGridInner(
+            Bridge.ofRows(spark, aSide), Bridge.ofRows(spark, bSide),
+            Bridge.column(aAttr), aKind, Bridge.column(bAttr), bKind,
+            cellSize)
+          val rewritten = joined.queryExecution.analyzed
+          val filtered =
+            if (rest.isEmpty) rewritten
+            else Filter(rest.reduce(And), rewritten)
+          Project(j.output, filtered)
+        case None => j
+      }
+
     case j @ Join(l, r, Inner, Some(cond), _) =>
       val parts = conjuncts(cond)
       parts.collectFirst {

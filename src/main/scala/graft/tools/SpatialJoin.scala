@@ -30,6 +30,11 @@ object SpatialJoin {
     * gridInner's reserved-name check. */
   val ReservedGridCols: Set[String] = Set("__cx", "__cy", "__salt", "__gb")
 
+  /** Superset claimed by the geometry x geometry grid join (adds the
+    * per-side bbox cell origins used for reference-cell pair dedup). */
+  val ReservedGeomGridCols: Set[String] =
+    ReservedGridCols ++ Set("__ax0", "__ay0", "__bx0", "__by0")
+
   /** Data-derived grid cell size: 2x the median bbox edge of the
     * geometry side, so a typical geometry replicates to at most ~4
     * cells while cells stay small enough to prune. approxQuantile is
@@ -123,9 +128,8 @@ object SpatialJoin {
                     rightCol: Column, rightKind: String,
                     cellSize: Double): DataFrame = {
     require(cellSize > 0, "cellSize must be positive")
-    val reserved = ReservedGridCols ++ Set("__ax0", "__ay0", "__bx0", "__by0")
-    require(!(left.columns ++ right.columns).exists(reserved),
-      s"input columns collide with reserved grid-join names $reserved")
+    require(!(left.columns ++ right.columns).exists(ReservedGeomGridCols),
+      s"input columns collide with reserved grid-join names $ReservedGeomGridCols")
     val cs = lit(cellSize)
 
     def gridded(df: DataFrame, g: Column, cx0: String, cy0: String): DataFrame = {

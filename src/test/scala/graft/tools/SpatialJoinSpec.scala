@@ -122,6 +122,42 @@ class SpatialJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("optimizer rewrites a plain st_geom_intersects join to the dual-grid hash join") {
+    graft.plans.SpatialJoinRewrite.install(spark)
+    try {
+      spark.conf.set("spark.graft.sjoin.cellSize", "20.0")
+      val rnd = new scala.util.Random(37)
+      // short integer segments vs diamond polygons
+      val segs = (0 until 300).map { i =>
+        val x = rnd.nextInt(100).toDouble; val y = rnd.nextInt(100).toDouble
+        (i.toLong, Seq(x, y, x + rnd.nextInt(6) + 1.0, y + rnd.nextInt(6) + 1.0))
+      }.toDF("sid", "seg")
+      val polys = (0 until 15).map { i =>
+        val cx = rnd.nextInt(100).toDouble; val cy = rnd.nextInt(100).toDouble
+        val r = 5.0 + rnd.nextInt(10)
+        (i.toLong, Seq(Seq(cx + r, cy, cx, cy + r, cx - r, cy, cx, cy - r, cx + r, cy)))
+      }.toDF("gid", "poly")
+
+      val j = segs.join(polys,
+        st_geom_intersects(segs("seg"), "line", polys("poly"), "polygon"))
+      val pairs = j.select("sid", "gid").as[(Long, Long)].collect().toSet
+      val expect = SpatialJoin.geomGridInner(segs, polys, col("seg"), "line",
+          col("poly"), "polygon", cellSize = 20.0)
+        .select("sid", "gid").as[(Long, Long)].collect().toSet
+      assert(pairs == expect && pairs.nonEmpty)
+
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+        s"nested loop survived:\n$plan")
+      assert(plan.contains("HashJoin"), s"no hash join in:\n$plan")
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_.isInstanceOf[graft.plans.SpatialJoinRewrite])
+    }
+  }
+
   test("broadcast sjoin skips null and NaN points") {
     val pts = Seq(
       (1L, Some((5.0, 5.0))),
