@@ -394,6 +394,71 @@ object TextEval {
     else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** PQ encode: nearest sub-centroid per subspace by reconstruction L2
+    * (argmax of dot - |c|^2/2). cb is (m)(ksub)(dsub); halfSq is the
+    * precomputed |c|^2/2 table. One kernel loop instead of an m*ksub
+    * expression forest (which blows up codegen compile time). */
+  def pqEncode(isFloat: Boolean, v: ArrayData,
+               cb: Array[Array[Array[Double]]],
+               halfSq: Array[Array[Double]]): ArrayData = {
+    val m = cb.length
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val dsub = cb(i)(0).length
+      val base = i * dsub
+      var best = Double.NegativeInfinity
+      var bestJ = 0
+      var j = 0
+      while (j < cb(i).length) {
+        val c = cb(i)(j)
+        var s = 0.0
+        var d = 0
+        while (d < dsub) {
+          val x = if (isFloat) v.getFloat(base + d).toDouble else v.getDouble(base + d)
+          s += x * c(d)
+          d += 1
+        }
+        s -= halfSq(i)(j)
+        if (s > best) { best = s; bestJ = j }
+        j += 1
+      }
+      out(i) = bestJ.toLong
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** PQ lookup table: per (subspace, sub-centroid) dot products of the
+    * query vector against the codebook — array(m) of array(ksub). */
+  def pqLut(isFloat: Boolean, v: ArrayData,
+            cb: Array[Array[Array[Double]]]): ArrayData = {
+    val m = cb.length
+    val rows = new Array[ArrayData](m)
+    var i = 0
+    while (i < m) {
+      val dsub = cb(i)(0).length
+      val base = i * dsub
+      val lut = new Array[Double](cb(i).length)
+      var j = 0
+      while (j < cb(i).length) {
+        val c = cb(i)(j)
+        var s = 0.0
+        var d = 0
+        while (d < dsub) {
+          val x = if (isFloat) v.getFloat(base + d).toDouble else v.getDouble(base + d)
+          s += x * c(d)
+          d += 1
+        }
+        lut(j) = s
+        j += 1
+      }
+      rows(i) = new GenericArrayData(lut)
+      i += 1
+    }
+    new GenericArrayData(rows.asInstanceOf[Array[Any]])
+  }
+
   def dot(leftFloat: Boolean, rightFloat: Boolean, a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0

@@ -316,6 +316,66 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Product-quantization code assignment: for each of the codebook's
+  * subspaces, the index of the sub-centroid minimizing reconstruction
+  * L2 -> array<long> of m codes. The codebook rides along as a
+  * reference object, so the expression tree (and the generated code)
+  * stays a single call regardless of m x ksub. */
+case class PqEncode(child: Expression, codebook: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  @transient private lazy val cb: Array[Array[Array[Double]]] =
+    codebook.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val halfSq: Array[Array[Double]] =
+    cb.map(_.map(c => c.map(x => x * x).sum / 2))
+
+  override protected def nullSafeEval(v: Any): Any =
+    TextEval.pqEncode(isFloat, v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      cb, halfSq)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqcb", cb, "double[][][]")
+    val hsRef = ctx.addReferenceObj("pqhs", halfSq, "double[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextEval.pqEncode($isFloat, $c, $cbRef, $hsRef)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqEncode = copy(child = c)
+}
+
+/** Product-quantization query lookup table: dot products of the query's
+  * sub-vectors against every sub-centroid -> array(m) of array(ksub). */
+case class PqLut(child: Expression, codebook: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+  override def prettyName: String = "pq_lut"
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  @transient private lazy val cb: Array[Array[Array[Double]]] =
+    codebook.map(_.map(_.toArray).toArray).toArray
+
+  override protected def nullSafeEval(v: Any): Any =
+    TextEval.pqLut(isFloat, v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], cb)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqcb", cb, "double[][][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextEval.pqLut($isFloat, $c, $cbRef)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqLut = copy(child = c)
+}
+
 /** Integer-quantized dot product: sum of round(x*scale)*round(y*scale)
   * accumulated in double. Products of quantized values are exact
   * integers (< 2^53), so the sum is order-independent and bit-exact

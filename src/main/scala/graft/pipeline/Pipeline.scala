@@ -30,6 +30,10 @@ object Tx {
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
   def dot_product(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+  def pq_encode(vec: Column, codebook: Seq[Seq[Seq[Double]]]): Column =
+    Bridge.column(PqEncode(Bridge.expression(vec), codebook))
+  def pq_lut(vec: Column, codebook: Seq[Seq[Seq[Double]]]): Column =
+    Bridge.column(PqLut(Bridge.expression(vec), codebook))
   def quantized_dot(a: Column, b: Column, scale: Double = 1000.0): Column =
     Bridge.column(QuantizedDot(Bridge.expression(a), Bridge.expression(b), scale))
   def srp_bits(vec: Column, bits: Int = 16, seed: Long = 42L): Column =
@@ -226,13 +230,23 @@ object Dedup {
    */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxIters: Int = 20): DataFrame = {
-    val sym = edges.select(col(aCol).as("__s"), col(bCol).as("__d"))
-      .unionAll(edges.select(col(bCol).as("__s"), col(aCol).as("__d")))
-      .where(col("__s").isNotNull && col("__d").isNotNull)
+    // persist the raw edges first: the symmetric union references them
+    // twice, and without the cache the whole upstream pipeline (e.g. the
+    // LSH pair generation) would be evaluated twice
+    val e = edges.select(col(aCol).as("__a"), col(bCol).as("__b"))
+      .where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .persist()
+    val sym = e.select(col("__a").as("__s"), col("__b").as("__d"))
+      .unionAll(e.select(col("__b").as("__s"), col("__a").as("__d")))
       .distinct()
       .persist()
-    var labels = sym.select(col("__s").as("id")).distinct()
-      .withColumn("component", col("id"))
+    // seed with min(own id, min direct neighbor): LSH near-dup clusters
+    // are almost-cliques, so this is usually already the fixpoint and
+    // the loop exits after one no-change round
+    var labels = sym.groupBy(col("__s"))
+      .agg(min(col("__d")).as("__nbr"))
+      .select(col("__s").as("id"),
+        least(col("__s"), col("__nbr")).as("component"))
       .persist()
     var changed = 1L
     var i = 0
@@ -254,6 +268,7 @@ object Dedup {
       i += 1
     }
     sym.unpersist(false)
+    e.unpersist(false)
     labels
   }
 
@@ -387,35 +402,57 @@ object Similarity {
     def sub(vec: Column, i: Int): Column =
       slice(vec.cast("array<double>"), i * dsub + 1, dsub)
 
-    // train: per-subspace codebooks (hash-sampled init + Lloyd passes)
-    val codebook: Array[Array[Seq[Double]]] = (0 until m).toArray.map { i =>
-      val subDf = corpus.where(col(corpusVec).isNotNull)
-        .select(col(corpusId), sub(col(corpusVec), i).as("__sub"))
-      val init = sampleCentroids(subDf, corpusId, "__sub", ksub)
-      if (trainIters > 0) kmeansCentroids(subDf, "__sub", init, trainIters).toArray
-      else init.toArray
+    // train: ALL subspace codebooks together — one job for the sampled
+    // init (slice the same ksub sampled vectors per subspace) and ONE
+    // corpus pass per Lloyd iteration (assign every subspace's code in a
+    // narrow projection, posexplode to (subspace, code, subvec), a
+    // single keyed aggregate). Per-subspace training would cost
+    // m*(1+iters) driver jobs; this costs 1+iters.
+    val codebook: Array[Array[Seq[Double]]] = {
+      val sampled = sampleCentroids(
+        corpus.where(col(corpusVec).isNotNull), corpusId, corpusVec, ksub)
+      var cents: Array[Array[Seq[Double]]] = (0 until m).toArray.map(i =>
+        sampled.map(v => v.slice(i * dsub, (i + 1) * dsub)))
+      for (_ <- 0 until trainIters) {
+        val cbSeq: Seq[Seq[Seq[Double]]] = cents.toSeq.map(_.toSeq)
+        val stats = corpus.where(col(corpusVec).isNotNull)
+          .withColumn("__codes", Tx.pq_encode(col(corpusVec), cbSeq))
+          .select(posexplode(array((0 until m).map(i =>
+            struct(sub(col(corpusVec), i).as("v"),
+              element_at(col("__codes"), i + 1).as("c"))): _*)))
+          .select(col("pos").as("__m"), col("col.c").as("__code"),
+            col("col.v").as("__v"))
+          .groupBy(col("__m"), col("__code"))
+          .agg(Tx.vector_sum(col("__v")).as("__sum"), count(lit(1)).as("__n"))
+          .collect()
+          .map(r => (r.getInt(0), r.getLong(1).toInt) ->
+            ((Option(r.getSeq[Double](2)), r.getLong(3))))
+          .toMap
+        cents = cents.zipWithIndex.map { case (subCents, i) =>
+          subCents.zipWithIndex.map { case (old, j) =>
+            stats.get((i, j)) match {
+              case Some((Some(s), n)) if n > 0 => s.map(_ / n)
+              case _ => old
+            }
+          }
+        }
+      }
+      cents
     }
 
-    // encode: nearest sub-centroid per subspace, by reconstruction L2
-    def codeFor(vec: Column, i: Int): Column =
-      greatest(codebook(i).toSeq.zipWithIndex.map { case (c, j) =>
-        val half = c.map(x => x * x).sum / 2
-        struct((Tx.dot_product(sub(vec, i), typedLit(c)) - half).as("s"),
-          lit(j.toLong).as("j"))
-      }: _*).getField("j")
+    // encode: nearest sub-centroid per subspace, by reconstruction L2 —
+    // a single fused expression (expression-forest argmax per centroid
+    // would bloat codegen compile time with m*ksub nodes)
+    val cbSeq: Seq[Seq[Seq[Double]]] = codebook.toSeq.map(_.toSeq)
     val encoded = corpus.where(col(corpusVec).isNotNull)
-      .select(col(corpusId),
-        array((0 until m).map(i => codeFor(col(corpusVec), i)): _*).as("__codes"))
+      .select(col(corpusId), Tx.pq_encode(col(corpusVec), cbSeq).as("__codes"))
 
     // reconstructed squared norms per (subspace, code) — query-independent
     val normTable: Seq[Seq[Double]] =
       codebook.toSeq.map(_.toSeq.map(c => c.map(x => x * x).sum))
 
     // per-query LUT of sub-dot-products against every sub-centroid
-    val lut = array(codebook.toSeq.zipWithIndex.map { case (cents, i) =>
-      array(cents.toSeq.map(c =>
-        Tx.dot_product(sub(col(queryVec), i), typedLit(c))): _*)
-    }: _*)
+    val lut = Tx.pq_lut(col(queryVec), cbSeq)
     val qNorm = sqrt(Tx.dot_product(col(queryVec).cast("array<double>"),
       col(queryVec).cast("array<double>")))
     val q = queries.where(col(queryVec).isNotNull)
