@@ -398,9 +398,22 @@ object TextEval {
     * (argmax of dot - |c|^2/2). cb is (m)(ksub)(dsub); halfSq is the
     * precomputed |c|^2/2 table. One kernel loop instead of an m*ksub
     * expression forest (which blows up codegen compile time). */
+  /** Total dimensionality the codebook expects; ragged input vectors
+    * must fail loudly, not read past the array (unsafe rows would
+    * silently yield garbage codes). */
+  private def pqRequireDim(v: ArrayData, cb: Array[Array[Array[Double]]]): Unit = {
+    var need = 0
+    var i = 0
+    while (i < cb.length) { need += cb(i)(0).length; i += 1 }
+    if (v.numElements() < need)
+      throw new IllegalArgumentException(
+        s"pq: vector has ${v.numElements()} dims, codebook expects $need")
+  }
+
   def pqEncode(isFloat: Boolean, v: ArrayData,
                cb: Array[Array[Array[Double]]],
                halfSq: Array[Array[Double]]): ArrayData = {
+    pqRequireDim(v, cb)
     val m = cb.length
     val out = new Array[Long](m)
     var i = 0
@@ -433,6 +446,7 @@ object TextEval {
     * query vector against the codebook — array(m) of array(ksub). */
   def pqLut(isFloat: Boolean, v: ArrayData,
             cb: Array[Array[Array[Double]]]): ArrayData = {
+    pqRequireDim(v, cb)
     val m = cb.length
     val rows = new Array[ArrayData](m)
     var i = 0

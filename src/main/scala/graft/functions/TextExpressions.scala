@@ -72,7 +72,10 @@ object TextHashing {
     var inTok = false
     var s = 0
     while (i < bytes.length) {
-      val ws = bytes(i) == ' ' || bytes(i) == '\n' || bytes(i) == '\t' || bytes(i) == '\r'
+      // exactly Java regex \s = [ \t\n\x0B\f\r], so gram hashes agree
+      // with the split("\\s+") string path and the SQL oracles
+      val ws = bytes(i) == ' ' || bytes(i) == '\n' || bytes(i) == '\t' ||
+        bytes(i) == '\r' || bytes(i) == 0x0B || bytes(i) == 0x0C
       if (!ws && !inTok) { inTok = true; s = i }
       else if (ws && inTok) { inTok = false; starts += s; ends += i }
       i += 1

@@ -227,6 +227,10 @@ object Dedup {
    *
    * The returned (id, component) frame stays cached — it was already
    * materialized by the convergence check — `unpersist()` it when done.
+   * If `maxIters` rounds elapse before the fixpoint (impossible for
+   * clusters of diameter < maxIters), the partially-converged labels
+   * are returned as-is: components may then be split, never merged
+   * wrongly — raise `maxIters` for long-chain graphs.
    */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxIters: Int = 20): DataFrame = {
@@ -263,6 +267,10 @@ object Dedup {
       changed = updated.where(col("__next") < col("component")).count()
       val prev = labels
       labels = updated.select(col("id"), col("__next").as("component")).persist()
+      // materialize the new labels BEFORE dropping the caches they read
+      // from — otherwise the returned frame would lazily recompute the
+      // whole iterative lineage (doubling per round) at consumption time
+      labels.count()
       updated.unpersist(false)
       prev.unpersist(false)
       i += 1
@@ -284,8 +292,13 @@ object Dedup {
     val pairs = minhashDupPairs(df, idCol, textCol, shingle, numHashes,
       bands, threshold)
     val comps = connectedComponents(pairs, "id_a", "id_b")
+    // pin the (small) loser-id set independently of the labels cache so
+    // the labels frame can be released NOW instead of leaking a cached
+    // frame per invocation (comps' contract: caller unpersists)
     val losers = comps.where(col("id") =!= col("component"))
       .select(col("id").as(idCol))
+      .localCheckpoint(true)
+    comps.unpersist(false)
     df.join(losers, Seq(idCol), "left_anti")
   }
 }
@@ -394,8 +407,10 @@ object Similarity {
              m: Int = 8, ksub: Int = 16, trainIters: Int = 2,
              refineFactor: Int = 4): DataFrame = {
     require(m >= 1 && ksub >= 2 && refineFactor >= 1)
-    val dim = corpus.select(size(col(corpusVec))).where(col(corpusVec).isNotNull)
-      .head().getInt(0)
+    val firstVec = corpus.select(size(col(corpusVec)))
+      .where(col(corpusVec).isNotNull).take(1)
+    require(firstVec.nonEmpty, "pqTopK: corpus has no non-null vectors")
+    val dim = firstVec(0).getInt(0)
     require(dim % m == 0, s"vector dim $dim not divisible by m=$m subspaces")
     val dsub = dim / m
 

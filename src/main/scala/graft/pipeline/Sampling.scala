@@ -28,10 +28,12 @@ object Sampling {
 
   /** First-8-hex-digits threshold encoding `fraction` of the 2^32 hash
     * space (clamped to [0, 1]); rows survive when `hash8 < threshold`
-    * (strict, so fraction 0 keeps nothing). */
+    * (strict, so fraction 0 keeps nothing). Fraction 1.0 yields "g",
+    * which sorts after every hex string — keep-everything groups really
+    * keep everything (same comparison semantics in any SQL engine). */
   def thresholdHex(fraction: Double): String = {
-    val f = math.max(0.0, math.min(1.0, fraction))
-    "%08x".format(math.round(f * 4294967296.0).min(4294967295L))
+    val v = math.round(math.max(0.0, fraction) * 4294967296.0)
+    if (v >= 4294967296L) "g" else "%08x".format(v)
   }
 
   /** Keep a deterministic `fraction` of rows, decided per-row by hash of
@@ -45,7 +47,8 @@ object Sampling {
   /** Per-group sampling rates — the dataset-MIXTURE operator: one pass,
     * no shuffle, each row kept with its group's fraction (e.g. upsample
     * high-quality sources, downsample boilerplate ones). Groups absent
-    * from `fractions` use `default`. */
+    * from `fractions` use `default`; a 1.0 rate keeps its group in full
+    * (threshold "g" sorts after every hex hash). */
   def deterministicSampleByGroup(df: DataFrame, key: Column, group: Column,
                                  fractions: Map[String, Double],
                                  default: Double, salt: String): DataFrame = {
@@ -62,6 +65,7 @@ object Sampling {
     * [[deterministicSample]] at ~10·k/|stratum| first if that matters. */
   def stratifiedTopK(df: DataFrame, stratum: Column, key: Column, k: Int,
                      salt: String): DataFrame = {
+    require(k >= 1, "stratifiedTopK requires k >= 1")
     val w = Window.partitionBy(stratum).orderBy(hashHex(key, salt), key)
     df.withColumn("__srn", row_number().over(w))
       .where(col("__srn") <= k)

@@ -128,10 +128,14 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("deterministic sampling is a narrow filter: zero exchanges") {
-    val docs = (0 until 500).map(i => (i.toLong, s"d$i")).toDF("id", "t")
+    // spark.range (not a LocalRelation) so the filter cannot be
+    // constant-folded away — the md5 predicate must SURVIVE in the plan
+    val docs = spark.range(500).select(col("id"),
+      concat(lit("d"), col("id")).as("t"))
     val sampled = graft.pipeline.Sampling
       .deterministicSample(docs, col("id"), 0.5, "s")
     val plan = finalPlan(sampled)
+    assert(plan.contains("md5"), s"sampling filter folded away in:\n$plan")
     assert(!plan.contains("Exchange"),
       s"sampling must not shuffle:\n$plan")
   }

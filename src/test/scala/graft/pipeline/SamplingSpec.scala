@@ -33,7 +33,7 @@ class SamplingSpec extends AnyFunSuite {
     val out = Sampling.deterministicSampleByGroup(docs, col("id"), col("grp"),
         Map("g0" -> 1.0, "g1" -> 0.5), default = 0.0, salt = "m")
       .groupBy("grp").count().as[(String, Long)].collect().toMap
-    assert(out.getOrElse("g0", 0L) >= 399L) // ~all (strict '<' can drop hash==max)
+    assert(out.getOrElse("g0", 0L) == 400L) // rate 1.0 keeps the group in FULL
     assert(out.getOrElse("g1", 0L) > 120L && out("g1") < 280L)
     assert(!out.contains("g2") && !out.contains("g3") && !out.contains("g4"))
   }
