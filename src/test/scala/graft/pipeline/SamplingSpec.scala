@@ -86,6 +86,20 @@ class SamplingSpec extends AnyFunSuite {
     assert(ev == Map(1L -> 1L))
   }
 
+  test("empty inputs: sampling, components, and decontamination degrade cleanly") {
+    val empty = spark.emptyDataset[(Long, String)].toDF("doc_id", "text")
+    assert(Sampling.deterministicSample(empty, col("doc_id"), 0.5, "s").count() == 0)
+    assert(Sampling.stratifiedTopK(empty, col("text"), col("doc_id"), 3, "s").count() == 0)
+    val emptyEdges = spark.emptyDataset[(Long, Long)].toDF("a", "b")
+    assert(Dedup.connectedComponents(emptyEdges, "a", "b").count() == 0)
+    // empty eval set: nothing is contaminated, all train rows survive
+    val train = Seq((1L, "some training document with enough tokens present here ok"))
+      .toDF("doc_id", "text")
+    assert(Decontaminate.byNgramOverlap(train, empty, "doc_id", "text", 8).count() == 1)
+    // empty train against a real eval set
+    assert(Decontaminate.byNgramOverlap(empty, train, "doc_id", "text", 8).count() == 0)
+  }
+
   test("repetitionColumns on a hand-computed fixture") {
     val df = Seq((1L, "a b a b c"), (2L, "x x x x"), (3L, "solo")).toDF("id", "text")
     val cols = TextAnalysis.repetitionColumns(col("text"))

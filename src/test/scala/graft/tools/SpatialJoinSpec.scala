@@ -158,6 +158,19 @@ class SpatialJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("geomGridInner: empty sides and null geometries degrade cleanly") {
+    val segs = Seq((1L, Seq(0.0, 0.0, 5.0, 5.0)), (2L, null.asInstanceOf[Seq[Double]]))
+      .toDF("sid", "seg")
+    val polys = Seq((1L, Seq(Seq(0.0, 0, 4, 0, 4, 4, 0, 4, 0, 0)))).toDF("gid", "poly")
+    val got = SpatialJoin.geomGridInner(segs, polys, col("seg"), "line",
+        col("poly"), "polygon", cellSize = 8.0)
+      .select("sid", "gid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L))) // null geometry row silently drops (inner join)
+    val emptyPolys = polys.where(col("gid") < 0)
+    assert(SpatialJoin.geomGridInner(segs, emptyPolys, col("seg"), "line",
+      col("poly"), "polygon", cellSize = 8.0).count() == 0)
+  }
+
   test("broadcast sjoin skips null and NaN points") {
     val pts = Seq(
       (1L, Some((5.0, 5.0))),
