@@ -342,6 +342,33 @@ object Queries {
         .select(col("l_orderkey"), col("l_linenumber"), col("n_nationkey"))
     }),
 
+    // the left-join variant of the geometry x geometry join (reference
+    // sjoin how="left" semantics extended to the full kind matrix):
+    // every segment kept, nation attributes null where no intersection.
+    // Built on orders — o_orderkey is UNIQUE (geomJoin's leftKey
+    // contract; lineitem's (orderkey, linenumber) is not a key in the
+    // synthetic data).
+    "sjoin_lines_left" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      val ax0 = (col("o_orderkey") % 50).cast("double")
+      val ay0 = (col("o_custkey") % 50).cast("double")
+      val dx = (col("o_orderkey") % 7).cast("double") - 3
+      val dy = ((col("o_custkey") * 3) % 7).cast("double") - 3
+      val segs = ord
+        .where(!(col("o_orderkey") % 7 === 3 && (col("o_custkey") * 3) % 7 === 3))
+        .select(col("o_orderkey"),
+          array(ax0, ay0, ax0 + dx, ay0 + dy).as("seg"))
+      val nat = t(s, dir, "nation")
+      val bx0 = (col("n_nationkey") * 2).cast("double")
+      val by0 = ((col("n_nationkey") * 7) % 50).cast("double")
+      val bdy = ((col("n_nationkey") % 5) * 3).cast("double") - 6
+      val nsegs = nat.select(col("n_nationkey"),
+        array(bx0, by0, bx0 + 6, by0 + bdy).as("nseg"))
+      SpatialJoin.geomJoin(segs, nsegs, "seg", "line", "nseg", "line",
+          cellSize = 8.0, how = "left", leftKey = "o_orderkey")
+        .select(col("o_orderkey"), col("n_nationkey"))
+    }),
+
     // SURVEY §2.4 GROUPED total_bounds through the custom
     // DeclarativeAggregate — per-nation bounding boxes in one pass
     // (partial aggregation native; the reference only has whole-array
@@ -746,6 +773,41 @@ object Queries {
       """SELECT c_custkey FROM customer
          WHERE (c_custkey*7919)%1000 BETWEEN 200 AND 700
            AND (c_custkey*104729)%1000 BETWEEN 200 AND 700""",
+    "sjoin_lines_left" -> {
+      // the same CLRS formulation, inlined into a LEFT JOIN's ON clause
+      val d1 = "(a.ax1-a.ax0)*(b.by0-a.ay0) - (a.ay1-a.ay0)*(b.bx0-a.ax0)"
+      val d2 = "(a.ax1-a.ax0)*(b.by1-a.ay0) - (a.ay1-a.ay0)*(b.bx1-a.ax0)"
+      val d3 = "(b.bx1-b.bx0)*(a.ay0-b.by0) - (b.by1-b.by0)*(a.ax0-b.bx0)"
+      val d4 = "(b.bx1-b.bx0)*(a.ay1-b.by0) - (b.by1-b.by0)*(a.ax1-b.bx0)"
+      s"""WITH a AS (
+           SELECT o_orderkey,
+                  o_orderkey % 50 AS ax0, o_custkey % 50 AS ay0,
+                  o_orderkey % 50 + (o_orderkey % 7 - 3) AS ax1,
+                  o_custkey % 50 + ((o_custkey*3) % 7 - 3) AS ay1
+           FROM orders
+           WHERE NOT (o_orderkey % 7 = 3 AND (o_custkey*3) % 7 = 3)
+         ),
+         b AS (
+           SELECT n_nationkey,
+                  n_nationkey*2 AS bx0, (n_nationkey*7) % 50 AS by0,
+                  n_nationkey*2 + 6 AS bx1,
+                  (n_nationkey*7) % 50 + ((n_nationkey % 5)*3 - 6) AS by1
+           FROM nation
+         )
+         SELECT a.o_orderkey, b.n_nationkey
+         FROM a LEFT JOIN b ON (
+              ((($d1)>0 AND ($d2)<0) OR (($d1)<0 AND ($d2)>0))
+              AND ((($d3)>0 AND ($d4)<0) OR (($d3)<0 AND ($d4)>0))
+           OR (($d1)=0 AND b.bx0 BETWEEN least(a.ax0,a.ax1) AND greatest(a.ax0,a.ax1)
+                        AND b.by0 BETWEEN least(a.ay0,a.ay1) AND greatest(a.ay0,a.ay1))
+           OR (($d2)=0 AND b.bx1 BETWEEN least(a.ax0,a.ax1) AND greatest(a.ax0,a.ax1)
+                        AND b.by1 BETWEEN least(a.ay0,a.ay1) AND greatest(a.ay0,a.ay1))
+           OR (($d3)=0 AND a.ax0 BETWEEN least(b.bx0,b.bx1) AND greatest(b.bx0,b.bx1)
+                        AND a.ay0 BETWEEN least(b.by0,b.by1) AND greatest(b.by0,b.by1))
+           OR (($d4)=0 AND a.ax1 BETWEEN least(b.bx0,b.bx1) AND greatest(b.bx0,b.bx1)
+                        AND a.ay1 BETWEEN least(b.by0,b.by1) AND greatest(b.by0,b.by1))
+         )"""
+    },
     "sjoin_lines" ->
       """WITH a AS (
            SELECT l_orderkey, l_linenumber,

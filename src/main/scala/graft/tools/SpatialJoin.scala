@@ -154,6 +154,39 @@ object SpatialJoin {
   }
 
   /**
+   * Name-based geometry × geometry join with inner/left/right variants —
+   * the [[pointInGeom]] API shape for two geometry sides. `cellSize <= 0`
+   * derives the grid from the data: the max of both sides' median bbox
+   * edges (cells must be at least typical-bbox-sized on BOTH sides or
+   * the bigger side's explode blows up).
+   */
+  def geomJoin(left: DataFrame, right: DataFrame,
+               leftCol: String, leftKind: String,
+               rightCol: String, rightKind: String,
+               cellSize: Double = 0, how: String = "inner",
+               leftKey: String = null, rightKey: String = null): DataFrame = {
+    val cs = if (cellSize > 0) cellSize
+             else math.max(autoCellSize(left, left(leftCol)),
+                           autoCellSize(right, right(rightCol)))
+    val matched = geomGridInner(left, right, left(leftCol), leftKind,
+      right(rightCol), rightKind, cs)
+    how match {
+      case "inner" => matched
+      case "left" =>
+        require(leftKey != null, "left join requires leftKey")
+        val rightCols = right.columns.toSeq
+        left.join(matched.select((leftKey +: rightCols).map(col): _*),
+          Seq(leftKey), "left")
+      case "right" =>
+        require(rightKey != null, "right join requires rightKey")
+        val leftCols = left.columns.toSeq
+        right.join(matched.select((rightKey +: leftCols).map(col): _*),
+          Seq(rightKey), "left")
+      case other => throw new IllegalArgumentException(s"unsupported how=$other")
+    }
+  }
+
+  /**
    * Persist `geoms` as a cell-exploded BUCKETED table, so RECURRING
    * point-in-geometry joins skip the geometry-side shuffle entirely:
    * the table is bucketed and sorted on the grid cell key, Spark reads
