@@ -342,6 +342,31 @@ object Queries {
         .select(col("l_orderkey"), col("l_linenumber"), col("n_nationkey"))
     }),
 
+    // the broadcast-index path of the geometry x geometry join must
+    // produce EXACTLY the grid join's pairs (same CLRS oracle as
+    // sjoin_lines): driver R-tree over nation-segment bboxes, left side
+    // never shuffles
+    "sjoin_lines_bcast" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ax0 = (col("l_orderkey") % 50).cast("double")
+      val ay0 = (col("l_partkey") % 50).cast("double")
+      val dx = (col("l_suppkey") % 7).cast("double") - 3
+      val dy = ((col("l_orderkey") * 3) % 7).cast("double") - 3
+      val segs = li
+        .where(!(col("l_suppkey") % 7 === 3 && (col("l_orderkey") * 3) % 7 === 3))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          array(ax0, ay0, ax0 + dx, ay0 + dy).as("seg"))
+      val nat = t(s, dir, "nation")
+      val bx0 = (col("n_nationkey") * 2).cast("double")
+      val by0 = ((col("n_nationkey") * 7) % 50).cast("double")
+      val bdy = ((col("n_nationkey") % 5) * 3).cast("double") - 6
+      val nsegs = nat.select(col("n_nationkey"),
+        array(bx0, by0, bx0 + 6, by0 + bdy).as("nseg"))
+      SpatialJoin.broadcastGeomJoin(segs, nsegs, "seg", "line",
+          "nseg", "line", rightKey = "n_nationkey")
+        .select(col("l_orderkey"), col("l_linenumber"), col("n_nationkey"))
+    }),
+
     // the left-join variant of the geometry x geometry join (reference
     // sjoin how="left" semantics extended to the full kind matrix):
     // every segment kept, nation attributes null where no intersection.
@@ -654,7 +679,45 @@ object Queries {
 
   /** DuckDB-equivalent SQL per query (same column names — the driver's
     * compare sorts columns by name before hashing). */
+  /** Shared by sjoin_lines (grid path) and sjoin_lines_bcast (broadcast
+    * R-tree path): both plans MUST produce the identical pair set. */
+  private lazy val sjoinLinesOracleSql: String =
+    """WITH a AS (
+         SELECT l_orderkey, l_linenumber,
+                l_orderkey % 50 AS ax0, l_partkey % 50 AS ay0,
+                l_orderkey % 50 + (l_suppkey % 7 - 3) AS ax1,
+                l_partkey % 50 + ((l_orderkey*3) % 7 - 3) AS ay1
+         FROM lineitem
+         WHERE NOT (l_suppkey % 7 = 3 AND (l_orderkey*3) % 7 = 3)
+       ),
+       b AS (
+         SELECT n_nationkey,
+                n_nationkey*2 AS bx0, (n_nationkey*7) % 50 AS by0,
+                n_nationkey*2 + 6 AS bx1,
+                (n_nationkey*7) % 50 + ((n_nationkey % 5)*3 - 6) AS by1
+         FROM nation
+       )
+       SELECT l_orderkey, l_linenumber, n_nationkey FROM (
+         SELECT l_orderkey, l_linenumber, n_nationkey,
+                ax0, ay0, ax1, ay1, bx0, by0, bx1, by1,
+                (ax1-ax0)*(by0-ay0) - (ay1-ay0)*(bx0-ax0) AS d1,
+                (ax1-ax0)*(by1-ay0) - (ay1-ay0)*(bx1-ax0) AS d2,
+                (bx1-bx0)*(ay0-by0) - (by1-by0)*(ax0-bx0) AS d3,
+                (bx1-bx0)*(ay1-by0) - (by1-by0)*(ax1-bx0) AS d4
+         FROM a, b)
+       WHERE (((d1>0 AND d2<0) OR (d1<0 AND d2>0))
+              AND ((d3>0 AND d4<0) OR (d3<0 AND d4>0)))
+          OR (d1=0 AND bx0 BETWEEN least(ax0,ax1) AND greatest(ax0,ax1)
+                   AND by0 BETWEEN least(ay0,ay1) AND greatest(ay0,ay1))
+          OR (d2=0 AND bx1 BETWEEN least(ax0,ax1) AND greatest(ax0,ax1)
+                   AND by1 BETWEEN least(ay0,ay1) AND greatest(ay0,ay1))
+          OR (d3=0 AND ax0 BETWEEN least(bx0,bx1) AND greatest(bx0,bx1)
+                   AND ay0 BETWEEN least(by0,by1) AND greatest(by0,by1))
+          OR (d4=0 AND ax1 BETWEEN least(bx0,bx1) AND greatest(bx0,bx1)
+                   AND ay1 BETWEEN least(by0,by1) AND greatest(by0,by1))"""
+
   private lazy val spatialOracles: Map[String, String] = Map(
+    "sjoin_lines_bcast" -> sjoinLinesOracleSql,
     "cx_bbox_points" ->
       """SELECT c_custkey,
          CAST((c_custkey*7919)%1000 AS DOUBLE) AS px,
@@ -808,40 +871,7 @@ object Queries {
                         AND a.ay1 BETWEEN least(b.by0,b.by1) AND greatest(b.by0,b.by1))
          )"""
     },
-    "sjoin_lines" ->
-      """WITH a AS (
-           SELECT l_orderkey, l_linenumber,
-                  l_orderkey % 50 AS ax0, l_partkey % 50 AS ay0,
-                  l_orderkey % 50 + (l_suppkey % 7 - 3) AS ax1,
-                  l_partkey % 50 + ((l_orderkey*3) % 7 - 3) AS ay1
-           FROM lineitem
-           WHERE NOT (l_suppkey % 7 = 3 AND (l_orderkey*3) % 7 = 3)
-         ),
-         b AS (
-           SELECT n_nationkey,
-                  n_nationkey*2 AS bx0, (n_nationkey*7) % 50 AS by0,
-                  n_nationkey*2 + 6 AS bx1,
-                  (n_nationkey*7) % 50 + ((n_nationkey % 5)*3 - 6) AS by1
-           FROM nation
-         )
-         SELECT l_orderkey, l_linenumber, n_nationkey FROM (
-           SELECT l_orderkey, l_linenumber, n_nationkey,
-                  ax0, ay0, ax1, ay1, bx0, by0, bx1, by1,
-                  (ax1-ax0)*(by0-ay0) - (ay1-ay0)*(bx0-ax0) AS d1,
-                  (ax1-ax0)*(by1-ay0) - (ay1-ay0)*(bx1-ax0) AS d2,
-                  (bx1-bx0)*(ay0-by0) - (by1-by0)*(ax0-bx0) AS d3,
-                  (bx1-bx0)*(ay1-by0) - (by1-by0)*(ax1-bx0) AS d4
-           FROM a, b)
-         WHERE (((d1>0 AND d2<0) OR (d1<0 AND d2>0))
-                AND ((d3>0 AND d4<0) OR (d3<0 AND d4>0)))
-            OR (d1=0 AND bx0 BETWEEN least(ax0,ax1) AND greatest(ax0,ax1)
-                     AND by0 BETWEEN least(ay0,ay1) AND greatest(ay0,ay1))
-            OR (d2=0 AND bx1 BETWEEN least(ax0,ax1) AND greatest(ax0,ax1)
-                     AND by1 BETWEEN least(ay0,ay1) AND greatest(ay0,ay1))
-            OR (d3=0 AND ax0 BETWEEN least(bx0,bx1) AND greatest(bx0,bx1)
-                     AND ay0 BETWEEN least(by0,by1) AND greatest(by0,by1))
-            OR (d4=0 AND ax1 BETWEEN least(bx0,bx1) AND greatest(bx0,bx1)
-                     AND ay1 BETWEEN least(by0,by1) AND greatest(by0,by1))""",
+    "sjoin_lines" -> sjoinLinesOracleSql,
     "intersects_point_multipoint" ->
       """SELECT l_orderkey, l_linenumber FROM lineitem
          WHERE (l_partkey%10 = l_orderkey%10 AND l_suppkey%10 = l_partkey%10)

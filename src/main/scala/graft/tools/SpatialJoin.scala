@@ -365,4 +365,60 @@ object SpatialJoin {
       .where(st_intersects(col(pointCol), col(geomCol), geomKind))
       .drop("__rkey")
   }
+
+  /** [[broadcastPointInGeom]] generalized to ANY left geometry kind: the
+    * driver-built R-tree over the (small) right side's bboxes is probed
+    * with each left row's bbox instead of a point, candidates re-join
+    * the right geometry by key, and the full-matrix exact
+    * [[graft.Geo.st_geom_intersects]] refines. Zero shuffle of the left
+    * side — the geometry twin of the reference's index-nested-loop
+    * sjoin. Use when `geoms` fits the driver as bboxes; otherwise
+    * [[geomJoin]]/[[geomGridInner]] stay fully distributed. */
+  def broadcastGeomJoin(left: DataFrame, geoms: DataFrame,
+                        leftCol: String, leftKind: String,
+                        geomCol: String, geomKind: String,
+                        rightKey: String): DataFrame = {
+    val spark = left.sparkSession
+    val keyed = geoms.where(col(geomCol).isNotNull)
+      .select(col(rightKey).cast("long"), st_bounds(col(geomCol))).collect()
+    val n = keyed.length
+    val keys = new Array[Long](n)
+    val bounds = new Array[Double](n * 4)
+    var i = 0
+    while (i < n) {
+      val r = keyed(i)
+      keys(i) = r.getLong(0)
+      val b = r.getStruct(1)
+      bounds(i * 4) = b.getDouble(0); bounds(i * 4 + 1) = b.getDouble(1)
+      bounds(i * 4 + 2) = b.getDouble(2); bounds(i * 4 + 3) = b.getDouble(3)
+      i += 1
+    }
+    val tree = HilbertRtree.build(bounds)
+    val bc = spark.sparkContext.broadcast((keys, tree))
+
+    require(!left.columns.contains("__lb") && !left.columns.contains("__rkey"),
+      "left columns collide with reserved names __lb/__rkey")
+    val withB = left.withColumn("__lb", st_bounds(col(leftCol)))
+    val outSchema = withB.schema.add(StructField("__rkey", LongType, nullable = false))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val bIdx = withB.schema.fieldIndex("__lb")
+    val probed = withB.mapPartitions { it =>
+      val (ks, t) = bc.value
+      it.flatMap { row =>
+        if (row.isNullAt(bIdx)) Iterator.empty
+        else {
+          val b = row.getStruct(bIdx)
+          val x0 = b.getDouble(0); val y0 = b.getDouble(1)
+          val x1 = b.getDouble(2); val y1 = b.getDouble(3)
+          if (x0.isNaN || y0.isNaN) Iterator.empty // empty/all-NaN geometry
+          else t.intersects(x0, y0, x1, y1).iterator
+            .map(j => Row.fromSeq(row.toSeq :+ ks(j)))
+        }
+      }
+    }(enc)
+
+    probed.join(geoms, probed("__rkey") === geoms(rightKey).cast("long"))
+      .where(st_geom_intersects(col(leftCol), leftKind, col(geomCol), geomKind))
+      .drop("__rkey", "__lb")
+  }
 }

@@ -158,6 +158,26 @@ class SpatialJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("broadcastGeomJoin == geomGridInner on segments vs polygons") {
+    val rnd = new scala.util.Random(41)
+    val segs = (0 until 400).map { i =>
+      val x = rnd.nextInt(100).toDouble; val y = rnd.nextInt(100).toDouble
+      (i.toLong, Seq(x, y, x + rnd.nextInt(8) + 1.0, y + rnd.nextInt(8) + 1.0))
+    }.toDF("sid", "seg")
+    val polys = (0 until 12).map { i =>
+      val cx = rnd.nextInt(100).toDouble; val cy = rnd.nextInt(100).toDouble
+      val r = 4.0 + rnd.nextInt(12)
+      (i.toLong, Seq(Seq(cx + r, cy, cx, cy + r, cx - r, cy, cx, cy - r, cx + r, cy)))
+    }.toDF("gid", "poly")
+    val grid = SpatialJoin.geomGridInner(segs, polys, col("seg"), "line",
+        col("poly"), "polygon", cellSize = 16.0)
+      .select("sid", "gid").as[(Long, Long)].collect().toSet
+    val bcast = SpatialJoin.broadcastGeomJoin(segs, polys, "seg", "line",
+        "poly", "polygon", rightKey = "gid")
+      .select("sid", "gid").as[(Long, Long)].collect().toSet
+    assert(bcast == grid && bcast.nonEmpty)
+  }
+
   test("geomGridInner: empty sides and null geometries degrade cleanly") {
     val segs = Seq((1L, Seq(0.0, 0.0, 5.0, 5.0)), (2L, null.asInstanceOf[Seq[Double]]))
       .toDF("sid", "seg")
