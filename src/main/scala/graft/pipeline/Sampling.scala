@@ -82,4 +82,25 @@ object Sampling {
       df.withColumn("__shash", hashHex(key, salt)),
       outCol, numPartitions, col("__shash"), key)
       .drop("__shash")
+
+  /** Sequence packing for training shards: documents are laid out in the
+    * deterministic hash-shuffled order and cut into shards of at most
+    * `budget` tokens — shard = exclusive-prefix-sum(tokens) / budget
+    * (a document larger than the budget gets a shard of its own and
+    * spills the next shard's start; standard greedy-in-fixed-order
+    * packing). The prefix sum is the DISTRIBUTED scan of
+    * [[graft.tools.Ranks.globalPrefixSum]] — equivalent to
+    * `sum(tokens) OVER (ORDER BY hash, key)` with no single-task window
+    * anywhere. Adds `outCol` (shard id, 0-based). */
+  def packByTokenBudget(df: DataFrame, key: Column, tokens: Column,
+                        budget: Long, outCol: String,
+                        numPartitions: Int, salt: String): DataFrame = {
+    require(budget >= 1, "budget must be >= 1 token")
+    graft.tools.Ranks.globalPrefixSum(
+      df.withColumn("__phash", hashHex(key, salt))
+        .withColumn("__ptok", coalesce(tokens.cast("long"), lit(0L))),
+      col("__ptok"), "__pfx", numPartitions, col("__phash"), key)
+      .withColumn(outCol, floor((col("__pfx") - col("__ptok")) / budget).cast("long"))
+      .drop("__phash", "__ptok", "__pfx")
+  }
 }

@@ -250,6 +250,18 @@ object PipelineQueries {
       Decontaminate.contaminatedIds(docs, eval, "doc_id", "text", n = 8)
     }),
 
+    // sequence packing: documents laid out in deterministic shuffled
+    // order, cut into <=5000-token shards via the DISTRIBUTED prefix sum
+    // (no single-task window); the oracle is the single-window running
+    // sum — the two formulations must agree exactly
+    "pack_token_shards" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("toks", TextAnalysis.tokenCount(col("text")))
+      Sampling.packByTokenBudget(docs, col("doc_id"), col("toks"),
+          budget = 5000, outCol = "shard", numPartitions = 8, salt = "pk")
+        .select(col("doc_id"), col("shard"))
+    }),
+
     // Gopher/C4-style repetition features per document
     "repetition_stats" -> ((s, dir) => {
       val cols = TextAnalysis.repetitionColumns(col("text"))
@@ -371,6 +383,15 @@ object PipelineQueries {
          tg AS (SELECT doc_id, unnest(g) AS gram FROM grams)
          SELECT tg.doc_id, count(*) AS overlap_grams
          FROM tg JOIN eg USING (gram) GROUP BY tg.doc_id""",
+    "pack_token_shards" ->
+      """SELECT doc_id,
+                CAST(floor((sum(toks) OVER (ORDER BY h, doc_id
+                              ROWS UNBOUNDED PRECEDING) - toks) / 5000) AS BIGINT)
+                  AS shard
+         FROM (SELECT doc_id,
+                      len(regexp_extract_all(text, '\S+')) AS toks,
+                      md5(concat_ws('|','pk',CAST(doc_id AS VARCHAR))) AS h
+               FROM documents)""",
     "repetition_stats" ->
       """WITH toks AS (
            SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)

@@ -76,4 +76,62 @@ object Ranks {
   def globalRowNumber(df: DataFrame, outCol: String, numPartitions: Int,
                       keys: Column*): DataFrame =
     globalRowNumberWithRelease(df, outCol, numPartitions, keys: _*)._1
+
+  /**
+   * Distributed INCLUSIVE prefix sum of `value` (cast to long, nulls
+   * count 0) under the global order of `keys` — `sum(value) OVER
+   * (ORDER BY keys ROWS UNBOUNDED PRECEDING)` without the single-task
+   * window. Same two-pass shape as [[globalRowNumberWithRelease]]:
+   * range-repartition + sort, a collected per-partition totals array
+   * (cumulative offsets as an O(1) literal lookup), and the
+   * within-partition running sum computed by a sorted-order partition
+   * scan (mapPartitions — genuinely sequential per partition, fully
+   * parallel across partitions). `keys` must be a total order.
+   */
+  def globalPrefixSumWithRelease(df: DataFrame, value: Column, outCol: String,
+                                 numPartitions: Int,
+                                 keys: Column*): (DataFrame, () => Unit) = {
+    require(keys.nonEmpty, "globalPrefixSum requires at least one sort key")
+    val bucketed = df
+      .withColumn("__pval", coalesce(value.cast("long"), lit(0L)))
+      .repartitionByRange(numPartitions, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    val stats = bucketed.groupBy(col("__pid"))
+      .agg(sum(col("__pval")).as("__t"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    val offsets = new Array[Long](stats.lastOption.map(_._1 + 1).getOrElse(0))
+    var cum = 0L
+    stats.foreach { case (pid, t) => offsets(pid) = cum; cum += t }
+
+    val pvalIdx = bucketed.schema.fieldIndex("__pval")
+    val outSchema = bucketed.schema
+      .add(org.apache.spark.sql.types.StructField("__run",
+        org.apache.spark.sql.types.LongType, nullable = false))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val scanned = bucketed.mapPartitions { it =>
+      var run = 0L
+      it.map { row =>
+        run += row.getLong(pvalIdx)
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ run)
+      }
+    }(enc)
+    val result =
+      if (offsets.isEmpty)
+        scanned.withColumn(outCol, col("__run")).drop("__pval", "__pid", "__run")
+      else
+        scanned
+          .withColumn(outCol, col("__run") +
+            element_at(typedLit(offsets.toSeq), col("__pid") + 1))
+          .drop("__pval", "__pid", "__run")
+    (result, () => { bucketed.unpersist(false); () })
+  }
+
+  /** [[globalPrefixSumWithRelease]] without the unpersist handle. */
+  def globalPrefixSum(df: DataFrame, value: Column, outCol: String,
+                      numPartitions: Int, keys: Column*): DataFrame =
+    globalPrefixSumWithRelease(df, value, outCol, numPartitions, keys: _*)._1
 }

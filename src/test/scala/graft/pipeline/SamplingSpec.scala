@@ -86,6 +86,27 @@ class SamplingSpec extends AnyFunSuite {
     assert(ev == Map(1L -> 1L))
   }
 
+  test("packByTokenBudget: deterministic shards within budget") {
+    val rnd = new scala.util.Random(23)
+    val df = (0L until 800L).map(i => (i, 50 + rnd.nextInt(400))).toDF("id", "toks")
+    val packed = Sampling.packByTokenBudget(df, col("id"), col("toks"),
+        budget = 2048, outCol = "shard", numPartitions = 6, salt = "p")
+      .select("id", "toks", "shard").as[(Long, Int, Long)].collect()
+    // shards are 0..max contiguous; per-shard token sums fit the budget
+    // (greedy-in-fixed-order: a shard may only exceed via its LAST doc
+    // spilling — with all docs < budget, sums stay under budget + maxDoc)
+    val byShard = packed.groupBy(_._3).view.mapValues(_.map(_._2.toLong).sum).toMap
+    assert(byShard.keySet == (0L to byShard.keys.max).toSet)
+    assert(byShard.forall { case (_, s) => s <= 2048 + 450 })
+    assert(byShard.filterKeys(_ < byShard.keys.max).values.forall(_ > 1500),
+      "non-final shards should be reasonably full")
+    // deterministic under repartition
+    val again = Sampling.packByTokenBudget(df.repartition(11), col("id"), col("toks"),
+        2048, "shard", 6, "p")
+      .select("id", "shard").as[(Long, Long)].collect().toMap
+    assert(again == packed.map(p => p._1 -> p._3).toMap)
+  }
+
   test("empty inputs: sampling, components, and decontamination degrade cleanly") {
     val empty = spark.emptyDataset[(Long, String)].toDF("doc_id", "text")
     assert(Sampling.deterministicSample(empty, col("doc_id"), 0.5, "s").count() == 0)

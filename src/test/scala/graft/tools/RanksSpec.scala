@@ -38,6 +38,21 @@ class RanksSpec extends AnyFunSuite {
     assert(spark.sparkContext.getPersistentRDDs.size < cachedBefore)
   }
 
+  test("globalPrefixSum equals the single-window running sum") {
+    val rnd = new scala.util.Random(19)
+    val df = (0 until 3000).map(i => (i.toLong, rnd.nextInt(20), rnd.nextInt(100)))
+      .toDF("id", "k", "v")
+    val (dist, release) = Ranks.globalPrefixSumWithRelease(
+      df, col("v"), "pfx", 8, col("k"), col("id"))
+    val got = dist.select("id", "pfx").as[(Long, Long)].collect().toMap
+    val single = df.withColumn("pfx",
+        sum(col("v")).over(Window.orderBy(col("k"), col("id"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select("id", "pfx").as[(Long, Long)].collect().toMap
+    assert(got == single)
+    release()
+  }
+
   test("globalRowNumber ranks array sort keys (lexicographic)") {
     val df = Seq(
       (1L, Seq(2.0, 1.0)), (2L, Seq(1.0, 5.0)), (3L, Seq(1.0)),
