@@ -203,10 +203,15 @@ final case class GeoFrame(df: DataFrame, geometryCol: String, kind: String) {
 
   /** Spatial join on exact intersection (reference: tools/sjoin.py:26-133). */
   def sjoin(other: GeoFrame, how: String = "inner", cellSize: Double = 0,
-            leftKey: String = null, rightKey: String = null): DataFrame = {
-    require(kind == "point", "sjoin currently requires point left side " +
-      "(same support matrix as the reference, base.py:634-651)")
-    SpatialJoin.pointInGeom(df, other.df, geometryCol, other.geometryCol,
-      other.kind, cellSize, how, leftKey, rightKey)
-  }
+            leftKey: String = null, rightKey: String = null): DataFrame =
+    if (kind == "point")
+      // the reference's support matrix (point LHS, base.py:634-651):
+      // single-cell point assignment, no pair dedup needed
+      SpatialJoin.pointInGeom(df, other.df, geometryCol, other.geometryCol,
+        other.kind, cellSize, how, leftKey, rightKey)
+    else
+      // full-matrix extension: dual-side cell explode + reference-cell
+      // dedup + exact st_geom_intersects refine
+      SpatialJoin.geomJoin(df, other.df, geometryCol, kind,
+        other.geometryCol, other.kind, cellSize, how, leftKey, rightKey)
 }

@@ -157,4 +157,29 @@ class GeoFrameSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
     assert(rightRows == Set((100L, 1L), (200L, 3L)))
   }
+
+  test("GeoFrame.sjoin dispatches by left kind (point grid vs geom grid)") {
+    val pts = Seq((1L, 5.0, 5.0), (2L, 50.0, 50.0))
+      .toDF("pid", "x", "y").withColumn("pt", st_point(col("x"), col("y")))
+    val polys = Seq((100L, Seq(Seq(0.0, 0.0, 10.0, 0.0, 10.0, 10.0, 0.0, 10.0, 0.0, 0.0))))
+      .toDF("gid", "poly")
+    val viaPoint = GeoFrame(pts, "pt", "point")
+      .sjoin(GeoFrame(polys, "poly", "polygon"), cellSize = 16.0)
+      .select("pid", "gid").as[(Long, Long)].collect().toSeq
+    assert(viaPoint == Seq((1L, 100L)))
+    // non-point left side routes through the full-matrix geometry join
+    val segs = Seq((1L, Seq(2.0, 2.0, 8.0, 8.0)), (2L, Seq(40.0, 40.0, 45.0, 45.0)))
+      .toDF("sid", "seg")
+    val viaGeom = GeoFrame(segs, "seg", "line")
+      .sjoin(GeoFrame(polys, "poly", "polygon"), cellSize = 16.0)
+      .select("sid", "gid").as[(Long, Long)].collect().toSeq
+    assert(viaGeom == Seq((1L, 100L)))
+    // left join through the geometry path keeps unmatched rows
+    val geomLeft = GeoFrame(segs, "seg", "line")
+      .sjoin(GeoFrame(polys, "poly", "polygon"), how = "left",
+        cellSize = 16.0, leftKey = "sid")
+      .select("sid", "gid").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(geomLeft == Set((1L, 100L), (2L, -1L)))
+  }
 }
