@@ -547,4 +547,24 @@ object TextEval {
     }
     out
   }
+
+  /** Bloom-filter membership probe over a power-of-two bit array
+    * (`words.length * 64` bits). Double hashing (Kirsch-Mitzenmacher):
+    * probe i tests bit (h1 + i*h2) & mask. No false negatives by
+    * construction; the false-positive rate is the standard
+    * (1 - e^(-k·n/m))^k. Shared verbatim by the builder
+    * ([[graft.functions.LongBloom]]) and [[graft.functions.BloomMightContain]],
+    * interpreted and codegen'd alike. */
+  def bloomContains(x: Long, words: Array[Long], k: Int): Boolean = {
+    val mask = (words.length.toLong << 6) - 1
+    val h1 = TextHashing.mix64(x ^ 0x71ee2bdcbdd6f9a1L)
+    val h2 = TextHashing.mix64(x ^ 0x9e3779b97f4a7c15L) | 1L
+    var i = 0
+    while (i < k) {
+      val bit = (h1 + i * h2) & mask
+      if ((words((bit >>> 6).toInt) & (1L << (bit & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
 }

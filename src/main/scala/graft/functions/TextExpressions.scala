@@ -85,6 +85,64 @@ object TextHashing {
   }
 }
 
+/** Builder for the long-key Bloom filter probed by [[BloomMightContain]].
+  * The bit array is sized to the next power of two of
+  * `items * bitsPerItem` (so the probe is a mask, not a modulo) and the
+  * probe count k = round(ln 2 · m/n), the standard optimum. */
+object LongBloom {
+  /** (bit words, k) for `values` at roughly `bitsPerItem` bits each. */
+  def build(values: Array[Long], bitsPerItem: Int = 16): (Array[Long], Int) = {
+    require(bitsPerItem >= 1, "bitsPerItem must be >= 1")
+    val n = math.max(1, values.length)
+    val mBits = math.max(64L, java.lang.Long.highestOneBit(
+      math.max(1L, n.toLong * bitsPerItem - 1)) << 1)
+    val words = new Array[Long]((mBits >>> 6).toInt)
+    val mask = mBits - 1
+    // k from the REQUESTED density n*bitsPerItem, not the rounded-up m —
+    // rounding m up only lowers the false-positive rate
+    val k = math.max(1, math.round(0.6931471805599453 * bitsPerItem).toInt)
+    var vi = 0
+    while (vi < values.length) {
+      val x = values(vi)
+      val h1 = TextHashing.mix64(x ^ 0x71ee2bdcbdd6f9a1L)
+      val h2 = TextHashing.mix64(x ^ 0x9e3779b97f4a7c15L) | 1L
+      var i = 0
+      while (i < k) {
+        val bit = (h1 + i * h2) & mask
+        words((bit >>> 6).toInt) |= (1L << (bit & 63))
+        i += 1
+      }
+      vi += 1
+    }
+    (words, k)
+  }
+}
+
+/** Bloom-filter membership test of a long key (true = maybe present,
+  * false = definitely absent). The bits ride the plan as a codegen
+  * reference object — Spark broadcasts the task binary once per
+  * executor, so a megabytes-sized filter costs one transfer, not one
+  * per task. This is the pre-shuffle guard for semi-join shapes whose
+  * build side fits as ~bits-per-key but not as a hash relation. */
+case class BloomMightContain(child: Expression, bits: Seq[Long], k: Int)
+    extends UnaryExpression {
+  require(bits.nonEmpty && (bits.length & (bits.length - 1)) == 0,
+    "bloom word count must be a nonzero power of two")
+  require(k >= 1)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+  @transient private lazy val words: Array[Long] = bits.toArray
+  override protected def nullSafeEval(x: Any): Any =
+    TextEval.bloomContains(x.asInstanceOf[Long], words, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloombits", words, "long[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextEval.bloomContains($c, $ref, $k)")
+  }
+  override protected def withNewChildInternal(c: Expression): BloomMightContain =
+    copy(child = c)
+}
+
 /** 64-bit SimHash over word n-grams: each n-gram hash votes ±1 per bit;
   * the sign of each bit-sum forms the fingerprint. Near-duplicate texts
   * have fingerprints within a small Hamming distance. */

@@ -60,4 +60,54 @@ object Decontaminate {
       contaminatedIds(train, eval, idCol, textCol, n, hashGrams)
         .select(col(idCol)),
       Seq(idCol), "left_anti")
+
+  /**
+   * [[contaminatedIds]] with a Bloom-filter pre-filter on the train
+   * grams — IDENTICAL results (a Bloom filter has no false negatives;
+   * false positives are removed by the exact join that follows), but the
+   * join sees only the ~fpp fraction of train grams that might match.
+   *
+   * The scale case this serves: an eval gram set too big for a
+   * broadcast-hash relation (which needs ~50+ bytes per entry) still
+   * fits as a Bloom filter at `bitsPerItem` BITS per entry (16 bits →
+   * fpp ≈ 0.0004). Without the filter, a non-broadcastable eval side
+   * degrades the join to a full shuffle of EVERY train gram — tokens ×
+   * corpus rows; with it, only probable hits shuffle. The filter rides
+   * the plan as one reference object per executor (see
+   * [[graft.functions.BloomMightContain]]).
+   *
+   * The eval gram hashes are collected once to build the filter (they
+   * are re-parallelized for the exact join, not recomputed) — the same
+   * "small collected state" contract as the IVF centroids.
+   */
+  def contaminatedIdsBloom(train: DataFrame, eval: DataFrame, idCol: String,
+                           textCol: String, n: Int,
+                           bitsPerItem: Int = 16): DataFrame = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    val evalHashes: Array[Long] =
+      eval.select(explode(Tx.token_ngram_hashes(col(textCol), n)).as("__gram"))
+        .distinct().as[Long].collect()
+    val (bits, k) = graft.functions.LongBloom.build(evalHashes, bitsPerItem)
+    val mightMatch = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.BloomMightContain(
+        org.apache.spark.sql.graftbridge.Bridge.expression(col("__gram")),
+        bits.toSeq, k))
+    val evalGrams = evalHashes.toSeq.toDF("__gram")
+    train
+      .select(col(idCol), explode(Tx.token_ngram_hashes(col(textCol), n)).as("__gram"))
+      .where(mightMatch)
+      .join(evalGrams, "__gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("overlap_grams"))
+  }
+
+  /** [[byNgramOverlap]] through the Bloom pre-filter path. */
+  def byNgramOverlapBloom(train: DataFrame, eval: DataFrame, idCol: String,
+                          textCol: String, n: Int,
+                          bitsPerItem: Int = 16): DataFrame =
+    train.join(
+      contaminatedIdsBloom(train, eval, idCol, textCol, n, bitsPerItem)
+        .select(col(idCol)),
+      Seq(idCol), "left_anti")
 }

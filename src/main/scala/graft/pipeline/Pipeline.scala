@@ -94,6 +94,47 @@ object Dedup {
   }
 
   /**
+   * Paragraph-level exact dedup (the CCNet/RefinedWeb shape): documents
+   * are split on `sep`, each paragraph survives ONLY in the document
+   * where it first occurs — "first" = smallest (id, position) over the
+   * whole corpus — and surviving paragraphs are reassembled in their
+   * original order. Documents whose every paragraph was seen earlier
+   * disappear from the output (their `text` would be empty).
+   *
+   * Plan shape at scale: posexplode (narrow, bounded by paragraphs/doc),
+   * ONE shuffle keyed on the paragraph to pick each paragraph's first
+   * holder (window row_number — same single-shuffle shape as [[exact]]),
+   * one more shuffle on the id to reassemble. The paragraph text rides
+   * the first shuffle exactly once — the same bytes any corpus-level
+   * dedup must move.
+   *
+   * With `byHash` the dedup key is the paragraph's 64-bit xxhash64
+   * instead of its text: the shuffle key shrinks to 8 bytes and a
+   * pathological skew on one huge paragraph value hashes uniformly; a
+   * 64-bit collision could only OVER-dedup, with probability
+   * ~paragraphs²/2⁶⁴ (the same contract as the hashed decontamination
+   * grams). Keep it off when hash-matching a string-keyed oracle.
+   */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
+                      sep: String = "\n", byHash: Boolean = false): DataFrame = {
+    val paras = df
+      .where(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol), posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .withColumnRenamed("pos", "__pos")
+      .withColumnRenamed("col", "__para")
+    val key = if (byHash) xxhash64(col("__para")) else col("__para")
+    val w = Window.partitionBy(key).orderBy(col(idCol), col("__pos"))
+    val firsts = paras
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+    firsts.groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__pos"), col("__para")))),
+          x => x("__para")),
+        sep).as(textCol))
+  }
+
+  /**
    * MinHash + LSH near-duplicate candidate pairs, verified with exact
    * n-gram Jaccard.
    *

@@ -58,6 +58,31 @@ object Sampling {
     df.where(substring(hashHex(key, salt), 1, 8) < thresh)
   }
 
+  /** Temperature-weighted mixture (τ = 1/2): each group's keep rate is
+    * min(1, coeff / sqrt(|group|)) — the standard square-root
+    * temperature resampling that flattens a skewed source/language
+    * distribution (kept counts grow as sqrt of group size once capped).
+    *
+    * The rates are DATA-DEPENDENT, so unlike
+    * [[deterministicSampleByGroup]] the thresholds are computed
+    * in-plan: one tiny groupBy counts the groups (broadcast back), and
+    * the per-row decision is the same hash-threshold compare. The
+    * threshold hex is derived with IEEE-exact steps only (sqrt, divide,
+    * multiply, floor — all correctly rounded), so a SQL oracle running
+    * the identical expression reproduces it bit-for-bit. */
+  def temperatureMixture(df: DataFrame, group: Column, key: Column,
+                         coeff: Double, salt: String): DataFrame = {
+    val counts = df.groupBy(group.as("__tgrp"))
+      .agg(count(lit(1)).as("__tn"))
+    val rate = least(lit(1.0), lit(coeff) / sqrt(col("__tn").cast("double")))
+    val thresh = when(rate >= 1.0, lit("g"))
+      .otherwise(lpad(lower(hex(floor(rate * 4294967296.0))), 8, "0"))
+    df.join(broadcast(counts.select(col("__tgrp"), thresh.as("__tthresh"))),
+        group === col("__tgrp"))
+      .where(substring(hashHex(key, salt), 1, 8) < col("__tthresh"))
+      .drop("__tgrp", "__tthresh")
+  }
+
   /** Deterministic stratified sample: the `k` rows with the smallest
     * hash per stratum (`key` as tiebreak). One shuffle on the stratum
     * key; parallel across strata. A pathologically hot stratum bounds a

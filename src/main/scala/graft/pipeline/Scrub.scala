@@ -1,0 +1,85 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Web-corpus scrubbing operators: PII detection/redaction, URL/domain
+ * extraction with blocklist filtering, and text normalization (the
+ * canonical form fed to exact dedup).
+ *
+ * Everything here is regex/string arithmetic over built-in codegen'd
+ * expressions — narrow projections with NO shuffle, the right shape for
+ * a 100 TB scrub pass (the scan dominates; the filter/redact is free on
+ * top of it). Every pattern is written in the common Java-regex/RE2
+ * dialect (no lookahead, no backreferences), so the identical pattern
+ * string runs in the DuckDB oracles.
+ */
+object Scrub {
+
+  /** PII patterns (detection AND redaction use the same string). The
+    * ASCII character classes are deliberate: \d etc. match identically
+    * in Java regex and RE2. */
+  val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern: String = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val ipv4Pattern: String = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+
+  /** Match count of `pattern` in `text` (non-overlapping). */
+  def matchCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Per-row PII hit counts: emails, phone numbers, IPv4 addresses. */
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "emails" -> matchCount(text, emailPattern),
+    "phones" -> matchCount(text, phonePattern),
+    "ipv4s" -> matchCount(text, ipv4Pattern))
+
+  /** Redact all PII matches with typed tags. Emails first (an email can
+    * contain digit runs a later pattern might clip), then IPv4 before
+    * phone (both are digit shapes; fixed order keeps the output
+    * deterministic and oracle-reproducible). */
+  def redactPii(text: Column): Column = {
+    val e = regexp_replace(text, emailPattern, "<EMAIL>")
+    val i = regexp_replace(e, ipv4Pattern, "<IP>")
+    regexp_replace(i, phonePattern, "<PHONE>")
+  }
+
+  /** URL host extraction: group 1 of this pattern is the host of each
+    * http(s) URL in the text. */
+  val urlHostPattern: String = "https?://([A-Za-z0-9.-]+)"
+
+  /** All URL hosts in `text`, in order (possibly with duplicates). */
+  def urlHosts(text: Column): Column =
+    regexp_extract_all(text, lit(urlHostPattern), lit(1))
+
+  /** One row per (id, host) occurrence — the explode that feeds domain
+    * statistics and blocklist joins. */
+  def explodeHosts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(urlHosts(col(textCol))).as("host"))
+
+  /** Drop every row whose text links to a blocklisted host. The
+    * blocklist is a (small) one-column `host` frame: the anti-join
+    * broadcasts it, so the pass stays shuffle-free on the corpus side. */
+  def filterBlockedHosts(df: DataFrame, idCol: String, textCol: String,
+                         blocklist: DataFrame): DataFrame = {
+    val hits = explodeHosts(df, idCol, textCol)
+      .join(broadcast(blocklist.select(col("host"))), Seq("host"))
+      .select(col(idCol))
+    df.join(hits, Seq(idCol), "left_anti")
+  }
+
+  /** Canonical text form for exact dedup: lowercase, every non-alnum
+    * run collapsed to a single space, trimmed. Two documents differing
+    * only in case, punctuation, or whitespace layout normalize
+    * identically. (ASCII classes — the portable-regex rule above.) */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** Exact dedup under [[normalize]]: keep the lowest-id row per
+    * normalized form (delegates to [[Dedup.exact]] — same single-shuffle
+    * plan, keyed on the normalized text). */
+  def dedupNormalized(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    Dedup.exact(
+      df.withColumn("__norm", normalize(col(textCol))), "__norm", idCol)
+      .drop("__norm")
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.pipeline.{Decontaminate, Dedup, Multimodal, Sampling, Similarity, TextAnalysis, Tx}
+import graft.pipeline.{Decontaminate, Dedup, Multimodal, Sampling, Scrub, Similarity, Sketches, TextAnalysis, Tx}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -269,6 +269,110 @@ object PipelineQueries {
         col("doc_id") +: cols.map { case (nm, c) => c.as(nm) }: _*)
     }),
 
+    // decontamination through the Bloom pre-filter: IDENTICAL results to
+    // `decontaminate` (no false negatives; false positives die in the
+    // exact join) — pinned to the SAME oracle SQL
+    "decontaminate_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val eval = docs.where(col("doc_id") % 10 === 0)
+      Decontaminate.contaminatedIdsBloom(docs, eval, "doc_id", "text", n = 8)
+    }),
+
+    // temperature mixture (tau=1/2): per-language keep rate
+    // min(1, 8/sqrt(|lang|)) — rates computed in-plan from the group
+    // counts; small languages (fr: 8/sqrt(64)=1) are kept in full
+    "temperature_mixture" -> ((s, dir) => {
+      Sampling.temperatureMixture(t(s, dir, "documents"),
+          col("lang"), col("doc_id"), coeff = 8.0, salt = "tm1")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    }),
+
+    // -- web-corpus scrubbing ------------------------------------------------
+    // PII detect + redact over deterministically planted emails/phones/
+    // IPs (the raw word-soup corpus has none); counts AND the redacted
+    // text itself are hash-compared
+    "pii_scrub" -> ((s, dir) => {
+      val id = col("doc_id")
+      val planted = concat(col("text"),
+        when(id % 3 === 0, concat(lit(" contact u"), id.cast("string"),
+          lit("@ex"), (id % 5).cast("string"), lit(".com"))).otherwise(lit("")),
+        when(id % 4 === 0, concat(lit(" call 555-"),
+          (id % 900 + 100).cast("string"), lit("-"),
+          lpad((id % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+        when(id % 5 === 0, concat(lit(" ip 10."), (id % 256).cast("string"),
+          lit(".0."), (id % 100).cast("string"))).otherwise(lit("")))
+      val withPii = t(s, dir, "documents").select(id, planted.as("ptext"))
+      val counts = Scrub.piiCounts(col("ptext"))
+      withPii.select(
+        col("doc_id") +: counts.map { case (nm, c) => c.as(nm) } :+
+          Scrub.redactPii(col("ptext")).as("redacted"): _*)
+    }),
+
+    // URL host extraction + blocklist filter + per-domain counts over
+    // deterministically planted links
+    "url_domain_counts" -> ((s, dir) => {
+      val id = col("doc_id")
+      val planted = concat(col("text"),
+        when(id % 4 === 0, concat(lit(" see http://site"), (id % 7).cast("string"),
+          lit(".example.com/page"))).otherwise(lit("")),
+        when(id % 4 === 1, concat(lit(" via https://m"), (id % 3).cast("string"),
+          lit(".mirror.org/x"))).otherwise(lit("")))
+      val docs = t(s, dir, "documents").select(id, planted.as("ptext"))
+      import s.implicits._
+      val blocklist = Seq("site0.example.com", "site3.example.com", "m1.mirror.org")
+        .toDF("host")
+      Scrub.explodeHosts(
+          Scrub.filterBlockedHosts(docs, "doc_id", "ptext", blocklist),
+          "doc_id", "ptext")
+        .groupBy(col("host")).agg(count(lit(1)).as("n"))
+    }),
+
+    // normalization-canonical exact dedup: planted variants differing
+    // only in case/punctuation/whitespace collapse onto their originals
+    "normalize_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val base = d.unionAll(d.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(upper(col("text")), lit(" !!")).as("text")))
+      Scrub.dedupNormalized(base, "doc_id", "text").select(col("doc_id"))
+    }),
+
+    // paragraph-level dedup (CCNet shape): synthetic multi-paragraph docs
+    // (paragraph = one source doc, grouped by doc_id % 97, '\n'-joined in
+    // id order); planted copies land in OTHER groups, so their paragraphs
+    // are cross-document duplicates and must vanish from the later doc
+    "para_dedup" -> ((s, dir) => {
+      val base = docsWithPlanted(s, dir)
+      val docs = base
+        .groupBy((col("doc_id") % 97).as("gid"))
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            x => x("text")), "\n").as("text"))
+        .select(col("gid").as("doc_id"), col("text"))
+      Dedup.dedupParagraphs(docs, "doc_id", "text")
+    }),
+
+    // -- sketch statistics (rows-only: approximate by design) ---------------
+    // per-group HLL++ distinct users next to exact row counts
+    "sketch_distinct" -> ((s, dir) => {
+      Sketches.approxDistinctByGroup(t(s, dir, "events"),
+        col("event_type"), col("user_id"))
+    }),
+
+    // per-group KLL-style quantiles of the event value
+    "sketch_quantiles" -> ((s, dir) => {
+      Sketches.approxQuantilesByGroup(t(s, dir, "events"),
+        col("event_type"), col("value"), Seq(0.25, 0.5, 0.9))
+    }),
+
+    // mergeable DataSketches HLL: per-group sketches union-rolled to one
+    // global estimate WITHOUT rescanning the table
+    "sketch_union_distinct" -> ((s, dir) => {
+      Sketches.hllUnionEstimate(
+        Sketches.hllSketchByGroup(t(s, dir, "events"),
+          col("event_type"), col("user_id")))
+    }),
+
     // -- multimodal stubs ----------------------------------------------------
     // rows-only: binary payload decode/feature plumbing (codec stubbed)
     "multimodal_features" -> ((s, dir) => {
@@ -316,6 +420,28 @@ object PipelineQueries {
     val whens = langs.map(l => s"WHEN s_$l = $best AND $best > 0 THEN '$l'").mkString(" ")
     s"CASE $whens ELSE 'unknown' END"
   }
+
+  // regex patterns shared VERBATIM with the Spark side (Scrub.*) — the
+  // common Java/RE2 dialect, injected into the SQL as-is (DuckDB string
+  // literals do not process backslashes)
+  private val emailSql = Scrub.emailPattern
+  private val phoneSql = Scrub.phonePattern
+  private val ipv4Sql = Scrub.ipv4Pattern
+  private val urlSql = Scrub.urlHostPattern
+
+  // shared by `decontaminate` and `decontaminate_bloom`: the Bloom
+  // pre-filter must not change the result
+  private val decontaminateOracle =
+    """WITH toks AS (
+         SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+       grams AS (
+         SELECT doc_id,
+                [array_to_string(w[i:i+7], ' ') for i in range(1, len(w)-6)] AS g
+         FROM toks),
+       eg AS (SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 10 = 0),
+       tg AS (SELECT doc_id, unnest(g) AS gram FROM grams)
+       SELECT tg.doc_id, count(*) AS overlap_grams
+       FROM tg JOIN eg USING (gram) GROUP BY tg.doc_id"""
 
   val oracles: Map[String, String] = Map(
     "lang_id_counts" ->
@@ -372,17 +498,85 @@ object PipelineQueries {
                   ORDER BY md5(concat_ws('|','sh1',CAST(doc_id AS VARCHAR))),
                            doc_id) AS BIGINT) AS pos
          FROM documents""",
-    "decontaminate" ->
-      """WITH toks AS (
-           SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
-         grams AS (
-           SELECT doc_id,
-                  [array_to_string(w[i:i+7], ' ') for i in range(1, len(w)-6)] AS g
-           FROM toks),
-         eg AS (SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 10 = 0),
-         tg AS (SELECT doc_id, unnest(g) AS gram FROM grams)
-         SELECT tg.doc_id, count(*) AS overlap_grams
-         FROM tg JOIN eg USING (gram) GROUP BY tg.doc_id""",
+    "decontaminate" -> decontaminateOracle,
+    // the Bloom path must reproduce the exact-path result bit-for-bit
+    "decontaminate_bloom" -> decontaminateOracle,
+    "temperature_mixture" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+         t AS (SELECT lang,
+                 CASE WHEN least(1.0, 8.0/sqrt(CAST(n AS DOUBLE))) >= 1.0 THEN 'g'
+                      ELSE lpad(lower(to_hex(CAST(floor(
+                             least(1.0, 8.0/sqrt(CAST(n AS DOUBLE))) * 4294967296) AS BIGINT))), 8, '0')
+                 END AS th
+               FROM c)
+         SELECT d.lang, count(*) AS n
+         FROM documents d JOIN t USING (lang)
+         WHERE substr(md5(concat_ws('|','tm1',CAST(doc_id AS VARCHAR))),1,8) < th
+         GROUP BY d.lang""",
+    "pii_scrub" ->
+      s"""WITH pii AS (
+           SELECT doc_id, text
+             || CASE WHEN doc_id % 3 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR)
+                  || '@ex' || CAST(doc_id % 5 AS VARCHAR) || '.com' ELSE '' END
+             || CASE WHEN doc_id % 4 = 0 THEN ' call 555-' || CAST(doc_id % 900 + 100 AS VARCHAR)
+                  || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+             || CASE WHEN doc_id % 5 = 0 THEN ' ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END AS ptext
+           FROM documents)
+         SELECT doc_id,
+           len(regexp_extract_all(ptext, '$emailSql')) AS emails,
+           len(regexp_extract_all(ptext, '$phoneSql')) AS phones,
+           len(regexp_extract_all(ptext, '$ipv4Sql')) AS ipv4s,
+           regexp_replace(regexp_replace(regexp_replace(ptext,
+             '$emailSql', '<EMAIL>', 'g'),
+             '$ipv4Sql', '<IP>', 'g'),
+             '$phoneSql', '<PHONE>', 'g') AS redacted
+         FROM pii""",
+    "url_domain_counts" ->
+      s"""WITH docs AS (
+           SELECT doc_id, text
+             || CASE WHEN doc_id % 4 = 0 THEN ' see http://site' || CAST(doc_id % 7 AS VARCHAR)
+                  || '.example.com/page' ELSE '' END
+             || CASE WHEN doc_id % 4 = 1 THEN ' via https://m' || CAST(doc_id % 3 AS VARCHAR)
+                  || '.mirror.org/x' ELSE '' END AS ptext
+           FROM documents),
+         hosts AS (
+           SELECT doc_id, unnest(regexp_extract_all(ptext, '$urlSql', 1)) AS host
+           FROM docs),
+         blocked AS (
+           SELECT DISTINCT doc_id FROM hosts
+           WHERE host IN ('site0.example.com', 'site3.example.com', 'm1.mirror.org'))
+         SELECT host, count(*) AS n FROM hosts
+         WHERE doc_id NOT IN (SELECT doc_id FROM blocked)
+         GROUP BY host""",
+    "normalize_dedup" ->
+      """WITH base AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, upper(text) || ' !!' FROM documents WHERE doc_id % 10 = 0),
+         norm AS (
+           SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nt
+           FROM base)
+         SELECT doc_id FROM (
+           SELECT doc_id, row_number() OVER (PARTITION BY nt ORDER BY doc_id) AS rn
+           FROM norm) WHERE rn = 1""",
+    "para_dedup" ->
+      """WITH base AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0),
+         docs AS (
+           SELECT doc_id % 97 AS gid, string_agg(text, chr(10) ORDER BY doc_id) AS dtext
+           FROM base GROUP BY 1),
+         lists AS (SELECT gid, string_split(dtext, chr(10)) AS l FROM docs),
+         paras AS (
+           SELECT gid, unnest(range(1, len(l)+1)) AS pos, unnest(l) AS para FROM lists),
+         firsts AS (
+           SELECT gid, pos, para,
+                  row_number() OVER (PARTITION BY para ORDER BY gid, pos) AS rn
+           FROM paras)
+         SELECT gid AS doc_id, string_agg(para, chr(10) ORDER BY pos) AS text
+         FROM firsts WHERE rn = 1 GROUP BY gid""",
     "pack_token_shards" ->
       """SELECT doc_id,
                 CAST(floor((sum(toks) OVER (ORDER BY h, doc_id

@@ -235,6 +235,66 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getInt(4) == 64)
   }
 
+  test("dedupParagraphs: cross-doc and within-doc first-occurrence wins") {
+    val docs = Seq(
+      (1L, "alpha one\nshared para\nalpha two"),
+      (2L, "shared para\nbeta one"),               // cross-doc dup of doc 1's para
+      (3L, "gamma\ngamma\ngamma two"),             // within-doc dup
+      (4L, "shared para")                          // every para already seen -> vanishes
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(docs, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "alpha one\nshared para\nalpha two") // first holder keeps order
+    assert(out(2L) == "beta one")
+    assert(out(3L) == "gamma\ngamma two")
+    assert(!out.contains(4L)) // all paragraphs seen earlier
+  }
+
+  test("dedupParagraphs: byHash path matches the string-keyed path") {
+    val docs = corpus.withColumn("text",
+      concat(col("text"), lit("\n"), lit("common tail paragraph")))
+    val a = Dedup.dedupParagraphs(docs, "doc_id", "text", byHash = false)
+      .as[(Long, String)].collect().toSet
+    val b = Dedup.dedupParagraphs(docs, "doc_id", "text", byHash = true)
+      .as[(Long, String)].collect().toSet
+    assert(a == b)
+    // only the lowest-id doc keeps the planted common tail
+    val withTail = a.filter(_._2.contains("common tail paragraph")).map(_._1)
+    assert(withTail == Set(1L))
+  }
+
+  test("bloom filter: no false negatives, sane fp rate, codegen == interpreted") {
+    val values = Array.tabulate(2000)(i => i * 2654435761L + 17)
+    val (bits, k) = graft.functions.LongBloom.build(values, bitsPerItem = 16)
+    values.foreach(v =>
+      assert(graft.functions.TextEval.bloomContains(v, bits, k), s"false negative for $v"))
+    val probes = Array.tabulate(20000)(i => -(i * 40503L + 3))
+    val fp = probes.count(graft.functions.TextEval.bloomContains(_, bits, k))
+    assert(fp < 200, s"fp rate ${fp / 20000.0} far above the 16-bit design point")
+    // expression path (wholestage codegen on) agrees with the kernel
+    val df = probes.toSeq.toDF("x").withColumn("hit",
+      org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.functions.BloomMightContain(
+          org.apache.spark.sql.graftbridge.Bridge.expression(col("x")), bits.toSeq, k)))
+    val exprHits = df.where(col("hit")).count()
+    assert(exprHits == fp.toLong)
+  }
+
+  test("bloom decontamination path equals the exact path") {
+    val train = corpus
+    val eval = Seq((100L, "fox jumps over the lazy dog again and again")).toDF("doc_id", "text")
+    val exact = Decontaminate.byNgramOverlap(train, eval, "doc_id", "text", n = 5)
+      .select("doc_id").as[Long].collect().toSet
+    val bloom = Decontaminate.byNgramOverlapBloom(train, eval, "doc_id", "text", n = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(bloom == exact)
+    val exactIds = Decontaminate.contaminatedIds(train, eval, "doc_id", "text", n = 5)
+      .as[(Long, Long)].collect().toSet
+    val bloomIds = Decontaminate.contaminatedIdsBloom(train, eval, "doc_id", "text", n = 5)
+      .as[(Long, Long)].collect().toSet
+    assert(bloomIds == exactIds) // same overlap evidence, gram for gram
+  }
+
   test("multimodal mapDecodePartitions: schema + deterministic stub") {
     val df = corpus.select(col("doc_id"), col("text").cast("binary").as("content"))
     val out = Multimodal.mapDecodePartitions(df, "content")

@@ -121,6 +121,22 @@ class SamplingSpec extends AnyFunSuite {
     assert(Decontaminate.byNgramOverlap(empty, train, "doc_id", "text", 8).count() == 0)
   }
 
+  test("temperatureMixture: sqrt rates, full-keep cap, repartition-stable") {
+    // groups of size 400 / 100 / 4: coeff 10 -> rates 0.5 / 1.0(cap) / 1.0
+    val df = (0 until 400).map(i => (i.toLong, "big")) ++
+      (400 until 500).map(i => (i.toLong, "mid")) ++
+      (500 until 504).map(i => (i.toLong, "tiny"))
+    val in = df.toDF("id", "grp")
+    val kept = Sampling.temperatureMixture(in, col("grp"), col("id"), 10.0, "t1")
+    val counts = kept.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(counts("mid") == 100L && counts("tiny") == 4L) // rate >= 1 keeps all
+    assert(counts("big") > 150L && counts("big") < 250L)  // ~0.5 of 400
+    // identical survivor set under a different physical layout
+    val kept2 = Sampling.temperatureMixture(in.repartition(13), col("grp"), col("id"),
+      10.0, "t1").select("id").as[Long].collect().toSet
+    assert(kept2 == kept.select("id").as[Long].collect().toSet)
+  }
+
   test("repetitionColumns on a hand-computed fixture") {
     val df = Seq((1L, "a b a b c"), (2L, "x x x x"), (3L, "solo")).toDF("id", "text")
     val cols = TextAnalysis.repetitionColumns(col("text"))

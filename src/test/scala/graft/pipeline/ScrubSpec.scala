@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ScrubSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  import spark.implicits._
+
+  test("piiCounts and redactPii on a hand-built fixture") {
+    val df = Seq(
+      (1L, "mail a.b@x.com and c_d%e@sub.domain.org thanks"),
+      (2L, "call 555-123-4567 or 555-000-1111 from 10.0.3.7"),
+      (3L, "no pii here at all"),
+      (4L, "ip 192.168.0.1 and partial 12-34 and a@b")  // a@b has no TLD -> not an email
+    ).toDF("id", "text")
+    val counts = Scrub.piiCounts(col("text"))
+    val got = df.select(col("id") +: counts.map { case (n, c) => c.as(n) } :+
+        Scrub.redactPii(col("text")).as("red"): _*)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))))
+      .toMap
+    assert(got(1L) == ((2, 0, 0, "mail <EMAIL> and <EMAIL> thanks")))
+    assert(got(2L) == ((0, 2, 1, "call <PHONE> or <PHONE> from <IP>")))
+    assert(got(3L) == ((0, 0, 0, "no pii here at all")))
+    assert(got(4L) == ((0, 0, 1, "ip <IP> and partial 12-34 and a@b")))
+  }
+
+  test("urlHosts extracts every host; blocklist filter drops linking docs") {
+    val df = Seq(
+      (1L, "see http://a.example.com/x and https://b.org/y"),
+      (2L, "only https://c.net/z here"),
+      (3L, "no links")
+    ).toDF("id", "text")
+    val hosts = Scrub.explodeHosts(df, "id", "text")
+      .as[(Long, String)].collect().toSet
+    assert(hosts == Set((1L, "a.example.com"), (1L, "b.org"), (2L, "c.net")))
+    val block = Seq("b.org").toDF("host")
+    val kept = Scrub.filterBlockedHosts(df, "id", "text", block)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L)) // doc 1 linked a blocked host
+  }
+
+  test("normalize collapses case, punctuation, and whitespace") {
+    val df = Seq(
+      ("Hello,   World!!", 1), ("hello world", 2), ("HELLO--WORLD", 3),
+      ("held apart", 4)
+    ).toDF("t", "i")
+    val got = df.select(Scrub.normalize(col("t")).as("n"), col("i"))
+      .as[(String, Int)].collect().map { case (n, i) => i -> n }.toMap
+    assert(got(1) == "hello world" && got(2) == "hello world" && got(3) == "hello world")
+    assert(got(4) == "held apart")
+  }
+
+  test("dedupNormalized keeps the lowest id per canonical form") {
+    val df = Seq(
+      (1L, "The quick fox."), (2L, "the   QUICK fox"), (3L, "a different doc"),
+      (4L, "THE QUICK FOX!!!")
+    ).toDF("doc_id", "text")
+    val kept = Scrub.dedupNormalized(df, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+    // original text column is preserved, the helper column is dropped
+    val cols = Scrub.dedupNormalized(df, "doc_id", "text").columns.toSeq
+    assert(cols == Seq("doc_id", "text"))
+  }
+}
