@@ -93,7 +93,10 @@ object Decontaminate {
       graft.functions.BloomMightContain(
         org.apache.spark.sql.graftbridge.Bridge.expression(col("__gram")),
         bits.toSeq, k))
-    val evalGrams = evalHashes.toSeq.toDF("__gram")
+    // pin the eval side as the broadcast build side: at corpus scale the
+    // surviving train grams are still the big relation even though a
+    // tiny test corpus can fool the static size estimate the other way
+    val evalGrams = broadcast(evalHashes.toSeq.toDF("__gram"))
     train
       .select(col(idCol), explode(Tx.token_ngram_hashes(col(textCol), n)).as("__gram"))
       .where(mightMatch)

@@ -69,7 +69,10 @@ object Sampling {
     * the per-row decision is the same hash-threshold compare. The
     * threshold hex is derived with IEEE-exact steps only (sqrt, divide,
     * multiply, floor — all correctly rounded), so a SQL oracle running
-    * the identical expression reproduces it bit-for-bit. */
+    * the identical expression reproduces it bit-for-bit.
+    *
+    * Rows with a null group are dropped (the rate join is inner — null
+    * never matches, the same null contract as [[Dedup.exact]]). */
   def temperatureMixture(df: DataFrame, group: Column, key: Column,
                          coeff: Double, salt: String): DataFrame = {
     val counts = df.groupBy(group.as("__tgrp"))

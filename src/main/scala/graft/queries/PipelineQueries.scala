@@ -352,6 +352,27 @@ object PipelineQueries {
       Dedup.dedupParagraphs(docs, "doc_id", "text")
     }),
 
+    // scrub composition: redact -> normalize -> exact dedup, chained as
+    // ONE relational program. Planted near-copies differ in case,
+    // punctuation, AND the planted email address — redaction maps both
+    // emails to the same <EMAIL> tag and normalization kills the rest,
+    // so every copy collapses onto its original (PII-invariant dedup)
+    "scrub_pipeline" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
+      val withPii = d.select(col("doc_id"),
+        concat(col("text"), lit(" contact u"), (col("doc_id") % 25).cast("string"),
+          lit("@example.com")).as("ptext"), col("lang"))
+      val copies = d.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(upper(col("text")), lit(" contact o"), col("doc_id").cast("string"),
+            lit("@other.net!!")).as("ptext"), col("lang"))
+      val red = withPii.unionAll(copies)
+        .withColumn("rtext", Scrub.redactPii(col("ptext")))
+      Scrub.dedupNormalized(red, "doc_id", "rtext")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_id"))
+    }),
+
     // -- sketch statistics (rows-only: approximate by design) ---------------
     // per-group HLL++ distinct users next to exact row counts
     "sketch_distinct" -> ((s, dir) => {
@@ -549,6 +570,35 @@ object PipelineQueries {
          SELECT host, count(*) AS n FROM hosts
          WHERE doc_id NOT IN (SELECT doc_id FROM blocked)
          GROUP BY host""",
+    "scrub_pipeline" ->
+      s"""WITH base AS (
+           SELECT doc_id,
+                  text || ' contact u' || CAST(doc_id % 25 AS VARCHAR) || '@example.com' AS ptext,
+                  lang
+           FROM documents
+           UNION ALL
+           SELECT doc_id + 100000,
+                  upper(text) || ' contact o' || CAST(doc_id AS VARCHAR) || '@other.net!!',
+                  lang
+           FROM documents WHERE doc_id % 10 = 0),
+         red AS (
+           SELECT doc_id, lang,
+                  regexp_replace(regexp_replace(regexp_replace(ptext,
+                    '$emailSql', '<EMAIL>', 'g'),
+                    '$ipv4Sql', '<IP>', 'g'),
+                    '$phoneSql', '<PHONE>', 'g') AS rtext
+           FROM base),
+         norm AS (
+           SELECT doc_id, lang,
+                  trim(regexp_replace(lower(rtext), '[^a-z0-9]+', ' ', 'g')) AS nt
+           FROM red),
+         kept AS (
+           SELECT doc_id, lang FROM (
+             SELECT doc_id, lang,
+                    row_number() OVER (PARTITION BY nt ORDER BY doc_id) AS rn
+             FROM norm) WHERE rn = 1)
+         SELECT lang, count(*) AS n, min(doc_id) AS first_id
+         FROM kept GROUP BY lang""",
     "normalize_dedup" ->
       """WITH base AS (
            SELECT doc_id, text FROM documents

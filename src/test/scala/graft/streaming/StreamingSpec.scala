@@ -127,6 +127,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(!batches(0).exists(i => i % 10 == 0 || i % 10 == 1))
   }
 
+  test("scrub ops are stateless streaming transforms (no foreachBatch)") {
+    import graft.pipeline.Scrub
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val counts = Scrub.piiCounts(col("text"))
+    val out = input.toDF().toDF("id", "text")
+      .select(col("id") +: counts.map { case (n, c) => c.as(n) } :+
+        Scrub.redactPii(col("text")).as("red") :+
+        Scrub.normalize(col("text")).as("norm"): _*)
+    val q = out.writeStream.format("memory").queryName("scrub_stream").start()
+    try {
+      input.addData((1L, "Mail a@b.com NOW!!"), (2L, "clean row"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("scrub_stream")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getString(4), r.getString(5)))).toMap
+    assert(rows(1L) == ((1, "Mail <EMAIL> NOW!!", "mail a b com now")))
+    assert(rows(2L) == ((0, "clean row", "clean row")))
+  }
+
   test("streaming dedupFirstSeen drops repeats across micro-batches") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[DocEvent]
