@@ -170,6 +170,15 @@ object SpatialJoin {
                            autoCellSize(right, right(rightCol)))
     val matched = geomGridInner(left, right, left(leftCol), leftKind,
       right(rightCol), rightKind, cs)
+    applyGeomHow(left, right, matched, how, leftKey, rightKey)
+  }
+
+  /** Outer-variant composition shared by [[geomJoin]] and
+    * [[broadcastGeomJoin]]: re-attach unmatched rows of the preserved
+    * side with a key join against the inner match set. */
+  private def applyGeomHow(left: DataFrame, right: DataFrame,
+                           matched: DataFrame, how: String,
+                           leftKey: String, rightKey: String): DataFrame =
     how match {
       case "inner" => matched
       case "left" =>
@@ -184,7 +193,6 @@ object SpatialJoin {
           Seq(rightKey), "left")
       case other => throw new IllegalArgumentException(s"unsupported how=$other")
     }
-  }
 
   /**
    * Persist `geoms` as a cell-exploded BUCKETED table, so RECURRING
@@ -377,7 +385,8 @@ object SpatialJoin {
   def broadcastGeomJoin(left: DataFrame, geoms: DataFrame,
                         leftCol: String, leftKind: String,
                         geomCol: String, geomKind: String,
-                        rightKey: String): DataFrame = {
+                        rightKey: String, how: String = "inner",
+                        leftKey: String = null): DataFrame = {
     val spark = left.sparkSession
     val keyed = geoms.where(col(geomCol).isNotNull)
       .select(col(rightKey).cast("long"), st_bounds(col(geomCol))).collect()
@@ -417,8 +426,10 @@ object SpatialJoin {
       }
     }(enc)
 
-    probed.join(geoms, probed("__rkey") === geoms(rightKey).cast("long"))
-      .where(st_geom_intersects(col(leftCol), leftKind, col(geomCol), geomKind))
-      .drop("__rkey", "__lb")
+    val matched =
+      probed.join(geoms, probed("__rkey") === geoms(rightKey).cast("long"))
+        .where(st_geom_intersects(col(leftCol), leftKind, col(geomCol), geomKind))
+        .drop("__rkey", "__lb")
+    applyGeomHow(left, geoms, matched, how, leftKey, rightKey)
   }
 }

@@ -176,6 +176,27 @@ class SpatialJoinSpec extends AnyFunSuite {
         "poly", "polygon", rightKey = "gid")
       .select("sid", "gid").as[(Long, Long)].collect().toSet
     assert(bcast == grid && bcast.nonEmpty)
+
+    // outer variants compose identically on both paths
+    val gridLeft = SpatialJoin.geomJoin(segs, polys, "seg", "line",
+        "poly", "polygon", cellSize = 16.0, how = "left", leftKey = "sid")
+      .select(col("sid"), col("gid")).collect().map(r =>
+        (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    val bcastLeft = SpatialJoin.broadcastGeomJoin(segs, polys, "seg", "line",
+        "poly", "polygon", rightKey = "gid", how = "left", leftKey = "sid")
+      .select(col("sid"), col("gid")).collect().map(r =>
+        (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(bcastLeft == gridLeft)
+    assert(gridLeft.exists(_._2 == -1L)) // some segment misses every polygon
+    val bcastRight = SpatialJoin.broadcastGeomJoin(segs, polys, "seg", "line",
+        "poly", "polygon", rightKey = "gid", how = "right")
+      .select(col("gid"), col("sid")).collect().map(r =>
+        (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    val gridRight = SpatialJoin.geomJoin(segs, polys, "seg", "line",
+        "poly", "polygon", cellSize = 16.0, how = "right", rightKey = "gid")
+      .select(col("gid"), col("sid")).collect().map(r =>
+        (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(bcastRight == gridRight)
   }
 
   test("geomGridInner: empty sides and null geometries degrade cleanly") {
