@@ -654,6 +654,36 @@ object Queries {
         .select(col("event_type"), col("session_start"), col("n"))
     }),
 
+    // Backward as-of join (tools/Joins.asofBackward): every click picks
+    // the user's latest at-or-before purchase value; one keyed shuffle,
+    // no candidate blowup. Oracled against DuckDB's NATIVE ASOF JOIN —
+    // an independent implementation of the same semantics. Timestamps
+    // stay int64 nanos on the Spark side (nanosAsLong); ordering is
+    // identical either way.
+    "asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value").as("prior_value"))
+      graft.tools.Joins.asofBackward(clicks, purchases, Seq("user_id"),
+          "ts", "ts", Seq("prior_value"))
+        .select(col("event_id"), col("prior_value"))
+    }),
+
+    // Point-in-interval range join (tools/Joins.rangeJoin): lineitem
+    // quantities matched to overlapping nation-derived bands via the
+    // 1-D bin equi-join + exact BETWEEN residual (no nested loop).
+    "range_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      val bands = t(s, dir, "nation").select(col("n_nationkey"),
+        (col("n_nationkey") * lit(2.0)).as("lo"),
+        (col("n_nationkey") * lit(2.0) + lit(5.0)).as("hi"))
+      graft.tools.Joins.rangeJoin(li, bands, "l_quantity", "lo", "hi", binSize = 4.0)
+        .groupBy(col("n_nationkey"))
+        .agg(count(lit(1)).as("n"), min(col("l_orderkey")).as("min_ok"))
+    }),
+
     // Vocabulary stats via explode (Generate): exact distinct tokens.
     "vocab_stats" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -718,6 +748,18 @@ object Queries {
 
   private lazy val spatialOracles: Map[String, String] = Map(
     "sjoin_lines_bcast" -> sjoinLinesOracleSql,
+    "asof_join" ->
+      """SELECT l.event_id, r.value AS prior_value
+         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+         ASOF LEFT JOIN
+              (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+           ON l.user_id = r.user_id AND l.ts >= r.ts""",
+    "range_join" ->
+      """SELECT n_nationkey, count(*) AS n, min(l_orderkey) AS min_ok
+         FROM lineitem JOIN nation
+           ON l_quantity >= n_nationkey * 2.0
+          AND l_quantity <= n_nationkey * 2.0 + 5.0
+         GROUP BY n_nationkey""",
     "cx_bbox_points" ->
       """SELECT c_custkey,
          CAST((c_custkey*7919)%1000 AS DOUBLE) AS px,

@@ -1,0 +1,102 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed temporal/range join operators Spark has no built-in for.
+ * Both are expressed as single-shuffle DataFrame programs (no nested
+ * loops, no driver-side state), so they run unchanged on any corpus
+ * size.
+ */
+object Joins {
+
+  /**
+   * Backward as-of join: every left row picks the LATEST right row of
+   * the same key with `rightTs <= leftTs` (exact-timestamp matches
+   * allowed), or nulls if none precedes it — the standard
+   * trade-vs-quote / event-vs-state alignment.
+   *
+   * Plan shape: both sides tagged and UNIONED, ONE shuffle on the key,
+   * and a per-key ordered window carries the last seen right values
+   * forward (`last(..., ignoreNulls)` over rows unbounded preceding).
+   * This is strictly cheaper than the equi-join-and-filter formulations
+   * (no candidate blowup, no max-per-group re-aggregation) and is the
+   * canonical distributed as-of shape: cost = one sort-shuffle of
+   * events by key, exactly like any keyed window. A key whose history
+   * is pathologically hot bounds one task by that key's row count —
+   * the same contract as every keyed window here.
+   *
+   * Ordering within equal timestamps: right rows sort BEFORE left rows
+   * (so an exact match is visible), and multiple right rows on the same
+   * (key, ts) resolve by the LAST under `tieBreak` (pass e.g. the right
+   * row id for determinism; defaults to the timestamp itself, which is
+   * deterministic whenever (key, ts) is unique on the right).
+   *
+   * `rightCols` must not collide with left column names; they appear in
+   * the output carrying the matched right row's values.
+   */
+  def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   leftTs: String, rightTs: String,
+                   rightCols: Seq[String],
+                   tieBreak: String = null): DataFrame = {
+    require(keys.nonEmpty, "asofBackward requires at least one key column")
+    require(rightCols.nonEmpty, "asofBackward requires rightCols to carry")
+    val collide = rightCols.toSet.intersect(left.columns.toSet)
+    require(collide.isEmpty, s"rightCols collide with left columns: $collide")
+    val leftPayload = left.columns.toSeq
+    require(!leftPayload.contains("__ats") && !leftPayload.contains("__atag"),
+      "left columns collide with reserved names __ats/__atag")
+
+    val taggedRight = right.select(
+      (keys.map(col) :+ col(rightTs).as("__ats") :+ lit(0).as("__atag") :+
+        (if (tieBreak == null) col(rightTs) else col(tieBreak)).as("__atie")) ++
+        rightCols.map(col) ++
+        leftPayload.filterNot(keys.contains)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val taggedLeft = left.select(
+      (keys.map(col) :+ col(leftTs).as("__ats") :+ lit(1).as("__atag") :+
+        lit(null).cast(taggedRight.schema("__atie").dataType).as("__atie")) ++
+        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
+        leftPayload.filterNot(keys.contains).map(col): _*)
+
+    // right rows sort first at equal ts (tag 0 < 1), so `last(...,
+    // ignoreNulls) over rows unbounded preceding` on a left row is
+    // exactly "latest right with ts <= mine"
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ats").asc, col("__atag").asc, col("__atie").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightCols.foldLeft(taggedRight.unionByName(taggedLeft)) {
+      case (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.where(col("__atag") === 1)
+      .select(leftPayload.map(col) ++ rightCols.map(col): _*)
+  }
+
+  /**
+   * Point-in-interval range join: left rows (a point `valueCol`) matched
+   * to right rows (intervals [`loCol`, `hiCol`], inclusive both ends).
+   * The 1-D analog of the spatial grid join: intervals explode to the
+   * grid bins they span (a bounded ~(hi-lo)/binSize blowup), points land
+   * in EXACTLY one bin (so no duplicate pairs, no dedup pass), and the
+   * match is a hash equi-join on the bin plus the exact BETWEEN
+   * residual. Pick `binSize` near the typical interval width — the same
+   * sizing rule as the spatial cell.
+   */
+  def rangeJoin(left: DataFrame, right: DataFrame,
+                valueCol: String, loCol: String, hiCol: String,
+                binSize: Double): DataFrame = {
+    require(binSize > 0, "binSize must be positive")
+    val all = left.columns.toSet ++ right.columns.toSet
+    require(!all.contains("__rbin"), "columns collide with reserved name __rbin")
+    val l = left.withColumn("__rbin",
+      floor(col(valueCol) / binSize).cast("long"))
+    val r = right.withColumn("__rbin",
+      explode(sequence(floor(col(loCol) / binSize).cast("long"),
+        floor(col(hiCol) / binSize).cast("long"))))
+    l.join(r, Seq("__rbin"))
+      .where(col(valueCol) >= col(loCol) && col(valueCol) <= col(hiCol))
+      .drop("__rbin")
+  }
+}

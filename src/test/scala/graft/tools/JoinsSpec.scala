@@ -1,0 +1,81 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class JoinsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  import spark.implicits._
+
+  test("asofBackward: latest at-or-before match, exact ts allowed, null before first") {
+    val quotes = Seq(
+      ("a", 10L, 1.0), ("a", 20L, 2.0), ("a", 30L, 3.0),
+      ("b", 15L, 9.0)
+    ).toDF("k", "ts", "px")
+    val trades = Seq(
+      ("a", 5L, 100L),   // before any quote -> null
+      ("a", 20L, 101L),  // exact match -> 2.0
+      ("a", 25L, 102L),  // between -> 2.0
+      ("a", 99L, 103L),  // after all -> 3.0
+      ("b", 15L, 104L),  // exact -> 9.0
+      ("c", 50L, 105L)   // key with no quotes -> null
+    ).toDF("k", "ts", "tid")
+    val out = Joins.asofBackward(trades, quotes, Seq("k"), "ts", "ts", Seq("px"))
+      .select(col("tid"), col("px")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) Double.NaN else r.getDouble(1)))
+      .toMap
+    assert(out(100L).isNaN && out(105L).isNaN)
+    assert(out(101L) == 2.0 && out(102L) == 2.0 && out(103L) == 3.0 && out(104L) == 9.0)
+    assert(out.size == 6) // every left row survives (left-join semantics)
+  }
+
+  test("asofBackward matches a brute-force oracle on random data") {
+    val rnd = new scala.util.Random(7)
+    val right = (0 until 300).map(_ =>
+      (rnd.nextInt(10).toLong, rnd.nextInt(1000).toLong, rnd.nextInt(100000).toLong))
+      .distinct.map { case (k, ts, v) => (k, ts, v) }
+    val left = (0 until 500).map(i =>
+      (i.toLong, rnd.nextInt(12).toLong, rnd.nextInt(1000).toLong))
+    val rdf = right.toDF("k", "ts", "v")
+      // de-dup (k,ts) so "latest" is unique and the oracle is well-defined
+      .groupBy("k", "ts").agg(max("v").as("v"))
+    val ldf = left.toDF("lid", "k", "ts")
+    val got = Joins.asofBackward(ldf, rdf, Seq("k"), "ts", "ts", Seq("v"))
+      .select(col("lid"), col("v")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    val rightKeyed = rdf.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    left.foreach { case (lid, k, ts) =>
+      val expect = rightKeyed.getOrElse(k, Array.empty[(Long, Long, Long)])
+        .filter(_._2 <= ts).sortBy(_._2).lastOption.map(_._3)
+      assert(got(lid) == expect, s"lid=$lid k=$k ts=$ts")
+    }
+  }
+
+  test("rangeJoin equals the naive BETWEEN join on random intervals") {
+    val rnd = new scala.util.Random(11)
+    val pts = (0 until 400).map(i => (i.toLong, rnd.nextDouble() * 100)).toDF("pid", "v")
+    val ivs = (0 until 40).map { i =>
+      val lo = rnd.nextDouble() * 95
+      (i.toLong, lo, lo + rnd.nextDouble() * 12)
+    }.toDF("iid", "lo", "hi")
+    val got = Joins.rangeJoin(pts, ivs, "v", "lo", "hi", binSize = 8.0)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val expect = pts.join(ivs, col("v") >= col("lo") && col("v") <= col("hi"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("rangeJoin survives intervals narrower and wider than the bin") {
+    val pts = Seq((1L, 0.0), (2L, 7.999), (3L, 8.0), (4L, 40.0)).toDF("pid", "v")
+    val ivs = Seq((1L, 7.9, 8.1), (2L, 0.0, 40.0)).toDF("iid", "lo", "hi")
+    val got = Joins.rangeJoin(pts, ivs, "v", "lo", "hi", binSize = 8.0)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L), (3L, 2L), (4L, 2L)))
+  }
+}
