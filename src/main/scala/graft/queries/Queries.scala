@@ -671,6 +671,33 @@ object Queries {
         .select(col("event_id"), col("prior_value"))
     }),
 
+    // Forward as-of: the user's NEXT purchase at-or-after each click
+    "asof_join_fwd" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value").as("next_value"))
+      graft.tools.Joins.asofForward(clicks, purchases, Seq("user_id"),
+          "ts", "ts", Seq("next_value"))
+        .select(col("event_id"), col("next_value"))
+    }),
+
+    // Interval overlap join with the 1-D PBSM reference-bin dedup:
+    // lineitem quantity bands vs nation bands, pair emitted exactly once
+    "interval_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_quantity").as("qlo"),
+        (col("l_quantity") + col("l_linenumber")).as("qhi"))
+      val bands = t(s, dir, "nation").select(col("n_nationkey"),
+        (col("n_nationkey") * lit(2.0)).as("lo"),
+        (col("n_nationkey") * lit(2.0) + lit(5.0)).as("hi"))
+      graft.tools.Joins.intervalOverlapJoin(li, bands, "qlo", "qhi", "lo", "hi",
+          binSize = 6.0)
+        .groupBy(col("n_nationkey"))
+        .agg(count(lit(1)).as("n"), min(col("l_orderkey")).as("min_ok"))
+    }),
+
     // Point-in-interval range join (tools/Joins.rangeJoin): lineitem
     // quantities matched to overlapping nation-derived bands via the
     // 1-D bin equi-join + exact BETWEEN residual (no nested loop).
@@ -759,6 +786,21 @@ object Queries {
          FROM lineitem JOIN nation
            ON l_quantity >= n_nationkey * 2.0
           AND l_quantity <= n_nationkey * 2.0 + 5.0
+         GROUP BY n_nationkey""",
+    "asof_join_fwd" ->
+      """SELECT l.event_id, r.value AS next_value
+         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+         ASOF LEFT JOIN
+              (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+           ON l.user_id = r.user_id AND l.ts <= r.ts""",
+    "interval_join" ->
+      """SELECT n_nationkey, count(*) AS n, min(l_orderkey) AS min_ok
+         FROM (SELECT l_orderkey, l_quantity AS qlo,
+                      l_quantity + l_linenumber AS qhi
+               FROM lineitem) li
+         JOIN nation
+           ON qlo <= n_nationkey * 2.0 + 5.0
+          AND n_nationkey * 2.0 <= qhi
          GROUP BY n_nationkey""",
     "cx_bbox_points" ->
       """SELECT c_custkey,

@@ -40,14 +40,32 @@ object Joins {
   def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
                    leftTs: String, rightTs: String,
                    rightCols: Seq[String],
-                   tieBreak: String = null): DataFrame = {
+                   tieBreak: String = null): DataFrame =
+    asofImpl(left, right, keys, leftTs, rightTs, rightCols, tieBreak,
+      forward = false)
+
+  /** Forward as-of join: every left row picks the EARLIEST right row of
+    * the same key with `rightTs >= leftTs` (exact matches allowed) —
+    * [[asofBackward]] mirrored in time; identical plan shape (the window
+    * just orders descending). */
+  def asofForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  leftTs: String, rightTs: String,
+                  rightCols: Seq[String],
+                  tieBreak: String = null): DataFrame =
+    asofImpl(left, right, keys, leftTs, rightTs, rightCols, tieBreak,
+      forward = true)
+
+  private def asofImpl(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       leftTs: String, rightTs: String,
+                       rightCols: Seq[String],
+                       tieBreak: String, forward: Boolean): DataFrame = {
     require(keys.nonEmpty, "asofBackward requires at least one key column")
     require(rightCols.nonEmpty, "asofBackward requires rightCols to carry")
     val collide = rightCols.toSet.intersect(left.columns.toSet)
     require(collide.isEmpty, s"rightCols collide with left columns: $collide")
     val leftPayload = left.columns.toSeq
-    require(!leftPayload.contains("__ats") && !leftPayload.contains("__atag"),
-      "left columns collide with reserved names __ats/__atag")
+    require(!Seq("__ats", "__atag", "__atie").exists(leftPayload.contains),
+      "left columns collide with reserved names __ats/__atag/__atie")
 
     val taggedRight = right.select(
       (keys.map(col) :+ col(rightTs).as("__ats") :+ lit(0).as("__atag") :+
@@ -63,9 +81,13 @@ object Joins {
 
     // right rows sort first at equal ts (tag 0 < 1), so `last(...,
     // ignoreNulls) over rows unbounded preceding` on a left row is
-    // exactly "latest right with ts <= mine"
+    // exactly "latest right with ts <= mine" (backward) — or, with the
+    // timestamp order flipped, "earliest right with ts >= mine" (forward)
+    val tsOrder = if (forward) col("__ats").desc else col("__ats").asc
+    val tieOrder = if (forward) col("__atie").desc_nulls_first
+                   else col("__atie").asc_nulls_first
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ats").asc, col("__atag").asc, col("__atie").asc_nulls_first)
+      .orderBy(tsOrder, col("__atag").asc, tieOrder)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = rightCols.foldLeft(taggedRight.unionByName(taggedLeft)) {
       case (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
@@ -98,5 +120,38 @@ object Joins {
     l.join(r, Seq("__rbin"))
       .where(col(valueCol) >= col(loCol) && col(valueCol) <= col(hiCol))
       .drop("__rbin")
+  }
+
+  /**
+   * Interval × interval overlap join (inclusive ends): pairs whose
+   * [lo, hi] ranges intersect. Both sides explode to the bins they
+   * span; a pair sharing several bins is emitted ONLY in the first bin
+   * of their overlap (bin == max of the two start bins — floor is
+   * monotone, so that IS the overlap's first bin), the 1-D version of
+   * the PBSM reference-cell dedup in the spatial grid join: no
+   * distinct, no second shuffle. The exact overlap test is the
+   * residual filter.
+   */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+                          leftLo: String, leftHi: String,
+                          rightLo: String, rightHi: String,
+                          binSize: Double): DataFrame = {
+    require(binSize > 0, "binSize must be positive")
+    val all = left.columns.toSet ++ right.columns.toSet
+    val reserved = Seq("__obin", "__olb", "__orb")
+    require(!reserved.exists(all.contains),
+      s"columns collide with reserved names $reserved")
+    val l = left
+      .withColumn("__olb", floor(col(leftLo) / binSize).cast("long"))
+      .withColumn("__obin",
+        explode(sequence(col("__olb"), floor(col(leftHi) / binSize).cast("long"))))
+    val r = right
+      .withColumn("__orb", floor(col(rightLo) / binSize).cast("long"))
+      .withColumn("__obin",
+        explode(sequence(col("__orb"), floor(col(rightHi) / binSize).cast("long"))))
+    l.join(r, Seq("__obin"))
+      .where(col("__obin") === greatest(col("__olb"), col("__orb")))
+      .where(col(leftLo) <= col(rightHi) && col(rightLo) <= col(leftHi))
+      .drop("__obin", "__olb", "__orb")
   }
 }

@@ -57,6 +57,47 @@ class JoinsSpec extends AnyFunSuite {
     }
   }
 
+  test("asofForward matches a brute-force oracle on random data") {
+    val rnd = new scala.util.Random(19)
+    val right = (0 until 300).map(_ =>
+      (rnd.nextInt(10).toLong, rnd.nextInt(1000).toLong, rnd.nextInt(100000).toLong))
+    val left = (0 until 500).map(i =>
+      (i.toLong, rnd.nextInt(12).toLong, rnd.nextInt(1000).toLong))
+    val rdf = right.toDF("k", "ts", "v").groupBy("k", "ts").agg(max("v").as("v"))
+    val ldf = left.toDF("lid", "k", "ts")
+    val got = Joins.asofForward(ldf, rdf, Seq("k"), "ts", "ts", Seq("v"))
+      .select(col("lid"), col("v")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    val rightKeyed = rdf.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    left.foreach { case (lid, k, ts) =>
+      val expect = rightKeyed.getOrElse(k, Array.empty[(Long, Long, Long)])
+        .filter(_._2 >= ts).sortBy(_._2).headOption.map(_._3)
+      assert(got(lid) == expect, s"lid=$lid k=$k ts=$ts")
+    }
+  }
+
+  test("intervalOverlapJoin equals the naive overlap join, each pair once") {
+    val rnd = new scala.util.Random(23)
+    val a = (0 until 200).map { i =>
+      val lo = rnd.nextDouble() * 90
+      (i.toLong, lo, lo + rnd.nextDouble() * 15)
+    }.toDF("aid", "alo", "ahi")
+    val b = (0 until 60).map { i =>
+      val lo = rnd.nextDouble() * 95
+      (i.toLong, lo, lo + rnd.nextDouble() * 8)
+    }.toDF("bid", "blo", "bhi")
+    val gotAll = Joins.intervalOverlapJoin(a, b, "alo", "ahi", "blo", "bhi",
+        binSize = 10.0)
+      .select("aid", "bid").as[(Long, Long)].collect()
+    val got = gotAll.toSet
+    assert(gotAll.length == got.size, "a pair was emitted more than once")
+    val expect = a.join(b, col("alo") <= col("bhi") && col("blo") <= col("ahi"))
+      .select("aid", "bid").as[(Long, Long)].collect().toSet
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("rangeJoin equals the naive BETWEEN join on random intervals") {
     val rnd = new scala.util.Random(11)
     val pts = (0 until 400).map(i => (i.toLong, rnd.nextDouble() * 100)).toDF("pid", "v")
