@@ -118,24 +118,39 @@ object LongBloom {
   }
 }
 
+/** Identity-equality holder for a Bloom bit array inside an expression
+  * tree: Catalyst's structural equals/hashCode on a case-class field
+  * would otherwise walk the (potentially megabytes-sized) word array on
+  * every canonicalization / rule-fixpoint comparison during planning.
+  * Two holders are equal only if they are the SAME object — plan
+  * fragments built from one filter instance still deduplicate, and
+  * nothing ever pays an O(bits) comparison. */
+final class BloomBitsRef(val words: Array[Long]) extends Serializable {
+  override def hashCode: Int = System.identityHashCode(this)
+  override def equals(o: Any): Boolean = o match {
+    case b: BloomBitsRef => this eq b
+    case _ => false
+  }
+}
+
 /** Bloom-filter membership test of a long key (true = maybe present,
   * false = definitely absent). The bits ride the plan as a codegen
   * reference object — Spark broadcasts the task binary once per
   * executor, so a megabytes-sized filter costs one transfer, not one
   * per task. This is the pre-shuffle guard for semi-join shapes whose
   * build side fits as ~bits-per-key but not as a hash relation. */
-case class BloomMightContain(child: Expression, bits: Seq[Long], k: Int)
+case class BloomMightContain(child: Expression, bits: BloomBitsRef, k: Int)
     extends UnaryExpression {
-  require(bits.nonEmpty && (bits.length & (bits.length - 1)) == 0,
+  require(bits.words.nonEmpty &&
+    (bits.words.length & (bits.words.length - 1)) == 0,
     "bloom word count must be a nonzero power of two")
   require(k >= 1)
   override def dataType: DataType = BooleanType
   override def prettyName: String = "bloom_might_contain"
-  @transient private lazy val words: Array[Long] = bits.toArray
   override protected def nullSafeEval(x: Any): Any =
-    TextEval.bloomContains(x.asInstanceOf[Long], words, k)
+    TextEval.bloomContains(x.asInstanceOf[Long], bits.words, k)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("bloombits", words, "long[]")
+    val ref = ctx.addReferenceObj("bloombits", bits.words, "long[]")
     defineCodeGen(ctx, ev,
       c => s"graft.functions.TextEval.bloomContains($c, $ref, $k)")
   }

@@ -92,11 +92,15 @@ object Decontaminate {
     val mightMatch = org.apache.spark.sql.graftbridge.Bridge.column(
       graft.functions.BloomMightContain(
         org.apache.spark.sql.graftbridge.Bridge.expression(col("__gram")),
-        bits.toSeq, k))
-    // pin the eval side as the broadcast build side: at corpus scale the
-    // surviving train grams are still the big relation even though a
-    // tiny test corpus can fool the static size estimate the other way
-    val evalGrams = broadcast(evalHashes.toSeq.toDF("__gram"))
+        new graft.functions.BloomBitsRef(bits), k))
+    // no broadcast hint: a small eval set broadcasts on its own (AQE /
+    // static estimate of the LocalRelation), and for the LARGE eval
+    // sets this path exists for — too big for a hash relation, fine as
+    // ~bits-per-key Bloom bits — forcing a broadcast would rebuild
+    // exactly the multi-GB relation the filter avoids. Then the right
+    // plan is a shuffle join of the ~fpp-sized filtered train side
+    // against the re-parallelized eval grams.
+    val evalGrams = evalHashes.toSeq.toDF("__gram")
     train
       .select(col(idCol), explode(Tx.token_ngram_hashes(col(textCol), n)).as("__gram"))
       .where(mightMatch)

@@ -75,6 +75,8 @@ object Sampling {
     * never matches, the same null contract as [[Dedup.exact]]). */
   def temperatureMixture(df: DataFrame, group: Column, key: Column,
                          coeff: Double, salt: String): DataFrame = {
+    require(!Seq("__tgrp", "__tthresh").exists(df.columns.contains),
+      "input columns collide with reserved names __tgrp/__tthresh")
     val counts = df.groupBy(group.as("__tgrp"))
       .agg(count(lit(1)).as("__tn"))
     val rate = least(lit(1.0), lit(coeff) / sqrt(col("__tn").cast("double")))

@@ -64,36 +64,46 @@ object Joins {
     val collide = rightCols.toSet.intersect(left.columns.toSet)
     require(collide.isEmpty, s"rightCols collide with left columns: $collide")
     val leftPayload = left.columns.toSeq
-    require(!Seq("__ats", "__atag", "__atie").exists(leftPayload.contains),
-      "left columns collide with reserved names __ats/__atag/__atie")
+    require(!Seq("__ats", "__atag", "__atie", "__aval").exists(leftPayload.contains),
+      "left columns collide with reserved names __ats/__atag/__atie/__aval")
 
-    val taggedRight = right.select(
+    // The matched right row rides as ONE struct, so the ignore-nulls
+    // carry is atomic: a genuine null INSIDE a matched right row is
+    // preserved (the struct itself is non-null), never papered over by
+    // an older row's value. Right rows with a null timestamp are
+    // unmatchable in SQL semantics (no inequality holds) and are
+    // dropped up front.
+    val taggedRight = right.where(col(rightTs).isNotNull).select(
       (keys.map(col) :+ col(rightTs).as("__ats") :+ lit(0).as("__atag") :+
-        (if (tieBreak == null) col(rightTs) else col(tieBreak)).as("__atie")) ++
-        rightCols.map(col) ++
+        (if (tieBreak == null) col(rightTs) else col(tieBreak)).as("__atie") :+
+        struct(rightCols.map(col): _*).as("__aval")) ++
         leftPayload.filterNot(keys.contains)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val taggedLeft = left.select(
       (keys.map(col) :+ col(leftTs).as("__ats") :+ lit(1).as("__atag") :+
-        lit(null).cast(taggedRight.schema("__atie").dataType).as("__atie")) ++
-        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
+        lit(null).cast(taggedRight.schema("__atie").dataType).as("__atie") :+
+        lit(null).cast(taggedRight.schema("__aval").dataType).as("__aval")) ++
         leftPayload.filterNot(keys.contains).map(col): _*)
 
-    // right rows sort first at equal ts (tag 0 < 1), so `last(...,
+    // right rows sort first at equal ts (tag 0 < 1), so `last(__aval,
     // ignoreNulls) over rows unbounded preceding` on a left row is
     // exactly "latest right with ts <= mine" (backward) — or, with the
-    // timestamp order flipped, "earliest right with ts >= mine" (forward)
-    val tsOrder = if (forward) col("__ats").desc else col("__ats").asc
+    // timestamp order flipped, "earliest right with ts >= mine"
+    // (forward). Null-ts LEFT rows sort FIRST either way (nulls_first),
+    // where the frame is empty — they match nothing, as SQL comparison
+    // semantics demand.
+    val tsOrder = if (forward) col("__ats").desc_nulls_first
+                  else col("__ats").asc_nulls_first
     val tieOrder = if (forward) col("__atie").desc_nulls_first
                    else col("__atie").asc_nulls_first
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(tsOrder, col("__atag").asc, tieOrder)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightCols.foldLeft(taggedRight.unionByName(taggedLeft)) {
-      case (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
+    val carried = taggedRight.unionByName(taggedLeft)
+      .withColumn("__aval", last(col("__aval"), ignoreNulls = true).over(w))
     carried.where(col("__atag") === 1)
-      .select(leftPayload.map(col) ++ rightCols.map(col): _*)
+      .select(leftPayload.map(col) ++
+        rightCols.map(c => col("__aval").getField(c).as(c)): _*)
   }
 
   /**

@@ -298,21 +298,7 @@ object SpatialJoin {
              else autoCellSize(geoms, geoms(geomCol))
     val matched = gridInner(points, geoms, points(pointCol), geoms(geomCol),
       geomKind, cs, salt)
-
-    how match {
-      case "inner" => matched
-      case "left" =>
-        require(leftKey != null, "left join requires leftKey")
-        val rightCols = geoms.columns.toSeq
-        // keep all left rows; attach match attributes where present
-        points.join(matched.select((leftKey +: rightCols).map(col): _*), Seq(leftKey), "left")
-      case "right" =>
-        require(rightKey != null, "right join requires rightKey")
-        val leftCols = points.columns.toSeq
-        // keep all right rows (and the right geometry); attach point attrs
-        geoms.join(matched.select((rightKey +: leftCols).map(col): _*), Seq(rightKey), "left")
-      case other => throw new IllegalArgumentException(s"unsupported how=$other")
-    }
+    applyGeomHow(points, geoms, matched, how, leftKey, rightKey)
   }
 
   /**

@@ -275,7 +275,8 @@ class PipelineSpec extends AnyFunSuite {
     val df = probes.toSeq.toDF("x").withColumn("hit",
       org.apache.spark.sql.graftbridge.Bridge.column(
         graft.functions.BloomMightContain(
-          org.apache.spark.sql.graftbridge.Bridge.expression(col("x")), bits.toSeq, k)))
+          org.apache.spark.sql.graftbridge.Bridge.expression(col("x")),
+          new graft.functions.BloomBitsRef(bits), k)))
     val exprHits = df.where(col("hit")).count()
     assert(exprHits == fp.toLong)
   }

@@ -57,6 +57,43 @@ class JoinsSpec extends AnyFunSuite {
     }
   }
 
+  test("asof carries the matched row ATOMICALLY: genuine nulls survive") {
+    // the matched right row has a null in one carried column; a
+    // per-column carry would tear the row (a=1 from ts=10, b=3 from
+    // ts=20) — the struct carry must return exactly (null, 3)
+    val quotes = Seq(
+      ("k", 10L, Some(1.0), Some(2.0)),
+      ("k", 20L, None, Some(3.0))
+    ).toDF("k", "ts", "a", "b")
+    val trades = Seq(("k", 25L, 1L)).toDF("k", "ts", "tid")
+    val r = Joins.asofBackward(trades, quotes, Seq("k"), "ts", "ts", Seq("a", "b"))
+      .select("a", "b").collect().head
+    assert(r.isNullAt(0) && r.getDouble(1) == 3.0,
+      s"torn or stale carry: $r")
+  }
+
+  test("asof treats null timestamps as unmatchable on both sides") {
+    val quotes = Seq(
+      ("k", Some(5L), 1.0),    // real quote
+      ("k", None, 99.0)        // null-ts right row: never matchable
+    ).toDF("k", "ts", "px")
+    val trades = Seq(
+      ("k", Some(10L), 1L),    // matches the ts=5 quote
+      ("k", Some(1L), 2L),     // before any real quote -> null (NOT 99.0)
+      ("k", None, 3L)          // null-ts left row -> null match
+    ).toDF("k", "ts", "tid")
+    def run(fwd: Boolean) = (if (fwd)
+        Joins.asofForward(trades, quotes, Seq("k"), "ts", "ts", Seq("px"))
+      else Joins.asofBackward(trades, quotes, Seq("k"), "ts", "ts", Seq("px")))
+      .select(col("tid"), col("px")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    val bwd = run(false)
+    assert(bwd(1L) == Some(1.0) && bwd(2L) == None && bwd(3L) == None, s"bwd $bwd")
+    val fwd = run(true)
+    assert(fwd(1L) == None && fwd(2L) == Some(1.0) && fwd(3L) == None, s"fwd $fwd")
+  }
+
   test("asofForward matches a brute-force oracle on random data") {
     val rnd = new scala.util.Random(19)
     val right = (0 until 300).map(_ =>
