@@ -54,4 +54,98 @@ object Sketches {
   def hllUnionEstimate(sketches: DataFrame): DataFrame =
     sketches.agg(
       hll_sketch_estimate(hll_union_agg(col("sketch"))).as("global_distinct"))
+
+  /**
+   * EXACT global top-k heavy hitters WITHOUT shuffling the full key
+   * universe — the scale path for "most frequent tokens/domains/keys in
+   * a 100 TB corpus", where a plain groupBy+orderBy+limit shuffles
+   * every distinct key:
+   *
+   *  1. One narrow pass computes a Misra-Gries summary (capacity
+   *     `capacity`) per partition; summaries (≤ capacity entries each)
+   *     are merged on the driver by counter addition and the standard
+   *     rank-(capacity+1) offset subtraction, which keeps the merged
+   *     error ≤ N/capacity (Agarwal et al., "Mergeable Summaries").
+   *     By pigeonhole any key with global count > N/capacity has
+   *     partition count > n_p/capacity somewhere, so it SURVIVES into
+   *     the merged candidate set.
+   *  2. A second pass recounts ONLY the ≤ `capacity` candidate keys
+   *     (broadcast semi-join); the groupBy shuffles candidate keys
+   *     only, with map-side partial aggregation.
+   *
+   * The result is CERTIFIED exact: the k-th count must exceed
+   * N/capacity (every non-candidate is ≤ N/capacity, so none can reach
+   * rank k) or this throws IllegalStateException — raise `capacity`.
+   * Ties beyond rank k break lexicographically on the key, so the
+   * result is deterministic. Returns k local rows (v, n), count-desc.
+   *
+   * Driver memory: one merged summary plus `numPartitions × capacity`
+   * collected entries — e.g. 10k partitions × 8k keys ≈ low GBs of
+   * short strings; size capacity accordingly.
+   */
+  def exactTopK(df: DataFrame, value: Column, k: Int, capacity: Int): DataFrame = {
+    require(k >= 1 && capacity > k, "need capacity > k >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(value.cast("string").as("v")).where(col("v").isNotNull)
+
+    // pass 1: per-partition Misra-Gries; emit an explicitly-flagged
+    // (marker, n_p) row-count entry per partition so N needs no second
+    // scan of the data
+    val summaries: Array[(String, Long, Boolean)] = vals.as[String].mapPartitions { it =>
+      val counts = new java.util.HashMap[String, Long]()
+      var np = 0L
+      while (it.hasNext) {
+        val v = it.next()
+        np += 1
+        val c = counts.getOrDefault(v, 0L)
+        if (c != 0L) counts.put(v, c + 1)
+        else if (counts.size < capacity) counts.put(v, 1L)
+        else {
+          // decrement-all; drop zeros (amortized O(1) per input row)
+          val e = counts.entrySet().iterator()
+          while (e.hasNext) {
+            val kv = e.next()
+            if (kv.getValue == 1L) e.remove() else kv.setValue(kv.getValue - 1)
+          }
+        }
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Boolean)]
+      out += (("", np, true))
+      counts.forEach((key, cnt) => out += ((key, cnt, false)))
+      out.iterator
+    }.collect()
+
+    val n = summaries.iterator.filter(_._3).map(_._2).sum
+    // driver merge: add counters, then subtract the (capacity+1)-largest
+    // merged counter from all (the mergeable-summaries offset step)
+    val merged = new scala.collection.mutable.HashMap[String, Long]()
+    summaries.iterator.filterNot(_._3).foreach { case (key, cnt, _) =>
+      merged.update(key, merged.getOrElse(key, 0L) + cnt)
+    }
+    val candidates: Seq[String] =
+      if (merged.size <= capacity) merged.keys.toSeq
+      else {
+        val cut = merged.values.toArray.sorted(Ordering[Long].reverse)(capacity)
+        merged.iterator.collect { case (key, c) if c > cut => key }.toSeq
+      }
+
+    // pass 2: exact recount of candidates only (broadcast semi-join)
+    val candDf = candidates.toDF("v")
+    val counted = vals.join(broadcast(candDf), Seq("v"), "left_semi")
+      .groupBy(col("v")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (v, c) => (-c, v) }
+
+    if (counted.length < k)
+      throw new IllegalStateException(
+        s"top-$k not certifiable: only ${counted.length} candidates; " +
+          "raise capacity")
+    val kth = counted(k - 1)._2
+    if (kth.toDouble <= n.toDouble / capacity)
+      throw new IllegalStateException(
+        s"top-$k not certifiable: kth count $kth <= N/capacity = " +
+          s"${n.toDouble / capacity}; raise capacity")
+    counted.take(k).toSeq.toDF("v", "n")
+  }
 }

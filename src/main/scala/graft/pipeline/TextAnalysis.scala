@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -109,5 +109,59 @@ object TextAnalysis {
       "dup_tokens" -> (n - nDistinct),
       "distinct_bigrams" -> size(array_distinct(bigrams)),
       "top_tok" -> topTok)
+  }
+
+  /** Per-(doc, term) frequency table: (id, term, tf). Whitespace
+    * tokens (the `\S+` convention shared by every oracle here). One
+    * explode + one keyed aggregation; the downstream df/idf frames are
+    * aggregations OF this frame, so the corpus is scanned once. */
+  def termFrequencies(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(regexp_extract_all(col(textCol), lit("\\S+"), lit(0))).as("term"))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+
+  /**
+   * TF-IDF scores: (id, term, tf, df, tfidf) with the sklearn-style
+   * smooth idf = ln((N+1)/(df+1)) + 1. Plan shape: tf (one shuffle on
+   * (id, term)) → df (aggregation of the TF FRAME on term — never a
+   * second corpus scan) → join tf⋈df on term (AQE broadcasts df when
+   * small) → the N-row count rides in as a 1-row cross join, never a
+   * collected literal, so the whole thing is one lazy plan.
+   */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = termFrequencies(docs, idCol, textCol)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val ndocs = docs.agg(count_distinct(col(idCol)).as("__nd"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(ndocs))
+      .withColumn("tfidf", col("tf") *
+        (log((col("__nd") + 1).cast("double") / (col("df") + 1)) + 1))
+      .select(col("id"), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
+
+  /**
+   * Top `top` terms per document by a QUANTIZED tf-idf:
+   * score = tf * floor(1e6 * N / df) — pure integer-valued arithmetic
+   * (double division of exact integers, then floor), so ranking and
+   * score are bit-identical across engines, unlike the ln() variant
+   * whose last-ulp differences could flip near-ties. Ties break on the
+   * term string. Same plan shape as [[tfidf]] plus the per-doc top-k
+   * window (WindowGroupLimit keeps it map-side partial).
+   */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    top: Int): DataFrame = {
+    require(top >= 1, "top must be >= 1")
+    val tf = termFrequencies(docs, idCol, textCol)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val ndocs = docs.agg(count_distinct(col(idCol)).as("__nd"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(ndocs))
+      .withColumn("score",
+        col("tf") * floor(lit(1000000.0) * col("__nd") / col("df")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= top)
+      .select(col("id"), col("term"), col("tf"), col("df"), col("score"))
   }
 }

@@ -373,6 +373,27 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_id"))
     }),
 
+    // EXACT distributed top-k heavy hitters (Sketches.exactTopK):
+    // per-partition Misra-Gries summaries merged on the driver pick a
+    // provably-complete candidate set, a broadcast semi-join recounts
+    // ONLY candidates, and the result is certified exact (kth count >
+    // N/capacity). The oracle is the plain exact GROUP BY + LIMIT.
+    "top_tokens" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+          .as("tok"))
+      Sketches.exactTopK(toks, col("tok"), k = 20, capacity = 256)
+        .select(col("v").as("tok"), col("n"))
+    }),
+
+    // quantized tf-idf top terms per doc: score = tf * floor(1e6*N/df),
+    // integer-valued both engines, ties on the term string
+    "tfidf_top_terms" -> ((s, dir) => {
+      TextAnalysis.tfidfTopTerms(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", top = 3)
+    }),
+
     // -- sketch statistics (rows-only: approximate by design) ---------------
     // per-group HLL++ distinct users next to exact row counts
     "sketch_distinct" -> ((s, dir) => {
@@ -465,6 +486,27 @@ object PipelineQueries {
        FROM tg JOIN eg USING (gram) GROUP BY tg.doc_id"""
 
   val oracles: Map[String, String] = Map(
+    "top_tokens" ->
+      """SELECT tok, count(*) AS n
+         FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS tok FROM documents)
+         GROUP BY tok ORDER BY n DESC, tok LIMIT 20""",
+    "tfidf_top_terms" ->
+      """WITH tf AS (
+           SELECT id, term, count(*) AS tf FROM (
+             SELECT doc_id AS id, unnest(regexp_extract_all(text, '\S+')) AS term
+             FROM documents)
+           GROUP BY id, term),
+         dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+         scored AS (
+           SELECT tf.id, tf.term, tf.tf, dfq.df,
+                  tf.tf * CAST(floor(1000000.0 * nd.n / dfq.df) AS BIGINT) AS score
+           FROM tf JOIN dfq USING (term) CROSS JOIN nd),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY id
+                       ORDER BY score DESC, term) AS rn
+           FROM scored)
+       SELECT id, term, tf, df, score FROM ranked WHERE rn <= 3""",
     "lang_id_counts" ->
       s"""SELECT $langCase AS lang_pred, count(*) AS n FROM (
             SELECT ${Seq("en", "de", "fr", "es").map(l => s"${langScoreSql(l)} AS s_$l").mkString(", ")}

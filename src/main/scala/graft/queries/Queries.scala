@@ -711,6 +711,64 @@ object Queries {
         .agg(count(lit(1)).as("n"), min(col("l_orderkey")).as("min_ok"))
     }),
 
+    // As-of with tolerance: the nearest prior purchase still matches,
+    // but only within 6 hours — farther matches null out (merge_asof
+    // tolerance semantics; ts stays int64 nanos, 6h = 21_600e9 ns).
+    "asof_join_tol" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value").as("prior_value"))
+      graft.tools.Joins.asofBackward(clicks, purchases, Seq("user_id"),
+          "ts", "ts", Seq("prior_value"), tolerance = 21600L * 1000000000L)
+        .select(col("event_id"), col("prior_value"))
+    }),
+
+    // Fixed-radius near-neighbor self-join (SpatialJoin.distanceJoin):
+    // grid cell edge == radius, right side replicated to its 3x3 cell
+    // neighborhood, left side keys one cell — every pair meets exactly
+    // once, hash join + exact squared-distance residual. Squared
+    // distances are integer-valued (integer-lattice points), so the
+    // oracle compare is exact.
+    "distance_join_pairs" -> ((s, dir) => {
+      val a = custPoints(s, dir).select(col("c_custkey").as("id_a"), col("pt").as("pa"))
+      val b = custPoints(s, dir).select(col("c_custkey").as("id_b"), col("pt").as("pb"))
+      SpatialJoin.distanceJoin(a, b, "pa", "pb", radius = 50.0, distCol = "dist2")
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("dist2"))
+    }),
+
+    // Nearest-neighbor join (SpatialJoin.nearestJoin, k=1, how=left):
+    // each customer point gets its nearest supplier point within r=100
+    // via min(struct(d2, key)) over grid candidates — map-side partial
+    // aggregation, no window sort; radius-isolated customers survive
+    // with nulls (left semantics).
+    "sjoin_nearest" -> ((s, dir) => {
+      val cust = custPoints(s, dir).select(col("c_custkey").as("id"), col("pt"))
+      val supp = t(s, dir, "supplier")
+        .withColumn("spt", st_point(((col("s_suppkey") * 7919) % 1000).cast("double"),
+          ((col("s_suppkey") * 104729) % 1000).cast("double")))
+        .select(col("s_suppkey").as("nn_id"), col("spt"))
+      SpatialJoin.nearestJoin(cust, supp, "pt", "spt", radius = 100.0,
+          leftKey = "id", rightKey = "nn_id", k = 1, how = "left")
+        .select(col("id"), col("nn_id"), col("nn_dist2"))
+    }),
+
+    // K-nearest (k=3) within r=150 — the window top-k path of
+    // nearestJoin (row_number over grid candidates, WindowGroupLimit
+    // keeps the per-key top-k partial map-side).
+    "sjoin_knn" -> ((s, dir) => {
+      val cust = custPoints(s, dir).select(col("c_custkey").as("id"), col("pt"))
+      val supp = t(s, dir, "supplier")
+        .withColumn("spt", st_point(((col("s_suppkey") * 7919) % 1000).cast("double"),
+          ((col("s_suppkey") * 104729) % 1000).cast("double")))
+        .select(col("s_suppkey").as("nn_id"), col("spt"))
+      SpatialJoin.nearestJoin(cust, supp, "pt", "spt", radius = 150.0,
+          leftKey = "id", rightKey = "nn_id", k = 3, how = "inner")
+        .select(col("id"), col("nn_id"), col("nn_dist2"))
+    }),
+
     // Vocabulary stats via explode (Generate): exact distinct tokens.
     "vocab_stats" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -802,6 +860,61 @@ object Queries {
            ON qlo <= n_nationkey * 2.0 + 5.0
           AND n_nationkey * 2.0 <= qhi
          GROUP BY n_nationkey""",
+    "asof_join_tol" ->
+      """SELECT l.event_id,
+                CASE WHEN l.ts - r.ts <= INTERVAL 6 HOUR THEN r.value END
+                  AS prior_value
+         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+         ASOF LEFT JOIN
+              (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+           ON l.user_id = r.user_id AND l.ts >= r.ts""",
+    "distance_join_pairs" ->
+      """WITH p AS (SELECT c_custkey AS id,
+                           CAST((c_custkey*7919)%1000 AS DOUBLE) AS x,
+                           CAST((c_custkey*104729)%1000 AS DOUBLE) AS y
+                    FROM customer)
+         SELECT a.id AS id_a, b.id AS id_b,
+                (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) AS dist2
+         FROM p a JOIN p b
+           ON a.id < b.id
+          AND (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) <= 2500.0""",
+    "sjoin_nearest" ->
+      """WITH a AS (SELECT c_custkey AS id,
+                           CAST((c_custkey*7919)%1000 AS DOUBLE) AS x,
+                           CAST((c_custkey*104729)%1000 AS DOUBLE) AS y
+                    FROM customer),
+              b AS (SELECT s_suppkey AS nn_id,
+                           CAST((s_suppkey*7919)%1000 AS DOUBLE) AS x,
+                           CAST((s_suppkey*104729)%1000 AS DOUBLE) AS y
+                    FROM supplier),
+              best AS (SELECT id, nn_id, d2,
+                              row_number() OVER (PARTITION BY id
+                                ORDER BY d2, nn_id) AS rn
+                       FROM (SELECT a.id, b.nn_id,
+                                    (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) AS d2
+                             FROM a, b
+                             WHERE (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y)
+                                     <= 10000.0))
+         SELECT a.id, best.nn_id, best.d2 AS nn_dist2
+         FROM a LEFT JOIN best ON a.id = best.id AND best.rn = 1""",
+    "sjoin_knn" ->
+      """WITH a AS (SELECT c_custkey AS id,
+                           CAST((c_custkey*7919)%1000 AS DOUBLE) AS x,
+                           CAST((c_custkey*104729)%1000 AS DOUBLE) AS y
+                    FROM customer),
+              b AS (SELECT s_suppkey AS nn_id,
+                           CAST((s_suppkey*7919)%1000 AS DOUBLE) AS x,
+                           CAST((s_suppkey*104729)%1000 AS DOUBLE) AS y
+                    FROM supplier),
+              best AS (SELECT id, nn_id, d2,
+                              row_number() OVER (PARTITION BY id
+                                ORDER BY d2, nn_id) AS rn
+                       FROM (SELECT a.id, b.nn_id,
+                                    (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) AS d2
+                             FROM a, b
+                             WHERE (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y)
+                                     <= 22500.0))
+         SELECT id, nn_id, d2 AS nn_dist2 FROM best WHERE rn <= 3""",
     "cx_bbox_points" ->
       """SELECT c_custkey,
          CAST((c_custkey*7919)%1000 AS DOUBLE) AS px,

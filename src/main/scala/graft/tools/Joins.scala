@@ -40,9 +40,10 @@ object Joins {
   def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
                    leftTs: String, rightTs: String,
                    rightCols: Seq[String],
-                   tieBreak: String = null): DataFrame =
+                   tieBreak: String = null,
+                   tolerance: Long = -1L): DataFrame =
     asofImpl(left, right, keys, leftTs, rightTs, rightCols, tieBreak,
-      forward = false)
+      forward = false, tolerance)
 
   /** Forward as-of join: every left row picks the EARLIEST right row of
     * the same key with `rightTs >= leftTs` (exact matches allowed) —
@@ -51,14 +52,23 @@ object Joins {
   def asofForward(left: DataFrame, right: DataFrame, keys: Seq[String],
                   leftTs: String, rightTs: String,
                   rightCols: Seq[String],
-                  tieBreak: String = null): DataFrame =
+                  tieBreak: String = null,
+                  tolerance: Long = -1L): DataFrame =
     asofImpl(left, right, keys, leftTs, rightTs, rightCols, tieBreak,
-      forward = true)
+      forward = true, tolerance)
 
+  /** `tolerance >= 0` (numeric-timestamp inputs only) drops a match
+    * farther than that from the left timestamp — the merge_asof
+    * tolerance contract: the NEAREST right row is still the one
+    * considered; a too-far nearest yields nulls, never a farther
+    * in-tolerance row. Implemented by carrying the matched row's
+    * timestamp inside the struct and nulling the carry post-window —
+    * plan shape unchanged. */
   private def asofImpl(left: DataFrame, right: DataFrame, keys: Seq[String],
                        leftTs: String, rightTs: String,
                        rightCols: Seq[String],
-                       tieBreak: String, forward: Boolean): DataFrame = {
+                       tieBreak: String, forward: Boolean,
+                       tolerance: Long = -1L): DataFrame = {
     require(keys.nonEmpty, "asofBackward requires at least one key column")
     require(rightCols.nonEmpty, "asofBackward requires rightCols to carry")
     val collide = rightCols.toSet.intersect(left.columns.toSet)
@@ -73,10 +83,16 @@ object Joins {
     // an older row's value. Right rows with a null timestamp are
     // unmatchable in SQL semantics (no inequality holds) and are
     // dropped up front.
+    require(!rightCols.contains("__amts"),
+      "rightCols collide with reserved name __amts")
     val taggedRight = right.where(col(rightTs).isNotNull).select(
       (keys.map(col) :+ col(rightTs).as("__ats") :+ lit(0).as("__atag") :+
         (if (tieBreak == null) col(rightTs) else col(tieBreak)).as("__atie") :+
-        struct(rightCols.map(col): _*).as("__aval")) ++
+        // the matched timestamp rides INSIDE the carried struct so the
+        // tolerance check reads the matched row's own ts, not a
+        // window-frame neighbor's
+        struct(col(rightTs).as("__amts") +: rightCols.map(col): _*)
+          .as("__aval")) ++
         leftPayload.filterNot(keys.contains)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val taggedLeft = left.select(
@@ -99,8 +115,16 @@ object Joins {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(tsOrder, col("__atag").asc, tieOrder)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = taggedRight.unionByName(taggedLeft)
+    val carried0 = taggedRight.unionByName(taggedLeft)
       .withColumn("__aval", last(col("__aval"), ignoreNulls = true).over(w))
+    val carried =
+      if (tolerance < 0) carried0
+      else {
+        val gap = if (forward) col("__aval").getField("__amts") - col("__ats")
+                  else col("__ats") - col("__aval").getField("__amts")
+        carried0.withColumn("__aval",
+          when(gap <= lit(tolerance), col("__aval")))
+      }
     carried.where(col("__atag") === 1)
       .select(leftPayload.map(col) ++
         rightCols.map(c => col("__aval").getField(c).as(c)): _*)

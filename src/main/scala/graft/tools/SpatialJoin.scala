@@ -195,6 +195,109 @@ object SpatialJoin {
     }
 
   /**
+   * Distance (within-radius) join of two point sets: every pair with
+   * euclidean distance <= `radius`. The grid cell edge IS the radius:
+   * the left point keys its single containing cell, the right point
+   * replicates to its cell plus the 8 neighbors, so any qualifying pair
+   * shares exactly ONE join key (the left point's cell) — no duplicate
+   * pairs, no dedup pass. The match is a hash equi-join on the cell key
+   * with the exact squared-distance residual: one shuffle per side (the
+   * right side 9x-replicated, the standard fixed-radius-near-neighbor
+   * trade), both sides fully distributed, AQE free to broadcast a small
+   * right side.
+   *
+   * Column names must not collide across the two inputs. `distCol`, if
+   * non-null, appends the squared distance (exact arithmetic — no sqrt)
+   * to the output.
+   */
+  def distanceJoin(left: DataFrame, right: DataFrame,
+                   leftCol: String, rightCol: String,
+                   radius: Double, distCol: String = null): DataFrame = {
+    require(radius > 0, "radius must be positive")
+    val collide = left.columns.toSet.intersect(right.columns.toSet)
+    require(collide.isEmpty, s"input column names collide: $collide")
+    require(!(left.columns ++ right.columns).exists(ReservedGridCols),
+      s"input columns collide with reserved grid-join names $ReservedGridCols")
+    val cs = lit(radius)
+    val l = left
+      .withColumn("__cx", floor(st_x(col(leftCol)) / cs).cast("long"))
+      .withColumn("__cy", floor(st_y(col(leftCol)) / cs).cast("long"))
+    val r = right
+      .withColumn("__cx", explode(sequence(
+        floor(st_x(col(rightCol)) / cs).cast("long") - 1,
+        floor(st_x(col(rightCol)) / cs).cast("long") + 1)))
+      .withColumn("__cy", explode(sequence(
+        floor(st_y(col(rightCol)) / cs).cast("long") - 1,
+        floor(st_y(col(rightCol)) / cs).cast("long") + 1)))
+    val dx = st_x(col(leftCol)) - st_x(col(rightCol))
+    val dy = st_y(col(leftCol)) - st_y(col(rightCol))
+    val d2 = dx * dx + dy * dy
+    val joined = l.join(r, Seq("__cx", "__cy"), "inner")
+      .where(d2 <= lit(radius * radius))
+      .drop("__cx", "__cy")
+    if (distCol == null) joined else joined.withColumn(distCol, d2)
+  }
+
+  /**
+   * K-nearest-neighbor join within a search radius (the sjoin_nearest
+   * shape): each left point gets its `k` nearest right rows among those
+   * within `radius` of it (squared euclidean; ties broken by
+   * `rightKey`), with `how = "left"` keeping radius-isolated left rows
+   * (nulls on the right, one output row). Candidates come from
+   * [[distanceJoin]] — one grid shuffle of each side; only CANDIDATES
+   * (≈ density-bounded per point) reach the per-left selection, never
+   * the full cross product.
+   *
+   * k == 1 selects via `min(struct(d2, rightKey, payload))` — a plain
+   * groupBy aggregate, so map-side partial aggregation collapses
+   * candidates before the (second, candidate-only) shuffle and no sort
+   * window runs. k > 1 ranks candidates with a per-left-key
+   * row_number window (WindowGroupLimit pushes the top-k map-side).
+   * `distCol` names the output squared-distance column.
+   */
+  def nearestJoin(left: DataFrame, right: DataFrame,
+                  leftCol: String, rightCol: String,
+                  radius: Double, leftKey: String, rightKey: String,
+                  k: Int = 1, how: String = "inner",
+                  distCol: String = "nn_dist2"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(Seq("inner", "left").contains(how), s"unsupported how=$how")
+    val reserved = Seq("__nd2", "__nbest", "__nrank", distCol)
+    require(!(left.columns ++ right.columns).exists(reserved.contains),
+      s"input columns collide with reserved names $reserved")
+    val rightPayload = right.columns.toSeq.filterNot(_ == rightKey)
+    val cands = distanceJoin(left, right, leftCol, rightCol, radius, "__nd2")
+    val joinType = if (how == "left") "left" else "inner"
+    val selected =
+      if (k == 1) {
+        // struct ordering is lexicographic (d2, then rightKey), so min()
+        // IS "nearest with deterministic tie-break" — and it partially
+        // aggregates map-side, unlike any window formulation
+        val best = cands.groupBy(col(leftKey)).agg(
+          min(struct((col("__nd2") +: col(rightKey) +: rightPayload.map(col)): _*))
+            .as("__nbest"))
+        left.join(best, Seq(leftKey), joinType)
+          .withColumn(distCol, col("__nbest.__nd2"))
+          .withColumn(rightKey, col("__nbest").getField(rightKey))
+      } else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(leftKey)).orderBy(col("__nd2").asc, col(rightKey).asc)
+        val topk = cands
+          .withColumn("__nrank", row_number().over(w))
+          .where(col("__nrank") <= k)
+          .select((col(leftKey) +: col("__nd2") +: col(rightKey) +:
+            rightPayload.map(col)): _*)
+          .withColumnRenamed("__nd2", distCol)
+        left.join(topk, Seq(leftKey), joinType)
+      }
+    if (k == 1)
+      selected.select((left.columns.map(col) :+ col(rightKey) :+
+        col(distCol)) ++
+        rightPayload.map(c => col("__nbest").getField(c).as(c)): _*)
+    else selected
+  }
+
+  /**
    * Persist `geoms` as a cell-exploded BUCKETED table, so RECURRING
    * point-in-geometry joins skip the geometry-side shuffle entirely:
    * the table is bucketed and sorted on the grid cell key, Spark reads

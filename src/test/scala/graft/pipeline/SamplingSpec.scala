@@ -150,4 +150,29 @@ class SamplingSpec extends AnyFunSuite {
     // "solo": 1 tok, 0 bigrams
     assert(got(3L) == ((1, 1, 0, 0, 1)))
   }
+
+  test("tfidf matches the hand-computed smooth-idf formula") {
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "c c c")).toDF("id", "text")
+    val got = TextAnalysis.tfidf(docs, "id", "text")
+      .as[(Long, String, Long, Long, Double)].collect()
+      .map { case (id, term, tf, df2, s) => (id, term) -> ((tf, df2, s)) }.toMap
+    def idf(df2: Long) = math.log(4.0 / (df2 + 1)) + 1 // N=3
+    assert(got((1L, "a")) == ((2L, 2L, 2 * idf(2))))
+    assert(got((1L, "b")) == ((1L, 1L, 1 * idf(1))))
+    assert(got((2L, "a")) == ((1L, 2L, 1 * idf(2))))
+    assert(got((2L, "c")) == ((1L, 2L, 1 * idf(2))))
+    assert(got((3L, "c")) == ((3L, 2L, 3 * idf(2))))
+    assert(got.size == 5)
+  }
+
+  test("tfidfTopTerms ranks by quantized score with term tie-break") {
+    // doc 1: "b" is rarer (df=1) than "a" (df=3) -> b ranks first
+    // despite equal tf; quantized score = tf * floor(1e6*N/df)
+    val docs = Seq((1L, "a b"), (2L, "a"), (3L, "a")).toDF("id", "text")
+    val got = TextAnalysis.tfidfTopTerms(docs, "id", "text", top = 1)
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map { case (id, term, tf, df2, s) => id -> ((term, tf, df2, s)) }.toMap
+    assert(got(1L) == (("b", 1L, 1L, 3000000L)))
+    assert(got(2L) == (("a", 1L, 3L, 1000000L)))
+  }
 }

@@ -58,4 +58,44 @@ class SketchesSpec extends AnyFunSuite {
       .as[Long].head()
     assert(rolled == direct)
   }
+
+  // Zipf-ish universe much larger than the Misra-Gries capacity, so
+  // per-partition eviction genuinely happens and the candidate-set
+  // guarantee (not just "capacity > vocab") is what's being tested.
+  private lazy val zipf = {
+    val rows = (0 until 2000).flatMap { u =>
+      val reps = if (u < 20) 400 - u * 15 else 1 + (u % 3)
+      Seq.fill(reps)(s"k$u")
+    }
+    new scala.util.Random(11).shuffle(rows).toDF("v").repartition(8)
+  }
+
+  test("exactTopK matches the exact groupBy answer under MG eviction") {
+    val got = Sketches.exactTopK(zipf, col("v"), k = 15, capacity = 64)
+      .as[(String, Long)].collect().toSeq
+    val exact = zipf.groupBy(col("v")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("v").asc).limit(15)
+      .as[(String, Long)].collect().toSeq
+    assert(got == exact, s"got $got")
+    // sanity: the universe (2000 keys) dwarfs capacity (64), so
+    // eviction ran; and counts are the true ones, not MG estimates
+    assert(got.head._2 == 400L)
+  }
+
+  test("exactTopK refuses an uncertifiable k instead of guessing") {
+    // k=20 reaches count 115 < N/capacity (~142): completeness is not
+    // provable -> must throw, not return a plausible-but-unproven list
+    val e = intercept[IllegalStateException] {
+      Sketches.exactTopK(zipf, col("v"), k = 20, capacity = 64)
+    }
+    assert(e.getMessage.contains("raise capacity"))
+  }
+
+  test("exactTopK keeps an empty-string key distinct from the marker") {
+    val df2 = (Seq.fill(50)("") ++ Seq.fill(30)("x") ++ Seq.fill(20)("y"))
+      .toDF("v").repartition(4)
+    val got = Sketches.exactTopK(df2, col("v"), k = 2, capacity = 16)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("", 50L), ("x", 30L)))
+  }
 }

@@ -94,6 +94,38 @@ class JoinsSpec extends AnyFunSuite {
     assert(fwd(1L) == None && fwd(2L) == Some(1.0) && fwd(3L) == None, s"fwd $fwd")
   }
 
+  test("asof tolerance nulls too-far matches, never substitutes a farther row") {
+    val quotes = Seq(
+      ("a", 10L, 1.0), ("a", 100L, 2.0)
+    ).toDF("k", "ts", "px")
+    val trades = Seq(
+      ("a", 12L, 1L),   // gap 2 <= 5 -> 1.0
+      ("a", 40L, 2L),   // nearest prior is ts=10, gap 30 > 5 -> null
+                        // (NOT the farther-but-within-nothing ts=100)
+      ("a", 104L, 3L)   // gap 4 -> 2.0
+    ).toDF("k", "ts", "tid")
+    val bwd = Joins.asofBackward(trades, quotes, Seq("k"), "ts", "ts", Seq("px"),
+        tolerance = 5L)
+      .select(col("tid"), col("px")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(bwd == Map(1L -> Some(1.0), 2L -> None, 3L -> Some(2.0)), s"$bwd")
+    val fwd = Joins.asofForward(trades, quotes, Seq("k"), "ts", "ts", Seq("px"),
+        tolerance = 5L)
+      .select(col("tid"), col("px")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    // forward: tid=1 next quote ts=100 gap 88 -> null; tid=2 gap 60 -> null;
+    // tid=3 has no later quote -> null... use a case with a near match
+    assert(fwd(1L) == None && fwd(2L) == None && fwd(3L) == None, s"$fwd")
+    val fwd2 = Joins.asofForward(trades, quotes, Seq("k"), "ts", "ts", Seq("px"),
+        tolerance = 90L)
+      .select(col("tid"), col("px")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(fwd2 == Map(1L -> Some(2.0), 2L -> Some(2.0), 3L -> None), s"$fwd2")
+  }
+
   test("asofForward matches a brute-force oracle on random data") {
     val rnd = new scala.util.Random(19)
     val right = (0 until 300).map(_ =>

@@ -232,4 +232,83 @@ class SpatialJoinSpec extends AnyFunSuite {
       .select("pid").as[Long].collect().toSeq
     assert(out == Seq(1L))
   }
+
+  test("distanceJoin matches the brute-force pair set on random points") {
+    val rnd = new scala.util.Random(71)
+    val mkPts = (n: Int, seedOff: Int) => (0 until n).map(i =>
+      (i.toLong + seedOff, rnd.nextDouble() * 100, rnd.nextDouble() * 100))
+    val la = mkPts(300, 0)
+    val rb = mkPts(250, 1000)
+    val a = la.toDF("ida", "xa", "ya").withColumn("pa", st_point(col("xa"), col("ya")))
+      .select("ida", "pa")
+    val b = rb.toDF("idb", "xb", "yb").withColumn("pb", st_point(col("xb"), col("yb")))
+      .select("idb", "pb")
+    val r = 7.5
+    val got = SpatialJoin.distanceJoin(a, b, "pa", "pb", r, "d2")
+      .select("ida", "idb", "d2").as[(Long, Long, Double)].collect()
+    val expect = (for {
+      (ia, xa, ya) <- la; (ib, xb, yb) <- rb
+      d2 = (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)
+      if d2 <= r * r
+    } yield (ia, ib, d2)).toSet
+    assert(got.toSet == expect && got.length == expect.size, // no dup pairs
+      s"got ${got.length} pairs, expected ${expect.size}")
+    assert(expect.nonEmpty)
+  }
+
+  test("distanceJoin skips null and NaN points") {
+    val a = Seq((1L, Some((5.0, 5.0))), (2L, None), (3L, Some((Double.NaN, 1.0))))
+      .toDF("ida", "raw")
+      .withColumn("pa", when(col("raw").isNotNull,
+        st_point(col("raw._1"), col("raw._2")))).drop("raw")
+    val b = Seq((10L, 5.0, 6.0)).toDF("idb", "xb", "yb")
+      .withColumn("pb", st_point(col("xb"), col("yb"))).select("idb", "pb")
+    val got = SpatialJoin.distanceJoin(a, b, "pa", "pb", 2.0)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L)))
+  }
+
+  test("nearestJoin k=1 left: nearest-with-tiebreak, isolated rows survive") {
+    // two right points equidistant from left id=1 -> the smaller key wins;
+    // left id=2 has no right point within radius -> null row (how=left)
+    val cust = Seq((1L, 10.0, 10.0), (2L, 90.0, 90.0))
+      .toDF("id", "x", "y").withColumn("pt", st_point(col("x"), col("y")))
+      .select("id", "pt")
+    val supp = Seq((7L, 13.0, 14.0), (3L, 13.0, 14.0), (9L, 10.0, 30.0))
+      .toDF("nn_id", "sx", "sy").withColumn("spt", st_point(col("sx"), col("sy")))
+      .select("nn_id", "spt")
+    val got = SpatialJoin.nearestJoin(cust, supp, "pt", "spt", radius = 25.0,
+        leftKey = "id", rightKey = "nn_id", k = 1, how = "left")
+      .select("id", "nn_id", "nn_dist2").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(got == Set((1L, Some(3L), Some(25.0)), (2L, None, None)), s"$got")
+  }
+
+  test("nearestJoin k=1 and k>1 agree with brute force on random points") {
+    val rnd = new scala.util.Random(37)
+    val ls = (0 until 200).map(i => (i.toLong, rnd.nextDouble() * 100, rnd.nextDouble() * 100))
+    val rs = (0 until 40).map(i => (i.toLong, rnd.nextDouble() * 100, rnd.nextDouble() * 100))
+    val left = ls.toDF("id", "x", "y").withColumn("pt", st_point(col("x"), col("y")))
+      .select("id", "pt")
+    val right = rs.toDF("nn_id", "sx", "sy")
+      .withColumn("spt", st_point(col("sx"), col("sy"))).select("nn_id", "spt")
+    val radius = 30.0
+    def brute(k: Int): Set[(Long, Long, Double)] = ls.flatMap { case (il, xl, yl) =>
+      rs.map { case (ir, xr, yr) =>
+        (ir, (xl - xr) * (xl - xr) + (yl - yr) * (yl - yr)) }
+        .filter(_._2 <= radius * radius)
+        .sortBy { case (ir, d2) => (d2, ir) }.take(k)
+        .map { case (ir, d2) => (il, ir, d2) }
+    }.toSet
+    val g1 = SpatialJoin.nearestJoin(left, right, "pt", "spt", radius,
+        "id", "nn_id", k = 1, how = "inner")
+      .select("id", "nn_id", "nn_dist2").as[(Long, Long, Double)].collect().toSet
+    assert(g1 == brute(1) && g1.nonEmpty)
+    val g3 = SpatialJoin.nearestJoin(left, right, "pt", "spt", radius,
+        "id", "nn_id", k = 3, how = "inner")
+      .select("id", "nn_id", "nn_dist2").as[(Long, Long, Double)].collect().toSet
+    assert(g3 == brute(3) && g3.size > g1.size)
+  }
 }
