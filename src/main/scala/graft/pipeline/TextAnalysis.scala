@@ -120,24 +120,45 @@ object TextAnalysis {
         explode(regexp_extract_all(col(textCol), lit("\\S+"), lit(0))).as("term"))
       .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
 
-  /**
-   * TF-IDF scores: (id, term, tf, df, tfidf) with the sklearn-style
-   * smooth idf = ln((N+1)/(df+1)) + 1. Plan shape: tf (one shuffle on
-   * (id, term)) → df (aggregation of the TF FRAME on term — never a
-   * second corpus scan) → join tf⋈df on term (AQE broadcasts df when
-   * small) → the N-row count rides in as a 1-row cross join, never a
-   * collected literal, so the whole thing is one lazy plan.
-   */
-  def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tf = termFrequencies(docs, idCol, textCol)
+  /** Shared tf→df→N scaffolding: the tf frame is PERSISTED because both
+    * the result and its df aggregation consume it — without the cache
+    * Catalyst re-derives tf from scratch and the corpus is exploded,
+    * hashed, and shuffled TWICE (verified in the formatted plan). df
+    * comes from a groupBy (partial aggregation, skew-safe — a window
+    * `count over (partition by term)` would put every "the" row in one
+    * task) and joins back broadcast-sized. */
+  private def tfDfScaffold(docs: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, () => Unit) = {
+    val tf = termFrequencies(docs, idCol, textCol).persist()
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val ndocs = docs.agg(count_distinct(col(idCol)).as("__nd"))
-    tf.join(dfreq, Seq("term"))
+    val joined = tf.join(dfreq, Seq("term"))
       .crossJoin(broadcast(ndocs))
+    (joined, () => { tf.unpersist(false); () })
+  }
+
+  /**
+   * TF-IDF scores: (id, term, tf, df, tfidf) with the sklearn-style
+   * smooth idf = ln((N+1)/(df+1)) + 1. One corpus scan: tf (one shuffle
+   * on (id, term), cached) → df (aggregation of the TF FRAME on term)
+   * → broadcast join back → the N-row count rides in as a 1-row cross
+   * join, never a collected literal. The release handle unpersists the
+   * tf cache once the result is consumed.
+   */
+  def tfidfWithRelease(docs: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, () => Unit) = {
+    val (joined, release) = tfDfScaffold(docs, idCol, textCol)
+    (joined
       .withColumn("tfidf", col("tf") *
         (log((col("__nd") + 1).cast("double") / (col("df") + 1)) + 1))
-      .select(col("id"), col("term"), col("tf"), col("df"), col("tfidf"))
+      .select(col("id"), col("term"), col("tf"), col("df"), col("tfidf")),
+      release)
   }
+
+  /** [[tfidfWithRelease]] without the unpersist handle — the tf cache
+    * stays pinned until `spark.catalog.clearCache()`. */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    tfidfWithRelease(docs, idCol, textCol)._1
 
   /**
    * Top `top` terms per document by a QUANTIZED tf-idf:
@@ -148,20 +169,22 @@ object TextAnalysis {
    * term string. Same plan shape as [[tfidf]] plus the per-doc top-k
    * window (WindowGroupLimit keeps it map-side partial).
    */
-  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
-                    top: Int): DataFrame = {
+  def tfidfTopTermsWithRelease(docs: DataFrame, idCol: String, textCol: String,
+                               top: Int): (DataFrame, () => Unit) = {
     require(top >= 1, "top must be >= 1")
-    val tf = termFrequencies(docs, idCol, textCol)
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val ndocs = docs.agg(count_distinct(col(idCol)).as("__nd"))
-    val scored = tf.join(dfreq, Seq("term"))
-      .crossJoin(broadcast(ndocs))
-      .withColumn("score",
-        col("tf") * floor(lit(1000000.0) * col("__nd") / col("df")))
+    val (joined, release) = tfDfScaffold(docs, idCol, textCol)
+    val scored = joined.withColumn("score",
+      col("tf") * floor(lit(1000000.0) * col("__nd") / col("df")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("score").desc, col("term").asc)
-    scored.withColumn("__rn", row_number().over(w))
+    (scored.withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= top)
-      .select(col("id"), col("term"), col("tf"), col("df"), col("score"))
+      .select(col("id"), col("term"), col("tf"), col("df"), col("score")),
+      release)
   }
+
+  /** [[tfidfTopTermsWithRelease]] without the unpersist handle. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    top: Int): DataFrame =
+    tfidfTopTermsWithRelease(docs, idCol, textCol, top)._1
 }
