@@ -214,4 +214,19 @@ final case class GeoFrame(df: DataFrame, geometryCol: String, kind: String) {
       // dedup + exact st_geom_intersects refine
       SpatialJoin.geomJoin(df, other.df, geometryCol, kind,
         other.geometryCol, other.kind, cellSize, how, leftKey, rightKey)
+
+  /** Nearest-neighbor join (the geopandas sjoin_nearest extension —
+    * point frames only): each left point gets its `k` nearest right
+    * rows within `maxDistance`; how="left" keeps isolated left rows.
+    * Delegates to [[graft.tools.SpatialJoin.nearestJoin]] (grid
+    * candidates; k=1 = partial-aggregable min(struct)). */
+  def sjoinNearest(other: GeoFrame, maxDistance: Double,
+                   leftKey: String, rightKey: String,
+                   k: Int = 1, how: String = "inner",
+                   distCol: String = "nn_dist2"): DataFrame = {
+    require(kind == "point" && other.kind == "point",
+      s"sjoinNearest requires point frames, got $kind x ${other.kind}")
+    SpatialJoin.nearestJoin(df, other.df, geometryCol, other.geometryCol,
+      maxDistance, leftKey, rightKey, k, how, distCol)
+  }
 }

@@ -725,6 +725,20 @@ object Queries {
         .select(col("event_id"), col("prior_value"))
     }),
 
+    // Nearest as-of (merge_asof direction='nearest'): closer of the
+    // prior and next purchase, backward winning ties — one keyed
+    // shuffle, two ordered windows over the same partitioning.
+    "asof_join_near" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value").as("near_value"))
+      graft.tools.Joins.asofNearest(clicks, purchases, Seq("user_id"),
+          "ts", "ts", Seq("near_value"))
+        .select(col("event_id"), col("near_value"))
+    }),
+
     // Fixed-radius near-neighbor self-join (SpatialJoin.distanceJoin):
     // grid cell edge == radius, right side replicated to its 3x3 cell
     // neighborhood, left side keys one cell — every pair meets exactly
@@ -752,6 +766,21 @@ object Queries {
         .select(col("s_suppkey").as("nn_id"), col("spt"))
       SpatialJoin.nearestJoin(cust, supp, "pt", "spt", radius = 100.0,
           leftKey = "id", rightKey = "nn_id", k = 1, how = "left")
+        .select(col("id"), col("nn_id"), col("nn_dist2"))
+    }),
+
+    // Broadcast-index nearest join: driver-built grid over the (small)
+    // supplier side, per-partition 3x3 probe — zero shuffle of the
+    // customer side. Pinned to the SAME oracle as sjoin_nearest: both
+    // plans must produce the identical nearest assignment.
+    "sjoin_nearest_bcast" -> ((s, dir) => {
+      val cust = custPoints(s, dir).select(col("c_custkey").as("id"), col("pt"))
+      val supp = t(s, dir, "supplier")
+        .withColumn("spt", st_point(((col("s_suppkey") * 7919) % 1000).cast("double"),
+          ((col("s_suppkey") * 104729) % 1000).cast("double")))
+        .select(col("s_suppkey").as("nn_id"), col("spt"))
+      SpatialJoin.broadcastNearestJoin(cust, supp, "pt", "spt", radius = 100.0,
+          rightKey = "nn_id", k = 1, how = "left")
         .select(col("id"), col("nn_id"), col("nn_dist2"))
     }),
 
@@ -831,6 +860,29 @@ object Queries {
           OR (d4=0 AND ax1 BETWEEN least(bx0,bx1) AND greatest(bx0,bx1)
                    AND ay1 BETWEEN least(by0,by1) AND greatest(by0,by1))"""
 
+  /** Shared by sjoin_nearest (grid + min-struct path) and
+    * sjoin_nearest_bcast (broadcast grid-index path): both plans MUST
+    * produce the identical nearest assignment. */
+  private lazy val sjoinNearestOracleSql: String =
+    """WITH a AS (SELECT c_custkey AS id,
+                         CAST((c_custkey*7919)%1000 AS DOUBLE) AS x,
+                         CAST((c_custkey*104729)%1000 AS DOUBLE) AS y
+                  FROM customer),
+            b AS (SELECT s_suppkey AS nn_id,
+                         CAST((s_suppkey*7919)%1000 AS DOUBLE) AS x,
+                         CAST((s_suppkey*104729)%1000 AS DOUBLE) AS y
+                  FROM supplier),
+            best AS (SELECT id, nn_id, d2,
+                            row_number() OVER (PARTITION BY id
+                              ORDER BY d2, nn_id) AS rn
+                     FROM (SELECT a.id, b.nn_id,
+                                  (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) AS d2
+                           FROM a, b
+                           WHERE (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y)
+                                   <= 10000.0))
+       SELECT a.id, best.nn_id, best.d2 AS nn_dist2
+       FROM a LEFT JOIN best ON a.id = best.id AND best.rn = 1"""
+
   private lazy val spatialOracles: Map[String, String] = Map(
     "sjoin_lines_bcast" -> sjoinLinesOracleSql,
     "asof_join" ->
@@ -878,25 +930,24 @@ object Queries {
          FROM p a JOIN p b
            ON a.id < b.id
           AND (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) <= 2500.0""",
-    "sjoin_nearest" ->
-      """WITH a AS (SELECT c_custkey AS id,
-                           CAST((c_custkey*7919)%1000 AS DOUBLE) AS x,
-                           CAST((c_custkey*104729)%1000 AS DOUBLE) AS y
-                    FROM customer),
-              b AS (SELECT s_suppkey AS nn_id,
-                           CAST((s_suppkey*7919)%1000 AS DOUBLE) AS x,
-                           CAST((s_suppkey*104729)%1000 AS DOUBLE) AS y
-                    FROM supplier),
-              best AS (SELECT id, nn_id, d2,
-                              row_number() OVER (PARTITION BY id
-                                ORDER BY d2, nn_id) AS rn
-                       FROM (SELECT a.id, b.nn_id,
-                                    (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) AS d2
-                             FROM a, b
-                             WHERE (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y)
-                                     <= 10000.0))
-         SELECT a.id, best.nn_id, best.d2 AS nn_dist2
-         FROM a LEFT JOIN best ON a.id = best.id AND best.rn = 1""",
+    "sjoin_nearest" -> sjoinNearestOracleSql,
+    "sjoin_nearest_bcast" -> sjoinNearestOracleSql,
+    "asof_join_near" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'click'),
+              r AS (SELECT user_id, ts, value FROM events
+                    WHERE event_type = 'purchase'),
+              b AS (SELECT l.event_id, l.ts AS lts, r.ts AS bts, r.value AS bval
+                    FROM l ASOF LEFT JOIN r
+                      ON l.user_id = r.user_id AND l.ts >= r.ts),
+              f AS (SELECT l.event_id, r.ts AS fts, r.value AS fval
+                    FROM l ASOF LEFT JOIN r
+                      ON l.user_id = r.user_id AND l.ts <= r.ts)
+         SELECT b.event_id,
+                CASE WHEN bts IS NOT NULL
+                          AND (fts IS NULL OR (lts - bts) <= (fts - lts))
+                     THEN bval ELSE fval END AS near_value
+         FROM b JOIN f USING (event_id)""",
     "sjoin_knn" ->
       """WITH a AS (SELECT c_custkey AS id,
                            CAST((c_custkey*7919)%1000 AS DOUBLE) AS x,

@@ -131,6 +131,76 @@ object Joins {
   }
 
   /**
+   * Nearest as-of join: every left row picks whichever of its latest
+   * at-or-before and earliest at-or-after right rows (same key) is
+   * CLOSER in time; equal gaps resolve backward (the merge_asof
+   * direction='nearest' contract). `tolerance >= 0` (numeric
+   * timestamps) discards either candidate farther than that before the
+   * choice.
+   *
+   * Plan shape: the same union as the directional joins, ONE shuffle on
+   * the key, and TWO ordered windows over that one partitioning (asc
+   * carry = backward candidate, desc carry = forward candidate — Spark
+   * plans one Exchange and two in-partition sorts). Still no candidate
+   * blowup, no re-aggregation.
+   */
+  def asofNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  leftTs: String, rightTs: String,
+                  rightCols: Seq[String],
+                  tieBreak: String = null,
+                  tolerance: Long = -1L): DataFrame = {
+    require(keys.nonEmpty, "asofNearest requires at least one key column")
+    require(rightCols.nonEmpty, "asofNearest requires rightCols to carry")
+    val collide = rightCols.toSet.intersect(left.columns.toSet)
+    require(collide.isEmpty, s"rightCols collide with left columns: $collide")
+    val leftPayload = left.columns.toSeq
+    val reserved = Seq("__ats", "__atag", "__atie", "__aval", "__ab", "__af")
+    require(!leftPayload.exists(reserved.contains),
+      s"left columns collide with reserved names $reserved")
+    require(!rightCols.contains("__amts"),
+      "rightCols collide with reserved name __amts")
+
+    val taggedRight = right.where(col(rightTs).isNotNull).select(
+      (keys.map(col) :+ col(rightTs).as("__ats") :+ lit(0).as("__atag") :+
+        (if (tieBreak == null) col(rightTs) else col(tieBreak)).as("__atie") :+
+        struct(col(rightTs).as("__amts") +: rightCols.map(col): _*)
+          .as("__aval")) ++
+        leftPayload.filterNot(keys.contains)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val taggedLeft = left.select(
+      (keys.map(col) :+ col(leftTs).as("__ats") :+ lit(1).as("__atag") :+
+        lit(null).cast(taggedRight.schema("__atie").dataType).as("__atie") :+
+        lit(null).cast(taggedRight.schema("__aval").dataType).as("__aval")) ++
+        leftPayload.filterNot(keys.contains).map(col): _*)
+
+    val wB = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ats").asc_nulls_first, col("__atag").asc,
+        col("__atie").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ats").desc_nulls_first, col("__atag").asc,
+        col("__atie").desc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = taggedRight.unionByName(taggedLeft)
+      .withColumn("__ab", last(col("__aval"), ignoreNulls = true).over(wB))
+      .withColumn("__af", last(col("__aval"), ignoreNulls = true).over(wF))
+
+    val gapB = col("__ats") - col("__ab").getField("__amts")
+    val gapF = col("__af").getField("__amts") - col("__ats")
+    def within(g: Column, c: Column): Column =
+      if (tolerance < 0) c else when(g <= lit(tolerance), c)
+    val b = within(gapB, col("__ab"))
+    val f = within(gapF, col("__af"))
+    // backward wins ties; a missing/too-far side concedes to the other
+    val chosen = when(b.isNotNull && (f.isNull || gapB <= gapF), b)
+      .otherwise(f)
+    carried.where(col("__atag") === 1)
+      .withColumn("__aval", chosen)
+      .select(leftPayload.map(col) ++
+        rightCols.map(c => col("__aval").getField(c).as(c)): _*)
+  }
+
+  /**
    * Point-in-interval range join: left rows (a point `valueCol`) matched
    * to right rows (intervals [`loCol`, `hiCol`], inclusive both ends).
    * The 1-D analog of the spatial grid join: intervals explode to the

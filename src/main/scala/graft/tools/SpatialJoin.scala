@@ -298,6 +298,103 @@ object SpatialJoin {
   }
 
   /**
+   * Broadcast variant of [[nearestJoin]] for a dimension-table-sized
+   * right side: collect (key, x, y) to the driver (24 bytes/point),
+   * build a radius-sized grid hash index once, broadcast it, and probe
+   * the 3x3 neighborhood per left partition — ZERO shuffle of the
+   * (huge) left side, no candidate-pair materialization at all. The
+   * right payload re-attaches by key afterwards (broadcast join).
+   * Same semantics and tie-break as [[nearestJoin]] (squared euclidean,
+   * ties on `rightKey`, how="left" keeps isolated left rows).
+   * `rightKey` must be unique and long-castable.
+   */
+  def broadcastNearestJoin(left: DataFrame, right: DataFrame,
+                           leftCol: String, rightCol: String,
+                           radius: Double, rightKey: String,
+                           k: Int = 1, how: String = "inner",
+                           distCol: String = "nn_dist2"): DataFrame = {
+    require(radius > 0, "radius must be positive")
+    require(k >= 1, "k must be >= 1")
+    require(Seq("inner", "left").contains(how), s"unsupported how=$how")
+    require(!left.columns.contains("__rkey") && !left.columns.contains(distCol),
+      s"left columns collide with reserved names __rkey/$distCol")
+    val spark = left.sparkSession
+    val keyed = right.where(col(rightCol).isNotNull)
+      .select(col(rightKey).cast("long"),
+        st_x(col(rightCol)).cast("double"), st_y(col(rightCol)).cast("double"))
+      .collect()
+    val ks = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val xs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val ys = scala.collection.mutable.ArrayBuffer.empty[Double]
+    keyed.foreach { r =>
+      if (!r.isNullAt(1) && !r.getDouble(1).isNaN && !r.getDouble(2).isNaN) {
+        ks += r.getLong(0); xs += r.getDouble(1); ys += r.getDouble(2)
+      }
+    }
+    val cells = new scala.collection.mutable.HashMap[(Long, Long), scala.collection.mutable.ArrayBuffer[Int]]()
+    var i = 0
+    while (i < ks.length) {
+      val c = (math.floor(xs(i) / radius).toLong, math.floor(ys(i) / radius).toLong)
+      cells.getOrElseUpdate(c, scala.collection.mutable.ArrayBuffer.empty[Int]) += i
+      i += 1
+    }
+    val index = (ks.toArray, xs.toArray, ys.toArray,
+      cells.map { case (c, b) => (c, b.toArray) }.toMap)
+    val bc = spark.sparkContext.broadcast(index)
+
+    val outSchema = left.schema
+      .add(StructField("__rkey", LongType, nullable = true))
+      .add(StructField(distCol, org.apache.spark.sql.types.DoubleType, nullable = true))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val pIdx = left.schema.fieldIndex(leftCol)
+    val r2 = radius * radius
+    val keepLeft = how == "left"
+    val probed = left.mapPartitions { it =>
+      val (bk, bx, by, bcells) = bc.value
+      it.flatMap { row =>
+        val missing = row.isNullAt(pIdx)
+        val p = if (missing) null else row.getStruct(pIdx)
+        val x = if (missing) Double.NaN else p.getDouble(0)
+        val y = if (missing) Double.NaN else p.getDouble(1)
+        if (x.isNaN || y.isNaN) {
+          if (keepLeft) Iterator(Row.fromSeq(row.toSeq :+ null :+ null))
+          else Iterator.empty
+        } else {
+          val cx = math.floor(x / radius).toLong
+          val cy = math.floor(y / radius).toLong
+          val hits = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+          var dx = -1L
+          while (dx <= 1) {
+            var dy = -1L
+            while (dy <= 1) {
+              bcells.get((cx + dx, cy + dy)).foreach(_.foreach { j =>
+                val ddx = x - bx(j); val ddy = y - by(j)
+                val d2 = ddx * ddx + ddy * ddy
+                if (d2 <= r2) hits += ((d2, bk(j)))
+              })
+              dy += 1
+            }
+            dx += 1
+          }
+          if (hits.isEmpty) {
+            if (keepLeft) Iterator(Row.fromSeq(row.toSeq :+ null :+ null))
+            else Iterator.empty
+          } else {
+            hits.sortInPlace()
+            hits.iterator.take(k)
+              .map { case (d2, key) => Row.fromSeq(row.toSeq :+ key :+ d2) }
+          }
+        }
+      }
+    }(enc)
+
+    // re-attach the right payload by key; left join keeps the null rows
+    // emitted for isolated left points under how="left"
+    probed.join(right, probed("__rkey") === right(rightKey).cast("long"), "left")
+      .drop("__rkey")
+  }
+
+  /**
    * Persist `geoms` as a cell-exploded BUCKETED table, so RECURRING
    * point-in-geometry joins skip the geometry-side shuffle entirely:
    * the table is bucketed and sorted on the grid cell key, Spark reads

@@ -126,6 +126,61 @@ class JoinsSpec extends AnyFunSuite {
     assert(fwd2 == Map(1L -> Some(2.0), 2L -> Some(2.0), 3L -> None), s"$fwd2")
   }
 
+  test("asofNearest: closer side wins, backward wins ties, tolerance applies per side") {
+    val quotes = Seq(
+      ("a", 10L, 1.0), ("a", 30L, 2.0)
+    ).toDF("k", "ts", "px")
+    val trades = Seq(
+      ("a", 12L, 1L),  // gaps 2 back / 18 fwd -> 1.0
+      ("a", 28L, 2L),  // gaps 18 back / 2 fwd -> 2.0
+      ("a", 20L, 3L),  // equal gaps 10/10 -> backward 1.0
+      ("a", 5L, 4L),   // before all -> forward 1.0
+      ("b", 9L, 5L)    // no quotes for key -> null
+    ).toDF("k", "ts", "tid")
+    def run(tol: Long) =
+      Joins.asofNearest(trades, quotes, Seq("k"), "ts", "ts", Seq("px"),
+          tolerance = tol)
+        .select(col("tid"), col("px")).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+        .toMap
+    val free = run(-1L)
+    assert(free == Map(1L -> Some(1.0), 2L -> Some(2.0), 3L -> Some(1.0),
+      4L -> Some(1.0), 5L -> None), s"$free")
+    // tolerance 6: tid=3's both gaps (10) exceed it -> null; tid=4 gap 5 ok
+    val tight = run(6L)
+    assert(tight == Map(1L -> Some(1.0), 2L -> Some(2.0), 3L -> None,
+      4L -> Some(1.0), 5L -> None), s"$tight")
+  }
+
+  test("asofNearest matches a brute-force oracle on random data") {
+    val rnd = new scala.util.Random(43)
+    val right = (0 until 300).map(_ =>
+      (s"k${rnd.nextInt(8)}", rnd.nextInt(1000).toLong, rnd.nextInt(100).toDouble))
+    val left = (0 until 400).map(i =>
+      (s"k${rnd.nextInt(10)}", rnd.nextInt(1000).toLong, i.toLong))
+    val r = right.toDF("k", "ts", "px")
+    val l = left.toDF("k", "ts", "tid")
+    val got = Joins.asofNearest(l, r, Seq("k"), "ts", "ts", Seq("px"),
+        tieBreak = "px")
+      .select(col("tid"), col("px")).collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getDouble(1))))
+      .toMap
+    left.foreach { case (k, ts, tid) =>
+      val back = right.filter(q => q._1 == k && q._2 <= ts)
+        .sortBy(q => (q._2, q._3)).lastOption
+      val fwd = right.filter(q => q._1 == k && q._2 >= ts)
+        .sortBy(q => (-q._2, -q._3)).lastOption
+      val expect = (back, fwd) match {
+        case (Some(b), Some(f)) =>
+          if (ts - b._2 <= f._2 - ts) Some(b._3) else Some(f._3)
+        case (Some(b), None) => Some(b._3)
+        case (None, Some(f)) => Some(f._3)
+        case _ => None
+      }
+      assert(got(tid) == expect, s"tid=$tid k=$k ts=$ts: ${got(tid)} != $expect")
+    }
+  }
+
   test("asofForward matches a brute-force oracle on random data") {
     val rnd = new scala.util.Random(19)
     val right = (0 until 300).map(_ =>

@@ -286,6 +286,34 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(got == Set((1L, Some(3L), Some(25.0)), (2L, None, None)), s"$got")
   }
 
+  test("broadcastNearestJoin == nearestJoin (k=1 and k=3, inner and left)") {
+    val rnd = new scala.util.Random(83)
+    val ls = (0 until 300).map(i => (i.toLong, rnd.nextDouble() * 100, rnd.nextDouble() * 100))
+    val rs = (0 until 30).map(i => (i.toLong, rnd.nextDouble() * 100, rnd.nextDouble() * 100))
+    val left = ls.toDF("id", "x", "y").withColumn("pt", st_point(col("x"), col("y")))
+      .select("id", "pt")
+    val right = rs.toDF("nn_id", "sx", "sy")
+      .withColumn("spt", st_point(col("sx"), col("sy"))).select("nn_id", "spt")
+    for (k <- Seq(1, 3); how <- Seq("inner", "left")) {
+      val grid = SpatialJoin.nearestJoin(left, right, "pt", "spt", 12.0,
+          "id", "nn_id", k, how)
+        .select("id", "nn_id", "nn_dist2").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toSet
+      val bcast = SpatialJoin.broadcastNearestJoin(left, right, "pt", "spt",
+          12.0, rightKey = "nn_id", k, how)
+        .select("id", "nn_id", "nn_dist2").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toSet
+      assert(bcast == grid, s"k=$k how=$how")
+      assert(grid.nonEmpty)
+      if (how == "left")
+        assert(grid.exists(_._2 == -1L), s"expected isolated rows at k=$k")
+    }
+  }
+
   test("nearestJoin k=1 and k>1 agree with brute force on random points") {
     val rnd = new scala.util.Random(37)
     val ls = (0 until 200).map(i => (i.toLong, rnd.nextDouble() * 100, rnd.nextDouble() * 100))
