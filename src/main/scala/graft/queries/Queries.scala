@@ -914,8 +914,8 @@ object Queries {
          GROUP BY n_nationkey""",
     "asof_join_tol" ->
       """SELECT l.event_id,
-                CASE WHEN l.ts - r.ts <= INTERVAL 6 HOUR THEN r.value END
-                  AS prior_value
+                CASE WHEN epoch_ns(l.ts) - epoch_ns(r.ts) <= 21600000000000
+                     THEN r.value END AS prior_value
          FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
          ASOF LEFT JOIN
               (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
@@ -945,7 +945,9 @@ object Queries {
                       ON l.user_id = r.user_id AND l.ts <= r.ts)
          SELECT b.event_id,
                 CASE WHEN bts IS NOT NULL
-                          AND (fts IS NULL OR (lts - bts) <= (fts - lts))
+                          AND (fts IS NULL OR
+                               epoch_ns(lts) - epoch_ns(bts)
+                                 <= epoch_ns(fts) - epoch_ns(lts))
                      THEN bval ELSE fval END AS near_value
          FROM b JOIN f USING (event_id)""",
     "sjoin_knn" ->

@@ -64,33 +64,33 @@ object Joins {
     * in-tolerance row. Implemented by carrying the matched row's
     * timestamp inside the struct and nulling the carry post-window —
     * plan shape unchanged. */
-  private def asofImpl(left: DataFrame, right: DataFrame, keys: Seq[String],
-                       leftTs: String, rightTs: String,
-                       rightCols: Seq[String],
-                       tieBreak: String, forward: Boolean,
-                       tolerance: Long = -1L): DataFrame = {
-    require(keys.nonEmpty, "asofBackward requires at least one key column")
-    require(rightCols.nonEmpty, "asofBackward requires rightCols to carry")
+  /** Shared tagging/union scaffold for every as-of variant: both sides
+    * stacked with __ats/__atag/__atie plus the matched right row riding
+    * as ONE __amts+payload struct (__aval), so the ignore-nulls carry
+    * is atomic — a genuine null INSIDE a matched right row is
+    * preserved, never papered over by an older row's value — and the
+    * tolerance check reads the matched row's own timestamp. Right rows
+    * with a null timestamp are unmatchable in SQL semantics (no
+    * inequality holds) and are dropped up front. Returns the unioned
+    * frame and the left payload column list. */
+  private def tagAsofSides(left: DataFrame, right: DataFrame,
+                           keys: Seq[String], leftTs: String, rightTs: String,
+                           rightCols: Seq[String], tieBreak: String,
+                           extraReserved: Seq[String])
+      : (DataFrame, Seq[String]) = {
+    require(keys.nonEmpty, "as-of join requires at least one key column")
+    require(rightCols.nonEmpty, "as-of join requires rightCols to carry")
     val collide = rightCols.toSet.intersect(left.columns.toSet)
     require(collide.isEmpty, s"rightCols collide with left columns: $collide")
     val leftPayload = left.columns.toSeq
-    require(!Seq("__ats", "__atag", "__atie", "__aval").exists(leftPayload.contains),
-      "left columns collide with reserved names __ats/__atag/__atie/__aval")
-
-    // The matched right row rides as ONE struct, so the ignore-nulls
-    // carry is atomic: a genuine null INSIDE a matched right row is
-    // preserved (the struct itself is non-null), never papered over by
-    // an older row's value. Right rows with a null timestamp are
-    // unmatchable in SQL semantics (no inequality holds) and are
-    // dropped up front.
+    val reserved = Seq("__ats", "__atag", "__atie", "__aval") ++ extraReserved
+    require(!leftPayload.exists(reserved.contains),
+      s"left columns collide with reserved names $reserved")
     require(!rightCols.contains("__amts"),
       "rightCols collide with reserved name __amts")
     val taggedRight = right.where(col(rightTs).isNotNull).select(
       (keys.map(col) :+ col(rightTs).as("__ats") :+ lit(0).as("__atag") :+
         (if (tieBreak == null) col(rightTs) else col(tieBreak)).as("__atie") :+
-        // the matched timestamp rides INSIDE the carried struct so the
-        // tolerance check reads the matched row's own ts, not a
-        // window-frame neighbor's
         struct(col(rightTs).as("__amts") +: rightCols.map(col): _*)
           .as("__aval")) ++
         leftPayload.filterNot(keys.contains)
@@ -100,6 +100,16 @@ object Joins {
         lit(null).cast(taggedRight.schema("__atie").dataType).as("__atie") :+
         lit(null).cast(taggedRight.schema("__aval").dataType).as("__aval")) ++
         leftPayload.filterNot(keys.contains).map(col): _*)
+    (taggedRight.unionByName(taggedLeft), leftPayload)
+  }
+
+  private def asofImpl(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       leftTs: String, rightTs: String,
+                       rightCols: Seq[String],
+                       tieBreak: String, forward: Boolean,
+                       tolerance: Long = -1L): DataFrame = {
+    val (unioned, leftPayload) = tagAsofSides(left, right, keys,
+      leftTs, rightTs, rightCols, tieBreak, Nil)
 
     // right rows sort first at equal ts (tag 0 < 1), so `last(__aval,
     // ignoreNulls) over rows unbounded preceding` on a left row is
@@ -115,7 +125,7 @@ object Joins {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(tsOrder, col("__atag").asc, tieOrder)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried0 = taggedRight.unionByName(taggedLeft)
+    val carried0 = unioned
       .withColumn("__aval", last(col("__aval"), ignoreNulls = true).over(w))
     val carried =
       if (tolerance < 0) carried0
@@ -149,29 +159,8 @@ object Joins {
                   rightCols: Seq[String],
                   tieBreak: String = null,
                   tolerance: Long = -1L): DataFrame = {
-    require(keys.nonEmpty, "asofNearest requires at least one key column")
-    require(rightCols.nonEmpty, "asofNearest requires rightCols to carry")
-    val collide = rightCols.toSet.intersect(left.columns.toSet)
-    require(collide.isEmpty, s"rightCols collide with left columns: $collide")
-    val leftPayload = left.columns.toSeq
-    val reserved = Seq("__ats", "__atag", "__atie", "__aval", "__ab", "__af")
-    require(!leftPayload.exists(reserved.contains),
-      s"left columns collide with reserved names $reserved")
-    require(!rightCols.contains("__amts"),
-      "rightCols collide with reserved name __amts")
-
-    val taggedRight = right.where(col(rightTs).isNotNull).select(
-      (keys.map(col) :+ col(rightTs).as("__ats") :+ lit(0).as("__atag") :+
-        (if (tieBreak == null) col(rightTs) else col(tieBreak)).as("__atie") :+
-        struct(col(rightTs).as("__amts") +: rightCols.map(col): _*)
-          .as("__aval")) ++
-        leftPayload.filterNot(keys.contains)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
-    val taggedLeft = left.select(
-      (keys.map(col) :+ col(leftTs).as("__ats") :+ lit(1).as("__atag") :+
-        lit(null).cast(taggedRight.schema("__atie").dataType).as("__atie") :+
-        lit(null).cast(taggedRight.schema("__aval").dataType).as("__aval")) ++
-        leftPayload.filterNot(keys.contains).map(col): _*)
+    val (unioned, leftPayload) = tagAsofSides(left, right, keys,
+      leftTs, rightTs, rightCols, tieBreak, Seq("__ab", "__af"))
 
     val wB = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ats").asc_nulls_first, col("__atag").asc,
@@ -181,7 +170,7 @@ object Joins {
       .orderBy(col("__ats").desc_nulls_first, col("__atag").asc,
         col("__atie").desc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = taggedRight.unionByName(taggedLeft)
+    val carried = unioned
       .withColumn("__ab", last(col("__aval"), ignoreNulls = true).over(wB))
       .withColumn("__af", last(col("__aval"), ignoreNulls = true).over(wF))
 

@@ -218,6 +218,9 @@ object SpatialJoin {
     require(collide.isEmpty, s"input column names collide: $collide")
     require(!(left.columns ++ right.columns).exists(ReservedGridCols),
       s"input columns collide with reserved grid-join names $ReservedGridCols")
+    require(distCol == null ||
+      !(left.columns ++ right.columns).contains(distCol),
+      s"distCol '$distCol' collides with an input column")
     val cs = lit(radius)
     val l = left
       .withColumn("__cx", floor(st_x(col(leftCol)) / cs).cast("long"))
@@ -254,6 +257,11 @@ object SpatialJoin {
    * window runs. k > 1 ranks candidates with a per-left-key
    * row_number window (WindowGroupLimit pushes the top-k map-side).
    * `distCol` names the output squared-distance column.
+   *
+   * `leftKey` MUST be unique: the per-left selection groups on it, so
+   * two left rows sharing a key would have their candidate sets merged
+   * (one global best reported for both, with the wrong distance for
+   * one of them).
    */
   def nearestJoin(left: DataFrame, right: DataFrame,
                   leftCol: String, rightCol: String,
@@ -327,7 +335,10 @@ object SpatialJoin {
     val xs = scala.collection.mutable.ArrayBuffer.empty[Double]
     val ys = scala.collection.mutable.ArrayBuffer.empty[Double]
     keyed.foreach { r =>
-      if (!r.isNullAt(1) && !r.getDouble(1).isNaN && !r.getDouble(2).isNaN) {
+      // unmatchable rows (null/NaN coordinate, null key) stay out of the
+      // index — the same "null matches nothing" contract as nearestJoin
+      if (!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2) &&
+          !r.getDouble(1).isNaN && !r.getDouble(2).isNaN) {
         ks += r.getLong(0); xs += r.getDouble(1); ys += r.getDouble(2)
       }
     }
@@ -354,8 +365,9 @@ object SpatialJoin {
       it.flatMap { row =>
         val missing = row.isNullAt(pIdx)
         val p = if (missing) null else row.getStruct(pIdx)
-        val x = if (missing) Double.NaN else p.getDouble(0)
-        val y = if (missing) Double.NaN else p.getDouble(1)
+        val fieldNull = !missing && (p.isNullAt(0) || p.isNullAt(1))
+        val x = if (missing || fieldNull) Double.NaN else p.getDouble(0)
+        val y = if (missing || fieldNull) Double.NaN else p.getDouble(1)
         if (x.isNaN || y.isNaN) {
           if (keepLeft) Iterator(Row.fromSeq(row.toSeq :+ null :+ null))
           else Iterator.empty

@@ -314,6 +314,31 @@ class SpatialJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("broadcastNearestJoin skips null/NaN points and null keys on both sides") {
+    val left = Seq(
+      (1L, Some((5.0, 5.0))),   // matches
+      (2L, None),               // null point -> kept with nulls (how=left)
+      (3L, Some((Double.NaN, 1.0)))
+    ).toDF("id", "raw")
+      .withColumn("pt", when(col("raw").isNotNull,
+        st_point(col("raw._1"), col("raw._2")))).drop("raw")
+    val right = Seq(
+      (Some(10L), Some((5.0, 6.0))),  // real neighbor
+      (None, Some((5.0, 5.0))),       // null key -> excluded from index
+      (Some(11L), None)               // null point -> excluded
+    ).toDF("nn_id", "raw")
+      .withColumn("spt", when(col("raw").isNotNull,
+        st_point(col("raw._1"), col("raw._2")))).drop("raw")
+    val got = SpatialJoin.broadcastNearestJoin(left, right, "pt", "spt",
+        radius = 3.0, rightKey = "nn_id", k = 1, how = "left")
+      .select("id", "nn_id", "nn_dist2").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(got == Set((1L, Some(10L), Some(1.0)), (2L, None, None),
+      (3L, None, None)), s"$got")
+  }
+
   test("nearestJoin k=1 and k>1 agree with brute force on random points") {
     val rnd = new scala.util.Random(37)
     val ls = (0 until 200).map(i => (i.toLong, rnd.nextDouble() * 100, rnd.nextDouble() * 100))
