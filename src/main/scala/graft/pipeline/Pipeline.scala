@@ -93,6 +93,23 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** [[exact]] generalized to an arbitrary keep policy: ONE survivor
+    * per `byCol` value, chosen as the first row under `keepOrder`
+    * (e.g. `Seq(col("quality").desc, col("doc_id"))` keeps the
+    * highest-quality copy — the "keep best, not first" dedup every
+    * curation pipeline wants). Same single-shuffle row_number plan as
+    * [[exact]]; make the order total (append a unique id) or ties
+    * resolve arbitrarily. Null keys never survive. */
+  def exactKeepBest(df: DataFrame, byCol: String,
+                    keepOrder: Seq[Column]): DataFrame = {
+    require(keepOrder.nonEmpty, "keepOrder must not be empty")
+    val w = Window.partitionBy(col(byCol)).orderBy(keepOrder: _*)
+    df.where(col(byCol).isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /**
    * Paragraph-level exact dedup (the CCNet/RefinedWeb shape): documents
    * are split on `sep`, each paragraph survives ONLY in the document

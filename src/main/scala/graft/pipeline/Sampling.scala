@@ -73,6 +73,28 @@ object Sampling {
     *
     * Rows with a null group are dropped (the rate join is inner — null
     * never matches, the same null contract as [[Dedup.exact]]). */
+  /**
+   * Keep the top `frac` of each group's rows under `order` (e.g. the
+   * top 30% of each language by quality score) — per-group
+   * quantile-threshold filtering without computing the threshold in a
+   * separate pass: `cume_dist() <= frac` over a per-group window. ONE
+   * shuffle on the group key; cume_dist (= rank/n) avoids
+   * percent_rank's single-row 0/0 corner and computes identically in
+   * any engine. Make `order` total (append a unique id) for a
+   * deterministic cut.
+   */
+  def topFractionByGroup(df: DataFrame, group: Column, frac: Double,
+                         order: Seq[Column]): DataFrame = {
+    require(frac > 0 && frac <= 1, "frac must be in (0, 1]")
+    require(order.nonEmpty, "order must not be empty")
+    require(!df.columns.contains("__cd"),
+      "input columns collide with reserved name __cd")
+    val w = Window.partitionBy(group).orderBy(order: _*)
+    df.withColumn("__cd", cume_dist().over(w))
+      .where(col("__cd") <= lit(frac))
+      .drop("__cd")
+  }
+
   def temperatureMixture(df: DataFrame, group: Column, key: Column,
                          coeff: Double, salt: String): DataFrame = {
     require(!Seq("__tgrp", "__tthresh").exists(df.columns.contains),

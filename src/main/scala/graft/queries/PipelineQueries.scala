@@ -373,6 +373,35 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_id"))
     }),
 
+    // keep-BEST exact dedup (Dedup.exactKeepBest): planted lower-quality
+    // copies (shorter text would score differently; here quality =
+    // token count desc, id asc) — per duplicate group the highest-token
+    // original survives, not the lowest id
+    "dedup_keep_best" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val base = d.unionAll(d.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" extra trailing tokens")).as("text")))
+      val keyed = base.withColumn("key",
+        substring(regexp_replace(col("text"), "\\s+", " "), 1, 40))
+      graft.pipeline.Dedup.exactKeepBest(keyed, "key",
+          Seq(size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).desc,
+            col("doc_id")))
+        .select(col("doc_id"), col("key"))
+    }),
+
+    // per-group quantile-threshold filter (Sampling.topFractionByGroup):
+    // top 30% of each language by token count, cume_dist window — the
+    // "per-language quality cut" shape with no separate threshold pass
+    "quantile_filter" -> ((s, dir) => {
+      val toks = size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+      Sampling.topFractionByGroup(
+          t(s, dir, "documents").select(col("doc_id"), col("lang"),
+            toks.as("toks")),
+          col("lang"), 0.3, Seq(col("toks").desc, col("doc_id")))
+        .select(col("doc_id"), col("lang"), col("toks"))
+    }),
+
     // EXACT distributed top-k heavy hitters (Sketches.exactTopK):
     // per-partition Misra-Gries summaries merged on the driver pick a
     // provably-complete candidate set, a broadcast semi-join recounts
@@ -486,6 +515,32 @@ object PipelineQueries {
        FROM tg JOIN eg USING (gram) GROUP BY tg.doc_id"""
 
   val oracles: Map[String, String] = Map(
+    "dedup_keep_best" ->
+      """WITH base AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, text || ' extra trailing tokens'
+           FROM documents WHERE doc_id % 10 = 0),
+         keyed AS (
+           SELECT doc_id,
+                  substr(regexp_replace(text, '\s+', ' ', 'g'), 1, 40) AS key,
+                  len(regexp_extract_all(text, '\S+')) AS toks
+           FROM base)
+       SELECT doc_id, key FROM (
+         SELECT doc_id, key,
+                row_number() OVER (PARTITION BY key
+                  ORDER BY toks DESC, doc_id) AS rn
+         FROM keyed)
+       WHERE rn = 1""",
+    "quantile_filter" ->
+      """SELECT doc_id, lang, toks FROM (
+           SELECT doc_id, lang,
+                  len(regexp_extract_all(text, '\S+')) AS toks,
+                  cume_dist() OVER (PARTITION BY lang
+                    ORDER BY len(regexp_extract_all(text, '\S+')) DESC,
+                             doc_id) AS cd
+           FROM documents)
+         WHERE cd <= 0.3""",
     "top_tokens" ->
       """SELECT tok, count(*) AS n
          FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS tok FROM documents)

@@ -151,6 +151,32 @@ class SamplingSpec extends AnyFunSuite {
     assert(got(3L) == ((1, 1, 0, 0, 1)))
   }
 
+  test("topFractionByGroup keeps the per-group top fraction, deterministic cut") {
+    // group a: 10 rows scored 10..1 -> frac 0.3 keeps scores 10,9,8;
+    // group b: 1 row -> cume_dist = 1.0, kept only at frac = 1
+    val df = ((1 to 10).map(i => ("a", i.toLong, (11 - i).toLong)) :+
+      (("b", 99L, 5L))).toDF("g", "id", "score")
+    val kept = Sampling.topFractionByGroup(df, col("g"), 0.3,
+        Seq(col("score").desc, col("id")))
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L), s"$kept")
+    val all = Sampling.topFractionByGroup(df, col("g"), 1.0,
+        Seq(col("score").desc, col("id")))
+      .count()
+    assert(all == 11)
+  }
+
+  test("exactKeepBest keeps the best row per key, not the first") {
+    val df = Seq(
+      (1L, "k1", 5L), (2L, "k1", 9L), (3L, "k1", 9L), // best = id 2 (tie -> lower id)
+      (4L, "k2", 1L)
+    ).toDF("id", "key", "q")
+    val kept = graft.pipeline.Dedup.exactKeepBest(df, "key",
+        Seq(col("q").desc, col("id")))
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L))
+  }
+
   test("tfidf matches the hand-computed smooth-idf formula") {
     val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "c c c")).toDF("id", "text")
     val got = TextAnalysis.tfidf(docs, "id", "text")
