@@ -23,14 +23,22 @@ object Bench {
       try SparkEntry.queries(q)(spark, warmDir).count()
       catch { case _: Throwable => }
     }
+    // median of 3 runs per query: a single-shot wall time cannot tell a
+    // regression from driver-side contention (a co-scheduled process
+    // inflated several r5 numbers ~3x); the median of 3 is robust to one
+    // contended run while keeping the suite under a few minutes.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case t: Throwable =>
-        // keep the JSON contract; failures must still be visible
-        System.err.println(s"[bench] $name FAILED: ${t.getClass.getSimpleName}: ${t.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() }
+        catch { case t: Throwable =>
+          // keep the JSON contract; failures must still be visible
+          System.err.println(s"[bench] $name FAILED: ${t.getClass.getSimpleName}: ${t.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(times.length / 2)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

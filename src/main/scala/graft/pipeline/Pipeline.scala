@@ -402,7 +402,7 @@ object Similarity {
               corpusId: String, corpusVec: String,
               queryId: String, queryVec: String, k: Int,
               nlist: Int = 16, nprobe: Int = 4,
-              refineIters: Int = 0): DataFrame = {
+              refineIters: Int = 0, roundDigits: Int = -1): DataFrame = {
     require(nlist >= 2 && nprobe >= 1 && nprobe <= nlist)
     val centVecs: Array[Seq[Double]] = {
       val init = sampleCentroids(corpus, corpusId, corpusVec, nlist)
@@ -426,9 +426,14 @@ object Similarity {
           1, nprobe)))
       .select(col(queryId), col(queryVec), col("__probe.cell").as("__cell"))
 
-    // candidate join shuffles on cell id only; exact cosine + top-k after
+    // candidate join shuffles on cell id only; exact cosine + top-k after.
+    // roundDigits >= 0 rounds before ranking (cross-engine tie parity —
+    // same contract as bruteForceTopK); with nprobe = nlist every
+    // (query, corpus) pair is scored exactly once, so the result
+    // DEGENERATES to brute force and shares its oracle.
+    val cos = cosine_similarity(col(queryVec), col(corpusVec))
     val scored = probes.join(assigned, Seq("__cell"))
-      .withColumn("cosine", cosine_similarity(col(queryVec), col(corpusVec)))
+      .withColumn("cosine", if (roundDigits >= 0) round(cos, roundDigits) else cos)
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("cosine").desc, col(corpusId))
     scored.withColumn("rank", row_number().over(w))
@@ -463,7 +468,7 @@ object Similarity {
              corpusId: String, corpusVec: String,
              queryId: String, queryVec: String, k: Int,
              m: Int = 8, ksub: Int = 16, trainIters: Int = 2,
-             refineFactor: Int = 4): DataFrame = {
+             refineFactor: Int = 4, roundDigits: Int = -1): DataFrame = {
     require(m >= 1 && ksub >= 2 && refineFactor >= 1)
     val firstVec = corpus.select(size(col(corpusVec)))
       .where(col(corpusVec).isNotNull).take(1)
@@ -547,14 +552,18 @@ object Similarity {
       .orderBy(col("__score").desc, col(corpusId))
     val candidates = approx
       .withColumn("__arank", row_number().over(wApprox))
-      .where(col("__arank") <= k * refineFactor)
+      .where(col("__arank") <= k.toLong * refineFactor) // long: no Int overflow
       .select(col(queryId), col(corpusId))
 
-    // exact refine of the small candidate set
+    // exact refine of the small candidate set. roundDigits >= 0 rounds
+    // before ranking (cross-engine tie parity); with refineFactor big
+    // enough that k*refineFactor >= |corpus| the refine set is the whole
+    // corpus and the result DEGENERATES to brute force (shared oracle).
+    val cos = cosine_similarity(col(queryVec), col(corpusVec))
     val scored = candidates
       .join(queries.select(col(queryId), col(queryVec)), queryId)
       .join(corpus.select(col(corpusId), col(corpusVec)), corpusId)
-      .withColumn("cosine", cosine_similarity(col(queryVec), col(corpusVec)))
+      .withColumn("cosine", if (roundDigits >= 0) round(cos, roundDigits) else cos)
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("cosine").desc, col(corpusId))
     scored.withColumn("rank", row_number().over(w))
@@ -618,7 +627,7 @@ object Similarity {
               corpusId: String, corpusVec: String,
               queryId: String, queryVec: String, k: Int,
               bandsSeeds: Seq[Long] = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L),
-              bits: Int = 12): DataFrame = {
+              bits: Int = 12, roundDigits: Int = -1): DataFrame = {
     // Band only (id, band, bucket) — the bucket join must not shuffle
     // the vectors bands-times over; they are re-joined by id for the
     // exact-cosine refine (candidates << corpus x bands at scale).
@@ -633,10 +642,11 @@ object Similarity {
     val candidates = q.join(c, Seq("__band", "__bucket"))
       .select(col(queryId), col(corpusId))
       .dropDuplicates(queryId, corpusId)
+    val cos = cosine_similarity(col(queryVec), col(corpusVec))
     val scored = candidates
       .join(queries.select(col(queryId), col(queryVec)), queryId)
       .join(corpus.select(col(corpusId), col(corpusVec)), corpusId)
-      .withColumn("cosine", cosine_similarity(col(queryVec), col(corpusVec)))
+      .withColumn("cosine", if (roundDigits >= 0) round(cos, roundDigits) else cos)
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("cosine").desc, col(corpusId))
     scored.withColumn("rank", row_number().over(w))

@@ -36,6 +36,19 @@ object Sketches {
     df.groupBy(group.as("grp"))
       .agg(percentile_approx(value, typedLit(probs), lit(acc)).as("quantiles"))
 
+  /** [[approxQuantilesByGroup]] in LONG form — one (grp, prob, quantile)
+    * row per requested probability instead of an array cell. Scalar
+    * columns survive any downstream tooling (sorts, hashes, harness
+    * frames) that can't order array cells; same single aggregation. */
+  def approxQuantilesByGroupLong(df: DataFrame, group: Column, value: Column,
+                                 probs: Seq[Double],
+                                 acc: Int = 10000): DataFrame =
+    approxQuantilesByGroup(df, group, value, probs, acc)
+      .select(col("grp"), posexplode(col("quantiles")))
+      .select(col("grp"),
+        element_at(typedLit(probs), col("pos") + 1).as("prob"),
+        col("col").as("quantile"))
+
   /**
    * The MERGEABLE distinct-count shape: one persistable HLL sketch per
    * group (DataSketches binary), union-merged to any coarser grouping

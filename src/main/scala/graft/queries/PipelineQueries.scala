@@ -64,7 +64,9 @@ object PipelineQueries {
         md5(col("text").cast("binary")).as("fp"))
     }),
 
-    // rows-only: 64-bit rolling-hash fingerprint (custom expression)
+    // 64-bit rolling-hash fingerprint (custom expression) — differential
+    // oracle: DuckDB recomputes the same mod-2^64 rolling hash + mix64
+    // via 32-bit-split HUGEINT arithmetic (see fingerprintOracle below)
     "doc_fingerprint64" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
         Tx.doc_fingerprint(col("text")).as("fp64"))
@@ -180,6 +182,37 @@ object PipelineQueries {
         emb.where(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
         "c_id", "c_vec", "q_id", "q_vec", k = 5, m = 8, ksub = 16)
+    }),
+
+    // IVF plumbing under the FULL oracle gate: nprobe = nlist degenerates
+    // IVF to brute force (every corpus vector sits in exactly one probed
+    // cell, so each pair is scored once) — the cell assignment, probe
+    // explode, and cell-keyed candidate join are all exercised, and the
+    // result must hash-match the brute-force DuckDB oracle. The
+    // approximate config stays rows-only + recall-gated (PipelineSpec).
+    "ann_ivf_exact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(
+        emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
+        emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+        "c_id", "c_vec", "q_id", "q_vec", k = 5, nlist = 16, nprobe = 16,
+        roundDigits = 12)
+    }),
+
+    // PQ plumbing under the FULL oracle gate: refineFactor large enough
+    // that k*refineFactor >= |corpus| at any test sf, so the exact
+    // refine set is the whole corpus — codebook training, encode, ADC
+    // scoring and the refine joins all run, and the final ranking must
+    // hash-match the same brute-force oracle.
+    "ann_pq_exact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqTopK(
+        emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
+        emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+        "c_id", "c_vec", "q_id", "q_vec", k = 5, m = 8, ksub = 16,
+        refineFactor = 1000000, roundDigits = 12)
     }),
 
     // exact n-gram Jaccard proven STANDALONE (it also backs the minhash
@@ -430,9 +463,11 @@ object PipelineQueries {
         col("event_type"), col("user_id"))
     }),
 
-    // per-group KLL-style quantiles of the event value
+    // per-group KLL-style quantiles of the event value — LONG form
+    // (grp, prob, quantile) scalar rows, not an array column: the
+    // driver harness sorts result frames and cannot order array cells
     "sketch_quantiles" -> ((s, dir) => {
-      Sketches.approxQuantilesByGroup(t(s, dir, "events"),
+      Sketches.approxQuantilesByGroupLong(t(s, dir, "events"),
         col("event_type"), col("value"), Seq(0.25, 0.5, 0.9))
     }),
 
@@ -499,6 +534,104 @@ object PipelineQueries {
   private val phoneSql = Scrub.phonePattern
   private val ipv4Sql = Scrub.ipv4Pattern
   private val urlSql = Scrub.urlHostPattern
+
+  // shared by ann_cosine_topk and the exact-degenerate IVF/PQ configs
+  // (nprobe = nlist / refine set = whole corpus reproduce brute force)
+  private val bruteForceCosineOracle =
+    """SELECT q_id, c_id, cosine, rank FROM (
+         SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                             CAST(c.embedding AS DOUBLE[])), 12) AS cosine,
+                row_number() OVER (PARTITION BY q.vec_id
+                                   ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                                         CAST(c.embedding AS DOUBLE[])), 12) DESC,
+                                            c.vec_id) AS rank
+         FROM embeddings q, embeddings c WHERE q.vec_id < 10
+       ) WHERE rank <= 5"""
+
+  // ---- doc_fingerprint64 differential oracle ---------------------------
+  // DuckDB reimplementation of TextEval.fingerprint (GeomEval.scala):
+  // per-token byte-rolling hash h = h*P + byte (mod 2^64) finished with
+  // the splitmix64 avalanche, then the same fold over the ordered token
+  // hashes. DuckDB has no wrapping 64-bit arithmetic, so every multiply
+  // is split into 32-bit halves and reduced mod 2^64 in HUGEINT:
+  //   a*C mod 2^64 = (lo(a)*C  +  (lo(a)*hi(C) + hi(a)*lo(C) mod 2^32)<<32) mod 2^64
+  // All folds keep the accumulator a plain lambda variable, so the
+  // generated SQL stays linear in size (no expression blowup); the
+  // mix64 stages go through lateral column aliases for the same reason.
+  // Documents are pure ASCII (verified), so ord(char) == UTF-8 byte.
+  private object Fp {
+    val P = 1099511628211L // 0x100000001b3
+    val MOD = "18446744073709551616" // 2^64
+    val B32 = "4294967296" // 2^32
+
+    /** (acc*P + b) mod 2^64; acc, b HUGEINT in [0, 2^64). */
+    def mulmodPPlus(acc: String, b: String): String =
+      s"((($acc) // $B32 * $P % $B32) * $B32" +
+        s" + (($acc) % $B32) * $P + ($b)) % $MOD"
+
+    /** z*C mod 2^64 for a full 64-bit constant C; z UBIGINT. */
+    private def mulmod64(z: String, c: java.math.BigInteger): String = {
+      val ch = c.shiftRight(32).toString
+      val cl = c.and(java.math.BigInteger.valueOf(0xffffffffL)).toString
+      val hz = s"CAST($z AS HUGEINT)"
+      s"CAST((($hz % $B32) * $cl" +
+        s" + (($hz % $B32) * $ch + ($hz // $B32) * $cl) % $B32 * $B32)" +
+        s" % $MOD AS UBIGINT)"
+    }
+
+    private val C1 = new java.math.BigInteger("bf58476d1ce4e5b9", 16)
+    private val C2 = new java.math.BigInteger("94d049bb133111eb", 16)
+
+    /** splitmix64 finisher as lateral-alias SELECT stages; input `z`
+      * UBIGINT, output alias `${pfx}fp`. */
+    def mix64Stages(z: String, pfx: String): String = Seq(
+      s"xor($z, $z >> 30) AS ${pfx}a1",
+      s"${mulmod64(s"${pfx}a1", C1)} AS ${pfx}z1",
+      s"xor(${pfx}z1, ${pfx}z1 >> 27) AS ${pfx}a2",
+      s"${mulmod64(s"${pfx}a2", C2)} AS ${pfx}z2",
+      s"xor(${pfx}z2, ${pfx}z2 >> 31) AS ${pfx}fp").mkString(",\n         ")
+
+    /** mix64 on the JVM — the zero-token fallback constant. */
+    private def mix64(z0: Long): Long = graft.functions.TextHashing.mix64(z0)
+    val emptyFp: Long = mix64(42L)
+  }
+
+  private val fingerprintOracle: String =
+    s"""WITH toks AS (
+         SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS pos
+         FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
+               FROM documents)),
+       toks2 AS (SELECT doc_id, tok, pos FROM toks WHERE tok <> ''),
+       traw AS (
+         SELECT doc_id, pos,
+                list_reduce(
+                  list_prepend(CAST(42 AS HUGEINT),
+                    list_transform(range(1, length(tok)+1),
+                      i -> CAST(ord(substr(tok, i, 1)) AS HUGEINT))),
+                  (acc, b) -> ${Fp.mulmodPPlus("acc", "b")}) AS r
+         FROM toks2),
+       thash AS (
+         SELECT doc_id, pos,
+         ${Fp.mix64Stages("CAST(r AS UBIGINT)", "t")}
+         FROM traw),
+       dlist AS (SELECT doc_id, list(CAST(tfp AS HUGEINT) ORDER BY pos) AS hs
+                 FROM thash GROUP BY doc_id),
+       draw AS (
+         SELECT doc_id,
+                list_reduce(list_prepend(CAST(42 AS HUGEINT), hs),
+                  (acc, b) -> ${Fp.mulmodPPlus("acc", "b")}) AS r
+         FROM dlist),
+       dhash AS (
+         SELECT doc_id,
+         ${Fp.mix64Stages("CAST(r AS UBIGINT)", "d")}
+         FROM draw)
+       SELECT d.doc_id,
+              COALESCE(CAST(CASE WHEN h.dfp >= 9223372036854775808
+                                 THEN CAST(h.dfp AS HUGEINT) - ${Fp.MOD}
+                                 ELSE CAST(h.dfp AS HUGEINT) END AS BIGINT),
+                       CAST(${Fp.emptyFp} AS BIGINT)) AS fp64
+       FROM documents d LEFT JOIN dhash h USING (doc_id)"""
 
   // shared by `decontaminate` and `decontaminate_bloom`: the Bloom
   // pre-filter must not change the result
@@ -830,17 +963,12 @@ object PipelineQueries {
     "embed_dup_pairs" ->
       """SELECT vec_id AS id_a, vec_id + 100000 AS id_b
          FROM embeddings WHERE vec_id % 10 = 0""",
-    "ann_cosine_topk" ->
-      """SELECT q_id, c_id, cosine, rank FROM (
-           SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-                  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                                               CAST(c.embedding AS DOUBLE[])), 12) AS cosine,
-                  row_number() OVER (PARTITION BY q.vec_id
-                                     ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                                                                           CAST(c.embedding AS DOUBLE[])), 12) DESC,
-                                              c.vec_id) AS rank
-           FROM embeddings q, embeddings c WHERE q.vec_id < 10
-         ) WHERE rank <= 5""",
+    "ann_cosine_topk" -> bruteForceCosineOracle,
+    // exact-degenerate IVF/PQ configs reproduce brute force bit-for-bit:
+    // SAME oracle SQL — only the Spark plan differs
+    "ann_ivf_exact" -> bruteForceCosineOracle,
+    "ann_pq_exact" -> bruteForceCosineOracle,
+    "doc_fingerprint64" -> fingerprintOracle,
     "embed_dedup_exact" ->
       """SELECT min(vec_id) AS keep_id, count(*) AS n FROM (
            SELECT vec_id, embedding FROM embeddings
