@@ -16,6 +16,33 @@ import org.apache.spark.sql.functions._
  */
 final case class GeoFrame(df: DataFrame, geometryCol: String, kind: String) {
 
+  // SURVEY §1.4: the reference's parameterized geometry subtypes
+  // (polygon[int32], …) deliberately collapse to float64 here. Enforce
+  // the contract at construction — a non-double coordinate column fails
+  // NOW with an actionable message instead of deep inside a kernel
+  // (where an unsafe getDouble on int data would read garbage).
+  {
+    import org.apache.spark.sql.types._
+    require(GeoFrame.Kinds.contains(kind),
+      s"unknown geometry kind '$kind' (expected ${GeoFrame.Kinds.mkString("|")})")
+    val field = df.schema.fields.find(_.name == geometryCol).getOrElse(
+      throw new IllegalArgumentException(
+        s"geometry column '$geometryCol' not found in " +
+          s"[${df.schema.fieldNames.mkString(", ")}]"))
+    def leaf(dt: DataType): DataType = dt match {
+      case ArrayType(e, _) => leaf(e)
+      case other => other
+    }
+    val leaves = field.dataType match {
+      case st: StructType => st.fields.map(f => leaf(f.dataType)).toSeq
+      case dt => Seq(leaf(dt))
+    }
+    require(leaves.forall(_ == DoubleType),
+      s"geometry column '$geometryCol' has coordinate type(s) " +
+        s"${leaves.distinct.mkString(", ")}; this engine stores all " +
+        "coordinates as float64 (SURVEY §1.4) — cast the column to double")
+  }
+
   def geometry: Column = df(geometryCol)
 
   /** Switch the active geometry column (reference: geodataframe.py:86-117). */
@@ -229,4 +256,11 @@ final case class GeoFrame(df: DataFrame, geometryCol: String, kind: String) {
     SpatialJoin.nearestJoin(df, other.df, geometryCol, other.geometryCol,
       maxDistance, leftKey, rightKey, k, how, distCol)
   }
+}
+
+object GeoFrame {
+  /** The six reference geometry kinds (SURVEY §1.2; multipoint/line and
+    * ring/line share physical schemas, ring folds into line). */
+  val Kinds: Set[String] =
+    Set("point", "multipoint", "line", "multiline", "polygon", "multipolygon")
 }

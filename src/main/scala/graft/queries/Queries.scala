@@ -500,18 +500,39 @@ object Queries {
         .select(col("c_custkey"))
     }),
 
-    // SURVEY §2.5/§3.3 hilbert packing (rows-only check; sortedness is
-    // asserted in ScalaTest). Returns per-partition hilbert ranges.
+    // SURVEY §2.5/§3.3 hilbert packing under the FULL oracle gate.
+    // repartitionByRange draws sampling-dependent boundaries, so its
+    // per-partition counts are not reproducible; here the boundaries
+    // are the EXACT ntile split of the distributed hilbert rank
+    // (Ranks.globalRowNumber — two-pass, no single-task window), which
+    // makes every output cell deterministic:
+    //   n_rows  per partition is pure arithmetic on count(*) — DuckDB
+    //           recomputes it without knowing hilbert at all;
+    //   ok      asserts the packing invariant the reference tests
+    //           (test_parquet.py:136-167): partition hilbert ranges are
+    //           non-overlapping and in partition order (8-row window).
+    // The hilbert values themselves are pinned by HilbertSpec
+    // (exhaustive p<=6 + roundtrip p=15); the sampling-based
+    // repartitionByRange writer stays the at-scale path (pack_roundtrip).
     "hilbert_pack_stats" -> ((s, dir) => {
+      val nParts = 8
       val pts = custPoints(s, dir)
         .withColumn("h", st_hilbert_distance(col("pt"),
           lit(0.0), lit(0.0), lit(1000.0), lit(1000.0), 15))
-      pts.repartitionByRange(8, col("h"))
-        .sortWithinPartitions(col("h"))
-        .select(col("h"))
-        .withColumn("pid", spark_partition_id())
-        .groupBy(col("pid"))
-        .agg(count(lit(1)).as("n"), min(col("h")).as("hmin"), max(col("h")).as("hmax"))
+        .select(col("c_custkey"), col("h"))
+      val ranked = graft.tools.Ranks.globalRowNumber(
+        pts, "rank", nParts, col("h"), col("c_custkey"))
+      val stats = ranked
+        .crossJoin(broadcast(ranked.select(count(lit(1)).as("__n"))))
+        .withColumn("part",
+          floor((col("rank") - 1) * nParts / col("__n")).cast("long"))
+        .groupBy(col("part"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("h")).as("hmin"), max(col("h")).as("hmax"))
+      val w = Window.orderBy(col("part")) // nParts rows — trivially small
+      stats.select(col("part"), col("n_rows"),
+        coalesce(col("hmin") >= lag(col("hmax"), 1).over(w), lit(true))
+          .cast("int").as("ok"))
     }),
 
     // SURVEY §3.3 END-TO-END lifecycle: hilbert-pack to parquet (range
@@ -885,6 +906,18 @@ object Queries {
 
   private lazy val spatialOracles: Map[String, String] = Map(
     "sjoin_lines_bcast" -> sjoinLinesOracleSql,
+    // exact-ntile hilbert packing: DuckDB can't compute hilbert
+    // distances, but with the boundaries fixed at the exact rank split
+    // the per-partition COUNTS are pure arithmetic on count(*)
+    // (ceil((i+1)n/8) - ceil(in/8)), and the range-disjointness
+    // invariant `ok` must hold for ANY correct packing — both are
+    // engine-checkable without hilbert itself
+    "hilbert_pack_stats" ->
+      """WITH n AS (SELECT count(*) AS c FROM customer)
+         SELECT CAST(i AS BIGINT) AS part,
+                CAST(((i+1)*c + 7)//8 - (i*c + 7)//8 AS BIGINT) AS n_rows,
+                CAST(1 AS INT) AS ok
+         FROM range(8) AS t(i), n""",
     "asof_join" ->
       """SELECT l.event_id, r.value AS prior_value
          FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l

@@ -35,6 +35,25 @@ object SpatialJoin {
   val ReservedGeomGridCols: Set[String] =
     ReservedGridCols ++ Set("__ax0", "__ay0", "__bx0", "__by0")
 
+  /** Driver-collect with an ENFORCED size contract for the broadcast
+    * join variants: the build side is read through limit(cap+1), so an
+    * oversized side fails fast after cap+1 rows — it never OOMs the
+    * driver first. Cap is `spark.graft.broadcastJoin.maxRows`
+    * (default 10M rows ≈ a few hundred MB of (key, coords) driver
+    * state); the error names the fully-distributed twin to use instead. */
+  private def collectCapped(df: DataFrame, what: String,
+                            twin: String): Array[Row] = {
+    val cap = df.sparkSession.conf
+      .get("spark.graft.broadcastJoin.maxRows", "10000000").toInt
+    require(cap >= 1, "spark.graft.broadcastJoin.maxRows must be >= 1")
+    val rows = df.limit(cap + 1).collect()
+    require(rows.length <= cap,
+      s"$what has more than spark.graft.broadcastJoin.maxRows=$cap rows; " +
+        s"the broadcast variant collects it to the driver — use the " +
+        s"fully-distributed $twin instead (or raise the cap)")
+    rows
+  }
+
   /** Data-derived grid cell size: 2x the median bbox edge of the
     * geometry side, so a typical geometry replicates to at most ~4
     * cells while cells stay small enough to prune. approxQuantile is
@@ -327,10 +346,11 @@ object SpatialJoin {
     require(!left.columns.contains("__rkey") && !left.columns.contains(distCol),
       s"left columns collide with reserved names __rkey/$distCol")
     val spark = left.sparkSession
-    val keyed = right.where(col(rightCol).isNotNull)
-      .select(col(rightKey).cast("long"),
-        st_x(col(rightCol)).cast("double"), st_y(col(rightCol)).cast("double"))
-      .collect()
+    val keyed = collectCapped(
+      right.where(col(rightCol).isNotNull)
+        .select(col(rightKey).cast("long"),
+          st_x(col(rightCol)).cast("double"), st_y(col(rightCol)).cast("double")),
+      "broadcastNearestJoin right side", "nearestJoin")
     val ks = scala.collection.mutable.ArrayBuffer.empty[Long]
     val xs = scala.collection.mutable.ArrayBuffer.empty[Double]
     val ys = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -533,8 +553,10 @@ object SpatialJoin {
     val spark = points.sparkSession
     // null geometries can match nothing — drop them from the index build
     // (the reference's sjoin skips missing rows the same way)
-    val keyed = geoms.where(col(geomCol).isNotNull)
-      .select(col(rightKey).cast("long"), st_bounds(col(geomCol))).collect()
+    val keyed = collectCapped(
+      geoms.where(col(geomCol).isNotNull)
+        .select(col(rightKey).cast("long"), st_bounds(col(geomCol))),
+      "broadcastPointInGeom geometry side", "pointInGeom")
     val n = keyed.length
     val keys = new Array[Long](n)
     val bounds = new Array[Double](n * 4)
@@ -586,8 +608,10 @@ object SpatialJoin {
                         rightKey: String, how: String = "inner",
                         leftKey: String = null): DataFrame = {
     val spark = left.sparkSession
-    val keyed = geoms.where(col(geomCol).isNotNull)
-      .select(col(rightKey).cast("long"), st_bounds(col(geomCol))).collect()
+    val keyed = collectCapped(
+      geoms.where(col(geomCol).isNotNull)
+        .select(col(rightKey).cast("long"), st_bounds(col(geomCol))),
+      "broadcastGeomJoin geometry side", "geomJoin")
     val n = keyed.length
     val keys = new Array[Long](n)
     val bounds = new Array[Double](n * 4)

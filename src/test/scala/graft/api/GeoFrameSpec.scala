@@ -22,6 +22,25 @@ class GeoFrameSpec extends AnyFunSuite {
       .withColumn("pt", st_point(col("x"), col("y")))
   }
 
+  test("construction rejects non-float64 coordinates, bad kinds, missing columns") {
+    // int coordinate arrays: the reference's polygon[int32] subtype is
+    // deliberately f64-only here (SURVEY §1.4) — must fail at wrap time
+    val intLines = Seq((1L, Seq(0, 0, 3, 4))).toDF("id", "geom")
+    val e = intercept[IllegalArgumentException] {
+      GeoFrame(intLines, "geom", "line")
+    }
+    assert(e.getMessage.contains("float64"))
+    intercept[IllegalArgumentException] {
+      GeoFrame(pointsDf(3), "pt", "hexagon") // unknown kind
+    }
+    intercept[IllegalArgumentException] {
+      GeoFrame(pointsDf(3), "nope", "point") // missing column
+    }
+    // the double twin of the int frame constructs fine
+    val okLines = Seq((1L, Seq(0.0, 0.0, 3.0, 4.0))).toDF("id", "geom")
+    assert(GeoFrame(okLines, "geom", "line").length.count() == 1)
+  }
+
   test("cx bbox selection matches brute-force filter; inverted bounds normalized") {
     val df = pointsDf(500)
     val gf = GeoFrame(df, "pt", "point")

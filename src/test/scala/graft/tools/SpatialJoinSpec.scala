@@ -364,4 +364,39 @@ class SpatialJoinSpec extends AnyFunSuite {
       .select("id", "nn_id", "nn_dist2").as[(Long, Long, Double)].collect().toSet
     assert(g3 == brute(3) && g3.size > g1.size)
   }
+
+  test("broadcast variants fail fast on an oversized build side") {
+    val pts = (0 until 10).map(i => (i.toLong, i * 1.0, i * 1.0))
+      .toDF("pid", "x", "y").withColumn("pt", st_point(col("x"), col("y")))
+      .select("pid", "pt")
+    val polys = (0 until 50).map { i =>
+      val c = i * 2.0
+      (i.toLong, Seq(Seq(c + 1, c, c, c + 1, c - 1, c, c, c - 1, c + 1, c)))
+    }.toDF("gid", "poly")
+    val spts = (0 until 50).map(i => (i.toLong, i * 2.0, i * 2.0))
+      .toDF("nn_id", "sx", "sy")
+      .withColumn("spt", st_point(col("sx"), col("sy"))).select("nn_id", "spt")
+    spark.conf.set("spark.graft.broadcastJoin.maxRows", "20")
+    try {
+      val e1 = intercept[IllegalArgumentException] {
+        SpatialJoin.broadcastPointInGeom(pts, polys, "pt", "poly", "polygon",
+          rightKey = "gid").count()
+      }
+      assert(e1.getMessage.contains("pointInGeom")) // names the distributed twin
+      val e2 = intercept[IllegalArgumentException] {
+        SpatialJoin.broadcastGeomJoin(pts, polys, "pt", "point",
+          "poly", "polygon", rightKey = "gid").count()
+      }
+      assert(e2.getMessage.contains("geomJoin"))
+      val e3 = intercept[IllegalArgumentException] {
+        SpatialJoin.broadcastNearestJoin(pts, spts, "pt", "spt",
+          radius = 5.0, rightKey = "nn_id").count()
+      }
+      assert(e3.getMessage.contains("nearestJoin"))
+      // under the cap the same joins run
+      spark.conf.set("spark.graft.broadcastJoin.maxRows", "1000")
+      assert(SpatialJoin.broadcastPointInGeom(pts, polys, "pt", "poly",
+        "polygon", rightKey = "gid").count() >= 0)
+    } finally spark.conf.unset("spark.graft.broadcastJoin.maxRows")
+  }
 }
