@@ -10,14 +10,78 @@ import org.apache.spark.sql.types._
  * `binary` columns with typed metadata; decode / feature-extraction /
  * resize / frame-sampling run as batched per-partition transforms.
  *
- * The actual codec step is a STUB in this container (no image/audio
- * libraries available): `decodeStub` derives deterministic fake
- * dimensions/features from a hash of the payload bytes. Everything
- * around it — schema, null handling, partition-parallel batch shape,
- * column pruning — is real Spark plumbing: swap `stubDecode` for a JNI
- * or vectorized decoder without touching the plan.
+ * IMAGE decode is REAL: [[decodeImage]] header-sniffs any format the
+ * JDK's javax.imageio ships readers for (PNG/JPEG/BMP/GIF/WBMP) —
+ * width/height/format without decoding pixels — and
+ * [[mapDecodePartitions]] uses it, falling back to the deterministic
+ * hash stub for payloads no reader recognizes. Audio/video codecs and
+ * pixel-level features remain STUBS in this container (no media
+ * libraries): `decodeStub`/`extractFeaturesStub`/`frameSampleStub`
+ * derive deterministic fakes from the payload hash. Everything around
+ * them — schema, null handling, partition-parallel batch shape, column
+ * pruning — is real Spark plumbing: swap in a JNI or vectorized decoder
+ * without touching the plan.
  */
 object Multimodal {
+
+  /** Real image header decode via the JDK's ImageIO: (width, height,
+    * lowercase format name), or None when no installed reader claims the
+    * bytes. Reads ONLY the header — no pixel decode, so the per-row cost
+    * is microseconds and independent of image size. */
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, String)] = {
+    if (bytes == null || bytes.length == 0) return None
+    javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          Some((r.getWidth(0), r.getHeight(0),
+            r.getFormatName.toLowerCase(java.util.Locale.ROOT)))
+        } finally r.dispose()
+      }
+    } catch {
+      case _: Exception => None // truncated/corrupt header -> stub fallback
+    } finally iis.close()
+  }
+
+  /** Deterministic REAL PNG payloads for fixture oracles: per row, a
+    * (id%7+3) x (id%5+2) image with id-derived pixels is encoded with
+    * ImageIO on the executor — so a downstream [[mapDecodePartitions]]
+    * must recover exactly those dimensions via the real decoder, and an
+    * engine-independent oracle can recompute them as arithmetic on the
+    * id. Appends binary `outCol`; `idCol` must be long-typed. */
+  def syntheticPngs(df: DataFrame, idCol: String, outCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType, nullable = false))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val id = row.getLong(idIdx)
+        val w = (id % 7 + 3).toInt
+        val h = (id % 5 + 2).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y, ((id * 31 + x * 7 + y) % 0xffffff).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row.fromSeq(row.toSeq :+ bos.toByteArray)
+      }
+    }(enc)
+  }
 
   val mediaMetaType: StructType = StructType(Seq(
     StructField("width", IntegerType), StructField("height", IntegerType),
@@ -70,8 +134,9 @@ object Multimodal {
    * Batched per-partition decode path — the Scala analog of a pandas
    * mapInPandas UDF: one iterator pass per partition, batching amortizes
    * per-batch codec setup. Output schema: input columns + meta struct.
-   * The decode inside is the same STUB; the partition/batch mechanics
-   * are real.
+   * Payloads a JDK ImageIO reader recognizes get a REAL header decode
+   * ([[decodeImage]]); anything else falls back to the deterministic
+   * hash stub, so non-image fixtures keep their previous metadata.
    */
   def mapDecodePartitions(df: DataFrame, contentCol: String,
                           batchSize: Int = 256): DataFrame = {
@@ -83,11 +148,15 @@ object Multimodal {
         // per-batch "codec init" would go here
         batch.iterator.map { row =>
           val bytes = row.getAs[Array[Byte]](contentIdx)
-          val h = if (bytes == null) 0L
-            else graft.functions.TextHashing.bytesHash(bytes, 0, bytes.length, 7L)
-          val meta = Row((math.floorMod(h, 1920) + 32).toInt,
-            (math.floorMod(h >>> 13, 1080) + 32).toInt,
-            Seq("jpeg", "png", "webp")(math.floorMod(h, 3).toInt))
+          val meta = decodeImage(bytes) match {
+            case Some((w, h, fmt)) => Row(w, h, fmt)
+            case None =>
+              val h = if (bytes == null) 0L
+                else graft.functions.TextHashing.bytesHash(bytes, 0, bytes.length, 7L)
+              Row((math.floorMod(h, 1920) + 32).toInt,
+                (math.floorMod(h >>> 13, 1080) + 32).toInt,
+                Seq("jpeg", "png", "webp")(math.floorMod(h, 3).toInt))
+          }
           Row.fromSeq(row.toSeq :+ meta)
         }
       }

@@ -502,13 +502,28 @@ object PipelineQueries {
 
     // rows-only: the batched per-partition decode path (mapPartitions —
     // the Scala analog of mapInPandas; per-format counts aggregate the
-    // decoded metadata)
+    // decoded metadata). Text payloads are not images, so every row
+    // takes the deterministic stub fallback.
     "multimodal_batch_decode" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("content"))
       Multimodal.mapDecodePartitions(docs, "content", batchSize = 128)
         .groupBy(col("meta.format").as("format"))
         .agg(count(lit(1)).as("n"), max(col("meta.width")).as("max_w"))
+    }),
+
+    // REAL image decode under the FULL oracle gate: per row a genuine
+    // (doc_id%7+3) x (doc_id%5+2) PNG is encoded with ImageIO on the
+    // executors, pushed through the batched decode path, and the
+    // recovered header metadata must equal the id arithmetic DuckDB
+    // recomputes independently — the codec itself (not a stub) is in
+    // the checked path end-to-end.
+    "multimodal_png_decode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val withPng = Multimodal.syntheticPngs(docs, "doc_id", "content")
+      Multimodal.mapDecodePartitions(withPng, "content", batchSize = 64)
+        .select(col("doc_id"), col("meta.width").as("width"),
+          col("meta.height").as("height"), col("meta.format").as("format"))
     })
   )
 
@@ -969,6 +984,12 @@ object PipelineQueries {
     "ann_ivf_exact" -> bruteForceCosineOracle,
     "ann_pq_exact" -> bruteForceCosineOracle,
     "doc_fingerprint64" -> fingerprintOracle,
+    // the real-PNG fixture dimensions are pure id arithmetic
+    "multimodal_png_decode" ->
+      """SELECT doc_id, CAST(doc_id % 7 + 3 AS INT) AS width,
+                CAST(doc_id % 5 + 2 AS INT) AS height,
+                'png' AS format
+         FROM documents""",
     "embed_dedup_exact" ->
       """SELECT min(vec_id) AS keep_id, count(*) AS n FROM (
            SELECT vec_id, embedding FROM embeddings

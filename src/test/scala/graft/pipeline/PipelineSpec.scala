@@ -306,4 +306,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(metas.values.forall { case (w, h, f) =>
       w >= 32 && h >= 32 && Set("jpeg", "png", "webp")(f) })
   }
+
+  test("multimodal decodeImage: real codec on PNG/GIF bytes, None otherwise") {
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    assert(Multimodal.decodeImage(png(17, 9)) == Some((17, 9, "png")))
+    val gifBos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(new java.awt.image.BufferedImage(5, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB), "gif", gifBos)
+    assert(Multimodal.decodeImage(gifBos.toByteArray) == Some((5, 4, "gif")))
+    assert(Multimodal.decodeImage(null).isEmpty)
+    assert(Multimodal.decodeImage(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
+    // truncated header: bytes claim PNG but the stream dies — must be
+    // a clean stub fallback (None), not an exception
+    assert(Multimodal.decodeImage(png(17, 9).take(12)).isEmpty)
+    // the decode path routes image payloads through the REAL decoder
+    val withPng = Multimodal.syntheticPngs(
+      corpus.select(col("doc_id")), "doc_id", "content")
+    val decoded = Multimodal.mapDecodePartitions(withPng, "content")
+      .select(col("doc_id"), col("meta.width"), col("meta.height"),
+        col("meta.format"))
+      .collect()
+    assert(decoded.forall(r => r.getInt(1) == (r.getLong(0) % 7 + 3).toInt &&
+      r.getInt(2) == (r.getLong(0) % 5 + 2).toInt && r.getString(3) == "png"))
+  }
 }
