@@ -339,6 +339,105 @@ object Dedup {
   }
 
   /**
+   * Connected components via alternating LARGE-STAR / SMALL-STAR
+   * transforms (Kiveris et al., "Connected Components in MapReduce and
+   * Beyond") — the adversarial-graph twin of [[connectedComponents]]:
+   * min-label propagation needs O(diameter) rounds (fine for LSH
+   * near-cliques, hopeless for a million-node chain), the star
+   * operations converge in O(log n) rounds on ANY graph.
+   *
+   *   large-star: every node u re-attaches its LARGER neighbors to
+   *     m = min(N(u) ∪ {u});
+   *   small-star: every node u (edges canonicalized smaller<-larger)
+   *     re-attaches its smaller neighbors AND itself to their minimum.
+   *
+   * Each half-round is one groupBy + re-emit over the edge list — the
+   * same keyed-shuffle shape as a round of label propagation, with the
+   * edge list shrinking toward the star fixpoint {(u, min of u's
+   * component)}. Convergence is detected by an (edge count, xxhash sum)
+   * signature — any structural change moves it. Returns (id, component
+   * = min reachable id) for every node incident to an edge, persisted
+   * (caller unpersists), exactly like [[connectedComponents]].
+   */
+  def connectedComponentsStar(edges: DataFrame, aCol: String, bCol: String,
+                              maxIters: Int = 50): DataFrame = {
+    // localCheckpoint (eager) instead of persist: each star round
+    // references its input several times and the reference compounds
+    // per round, so an un-truncated logical plan grows EXPONENTIALLY
+    // with the round count (explain/AQE stringification alone OOMs).
+    // Checkpointing materializes AND truncates lineage; the blocks are
+    // released by the ContextCleaner when the previous round's frame
+    // goes out of scope.
+    var e = edges
+      .where(col(aCol).isNotNull && col(bCol).isNotNull && col(aCol) =!= col(bCol))
+      .select(col(aCol).cast("long").as("__u"), col(bCol).cast("long").as("__v"))
+      .distinct()
+      .localCheckpoint(true)
+
+    def signature(df: DataFrame): (Long, Long) = {
+      // bit_xor fold: order-independent and overflow-free (a sum of
+      // hashes trips ANSI long-overflow); orientation-insensitive via
+      // the least/greatest canonicalization inside the hash
+      val r = df.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(least(col("__u"), col("__v")),
+          greatest(col("__u"), col("__v")))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    // large-star over the SYMMETRIC neighborhood; small-star over the
+    // smaller<-larger canonical orientation. Each is a groupBy(center)
+    // for the per-center minimum joined back to the edges ON THE SAME
+    // key — never a collected neighborhood array, so a 10^8-degree hub
+    // costs only its edge rows (both sides of the join share the
+    // center-keyed partitioning; no per-row memory blowup).
+    def largeStar(df: DataFrame): DataFrame = {
+      val sym = df.select(col("__u"), col("__v"))
+        .unionAll(df.select(col("__v").as("__u"), col("__u").as("__v")))
+        .repartition(col("__u")) // one exchange feeds both agg and join
+      val mins = sym.groupBy(col("__u"))
+        .agg(least(min(col("__v")), first(col("__u"))).as("__m"))
+      sym.join(mins, "__u")
+        .where(col("__v") > col("__u") && col("__v") =!= col("__m"))
+        .select(col("__v").as("__u"), col("__m").as("__v"))
+        .distinct()
+    }
+    def smallStar(df: DataFrame): DataFrame = {
+      val canon = df.select(greatest(col("__u"), col("__v")).as("__u"),
+        least(col("__u"), col("__v")).as("__v"))
+        .repartition(col("__u"))
+      val mins = canon.groupBy(col("__u")).agg(min(col("__v")).as("__m"))
+      // re-attach every smaller neighbor to the min, and the center too
+      canon.join(mins, "__u")
+        .where(col("__v") =!= col("__m"))
+        .select(col("__v").as("__u"), col("__m").as("__v"))
+        .unionAll(mins.select(col("__u"), col("__m").as("__v")))
+        .where(col("__u") =!= col("__v"))
+        .distinct()
+    }
+
+    var sig = signature(e)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val nsig = signature(next)
+      e = next
+      converged = nsig == sig
+      sig = nsig
+      i += 1
+    }
+
+    // fixpoint edges are exactly {(node, component min) : node != min};
+    // add the roots' self-labels to cover every incident node
+    val labels = e.select(col("__u").as("id"), col("__v").as("component"))
+      .unionAll(e.select(col("__v").as("id"), col("__v").as("component")))
+      .groupBy(col("id")).agg(min(col("component")).as("component"))
+      .persist()
+    labels.count()
+    labels
+  }
+
+  /**
    * Near-duplicate CLUSTER dedup end-to-end: minhash-LSH candidate
    * pairs -> exact-Jaccard refine -> connected components -> keep the
    * minimum-id document of every cluster (docs in no cluster survive
@@ -346,10 +445,19 @@ object Dedup {
    */
   def dedupNearClusters(df: DataFrame, idCol: String, textCol: String,
                         shingle: Int = 3, numHashes: Int = 64,
-                        bands: Int = 16, threshold: Double = 0.7): DataFrame = {
+                        bands: Int = 16, threshold: Double = 0.7,
+                        ccAlgorithm: String = "label"): DataFrame = {
     val pairs = minhashDupPairs(df, idCol, textCol, shingle, numHashes,
       bands, threshold)
-    val comps = connectedComponents(pairs, "id_a", "id_b")
+    // "label" = min-label propagation (O(diameter) rounds — right for
+    // LSH near-cliques); "star" = large/small-star (O(log n) rounds —
+    // right when clusters can chain arbitrarily long)
+    val comps = ccAlgorithm match {
+      case "label" => connectedComponents(pairs, "id_a", "id_b")
+      case "star" => connectedComponentsStar(pairs, "id_a", "id_b")
+      case other => throw new IllegalArgumentException(
+        s"unknown ccAlgorithm '$other' (expected label|star)")
+    }
     // pin the (small) loser-id set independently of the labels cache so
     // the labels frame can be released NOW instead of leaking a cached
     // frame per invocation (comps' contract: caller unpersists)

@@ -90,6 +90,19 @@ object PipelineQueries {
         .select(col("doc_id"))
     }),
 
+    // the SAME cluster dedup through the large/small-star connected
+    // components (O(log n) rounds on any graph — the adversarial-chain
+    // scale path) — pinned to the SAME recursive-CTE oracle as
+    // dedup_clusters: both CC algorithms must agree with DuckDB's
+    // transitive closure exactly
+    "dedup_clusters_star" -> ((s, dir) => {
+      Dedup.dedupNearClusters(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text", shingle = 3, numHashes = 64, bands = 16,
+          threshold = 0.8, ccAlgorithm = "star")
+        .select(col("doc_id"))
+    }),
+
     // rows-only aggregate (near-dup population varies by sf; the planted
     // -dup correctness matrix lives in DedupSpec)
     "simhash_pair_stats" -> ((s, dir) => {
@@ -648,6 +661,37 @@ object PipelineQueries {
                        CAST(${Fp.emptyFp} AS BIGINT)) AS fp64
        FROM documents d LEFT JOIN dhash h USING (doc_id)"""
 
+  // shared by dedup_clusters (min-label propagation) and
+  // dedup_clusters_star (large/small-star): both connected-components
+  // algorithms must reproduce DuckDB's recursive-CTE transitive closure
+  private val dedupClustersOracle =
+    """WITH RECURSIVE grams AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(range(1, len(w)-1),
+                    i -> w[i]||chr(31)||w[i+1]||chr(31)||w[i+2])) AS g
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
+         ),
+         pairs AS (
+           SELECT id_a, id_b FROM (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                    CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                      / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jaccard
+             FROM grams a, grams b WHERE a.doc_id < b.doc_id
+           ) WHERE jaccard >= 0.8
+         ),
+         sym AS (SELECT id_a AS s, id_b AS d FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+         reach(id, lab) AS (
+           SELECT s, s FROM sym
+           UNION
+           SELECT sym.d, reach.lab FROM reach JOIN sym ON sym.s = reach.id
+         ),
+         losers AS (
+           SELECT id FROM (SELECT id, min(lab) AS component FROM reach GROUP BY id)
+           WHERE component <> id)
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT id FROM losers)"""
+
   // shared by `decontaminate` and `decontaminate_bloom`: the Bloom
   // pre-filter must not change the result
   private val decontaminateOracle =
@@ -933,33 +977,9 @@ object PipelineQueries {
                     / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jaccard
            FROM grams a, grams b WHERE a.doc_id < b.doc_id
          ) WHERE jaccard >= 0.8""",
-    "dedup_clusters" ->
-      """WITH RECURSIVE grams AS (
-           SELECT doc_id,
-                  list_distinct(list_transform(range(1, len(w)-1),
-                    i -> w[i]||chr(31)||w[i+1]||chr(31)||w[i+2])) AS g
-           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
-         ),
-         pairs AS (
-           SELECT id_a, id_b FROM (
-             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                    CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-                      / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jaccard
-             FROM grams a, grams b WHERE a.doc_id < b.doc_id
-           ) WHERE jaccard >= 0.8
-         ),
-         sym AS (SELECT id_a AS s, id_b AS d FROM pairs
-                 UNION SELECT id_b, id_a FROM pairs),
-         reach(id, lab) AS (
-           SELECT s, s FROM sym
-           UNION
-           SELECT sym.d, reach.lab FROM reach JOIN sym ON sym.s = reach.id
-         ),
-         losers AS (
-           SELECT id FROM (SELECT id, min(lab) AS component FROM reach GROUP BY id)
-           WHERE component <> id)
-         SELECT doc_id FROM documents
-         WHERE doc_id NOT IN (SELECT id FROM losers)""",
+    "dedup_clusters" -> dedupClustersOracle,
+    // the star-CC path must reproduce the same transitive closure
+    "dedup_clusters_star" -> dedupClustersOracle,
     "ngram_jaccard_adjacent" ->
       """WITH grams AS (
            SELECT doc_id,

@@ -68,11 +68,28 @@ class GeoPruneSpec extends AnyFunSuite {
       val inBox = (0 until 100).filter(i => i % 10 <= 2 && i / 10 <= 2)
         .map(_.toLong).toSet
       assert(inBox.subsetOf(got), s"in-box rows missing: ${inBox.diff(got)}")
-      // a column the sidecar doesn't cover: no pruning, full read
-      val all = GeoParquet.read(spark, s"$dir/d", "pt2", "point",
+      // a REAL column the sidecar doesn't cover (write records bounds
+      // for the active geometry only): no pruning, full multi-file read.
+      // (A geometry column missing from the schema entirely now fails
+      // loudly at GeoFrame construction — f64/schema validation.)
+      val pts2 = (0 until 100).map(i => (i.toLong, (i % 10).toDouble, (i / 10).toDouble))
+        .toDF("id", "x", "y")
+        .withColumn("pt", st_point(col("x"), col("y")))
+        .withColumn("pt2", st_point(col("x"), col("y")))
+        .select("id", "pt", "pt2")
+        .repartition(4, col("id"))
+      GeoParquet.write(GeoFrame(pts2, "pt", "point"), s"$dir/d2", mode = "overwrite")
+      val uncovered = GeoParquet.read(spark, s"$dir/d2", "pt2", "point",
+        bounds = Some((0.0, 0.0, 1.0, 1.0)))
+      assert(uncovered.df.count() == 100,
+        "uncovered column must read in full (no pruning)")
+      import org.apache.spark.sql.functions.input_file_name
+      assert(uncovered.df.select(input_file_name()).distinct().count() == 4,
+        "uncovered column must scan every file")
+      intercept[IllegalArgumentException] {
+        GeoParquet.read(spark, s"$dir/d", "no_such_col", "point",
           bounds = Some((0.0, 0.0, 1.0, 1.0)))
-        .df.count()
-      assert(all == 101, s"uncovered column pruned to $all rows")
+      }
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(dir)
     }

@@ -307,6 +307,30 @@ class PipelineSpec extends AnyFunSuite {
       w >= 32 && h >= 32 && Set("jpeg", "png", "webp")(f) })
   }
 
+  test("connectedComponentsStar: long chain + parity with label propagation") {
+    // path graph 0-1-…-300 (diameter 300): min-label propagation's
+    // O(diameter) rounds cannot finish inside its default maxIters —
+    // exactly the adversarial shape the star variant exists for;
+    // large/small-star converges in O(log n) rounds
+    val chain = (0 until 300).map(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")
+    val comps = Dedup.connectedComponentsStar(chain, "a", "b")
+    assert(comps.count() == 301)
+    assert(comps.select("component").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(0L))
+    comps.unpersist()
+    // random multi-component graph: star == min-label propagation
+    val rnd = new scala.util.Random(7)
+    val edges = (0 until 200)
+      .map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter(e => e._1 != e._2).toDF("a", "b")
+    val star = Dedup.connectedComponentsStar(edges, "a", "b")
+    val prop = Dedup.connectedComponents(edges, "a", "b")
+    assert(star.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      prop.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    star.unpersist()
+    prop.unpersist()
+  }
+
   test("multimodal decodeImage: real codec on PNG/GIF bytes, None otherwise") {
     def png(w: Int, h: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(w, h,
