@@ -339,6 +339,51 @@ object Dedup {
   }
 
   /**
+   * Semantic dedup, SemDeDup-shape (cluster the embedding space, prune
+   * near-duplicates WITHIN each cluster): assign every vector to its
+   * nearest of `nlist` centroids (broadcast literals — narrow, no
+   * shuffle), self-join within the cell on cosine >= `threshold`, and
+   * greedily drop every vector similar to a smaller-id survivor (the
+   * keep-lowest-id convention of [[exact]]). Returns surviving rows.
+   *
+   * Scale shape: the only shuffle is keyed on the cell id; within-cell
+   * pairing is O(cell²) bounded by corpus/nlist on balanced data — size
+   * `nlist` so cells fit the quadratic budget, exactly like the IVF
+   * search path whose assignment step this reuses. Identical vectors
+   * always share a cell (argmax of identical scores), so exact
+   * duplicates can never escape the prune by landing apart.
+   *
+   * vs [[embeddingDupPairs]]: SRP-LSH surfaces PAIRS above a threshold
+   * anywhere in space (recall grows with bands); semanticDedup PRUNES
+   * within semantic clusters — the SemDeDup curation recipe, where
+   * "what stays" is one representative per tight group per cluster.
+   */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    nlist: Int = 16, threshold: Double = 0.99,
+                    refineIters: Int = 0): DataFrame = {
+    require(nlist >= 2 && threshold > 0 && threshold <= 1)
+    val clean = df.where(col(idCol).isNotNull && col(vecCol).isNotNull)
+    val cents: Array[Seq[Double]] = {
+      val init = Similarity.sampleCentroids(clean, idCol, vecCol, nlist)
+      if (refineIters > 0) Similarity.kmeansCentroids(clean, vecCol, init, refineIters)
+      else init
+    }
+    val assigned = clean.select(col(idCol), col(vecCol)).withColumn("__cell",
+        greatest(Similarity.cellScoreCols(cents, col(vecCol)): _*).getField("cell"))
+      .repartition(col("__cell")) // ONE exchange feeds both self-join sides
+    val l = assigned.select(col("__cell"), col(idCol).as("__id_a"),
+      col(vecCol).as("__v_a"))
+    val r = assigned.select(col("__cell"), col(idCol).as("__id_b"),
+      col(vecCol).as("__v_b"))
+    val losers = l.join(r, Seq("__cell"))
+      .where(col("__id_a") < col("__id_b") &&
+        Tx.cosine_similarity(col("__v_a"), col("__v_b")) >= threshold)
+      .select(col("__id_b").as(idCol))
+      .distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /**
    * Connected components via alternating LARGE-STAR / SMALL-STAR
    * transforms (Kiveris et al., "Connected Components in MapReduce and
    * Beyond") — the adversarial-graph twin of [[connectedComponents]]:
@@ -681,7 +726,7 @@ object Similarity {
 
   /** Deterministic hash-ordered sample of `nlist` corpus vectors — the
     * only collected state (analogous to the sidecar tables). */
-  private def sampleCentroids(corpus: DataFrame, corpusId: String,
+  private[pipeline] def sampleCentroids(corpus: DataFrame, corpusId: String,
                               corpusVec: String, nlist: Int): Array[Seq[Double]] =
     corpus
       .withColumn("__h", pmod(hash(col(corpusId)), lit(1000003)))
@@ -690,7 +735,7 @@ object Similarity {
       .select(col(corpusVec).cast("array<double>"))
       .collect().map(_.getSeq[Double](0))
 
-  private def cellScoreCols(cents: Array[Seq[Double]], vec: Column): Seq[Column] =
+  private[pipeline] def cellScoreCols(cents: Array[Seq[Double]], vec: Column): Seq[Column] =
     cents.toSeq.zipWithIndex.map { case (cv, i) =>
       struct(cosine_similarity(vec, typedLit(cv)).as("s"), lit(i.toLong).as("cell"))
     }

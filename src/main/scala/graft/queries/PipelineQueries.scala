@@ -129,6 +129,18 @@ object PipelineQueries {
         .select(col("id_a"), col("id_b"))
     }),
 
+    // SemDeDup-shape semantic dedup: cluster the embedding space
+    // (broadcast-centroid argmax, narrow), prune within-cell cosine
+    // near-dups keeping the lowest id. Planted exact copies (id+100000)
+    // share their original's cell by construction and MUST be the rows
+    // pruned; the natural corpus (max off-diagonal cosine 0.60) survives
+    // untouched — so the oracle is exactly the original id set.
+    "semantic_dedup" -> ((s, dir) => {
+      Dedup.semanticDedup(embWithPlanted(s, dir), "vec_id", "embedding",
+          nlist = 16, threshold = 0.99)
+        .select(col("vec_id"))
+    }),
+
     "embed_dedup_exact" -> ((s, dir) => {
       embWithPlanted(s, dir)
         .groupBy(col("embedding"))
@@ -998,6 +1010,10 @@ object PipelineQueries {
     "embed_dup_pairs" ->
       """SELECT vec_id AS id_a, vec_id + 100000 AS id_b
          FROM embeddings WHERE vec_id % 10 = 0""",
+    // survivors = every original id: each planted copy collapses onto
+    // its original (same cell, cosine 1), nothing else reaches 0.99
+    "semantic_dedup" ->
+      "SELECT vec_id FROM embeddings",
     "ann_cosine_topk" -> bruteForceCosineOracle,
     // exact-degenerate IVF/PQ configs reproduce brute force bit-for-bit:
     // SAME oracle SQL — only the Spark plan differs

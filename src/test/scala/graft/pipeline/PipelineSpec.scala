@@ -307,6 +307,35 @@ class PipelineSpec extends AnyFunSuite {
       w >= 32 && h >= 32 && Set("jpeg", "png", "webp")(f) })
   }
 
+  test("semanticDedup: planted copies pruned, distinct corpus untouched") {
+    // 40 orthogonal base vectors (one-hot in 40 dims, pairwise cosine 0)
+    // plus exact copies of every 4th and a near-copy (cosine ~1-1e-8)
+    // of id 1 — copies and the near-copy must vanish at 0.99, nothing
+    // else; a tighter-than-its-cosine threshold must keep the near-copy.
+    val base = (0 until 40).map { i =>
+      val v = Array.fill(40)(0f)
+      v(i) = 1f
+      (i.toLong, v.toSeq)
+    }
+    val copies = base.collect { case (i, v) if i % 4 == 0 => (i + 1000, v) }
+    val near = {
+      val v = base(1)._2.toArray
+      v(0) += 1e-4f
+      Seq((2000L, v.toSeq))
+    }
+    val df = (base ++ copies ++ near).toDF("vec_id", "embedding")
+    val kept = Dedup.semanticDedup(df, "vec_id", "embedding",
+        nlist = 4, threshold = 0.99)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == (0 until 40).map(_.toLong).toSet)
+    // a threshold above the near-copy's cosine keeps it as distinct
+    val keptTight = Dedup.semanticDedup(df, "vec_id", "embedding",
+        nlist = 4, threshold = 0.9999999999)
+      .select("vec_id").as[Long].collect().toSet
+    assert(keptTight.contains(2000L))
+    assert(!keptTight.exists(id => id >= 1000 && id < 2000)) // exact copies still die
+  }
+
   test("connectedComponentsStar: long chain + parity with label propagation") {
     // path graph 0-1-…-300 (diameter 300): min-label propagation's
     // O(diameter) rounds cannot finish inside its default maxIters —
