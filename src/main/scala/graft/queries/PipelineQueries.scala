@@ -103,6 +103,26 @@ object PipelineQueries {
         .select(col("doc_id"))
     }),
 
+    // cross-document span-duplication diagnostics (the "how much of
+    // each doc is copied text" signal): per doc, total 8-token spans
+    // and how many first occurred in an EARLIER doc. Hash-keyed like
+    // decontamination (8-byte shuffle keys; the string-keyed DuckDB
+    // oracle gates hash fidelity the same way decontaminate does);
+    // planted full copies make every span of a copy a duplicate. One
+    // gh-keyed exchange feeds both the min-doc aggregate and the join
+    // back (ReuseExchange) — two scans never happen.
+    "span_dup_stats" -> ((s, dir) => {
+      val grams = docsWithPlanted(s, dir)
+        .select(col("doc_id"), explode(Tx.token_ngram_hashes(col("text"), 8)).as("gh"))
+        .repartition(col("gh"))
+      val firsts = grams.groupBy(col("gh")).agg(min(col("doc_id")).as("first_doc"))
+      grams.join(firsts, "gh")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("doc_id") > col("first_doc"), 1L).otherwise(0L))
+            .as("dup_spans"))
+    }),
+
     // rows-only aggregate (near-dup population varies by sf; the planted
     // -dup correctness matrix lives in DedupSpec)
     "simhash_pair_stats" -> ((s, dir) => {
@@ -1014,6 +1034,23 @@ object PipelineQueries {
     // its original (same cell, cosine 1), nothing else reaches 0.99
     "semantic_dedup" ->
       "SELECT vec_id FROM embeddings",
+    "span_dup_stats" ->
+      """WITH base AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0),
+         toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM base),
+         grams AS (
+           SELECT doc_id,
+                  unnest([array_to_string(w[i:i+7], ' ') for i in range(1, len(w)-6)]) AS g
+           FROM toks WHERE len(w) >= 8),
+         firsts AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g)
+         SELECT doc_id, count(*) AS n_spans,
+                CAST(sum(CASE WHEN doc_id > first_doc THEN 1 ELSE 0 END) AS BIGINT)
+                  AS dup_spans
+         FROM grams JOIN firsts USING (g)
+         GROUP BY doc_id""",
     "ann_cosine_topk" -> bruteForceCosineOracle,
     // exact-degenerate IVF/PQ configs reproduce brute force bit-for-bit:
     // SAME oracle SQL — only the Spark plan differs

@@ -154,6 +154,44 @@ class PlanSpec extends AnyFunSuite {
       s"fused gram-hash expression missing from:\n$plan")
   }
 
+  test("semantic dedup never plans a cartesian/nested-loop pair scan") {
+    val vecs = (0 until 200).map { i =>
+      val v = Array.fill(8)(0.01f); v(i % 8) = 1f
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val out = graft.pipeline.Dedup.semanticDedup(vecs, "vec_id", "embedding",
+      nlist = 4, threshold = 0.999)
+    val plan = finalPlan(out)
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"within-cell pairing must be a cell-keyed equi-join:\n$plan")
+  }
+
+  test("span-dup stats reuses the gram exchange across agg and join") {
+    // at real scale neither side of the gram join broadcasts — disable
+    // the threshold so the plan gate observes the shuffle-join shape
+    // (with broadcast on, AQE picks BHJ over the aggregated side, which
+    // is also fine; the reuse matters when both sides shuffle)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val docs = (0 until 200).map(i =>
+        (i.toLong, s"alpha${i % 20} beta gamma delta epsilon zeta eta theta iota kappa"))
+        .toDF("doc_id", "text")
+      val grams = docs.select(col("doc_id"),
+          explode(graft.pipeline.Tx.token_ngram_hashes(col("text"), 8)).as("gh"))
+        .repartition(col("gh"))
+      val firsts = grams.groupBy(col("gh")).agg(min(col("doc_id")).as("first_doc"))
+      val out = grams.join(firsts, "gh").groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("doc_id") > col("first_doc"), 1L).otherwise(0L))
+            .as("dup_spans"))
+      val plan = finalPlan(out)
+      assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+        s"gram exchange not shared between min-doc agg and join:\n$plan")
+      assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("custom spatial predicate runs inside whole-stage codegen") {
     // spark.range (not a LocalRelation) so the filter cannot be
     // constant-folded away at plan time
