@@ -18,6 +18,37 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("\\S+"), lit(0)))
 
+  /**
+   * Split each document into overlapping token-window chunks — the
+   * pretraining/RAG prep step that turns long documents into
+   * model-window-sized pieces. Chunk i covers tokens
+   * [i*(chunkTokens-overlap), …+chunkTokens); the final chunk may be
+   * short; a document with <= chunkTokens tokens yields exactly one
+   * chunk. Zero-token documents disappear.
+   *
+   * Pure narrow plan: tokenization + a bounded per-row transform +
+   * posexplode — no shuffle at all; the 1→N blowup is bounded by
+   * n/(chunkTokens-overlap)+1 rows per doc. Returns
+   * (idCol, chunk_idx, chunk_text).
+   */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+                    chunkTokens: Int, overlap: Int = 0): DataFrame = {
+    require(chunkTokens >= 1 && overlap >= 0 && overlap < chunkTokens,
+      "need chunkTokens >= 1 and 0 <= overlap < chunkTokens")
+    val stride = chunkTokens - overlap
+    df.withColumn("__toks", regexp_extract_all(col(textCol), lit("\\S+"), lit(0)))
+      .withColumn("__n", size(col("__toks")))
+      .where(col("__n") > 0)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0L),
+          greatest(ceil((col("__n") - lit(chunkTokens)).cast("double") / stride)
+            .cast("long"), lit(0L))),
+        i => array_join(
+          slice(col("__toks"), (i * stride + 1).cast("int"), lit(chunkTokens)), " "))))
+      .select(col(idCol), col("pos").cast("long").as("chunk_idx"),
+        col("col").as("chunk_text"))
+  }
+
   /** BPE-style pre-tokenizer pattern (GPT-2 family): contractions,
     * letter runs, digit runs, punctuation runs, whitespace runs — kept
     * RE2-compatible (no lookahead) so the same pattern runs in the

@@ -59,6 +59,15 @@ object PipelineQueries {
         TextAnalysis.tokenCount(col("text")).as("ws_tokens"))
     }),
 
+    // overlapping token-window chunking (pretraining/RAG prep): chunk
+    // boundaries and text are pure token arithmetic — a narrow 1→N
+    // explode, no shuffle — and DuckDB recomputes them with list slices
+    "chunk_docs" -> ((s, dir) => {
+      TextAnalysis.chunkByTokens(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", chunkTokens = 24, overlap = 8)
+    }),
+
     "fingerprint_md5" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
         md5(col("text").cast("binary")).as("fp"))
@@ -815,6 +824,20 @@ object PipelineQueries {
           FROM documents""",
     "fingerprint_md5" ->
       "SELECT doc_id, md5(text) AS fp FROM documents",
+    "chunk_docs" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+         nn AS (SELECT doc_id, w, len(w) AS n FROM toks WHERE len(w) > 0),
+         chunks AS (
+           SELECT doc_id, w,
+                  unnest(range(0,
+                    CAST(greatest(ceil(CAST(n - 24 AS DOUBLE)/16), 0) AS BIGINT) + 1))
+                    AS chunk_idx
+           FROM nn)
+         SELECT doc_id, chunk_idx,
+                array_to_string(w[chunk_idx*16 + 1 : chunk_idx*16 + 24], ' ')
+                  AS chunk_text
+         FROM chunks""",
     "det_sample" ->
       s"""SELECT doc_id, lang FROM documents
           WHERE substr(md5(concat_ws('|','s42',CAST(doc_id AS VARCHAR))),1,8)

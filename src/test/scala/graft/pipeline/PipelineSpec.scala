@@ -307,6 +307,31 @@ class PipelineSpec extends AnyFunSuite {
       w >= 32 && h >= 32 && Set("jpeg", "png", "webp")(f) })
   }
 
+  test("chunkByTokens: coverage, overlap, short-doc and empty-doc semantics") {
+    val docs = Seq(
+      (1L, (1 to 50).map(i => s"t$i").mkString(" ")), // 50 toks -> multi-chunk
+      (2L, "a b c"),                                  // short -> single chunk
+      (3L, "   "),                                    // zero tokens -> dropped
+      (4L, (1 to 24).map(i => s"u$i").mkString(" "))  // exactly one window
+    ).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkByTokens(docs, "doc_id", "text",
+        chunkTokens = 24, overlap = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(!chunks.exists(_._1 == 3L))
+    assert(chunks.count(_._1 == 2L) == 1 && chunks.find(_._1 == 2L).get._3 == "a b c")
+    assert(chunks.count(_._1 == 4L) == 1)
+    val d1 = chunks.filter(_._1 == 1L).sortBy(_._2).map(_._3.split(" ").toSeq)
+    // stride 16: chunks start at tokens 1, 17, 33 -> 3 chunks; every
+    // token covered; consecutive chunks share exactly `overlap` tokens
+    assert(d1.length == 3)
+    assert(d1.flatten.distinct.length == 50)
+    assert(d1.sliding(2).forall {
+      case Array(a, b) => a.takeRight(8) == b.take(8)
+      case _ => true
+    })
+    assert(d1.head.length == 24 && d1(1).length == 24 && d1(2).length == 18)
+  }
+
   test("semanticDedup: planted copies pruned, distinct corpus untouched") {
     // 40 orthogonal base vectors (one-hot in 40 dims, pairwise cosine 0)
     // plus exact copies of every 4th and a near-copy (cosine ~1-1e-8)
