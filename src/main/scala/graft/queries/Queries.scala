@@ -663,6 +663,35 @@ object Queries {
         .agg(count(lit(1)).as("n"), min(col("value")).as("vmin"), max(col("value")).as("vmax"))
     }),
 
+    // The STREAMING execution path under the DuckDB gate: the same
+    // hourly rollup as events_hourly, but run as a genuine Structured
+    // Streaming query — file stream source over the events parquet,
+    // watermarked tumbling-window aggregation (Streams.hourlyCounts),
+    // AvailableNow trigger, memory sink — whose final table must
+    // hash-match the BATCH oracle. Batch/streaming unification is the
+    // engine claim; this makes it a checked property, not prose.
+    "events_hourly_stream" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      // the file stream source wants a DIRECTORY; select just the
+      // events file out of the sf dir with a glob filter
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = graft.streaming.Streams.hourlyCounts(src,
+        tsCol = "ts", typeCol = "event_type",
+        extraAggs = Seq(min(col("value")).as("vmin"), max(col("value")).as("vmax")))
+      val qName = "graft_events_hourly_stream"
+      // a prior run in this JVM (bench reps) may still own the name
+      s.streams.active.filter(q => q.name == qName).foreach(_.stop())
+      val q = agg.writeStream.format("memory").queryName(qName)
+        .outputMode("complete") // all windows in the final table
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qName).select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("vmin"), col("vmax"))
+    }),
+
     // SURVEY §2.7 sessionization — session_window (the Structured
     // Streaming session operator, here in batch) checked against a
     // gaps-and-islands SQL oracle: a session breaks when the gap to the
@@ -1253,6 +1282,12 @@ object Queries {
                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
            FROM orders) WHERE rn <= 3""",
     "events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+                count(*) AS n, min(value) AS vmin, max(value) AS vmax
+         FROM events GROUP BY 1, 2""",
+    // the streaming twin must land on the identical rollup (tumbling
+    // 1-hour windows are epoch-aligned == date_trunc)
+    "events_hourly_stream" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
                 count(*) AS n, min(value) AS vmin, max(value) AS vmax
          FROM events GROUP BY 1, 2""",
