@@ -704,6 +704,20 @@ object Queries {
         .select(col("event_type"), col("session_start"), col("n"))
     }),
 
+    // Rolling event-time window per user (feature engineering): for
+    // every event, how many events the same user produced in the
+    // preceding hour (inclusive). A RANGE window over int64 nanos —
+    // ONE shuffle keyed on the user, exact integer counts either
+    // engine; duplicate timestamps are order-insensitive under RANGE.
+    "rolling_user_counts" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        .rangeBetween(-3600L * 1000000000L, 0L) // 1h in nanos
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .withColumn("n_prev_hour", count(lit(1)).over(w))
+        .select(col("event_id"), col("n_prev_hour"))
+    }),
+
     // Backward as-of join (tools/Joins.asofBackward): every click picks
     // the user's latest at-or-before purchase value; one keyed shuffle,
     // no candidate blowup. Oracled against DuckDB's NATIVE ASOF JOIN —
@@ -1285,6 +1299,12 @@ object Queries {
       """SELECT date_trunc('hour', ts) AS hour, event_type,
                 count(*) AS n, min(value) AS vmin, max(value) AS vmax
          FROM events GROUP BY 1, 2""",
+    "rolling_user_counts" ->
+      """SELECT event_id,
+                count(*) OVER (PARTITION BY user_id ORDER BY ts
+                  RANGE BETWEEN INTERVAL '1 hour' PRECEDING
+                        AND CURRENT ROW) AS n_prev_hour
+         FROM events""",
     // the streaming twin must land on the identical rollup (tumbling
     // 1-hour windows are epoch-aligned == date_trunc)
     "events_hourly_stream" ->
