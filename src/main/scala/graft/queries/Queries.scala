@@ -692,6 +692,61 @@ object Queries {
         col("n"), col("vmin"), col("vmax"))
     }),
 
+    // Streaming FIRST-SEEN DEDUP under the DuckDB gate: documents (plus
+    // planted later-timestamp copies) flow through the flatMapGroups-
+    // WithState first-seen state machine (Streams.dedupFirstSeen) as a
+    // real streaming query; survivors must be exactly the original doc
+    // ids (copies share the fingerprint, arrive with later event time,
+    // and all 500 corpus texts are distinct). The custom-state streaming
+    // path — not just windowed aggregation — is hash-gated.
+    "stream_dedup_first_seen" -> ((s, dir) => {
+      import s.implicits._
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      def src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .select(col("doc_id"), col("text"))
+      val planted = src.unionAll(
+        src.where(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      val events = planted.select(
+          col("doc_id").as("docId"),
+          graft.pipeline.Tx.doc_fingerprint(col("text")).as("fp"),
+          timestamp_micros(col("doc_id") * 1000000L).as("ts"))
+        .as[graft.streaming.DocEvent]
+      val deduped = graft.streaming.Streams.dedupFirstSeen(events)
+      val qName = "graft_stream_dedup_first_seen"
+      s.streams.active.filter(q => q.name == qName).foreach(_.stop())
+      val q = deduped.toDF().writeStream.format("memory").queryName(qName)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qName).select(col("docId").as("doc_id"))
+    }),
+
+    // Streaming SESSIONIZATION under the DuckDB gate: the session_window
+    // aggregation as a real streaming query (complete output mode — all
+    // sessions in the final table, no watermark-emission race), pinned
+    // to the same gaps-and-islands oracle as the batch event_sessions.
+    "event_sessions_stream" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = graft.streaming.Streams.sessionize(src, "event_type",
+        "ts", gap = "30 minutes")
+      val qName = "graft_event_sessions_stream"
+      s.streams.active.filter(q => q.name == qName).foreach(_.stop())
+      val q = agg.writeStream.format("memory").queryName(qName)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qName).select(col("event_type"),
+        col("session_window.start").as("session_start"),
+        col("n_events").as("n"))
+    }),
+
     // SURVEY §2.7 sessionization — session_window (the Structured
     // Streaming session operator, here in batch) checked against a
     // gaps-and-islands SQL oracle: a session breaks when the gap to the
@@ -946,6 +1001,24 @@ object Queries {
                                    <= 10000.0))
        SELECT a.id, best.nn_id, best.d2 AS nn_dist2
        FROM a LEFT JOIN best ON a.id = best.id AND best.rn = 1"""
+
+  // shared by batch event_sessions and the streaming session_window
+  // twin: both must reproduce the gaps-and-islands session rollup
+  private lazy val eventSessionsOracle: String =
+    """WITH d AS (
+         SELECT event_type, ts,
+                CASE WHEN lag(ts) OVER (PARTITION BY event_type ORDER BY ts) IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY event_type ORDER BY ts)
+                          >= INTERVAL '30 minutes'
+                     THEN 1 ELSE 0 END AS brk
+         FROM events),
+       s AS (
+         SELECT event_type, ts,
+                sum(brk) OVER (PARTITION BY event_type ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+         FROM d)
+       SELECT event_type, min(ts) AS session_start, count(*) AS n
+       FROM s GROUP BY event_type, sid"""
 
   private lazy val spatialOracles: Map[String, String] = Map(
     "sjoin_lines_bcast" -> sjoinLinesOracleSql,
@@ -1305,27 +1378,19 @@ object Queries {
                   RANGE BETWEEN INTERVAL '1 hour' PRECEDING
                         AND CURRENT ROW) AS n_prev_hour
          FROM events""",
+    // copies share the fingerprint with a later event time; all corpus
+    // texts are distinct — so first-seen keeps exactly the originals
+    "stream_dedup_first_seen" ->
+      "SELECT doc_id FROM documents",
     // the streaming twin must land on the identical rollup (tumbling
     // 1-hour windows are epoch-aligned == date_trunc)
     "events_hourly_stream" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
                 count(*) AS n, min(value) AS vmin, max(value) AS vmax
          FROM events GROUP BY 1, 2""",
-    "event_sessions" ->
-      """WITH d AS (
-           SELECT event_type, ts,
-                  CASE WHEN lag(ts) OVER (PARTITION BY event_type ORDER BY ts) IS NULL
-                         OR ts - lag(ts) OVER (PARTITION BY event_type ORDER BY ts)
-                            >= INTERVAL '30 minutes'
-                       THEN 1 ELSE 0 END AS brk
-           FROM events),
-         s AS (
-           SELECT event_type, ts,
-                  sum(brk) OVER (PARTITION BY event_type ORDER BY ts
-                                 ROWS UNBOUNDED PRECEDING) AS sid
-           FROM d)
-         SELECT event_type, min(ts) AS session_start, count(*) AS n
-         FROM s GROUP BY event_type, sid""",
+    "event_sessions" -> eventSessionsOracle,
+    // the streaming session_window run must land on the same sessions
+    "event_sessions_stream" -> eventSessionsOracle,
     "vocab_stats" ->
       """SELECT count(DISTINCT tok) AS vocab, count(*) AS total_tokens
          FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS tok FROM documents)""",
