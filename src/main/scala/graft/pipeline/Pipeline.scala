@@ -278,13 +278,14 @@ object Dedup {
    * Min-label propagation, one hash-join + aggregate per round,
    * converging in O(component diameter) rounds. Near-dup clusters from
    * LSH are almost-cliques (diameter 2-3), so a handful of rounds
-   * suffices at any corpus size; every round is fully distributed with
-   * the labels frame persisted and the previous round's cache released.
-   * (For adversarial long-chain graphs swap in large-star/small-star —
-   * same join shapes, log-bounded rounds.)
+   * suffices at any corpus size; every round is fully distributed and
+   * localCheckpointed (lineage truncated — see the loop comment).
+   * (For adversarial long-chain graphs use [[connectedComponentsStar]]
+   * — same join shapes, log-bounded rounds.)
    *
-   * The returned (id, component) frame stays cached — it was already
-   * materialized by the convergence check — `unpersist()` it when done.
+   * The returned (id, component) frame is a narrow projection over the
+   * final round's checkpoint (already materialized by the convergence
+   * check); `unpersist()` is a harmless no-op on it.
    * If `maxIters` rounds elapse before the fixpoint (impossible for
    * clusters of diameter < maxIters), the partially-converged labels
    * are returned as-is: components may then be split, never merged
@@ -304,12 +305,19 @@ object Dedup {
       .persist()
     // seed with min(own id, min direct neighbor): LSH near-dup clusters
     // are almost-cliques, so this is usually already the fixpoint and
-    // the loop exits after one no-change round
+    // the loop exits after one no-change round.
+    // Per-round localCheckpoint (not persist): each round references
+    // the previous labels twice, so an un-truncated logical plan grows
+    // EXPONENTIALLY with the round count — harmless on diameter-2
+    // near-clique graphs, an OOM (in plan stringification alone) once a
+    // longer-diameter graph needs ~15 rounds. Checkpointing
+    // materializes AND truncates; blocks are freed by the
+    // ContextCleaner when the previous round's frame drops out of scope.
     var labels = sym.groupBy(col("__s"))
       .agg(min(col("__d")).as("__nbr"))
       .select(col("__s").as("id"),
         least(col("__s"), col("__nbr")).as("component"))
-      .persist()
+      .localCheckpoint(true)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIters) {
@@ -321,16 +329,9 @@ object Dedup {
         .select(col("id"), col("component"),
           least(col("component"), coalesce(col("__nbr"), col("component")))
             .as("__next"))
-        .persist()
+        .localCheckpoint(true)
       changed = updated.where(col("__next") < col("component")).count()
-      val prev = labels
-      labels = updated.select(col("id"), col("__next").as("component")).persist()
-      // materialize the new labels BEFORE dropping the caches they read
-      // from — otherwise the returned frame would lazily recompute the
-      // whole iterative lineage (doubling per round) at consumption time
-      labels.count()
-      updated.unpersist(false)
-      prev.unpersist(false)
+      labels = updated.select(col("id"), col("__next").as("component"))
       i += 1
     }
     sym.unpersist(false)

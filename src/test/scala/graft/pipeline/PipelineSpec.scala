@@ -372,17 +372,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(comps.select("component").distinct().collect()
       .map(_.getLong(0)).toSeq == Seq(0L))
     comps.unpersist()
-    // random multi-component graph: star == min-label propagation
-    val rnd = new scala.util.Random(7)
-    val edges = (0 until 200)
-      .map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
-      .filter(e => e._1 != e._2).toDF("a", "b")
-    val star = Dedup.connectedComponentsStar(edges, "a", "b")
-    val prop = Dedup.connectedComponents(edges, "a", "b")
-    assert(star.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
-      prop.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
-    star.unpersist()
-    prop.unpersist()
+    // random multi-component graphs over several densities/seeds:
+    // star == min-label propagation == the ground truth both encode
+    for ((seed, nEdges, nNodes) <- Seq((7, 200, 80), (13, 40, 100), (29, 400, 60))) {
+      val rnd = new scala.util.Random(seed)
+      val edges = (0 until nEdges)
+        .map(_ => (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .filter(e => e._1 != e._2).toDF("a", "b")
+      val star = Dedup.connectedComponentsStar(edges, "a", "b")
+      val prop = Dedup.connectedComponents(edges, "a", "b")
+      assert(star.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        prop.collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+        s"star != label propagation for seed=$seed")
+      star.unpersist()
+      prop.unpersist()
+    }
   }
 
   test("multimodal decodeImage: real codec on PNG/GIF bytes, None otherwise") {
