@@ -525,6 +525,18 @@ object PipelineQueries {
         col("event_type"), col("value"), Seq(0.25, 0.5, 0.9))
     }),
 
+    // the sketch path under the FULL oracle gate by exact degeneration
+    // (same trick as ann_ivf_exact): percentile_approx retains every
+    // value while the group size stays <= accuracy, so with a large
+    // accuracy the sketch answer IS the exact discrete quantile and
+    // must hash-match DuckDB's quantile_disc. The production-accuracy
+    // config stays rows-only (different sketches can't hash-match).
+    "sketch_quantiles_exact" -> ((s, dir) => {
+      Sketches.approxQuantilesByGroupLong(t(s, dir, "events"),
+        col("event_type"), col("value"), Seq(0.25, 0.5, 0.9),
+        acc = 1000000)
+    }),
+
     // mergeable DataSketches HLL: per-group sketches union-rolled to one
     // global estimate WITHOUT rescanning the table
     "sketch_union_distinct" -> ((s, dir) => {
@@ -1057,6 +1069,19 @@ object PipelineQueries {
     // its original (same cell, cosine 1), nothing else reaches 0.99
     "semantic_dedup" ->
       "SELECT vec_id FROM embeddings",
+    // exact-degenerate sketch config: group sizes <= accuracy make
+    // percentile_approx the exact discrete quantile (smallest value
+    // with rank >= ceil(p*n)) == DuckDB's quantile_disc
+    "sketch_quantiles_exact" ->
+      """WITH q AS (
+           SELECT event_type AS grp,
+                  quantile_disc(value, 0.25) AS q25,
+                  quantile_disc(value, 0.5) AS q50,
+                  quantile_disc(value, 0.9) AS q90
+           FROM events GROUP BY 1)
+         SELECT grp, CAST(0.25 AS DOUBLE) AS prob, q25 AS quantile FROM q
+         UNION ALL SELECT grp, CAST(0.5 AS DOUBLE), q50 FROM q
+         UNION ALL SELECT grp, CAST(0.9 AS DOUBLE), q90 FROM q""",
     "span_dup_stats" ->
       """WITH base AS (
            SELECT doc_id, text FROM documents
