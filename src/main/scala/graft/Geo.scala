@@ -111,6 +111,10 @@ object Geo {
     Bridge.column(StAsGeoJson(Bridge.expression(g), kind))
   def st_geomfromgeojson(text: Column, kind: String): Column =
     Bridge.column(StGeomFromGeoJson(Bridge.expression(text), kind))
+  def st_aswkb(g: Column, kind: String): Column =
+    Bridge.column(StAsWkb(Bridge.expression(g), kind))
+  def st_geomfromwkb(wkb: Column, kind: String): Column =
+    Bridge.column(StGeomFromWkb(Bridge.expression(wkb), kind))
 
   /** Register the SQL-surface st_* functions on a session. Kind-ambiguous
     * predicates are registered per kind (e.g. st_polygon_intersects_bounds). */
@@ -165,6 +169,9 @@ object Geo {
         es => StAsGeoJson(es.head, kind))
       Bridge.registerFunction(spark, s"st_geomfromgeojson_$kind",
         es => StGeomFromGeoJson(es.head, kind))
+      Bridge.registerFunction(spark, s"st_aswkb_$kind", es => StAsWkb(es.head, kind))
+      Bridge.registerFunction(spark, s"st_geomfromwkb_$kind",
+        es => StGeomFromWkb(es.head, kind))
     }
   }
 }

@@ -562,6 +562,22 @@ object Queries {
         .where(col("c_custkey") % 10 === 0)
     }),
 
+    // SURVEY §2.1 serde: WKB — the ecosystem's binary interchange
+    // (geopandas GeoParquet stores WKB). Points ride through encode +
+    // decode and come out as exact coordinates + the canonical 21-byte
+    // little-endian payload (hex-compared: DuckDB rebuilds the blob from
+    // pure arithmetic). Byte-exact external parity vs an independent
+    // python writer is pinned in WkbSpec.
+    "wkb_roundtrip" -> ((s, dir) => {
+      val withWkb = custPoints(s, dir)
+        .where(col("c_custkey") % 10 === 0)
+        .withColumn("wkb", graft.Geo.st_aswkb(col("pt"), "point"))
+      val back = graft.Geo.st_geomfromwkb(col("wkb"), "point")
+      withWkb.select(col("c_custkey"),
+        st_x(back).as("px2"), st_y(back).as("py2"),
+        lower(hex(col("wkb"))).as("wkb_hex"))
+    }),
+
     // SURVEY §2.1 serde: GeoJSON export (the WKT twin; integer coords so
     // the JSON text is exact).
     "geojson_points" -> ((s, dir) => {
@@ -1002,6 +1018,26 @@ object Queries {
        SELECT a.id, best.nn_id, best.d2 AS nn_dist2
        FROM a LEFT JOIN best ON a.id = best.id AND best.rn = 1"""
 
+  // ---- wkb_roundtrip oracle helpers ----------------------------------
+  // DuckDB rebuilds the canonical little-endian WKB point blob from
+  // PURE INTEGER ARITHMETIC: the IEEE-754 bits of an integer-valued
+  // double v in [0, 1024) are (1023+e)<<52 | (v - 2^e)<<(52-e) with
+  // e = floor(log2 v) — emitted as a CASE ladder so no float function
+  // (and no float rounding) is ever involved; bytes are then hex'd and
+  // reversed to little-endian. An independent re-derivation of the
+  // wire format, not a shared encoder.
+  private def wkbBitsSql(v: String): String = {
+    val branches = (9 to 1 by -1).map { e =>
+      val p = 1L << e
+      val base = (1023L + e) * (1L << 52)
+      val mul = 1L << (52 - e)
+      s"WHEN ($v) >= $p THEN $base + (($v) - $p) * $mul"
+    } :+ s"WHEN ($v) >= 1 THEN ${1023L * (1L << 52)} + (($v) - 1) * ${1L << 52}"
+    branches.mkString("CASE ", " ", " ELSE 0 END")
+  }
+  private def leHexSql(h: String): String =
+    (15 to 1 by -2).map(i => s"substr($h,$i,2)").mkString("||")
+
   // shared by batch event_sessions and the streaming session_window
   // twin: both must reproduce the gaps-and-islands session rollup
   private lazy val eventSessionsOracle: String =
@@ -1335,6 +1371,17 @@ object Queries {
                 '{"type":"Point","coordinates":[' || ((c_custkey*7919)%1000) || ','
                   || ((c_custkey*104729)%1000) || ']}' AS gj
          FROM customer WHERE c_custkey % 10 = 0""",
+    "wkb_roundtrip" ->
+      s"""WITH pts AS (
+           SELECT c_custkey, (c_custkey*7919)%1000 AS px, (c_custkey*104729)%1000 AS py
+           FROM customer WHERE c_custkey % 10 = 0),
+         b AS (SELECT c_custkey, px, py,
+                 lower(lpad(to_hex(${wkbBitsSql("px")}),16,'0')) AS hx,
+                 lower(lpad(to_hex(${wkbBitsSql("py")}),16,'0')) AS hy
+               FROM pts)
+         SELECT c_custkey, CAST(px AS DOUBLE) AS px2, CAST(py AS DOUBLE) AS py2,
+                '0101000000' || ${leHexSql("hx")} || ${leHexSql("hy")} AS wkb_hex
+         FROM b""",
     "sql_surface" ->
       """SELECT p_partkey,
                 4.0*((p_partkey%5)+1)*((p_partkey%5)+1) AS area,
