@@ -97,3 +97,16 @@ t = pa.table({
 })
 pq.write_table(t, "src/test/resources/golden/wkb_golden.parquet")
 print("wrote", len(rows), "rows")
+
+# second fixture: a homogeneous WKB point dataset (the geopandas
+# GeoParquet shape) for GeoParquet.readWkb
+n = 40
+t2 = pa.table({
+    "pid": pa.array(list(range(n)), pa.int64()),
+    "x": pa.array([float((i * 37) % 100) for i in range(n)], pa.float64()),
+    "y": pa.array([float((i * 61) % 100) for i in range(n)], pa.float64()),
+    "wkb": pa.array([wkb_point(float((i * 37) % 100), float((i * 61) % 100))
+                     for i in range(n)], pa.binary()),
+})
+pq.write_table(t2, "src/test/resources/golden/wkb_points.parquet")
+print("wrote wkb_points", n)

@@ -233,6 +233,29 @@ object GeoParquet {
       .drop(gf.geometryCol)
       .write.mode(mode).option("header", "true").csv(path)
 
+  /** Read a parquet dataset whose `wkbCol` holds WKB blobs — the
+    * geopandas/GeoParquet interchange shape (their files store geometry
+    * as WKB binary columns) — decoding into this engine's nested-array
+    * geometry. The decode is a per-row expression at scan parallelism;
+    * the binary column is dropped after decode. `kind` must name the
+    * payloads' geometry type (kind="line" also accepts MultiLineString
+    * payloads, rejoined as pen-up lines). */
+  def readWkb(spark: SparkSession, path: String, wkbCol: String,
+              kind: String, geomCol: String = "geometry"): GeoFrame = {
+    val df = spark.read.parquet(path)
+      .withColumn(geomCol, graft.Geo.st_geomfromwkb(col(wkbCol), kind))
+      .drop(wkbCol)
+    GeoFrame(df, geomCol, kind)
+  }
+
+  /** Write a frame as parquet with the geometry serialized to WKB — the
+    * export half of the geopandas interchange shape. */
+  def writeWkb(gf: GeoFrame, path: String, mode: String = "error",
+               wkbCol: String = "wkb"): Unit =
+    gf.df.withColumn(wkbCol, graft.Geo.st_aswkb(gf.geometry, gf.kind))
+      .drop(gf.geometryCol)
+      .write.mode(mode).parquet(path)
+
   /** Driver-side R-tree over the dataset's per-file bounds — the
     * reference's `partition_sindex` (dask.py:73-76, rtree over
     * partition_bounds). Returns the tree plus the file name per leaf

@@ -78,6 +78,26 @@ class WkbSpec extends AnyFunSuite {
   private def stAsWkbLine(c: org.apache.spark.sql.Column) =
     graft.Geo.st_geomfromwkb(graft.Geo.st_aswkb(c, "line"), "multiline")
 
+  test("GeoParquet.readWkb turns a WKB parquet into a working GeoFrame") {
+    val gf = graft.io.GeoParquet.readWkb(spark,
+      "src/test/resources/golden/wkb_points.parquet", "wkb", "point")
+    // decoded coordinates equal the x/y the python writer recorded
+    assert(gf.df.where(st_x(col("geometry")) =!= col("x") ||
+      st_y(col("geometry")) =!= col("y")).count() == 0)
+    assert(gf.df.count() == 40)
+    // and the frame is fully operational: cx + totalBounds work
+    val (x0, y0, x1, y1) = gf.totalBounds
+    assert(x0 >= 0 && y0 >= 0 && x1 < 100 && y1 < 100)
+    assert(gf.cx(0, 0, 50, 50).df.count() > 0)
+    // write-side roundtrip through writeWkb
+    val dir = java.nio.file.Files.createTempDirectory("wkbw").toFile
+    try {
+      graft.io.GeoParquet.writeWkb(gf, s"$dir/out", mode = "overwrite")
+      val back = graft.io.GeoParquet.readWkb(spark, s"$dir/out", "wkb", "point")
+      assert(back.df.where(st_x(col("geometry")) =!= col("x")).count() == 0)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("Z/M, EWKB and truncated payloads are rejected loudly") {
     import spark.implicits._
     def decode(bytes: Array[Byte]): Unit =
