@@ -129,6 +129,18 @@ object Queries {
         .agg(sum(st_area(col("poly"))).as("total_area"), count(lit(1)).as("n"))
     }),
 
+    // WKB roundtrip for NESTED geometry under the driver gate: the
+    // square-with-hole polygons ride encode -> decode and their areas
+    // must still hit the exact shoelace arithmetic — pinned to the SAME
+    // oracle as area_polygons (the roundtrip must be invisible).
+    "wkb_polygon_area" -> ((s, dir) => {
+      val rt = graft.Geo.st_geomfromwkb(
+        graft.Geo.st_aswkb(col("poly"), "polygon"), "polygon")
+      partPolygons(s, dir)
+        .groupBy(col("p_brand"))
+        .agg(sum(st_area(rt)).as("total_area"), count(lit(1)).as("n"))
+    }),
+
     // SURVEY §2.6 st_length over a 3-vertex polyline.
     "length_lines" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").where(col("l_linenumber") === 1)
@@ -1018,6 +1030,14 @@ object Queries {
        SELECT a.id, best.nn_id, best.d2 AS nn_dist2
        FROM a LEFT JOIN best ON a.id = best.id AND best.rn = 1"""
 
+  // shared by area_polygons and its WKB-roundtrip twin
+  private lazy val areaPolygonsOracle: String =
+    """SELECT p_brand,
+       sum(4.0*((p_partkey%5)+1)*((p_partkey%5)+1)
+           - 4.0*(p_partkey%5)*(p_partkey%5)) AS total_area,
+       count(*) AS n
+       FROM part GROUP BY p_brand"""
+
   // ---- wkb_roundtrip oracle helpers ----------------------------------
   // DuckDB rebuilds the canonical little-endian WKB point blob from
   // PURE INTEGER ARITHMETIC: the IEEE-754 bits of an integer-valued
@@ -1188,12 +1208,9 @@ object Queries {
                    (x1-x0)*(300-y0)-(y1-y0)*(700-x0) < 0 AND
                    (x1-x0)*(700-y0)-(y1-y0)*(700-x0) < 0 AND
                    (x1-x0)*(700-y0)-(y1-y0)*(300-x0) < 0 )""",
-    "area_polygons" ->
-      """SELECT p_brand,
-         sum(4.0*((p_partkey%5)+1)*((p_partkey%5)+1)
-             - 4.0*(p_partkey%5)*(p_partkey%5)) AS total_area,
-         count(*) AS n
-         FROM part GROUP BY p_brand""",
+    "area_polygons" -> areaPolygonsOracle,
+    // the WKB encode->decode roundtrip must be invisible to the kernel
+    "wkb_polygon_area" -> areaPolygonsOracle,
     "length_lines" ->
       """SELECT l_orderkey,
          sqrt( CAST((l_suppkey%1000)-(l_orderkey%1000) AS DOUBLE)*((l_suppkey%1000)-(l_orderkey%1000))
