@@ -442,10 +442,12 @@ object Dedup {
         .repartition(col("__u")) // one exchange feeds both agg and join
       val mins = sym.groupBy(col("__u"))
         .agg(least(min(col("__v")), first(col("__u"))).as("__m"))
+      // NO distinct here: duplicate intermediate edges cannot change any
+      // min downstream, and smallStar ends in a distinct anyway — saving
+      // a full (u,v)-keyed exchange every round
       sym.join(mins, "__u")
         .where(col("__v") > col("__u") && col("__v") =!= col("__m"))
         .select(col("__v").as("__u"), col("__m").as("__v"))
-        .distinct()
     }
     def smallStar(df: DataFrame): DataFrame = {
       val canon = df.select(greatest(col("__u"), col("__v")).as("__u"),
