@@ -3,7 +3,7 @@ package graft.functions
 import graft.geom.Wkb
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -11,11 +11,21 @@ import org.apache.spark.sql.types._
   * ecosystem's parquet files actually store (geopandas GeoParquet =
   * WKB blobs). Always little-endian output. A pen-up "line" (NaN-pair
   * separators) exports as MULTILINESTRING, mirroring the GeoJSON writer
-  * (WKB has no non-finite coordinate convention). */
+  * (WKB has no non-finite coordinate convention). Codegen'd via the
+  * reference-object pattern (same as [[LangId]]) so the serde stays
+  * inside whole-stage codegen instead of a fallback eval per row. */
 case class StAsWkb(child: Expression, kind: String)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = BinaryType
   override def prettyName: String = "st_aswkb"
+
+  def compute(g: AnyRef): Array[Byte] =
+    nullSafeEval(g).asInstanceOf[Array[Byte]]
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stAsWkb", this, classOf[StAsWkb].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
 
   override protected def nullSafeEval(g: Any): Any = kind match {
     case "point" =>
@@ -48,7 +58,7 @@ case class StAsWkb(child: Expression, kind: String)
   * rejoins the parts with NaN pen-up separators, so pen-up lines
   * round-trip through WKB exactly like through GeoJSON. */
 case class StGeomFromWkb(child: Expression, kind: String)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = kind match {
     case "point" => GeomData.pointType
     case "multipoint" | "line" => GeomData.coordsType
@@ -57,6 +67,15 @@ case class StGeomFromWkb(child: Expression, kind: String)
     case other => throw new IllegalArgumentException(s"unknown geometry kind $other")
   }
   override def prettyName: String = "st_geomfromwkb"
+
+  def compute(b: Array[Byte]): AnyRef = nullSafeEval(b).asInstanceOf[AnyRef]
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stFromWkb", this, classOf[StGeomFromWkb].getName)
+    val tpe = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+      .javaType(dataType)
+    defineCodeGen(ctx, ev, c => s"($tpe) $ref.compute($c)")
+  }
 
   override protected def nullSafeEval(t: Any): Any = {
     val g = Wkb.parse(t.asInstanceOf[Array[Byte]])
