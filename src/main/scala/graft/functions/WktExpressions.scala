@@ -3,7 +3,7 @@ package graft.functions
 import graft.geom.{GeoJson, Wkt}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -12,8 +12,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * geometry/point.py:36-44 etc.). `kind` disambiguates multipoint vs line
   * for the shared array<double> schema. */
 case class StAsText(child: Expression, kind: String)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = StringType
+
+  def compute(g: AnyRef): org.apache.spark.unsafe.types.UTF8String =
+    nullSafeEval(g).asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stAsText", this, classOf[StAsText].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
   override def prettyName: String = "st_astext"
 
   override protected def nullSafeEval(g: Any): Any = {
@@ -42,8 +50,16 @@ case class StAsText(child: Expression, kind: String)
 /** GeoJSON serialization (RFC 7946 §3.1 geometry objects) — the second
   * export surface next to WKT. */
 case class StAsGeoJson(child: Expression, kind: String)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = StringType
+
+  def compute(g: AnyRef): org.apache.spark.unsafe.types.UTF8String =
+    nullSafeEval(g).asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stAsGeoJson", this, classOf[StAsGeoJson].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
   override def prettyName: String = "st_asgeojson"
 
   override protected def nullSafeEval(g: Any): Any = {
@@ -71,7 +87,17 @@ case class StAsGeoJson(child: Expression, kind: String)
 
 /** GeoJSON parsing into the nested-array geometry schema for `kind`. */
 case class StGeomFromGeoJson(child: Expression, kind: String)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
+
+  def compute(t: org.apache.spark.unsafe.types.UTF8String): AnyRef =
+    nullSafeEval(t).asInstanceOf[AnyRef]
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stFromGeoJson", this, classOf[StGeomFromGeoJson].getName)
+    val tpe = CodeGenerator.javaType(dataType)
+    defineCodeGen(ctx, ev, c => s"($tpe) $ref.compute($c)")
+  }
+
   override def dataType: DataType = kind match {
     case "point" => GeomData.pointType
     case "multipoint" | "line" => GeomData.coordsType
@@ -120,7 +146,17 @@ case class StGeomFromGeoJson(child: Expression, kind: String)
 /** WKT parsing into the nested-array geometry schema for `kind`
   * (reference ingestion surface: from_shapely/_shapely_to_coordinates). */
 case class StGeomFromText(child: Expression, kind: String)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
+
+  def compute(t: org.apache.spark.unsafe.types.UTF8String): AnyRef =
+    nullSafeEval(t).asInstanceOf[AnyRef]
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stFromText", this, classOf[StGeomFromText].getName)
+    val tpe = CodeGenerator.javaType(dataType)
+    defineCodeGen(ctx, ev, c => s"($tpe) $ref.compute($c)")
+  }
+
   override def dataType: DataType = kind match {
     case "point" => GeomData.pointType
     case "multipoint" | "line" => GeomData.coordsType
