@@ -90,31 +90,71 @@ object TextHashing {
   * `items * bitsPerItem` (so the probe is a mask, not a modulo) and the
   * probe count k = round(ln 2 · m/n), the standard optimum. */
 object LongBloom {
+  /** (bit count, k) sized for `n` items at roughly `bitsPerItem` bits
+    * each: next power of two of n*bitsPerItem (the probe is a mask, not
+    * a modulo); k from the REQUESTED density n*bitsPerItem, not the
+    * rounded-up m — rounding m up only lowers the false-positive rate. */
+  private def sizing(n: Long, bitsPerItem: Int): (Long, Int) = {
+    require(bitsPerItem >= 1, "bitsPerItem must be >= 1")
+    val items = math.max(1L, n)
+    val mBits = math.max(64L, java.lang.Long.highestOneBit(
+      math.max(1L, items * bitsPerItem - 1)) << 1)
+    val k = math.max(1, math.round(0.6931471805599453 * bitsPerItem).toInt)
+    (mBits, k)
+  }
+
+  /** Set the k probe bits of `x` in `words` (length a power of two). */
+  private def add(words: Array[Long], k: Int, x: Long): Unit = {
+    val mask = (words.length.toLong << 6) - 1
+    val h1 = TextHashing.mix64(x ^ 0x71ee2bdcbdd6f9a1L)
+    val h2 = TextHashing.mix64(x ^ 0x9e3779b97f4a7c15L) | 1L
+    var i = 0
+    while (i < k) {
+      val bit = (h1 + i * h2) & mask
+      words((bit >>> 6).toInt) |= (1L << (bit & 63))
+      i += 1
+    }
+  }
+
   /** (bit words, k) for `values` at roughly `bitsPerItem` bits each. */
   def build(values: Array[Long], bitsPerItem: Int = 16): (Array[Long], Int) = {
-    require(bitsPerItem >= 1, "bitsPerItem must be >= 1")
-    val n = math.max(1, values.length)
-    val mBits = math.max(64L, java.lang.Long.highestOneBit(
-      math.max(1L, n.toLong * bitsPerItem - 1)) << 1)
+    val (mBits, k) = sizing(values.length.toLong, bitsPerItem)
     val words = new Array[Long]((mBits >>> 6).toInt)
-    val mask = mBits - 1
-    // k from the REQUESTED density n*bitsPerItem, not the rounded-up m —
-    // rounding m up only lowers the false-positive rate
-    val k = math.max(1, math.round(0.6931471805599453 * bitsPerItem).toInt)
     var vi = 0
-    while (vi < values.length) {
-      val x = values(vi)
-      val h1 = TextHashing.mix64(x ^ 0x71ee2bdcbdd6f9a1L)
-      val h2 = TextHashing.mix64(x ^ 0x9e3779b97f4a7c15L) | 1L
-      var i = 0
-      while (i < k) {
-        val bit = (h1 + i * h2) & mask
-        words((bit >>> 6).toInt) |= (1L << (bit & 63))
-        i += 1
-      }
-      vi += 1
-    }
+    while (vi < values.length) { add(words, k, values(vi)); vi += 1 }
     (words, k)
+  }
+
+  /** Distributed build over a single-LongType-column frame: each
+    * partition folds its keys into a local bit array, and the arrays
+    * tree-OR down to the driver — the driver receives FILTER-SIZED data
+    * (m bits per tree edge), never the keys themselves. Two passes over
+    * the hash column (a cheap count sizes the filter, then the fold);
+    * both are narrow scans. This is the build path when the key set is
+    * too large to collect ([[build]]'s contract). */
+  def buildDistributed(hashes: org.apache.spark.sql.DataFrame,
+                       bitsPerItem: Int = 16): (Array[Long], Int) = {
+    require(hashes.schema.fields.length == 1 &&
+      hashes.schema.fields(0).dataType == LongType,
+      "buildDistributed expects a single LongType column")
+    val (mBits, k) = sizing(hashes.count(), bitsPerItem)
+    val numWords = (mBits >>> 6).toInt
+    val rdd = hashes.toDF("__h").na.drop().rdd
+    if (rdd.getNumPartitions == 0) (new Array[Long](numWords), k)
+    else {
+      val words = rdd
+        .mapPartitions { it =>
+          val w = new Array[Long](numWords)
+          while (it.hasNext) add(w, k, it.next().getLong(0))
+          Iterator.single(w)
+        }
+        .treeReduce({ (a, b) =>
+          var i = 0
+          while (i < a.length) { a(i) |= b(i); i += 1 }
+          a
+        }, depth = 2)
+      (words, k)
+    }
   }
 }
 

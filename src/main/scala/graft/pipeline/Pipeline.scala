@@ -161,7 +161,12 @@ object Dedup {
    *   3. shuffle on (band index, band hash) — near-dups collide,
    *   4. within-bucket self-join (skew bounded: identical docs cap bucket
    *      size; a pathological bucket can be salted upstream),
-   *   5. distinct pairs + exact Jaccard refine (joins text back in).
+   *   5. distinct pairs; identical-TEXT pairs (8-byte xxhash64 equality,
+   *      carried through the banding) short-circuit to jaccard 1.0 —
+   *      in a dedup-heavy corpus most colliding pairs are exact copies,
+   *      and they skip the refine entirely,
+   *   6. exact n-gram Jaccard refine (joins text back in) for the
+   *      remaining genuinely-near pairs only.
    *
    * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
    */
@@ -169,6 +174,7 @@ object Dedup {
                       shingle: Int = 3, numHashes: Int = 64, bands: Int = 16,
                       threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
     val rows = numHashes / bands
     // docs with fewer than `shingle` tokens have no shingles: their
     // signatures are all Long.MaxValue and every such pair would collide
@@ -183,26 +189,43 @@ object Dedup {
     // inputs then sit above the SAME exchange (ReuseExchange), so the
     // signature pass runs ONCE — and a shuffle join on the bucket key is
     // exactly the plan a 100 TB self-join needs (no broadcast exists).
-    val banded = sig.select(col(idCol),
+    // `__th` (xxhash64 of the text, 8 bytes/row through the shuffle)
+    // funds the exact-duplicate fast path below.
+    val banded = sig.select(col(idCol), xxhash64(col(textCol)).as("__th"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("__sig"), b * rows + 1, lit(rows)), b))))
       .withColumnRenamed("pos", "__band")
       .withColumnRenamed("col", "__bandhash")
       .repartition(col("__band"), col("__bandhash"))
 
-    val l = banded.withColumnRenamed(idCol, "id_a")
-    val r = banded.withColumnRenamed(idCol, "id_b")
+    val l = banded.select(col(idCol).as("id_a"), col("__th").as("__th_a"),
+      col("__band"), col("__bandhash"))
+    val r = banded.select(col(idCol).as("id_b"), col("__th").as("__th_b"),
+      col("__band"), col("__bandhash"))
+    // __same is functionally dependent on the pair, so the distinct's
+    // cardinality (and shuffle width, +1 byte) is unchanged.
     val candidates = l.join(r, Seq("__band", "__bandhash"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("__th_a") === col("__th_b")).as("__same"))
       .distinct()
 
+    // Identical text => every shingle set identical => exact Jaccard is
+    // 1.0 (eligible docs have >= 1 shingle), and threshold <= 1.0 always
+    // keeps it. These pairs never touch the two text joins — the refine
+    // shrinks to the genuinely-near tail. Both branches filter the SAME
+    // bucket-join output above the one reused exchange.
+    val exactDups = candidates.where(col("__same"))
+      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
     val ta = df.select(col(idCol).as("id_a"), col(textCol).as("__text_a"))
     val tb = df.select(col(idCol).as("id_b"), col(textCol).as("__text_b"))
-    candidates.join(ta, "id_a").join(tb, "id_b")
+    val refined = candidates.where(!col("__same"))
+      .select(col("id_a"), col("id_b"))
+      .join(ta, "id_a").join(tb, "id_b")
       .withColumn("jaccard", ngram_jaccard(col("__text_a"), col("__text_b"), shingle))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    exactDups.unionAll(refined)
   }
 
   /**
@@ -514,6 +537,58 @@ object Dedup {
       .localCheckpoint(true)
     comps.unpersist(false)
     df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /**
+   * Incremental (cross-snapshot) exact dedup: drop every `newDocs` row
+   * whose text already appears in the `corpus` snapshot — the "dedup
+   * this month's crawl against everything we already have" step.
+   * Matching is on the 8-byte xxhash64 of the text (a collision can only
+   * over-drop, probability ~|corpus|/2⁶⁴); compose with
+   * [[Scrub.normalize]] upstream for normalization-invariant matching.
+   *
+   * Plan: one distinct + one left_anti hash join on 8-byte keys — the
+   * corpus ships (hash) only, never its text. Correct but
+   * corpus-shuffle-bound at scale; see [[againstCorpusBloom]].
+   */
+  def againstCorpus(newDocs: DataFrame, corpus: DataFrame,
+                    idCol: String, textCol: String): DataFrame = {
+    val seen = corpus.select(xxhash64(col(textCol)).as("__h")).distinct()
+    newDocs.withColumn("__h", xxhash64(col(textCol)))
+      .join(seen, Seq("__h"), "left_anti")
+      .drop("__h")
+  }
+
+  /**
+   * [[againstCorpus]] with a Bloom-filter pre-split — IDENTICAL results
+   * (no false negatives: every true duplicate still reaches the exact
+   * join; false positives are cleared by it).
+   *
+   * The corpus hash set folds into a Bloom filter DISTRIBUTEDLY
+   * ([[graft.functions.LongBloom.buildDistributed]] — the driver
+   * receives filter-sized bit arrays, never keys). New-batch rows whose
+   * hash the filter rejects are duplicates of nothing and bypass the
+   * join entirely; only the ~(dup_rate + fpp) fraction enters the exact
+   * anti-join. That confirm join still scans the corpus hashes, but its
+   * probe side is now tiny — at 16 bits/item the non-duplicate traffic
+   * entering it is ~0.04% of the batch instead of 100%.
+   */
+  def againstCorpusBloom(newDocs: DataFrame, corpus: DataFrame,
+                         idCol: String, textCol: String,
+                         bitsPerItem: Int = 16): DataFrame = {
+    val corpusHashes = corpus.select(xxhash64(col(textCol)).as("__h"))
+    val (bits, k) = LongBloom.buildDistributed(corpusHashes, bitsPerItem)
+    val hashed = newDocs.withColumn("__h", xxhash64(col(textCol)))
+    val mightMatch = Bridge.column(BloomMightContain(
+      Bridge.expression(col("__h")), new BloomBitsRef(bits), k))
+    val cols = hashed.columns.map(col)
+    val clean = hashed.where(!mightMatch)
+    // the USING-key join reorders __h to the front: realign by name
+    // before the positional union
+    val confirmed = hashed.where(mightMatch)
+      .join(corpusHashes.distinct(), Seq("__h"), "left_anti")
+      .select(cols: _*)
+    clean.unionAll(confirmed).drop("__h")
   }
 }
 

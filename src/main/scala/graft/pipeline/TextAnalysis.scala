@@ -218,4 +218,159 @@ object TextAnalysis {
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
                     top: Int): DataFrame =
     tfidfTopTermsWithRelease(docs, idCol, textCol, top)._1
+
+  /**
+   * Line-level document-format signals (the Gopher-style repetition and
+   * formatting filters that work on LINES, complementing the token-level
+   * [[repetitionColumns]]): line count, duplicate-line count,
+   * characters inside duplicate lines, bullet-started lines, and
+   * ellipsis-ended lines. Lines are '\n'-split, trimmed, empties
+   * dropped. All integers, all inside one narrow projection (array
+   * arithmetic, no explode/shuffle) — and every definition is plain
+   * split/trim/length arithmetic any SQL oracle reproduces exactly.
+   */
+  def lineColumns(text: Column): Seq[(String, Column)] = {
+    val lines = filter(transform(split(text, "\n"), l => trim(l)),
+      l => length(l) > 0)
+    val distinctLines = array_distinct(lines)
+    val n = size(lines)
+    val totalChars = aggregate(lines, lit(0L), (acc, l) => acc + length(l))
+    val distinctChars =
+      aggregate(distinctLines, lit(0L), (acc, l) => acc + length(l))
+    // ASCII bullets only ("- ", "* ") — unicode bullet glyphs would tie
+    // the oracle compare to the engines' unicode handling for no proof
+    // value
+    val bullets = size(filter(lines,
+      l => substring(l, 1, 2) === "- " || substring(l, 1, 2) === "* "))
+    // endsWith, not substring(-3): negative-start substring semantics
+    // for strings shorter than the needle differ between engines
+    val ellipsis = size(filter(lines, l => l.endsWith("...")))
+    Seq("n_lines" -> n,
+      "dup_lines" -> (n - size(distinctLines)),
+      "dup_line_chars" -> (totalChars - distinctChars),
+      "bullet_lines" -> bullets,
+      "ellipsis_lines" -> ellipsis)
+  }
+
+  /** All overlapping character bigrams of `text` (documents shorter than
+    * 2 chars yield none). Bounded 2x-chars blowup when exploded. */
+  def charBigrams(text: Column): Column =
+    when(length(text) >= 2,
+      transform(sequence(lit(1), length(text) - 1),
+        i => text.substr(i, lit(2))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Corpus character-bigram counts: (gram, cnt). The model is at most
+    * |charset|² rows regardless of corpus size — the explode shuffles
+    * only the per-partition PARTIAL counts (map-side combine collapses
+    * each partition to <= |charset|² rows), so building it on 100 TB
+    * moves kilobytes. */
+  def charBigramModel(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(charBigrams(col(textCol))).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+
+  /**
+   * Language-model familiarity score per document — the CCNet-style
+   * "how much does this doc look like the reference corpus" quality
+   * signal, scored against a character-bigram model ([[charBigramModel]]).
+   *
+   * Integer log arithmetic by construction: each bigram contributes
+   * floor(log2(count)) = length(bin(count)) - 1 — an EXACT integer both
+   * Spark and any SQL oracle compute identically (no ln() ulp
+   * divergence). Unseen grams (possible when the model was trained on a
+   * different corpus) count as frequency 1, contributing 0.
+   *
+   * Returns (id, n_grams, sum_log2, fam_x100) where fam_x100 =
+   * floor(100 * sum_log2 / n_grams) — higher = more familiar.
+   * Documents with < 2 chars have no grams and are absent.
+   *
+   * Scale shape: the model is broadcast (bounded |charset|² rows); the
+   * scoring pass is one explode + broadcast-join + per-doc aggregation —
+   * the corpus itself never shuffles, only (id, gram-count) partial
+   * aggregates do.
+   */
+  def lmFamiliarity(docs: DataFrame, idCol: String, textCol: String,
+                    model: DataFrame): DataFrame = {
+    val grams = docs.select(col(idCol).as("id"),
+      explode(charBigrams(col(textCol))).as("gram"))
+    grams.join(broadcast(model), Seq("gram"), "left")
+      .select(col("id"),
+        (length(bin(coalesce(col("cnt"), lit(1L)))) - 1).cast("long").as("__l2"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("__l2")).as("sum_log2"))
+      .withColumn("fam_x100",
+        floor(col("sum_log2") * 100 / col("n_grams")).cast("long"))
+  }
+
+  /** [[lmFamiliarity]] self-trained on the scored corpus itself (two
+    * narrow scans of the corpus — cheaper than caching the exploded
+    * char-level gram frame, which is ~2x the corpus). */
+  def lmFamiliaritySelf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    lmFamiliarity(docs, idCol, textCol, charBigramModel(docs, textCol))
+
+  /**
+   * Inverted index: term -> (document frequency, postings list sorted by
+   * doc id, each entry (id, tf)). The `minDf`/`maxDf` band is applied to
+   * the df AGGREGATE BEFORE any posting list is materialized — the
+   * stopword rows ("the" in every document: a posting list the size of
+   * the corpus, and the classic collect_list OOM + skew key) are
+   * discarded as counts, never built as lists. At scale maxDf is the
+   * memory contract: the largest surviving posting list is maxDf
+   * entries.
+   *
+   * Plan: tf (one shuffle, persisted — consumed by both the df
+   * aggregate and the postings aggregate) → df band filter → join back
+   * (the df side is the post-filter term set; broadcast when small) →
+   * per-term collect. The release handle unpersists the tf cache.
+   */
+  def invertedIndexWithRelease(docs: DataFrame, idCol: String, textCol: String,
+                               minDf: Long = 1L, maxDf: Long = Long.MaxValue)
+      : (DataFrame, () => Unit) = {
+    require(minDf >= 1L && maxDf >= minDf, "need 1 <= minDf <= maxDf")
+    val tf = termFrequencies(docs, idCol, textCol).persist()
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf && col("df") <= maxDf)
+    val out = tf.join(dfreq, Seq("term"))
+      .groupBy(col("term"))
+      .agg(min(col("df")).as("df"),
+        array_sort(collect_list(struct(col("id"), col("tf")))).as("postings"))
+    (out, () => { tf.unpersist(false); () })
+  }
+
+  /** [[invertedIndexWithRelease]] without the unpersist handle. */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    minDf: Long = 1L, maxDf: Long = Long.MaxValue): DataFrame =
+    invertedIndexWithRelease(docs, idCol, textCol, minDf, maxDf)._1
+
+  /**
+   * Hashed-feature linear text-classifier score — the fastText-style
+   * "quality model" shape used to rank corpora for curation: each
+   * whitespace token hashes into one of `weights.length` buckets
+   * (power of two, so the bucket is a bit mask of the hash) via the
+   * 64-bit rolling-hash fingerprint ([[Tx.doc_fingerprint]] of the
+   * single token), and the document score is the sum of its tokens'
+   * bucket weights.
+   *
+   * Integer weights => integer score: bit-exact across engines that can
+   * compute the fingerprint (the DuckDB oracle reimplements it in
+   * HUGEINT arithmetic). At scale this is ONE narrow fused projection
+   * per document — the model rides as a literal array; no join, no
+   * shuffle, nothing driver-side. Swapping in real trained weights
+   * changes the array literal only.
+   */
+  def hashedLinearScore(text: Column, weights: Seq[Long]): Column = {
+    require(weights.nonEmpty && (weights.length & (weights.length - 1)) == 0,
+      "weights length must be a power of two (bucket = hash bit mask)")
+    val d = weights.length
+    val wLit = array(weights.map(lit): _*)
+    aggregate(regexp_extract_all(text, lit("\\S+"), lit(0)), lit(0L),
+      (acc, t) => acc + element_at(wLit,
+        Tx.doc_fingerprint(t).bitwiseAND(lit((d - 1).toLong)).cast("int") + 1))
+  }
+
+  /** Deterministic 64-bucket demo weight vector for the linear scorer
+    * (stands in for trained weights; the oracle embeds the same
+    * literals). */
+  val demoQualityWeights: Seq[Long] =
+    (0 until 64).map(i => ((i * 37 + 11) % 21) - 10L)
 }

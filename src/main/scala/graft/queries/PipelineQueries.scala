@@ -590,6 +590,90 @@ object PipelineQueries {
       Multimodal.mapDecodePartitions(withPng, "content", batchSize = 64)
         .select(col("doc_id"), col("meta.width").as("width"),
           col("meta.height").as("height"), col("meta.format").as("format"))
+    }),
+
+    // -- line/LM/index/incremental curation ops ------------------------------
+    // line-level Gopher format+repetition stats over deterministic
+    // multi-line docs: every doc repeats its own text as a second line
+    // (planted duplicate line), every 7th gains a bullet line, every
+    // 5th an ellipsis line — all recomputable as pure string arithmetic
+    "line_stats" -> ((s, dir) => {
+      val id = col("doc_id")
+      val ptext = concat(col("text"), lit("\n"), col("text"),
+        when(id % 7 === 0, concat(lit("\n- item "), id.cast("string")))
+          .otherwise(lit("")),
+        when(id % 5 === 0, lit("\nmore soon...")).otherwise(lit("")))
+      val withLines = t(s, dir, "documents").select(id, ptext.as("ptext"))
+      val cols = TextAnalysis.lineColumns(col("ptext"))
+      withLines.select(
+        col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+    }),
+
+    // char-bigram LM familiarity, self-trained on the corpus: the model
+    // is a broadcast-sized aggregate, the score pure integer floor-log2
+    // arithmetic (length(bin(cnt))-1) both engines compute exactly
+    "lm_familiarity" -> ((s, dir) => {
+      TextAnalysis.lmFamiliaritySelf(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // inverted index with a df band: stopword posting lists are dropped
+    // as COUNTS before any list materializes (the scale contract);
+    // postings explode back to scalar rows for the harness compare
+    "inverted_index" -> ((s, dir) => {
+      // sf-invariant stopword cut: drop terms present in > 80% of docs
+      // (the count is a cheap columnar scan). Non-release variant: same
+      // convention as tfidf_top_terms (tf cache stays until clearCache;
+      // the query stays lazy for Bench).
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val maxDf = (docs.count() * 8L) / 10L
+      val idx = TextAnalysis.invertedIndex(docs, "doc_id", "text",
+        minDf = 2L, maxDf = maxDf)
+      idx.select(col("term"), col("df"), explode(col("postings")).as("p"))
+        .select(col("term"), col("df"), col("p.id").as("doc_id"), col("p.tf").as("tf"))
+    }),
+
+    // hashed-feature linear classifier scoring (fastText quality-model
+    // shape): per-token fingerprint -> bucket weight lookup -> doc sum,
+    // ONE narrow projection (model = literal array, no join); DuckDB
+    // recomputes the fingerprint in HUGEINT arithmetic over the same
+    // literal weight table
+    "quality_linear_score" -> ((s, dir) => {
+      val toks = TextAnalysis.tokenCount(col("text"))
+      val score = TextAnalysis.hashedLinearScore(col("text"),
+        TextAnalysis.demoQualityWeights)
+      t(s, dir, "documents").select(col("doc_id"),
+        toks.as("n_tokens"), score.as("score"),
+        when(toks > 0, floor(score * 100 / toks)).otherwise(lit(0))
+          .cast("long").as("avg_x100"))
+    }),
+
+    // incremental snapshot dedup: docs with id%3==0 are the "existing
+    // corpus"; the new batch is everything else plus planted copies of
+    // half the corpus (id+200000, same text) — exactly those copies
+    // must vanish
+    "incremental_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = d.where(col("doc_id") % 3 === 0)
+      val fresh = d.where(col("doc_id") % 3 =!= 0)
+        .unionAll(corpus.where(col("doc_id") % 2 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+      Dedup.againstCorpus(fresh, corpus, "doc_id", "text")
+        .select(col("doc_id"))
+    }),
+
+    // the Bloom pre-split path must return the IDENTICAL survivor set
+    // (no false negatives; false positives cleared by the exact join)
+    "incremental_dedup_bloom" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = d.where(col("doc_id") % 3 === 0)
+      val fresh = d.where(col("doc_id") % 3 =!= 0)
+        .unionAll(corpus.where(col("doc_id") % 2 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+      Dedup.againstCorpusBloom(fresh, corpus, "doc_id", "text")
+        .select(col("doc_id"))
     })
   )
 
@@ -1127,6 +1211,114 @@ object PipelineQueries {
                                                                list_transform(CAST(c.embedding AS DOUBLE[]), x -> round(x*1000))) DESC,
                                               c.vec_id) AS rank
            FROM embeddings q, embeddings c WHERE q.vec_id < 10
-         ) WHERE rank <= 5"""
+         ) WHERE rank <= 5""",
+    // line-level Gopher stats: identical split/trim/length arithmetic
+    "line_stats" ->
+      """WITH p AS (
+           SELECT doc_id,
+                  text || chr(10) || text
+                    || CASE WHEN doc_id % 7 = 0
+                            THEN chr(10) || '- item ' || CAST(doc_id AS VARCHAR)
+                            ELSE '' END
+                    || CASE WHEN doc_id % 5 = 0
+                            THEN chr(10) || 'more soon...' ELSE '' END AS ptext
+           FROM documents),
+         l AS (
+           SELECT doc_id,
+                  list_filter(list_transform(string_split(ptext, chr(10)), x -> trim(x)),
+                              x -> length(x) > 0) AS lines
+           FROM p)
+         SELECT doc_id,
+                len(lines) AS n_lines,
+                len(lines) - len(list_distinct(lines)) AS dup_lines,
+                CAST(coalesce(list_sum(list_transform(lines, x -> length(x))), 0)
+                   - coalesce(list_sum(list_transform(list_distinct(lines), x -> length(x))), 0)
+                   AS BIGINT) AS dup_line_chars,
+                len(list_filter(lines, x -> substr(x, 1, 2) IN ('- ', '* '))) AS bullet_lines,
+                len(list_filter(lines, x -> ends_with(x, '...'))) AS ellipsis_lines
+         FROM l""",
+    // char-bigram LM familiarity: floor-log2 via length(bin(cnt))-1 —
+    // exact integers in both engines, no ln() ulp divergence
+    "lm_familiarity" ->
+      """WITH grams AS (
+           SELECT doc_id, substr(text, i, 2) AS gram
+           FROM documents, unnest(range(1, length(text))) AS t(i)),
+         model AS (SELECT gram, count(*) AS cnt FROM grams GROUP BY 1)
+         SELECT g.doc_id,
+                count(*) AS n_grams,
+                CAST(sum(length(bin(m.cnt)) - 1) AS BIGINT) AS sum_log2,
+                CAST(floor(sum(length(bin(m.cnt)) - 1) * 100.0 / count(*)) AS BIGINT)
+                  AS fam_x100
+         FROM grams g JOIN model m USING (gram)
+         GROUP BY g.doc_id""",
+    // inverted index, long form: tf join df with the [2, 250] df band
+    "inverted_index" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1
+                 HAVING count(*) >= 2
+                    AND count(*) <= (SELECT (count(*) * 8) // 10 FROM documents))
+         SELECT t.term, d.df, t.doc_id, t.tf
+         FROM tf t JOIN dfq d USING (term)""",
+    // both incremental paths must equal the plain text anti-join
+    "incremental_dedup" -> incrementalDedupOracle,
+    "incremental_dedup_bloom" -> incrementalDedupOracle,
+    "quality_linear_score" -> linearScoreOracle
   )
+
+  // hashed-linear-classifier oracle: per-token rolling-hash fingerprint
+  // (the Fp HUGEINT reimplementation, token fold then the one-element
+  // doc fold) -> low-6-bit bucket -> literal weight table lookup ->
+  // per-doc integer sum. Same weights as TextAnalysis.demoQualityWeights.
+  private lazy val linearScoreOracle: String = {
+    val wList = graft.pipeline.TextAnalysis.demoQualityWeights
+      .mkString("[", ", ", "]")
+    s"""WITH toks AS (
+         SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
+         FROM documents),
+       traw AS (
+         SELECT doc_id,
+                list_reduce(
+                  list_prepend(CAST(42 AS HUGEINT),
+                    list_transform(range(1, length(tok)+1),
+                      i -> CAST(ord(substr(tok, i, 1)) AS HUGEINT))),
+                  (acc, b) -> ${Fp.mulmodPPlus("acc", "b")}) AS r
+         FROM toks),
+       thash AS (
+         SELECT doc_id,
+         ${Fp.mix64Stages("CAST(r AS UBIGINT)", "t")}
+         FROM traw),
+       draw AS (
+         SELECT doc_id,
+                ${Fp.mulmodPPlus("CAST(42 AS HUGEINT)", "CAST(tfp AS HUGEINT)")} AS r2
+         FROM thash),
+       dhash AS (
+         SELECT doc_id,
+         ${Fp.mix64Stages("CAST(r2 AS UBIGINT)", "d")}
+         FROM draw),
+       scored AS (
+         SELECT doc_id, ($wList)[CAST(dfp % 64 AS INT) + 1] AS w FROM dhash),
+       agg AS (SELECT doc_id, count(*) AS n_tokens,
+                      CAST(sum(w) AS BIGINT) AS score
+               FROM scored GROUP BY 1)
+       SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
+              COALESCE(a.score, 0) AS score,
+              CASE WHEN COALESCE(a.n_tokens, 0) > 0
+                   THEN CAST(floor(a.score * 100.0 / a.n_tokens) AS BIGINT)
+                   ELSE 0 END AS avg_x100
+       FROM documents d LEFT JOIN agg a USING (doc_id)"""
+  }
+
+  private lazy val incrementalDedupOracle: String =
+    """WITH corpus AS (
+         SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+       fresh AS (
+         SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+         UNION ALL
+         SELECT doc_id + 200000, text FROM documents
+         WHERE doc_id % 3 = 0 AND doc_id % 2 = 0)
+       SELECT f.doc_id FROM fresh f
+       WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = f.text)"""
 }

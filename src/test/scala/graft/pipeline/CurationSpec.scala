@@ -1,0 +1,135 @@
+package graft.pipeline
+
+import graft.functions.{LongBloom, TextEval}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Line-level stats, char-bigram LM scoring, inverted index, and
+  * incremental (cross-snapshot) dedup. */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  import spark.implicits._
+
+  test("lineColumns: counts, duplicate lines/chars, bullets, ellipsis") {
+    val text = Seq(
+      "alpha beta",    // line 1
+      "  alpha beta ", // trims to a duplicate of line 1 (10 chars)
+      "- item one",    // bullet
+      "* item two",    // bullet
+      "",              // dropped (empty after trim)
+      "   ",           // dropped
+      "to be continued..."
+    ).mkString("\n")
+    val df = Seq((1L, text)).toDF("id", "text")
+    val cols = TextAnalysis.lineColumns(col("text"))
+    val r = df.select(cols.map { case (n, c) => c.as(n) }: _*).head()
+    assert(r.getAs[Int]("n_lines") == 5)
+    assert(r.getAs[Int]("dup_lines") == 1)
+    assert(r.getAs[Long]("dup_line_chars") == 10L) // "alpha beta"
+    assert(r.getAs[Int]("bullet_lines") == 2)
+    assert(r.getAs[Int]("ellipsis_lines") == 1)
+  }
+
+  test("charBigrams and self-trained lmFamiliarity integer arithmetic") {
+    // corpus: "aaab" and "ab" -> bigrams aa,aa,ab | ab
+    // model: aa->2, ab->2
+    // doc 1: grams aa,aa,ab -> n=3, sum_log2 = 1+1+1 = 3, fam = 100
+    // doc 2: grams ab       -> n=1, sum_log2 = 1,     fam = 100
+    val docs = Seq((1L, "aaab"), (2L, "ab")).toDF("id", "text")
+    val out = TextAnalysis.lmFamiliaritySelf(docs, "id", "text")
+      .orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq == Seq((1L, 3L, 3L, 100L), (2L, 1L, 1L, 100L)))
+    // a 1-char doc yields no grams and is absent
+    val tiny = TextAnalysis.lmFamiliaritySelf(
+      Seq((1L, "x")).toDF("id", "text"), "id", "text")
+    assert(tiny.count() == 0)
+  }
+
+  test("lmFamiliarity against a foreign model counts unseen grams as 1") {
+    val model = Seq(("zz", 8L)).toDF("gram", "cnt")
+    val out = TextAnalysis.lmFamiliarity(
+      Seq((1L, "zzq")).toDF("id", "text"), "id", "text", model).head()
+    // grams zz (cnt 8 -> log2 3), zq (unseen -> cnt 1 -> log2 0)
+    assert(out.getAs[Long]("n_grams") == 2L)
+    assert(out.getAs[Long]("sum_log2") == 3L)
+    assert(out.getAs[Long]("fam_x100") == 150L)
+  }
+
+  test("invertedIndex: df band drops stopwords as counts, postings sorted") {
+    val docs = Seq(
+      (3L, "the cat sat"),
+      (1L, "the cat ran"),
+      (2L, "the dog ran ran")
+    ).toDF("id", "text")
+    val idx = TextAnalysis.invertedIndex(docs, "id", "text",
+        minDf = 2L, maxDf = 2L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // "the" has df=3 > maxDf: dropped; "sat"/"dog" df=1 < minDf: dropped
+    assert(idx.keySet == Set("cat", "ran"))
+    val cat = idx("cat")
+    assert(cat.getAs[Long]("df") == 2L)
+    val catPostings = cat.getSeq[org.apache.spark.sql.Row](2)
+      .map(p => (p.getLong(0), p.getLong(1)))
+    assert(catPostings == Seq((1L, 1L), (3L, 1L))) // sorted by id
+    val ranPostings = idx("ran").getSeq[org.apache.spark.sql.Row](2)
+      .map(p => (p.getLong(0), p.getLong(1)))
+    assert(ranPostings == Seq((1L, 1L), (2L, 2L))) // tf 2 in doc 2
+    spark.catalog.clearCache()
+  }
+
+  val corpusSnap = Seq((10L, "seen before"), (11L, "also seen")).toDF("doc_id", "text")
+  val freshBatch = Seq(
+    (20L, "brand new"),
+    (21L, "seen before"),   // dup of 10 -> dropped
+    (22L, "also seen"),     // dup of 11 -> dropped
+    (23L, "another new one")
+  ).toDF("doc_id", "text")
+
+  test("againstCorpus drops exactly the rows whose text is in the corpus") {
+    val out = Dedup.againstCorpus(freshBatch, corpusSnap, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(20L, 23L))
+  }
+
+  test("againstCorpusBloom returns the identical survivor set") {
+    val exact = Dedup.againstCorpus(freshBatch, corpusSnap, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    val bloom = Dedup.againstCorpusBloom(freshBatch, corpusSnap, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(bloom == exact)
+    // schema preserved (text column survives)
+    assert(Dedup.againstCorpusBloom(freshBatch, corpusSnap, "doc_id", "text")
+      .columns.toSeq == Seq("doc_id", "text"))
+  }
+
+  test("hashedLinearScore: additive over tokens, zero for empty, bucketed weights") {
+    val w = TextAnalysis.demoQualityWeights
+    val df = Seq((1L, "alpha"), (2L, "alpha alpha"), (3L, ""), (4L, "alpha beta"))
+      .toDF("id", "text")
+    val s = df.select(col("id"),
+        TextAnalysis.hashedLinearScore(col("text"), w).as("sc"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s(3L) == 0L)                 // no tokens -> 0
+    assert(s(2L) == 2 * s(1L))          // additive
+    assert(w.contains(s(1L)))           // a single token hits one bucket
+    assert(w.contains(s(4L) - s(1L)))   // and so does the second token
+    intercept[IllegalArgumentException](
+      TextAnalysis.hashedLinearScore(col("text"), Seq(1L, 2L, 3L)))
+  }
+
+  test("LongBloom.buildDistributed equals the sequential build bit-for-bit") {
+    val values = (0 until 5000).map(i => i.toLong * 0x9e3779b97f4a7c15L)
+    val (seqWords, seqK) = LongBloom.build(values.toArray, 16)
+    val df = values.toDF("h").repartition(7)
+    val (distWords, distK) = LongBloom.buildDistributed(df, 16)
+    assert(distK == seqK)
+    assert(java.util.Arrays.equals(distWords, seqWords))
+    // sanity: every inserted key is contained
+    assert(values.forall(v => TextEval.bloomContains(v, distWords, distK)))
+  }
+}
