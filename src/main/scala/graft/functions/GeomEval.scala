@@ -242,6 +242,16 @@ object GeomEval {
 /** Static bodies for the text/vector pipeline expressions. */
 object TextEval {
 
+  /** Unicode NFC (canonical composition). Already-normalized input —
+    * which `isNormalized` answers with a cheap quick-check for ASCII —
+    * returns the original buffer with no decode/copy. */
+  def nfc(t: UTF8String): UTF8String = {
+    val s = t.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) t
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
   def simhash(t: UTF8String, ngram: Int, seed: Long): Long = {
     val bytes = t.getBytes
     val toks = TextHashing.tokenHashes(bytes, seed)

@@ -213,6 +213,23 @@ case class SimHash64(child: Expression, ngram: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
 }
 
+/** Unicode NFC normalization (canonical composition): visually
+  * identical strings — 'é' vs 'e' + U+0301 combining acute — compare,
+  * hash, group, and dedup equal after it. The step a multilingual
+  * corpus needs BEFORE any hash-keyed dedup; semantics match DuckDB's
+  * nfc_normalize (both implement Unicode canonical composition), so
+  * oracles can replay it. Codegen'd static call; the already-normalized
+  * fast path (all ASCII included) returns the input buffer untouched. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+  override protected def nullSafeEval(t: Any): Any =
+    TextEval.nfc(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextEval.nfc($c)")
+  override protected def withNewChildInternal(c: Expression): NfcNormalize = copy(c)
+}
+
 /** MinHash signature over word shingles: numHashes permutation minima of
   * shingle hashes, h_i(x) = mix64(x ^ seed_i). Returns array<long>;
   * identical shingle sets => identical signatures, Jaccard-similar sets

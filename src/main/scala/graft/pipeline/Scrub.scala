@@ -28,6 +28,17 @@ object Scrub {
   def matchCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0)))
 
+  /** Unicode NFC canonical composition ('é' == 'e' + combining acute
+    * after it) — apply before any hash-keyed dedup/groupBy on
+    * multilingual text, where byte-different but canonically-equal
+    * strings must collide. Codegen'd custom expression
+    * ([[graft.functions.NfcNormalize]]); DuckDB's nfc_normalize
+    * implements the identical Unicode transformation for oracles. */
+  def nfc(text: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.NfcNormalize(
+        org.apache.spark.sql.graftbridge.Bridge.expression(text)))
+
   /** Per-row PII hit counts: emails, phone numbers, IPv4 addresses. */
   def piiCounts(text: Column): Seq[(String, Column)] = Seq(
     "emails" -> matchCount(text, emailPattern),

@@ -635,6 +635,45 @@ object PipelineQueries {
         .select(col("term"), col("df"), col("p.id").as("doc_id"), col("p.tf").as("tf"))
     }),
 
+    // Unicode NFC composition stats: planted decomposed sequences
+    // (e + U+0301, A + U+030A) shrink by exactly one code point each
+    // under canonical composition — both engines implement the same
+    // Unicode transformation
+    "nfc_stats" -> ((s, dir) => {
+      val id = col("doc_id")
+      // the suffix literals below are the DECOMPOSED forms (e + U+0301,
+      // A + U+030A) — visually identical to the composed glyphs
+      val ptext = concat(col("text"),
+        when(id % 4 === 0, lit(" café")).otherwise(lit("")),
+        when(id % 6 === 0, lit(" Ångstrom")).otherwise(lit("")))
+      t(s, dir, "documents").select(id, ptext.as("ptext"))
+        .select(col("doc_id"),
+          length(col("ptext")).as("len_raw"),
+          length(Scrub.nfc(col("ptext"))).as("len_nfc"),
+          (length(col("ptext")) - length(Scrub.nfc(col("ptext"))))
+            .as("composed"))
+    }),
+
+    // NFC-invariant exact dedup: originals carry a DECOMPOSED suffix,
+    // planted copies the COMPOSED form of the same suffix — byte-level
+    // different, canonically equal, so every copy must collapse onto
+    // its original after Scrub.nfc
+    "nfc_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      // originals get the DECOMPOSED suffix (e + U+0301), copies the
+      // COMPOSED one (U+00E9) — visually identical, byte-different
+      val originals = d.select(col("doc_id"),
+        concat(col("text"), lit(" café")).as("ptext"))
+      val copies = d.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" café")).as("ptext"))
+      Dedup.exact(
+          originals.unionAll(copies)
+            .withColumn("__k", Scrub.nfc(col("ptext"))),
+          "__k", "doc_id")
+        .select(col("doc_id"))
+    }),
+
     // hashed-feature linear classifier scoring (fastText quality-model
     // shape): per-token fingerprint -> bucket weight lookup -> doc sum,
     // ONE narrow projection (model = literal array, no join); DuckDB
@@ -1265,7 +1304,23 @@ object PipelineQueries {
     // both incremental paths must equal the plain text anti-join
     "incremental_dedup" -> incrementalDedupOracle,
     "incremental_dedup_bloom" -> incrementalDedupOracle,
-    "quality_linear_score" -> linearScoreOracle
+    "quality_linear_score" -> linearScoreOracle,
+    "nfc_stats" ->
+      """WITH p AS (
+           SELECT doc_id,
+                  text || CASE WHEN doc_id % 4 = 0
+                               THEN ' cafe' || chr(769) ELSE '' END
+                       || CASE WHEN doc_id % 6 = 0
+                               THEN ' A' || chr(778) || 'ngstrom' ELSE '' END
+                    AS ptext
+           FROM documents)
+         SELECT doc_id, length(ptext) AS len_raw,
+                length(nfc_normalize(ptext)) AS len_nfc,
+                length(ptext) - length(nfc_normalize(ptext)) AS composed
+         FROM p""",
+    // NFC-canonical equality collapses every composed copy onto its
+    // decomposed original: survivors are exactly the original ids
+    "nfc_dedup" -> "SELECT doc_id FROM documents"
   )
 
   // hashed-linear-classifier oracle: per-token rolling-hash fingerprint

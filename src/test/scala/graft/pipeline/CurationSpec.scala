@@ -107,6 +107,23 @@ class CurationSpec extends AnyFunSuite {
       .columns.toSeq == Seq("doc_id", "text"))
   }
 
+  test("NFC normalization composes decomposed sequences; ASCII untouched") {
+    val df = Seq(
+      (1L, "café"),   // decomposed e + combining acute
+      (2L, "plain ascii"),
+      (3L, "café")     // composed
+    ).toDF("id", "text")
+    val out = df.select(col("id"), Scrub.nfc(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "café") // composed, 4 code points
+    assert(out(1L) == out(3L))     // canonical equality after NFC
+    assert(out(2L) == "plain ascii")
+    // grouping on the normalized key collapses both spellings
+    val groups = df.groupBy(Scrub.nfc(col("text")).as("k"))
+      .count().collect()
+    assert(groups.length == 2)
+  }
+
   test("hashedLinearScore: additive over tokens, zero for empty, bucketed weights") {
     val w = TextAnalysis.demoQualityWeights
     val df = Seq((1L, "alpha"), (2L, "alpha alpha"), (3L, ""), (4L, "alpha beta"))
