@@ -242,6 +242,38 @@ object GeomEval {
 /** Static bodies for the text/vector pipeline expressions. */
 object TextEval {
 
+  /** All overlapping `n`-code-point character grams, ONE pass over the
+    * UTF-8 bytes (code-point starts collected once, grams sliced by
+    * byte offset). The builtin-composed substr(i, n) formulation is
+    * O(len²): every substr re-scans from the buffer start for
+    * code-point indexing. Gram VALUES are identical to the substr
+    * formulation, so SQL oracles keep using substr. */
+  def charNgrams(t: UTF8String, n: Int): ArrayData = {
+    val bytes = t.getBytes
+    var points = 0
+    var i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xc0) != 0x80) points += 1
+      i += 1
+    }
+    if (points < n) return new GenericArrayData(Array.empty[Any])
+    val starts = new Array[Int](points + 1)
+    var p = 0
+    i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xc0) != 0x80) { starts(p) = i; p += 1 }
+      i += 1
+    }
+    starts(points) = bytes.length
+    val out = new Array[Any](points - n + 1)
+    var j = 0
+    while (j < out.length) {
+      out(j) = UTF8String.fromBytes(bytes, starts(j), starts(j + n) - starts(j))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Unicode NFC (canonical composition). Already-normalized input —
     * which `isNormalized` answers with a cheap quick-check for ASCII —
     * returns the original buffer with no decode/copy. */

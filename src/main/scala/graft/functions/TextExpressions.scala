@@ -213,6 +213,22 @@ case class SimHash64(child: Expression, ngram: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
 }
 
+/** All overlapping n-code-point character grams of a text in one pass
+  * (the char-bigram LM feature extractor). Equivalent to
+  * transform(sequence(1, length-n+1), i -> substr(text, i, n)) but
+  * O(len) instead of O(len²) — substr's code-point indexing re-scans
+  * the buffer per call. */
+case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_ngrams"
+  override protected def nullSafeEval(t: Any): Any =
+    TextEval.charNgrams(t.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextEval.charNgrams($c, $n)")
+  override protected def withNewChildInternal(c: Expression): CharNgrams = copy(c)
+}
+
 /** Unicode NFC normalization (canonical composition): visually
   * identical strings — 'é' vs 'e' + U+0301 combining acute — compare,
   * hash, group, and dedup equal after it. The step a multilingual

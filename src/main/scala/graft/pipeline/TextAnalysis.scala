@@ -253,12 +253,15 @@ object TextAnalysis {
   }
 
   /** All overlapping character bigrams of `text` (documents shorter than
-    * 2 chars yield none). Bounded 2x-chars blowup when exploded. */
+    * 2 chars yield none). Bounded 2x-chars blowup when exploded. One
+    * O(len) pass ([[graft.functions.CharNgrams]]) — the substr-transform
+    * formulation is O(len²) because substr's code-point indexing
+    * re-scans the buffer per gram; values are identical, so oracles
+    * keep the substr form. */
   def charBigrams(text: Column): Column =
-    when(length(text) >= 2,
-      transform(sequence(lit(1), length(text) - 1),
-        i => text.substr(i, lit(2))))
-      .otherwise(array().cast("array<string>"))
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.CharNgrams(
+        org.apache.spark.sql.graftbridge.Bridge.expression(text), 2))
 
   /** Corpus character-bigram counts: (gram, cnt). The model is at most
     * |charset|² rows regardless of corpus size — the explode shuffles
