@@ -50,6 +50,66 @@ object Sketches {
         col("col").as("quantile"))
 
   /**
+   * EXACT discrete quantiles of `value` — the path when an exact answer
+   * is required at any scale (the sketch is approximate; its
+   * exact-degenerate config only holds while groups fit the accuracy
+   * budget). quantile_p = the smallest value with global rank >=
+   * ceil(p*n), DuckDB's quantile_disc convention.
+   *
+   * No single-task window anywhere: the global rank is
+   * [[graft.tools.Ranks.globalRowNumberWithRelease]]'s two-pass
+   * range-partition shape, n is a count of the already-cached ranked
+   * frame, and the |probs| target ranks join in as a broadcast literal.
+   * Ties need no tiebreak: equal values make rank assignment among them
+   * arbitrary but the VALUE at any rank deterministic. Returns
+   * (prob, quantile), localCheckpoint-pinned (|probs| rows) so the rank
+   * cache can be released eagerly.
+   */
+  def exactQuantiles(df: DataFrame, value: Column, probs: Seq[Double],
+                     numPartitions: Int = 32): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0.0 && p <= 1.0),
+      "probs must lie in (0, 1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(value.as("__v")).where(col("__v").isNotNull)
+    val (ranked, release) = graft.tools.Ranks.globalRowNumberWithRelease(
+      vals, "__rank", numPartitions, col("__v"))
+    val n = ranked.count()
+    val targets = probs.map(p => (p, math.max(1L, math.ceil(p * n).toLong)))
+      .toDF("prob", "__target")
+    val out = ranked
+      .join(broadcast(targets), col("__rank") === col("__target"))
+      .select(col("prob"), col("__v").as("quantile"))
+      .localCheckpoint(true)
+    release()
+    out
+  }
+
+  /**
+   * EXACT discrete per-group quantiles: rank within each group by a
+   * group-partitioned window (distributed across groups; skew bound =
+   * largest single group), |probs| broadcast rows per input row,
+   * rank-selection filter. Returns (grp, prob, quantile).
+   */
+  def exactQuantilesByGroup(df: DataFrame, group: Column, value: Column,
+                            probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0.0 && p <= 1.0),
+      "probs must lie in (0, 1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("__v"))
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+    df.select(group.as("grp"), value.as("__v"))
+      .where(col("__v").isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__cnt", count(lit(1)).over(wc))
+      .crossJoin(broadcast(probs.toDF("prob")))
+      .where(col("__rn") === ceil(col("prob") * col("__cnt")).cast("long"))
+      .select(col("grp"), col("prob"), col("__v").as("quantile"))
+  }
+
+  /**
    * The MERGEABLE distinct-count shape: one persistable HLL sketch per
    * group (DataSketches binary), union-merged to any coarser grouping
    * later WITHOUT rescanning the data. At scale this is the difference

@@ -376,4 +376,39 @@ object TextAnalysis {
     * literals). */
   val demoQualityWeights: Seq[Long] =
     (0 until 64).map(i => ((i * 37 + 11) % 21) - 10L)
+
+  /**
+   * Vocabulary coverage curve — the tokenizer-sizing question "what
+   * fraction of all token occurrences do the top-v terms cover?", one
+   * row (v, covered, ppm) per requested v.
+   *
+   * The term rank comes from [[graft.tools.Ranks.globalRowNumberWithRelease]]
+   * (a web-scale vocabulary outgrows the single-task `row_number()
+   * over (order by cnt)` window), the per-v coverages are conditional
+   * sums in ONE aggregate pass over the ranked counts, and the result
+   * reshapes via a literal struct array — |vs| rows total,
+   * localCheckpoint-pinned so the rank cache releases eagerly. ppm =
+   * floor(1e6 * covered / total).
+   */
+  def vocabCoverage(docs: DataFrame, textCol: String, vs: Seq[Int],
+                    numPartitions: Int = 32): DataFrame = {
+    require(vs.nonEmpty && vs.forall(_ >= 1), "vs must be positive")
+    val counts = docs.select(
+        explode(regexp_extract_all(col(textCol), lit("\\S+"), lit(0))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val (ranked, release) = graft.tools.Ranks.globalRowNumberWithRelease(
+      counts, "__rank", numPartitions, col("cnt").desc, col("term"))
+    val covSums = vs.map(v =>
+      sum(when(col("__rank") <= v, col("cnt")).otherwise(lit(0L))).as(s"__c$v"))
+    val one = ranked.agg(covSums.head,
+      covSums.tail :+ sum(col("cnt")).as("__total"): _*)
+    val entries = array(vs.map(v =>
+      struct(lit(v).as("v"), col(s"__c$v").as("covered"))): _*)
+    val out = one.select(col("__total"), explode(entries).as("e"))
+      .select(col("e.v").as("v"), col("e.covered").as("covered"),
+        floor(col("e.covered") * 1000000L / col("__total")).cast("long").as("ppm"))
+      .localCheckpoint(true)
+    release()
+    out
+  }
 }

@@ -635,6 +635,26 @@ object PipelineQueries {
         .select(col("term"), col("df"), col("p.id").as("doc_id"), col("p.tf").as("tf"))
     }),
 
+    // EXACT global discrete quantiles with NO single-task window: the
+    // two-pass distributed rank selects the ceil(p*n)-th value — the
+    // exact-at-any-scale complement to the sketch path (whose
+    // exact-degenerate config only holds while groups fit the accuracy)
+    "exact_quantiles_global" -> ((s, dir) =>
+      Sketches.exactQuantiles(t(s, dir, "events"), col("value"),
+        Seq(0.25, 0.5, 0.9))),
+
+    // per-group exact quantiles: group-partitioned rank window
+    // (distributed across groups) + rank-selection filter
+    "exact_quantiles_group" -> ((s, dir) =>
+      Sketches.exactQuantilesByGroup(t(s, dir, "events"),
+        col("event_type"), col("value"), Seq(0.25, 0.5, 0.9))),
+
+    // vocabulary coverage curve (tokenizer sizing): top-v term share of
+    // all token occurrences, distributed term rank, one aggregate pass
+    "vocab_coverage" -> ((s, dir) =>
+      TextAnalysis.vocabCoverage(t(s, dir, "documents"), "text",
+        Seq(5, 10, 20))),
+
     // Unicode NFC composition stats: planted decomposed sequences
     // (e + U+0301, A + U+030A) shrink by exactly one code point each
     // under canonical composition — both engines implement the same
@@ -1320,7 +1340,41 @@ object PipelineQueries {
          FROM p""",
     // NFC-canonical equality collapses every composed copy onto its
     // decomposed original: survivors are exactly the original ids
-    "nfc_dedup" -> "SELECT doc_id FROM documents"
+    "nfc_dedup" -> "SELECT doc_id FROM documents",
+    "exact_quantiles_global" ->
+      """WITH q AS (
+           SELECT quantile_disc(value, 0.25) AS q25,
+                  quantile_disc(value, 0.5) AS q50,
+                  quantile_disc(value, 0.9) AS q90
+           FROM events)
+         SELECT CAST(0.25 AS DOUBLE) AS prob, q25 AS quantile FROM q
+         UNION ALL SELECT CAST(0.5 AS DOUBLE), q50 FROM q
+         UNION ALL SELECT CAST(0.9 AS DOUBLE), q90 FROM q""",
+    "exact_quantiles_group" ->
+      """WITH q AS (
+           SELECT event_type AS grp,
+                  quantile_disc(value, 0.25) AS q25,
+                  quantile_disc(value, 0.5) AS q50,
+                  quantile_disc(value, 0.9) AS q90
+           FROM events GROUP BY 1)
+         SELECT grp, CAST(0.25 AS DOUBLE) AS prob, q25 AS quantile FROM q
+         UNION ALL SELECT grp, CAST(0.5 AS DOUBLE), q50 FROM q
+         UNION ALL SELECT grp, CAST(0.9 AS DOUBLE), q90 FROM q""",
+    "vocab_coverage" ->
+      """WITH c AS (
+           SELECT term, count(*) AS cnt FROM (
+             SELECT unnest(regexp_extract_all(text, '\S+')) AS term
+             FROM documents) GROUP BY 1),
+         r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rank
+               FROM c),
+         tot AS (SELECT sum(cnt) AS total FROM c)
+         SELECT v,
+                CAST(sum(CASE WHEN rank <= v THEN cnt ELSE 0 END) AS BIGINT)
+                  AS covered,
+                CAST(floor(sum(CASE WHEN rank <= v THEN cnt ELSE 0 END)
+                           * 1000000.0 / any_value(total)) AS BIGINT) AS ppm
+         FROM r CROSS JOIN (VALUES (5), (10), (20)) AS vals(v) CROSS JOIN tot
+         GROUP BY v"""
   )
 
   // hashed-linear-classifier oracle: per-token rolling-hash fingerprint

@@ -139,6 +139,33 @@ class CurationSpec extends AnyFunSuite {
       TextAnalysis.hashedLinearScore(col("text"), Seq(1L, 2L, 3L)))
   }
 
+  test("exactQuantiles global and by-group match brute-force rank selection") {
+    val df = Seq((0L, 5L), (1L, 1L), (0L, 9L), (1L, 3L), (0L, 7L),
+        (1L, 2L), (0L, 8L), (1L, 4L), (0L, 6L), (1L, 10L))
+      .toDF("g", "v")
+    // n=10; ranks ceil(.3*10)=3, ceil(.5*10)=5, ceil(1*10)=10 over 1..10
+    val g = Sketches.exactQuantiles(df, col("v"), Seq(0.3, 0.5, 1.0),
+        numPartitions = 3)
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(g == Map(0.3 -> 3L, 0.5 -> 5L, 1.0 -> 10L))
+    // group 0 sorted: 5,6,7,8,9; group 1 sorted: 1,2,3,4,10
+    val bg = Sketches.exactQuantilesByGroup(df, col("g"), col("v"),
+        Seq(0.5, 1.0))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    assert(bg == Map((0L, 0.5) -> 7L, (0L, 1.0) -> 9L,
+      (1L, 0.5) -> 3L, (1L, 1.0) -> 10L))
+  }
+
+  test("vocabCoverage: conditional top-v sums over the distributed rank") {
+    val docs = Seq((1L, "a a a b"), (2L, "b c")).toDF("id", "text")
+    // counts: a=3, b=2, c=1; total 6
+    val out = TextAnalysis.vocabCoverage(docs, "text", Seq(1, 2),
+        numPartitions = 2)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1) == (3L, 500000L))
+    assert(out(2) == (5L, 833333L))
+  }
+
   test("LongBloom.buildDistributed equals the sequential build bit-for-bit") {
     val values = (0 until 5000).map(i => i.toLong * 0x9e3779b97f4a7c15L)
     val (seqWords, seqK) = LongBloom.build(values.toArray, 16)
