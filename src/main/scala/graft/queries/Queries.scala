@@ -752,6 +752,34 @@ object Queries {
       s.table(qName).select(col("docId").as("doc_id"))
     }),
 
+    // Streaming INCREMENTAL DEDUP under the DuckDB gate: the unchanged
+    // batch operator (Dedup.againstCorpus — hash + left_anti) applied
+    // to a STREAMING new-batch against a STATIC corpus snapshot: the
+    // stream-static join shape (static side planned per microbatch,
+    // broadcast when small; the stream buffers no state). Must produce
+    // the same survivors as the batch twin incremental_dedup.
+    "stream_incremental_dedup" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val corpus = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") % 3 === 0).select(col("doc_id"), col("text"))
+      def src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .select(col("doc_id"), col("text"))
+      val fresh = src.where(col("doc_id") % 3 =!= 0)
+        .unionAll(src.where(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+      val deduped = graft.pipeline.Dedup.againstCorpus(
+        fresh, corpus, "doc_id", "text")
+      val qName = "graft_stream_incremental_dedup"
+      s.streams.active.filter(q => q.name == qName).foreach(_.stop())
+      val q = deduped.writeStream.format("memory").queryName(qName)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qName).select(col("doc_id"))
+    }),
+
     // Streaming SESSIONIZATION under the DuckDB gate: the session_window
     // aggregation as a real streaming query (complete output mode — all
     // sessions in the final table, no watermark-emission race), pinned
@@ -1455,6 +1483,18 @@ object Queries {
     "event_sessions" -> eventSessionsOracle,
     // the streaming session_window run must land on the same sessions
     "event_sessions_stream" -> eventSessionsOracle,
+    // the stream-static anti-join must keep the same survivors as the
+    // batch incremental_dedup twin (same oracle text)
+    "stream_incremental_dedup" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+         fresh AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+           UNION ALL
+           SELECT doc_id + 200000, text FROM documents
+           WHERE doc_id % 3 = 0 AND doc_id % 2 = 0)
+         SELECT f.doc_id FROM fresh f
+         WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = f.text)""",
     "vocab_stats" ->
       """SELECT count(DISTINCT tok) AS vocab, count(*) AS total_tokens
          FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS tok FROM documents)""",
