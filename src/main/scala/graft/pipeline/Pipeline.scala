@@ -203,12 +203,18 @@ object Dedup {
     val r = banded.select(col(idCol).as("id_b"), col("__th").as("__th_b"),
       col("__band"), col("__bandhash"))
     // __same is functionally dependent on the pair, so the distinct's
-    // cardinality (and shuffle width, +1 byte) is unchanged.
+    // cardinality (and shuffle width, +1 byte) is unchanged. The LAZY
+    // localCheckpoint matters: the exact/near branches below filter on
+    // __same, Catalyst pushes those filters BELOW the distinct, and the
+    // no-longer-identical subplans would defeat exchange reuse — the
+    // band join would run twice. Checkpointing pins the (ids-only)
+    // candidate set so both branches read one materialization.
     val candidates = l.join(r, Seq("__band", "__bandhash"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (col("__th_a") === col("__th_b")).as("__same"))
       .distinct()
+      .localCheckpoint(false)
 
     // Identical text => every shingle set identical => exact Jaccard is
     // 1.0 (eligible docs have >= 1 shingle), and threshold <= 1.0 always
