@@ -635,6 +635,22 @@ object PipelineQueries {
         .select(col("term"), col("df"), col("p.id").as("doc_id"), col("p.tf").as("tf"))
     }),
 
+    // embedding-norm outlier filter: quantized squared norms (exact
+    // integers in any engine) -> exact distributed 0.9-quantile
+    // threshold -> keep the central mass. The "drop degenerate/outlier
+    // vectors before indexing" curation step, composing the quantized
+    // arithmetic with the exact-quantile machinery
+    "embed_norm_filter" -> ((s, dir) => {
+      val norms = t(s, dir, "embeddings").select(col("vec_id"),
+        Tx.quantized_dot(col("embedding"), col("embedding"))
+          .cast("long").as("qnorm"))
+      val thr = Sketches.exactQuantiles(norms, col("qnorm"), Seq(0.9))
+        .select(col("quantile").as("__thr"))
+      norms.crossJoin(broadcast(thr))
+        .where(col("qnorm") <= col("__thr"))
+        .select(col("vec_id"), col("qnorm"))
+    }),
+
     // EXACT global discrete quantiles with NO single-task window: the
     // two-pass distributed rank selects the ceil(p*n)-th value — the
     // exact-at-any-scale complement to the sketch path (whose
@@ -1341,6 +1357,16 @@ object PipelineQueries {
     // NFC-canonical equality collapses every composed copy onto its
     // decomposed original: survivors are exactly the original ids
     "nfc_dedup" -> "SELECT doc_id FROM documents",
+    "embed_norm_filter" ->
+      """WITH n AS (
+           SELECT vec_id,
+                  CAST(list_dot_product(
+                    list_transform(CAST(embedding AS DOUBLE[]), x -> round(x*1000)),
+                    list_transform(CAST(embedding AS DOUBLE[]), x -> round(x*1000)))
+                    AS BIGINT) AS qnorm
+           FROM embeddings),
+         t AS (SELECT quantile_disc(qnorm, 0.9) AS thr FROM n)
+         SELECT vec_id, qnorm FROM n CROSS JOIN t WHERE qnorm <= thr""",
     "exact_quantiles_global" ->
       """WITH q AS (
            SELECT quantile_disc(value, 0.25) AS q25,

@@ -107,6 +107,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("lmFamiliarity scores via a broadcast model join, no cartesian") {
+    val docs = (0 until 300).map(i => (i.toLong, s"some text number $i padded out"))
+      .toDF("id", "text")
+    val out = graft.pipeline.TextAnalysis.lmFamiliaritySelf(docs, "id", "text")
+    val plan = finalPlan(out)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"char-bigram model should broadcast (corpus must not shuffle for scoring):\n$plan")
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"))
+  }
+
   test("LSH self-join computes the signature pass once (exchange reuse)") {
     val docs = (0 until 400).map(i => (i.toLong, s"alpha beta gamma delta ${i % 40} epsilon zeta"))
       .toDF("doc_id", "text")
