@@ -28,6 +28,28 @@ object Scrub {
   def matchCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0)))
 
+  /** Remove duplicate LINES within each document, keeping first
+    * occurrences in order — the in-document half of C4/Gopher line
+    * dedup (the cross-corpus half is `Dedup.dedupParagraphs` with a
+    * newline separator). Lines are trimmed; empty lines drop. Pure
+    * narrow array arithmetic (no shuffle, no explode); the
+    * first-occurrence test is array_position == own index, O(L²) in
+    * the LINE count per doc — fine for document-sized texts, and the
+    * identical list arithmetic runs in any SQL oracle. */
+  def dedupLinesInDoc(text: Column): Column = {
+    val lines = filter(transform(split(text, "\n"), l => trim(l)),
+      l => length(l) > 0)
+    // guard: sequence(1, 0) would generate a DESCENDING [1, 0], not
+    // an empty array — all-blank docs must short-circuit
+    when(size(lines) === 0, lit("")).otherwise(
+      array_join(
+        transform(
+          filter(sequence(lit(1), size(lines)),
+            i => array_position(lines, element_at(lines, i)) === i),
+          i => element_at(lines, i)),
+        "\n"))
+  }
+
   /** Unicode NFC canonical composition ('é' == 'e' + combining acute
     * after it) — apply before any hash-keyed dedup/groupBy on
     * multilingual text, where byte-different but canonically-equal

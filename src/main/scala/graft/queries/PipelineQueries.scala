@@ -635,6 +635,20 @@ object PipelineQueries {
         .select(col("term"), col("df"), col("p.id").as("doc_id"), col("p.tf").as("tf"))
     }),
 
+    // in-document line dedup (the C4/Gopher removal op, not just the
+    // stats): docs repeat their own text as lines 2 and 4; the deduped
+    // text must keep exactly first occurrences in order
+    "dedup_lines_in_doc" -> ((s, dir) => {
+      val id = col("doc_id")
+      val ptext = concat(col("text"), lit("\n"), col("text"),
+        when(id % 3 === 0, concat(lit("\nunique tail "), id.cast("string")))
+          .otherwise(lit("")),
+        lit("\n"), col("text"))
+      val d = t(s, dir, "documents").select(id, ptext.as("ptext"))
+      d.select(col("doc_id"),
+        Scrub.dedupLinesInDoc(col("ptext")).as("text"))
+    }),
+
     // embedding-norm outlier filter: quantized squared norms (exact
     // integers in any engine) -> exact distributed 0.9-quantile
     // threshold -> keep the central mass. The "drop degenerate/outlier
@@ -1357,6 +1371,28 @@ object PipelineQueries {
     // NFC-canonical equality collapses every composed copy onto its
     // decomposed original: survivors are exactly the original ids
     "nfc_dedup" -> "SELECT doc_id FROM documents",
+    "dedup_lines_in_doc" ->
+      """WITH p AS (
+           SELECT doc_id,
+                  text || chr(10) || text
+                    || CASE WHEN doc_id % 3 = 0
+                            THEN chr(10) || 'unique tail ' || CAST(doc_id AS VARCHAR)
+                            ELSE '' END
+                    || chr(10) || text AS ptext
+           FROM documents),
+         l AS (
+           SELECT doc_id,
+                  list_filter(list_transform(string_split(ptext, chr(10)), x -> trim(x)),
+                              x -> length(x) > 0) AS lines
+           FROM p)
+         SELECT doc_id,
+                array_to_string(
+                  list_transform(
+                    list_filter(range(1, len(lines) + 1),
+                                i -> list_position(lines, lines[i]) = i),
+                    i -> lines[i]),
+                  chr(10)) AS text
+         FROM l""",
     "embed_norm_filter" ->
       """WITH n AS (
            SELECT vec_id,

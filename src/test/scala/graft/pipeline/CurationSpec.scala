@@ -107,6 +107,19 @@ class CurationSpec extends AnyFunSuite {
       .columns.toSeq == Seq("doc_id", "text"))
   }
 
+  test("dedupLinesInDoc keeps first occurrences in order; blanks drop") {
+    val df = Seq(
+      (1L, "a b\nc d\na b\n  \nc d\ne"),
+      (2L, "\n  \n"),
+      (3L, "only line")
+    ).toDF("id", "text")
+    val out = df.select(col("id"), Scrub.dedupLinesInDoc(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "a b\nc d\ne")
+    assert(out(2L) == "")
+    assert(out(3L) == "only line")
+  }
+
   test("NFC normalization composes decomposed sequences; ASCII untouched") {
     val df = Seq(
       (1L, "café"),   // decomposed e + combining acute
