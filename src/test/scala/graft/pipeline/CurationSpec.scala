@@ -179,6 +179,35 @@ class CurationSpec extends AnyFunSuite {
     assert(out(2) == (5L, 833333L))
   }
 
+  test("property: dedupLinesInDoc equals a Scala model on random docs") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = Vector("a", "b b", "c", "dd d", " ", "")
+    val docs = (0 until 60).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(8))(alphabet(rnd.nextInt(alphabet.size)))
+        .mkString("\n"))
+    }
+    def model(text: String): String =
+      text.split("\n", -1).map(_.trim).filter(_.nonEmpty).distinct.mkString("\n")
+    val out = docs.toDF("id", "text")
+      .select(col("id"), Scrub.dedupLinesInDoc(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    docs.foreach { case (id, text) => assert(out(id) == model(text),
+      s"doc $id: ${text.replace("\n", "\\n")}") }
+  }
+
+  test("property: exactQuantiles equals sorted-array selection on random data") {
+    val rnd = new scala.util.Random(7)
+    val values = Seq.fill(257)(rnd.nextInt(1000).toLong)
+    val probs = Seq(0.01, 0.25, 0.5, 0.75, 0.99, 1.0)
+    val sorted = values.sorted
+    val expect = probs.map(p =>
+      p -> sorted(math.ceil(p * values.size).toInt.max(1) - 1)).toMap
+    val got = Sketches.exactQuantiles(values.toDF("v"), col("v"), probs,
+        numPartitions = 5)
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+  }
+
   test("LongBloom.buildDistributed equals the sequential build bit-for-bit") {
     val values = (0 until 5000).map(i => i.toLong * 0x9e3779b97f4a7c15L)
     val (seqWords, seqK) = LongBloom.build(values.toArray, 16)
