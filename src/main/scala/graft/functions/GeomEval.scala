@@ -274,10 +274,16 @@ object TextEval {
     new GenericArrayData(out)
   }
 
-  /** Unicode NFC (canonical composition). Already-normalized input —
-    * which `isNormalized` answers with a cheap quick-check for ASCII —
-    * returns the original buffer with no decode/copy. */
+  /** Unicode NFC (canonical composition). Pure-ASCII input — the
+    * dominant case in a web corpus — is detected with one branch-
+    * predictable byte scan and returns the original buffer with no
+    * String allocation at all; only multibyte rows decode for the
+    * isNormalized quick-check / normalize. */
   def nfc(t: UTF8String): UTF8String = {
+    val bytes = t.getBytes
+    var i = 0
+    while (i < bytes.length && bytes(i) >= 0) i += 1
+    if (i == bytes.length) return t // all ASCII: NFC by definition
     val s = t.toString
     if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) t
     else UTF8String.fromString(

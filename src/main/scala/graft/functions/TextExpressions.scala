@@ -99,6 +99,12 @@ object LongBloom {
     val items = math.max(1L, n)
     val mBits = math.max(64L, java.lang.Long.highestOneBit(
       math.max(1L, items * bitsPerItem - 1)) << 1)
+    // the JVM caps a long[] at ~2^31 words = 2^37 bits (16 GiB). Fail
+    // loudly instead of silently truncating the word count to Int
+    // (which would build a zero-length filter for ~8.6B+ items).
+    require((mBits >>> 6) <= Int.MaxValue.toLong,
+      s"bloom filter of $items items x $bitsPerItem bits needs ${mBits} bits" +
+        " — exceeds the JVM array limit; lower bitsPerItem or shard the filter")
     val k = math.max(1, math.round(0.6931471805599453 * bitsPerItem).toInt)
     (mBits, k)
   }

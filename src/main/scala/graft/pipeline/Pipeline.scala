@@ -168,11 +168,14 @@ object Dedup {
    *   6. exact n-gram Jaccard refine (joins text back in) for the
    *      remaining genuinely-near pairs only.
    *
-   * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+   * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold,
+   * plus a release handle that unpersists the candidate-pair cache (the
+   * largest intermediate at scale) once the result is consumed.
    */
-  def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
-                      shingle: Int = 3, numHashes: Int = 64, bands: Int = 16,
-                      threshold: Double = 0.7): DataFrame = {
+  def minhashDupPairsWithRelease(df: DataFrame, idCol: String, textCol: String,
+                                 shingle: Int = 3, numHashes: Int = 64,
+                                 bands: Int = 16, threshold: Double = 0.7)
+      : (DataFrame, () => Unit) = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
     val rows = numHashes / bands
@@ -203,18 +206,19 @@ object Dedup {
     val r = banded.select(col(idCol).as("id_b"), col("__th").as("__th_b"),
       col("__band"), col("__bandhash"))
     // __same is functionally dependent on the pair, so the distinct's
-    // cardinality (and shuffle width, +1 byte) is unchanged. The LAZY
-    // localCheckpoint matters: the exact/near branches below filter on
-    // __same, Catalyst pushes those filters BELOW the distinct, and the
+    // cardinality (and shuffle width, +1 byte) is unchanged. The
+    // persist matters: the exact/near branches below filter on __same,
+    // Catalyst pushes those filters BELOW the distinct, and the
     // no-longer-identical subplans would defeat exchange reuse — the
-    // band join would run twice. Checkpointing pins the (ids-only)
-    // candidate set so both branches read one materialization.
+    // band join would run twice. The cache makes both branches resolve
+    // to one InMemoryRelation (one materialization), and the release
+    // handle frees it deterministically.
     val candidates = l.join(r, Seq("__band", "__bandhash"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (col("__th_a") === col("__th_b")).as("__same"))
       .distinct()
-      .localCheckpoint(false)
+      .persist()
 
     // Identical text => every shingle set identical => exact Jaccard is
     // 1.0 (eligible docs have >= 1 shingle), and threshold <= 1.0 always
@@ -231,8 +235,18 @@ object Dedup {
       .withColumn("jaccard", ngram_jaccard(col("__text_a"), col("__text_b"), shingle))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-    exactDups.unionAll(refined)
+    (exactDups.unionAll(refined), () => { candidates.unpersist(false); () })
   }
+
+  /** [[minhashDupPairsWithRelease]] without the unpersist handle — the
+    * candidate cache stays pinned until `spark.catalog.clearCache()`
+    * (the tfidf convention). Prefer the handle variant when the caller
+    * controls result consumption. */
+  def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
+                      shingle: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                      threshold: Double = 0.7): DataFrame =
+    minhashDupPairsWithRelease(df, idCol, textCol, shingle, numHashes,
+      bands, threshold)._1
 
   /**
    * SimHash near-dup pairs within a Hamming radius. Banding the 64-bit
@@ -524,8 +538,8 @@ object Dedup {
                         shingle: Int = 3, numHashes: Int = 64,
                         bands: Int = 16, threshold: Double = 0.7,
                         ccAlgorithm: String = "label"): DataFrame = {
-    val pairs = minhashDupPairs(df, idCol, textCol, shingle, numHashes,
-      bands, threshold)
+    val (pairs, releasePairs) = minhashDupPairsWithRelease(df, idCol,
+      textCol, shingle, numHashes, bands, threshold)
     // "label" = min-label propagation (O(diameter) rounds — right for
     // LSH near-cliques); "star" = large/small-star (O(log n) rounds —
     // right when clusters can chain arbitrarily long)
@@ -542,6 +556,7 @@ object Dedup {
       .select(col("id").as(idCol))
       .localCheckpoint(true)
     comps.unpersist(false)
+    releasePairs() // the CC rounds are checkpointed; pairs are consumed
     df.join(losers, Seq(idCol), "left_anti")
   }
 
@@ -558,7 +573,7 @@ object Dedup {
    * corpus-shuffle-bound at scale; see [[againstCorpusBloom]].
    */
   def againstCorpus(newDocs: DataFrame, corpus: DataFrame,
-                    idCol: String, textCol: String): DataFrame = {
+                    textCol: String): DataFrame = {
     val seen = corpus.select(xxhash64(col(textCol)).as("__h")).distinct()
     newDocs.withColumn("__h", xxhash64(col(textCol)))
       .join(seen, Seq("__h"), "left_anti")
@@ -580,7 +595,7 @@ object Dedup {
    * entering it is ~0.04% of the batch instead of 100%.
    */
   def againstCorpusBloom(newDocs: DataFrame, corpus: DataFrame,
-                         idCol: String, textCol: String,
+                         textCol: String,
                          bitsPerItem: Int = 16): DataFrame = {
     val corpusHashes = corpus.select(xxhash64(col(textCol)).as("__h"))
     val (bits, k) = LongBloom.buildDistributed(corpusHashes, bitsPerItem)

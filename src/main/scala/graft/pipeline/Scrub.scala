@@ -37,8 +37,7 @@ object Scrub {
     * the LINE count per doc — fine for document-sized texts, and the
     * identical list arithmetic runs in any SQL oracle. */
   def dedupLinesInDoc(text: Column): Column = {
-    val lines = filter(transform(split(text, "\n"), l => trim(l)),
-      l => length(l) > 0)
+    val lines = TextAnalysis.trimmedLines(text)
     // guard: sequence(1, 0) would generate a DESCENDING [1, 0], not
     // an empty array — all-blank docs must short-circuit
     when(size(lines) === 0, lit("")).otherwise(

@@ -230,8 +230,7 @@ object TextAnalysis {
    * split/trim/length arithmetic any SQL oracle reproduces exactly.
    */
   def lineColumns(text: Column): Seq[(String, Column)] = {
-    val lines = filter(transform(split(text, "\n"), l => trim(l)),
-      l => length(l) > 0)
+    val lines = trimmedLines(text)
     val distinctLines = array_distinct(lines)
     val n = size(lines)
     val totalChars = aggregate(lines, lit(0L), (acc, l) => acc + length(l))
@@ -251,6 +250,13 @@ object TextAnalysis {
       "bullet_lines" -> bullets,
       "ellipsis_lines" -> ellipsis)
   }
+
+  /** The shared line model: '\n'-split, trimmed, empties dropped. Both
+    * the line STATS ([[lineColumns]]) and the line REMOVAL op
+    * ([[Scrub.dedupLinesInDoc]]) build on this one definition, so the
+    * stats always describe exactly what the removal would do. */
+  def trimmedLines(text: Column): Column =
+    filter(transform(split(text, "\n"), l => trim(l)), l => length(l) > 0)
 
   /** All overlapping character bigrams of `text` (documents shorter than
     * 2 chars yield none). Bounded 2x-chars blowup when exploded. One
@@ -404,9 +410,12 @@ object TextAnalysis {
       covSums.tail :+ sum(col("cnt")).as("__total"): _*)
     val entries = array(vs.map(v =>
       struct(lit(v).as("v"), col(s"__c$v").as("covered"))): _*)
+    // double multiply, matching the oracle's 1000000.0 arithmetic —
+    // covered * 1000000 in LONG overflows past ~9.2e12 occurrences
     val out = one.select(col("__total"), explode(entries).as("e"))
       .select(col("e.v").as("v"), col("e.covered").as("covered"),
-        floor(col("e.covered") * 1000000L / col("__total")).cast("long").as("ppm"))
+        floor(col("e.covered") * lit(1000000.0) / col("__total"))
+          .cast("long").as("ppm"))
       .localCheckpoint(true)
     release()
     out

@@ -749,7 +749,7 @@ object PipelineQueries {
       val fresh = d.where(col("doc_id") % 3 =!= 0)
         .unionAll(corpus.where(col("doc_id") % 2 === 0)
           .select((col("doc_id") + 200000).as("doc_id"), col("text")))
-      Dedup.againstCorpus(fresh, corpus, "doc_id", "text")
+      Dedup.againstCorpus(fresh, corpus, "text")
         .select(col("doc_id"))
     }),
 
@@ -761,7 +761,7 @@ object PipelineQueries {
       val fresh = d.where(col("doc_id") % 3 =!= 0)
         .unionAll(corpus.where(col("doc_id") % 2 === 0)
           .select((col("doc_id") + 200000).as("doc_id"), col("text")))
-      Dedup.againstCorpusBloom(fresh, corpus, "doc_id", "text")
+      Dedup.againstCorpusBloom(fresh, corpus, "text")
         .select(col("doc_id"))
     })
   )

@@ -768,8 +768,7 @@ object Queries {
       val fresh = src.where(col("doc_id") % 3 =!= 0)
         .unionAll(src.where(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 0)
           .select((col("doc_id") + 200000).as("doc_id"), col("text")))
-      val deduped = graft.pipeline.Dedup.againstCorpus(
-        fresh, corpus, "doc_id", "text")
+      val deduped = graft.pipeline.Dedup.againstCorpus(fresh, corpus, "text")
       val qName = "graft_stream_incremental_dedup"
       s.streams.active.filter(q => q.name == qName).foreach(_.stop())
       val q = deduped.writeStream.format("memory").queryName(qName)

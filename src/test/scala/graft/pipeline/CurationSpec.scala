@@ -91,19 +91,19 @@ class CurationSpec extends AnyFunSuite {
   ).toDF("doc_id", "text")
 
   test("againstCorpus drops exactly the rows whose text is in the corpus") {
-    val out = Dedup.againstCorpus(freshBatch, corpusSnap, "doc_id", "text")
+    val out = Dedup.againstCorpus(freshBatch, corpusSnap, "text")
       .select("doc_id").as[Long].collect().toSet
     assert(out == Set(20L, 23L))
   }
 
   test("againstCorpusBloom returns the identical survivor set") {
-    val exact = Dedup.againstCorpus(freshBatch, corpusSnap, "doc_id", "text")
+    val exact = Dedup.againstCorpus(freshBatch, corpusSnap, "text")
       .select("doc_id").as[Long].collect().toSet
-    val bloom = Dedup.againstCorpusBloom(freshBatch, corpusSnap, "doc_id", "text")
+    val bloom = Dedup.againstCorpusBloom(freshBatch, corpusSnap, "text")
       .select("doc_id").as[Long].collect().toSet
     assert(bloom == exact)
     // schema preserved (text column survives)
-    assert(Dedup.againstCorpusBloom(freshBatch, corpusSnap, "doc_id", "text")
+    assert(Dedup.againstCorpusBloom(freshBatch, corpusSnap, "text")
       .columns.toSeq == Seq("doc_id", "text"))
   }
 
