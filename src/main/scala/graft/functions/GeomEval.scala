@@ -274,6 +274,35 @@ object TextEval {
     new GenericArrayData(out)
   }
 
+  /** Plain char-level rolling hash: h = h*P + codePoint (mod 2^64)
+    * over the CODE POINTS of `t`, seeded. No tokenization, no
+    * finisher — the exact `traw` stage of the fingerprint oracle, so
+    * SQL replays it as one list_reduce of ord() values. Drives the
+    * CDC boundary test. */
+  def charRollHash(t: UTF8String, seed: Long): Long = {
+    val P = 1099511628211L
+    val bytes = t.getBytes
+    var h = seed
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      var cp = 0
+      var extra = 0
+      if (b < 0x80) { cp = b; extra = 0 }
+      else if ((b & 0xe0) == 0xc0) { cp = b & 0x1f; extra = 1 }
+      else if ((b & 0xf0) == 0xe0) { cp = b & 0x0f; extra = 2 }
+      else { cp = b & 0x07; extra = 3 }
+      var j = 0
+      while (j < extra && i + 1 + j < bytes.length) {
+        cp = (cp << 6) | (bytes(i + 1 + j) & 0x3f)
+        j += 1
+      }
+      i += 1 + extra
+      h = h * P + cp
+    }
+    h
+  }
+
   /** Unicode NFC (canonical composition). Pure-ASCII input — the
     * dominant case in a web corpus — is detected with one branch-
     * predictable byte scan and returns the original buffer with no

@@ -235,6 +235,20 @@ case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): CharNgrams = copy(c)
 }
 
+/** Char-level rolling hash (h = h*P + codePoint mod 2^64, seeded) — the
+  * content-defined-chunking boundary hash. Matches a SQL list_reduce
+  * over ord() values exactly (it IS the fingerprint oracle's traw
+  * stage, minus tokenization and finisher). */
+case class CharRollHash(child: Expression, seed: Long) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "char_roll_hash"
+  override protected def nullSafeEval(t: Any): Any =
+    TextEval.charRollHash(t.asInstanceOf[UTF8String], seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextEval.charRollHash($c, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): CharRollHash = copy(c)
+}
+
 /** Unicode NFC normalization (canonical composition): visually
   * identical strings — 'é' vs 'e' + U+0301 combining acute — compare,
   * hash, group, and dedup equal after it. The step a multilingual

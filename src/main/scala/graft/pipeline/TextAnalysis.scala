@@ -383,6 +383,72 @@ object TextAnalysis {
   val demoQualityWeights: Seq[Long] =
     (0 until 64).map(i => ((i * 37 + 11) % 21) - 10L)
 
+  /** All overlapping `n`-code-point grams (the [[charBigrams]]
+    * machinery at any width). */
+  def charNgramsCol(text: Column, n: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.CharNgrams(
+        org.apache.spark.sql.graftbridge.Bridge.expression(text), n))
+
+  /**
+   * Content-defined chunking (CDC): split `text` AFTER every position
+   * whose trailing `window`-char rolling hash has its low `maskBits`
+   * bits zero (expected chunk length 2^maskBits chars). The boundary
+   * test depends only on a fixed-width window, so boundaries
+   * RE-SYNCHRONIZE after an insertion or deletion — the property that
+   * makes chunk-level dedup robust to edits, where fixed-size chunking
+   * loses every chunk after the first edit. The storage/dedup-systems
+   * primitive (LBFS/FastCDC lineage), here as a narrow per-row
+   * projection: gram array (one [[graft.functions.CharNgrams]] pass) →
+   * boundary filter ([[graft.functions.CharRollHash]], integer
+   * arithmetic any SQL oracle replays) → substring slicing. No
+   * min/max chunk clamps (keeps both engines' arithmetic identical);
+   * texts shorter than `window` form one chunk.
+   *
+   * Returns array<string> of chunks; concat(chunks) == text.
+   */
+  def cdcChunks(text: Column, window: Int = 8, maskBits: Int = 5,
+                seed: Long = 42L): Column = {
+    require(window >= 1 && maskBits >= 1 && maskBits < 63,
+      "need window >= 1 and 1 <= maskBits < 63")
+    val maskLit = lit((1L << maskBits) - 1)
+    def rollHash(c: Column): Column =
+      org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.functions.CharRollHash(
+          org.apache.spark.sql.graftbridge.Bridge.expression(c), seed))
+    // let-binding via a 1-element transform: the bound value is
+    // evaluated ONCE per row and the lambda body sees an O(1)
+    // variable reference. Without this, every reference inside a
+    // downstream lambda re-evaluates the whole subtree PER ELEMENT —
+    // the first formulation re-built the full gram array per position
+    // (O(len²) with allocation; measured minutes instead of seconds
+    // at sf0.01).
+    def bind(x: Column)(body: Column => Column): Column =
+      element_at(transform(array(x), body), 1)
+    val rolled = transform(charNgramsCol(text, window), g => rollHash(g))
+    bind(rolled) { hs =>
+      val n = size(hs) // = len - window + 1 when len >= window, else 0
+      // cut positions (1-based, cut AFTER the position): gram j ends
+      // at j + window - 1. sequence(1, 0) would be DESCENDING — guard.
+      val ends0 = filter(
+        transform(sequence(lit(1), greatest(n, lit(1))),
+          j => when(element_at(hs, j).bitwiseAND(maskLit) === 0L,
+            j + lit(window - 1)).otherwise(lit(0))),
+        p => p > 0)
+      bind(when(n < 1, array().cast("array<int>")).otherwise(ends0)) { es =>
+        val len = length(text)
+        bind(when(size(es) > 0 && element_at(es, size(es)) === len, es)
+            .otherwise(concat(es, array(len)))) { ef =>
+          transform(sequence(lit(1), size(ef)), i => {
+            val prev = when(i === 1, lit(0)).otherwise(element_at(ef, i - 1))
+            text.substr((prev + 1).cast("int"),
+              (element_at(ef, i) - prev).cast("int"))
+          })
+        }
+      }
+    }
+  }
+
   /**
    * Vocabulary coverage curve — the tokenizer-sizing question "what
    * fraction of all token occurrences do the top-v terms cover?", one

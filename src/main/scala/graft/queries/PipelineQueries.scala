@@ -635,6 +635,22 @@ object PipelineQueries {
         .select(col("term"), col("df"), col("p.id").as("doc_id"), col("p.tf").as("tf"))
     }),
 
+    // content-defined chunking: corpus plus PREFIX-SHIFTED copies —
+    // CDC boundaries re-synchronize after the insertion (the dedup
+    // property fixed-size chunking lacks); every chunk of every doc is
+    // hash-compared against DuckDB replaying the same window-hash
+    // arithmetic
+    "cdc_chunks" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = d.unionAll(d.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("XYZ PREFIX "), col("text")).as("text")))
+      corpus.select(col("doc_id"),
+          posexplode(TextAnalysis.cdcChunks(col("text"), window = 8, maskBits = 5)))
+        .select(col("doc_id"), (col("pos") + 1).as("chunk_idx"),
+          col("col").as("chunk"))
+    }),
+
     // in-document line dedup (the C4/Gopher removal op, not just the
     // stats): docs repeat their own text as lines 2 and 4; the deduped
     // text must keep exactly first occurrences in order
@@ -1371,6 +1387,7 @@ object PipelineQueries {
     // NFC-canonical equality collapses every composed copy onto its
     // decomposed original: survivors are exactly the original ids
     "nfc_dedup" -> "SELECT doc_id FROM documents",
+    "cdc_chunks" -> cdcChunksOracle,
     "dedup_lines_in_doc" ->
       """WITH p AS (
            SELECT doc_id,
@@ -1481,6 +1498,44 @@ object PipelineQueries {
                    ELSE 0 END AS avg_x100
        FROM documents d LEFT JOIN agg a USING (doc_id)"""
   }
+
+  // CDC oracle: per gram position j, the window hash is the same
+  // seeded char fold as the fingerprint oracle's traw stage (no
+  // tokenization, no finisher); cut after j+7 when its low 5 bits are
+  // zero; chunks are string slices between consecutive cuts.
+  private lazy val cdcChunksOracle: String =
+    s"""WITH base AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 100000, 'XYZ PREFIX ' || text FROM documents
+         WHERE doc_id % 10 = 0),
+       g AS (
+         SELECT doc_id, text, length(text) AS len,
+                CASE WHEN length(text) >= 8
+                     THEN list_filter(list_transform(range(1, length(text) - 6),
+                            j -> CASE WHEN (list_reduce(
+                                   list_prepend(CAST(42 AS HUGEINT),
+                                     list_transform(range(j, j + 8),
+                                       i -> CAST(ord(substr(text, i, 1)) AS HUGEINT))),
+                                   (acc, b) -> ${Fp.mulmodPPlus("acc", "b")}) % 32) = 0
+                                 THEN j + 7 ELSE 0 END),
+                            p -> p > 0)
+                     ELSE [] END AS ends
+         FROM base),
+       e AS (
+         SELECT doc_id, text,
+                CASE WHEN len(ends) > 0 AND ends[len(ends)] = len
+                     THEN ends ELSE list_append(ends, len) END AS ef
+         FROM g),
+       c AS (
+         SELECT doc_id,
+                list_transform(range(1, len(ef) + 1),
+                  i -> text[(CASE WHEN i = 1 THEN 0 ELSE ef[i-1] END) + 1 : ef[i]])
+                  AS chunks
+         FROM e)
+       SELECT doc_id, generate_subscripts(chunks, 1) AS chunk_idx,
+              unnest(chunks) AS chunk
+       FROM c"""
 
   private lazy val incrementalDedupOracle: String =
     """WITH corpus AS (

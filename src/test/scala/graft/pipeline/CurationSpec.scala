@@ -179,6 +179,29 @@ class CurationSpec extends AnyFunSuite {
     assert(out(2) == (5L, 833333L))
   }
 
+  test("cdcChunks: lossless concat; boundaries re-sync after a prefix edit") {
+    val rnd = new scala.util.Random(3)
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val text = Seq.fill(400)(words(rnd.nextInt(words.size))).mkString(" ")
+    val df = Seq((1L, text), (2L, "INSERTED-PREFIX " + text)).toDF("id", "text")
+    val chunks = df.select(col("id"),
+        TextAnalysis.cdcChunks(col("text")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // lossless: chunks concatenate back to the text
+    assert(chunks(1L).mkString("") == text)
+    assert(chunks(2L).mkString("") == "INSERTED-PREFIX " + text)
+    // re-sync: after the leading insertion most chunks are shared —
+    // fixed-size chunking would share (essentially) none
+    val shared = chunks(1L).toSet.intersect(chunks(2L).toSet)
+    assert(shared.size * 2 >= chunks(1L).size,
+      s"only ${shared.size}/${chunks(1L).size} chunks survived the prefix edit")
+    // degenerate inputs: shorter than the window -> one chunk
+    val tiny = Seq((1L, "short")).toDF("id", "text")
+      .select(TextAnalysis.cdcChunks(col("text")).as("c"))
+      .head().getSeq[String](0)
+    assert(tiny == Seq("short"))
+  }
+
   test("property: dedupLinesInDoc equals a Scala model on random docs") {
     val rnd = new scala.util.Random(42)
     val alphabet = Vector("a", "b b", "c", "dd d", " ", "")
