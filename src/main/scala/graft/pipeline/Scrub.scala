@@ -36,18 +36,20 @@ object Scrub {
     * first-occurrence test is array_position == own index, O(L²) in
     * the LINE count per doc — fine for document-sized texts, and the
     * identical list arithmetic runs in any SQL oracle. */
-  def dedupLinesInDoc(text: Column): Column = {
-    val lines = TextAnalysis.trimmedLines(text)
-    // guard: sequence(1, 0) would generate a DESCENDING [1, 0], not
-    // an empty array — all-blank docs must short-circuit
-    when(size(lines) === 0, lit("")).otherwise(
-      array_join(
-        transform(
-          filter(sequence(lit(1), size(lines)),
-            i => array_position(lines, element_at(lines, i)) === i),
-          i => element_at(lines, i)),
-        "\n"))
-  }
+  def dedupLinesInDoc(text: Column): Column =
+    // let-bind the line array: referenced inside the filter lambda it
+    // would re-split the text per line index (see TextAnalysis.bindArray)
+    TextAnalysis.bindArray(TextAnalysis.trimmedLines(text)) { lines =>
+      // guard: sequence(1, 0) would generate a DESCENDING [1, 0], not
+      // an empty array — all-blank docs must short-circuit
+      when(size(lines) === 0, lit("")).otherwise(
+        array_join(
+          transform(
+            filter(sequence(lit(1), size(lines)),
+              i => array_position(lines, element_at(lines, i)) === i),
+            i => element_at(lines, i)),
+          "\n"))
+    }
 
   /** Unicode NFC canonical composition ('é' == 'e' + combining acute
     * after it) — apply before any hash-keyed dedup/groupBy on

@@ -133,9 +133,12 @@ object TextAnalysis {
       transform(sequence(lit(1), n - 1),
         i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
       .otherwise(array().cast("array<string>"))
+    // let-bind toks for the nested scan: an expression referenced
+    // INSIDE a lambda re-evaluates per element, so the unbound form
+    // re-split the text once per distinct token (O(n²) splits)
     val topTok = when(n > 0,
-      array_max(transform(array_distinct(toks),
-        u => size(filter(toks, x => x === u))))).otherwise(lit(0))
+      bindArray(toks)(ts => array_max(transform(array_distinct(ts),
+        u => size(filter(ts, x => x === u)))))).otherwise(lit(0))
     Seq("n_tokens" -> n, "n_distinct" -> nDistinct,
       "dup_tokens" -> (n - nDistinct),
       "distinct_bigrams" -> size(array_distinct(bigrams)),
@@ -257,6 +260,15 @@ object TextAnalysis {
     * stats always describe exactly what the removal would do. */
   def trimmedLines(text: Column): Column =
     filter(transform(split(text, "\n"), l => trim(l)), l => length(l) > 0)
+
+  /** Let-binding for expression trees: evaluate `x` ONCE per row and
+    * hand the body an O(1) lambda-variable reference. Required whenever
+    * a non-trivial array expression is referenced inside a
+    * higher-order-function lambda — lambda bodies re-evaluate their
+    * captured expressions PER ELEMENT (measured: the unbound CDC
+    * formulation was O(len²) and ~18× slower end to end). */
+  def bindArray(x: Column)(body: Column => Column): Column =
+    element_at(transform(array(x), body), 1)
 
   /** All overlapping character bigrams of `text` (documents shorter than
     * 2 chars yield none). Bounded 2x-chars blowup when exploded. One
@@ -416,15 +428,11 @@ object TextAnalysis {
       org.apache.spark.sql.graftbridge.Bridge.column(
         graft.functions.CharRollHash(
           org.apache.spark.sql.graftbridge.Bridge.expression(c), seed))
-    // let-binding via a 1-element transform: the bound value is
-    // evaluated ONCE per row and the lambda body sees an O(1)
-    // variable reference. Without this, every reference inside a
-    // downstream lambda re-evaluates the whole subtree PER ELEMENT —
-    // the first formulation re-built the full gram array per position
-    // (O(len²) with allocation; measured minutes instead of seconds
-    // at sf0.01).
-    def bind(x: Column)(body: Column => Column): Column =
-      element_at(transform(array(x), body), 1)
+    // see bindArray: every intermediate referenced inside a downstream
+    // lambda must be let-bound or it re-evaluates per element — the
+    // unbound formulation re-built the full gram array per position
+    // (O(len²); measured minutes instead of seconds at sf0.01)
+    def bind(x: Column)(body: Column => Column): Column = bindArray(x)(body)
     val rolled = transform(charNgramsCol(text, window), g => rollHash(g))
     bind(rolled) { hs =>
       val n = size(hs) // = len - window + 1 when len >= window, else 0
