@@ -133,22 +133,55 @@ object Dedup {
    * grams). Keep it off when hash-matching a string-keyed oracle.
    */
   def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
-                      sep: String = "\n", byHash: Boolean = false): DataFrame = {
-    val paras = df
-      .where(col(idCol).isNotNull && col(textCol).isNotNull)
-      .select(col(idCol), posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+                      sep: String = "\n", byHash: Boolean = false): DataFrame =
+    dedupChunksCore(
+      df.where(col(idCol).isNotNull && col(textCol).isNotNull)
+        .select(col(idCol),
+          posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))),
+      idCol, textCol, sep, byHash)
+
+  /**
+   * Chunk-level dedup over CONTENT-DEFINED boundaries: documents split
+   * by [[TextAnalysis.cdcChunks]], each chunk survives only in the
+   * document where it first occurs, survivors concatenate back (no
+   * separator — CDC chunks partition the text exactly). Because CDC
+   * boundaries re-synchronize across insertions, a document that
+   * embeds a shifted copy of earlier content loses exactly the copied
+   * span and keeps its novel prefix/suffix — the "strip boilerplate
+   * and partial copies" operator that paragraph dedup (separator-
+   * bound) and whole-doc dedup (all-or-nothing) both miss. Same
+   * single-chunk-keyed-shuffle plan as [[dedupParagraphs]].
+   */
+  def dedupCdcChunks(df: DataFrame, idCol: String, textCol: String,
+                     window: Int = 8, maskBits: Int = 5,
+                     byHash: Boolean = false): DataFrame =
+    dedupChunksCore(
+      df.where(col(idCol).isNotNull && col(textCol).isNotNull)
+        .select(col(idCol),
+          posexplode(TextAnalysis.cdcChunks(col(textCol), window, maskBits))),
+      idCol, textCol, "", byHash)
+
+  /** Shared first-occurrence core: input rows (id, pos, chunk) from a
+    * posexplode; each chunk value survives only at its smallest
+    * (id, pos); survivors reassemble in order, `joinSep`-joined. ONE
+    * chunk-keyed shuffle (window row_number) + one id-keyed reassembly
+    * shuffle. Documents reduced to nothing disappear. */
+  private def dedupChunksCore(exploded: DataFrame, idCol: String,
+                              textCol: String, joinSep: String,
+                              byHash: Boolean): DataFrame = {
+    val chunks = exploded
       .withColumnRenamed("pos", "__pos")
-      .withColumnRenamed("col", "__para")
-    val key = if (byHash) xxhash64(col("__para")) else col("__para")
+      .withColumnRenamed("col", "__chunk")
+    val key = if (byHash) xxhash64(col("__chunk")) else col("__chunk")
     val w = Window.partitionBy(key).orderBy(col(idCol), col("__pos"))
-    val firsts = paras
+    val firsts = chunks
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)
     firsts.groupBy(col(idCol))
       .agg(array_join(
-        transform(array_sort(collect_list(struct(col("__pos"), col("__para")))),
-          x => x("__para")),
-        sep).as(textCol))
+        transform(array_sort(collect_list(struct(col("__pos"), col("__chunk")))),
+          x => x("__chunk")),
+        joinSep).as(textCol))
   }
 
   /**

@@ -413,16 +413,19 @@ object TextAnalysis {
    * primitive (LBFS/FastCDC lineage), here as a narrow per-row
    * projection: gram array (one [[graft.functions.CharNgrams]] pass) →
    * boundary filter ([[graft.functions.CharRollHash]], integer
-   * arithmetic any SQL oracle replays) → substring slicing. No
-   * min/max chunk clamps (keeps both engines' arithmetic identical);
-   * texts shorter than `window` form one chunk.
+   * arithmetic any SQL oracle replays) → a sequential min-gap fold
+   * (`minChunk`, the FastCDC-style floor: without it adjacent boundary
+   * hits produce degenerate few-char chunks whose values collide all
+   * over the corpus) → substring slicing. The final chunk may be
+   * shorter than `minChunk`; texts shorter than `window` form one
+   * chunk. Expected chunk length ≈ minChunk + 2^maskBits.
    *
    * Returns array<string> of chunks; concat(chunks) == text.
    */
   def cdcChunks(text: Column, window: Int = 8, maskBits: Int = 5,
-                seed: Long = 42L): Column = {
-    require(window >= 1 && maskBits >= 1 && maskBits < 63,
-      "need window >= 1 and 1 <= maskBits < 63")
+                minChunk: Int = 16, seed: Long = 42L): Column = {
+    require(window >= 1 && maskBits >= 1 && maskBits < 63 && minChunk >= 1,
+      "need window >= 1, 1 <= maskBits < 63, minChunk >= 1")
     val maskLit = lit((1L << maskBits) - 1)
     def rollHash(c: Column): Column =
       org.apache.spark.sql.graftbridge.Bridge.column(
@@ -438,12 +441,22 @@ object TextAnalysis {
       val n = size(hs) // = len - window + 1 when len >= window, else 0
       // cut positions (1-based, cut AFTER the position): gram j ends
       // at j + window - 1. sequence(1, 0) would be DESCENDING — guard.
-      val ends0 = filter(
+      val cands = filter(
         transform(sequence(lit(1), greatest(n, lit(1))),
           j => when(element_at(hs, j).bitwiseAND(maskLit) === 0L,
             j + lit(window - 1)).otherwise(lit(0))),
         p => p > 0)
-      bind(when(n < 1, array().cast("array<int>")).otherwise(ends0)) { es =>
+      // sequential min-gap fold: keep a candidate cut only when it is
+      // >= minChunk past the last KEPT cut (seeded with 0 = text
+      // start, dropped after the fold)
+      val ends0 = bind(when(n < 1, array().cast("array<int>"))
+          .otherwise(cands)) { cs =>
+        val kept = aggregate(cs, array(lit(0)),
+          (acc, p) => when(p - element_at(acc, size(acc)) >= minChunk,
+            concat(acc, array(p))).otherwise(acc))
+        slice(kept, lit(2), greatest(size(kept) - 1, lit(0)))
+      }
+      bind(ends0) { es =>
         val len = length(text)
         bind(when(size(es) > 0 && element_at(es, size(es)) === len, es)
             .otherwise(concat(es, array(len)))) { ef =>

@@ -651,6 +651,19 @@ object PipelineQueries {
           col("col").as("chunk"))
     }),
 
+    // chunk-level dedup over the CDC boundaries: prefix-shifted copies
+    // lose exactly their copied span (boundaries re-sync) and keep the
+    // novel prefix — partial-copy stripping that paragraph dedup and
+    // whole-doc dedup both miss
+    "cdc_chunk_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = d.unionAll(d.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("XYZ PREFIX "), col("text")).as("text")))
+      Dedup.dedupCdcChunks(corpus, "doc_id", "text",
+        window = 8, maskBits = 5)
+    }),
+
     // in-document line dedup (the C4/Gopher removal op, not just the
     // stats): docs repeat their own text as lines 2 and 4; the deduped
     // text must keep exactly first occurrences in order
@@ -1388,6 +1401,7 @@ object PipelineQueries {
     // decomposed original: survivors are exactly the original ids
     "nfc_dedup" -> "SELECT doc_id FROM documents",
     "cdc_chunks" -> cdcChunksOracle,
+    "cdc_chunk_dedup" -> cdcChunkDedupOracle,
     "dedup_lines_in_doc" ->
       """WITH p AS (
            SELECT doc_id,
@@ -1499,11 +1513,13 @@ object PipelineQueries {
        FROM documents d LEFT JOIN agg a USING (doc_id)"""
   }
 
-  // CDC oracle: per gram position j, the window hash is the same
+  // CDC oracle CTEs: per gram position j, the window hash is the same
   // seeded char fold as the fingerprint oracle's traw stage (no
-  // tokenization, no finisher); cut after j+7 when its low 5 bits are
-  // zero; chunks are string slices between consecutive cuts.
-  private lazy val cdcChunksOracle: String =
+  // tokenization, no finisher); candidate cut after j+7 when its low 5
+  // bits are zero; a sequential list_reduce (1-element-list wrapping
+  // makes acc/x the same LIST type) keeps only cuts >= 16 past the
+  // last kept cut; chunks are string slices between consecutive cuts.
+  private lazy val cdcChunksCtes: String =
     s"""WITH base AS (
          SELECT doc_id, text FROM documents
          UNION ALL
@@ -1520,22 +1536,50 @@ object PipelineQueries {
                                    (acc, b) -> ${Fp.mulmodPPlus("acc", "b")}) % 32) = 0
                                  THEN j + 7 ELSE 0 END),
                             p -> p > 0)
-                     ELSE [] END AS ends
+                     ELSE [] END AS cand
          FROM base),
+       k AS (
+         SELECT doc_id, text, len,
+                list_reduce(
+                  list_prepend([CAST(0 AS BIGINT)],
+                    list_transform(cand, p -> [p])),
+                  (acc, x) -> CASE WHEN x[1] - acc[len(acc)] >= 16
+                                   THEN list_concat(acc, x) ELSE acc END
+                )[2:] AS ends
+         FROM g),
        e AS (
          SELECT doc_id, text,
                 CASE WHEN len(ends) > 0 AND ends[len(ends)] = len
                      THEN ends ELSE list_append(ends, len) END AS ef
-         FROM g),
+         FROM k),
        c AS (
          SELECT doc_id,
                 list_transform(range(1, len(ef) + 1),
                   i -> text[(CASE WHEN i = 1 THEN 0 ELSE ef[i-1] END) + 1 : ef[i]])
                   AS chunks
-         FROM e)
+         FROM e)"""
+
+  private lazy val cdcChunksOracle: String =
+    s"""$cdcChunksCtes
        SELECT doc_id, generate_subscripts(chunks, 1) AS chunk_idx,
               unnest(chunks) AS chunk
        FROM c"""
+
+  // chunk dedup on top of the CDC pipeline: first (doc, pos) holder of
+  // every chunk value survives, survivors string_agg back in order
+  private lazy val cdcChunkDedupOracle: String =
+    s"""$cdcChunksCtes,
+       x AS (
+         SELECT doc_id, generate_subscripts(chunks, 1) AS chunk_idx,
+                unnest(chunks) AS chunk
+         FROM c),
+       firsts AS (
+         SELECT doc_id, chunk_idx, chunk,
+                row_number() OVER (PARTITION BY chunk
+                                   ORDER BY doc_id, chunk_idx) AS rn
+         FROM x)
+       SELECT doc_id, string_agg(chunk, '' ORDER BY chunk_idx) AS text
+       FROM firsts WHERE rn = 1 GROUP BY doc_id"""
 
   private lazy val incrementalDedupOracle: String =
     """WITH corpus AS (

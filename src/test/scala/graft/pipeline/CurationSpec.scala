@@ -202,6 +202,21 @@ class CurationSpec extends AnyFunSuite {
     assert(tiny == Seq("short"))
   }
 
+  test("dedupCdcChunks strips the copied span, keeps the novel prefix") {
+    // unique tokens: within-doc chunk repeats would (correctly!)
+    // self-dedup and break the out(1) == text assertion
+    val text = Seq.tabulate(300)(i => s"word$i").mkString(" ")
+    val df = Seq((1L, text), (2L, "FRESH LEAD-IN " + text)).toDF("id", "text")
+    val out = Dedup.dedupCdcChunks(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == text) // first holder keeps everything
+    // the copy keeps its novel prefix (plus at most the pre-resync
+    // tail of copied content) and loses the re-synced copied chunks
+    assert(out(2L).startsWith("FRESH LEAD-IN "))
+    assert(out(2L).length < text.length / 2,
+      s"copy kept ${out(2L).length} chars of ${text.length}")
+  }
+
   test("property: dedupLinesInDoc equals a Scala model on random docs") {
     val rnd = new scala.util.Random(42)
     val alphabet = Vector("a", "b b", "c", "dd d", " ", "")
