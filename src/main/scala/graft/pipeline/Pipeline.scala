@@ -153,12 +153,13 @@ object Dedup {
    * single-chunk-keyed-shuffle plan as [[dedupParagraphs]].
    */
   def dedupCdcChunks(df: DataFrame, idCol: String, textCol: String,
-                     window: Int = 8, maskBits: Int = 5,
-                     byHash: Boolean = false): DataFrame =
+                     window: Int = 8, maskBits: Int = 5, minChunk: Int = 16,
+                     seed: Long = 42L, byHash: Boolean = false): DataFrame =
     dedupChunksCore(
       df.where(col(idCol).isNotNull && col(textCol).isNotNull)
         .select(col(idCol),
-          posexplode(TextAnalysis.cdcChunks(col(textCol), window, maskBits))),
+          posexplode(TextAnalysis.cdcChunks(col(textCol), window, maskBits,
+            minChunk, seed))),
       idCol, textCol, "", byHash)
 
   /** Shared first-occurrence core: input rows (id, pos, chunk) from a
@@ -208,6 +209,13 @@ object Dedup {
   def minhashDupPairsWithRelease(df: DataFrame, idCol: String, textCol: String,
                                  shingle: Int = 3, numHashes: Int = 64,
                                  bands: Int = 16, threshold: Double = 0.7)
+      : (DataFrame, () => Unit) =
+    minhashDupPairsImpl(df, idCol, textCol, shingle, numHashes, bands,
+      threshold, pin = true)
+
+  private def minhashDupPairsImpl(df: DataFrame, idCol: String, textCol: String,
+                                  shingle: Int, numHashes: Int,
+                                  bands: Int, threshold: Double, pin: Boolean)
       : (DataFrame, () => Unit) = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
@@ -240,18 +248,20 @@ object Dedup {
       col("__band"), col("__bandhash"))
     // __same is functionally dependent on the pair, so the distinct's
     // cardinality (and shuffle width, +1 byte) is unchanged. The
-    // persist matters: the exact/near branches below filter on __same,
-    // Catalyst pushes those filters BELOW the distinct, and the
-    // no-longer-identical subplans would defeat exchange reuse — the
-    // band join would run twice. The cache makes both branches resolve
-    // to one InMemoryRelation (one materialization), and the release
-    // handle frees it deterministically.
-    val candidates = l.join(r, Seq("__band", "__bandhash"))
+    // one-materialization step matters: the exact/near branches below
+    // filter on __same, Catalyst pushes those filters BELOW the
+    // distinct, and the no-longer-identical subplans would defeat
+    // exchange reuse — the band join would run twice. pin=true uses
+    // persist + the deterministic release handle; pin=false (the
+    // handle-less wrapper) uses a lazy localCheckpoint instead, which
+    // the ContextCleaner reclaims on GC — persisting there would pin
+    // the largest intermediate in the CacheManager forever.
+    val cand0 = l.join(r, Seq("__band", "__bandhash"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (col("__th_a") === col("__th_b")).as("__same"))
       .distinct()
-      .persist()
+    val candidates = if (pin) cand0.persist() else cand0.localCheckpoint(false)
 
     // Identical text => every shingle set identical => exact Jaccard is
     // 1.0 (eligible docs have >= 1 shingle), and threshold <= 1.0 always
@@ -271,15 +281,16 @@ object Dedup {
     (exactDups.unionAll(refined), () => { candidates.unpersist(false); () })
   }
 
-  /** [[minhashDupPairsWithRelease]] without the unpersist handle — the
-    * candidate cache stays pinned until `spark.catalog.clearCache()`
-    * (the tfidf convention). Prefer the handle variant when the caller
-    * controls result consumption. */
+  /** [[minhashDupPairsWithRelease]] without the release handle: the
+    * candidate set rides a GC-reclaimed localCheckpoint instead of a
+    * CacheManager-pinned persist, so repeated invocations don't
+    * accumulate permanent cache entries. Prefer the handle variant
+    * when the caller controls result consumption. */
   def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
                       shingle: Int = 3, numHashes: Int = 64, bands: Int = 16,
                       threshold: Double = 0.7): DataFrame =
-    minhashDupPairsWithRelease(df, idCol, textCol, shingle, numHashes,
-      bands, threshold)._1
+    minhashDupPairsImpl(df, idCol, textCol, shingle, numHashes,
+      bands, threshold, pin = false)._1
 
   /**
    * SimHash near-dup pairs within a Hamming radius. Banding the 64-bit

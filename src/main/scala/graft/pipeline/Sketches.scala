@@ -75,12 +75,15 @@ object Sketches {
     val (ranked, release) = graft.tools.Ranks.globalRowNumberWithRelease(
       vals, "__rank", numPartitions, col("__v"))
     val n = ranked.count()
-    // ceil over a NUDGED product: the double p*n can land one ulp above
-    // the true integer (0.57*100 -> 57.000000000000006 -> ceil 58, but
-    // quantile_disc says 57). The 1e-6 nudge absorbs product rounding
-    // (empirically matches DuckDB across an (n, p) sweep); it can only
-    // misrank when the true p*n sits within 1e-6 above an integer.
-    val targets = probs.map(p => (p, math.max(1L, math.ceil(p * n - 1e-6).toLong)))
+    // ceil over a RELATIVELY nudged product: the double p*n can land
+    // one ulp above the true integer (0.57*100 -> 57.000000000000006
+    // -> ceil 58, but quantile_disc says 57). A relative factor keeps
+    // absorbing one-ulp rounding at ANY magnitude (an absolute epsilon
+    // stops working once ulp(p*n) exceeds it, ~4.5e9 rows for 1e-6);
+    // it can only misrank when the true p*n sits within p*n*1e-9 above
+    // an integer. Empirically matches DuckDB across an (n, p) sweep.
+    val targets = probs
+      .map(p => (p, math.max(1L, math.ceil(p * n * (1 - 1e-9)).toLong)))
       .toDF("prob", "__target")
     val out = ranked
       .join(broadcast(targets), col("__rank") === col("__target"))
@@ -110,9 +113,9 @@ object Sketches {
       .withColumn("__rn", row_number().over(w))
       .withColumn("__cnt", count(lit(1)).over(wc))
       .crossJoin(broadcast(probs.toDF("prob")))
-      // same 1e-6 nudge as exactQuantiles: absorb p*cnt double rounding
-      .where(col("__rn") ===
-        greatest(lit(1L), ceil(col("prob") * col("__cnt") - lit(1e-6)).cast("long")))
+      // same relative nudge as exactQuantiles: absorb p*cnt rounding
+      .where(col("__rn") === greatest(lit(1L),
+        ceil(col("prob") * col("__cnt") * lit(1 - 1e-9)).cast("long")))
       .select(col("grp"), col("prob"), col("__v").as("quantile"))
   }
 

@@ -129,13 +129,13 @@ object TextAnalysis {
     val toks = split(trim(text), "\\s+")
     val n = size(toks)
     val nDistinct = size(array_distinct(toks))
-    val bigrams = when(n >= 2,
-      transform(sequence(lit(1), n - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    // let-bind toks for the nested scan: an expression referenced
-    // INSIDE a lambda re-evaluates per element, so the unbound form
-    // re-split the text once per distinct token (O(n²) splits)
+    // let-bind toks wherever a lambda captures it: an expression
+    // referenced INSIDE a lambda re-evaluates per element, so the
+    // unbound forms re-split the text once per index (O(n²) splits)
+    val bigrams = bindArray(toks)(ts => when(size(ts) >= 2,
+      transform(sequence(lit(1), size(ts) - 1),
+        i => concat_ws(" ", element_at(ts, i), element_at(ts, i + 1))))
+      .otherwise(array().cast("array<string>")))
     val topTok = when(n > 0,
       bindArray(toks)(ts => array_max(transform(array_distinct(ts),
         u => size(filter(ts, x => x === u)))))).otherwise(lit(0))
@@ -261,12 +261,13 @@ object TextAnalysis {
   def trimmedLines(text: Column): Column =
     filter(transform(split(text, "\n"), l => trim(l)), l => length(l) > 0)
 
-  /** Let-binding for expression trees: evaluate `x` ONCE per row and
-    * hand the body an O(1) lambda-variable reference. Required whenever
-    * a non-trivial array expression is referenced inside a
-    * higher-order-function lambda — lambda bodies re-evaluate their
-    * captured expressions PER ELEMENT (measured: the unbound CDC
-    * formulation was O(len²) and ~18× slower end to end). */
+  /** Let-binding for expression trees (any element type, not just
+    * arrays): evaluate `x` ONCE per row and hand the body an O(1)
+    * lambda-variable reference. Required whenever a non-trivial
+    * expression is referenced inside a higher-order-function lambda —
+    * lambda bodies re-evaluate their captured expressions PER ELEMENT
+    * (measured: the unbound CDC formulation was O(len²) and ~18×
+    * slower end to end). */
   def bindArray(x: Column)(body: Column => Column): Column =
     element_at(transform(array(x), body), 1)
 
@@ -276,10 +277,7 @@ object TextAnalysis {
     * formulation is O(len²) because substr's code-point indexing
     * re-scans the buffer per gram; values are identical, so oracles
     * keep the substr form. */
-  def charBigrams(text: Column): Column =
-    org.apache.spark.sql.graftbridge.Bridge.column(
-      graft.functions.CharNgrams(
-        org.apache.spark.sql.graftbridge.Bridge.expression(text), 2))
+  def charBigrams(text: Column): Column = charNgramsCol(text, 2)
 
   /** Corpus character-bigram counts: (gram, cnt). The model is at most
     * |charset|² rows regardless of corpus size — the explode shuffles
@@ -436,35 +434,40 @@ object TextAnalysis {
     // unbound formulation re-built the full gram array per position
     // (O(len²); measured minutes instead of seconds at sf0.01)
     def bind(x: Column)(body: Column => Column): Column = bindArray(x)(body)
-    val rolled = transform(charNgramsCol(text, window), g => rollHash(g))
-    bind(rolled) { hs =>
-      val n = size(hs) // = len - window + 1 when len >= window, else 0
-      // cut positions (1-based, cut AFTER the position): gram j ends
-      // at j + window - 1. sequence(1, 0) would be DESCENDING — guard.
-      val cands = filter(
-        transform(sequence(lit(1), greatest(n, lit(1))),
-          j => when(element_at(hs, j).bitwiseAND(maskLit) === 0L,
-            j + lit(window - 1)).otherwise(lit(0))),
-        p => p > 0)
-      // sequential min-gap fold: keep a candidate cut only when it is
-      // >= minChunk past the last KEPT cut (seeded with 0 = text
-      // start, dropped after the fold)
-      val ends0 = bind(when(n < 1, array().cast("array<int>"))
-          .otherwise(cands)) { cs =>
-        val kept = aggregate(cs, array(lit(0)),
-          (acc, p) => when(p - element_at(acc, size(acc)) >= minChunk,
-            concat(acc, array(p))).otherwise(acc))
-        slice(kept, lit(2), greatest(size(kept) - 1, lit(0)))
-      }
-      bind(ends0) { es =>
-        val len = length(text)
-        bind(when(size(es) > 0 && element_at(es, size(es)) === len, es)
-            .otherwise(concat(es, array(len)))) { ef =>
-          transform(sequence(lit(1), size(ef)), i => {
-            val prev = when(i === 1, lit(0)).otherwise(element_at(ef, i - 1))
-            text.substr((prev + 1).cast("int"),
-              (element_at(ef, i) - prev).cast("int"))
-          })
+    // the OUTER bind is the caller-supplied text itself: the slicing
+    // lambda below references it per chunk, and a computed argument
+    // (e.g. lower(col)) would otherwise re-evaluate per chunk
+    bind(text) { t =>
+      val rolled = transform(charNgramsCol(t, window), g => rollHash(g))
+      bind(rolled) { hs =>
+        val n = size(hs) // = len - window + 1 when len >= window, else 0
+        // cut positions (1-based, cut AFTER the position): gram j ends
+        // at j + window - 1. sequence(1, 0) would be DESCENDING — guard.
+        val cands = filter(
+          transform(sequence(lit(1), greatest(n, lit(1))),
+            j => when(element_at(hs, j).bitwiseAND(maskLit) === 0L,
+              j + lit(window - 1)).otherwise(lit(0))),
+          p => p > 0)
+        // sequential min-gap fold: keep a candidate cut only when it is
+        // >= minChunk past the last KEPT cut (seeded with 0 = text
+        // start, dropped after the fold)
+        val ends0 = bind(when(n < 1, array().cast("array<int>"))
+            .otherwise(cands)) { cs =>
+          val kept = aggregate(cs, array(lit(0)),
+            (acc, p) => when(p - element_at(acc, size(acc)) >= minChunk,
+              concat(acc, array(p))).otherwise(acc))
+          slice(kept, lit(2), greatest(size(kept) - 1, lit(0)))
+        }
+        bind(ends0) { es =>
+          val len = length(t)
+          bind(when(size(es) > 0 && element_at(es, size(es)) === len, es)
+              .otherwise(concat(es, array(len)))) { ef =>
+            transform(sequence(lit(1), size(ef)), i => {
+              val prev = when(i === 1, lit(0)).otherwise(element_at(ef, i - 1))
+              t.substr((prev + 1).cast("int"),
+                (element_at(ef, i) - prev).cast("int"))
+            })
+          }
         }
       }
     }
