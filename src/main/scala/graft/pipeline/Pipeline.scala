@@ -261,6 +261,19 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         (col("__th_a") === col("__th_b")).as("__same"))
       .distinct()
+    refineCandidates(cand0, df, idCol, textCol, shingle, threshold, pin)
+  }
+
+  /** Shared candidate→result tail of the pair-join family: pin the
+    * distinct candidate set (persist + release handle, or a GC-reclaimed
+    * localCheckpoint), short-circuit identical-text pairs to jaccard 1.0,
+    * and exact-refine the genuinely-near remainder via the two text
+    * joins. `cand0` must have columns (id_a, id_b, __same) where __same
+    * means the two texts hash-compare equal. */
+  private def refineCandidates(cand0: DataFrame, df: DataFrame,
+                               idCol: String, textCol: String,
+                               shingle: Int, threshold: Double, pin: Boolean)
+      : (DataFrame, () => Unit) = {
     val candidates = if (pin) cand0.persist() else cand0.localCheckpoint(false)
 
     // Identical text => every shingle set identical => exact Jaccard is
@@ -291,6 +304,99 @@ object Dedup {
                       threshold: Double = 0.7): DataFrame =
     minhashDupPairsImpl(df, idCol, textCol, shingle, numHashes,
       bands, threshold, pin = false)._1
+
+  /**
+   * EXACT set-similarity self-join by prefix filtering (the
+   * AllPairs/PPJoin family): ALL pairs with n-gram Jaccard >= threshold
+   * — no LSH approximation, and never an all-pairs scan.
+   *
+   * Why it is lossless: order every doc's distinct gram-hash set by one
+   * global total order (ascending Long — gram hashes are uniform, so
+   * this behaves like a random permutation of the gram universe). If
+   * J(x,y) >= t then |x∩y| >= t/(1+t)·(|x|+|y|) >= ceil(t·max(|x|,|y|)),
+   * and two sets overlapping in >= a elements must collide within their
+   * first |s| - a + 1 ordered elements — so a pair that never collides
+   * on a prefix gram cannot qualify. Prefix length per doc is
+   * |S| - ceil(t·|S|) + 1 (a relative -1e-9 nudge keeps FP from rounding
+   * the ceil UP: a too-long prefix only adds candidates, a too-short one
+   * would lose pairs).
+   *
+   * Plan shape (scales to 100 TB):
+   *   1. one narrow pass: distinct gram hashes, sorted, prefix slice,
+   *   2. posexplode to ~(1-t)·|S| rows per doc (vs. the minhash path's
+   *      fixed `bands` rows — prefix filtering pays per unique gram but
+   *      returns EVERY qualifying pair, not a probabilistic superset),
+   *   3. shuffle on the 8-byte gram hash (ReuseExchange: one exchange
+   *      feeds both self-join sides),
+   *   4. within-bucket join with the symmetric length filter
+   *      (t·|a| <= |b| and t·|b| <= |a|, 1e-6 slack so FP product error
+   *      can only ADD candidates — exact for any |S| < ~4.5e9),
+   *   5. distinct pairs; identical-text pairs short-circuit to 1.0 and
+   *      skip the text re-join; the rest exact-refine (shared tail with
+   *      [[minhashDupPairs]]).
+   *
+   * Versus [[minhashDupPairs]]: same output CONTRACT but guaranteed
+   * recall 1.0 at any threshold; costs one prefix-gram row per doc per
+   * ~(1-t) of its vocabulary instead of a fixed band count, so it wins
+   * at high thresholds (t >= 0.8 → prefix ~20% of grams) and loses at
+   * low ones. Skew: a gram shared by d docs yields O(d²) candidate
+   * checks in its bucket — hash order makes hot grams no likelier to be
+   * prefix grams than rare ones (frequency-ascending ordering would
+   * minimize candidates further at the cost of a corpus frequency pass).
+   *
+   * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+   */
+  def jaccardDupPairs(df: DataFrame, idCol: String, textCol: String,
+                      shingle: Int = 3, threshold: Double = 0.7): DataFrame =
+    jaccardDupPairsImpl(df, idCol, textCol, shingle, threshold, pin = false)._1
+
+  /** [[jaccardDupPairs]] with a deterministic release handle for the
+    * candidate-pair cache (same contract as
+    * [[minhashDupPairsWithRelease]]). */
+  def jaccardDupPairsWithRelease(df: DataFrame, idCol: String, textCol: String,
+                                 shingle: Int = 3, threshold: Double = 0.7)
+      : (DataFrame, () => Unit) =
+    jaccardDupPairsImpl(df, idCol, textCol, shingle, threshold, pin = true)
+
+  private def jaccardDupPairsImpl(df: DataFrame, idCol: String, textCol: String,
+                                  shingle: Int, threshold: Double, pin: Boolean)
+      : (DataFrame, () => Unit) = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    // Distinct gram set sorted ascending — THE global order of the
+    // prefix lemma. Docs with no grams can never reach `threshold`
+    // against anything (empty ∩ anything = 0), so they are dropped, and
+    // |S| >= 1 makes the prefix length >= 1.
+    val sorted = array_sort(array_distinct(
+      token_ngram_hashes(col(textCol), shingle)))
+    val sized = df
+      .select(col(idCol), xxhash64(col(textCol)).as("__th"), sorted.as("__g"))
+      .withColumn("__n", size(col("__g")))
+      .where(col("__n") >= 1)
+    val prefLen = (col("__n")
+      - ceil(col("__n") * threshold * (1.0 - 1e-9)).cast("int") + 1)
+    // Same ReuseExchange discipline as the minhash path: repartition on
+    // the join key so ONE exchange feeds both self-join inputs — the
+    // gram pass runs once.
+    val pref = sized
+      .select(col(idCol), col("__n"), col("__th"),
+        explode(slice(col("__g"), lit(1), prefLen)).as("__gram"))
+      .repartition(col("__gram"))
+    val l = pref.select(col(idCol).as("id_a"), col("__n").as("__n_a"),
+      col("__th").as("__th_a"), col("__gram"))
+    val r = pref.select(col(idCol).as("id_b"), col("__n").as("__n_b"),
+      col("__th").as("__th_b"), col("__gram"))
+    // Symmetric length filter: J >= t forces t·|a| <= |b| (and vice
+    // versa). The 1e-6 slack only ever ADMITS a boundary pair the FP
+    // product would wrongly reject; false admissions die in the refine.
+    val cand0 = l.join(r, Seq("__gram"))
+      .where(col("id_a") < col("id_b") &&
+        col("__n_a") * threshold <= col("__n_b") + 1e-6 &&
+        col("__n_b") * threshold <= col("__n_a") + 1e-6)
+      .select(col("id_a"), col("id_b"),
+        (col("__th_a") === col("__th_b")).as("__same"))
+      .distinct()
+    refineCandidates(cand0, df, idCol, textCol, shingle, threshold, pin)
+  }
 
   /**
    * SimHash near-dup pairs within a Hamming radius. Banding the 64-bit

@@ -87,6 +87,16 @@ object PipelineQueries {
         "doc_id", "text", shingle = 3, numHashes = 64, bands = 16, threshold = 0.8)
     }),
 
+    // EXACT prefix-filtered set-similarity join (AllPairs/PPJoin shape):
+    // same all-pairs Jaccard oracle as minhash_dup_pairs, but here the
+    // match is guaranteed by construction at ANY threshold/data — the
+    // prefix filter is lossless, not probabilistic. The two operators
+    // passing against ONE oracle is itself the recall-1.0 proof.
+    "jaccard_dup_pairs" -> ((s, dir) => {
+      Dedup.jaccardDupPairs(t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", shingle = 3, threshold = 0.8)
+    }),
+
     // near-dup CLUSTER dedup end-to-end: LSH pairs -> connected
     // components -> min-id representative per cluster. The oracle
     // recomputes exact all-pairs Jaccard AND the components with a
@@ -916,6 +926,23 @@ object PipelineQueries {
                        CAST(${Fp.emptyFp} AS BIGINT)) AS fp64
        FROM documents d LEFT JOIN dhash h USING (doc_id)"""
 
+  // shared by minhash_dup_pairs (probabilistic candidates, exact refine)
+  // and jaccard_dup_pairs (lossless prefix filter): all pairs with
+  // 3-token-gram Jaccard >= 0.8, recomputed brute-force
+  private val allPairsJaccardOracle =
+    """WITH grams AS (
+         SELECT doc_id,
+                list_distinct(list_transform(range(1, len(w)-1),
+                  i -> w[i]||chr(31)||w[i+1]||chr(31)||w[i+2])) AS g
+         FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
+       )
+       SELECT id_a, id_b, jaccard FROM (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                  / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jaccard
+         FROM grams a, grams b WHERE a.doc_id < b.doc_id
+       ) WHERE jaccard >= 0.8"""
+
   // shared by dedup_clusters (min-label propagation) and
   // dedup_clusters_star (large/small-star): both connected-components
   // algorithms must reproduce DuckDB's recursive-CTE transitive closure
@@ -1233,19 +1260,11 @@ object PipelineQueries {
           )
           SELECT $langCase AS lang_pred, count(*) AS n, min(doc_id) AS first_id
           FROM scored GROUP BY 1""",
-    "minhash_dup_pairs" ->
-      """WITH grams AS (
-           SELECT doc_id,
-                  list_distinct(list_transform(range(1, len(w)-1),
-                    i -> w[i]||chr(31)||w[i+1]||chr(31)||w[i+2])) AS g
-           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
-         )
-         SELECT id_a, id_b, jaccard FROM (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-                    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jaccard
-           FROM grams a, grams b WHERE a.doc_id < b.doc_id
-         ) WHERE jaccard >= 0.8""",
+    "minhash_dup_pairs" -> allPairsJaccardOracle,
+    // the exact prefix-filtered join must reproduce the SAME all-pairs
+    // result — for it this is a by-construction guarantee, not a
+    // recall observation
+    "jaccard_dup_pairs" -> allPairsJaccardOracle,
     "dedup_clusters" -> dedupClustersOracle,
     // the star-CC path must reproduce the same transitive closure
     "dedup_clusters_star" -> dedupClustersOracle,
@@ -1519,38 +1538,51 @@ object PipelineQueries {
   // bits are zero; a sequential list_reduce (1-element-list wrapping
   // makes acc/x the same LIST type) keeps only cuts >= 16 past the
   // last kept cut; chunks are string slices between consecutive cuts.
+  // The rolling window hash is UNROLLED into 8 plain HUGEINT
+  // multiply-add-mod steps and the sequential min-gap fold is a
+  // recursive CTE, NOT list_reduce: DuckDB 1.0.0's list_reduce silently
+  // corrupts its accumulator in fused plans (observed: a fold over a
+  // correct candidate list returning [] for some rows — row- and
+  // plan-dependent — with a one-row repro of list_reduce-inside-
+  // list_transform feeding another list_reduce). Everything here is
+  // list_transform/list_filter + recursion, which DuckDB executes
+  // correctly.
+  private lazy val cdcWindowHash: String =
+    (0 until 8).foldLeft("CAST(42 AS HUGEINT)") { (acc, k) =>
+      s"((($acc) * 1099511628211 + CAST(ord(substr(text, j + $k, 1)) AS HUGEINT))" +
+        " % 18446744073709551616)"
+    }
+
   private lazy val cdcChunksCtes: String =
-    s"""WITH base AS (
+    s"""WITH RECURSIVE base AS (
          SELECT doc_id, text FROM documents
          UNION ALL
          SELECT doc_id + 100000, 'XYZ PREFIX ' || text FROM documents
          WHERE doc_id % 10 = 0),
        g AS (
-         SELECT doc_id, text, length(text) AS len,
+         SELECT doc_id, text, length(text) AS tchars,
                 CASE WHEN length(text) >= 8
                      THEN list_filter(list_transform(range(1, length(text) - 6),
-                            j -> CASE WHEN (list_reduce(
-                                   list_prepend(CAST(42 AS HUGEINT),
-                                     list_transform(range(j, j + 8),
-                                       i -> CAST(ord(substr(text, i, 1)) AS HUGEINT))),
-                                   (acc, b) -> ${Fp.mulmodPPlus("acc", "b")}) % 32) = 0
+                            j -> CASE WHEN ($cdcWindowHash % 32) = 0
                                  THEN j + 7 ELSE 0 END),
                             p -> p > 0)
                      ELSE [] END AS cand
          FROM base),
+       kseq(doc_id, last) AS (
+         SELECT doc_id, CAST(0 AS BIGINT) FROM g
+         UNION ALL
+         SELECT k.doc_id, list_min(list_filter(g.cand, p -> p - k.last >= 16))
+         FROM kseq k JOIN g ON g.doc_id = k.doc_id
+         WHERE list_min(list_filter(g.cand, p -> p - k.last >= 16)) IS NOT NULL),
        k AS (
-         SELECT doc_id, text, len,
-                list_reduce(
-                  list_prepend([CAST(0 AS BIGINT)],
-                    list_transform(cand, p -> [p])),
-                  (acc, x) -> CASE WHEN x[1] - acc[len(acc)] >= 16
-                                   THEN list_concat(acc, x) ELSE acc END
-                )[2:] AS ends
+         SELECT g.doc_id, g.text, g.tchars,
+                coalesce((SELECT list(s.last ORDER BY s.last) FROM kseq s
+                          WHERE s.doc_id = g.doc_id AND s.last > 0), []) AS ends
          FROM g),
        e AS (
          SELECT doc_id, text,
-                CASE WHEN len(ends) > 0 AND ends[len(ends)] = len
-                     THEN ends ELSE list_append(ends, len) END AS ef
+                CASE WHEN len(ends) > 0 AND ends[len(ends)] = tchars
+                     THEN ends ELSE list_append(ends, tchars) END AS ef
          FROM k),
        c AS (
          SELECT doc_id,

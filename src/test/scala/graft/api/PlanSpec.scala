@@ -126,6 +126,18 @@ class PlanSpec extends AnyFunSuite {
       s"banded exchange not reused (signatures computed twice):\n$plan")
   }
 
+  test("jaccard prefix join reuses the gram exchange, never nested-loop") {
+    val docs = (0 until 400).map(i => (i.toLong, s"alpha beta gamma delta ${i % 40} epsilon zeta"))
+      .toDF("doc_id", "text")
+    val pairs = graft.pipeline.Dedup.jaccardDupPairs(docs, "doc_id", "text",
+      shingle = 3, threshold = 0.8)
+    val plan = finalPlan(pairs)
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"prefix-gram exchange not reused (gram pass computed twice):\n$plan")
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"prefix join must stay a hash join:\n$plan")
+  }
+
   test("exact dedup is a single shuffle") {
     val docs = (0 until 500).map(i => (i.toLong, s"t${i % 50}")).toDF("id", "t")
     val d = graft.pipeline.Dedup.exact(docs, "t", "id")

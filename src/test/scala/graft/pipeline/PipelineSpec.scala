@@ -36,6 +36,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("jaccard prefix join finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.jaccardDupPairs(corpus, "doc_id", "text",
+        shingle = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("jaccard prefix join is EXACT: matches brute force at several thresholds") {
+    // random docs over a tiny vocabulary so near-dup pairs occur naturally
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
+    val docs = (0L until 40L).map { i =>
+      val len = 3 + rnd.nextInt(8)
+      (i, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val a = df.select(col("doc_id").as("id_a"), col("text").as("ta"))
+    val b = df.select(col("doc_id").as("id_b"), col("text").as("tb"))
+    for (t <- Seq(0.3, 0.5, 0.8, 1.0)) {
+      val brute = a.crossJoin(b).where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          ngram_jaccard(col("ta"), col("tb"), 3).as("j"))
+        .where(col("j") >= t)
+        .as[(Long, Long, Double)].collect().toSet
+      val fast = Dedup.jaccardDupPairs(df, "doc_id", "text",
+          shingle = 3, threshold = t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(fast == brute, s"threshold $t: ${fast.size} vs brute ${brute.size}")
+    }
+  }
+
   test("minhash jaccard of exact dup is 1.0 regardless of whitespace") {
     val df = Seq((1L, "a b c d e"), (2L, "a  b\tc \n d e")).toDF("doc_id", "text")
     val pairs = Dedup.minhashDupPairs(df, "doc_id", "text",
