@@ -327,6 +327,98 @@ object TextAnalysis {
   def lmFamiliaritySelf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     lmFamiliarity(docs, idCol, textCol, charBigramModel(docs, textCol))
 
+  /** Hashed-unigram bucket distribution of a corpus: each whitespace
+    * token lands in `buckets` (power of two) via its 64-bit rolling-hash
+    * fingerprint; returns (bucket, cnt) with at most `buckets` rows.
+    * Map-side combine collapses every partition to <= `buckets` partial
+    * rows, so building this on 100 TB moves kilobytes. */
+  def hashedBucketCounts(docs: DataFrame, textCol: String,
+                         buckets: Int): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      "buckets must be a power of two (bucket = hash bit mask)")
+    docs.select(explode(
+        regexp_extract_all(col(textCol), lit("\\S+"), lit(0))).as("__tok"))
+      .select(Tx.doc_fingerprint(col("__tok"))
+        .bitwiseAND(lit((buckets - 1).toLong)).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /**
+   * DSIR-style importance model (Data Selection via Importance
+   * Resampling): per hash bucket, the integer log-ratio of the TARGET
+   * distribution (the small corpus you want more of) to the RAW
+   * distribution — s(b) = log2f(cnt_target(b)+1) − log2f(cnt_raw(b)+1),
+   * with log2f the exact integer floor-log2 (length(bin(x)) − 1; the
+   * +1 smooths empty buckets, and integer logs are bit-identical in any
+   * engine — no ln() ulps). At most `buckets` rows: two corpus-count
+   * passes, then a `buckets`-row join. Swap in real estimated
+   * distributions by constructing the (bucket, s) frame yourself.
+   */
+  def importanceModel(raw: DataFrame, target: DataFrame, textCol: String,
+                      buckets: Int = 64): DataFrame = {
+    val log2f: Column => Column =
+      c => (length(bin(c + 1)) - 1).cast("long")
+    hashedBucketCounts(raw, textCol, buckets)
+      .withColumnRenamed("cnt", "__rc")
+      .join(hashedBucketCounts(target, textCol, buckets)
+        .withColumnRenamed("cnt", "__tc"), Seq("bucket"), "full")
+      .select(col("bucket"),
+        (log2f(coalesce(col("__tc"), lit(0L)))
+          - log2f(coalesce(col("__rc"), lit(0L)))).as("s"))
+  }
+
+  /**
+   * Per-document DSIR importance log-weight: the sum of the model score
+   * of every token occurrence — logweight = Σ_b count(doc, b) · s(b),
+   * higher = more target-like. Returns (id, n_tokens, logweight);
+   * documents with zero tokens are absent (no evidence either way).
+   *
+   * Scale shape mirrors [[lmFamiliarity]]: the model is a broadcast of
+   * <= `buckets` rows, the corpus does one narrow explode into a
+   * per-doc aggregation — the corpus itself never shuffles, only
+   * (id, partial-sum) rows do. Buckets absent from the model (possible
+   * with a hand-built model frame) score 0.
+   */
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+                        model: DataFrame, buckets: Int = 64): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      "buckets must be a power of two (bucket = hash bit mask)")
+    docs.select(col(idCol).as("id"), explode(
+        regexp_extract_all(col(textCol), lit("\\S+"), lit(0))).as("__tok"))
+      .select(col("id"), Tx.doc_fingerprint(col("__tok"))
+        .bitwiseAND(lit((buckets - 1).toLong)).as("bucket"))
+      .join(broadcast(model), Seq("bucket"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("s"), lit(0L))).as("logweight"))
+  }
+
+  /**
+   * DSIR importance resampling end-to-end: score the raw corpus against
+   * the target distribution, then keep the most target-like
+   * `keepFraction` — the documents at or above the exact distributed
+   * (1 − keepFraction)-quantile of logweight ([[Sketches.exactQuantiles]],
+   * no single-task window; >= on the discrete threshold means ties keep
+   * slightly more than the fraction, never less). The deterministic,
+   * shuffle-light stand-in for sampling-with-replacement: at 100 TB a
+   * top-quantile cut is one threshold broadcast, and the weights are
+   * already available for a downstream weighted sampler.
+   */
+  def importanceResample(raw: DataFrame, target: DataFrame, idCol: String,
+                         textCol: String, buckets: Int = 64,
+                         keepFraction: Double = 0.5): DataFrame = {
+    require(keepFraction > 0.0 && keepFraction < 1.0,
+      "keepFraction must be in (0, 1)")
+    val w = importanceWeights(raw, idCol, textCol,
+      importanceModel(raw, target, textCol, buckets), buckets)
+    val thr = graft.pipeline.Sketches
+      .exactQuantiles(w, col("logweight"), Seq(1.0 - keepFraction))
+      .select(col("quantile").as("__thr"))
+    w.crossJoin(broadcast(thr))
+      .where(col("logweight") >= col("__thr"))
+      .select(col("id"), col("n_tokens"), col("logweight"))
+  }
+
   /**
    * Inverted index: term -> (document frequency, postings list sorted by
    * doc id, each entry (id, tf)). The `minDf`/`maxDf` band is applied to

@@ -778,6 +778,34 @@ object PipelineQueries {
           .cast("long").as("avg_x100"))
     }),
 
+    // DSIR-style importance weights (Data Selection via Importance
+    // Resampling): hashed-unigram target (lang='en') vs raw bucket
+    // distributions -> integer floor-log2 ratio model (<= 64 rows,
+    // broadcast) -> per-doc token-sum log-weight. All-integer
+    // arithmetic; DuckDB replays the token fingerprint CLOSED-FORM
+    // (power-table recursive CTE + list_sum — no list_reduce)
+    "dsir_logweights" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val target = t(s, dir, "documents").where(col("lang") === "en")
+        .select(col("doc_id"), col("text"))
+      TextAnalysis.importanceWeights(d, "doc_id", "text",
+          TextAnalysis.importanceModel(d, target, "text", buckets = 64),
+          buckets = 64)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // the resampling end-to-end: keep the most target-like half at the
+    // exact distributed median of logweight (>= threshold: ties keep
+    // more, never less — same convention as the oracle's quantile_disc)
+    "dsir_resample" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val target = t(s, dir, "documents").where(col("lang") === "en")
+        .select(col("doc_id"), col("text"))
+      TextAnalysis.importanceResample(d, target, "doc_id", "text",
+          buckets = 64, keepFraction = 0.5)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // incremental snapshot dedup: docs with id%3==0 are the "existing
     // corpus"; the new batch is everything else plus planted copies of
     // half the corpus (id+200000, same text) — exactly those copies
@@ -1403,6 +1431,8 @@ object PipelineQueries {
     "incremental_dedup" -> incrementalDedupOracle,
     "incremental_dedup_bloom" -> incrementalDedupOracle,
     "quality_linear_score" -> linearScoreOracle,
+    "dsir_logweights" -> dsirLogweightsOracle,
+    "dsir_resample" -> dsirResampleOracle,
     "nfc_stats" ->
       """WITH p AS (
            SELECT doc_id,
@@ -1532,12 +1562,74 @@ object PipelineQueries {
        FROM documents d LEFT JOIN agg a USING (doc_id)"""
   }
 
+  // DSIR oracle: replay the token fingerprint with the polynomial
+  // CLOSED FORM h = 42·P^L + Σ ord(c_i)·P^(L−i) (mod 2^64) — the exact
+  // algebraic expansion of the sequential fold, with P^k from a
+  // recursive power-table CTE and the Σ as list_sum over a
+  // list_transform (list_reduce is BANNED in oracles, see the CDC note
+  // below). Then the one-token doc fold + mix64 finisher, bucket =
+  // dfp % 64, target (lang='en') vs raw counts, floor-log2 ratio
+  // model, per-doc sum. Term bounds: ord <= 0x10FFFF, P^k mod 2^64
+  // < 2^64, product < 2e25, token sums < 2^127 — no HUGEINT overflow.
+  private lazy val dsirCtes: String =
+    s"""WITH RECURSIVE pows(k, v) AS (
+         SELECT 0, CAST(1 AS HUGEINT)
+         UNION ALL SELECT k + 1, (v * ${Fp.P}) % ${Fp.MOD}
+         FROM pows WHERE k < 128),
+       pw AS (SELECT list(v ORDER BY k) AS pl FROM pows),
+       toks AS (
+         SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
+         FROM documents),
+       traw AS (
+         SELECT doc_id,
+                (CAST(42 AS HUGEINT) * pl[length(tok) + 1]
+                 + list_sum(list_transform(range(1, length(tok) + 1),
+                     i -> CAST(ord(substr(tok, i, 1)) AS HUGEINT)
+                            * pl[length(tok) - i + 1])))
+                % ${Fp.MOD} AS r
+         FROM toks CROSS JOIN pw),
+       thash AS (
+         SELECT doc_id,
+         ${Fp.mix64Stages("CAST(r AS UBIGINT)", "t")}
+         FROM traw),
+       draw AS (
+         SELECT doc_id,
+                ${Fp.mulmodPPlus("CAST(42 AS HUGEINT)", "CAST(tfp AS HUGEINT)")} AS r2
+         FROM thash),
+       dhash AS (
+         SELECT doc_id,
+         ${Fp.mix64Stages("CAST(r2 AS UBIGINT)", "d")}
+         FROM draw),
+       tb AS (SELECT doc_id, CAST(dfp % 64 AS BIGINT) AS bucket FROM dhash),
+       rc AS (SELECT bucket, count(*) AS rcnt FROM tb GROUP BY 1),
+       tc AS (SELECT bucket, count(*) AS tcnt
+              FROM tb JOIN documents USING (doc_id)
+              WHERE lang = 'en' GROUP BY 1),
+       model AS (
+         SELECT rc.bucket,
+                (length(bin(coalesce(tc.tcnt, 0) + 1)) - 1)
+                  - (length(bin(rc.rcnt + 1)) - 1) AS s
+         FROM rc LEFT JOIN tc ON rc.bucket = tc.bucket),
+       scored AS (
+         SELECT t.doc_id, count(*) AS n_tokens,
+                CAST(sum(coalesce(m.s, 0)) AS BIGINT) AS logweight
+         FROM tb t LEFT JOIN model m ON t.bucket = m.bucket
+         GROUP BY 1)"""
+
+  private lazy val dsirLogweightsOracle: String =
+    s"""$dsirCtes
+       SELECT doc_id, n_tokens, logweight FROM scored"""
+
+  private lazy val dsirResampleOracle: String =
+    s"""$dsirCtes,
+       thr AS (SELECT quantile_disc(logweight, 0.5) AS t FROM scored)
+       SELECT doc_id, n_tokens, logweight
+       FROM scored CROSS JOIN thr WHERE logweight >= t"""
+
   // CDC oracle CTEs: per gram position j, the window hash is the same
   // seeded char fold as the fingerprint oracle's traw stage (no
   // tokenization, no finisher); candidate cut after j+7 when its low 5
-  // bits are zero; a sequential list_reduce (1-element-list wrapping
-  // makes acc/x the same LIST type) keeps only cuts >= 16 past the
-  // last kept cut; chunks are string slices between consecutive cuts.
+  // bits are zero; chunks are string slices between consecutive cuts.
   // The rolling window hash is UNROLLED into 8 plain HUGEINT
   // multiply-add-mod steps and the sequential min-gap fold is a
   // recursive CTE, NOT list_reduce: DuckDB 1.0.0's list_reduce silently

@@ -117,6 +117,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"))
   }
 
+  test("DSIR scoring broadcasts the bucket model, no cartesian") {
+    val docs = (0 until 300).map(i => (i.toLong, s"tok${i % 17} tok${i % 5} filler"))
+      .toDF("id", "text")
+    val target = docs.where($"id" % 3 === 0)
+    val out = graft.pipeline.TextAnalysis.importanceWeights(docs, "id", "text",
+      graft.pipeline.TextAnalysis.importanceModel(docs, target, "text", 64), 64)
+    val plan = finalPlan(out)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket model should broadcast (corpus must not shuffle for scoring):\n$plan")
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"))
+  }
+
   test("LSH self-join computes the signature pass once (exchange reuse)") {
     val docs = (0 until 400).map(i => (i.toLong, s"alpha beta gamma delta ${i % 40} epsilon zeta"))
       .toDF("doc_id", "text")

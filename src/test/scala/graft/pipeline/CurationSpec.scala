@@ -152,6 +152,60 @@ class CurationSpec extends AnyFunSuite {
       TextAnalysis.hashedLinearScore(col("text"), Seq(1L, 2L, 3L)))
   }
 
+  test("DSIR importance weights: target-like docs outscore raw-like docs") {
+    // raw corpus dominated by "noise*" tokens; target is all "signal*"
+    val raw = (0L until 40L).map { i =>
+      if (i < 30) (i, s"noise${i % 7} noise${i % 5} noise${i % 3}")
+      else (i, s"signal${i % 4} signal${i % 2} signal${i % 3}")
+    }.toDF("id", "text")
+    val target = raw.where(col("text").startsWith("signal"))
+    val model = TextAnalysis.importanceModel(raw, target, "text", buckets = 64)
+    assert(model.count() <= 64)
+    val w = TextAnalysis.importanceWeights(raw, "id", "text", model, buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val sigAvg = (30L until 40L).map(w).sum / 10.0
+    val noiseAvg = (0L until 30L).map(w).sum / 30.0
+    assert(sigAvg > noiseAvg,
+      s"signal docs must outscore noise docs: $sigAvg vs $noiseAvg")
+    // resample at 0.5 must keep >= half (ties keep more, never less)
+    val kept = TextAnalysis.importanceResample(raw, target, "id", "text",
+      buckets = 64, keepFraction = 0.5).count()
+    assert(kept >= 20 && kept < 40)
+  }
+
+  test("property: DSIR logweight equals a Scala model on random docs") {
+    // Scala model of the whole chain: bucket = doc_fingerprint(tok)&63
+    // computed BY SPARK (the fingerprint itself is oracled elsewhere);
+    // counts/log2/sum recomputed independently here
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val docs = (0L until 30L).map { i =>
+      (i, Seq.fill(2 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = docs.toDF("id", "text")
+    val target = df.where(col("id") % 3 === 0)
+    val bucketOf = df.sparkSession.range(1)
+      .select(vocab.map(v => Tx.doc_fingerprint(lit(v))
+        .bitwiseAND(lit(63L)).as(v)): _*)
+      .collect()(0)
+    val bmap = vocab.zipWithIndex.map { case (v, i) => v -> bucketOf.getLong(i) }.toMap
+    def counts(rows: Seq[(Long, String)]): Map[Long, Long] =
+      rows.flatMap(_._2.split("\\s+")).groupBy(bmap).map { case (b, ts) => b -> ts.size.toLong }
+    val rc = counts(docs)
+    val tc = counts(docs.filter(_._1 % 3 == 0))
+    def log2f(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val s = rc.keys.map(b => b ->
+      (log2f(tc.getOrElse(b, 0L) + 1) - log2f(rc(b) + 1))).toMap
+    val expected = docs.map { case (i, t2) =>
+      i -> t2.split("\\s+").map(tok => s(bmap(tok))).sum
+    }.toMap
+    val got = TextAnalysis.importanceWeights(df, "id", "text",
+        TextAnalysis.importanceModel(df, target, "text", buckets = 64),
+        buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == expected)
+  }
+
   test("exactQuantiles global and by-group match brute-force rank selection") {
     val df = Seq((0L, 5L), (1L, 1L), (0L, 9L), (1L, 3L), (0L, 7L),
         (1L, 2L), (0L, 8L), (1L, 4L), (0L, 6L), (1L, 10L))
