@@ -339,37 +339,72 @@ object Dedup {
    * recall 1.0 at any threshold; costs one prefix-gram row per doc per
    * ~(1-t) of its vocabulary instead of a fixed band count, so it wins
    * at high thresholds (t >= 0.8 → prefix ~20% of grams) and loses at
-   * low ones. Skew: a gram shared by d docs yields O(d²) candidate
-   * checks in its bucket — hash order makes hot grams no likelier to be
-   * prefix grams than rare ones (frequency-ascending ordering would
-   * minimize candidates further at the cost of a corpus frequency pass).
+   * low ones.
+   *
+   * `rareFirst` (default) orders each doc's grams by ASCENDING corpus
+   * frequency (the AllPairs/PPJoin canonical order): prefixes then hold
+   * the RAREST grams, so a hot gram (a stopword phrase shared by d
+   * docs, an O(d²) candidate bucket under any frequency-blind order)
+   * almost never lands in a prefix. Costs one counts-only corpus pass
+   * (map-side combine → one row per distinct gram) + a gram-keyed join
+   * and a per-doc regroup; `rareFirst = false` skips the stats pass and
+   * orders by the gram hash — fewer shuffles, hot-gram-exposed. Both
+   * orders are GLOBAL total orders, so both are lossless. Measured at
+   * sf0.1 (t=0.8, synthetic near-uniform vocabulary) rare-first cuts
+   * candidates ~1.9x (81k → 43k) and wall time ~1.4x; on a real corpus
+   * with Zipfian gram frequencies the gap widens — a stopword phrase in
+   * d docs is an O(d²) bucket that rare-first never builds.
    *
    * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
    */
   def jaccardDupPairs(df: DataFrame, idCol: String, textCol: String,
-                      shingle: Int = 3, threshold: Double = 0.7): DataFrame =
-    jaccardDupPairsImpl(df, idCol, textCol, shingle, threshold, pin = false)._1
+                      shingle: Int = 3, threshold: Double = 0.7,
+                      rareFirst: Boolean = true): DataFrame =
+    jaccardDupPairsImpl(df, idCol, textCol, shingle, threshold,
+      rareFirst, pin = false)._1
 
   /** [[jaccardDupPairs]] with a deterministic release handle for the
     * candidate-pair cache (same contract as
     * [[minhashDupPairsWithRelease]]). */
   def jaccardDupPairsWithRelease(df: DataFrame, idCol: String, textCol: String,
-                                 shingle: Int = 3, threshold: Double = 0.7)
+                                 shingle: Int = 3, threshold: Double = 0.7,
+                                 rareFirst: Boolean = true)
       : (DataFrame, () => Unit) =
-    jaccardDupPairsImpl(df, idCol, textCol, shingle, threshold, pin = true)
+    jaccardDupPairsImpl(df, idCol, textCol, shingle, threshold,
+      rareFirst, pin = true)
 
   private def jaccardDupPairsImpl(df: DataFrame, idCol: String, textCol: String,
-                                  shingle: Int, threshold: Double, pin: Boolean)
+                                  shingle: Int, threshold: Double,
+                                  rareFirst: Boolean, pin: Boolean)
       : (DataFrame, () => Unit) = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
-    // Distinct gram set sorted ascending — THE global order of the
-    // prefix lemma. Docs with no grams can never reach `threshold`
-    // against anything (empty ∩ anything = 0), so they are dropped, and
-    // |S| >= 1 makes the prefix length >= 1.
-    val sorted = array_sort(array_distinct(
-      token_ngram_hashes(col(textCol), shingle)))
-    val sized = df
-      .select(col(idCol), xxhash64(col(textCol)).as("__th"), sorted.as("__g"))
+    // Docs with no grams can never reach `threshold` against anything
+    // (empty ∩ anything = 0), so they are dropped, and |S| >= 1 makes
+    // the prefix length >= 1. Either branch yields (id, __th, __g)
+    // with __g the distinct gram set in ONE global total order — the
+    // precondition of the prefix lemma.
+    val sized = (if (rareFirst) {
+      // (id, gram) explode → df counts (counts-only shuffle, map-side
+      // combine) → gram-keyed join (hot grams spread by AQE skew
+      // handling; the carried payload is just id+th) → per-doc regroup
+      // sorted by (df, gram). The explode is computed twice (the agg's
+      // map-side partials and the join feed different exchanges) — two
+      // narrow corpus scans, same trade as lmFamiliaritySelf.
+      val exploded = df.select(col(idCol), xxhash64(col(textCol)).as("__th"),
+        explode(array_distinct(
+          token_ngram_hashes(col(textCol), shingle))).as("__gram"))
+      val freq = exploded.groupBy(col("__gram")).agg(count(lit(1)).as("__df"))
+      exploded.join(freq, Seq("__gram"))
+        .groupBy(col(idCol))
+        .agg(first(col("__th")).as("__th"),
+          transform(array_sort(
+              collect_list(struct(col("__df"), col("__gram")))),
+            x => x("__gram")).as("__g"))
+    } else {
+      df.select(col(idCol), xxhash64(col(textCol)).as("__th"),
+        array_sort(array_distinct(
+          token_ngram_hashes(col(textCol), shingle))).as("__g"))
+    })
       .withColumn("__n", size(col("__g")))
       .where(col("__n") >= 1)
     val prefLen = (col("__n")

@@ -57,16 +57,17 @@ class PipelineSpec extends AnyFunSuite {
     val df = docs.toDF("doc_id", "text")
     val a = df.select(col("doc_id").as("id_a"), col("text").as("ta"))
     val b = df.select(col("doc_id").as("id_b"), col("text").as("tb"))
-    for (t <- Seq(0.3, 0.5, 0.8, 1.0)) {
+    for (t <- Seq(0.3, 0.5, 0.8, 1.0); rare <- Seq(true, false)) {
       val brute = a.crossJoin(b).where(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
           ngram_jaccard(col("ta"), col("tb"), 3).as("j"))
         .where(col("j") >= t)
         .as[(Long, Long, Double)].collect().toSet
       val fast = Dedup.jaccardDupPairs(df, "doc_id", "text",
-          shingle = 3, threshold = t)
+          shingle = 3, threshold = t, rareFirst = rare)
         .as[(Long, Long, Double)].collect().toSet
-      assert(fast == brute, s"threshold $t: ${fast.size} vs brute ${brute.size}")
+      assert(fast == brute,
+        s"threshold $t rareFirst $rare: ${fast.size} vs brute ${brute.size}")
     }
   }
 
