@@ -110,6 +110,69 @@ object Sampling {
       .drop("__tgrp", "__tthresh")
   }
 
+  /**
+   * Probability-proportional-to-size (Poisson) deterministic sample —
+   * the weighted-resampling step (e.g. sample ∝ DSIR importance or
+   * token count): each row survives with probability
+   * min(1, expectedFraction · n · w / Σw), so the expected kept count
+   * is ~expectedFraction · n with heavy rows favored proportionally.
+   *
+   * `weight` must be a POSITIVE INTEGER-VALUED column (cast to long):
+   * the total Σw is then an exact integer — an order-independent sum —
+   * and the per-row rate is a fixed left-associated chain of correctly
+   * rounded IEEE ops (f·n, ·w, /Σw) that any SQL engine reproduces
+   * bit-for-bit. Rows with null/non-positive weight are dropped.
+   *
+   * Scale shape: one count/sum aggregate (2 longs to the driver side of
+   * a broadcast), then the same narrow hash-threshold filter as
+   * [[deterministicSample]] — the corpus never shuffles.
+   */
+  def weightedDeterministicSample(df: DataFrame, key: Column, weight: Column,
+                                  expectedFraction: Double,
+                                  salt: String): DataFrame = {
+    require(expectedFraction > 0.0 && expectedFraction <= 1.0,
+      "expectedFraction must be in (0, 1]")
+    require(!Seq("__wn", "__ws", "__ww").exists(df.columns.contains),
+      "input columns collide with reserved names __wn/__ws/__ww")
+    val weighted = df.withColumn("__ww", weight.cast("long"))
+      .where(col("__ww").isNotNull && col("__ww") > 0)
+    val tot = weighted.agg(count(lit(1)).as("__wn"), sum(col("__ww")).as("__ws"))
+    val rate = least(lit(1.0),
+      lit(expectedFraction) * col("__wn") * col("__ww") / col("__ws"))
+    val thresh = when(rate >= 1.0, lit("g"))
+      .otherwise(lpad(lower(hex(floor(rate * 4294967296.0))), 8, "0"))
+    weighted.crossJoin(broadcast(tot))
+      .where(substring(hashHex(key, salt), 1, 8) < thresh)
+      .drop("__wn", "__ws", "__ww")
+  }
+
+  /**
+   * Deterministic train/validation/test split: each row is labeled by
+   * the hash band its key falls into — `fractions` are (label, frac)
+   * pairs carving consecutive bands out of the hash space in order.
+   * Reproducible across runs/engines/partitionings, and a row's label
+   * NEVER changes when later bands are re-proportioned (band k's lower
+   * edge depends only on fractions 1..k-1) — the property that keeps a
+   * frozen test set frozen. Rows past the last band (Σ fracs < 1) get a
+   * NULL label; Σ fracs = 1 labels everything (final threshold "g").
+   * Pure narrow projection, zero shuffles.
+   */
+  def splitByHash(df: DataFrame, key: Column,
+                  fractions: Seq[(String, Double)], salt: String,
+                  outCol: String = "split"): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0.0),
+      "fractions must be non-empty and positive")
+    require(fractions.map(_._2).sum <= 1.0 + 1e-9,
+      "fractions must sum to at most 1")
+    val h = substring(hashHex(key, salt), 1, 8)
+    val cum = fractions.scanLeft(0.0)(_ + _._2).tail
+    val labeled = fractions.zip(cum).foldRight(lit(null).cast("string")) {
+      case (((label, _), c), rest) =>
+        when(h < lit(thresholdHex(c)), lit(label)).otherwise(rest)
+    }
+    df.withColumn(outCol, labeled)
+  }
+
   /** Deterministic stratified sample: the `k` rows with the smallest
     * hash per stratum (`key` as tiebreak). One shuffle on the stratum
     * key; parallel across strata. A pathologically hot stratum bounds a

@@ -384,6 +384,27 @@ object PipelineQueries {
         .groupBy(col("lang")).agg(count(lit(1)).as("n"))
     }),
 
+    // probability-proportional-to-size Poisson sampling: weight = token
+    // count (integer: Σw exact, rates a fixed IEEE chain) — long docs
+    // proportionally favored; DuckDB replays the identical arithmetic
+    "weighted_sample" -> ((s, dir) => {
+      Sampling.weightedDeterministicSample(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          col("doc_id"), TextAnalysis.tokenCount(col("text")),
+          expectedFraction = 0.3, salt = "ws1")
+        .select(col("doc_id"))
+    }),
+
+    // deterministic train/val/test split: per-doc band label (the
+    // frozen-test-set property: a row's band depends only on earlier
+    // fractions) — labels hash-compared row by row
+    "split_by_hash" -> ((s, dir) => {
+      Sampling.splitByHash(t(s, dir, "documents").select(col("doc_id")),
+          col("doc_id"), Seq("train" -> 0.7, "val" -> 0.2, "test" -> 0.1),
+          salt = "sp1")
+        .select(col("doc_id"), col("split"))
+    }),
+
     // -- web-corpus scrubbing ------------------------------------------------
     // PII detect + redact over deterministically planted emails/phones/
     // IPs (the raw word-soup corpus has none); counts AND the redacted
@@ -1135,6 +1156,28 @@ object PipelineQueries {
     "decontaminate" -> decontaminateOracle,
     // the Bloom path must reproduce the exact-path result bit-for-bit
     "decontaminate_bloom" -> decontaminateOracle,
+    "weighted_sample" ->
+      s"""WITH w AS (
+           SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS wt
+           FROM documents
+           WHERE len(regexp_extract_all(text, '\\S+')) > 0),
+         tot AS (SELECT count(*) AS n, sum(wt) AS s FROM w)
+         SELECT doc_id FROM w CROSS JOIN tot
+         WHERE substr(md5(concat_ws('|','ws1',CAST(doc_id AS VARCHAR))),1,8) <
+           CASE WHEN least(1.0, 0.3 * n * wt / s) >= 1.0 THEN 'g'
+                ELSE lpad(lower(to_hex(CAST(floor(
+                       least(1.0, 0.3 * n * wt / s) * 4294967296) AS BIGINT))), 8, '0')
+           END""",
+    "split_by_hash" ->
+      s"""SELECT doc_id,
+            CASE WHEN substr(md5(concat_ws('|','sp1',CAST(doc_id AS VARCHAR))),1,8)
+                        < '${Sampling.thresholdHex(0.0 + 0.7)}' THEN 'train'
+                 WHEN substr(md5(concat_ws('|','sp1',CAST(doc_id AS VARCHAR))),1,8)
+                        < '${Sampling.thresholdHex(0.0 + 0.7 + 0.2)}' THEN 'val'
+                 WHEN substr(md5(concat_ws('|','sp1',CAST(doc_id AS VARCHAR))),1,8)
+                        < '${Sampling.thresholdHex(0.0 + 0.7 + 0.2 + 0.1)}' THEN 'test'
+                 ELSE NULL END AS split
+          FROM documents""",
     "temperature_mixture" ->
       """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
          t AS (SELECT lang,

@@ -58,6 +58,45 @@ class SamplingSpec extends AnyFunSuite {
     assert((0L until 2000L).exists(i => r1(i) != i + 1))
   }
 
+  test("weightedDeterministicSample: ∝-weight rates, expected size, stable") {
+    // weights 1..4 by id band; heavy band must be kept at ~4x the rate
+    val wdocs = (0L until 4000L).map(i => (i, 1L + i % 4)).toDF("id", "w")
+    val kept = Sampling.weightedDeterministicSample(wdocs, col("id"), col("w"),
+      expectedFraction = 0.2, salt = "w1")
+    val keptIds = kept.select("id").as[Long].collect().toSet
+    val again = Sampling.weightedDeterministicSample(wdocs.repartition(7),
+      col("id"), col("w"), 0.2, "w1").select("id").as[Long].collect().toSet
+    assert(keptIds == again)
+    assert(math.abs(keptIds.size / 4000.0 - 0.2) < 0.04) // expected size
+    val byW = keptIds.groupBy(i => 1L + i % 4).view.mapValues(_.size).toMap
+    assert(byW(4L) > 2.5 * byW(1L),
+      s"weight-4 band must be kept ~4x weight-1: $byW")
+    // zero/negative weights dropped, never sampled
+    val mixed = (0L until 100L).map(i => (i, if (i < 50) 0L else 2L)).toDF("id", "w")
+    val ids = Sampling.weightedDeterministicSample(mixed, col("id"), col("w"),
+      0.5, "w1").select("id").as[Long].collect()
+    assert(ids.forall(_ >= 50))
+  }
+
+  test("splitByHash: banded labels, frozen under re-proportioning, null tail") {
+    val df = (0L until 3000L).toDF("id")
+    val s1 = Sampling.splitByHash(df, col("id"),
+      Seq("train" -> 0.7, "val" -> 0.2, "test" -> 0.1), "sp")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s1.values.forall(v => Set("train", "val", "test")(v))) // sums to 1 -> no nulls
+    val n = s1.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(n("train") / 3000.0 - 0.7) < 0.05)
+    assert(math.abs(n("test") / 3000.0 - 0.1) < 0.03)
+    // frozen-prefix property: changing LATER fractions never relabels
+    // an earlier band (train keeps exactly the same members)
+    val s2 = Sampling.splitByHash(df, col("id"),
+      Seq("train" -> 0.7, "val" -> 0.05), "sp")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(s1.filter(_._2 == "train").keySet ==
+      s2.filter(_._2.contains("train")).keySet)
+    assert(s2.values.exists(_.isEmpty)) // sums to 0.75 -> tail unlabeled
+  }
+
   test("decontaminate removes exactly the n-gram-overlapping docs") {
     val evalSet = Seq(
       (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
