@@ -912,6 +912,33 @@ object PipelineQueries {
       s"((($acc) // $B32 * $P % $B32) * $B32" +
         s" + (($acc) % $B32) * $P + ($b)) % $MOD"
 
+    /** a*b mod 2^64 for two in-range HUGEINT values (split one factor
+      * at 32 bits so no intermediate exceeds HUGEINT). */
+    def mulmodVar(a: String, b: String): String =
+      s"((($a) % $B32) * ($b)" +
+        s" + (($a) // $B32) * (($b) % $B32) % $B32 * $B32) % $MOD"
+
+    /** The polynomial closed form of the sequential seed-42 fold
+      * h = fold(h*P + x) over `xs` (a list of HUGEINT in [0, 2^64)):
+      * h = 42·P^L + Σ xs[i]·P^(L−i) (mod 2^64). `pl` must be the
+      * power-table list with pl[k+1] = P^k mod 2^64 (the recursive
+      * `powsCte` below). Exact algebraic expansion — replaces
+      * list_reduce, which DuckDB 1.0.0 corrupts in fused plans. */
+    def polyFold(xs: String, pl: String = "pl"): String =
+      s"""(CAST(42 AS HUGEINT) * $pl[len($xs) + 1]
+           + list_sum(list_transform(range(1, len($xs) + 1),
+               i -> ${mulmodVar(s"($xs)[i]", s"$pl[len($xs) - i + 1]")})))
+          % $MOD"""
+
+    /** Recursive CTE producing the P-power table `pw(pl)` with
+      * pl[k+1] = P^k mod 2^64, k <= maxExp. */
+    def powsCte(maxExp: Int): String =
+      s"""pows(k, v) AS (
+           SELECT 0, CAST(1 AS HUGEINT)
+           UNION ALL SELECT k + 1, (v * $P) % $MOD
+           FROM pows WHERE k < $maxExp),
+         pw AS (SELECT list(v ORDER BY k) AS pl FROM pows)"""
+
     /** z*C mod 2^64 for a full 64-bit constant C; z UBIGINT. */
     private def mulmod64(z: String, c: java.math.BigInteger): String = {
       val ch = c.shiftRight(32).toString
@@ -939,20 +966,23 @@ object PipelineQueries {
     val emptyFp: Long = mix64(42L)
   }
 
+  // Both folds (per-token over chars, per-doc over token fingerprints)
+  // are replayed via Fp.polyFold's closed form — list_reduce is banned
+  // in oracles (DuckDB 1.0.0 corrupts its accumulator in fused plans,
+  // see the CDC oracle note).
   private val fingerprintOracle: String =
-    s"""WITH toks AS (
+    s"""WITH RECURSIVE ${Fp.powsCte(4096)},
+       toks AS (
          SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS pos
          FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
                FROM documents)),
        toks2 AS (SELECT doc_id, tok, pos FROM toks WHERE tok <> ''),
        traw AS (
          SELECT doc_id, pos,
-                list_reduce(
-                  list_prepend(CAST(42 AS HUGEINT),
-                    list_transform(range(1, length(tok)+1),
-                      i -> CAST(ord(substr(tok, i, 1)) AS HUGEINT))),
-                  (acc, b) -> ${Fp.mulmodPPlus("acc", "b")}) AS r
-         FROM toks2),
+                ${Fp.polyFold(
+                  "list_transform(range(1, length(tok)+1), " +
+                    "i -> CAST(ord(substr(tok, i, 1)) AS HUGEINT))")} AS r
+         FROM toks2 CROSS JOIN pw),
        thash AS (
          SELECT doc_id, pos,
          ${Fp.mix64Stages("CAST(r AS UBIGINT)", "t")}
@@ -960,10 +990,8 @@ object PipelineQueries {
        dlist AS (SELECT doc_id, list(CAST(tfp AS HUGEINT) ORDER BY pos) AS hs
                  FROM thash GROUP BY doc_id),
        draw AS (
-         SELECT doc_id,
-                list_reduce(list_prepend(CAST(42 AS HUGEINT), hs),
-                  (acc, b) -> ${Fp.mulmodPPlus("acc", "b")}) AS r
-         FROM dlist),
+         SELECT doc_id, ${Fp.polyFold("hs")} AS r
+         FROM dlist CROSS JOIN pw),
        dhash AS (
          SELECT doc_id,
          ${Fp.mix64Stages("CAST(r AS UBIGINT)", "d")}
@@ -1569,17 +1597,16 @@ object PipelineQueries {
   private lazy val linearScoreOracle: String = {
     val wList = graft.pipeline.TextAnalysis.demoQualityWeights
       .mkString("[", ", ", "]")
-    s"""WITH toks AS (
+    s"""WITH RECURSIVE ${Fp.powsCte(4096)},
+       toks AS (
          SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
          FROM documents),
        traw AS (
          SELECT doc_id,
-                list_reduce(
-                  list_prepend(CAST(42 AS HUGEINT),
-                    list_transform(range(1, length(tok)+1),
-                      i -> CAST(ord(substr(tok, i, 1)) AS HUGEINT))),
-                  (acc, b) -> ${Fp.mulmodPPlus("acc", "b")}) AS r
-         FROM toks),
+                ${Fp.polyFold(
+                  "list_transform(range(1, length(tok)+1), " +
+                    "i -> CAST(ord(substr(tok, i, 1)) AS HUGEINT))")} AS r
+         FROM toks CROSS JOIN pw),
        thash AS (
          SELECT doc_id,
          ${Fp.mix64Stages("CAST(r AS UBIGINT)", "t")}
