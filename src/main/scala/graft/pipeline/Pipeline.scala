@@ -273,6 +273,17 @@ object Dedup {
   private def refineCandidates(cand0: DataFrame, df: DataFrame,
                                idCol: String, textCol: String,
                                shingle: Int, threshold: Double, pin: Boolean)
+      : (DataFrame, () => Unit) =
+    refineCandidatesTwo(cand0,
+      df.select(col(idCol).as("id_a"), col(textCol).as("__text_a")),
+      df.select(col(idCol).as("id_b"), col(textCol).as("__text_b")),
+      shingle, threshold, pin)
+
+  /** [[refineCandidates]] over two (possibly distinct) text sides:
+    * `ta` must have (id_a, __text_a), `tb` (id_b, __text_b). */
+  private def refineCandidatesTwo(cand0: DataFrame, ta: DataFrame,
+                                  tb: DataFrame, shingle: Int,
+                                  threshold: Double, pin: Boolean)
       : (DataFrame, () => Unit) = {
     val candidates = if (pin) cand0.persist() else cand0.localCheckpoint(false)
 
@@ -283,8 +294,6 @@ object Dedup {
     // bucket-join output above the one reused exchange.
     val exactDups = candidates.where(col("__same"))
       .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
-    val ta = df.select(col(idCol).as("id_a"), col(textCol).as("__text_a"))
-    val tb = df.select(col(idCol).as("id_b"), col(textCol).as("__text_b"))
     val refined = candidates.where(!col("__same"))
       .select(col("id_a"), col("id_b"))
       .join(ta, "id_a").join(tb, "id_b")
@@ -431,6 +440,74 @@ object Dedup {
         (col("__th_a") === col("__th_b")).as("__same"))
       .distinct()
     refineCandidates(cand0, df, idCol, textCol, shingle, threshold, pin)
+  }
+
+  /** One side of a prefix-filtered join: (id, __n, __th, __gram) with
+    * one row per prefix gram, prefixes drawn from the ascending-hash
+    * global gram order (see [[jaccardDupPairs]] for the lossless
+    * argument; both join sides must use the SAME order, which a pure
+    * hash order guarantees with no coordination). */
+  private def prefixExplode(df: DataFrame, idCol: String, textCol: String,
+                            shingle: Int, threshold: Double): DataFrame = {
+    val sized = df.select(col(idCol), xxhash64(col(textCol)).as("__th"),
+        array_sort(array_distinct(
+          token_ngram_hashes(col(textCol), shingle))).as("__g"))
+      .withColumn("__n", size(col("__g")))
+      .where(col("__n") >= 1)
+    val prefLen = (col("__n")
+      - ceil(col("__n") * threshold * (1.0 - 1e-9)).cast("int") + 1)
+    sized.select(col(idCol), col("__n"), col("__th"),
+      explode(slice(col("__g"), lit(1), prefLen)).as("__gram"))
+  }
+
+  /**
+   * EXACT cross-corpus near-duplicate pairs — the A×B version of
+   * [[jaccardDupPairs]]: every (probe id_a, corpus id_b, jaccard) pair
+   * with n-gram Jaccard >= threshold, never an all-pairs scan. Both
+   * sides prefix-filter under the SAME hash gram order, so the prefix
+   * lemma applies unchanged (lossless at any threshold); the join
+   * shuffles only 8-byte gram keys + ids, identical-text pairs skip the
+   * refine. Ids live in separate namespaces — no id_a < id_b dedup, a
+   * doc present verbatim in both sides surfaces as a jaccard-1.0 pair.
+   */
+  def jaccardPairsAgainst(probe: DataFrame, corpus: DataFrame,
+                          idCol: String, textCol: String,
+                          shingle: Int = 3, threshold: Double = 0.8)
+      : DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    val l = prefixExplode(probe, idCol, textCol, shingle, threshold)
+      .select(col(idCol).as("id_a"), col("__n").as("__n_a"),
+        col("__th").as("__th_a"), col("__gram"))
+    val r = prefixExplode(corpus, idCol, textCol, shingle, threshold)
+      .select(col(idCol).as("id_b"), col("__n").as("__n_b"),
+        col("__th").as("__th_b"), col("__gram"))
+    val cand0 = l.join(r, Seq("__gram"))
+      .where(col("__n_a") * threshold <= col("__n_b") + 1e-6 &&
+        col("__n_b") * threshold <= col("__n_a") + 1e-6)
+      .select(col("id_a"), col("id_b"),
+        (col("__th_a") === col("__th_b")).as("__same"))
+      .distinct()
+    refineCandidatesTwo(cand0,
+      probe.select(col(idCol).as("id_a"), col(textCol).as("__text_a")),
+      corpus.select(col(idCol).as("id_b"), col(textCol).as("__text_b")),
+      shingle, threshold, pin = false)._1
+  }
+
+  /**
+   * NEAR-duplicate incremental dedup: drop every new-batch doc whose
+   * text is a near-duplicate (Jaccard >= threshold) of ANY existing
+   * corpus doc — the fuzzy counterpart of [[Decontaminate]]'s exact
+   * cross-snapshot dedup, catching lightly-edited recrawls that exact
+   * hashing misses. Batch-internal near-dups are NOT removed (dedup the
+   * batch itself with [[jaccardDupPairs]] + clusters first if needed).
+   */
+  def dedupNearAgainstCorpus(newDocs: DataFrame, corpus: DataFrame,
+                             idCol: String, textCol: String,
+                             shingle: Int = 3, threshold: Double = 0.8)
+      : DataFrame = {
+    val dup = jaccardPairsAgainst(newDocs, corpus, idCol, textCol,
+      shingle, threshold).select(col("id_a")).distinct()
+    newDocs.join(dup, newDocs(idCol) === dup("id_a"), "left_anti")
   }
 
   /**

@@ -87,6 +87,21 @@ object PipelineQueries {
         "doc_id", "text", shingle = 3, numHashes = 64, bands = 16, threshold = 0.8)
     }),
 
+    // NEAR-dup incremental dedup (the fuzzy twin of incremental_dedup):
+    // corpus = id%3==0 docs; batch = the rest + planted one-token-
+    // appended near-copies of corpus docs (jaccard ~0.99) — the copies
+    // must vanish even though exact hashing would keep them
+    "near_dedup_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = d.where(col("doc_id") % 3 === 0)
+      val batch = d.where(col("doc_id") % 3 =!= 0)
+        .unionAll(corpus.select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" xnear")).as("text")))
+      Dedup.dedupNearAgainstCorpus(batch, corpus, "doc_id", "text",
+          shingle = 3, threshold = 0.8)
+        .select(col("doc_id"))
+    }),
+
     // EXACT prefix-filtered set-similarity join (AllPairs/PPJoin shape):
     // same all-pairs Jaccard oracle as minhash_dup_pairs, but here the
     // match is guaranteed by construction at ANY threshold/data — the
@@ -1359,6 +1374,31 @@ object PipelineQueries {
           )
           SELECT $langCase AS lang_pred, count(*) AS n, min(doc_id) AS first_id
           FROM scored GROUP BY 1""",
+    "near_dedup_incremental" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+         batch AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+           UNION ALL
+           SELECT doc_id + 200000, text || ' xnear' FROM documents
+           WHERE doc_id % 3 = 0),
+         gb AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(range(1, len(w)-1),
+                    i -> w[i]||chr(31)||w[i+1]||chr(31)||w[i+2])) AS g
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM batch)),
+         gc AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(range(1, len(w)-1),
+                    i -> w[i]||chr(31)||w[i+1]||chr(31)||w[i+2])) AS g
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM corpus)),
+         dups AS (
+           SELECT DISTINCT b.doc_id FROM gb b, gc c
+           WHERE len(b.g) + len(c.g) - len(list_intersect(b.g, c.g)) > 0
+             AND CAST(len(list_intersect(b.g, c.g)) AS DOUBLE)
+                   / (len(b.g) + len(c.g) - len(list_intersect(b.g, c.g))) >= 0.8)
+         SELECT doc_id FROM batch
+         WHERE doc_id NOT IN (SELECT doc_id FROM dups)""",
     "minhash_dup_pairs" -> allPairsJaccardOracle,
     // the exact prefix-filtered join must reproduce the SAME all-pairs
     // result — for it this is a by-construction guarantee, not a

@@ -71,6 +71,43 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("cross-corpus jaccard pairs and near-incremental dedup") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "completely different words about spark query engines and columnar formats")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again today"), // exact copy
+      (11L, "the quick brown fox jumps over the lazy dog again and again today extra"), // near copy
+      (12L, "unrelated content mentioning hilbert curves rtrees and parquet files"),
+      (13L, "short")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairsAgainst(batch, corpus, "doc_id", "text",
+        shingle = 3, threshold = 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pairs.map(p => (p._1, p._2)) == Set((10L, 1L), (11L, 1L)))
+    assert(pairs.find(_._1 == 10L).get._3 == 1.0)
+    val kept = Dedup.dedupNearAgainstCorpus(batch, corpus, "doc_id", "text",
+      shingle = 3, threshold = 0.8).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(12L, 13L))
+    // differential vs brute force on random cross pairs
+    val rnd = new scala.util.Random(19)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
+    def gen(n: Int, off: Long) = (0 until n).map { i =>
+      (off + i, Seq.fill(3 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val a = gen(25, 0L).toDF("doc_id", "text")
+    val b = gen(20, 1000L).toDF("doc_id", "text")
+    val brute = a.select(col("doc_id").as("id_a"), col("text").as("ta"))
+      .crossJoin(b.select(col("doc_id").as("id_b"), col("text").as("tb")))
+      .select(col("id_a"), col("id_b"), ngram_jaccard(col("ta"), col("tb"), 3).as("j"))
+      .where(col("j") >= 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val fast = Dedup.jaccardPairsAgainst(a, b, "doc_id", "text",
+      shingle = 3, threshold = 0.5).as[(Long, Long, Double)].collect().toSet
+    assert(fast == brute, s"${fast.size} vs brute ${brute.size}")
+  }
+
   test("minhash jaccard of exact dup is 1.0 regardless of whitespace") {
     val df = Seq((1L, "a b c d e"), (2L, "a  b\tc \n d e")).toDF("doc_id", "text")
     val pairs = Dedup.minhashDupPairs(df, "doc_id", "text",
