@@ -150,6 +150,18 @@ class PlanSpec extends AnyFunSuite {
       s"prefix join must stay a hash join:\n$plan")
   }
 
+  test("cross-corpus near-dedup plans hash joins end to end") {
+    val corpus = (0 until 200).map(i => (i.toLong, s"alpha beta gamma ${i % 20} delta"))
+      .toDF("doc_id", "text")
+    val batch = (1000 until 1300).map(i => (i.toLong, s"alpha beta gamma ${i % 25} delta"))
+      .toDF("doc_id", "text")
+    val out = graft.pipeline.Dedup.dedupNearAgainstCorpus(batch, corpus,
+      "doc_id", "text", shingle = 3, threshold = 0.8)
+    val plan = finalPlan(out)
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"gram join, refine joins and the anti-join must all be hash joins:\n$plan")
+  }
+
   test("exact dedup is a single shuffle") {
     val docs = (0 until 500).map(i => (i.toLong, s"t${i % 50}")).toDF("id", "t")
     val d = graft.pipeline.Dedup.exact(docs, "t", "id")
