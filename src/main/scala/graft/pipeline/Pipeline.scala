@@ -511,6 +511,92 @@ object Dedup {
   }
 
   /**
+   * EXACT directed containment pairs: every ordered pair (a, b), a != b,
+   * with n-gram containment C(a→b) = |G(a) ∩ G(b)| / |G(a)| >= threshold
+   * — the near-SUBSET detector symmetric Jaccard structurally misses: a
+   * 50-word quote inside a 5000-word page has Jaccard ~0.01 but
+   * containment ~1.0. This is the excerpt / quotation / page-plus-
+   * boilerplate case in a training corpus (reference scope: dedup
+   * beyond the geometry surface, SURVEY §6 pipeline ops).
+   *
+   * Lossless prefix filter (the OVERLAP form of the prefix lemma, as in
+   * [[jaccardDupPairs]]): C(a→b) >= t forces an overlap of
+   * c_a = ceil(t·|A|) grams, and two sets sorted by one global total
+   * order that overlap in >= c elements must collide within their
+   * (|X| − c + 1)-prefixes. The probe (contained) side explodes exactly
+   * |A| − c_a + 1 prefix grams. The containing side's lossless prefix
+   * depends on the PAIR's |A|, so it uses the corpus-wide minimum
+   * eligible probe size: c_min = ceil(t·min|A|) (a 1-row broadcast —
+   * no driver action). One genuinely tiny probe doc degrades the index
+   * prefixes toward full postings, which is CORRECT: a 3-gram quote
+   * really can hide anywhere in any document.
+   *
+   * Plan shape (scales to 100 TB):
+   *   1. one narrow gram pass per side (sorted distinct gram hashes),
+   *   2. prefix explode — probe ~(1−t)·|A| rows/doc, index
+   *      |B| − c_min + 1 rows/doc,
+   *   3. shuffle on the 8-byte gram hash, bucketed join with the
+   *      NECESSARY length filter |B| >= t·|A| (FP slack only ADMITS),
+   *   4. distinct directed candidate pairs (localCheckpoint-pinned so
+   *      the two refine branches reuse one band-join run),
+   *   5. identical-text pairs (xxhash64 equality carried through the
+   *      explode) short-circuit to containment 1.0; the rest re-join
+   *      text and exact-refine |A∩B|/|A| with codegen'd array builtins.
+   *
+   * Returns (id_a, id_b, containment): id_a's grams are >= threshold
+   * contained in id_b's. Symmetric near-dups appear in both directions.
+   */
+  def containmentDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          shingle: Int = 3, threshold: Double = 0.8)
+      : DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    val sized = df.select(col(idCol), xxhash64(col(textCol)).as("__th"),
+        array_sort(array_distinct(
+          token_ngram_hashes(col(textCol), shingle))).as("__g"))
+      .withColumn("__n", size(col("__g")))
+      .where(col("__n") >= 1)
+    // needed overlap for THIS row as the contained side; the (1-1e-9)
+    // relative nudge keeps FP from rounding the ceil UP — a too-long
+    // prefix only adds candidates, a too-short one would lose pairs
+    val needA = ceil(col("__n") * threshold * (1.0 - 1e-9)).cast("int")
+    val probe = sized.select(col(idCol).as("id_a"), col("__n").as("__n_a"),
+      col("__th").as("__th_a"),
+      explode(slice(col("__g"), lit(1), col("__n") - needA + 1)).as("__gram"))
+    // corpus-wide minimum needed overlap: 1-row aggregate broadcast
+    // (same trick as hilbert_pack_stats' total-count join)
+    val cmin = sized.agg(
+      ceil(min(col("__n")) * threshold * (1.0 - 1e-9)).cast("int").as("__cmin"))
+    val index = sized.crossJoin(broadcast(cmin))
+      .select(col(idCol).as("id_b"), col("__n").as("__n_b"),
+        col("__th").as("__th_b"),
+        explode(slice(col("__g"), lit(1),
+          col("__n") - col("__cmin") + 1)).as("__gram"))
+    // |A∩B| <= |B|, so C >= t forces |B| >= t·|A|; the 1e-6 slack can
+    // only admit a boundary pair, which the exact refine then decides
+    val cand0 = probe.join(index, Seq("__gram"))
+      .where(col("id_a") =!= col("id_b") &&
+        col("__n_b") + 1e-6 >= col("__n_a") * threshold)
+      .select(col("id_a"), col("id_b"),
+        (col("__th_a") === col("__th_b")).as("__same"))
+      .distinct()
+    val candidates = cand0.localCheckpoint(false)
+    val exactDups = candidates.where(col("__same"))
+      .select(col("id_a"), col("id_b"), lit(1.0).as("containment"))
+    val refined = candidates.where(!col("__same"))
+      .join(df.select(col(idCol).as("id_a"), col(textCol).as("__text_a")), "id_a")
+      .join(df.select(col(idCol).as("id_b"), col(textCol).as("__text_b")), "id_b")
+      .withColumn("__ga", array_distinct(
+        token_ngram_hashes(col("__text_a"), shingle)))
+      .withColumn("containment",
+        size(array_intersect(col("__ga"), array_distinct(
+            token_ngram_hashes(col("__text_b"), shingle)))).cast("double")
+          / size(col("__ga")))
+      .where(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+    exactDups.unionAll(refined)
+  }
+
+  /**
    * SimHash near-dup pairs within a Hamming radius. Banding the 64-bit
    * fingerprint into `chunks` equal pieces guarantees (pigeonhole) that
    * any pair within hamming <= chunks-1 shares at least one exact chunk;

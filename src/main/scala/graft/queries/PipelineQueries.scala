@@ -112,6 +112,23 @@ object PipelineQueries {
         "doc_id", "text", shingle = 3, threshold = 0.8)
     }),
 
+    // DIRECTED near-subset detection (excerpt/quote/boilerplate case):
+    // n-gram containment |A∩B|/|A| >= 0.75 via the lossless overlap
+    // prefix filter. Planted excerpts — the first 40% of every 7th
+    // doc's characters as a new doc — must surface as
+    // (excerpt → original) pairs; Jaccard at the same threshold would
+    // miss them (the excerpt is ~40% of the original's grams). The
+    // oracle recomputes ALL ordered pairs in DuckDB.
+    "containment_dup_pairs" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val base = d.unionAll(d.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          substring(col("text"), lit(1),
+            floor(length(col("text")) * 0.4).cast("int")).as("text")))
+      Dedup.containmentDupPairs(base, "doc_id", "text",
+        shingle = 3, threshold = 0.75)
+    }),
+
     // near-dup CLUSTER dedup end-to-end: LSH pairs -> connected
     // components -> min-id representative per cluster. The oracle
     // recomputes exact all-pairs Jaccard AND the components with a
@@ -1404,6 +1421,29 @@ object PipelineQueries {
     // result — for it this is a by-construction guarantee, not a
     // recall observation
     "jaccard_dup_pairs" -> allPairsJaccardOracle,
+    // all ORDERED pairs under the asymmetric containment measure
+    // |A∩B|/|A| — the planted 40%-prefix excerpts must appear as
+    // (excerpt → original) rows that symmetric Jaccard would miss
+    "containment_dup_pairs" ->
+      """WITH base AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 200000,
+                  substr(text, 1, CAST(floor(length(text) * 0.4) AS INT))
+           FROM documents WHERE doc_id % 7 = 0),
+         grams AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(range(1, len(w)-1),
+                    i -> w[i]||chr(31)||w[i+1]||chr(31)||w[i+2])) AS g
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM base)
+         )
+         SELECT id_a, id_b, containment FROM (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                    / len(a.g) AS containment
+           FROM grams a, grams b
+           WHERE a.doc_id <> b.doc_id AND len(a.g) >= 1
+         ) WHERE containment >= 0.75""",
     "dedup_clusters" -> dedupClustersOracle,
     // the star-CC path must reproduce the same transitive closure
     "dedup_clusters_star" -> dedupClustersOracle,

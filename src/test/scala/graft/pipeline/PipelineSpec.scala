@@ -71,6 +71,49 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("containment join finds the planted excerpt that jaccard misses") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today ok"),
+      (2L, "the quick brown fox jumps"), // strict excerpt of 1 (5 tokens)
+      (3L, "completely different words about spark query engines and columnar formats")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.containmentDupPairs(docs, "doc_id", "text",
+        shingle = 3, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    // every gram of doc 2 occurs in doc 1 → containment exactly 1.0,
+    // only in the (2 → 1) direction
+    assert(pairs == Set((2L, 1L, 1.0)))
+    // symmetric jaccard at the same threshold sees nothing
+    assert(Dedup.jaccardDupPairs(docs, "doc_id", "text",
+      shingle = 3, threshold = 0.9).count() == 0L)
+  }
+
+  test("containment join is EXACT: matches brute force at several thresholds") {
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
+    val docs = (0L until 40L).map { i =>
+      val len = 3 + rnd.nextInt(10)
+      (i, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val a = df.select(col("doc_id").as("id_a"), col("text").as("ta"))
+    val b = df.select(col("doc_id").as("id_b"), col("text").as("tb"))
+    val ga = array_distinct(token_ngram_hashes(col("ta"), 3))
+    val gb = array_distinct(token_ngram_hashes(col("tb"), 3))
+    for (t <- Seq(0.3, 0.6, 0.8, 1.0)) {
+      val brute = a.crossJoin(b)
+        .where(col("id_a") =!= col("id_b") && size(ga) >= 1)
+        .select(col("id_a"), col("id_b"),
+          (size(array_intersect(ga, gb)).cast("double") / size(ga)).as("c"))
+        .where(col("c") >= t)
+        .as[(Long, Long, Double)].collect().toSet
+      val fast = Dedup.containmentDupPairs(df, "doc_id", "text",
+          shingle = 3, threshold = t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(fast == brute, s"threshold $t: ${fast.size} vs brute ${brute.size}")
+    }
+  }
+
   test("cross-corpus jaccard pairs and near-incremental dedup") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),
