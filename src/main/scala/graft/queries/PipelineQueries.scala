@@ -129,6 +129,24 @@ object PipelineQueries {
         shingle = 3, threshold = 0.75)
     }),
 
+    // typo-tolerant record linkage: all pairs at edit distance <= 1
+    // over 24-char prefixes, with one planted single-char substitution
+    // per 9th doc (position keyed by id). The q-gram count-filter
+    // blocking + banded-DP levenshtein refine must reproduce DuckDB's
+    // all-pairs levenshtein recompute — both engines implement the
+    // classic DP, so the distance itself is integer-exact parity.
+    "edit_distance_pairs" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), lit(1), lit(24)).as("s"))
+      val p = (col("doc_id") % 20).cast("int") + lit(3)
+      val base = d.unionAll(d.where(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          concat(substring(col("s"), lit(1), p - 1), lit("~"),
+            substring(col("s"), p + 1, lit(1000000))).as("s")))
+      graft.tools.Joins.editDistancePairs(base, "doc_id", "s",
+        maxDist = 1, q = 2)
+    }),
+
     // near-dup CLUSTER dedup end-to-end: LSH pairs -> connected
     // components -> min-id representative per cluster. The oracle
     // recomputes exact all-pairs Jaccard AND the components with a
@@ -1447,6 +1465,22 @@ object PipelineQueries {
     "dedup_clusters" -> dedupClustersOracle,
     // the star-CC path must reproduce the same transitive closure
     "dedup_clusters_star" -> dedupClustersOracle,
+    // all-pairs levenshtein recompute over the same planted-typo frame;
+    // both engines run the classic DP so dist is integer-exact
+    "edit_distance_pairs" ->
+      """WITH pre AS (SELECT doc_id, substr(text, 1, 24) AS s FROM documents),
+         base AS (
+           SELECT doc_id, s FROM pre
+           UNION ALL
+           SELECT doc_id + 300000,
+                  substr(s, 1, CAST(doc_id % 20 AS INT) + 2) || '~' ||
+                  substr(s, CAST(doc_id % 20 AS INT) + 4)
+           FROM pre WHERE doc_id % 9 = 0
+         )
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                levenshtein(a.s, b.s) AS dist
+         FROM base a, base b
+         WHERE a.doc_id < b.doc_id AND levenshtein(a.s, b.s) <= 1""",
     "ngram_jaccard_adjacent" ->
       """WITH grams AS (
            SELECT doc_id,

@@ -247,4 +247,74 @@ object Joins {
       .where(col(leftLo) <= col(rightHi) && col(rightLo) <= col(leftHi))
       .drop("__obin", "__olb", "__orb")
   }
+
+  /**
+   * Fuzzy self-join on edit distance: every pair (id_a < id_b) with
+   * levenshtein(s_a, s_b) <= maxDist — record linkage / typo-dedup of
+   * names, titles, and short keys, where token-level dedup sees
+   * nothing (one typo changes every containing token n-gram).
+   *
+   * LOSSLESS blocking, never all-pairs:
+   *  - length filter: an edit changes length by at most 1, so
+   *    |len_a − len_b| <= maxDist is necessary (applied in both
+   *    branches);
+   *  - q-gram filter (the count-filter bound of approximate string
+   *    joins, Gravano et al., VLDB'01): one edit destroys at most q
+   *    positional q-grams, so distance <= d forces
+   *    |G_a ∩ G_b| >= max(len_a, len_b) − q + 1 − d·q common grams.
+   *    That is >= 1 whenever the LONGER string has length >= q·(d+1),
+   *    so all such pairs collide in a distinct-q-gram inverted index:
+   *    explode distinct grams, shuffle on the gram VALUE, within-bucket
+   *    join. A stop-gram (a gram occurring in a large fraction of rows)
+   *    bounds a bucket — salt or drop top grams upstream if profiled;
+   *  - the residue — BOTH strings shorter than q·(d+1) chars (< 4 for
+   *    q=2, d=1) — pairs via a length-band join: each short row
+   *    replicates to keys len..len+maxDist and meets partners at their
+   *    exact length. The short universe is bounded by the alphabet to
+   *    the power q·(d+1); its buckets are the documented skew risk.
+   *
+   * Refine: Spark's banded-DP `levenshtein(a, b, threshold)` (returns
+   * −1 above the threshold, the exact distance otherwise) on distinct
+   * candidate pairs only. Returns (id_a, id_b, dist), dist <= maxDist.
+   */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+                        maxDist: Int = 1, q: Int = 2): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    require(q >= 1, "q must be >= 1")
+    val minLong = q * (maxDist + 1)
+    val base = df.select(col(idCol).as("__eid"), col(strCol).as("__es"))
+      .withColumn("__el", length(col("__es")))
+      .where(col("__es").isNotNull)
+    val grams = base.select(col("__eid"), col("__el"),
+        explode(array_distinct(org.apache.spark.sql.graftbridge.Bridge.column(
+          graft.functions.CharNgrams(
+            org.apache.spark.sql.graftbridge.Bridge.expression(col("__es")), q))))
+          .as("__gram"))
+      .repartition(col("__gram"))
+    val gl = grams.select(col("__eid").as("id_a"), col("__el").as("__l_a"),
+      col("__gram"))
+    val gr = grams.select(col("__eid").as("id_b"), col("__el").as("__l_b"),
+      col("__gram"))
+    val gramCand = gl.join(gr, Seq("__gram"))
+      .where(col("id_a") < col("id_b") &&
+        abs(col("__l_a") - col("__l_b")) <= maxDist)
+      .select(col("id_a"), col("id_b"))
+    // both-short residue: length-band keys (d+1 rows per short row)
+    val shorts = base.where(col("__el") < minLong)
+    val shortCand = shorts
+      .select(col("__eid").as("id_a"),
+        explode(sequence(col("__el"), col("__el") + lit(maxDist))).as("__lkey"))
+      .join(shorts.select(col("__eid").as("id_b"), col("__el").as("__lkey")),
+        Seq("__lkey"))
+      .where(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+    val candidates = gramCand.unionAll(shortCand).distinct()
+    candidates
+      .join(base.select(col("__eid").as("id_a"), col("__es").as("__s_a")), "id_a")
+      .join(base.select(col("__eid").as("id_b"), col("__es").as("__s_b")), "id_b")
+      .withColumn("dist", levenshtein(col("__s_a"), col("__s_b"), maxDist))
+      .where(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

@@ -243,4 +243,39 @@ class JoinsSpec extends AnyFunSuite {
       .select("pid", "iid").as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L), (3L, 2L), (4L, 2L)))
   }
+
+  test("editDistancePairs finds typos, exact dups, and nothing else") {
+    val rows = Seq(
+      (1L, "acme corporation"),
+      (2L, "acme corporatiom"), // 1 substitution from 1
+      (3L, "acme corporation"), // exact dup of 1
+      (4L, "acme inc"),
+      (5L, "zebra")
+    ).toDF("id", "s")
+    val got = Joins.editDistancePairs(rows, "id", "s", maxDist = 1)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 2L, 1), (1L, 3L, 0), (2L, 3L, 1)))
+  }
+
+  test("editDistancePairs matches brute force, including the short-string branch") {
+    val rnd = new scala.util.Random(31)
+    val alpha = "ab"
+    // lengths 1..8 over a 2-letter alphabet: dense near-pairs, and
+    // lengths 1-3 exercise the both-short length-band path at q=2, d=1
+    val rows = (0L until 60L).map { i =>
+      val len = 1 + rnd.nextInt(8)
+      (i, Seq.fill(len)(alpha(rnd.nextInt(alpha.length))).mkString)
+    }.toDF("id", "s")
+    val a = rows.select(col("id").as("id_a"), col("s").as("sa"))
+    val b = rows.select(col("id").as("id_b"), col("s").as("sb"))
+    for (d <- Seq(1, 2)) {
+      val brute = a.crossJoin(b).where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), levenshtein(col("sa"), col("sb")).as("dist"))
+        .where(col("dist") <= d)
+        .as[(Long, Long, Int)].collect().toSet
+      val fast = Joins.editDistancePairs(rows, "id", "s", maxDist = d)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(fast == brute, s"maxDist $d: ${fast.size} vs brute ${brute.size}")
+    }
+  }
 }
