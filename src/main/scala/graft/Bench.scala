@@ -19,7 +19,8 @@ object Bench {
     // sf so the timed sf0.1 pass measures steady state, not one-time
     // codegen compilation.
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.keys.foreach { q =>
+    val warmOnly = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    SparkEntry.queries.keys.filter(q => warmOnly.forall(_.contains(q))).foreach { q =>
       try SparkEntry.queries(q)(spark, warmDir).count()
       catch { case _: Throwable => }
     }
@@ -28,7 +29,11 @@ object Bench {
     // inflated several r5 numbers ~3x); the median of 3 is robust to one
     // contended run while keeping the suite under a few minutes.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated subset for targeted perf iteration
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }

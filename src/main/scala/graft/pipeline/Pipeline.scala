@@ -550,11 +550,18 @@ object Dedup {
                           shingle: Int = 3, threshold: Double = 0.8)
       : DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    // one row per doc with its sorted distinct gram-hash array,
+    // localCheckpoint-pinned: the corpus is tokenized ONCE and the
+    // three readers below (min aggregate, probe explode, index
+    // explode) all scan the compact materialized arrays. (A shared
+    // posexploded frame was measured SLOWER at sf0.1: the probe then
+    // pays an index-width scan for its narrow slice.)
     val sized = df.select(col(idCol), xxhash64(col(textCol)).as("__th"),
         array_sort(array_distinct(
           token_ngram_hashes(col(textCol), shingle))).as("__g"))
       .withColumn("__n", size(col("__g")))
       .where(col("__n") >= 1)
+      .localCheckpoint(false)
     // needed overlap for THIS row as the contained side; the (1-1e-9)
     // relative nudge keeps FP from rounding the ceil UP — a too-long
     // prefix only adds candidates, a too-short one would lose pairs

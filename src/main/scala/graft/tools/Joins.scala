@@ -258,17 +258,25 @@ object Joins {
    *  - length filter: an edit changes length by at most 1, so
    *    |len_a − len_b| <= maxDist is necessary (applied in both
    *    branches);
-   *  - q-gram filter (the count-filter bound of approximate string
-   *    joins, Gravano et al., VLDB'01): one edit destroys at most q
-   *    positional q-grams, so distance <= d forces
-   *    |G_a ∩ G_b| >= max(len_a, len_b) − q + 1 − d·q common grams.
-   *    That is >= 1 whenever the LONGER string has length >= q·(d+1),
-   *    so all such pairs collide in a distinct-q-gram inverted index:
-   *    explode distinct grams, shuffle on the gram VALUE, within-bucket
-   *    join. A stop-gram (a gram occurring in a large fraction of rows)
-   *    bounds a bucket — salt or drop top grams upstream if profiled;
+   *  - q-gram PREFIX filter: one edit rewrites at most q positional
+   *    q-grams (the count-filter bound of approximate string joins,
+   *    Gravano et al., VLDB'01), so at distance <= d at most d·q
+   *    DISTINCT gram values of either string can disappear entirely:
+   *    |V_a ∩ V_b| >= max(|V_a|, |V_b|) − d·q over the distinct gram
+   *    VALUE sets. By the prefix lemma (one global hash order on gram
+   *    values, as in the set-similarity joins), every qualifying pair
+   *    must then collide within each side's first d·q + 1 sorted gram
+   *    hashes — 3 rows per string at q=2, d=1, independent of string
+   *    length. A naive full-gram inverted index is lossless too but
+   *    collapses under stop-grams ("th", "an" sit in every English
+   *    string — the hot bucket IS the corpus); the prefix behaves like
+   *    a minhash band instead (a value buckets only rows where it
+   *    hash-ranks in the first d·q+1). Pairs where one side has fewer
+   *    than c = max − d·q distinct values are genuinely impossible at
+   *    distance d, so dropping them loses nothing;
    *  - the residue — BOTH strings shorter than q·(d+1) chars (< 4 for
-   *    q=2, d=1) — pairs via a length-band join: each short row
+   *    q=2, d=1; exactly the rows whose distinct-gram count can be
+   *    <= d·q) — pairs via a length-band join: each short row
    *    replicates to keys len..len+maxDist and meets partners at their
    *    exact length. The short universe is bounded by the alphabet to
    *    the power q·(d+1); its buckets are the documented skew risk.
@@ -278,18 +286,43 @@ object Joins {
    * candidate pairs only. Returns (id_a, id_b, dist), dist <= maxDist.
    */
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
-                        maxDist: Int = 1, q: Int = 2): DataFrame = {
+                        maxDist: Int = 1, q: Int = 2,
+                        rareFirst: Boolean = true): DataFrame = {
     require(maxDist >= 1, "maxDist must be >= 1")
     require(q >= 1, "q must be >= 1")
     val minLong = q * (maxDist + 1)
     val base = df.select(col(idCol).as("__eid"), col(strCol).as("__es"))
       .withColumn("__el", length(col("__es")))
       .where(col("__es").isNotNull)
-    val grams = base.select(col("__eid"), col("__el"),
-        explode(array_distinct(org.apache.spark.sql.graftbridge.Bridge.column(
-          graft.functions.CharNgrams(
-            org.apache.spark.sql.graftbridge.Bridge.expression(col("__es")), q))))
-          .as("__gram"))
+    // first d·q+1 gram hashes under ONE global total order (8-byte join
+    // keys; one exchange feeds both self-join sides). `rareFirst`
+    // orders by ascending corpus frequency (ties by hash) — the PPJoin
+    // canonical order: a stop-gram ("th" in English titles, an O(df²)
+    // bucket under any frequency-blind order) almost never hash-ranks
+    // into a prefix. Costs one counts-only gram pass + a regroup;
+    // rareFirst=false skips both and orders by the bare hash.
+    val gramHashes = array_distinct(transform(
+      org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.functions.CharNgrams(
+          org.apache.spark.sql.graftbridge.Bridge.expression(col("__es")), q)),
+      g => xxhash64(g)))
+    val longs = base.where(col("__el") >= minLong)
+    val grams = (if (rareFirst) {
+      val exploded = longs.select(col("__eid"), col("__el"),
+        explode(gramHashes).as("__gram"))
+      val freq = exploded.groupBy(col("__gram")).agg(count(lit(1)).as("__df"))
+      exploded.join(freq, Seq("__gram"))
+        .groupBy(col("__eid"))
+        .agg(first(col("__el")).as("__el"),
+          slice(transform(array_sort(
+              collect_list(struct(col("__df"), col("__gram")))),
+            x => x("__gram")), 1, maxDist * q + 1).as("__pref"))
+        .select(col("__eid"), col("__el"), explode(col("__pref")).as("__gram"))
+    } else {
+      longs.select(col("__eid"), col("__el"),
+        explode(slice(array_sort(gramHashes),
+          lit(1), lit(maxDist * q + 1))).as("__gram"))
+    })
       .repartition(col("__gram"))
     val gl = grams.select(col("__eid").as("id_a"), col("__el").as("__l_a"),
       col("__gram"))
@@ -299,12 +332,18 @@ object Joins {
       .where(col("id_a") < col("id_b") &&
         abs(col("__l_a") - col("__l_b")) <= maxDist)
       .select(col("id_a"), col("id_b"))
-    // both-short residue: length-band keys (d+1 rows per short row)
+    // short-string residue: every pair with a side shorter than
+    // q·(d+1) chars. The length filter caps its partners at
+    // len < q·(d+1) + d, so the band join's probe is the shorts and
+    // its build side is every string of those few lengths — (short,
+    // long) pairs are covered here because the gram branch excludes
+    // shorts entirely
     val shorts = base.where(col("__el") < minLong)
+    val nearShort = base.where(col("__el") < minLong + maxDist)
     val shortCand = shorts
       .select(col("__eid").as("id_a"),
         explode(sequence(col("__el"), col("__el") + lit(maxDist))).as("__lkey"))
-      .join(shorts.select(col("__eid").as("id_b"), col("__el").as("__lkey")),
+      .join(nearShort.select(col("__eid").as("id_b"), col("__el").as("__lkey")),
         Seq("__lkey"))
       .where(col("id_a") =!= col("id_b"))
       .select(least(col("id_a"), col("id_b")).as("id_a"),

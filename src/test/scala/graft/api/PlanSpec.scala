@@ -150,6 +150,38 @@ class PlanSpec extends AnyFunSuite {
       s"prefix join must stay a hash join:\n$plan")
   }
 
+  test("containment join: pair join is hash-based; only the 1-row min broadcast nests") {
+    val docs = (0 until 400).map(i => (i.toLong, s"alpha beta gamma delta ${i % 40} epsilon zeta"))
+      .toDF("doc_id", "text")
+    // at-scale shape: sides too big to broadcast (the explicit 1-row
+    // broadcast() hint for the corpus-min overlap survives this)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val pairs = graft.pipeline.Dedup.containmentDupPairs(docs, "doc_id", "text",
+        shingle = 3, threshold = 0.8)
+      val plan = finalPlan(pairs)
+      assert(!plan.contains("CartesianProduct"),
+        s"containment candidates must never cartesian:\n$plan")
+      // the corpus-min overlap rides a broadcast 1-row crossJoin (a
+      // BroadcastNestedLoopJoin over exactly one build row — constant
+      // work); the GRAM pair join itself must be a shuffled hash join
+      val nlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+      assert(nlj <= 1, s"only the 1-row cmin broadcast may nest, found $nlj:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"gram candidate join must shuffle on the gram key:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("edit-distance join plans hash joins end to end") {
+    val rows = (0 until 300).map(i => (i.toLong, s"name-${i % 60}-suffix"))
+      .toDF("id", "s")
+    val pairs = graft.tools.Joins.editDistancePairs(rows, "id", "s", maxDist = 1)
+    val plan = finalPlan(pairs)
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"q-gram blocking, length-band residue and refine joins must all hash:\n$plan")
+  }
+
   test("cross-corpus near-dedup plans hash joins end to end") {
     val corpus = (0 until 200).map(i => (i.toLong, s"alpha beta gamma ${i % 20} delta"))
       .toDF("doc_id", "text")

@@ -268,14 +268,14 @@ class JoinsSpec extends AnyFunSuite {
     }.toDF("id", "s")
     val a = rows.select(col("id").as("id_a"), col("s").as("sa"))
     val b = rows.select(col("id").as("id_b"), col("s").as("sb"))
-    for (d <- Seq(1, 2)) {
+    for (d <- Seq(1, 2); rare <- Seq(true, false)) {
       val brute = a.crossJoin(b).where(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"), levenshtein(col("sa"), col("sb")).as("dist"))
         .where(col("dist") <= d)
         .as[(Long, Long, Int)].collect().toSet
-      val fast = Joins.editDistancePairs(rows, "id", "s", maxDist = d)
+      val fast = Joins.editDistancePairs(rows, "id", "s", maxDist = d, rareFirst = rare)
         .as[(Long, Long, Int)].collect().toSet
-      assert(fast == brute, s"maxDist $d: ${fast.size} vs brute ${brute.size}")
+      assert(fast == brute, s"maxDist $d rareFirst $rare: ${fast.size} vs brute ${brute.size}")
     }
   }
 }
