@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.pipeline.{Decontaminate, Dedup, Multimodal, Sampling, Scrub, Similarity, Sketches, TextAnalysis, Tx}
+import graft.pipeline.{Decontaminate, Dedup, Graphs, Multimodal, Sampling, Scrub, Similarity, Sketches, TextAnalysis, Tx}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -493,6 +493,20 @@ object PipelineQueries {
           Scrub.filterBlockedHosts(docs, "doc_id", "ptext", blocklist),
           "doc_id", "ptext")
         .groupBy(col("host")).agg(count(lit(1)).as("n"))
+    }),
+
+    // link-graph host authority (the crawl-quality weight): 5 rounds
+    // of integer-arithmetic PageRank over a deterministic host graph
+    // derived from doc ids. All-integer ranks are order-independent,
+    // so DuckDB replaying the same formula (5 unrolled aggregate
+    // CTEs) must match bit for bit — an ITERATIVE graph algorithm
+    // under the full hash gate, like dedup_clusters before it.
+    "pagerank_hosts" -> ((s, dir) => {
+      val edges = t(s, dir, "documents")
+        .select(concat(lit("h"), (col("doc_id") % 11).cast("string")).as("src"),
+          concat(lit("h"), (col("doc_id") % 7).cast("string")).as("dst"))
+        .where(col("src") =!= col("dst")).distinct()
+      Graphs.pageRankInt(edges, "src", "dst", iters = 5)
     }),
 
     // normalization-canonical exact dedup: planted variants differing
@@ -1056,6 +1070,34 @@ object PipelineQueries {
   // shared by minhash_dup_pairs (probabilistic candidates, exact refine)
   // and jaccard_dup_pairs (lossless prefix filter): all pairs with
   // 3-token-gram Jaccard >= 0.8, recomputed brute-force
+  // integer PageRank replay: 5 unrolled aggregate CTEs (DuckDB bans
+  // aggregates in recursive terms), same scaled-Long formula as
+  // Graphs.pageRankInt — `//` floor division == Spark `div` truncation
+  // on the all-positive operands, and integer Σ is order-independent
+  private val pagerankHostsOracle: String = {
+    val steps = (1 to 5).map { k =>
+      s"""r$k AS (
+           SELECT n.node,
+                  CAST(150000000 + COALESCE((
+                    SELECT SUM((p.r * 17) // (20 * dg.d))
+                    FROM edges e
+                    JOIN r${k - 1} p ON p.node = e.src
+                    JOIN deg dg ON dg.src = e.src
+                    WHERE e.dst = n.node), 0) AS BIGINT) AS r
+           FROM nodes n)"""
+    }.mkString(",\n         ")
+    s"""WITH edges AS (
+           SELECT DISTINCT 'h' || CAST(doc_id % 11 AS VARCHAR) AS src,
+                           'h' || CAST(doc_id % 7 AS VARCHAR) AS dst
+           FROM documents WHERE doc_id % 11 <> doc_id % 7),
+         nodes AS (SELECT src AS node FROM edges
+                   UNION SELECT dst FROM edges),
+         deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+         r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+         $steps
+       SELECT node, r AS rank FROM r5"""
+  }
+
   private val allPairsJaccardOracle =
     """WITH grams AS (
          SELECT doc_id,
@@ -1465,6 +1507,7 @@ object PipelineQueries {
     "dedup_clusters" -> dedupClustersOracle,
     // the star-CC path must reproduce the same transitive closure
     "dedup_clusters_star" -> dedupClustersOracle,
+    "pagerank_hosts" -> pagerankHostsOracle,
     // all-pairs levenshtein recompute over the same planted-typo frame;
     // both engines run the classic DP so dist is integer-exact
     "edit_distance_pairs" ->
