@@ -1098,6 +1098,35 @@ object PipelineQueries {
        SELECT node, r AS rank FROM r5"""
   }
 
+  // shared by near_dedup_incremental (batch) and stream_near_dedup
+  // (the same operator per micro-batch): brute-force cross Jaccard
+  // against the corpus snapshot, survivors = batch minus near-dups
+  private val nearDedupIncrementalOracle =
+    """WITH corpus AS (
+         SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+       batch AS (
+         SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+         UNION ALL
+         SELECT doc_id + 200000, text || ' xnear' FROM documents
+         WHERE doc_id % 3 = 0),
+       gb AS (
+         SELECT doc_id,
+                list_distinct(list_transform(range(1, len(w)-1),
+                  i -> w[i]||chr(31)||w[i+1]||chr(31)||w[i+2])) AS g
+         FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM batch)),
+       gc AS (
+         SELECT doc_id,
+                list_distinct(list_transform(range(1, len(w)-1),
+                  i -> w[i]||chr(31)||w[i+1]||chr(31)||w[i+2])) AS g
+         FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM corpus)),
+       dups AS (
+         SELECT DISTINCT b.doc_id FROM gb b, gc c
+         WHERE len(b.g) + len(c.g) - len(list_intersect(b.g, c.g)) > 0
+           AND CAST(len(list_intersect(b.g, c.g)) AS DOUBLE)
+                 / (len(b.g) + len(c.g) - len(list_intersect(b.g, c.g))) >= 0.8)
+       SELECT doc_id FROM batch
+       WHERE doc_id NOT IN (SELECT doc_id FROM dups)"""
+
   private val allPairsJaccardOracle =
     """WITH grams AS (
          SELECT doc_id,
@@ -1451,31 +1480,10 @@ object PipelineQueries {
           )
           SELECT $langCase AS lang_pred, count(*) AS n, min(doc_id) AS first_id
           FROM scored GROUP BY 1""",
-    "near_dedup_incremental" ->
-      """WITH corpus AS (
-           SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
-         batch AS (
-           SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
-           UNION ALL
-           SELECT doc_id + 200000, text || ' xnear' FROM documents
-           WHERE doc_id % 3 = 0),
-         gb AS (
-           SELECT doc_id,
-                  list_distinct(list_transform(range(1, len(w)-1),
-                    i -> w[i]||chr(31)||w[i+1]||chr(31)||w[i+2])) AS g
-           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM batch)),
-         gc AS (
-           SELECT doc_id,
-                  list_distinct(list_transform(range(1, len(w)-1),
-                    i -> w[i]||chr(31)||w[i+1]||chr(31)||w[i+2])) AS g
-           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM corpus)),
-         dups AS (
-           SELECT DISTINCT b.doc_id FROM gb b, gc c
-           WHERE len(b.g) + len(c.g) - len(list_intersect(b.g, c.g)) > 0
-             AND CAST(len(list_intersect(b.g, c.g)) AS DOUBLE)
-                   / (len(b.g) + len(c.g) - len(list_intersect(b.g, c.g))) >= 0.8)
-         SELECT doc_id FROM batch
-         WHERE doc_id NOT IN (SELECT doc_id FROM dups)""",
+    "near_dedup_incremental" -> nearDedupIncrementalOracle,
+    // the per-micro-batch streaming run must keep the same survivors
+    // as the batch twin (foreachBatch applies the identical operator)
+    "stream_near_dedup" -> nearDedupIncrementalOracle,
     "minhash_dup_pairs" -> allPairsJaccardOracle,
     // the exact prefix-filtered join must reproduce the SAME all-pairs
     // result — for it this is a by-construction guarantee, not a

@@ -779,6 +779,43 @@ object Queries {
       s.table(qName).select(col("doc_id"))
     }),
 
+    // Streaming NEAR-dedup under the DuckDB gate: the unchanged batch
+    // operator (prefix-filtered cross-corpus Jaccard + anti-join) run
+    // per micro-batch via foreachBatch — the canonical pattern for
+    // batch ops whose internals (distinct, self-aggregates) streaming
+    // can't express natively. Per-batch application IS the incremental
+    // semantics (each new doc compares only to the static snapshot),
+    // so any batch split yields the same survivors as the batch twin
+    // near_dedup_incremental — and the SAME oracle gates both.
+    "stream_near_dedup" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val corpus = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") % 3 === 0).select(col("doc_id"), col("text"))
+      def src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .select(col("doc_id"), col("text"))
+      val fresh = src.where(col("doc_id") % 3 =!= 0)
+        .unionAll(src.where(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" xnear")).as("text")))
+      val outPath = System.getProperty("java.io.tmpdir") +
+        "/graft_stream_near_dedup_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outPath))
+      val qName = "graft_stream_near_dedup"
+      s.streams.active.filter(q => q.name == qName).foreach(_.stop())
+      val q = fresh.writeStream.queryName(qName)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.pipeline.Dedup.dedupNearAgainstCorpus(batch, corpus,
+              "doc_id", "text", shingle = 3, threshold = 0.8)
+            .select(col("doc_id"))
+            .write.mode("append").parquet(outPath)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outPath)
+    }),
+
     // Streaming SESSIONIZATION under the DuckDB gate: the session_window
     // aggregation as a real streaming query (complete output mode — all
     // sessions in the final table, no watermark-emission race), pinned

@@ -18,6 +18,53 @@ class StreamingSpec extends AnyFunSuite {
   private def ts(minute: Int): Timestamp =
     Timestamp.valueOf(f"2026-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00")
 
+  test("foreachBatch near-dedup matches the batch operator across micro-batch splits") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "completely different words about spark query engines formats")
+    ).toDF("doc_id", "text")
+    val newDocs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again today xnear"), // near-dup of 1
+      (11L, "unrelated content mentioning hilbert curves rtrees parquet"),
+      (12L, "completely different words about spark query engines formats xnear"), // near-dup of 2
+      (13L, "another genuinely novel document with fresh vocabulary here")
+    )
+    val dir = java.nio.file.Files.createTempDirectory("neardedup").toFile
+    try {
+      // two source files + maxFilesPerTrigger=1 => two micro-batches;
+      // per-batch application must still equal the one-shot batch run
+      // (each doc compares only to the static corpus)
+      for ((part, name) <- Seq(newDocs.take(2) -> "a", newDocs.drop(2) -> "b")) {
+        part.toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/raw_$name")
+        val f = new java.io.File(s"$dir/raw_$name").listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        org.apache.commons.io.FileUtils.copyFile(f,
+          new java.io.File(s"$dir/in/$name.parquet"))
+      }
+      val schema = spark.read.parquet(s"$dir/in").schema
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+      val q = src.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.pipeline.Dedup.dedupNearAgainstCorpus(batch, corpus,
+              "doc_id", "text", shingle = 3, threshold = 0.8)
+            .select("doc_id")
+            .write.mode("append").parquet(s"$dir/out")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val streamed = spark.read.parquet(s"$dir/out").as[Long].collect().toSet
+      val batchRun = graft.pipeline.Dedup.dedupNearAgainstCorpus(
+          newDocs.toDF("doc_id", "text"), corpus, "doc_id", "text",
+          shingle = 3, threshold = 0.8)
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamed == batchRun && streamed == Set(11L, 13L))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    }
+  }
+
   test("streaming geo-parquet sink maintains the sidecar incrementally") {
     import graft.Geo._
     implicit val sc = spark.sqlContext
