@@ -578,6 +578,51 @@ object TextAnalysis {
    * localCheckpoint-pinned so the rank cache releases eagerly. ppm =
    * floor(1e6 * covered / total).
    */
+  /**
+   * Top-k collocations (adjacent token pairs) by an integer-staged PMI
+   * score — the merge-candidate selection shape of tokenizer/phrase
+   * construction (BPE picks argmax pair frequency; wordpiece/phrase
+   * mining picks association strength — this emits both signals).
+   *
+   * PMI = log p(ab)/(p(a)p(b)) is monotone in (c_ab·N²)/(M·c_a·c_b),
+   * so ranking needs no log. The score is computed in STAGED integer
+   * division — ((c_ab·N) div c_a)·N·100 div (c_b·M) — every
+   * intermediate bounded by N²·100 (fits a Long to ~300G tokens per
+   * partition-count scale-out) and bit-replayable by any engine with
+   * integer division; ties resolve on the pair strings.
+   *
+   * Plan: one corpus scan explodes bigrams (narrow), one for unigrams;
+   * counts aggregate map-side; the two count joins key on the word
+   * (hash joins, broadcast when the vocabulary is small); the two
+   * 1-row totals ride broadcast crossJoins. Top-k is a single ordered
+   * limit (Spark's TakeOrderedAndProject — no full sort at scale).
+   */
+  def collocationTopK(docs: DataFrame, textCol: String, k: Int = 20)
+      : DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val w = split(trim(col(textCol)), "\\s+")
+    val toks = docs.select(w.as("__w")).where(size(col("__w")) >= 1)
+    val uni = toks.select(explode(col("__w")).as("__tok"))
+    val ucnt = uni.groupBy(col("__tok")).agg(count(lit(1)).as("__c"))
+    val n = uni.agg(count(lit(1)).as("__n"))
+    val big = toks.where(size(col("__w")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("__w")) - 1),
+        i => struct(element_at(col("__w"), i).as("w1"),
+          element_at(col("__w"), i + 1).as("w2")))).as("__p"))
+      .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+    val bcnt = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__cab"))
+    val m = big.agg(count(lit(1)).as("__m"))
+    bcnt
+      .join(ucnt.select(col("__tok").as("w1"), col("__c").as("__ca")), Seq("w1"))
+      .join(ucnt.select(col("__tok").as("w2"), col("__c").as("__cb")), Seq("w2"))
+      .crossJoin(broadcast(n)).crossJoin(broadcast(m))
+      .select(col("w1"), col("w2"),
+        expr("(((__cab * __n) div __ca) * __n * 100) div (__cb * __m)")
+          .as("score"))
+      .orderBy(col("score").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   def vocabCoverage(docs: DataFrame, textCol: String, vs: Seq[Int],
                     numPartitions: Int = 32): DataFrame = {
     require(vs.nonEmpty && vs.forall(_ >= 1), "vs must be positive")

@@ -495,6 +495,15 @@ object PipelineQueries {
         .groupBy(col("host")).agg(count(lit(1)).as("n"))
     }),
 
+    // phrase-merge candidate mining: top-20 adjacent-token pairs by
+    // integer-staged PMI (the association score a tokenizer's merge
+    // selection ranks by). Every arithmetic step is integer division
+    // both engines replay — full hash parity including tie order.
+    "collocations_top" -> ((s, dir) => {
+      TextAnalysis.collocationTopK(
+        t(s, dir, "documents").select(col("text")), "text", k = 20)
+    }),
+
     // link-graph host authority (the crawl-quality weight): 5 rounds
     // of integer-arithmetic PageRank over a deterministic host graph
     // derived from doc ids. All-integer ranks are order-independent,
@@ -1516,6 +1525,28 @@ object PipelineQueries {
     // the star-CC path must reproduce the same transitive closure
     "dedup_clusters_star" -> dedupClustersOracle,
     "pagerank_hosts" -> pagerankHostsOracle,
+    // identical staged-integer PMI: ((cab*n)//ca)*n*100 // (cb*m),
+    // deterministic tie order on the pair strings
+    "collocations_top" ->
+      """WITH toks AS (
+           SELECT string_split_regex(trim(text), '\s+') AS w FROM documents
+           WHERE len(string_split_regex(trim(text), '\s+')) >= 1),
+         uni AS (SELECT unnest(w) AS tok FROM toks),
+         ucnt AS (SELECT tok, count(*) AS c FROM uni GROUP BY tok),
+         tot AS (SELECT count(*) AS n FROM uni),
+         big AS (
+           SELECT p[1] AS w1, p[2] AS w2 FROM (
+             SELECT unnest(list_transform(range(1, len(w)),
+               i -> [w[i], w[i+1]])) AS p
+             FROM toks WHERE len(w) >= 2)),
+         bcnt AS (SELECT w1, w2, count(*) AS cab FROM big GROUP BY w1, w2),
+         btot AS (SELECT count(*) AS m FROM big)
+         SELECT w1, w2,
+                (((cab * n) // ca.c) * n * 100) // (cb.c * m) AS score
+         FROM bcnt
+         JOIN ucnt ca ON ca.tok = w1
+         JOIN ucnt cb ON cb.tok = w2, tot, btot
+         ORDER BY score DESC, w1, w2 LIMIT 20""",
     // all-pairs levenshtein recompute over the same planted-typo frame;
     // both engines run the classic DP so dist is integer-exact
     "edit_distance_pairs" ->

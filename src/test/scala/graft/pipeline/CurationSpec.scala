@@ -14,6 +14,22 @@ class CurationSpec extends AnyFunSuite {
 
   import spark.implicits._
 
+  test("collocationTopK ranks a glued pair above frequent independents") {
+    // "new york" always co-occur; "the" is frequent but promiscuous
+    val docs = Seq(
+      "new york is the city the people the visit",
+      "new york has the parks the rivers the bridges",
+      "new york draws the crowds the artists the makers"
+    ).toDF("text")
+    val top = TextAnalysis.collocationTopK(docs, "text", k = 5)
+      .select("w1", "w2").as[(String, String)].collect()
+    assert(top.head == ("new", "york"))
+    // deterministic: same input, same full ordering on a re-run
+    val again = TextAnalysis.collocationTopK(docs, "text", k = 5)
+      .select("w1", "w2").as[(String, String)].collect()
+    assert(top.toSeq == again.toSeq)
+  }
+
   test("lineColumns: counts, duplicate lines/chars, bullets, ellipsis") {
     val text = Seq(
       "alpha beta",    // line 1
