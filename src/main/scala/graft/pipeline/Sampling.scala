@@ -218,4 +218,27 @@ object Sampling {
       .withColumn(outCol, floor((col("__pfx") - col("__ptok")) / budget).cast("long"))
       .drop("__phash", "__ptok", "__pfx")
   }
+
+  /** Length-bucketed dynamic batching (the inference/serving-side
+    * packer): rows group into `bucketWidth`-token length buckets, and
+    * within a bucket consecutive runs of `batchSize` rows (ordered by
+    * `idCol`) share a batch id — batches then hold near-equal-length
+    * sequences, the padding-waste killer for batched inference.
+    *
+    * Scale shape: the window partitions on (bucket, idCol mod shards),
+    * never the bare bucket — a hot bucket (most corpora pile into a few
+    * length bands) would otherwise sort on ONE task. Size `shards` so
+    * rows/(buckets·shards) fits a task's sort budget; batch ids are
+    * (bucket, shard, idx) triples, globally unique and deterministic.
+    * Output adds (bucket, shard, batch_idx). */
+  def lengthBucketBatches(df: DataFrame, idCol: String, tokensCol: String,
+                          bucketWidth: Int = 32, batchSize: Int = 8,
+                          shards: Int = 16): DataFrame = {
+    require(bucketWidth >= 1 && batchSize >= 1 && shards >= 1,
+      "bucketWidth, batchSize and shards must be >= 1")
+    df.withColumn("bucket", expr(s"$tokensCol div $bucketWidth"))
+      .withColumn("shard", expr(s"$idCol % $shards"))
+      .withColumn("batch_idx", expr(
+        s"(row_number() OVER (PARTITION BY bucket, shard ORDER BY $idCol) - 1) div $batchSize"))
+  }
 }

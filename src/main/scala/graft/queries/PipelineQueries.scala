@@ -495,6 +495,18 @@ object PipelineQueries {
         .groupBy(col("host")).agg(count(lit(1)).as("n"))
     }),
 
+    // serving-side dynamic batching: length buckets (32-token bands) ×
+    // id-mod shards, consecutive runs of 8 share a batch id — the
+    // padding-waste packer. Window keys on (bucket, shard), never the
+    // bare bucket (a hot length band must not sort on one task).
+    "length_bucket_batches" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("ntok"))
+      Sampling.lengthBucketBatches(d, "doc_id", "ntok",
+          bucketWidth = 32, batchSize = 8, shards = 16)
+        .select(col("doc_id"), col("bucket"), col("shard"), col("batch_idx"))
+    }),
+
     // phrase-merge candidate mining: top-20 adjacent-token pairs by
     // integer-staged PMI (the association score a tokenizer's merge
     // selection ranks by). Every arithmetic step is integer division
@@ -1525,6 +1537,14 @@ object PipelineQueries {
     // the star-CC path must reproduce the same transitive closure
     "dedup_clusters_star" -> dedupClustersOracle,
     "pagerank_hosts" -> pagerankHostsOracle,
+    // same bucket/shard/rank arithmetic over the shared token-count
+    // definition (len of regexp_extract_all \S+)
+    "length_bucket_batches" ->
+      """SELECT doc_id, ntok // 32 AS bucket, doc_id % 16 AS shard,
+                (ROW_NUMBER() OVER (PARTITION BY ntok // 32, doc_id % 16
+                                    ORDER BY doc_id) - 1) // 8 AS batch_idx
+         FROM (SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS ntok
+               FROM documents)""",
     // identical staged-integer PMI: ((cab*n)//ca)*n*100 // (cb*m),
     // deterministic tie order on the pair strings
     "collocations_top" ->

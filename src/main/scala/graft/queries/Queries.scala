@@ -590,6 +590,20 @@ object Queries {
         lower(hex(col("wkb"))).as("wkb_hex"))
     }),
 
+    // JSONL ingest/export round-trip — the LLM-corpus interchange
+    // format (most document corpora ship as jsonl). Docs write to
+    // line-delimited JSON and read back schema-inferred; every id and
+    // the full text must survive escaping byte-for-byte (the oracle
+    // reads the ORIGINAL parquet — any serde loss hash-mismatches).
+    "jsonl_roundtrip" -> ((s, dir) => {
+      val out = System.getProperty("java.io.tmpdir") +
+        "/graft_jsonl_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .write.json(out)
+      s.read.json(out).select(col("doc_id"), col("text"))
+    }),
+
     // SURVEY §2.1 serde: GeoJSON export (the WKT twin; integer coords so
     // the JSON text is exact).
     "geojson_points" -> ((s, dir) => {
@@ -1463,6 +1477,10 @@ object Queries {
          SELECT c_custkey, CAST(px AS DOUBLE) AS px2, CAST(py AS DOUBLE) AS py2,
                 '0101000000' || ${leHexSql("hx")} || ${leHexSql("hy")} AS wkb_hex
          FROM b""",
+    // the round-trip must reproduce the source table exactly — any
+    // JSON escaping/inference loss shows up as a hash mismatch
+    "jsonl_roundtrip" ->
+      "SELECT doc_id, text FROM documents",
     "sql_surface" ->
       """SELECT p_partkey,
                 4.0*((p_partkey%5)+1)*((p_partkey%5)+1) AS area,

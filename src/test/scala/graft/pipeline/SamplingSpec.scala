@@ -146,6 +146,29 @@ class SamplingSpec extends AnyFunSuite {
     assert(again == packed.map(p => p._1 -> p._3).toMap)
   }
 
+  test("lengthBucketBatches: bounded batches of near-equal lengths, stable") {
+    val rnd = new scala.util.Random(29)
+    val df = (0L until 500L).map(i => (i, 10 + rnd.nextInt(300))).toDF("id", "ntok")
+    val out = Sampling.lengthBucketBatches(df, "id", "ntok",
+        bucketWidth = 32, batchSize = 8, shards = 4)
+      .select("id", "ntok", "bucket", "shard", "batch_idx")
+      .as[(Long, Int, Long, Long, Long)].collect()
+    // bucket holds the length band; every batch has <= batchSize rows
+    assert(out.forall { case (_, n, b, _, _) => n / 32 == b })
+    val sizes = out.groupBy(r => (r._3, r._4, r._5)).map(_._2.length)
+    assert(sizes.max <= 8 && sizes.min >= 1)
+    // within a batch, token lengths differ by < bucketWidth
+    out.groupBy(r => (r._3, r._4, r._5)).values.foreach { rows =>
+      val ns = rows.map(_._2)
+      assert(ns.max - ns.min < 32)
+    }
+    // deterministic under repartition
+    val again = Sampling.lengthBucketBatches(df.repartition(7), "id", "ntok",
+        32, 8, 4)
+      .select("id", "batch_idx").as[(Long, Long)].collect().toMap
+    assert(again == out.map(r => r._1 -> r._5).toMap)
+  }
+
   test("empty inputs: sampling, components, and decontamination degrade cleanly") {
     val empty = spark.emptyDataset[(Long, String)].toDF("doc_id", "text")
     assert(Sampling.deterministicSample(empty, col("doc_id"), 0.5, "s").count() == 0)
