@@ -71,4 +71,65 @@ object Graphs {
     e.unpersist(false)
     ranks.select(col("__node").as("node"), col("__r").as("rank"))
   }
+
+  /**
+   * Per-node triangle counts over an undirected graph (the clustering
+   * signal a link-graph quality model keys on: spam farms are
+   * triangle-dense, organic link neighborhoods are sparse).
+   *
+   * Degree-ordered node-iterator: every edge is oriented from its
+   * lower-(degree, id) endpoint to the higher one, wedges are built at
+   * the orientation's source, and a wedge closes iff its two heads are
+   * themselves a directed edge — each triangle is found exactly once,
+   * at its minimum-order vertex. The orientation is the scale story:
+   * out-degree under degree ordering is bounded by O(√m) on any graph
+   * (arboricity bound), so a celebrity hub with 10⁸ followers
+   * contributes wedges from its LOW-degree neighbors' tiny out-lists,
+   * never 10¹⁶ hub wedges — the plain node-iterator would die there.
+   *
+   * Plan shape: one distinct + degree aggregate, two src-keyed
+   * hash-join shuffles for the wedge build, one (x, y)-keyed closing
+   * join, one final count — all key-partitioned joins over (node,
+   * node) pairs, no broadcast assumptions, AQE-skew-splittable.
+   * Returns (node, triangles) for every node of the graph, zeros
+   * included.
+   */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val raw = edges.select(col(srcCol).cast("string").as("__s"),
+      col(dstCol).cast("string").as("__t"))
+    // canonical undirected edge set (self-loops can't be in a triangle)
+    val und = raw.select(least(col("__s"), col("__t")).as("__u"),
+        greatest(col("__s"), col("__t")).as("__v"))
+      .where(col("__u") =!= col("__v"))
+      .distinct().persist()
+    val nodes = und.select(col("__u").as("__n"))
+      .unionAll(und.select(col("__v").as("__n"))).distinct()
+    val deg = und.select(col("__u").as("__n"))
+      .unionAll(und.select(col("__v").as("__n")))
+      .groupBy(col("__n")).agg(count(lit(1)).as("__d"))
+    // orient each edge low-(degree, id) -> high
+    val dirE = und
+      .join(deg.select(col("__n").as("__u"), col("__d").as("__du")), "__u")
+      .join(deg.select(col("__n").as("__v"), col("__d").as("__dv")), "__v")
+      .select(when(col("__du") < col("__dv") ||
+            (col("__du") === col("__dv") && col("__u") < col("__v")),
+          struct(col("__u").as("a"), col("__v").as("b")))
+        .otherwise(struct(col("__v").as("a"), col("__u").as("b"))).as("__e"))
+      .select(col("__e.a").as("__a"), col("__e.b").as("__b"))
+      .persist()
+    // wedges at the orientation source; the closing edge's direction is
+    // determined by the total order, so each triangle matches exactly once
+    val e1 = dirE.select(col("__a"), col("__b").as("__x"))
+    val e2 = dirE.select(col("__a"), col("__b").as("__y"))
+    val tri = e1.join(e2, "__a").where(col("__x") =!= col("__y"))
+      .join(dirE.select(col("__a").as("__x"), col("__b").as("__y")),
+        Seq("__x", "__y"))
+    val perNode = tri
+      .select(explode(array(col("__a"), col("__x"), col("__y"))).as("__n"))
+      .groupBy(col("__n")).agg(count(lit(1)).as("__c"))
+    val out = nodes.join(perNode, Seq("__n"), "left")
+      .select(col("__n").as("node"),
+        coalesce(col("__c"), lit(0L)).as("triangles"))
+    out
+  }
 }

@@ -186,6 +186,70 @@ object Dedup {
   }
 
   /**
+   * Cross-document duplicate-SPAN removal (the exact-substring dedup of
+   * Lee et al., "Deduplicating Training Data Makes Language Models
+   * Better", re-expressed over fixed token windows): every `span`-token
+   * window whose hash first occurred in an EARLIER document is cut from
+   * the text; the first holder keeps its copy, and only the covered
+   * tokens vanish — novel prefix/suffix text around a quoted/boilerplate
+   * block survives. Whitespace is normalized to single spaces (the
+   * token-level operation cannot preserve the original layout).
+   *
+   * Returns (idCol, textCol, kept_tokens, removed_tokens); documents
+   * whose every token is covered (full copies) come back as "".
+   *
+   * Plan shape at scale:
+   *   1. one narrow pass fusing tokenize+gram+hash ([[Tx.token_ngram_hashes]]),
+   *   2. ONE gram-keyed exchange feeding BOTH the min-doc aggregate and
+   *      the join back (ReuseExchange — same shape as span_dup_stats);
+   *      only 8-byte hashes + positions shuffle, never text,
+   *   3. covered token indices explode bounded by span x dup-grams, then
+   *      an (id, idx)-keyed anti-join against the exploded tokens — the
+   *      one shuffle that carries token text, linear in corpus size
+   *      (never the O(tokens x dups) per-row scan a mask expression
+   *      would cost on a dup-heavy doc),
+   *   4. id-keyed reassembly (sort-by-position array_join), the same
+   *      shape every chunk-level dedup here uses.
+   * A 64-bit gram-hash collision could only OVER-remove, with
+   * probability ~grams²/2⁶⁴ — the same contract as decontamination,
+   * and the string-keyed oracle gates hash fidelity end to end.
+   */
+  def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
+                     span: Int = 8): DataFrame = {
+    require(span >= 1, "span must be >= 1")
+    val d = df.where(col(idCol).isNotNull && col(textCol).isNotNull)
+    val grams = d.select(col(idCol),
+        posexplode(token_ngram_hashes(col(textCol), span)))
+      .withColumnRenamed("pos", "__gp")
+      .withColumnRenamed("col", "__gh")
+      .repartition(col("__gh"))
+    val firsts = grams.groupBy(col("__gh")).agg(min(col(idCol)).as("__first"))
+    val covered = grams.join(firsts, "__gh")
+      .where(col(idCol) > col("__first"))
+      .select(col(idCol),
+        explode(sequence(col("__gp"), col("__gp") + (span - 1))).as("__idx"))
+      .distinct()
+    val toks = d.select(col(idCol),
+        posexplode(split(trim(col(textCol)), "\\s+")))
+      .withColumnRenamed("pos", "__idx")
+      .withColumnRenamed("col", "__tok")
+      .where(col("__tok") =!= "")
+    val rebuilt = toks.join(covered, Seq(idCol, "__idx"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("__idx"), col("__tok")))),
+          x => x("__tok")), " ").as("__clean"),
+        count(lit(1)).as("__kept"))
+    d.select(col(idCol), TextAnalysis.tokenCount(col(textCol)).as("__n"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__clean"), lit("")).as(textCol),
+        coalesce(col("__kept"), lit(0L)).as("kept_tokens"),
+        (col("__n") - coalesce(col("__kept"), lit(0L))).as("removed_tokens"))
+  }
+
+  /**
    * MinHash + LSH near-duplicate candidate pairs, verified with exact
    * n-gram Jaccard.
    *

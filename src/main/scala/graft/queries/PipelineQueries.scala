@@ -192,6 +192,15 @@ object PipelineQueries {
             .as("dup_spans"))
     }),
 
+    // duplicate-SPAN removal end-to-end (Lee et al. exact-substring
+    // dedup): planted full copies collapse to "", partially-copied docs
+    // lose exactly the covered windows. The DuckDB oracle recomputes
+    // the whole cut with string grams — gram hashing, coverage
+    // expansion, and reassembly all cross-engine-gated.
+    "dup_span_removal" -> ((s, dir) => {
+      Dedup.removeDupSpans(docsWithPlanted(s, dir), "doc_id", "text", span = 8)
+    }),
+
     // rows-only aggregate (near-dup population varies by sf; the planted
     // -dup correctness matrix lives in DedupSpec)
     "simhash_pair_stats" -> ((s, dir) => {
@@ -210,6 +219,28 @@ object PipelineQueries {
           ngram = 3, maxHamming = 3)
         .where(col("id_b") === col("id_a") + 100000 && col("hamming") === 0)
         .select(col("id_a"), col("id_b"))
+    }),
+
+    // FULL differential oracle for the simhash core: DuckDB replays the
+    // token byte-hash, the 3-token gram polyFold, both mix64 finishers,
+    // and the 64 per-bit ±1 votes in HUGEINT arithmetic — every
+    // fingerprint bit-for-bit, not just planted-pair behavior
+    "simhash_fingerprints" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        Tx.simhash64(col("text"), ngram = 3, seed = 42L).as("simhash"))
+    }),
+
+    // FULL differential oracle for the minhash signature stage (the
+    // stage every LSH band rides on): DuckDB replays the 2-universal
+    // family h_j = mix64(g^seedA) + j*(mix64(g^seedB)|1) with SIGNED
+    // min semantics, long-form (doc_id, j, sig) rows
+    "minhash_signatures" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(Tx.minhash_signature(col("text"), shingle = 3,
+            numHashes = 16, seed = 42L)))
+        .select(col("doc_id"), col("pos").cast("long").as("j"),
+          col("col").as("sig"))
     }),
 
     "embed_dup_pairs" -> ((s, dir) => {
@@ -528,6 +559,19 @@ object PipelineQueries {
           concat(lit("h"), (col("doc_id") % 7).cast("string")).as("dst"))
         .where(col("src") =!= col("dst")).distinct()
       Graphs.pageRankInt(edges, "src", "dst", iters = 5)
+    }),
+
+    // per-node triangle counts over the same host graph (link-farm
+    // density signal): degree-ordered orientation finds each triangle
+    // exactly once at its minimum-order vertex; the oracle recounts
+    // canonically (x<y<z) over the symmetric closure — two different
+    // once-only strategies agreeing is the double-count/miss proof
+    "triangle_counts" -> ((s, dir) => {
+      val edges = t(s, dir, "documents")
+        .select(concat(lit("h"), (col("doc_id") % 11).cast("string")).as("src"),
+          concat(lit("h"), (col("doc_id") % 7).cast("string")).as("dst"))
+        .where(col("src") =!= col("dst")).distinct()
+      Graphs.triangleCounts(edges, "src", "dst")
     }),
 
     // normalization-canonical exact dedup: planted variants differing
@@ -1088,6 +1132,104 @@ object PipelineQueries {
                        CAST(${Fp.emptyFp} AS BIGINT)) AS fp64
        FROM documents d LEFT JOIN dhash h USING (doc_id)"""
 
+  /** Shared CTE chain ending in `ghash(doc_id, gpos, gfp)` — the
+    * mix64-finished hash of every overlapping `ngram`-token gram of
+    * every document, exactly TextHashing.tokenHashes + gramHash
+    * (token byte-rolling hash → mix64, then the seed-42 polyFold over
+    * the gram's token hashes → mix64). The prefix both the simhash and
+    * minhash differential oracles replay. Must follow a
+    * `WITH RECURSIVE ${Fp.powsCte(...)}` header (uses `pw`). */
+  private def gramHashCtes(ngram: Int): String =
+    s"""toks AS (
+         SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS pos
+         FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
+               FROM documents)),
+       toks2 AS (SELECT doc_id, tok, pos FROM toks WHERE tok <> ''),
+       traw AS (
+         SELECT doc_id, pos,
+                ${Fp.polyFold(
+                  "list_transform(range(1, length(tok)+1), " +
+                    "i -> CAST(ord(substr(tok, i, 1)) AS HUGEINT))")} AS r
+         FROM toks2 CROSS JOIN pw),
+       thash AS (
+         SELECT doc_id, pos,
+         ${Fp.mix64Stages("CAST(r AS UBIGINT)", "t")}
+         FROM traw),
+       tlist AS (SELECT doc_id, list(CAST(tfp AS HUGEINT) ORDER BY pos) AS hs
+                 FROM thash GROUP BY doc_id),
+       graw AS (
+         SELECT doc_id, unnest(range(1, len(hs) - ${ngram - 2})) AS gpos, hs
+         FROM tlist WHERE len(hs) >= $ngram),
+       graw2 AS (
+         SELECT doc_id, gpos, ${Fp.polyFold(s"hs[gpos:gpos+${ngram - 1}]")} AS r
+         FROM graw CROSS JOIN pw),
+       ghash AS (
+         SELECT doc_id, gpos,
+         ${Fp.mix64Stages("CAST(r AS UBIGINT)", "g")}
+         FROM graw2)"""
+
+  private val signedMax = "9223372036854775808" // 2^63
+
+  // simhash64 replay: per-bit ±1 votes over the gram hashes, sign of
+  // each vote-sum sets the bit. Bit tests and reconstruction go through
+  // a power-of-two table (HUGEINT // 2^b parity — no shift-semantics
+  // dependence); docs with < ngram tokens have zero grams → fingerprint
+  // 0, exactly the Scala empty-counts path.
+  private val simhashOracle: String =
+    s"""WITH RECURSIVE ${Fp.powsCte(4096)},
+       p2(b, v) AS (
+         SELECT 0, CAST(1 AS HUGEINT)
+         UNION ALL SELECT b + 1, v * 2 FROM p2 WHERE b < 63),
+       ${gramHashCtes(3)},
+       bits AS (
+         SELECT g.doc_id, p2.b,
+                SUM(CASE WHEN (CAST(g.gfp AS HUGEINT) // p2.v) % 2 = 1
+                         THEN 1 ELSE -1 END) AS vote
+         FROM ghash g CROSS JOIN p2
+         GROUP BY g.doc_id, p2.b),
+       fp AS (
+         SELECT bits.doc_id,
+                SUM(CASE WHEN vote > 0 THEN p2.v ELSE CAST(0 AS HUGEINT) END) AS u
+         FROM bits JOIN p2 USING (b)
+         GROUP BY bits.doc_id)
+       SELECT d.doc_id,
+              COALESCE(CAST(CASE WHEN f.u >= $signedMax
+                                 THEN f.u - ${Fp.MOD} ELSE f.u END AS BIGINT),
+                       0) AS simhash
+       FROM documents d LEFT JOIN fp f ON f.doc_id = d.doc_id"""
+
+  // minhash signature replay: h_j = h1 + j*h2 (mod 2^64) with
+  // h1 = mix64(g ^ seedA), h2 = mix64(g ^ seedB) | 1, minimized over
+  // grams under SIGNED Long comparison (the Scala `<`); gram-less docs
+  // keep Long.MaxValue sentinels.
+  private val minhashSignaturesOracle: String = {
+    import graft.functions.TextHashing.mix64
+    val golden = 0x9e3779b97f4a7c15L
+    val seedA = java.lang.Long.toUnsignedString(mix64(42L + golden))
+    val seedB = java.lang.Long.toUnsignedString(mix64(42L + 2 * golden))
+    val hj = s"(h1 + j.j * h2) % ${Fp.MOD}"
+    s"""WITH RECURSIVE ${Fp.powsCte(4096)},
+       ${gramHashCtes(3)},
+       mh AS (
+         SELECT doc_id,
+         ${Fp.mix64Stages(s"xor(gfp, CAST('$seedA' AS UBIGINT))", "a")},
+         ${Fp.mix64Stages(s"xor(gfp, CAST('$seedB' AS UBIGINT))", "b")}
+         FROM ghash),
+       mh2 AS (
+         SELECT doc_id, CAST(afp AS HUGEINT) AS h1,
+                CAST(bfp AS HUGEINT) // 2 * 2 + 1 AS h2
+         FROM mh),
+       sigs AS (
+         SELECT doc_id, j.j AS j,
+                min(CAST(CASE WHEN $hj >= $signedMax
+                               THEN $hj - ${Fp.MOD} ELSE $hj END AS BIGINT)) AS sig
+         FROM mh2 CROSS JOIN (SELECT unnest(range(0, 16)) AS j) j
+         GROUP BY doc_id, j.j)
+       SELECT d.doc_id, js.j, COALESCE(s.sig, 9223372036854775807) AS sig
+       FROM documents d CROSS JOIN (SELECT unnest(range(0, 16)) AS j) js
+       LEFT JOIN sigs s ON s.doc_id = d.doc_id AND s.j = js.j"""
+  }
+
   // shared by minhash_dup_pairs (probabilistic candidates, exact refine)
   // and jaccard_dup_pairs (lossless prefix filter): all pairs with
   // 3-token-gram Jaccard >= 0.8, recomputed brute-force
@@ -1537,6 +1679,27 @@ object PipelineQueries {
     // the star-CC path must reproduce the same transitive closure
     "dedup_clusters_star" -> dedupClustersOracle,
     "pagerank_hosts" -> pagerankHostsOracle,
+    "triangle_counts" ->
+      """WITH edges AS (
+           SELECT DISTINCT 'h' || CAST(doc_id % 11 AS VARCHAR) AS src,
+                           'h' || CAST(doc_id % 7 AS VARCHAR) AS dst
+           FROM documents WHERE doc_id % 11 <> doc_id % 7),
+         und AS (
+           SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+           FROM edges WHERE src <> dst),
+         sym AS (SELECT u AS a, v AS b FROM und
+                 UNION ALL SELECT v, u FROM und),
+         tri AS (
+           SELECT t1.a AS x, t1.b AS y, t2.b AS z
+           FROM sym t1
+           JOIN sym t2 ON t2.a = t1.b AND t1.a < t1.b AND t2.b > t1.b
+           JOIN und t3 ON t3.u = t1.a AND t3.v = t2.b),
+         pern AS (SELECT unnest([x, y, z]) AS node FROM tri),
+         nodes AS (SELECT u AS node FROM und UNION SELECT v FROM und)
+       SELECT n.node, COALESCE(c.cnt, 0) AS triangles
+       FROM nodes n LEFT JOIN
+         (SELECT node, count(*) AS cnt FROM pern GROUP BY node) c
+         USING (node)""",
     // same bucket/shard/rank arithmetic over the shared token-count
     // definition (len of regexp_extract_all \S+)
     "length_bucket_batches" ->
@@ -1635,12 +1798,46 @@ object PipelineQueries {
                   AS dup_spans
          FROM grams JOIN firsts USING (g)
          GROUP BY doc_id""",
+    "dup_span_removal" ->
+      """WITH base AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0),
+         toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM base),
+         pos AS (
+           SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS idx
+           FROM toks),
+         g1 AS (
+           SELECT doc_id, unnest(range(1, len(w) - 6)) AS gp, w
+           FROM toks WHERE len(w) >= 8),
+         grams AS (
+           SELECT doc_id, gp, array_to_string(w[gp:gp+7], ' ') AS g FROM g1),
+         firsts AS (SELECT g, min(doc_id) AS fd FROM grams GROUP BY g),
+         dup AS (
+           SELECT grams.doc_id, gp FROM grams JOIN firsts USING (g)
+           WHERE grams.doc_id > fd),
+         covered AS (
+           SELECT DISTINCT doc_id, unnest(range(gp, gp + 8)) AS idx FROM dup),
+         kept AS (
+           SELECT p.doc_id, p.tok, p.idx
+           FROM pos p ANTI JOIN covered c USING (doc_id, idx)),
+         clean AS (
+           SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS text,
+                  count(*) AS kept_tokens
+           FROM kept GROUP BY doc_id)
+       SELECT t.doc_id, COALESCE(c.text, '') AS text,
+              COALESCE(c.kept_tokens, 0) AS kept_tokens,
+              len(w) - COALESCE(c.kept_tokens, 0) AS removed_tokens
+       FROM toks t LEFT JOIN clean c USING (doc_id)""",
     "ann_cosine_topk" -> bruteForceCosineOracle,
     // exact-degenerate IVF/PQ configs reproduce brute force bit-for-bit:
     // SAME oracle SQL — only the Spark plan differs
     "ann_ivf_exact" -> bruteForceCosineOracle,
     "ann_pq_exact" -> bruteForceCosineOracle,
     "doc_fingerprint64" -> fingerprintOracle,
+    "simhash_fingerprints" -> simhashOracle,
+    "minhash_signatures" -> minhashSignaturesOracle,
     // the real-PNG fixture dimensions are pure id arithmetic
     "multimodal_png_decode" ->
       """SELECT doc_id, CAST(doc_id % 7 + 3 AS INT) AS width,
