@@ -68,6 +68,18 @@ object PipelineQueries {
         "doc_id", "text", chunkTokens = 24, overlap = 8)
     }),
 
+    // token-length histogram (the length-distribution diagnostic every
+    // curation run starts with): equi-width integer bins, pure integer
+    // arithmetic both engines replay
+    "doc_length_histogram" -> ((s, dir) => {
+      val toks = TextAnalysis.tokenCount(col("text")).cast("long")
+      t(s, dir, "documents").select(toks.as("toks"))
+        .select(floor(col("toks") / lit(32)).cast("long").as("bin"), col("toks"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), min(col("toks")).as("min_toks"),
+          max(col("toks")).as("max_toks"))
+    }),
+
     "fingerprint_md5" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
         md5(col("text").cast("binary")).as("fp"))
@@ -1426,6 +1438,12 @@ object PipelineQueries {
           FROM documents""",
     "fingerprint_md5" ->
       "SELECT doc_id, md5(text) AS fp FROM documents",
+    "doc_length_histogram" ->
+      """SELECT len(regexp_extract_all(text, '\S+')) // 32 AS bin,
+                count(*) AS n,
+                min(len(regexp_extract_all(text, '\S+'))) AS min_toks,
+                max(len(regexp_extract_all(text, '\S+'))) AS max_toks
+         FROM documents GROUP BY 1""",
     "chunk_docs" ->
       """WITH toks AS (
            SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),

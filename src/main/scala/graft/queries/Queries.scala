@@ -604,6 +604,22 @@ object Queries {
       s.read.json(out).select(col("doc_id"), col("text"))
     }),
 
+    // CSV ingest/export round-trip — the other interchange format a
+    // corpus pipeline must speak. RFC-4180 quoting (escape = doubled
+    // quote), header, multiline fields; the oracle reads the ORIGINAL
+    // parquet, so any quoting/inference loss hash-mismatches.
+    "csv_roundtrip" -> ((s, dir) => {
+      val out = System.getProperty("java.io.tmpdir") +
+        "/graft_csv_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+        .write.option("header", "true").option("escape", "\"").csv(out)
+      s.read.option("header", "true").option("multiLine", "true")
+        .option("escape", "\"")
+        .schema("doc_id LONG, lang STRING, text STRING").csv(out)
+        .select(col("doc_id"), col("lang"), col("text"))
+    }),
+
     // SURVEY §2.1 serde: GeoJSON export (the WKT twin; integer coords so
     // the JSON text is exact).
     "geojson_points" -> ((s, dir) => {
@@ -1481,6 +1497,8 @@ object Queries {
     // JSON escaping/inference loss shows up as a hash mismatch
     "jsonl_roundtrip" ->
       "SELECT doc_id, text FROM documents",
+    "csv_roundtrip" ->
+      "SELECT doc_id, lang, text FROM documents",
     "sql_surface" ->
       """SELECT p_partkey,
                 4.0*((p_partkey%5)+1)*((p_partkey%5)+1) AS area,

@@ -50,4 +50,53 @@ class GraphsSpec extends AnyFunSuite {
     assert(r("l1") == r("l2"))
     assert(r("c0") > r("c1") && r("c1") > r("c2") && r("c2") > r("l1"))
   }
+
+  /** Brute-force per-node triangle counts over unordered node triples. */
+  private def refTriangles(edges: Seq[(String, String)]): Map[String, Long] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => if (e._1 < e._2) e else e.swap).distinct.toSet
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    def adj(a: String, b: String) =
+      und(if (a < b) (a, b) else (b, a))
+    val counts = scala.collection.mutable.Map(nodes.map(_ -> 0L): _*)
+    for {
+      Seq(x, y, z) <- nodes.combinations(3)
+      if adj(x, y) && adj(y, z) && adj(x, z)
+    } Seq(x, y, z).foreach(n => counts(n) += 1)
+    counts.toMap
+  }
+
+  test("triangle counts: K4 gives 3 per node; a path gives 0") {
+    val k4 = (for {
+      a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d") if a < b
+    } yield (a, b)).toDF("src", "dst")
+    val got = Graphs.triangleCounts(k4, "src", "dst")
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val got2 = Graphs.triangleCounts(path, "src", "dst")
+      .as[(String, Long)].collect().toMap
+    assert(got2.values.forall(_ == 0L) && got2.size == 4)
+  }
+
+  test("triangle counts match brute force on a random graph, duplicates/reversals ignored") {
+    val rnd = new scala.util.Random(11)
+    val edges = (0 until 150).map { _ =>
+      (s"n${rnd.nextInt(12)}", s"n${rnd.nextInt(12)}")
+    }
+    // feed raw directed multi-edges: orientation/distinct must canonicalize
+    val got = Graphs.triangleCounts(edges.toDF("src", "dst"), "src", "dst")
+      .as[(String, Long)].collect().toMap
+    assert(got == refTriangles(edges))
+  }
+
+  test("triangle counts: a hub with many leaves adds no triangles (orientation sanity)") {
+    val hub = (1 to 40).map(i => ("hub", s"leaf$i")) ++
+      Seq(("hub", "t1"), ("hub", "t2"), ("t1", "t2"))
+    val got = Graphs.triangleCounts(hub.toDF("src", "dst"), "src", "dst")
+      .as[(String, Long)].collect().toMap
+    assert(got("hub") == 1L && got("t1") == 1L && got("t2") == 1L)
+    assert(got("leaf7") == 0L)
+  }
 }
