@@ -83,6 +83,106 @@ object Multimodal {
     }(enc)
   }
 
+  /** Real WAV (RIFF/WAVE) header decode with NO library at all: walks
+    * the chunk list (word-aligned), reads the fmt chunk's little-endian
+    * fields and sizes frames off the data chunk — (sampleRate, channels,
+    * bitsPerSample, nFrames), or None for anything that isn't a
+    * well-formed RIFF/WAVE. Independent of the JDK writer that produces
+    * the fixtures, so the round-trip is a cross-implementation check. */
+  def decodeWav(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    if (bytes == null || bytes.length < 44) return None
+    def u32(i: Int): Long = (bytes(i) & 0xffL) | ((bytes(i + 1) & 0xffL) << 8) |
+      ((bytes(i + 2) & 0xffL) << 16) | ((bytes(i + 3) & 0xffL) << 24)
+    def u16(i: Int): Int = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+    def tag(i: Int): String = new String(bytes, i, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var pos = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // channels, rate, blockAlign, bits
+    var dataLen = -1L
+    while (pos + 8 <= bytes.length && (fmt.isEmpty || dataLen < 0)) {
+      val id = tag(pos)
+      val sz = u32(pos + 4)
+      if (id == "fmt " && pos + 8 + 16 <= bytes.length)
+        fmt = Some((u16(pos + 10), u32(pos + 12).toInt, u16(pos + 20), u16(pos + 22)))
+      else if (id == "data")
+        dataLen = math.min(sz, (bytes.length - pos - 8).toLong)
+      pos += 8 + sz.toInt + (sz.toInt & 1) // RIFF chunks are word-aligned
+    }
+    fmt.flatMap { case (ch, rate, block, bits) =>
+      if (dataLen < 0 || block <= 0 || ch <= 0 || rate <= 0) None
+      else Some((rate, ch, bits, dataLen / block))
+    }
+  }
+
+  /** Deterministic REAL PCM-WAV payloads for fixture oracles: per row a
+    * 16-bit file with id-derived rate/channels/frames/samples, written
+    * by the JDK's javax.sound (an INDEPENDENT writer from [[decodeWav]]'s
+    * hand-rolled parser). `idCol` must be long-typed. */
+  def syntheticWavs(df: DataFrame, idCol: String, outCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType, nullable = false))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val id = row.getLong(idIdx)
+        val rate = (8000 + (id % 4) * 4000).toInt
+        val ch = (id % 2 + 1).toInt
+        val frames = (id % 50 + 10).toInt
+        val pcm = new Array[Byte](frames * 2 * ch)
+        var i = 0
+        while (i < pcm.length) {
+          pcm(i) = ((id * 131 + i * 17) % 256 - 128).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, ch,
+          true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        Row.fromSeq(row.toSeq :+ bos.toByteArray)
+      }
+    }(enc)
+  }
+
+  val audioMetaType: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType), StructField("channels", IntegerType),
+    StructField("bits", IntegerType), StructField("n_frames", LongType),
+    StructField("codec", StringType)))
+
+  /** Batched per-partition AUDIO decode: WAV payloads get the real
+    * [[decodeWav]] header parse; unrecognized bytes fall back to a
+    * deterministic hash stub (same contract as the image path). Appends
+    * an `audio_meta` struct. */
+  def mapAudioDecodePartitions(df: DataFrame, contentCol: String,
+                               batchSize: Int = 256): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("audio_meta", audioMetaType))
+    val contentIdx = df.schema.fieldIndex(contentCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val bytes = row.getAs[Array[Byte]](contentIdx)
+          val meta = decodeWav(bytes) match {
+            case Some((rate, ch, bits, frames)) =>
+              Row(rate, ch, bits, frames, "pcm_wav")
+            case None =>
+              val h = if (bytes == null) 0L
+                else graft.functions.TextHashing.bytesHash(bytes, 0, bytes.length, 9L)
+              Row((math.floorMod(h, 4) * 8000 + 8000).toInt,
+                (math.floorMod(h >>> 7, 2) + 1).toInt, 16,
+                math.floorMod(h >>> 17, 100000),
+                Seq("mp3", "opus", "flac")(math.floorMod(h, 3).toInt))
+          }
+          Row.fromSeq(row.toSeq :+ meta)
+        }
+      }
+    }(enc)
+  }
+
   val mediaMetaType: StructType = StructType(Seq(
     StructField("width", IntegerType), StructField("height", IntegerType),
     StructField("format", StringType)))

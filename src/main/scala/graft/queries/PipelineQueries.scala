@@ -68,6 +68,21 @@ object PipelineQueries {
         "doc_id", "text", chunkTokens = 24, overlap = 8)
     }),
 
+    // integer-staged token-entropy signal (template/spam docs have low
+    // unigram entropy): per doc n, distinct, and the Σ c·⌊log2 c⌋
+    // numerator of H = log2 n − Σ c·log2 c / n — floor-log2 via binary
+    // string length, so both engines replay it without ln() ulps
+    "token_entropy" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .where(col("tok") =!= "")
+      toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("distinct_tokens"),
+          sum(col("c") * (length(bin(col("c"))) - 1)).as("entropy_num"))
+    }),
+
     // token-length histogram (the length-distribution diagnostic every
     // curation run starts with): equi-width integer bins, pure integer
     // arithmetic both engines replay
@@ -764,6 +779,22 @@ object PipelineQueries {
           col("meta.height").as("height"), col("meta.format").as("format"))
     }),
 
+    // REAL audio codec in the checked path: id-derived PCM WAVs are
+    // written ON THE EXECUTORS by the JDK's javax.sound, decoded back
+    // through the hand-rolled RIFF parser (an independent
+    // implementation), and the metadata must equal pure id arithmetic
+    "multimodal_wav_decode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val withWav = Multimodal.syntheticWavs(docs, "doc_id", "content")
+      Multimodal.mapAudioDecodePartitions(withWav, "content", batchSize = 64)
+        .select(col("doc_id"),
+          col("audio_meta.sample_rate").as("sample_rate"),
+          col("audio_meta.channels").as("channels"),
+          col("audio_meta.bits").as("bits"),
+          col("audio_meta.n_frames").as("n_frames"),
+          col("audio_meta.codec").as("codec"))
+    }),
+
     // -- line/LM/index/incremental curation ops ------------------------------
     // line-level Gopher format+repetition stats over deterministic
     // multi-line docs: every doc repeats its own text as a second line
@@ -1438,6 +1469,15 @@ object PipelineQueries {
           FROM documents""",
     "fingerprint_md5" ->
       "SELECT doc_id, md5(text) AS fp FROM documents",
+    "token_entropy" ->
+      """SELECT doc_id, sum(c) AS n_tokens, count(*) AS distinct_tokens,
+                sum(c * (length(bin(c)) - 1)) AS entropy_num
+         FROM (
+           SELECT doc_id, tok, count(*) AS c
+           FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+                 FROM documents)
+           GROUP BY doc_id, tok)
+         GROUP BY doc_id""",
     "doc_length_histogram" ->
       """SELECT len(regexp_extract_all(text, '\S+')) // 32 AS bin,
                 count(*) AS n,
@@ -1861,6 +1901,14 @@ object PipelineQueries {
       """SELECT doc_id, CAST(doc_id % 7 + 3 AS INT) AS width,
                 CAST(doc_id % 5 + 2 AS INT) AS height,
                 'png' AS format
+         FROM documents""",
+    "multimodal_wav_decode" ->
+      """SELECT doc_id,
+                CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+                CAST(doc_id % 2 + 1 AS INT) AS channels,
+                CAST(16 AS INT) AS bits,
+                CAST(doc_id % 50 + 10 AS BIGINT) AS n_frames,
+                'pcm_wav' AS codec
          FROM documents""",
     "embed_dedup_exact" ->
       """SELECT min(vec_id) AS keep_id, count(*) AS n FROM (

@@ -533,4 +533,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(decoded.forall(r => r.getInt(1) == (r.getLong(0) % 7 + 3).toInt &&
       r.getInt(2) == (r.getLong(0) % 5 + 2).toInt && r.getString(3) == "png"))
   }
+
+  test("multimodal decodeWav: hand-rolled RIFF parser vs the JDK writer; garbage rejected") {
+    // stereo 16-bit 12 kHz, 25 frames, via javax.sound (independent writer)
+    def wav(rate: Int, ch: Int, frames: Int): Array[Byte] = {
+      val pcm = new Array[Byte](frames * 2 * ch)
+      val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, ch, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    assert(Multimodal.decodeWav(wav(12000, 2, 25)) == Some((12000, 2, 16, 25L)))
+    assert(Multimodal.decodeWav(wav(8000, 1, 10)) == Some((8000, 1, 16, 10L)))
+    assert(Multimodal.decodeWav(null).isEmpty)
+    assert(Multimodal.decodeWav("RIFFxxxxNOPE".getBytes).isEmpty)
+    assert(Multimodal.decodeWav(wav(8000, 1, 10).take(30)).isEmpty) // truncated
+    // data chunk longer than the payload claims: frames clamp to real bytes
+    val clipped = wav(8000, 1, 10).dropRight(4)
+    assert(Multimodal.decodeWav(clipped) == Some((8000, 1, 16, 8L)))
+    // the batched decode path routes WAVs through the real parser
+    val withWav = Multimodal.syntheticWavs(
+      corpus.select(col("doc_id")), "doc_id", "content")
+    val decoded = Multimodal.mapAudioDecodePartitions(withWav, "content")
+      .select(col("doc_id"), col("audio_meta.sample_rate"),
+        col("audio_meta.channels"), col("audio_meta.n_frames"),
+        col("audio_meta.codec")).collect()
+    assert(decoded.forall { r =>
+      val id = r.getLong(0)
+      r.getInt(1) == (8000 + (id % 4) * 4000).toInt &&
+        r.getInt(2) == (id % 2 + 1).toInt &&
+        r.getLong(3) == id % 50 + 10 && r.getString(4) == "pcm_wav"
+    })
+  }
 }
