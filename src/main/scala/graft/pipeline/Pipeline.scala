@@ -201,8 +201,10 @@ object Dedup {
    * Plan shape at scale:
    *   1. one narrow pass fusing tokenize+gram+hash ([[Tx.token_ngram_hashes]]),
    *   2. ONE gram-keyed exchange feeding BOTH the min-doc aggregate and
-   *      the join back (ReuseExchange — same shape as span_dup_stats);
-   *      only 8-byte hashes + positions shuffle, never text,
+   *      the join back (ReuseExchange, plan-gated — the aggregate
+   *      min's over an (id, pos) struct so both consumers prune the
+   *      same columns and the exchange subtrees stay identical); only
+   *      8-byte hashes + positions shuffle, never text,
    *   3. covered token indices explode bounded by span x dup-grams, then
    *      an (id, idx)-keyed anti-join against the exploded tokens — the
    *      one shuffle that carries token text, linear in corpus size
@@ -223,7 +225,15 @@ object Dedup {
       .withColumnRenamed("pos", "__gp")
       .withColumnRenamed("col", "__gh")
       .repartition(col("__gh"))
-    val firsts = grams.groupBy(col("__gh")).agg(min(col(idCol)).as("__first"))
+    // min over the (id, pos) struct instead of min(id): the id field is
+    // the same minimum, but the aggregate then consumes the IDENTICAL
+    // (id, __gp, __gh) projection as the join side below — the two
+    // exchange subtrees canonicalize equal and ReuseExchange fires
+    // (min(id) alone lets column pruning strip __gp from this branch,
+    // and the no-longer-identical exchanges would both run)
+    val firsts = grams.groupBy(col("__gh"))
+      .agg(min(struct(col(idCol).as("i"), col("__gp").as("p"))).as("__m"))
+      .select(col("__gh"), col("__m.i").as("__first"))
     val covered = grams.join(firsts, "__gh")
       .where(col(idCol) > col("__first"))
       .select(col(idCol),

@@ -270,6 +270,35 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("dup-span removal: hash joins end to end, gram exchange reused") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val docs = (0 until 200).map(i =>
+        (i.toLong, s"alpha${i % 20} beta gamma delta epsilon zeta eta theta iota kappa"))
+        .toDF("doc_id", "text")
+      val out = graft.pipeline.Dedup.removeDupSpans(docs, "doc_id", "text", span = 8)
+      val plan = finalPlan(out)
+      assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+        s"gram exchange not shared between min-doc agg and join back:\n$plan")
+      assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+        s"non-hash join in the span-removal path:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("triangle counting plans key-partitioned hash joins, never cartesian") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val rnd = new scala.util.Random(3)
+      val edges = (0 until 300).map(_ =>
+        (s"n${rnd.nextInt(25)}", s"n${rnd.nextInt(25)}")).toDF("src", "dst")
+      val plan = finalPlan(graft.pipeline.Graphs.triangleCounts(edges, "src", "dst"))
+      assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+        s"non-hash join in the triangle path:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("custom spatial predicate runs inside whole-stage codegen") {
     // spark.range (not a LocalRelation) so the filter cannot be
     // constant-folded away at plan time
