@@ -73,6 +73,63 @@ object Graphs {
   }
 
   /**
+   * HITS hubs & authorities with ALL arithmetic in scaled Longs — the
+   * directory-page vs content-page separation PageRank's single score
+   * blurs (a links-out-to-good-content hub ranks low in PageRank but
+   * high in hub score). Like [[pageRankInt]], integer staging makes
+   * every engine that replays the formula agree bit-for-bit.
+   *
+   * Per round, in exact Long arithmetic (all values in [0, scale]):
+   *   a_raw(v) = Σ_{u→v} h(u);  a(v) = a_raw(v)·scale div max(a_raw)
+   *   h_raw(u) = Σ_{u→v} a(v);  h(u) = h_raw(u)·scale div max(h_raw)
+   * — max-normalization (L∞) instead of the classical L2: a global max
+   * is a 1-row broadcast, stays in integers, and preserves the ranking
+   * fixpoint structure. Overflow contract: scale²·max-degree < 2⁶³,
+   * i.e. max in/out-degree ≤ ~9·10⁸ at the default scale 10⁵ — lower
+   * the scale, not the graph, for hub-ier graphs (rank resolution is
+   * 1/scale of the max score).
+   *
+   * Plan shape: two keyed join+aggregate shuffles per round plus two
+   * 1-row max broadcasts; ranks localCheckpoint'd per round (O(1) plan
+   * size in iterations — the iterative-DataFrame discipline).
+   * Returns (node, hub, authority).
+   */
+  def hitsInt(edges: DataFrame, srcCol: String, dstCol: String,
+              iters: Int = 3, scale: Long = 100000L): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges.select(col(srcCol).cast("string").as("__src"),
+      col(dstCol).cast("string").as("__dst")).persist()
+    val nodes = e.select(col("__src").as("__node"))
+      .unionAll(e.select(col("__dst").as("__node")))
+      .distinct().localCheckpoint(false)
+    var h = nodes.withColumn("__h", lit(scale)).localCheckpoint(false)
+    var a = nodes.withColumn("__a", lit(0L))
+    for (_ <- 1 to iters) {
+      val araw = e.join(h, e("__src") === h("__node"))
+        .groupBy(col("__dst")).agg(sum(col("__h")).as("__ar"))
+      val amax = araw.agg(greatest(max(col("__ar")), lit(1L)).as("__am"))
+      a = nodes.join(araw, nodes("__node") === araw("__dst"), "left")
+        .crossJoin(amax) // 1-row: Catalyst broadcasts
+        .select(col("__node"),
+          expr(s"coalesce(__ar, CAST(0 AS BIGINT)) * ${scale}L div __am").as("__a"))
+        .localCheckpoint(false)
+      val hraw = e.join(a, e("__dst") === a("__node"))
+        .groupBy(col("__src")).agg(sum(col("__a")).as("__hr"))
+      val hmax = hraw.agg(greatest(max(col("__hr")), lit(1L)).as("__hm"))
+      h = nodes.join(hraw, nodes("__node") === hraw("__src"), "left")
+        .crossJoin(hmax)
+        .select(col("__node"),
+          expr(s"coalesce(__hr, CAST(0 AS BIGINT)) * ${scale}L div __hm").as("__h"))
+        .localCheckpoint(false)
+    }
+    val out = h.join(a, "__node")
+      .select(col("__node").as("node"), col("__h").as("hub"),
+        col("__a").as("authority"))
+    e.unpersist(false)
+    out
+  }
+
+  /**
    * Per-node triangle counts over an undirected graph (the clustering
    * signal a link-graph quality model keys on: spam farms are
    * triangle-dense, organic link neighborhoods are sparse).

@@ -588,6 +588,36 @@ object PipelineQueries {
       Graphs.pageRankInt(edges, "src", "dst", iters = 5)
     }),
 
+    // HITS hubs/authorities over the same host graph: 3 rounds of
+    // integer-staged mutual reinforcement with L∞ (max) normalization —
+    // a second ITERATIVE graph algorithm under the full hash gate, with
+    // a different per-round shape than PageRank (two half-steps + two
+    // 1-row max broadcasts)
+    "hits_hosts" -> ((s, dir) => {
+      val edges = t(s, dir, "documents")
+        .select(concat(lit("h"), (col("doc_id") % 11).cast("string")).as("src"),
+          concat(lit("h"), (col("doc_id") % 7).cast("string")).as("dst"))
+        .where(col("src") =!= col("dst")).distinct()
+      Graphs.hitsInt(edges, "src", "dst", iters = 3)
+    }),
+
+    // element-wise embedding centroids per group through the
+    // VectorSumAgg custom aggregate: quantized to round(x*1000) ints,
+    // double sums of integers < 2^53 are exact and order-independent —
+    // the vector aggregate itself rides the hash gate. Long-form
+    // (grp, dim, sum_q, n) rows (the harness can't sort array cells).
+    "embedding_centroids" -> ((s, dir) => {
+      val q = transform(col("embedding"),
+        x => round(x.cast("double") * 1000))
+      t(s, dir, "embeddings")
+        .select((col("vec_id") % 8).as("grp"), q.as("__q"))
+        .groupBy(col("grp"))
+        .agg(Tx.vector_sum(col("__q")).as("__sums"), count(lit(1)).as("n"))
+        .select(col("grp"), posexplode(col("__sums")), col("n"))
+        .select(col("grp"), col("pos").cast("long").as("dim"),
+          col("col").cast("long").as("sum_q"), col("n"))
+    }),
+
     // per-node triangle counts over the same host graph (link-farm
     // density signal): degree-ordered orientation finds each triangle
     // exactly once at its minimum-order vertex; the oracle recounts
@@ -1304,6 +1334,43 @@ object PipelineQueries {
        SELECT node, r AS rank FROM r5"""
   }
 
+  // HITS replay: 3 unrolled rounds of the integer max-normalized
+  // mutual-reinforcement formula; `//` floor division == Spark `div`
+  // truncation on the all-positive operands
+  private val hitsHostsOracle: String = {
+    val scale = 100000L
+    val rounds = (1 to 3).map { k =>
+      s"""ar$k AS (
+           SELECT e.dst AS node, SUM(h${k - 1}.h) AS v
+           FROM edges e JOIN h${k - 1} ON h${k - 1}.node = e.src
+           GROUP BY e.dst),
+         am$k AS (SELECT greatest(max(v), 1) AS m FROM ar$k),
+         a$k AS (SELECT n.node,
+                   COALESCE((SELECT ar$k.v * $scale // am$k.m
+                             FROM ar$k, am$k WHERE ar$k.node = n.node), 0) AS a
+                 FROM nodes n),
+         hr$k AS (
+           SELECT e.src AS node, SUM(a$k.a) AS v
+           FROM edges e JOIN a$k ON a$k.node = e.dst
+           GROUP BY e.src),
+         hm$k AS (SELECT greatest(max(v), 1) AS m FROM hr$k),
+         h$k AS (SELECT n.node,
+                   COALESCE((SELECT hr$k.v * $scale // hm$k.m
+                             FROM hr$k, hm$k WHERE hr$k.node = n.node), 0) AS h
+                 FROM nodes n)"""
+    }.mkString(",\n         ")
+    s"""WITH edges AS (
+           SELECT DISTINCT 'h' || CAST(doc_id % 11 AS VARCHAR) AS src,
+                           'h' || CAST(doc_id % 7 AS VARCHAR) AS dst
+           FROM documents WHERE doc_id % 11 <> doc_id % 7),
+         nodes AS (SELECT src AS node FROM edges
+                   UNION SELECT dst FROM edges),
+         h0 AS (SELECT node, CAST($scale AS BIGINT) AS h FROM nodes),
+         $rounds
+       SELECT h3.node, h3.h AS hub, a3.a AS authority
+       FROM h3 JOIN a3 USING (node)"""
+  }
+
   // shared by near_dedup_incremental (batch) and stream_near_dedup
   // (the same operator per micro-batch): brute-force cross Jaccard
   // against the corpus snapshot, survivors = batch minus near-dups
@@ -1737,6 +1804,16 @@ object PipelineQueries {
     // the star-CC path must reproduce the same transitive closure
     "dedup_clusters_star" -> dedupClustersOracle,
     "pagerank_hosts" -> pagerankHostsOracle,
+    "hits_hosts" -> hitsHostsOracle,
+    "embedding_centroids" ->
+      """SELECT grp, dim, CAST(sum(round(x * 1000)) AS BIGINT) AS sum_q,
+                count(*) AS n
+         FROM (
+           SELECT vec_id % 8 AS grp,
+                  generate_subscripts(e, 1) - 1 AS dim, unnest(e) AS x
+           FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings))
+         GROUP BY 1, 2""",
     "triangle_counts" ->
       """WITH edges AS (
            SELECT DISTINCT 'h' || CAST(doc_id % 11 AS VARCHAR) AS src,

@@ -620,6 +620,18 @@ object Queries {
         .select(col("doc_id"), col("lang"), col("text"))
     }),
 
+    // ORC round-trip — Spark's other built-in columnar format (ZLIB by
+    // default); the full documents table must survive the column-typed
+    // write+read bit-for-bit vs the parquet oracle.
+    "orc_roundtrip" -> ((s, dir) => {
+      val out = System.getProperty("java.io.tmpdir") +
+        "/graft_orc_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+        .write.orc(out)
+      s.read.orc(out).select(col("doc_id"), col("lang"), col("text"))
+    }),
+
     // SURVEY §2.1 serde: GeoJSON export (the WKT twin; integer coords so
     // the JSON text is exact).
     "geojson_points" -> ((s, dir) => {
@@ -1498,6 +1510,8 @@ object Queries {
     "jsonl_roundtrip" ->
       "SELECT doc_id, text FROM documents",
     "csv_roundtrip" ->
+      "SELECT doc_id, lang, text FROM documents",
+    "orc_roundtrip" ->
       "SELECT doc_id, lang, text FROM documents",
     "sql_surface" ->
       """SELECT p_partkey,

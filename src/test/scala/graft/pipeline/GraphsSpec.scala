@@ -51,6 +51,46 @@ class GraphsSpec extends AnyFunSuite {
     assert(r("c0") > r("c1") && r("c1") > r("c2") && r("c2") > r("l1"))
   }
 
+  /** Single-threaded replay of the integer L∞-normalized HITS rounds. */
+  private def refHits(edges: Seq[(String, String)], iters: Int,
+                      scale: Long = 100000L): Map[String, (Long, Long)] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    var h = nodes.map(_ -> scale).toMap
+    var a = nodes.map(_ -> 0L).toMap
+    for (_ <- 1 to iters) {
+      val araw = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map(e => h(e._1)).sum }
+      val am = math.max(if (araw.isEmpty) 0L else araw.values.max, 1L)
+      a = nodes.map(n => n -> araw.getOrElse(n, 0L) * scale / am).toMap
+      val hraw = edges.groupBy(_._1).map { case (s, es) =>
+        s -> es.map(e => a(e._2)).sum }
+      val hm = math.max(if (hraw.isEmpty) 0L else hraw.values.max, 1L)
+      h = nodes.map(n => n -> hraw.getOrElse(n, 0L) * scale / hm).toMap
+    }
+    nodes.map(n => n -> ((h(n), a(n)))).toMap
+  }
+
+  test("integer HITS matches the single-threaded reference; hubs/authorities separate") {
+    val rnd = new scala.util.Random(23)
+    val rand = (0 until 150).map { _ =>
+      (s"n${rnd.nextInt(14)}", s"n${rnd.nextInt(14)}")
+    }.distinct.filter(e => e._1 != e._2)
+    for (iters <- Seq(1, 3)) {
+      val got = Graphs.hitsInt(rand.toDF("src", "dst"), "src", "dst", iters)
+        .as[(String, Long, Long)].collect()
+        .map { case (n, hb, au) => n -> ((hb, au)) }.toMap
+      assert(got == refHits(rand, iters), s"iters $iters")
+    }
+    // a pure directory page (links out to every content page, no
+    // in-links) must be the top hub with zero authority, and vice versa
+    val star = (1 to 5).map(i => ("dir", s"content$i"))
+    val g = Graphs.hitsInt(star.toDF("src", "dst"), "src", "dst", iters = 3)
+      .as[(String, Long, Long)].collect()
+      .map { case (n, hb, au) => n -> ((hb, au)) }.toMap
+    assert(g("dir") == ((100000L, 0L)))
+    assert((1 to 5).forall(i => g(s"content$i") == ((0L, 100000L))))
+  }
+
   /** Brute-force per-node triangle counts over unordered node triples. */
   private def refTriangles(edges: Seq[(String, String)]): Map[String, Long] = {
     val und = edges.filter(e => e._1 != e._2)
