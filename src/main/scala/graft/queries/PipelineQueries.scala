@@ -553,6 +553,28 @@ object PipelineQueries {
         .groupBy(col("host")).agg(count(lit(1)).as("n"))
     }),
 
+    // the SAME host counts through the salted two-stage aggregate —
+    // identical results by the same oracle (salt-invariance is the
+    // correctness claim), different plan (skew-defeating (key, salt)
+    // exchange + partial combine, plan-gated in PlanSpec)
+    "salted_domain_counts" -> ((s, dir) => {
+      val id = col("doc_id")
+      val planted = concat(col("text"),
+        when(id % 4 === 0, concat(lit(" see http://site"), (id % 7).cast("string"),
+          lit(".example.com/page"))).otherwise(lit("")),
+        when(id % 4 === 1, concat(lit(" via https://m"), (id % 3).cast("string"),
+          lit(".mirror.org/x"))).otherwise(lit("")))
+      val docs = t(s, dir, "documents").select(id, planted.as("ptext"))
+      import s.implicits._
+      val blocklist = Seq("site0.example.com", "site3.example.com", "m1.mirror.org")
+        .toDF("host")
+      graft.tools.Salted.countByKey(
+        Scrub.explodeHosts(
+          Scrub.filterBlockedHosts(docs, "doc_id", "ptext", blocklist),
+          "doc_id", "ptext"),
+        "host", saltFromCol = "doc_id", salts = 16)
+    }),
+
     // serving-side dynamic batching: length buckets (32-token bands) ×
     // id-mod shards, consecutive runs of 8 share a batch id — the
     // padding-waste packer. Window keys on (bucket, shard), never the
@@ -1334,6 +1356,27 @@ object PipelineQueries {
        SELECT node, r AS rank FROM r5"""
   }
 
+  // shared by url_domain_counts (direct groupBy) and
+  // salted_domain_counts (two-stage salted aggregate): salting must
+  // not change a single count
+  private lazy val urlDomainCountsOracle: String =
+    s"""WITH docs AS (
+           SELECT doc_id, text
+             || CASE WHEN doc_id % 4 = 0 THEN ' see http://site' || CAST(doc_id % 7 AS VARCHAR)
+                  || '.example.com/page' ELSE '' END
+             || CASE WHEN doc_id % 4 = 1 THEN ' via https://m' || CAST(doc_id % 3 AS VARCHAR)
+                  || '.mirror.org/x' ELSE '' END AS ptext
+           FROM documents),
+         hosts AS (
+           SELECT doc_id, unnest(regexp_extract_all(ptext, '$urlSql', 1)) AS host
+           FROM docs),
+         blocked AS (
+           SELECT DISTINCT doc_id FROM hosts
+           WHERE host IN ('site0.example.com', 'site3.example.com', 'm1.mirror.org'))
+         SELECT host, count(*) AS n FROM hosts
+         WHERE doc_id NOT IN (SELECT doc_id FROM blocked)
+         GROUP BY host"""
+
   // HITS replay: 3 unrolled rounds of the integer max-normalized
   // mutual-reinforcement formula; `//` floor division == Spark `div`
   // truncation on the all-positive operands
@@ -1646,23 +1689,9 @@ object PipelineQueries {
              '$ipv4Sql', '<IP>', 'g'),
              '$phoneSql', '<PHONE>', 'g') AS redacted
          FROM pii""",
-    "url_domain_counts" ->
-      s"""WITH docs AS (
-           SELECT doc_id, text
-             || CASE WHEN doc_id % 4 = 0 THEN ' see http://site' || CAST(doc_id % 7 AS VARCHAR)
-                  || '.example.com/page' ELSE '' END
-             || CASE WHEN doc_id % 4 = 1 THEN ' via https://m' || CAST(doc_id % 3 AS VARCHAR)
-                  || '.mirror.org/x' ELSE '' END AS ptext
-           FROM documents),
-         hosts AS (
-           SELECT doc_id, unnest(regexp_extract_all(ptext, '$urlSql', 1)) AS host
-           FROM docs),
-         blocked AS (
-           SELECT DISTINCT doc_id FROM hosts
-           WHERE host IN ('site0.example.com', 'site3.example.com', 'm1.mirror.org'))
-         SELECT host, count(*) AS n FROM hosts
-         WHERE doc_id NOT IN (SELECT doc_id FROM blocked)
-         GROUP BY host""",
+    "url_domain_counts" -> urlDomainCountsOracle,
+    // the salted two-stage aggregate must be salt-invariant: same oracle
+    "salted_domain_counts" -> urlDomainCountsOracle,
     "scrub_pipeline" ->
       s"""WITH base AS (
            SELECT doc_id,

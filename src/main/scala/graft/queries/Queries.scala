@@ -620,6 +620,18 @@ object Queries {
         .select(col("doc_id"), col("lang"), col("text"))
     }),
 
+    // gzip-compressed JSONL round-trip — the shape public web corpora
+    // actually ship in (CC dumps are .jsonl.gz); Spark must write and
+    // transparently re-read the compressed shards losslessly.
+    "jsonl_gzip_roundtrip" -> ((s, dir) => {
+      val out = System.getProperty("java.io.tmpdir") +
+        "/graft_jsonlgz_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .write.option("compression", "gzip").json(out)
+      s.read.json(out).select(col("doc_id"), col("text"))
+    }),
+
     // ORC round-trip — Spark's other built-in columnar format (ZLIB by
     // default); the full documents table must survive the column-typed
     // write+read bit-for-bit vs the parquet oracle.
@@ -1513,6 +1525,8 @@ object Queries {
       "SELECT doc_id, lang, text FROM documents",
     "orc_roundtrip" ->
       "SELECT doc_id, lang, text FROM documents",
+    "jsonl_gzip_roundtrip" ->
+      "SELECT doc_id, text FROM documents",
     "sql_surface" ->
       """SELECT p_partkey,
                 4.0*((p_partkey%5)+1)*((p_partkey%5)+1) AS area,

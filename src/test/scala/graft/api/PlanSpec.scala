@@ -299,6 +299,22 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("salted aggregate plans the two-stage (key+salt, then key) exchanges") {
+    val df = (0 until 500).map(i => (i.toLong, s"k${i % 3}")).toDF("id", "key")
+    val out = graft.tools.Salted.countByKey(df, "key", "id", salts = 8)
+    val plan = finalPlan(out)
+    assert(plan.contains("__salt"),
+      s"salted stage missing from the plan:\n$plan")
+    assert("hashpartitioning\\(__k".r.findAllIn(plan).size >= 2,
+      s"expected the (key, salt) exchange AND the key combine exchange:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"map-side partial aggregation missing:\n$plan")
+    // and the result is salt-count-invariant
+    val direct = df.groupBy(col("key")).agg(count(lit(1)).as("n"))
+    assert(out.collect().map(r => (r.getString(0), r.getLong(1))).toMap ==
+      direct.collect().map(r => (r.getString(0), r.getLong(1))).toMap)
+  }
+
   test("custom spatial predicate runs inside whole-stage codegen") {
     // spark.range (not a LocalRelation) so the filter cannot be
     // constant-folded away at plan time
