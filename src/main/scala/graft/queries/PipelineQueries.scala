@@ -83,6 +83,20 @@ object PipelineQueries {
           sum(col("c") * (length(bin(col("c"))) - 1)).as("entropy_num"))
     }),
 
+    // lang × quality pivot (the curation dashboard crosstab): Spark's
+    // pivot with DECLARED values (deterministic columns, single pass —
+    // no values-discovery job); DuckDB replays with conditional sums
+    "lang_quality_pivot" -> ((s, dir) => {
+      val cols = TextAnalysis.qualityColumns(col("text"))
+      val ok = cols.find(_._1 == "quality_ok").get._2
+      t(s, dir, "documents")
+        .select(col("lang"), ok.as("q"))
+        .groupBy(col("lang")).pivot("q", Seq(0, 1))
+        .agg(count(lit(1)))
+        .select(col("lang"), coalesce(col("0"), lit(0L)).as("n_bad"),
+          coalesce(col("1"), lit(0L)).as("n_good"))
+    }),
+
     // token-length histogram (the length-distribution diagnostic every
     // curation run starts with): equi-width integer bins, pure integer
     // arithmetic both engines replay
@@ -1572,6 +1586,24 @@ object PipelineQueries {
                 s"(length(text)-length(replace(text,'$c','')))").mkString("(", " + ", ")")} AS punct
             FROM (SELECT doc_id, text, ' '||lower(text)||' ' AS p FROM documents)
           )""",
+    "lang_quality_pivot" ->
+      s"""WITH q AS (
+            SELECT lang,
+              CAST((tokens >= 5 AND
+                    (CASE WHEN tokens > 0 THEN CAST(floor((chars*100)/tokens) AS BIGINT) ELSE 0 END) BETWEEN 200 AND 2000
+                    AND stop_hits >= 1
+                    AND (CASE WHEN chars > 0 THEN CAST(floor((punct*1000)/chars) AS BIGINT) ELSE 0 END) <= 300) AS INT) AS ok
+            FROM (
+              SELECT lang,
+                len(regexp_extract_all(text, '\\S+')) AS tokens,
+                length(text) AS chars,
+                ${langScoreSql("en")} AS stop_hits,
+                ${Seq(".", ",", "!", "?", ";", ":").map(c =>
+                  s"(length(text)-length(replace(text,'$c','')))").mkString("(", " + ", ")")} AS punct
+              FROM (SELECT lang, text, ' '||lower(text)||' ' AS p FROM documents)))
+          SELECT lang, sum(CASE WHEN ok = 0 THEN 1 ELSE 0 END) AS n_bad,
+                 sum(CASE WHEN ok = 1 THEN 1 ELSE 0 END) AS n_good
+          FROM q GROUP BY lang""",
     "bpe_token_stats" ->
       s"""SELECT doc_id,
             len(regexp_extract_all(text, '${TextAnalysis.bpePattern.replace("'", "''")}')) AS bpe_tokens,
