@@ -14,9 +14,13 @@ import org.apache.spark.sql.types._
  * JDK's javax.imageio ships readers for (PNG/JPEG/BMP/GIF/WBMP) —
  * width/height/format without decoding pixels — and
  * [[mapDecodePartitions]] uses it, falling back to the deterministic
- * hash stub for payloads no reader recognizes. Audio/video codecs and
- * pixel-level features remain STUBS in this container (no media
- * libraries): `decodeStub`/`extractFeaturesStub`/`frameSampleStub`
+ * hash stub for payloads no reader recognizes. AUDIO (WAV) decode is
+ * real via the hand-rolled [[decodeWav]] RIFF parser, and animated-GIF
+ * FRAME structure is real via [[decodeGifFrames]] +
+ * [[mapFrameSamplePartitions]] — the closest thing to video frame
+ * sampling the JDK can do natively. True video codecs and pixel-level
+ * features remain STUBS in this container (no media libraries):
+ * `decodeStub`/`extractFeaturesStub`/`frameSampleStub`
  * derive deterministic fakes from the payload hash. Everything around
  * them — schema, null handling, partition-parallel batch shape, column
  * pruning — is real Spark plumbing: swap in a JNI or vectorized decoder
@@ -143,6 +147,128 @@ object Multimodal {
         javax.sound.sampled.AudioSystem.write(ais,
           javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
         Row.fromSeq(row.toSeq :+ bos.toByteArray)
+      }
+    }(enc)
+  }
+
+  /** Real animated-GIF frame-structure decode via the JDK's ImageIO GIF
+    * reader: per-frame (width, height) for EVERY image in the file, or
+    * None when the bytes are not a GIF any installed reader claims.
+    * Walks frame descriptors only — no pixel decode. */
+  def decodeGifFrames(bytes: Array[Byte]): Option[IndexedSeq[(Int, Int)]] = {
+    if (bytes == null || bytes.length < 6) return None
+    javax.imageio.ImageIO.setUseCache(false)
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      var out: Option[IndexedSeq[(Int, Int)]] = None
+      while (out.isEmpty && readers.hasNext) {
+        val r = readers.next()
+        try {
+          if (r.getFormatName.toLowerCase(java.util.Locale.ROOT) == "gif") {
+            r.setInput(iis, false, false) // random access: allow frame search
+            val n = r.getNumImages(true)
+            // a bare magic with no image descriptors "reads" as 0 frames —
+            // that is garbage, not an animation
+            if (n > 0)
+              out = Some((0 until n).map(i => (r.getWidth(i), r.getHeight(i))))
+          }
+        } catch {
+          case _: Exception => // truncated/corrupt -> keep None
+        } finally r.dispose()
+      }
+      out
+    } finally iis.close()
+  }
+
+  /** Deterministic REAL animated GIFs for fixture oracles: per row an
+    * (id%6+2)-frame animation of (id%7+3) x (id%5+2) frames with
+    * id-derived pixels, written by ImageIO's sequence writer on the
+    * executor — so [[mapFrameSamplePartitions]] must recover exactly
+    * that frame structure through the real reader, and an
+    * engine-independent oracle recomputes it as id arithmetic.
+    * `idCol` must be long-typed. */
+  def syntheticGifs(df: DataFrame, idCol: String, outCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType, nullable = false))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val id = row.getLong(idIdx)
+        val w = (id % 7 + 3).toInt
+        val h = (id % 5 + 2).toInt
+        val nFrames = (id % 6 + 2).toInt
+        val bos = new java.io.ByteArrayOutputStream()
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("gif").next()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        try {
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var f = 0
+          while (f < nFrames) {
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                img.setRGB(x, y, ((id * 37 + f * 101 + x * 7 + y) % 0xffffff).toInt)
+                x += 1
+              }
+              y += 1
+            }
+            writer.writeToSequence(
+              new javax.imageio.IIOImage(img, null, null), null)
+            f += 1
+          }
+          writer.endWriteSequence()
+        } finally {
+          writer.dispose(); ios.close()
+        }
+        Row.fromSeq(row.toSeq :+ bos.toByteArray)
+      }
+    }(enc)
+  }
+
+  val frameType: StructType = StructType(Seq(
+    StructField("frame_idx", IntegerType), StructField("width", IntegerType),
+    StructField("height", IntegerType)))
+
+  /** Batched per-partition FRAME sampling: GIF payloads get the real
+    * [[decodeGifFrames]] structure walk and every `everyN`th frame's
+    * (idx, width, height) is emitted; unrecognized bytes fall back to
+    * the deterministic hash stub (same count formula as
+    * [[frameSampleStub]]). Appends a `frames` array column for a
+    * downstream `explode` — the 1→N shape a real video sampler uses. */
+  def mapFrameSamplePartitions(df: DataFrame, contentCol: String,
+                               everyN: Int = 1, batchSize: Int = 256): DataFrame = {
+    require(everyN >= 1)
+    val schema = StructType(df.schema.fields :+
+      StructField("frames", ArrayType(frameType, containsNull = false)))
+    val contentIdx = df.schema.fieldIndex(contentCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val bytes = row.getAs[Array[Byte]](contentIdx)
+          val frames = decodeGifFrames(bytes) match {
+            case Some(dims) =>
+              (0 until dims.length by everyN)
+                .map { i => val (w, h) = dims(i); Row(i, w, h) }
+            case None =>
+              val hh = if (bytes == null) 0L
+                else graft.functions.TextHashing.bytesHash(bytes, 0, bytes.length, 11L)
+              val n = math.floorMod(hh, 64).toInt + 1
+              (0 until n by everyN).map { i =>
+                Row(i, (math.floorMod(hh >>> 3, 1920) + 32).toInt,
+                  (math.floorMod(hh >>> 23, 1080) + 32).toInt)
+              }
+          }
+          Row.fromSeq(row.toSeq :+ frames)
+        }
       }
     }(enc)
   }

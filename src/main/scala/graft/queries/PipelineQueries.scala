@@ -845,6 +845,21 @@ object PipelineQueries {
           col("meta.height").as("height"), col("meta.format").as("format"))
     }),
 
+    // REAL animated-GIF frame sampling under the FULL oracle gate:
+    // id-derived multi-frame GIFs are written ON THE EXECUTORS by
+    // ImageIO's sequence writer, every 2nd frame is sampled back out
+    // through the real reader's frame-descriptor walk, and the exploded
+    // (frame_idx, width, height) rows must equal pure id arithmetic —
+    // the 1->N video-sampling shape with a genuine codec in the loop.
+    "multimodal_gif_frames" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val withGif = Multimodal.syntheticGifs(docs, "doc_id", "content")
+      Multimodal.mapFrameSamplePartitions(withGif, "content", everyN = 2, batchSize = 64)
+        .select(col("doc_id"), explode(col("frames")).as("f"))
+        .select(col("doc_id"), col("f.frame_idx").as("frame_idx"),
+          col("f.width").as("width"), col("f.height").as("height"))
+    }),
+
     // REAL audio codec in the checked path: id-derived PCM WAVs are
     // written ON THE EXECUTORS by the JDK's javax.sound, decoded back
     // through the hand-rolled RIFF parser (an independent
@@ -2039,6 +2054,14 @@ object PipelineQueries {
       """SELECT doc_id, CAST(doc_id % 7 + 3 AS INT) AS width,
                 CAST(doc_id % 5 + 2 AS INT) AS height,
                 'png' AS format
+         FROM documents""",
+    // the GIF fixture frame structure is pure id arithmetic; range()
+    // replays the every-2nd-frame sampling
+    "multimodal_gif_frames" ->
+      """SELECT doc_id,
+                CAST(unnest(range(0, doc_id % 6 + 2, 2)) AS INT) AS frame_idx,
+                CAST(doc_id % 7 + 3 AS INT) AS width,
+                CAST(doc_id % 5 + 2 AS INT) AS height
          FROM documents""",
     "multimodal_wav_decode" ->
       """SELECT doc_id,

@@ -568,4 +568,49 @@ class PipelineSpec extends AnyFunSuite {
         r.getLong(3) == id % 50 + 10 && r.getString(4) == "pcm_wav"
     })
   }
+
+  test("multimodal decodeGifFrames: real multi-frame walk; sampling; garbage rejected") {
+    // a 3-frame 7x4 animation via ImageIO's sequence writer
+    def gif(w: Int, h: Int, n: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      (0 until n).foreach { _ =>
+        writer.writeToSequence(new javax.imageio.IIOImage(
+          new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB), null, null), null)
+      }
+      writer.endWriteSequence(); writer.dispose(); ios.close()
+      bos.toByteArray
+    }
+    assert(Multimodal.decodeGifFrames(gif(7, 4, 3)) ==
+      Some(IndexedSeq((7, 4), (7, 4), (7, 4))))
+    assert(Multimodal.decodeGifFrames(gif(3, 2, 1)) == Some(IndexedSeq((3, 2))))
+    assert(Multimodal.decodeGifFrames(null).isEmpty)
+    assert(Multimodal.decodeGifFrames("GIF89a but not really".getBytes).isEmpty)
+    // a PNG is an image but NOT a gif — the frame walker must decline
+    val png = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(new java.awt.image.BufferedImage(5, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB), "png", bos)
+      bos.toByteArray
+    }
+    assert(Multimodal.decodeGifFrames(png).isEmpty)
+    // the batched sampler routes GIFs through the real reader and takes
+    // every 2nd frame of the id-derived fixture animation
+    val withGif = Multimodal.syntheticGifs(
+      corpus.select(col("doc_id")), "doc_id", "content")
+    val sampled = Multimodal.mapFrameSamplePartitions(withGif, "content", everyN = 2)
+      .select(col("doc_id"), col("frames")).collect()
+    assert(sampled.forall { r =>
+      val id = r.getLong(0)
+      val frames = r.getSeq[org.apache.spark.sql.Row](1)
+      val expectIdx = 0 until (id % 6 + 2).toInt by 2
+      frames.map(_.getInt(0)) == expectIdx &&
+        frames.forall(f => f.getInt(1) == (id % 7 + 3).toInt &&
+          f.getInt(2) == (id % 5 + 2).toInt)
+    })
+  }
 }
