@@ -130,6 +130,55 @@ object Graphs {
   }
 
   /**
+   * k-core extraction over an undirected graph: iteratively peel every
+   * node whose (induced) degree is < k until a fixpoint — the standard
+   * link-spam / crawl-frontier density filter (a k-core survives only
+   * where every member keeps >= k neighbors INSIDE the core, so thin
+   * chains, trees and dangling tails cascade away no matter how big).
+   *
+   * Plan shape per round: one degree aggregate over the symmetric edge
+   * list + two key-partitioned semi-join filters (both endpoints must
+   * survive) — no broadcast assumptions, hub-safe (a hub's degree is
+   * one aggregate row). The surviving edge set is localCheckpoint'd
+   * per round (O(1) plan size in rounds — the iterative-DataFrame
+   * discipline), and each round's only driver traffic is the single
+   * removed-node count that decides termination. Round count is the
+   * peel depth of the graph (the longest removal cascade); each round
+   * strictly shrinks the edge set, so the loop always terminates.
+   *
+   * Returns (node, deg) for every node of the k-core with its induced
+   * degree — empty when the whole graph peels away. Self-loops are
+   * dropped (a self-loop is not a neighbor); parallel edges are
+   * deduped so degree = distinct-neighbor count.
+   */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val raw = edges.select(col(srcCol).cast("string").as("__s"),
+      col(dstCol).cast("string").as("__t"))
+    val und = raw.select(least(col("__s"), col("__t")).as("__u"),
+        greatest(col("__s"), col("__t")).as("__v"))
+      .where(col("__u") =!= col("__v")).distinct()
+    var sym = und.select(col("__u"), col("__v"))
+      .unionAll(und.select(col("__v").as("__u"), col("__u").as("__v")))
+      .localCheckpoint(false)
+    var done = false
+    while (!done) {
+      val deg = sym.groupBy(col("__u")).agg(count(lit(1)).as("__d"))
+      val bad = deg.where(col("__d") < k).select(col("__u").as("__bad"))
+        .localCheckpoint(false) // reused by the count and both filters
+      if (bad.count() == 0L) done = true
+      else {
+        sym = sym
+          .join(bad, sym("__u") === bad("__bad"), "left_anti")
+          .join(bad, sym("__v") === bad("__bad"), "left_anti")
+          .localCheckpoint(false)
+      }
+    }
+    sym.groupBy(col("__u")).agg(count(lit(1)).as("deg"))
+      .select(col("__u").as("node"), col("deg"))
+  }
+
+  /**
    * Per-node triangle counts over an undirected graph (the clustering
    * signal a link-graph quality model keys on: spam farms are
    * triangle-dense, organic link neighborhoods are sparse).

@@ -667,6 +667,25 @@ object PipelineQueries {
       Graphs.triangleCounts(edges, "src", "dst")
     }),
 
+    // 2-core extraction over a dense-nucleus + dangling-path graph:
+    // the path (p0..p13, bridged to the nucleus at n0) must cascade
+    // away ONE NODE PER ROUND — a genuine multi-round peel, not a
+    // single low-degree sweep — leaving exactly the nucleus with its
+    // induced degrees. The oracle replays the identical peel as a
+    // recursive CTE with window-function degrees.
+    "kcore_hosts" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val nucleus = d.select(
+        concat(lit("n"), (col("doc_id") % 7).cast("string")).as("src"),
+        concat(lit("n"), (col("doc_id") % 5).cast("string")).as("dst"))
+      val path = d.where(col("doc_id") < 13)
+        .select(concat(lit("p"), col("doc_id").cast("string")).as("src"),
+          concat(lit("p"), (col("doc_id") + 1).cast("string")).as("dst"))
+      val bridge = d.where(col("doc_id") === 0)
+        .select(lit("p0").as("src"), lit("n0").as("dst"))
+      Graphs.kCore(nucleus.unionAll(path).unionAll(bridge), "src", "dst", k = 2)
+    }),
+
     // normalization-canonical exact dedup: planted variants differing
     // only in case/punctuation/whitespace collapse onto their originals
     "normalize_dedup" -> ((s, dir) => {
@@ -1911,6 +1930,36 @@ object PipelineQueries {
        FROM nodes n LEFT JOIN
          (SELECT node, count(*) AS cnt FROM pern GROUP BY node) c
          USING (node)""",
+    // the identical peel as a recursive CTE: each iteration keeps only
+    // rows whose BOTH endpoints hold window-counted degree >= 2, and
+    // recursion stops at the fixpoint (mindeg >= 2 emits nothing); the
+    // k-core is the last completed iteration's edge set
+    "kcore_hosts" ->
+      """WITH RECURSIVE base AS (
+           SELECT DISTINCT least(u0, v0) AS u, greatest(u0, v0) AS v FROM (
+             SELECT 'n' || CAST(doc_id % 7 AS VARCHAR) AS u0,
+                    'n' || CAST(doc_id % 5 AS VARCHAR) AS v0 FROM documents
+             UNION ALL
+             SELECT 'p' || CAST(doc_id AS VARCHAR),
+                    'p' || CAST(doc_id + 1 AS VARCHAR)
+             FROM documents WHERE doc_id < 13
+             UNION ALL
+             SELECT 'p0', 'n0' FROM documents WHERE doc_id = 0
+           ) WHERE u0 <> v0),
+         sym AS (SELECT u, v FROM base UNION ALL SELECT v, u FROM base),
+         peel(iter, u, v) AS (
+           SELECT 0, u, v FROM sym
+           UNION ALL
+           SELECT iter + 1, u, v FROM (
+             SELECT iter, u, v, du, dv, min(least(du, dv)) OVER () AS mindeg
+             FROM (SELECT iter, u, v,
+                          count(*) OVER (PARTITION BY u) AS du,
+                          count(*) OVER (PARTITION BY v) AS dv
+                   FROM peel)
+           ) WHERE du >= 2 AND dv >= 2 AND mindeg < 2)
+       SELECT u AS node, count(*) AS deg
+       FROM peel WHERE iter = (SELECT max(iter) FROM peel)
+       GROUP BY u""",
     // same bucket/shard/rank arithmetic over the shared token-count
     // definition (len of regexp_extract_all \S+)
     "length_bucket_batches" ->

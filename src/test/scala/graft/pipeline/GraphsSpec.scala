@@ -139,4 +139,44 @@ class GraphsSpec extends AnyFunSuite {
     assert(got("hub") == 1L && got("t1") == 1L && got("t2") == 1L)
     assert(got("leaf7") == 0L)
   }
+
+  /** Single-threaded peel reference for k-core. */
+  private def refKCore(edges: Seq[(String, String)], k: Int): Map[String, Int] = {
+    var adj = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter(e => e._1 != e._2).distinct
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    var changed = true
+    while (changed) {
+      val bad = adj.filter(_._2.size < k).keySet
+      changed = bad.nonEmpty
+      adj = adj.collect { case (n, ns) if !bad(n) => n -> (ns -- bad) }
+    }
+    adj.map { case (n, ns) => n -> ns.size }
+  }
+
+  test("k-core: triangle survives k=2, dangling chain cascades one node per round") {
+    // triangle {a,b,c} + chain c-d-e-f: d,e,f peel in cascade
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"),
+      ("c", "d"), ("d", "e"), ("e", "f"))
+    val got = Graphs.kCore(edges.toDF("src", "dst"), "src", "dst", k = 2)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+    // the same graph has an empty 3-core
+    assert(Graphs.kCore(edges.toDF("src", "dst"), "src", "dst", k = 3).isEmpty)
+  }
+
+  test("k-core matches the single-threaded peel on random graphs, self-loops/duplicates ignored") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val edges = (0 until 80 * trial).map { _ =>
+        (s"n${rnd.nextInt(10 * trial)}", s"n${rnd.nextInt(10 * trial)}")
+      }
+      for (k <- Seq(2, 3)) {
+        val got = Graphs.kCore(edges.toDF("src", "dst"), "src", "dst", k)
+          .as[(String, Long)].collect().toMap
+        assert(got == refKCore(edges, k).map { case (n, d) => n -> d.toLong },
+          s"trial $trial k $k")
+      }
+    }
+  }
 }
