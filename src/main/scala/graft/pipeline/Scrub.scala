@@ -102,6 +102,48 @@ object Scrub {
     df.join(hits, Seq(idCol), "left_anti")
   }
 
+  /** Query parameters stripped by [[canonicalizeUrl]]: click-tracking
+    * ids that make byte-identical pages look like distinct URLs. utm_*
+    * is matched as a prefix family. */
+  val trackingParamPattern: String = "^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|ref)="
+
+  /** URL canonicalization — the key for URL-level dedup and frontier
+    * visited-set checks, where the same page arrives spelled a dozen
+    * ways. Pure string/regex/array arithmetic over codegen'd built-ins
+    * (no UDF, no java.net parsing), so the identical steps replay in a
+    * SQL oracle:
+    *
+    *   - scheme and host lowercase; a leading `www.` drops
+    *   - default ports drop (`:80` for http, `:443` for https);
+    *     non-default ports survive
+    *   - the fragment (`#...`) drops
+    *   - tracking query params drop ([[trackingParamPattern]]); the
+    *     survivors are sorted (param order never distinguishes pages);
+    *     an emptied query string loses its `?`
+    *   - a bare-root `/` path drops
+    *
+    * Input must be a single absolute http(s)-style URL; anything the
+    * scheme/host regexes don't match canonicalizes to a degenerate
+    * string rather than raising (filter upstream if needed). */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    val port = regexp_extract(hostPort, ":([0-9]+)$", 1)
+    val noDefault = when(
+      (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"),
+      regexp_replace(hostPort, ":[0-9]+$", "")).otherwise(hostPort)
+    val host = regexp_replace(noDefault, "^www\\.", "")
+    val path0 = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path = when(path0 === "/", lit("")).otherwise(path0)
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val kept = array_sort(filter(split(query, "&"),
+      p => !p.rlike(trackingParamPattern) && p =!= ""))
+    concat(scheme, lit("://"), host, path,
+      when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
+        .otherwise(lit("")))
+  }
+
   /** Canonical text form for exact dedup: lowercase, every non-alnum
     * run collapsed to a single space, trimmed. Two documents differing
     * only in case, punctuation, or whitespace layout normalize

@@ -567,6 +567,33 @@ object PipelineQueries {
         .groupBy(col("host")).agg(count(lit(1)).as("n"))
     }),
 
+    // URL-level dedup under canonicalization (the frontier visited-set
+    // key): id-derived messy URLs — uppercase scheme/host, www.,
+    // default vs real ports, root paths, tracking params, fragments —
+    // must collapse exactly as the pure string/regex/array pipeline
+    // dictates; ids 420 apart differ ONLY in fragment and default-port
+    // spelling, so their collapse proves the drop rules. DuckDB replays
+    // every canonicalization step verbatim.
+    "url_canonical_dedup" -> ((s, dir) => {
+      val id = col("doc_id")
+      val url = concat(
+        when(id % 2 === 0, lit("HTTPS")).otherwise(lit("HTTP")), lit("://"),
+        lit("WWW.Site"), (id % 7).cast("string"), lit(".COM"),
+        when(id % 3 === 0,
+            when(id % 2 === 0, lit(":443")).otherwise(lit(":80")))
+          .when(id % 3 === 1, lit(":8080")).otherwise(lit("")),
+        when(id % 5 === 0, lit("/"))
+          .otherwise(concat(lit("/p"), (id % 5).cast("string"))),
+        when(id % 4 === 0, lit("?utm_campaign=x"))
+          .otherwise(concat(lit("?utm_source=news&z="), (id % 4).cast("string"),
+            lit("&a=1"))),
+        lit("#sec"), (id % 9).cast("string"))
+      t(s, dir, "documents")
+        .select(id, Scrub.canonicalizeUrl(url).as("canon"))
+        .groupBy(col("canon"))
+        .agg(count(lit(1)).as("n"), min(id).as("keep_id"))
+    }),
+
     // the SAME host counts through the salted two-stage aggregate —
     // identical results by the same oracle (salt-invariance is the
     // correctness claim), different plan (skew-defeating (key, salt)
@@ -1758,6 +1785,48 @@ object PipelineQueries {
     "url_domain_counts" -> urlDomainCountsOracle,
     // the salted two-stage aggregate must be salt-invariant: same oracle
     "salted_domain_counts" -> urlDomainCountsOracle,
+    // every canonicalization step replayed verbatim: lowercase, www./
+    // default-port/fragment/root-path drops, tracking-param filter +
+    // param sort
+    "url_canonical_dedup" ->
+      """WITH u AS (
+           SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'HTTP' END) || '://' ||
+             'WWW.Site' || CAST(doc_id % 7 AS VARCHAR) || '.COM' ||
+             (CASE WHEN doc_id % 3 = 0 THEN
+                    (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
+                   WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END) ||
+             (CASE WHEN doc_id % 5 = 0 THEN '/'
+                   ELSE '/p' || CAST(doc_id % 5 AS VARCHAR) END) ||
+             (CASE WHEN doc_id % 4 = 0 THEN '?utm_campaign=x'
+                   ELSE '?utm_source=news&z=' || CAST(doc_id % 4 AS VARCHAR) || '&a=1' END) ||
+             '#sec' || CAST(doc_id % 9 AS VARCHAR) AS url
+           FROM documents),
+         parts AS (
+           SELECT doc_id,
+             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+             regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+             regexp_extract(url, '\?([^#]*)', 1) AS query
+           FROM u),
+         canon AS (
+           SELECT doc_id, scheme || '://' ||
+             regexp_replace(
+               CASE WHEN (scheme = 'http' AND
+                          regexp_extract(hostport, ':([0-9]+)$', 1) = '80')
+                      OR (scheme = 'https' AND
+                          regexp_extract(hostport, ':([0-9]+)$', 1) = '443')
+                    THEN regexp_replace(hostport, ':[0-9]+$', '')
+                    ELSE hostport END, '^www\.', '') ||
+             (CASE WHEN path0 = '/' THEN '' ELSE path0 END) ||
+             (CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
+                   ELSE '' END) AS canon
+           FROM (SELECT *, list_sort(list_filter(string_split(query, '&'),
+                   p -> NOT regexp_matches(p, '^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|ref)=')
+                        AND p <> '')) AS kept
+                 FROM parts))
+       SELECT canon, count(*) AS n, min(doc_id) AS keep_id
+       FROM canon GROUP BY canon""",
     "scrub_pipeline" ->
       s"""WITH base AS (
            SELECT doc_id,

@@ -55,6 +55,28 @@ class ScrubSpec extends AnyFunSuite {
     assert(got(4) == "held apart")
   }
 
+  test("canonicalizeUrl: case, www, ports, fragments, tracking params, root path") {
+    val cases = Seq(
+      // lowercase + www-drop + default https port + fragment drop
+      "HTTPS://WWW.Example.COM:443/Path/To?b=2&a=1#frag" ->
+        "https://example.com/Path/To?a=1&b=2",
+      // http default port; tracking params drop; empty query loses '?'
+      "http://example.com:80/x?utm_source=a&utm_campaign=b" ->
+        "http://example.com/x",
+      // non-default port survives; ref= is tracking, z= is not
+      "http://Example.com:8080/x?z=1&ref=tw" ->
+        "http://example.com:8080/x?z=1",
+      // bare root path drops; no query at all
+      "https://www.site.org/" -> "https://site.org",
+      // gclid/fbclid drop; param sort is lexicographic
+      "http://a.net/p?gclid=123&c=3&fbclid=9&b=2" -> "http://a.net/p?b=2&c=3",
+      // path casing is preserved (only scheme/host fold)
+      "HTTP://HOST.COM/CaSe" -> "http://host.com/CaSe")
+    val got = cases.map(_._1).toDF("url")
+      .select(Scrub.canonicalizeUrl(col("url")).as("c")).as[String].collect()
+    assert(got.toSeq == cases.map(_._2))
+  }
+
   test("dedupNormalized keeps the lowest id per canonical form") {
     val df = Seq(
       (1L, "The quick fox."), (2L, "the   QUICK fox"), (3L, "a different doc"),
