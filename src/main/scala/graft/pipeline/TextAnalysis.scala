@@ -623,6 +623,90 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /**
+   * Distributed BPE merge training — learn the first `merges` merge
+   * rules over the corpus, the core of tokenizer construction.
+   *
+   * Classic BPE (Sennrich et al. 2016, arXiv:1508.07909): start from
+   * character sequences, repeatedly (1) count adjacent symbol pairs,
+   * (2) pick the globally most frequent pair, (3) merge its
+   * left-to-right non-overlapping occurrences everywhere; the merged
+   * symbol participates in later rounds.
+   *
+   * Scale shape: the corpus collapses ONCE to a (word-type, count)
+   * histogram — the only corpus-sized shuffle; every round then runs
+   * on the type table (orders of magnitude smaller: English web text
+   * has ~10⁷ types per 10¹⁰ tokens), as one pair-count aggregate plus
+   * a narrow merge projection. Driver traffic per round is exactly one
+   * row (the winning pair). The type table is localCheckpoint'd per
+   * round (iterative-DataFrame discipline: persist alone never
+   * truncates the compounding plan).
+   *
+   * Symbol sequences are space-joined (symbols are drawn from
+   * whitespace-split words, so they can never contain the separator).
+   * A merge is a string replace over the SEPARATOR-DOUBLED form
+   * `' s1  s2  s3 '` — every symbol its own ` sym ` block, so a pair
+   * match consumes exactly two whole blocks and consecutive matches
+   * never share a character. `replace`'s left-to-right non-overlapping
+   * scan over blocks is then EXACTLY greedy BPE merging, including
+   * same-symbol runs (`a a a a a` → `aa aa a`; naive single-space
+   * padding would miss every other run merge because adjacent matches
+   * share the separator). Both engines' `replace` agree, so an oracle
+   * replays training verbatim. Ties on pair frequency break
+   * lexicographically (deterministic across engines and cluster
+   * sizes).
+   *
+   * Returns one row per learned rule: (merge_rank 1..merges, lhs, rhs,
+   * freq at selection time). Stops early if no pair remains.
+   */
+  def bpeTrain(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
+    require(merges >= 1, "merges must be >= 1")
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.Row
+    // word-type histogram; seq = space-joined character symbols
+    val chars = {
+      val w = col("word")
+      array_join(transform(sequence(lit(1), length(w)),
+        i => substring(w, i, lit(1))), " ")
+    }
+    var vocab = docs
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(chars.as("seq"), col("cnt"))
+      .localCheckpoint(false)
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= merges && !exhausted) {
+      val syms = split(col("seq"), " ")
+      val top = vocab.where(size(syms) >= 2)
+        .select(explode(transform(sequence(lit(1), size(syms) - 1),
+          i => concat(element_at(syms, i), lit(" "),
+            element_at(syms, i + 1)))).as("pair"), col("cnt"))
+        .groupBy(col("pair")).agg(sum(col("cnt")).as("freq"))
+        .orderBy(col("freq").desc, col("pair").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val Row(pair: String, freq: Long) = top(0)
+        val Array(l, r) = pair.split(" ", 2)
+        learned += ((rank, l, r, freq))
+        val doubled = concat(lit(" "),
+          replace(col("seq"), lit(" "), lit("  ")), lit(" "))
+        vocab = vocab.select(
+          replace(trim(replace(doubled, lit(s" $l  $r "), lit(s" $l$r "))),
+            lit("  "), lit(" ")).as("seq"), col("cnt"))
+          .localCheckpoint(false)
+        rank += 1
+      }
+    }
+    import spark.implicits._
+    // merge_rank/lhs/rhs, not rank/left/right: all three collide with
+    // SQL function names in common oracle dialects
+    learned.toSeq.toDF("merge_rank", "lhs", "rhs", "freq")
+  }
+
   def vocabCoverage(docs: DataFrame, textCol: String, vs: Seq[Int],
                     numPartitions: Int = 32): DataFrame = {
     require(vs.nonEmpty && vs.forall(_ >= 1), "vs must be positive")

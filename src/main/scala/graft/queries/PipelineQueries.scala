@@ -628,6 +628,19 @@ object PipelineQueries {
         .select(col("doc_id"), col("bucket"), col("shard"), col("batch_idx"))
     }),
 
+    // BPE merge TRAINING (tokenizer construction): learn the first 8
+    // merge rules over the corpus — corpus collapses once to a
+    // word-type histogram, each round is one pair-count aggregate on
+    // the type table + a narrow block-replace merge; the winning
+    // (pair, freq) per round is the only driver traffic. The oracle
+    // replays all 8 rounds verbatim over the same separator-doubled
+    // block form (whole-block replace = exact greedy merge), so the
+    // learned rules must agree bit-for-bit including tie order.
+    "bpe_train_merges" -> ((s, dir) => {
+      TextAnalysis.bpeTrain(
+        t(s, dir, "documents").select(col("text")), "text", merges = 8)
+    }),
+
     // phrase-merge candidate mining: top-20 adjacent-token pairs by
     // integer-staged PMI (the association score a tokenizer's merge
     // selection ranks by). Every arithmetic step is integer division
@@ -1407,6 +1420,49 @@ object PipelineQueries {
   // aggregates in recursive terms), same scaled-Long formula as
   // Graphs.pageRankInt — `//` floor division == Spark `div` truncation
   // on the all-positive operands, and integer Σ is order-independent
+  /** Unrolled replay of [[TextAnalysis.bpeTrain]]'s k rounds: vI is the
+    * word-type histogram after i merges, tI the round-i winner. The merge
+    * runs over the separator-DOUBLED block form (see bpeTrain's scaladoc:
+    * whole-block matches make replace exactly greedy, runs included) and
+    * both engines' replace agree, so training replays bit-for-bit
+    * including tie order. Every CTE is MATERIALIZED: DuckDB re-inlines
+    * plain CTEs at each reference, which makes the vI chain exponential
+    * in rounds (k=8 never finished; materialized it's 0.13s). */
+  private def bpeTrainOracle(k: Int): String = {
+    val rounds = (1 to k).map { i =>
+      s"""p$i AS MATERIALIZED (
+           SELECT pair, sum(cnt) AS freq FROM (
+             SELECT unnest(list_transform(range(1, len(a)),
+                      j -> a[j] || ' ' || a[j+1])) AS pair, cnt
+             FROM (SELECT string_split(seq, ' ') AS a, cnt FROM v${i - 1})
+             WHERE len(a) >= 2
+           ) GROUP BY pair),
+         t$i AS MATERIALIZED (SELECT pair, freq FROM p$i
+                 ORDER BY freq DESC, pair ASC LIMIT 1),
+         v$i AS MATERIALIZED (SELECT replace(trim(replace(
+                    ' ' || replace(seq, ' ', '  ') || ' ',
+                    ' ' || (SELECT replace(pair, ' ', '  ') FROM t$i) || ' ',
+                    ' ' || (SELECT replace(pair, ' ', '') FROM t$i) || ' ')),
+                    '  ', ' ') AS seq, cnt
+                 FROM v${i - 1})"""
+    }.mkString(",\n         ")
+    val finals = (1 to k).map { i =>
+      s"""SELECT $i AS merge_rank,
+                 string_split((SELECT pair FROM t$i), ' ')[1] AS lhs,
+                 string_split((SELECT pair FROM t$i), ' ')[2] AS rhs,
+                 CAST((SELECT freq FROM t$i) AS BIGINT) AS freq"""
+    }.mkString("\n         UNION ALL\n         ")
+    s"""WITH v0 AS MATERIALIZED (
+           SELECT array_to_string(list_transform(range(1, len(word) + 1),
+                    i -> word[i]), ' ') AS seq,
+                  count(*) AS cnt
+           FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+                 FROM documents)
+           WHERE len(word) > 0 GROUP BY 1),
+         $rounds
+         $finals"""
+  }
+
   private val pagerankHostsOracle: String = {
     val steps = (1 to 5).map { k =>
       s"""r$k AS (
@@ -1967,6 +2023,7 @@ object PipelineQueries {
     "dedup_clusters" -> dedupClustersOracle,
     // the star-CC path must reproduce the same transitive closure
     "dedup_clusters_star" -> dedupClustersOracle,
+    "bpe_train_merges" -> bpeTrainOracle(8),
     "pagerank_hosts" -> pagerankHostsOracle,
     "hits_hosts" -> hitsHostsOracle,
     "embedding_centroids" ->

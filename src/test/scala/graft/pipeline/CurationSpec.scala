@@ -326,4 +326,28 @@ class CurationSpec extends AnyFunSuite {
     // sanity: every inserted key is contained
     assert(values.forall(v => TextEval.bloomContains(v, distWords, distK)))
   }
+
+  test("bpeTrain learns the hand-computed merges on the Sennrich corpus") {
+    // low x5, lower x2, newest x6, widest x3 — the BPE paper's example
+    // shape. Hand peel: es(9) tie-beats st lexicographically, then
+    // est(9), lo(7), low(7), and ew(6) tie-beats ne and "w est".
+    val docs = Seq(
+      ("low " * 5) + ("lower " * 2) + ("newest " * 6) + ("widest " * 3)
+    ).toDF("text")
+    val got = TextAnalysis.bpeTrain(docs, "text", merges = 5)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1, "e", "s", 9L), (2, "es", "t", 9L), (3, "l", "o", 7L),
+      (4, "lo", "w", 7L), (5, "e", "w", 6L)))
+    // merged symbols must not re-pair within their own round: "aaaa"
+    // merges (a,a) left-to-right non-overlapping -> aa aa, so round 2
+    // learns (aa,aa) with freq 1
+    val aaaa = Seq("aaaa").toDF("text")
+    val got2 = TextAnalysis.bpeTrain(aaaa, "text", merges = 2)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got2 == Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)))
+    // early stop: single-char words run out of pairs
+    val tiny = Seq("a b a").toDF("text")
+    assert(TextAnalysis.bpeTrain(tiny, "text", merges = 4).isEmpty)
+  }
 }
