@@ -660,8 +660,45 @@ object TextAnalysis {
    * freq at selection time). Stops early if no pair remains.
    */
   def bpeTrain(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
-    require(merges >= 1, "merges must be >= 1")
     val spark = docs.sparkSession
+    import spark.implicits._
+    // merge_rank/lhs/rhs, not rank/left/right: all three collide with
+    // SQL function names in common oracle dialects
+    bpeCore(docs, textCol, merges)._1
+      .toDF("merge_rank", "lhs", "rhs", "freq")
+  }
+
+  /**
+   * BPE ENCODE over the corpus with rules learned by [[bpeTrain]]'s
+   * loop: per document, the word count and the total symbol count
+   * after all merges apply — the tokenizer-side sizing statistic
+   * (tokens-per-doc under the learned vocab).
+   *
+   * Scale shape: the merge chain is applied ONCE per word TYPE (it
+   * already happened during training — the final type table maps every
+   * word to its merged sequence); encoding is then a single keyed join
+   * of exploded doc words against the type table plus a per-doc
+   * aggregate. No per-occurrence merge evaluation anywhere.
+   */
+  def bpeEncodeCounts(docs: DataFrame, idCol: String, textCol: String,
+                      merges: Int): DataFrame = {
+    val vocab = bpeCore(docs, textCol, merges)._2
+    val words = docs.select(col(idCol),
+        explode(split(trim(col(textCol)), "\\s+")).as("word"))
+      .where(length(col("word")) > 0)
+    val wsyms = vocab.select(replace(col("seq"), lit(" "), lit("")).as("word"),
+      size(split(col("seq"), " ")).as("__ns"))
+    words.join(wsyms, "word")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("__ns")).cast("long").as("n_symbols"))
+  }
+
+  /** Shared BPE training loop: returns (learned rules, final word-type
+    * table with merged `seq` and type count `cnt`). */
+  private def bpeCore(docs: DataFrame, textCol: String, merges: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    require(merges >= 1, "merges must be >= 1")
     import org.apache.spark.sql.Row
     // word-type histogram; seq = space-joined character symbols
     val chars = {
@@ -701,10 +738,7 @@ object TextAnalysis {
         rank += 1
       }
     }
-    import spark.implicits._
-    // merge_rank/lhs/rhs, not rank/left/right: all three collide with
-    // SQL function names in common oracle dialects
-    learned.toSeq.toDF("merge_rank", "lhs", "rhs", "freq")
+    (learned.toSeq, vocab)
   }
 
   def vocabCoverage(docs: DataFrame, textCol: String, vs: Seq[Int],

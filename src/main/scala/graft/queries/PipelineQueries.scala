@@ -641,6 +641,16 @@ object PipelineQueries {
         t(s, dir, "documents").select(col("text")), "text", merges = 8)
     }),
 
+    // BPE ENCODE with the same learned rules: per-doc word + symbol
+    // counts after all 8 merges. The merge chain runs once per word
+    // TYPE (the training loop's final type table), encoding is one
+    // keyed join + per-doc aggregate — no per-occurrence merge work.
+    "bpe_encode_counts" -> ((s, dir) => {
+      TextAnalysis.bpeEncodeCounts(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", merges = 8)
+    }),
+
     // phrase-merge candidate mining: top-20 adjacent-token pairs by
     // integer-staged PMI (the association score a tokenizer's merge
     // selection ranks by). Every arithmetic step is integer division
@@ -1428,7 +1438,8 @@ object PipelineQueries {
     * including tie order. Every CTE is MATERIALIZED: DuckDB re-inlines
     * plain CTEs at each reference, which makes the vI chain exponential
     * in rounds (k=8 never finished; materialized it's 0.13s). */
-  private def bpeTrainOracle(k: Int): String = {
+  /** The shared training CTE chain (v0..vK, tI winners). */
+  private def bpeOracleCtes(k: Int): String = {
     val rounds = (1 to k).map { i =>
       s"""p$i AS MATERIALIZED (
            SELECT pair, sum(cnt) AS freq FROM (
@@ -1446,22 +1457,44 @@ object PipelineQueries {
                     '  ', ' ') AS seq, cnt
                  FROM v${i - 1})"""
     }.mkString(",\n         ")
-    val finals = (1 to k).map { i =>
-      s"""SELECT $i AS merge_rank,
-                 string_split((SELECT pair FROM t$i), ' ')[1] AS lhs,
-                 string_split((SELECT pair FROM t$i), ' ')[2] AS rhs,
-                 CAST((SELECT freq FROM t$i) AS BIGINT) AS freq"""
-    }.mkString("\n         UNION ALL\n         ")
-    s"""WITH v0 AS MATERIALIZED (
+    s"""v0 AS MATERIALIZED (
            SELECT array_to_string(list_transform(range(1, len(word) + 1),
                     i -> word[i]), ' ') AS seq,
                   count(*) AS cnt
            FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
                  FROM documents)
            WHERE len(word) > 0 GROUP BY 1),
-         $rounds
+         $rounds"""
+  }
+
+  private def bpeTrainOracle(k: Int): String = {
+    val finals = (1 to k).map { i =>
+      s"""SELECT $i AS merge_rank,
+                 string_split((SELECT pair FROM t$i), ' ')[1] AS lhs,
+                 string_split((SELECT pair FROM t$i), ' ')[2] AS rhs,
+                 CAST((SELECT freq FROM t$i) AS BIGINT) AS freq"""
+    }.mkString("\n         UNION ALL\n         ")
+    s"""WITH ${bpeOracleCtes(k)}
          $finals"""
   }
+
+  /** Encode replay: the learned vK table maps every word type to its
+    * merged symbol sequence, so per-doc symbol counts are a join of the
+    * doc's words against vK — no per-word merge chain re-evaluation. */
+  private def bpeEncodeOracle(k: Int): String =
+    s"""WITH ${bpeOracleCtes(k)},
+         wsyms AS MATERIALIZED (
+           SELECT replace(seq, ' ', '') AS word,
+                  len(string_split(seq, ' ')) AS ns
+           FROM v$k),
+         docw AS (
+           SELECT doc_id, word FROM (
+             SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+             FROM documents) WHERE len(word) > 0)
+       SELECT d.doc_id, count(*) AS n_words,
+              CAST(sum(w.ns) AS BIGINT) AS n_symbols
+       FROM docw d JOIN wsyms w USING (word)
+       GROUP BY d.doc_id"""
 
   private val pagerankHostsOracle: String = {
     val steps = (1 to 5).map { k =>
@@ -2024,6 +2057,7 @@ object PipelineQueries {
     // the star-CC path must reproduce the same transitive closure
     "dedup_clusters_star" -> dedupClustersOracle,
     "bpe_train_merges" -> bpeTrainOracle(8),
+    "bpe_encode_counts" -> bpeEncodeOracle(8),
     "pagerank_hosts" -> pagerankHostsOracle,
     "hits_hosts" -> hitsHostsOracle,
     "embedding_centroids" ->

@@ -350,4 +350,19 @@ class CurationSpec extends AnyFunSuite {
     val tiny = Seq("a b a").toDF("text")
     assert(TextAnalysis.bpeTrain(tiny, "text", merges = 4).isEmpty)
   }
+
+  test("bpeEncodeCounts sizes docs under the learned merges") {
+    // same Sennrich-style corpus, split over two docs; after 5 merges
+    // low -> [low], lower -> [low, e, r], newest -> [n, ew, est],
+    // widest -> [w, i, d, est]
+    val docs = Seq(
+      (1L, ("low " * 5) + ("lower " * 2)),
+      (2L, ("newest " * 6) + ("widest " * 3))
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeEncodeCounts(docs, "doc_id", "text", merges = 5)
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, w, s) => id -> ((w, s)) }.toMap
+    // doc 1: 7 words, 5*1 + 2*3 = 11 symbols; doc 2: 9 words, 6*3 + 3*4 = 30
+    assert(got == Map(1L -> ((7L, 11L)), 2L -> ((9L, 30L))))
+  }
 }
