@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.pipeline.{Decontaminate, Dedup, Graphs, Multimodal, Sampling, Scrub, Similarity, Sketches, TextAnalysis, Tx}
+import graft.pipeline.{Decontaminate, Dedup, Funnels, Graphs, Multimodal, Sampling, Scrub, Similarity, Sketches, TextAnalysis, Tx}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -627,6 +627,34 @@ object PipelineQueries {
           bucketWidth = 32, batchSize = 8, shards = 16)
         .select(col("doc_id"), col("bucket"), col("shard"), col("batch_idx"))
     }),
+
+    // ordered conversion funnel over the event stream: stage i+1 counts
+    // only events strictly after the user's earliest qualifying stage-i
+    // event (unordered type intersection would overcount). Per stage:
+    // one filter + one user-keyed join + one min aggregate — no windows,
+    // no per-user event collection.
+    "funnel_stages" -> ((s, dir) =>
+      Funnels.funnelCounts(t(s, dir, "events"), "user_id", "ts", "event_type",
+        Seq("signup", "click", "purchase"))),
+
+    // cohort retention: first-activity day buckets users, later active
+    // days count at their offset. Integer epoch-day via Catalyst
+    // IntegralDivide (Column `/` is double division — lossy on int64
+    // nanos); (user, day) distinct once, min-day reuses it, one final
+    // (cohort, offset) aggregate.
+    "retention_cohorts" -> ((s, dir) =>
+      Funnels.retentionCohorts(t(s, dir, "events"), "user_id",
+        Funnels.epochDayFromNanos(col("ts")))),
+
+    // JSON property extraction (metadata columns ship as JSON blobs):
+    // get_json_object pulls $.k per event, integer aggregates per type
+    "props_json_stats" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))),
 
     // BPE merge TRAINING (tokenizer construction): learn the first 8
     // merge rules over the corpus — corpus collapses once to a
@@ -2058,6 +2086,41 @@ object PipelineQueries {
     "dedup_clusters_star" -> dedupClustersOracle,
     "bpe_train_merges" -> bpeTrainOracle(8),
     "bpe_encode_counts" -> bpeEncodeOracle(8),
+    // each stage joins the previous stage's reach times; strict-after
+    // ordering replayed identically
+    "funnel_stages" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS r FROM events
+                     WHERE event_type = 'signup' GROUP BY user_id),
+           s2 AS (SELECT e.user_id, min(e.ts) AS r FROM events e
+                  JOIN s1 USING (user_id)
+                  WHERE e.event_type = 'click' AND e.ts > s1.r
+                  GROUP BY e.user_id),
+           s3 AS (SELECT e.user_id, min(e.ts) AS r FROM events e
+                  JOIN s2 USING (user_id)
+                  WHERE e.event_type = 'purchase' AND e.ts > s2.r
+                  GROUP BY e.user_id)
+         SELECT 1 AS stage_idx, 'signup' AS stage,
+                (SELECT count(*) FROM s1) AS n_users
+         UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+         UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""",
+    // epoch-day via floor(epoch/86400) == the nanos integer division
+    // (both exact for positive timestamps)
+    "retention_cohorts" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+                         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+                       FROM events),
+           coh AS (SELECT user_id, min(day) AS cohort FROM days
+                   GROUP BY user_id)
+         SELECT cohort AS cohort_day, day - cohort AS day_offset,
+                count(*) AS n_users
+         FROM days JOIN coh USING (user_id)
+         GROUP BY 1, 2""",
+    "props_json_stats" ->
+      """SELECT event_type, count(*) AS n,
+                sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+                max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+         FROM events GROUP BY event_type""",
     "pagerank_hosts" -> pagerankHostsOracle,
     "hits_hosts" -> hitsHostsOracle,
     "embedding_centroids" ->
