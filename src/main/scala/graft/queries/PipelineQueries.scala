@@ -746,7 +746,7 @@ object PipelineQueries {
     }),
 
     // 2-core extraction over a dense-nucleus + dangling-path graph:
-    // the path (p0..p13, bridged to the nucleus at n0) must cascade
+    // the path (p0..p7, bridged to the nucleus at n0) must cascade
     // away ONE NODE PER ROUND — a genuine multi-round peel, not a
     // single low-degree sweep — leaving exactly the nucleus with its
     // induced degrees. The oracle replays the identical peel as a
@@ -756,7 +756,7 @@ object PipelineQueries {
       val nucleus = d.select(
         concat(lit("n"), (col("doc_id") % 7).cast("string")).as("src"),
         concat(lit("n"), (col("doc_id") % 5).cast("string")).as("dst"))
-      val path = d.where(col("doc_id") < 13)
+      val path = d.where(col("doc_id") < 7)
         .select(concat(lit("p"), col("doc_id").cast("string")).as("src"),
           concat(lit("p"), (col("doc_id") + 1).cast("string")).as("dst"))
       val bridge = d.where(col("doc_id") === 0)
@@ -2165,7 +2165,7 @@ object PipelineQueries {
              UNION ALL
              SELECT 'p' || CAST(doc_id AS VARCHAR),
                     'p' || CAST(doc_id + 1 AS VARCHAR)
-             FROM documents WHERE doc_id < 13
+             FROM documents WHERE doc_id < 7
              UNION ALL
              SELECT 'p0', 'n0' FROM documents WHERE doc_id = 0
            ) WHERE u0 <> v0),
