@@ -315,6 +315,36 @@ class PlanSpec extends AnyFunSuite {
       direct.collect().map(r => (r.getString(0), r.getLong(1))).toMap)
   }
 
+  test("funnel stages plan user-keyed hash joins, never cartesian") {
+    val ev = (0 until 400).map(i => (i.toLong % 20, i.toLong,
+        Seq("signup", "click", "purchase", "view")(i % 4)))
+      .toDF("user_id", "ts", "event_type")
+    val out = graft.pipeline.Funnels.funnelCounts(
+      ev, "user_id", "ts", "event_type", Seq("signup", "click", "purchase"))
+    val plan = finalPlan(out)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), s"bad funnel join:\n$plan")
+  }
+
+  test("bpe encode joins the type table by key, never nested-loop") {
+    val docs = (0 until 50).map(i => (i.toLong, s"ab cd ab w$i ab cd"))
+      .toDF("doc_id", "text")
+    val out = graft.pipeline.TextAnalysis.bpeEncodeCounts(
+      docs, "doc_id", "text", merges = 2)
+    val plan = finalPlan(out)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), s"bad encode join:\n$plan")
+  }
+
+  test("k-core rounds plan keyed anti-joins, never cartesian") {
+    val edges = ((0 until 30).map(i => (s"c${i % 5}", s"c${(i + 1) % 5}")) ++
+      (0 until 6).map(i => (s"p$i", s"p${i + 1}"))).toDF("src", "dst")
+    val out = graft.pipeline.Graphs.kCore(edges, "src", "dst", k = 2)
+    val plan = finalPlan(out)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), s"bad k-core join:\n$plan")
+  }
+
   test("custom spatial predicate runs inside whole-stage codegen") {
     // spark.range (not a LocalRelation) so the filter cannot be
     // constant-folded away at plan time
