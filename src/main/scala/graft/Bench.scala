@@ -43,6 +43,14 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }.sorted
+      // hygiene OUTSIDE the timed window: 160+ queries in one JVM pile
+      // up persisted frames and localCheckpoint blocks (queries are
+      // self-contained, so dropping them between queries is safe), and
+      // unreclaimed blocks inflate LATER queries' times via GC pressure
+      // — an isolated run measured vocab_coverage 8x faster than the
+      // same query late in a full-suite run.
+      spark.catalog.clearCache()
+      System.gc()
       name -> times(times.length / 2)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -990,6 +990,46 @@ object Dedup {
   }
 
   /**
+   * [[dedupNearClusters]] with QUALITY-AWARE survivor selection: per
+   * near-dup cluster keep the row maximizing `score` (ties break to
+   * the minimum id) instead of the minimum id — the production rule
+   * ("of these 40 mirrors, keep the longest / highest-quality copy",
+   * not "keep whichever crawled first").
+   *
+   * Cost over the min-id variant: one extra score projection and one
+   * component-keyed window (row_number over clusters — cluster-sized
+   * groups, skew bounded by the largest near-dup cluster, the same
+   * bound the CC labels already carry). Docs in no cluster survive
+   * untouched.
+   */
+  def dedupNearClustersKeepBest(df: DataFrame, idCol: String, textCol: String,
+                                score: org.apache.spark.sql.Column,
+                                shingle: Int = 3, numHashes: Int = 64,
+                                bands: Int = 16, threshold: Double = 0.7,
+                                ccAlgorithm: String = "label"): DataFrame = {
+    val (pairs, releasePairs) = minhashDupPairsWithRelease(df, idCol,
+      textCol, shingle, numHashes, bands, threshold)
+    val comps = ccAlgorithm match {
+      case "label" => connectedComponents(pairs, "id_a", "id_b")
+      case "star" => connectedComponentsStar(pairs, "id_a", "id_b")
+      case other => throw new IllegalArgumentException(
+        s"unknown ccAlgorithm '$other' (expected label|star)")
+    }
+    val scored = df.select(col(idCol).as("id"), score.as("__score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col("__score").desc, col("id").asc)
+    val losers = comps.join(scored, "id")
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") > 1)
+      .select(col("id").as(idCol))
+      .localCheckpoint(true)
+    comps.unpersist(false)
+    releasePairs()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /**
    * Incremental (cross-snapshot) exact dedup: drop every `newDocs` row
    * whose text already appears in the `corpus` snapshot — the "dedup
    * this month's crawl against everything we already have" step.

@@ -200,6 +200,20 @@ object PipelineQueries {
         .select(col("doc_id"))
     }),
 
+    // QUALITY-AWARE cluster dedup: per near-dup cluster keep the
+    // LONGEST doc (token count, tie -> min id) instead of the min id —
+    // the production survivor rule. One extra component-keyed window
+    // over the same LSH + CC machinery; the oracle re-ranks the same
+    // recursive-CTE clusters by the same integer score.
+    "dedup_clusters_best" -> ((s, dir) => {
+      Dedup.dedupNearClustersKeepBest(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text",
+          TextAnalysis.tokenCount(col("text")).cast("long"),
+          shingle = 3, numHashes = 64, bands = 16, threshold = 0.8)
+        .select(col("doc_id"))
+    }),
+
     // the SAME cluster dedup through the large/small-star connected
     // components (O(log n) rounds on any graph — the adversarial-chain
     // scale path) — pinned to the SAME recursive-CTE oracle as
@@ -1680,6 +1694,44 @@ object PipelineQueries {
          SELECT doc_id FROM documents
          WHERE doc_id NOT IN (SELECT id FROM losers)"""
 
+  /** [[dedupClustersOracle]] with the keep-best survivor rule: same
+    * recursive-CTE transitive closure, losers are every cluster member
+    * except the (score DESC, id ASC) leader. */
+  private val dedupClustersBestOracle =
+    """WITH RECURSIVE grams AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(range(1, len(w)-1),
+                    i -> w[i]||chr(31)||w[i+1]||chr(31)||w[i+2])) AS g
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
+         ),
+         pairs AS (
+           SELECT id_a, id_b FROM (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                    CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                      / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jaccard
+             FROM grams a, grams b WHERE a.doc_id < b.doc_id
+           ) WHERE jaccard >= 0.8
+         ),
+         sym AS (SELECT id_a AS s, id_b AS d FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+         reach(id, lab) AS (
+           SELECT s, s FROM sym
+           UNION
+           SELECT sym.d, reach.lab FROM reach JOIN sym ON sym.s = reach.id
+         ),
+         members AS (SELECT id, min(lab) AS component FROM reach GROUP BY id),
+         ranked AS (
+           SELECT m.id,
+                  row_number() OVER (PARTITION BY m.component
+                    ORDER BY q.score DESC, m.id ASC) AS rn
+           FROM members m
+           JOIN (SELECT doc_id AS id,
+                        len(regexp_extract_all(text, '\S+')) AS score
+                 FROM documents) q USING (id)),
+         losers AS (SELECT id FROM ranked WHERE rn > 1)
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT id FROM losers)"""
+
   // shared by `decontaminate` and `decontaminate_bloom`: the Bloom
   // pre-filter must not change the result
   private val decontaminateOracle =
@@ -2082,6 +2134,7 @@ object PipelineQueries {
            WHERE a.doc_id <> b.doc_id AND len(a.g) >= 1
          ) WHERE containment >= 0.75""",
     "dedup_clusters" -> dedupClustersOracle,
+    "dedup_clusters_best" -> dedupClustersBestOracle,
     // the star-CC path must reproduce the same transitive closure
     "dedup_clusters_star" -> dedupClustersOracle,
     "bpe_train_merges" -> bpeTrainOracle(8),

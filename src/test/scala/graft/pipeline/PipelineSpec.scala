@@ -262,6 +262,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(out == Set(1L, 3L, 5L))
   }
 
+  test("dedupNearClustersKeepBest keeps the longest cluster member, not the min id") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j k"), // near-dup of 1, LONGER -> survives
+      (3L, "totally different content here entirely now")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupNearClustersKeepBest(docs, "doc_id", "text",
+        TextAnalysis.tokenCount(col("text")).cast("long"), threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(2L, 3L))
+    // equal scores tie-break to the min id (min-id variant semantics)
+    val tie = Seq(
+      (5L, "a b c d e f g h i j"),
+      (6L, "a b c d e f g h i j"),
+      (7L, "unrelated words only appearing here today")
+    ).toDF("doc_id", "text")
+    val out2 = Dedup.dedupNearClustersKeepBest(tie, "doc_id", "text",
+        TextAnalysis.tokenCount(col("text")).cast("long"), threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out2 == Set(5L, 7L))
+  }
+
   test("PQ ANN recall vs brute force on clustered vectors") {
     val rnd = new scala.util.Random(13)
     val centers = Array.fill(5)(Array.fill(16)(rnd.nextFloat() * 2 - 1))
