@@ -678,6 +678,92 @@ object Dedup {
   }
 
   /**
+   * EXACT set-cosine (Ochiai) similarity self-join: ALL pairs with
+   * cos(A,B) = |A∩B| / sqrt(|A|·|B|) >= threshold over distinct n-gram
+   * sets — the cosine counterpart of [[jaccardDupPairs]] (cosine >=
+   * Jaccard always, so the same threshold casts a wider near-dup net;
+   * it is the binary-weight limit of tf-idf document cosine).
+   *
+   * The ENTIRE decision procedure is integer arithmetic — no FP
+   * boundary anywhere. The threshold is snapped to m/1000
+   * (m = round(1000·t)); then
+   *   cos >= m/1000  ⟺  10⁶·|A∩B|² >= m²·|A|·|B|        (verify)
+   *   and forces      10⁶·|B| >= m²·|A| (and symm.)      (size filter)
+   *   and overlap o >= ceil(m²·|A| / 10⁶)                (prefix bound:
+   *     o >= t·sqrt(na·nb) and nb >= t²·na give o >= t²·na)
+   * so the per-doc prefix length is |S| − ceil(m²·|S|/10⁶) + 1 with an
+   * integer ceiling (floorDiv-style), never a nudged FP ceil. Safe for
+   * |A|·|B| < 9.2e12 (docs of ~3M distinct grams each) — far past any
+   * real document.
+   *
+   * Plan shape: identical to [[jaccardDupPairs]] (one narrow gram pass,
+   * prefix explode, ONE reused gram-keyed exchange feeding both
+   * self-join sides, integer length filter in the bucket join, distinct
+   * pairs, identical-text fast path, exact array_intersect refine) —
+   * the 100 TB shape. Prefixes are ~(1−t²)·|S| rows per doc (vs
+   * jaccard's (1−t)·|S| — cosine's looser bound costs proportionally
+   * more candidates, the price of the wider net).
+   *
+   * Returns (id_a, id_b, overlap, n_a, n_b) with id_a < id_b — all
+   * integer columns, so a cross-engine oracle hash-matches with zero
+   * float formatting concerns. cosine = overlap / sqrt(n_a·n_b) if the
+   * caller wants the scalar.
+   */
+  def cosineDupPairs(df: DataFrame, idCol: String, textCol: String,
+                     shingle: Int = 3, threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    val m = math.round(threshold * 1000).toInt
+    val m2 = m.toLong * m                    // <= 1e6
+    val sized = df.select(col(idCol), xxhash64(col(textCol)).as("__th"),
+        array_sort(array_distinct(
+          token_ngram_hashes(col(textCol), shingle))).as("__g"))
+      .withColumn("__n", size(col("__g")).cast("long"))
+      .where(col("__n") >= 1)
+    // integer ceil(m²·n / 1e6) = floorDiv(m²·n + 1e6 − 1, 1e6). The
+    // subtraction of the remainder makes the dividend an exact multiple
+    // of 1e6, and every quantity stays < 2^53 (n <= 2^31 array size),
+    // so the double division is EXACT — an integer ceiling in disguise.
+    val num = col("__n") * m2 + lit(999999L)
+    val needInt = ((num - num % lit(1000000L)) / lit(1000000L)).cast("int")
+    val prefLen = (col("__n").cast("int") - needInt + 1)
+    val pref = sized
+      .select(col(idCol), col("__n"), col("__th"),
+        explode(slice(col("__g"), lit(1), prefLen)).as("__gram"))
+      .repartition(col("__gram"))
+    val l = pref.select(col(idCol).as("id_a"), col("__n").as("__n_a"),
+      col("__th").as("__th_a"), col("__gram"))
+    val r = pref.select(col(idCol).as("id_b"), col("__n").as("__n_b"),
+      col("__th").as("__th_b"), col("__gram"))
+    // exact integer size filter: cos >= m/1000 forces m²·|a| <= 10⁶·|b|
+    val cand0 = l.join(r, Seq("__gram"))
+      .where(col("id_a") < col("id_b") &&
+        col("__n_a") * m2 <= col("__n_b") * 1000000L &&
+        col("__n_b") * m2 <= col("__n_a") * 1000000L)
+      .select(col("id_a"), col("id_b"), col("__n_a"), col("__n_b"),
+        (col("__th_a") === col("__th_b")).as("__same"))
+      .distinct()
+    val candidates = cand0.localCheckpoint(false)
+    // identical text ⇒ identical gram sets ⇒ overlap = n_a = n_b,
+    // cosine exactly 1 — never reaches the text re-join
+    val exactDups = candidates.where(col("__same"))
+      .select(col("id_a"), col("id_b"), col("__n_a").as("overlap"),
+        col("__n_a").as("n_a"), col("__n_b").as("n_b"))
+    val refined = candidates.where(!col("__same"))
+      .select(col("id_a"), col("id_b"), col("__n_a"), col("__n_b"))
+      .join(df.select(col(idCol).as("id_a"), col(textCol).as("__text_a")), "id_a")
+      .join(df.select(col(idCol).as("id_b"), col(textCol).as("__text_b")), "id_b")
+      .withColumn("overlap", size(array_intersect(
+        array_distinct(token_ngram_hashes(col("__text_a"), shingle)),
+        array_distinct(token_ngram_hashes(col("__text_b"), shingle))))
+        .cast("long"))
+      .where(col("overlap") * col("overlap") * 1000000L >=
+        col("__n_a") * col("__n_b") * m2)
+      .select(col("id_a"), col("id_b"), col("overlap"),
+        col("__n_a").as("n_a"), col("__n_b").as("n_b"))
+    exactDups.unionAll(refined)
+  }
+
+  /**
    * SimHash near-dup pairs within a Hamming radius. Banding the 64-bit
    * fingerprint into `chunks` equal pieces guarantees (pigeonhole) that
    * any pair within hamming <= chunks-1 shares at least one exact chunk;

@@ -153,6 +153,16 @@ object PipelineQueries {
         "doc_id", "text", shingle = 3, threshold = 0.8)
     }),
 
+    // EXACT set-cosine (Ochiai) similarity join — the cosine twin of
+    // jaccard_dup_pairs, integer-only decision procedure end to end:
+    // the output is (overlap, n_a, n_b) integers and the threshold
+    // predicate is 10⁶·o² >= m²·n_a·n_b (m = 800 for t = 0.8), so the
+    // oracle replays it with zero float formatting concerns.
+    "cosine_dup_pairs" -> ((s, dir) => {
+      Dedup.cosineDupPairs(t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", shingle = 3, threshold = 0.8)
+    }),
+
     // DIRECTED near-subset detection (excerpt/quote/boilerplate case):
     // n-gram containment |A∩B|/|A| >= 0.75 via the lossless overlap
     // prefix filter. Planted excerpts — the first 40% of every 7th
@@ -2110,6 +2120,23 @@ object PipelineQueries {
     // result — for it this is a by-construction guarantee, not a
     // recall observation
     "jaccard_dup_pairs" -> allPairsJaccardOracle,
+    // all-pairs set-cosine recompute with the SAME integer predicate
+    // the Spark side uses (t = 0.8 → m² = 640000) — every output
+    // column is an integer, so the hash match is exact by construction
+    "cosine_dup_pairs" ->
+      """WITH grams AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(range(1, len(w)-1),
+                    i -> w[i]||chr(31)||w[i+1]||chr(31)||w[i+2])) AS g
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
+         )
+         SELECT id_a, id_b, overlap, n_a, n_b FROM (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  len(list_intersect(a.g, b.g)) AS overlap,
+                  len(a.g) AS n_a, len(b.g) AS n_b
+           FROM grams a, grams b
+           WHERE a.doc_id < b.doc_id AND len(a.g) >= 1 AND len(b.g) >= 1
+         ) WHERE 1000000 * overlap * overlap >= 640000 * n_a * n_b""",
     // all ORDERED pairs under the asymmetric containment measure
     // |A∩B|/|A| — the planted 40%-prefix excerpts must appear as
     // (excerpt → original) rows that symmetric Jaccard would miss

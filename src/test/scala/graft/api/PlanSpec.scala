@@ -150,6 +150,18 @@ class PlanSpec extends AnyFunSuite {
       s"prefix join must stay a hash join:\n$plan")
   }
 
+  test("cosine prefix join reuses the gram exchange, never nested-loop") {
+    val docs = (0 until 400).map(i => (i.toLong, s"alpha beta gamma delta ${i % 40} epsilon zeta"))
+      .toDF("doc_id", "text")
+    val pairs = graft.pipeline.Dedup.cosineDupPairs(docs, "doc_id", "text",
+      shingle = 3, threshold = 0.8)
+    val plan = finalPlan(pairs)
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"prefix-gram exchange not reused (gram pass computed twice):\n$plan")
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"prefix join must stay a hash join:\n$plan")
+  }
+
   test("containment join: pair join is hash-based; only the 1-row min broadcast nests") {
     val docs = (0 until 400).map(i => (i.toLong, s"alpha beta gamma delta ${i % 40} epsilon zeta"))
       .toDF("doc_id", "text")

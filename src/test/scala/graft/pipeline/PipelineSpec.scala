@@ -114,6 +114,53 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("cosine prefix join finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.cosineDupPairs(corpus, "doc_id", "text",
+        shingle = 3, threshold = 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+    // exact dup: overlap = n_a = n_b
+    val row = Dedup.cosineDupPairs(corpus, "doc_id", "text", 3, 0.6)
+      .where(col("id_a") === 1L && col("id_b") === 4L)
+      .select("overlap", "n_a", "n_b").as[(Long, Long, Long)].head()
+    assert(row._1 == row._2 && row._2 == row._3)
+  }
+
+  test("cosine prefix join is EXACT: matches integer brute force at several thresholds") {
+    val rnd = new scala.util.Random(31)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
+    val docs = (0L until 40L).map { i =>
+      val len = 3 + rnd.nextInt(8)
+      (i, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val ga = array_distinct(token_ngram_hashes(col("ta"), 3))
+    val gb = array_distinct(token_ngram_hashes(col("tb"), 3))
+    for (t <- Seq(0.3, 0.5, 0.8, 1.0)) {
+      val m2 = { val m = math.round(t * 1000); m * m }
+      val brute = df.select(col("doc_id").as("id_a"), col("text").as("ta"))
+        .crossJoin(df.select(col("doc_id").as("id_b"), col("text").as("tb")))
+        .where(col("id_a") < col("id_b") && size(ga) >= 1 && size(gb) >= 1)
+        .select(col("id_a"), col("id_b"),
+          size(array_intersect(ga, gb)).cast("long").as("overlap"),
+          size(ga).cast("long").as("n_a"), size(gb).cast("long").as("n_b"))
+        .where(col("overlap") * col("overlap") * 1000000L >=
+          col("n_a") * col("n_b") * m2)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val fast = Dedup.cosineDupPairs(df, "doc_id", "text",
+          shingle = 3, threshold = t)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(fast == brute, s"threshold $t: ${fast.size} vs brute ${brute.size}")
+      // cosine >= jaccard at equal threshold: the cosine net is a superset
+      val jac = Dedup.jaccardDupPairs(df, "doc_id", "text", 3, t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(jac.subsetOf(fast.map(p => (p._1, p._2))))
+    }
+  }
+
   test("cross-corpus jaccard pairs and near-incremental dedup") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),
