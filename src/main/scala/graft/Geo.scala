@@ -98,6 +98,14 @@ object Geo {
       Bridge.expression(tx0.cast("double")), Bridge.expression(ty0.cast("double")),
       Bridge.expression(tx1.cast("double")), Bridge.expression(ty1.cast("double")), p))
 
+  /** Morton (z-order) distance — bit-interleave twin of
+    * [[st_hilbert_distance]] on the identical quantized grid. */
+  def st_morton_distance(g: Column, tx0: Column, ty0: Column,
+                         tx1: Column, ty1: Column, p: Int = 15): Column =
+    Bridge.column(StMortonDistance(Bridge.expression(g),
+      Bridge.expression(tx0.cast("double")), Bridge.expression(ty0.cast("double")),
+      Bridge.expression(tx1.cast("double")), Bridge.expression(ty1.cast("double")), p))
+
   // ---- transforms ----------------------------------------------------
   def st_boundary(g: Column): Column = Bridge.column(StBoundary(Bridge.expression(g)))
   def st_oriented(g: Column): Column = Bridge.column(StOriented(Bridge.expression(g)))
@@ -140,6 +148,16 @@ object Geo {
       def dbl(e: org.apache.spark.sql.catalyst.expressions.Expression) =
         org.apache.spark.sql.catalyst.expressions.Cast(e, org.apache.spark.sql.types.DoubleType)
       StHilbertDistance(es(0), dbl(es(1)), dbl(es(2)), dbl(es(3)), dbl(es(4)), p)
+    })
+    Bridge.registerFunction(spark, "st_morton_distance", { es =>
+      val p = es(5) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _) => v.intValue
+        case other => throw new IllegalArgumentException(
+          s"st_morton_distance p must be an integer literal, got $other")
+      }
+      def dbl(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+        org.apache.spark.sql.catalyst.expressions.Cast(e, org.apache.spark.sql.types.DoubleType)
+      StMortonDistance(es(0), dbl(es(1)), dbl(es(2)), dbl(es(3)), dbl(es(4)), p)
     })
     // kinds as string literals (36 per-kind names would bloat the catalog):
     //   st_geom_intersects(a, 'line', b, 'polygon')

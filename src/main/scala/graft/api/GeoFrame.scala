@@ -120,14 +120,32 @@ final case class GeoFrame(df: DataFrame, geometryCol: String, kind: String) {
       st_hilbert_distance(geometry, lit(tx0), lit(ty0), lit(tx1), lit(ty1), p))
   }
 
-  /** Spatially pack partitions: hilbert range-repartition + local sort —
-    * the Spark-native equivalent of the reference's quantile/digitize
-    * shuffle machinery (reference: dask.py:207-532; SURVEY §2.1:
-    * repartitionByRange replaces manual quantiles). */
-  def packPartitions(numPartitions: Int, p: Int = 15): GeoFrame = {
-    val withH = hilbertDistance(p)
-    copy(df = withH.repartitionByRange(numPartitions, col("hilbert_distance"))
-      .sortWithinPartitions("hilbert_distance"))
+  /** Morton (z-order) distance column over given (or computed) total
+    * bounds — same quantized grid as [[hilbertDistance]]. */
+  def mortonDistance(p: Int = 15,
+                     totalBoundsOpt: Option[(Double, Double, Double, Double)] = None): DataFrame = {
+    val (tx0, ty0, tx1, ty1) = totalBoundsOpt.getOrElse(totalBounds)
+    df.withColumn("morton_distance",
+      st_morton_distance(geometry, lit(tx0), lit(ty0), lit(tx1), lit(ty1), p))
+  }
+
+  /** Spatially pack partitions: space-filling-curve range-repartition +
+    * local sort — the Spark-native equivalent of the reference's
+    * quantile/digitize shuffle machinery (reference: dask.py:207-532;
+    * SURVEY §2.1: repartitionByRange replaces manual quantiles).
+    * `curve` picks the ordering: "hilbert" (reference semantics, best
+    * locality) or "morton" (z-order, the lakehouse-standard layout). */
+  def packPartitions(numPartitions: Int, p: Int = 15,
+                     curve: String = "hilbert"): GeoFrame = {
+    val distCol = curve match {
+      case "hilbert" => "hilbert_distance"
+      case "morton"  => "morton_distance"
+      case other => throw new IllegalArgumentException(
+        s"curve must be 'hilbert' or 'morton', got '$other'")
+    }
+    val withH = if (curve == "hilbert") hilbertDistance(p) else mortonDistance(p)
+    copy(df = withH.repartitionByRange(numPartitions, col(distCol))
+      .sortWithinPartitions(distCol))
   }
 
   // ---- missing data (reference: geometry/base.py:315, 510-560) --------

@@ -209,6 +209,56 @@ case class StHilbertDistance(geom: Expression, tx0: Expression, ty0: Expression,
     copy(geom = cs(0), tx0 = cs(1), ty0 = cs(2), tx1 = cs(3), ty1 = cs(4))
 }
 
+/** Morton (z-order) distance of the geometry's bbox center on a 2^p grid —
+  * the bit-interleave twin of [[StHilbertDistance]] with the identical
+  * quantization contract, so either curve drives the same packing
+  * machinery. Unlike hilbert the code is replayable in plain integer
+  * SQL, so the oracle gates the VALUES, not just packing invariants. */
+case class StMortonDistance(geom: Expression, tx0: Expression, ty0: Expression,
+                            tx1: Expression, ty1: Expression, p: Int)
+    extends Expression {
+  require(p >= 1 && p <= 31, s"morton order p must be in [1,31] (2p bits in a long), got $p")
+  override def children: Seq[Expression] = Seq(geom, tx0, ty0, tx1, ty1)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "st_morton_distance"
+  private lazy val depth = GeomData.nestingDepth(geom.dataType)
+
+  override def eval(input: InternalRow): Any = {
+    val g = geom.eval(input)
+    if (g == null) return null
+    val a = tx0.eval(input); val b = ty0.eval(input)
+    val c = tx1.eval(input); val d = ty1.eval(input)
+    if (a == null || b == null || c == null || d == null) return null
+    GeomEval.morton(depth, p, g.asInstanceOf[AnyRef],
+      a.asInstanceOf[Double], b.asInstanceOf[Double],
+      c.asInstanceOf[Double], d.asInstanceOf[Double])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val g = geom.genCode(ctx)
+    val a = tx0.genCode(ctx); val b = ty0.genCode(ctx)
+    val c = tx1.genCode(ctx); val d = ty1.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${g.code}
+        ${a.code}
+        ${b.code}
+        ${c.code}
+        ${d.code}
+        boolean ${ev.isNull} = ${g.isNull} || ${a.isNull} || ${b.isNull} ||
+          ${c.isNull} || ${d.isNull};
+        long ${ev.value} = 0L;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.functions.GeomEval.morton($depth, $p,
+            ${g.value}, ${a.value}, ${b.value}, ${c.value}, ${d.value});
+        }""")
+  }
+
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(geom = cs(0), tx0 = cs(1), ty0 = cs(2), tx1 = cs(3), ty1 = cs(4))
+}
+
 /** Whole-frame bounds as ONE custom aggregate: (x0, y0, x1, y1) over all
   * finite per-row bounds — the reference's total_bounds
   * (_algorithms/bounds.py:6-33; dask tree-aggregate dask.py:43-51).

@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.geom.{HilbertCurve, Kernels}
+import graft.geom.{HilbertCurve, Kernels, MortonCurve}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.unsafe.types.UTF8String
@@ -235,6 +235,20 @@ object GeomEval {
         Array(x, y, x, y)
       } else Kernels.totalBounds(GeomData.flatValues(g, depth))
     HilbertCurve.distanceFromBounds(p, bounds(0), bounds(1), bounds(2), bounds(3),
+      tx0, ty0, tx1, ty1)
+  }
+
+  /** Morton (z-order) twin of [[hilbert]]: same bbox-center quantization,
+    * bit-interleaved code instead of the Skilling transform. */
+  def morton(depth: Int, p: Int, g: AnyRef,
+             tx0: Double, ty0: Double, tx1: Double, ty1: Double): Long = {
+    val bounds =
+      if (depth == 0) {
+        val row = g.asInstanceOf[InternalRow]
+        val x = row.getDouble(0); val y = row.getDouble(1)
+        Array(x, y, x, y)
+      } else Kernels.totalBounds(GeomData.flatValues(g, depth))
+    MortonCurve.distanceFromBounds(p, bounds(0), bounds(1), bounds(2), bounds(3),
       tx0, ty0, tx1, ty1)
   }
 }

@@ -526,6 +526,18 @@ object Queries {
     // The hilbert values themselves are pinned by HilbertSpec
     // (exhaustive p<=6 + roundtrip p=15); the sampling-based
     // repartitionByRange writer stays the at-scale path (pack_roundtrip).
+    // Z-order (morton) codes are replayable in plain integer SQL — bit
+    // interleave is just Σ_b bit_b(x)·4^b + bit_b(y)·2·4^b — so unlike
+    // hilbert (whose oracle can only check packing invariants) every
+    // VALUE is DuckDB-gated bit-for-bit. Bounds (0,0,1024,1024) at p=10
+    // give quantization scale 2^10/1024 = 1: the quantized cell IS the
+    // integer coordinate in both engines, no FP boundary anywhere.
+    "morton_codes" -> ((s, dir) => {
+      custPoints(s, dir).select(col("c_custkey"),
+        st_morton_distance(col("pt"), lit(0.0), lit(0.0),
+          lit(1024.0), lit(1024.0), 10).as("m"))
+    }),
+
     "hilbert_pack_stats" -> ((s, dir) => {
       val nParts = 8
       val pts = custPoints(s, dir)
@@ -1202,6 +1214,19 @@ object Queries {
     // (ceil((i+1)n/8) - ceil(in/8)), and the range-disjointness
     // invariant `ok` must hold for ANY correct packing — both are
     // engine-checkable without hilbert itself
+    // the 20-term flat interleave: ((xi >> b) & 1) << 2b  |  ((yi >> b) & 1)
+    // << (2b+1), written with // and % so it is pure integer arithmetic in
+    // any SQL dialect (no bit-operator portability concerns)
+    "morton_codes" -> {
+      val terms = (0 until 10).flatMap { b =>
+        Seq(s"((xi//${1L << b})%2)*${1L << (2 * b)}",
+          s"((yi//${1L << b})%2)*${1L << (2 * b + 1)}")
+      }.mkString(" + ")
+      s"""WITH p AS (SELECT c_custkey,
+                            (c_custkey*7919)%1000 AS xi,
+                            (c_custkey*104729)%1000 AS yi FROM customer)
+          SELECT c_custkey, CAST($terms AS BIGINT) AS m FROM p"""
+    },
     "hilbert_pack_stats" ->
       """WITH n AS (SELECT count(*) AS c FROM customer)
          SELECT CAST(i AS BIGINT) AS part,

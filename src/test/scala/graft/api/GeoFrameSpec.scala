@@ -125,6 +125,33 @@ class GeoFrameSpec extends AnyFunSuite {
     assert(sortedOk.forall(identity))
   }
 
+  test("packPartitions(curve=morton): z-order ranges disjoint, values match MortonCurve") {
+    val gf = GeoFrame(pointsDf(1000), "pt", "point")
+      .packPartitions(8, curve = "morton")
+    val stats = gf.df
+      .select(col("morton_distance"), spark_partition_id().as("pid"))
+      .groupBy("pid")
+      .agg(min("morton_distance").as("lo"), max("morton_distance").as("hi"),
+        count(lit(1)).as("n"))
+      .orderBy("pid").collect()
+    assert(stats.map(_.getLong(3)).sum == 1000)
+    stats.filter(_.getLong(3) > 0).sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(2) <= b.getLong(1),
+        s"partition ranges overlap: $a vs $b")
+      case _ =>
+    }
+    // the expression agrees with the scalar curve on every row
+    val base = GeoFrame(pointsDf(1000), "pt", "point")
+    val (tx0, ty0, tx1, ty1) = base.totalBounds
+    base.mortonDistance(15).select(col("pt.x"), col("pt.y"), col("morton_distance"))
+      .collect().foreach { r =>
+        val exp = graft.geom.MortonCurve.distanceFromBounds(15,
+          r.getDouble(0), r.getDouble(1), r.getDouble(0), r.getDouble(1),
+          tx0, ty0, tx1, ty1)
+        assert(r.getLong(2) == exp)
+      }
+  }
+
   test("GeoParquet round trip + sidecar + bounds-pruned read") {
     val dir = Files.createTempDirectory("geoparquet").toString + "/pts"
     val gf = GeoFrame(pointsDf(1000), "pt", "point").packPartitions(4)
