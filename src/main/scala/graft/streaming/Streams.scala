@@ -87,6 +87,21 @@ object Streams {
    * this run forever at 100 TB/day (an exact-forever dedup would need
    * unbounded state in ANY engine).
    */
+  /** Built-in-operator twin of [[dedupFirstSeen]]: Spark's
+    * `dropDuplicatesWithinWatermark` keyed on the fingerprint columns.
+    * Same bounded-state contract (state expires once the watermark
+    * passes a key's last event time + delay) with zero custom state
+    * code — the right default when "first seen wins within the horizon"
+    * is enough. Use [[dedupFirstSeen]] when re-admission timing must be
+    * exact (its TTL anchors on FIRST-seen time, the built-in's horizon
+    * renews per duplicate) or when the survivor among same-batch ties
+    * must be deterministic (min ts, then min id) rather than arbitrary. */
+  def dedupWithinWatermark(docs: DataFrame, keyCols: Seq[String],
+                           tsCol: String = "ts",
+                           delay: String = "10 minutes"): DataFrame =
+    docs.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   def dedupFirstSeen(docs: Dataset[DocEvent],
                      stateTtl: Option[String] = None): Dataset[DocEvent] = {
     import docs.sparkSession.implicits._

@@ -247,6 +247,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupWithinWatermark: built-in operator drops repeats inside the horizon") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[DocEvent]
+    val q = Streams.dedupWithinWatermark(input.toDS().toDF(), Seq("fp"),
+        delay = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_wm_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: fp=10 twice in-batch (one survivor), fp=20 once
+      input.addData(DocEvent(1, 10, ts(0)), DocEvent(2, 10, ts(1)),
+        DocEvent(3, 20, ts(2)))
+      q.processAllAvailable()
+      // batch 2: fp=10 again within the horizon -> dropped; fp=30 kept
+      input.addData(DocEvent(4, 10, ts(3)), DocEvent(5, 30, ts(4)))
+      q.processAllAvailable()
+      val out = spark.table("dedup_wm_out")
+      val kept = out.select("docId").as[Long].collect().toSet
+      // exactly one survivor per fp; which same-batch tie survives is
+      // the operator's choice, so assert per-key counts not identities
+      assert(out.count() == 3)
+      assert(kept.contains(3L) && kept.contains(5L))
+      assert((kept & Set(1L, 2L)).size == 1 && !kept.contains(4L))
+    } finally q.stop()
+  }
+
   test("geofencing: streaming points spatially joined to static polygons") {
     import graft.Geo._
     implicit val sc = spark.sqlContext
