@@ -198,6 +198,53 @@ object Sampling {
       outCol, numPartitions, col("__shash"), key)
       .drop("__shash")
 
+  /** Deterministic contrastive negative sampling: `k` pseudo-random
+    * negatives per anchor, reproducible across runs AND engines (the
+    * DuckDB oracle replays every draw), self-excluding, uniform over the
+    * candidate set up to the negligible 2^60-mod bias.
+    *
+    * Construction: candidates get the hash-shuffled global rank 0..C−1
+    * ([[shuffleRank]] — distributed two-pass, no single-task window);
+    * each (anchor, j) probe derives a target rank
+    * `t = hex60(md5(salt|anchor|j)) mod C` and equi-joins it; if the
+    * target row IS the anchor, the probe falls back to rank (t+1) mod C
+    * (explode both, keep the first non-self by preference). Every join
+    * is an integer equi-join — no inequality join, no window over the
+    * corpus, probe side carries ids only. At 100 TB: one ranked
+    * candidate pass + two keyed shuffles, fan-out exactly 2 rows per
+    * probe before the per-probe aggregate.
+    *
+    * Returns (anchor_id, j, neg_id) with j in [0, k). */
+  def hashNegatives(anchors: DataFrame, anchorId: String,
+                    candidates: DataFrame, candId: String,
+                    k: Int, numPartitions: Int,
+                    salt: String = "neg"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val ranked = shuffleRank(candidates.select(col(candId).as("__cid")),
+        col("__cid"), "__rnk1", numPartitions, salt + "c")
+      .select((col("__rnk1") - 1).as("__rnk0"), col("__cid"))
+    val cnt = broadcast(candidates.agg(count(lit(1)).as("__cnt")))
+    val probes = anchors.select(col(anchorId).as("anchor_id"))
+      .withColumn("j", explode(sequence(lit(0), lit(k - 1))))
+      .crossJoin(cnt)
+      .withColumn("__t",
+        conv(substring(md5(concat_ws("|", lit(salt + "p"),
+          col("anchor_id").cast("string"), col("j").cast("string"))), 1, 15),
+          16, 10).cast("long") % col("__cnt"))
+      .select(col("anchor_id"), col("j"),
+        explode(array(
+          struct(lit(0).as("pref"), col("__t").as("__rnk0")),
+          struct(lit(1).as("pref"),
+            ((col("__t") + 1) % col("__cnt")).as("__rnk0")))).as("pr"))
+      .select(col("anchor_id"), col("j"),
+        col("pr.pref").as("pref"), col("pr.__rnk0").as("__rnk0"))
+    probes.join(ranked, "__rnk0")
+      .where(col("__cid") =!= col("anchor_id"))
+      .groupBy(col("anchor_id"), col("j"))
+      .agg(min(struct(col("pref"), col("__cid").as("neg_id"))).as("__s"))
+      .select(col("anchor_id"), col("j"), col("__s.neg_id").as("neg_id"))
+  }
+
   /** Sequence packing for training shards: documents are laid out in the
     * deterministic hash-shuffled order and cut into shards of at most
     * `budget` tokens — shard = exclusive-prefix-sum(tokens) / budget

@@ -461,6 +461,19 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // deterministic contrastive negatives: 2 per anchor (10% det-sampled
+    // anchors), drawn by 60-bit-hash rank lookup over the hash-shuffled
+    // candidate order — every draw replayed in the DuckDB oracle
+    // (row_number + flat 15-digit hex-to-int arithmetic), self-exclusion
+    // falls back to the next rank
+    "contrastive_negatives" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Sampling.hashNegatives(
+        Sampling.deterministicSample(docs, col("doc_id"), 0.1, "an1"),
+        "doc_id", docs, "doc_id", k = 2, numPartitions = 8, salt = "neg")
+        .withColumn("j", col("j").cast("long"))
+    }),
+
     // per-group rates = dataset mixture (upsample zh, downsample the rest)
     "mixture_sample" -> ((s, dir) => {
       Sampling.deterministicSampleByGroup(t(s, dir, "documents"),
@@ -1884,6 +1897,37 @@ object PipelineQueries {
       s"""SELECT doc_id, lang FROM documents
           WHERE substr(md5(concat_ws('|','s42',CAST(doc_id AS VARCHAR))),1,8)
                   < '${Sampling.thresholdHex(0.25)}'""",
+    // every negative draw replayed: hash-shuffled candidate ranks
+    // (row_number over the same md5 order), probe target = the first 15
+    // md5 hex digits as a 60-bit integer (flat positional arithmetic —
+    // each term (digit)·16^(15-i), max sum 16^15 < 2^63) mod count,
+    // +1 fallback on self-collision picked by arg_min over pref
+    "contrastive_negatives" -> {
+      val hex = (1 to 15).map { i =>
+        s"(strpos('0123456789abcdef', substr(h,$i,1))-1)*${1L << (4 * (15 - i))}"
+      }.mkString(" + ")
+      s"""WITH c AS (SELECT doc_id,
+                row_number() OVER (ORDER BY
+                  md5(concat_ws('|','negc',CAST(doc_id AS VARCHAR))), doc_id)
+                  - 1 AS rnk
+              FROM documents),
+           n AS (SELECT count(*) AS cnt FROM documents),
+           a AS (SELECT doc_id AS anchor_id FROM documents
+                 WHERE substr(md5(concat_ws('|','an1',CAST(doc_id AS VARCHAR))),1,8)
+                         < '${Sampling.thresholdHex(0.1)}'),
+           p AS (SELECT anchor_id, j,
+                   md5(concat_ws('|','negp',CAST(anchor_id AS VARCHAR),
+                       CAST(j AS VARCHAR))) AS h
+                 FROM a, range(0,2) t(j)),
+           q AS (SELECT anchor_id, j, ($hex) % cnt AS t0, cnt FROM p, n),
+           x AS (SELECT anchor_id, j, 0 AS pref, t0 AS rnk FROM q
+                 UNION ALL
+                 SELECT anchor_id, j, 1 AS pref, (t0+1) % cnt AS rnk FROM q)
+         SELECT anchor_id, j, arg_min(c.doc_id, pref) AS neg_id
+         FROM x JOIN c USING (rnk)
+         WHERE c.doc_id != anchor_id
+         GROUP BY anchor_id, j""".stripMargin
+    },
     "mixture_sample" ->
       s"""SELECT lang, count(*) AS n FROM documents
           WHERE substr(md5(concat_ws('|','mix1',CAST(doc_id AS VARCHAR))),1,8) <
