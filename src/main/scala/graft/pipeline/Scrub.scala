@@ -158,4 +158,72 @@ object Scrub {
     Dedup.exact(
       df.withColumn("__norm", normalize(col(textCol))), "__norm", idCol)
       .drop("__norm")
+
+  /** HTML → text extraction (the WET step: what a crawl pipeline runs
+    * before any quality/dedup pass). Deliberately rule-based and
+    * deterministic — script/style/comment blocks drop whole, remaining
+    * tags become spaces, the five core entities decode (amp LAST, so
+    * `&amp;lt;` yields the literal `&lt;` like a real entity decoder),
+    * whitespace collapses. Pure codegen'd regex/replace chain — narrow,
+    * shuffle-free, scan-dominated at 100 TB — and every pattern is in
+    * the common Java-regex/RE2 dialect with explicit ASCII whitespace
+    * classes (no `\s`: Java and RE2 disagree on vertical tab), so the
+    * identical steps replay in the DuckDB oracle. */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    trim(regexp_replace(decoded, "[ \\t\\r\\n\\f]+", " "))
+  }
+
+  /** Per-domain boilerplate LINE removal (the CCNet/C4 sibling of
+    * [[dedupLinesInDoc]], across documents instead of within one):
+    * a line whose trimmed form appears in >= `minDocs` distinct
+    * documents of the SAME domain is navigation/footer chrome, not
+    * content — drop it from every document of that domain. Blank lines
+    * are never boilerplate (they are structure) and survive untouched;
+    * line order is preserved.
+    *
+    * Plan shape (the 100 TB question): posexplode → ONE
+    * (domain, line)-keyed distinct+count to find boilerplate keys, an
+    * anti-join of the exploded lines against that (small — boilerplate
+    * vocabularies are tiny next to the corpus) key set, then ONE
+    * id-keyed reassembly aggregate. The sort-by-position happens in a
+    * narrow `array_sort` over per-doc structs (struct ordering = first
+    * field = position), never a window. Skew bound: lines per document
+    * on the reassembly key; docs per (domain, line) on the count key —
+    * both corpus-structure constants, not corpus-size terms. */
+  def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                        domainCol: String, minDocs: Long): DataFrame = {
+    val lines = df.select(col(idCol), col(domainCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+    val boiler = lines
+      .where(trim(col("__line")) =!= "")
+      .select(col(domainCol).as("__dom"), trim(col("__line")).as("__lt"),
+        col(idCol))
+      .distinct()
+      .groupBy(col("__dom"), col("__lt"))
+      .agg(count(lit(1)).as("__docs"))
+      .where(col("__docs") >= minDocs)
+      .select(col("__dom"), col("__lt"))
+    val kept = lines.join(boiler,
+      lines(domainCol) === boiler("__dom") &&
+        trim(lines("__line")) === boiler("__lt"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          s => s.getField("__line")),
+        "\n").as("__clean"))
+    // left join: a document whose every line was boilerplate keeps an
+    // empty text rather than vanishing (the caller decides to filter)
+    df.join(rebuilt, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col("__clean"), lit("")))
+      .drop("__clean")
+  }
 }

@@ -139,7 +139,7 @@ object PipelineQueries {
         .unionAll(corpus.select((col("doc_id") + 200000).as("doc_id"),
           concat(col("text"), lit(" xnear")).as("text")))
       Dedup.dedupNearAgainstCorpus(batch, corpus, "doc_id", "text",
-          shingle = 3, threshold = 0.8)
+          shingle = 5, threshold = 0.8)
         .select(col("doc_id"))
     }),
 
@@ -158,9 +158,16 @@ object PipelineQueries {
     // the output is (overlap, n_a, n_b) integers and the threshold
     // predicate is 10⁶·o² >= m²·n_a·n_b (m = 800 for t = 0.8), so the
     // oracle replays it with zero float formatting concerns.
+    // shingle = 5 (not 3): the synthetic corpus draws from a ~40-word
+    // vocabulary, so the word-TRIGRAM space is artificially dense
+    // (avg bucket ~100 postings — measured 2.8M join pair-mass at
+    // sf0.1) in a way no real corpus is; 5-shingles restore realistic
+    // sparsity (pair-mass 278k, 10x less). The algorithm is EXACT at
+    // any shingle (lossless prefix lemma), so this is a fixture knob,
+    // not a recall tradeoff.
     "cosine_dup_pairs" -> ((s, dir) => {
       Dedup.cosineDupPairs(t(s, dir, "documents").select(col("doc_id"), col("text")),
-        "doc_id", "text", shingle = 3, threshold = 0.8)
+        "doc_id", "text", shingle = 5, threshold = 0.8)
     }),
 
     // DIRECTED near-subset detection (excerpt/quote/boilerplate case):
@@ -177,7 +184,7 @@ object PipelineQueries {
           substring(col("text"), lit(1),
             floor(length(col("text")) * 0.4).cast("int")).as("text")))
       Dedup.containmentDupPairs(base, "doc_id", "text",
-        shingle = 3, threshold = 0.75)
+        shingle = 5, threshold = 0.75)
     }),
 
     // typo-tolerant record linkage: all pairs at edit distance <= 1
@@ -194,8 +201,13 @@ object PipelineQueries {
         .select((col("doc_id") + 300000).as("doc_id"),
           concat(substring(col("s"), lit(1), p - 1), lit("~"),
             substring(col("s"), p + 1, lit(1000000))).as("s")))
+      // q = 3 (not 2): the tiny synthetic alphabet makes char BIGRAM
+      // buckets corpus-sized (every bigram is a stop-gram); trigram
+      // values are ~30x sparser. The count filter is lossless at any
+      // q for strings >= q·(d+1) chars (these are 24), so q is a
+      // blocking knob — the oracle recomputes plain levenshtein.
       graft.tools.Joins.editDistancePairs(base, "doc_id", "s",
-        maxDist = 1, q = 2)
+        maxDist = 1, q = 3)
     }),
 
     // near-dup CLUSTER dedup end-to-end: LSH pairs -> connected
@@ -1096,6 +1108,48 @@ object PipelineQueries {
         Scrub.dedupLinesInDoc(col("ptext")).as("text"))
     }),
 
+    // HTML -> text extraction (the WET step): docs wrapped in a full
+    // page — script with a '<' in code, style, comment, heading, and
+    // (every 4th doc) an entity gauntlet including the &amp;lt; double
+    // -decode trap — must come back as clean text. Both engines replay
+    // the identical wrap + strip rules (shared regex dialect).
+    "html_text_extract" -> ((s, dir) => {
+      val id = col("doc_id")
+      val page = concat(
+        lit("<html><head><script type=\"text/javascript\">var x = 1 < 2;" +
+          "</script><style>.m{color:#fff}</style><!-- nav --></head>" +
+          "<body><h1>Doc "),
+        id.cast("string"), lit("</h1><p>"), col("text"), lit("</p>"),
+        when(id % 4 === 0,
+          lit("<p>a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39;" +
+            "&nbsp;end tricky &amp;lt;notag&amp;gt;</p>"))
+          .otherwise(lit("")),
+        lit("</body></html>"))
+      t(s, dir, "documents")
+        .select(id, Scrub.stripHtml(page).as("text"))
+    }),
+
+    // per-domain boilerplate line removal (CCNet-style): every doc of a
+    // source shares a copyright line, every even doc a subscribe line —
+    // both cross the minDocs=5 threshold within their 25-doc source and
+    // must drop; the body and the per-doc ref line are unique and must
+    // survive in order. The oracle recomputes the same frequency rule
+    // with NOT EXISTS + ordered string_agg.
+    "boilerplate_lines" -> ((s, dir) => {
+      val id = col("doc_id")
+      val ptext = concat(
+        lit("(c) "), col("source"), lit(" rights reserved\n"),
+        col("text"), lit("\n"),
+        when(id % 2 === 0,
+          concat(lit("subscribe to "), col("source"), lit("\n")))
+          .otherwise(lit("")),
+        lit("ref "), id.cast("string"))
+      val d = t(s, dir, "documents")
+        .select(id, col("source"), ptext.as("text"))
+      Scrub.removeBoilerplate(d, "doc_id", "text", "source", minDocs = 5L)
+        .select(col("doc_id"), col("text"))
+    }),
+
     // embedding-norm outlier filter: quantized squared norms (exact
     // integers in any engine) -> exact distributed 0.9-quantile
     // threshold -> keep the central mass. The "drop degenerate/outlier
@@ -1656,13 +1710,13 @@ object PipelineQueries {
          WHERE doc_id % 3 = 0),
        gb AS (
          SELECT doc_id,
-                list_distinct(list_transform(range(1, len(w)-1),
-                  i -> w[i]||chr(31)||w[i+1]||chr(31)||w[i+2])) AS g
+                list_distinct(list_transform(range(1, len(w)-3),
+                  i -> w[i]||chr(31)||w[i+1]||chr(31)||w[i+2]||chr(31)||w[i+3]||chr(31)||w[i+4])) AS g
          FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM batch)),
        gc AS (
          SELECT doc_id,
-                list_distinct(list_transform(range(1, len(w)-1),
-                  i -> w[i]||chr(31)||w[i+1]||chr(31)||w[i+2])) AS g
+                list_distinct(list_transform(range(1, len(w)-3),
+                  i -> w[i]||chr(31)||w[i+1]||chr(31)||w[i+2]||chr(31)||w[i+3]||chr(31)||w[i+4])) AS g
          FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM corpus)),
        dups AS (
          SELECT DISTINCT b.doc_id FROM gb b, gc c
@@ -2170,8 +2224,8 @@ object PipelineQueries {
     "cosine_dup_pairs" ->
       """WITH grams AS (
            SELECT doc_id,
-                  list_distinct(list_transform(range(1, len(w)-1),
-                    i -> w[i]||chr(31)||w[i+1]||chr(31)||w[i+2])) AS g
+                  list_distinct(list_transform(range(1, len(w)-3),
+                    i -> w[i]||chr(31)||w[i+1]||chr(31)||w[i+2]||chr(31)||w[i+3]||chr(31)||w[i+4])) AS g
            FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
          )
          SELECT id_a, id_b, overlap, n_a, n_b FROM (
@@ -2193,8 +2247,8 @@ object PipelineQueries {
            FROM documents WHERE doc_id % 7 = 0),
          grams AS (
            SELECT doc_id,
-                  list_distinct(list_transform(range(1, len(w)-1),
-                    i -> w[i]||chr(31)||w[i+1]||chr(31)||w[i+2])) AS g
+                  list_distinct(list_transform(range(1, len(w)-3),
+                    i -> w[i]||chr(31)||w[i+1]||chr(31)||w[i+2]||chr(31)||w[i+3]||chr(31)||w[i+4])) AS g
            FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM base)
          )
          SELECT id_a, id_b, containment FROM (
@@ -2580,6 +2634,73 @@ object PipelineQueries {
                     i -> lines[i]),
                   chr(10)) AS text
          FROM l""",
+    // same wrap + strip rules, replayed in DuckDB's RE2 (inline (?is)
+    // flags, 'g' for global — Spark's regexp_replace is global by
+    // default) and chained replace() for the entity decode (amp LAST)
+    "html_text_extract" ->
+      """WITH p AS (
+           SELECT doc_id,
+                  '<html><head><script type="text/javascript">var x = 1 < 2;'
+                    || '</script><style>.m{color:#fff}</style><!-- nav --></head>'
+                    || '<body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>'
+                    || text || '</p>'
+                    || CASE WHEN doc_id % 4 = 0
+                            THEN '<p>a &amp; b &lt;tag&gt; &quot;q&quot; '
+                                 || '&#39;s&#39;&nbsp;end tricky '
+                                 || '&amp;lt;notag&amp;gt;</p>'
+                            ELSE '' END
+                    || '</body></html>' AS page
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(page,
+                          '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                      '(?s)<!--.*?-->', ' ', 'g'),
+                    '<[^>]+>', ' ', 'g') AS t0
+           FROM p)
+         SELECT doc_id,
+                trim(regexp_replace(
+                  replace(replace(replace(replace(replace(replace(t0,
+                    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                    '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+                  '[ ' || chr(9) || chr(13) || chr(10) || chr(12) || ']+',
+                  ' ', 'g')) AS text
+         FROM s""",
+    // the same per-(source, trimmed line) distinct-doc frequency rule,
+    // NOT EXISTS against the >= 5 keys, ordered string_agg reassembly
+    "boilerplate_lines" ->
+      """WITH p AS (
+           SELECT doc_id, source,
+                  '(c) ' || source || ' rights reserved' || chr(10)
+                    || text || chr(10)
+                    || CASE WHEN doc_id % 2 = 0
+                            THEN 'subscribe to ' || source || chr(10)
+                            ELSE '' END
+                    || 'ref ' || CAST(doc_id AS VARCHAR) AS ptext
+           FROM documents),
+         lines AS (
+           SELECT doc_id, source, i AS pos, parts[i] AS line,
+                  trim(parts[i]) AS lt
+           FROM (SELECT doc_id, source, string_split(ptext, chr(10)) AS parts
+                 FROM p),
+                unnest(range(1, len(parts) + 1)) AS t(i)),
+         boiler AS (
+           SELECT source, lt
+           FROM (SELECT DISTINCT source, lt, doc_id
+                 FROM lines WHERE lt <> '')
+           GROUP BY source, lt HAVING count(*) >= 5)
+         SELECT d.doc_id,
+                coalesce((SELECT string_agg(l.line, chr(10) ORDER BY l.pos)
+                          FROM lines l
+                          WHERE l.doc_id = d.doc_id
+                            AND NOT EXISTS (SELECT 1 FROM boiler b
+                                            WHERE b.source = l.source
+                                              AND b.lt = l.lt)), '') AS text
+         FROM documents d""",
     "embed_norm_filter" ->
       """WITH n AS (
            SELECT vec_id,

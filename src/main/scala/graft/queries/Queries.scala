@@ -656,6 +656,22 @@ object Queries {
       s.read.orc(out).select(col("doc_id"), col("lang"), col("text"))
     }),
 
+    // XML round-trip — Spark 4's built-in XML source (the format
+    // feed/dump corpora still arrive in). Full documents rows must
+    // survive element escaping + schema'd re-read bit-for-bit vs the
+    // parquet oracle.
+    "xml_roundtrip" -> ((s, dir) => {
+      val out = System.getProperty("java.io.tmpdir") +
+        "/graft_xml_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+        .write.option("rowTag", "doc").format("xml").save(out)
+      s.read.option("rowTag", "doc")
+        .schema("doc_id LONG, lang STRING, text STRING").format("xml")
+        .load(out)
+        .select(col("doc_id"), col("lang"), col("text"))
+    }),
+
     // SURVEY §2.1 serde: GeoJSON export (the WKT twin; integer coords so
     // the JSON text is exact).
     "geojson_points" -> ((s, dir) => {
@@ -872,7 +888,7 @@ object Queries {
       val q = fresh.writeStream.queryName(qName)
         .foreachBatch { (batch: DataFrame, _: Long) =>
           graft.pipeline.Dedup.dedupNearAgainstCorpus(batch, corpus,
-              "doc_id", "text", shingle = 3, threshold = 0.8)
+              "doc_id", "text", shingle = 5, threshold = 0.8)
             .select(col("doc_id"))
             .write.mode("append").parquet(outPath)
         }
@@ -1552,6 +1568,8 @@ object Queries {
       "SELECT doc_id, lang, text FROM documents",
     "jsonl_gzip_roundtrip" ->
       "SELECT doc_id, text FROM documents",
+    "xml_roundtrip" ->
+      "SELECT doc_id, lang, text FROM documents",
     "sql_surface" ->
       """SELECT p_partkey,
                 4.0*((p_partkey%5)+1)*((p_partkey%5)+1) AS area,

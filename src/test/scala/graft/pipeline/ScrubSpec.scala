@@ -77,6 +77,50 @@ class ScrubSpec extends AnyFunSuite {
     assert(got.toSeq == cases.map(_._2))
   }
 
+  test("stripHtml: blocks drop whole, tags become spaces, entities decode once") {
+    val df = Seq(
+      (1L, "<html><head><script>if (a < b) { x(); }</script>" +
+        "<style>.c{a:1}</style><!-- hidden --></head>" +
+        "<body><h1>Title</h1><p>one  two</p></body></html>"),
+      (2L, "a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end"),
+      // &amp;lt; must decode to the LITERAL &lt; (amp decodes last,
+      // never re-scanned) — the double-decode trap
+      (3L, "tricky &amp;lt;notag&amp;gt; done"),
+      (4L, "<SCRIPT>var s = \"</div>\";</SCRIPT>after"),
+      (5L, "plain text stays")
+    ).toDF("id", "html")
+    val got = df.select(col("id"), Scrub.stripHtml(col("html")).as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "Title one two")
+    assert(got(2L) == "a & b <tag> \"q\" 's' end")
+    assert(got(3L) == "tricky &lt;notag&gt; done")
+    // the script body — including the embedded "</div>" string — drops
+    // whole because the block strip runs before the tag strip
+    assert(got(4L) == "after")
+    assert(got(5L) == "plain text stays")
+  }
+
+  test("removeBoilerplate drops frequent per-domain lines, keeps order and blanks") {
+    val mk = (id: Long, dom: String, body: String) =>
+      (id, dom, s"(c) $dom\n$body\n\nref $id")
+    val df = (
+      (1L to 6L).map(i => mk(i, "a.com", s"body a$i")) ++
+        (10L to 12L).map(i => mk(i, "b.com", s"body b$i"))
+      ).toDF("id", "dom", "text")
+    val out = Scrub.removeBoilerplate(df, "id", "text", "dom", minDocs = 5L)
+      .select("id", "text").as[(Long, String)].collect().toMap
+    // a.com: copyright line in 6 docs >= 5 -> removed; blank line and
+    // unique lines survive in original order
+    assert(out(1L) == "body a1\n\nref 1")
+    // b.com: same line only in 3 docs < 5 -> everything survives
+    assert(out(10L) == "(c) b.com\nbody b10\n\nref 10")
+    // the frequency rule is PER domain: a.com's removal never leaks
+    assert(out.size == 9)
+    // other columns survive the rebuild join
+    val cols = Scrub.removeBoilerplate(df, "id", "text", "dom", 5L).columns.toSeq
+    assert(cols == Seq("id", "dom", "text"))
+  }
+
   test("dedupNormalized keeps the lowest id per canonical form") {
     val df = Seq(
       (1L, "The quick fox."), (2L, "the   QUICK fox"), (3L, "a different doc"),
