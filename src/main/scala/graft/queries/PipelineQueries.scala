@@ -123,9 +123,13 @@ object PipelineQueries {
     }),
 
     // -- dedup families ----------------------------------------------------
+    // shingle = 5 like the exact family (see cosine_dup_pairs): the
+    // banding recall at the corpus's minimum qualifying J (0.875 at
+    // sf0.01) is 1 - (1-0.875^4)^16 ≈ 1 - 7e-7, and signatures are
+    // seeded/deterministic — verified green against the exact oracle
     "minhash_dup_pairs" -> ((s, dir) => {
       Dedup.minhashDupPairs(t(s, dir, "documents").select(col("doc_id"), col("text")),
-        "doc_id", "text", shingle = 3, numHashes = 64, bands = 16, threshold = 0.8)
+        "doc_id", "text", shingle = 5, numHashes = 64, bands = 16, threshold = 0.8)
     }),
 
     // NEAR-dup incremental dedup (the fuzzy twin of incremental_dedup):
@@ -150,7 +154,7 @@ object PipelineQueries {
     // passing against ONE oracle is itself the recall-1.0 proof.
     "jaccard_dup_pairs" -> ((s, dir) => {
       Dedup.jaccardDupPairs(t(s, dir, "documents").select(col("doc_id"), col("text")),
-        "doc_id", "text", shingle = 3, threshold = 0.8)
+        "doc_id", "text", shingle = 5, threshold = 0.8)
     }),
 
     // EXACT set-cosine (Ochiai) similarity join — the cosine twin of
@@ -207,7 +211,7 @@ object PipelineQueries {
       // q for strings >= q·(d+1) chars (these are 24), so q is a
       // blocking knob — the oracle recomputes plain levenshtein.
       graft.tools.Joins.editDistancePairs(base, "doc_id", "s",
-        maxDist = 1, q = 3)
+        maxDist = 1, q = 4)
     }),
 
     // near-dup CLUSTER dedup end-to-end: LSH pairs -> connected
@@ -1729,8 +1733,8 @@ object PipelineQueries {
   private val allPairsJaccardOracle =
     """WITH grams AS (
          SELECT doc_id,
-                list_distinct(list_transform(range(1, len(w)-1),
-                  i -> w[i]||chr(31)||w[i+1]||chr(31)||w[i+2])) AS g
+                list_distinct(list_transform(range(1, len(w)-3),
+                  i -> w[i]||chr(31)||w[i+1]||chr(31)||w[i+2]||chr(31)||w[i+3]||chr(31)||w[i+4])) AS g
          FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
        )
        SELECT id_a, id_b, jaccard FROM (
