@@ -36,6 +36,14 @@ def main():
     import glob
     import os
     qdirs = sorted(d for d in os.listdir(out_dir) if os.path.isdir(f"{out_dir}/{d}"))
+    # A query that THROWS in Verify writes no output dir and would
+    # silently vanish from the compare (7 event-time queries were lost
+    # this way when testdata switched ts from nanos to micros). Every
+    # oracle key must have a result dir.
+    dropped = sorted(set(oracle) - set(qdirs))
+    for name in dropped:
+        print(f"{name:30s} MISSING OUTPUT (query failed in Verify?)")
+        failures.append(name)
     for name in qdirs:
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         got = pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()
@@ -57,7 +65,21 @@ def main():
             continue
         try:
             pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
-            print(f"{name:30s} OK rows={len(g)}")
+            # The driver's hash stringifies values, so int64 3 vs float64
+            # 3.0 (or HUGEINT->object) hash-differ even when values match.
+            # Flag any column where the dtype KIND diverges between the
+            # Spark result and the DuckDB oracle.
+            drift = [
+                (c, str(g[c].dtype), str(w[c].dtype))
+                for c in g.columns
+                if g[c].dtype.kind != w[c].dtype.kind
+                and {g[c].dtype.kind, w[c].dtype.kind} != {"i", "u"}
+            ]
+            if drift:
+                print(f"{name:30s} DTYPE DRIFT {drift}")
+                failures.append(name)
+            else:
+                print(f"{name:30s} OK rows={len(g)}")
         except AssertionError as e:
             print(f"{name:30s} VALUE MISMATCH: {str(e)[:300]}")
             failures.append(name)

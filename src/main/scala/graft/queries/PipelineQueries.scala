@@ -696,8 +696,8 @@ object PipelineQueries {
     // nanos); (user, day) distinct once, min-day reuses it, one final
     // (cohort, offset) aggregate.
     "retention_cohorts" -> ((s, dir) =>
-      Funnels.retentionCohorts(t(s, dir, "events"), "user_id",
-        Funnels.epochDayFromNanos(col("ts")))),
+      Funnels.retentionCohorts(EventTs.toNanos(t(s, dir, "events")),
+        "user_id", Funnels.epochDayFromNanos(col("ts")))),
 
     // JSON property extraction (metadata columns ship as JSON blobs):
     // get_json_object pulls $.k per event, integer aggregates per type
@@ -1697,7 +1697,8 @@ object PipelineQueries {
                    UNION SELECT dst FROM edges),
          h0 AS (SELECT node, CAST($scale AS BIGINT) AS h FROM nodes),
          $rounds
-       SELECT h3.node, h3.h AS hub, a3.a AS authority
+       SELECT h3.node, CAST(h3.h AS BIGINT) AS hub,
+              CAST(a3.a AS BIGINT) AS authority
        FROM h3 JOIN a3 USING (node)"""
   }
 
@@ -1912,8 +1913,9 @@ object PipelineQueries {
                 ${Seq(".", ",", "!", "?", ";", ":").map(c =>
                   s"(length(text)-length(replace(text,'$c','')))").mkString("(", " + ", ")")} AS punct
               FROM (SELECT lang, text, ' '||lower(text)||' ' AS p FROM documents)))
-          SELECT lang, sum(CASE WHEN ok = 0 THEN 1 ELSE 0 END) AS n_bad,
-                 sum(CASE WHEN ok = 1 THEN 1 ELSE 0 END) AS n_good
+          SELECT lang,
+                 CAST(sum(CASE WHEN ok = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+                 CAST(sum(CASE WHEN ok = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_good
           FROM q GROUP BY lang""",
     "bpe_token_stats" ->
       s"""SELECT doc_id,
@@ -1923,8 +1925,9 @@ object PipelineQueries {
     "fingerprint_md5" ->
       "SELECT doc_id, md5(text) AS fp FROM documents",
     "token_entropy" ->
-      """SELECT doc_id, sum(c) AS n_tokens, count(*) AS distinct_tokens,
-                sum(c * (length(bin(c)) - 1)) AS entropy_num
+      """SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                count(*) AS distinct_tokens,
+                CAST(sum(c * (length(bin(c)) - 1)) AS BIGINT) AS entropy_num
          FROM (
            SELECT doc_id, tok, count(*) AS c
            FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
@@ -2299,7 +2302,7 @@ object PipelineQueries {
          GROUP BY 1, 2""",
     "props_json_stats" ->
       """SELECT event_type, count(*) AS n,
-                sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                 min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
                 max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
          FROM events GROUP BY event_type""",

@@ -765,10 +765,7 @@ object Queries {
     // events.ts is TIMESTAMP(NANOS) parquet — read as long ns
     // (spark.sql.legacy.parquet.nanosAsLong=true) and truncate to micros.
     "events_hourly" -> ((s, dir) => {
-      // integer div: double division of int64 nanos (~1.7e18 > 2^53) loses
-      // up to ~128ns near hour boundaries (ADVICE r1)
-      t(s, dir, "events")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      EventTs.toTimestamp(t(s, dir, "events"))
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), min(col("value")).as("vmin"), max(col("value")).as("vmax"))
     }),
@@ -784,9 +781,8 @@ object Queries {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       // the file stream source wants a DIRECTORY; select just the
       // events file out of the sf dir with a glob filter
-      val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val src = EventTs.toTimestamp(s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
       val agg = graft.streaming.Streams.hourlyCounts(src,
         tsCol = "ts", typeCol = "event_type",
         extraAggs = Seq(min(col("value")).as("vmin"), max(col("value")).as("vmax")))
@@ -904,9 +900,8 @@ object Queries {
     // to the same gaps-and-islands oracle as the batch event_sessions.
     "event_sessions_stream" -> ((s, dir) => {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val src = EventTs.toTimestamp(s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
       val agg = graft.streaming.Streams.sessionize(src, "event_type",
         "ts", gap = "30 minutes")
       val qName = "graft_event_sessions_stream"
@@ -926,8 +921,7 @@ object Queries {
     // gaps-and-islands SQL oracle: a session breaks when the gap to the
     // previous event is >= 30 minutes (Spark session end is exclusive).
     "event_sessions" -> ((s, dir) => {
-      t(s, dir, "events")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      EventTs.toTimestamp(t(s, dir, "events"))
         .groupBy(session_window(col("ts"), "30 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n"), min(col("ts")).as("session_start"))
         .select(col("event_type"), col("session_start"), col("n"))
@@ -941,7 +935,7 @@ object Queries {
     "rolling_user_counts" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
         .rangeBetween(-3600L * 1000000000L, 0L) // 1h in nanos
-      t(s, dir, "events")
+      EventTs.toNanos(t(s, dir, "events"))
         .select(col("event_id"), col("user_id"), col("ts"))
         .withColumn("n_prev_hour", count(lit(1)).over(w))
         .select(col("event_id"), col("n_prev_hour"))
@@ -1008,7 +1002,7 @@ object Queries {
     // but only within 6 hours — farther matches null out (merge_asof
     // tolerance semantics; ts stays int64 nanos, 6h = 21_600e9 ns).
     "asof_join_tol" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
+      val ev = EventTs.toNanos(t(s, dir, "events"))
       val clicks = ev.where(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts"))
       val purchases = ev.where(col("event_type") === "purchase")
