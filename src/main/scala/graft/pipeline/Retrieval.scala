@@ -1,0 +1,137 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Sparse and dense retrieval over a document corpus — the "find me the
+ * training examples most relevant to X" building blocks of RAG-style
+ * curation, plus dataset-versioning diff.
+ *
+ * All scoring is INTEGER-staged (floor-log2 idf via binary-string
+ * length, integer pivoted length normalization, quantized embedding
+ * distances) so results are bit-identical across engines — the same
+ * convention as the rest of the pipeline (no ln()/double-division
+ * ulps anywhere near a hash-gated output).
+ */
+object Retrieval {
+
+  /** floor(log2(x)) for x >= 1, as the Catalyst-native
+    * length(bin(x)) - 1 — exact integer, replayable in any SQL engine. */
+  private def floorLog2(x: Column): Column = length(bin(x)) - lit(1)
+
+  /**
+   * Sparse lexical top-k retrieval (BM25 family, integer-staged).
+   *
+   * Score of document d for query q:
+   *   score(q,d) = (1000 * Σ_{t ∈ q∩d} tf(t,d) · idf(t)) // (pivot + dl(d))
+   * with idf(t) = floor(log2(N / df(t))) + 1 and dl = token count —
+   * tf·idf weighting with pivoted length normalization, all in int64
+   * (the BM25 shape with the k1-saturation replaced by raw tf so both
+   * engines agree bit-for-bit; // is integer division).
+   *
+   * Scale plan: corpus tf is ONE explode+groupBy shuffle keyed
+   * (id, term); df is a groupBy over tf (partial-agg, skew-safe); the
+   * QUERY side (queries are dimension-table-sized: a dashboard of
+   * hundreds, not billions) broadcasts into the tf join, so the corpus
+   * never reshuffles for scoring. Per-query top-k runs as a rank<=k
+   * window — Spark plans WindowGroupLimit, so only k rows per query
+   * cross the final exchange.
+   *
+   * Ties break by doc id ascending (deterministic output).
+   */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, qidCol: String, qtextCol: String,
+               k: Int = 10, pivot: Long = 50L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val tf = TextAnalysis.termFrequencies(docs, idCol, textCol).persist()
+    val n = docs.count()
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      // integer div (Column./ is double division; `div` is IntegralDivide)
+      .select(col("term"), (floorLog2(expr(s"$n div df")) + lit(1)).as("idf"))
+    val dl = tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+    // distinct query terms: q∩d membership weighting, not qtf weighting
+    val qterms = queries.select(col(qidCol).as("query_id"), explode(
+        array_distinct(regexp_extract_all(col(qtextCol), lit("\\S+"), lit(0))))
+        .as("term"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .join(broadcast(qterms), Seq("term"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("tf") * col("idf")).as("__num"))
+      .join(dl, Seq("id"))
+      .select(col("query_id"), col("id"),
+        expr(s"(1000 * __num) div ($pivot + dl)").as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("id"))
+    val out = scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+    tf.unpersist(false)
+    out
+  }
+
+  /**
+   * K-means ASSIGNMENT over an embedding column against a fixed
+   * centroid table — the clustering pass of topic bucketing / IVF-style
+   * partitioning, exposed as its own operator.
+   *
+   * Distances are exact int64: both sides quantize to round(x*1000)
+   * and dist2 = Σ (a-b)², so the argmin (ties to the smaller centroid
+   * id) is deterministic in any engine.
+   *
+   * Scale plan: centroids are bounded small state (k × dim — thousands
+   * of rows at most, the k-means contract) and ride into the plan as a
+   * collected array literal: the corpus scan is ONE narrow projection,
+   * zero shuffles, nothing keyed. The per-row argmin folds over the
+   * centroid array inside codegen.
+   */
+  def kmeansAssign(embs: DataFrame, idCol: String, vecCol: String,
+                   centroids: DataFrame, cidCol: String, cvecCol: String)
+      : DataFrame = {
+    val quant: Column => Column =
+      v => transform(v, x => round(x.cast("double") * 1000).cast("long"))
+    // bounded driver collect: k centroids (k-means contract, documented)
+    val cents = centroids
+      .select(col(cidCol).cast("long").as("cid"), quant(col(cvecCol)).as("cv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "centroid table is empty")
+    val centLit = array(cents.map { case (cid, cv) =>
+      struct(lit(cid).as("cid"), array(cv.map(lit(_)): _*).as("cv"))
+    }: _*)
+    val q = quant(col(vecCol))
+    val best = array_min(transform(centLit, c =>
+      struct(
+        aggregate(
+          zip_with(q, c.getField("cv"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("dist2"),
+        c.getField("cid").as("cid"))))
+    embs.select(col(idCol), best.getField("cid").as("cluster"),
+      best.getField("dist2").as("dist2"))
+  }
+
+  /**
+   * Dataset snapshot diff — the versioning primitive of iterative
+   * curation: classify every id across two corpus snapshots as
+   * added / removed / changed / unchanged (content compared by
+   * xxhash64 of the compare columns, so wide rows never ship twice).
+   *
+   * One full-outer hash join keyed on the id; both sides reduce to
+   * (id, content-hash) projections before the shuffle, so the join
+   * carries 16 bytes per row regardless of document width.
+   */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                   compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "need at least one compare column")
+    def h(df: DataFrame, side: String): DataFrame =
+      df.select(col(idCol).as("id"),
+        xxhash64(compareCols.map(col): _*).as(s"__h_$side"))
+    h(oldDf, "old").join(h(newDf, "new"), Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("__h_old").isNull, lit("added"))
+          .when(col("__h_new").isNull, lit("removed"))
+          .when(col("__h_old") === col("__h_new"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+}

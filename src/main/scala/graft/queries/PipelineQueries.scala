@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.pipeline.{Decontaminate, Dedup, Funnels, Graphs, Multimodal, Sampling, Scrub, Similarity, Sketches, TextAnalysis, Tx}
+import graft.pipeline.{Decontaminate, Dedup, Funnels, Graphs, Multimodal, Retrieval, Sampling, Scrub, Similarity, Sketches, TextAnalysis, Tx}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1067,6 +1067,50 @@ object PipelineQueries {
         minDf = 2L, maxDf = maxDf)
       idx.select(col("term"), col("df"), explode(col("postings")).as("p"))
         .select(col("term"), col("df"), col("p.id").as("doc_id"), col("p.tf").as("tf"))
+    }),
+
+    // sparse lexical retrieval (RAG curation: find the corpus docs most
+    // relevant to each probe query): integer-staged BM25 — floor-log2
+    // idf, pivoted length normalization by integer division — so the
+    // per-query top-10 ranking is bit-identical in DuckDB. Queries are
+    // the first 3 tokens of every 100th doc; corpus tf shuffles once,
+    // query side broadcasts, top-k runs as WindowGroupLimit.
+    "bm25_topk" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val probes = docs.where(col("doc_id") % 100 === 7)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(regexp_extract_all(col("text"), lit("\\S+"),
+            lit(0)), 1, 3), " ").as("qtext"))
+      Retrieval.bm25TopK(docs, "doc_id", "text", probes, "query_id", "qtext")
+        .select(col("query_id"), col("id").as("doc_id"), col("score"),
+          col("rank"))
+    }),
+
+    // k-means ASSIGNMENT over embeddings against a deterministic
+    // 8-centroid table (topic bucketing / IVF partitioning as its own
+    // operator): quantized int64 distances, argmin folded per-row over
+    // a collected centroid literal — zero shuffles on the corpus scan.
+    "kmeans_assign" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val cents = embs.where(col("vec_id") % 97 === 3)
+        .orderBy(col("vec_id")).limit(8)
+      Retrieval.kmeansAssign(embs, "vec_id", "embedding",
+        cents, "vec_id", "embedding")
+    }),
+
+    // dataset snapshot diff (the versioning primitive of iterative
+    // curation): old = docs mod5!=4, new = docs mod5!=3 with every 7th
+    // text revised — classify added/removed/changed/unchanged via one
+    // full-outer join on (id, content-hash) projections.
+    "snapshot_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val oldSnap = docs.where(col("doc_id") % 5 =!= 4)
+      val newSnap = docs.where(col("doc_id") % 5 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [v2]")))
+            .otherwise(col("text")).as("text"))
+      Retrieval.snapshotDiff(oldSnap, newSnap, "doc_id", Seq("text"))
+        .select(col("id").as("doc_id"), col("status"))
     }),
 
     // content-defined chunking: corpus plus PREFIX-SHIFTED copies —
@@ -2595,6 +2639,68 @@ object PipelineQueries {
                     AND count(*) <= (SELECT (count(*) * 8) // 10 FROM documents))
          SELECT t.term, d.df, t.doc_id, t.tf
          FROM tf t JOIN dfq d USING (term)""",
+    "bm25_topk" ->
+      """WITH tf AS (
+           SELECT doc_id AS id, term, count(*) AS tf
+           FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+                 FROM documents)
+           GROUP BY 1, 2),
+         n AS (SELECT count(*) AS n FROM documents),
+         idf AS (
+           SELECT term,
+                  length(bin((SELECT n FROM n) // df)) - 1 + 1 AS idf
+           FROM (SELECT term, count(*) AS df FROM tf GROUP BY term)),
+         dl AS (SELECT id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY id),
+         qt AS (
+           SELECT doc_id AS query_id,
+                  unnest(list_distinct(regexp_extract_all(text, '\S+')[1:3])) AS term
+           FROM documents WHERE doc_id % 100 = 7),
+         sc AS (
+           SELECT q.query_id, t.id,
+                  CAST(sum(t.tf * i.idf) AS BIGINT) AS num
+           FROM tf t JOIN idf i USING (term) JOIN qt q USING (term)
+           GROUP BY 1, 2),
+         ranked AS (
+           SELECT s.query_id, s.id AS doc_id,
+                  (1000 * s.num) // (50 + d.dl) AS score,
+                  row_number() OVER (
+                    PARTITION BY s.query_id
+                    ORDER BY (1000 * s.num) // (50 + d.dl) DESC, s.id) AS rank
+           FROM sc s JOIN dl d USING (id))
+         SELECT query_id, doc_id, CAST(score AS BIGINT) AS score,
+                CAST(rank AS BIGINT) AS rank
+         FROM ranked WHERE rank <= 10""",
+    "kmeans_assign" ->
+      """WITH q AS (
+           SELECT vec_id,
+                  list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+           FROM embeddings),
+         c AS (SELECT vec_id AS cid, v AS cv FROM q
+               WHERE vec_id % 97 = 3 ORDER BY vec_id LIMIT 8),
+         d AS (
+           SELECT q.vec_id, c.cid,
+                  CAST(list_sum(list_transform(range(1, len(q.v) + 1),
+                    i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i]))) AS BIGINT)
+                    AS dist2
+           FROM q CROSS JOIN c),
+         r AS (SELECT vec_id, cid, dist2,
+                      row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY dist2, cid) AS rn
+               FROM d)
+         SELECT vec_id, cid AS cluster, dist2 FROM r WHERE rn = 1""",
+    "snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 4),
+         nw AS (SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0 THEN text || ' [v2]'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 5 <> 3)
+         SELECT COALESCE(o.doc_id, nw.doc_id) AS doc_id,
+                CASE WHEN o.doc_id IS NULL THEN 'added'
+                     WHEN nw.doc_id IS NULL THEN 'removed'
+                     WHEN o.text = nw.text THEN 'unchanged'
+                     ELSE 'changed' END AS status
+         FROM o FULL OUTER JOIN nw ON o.doc_id = nw.doc_id""",
     // both incremental paths must equal the plain text anti-join
     "incremental_dedup" -> incrementalDedupOracle,
     "incremental_dedup_bloom" -> incrementalDedupOracle,

@@ -1,0 +1,91 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BM25 top-k retrieval, k-means assignment, snapshot diff. */
+class RetrievalSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  import spark.implicits._
+
+  test("bm25TopK ranks the matching doc first and breaks ties by id") {
+    val docs = Seq(
+      (1L, "apple banana cherry"),
+      (2L, "apple apple apple apple"), // high tf but longer
+      (3L, "banana cherry durian"),
+      (4L, "elderberry fig grape"),
+      (5L, "apple banana")             // both query terms, short
+    ).toDF("doc_id", "text")
+    val probes = Seq((100L, "apple banana")).toDF("query_id", "qtext")
+    val top = Retrieval.bm25TopK(docs, "doc_id", "text", probes,
+        "query_id", "qtext", k = 3)
+      .orderBy(col("rank"))
+      .select("id", "rank").as[(Long, Int)].collect()
+    assert(top.length == 3)
+    // hand-computed: idf(apple)=idf(banana)=floorlog2(5 div 3)+1=1;
+    // doc2 4000//54=74 > doc5 2000//52=38 > doc1 2000//53=37
+    assert(top.map(_._1).toSeq == Seq(2L, 5L, 1L))
+    // doc 4 shares no term: never retrieved
+    assert(!top.map(_._1).contains(4L))
+    // deterministic across reruns
+    val again = Retrieval.bm25TopK(docs, "doc_id", "text", probes,
+        "query_id", "qtext", k = 3)
+      .orderBy(col("rank")).select("id", "rank").as[(Long, Int)].collect()
+    assert(top.toSeq == again.toSeq)
+  }
+
+  test("bm25TopK length normalization: same tf, shorter doc wins") {
+    val docs = Seq(
+      (1L, "term " * 2 + "pad " * 50),
+      (2L, "term " * 2 + "pad " * 2)
+    ).map { case (i, t) => (i, t.trim) }.toDF("doc_id", "text")
+    val probes = Seq((9L, "term")).toDF("query_id", "qtext")
+    val r = Retrieval.bm25TopK(docs, "doc_id", "text", probes,
+        "query_id", "qtext", k = 2)
+      .orderBy(col("rank")).select("id").as[Long].collect()
+    assert(r.toSeq == Seq(2L, 1L))
+  }
+
+  test("kmeansAssign puts every vector in its nearest centroid, ties to smaller cid") {
+    val embs = Seq(
+      (0L, Array(0.0f, 0.0f)),
+      (1L, Array(1.0f, 1.0f)),
+      (2L, Array(0.9f, 0.9f)),
+      (3L, Array(0.5f, 0.5f)) // exactly between → tie → smaller cid (10)
+    ).toDF("vec_id", "embedding")
+    val cents = Seq(
+      (10L, Array(0.0f, 0.0f)),
+      (20L, Array(1.0f, 1.0f))
+    ).toDF("cid", "vec")
+    val r = Retrieval.kmeansAssign(embs, "vec_id", "embedding",
+        cents, "cid", "vec")
+      .orderBy("vec_id")
+      .select("vec_id", "cluster", "dist2").as[(Long, Long, Long)].collect()
+    assert(r(0) == ((0L, 10L, 0L)))
+    assert(r(1) == ((1L, 20L, 0L)))
+    assert(r(2)._2 == 20L)
+    assert(r(3)._2 == 10L) // tie at dist2 = 2*500^2 each side
+    assert(r(3)._3 == 2L * 500L * 500L)
+  }
+
+  test("kmeansAssign rejects an empty centroid table") {
+    val embs = Seq((0L, Array(0.0f))).toDF("vec_id", "embedding")
+    val none = Seq.empty[(Long, Array[Float])].toDF("cid", "vec")
+    assertThrows[IllegalArgumentException] {
+      Retrieval.kmeansAssign(embs, "vec_id", "embedding", none, "cid", "vec")
+    }
+  }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val newSnap = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
+    val r = Retrieval.snapshotDiff(oldSnap, newSnap, "doc_id", Seq("text"))
+      .orderBy("id").select("id", "status").as[(Long, String)].collect()
+    assert(r.toSeq == Seq((1L, "removed"), (2L, "unchanged"),
+      (3L, "changed"), (4L, "added")))
+  }
+}
