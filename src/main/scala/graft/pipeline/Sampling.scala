@@ -178,6 +178,20 @@ object Sampling {
     * key; parallel across strata. A pathologically hot stratum bounds a
     * single task by that stratum's row count — pre-filter with
     * [[deterministicSample]] at ~10·k/|stratum| first if that matters. */
+  /** Epoch-style mixture materialization: repeat each row `epochs`
+    * times with a 1-based epoch index — the "high-quality sources see
+    * multiple epochs" pretraining mixture, made explicit as rows.
+    * `epochs` < 1 drops the row (0 epochs = excluded from the mix).
+    * Narrow generator (explode of a per-row sequence): no shuffle, and
+    * the blow-up factor is exactly the mixture's epoch budget. NOTE:
+    * guard against sequence(1, 0) — Spark infers a DESCENDING step and
+    * would emit [1, 0] instead of nothing. */
+  def epochMixture(df: DataFrame, epochs: Column,
+                   outCol: String = "epoch"): DataFrame =
+    df.withColumn(outCol, explode(
+      when(epochs >= 1, sequence(lit(1), epochs.cast("int")))
+        .otherwise(array())))
+
   def stratifiedTopK(df: DataFrame, stratum: Column, key: Column, k: Int,
                      salt: String): DataFrame = {
     require(k >= 1, "stratifiedTopK requires k >= 1")

@@ -20,6 +20,26 @@ import org.apache.spark.sql.functions._
  */
 object Sketches {
 
+  /** Column-level data-quality profile: one long-form row per column
+    * with total count, null count, and EXACT distinct cardinality —
+    * the dataset-card / schema-drift report every curation run emits.
+    *
+    * One aggregation pass: Catalyst plans the multiple exact distincts
+    * via Expand (input replicated ×|cols| before the shuffle) — the
+    * standard exact-multi-distinct trade; swap count_distinct for
+    * approx_count_distinct when profiling very wide tables at scale. */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to profile")
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap(c => Seq(
+      count(col(c)).as(s"__nn_$c"),
+      count_distinct(col(c)).as(s"__nd_$c")))
+    val stackArgs = cols.map(c =>
+      s"'$c', __n, __n - `__nn_$c`, `__nd_$c`").mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${cols.size}, $stackArgs) " +
+        "as (col_name, n, n_null, n_distinct)"))
+  }
+
   /** Per-group approximate distinct count (HyperLogLog++) next to the
     * group's row count. `rsd` = target relative standard deviation. */
   def approxDistinctByGroup(df: DataFrame, group: Column, value: Column,

@@ -1098,6 +1098,48 @@ object PipelineQueries {
         cents, "vec_id", "embedding")
     }),
 
+    // epoch-mixture materialization: source srcN sees (N % 3) + 1
+    // training epochs — each doc repeats per epoch with its index, via
+    // a narrow per-row sequence explode (no shuffle; the row blow-up IS
+    // the epoch budget).
+    "mixture_epochs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val epochs = substring(col("source"), 4, 10).cast("int") % 3 + 1
+      Sampling.epochMixture(docs, epochs)
+        .select(col("doc_id"), col("source"), col("epoch").cast("long").as("epoch"))
+    }),
+
+    // metadata-FILTERED vector search (hybrid retrieval: "most similar
+    // within my topic"): candidates equi-join the query on label — the
+    // per-label bucket IS the join key, so the corpus partitions by
+    // label instead of a full cross join — then quantized-dot top-5.
+    "ann_filtered_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("c_id"),
+        col("embedding").as("c_vec"), col("label").as("c_label"))
+      val probes = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          col("label").as("q_label"))
+      val scored = probes.join(corpus,
+          col("q_label") === col("c_label") && col("q_id") =!= col("c_id"))
+        .withColumn("dot", Tx.quantized_dot(col("q_vec"), col("c_vec"), 1000.0))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("dot").desc, col("c_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 5)
+        .select(col("q_id"), col("c_id"), col("dot"), col("rank"))
+    }),
+
+    // column-level data-quality profile (the dataset-card staple):
+    // total / null / exact-distinct counts per column in one
+    // aggregation pass (Expand-planned multi-distinct), long-form rows.
+    "column_profile" -> ((s, dir) => {
+      val base = t(s, dir, "orders").select(col("o_custkey"),
+        expr("nullif(o_orderstatus, 'F')").as("status"),
+        col("o_orderpriority"))
+      Sketches.columnProfile(base,
+        Seq("o_custkey", "status", "o_orderpriority"))
+    }),
+
     // dataset snapshot diff (the versioning primitive of iterative
     // curation): old = docs mod5!=4, new = docs mod5!=3 with every 7th
     // text revised — classify added/removed/changed/unchanged via one
@@ -2689,6 +2731,36 @@ object PipelineQueries {
                                          ORDER BY dist2, cid) AS rn
                FROM d)
          SELECT vec_id, cid AS cluster, dist2 FROM r WHERE rn = 1""",
+    "mixture_epochs" ->
+      """SELECT doc_id, source, CAST(e.epoch AS BIGINT) AS epoch
+         FROM documents,
+              LATERAL (SELECT unnest(range(1,
+                CAST(substr(source, 4) AS INT) % 3 + 2)) AS epoch) e""",
+    "ann_filtered_topk" ->
+      """SELECT q_id, c_id, dot, rank FROM (
+           SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                  list_dot_product(list_transform(CAST(q.embedding AS DOUBLE[]), x -> round(x*1000)),
+                                   list_transform(CAST(c.embedding AS DOUBLE[]), x -> round(x*1000))) AS dot,
+                  row_number() OVER (PARTITION BY q.vec_id
+                                     ORDER BY list_dot_product(list_transform(CAST(q.embedding AS DOUBLE[]), x -> round(x*1000)),
+                                                               list_transform(CAST(c.embedding AS DOUBLE[]), x -> round(x*1000))) DESC,
+                                              c.vec_id) AS rank
+           FROM embeddings q, embeddings c
+           WHERE q.vec_id < 10 AND q.label = c.label AND q.vec_id <> c.vec_id
+         ) WHERE rank <= 5""",
+    "column_profile" ->
+      """WITH base AS (SELECT o_custkey, nullif(o_orderstatus, 'F') AS status,
+                              o_orderpriority
+                       FROM orders)
+         SELECT 'o_custkey' AS col_name, count(*) AS n,
+                count(*) - count(o_custkey) AS n_null,
+                count(DISTINCT o_custkey) AS n_distinct FROM base
+         UNION ALL
+         SELECT 'status', count(*), count(*) - count(status),
+                count(DISTINCT status) FROM base
+         UNION ALL
+         SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+                count(DISTINCT o_orderpriority) FROM base""",
     "snapshot_diff" ->
       """WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 4),
          nw AS (SELECT doc_id,

@@ -770,6 +770,19 @@ object Queries {
         .agg(count(lit(1)).as("n"), min(col("value")).as("vmin"), max(col("value")).as("vmax"))
     }),
 
+    // SLIDING event-time windows (1h window every 30min — each event in
+    // exactly 2 windows): Spark's window() slide parameter under the
+    // DuckDB gate, which replays the epoch-aligned window starts with
+    // integer micros arithmetic.
+    "events_sliding" -> ((s, dir) => {
+      EventTs.toTimestamp(t(s, dir, "events"))
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("value")).as("vmin"),
+          max(col("value")).as("vmax"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n"), col("vmin"), col("vmax"))
+    }),
+
     // The STREAMING execution path under the DuckDB gate: the same
     // hourly rollup as events_hourly, but run as a genuine Structured
     // Streaming query — file stream source over the events parquet,
@@ -1601,6 +1614,15 @@ object Queries {
       """SELECT date_trunc('hour', ts) AS hour, event_type,
                 count(*) AS n, min(value) AS vmin, max(value) AS vmax
          FROM events GROUP BY 1, 2""",
+    "events_sliding" ->
+      """WITH e AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
+         w AS (SELECT unnest([us - (us % 1800000000),
+                              us - (us % 1800000000) - 1800000000]) AS ws,
+                      event_type, value
+               FROM e)
+         SELECT make_timestamp(ws) AS win_start, event_type,
+                count(*) AS n, min(value) AS vmin, max(value) AS vmax
+         FROM w GROUP BY 1, 2""",
     "rolling_user_counts" ->
       """SELECT event_id,
                 count(*) OVER (PARTITION BY user_id ORDER BY ts

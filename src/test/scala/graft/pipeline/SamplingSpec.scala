@@ -293,4 +293,10 @@ class SamplingSpec extends AnyFunSuite {
     assert(got(1L) == (("b", 1L, 1L, 3000000L)))
     assert(got(2L) == (("a", 1L, 3L, 1000000L)))
   }
+  test("epochMixture repeats rows per epoch count, drops non-positive") {
+    val df = Seq((1L, 2), (2L, 1), (3L, 0), (4L, -1)).toDF("id", "k")
+    val r = Sampling.epochMixture(df, col("k"))
+      .select("id", "epoch").as[(Long, Int)].collect().sorted
+    assert(r.toSeq == Seq((1L, 1), (1L, 2), (2L, 1)))
+  }
 }

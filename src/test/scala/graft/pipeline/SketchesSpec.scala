@@ -98,4 +98,14 @@ class SketchesSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toSeq
     assert(got == Seq(("", 50L), ("x", 30L)))
   }
+  test("columnProfile: total, null, and exact distinct per column") {
+    val df = Seq(
+      (Some("a"), 1L), (Some("a"), 2L), (None, 2L), (Some("b"), 3L)
+    ).toDF("s", "v")
+    val r = Sketches.columnProfile(df, Seq("s", "v"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(r("s") == ((4L, 1L, 2L)))
+    assert(r("v") == ((4L, 0L, 3L)))
+  }
 }
