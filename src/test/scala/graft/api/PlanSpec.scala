@@ -379,4 +379,61 @@ class PlanSpec extends AnyFunSuite {
     assert(hasCodegenFilter,
       s"predicate not codegen'd:\n${df.queryExecution.executedPlan}")
   }
+
+  test("bm25 top-k plans WindowGroupLimit and broadcasts the query side") {
+    val docs = (0 until 300).map(i => (i.toLong,
+      s"tok${i % 7} tok${i % 13} tok${i % 29} filler$i")).toDF("doc_id", "text")
+    val probes = (0 until 3).map(i => (i.toLong + 1000, s"tok$i tok${i + 1}"))
+      .toDF("query_id", "qtext")
+    val r = graft.pipeline.Retrieval.bm25TopK(docs, "doc_id", "text",
+      probes, "query_id", "qtext", k = 5)
+    val plan = finalPlan(r)
+    // rank<=k must push into the window as a group-limit: only k rows
+    // per query survive each side of the final exchange
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"query side not broadcast:\n$plan")
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"non-hash join in:\n$plan")
+  }
+
+  test("filtered ANN joins per-label buckets hash-based, never cartesian") {
+    val embs = (0 until 200).map(i => (i.toLong,
+      Array.tabulate(4)(d => (i * 31 + d).toFloat / 100f), i % 5))
+      .toDF("vec_id", "embedding", "label")
+    val corpus = embs.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_vec"), col("label").as("c_label"))
+    val probes = embs.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("label").as("q_label"))
+    val j = probes.join(corpus,
+      col("q_label") === col("c_label") && col("q_id") =!= col("c_id"))
+    val plan = finalPlan(j)
+    assert(plan.contains("HashJoin"), s"no hash join in:\n$plan")
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"label filter not used as join key:\n$plan")
+  }
+
+  test("kmeans assignment is a narrow projection: zero exchanges") {
+    val embs = (0 until 500).map(i => (i.toLong,
+      Array.tabulate(4)(d => (i * 17 + d).toFloat / 50f)))
+      .toDF("vec_id", "embedding")
+    val cents = embs.where(col("vec_id") % 100 === 3).limit(4)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val r = graft.pipeline.Retrieval.kmeansAssign(embs, "vec_id",
+      "embedding", cents, "cid", "cv")
+    val plan = finalPlan(r)
+    assert(!plan.contains("Exchange"),
+      s"kmeans assignment should not shuffle:\n$plan")
+  }
+
+  test("snapshot diff is one full-outer hash join over hash projections") {
+    val a = (0 until 300).map(i => (i.toLong, s"doc $i")).toDF("id", "text")
+    val b = (5 until 305).map(i => (i.toLong, s"doc $i x")).toDF("id", "text")
+    val r = graft.pipeline.Retrieval.snapshotDiff(a, b, "id", Seq("text"))
+    val plan = finalPlan(r)
+    assert(plan.contains("FullOuter") || plan.contains("full_outer"),
+      s"not a full outer join:\n$plan")
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"non-hash join in:\n$plan")
+  }
 }
