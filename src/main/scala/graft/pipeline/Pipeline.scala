@@ -1438,9 +1438,14 @@ object Similarity {
     // Band only (id, band, bucket) — the bucket join must not shuffle
     // the vectors bands-times over; they are re-joined by id for the
     // exact-cosine refine (candidates << corpus x bands at scale).
+    // bits = 0 is the EXACT degeneration: every vector lands in one
+    // bucket, the bucket join becomes exhaustive, and the output equals
+    // brute force — the config that puts the SRP plumbing itself under
+    // a DuckDB oracle (same trick as ivfTopK nprobe=nlist).
     def banded(df: DataFrame, idCol: String, vecCol: String): DataFrame =
       df.select(col(idCol),
-          posexplode(array(bandsSeeds.map(s => srp_bits(col(vecCol), bits, s)): _*)))
+          posexplode(array(bandsSeeds.map(s =>
+            if (bits == 0) lit(0L) else srp_bits(col(vecCol), bits, s)): _*)))
         .withColumnRenamed("pos", "__band")
         .withColumnRenamed("col", "__bucket")
 

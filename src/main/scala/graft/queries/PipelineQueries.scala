@@ -387,6 +387,20 @@ object PipelineQueries {
         "c_id", "c_vec", "q_id", "q_vec", k = 5)
     }),
 
+    // the SRP plumbing under the FULL DuckDB gate: bits=0 degenerates
+    // every band bucket to a single cell, the bucket join is
+    // exhaustive, and band→dedup→refine→top-k must reproduce brute
+    // force exactly (the nprobe=nlist trick, applied to SRP).
+    "ann_srp_exact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.srpTopK(
+        emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
+        emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+        "c_id", "c_vec", "q_id", "q_vec", k = 5,
+        bandsSeeds = Seq(1L), bits = 0, roundDigits = 12)
+    }),
+
     // rows-only: IVF-flat ANN (the other scale path — broadcast centroid
     // cells, probe nprobe cells per query; recall vs brute force is
     // asserted in PipelineSpec)
@@ -2585,6 +2599,9 @@ object PipelineQueries {
               len(w) - COALESCE(c.kept_tokens, 0) AS removed_tokens
        FROM toks t LEFT JOIN clean c USING (doc_id)""",
     "ann_cosine_topk" -> bruteForceCosineOracle,
+    // bits=0 SRP degenerates to brute force: same oracle, and the whole
+    // band/bucket/refine pipeline is what's under test
+    "ann_srp_exact" -> bruteForceCosineOracle,
     // exact-degenerate IVF/PQ configs reproduce brute force bit-for-bit:
     // SAME oracle SQL — only the Spark plan differs
     "ann_ivf_exact" -> bruteForceCosineOracle,

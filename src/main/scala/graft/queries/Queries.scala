@@ -800,6 +800,7 @@ object Queries {
         tsCol = "ts", typeCol = "event_type",
         extraAggs = Seq(min(col("value")).as("vmin"), max(col("value")).as("vmax")))
       val qName = "graft_events_hourly_stream"
+      // (sliding twin below reuses this pattern with a 30min slide)
       // a prior run in this JVM (bench reps) may still own the name
       s.streams.active.filter(q => q.name == qName).foreach(_.stop())
       val q = agg.writeStream.format("memory").queryName(qName)
@@ -809,6 +810,28 @@ object Queries {
       q.awaitTermination()
       s.table(qName).select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("vmin"), col("vmax"))
+    }),
+
+    // the SLIDING-window streaming twin: window(1h, slide 30min) as a
+    // real watermarked streaming query, pinned to the same
+    // epoch-micros-arithmetic oracle as the batch events_sliding.
+    "events_sliding_stream" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = EventTs.toTimestamp(s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+      val agg = graft.streaming.Streams.hourlyCounts(src,
+        tsCol = "ts", typeCol = "event_type",
+        extraAggs = Seq(min(col("value")).as("vmin"), max(col("value")).as("vmax")),
+        slide = Some("30 minutes"))
+      val qName = "graft_events_sliding_stream"
+      s.streams.active.filter(q => q.name == qName).foreach(_.stop())
+      val q = agg.writeStream.format("memory").queryName(qName)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qName).select(col("window.start").as("win_start"),
+        col("event_type"), col("n"), col("vmin"), col("vmax"))
     }),
 
     // Streaming FIRST-SEEN DEDUP under the DuckDB gate: documents (plus
@@ -1615,6 +1638,15 @@ object Queries {
                 count(*) AS n, min(value) AS vmin, max(value) AS vmax
          FROM events GROUP BY 1, 2""",
     "events_sliding" ->
+      """WITH e AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
+         w AS (SELECT unnest([us - (us % 1800000000),
+                              us - (us % 1800000000) - 1800000000]) AS ws,
+                      event_type, value
+               FROM e)
+         SELECT make_timestamp(ws) AS win_start, event_type,
+                count(*) AS n, min(value) AS vmin, max(value) AS vmax
+         FROM w GROUP BY 1, 2""",
+    "events_sliding_stream" ->
       """WITH e AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
          w AS (SELECT unnest([us - (us % 1800000000),
                               us - (us % 1800000000) - 1800000000]) AS ws,

@@ -28,9 +28,11 @@ object Streams {
   def hourlyCounts(events: DataFrame, tsCol: String = "ts",
                    typeCol: String = "event_type",
                    watermark: String = "1 hour",
-                   extraAggs: Seq[org.apache.spark.sql.Column] = Nil): DataFrame =
+                   extraAggs: Seq[org.apache.spark.sql.Column] = Nil,
+                   slide: Option[String] = None): DataFrame =
     events.withWatermark(tsCol, watermark)
-      .groupBy(window(col(tsCol), "1 hour"), col(typeCol))
+      .groupBy(window(col(tsCol), "1 hour", slide.getOrElse("1 hour")),
+        col(typeCol))
       .agg(count(lit(1)).as("n"), extraAggs: _*)
 
   /** Streaming geo-parquet sink: appends each micro-batch to `path` and
