@@ -64,10 +64,12 @@ object Retrieval {
         expr(s"(1000 * __num) div ($pivot + dl)").as("score"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("id"))
-    val out = scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-    tf.unpersist(false)
-    out
+    // tf stays persisted: the RESULT is lazy, and an eager unpersist
+    // here would silently recompute the tokenize+groupBy for each of
+    // its three consumers (df, dl, scoring) when the caller finally
+    // acts — same convention as invertedIndex (caller clears cache).
   }
 
   /**
