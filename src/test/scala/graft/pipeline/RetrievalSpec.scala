@@ -80,6 +80,51 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25TopK matches an independent in-memory scorer on random corpora") {
+    val rnd = new scala.util.Random(20260813L)
+    for (trial <- 0 until 3) {
+      val nDocs = 40 + rnd.nextInt(40)
+      val vocab = (0 until 25).map(i => s"w$i")
+      val docs = (0 until nDocs).map { i =>
+        val len = 3 + rnd.nextInt(20)
+        (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val probes = (0 until 4).map { i =>
+        (1000L + i, Seq.fill(2 + rnd.nextInt(3))(
+          vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val k = 5
+      // independent reference: plain-collections replay of the formula
+      val tf = docs.map { case (id, t) =>
+        id -> t.split("\\s+").filter(_.nonEmpty)
+          .groupBy(identity).map { case (w, a) => w -> a.length.toLong }
+      }.toMap
+      val dfreq = tf.values.flatMap(_.keys).groupBy(identity)
+        .map { case (w, a) => w -> a.size.toLong }
+      def floorLog2(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      val n = docs.size.toLong
+      val expected = probes.flatMap { case (qid, qt) =>
+        val qterms = qt.split("\\s+").filter(_.nonEmpty).distinct
+        val scored = docs.flatMap { case (id, _) =>
+          val num = qterms.map(t => tf(id).getOrElse(t, 0L) *
+            (dfreq.get(t).map(d => floorLog2(n / d) + 1).getOrElse(0L))).sum
+          if (qterms.exists(t => tf(id).contains(t)))
+            Some((id, 1000L * num / (50L + tf(id).values.sum)))
+          else None
+        }
+        scored.sortBy { case (id, s) => (-s, id) }.take(k)
+          .zipWithIndex.map { case ((id, s), r) => (qid, id, s, r + 1) }
+      }.toSet
+      val got = Retrieval.bm25TopK(
+          docs.toDF("doc_id", "text"), "doc_id", "text",
+          probes.toDF("query_id", "qtext"), "query_id", "qtext", k = k)
+        .select("query_id", "id", "score", "rank")
+        .as[(Long, Long, Long, Int)].collect()
+        .map { case (q, i, s, r) => (q, i, s, r) }.toSet
+      assert(got == expected, s"trial $trial: mismatch")
+    }
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged") {
     val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
     val newSnap = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
