@@ -710,6 +710,33 @@ object Queries {
         .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
     }),
 
+    // TPC-H Q3 shape (shipping priority): selective dimension filter →
+    // 3-way join → grouped revenue → top-10. Revenue is INTEGER-staged
+    // (cents × discount-hundredths: Σ of exact int64 products is
+    // order-independent, unlike the classic double Σ p·(1−d)) so the
+    // top-10 selection is deterministic cross-engine. Catalyst
+    // broadcasts the filtered customer/orders dims; the lineitem fact
+    // never shuffles before its group-by.
+    "q3_shipping" -> ((s, dir) => {
+      val cutoff = lit("1998-06-01").cast("timestamp")
+      val c = t(s, dir, "customer")
+        .where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val o = t(s, dir, "orders").where(col("o_orderdate") < cutoff)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      val l = t(s, dir, "lineitem").where(col("l_shipdate") > cutoff)
+        .select(col("l_orderkey"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long")))
+            .as("rev"))
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(col("rev")).as("revenue_i"))
+        .orderBy(col("revenue_i").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
     // SURVEY §2.4 inherited aggregates: CUBE over two dims (subtotals +
     // grand total in one pass — Expand + partial aggregation).
     "cube_agg" -> ((s, dir) => {
@@ -1615,6 +1642,19 @@ object Queries {
     "cube_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS qty, count(*) AS n
          FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+    "q3_shipping" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                         (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                     AS BIGINT) AS revenue_i
+         FROM customer, orders, lineitem
+         WHERE c_mktsegment = 'BUILDING'
+           AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND o_orderdate < TIMESTAMP '1998-06-01'
+           AND l_shipdate > TIMESTAMP '1998-06-01'
+         GROUP BY 1, 2, 3
+         ORDER BY revenue_i DESC, l_orderkey
+         LIMIT 10""",
     "join_agg_nation" ->
       """SELECT n_name, count(*) AS n, sum(l_quantity) AS qty
          FROM lineitem, orders, customer, nation
