@@ -839,6 +839,38 @@ object Queries {
         col("n"), col("vmin"), col("vmax"))
     }),
 
+    // STREAM-STREAM interval join under the DuckDB gate: clicks join
+    // purchases of the same user within the preceding hour, BOTH sides
+    // watermarked streams (the state-bounded shape — the event-time
+    // range condition lets each side evict state past the watermark).
+    // The remaining streaming join shape after windowed agg, session
+    // windows, custom state, and stream-static joins.
+    "stream_stream_join" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      def src = EventTs.toTimestamp(s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+      val clicks = src.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = src.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("value").as("p_value"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
+          col("p_ts") <= col("c_ts"))
+      val qName = "graft_stream_stream_join"
+      s.streams.active.filter(q => q.name == qName).foreach(_.stop())
+      val q = joined.writeStream.format("memory").queryName(qName)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qName).select(col("click_id"), col("p_ts"), col("p_value"))
+    }),
+
     // the SLIDING-window streaming twin: window(1h, slide 30min) as a
     // real watermarked streaming query, pinned to the same
     // epoch-micros-arithmetic oracle as the batch events_sliding.
@@ -1686,6 +1718,15 @@ object Queries {
          SELECT make_timestamp(ws) AS win_start, event_type,
                 count(*) AS n, min(value) AS vmin, max(value) AS vmax
          FROM w GROUP BY 1, 2""",
+    "stream_stream_join" ->
+      """SELECT c.event_id AS click_id, p.ts AS p_ts, p.value AS p_value
+         FROM (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click') c
+         JOIN (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id
+          AND p.ts >= c.ts - INTERVAL 1 HOUR
+          AND p.ts <= c.ts""",
     "events_sliding_stream" ->
       """WITH e AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
          w AS (SELECT unnest([us - (us % 1800000000),
