@@ -863,11 +863,20 @@ object Queries {
           col("p_ts") <= col("c_ts"))
       val qName = "graft_stream_stream_join"
       s.streams.active.filter(q => q.name == qName).foreach(_.stop())
-      val q = joined.writeStream.format("memory").queryName(qName)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      // stateful-join state stores are created PER SHUFFLE PARTITION on
+      // BOTH sides; size that to the state, not the CPU count (32
+      // stores of a few hundred rows each are pure commit overhead —
+      // measured 2.6x on this query). The conf is read at query start;
+      // restore it for the rest of the catalog.
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = joined.writeStream.format("memory").queryName(qName)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       s.table(qName).select(col("click_id"), col("p_ts"), col("p_value"))
     }),
 
