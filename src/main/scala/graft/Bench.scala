@@ -66,10 +66,14 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"queries":$fullQs,"sf":"$sfDir"}"""
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_FULL.json"),
-      (fullLine + "\n").getBytes("UTF-8"))
-    catch { case t: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: $t") }
+    // only a FULL-suite run may overwrite the committed artifact — a
+    // targeted SPARK_GRAFT_BENCH_ONLY iteration must not clobber it
+    // (r6 shipped a 1-query BENCH_FULL.json exactly that way)
+    if (only.isEmpty)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_FULL.json"),
+        (fullLine + "\n").getBytes("UTF-8"))
+      catch { case t: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: $t") }
     val headline = Seq(
       "q1_agg", "sjoin_points_in_diamonds", "sjoin_lines", "sjoin_knn",
       "sjoin_nearest", "minhash_dup_pairs", "jaccard_dup_pairs",

@@ -795,6 +795,94 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /**
+   * Sorted-neighborhood near-duplicate pairs (the record-linkage
+   * blocking classic): order the corpus by (simhash64, id) and compare
+   * each row only against the next `windowSize` rows in that global
+   * order, keeping pairs within `maxHamming` bits. Near-identical
+   * fingerprints sort adjacently, so a tiny window catches them without
+   * any banding — the complement to [[simhashDupPairs]]'s pigeonhole
+   * blocking (which guarantees recall at the radius but pays
+   * `maxHamming+1` band joins; the sorted pass pays ONE sort and a
+   * linear O(n·w) candidate set, trading guaranteed recall for
+   * prefix-locality recall).
+   *
+   * Scale shape: the global order comes from [[graft.tools.Ranks]]'s
+   * two-pass range-partitioned rank (no single-task window anywhere);
+   * candidates are an equi-join of the slim (rank, id, fp) projection
+   * against itself on `rank + offset` — offsets explode only the probe
+   * side by `windowSize` (w is 3-10 in practice), and the join keys are
+   * dense longs. Nothing but 16-byte rows ever shuffles.
+   */
+  def sortedNeighborPairs(df: DataFrame, idCol: String, textCol: String,
+                          ngram: Int = 3, windowSize: Int = 4,
+                          maxHamming: Int = 3,
+                          numPartitions: Int = 32): DataFrame = {
+    val (pairs, release) = sortedNeighborPairsWithRelease(df, idCol, textCol,
+      ngram, windowSize, maxHamming, numPartitions)
+    // materialize before dropping the rank cache the plan depends on
+    val out = pairs.localCheckpoint(true)
+    release()
+    out
+  }
+
+  /** [[sortedNeighborPairs]] as a lazy frame + unpersist handle (the
+    * minhashDupPairsWithRelease convention): call `release()` only
+    * after consuming the result. */
+  def sortedNeighborPairsWithRelease(df: DataFrame, idCol: String,
+                                     textCol: String, ngram: Int = 3,
+                                     windowSize: Int = 4, maxHamming: Int = 3,
+                                     numPartitions: Int = 32)
+      : (DataFrame, () => Unit) = {
+    val fps = df.select(col(idCol), simhash64(col(textCol), ngram).as("__fp"))
+    val (ranked, release) = graft.tools.Ranks.globalRowNumberWithRelease(
+      fps, "__rn", numPartitions, col("__fp"), col(idCol))
+    val slim = ranked.select(col("__rn"), col(idCol), col("__fp"))
+    val probe = slim
+      .select(col(idCol).as("id_a"), col("__fp").as("__fp_a"),
+        explode(sequence(col("__rn") + 1, col("__rn") + windowSize)).as("__rn"))
+    val cand = slim
+      .select(col("__rn"), col(idCol).as("id_b"), col("__fp").as("__fp_b"))
+    val pairs = probe.join(cand, "__rn")
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        bit_count(col("__fp_a").bitwiseXOR(col("__fp_b"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      // a pair can meet at several offsets only if fingerprints repeat
+      // in the overlap window; one row per pair either way
+      .distinct()
+    (pairs, release)
+  }
+
+  /**
+   * Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+   * algorithm): the minimum gram hash of every `window` consecutive
+   * token-`ngram` hashes, deduplicated per document. The selection
+   * guarantee: any two documents sharing a run of at least
+   * `window + ngram - 1` tokens share at least one fingerprint — the
+   * position-robust sampling that plain every-Nth gram sampling lacks.
+   * Density is ~2/(window+1) of all grams.
+   *
+   * A NARROW one-pass plan: fused gram hashing, per-row window minima
+   * over the hash array, distinct + explode — no shuffle at any size.
+   * (Pair generation over the fingerprints is then a plain equi-join on
+   * `fp`, the same shape as the other gram-keyed dedup paths.)
+   */
+  def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
+                            ngram: Int = 4, window: Int = 4,
+                            seed: Long = 42L): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val withGh = df.select(col(idCol),
+      token_ngram_hashes(col(textCol), ngram, seed).as("__gh"))
+    val wins = when(size(col("__gh")) >= window,
+        array_distinct(transform(
+          sequence(lit(0), size(col("__gh")) - window),
+          i => array_min(slice(col("__gh"), i + 1, lit(window))))))
+      .otherwise(when(size(col("__gh")) > 0, array(array_min(col("__gh"))))
+        .otherwise(array().cast("array<bigint>")))
+    withGh.select(col(idCol), explode(wins).as("fp"))
+  }
+
   /** Embedding near-duplicate pairs: SRP-LSH bucket join + cosine refine.
     * Same LSH shape as minhash (shuffle on bucket bits). */
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,

@@ -73,6 +73,40 @@ object Retrieval {
   }
 
   /**
+   * Ranking-quality metrics over a top-k retrieval result: per query,
+   * the rank of the first RELEVANT hit within the top `k`, rolled up to
+   * the corpus-level (n_queries, n_hit, Σ reciprocal-rank) — the
+   * retrieval-eval counterpart of the eval-decontamination ops. MRR is
+   * staged as ppm integers (`1e6 div first_rank`) so the aggregate is
+   * exact and order-independent cross-engine; divide by n_queries at
+   * the consumer for the conventional [0,1] figure.
+   *
+   * Scale shape: the relevance table is eval-set-sized (small by
+   * construction) — it broadcasts; the top-k frame carries ≤ k rows per
+   * query. One (query, doc) hash join + one per-query min + one global
+   * aggregate. Queries with NO relevant hit in the top-k contribute 0
+   * through the left join (they must still count in n_queries — the
+   * inner-join formulation silently inflates MRR).
+   */
+  def mrrAtK(topk: DataFrame, qidCol: String, docCol: String, rankCol: String,
+             relevance: DataFrame, relQidCol: String, relDocCol: String,
+             k: Int = 10): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val hits = topk.where(col(rankCol) <= k)
+      .join(broadcast(relevance.select(col(relQidCol).as("__rq"),
+        col(relDocCol).as("__rd"))),
+        col(qidCol) === col("__rq") && col(docCol) === col("__rd"))
+      .groupBy(col(qidCol).as("qid"))
+      .agg(min(col(rankCol)).as("first_rank"))
+    relevance.select(col(relQidCol).as("qid")).distinct()
+      .join(hits, Seq("qid"), "left")
+      .agg(count(lit(1)).as("n_queries"),
+        count(col("first_rank")).as("n_hit"),
+        coalesce(sum(expr("1000000 div first_rank")), lit(0L))
+          .as("sum_rr_ppm"))
+  }
+
+  /**
    * K-means ASSIGNMENT over an embedding column against a fixed
    * centroid table — the clustering pass of topic bucketing / IVF-style
    * partitioning, exposed as its own operator.

@@ -114,6 +114,45 @@ object Sketches {
   }
 
   /**
+   * Key-skew profile: the distribution of per-key row counts as
+   * long-form (metric, value) rows — n_rows, n_keys, max_n, the
+   * hottest key's ppm share, and exact count quantiles. THE diagnostic
+   * before any keyed shuffle at scale: it answers "does this key need
+   * salting / AQE skew handling" with numbers instead of a failed
+   * stage. All-integer output (shares staged as ppm via integer
+   * division) so the profile is hash-exact cross-engine.
+   *
+   * Scale shape: one keyed aggregate builds the counts table (map-side
+   * partials absorb the skew being measured — a hot key arrives
+   * pre-combined), then one tiny aggregate + the distributed exact
+   * quantile machinery over |keys| rows. Nothing driver-side beyond
+   * the |probs|+4 result rows.
+   */
+  def keySkewProfile(df: DataFrame, key: Column,
+                     probs: Seq[Double] = Seq(0.5, 0.9, 0.99),
+                     numPartitions: Int = 32): DataFrame = {
+    val counts = df.groupBy(key.as("__k")).agg(count(lit(1)).as("n")).persist()
+    val qs = exactQuantiles(counts, col("n"), probs, numPartitions)
+      .select(concat(lit("p"), (col("prob") * 100).cast("int").cast("string"),
+          lit("_n")).as("metric"),
+        col("quantile").cast("long").as("value"))
+    val stats = counts
+      .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
+        max(col("n")).as("max_n"))
+      .select(explode(map(
+        lit("n_keys"), col("n_keys"),
+        lit("n_rows"), col("n_rows"),
+        lit("max_n"), col("max_n"),
+        lit("top1_share_ppm"), expr("(1000000 * max_n) div n_rows"))))
+      .select(col("key").as("metric"), col("value"))
+    // both branches are already materialized or tiny; pin before
+    // dropping the counts cache they both read
+    val out = stats.unionAll(qs).localCheckpoint(true)
+    counts.unpersist(false)
+    out
+  }
+
+  /**
    * EXACT discrete per-group quantiles: rank within each group by a
    * group-partitioned window (distributed across groups; skew bound =
    * largest single group), |probs| broadcast rows per input row,

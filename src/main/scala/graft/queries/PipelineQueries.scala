@@ -302,6 +302,20 @@ object PipelineQueries {
         .select(col("id_a"), col("id_b"))
     }),
 
+    // Sorted-neighborhood blocking (the record-linkage classic) as a
+    // THIRD near-dup path next to LSH banding and prefix filtering:
+    // global (simhash64, id) order via the distributed two-pass rank
+    // (no single-task window), each row compared against only the next
+    // 4 rows of that order. The DuckDB oracle replays fingerprint,
+    // rank, window join, and hamming bit-for-bit — the whole method is
+    // under the hash gate, planted copies included.
+    "sorted_neighbor_pairs" -> ((s, dir) => {
+      Dedup.sortedNeighborPairs(docsWithPlanted(s, dir), "doc_id", "text",
+          ngram = 3, windowSize = 4, maxHamming = 3)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("long").as("hamming"))
+    }),
+
     // FULL differential oracle for the simhash core: DuckDB replays the
     // token byte-hash, the 3-token gram polyFold, both mix64 finishers,
     // and the 64 per-bit ±1 votes in HUGEINT arithmetic — every
@@ -1100,6 +1114,39 @@ object PipelineQueries {
           col("rank"))
     }),
 
+    // retrieval EVAL on top of bm25_topk: each probe's source doc is its
+    // relevant answer; MRR@10 staged as exact ppm integers. The oracle
+    // replays the whole bm25 chain plus the metric roll-up.
+    "bm25_mrr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val probes = docs.where(col("doc_id") % 100 === 7)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(regexp_extract_all(col("text"), lit("\\S+"),
+            lit(0)), 1, 3), " ").as("qtext"))
+      val topk = Retrieval.bm25TopK(docs, "doc_id", "text", probes,
+        "query_id", "qtext")
+      val rel = probes.select(col("query_id"), col("query_id").as("rel_doc"))
+      Retrieval.mrrAtK(topk, "query_id", "id", "rank", rel,
+        "query_id", "rel_doc", k = 10)
+    }),
+
+    // Winnowing fingerprints (the MOSS algorithm): min gram hash per
+    // hash window, per-doc distinct — position-robust fingerprint
+    // sampling with the shared-run guarantee. A fully NARROW plan; the
+    // oracle replays gram hashing (the seed-42 chain both simhash and
+    // minhash already gate) plus the window minima and the short-doc
+    // degenerate case.
+    "winnow_fingerprints" -> ((s, dir) => {
+      Dedup.winnowingFingerprints(t(s, dir, "documents"), "doc_id", "text",
+        ngram = 4, window = 4)
+    }),
+
+    // Key-skew profile over the event stream's user key: per-key count
+    // quantiles, hottest-key ppm share — the pre-shuffle skew
+    // diagnostic as a first-class operator, exact integers end to end.
+    "key_skew_profile" -> ((s, dir) =>
+      Sketches.keySkewProfile(t(s, dir, "events"), col("user_id"))),
+
     // k-means ASSIGNMENT over embeddings against a deterministic
     // 8-centroid table (topic bucketing / IVF partitioning as its own
     // operator): quantized int64 distances, argmin folded per-row over
@@ -1555,11 +1602,11 @@ object PipelineQueries {
     * the gram's token hashes → mix64). The prefix both the simhash and
     * minhash differential oracles replay. Must follow a
     * `WITH RECURSIVE ${Fp.powsCte(...)}` header (uses `pw`). */
-  private def gramHashCtes(ngram: Int): String =
+  private def gramHashCtes(ngram: Int, src: String = "documents"): String =
     s"""toks AS (
          SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS pos
          FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
-               FROM documents)),
+               FROM $src)),
        toks2 AS (SELECT doc_id, tok, pos FROM toks WHERE tok <> ''),
        traw AS (
          SELECT doc_id, pos,
@@ -1586,17 +1633,51 @@ object PipelineQueries {
 
   private val signedMax = "9223372036854775808" // 2^63
 
+  /** Shared replay of the bm25TopK pipeline (tf/idf/dl/score/rank)
+    * ending in `ranked(query_id, doc_id, score, rank)` — the bm25_topk
+    * oracle and the bm25_mrr metric roll-up both build on it. */
+  private val bm25Ctes: String =
+    """WITH tf AS (
+         SELECT doc_id AS id, term, count(*) AS tf
+         FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+               FROM documents)
+         GROUP BY 1, 2),
+       n AS (SELECT count(*) AS n FROM documents),
+       idf AS (
+         SELECT term,
+                length(bin((SELECT n FROM n) // df)) - 1 + 1 AS idf
+         FROM (SELECT term, count(*) AS df FROM tf GROUP BY term)),
+       dl AS (SELECT id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY id),
+       qt AS (
+         SELECT doc_id AS query_id,
+                unnest(list_distinct(regexp_extract_all(text, '\S+')[1:3])) AS term
+         FROM documents WHERE doc_id % 100 = 7),
+       sc AS (
+         SELECT q.query_id, t.id,
+                CAST(sum(t.tf * i.idf) AS BIGINT) AS num
+         FROM tf t JOIN idf i USING (term) JOIN qt q USING (term)
+         GROUP BY 1, 2),
+       ranked AS (
+         SELECT s.query_id, s.id AS doc_id,
+                (1000 * s.num) // (50 + d.dl) AS score,
+                row_number() OVER (
+                  PARTITION BY s.query_id
+                  ORDER BY (1000 * s.num) // (50 + d.dl) DESC, s.id) AS rank
+         FROM sc s JOIN dl d USING (id))"""
+
   // simhash64 replay: per-bit ±1 votes over the gram hashes, sign of
   // each vote-sum sets the bit. Bit tests and reconstruction go through
   // a power-of-two table (HUGEINT // 2^b parity — no shift-semantics
   // dependence); docs with < ngram tokens have zero grams → fingerprint
   // 0, exactly the Scala empty-counts path.
-  private val simhashOracle: String =
-    s"""WITH RECURSIVE ${Fp.powsCte(4096)},
-       p2(b, v) AS (
+  /** CTE chain from `src(doc_id, text)` to `sims(doc_id, simhash)` —
+    * the full simhash64 replay. Must follow a
+    * `WITH RECURSIVE ${Fp.powsCte(...)}` header. */
+  private def simhashCtes(src: String): String =
+    s"""p2(b, v) AS (
          SELECT 0, CAST(1 AS HUGEINT)
          UNION ALL SELECT b + 1, v * 2 FROM p2 WHERE b < 63),
-       ${gramHashCtes(3)},
+       ${gramHashCtes(3, src)},
        bits AS (
          SELECT g.doc_id, p2.b,
                 SUM(CASE WHEN (CAST(g.gfp AS HUGEINT) // p2.v) % 2 = 1
@@ -1607,12 +1688,39 @@ object PipelineQueries {
          SELECT bits.doc_id,
                 SUM(CASE WHEN vote > 0 THEN p2.v ELSE CAST(0 AS HUGEINT) END) AS u
          FROM bits JOIN p2 USING (b)
-         GROUP BY bits.doc_id)
-       SELECT d.doc_id,
-              COALESCE(CAST(CASE WHEN f.u >= $signedMax
-                                 THEN f.u - ${Fp.MOD} ELSE f.u END AS BIGINT),
-                       0) AS simhash
-       FROM documents d LEFT JOIN fp f ON f.doc_id = d.doc_id"""
+         GROUP BY bits.doc_id),
+       sims AS (
+         SELECT d.doc_id,
+                COALESCE(CAST(CASE WHEN f.u >= $signedMax
+                                   THEN f.u - ${Fp.MOD} ELSE f.u END AS BIGINT),
+                         0) AS simhash
+         FROM $src d LEFT JOIN fp f ON f.doc_id = d.doc_id)"""
+
+  private val simhashOracle: String =
+    s"""WITH RECURSIVE ${Fp.powsCte(4096)},
+       ${simhashCtes("documents")}
+       SELECT doc_id, simhash FROM sims"""
+
+  // sorted-neighborhood replay: the SAME fingerprint chain over the
+  // planted corpus, then row_number over (simhash, doc_id) and a
+  // rank-window self-join — rank, window, hamming all bit-for-bit
+  private val sortedNeighborOracle: String =
+    s"""WITH RECURSIVE ${Fp.powsCte(4096)},
+       docs AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0),
+       ${simhashCtes("docs")},
+       ranked AS (
+         SELECT doc_id, simhash,
+                row_number() OVER (ORDER BY simhash, doc_id) AS rn
+         FROM sims)
+       SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+              greatest(a.doc_id, b.doc_id) AS id_b,
+              CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       FROM ranked a JOIN ranked b
+         ON b.rn BETWEEN a.rn + 1 AND a.rn + 4
+       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
 
   // minhash signature replay: h_j = h1 + j*h2 (mod 2^64) with
   // h1 = mix64(g ^ seedA), h2 = mix64(g ^ seedB) | 1, minimized over
@@ -2608,6 +2716,46 @@ object PipelineQueries {
     "ann_pq_exact" -> bruteForceCosineOracle,
     "doc_fingerprint64" -> fingerprintOracle,
     "simhash_fingerprints" -> simhashOracle,
+    "sorted_neighbor_pairs" -> sortedNeighborOracle,
+    // winnowing replay: the seed-42 gram-hash chain (ngram=4), then the
+    // min over each 4-hash window as a ROWS window frame; start
+    // positions run to m-3 (or just 1 when a doc has fewer than 4
+    // grams — the frame then truncates to "min of all", the same
+    // degenerate case the Scala side special-cases)
+    "winnow_fingerprints" ->
+      s"""WITH RECURSIVE ${Fp.powsCte(4096)},
+         ${gramHashCtes(4)},
+         gsig AS (
+           SELECT doc_id, gpos,
+                  CAST(CASE WHEN CAST(gfp AS HUGEINT) >= $signedMax
+                            THEN CAST(gfp AS HUGEINT) - ${Fp.MOD}
+                            ELSE CAST(gfp AS HUGEINT) END AS BIGINT) AS h
+           FROM ghash),
+         wins AS (
+           SELECT doc_id, gpos,
+                  min(h) OVER (PARTITION BY doc_id ORDER BY gpos
+                               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+                  count(*) OVER (PARTITION BY doc_id) AS m
+           FROM gsig)
+         SELECT DISTINCT doc_id, fp FROM wins
+         WHERE gpos <= greatest(m - 3, 1)""",
+    "key_skew_profile" ->
+      """WITH counts AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+         stats AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                          CAST(sum(n) AS BIGINT) AS n_rows,
+                          CAST(max(n) AS BIGINT) AS max_n
+                   FROM counts)
+         SELECT 'n_keys' AS metric, n_keys AS value FROM stats
+         UNION ALL SELECT 'n_rows', n_rows FROM stats
+         UNION ALL SELECT 'max_n', max_n FROM stats
+         UNION ALL SELECT 'top1_share_ppm', (1000000 * max_n) // n_rows
+           FROM stats
+         UNION ALL SELECT 'p50_n', CAST(quantile_disc(n, 0.5) AS BIGINT)
+           FROM counts
+         UNION ALL SELECT 'p90_n', CAST(quantile_disc(n, 0.9) AS BIGINT)
+           FROM counts
+         UNION ALL SELECT 'p99_n', CAST(quantile_disc(n, 0.99) AS BIGINT)
+           FROM counts""",
     "minhash_signatures" -> minhashSignaturesOracle,
     // the real-PNG fixture dimensions are pure id arithmetic
     "multimodal_png_decode" ->
@@ -2699,36 +2847,26 @@ object PipelineQueries {
          SELECT t.term, d.df, t.doc_id, t.tf
          FROM tf t JOIN dfq d USING (term)""",
     "bm25_topk" ->
-      """WITH tf AS (
-           SELECT doc_id AS id, term, count(*) AS tf
-           FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
-                 FROM documents)
-           GROUP BY 1, 2),
-         n AS (SELECT count(*) AS n FROM documents),
-         idf AS (
-           SELECT term,
-                  length(bin((SELECT n FROM n) // df)) - 1 + 1 AS idf
-           FROM (SELECT term, count(*) AS df FROM tf GROUP BY term)),
-         dl AS (SELECT id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY id),
-         qt AS (
-           SELECT doc_id AS query_id,
-                  unnest(list_distinct(regexp_extract_all(text, '\S+')[1:3])) AS term
-           FROM documents WHERE doc_id % 100 = 7),
-         sc AS (
-           SELECT q.query_id, t.id,
-                  CAST(sum(t.tf * i.idf) AS BIGINT) AS num
-           FROM tf t JOIN idf i USING (term) JOIN qt q USING (term)
-           GROUP BY 1, 2),
-         ranked AS (
-           SELECT s.query_id, s.id AS doc_id,
-                  (1000 * s.num) // (50 + d.dl) AS score,
-                  row_number() OVER (
-                    PARTITION BY s.query_id
-                    ORDER BY (1000 * s.num) // (50 + d.dl) DESC, s.id) AS rank
-           FROM sc s JOIN dl d USING (id))
+      s"""$bm25Ctes
          SELECT query_id, doc_id, CAST(score AS BIGINT) AS score,
                 CAST(rank AS BIGINT) AS rank
          FROM ranked WHERE rank <= 10""",
+    // MRR replay on top of the SAME bm25 chain: first relevant rank per
+    // query (relevant == the doc the query was cut from), left-joined
+    // so missed queries still count in n_queries
+    "bm25_mrr" ->
+      s"""$bm25Ctes,
+         hits AS (
+           SELECT query_id, min(rank) AS first_rank
+           FROM ranked WHERE rank <= 10 AND doc_id = query_id
+           GROUP BY query_id),
+         qs AS (SELECT DISTINCT doc_id AS query_id FROM documents
+                WHERE doc_id % 100 = 7)
+         SELECT count(*) AS n_queries,
+                count(h.first_rank) AS n_hit,
+                COALESCE(CAST(sum(1000000 // h.first_rank) AS BIGINT), 0)
+                  AS sum_rr_ppm
+         FROM qs LEFT JOIN hits h USING (query_id)""",
     "kmeans_assign" ->
       """WITH q AS (
            SELECT vec_id,

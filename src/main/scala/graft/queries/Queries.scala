@@ -737,6 +737,54 @@ object Queries {
         .limit(10)
     }),
 
+    // TPC-H Q5 shape (local-supplier volume): 6-way snowflake join with
+    // a region filter and a one-year date band. Plan shape that must
+    // hold at 100 TB: region⋈nation⋈supplier and nation⋈customer are
+    // broadcast dims; lineitem joins orders on its own key; revenue is
+    // integer-staged (cents × discount-hundredths) so the Σ per nation
+    // is order-independent and cross-engine exact.
+    "q5_local_supplier" -> ((s, dir) => {
+      val lo = lit("1996-01-01").cast("timestamp")
+      val hi = lit("1997-01-01").cast("timestamp")
+      val nat = t(s, dir, "nation").join(
+        t(s, dir, "region").where(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val sup = t(s, dir, "supplier")
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val ord = t(s, dir, "orders")
+        .where(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev"))
+      li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("rev")).as("revenue_i"))
+    }),
+
+    // TPC-H Q18 shape (large-volume customers): reduce-before-join —
+    // the lineitem fact collapses to per-order quantity sums FIRST
+    // (shuffle ∝ distinct orders, and the HAVING filter then drops
+    // ~97% of them before any join), then joins orders + customer.
+    // Quantities are integer-valued doubles → cast to long for exact
+    // cross-engine sums.
+    "q18_large_orders" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+        .where(col("total_qty") > 150)
+      big.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("total_qty"))
+    }),
+
     // SURVEY §2.4 inherited aggregates: CUBE over two dims (subtotals +
     // grand total in one pass — Expand + partial aggregation).
     "cube_agg" -> ((s, dir) => {
@@ -808,6 +856,22 @@ object Queries {
           max(col("value")).as("vmax"))
         .select(col("window.start").as("win_start"), col("event_type"),
           col("n"), col("vmin"), col("vmax"))
+    }),
+
+    // Per-user event-type transition counts (the Markov-chain /
+    // next-event-prediction training table): ONE user-keyed shuffle,
+    // lead() within each user's (ts, event_id) total order, then a
+    // (from, to) aggregate. The window never spans users, so state is
+    // bounded by the busiest user, not the stream.
+    "event_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      EventTs.toTimestamp(t(s, dir, "events"))
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .where(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
     }),
 
     // The STREAMING execution path under the DuckDB gate: the same
@@ -1696,6 +1760,35 @@ object Queries {
          GROUP BY 1, 2, 3
          ORDER BY revenue_i DESC, l_orderkey
          LIMIT 10""",
+    "q5_local_supplier" ->
+      """SELECT n_name,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                         (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                     AS BIGINT) AS revenue_i
+         FROM lineitem, supplier, orders, customer, nation, region
+         WHERE l_suppkey = s_suppkey AND l_orderkey = o_orderkey
+           AND o_custkey = c_custkey AND s_nationkey = c_nationkey
+           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+           AND r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY n_name""",
+    "q18_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, total_qty
+         FROM (SELECT l_orderkey,
+                      CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+               FROM lineitem GROUP BY l_orderkey
+               HAVING sum(CAST(l_quantity AS BIGINT)) > 150) b
+         JOIN orders ON b.l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey""",
+    "event_transitions" ->
+      """SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+         FROM (SELECT event_type,
+                      lead(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS next_type
+               FROM events)
+         WHERE next_type IS NOT NULL
+         GROUP BY 1, 2""",
     "join_agg_nation" ->
       """SELECT n_name, count(*) AS n, sum(l_quantity) AS qty
          FROM lineitem, orders, customer, nation

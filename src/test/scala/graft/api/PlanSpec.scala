@@ -194,6 +194,22 @@ class PlanSpec extends AnyFunSuite {
       s"q-gram blocking, length-band residue and refine joins must all hash:\n$plan")
   }
 
+  test("sorted-neighborhood pairs: rank join hashes, no single-task window") {
+    val docs = (0 until 400).map(i => (i.toLong, s"w${i % 37} x${i % 11} y z a b"))
+      .toDF("doc_id", "text")
+    val (pairs, release) = graft.pipeline.Dedup.sortedNeighborPairsWithRelease(
+      docs, "doc_id", "text", ngram = 3, windowSize = 4, maxHamming = 5,
+      numPartitions = 4)
+    try {
+      val plan = finalPlan(pairs)
+      assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+        s"the rank-offset candidate join must be a hash join:\n$plan")
+      // the global order must come from the two-pass rank, not a
+      // one-task global window
+      assert(!plan.contains("Window"), s"no window operator expected:\n$plan")
+    } finally release()
+  }
+
   test("cross-corpus near-dedup plans hash joins end to end") {
     val corpus = (0 until 200).map(i => (i.toLong, s"alpha beta gamma ${i % 20} delta"))
       .toDF("doc_id", "text")

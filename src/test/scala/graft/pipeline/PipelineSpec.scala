@@ -214,6 +214,79 @@ class PipelineSpec extends AnyFunSuite {
     assert(!m.contains((3L, 5L)))
   }
 
+  test("sorted-neighborhood pairs: exact dup adjacent at hamming 0") {
+    val pairs = Dedup.sortedNeighborPairs(corpus, "doc_id", "text",
+        ngram = 3, windowSize = 2, maxHamming = 3, numPartitions = 4)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    // identical fingerprints sort adjacently — the exact dup MUST pair
+    assert(m.get((1L, 4L)).contains(0))
+    assert(pairs.forall(_._3 <= 3))
+  }
+
+  test("sorted-neighborhood pairs == single-threaded model on random docs") {
+    val rnd = new scala.util.Random(11)
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val docs = (0L until 60L).map { i =>
+      val base = Seq.fill(8)(words(rnd.nextInt(words.length))).mkString(" ")
+      (i, base)
+    }
+    val df = docs.toDF("doc_id", "text").repartition(5)
+    val w = 3
+    val got = Dedup.sortedNeighborPairs(df, "doc_id", "text",
+        ngram = 3, windowSize = w, maxHamming = 5, numPartitions = 4)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    // model: fingerprint via the same expression, sort, windowed scan
+    val fps = df.select(col("doc_id"), simhash64(col("text"), 3).as("f"))
+      .as[(Long, Long)].collect().sortBy(p => (p._2, p._1))
+    val want = (for {
+      i <- fps.indices
+      j <- (i + 1) to math.min(i + w, fps.length - 1)
+      h = java.lang.Long.bitCount(fps(i)._2 ^ fps(j)._2)
+      if h <= 5
+    } yield (math.min(fps(i)._1, fps(j)._1),
+             math.max(fps(i)._1, fps(j)._1), h)).toSet
+    assert(got == want)
+  }
+
+  test("winnowing: shared run >= window+ngram-1 tokens shares a fingerprint") {
+    val shared = "one two three four five six seven eight" // 8 tokens >= 4+4-1
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, s"epsilon zeta eta $shared theta"),
+      (3L, "entirely different words with no common run at all here")
+    ).toDF("doc_id", "text")
+    val fps = Dedup.winnowingFingerprints(docs, "doc_id", "text",
+        ngram = 4, window = 4)
+      .as[(Long, Long)].collect().groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    assert((fps(1L) intersect fps(2L)).nonEmpty, "guarantee violated")
+    assert((fps(1L) intersect fps(3L)).isEmpty)
+  }
+
+  test("winnowing == single-threaded model incl. short docs") {
+    val rnd = new scala.util.Random(13)
+    val words = Seq("aa", "bb", "cc", "dd", "ee")
+    val docs = (0L until 40L).map { i =>
+      val len = rnd.nextInt(9) // 0..8 tokens: exercises empty/short/long
+      (i, Seq.fill(len)(words(rnd.nextInt(words.length))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text").repartition(3)
+    val got = Dedup.winnowingFingerprints(df, "doc_id", "text",
+        ngram = 2, window = 3)
+      .as[(Long, Long)].collect().toSet
+    val ghs = df.select(col("doc_id"),
+        token_ngram_hashes(col("text"), 2, 42L).as("g"))
+      .as[(Long, Seq[Long])].collect()
+    val want = ghs.flatMap { case (id, g) =>
+      val sel =
+        if (g.isEmpty) Seq.empty
+        else if (g.length < 3) Seq(g.min)
+        else g.sliding(3).map(_.min).toSeq
+      sel.distinct.map(id -> _)
+    }.toSet
+    assert(got == want)
+  }
+
   test("doc fingerprint is whitespace-invariant and text-sensitive") {
     val df = Seq(("a b c", 1), ("a  b\t c", 2), ("a b d", 3)).toDF("t", "i")
       .select(doc_fingerprint(col("t")).as("fp"), col("i"))

@@ -125,6 +125,22 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("mrrAtK: hits, misses, and beyond-k all counted correctly") {
+    // top-k table: q1 hits its doc at rank 2, q2 at rank 1, q3's doc
+    // only appears at rank 11 (beyond k), q4 absent entirely
+    val topk = Seq(
+      (1L, 10L, 1), (1L, 100L, 2), (2L, 200L, 1),
+      (3L, 300L, 11), (4L, 40L, 1)
+    ).toDF("query_id", "doc_id", "rank")
+    val rel = Seq((1L, 100L), (2L, 200L), (3L, 300L), (4L, 400L))
+      .toDF("query_id", "rel_doc")
+    val out = Retrieval.mrrAtK(topk, "query_id", "doc_id", "rank",
+        rel, "query_id", "rel_doc", k = 10)
+      .as[(Long, Long, Long)].collect().head
+    // 4 queries; hits: q1 rr=1/2, q2 rr=1; q3/q4 contribute 0
+    assert(out == ((4L, 2L, 500000L + 1000000L)))
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged") {
     val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
     val newSnap = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")

@@ -70,6 +70,20 @@ class SketchesSpec extends AnyFunSuite {
     new scala.util.Random(11).shuffle(rows).toDF("v").repartition(8)
   }
 
+  test("keySkewProfile: golden on a known-skew key distribution") {
+    // per-key counts: k0 -> 8, k1..k4 -> 4 each, k5..k14 -> 1 each
+    val rows = (0 until 8).map(_ => "k0") ++
+      (1 to 4).flatMap(k => Seq.fill(4)(s"k$k")) ++
+      (5 until 15).map(k => s"k$k")
+    val out = Sketches.keySkewProfile(rows.toDF("k").repartition(4), col("k"))
+      .as[(String, Long)].collect().toMap
+    // 15 keys, 34 rows, max 8; sorted counts: 1x10, 4x4, 8 ->
+    // p50 = 10th smallest = 1, p90 = ceil(.9*15)=14th = 4, p99 = 15th = 8
+    assert(out == Map("n_keys" -> 15L, "n_rows" -> 34L, "max_n" -> 8L,
+      "top1_share_ppm" -> (1000000L * 8 / 34),
+      "p50_n" -> 1L, "p90_n" -> 4L, "p99_n" -> 8L))
+  }
+
   test("exactTopK matches the exact groupBy answer under MG eviction") {
     val got = Sketches.exactTopK(zipf, col("v"), k = 15, capacity = 64)
       .as[(String, Long)].collect().toSeq
