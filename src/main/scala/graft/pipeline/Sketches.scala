@@ -114,6 +114,48 @@ object Sketches {
   }
 
   /**
+   * Exact moment statistics for the covariance matrix of a vector
+   * column (PCA / whitening / feature-drift prep): long-form
+   * (i, j, sum_xy, sum_xi, sum_xj, n) for the upper triangle, from
+   * which cov(i,j) = sum_xy/n − sum_xi·sum_xj/n². Values quantize to
+   * round(x·scale) integers first, so every sum is an exact
+   * order-independent integer (the embedding_centroids convention) —
+   * hash-stable cross-engine. Exactness contract: n·scale²·|x|² must
+   * stay below 2⁵³ (lower `scale` for larger corpora).
+   *
+   * Scale shape: ONE narrow projection computes the dim(dim+1)/2
+   * per-row products inside codegen, ONE aggregate (map-side partials
+   * via the element-wise vector_sum) collapses them; the only
+   * post-aggregate work is exploding a single row. Nothing about the
+   * corpus ever shuffles.
+   */
+  def vectorCovarianceStats(df: DataFrame, vecCol: String, dim: Int,
+                            scale: Double = 1000.0): DataFrame = {
+    require(dim >= 1, "dim must be >= 1")
+    val q = transform(col(vecCol), x => round(x.cast("double") * scale))
+    val prods = flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
+      transform(sequence(i, lit(dim - 1)), j =>
+        element_at(col("__q"), i + 1) * element_at(col("__q"), j + 1))))
+    val iIdx = (0 until dim).flatMap(i => (i until dim).map(_ => i.toLong))
+    val jIdx = (0 until dim).flatMap(i => (i until dim).map(_.toLong))
+    df.select(q.as("__q"))
+      .select(col("__q"), prods.as("__p"))
+      .agg(graft.pipeline.Tx.vector_sum(col("__p")).as("__sp"),
+        graft.pipeline.Tx.vector_sum(col("__q")).as("__sx"),
+        count(lit(1)).as("n"))
+      .select(posexplode(col("__sp")), col("__sx"), col("n"))
+      .select(element_at(typedLit(iIdx), col("pos") + 1).as("i"),
+        element_at(typedLit(jIdx), col("pos") + 1).as("j"),
+        col("col").cast("long").as("sum_xy"), col("__sx"), col("n"))
+      .select(col("i"), col("j"), col("sum_xy"),
+        element_at(col("__sx"), col("i").cast("int") + 1).cast("long")
+          .as("sum_xi"),
+        element_at(col("__sx"), col("j").cast("int") + 1).cast("long")
+          .as("sum_xj"),
+        col("n"))
+  }
+
+  /**
    * Key-skew profile: the distribution of per-key row counts as
    * long-form (metric, value) rows — n_rows, n_keys, max_n, the
    * hottest key's ppm share, and exact count quantiles. THE diagnostic

@@ -679,6 +679,29 @@ object PipelineQueries {
     // identical results by the same oracle (salt-invariance is the
     // correctness claim), different plan (skew-defeating (key, salt)
     // exchange + partial combine, plan-gated in PlanSpec)
+    // Skew-defeating REPLICATED JOIN (fact×dim with a hot fact key):
+    // same oracle as the direct relational join — salt-invariance at
+    // the join level is the checked property, next to the aggregate-
+    // level salting of salted_domain_counts
+    "salted_join_counts" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"))
+      val dim = t(s, dir, "events").select(col("user_id")).distinct()
+        .select(col("user_id"), (col("user_id") % 7).as("cohort"))
+      graft.tools.Salted.saltedJoin(ev, dim, "user_id",
+          saltFromCol = "event_id", salts = 8)
+        .groupBy(col("cohort"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // Exact covariance-matrix moments over the embedding column (PCA /
+    // whitening prep): upper-triangle (i, j, sum_xy, sum_xi, sum_xj, n)
+    // in quantized exact integers — one narrow products projection, one
+    // vector_sum aggregate, corpus never shuffles
+    "embedding_covariance" -> ((s, dir) =>
+      Sketches.vectorCovarianceStats(t(s, dir, "embeddings"), "embedding",
+        dim = 64)),
+
     "salted_domain_counts" -> ((s, dir) => {
       val id = col("doc_id")
       val planted = concat(col("text"),
@@ -2739,6 +2762,26 @@ object PipelineQueries {
            FROM gsig)
          SELECT DISTINCT doc_id, fp FROM wins
          WHERE gpos <= greatest(m - 3, 1)""",
+    "salted_join_counts" ->
+      """SELECT user_id % 7 AS cohort, event_type, count(*) AS n
+         FROM events GROUP BY 1, 2""",
+    "embedding_covariance" ->
+      """WITH q AS (
+           SELECT list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+           FROM embeddings),
+         idx AS (SELECT i.i AS i, j.j AS j
+                 FROM range(0, 64) i(i), range(0, 64) j(j) WHERE j.j >= i.i),
+         pr AS (SELECT idx.i, idx.j,
+                       CAST(sum(q.v[idx.i + 1] * q.v[idx.j + 1]) AS BIGINT)
+                         AS sum_xy
+                FROM q CROSS JOIN idx GROUP BY 1, 2),
+         sx AS (SELECT i.i AS i, CAST(sum(q.v[i.i + 1]) AS BIGINT) AS s
+                FROM q CROSS JOIN range(0, 64) i(i) GROUP BY 1),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)
+         SELECT p.i, p.j, p.sum_xy, a.s AS sum_xi, b.s AS sum_xj,
+                (SELECT n FROM nn) AS n
+         FROM pr p JOIN sx a ON a.i = p.i JOIN sx b ON b.i = p.j""",
     "key_skew_profile" ->
       """WITH counts AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
          stats AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,

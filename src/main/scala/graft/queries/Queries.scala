@@ -998,6 +998,33 @@ object Queries {
       s.table(qName).select(col("docId").as("doc_id"))
     }),
 
+    // Streaming BUILT-IN dedup state under the DuckDB gate:
+    // dropDuplicatesWithinWatermark keyed on the text itself (the
+    // zero-custom-code bounded-state twin of dedupFirstSeen). The
+    // surviving doc_id among same-batch duplicates is arbitrary, so the
+    // gated output is the deterministic survivor KEY SET: the distinct
+    // texts of the planted corpus.
+    "stream_dedup_watermark" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      def src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .select(col("doc_id"), col("text"))
+      val planted = src.unionAll(
+        src.where(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        .withColumn("ts", timestamp_micros(col("doc_id") * 1000000L))
+      val deduped = graft.streaming.Streams.dedupWithinWatermark(
+        planted, Seq("text"), "ts", "10 minutes")
+      val qName = "graft_stream_dedup_watermark"
+      s.streams.active.filter(q => q.name == qName).foreach(_.stop())
+      val q = deduped.writeStream.format("memory").queryName(qName)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qName).select(col("text"))
+    }),
+
     // Streaming INCREMENTAL DEDUP under the DuckDB gate: the unchanged
     // batch operator (Dedup.againstCorpus — hash + left_anti) applied
     // to a STREAMING new-batch against a STATIC corpus snapshot: the
@@ -1848,6 +1875,10 @@ object Queries {
     // texts are distinct — so first-seen keeps exactly the originals
     "stream_dedup_first_seen" ->
       "SELECT doc_id FROM documents",
+    // built-in watermark dedup: one survivor per distinct text (which
+    // doc_id survives is engine-arbitrary; the key set is not)
+    "stream_dedup_watermark" ->
+      "SELECT DISTINCT text FROM documents",
     // the streaming twin must land on the identical rollup (tumbling
     // 1-hour windows are epoch-aligned == date_trunc)
     "events_hourly_stream" ->

@@ -34,6 +34,35 @@ object Salted {
       .select(col("__k").as(keyCol), col("n"))
   }
 
+  /**
+   * Skew-defeating replicated equi-join: every `left` row carries a
+   * salt derived from a per-row column; every `right` row REPLICATES
+   * across all `salts` sub-keys, and the join runs on (key, salt) — a
+   * hot left key that would pin one reducer spreads across `salts`
+   * tasks. Results are IDENTICAL to `left.join(right, key)` (inner);
+   * only the plan changes.
+   *
+   * The cost contract: the right side shuffles `salts`× its size, so
+   * this is the pattern for a FACT×DIM join whose dim is modest but too
+   * big (or too mutable) to broadcast, with fact-side key skew AQE
+   * doesn't catch (e.g. aggregation state downstream of the join). For
+   * a right side that fits in memory, `broadcast()` beats salting;
+   * for two huge sides, salt only the detected hot keys instead
+   * (partial salting — compose from this by splitting the input).
+   * `right`'s join key must be UNIQUE (a dim contract — replication
+   * would otherwise double-join duplicates; enforced cheaply at plan
+   * time by the caller if needed).
+   */
+  def saltedJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                 saltFromCol: String, salts: Int = 16): DataFrame = {
+    require(salts >= 1, "salts must be >= 1")
+    val l = left.withColumn("__salt",
+      pmod(xxhash64(col(saltFromCol)), lit(salts.toLong)))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    l.join(r, Seq(keyCol, "__salt")).drop("__salt")
+  }
+
   /** Per-key sum via the salted two-stage plan (Long column). */
   def sumByKey(df: DataFrame, keyCol: String, valCol: String,
                saltFromCol: String, salts: Int = 16): DataFrame = {

@@ -70,6 +70,25 @@ class SketchesSpec extends AnyFunSuite {
     new scala.util.Random(11).shuffle(rows).toDF("v").repartition(8)
   }
 
+  test("vectorCovarianceStats == naive moments on random vectors") {
+    val rnd = new scala.util.Random(17)
+    val dim = 5
+    val vecs = (0 until 40).map(_ => Array.fill(dim)(rnd.nextInt(2001) / 1000.0 - 1.0))
+    val df = vecs.map(v => Tuple1(v)).toDF("vec").repartition(3)
+    val out = Sketches.vectorCovarianceStats(df, "vec", dim)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    val q = vecs.map(_.map(x => math.round(x * 1000)))
+    for (i <- 0 until dim; j <- i until dim) {
+      val sxy = q.map(v => v(i) * v(j)).sum
+      val si = q.map(_(i)).sum
+      val sj = q.map(_(j)).sum
+      assert(out((i.toLong, j.toLong)) == ((sxy, si, sj, 40L)),
+        s"moments at ($i,$j)")
+    }
+    assert(out.size == dim * (dim + 1) / 2)
+  }
+
   test("keySkewProfile: golden on a known-skew key distribution") {
     // per-key counts: k0 -> 8, k1..k4 -> 4 each, k5..k14 -> 1 each
     val rows = (0 until 8).map(_ => "k0") ++

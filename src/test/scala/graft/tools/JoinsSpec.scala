@@ -278,4 +278,16 @@ class JoinsSpec extends AnyFunSuite {
       assert(fast == brute, s"maxDist $d rareFirst $rare: ${fast.size} vs brute ${brute.size}")
     }
   }
+
+  test("saltedJoin == plain inner join, skewed fact key included") {
+    // fact: key 0 is hot (200 rows), keys 1..9 sparse; dim unique keys
+    val fact = ((0 until 200).map(i => (0L, i.toLong)) ++
+      (1 to 9).map(k => (k.toLong, 1000L + k))).toDF("k", "rid")
+    val dim = (0L until 10L).map(k => (k, s"label$k")).toDF("k", "label")
+    val got = Salted.saltedJoin(fact, dim, "k", saltFromCol = "rid", salts = 4)
+      .select("k", "rid", "label").as[(Long, Long, String)].collect().toSet
+    val want = fact.join(dim, "k")
+      .select("k", "rid", "label").as[(Long, Long, String)].collect().toSet
+    assert(got == want && got.size == 209)
+  }
 }
