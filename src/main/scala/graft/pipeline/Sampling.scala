@@ -95,6 +95,35 @@ object Sampling {
       .drop("__cd")
   }
 
+  /**
+   * Cross-source score calibration: map a raw per-row score to its
+   * WITHIN-GROUP quantile bucket (1..buckets), so scores from sources
+   * with different scales become comparable before mixing/filtering —
+   * "keep every source's top quartile" instead of one global threshold
+   * a well-scored source would monopolize. bucket =
+   * ceil(buckets·cume_dist), staged as pure integers
+   * ((buckets·cnt_le + n − 1) div n, ties high) so the mapping is
+   * hash-exact cross-engine.
+   *
+   * ONE shuffle on the group key; both window counts ride the same
+   * partitioning. Skew bound = largest single group (the usual
+   * group-window contract).
+   */
+  def quantileNormalizeByGroup(df: DataFrame, group: Column, score: Column,
+                               buckets: Int): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    require(!Seq("__cle", "__n").exists(df.columns.contains),
+      "input columns collide with reserved names __cle/__n")
+    val wOrd = Window.partitionBy(group).orderBy(score)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(group)
+    df.withColumn("__cle", count(lit(1)).over(wOrd))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("bucket",
+        expr(s"($buckets * __cle + __n - 1) div __n"))
+      .drop("__cle", "__n")
+  }
+
   def temperatureMixture(df: DataFrame, group: Column, key: Column,
                          coeff: Double, salt: String): DataFrame = {
     require(!Seq("__tgrp", "__tthresh").exists(df.columns.contains),

@@ -114,6 +114,45 @@ object Sketches {
   }
 
   /**
+   * Exact equi-depth histogram: `buckets` buckets bounded by the exact
+   * interior quantiles (quantile_disc convention), per-bucket count /
+   * min / max. The equal-POPULATION complement to the equal-WIDTH
+   * doc_length_histogram — the shape that stays readable under
+   * heavy-tailed values, and the boundary table range-partitioners and
+   * BI layers consume. Heavy ties can legitimately leave interior
+   * buckets empty (boundaries repeat); emitted buckets are exactly the
+   * non-empty ones.
+   *
+   * Scale shape: boundaries come from the distributed exact-quantile
+   * machinery (two-pass rank, no single-task window) and are
+   * buckets−1 collected values (bounded small state) folded back in as
+   * a literal; bucket assignment is then a narrow per-row fold and the
+   * final rollup one small aggregate.
+   */
+  def equiDepthHistogram(df: DataFrame, value: Column, buckets: Int,
+                         numPartitions: Int = 32): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val interior =
+      if (buckets == 1) Seq.empty[Long]
+      else {
+        val probs = (1 until buckets).map(_.toDouble / buckets)
+        exactQuantiles(df, value.cast("long"), probs, numPartitions)
+          .collect().map(r => (r.getDouble(0), r.getLong(1)))
+          .sortBy(_._1).map(_._2).toSeq
+      }
+    val v = value.cast("long")
+    val bucket =
+      if (interior.isEmpty) lit(1L)
+      else aggregate(typedLit(interior), lit(1L),
+        (acc, b) => acc + when(v > b, 1L).otherwise(0L))
+    df.select(v.as("__v"), bucket.as("bucket"))
+      .where(col("__v").isNotNull)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("__v")).as("min_v"),
+        max(col("__v")).as("max_v"))
+  }
+
+  /**
    * Exact moment statistics for the covariance matrix of a vector
    * column (PCA / whitening / feature-drift prep): long-form
    * (i, j, sum_xy, sum_xi, sum_xj, n) for the upper triangle, from

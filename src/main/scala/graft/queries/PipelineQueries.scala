@@ -97,6 +97,26 @@ object PipelineQueries {
           coalesce(col("1"), lit(0L)).as("n_good"))
     }),
 
+    // equal-POPULATION histogram (the heavy-tail-readable complement to
+    // the equal-width doc_length_histogram): exact interior quantiles
+    // via the distributed rank machinery, narrow literal-fold bucket
+    // assignment, one small rollup
+    "equi_depth_histogram" -> ((s, dir) =>
+      Sketches.equiDepthHistogram(
+        t(s, dir, "documents")
+          .select(TextAnalysis.tokenCount(col("text")).as("toks")),
+        col("toks"), buckets = 8)),
+
+    // cross-source score calibration: per-lang token-count quantile
+    // buckets (integer-staged ceil(buckets·cume_dist)) — "every
+    // source's top quartile" becomes comparable before mixing
+    "quantile_norm_buckets" -> ((s, dir) =>
+      Sampling.quantileNormalizeByGroup(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("toks")),
+        col("lang"), col("toks"), buckets = 4)
+        .select(col("doc_id"), col("lang"), col("bucket"))),
+
     // token-length histogram (the length-distribution diagnostic every
     // curation run starts with): equi-width integer bins, pure integer
     // arithmetic both engines replay
@@ -2165,6 +2185,29 @@ object PipelineQueries {
                  FROM documents)
            GROUP BY doc_id, tok)
          GROUP BY doc_id""",
+    "equi_depth_histogram" -> {
+      val qs = (1 until 8).map(i =>
+        s"CAST(quantile_disc(toks, ${i / 8.0}) AS BIGINT)").mkString(", ")
+      s"""WITH v AS (SELECT len(regexp_extract_all(text, '\\S+')) AS toks
+                     FROM documents),
+         b AS (SELECT [$qs] AS bs FROM v),
+         r AS (SELECT toks,
+                      1 + len(list_filter(b.bs, x -> toks > x)) AS bucket
+               FROM v CROSS JOIN b)
+         SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n,
+                CAST(min(toks) AS BIGINT) AS min_v,
+                CAST(max(toks) AS BIGINT) AS max_v
+         FROM r GROUP BY 1"""
+    },
+    "quantile_norm_buckets" ->
+      """SELECT doc_id, lang, CAST((4 * cle + n - 1) // n AS BIGINT) AS bucket
+         FROM (SELECT doc_id, lang,
+                 count(*) OVER (PARTITION BY lang ORDER BY toks
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cle,
+                 count(*) OVER (PARTITION BY lang) AS n
+               FROM (SELECT doc_id, lang,
+                       len(regexp_extract_all(text, '\S+')) AS toks
+                     FROM documents))""",
     "doc_length_histogram" ->
       """SELECT len(regexp_extract_all(text, '\S+')) // 32 AS bin,
                 count(*) AS n,

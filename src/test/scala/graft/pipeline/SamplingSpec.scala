@@ -293,6 +293,18 @@ class SamplingSpec extends AnyFunSuite {
     assert(got(1L) == (("b", 1L, 1L, 3000000L)))
     assert(got(2L) == (("a", 1L, 3L, 1000000L)))
   }
+  test("quantileNormalizeByGroup: ceil(k*cume_dist) buckets, ties share") {
+    // group a: scores 1..8 -> buckets 1,1,2,2,3,3,4,4 at k=4
+    // group b: all-equal scores -> everyone is cume_dist 1 -> bucket 4
+    val df = ((1 to 8).map(s => ("a", s.toLong)) ++
+      (1 to 3).map(_ => ("b", 7L))).toDF("grp", "score")
+    val out = Sampling.quantileNormalizeByGroup(df, col("grp"), col("score"), 4)
+      .select("grp", "score", "bucket").as[(String, Long, Long)].collect()
+    val a = out.filter(_._1 == "a").sortBy(_._2).map(_._3).toSeq
+    assert(a == Seq(1L, 1L, 2L, 2L, 3L, 3L, 4L, 4L))
+    assert(out.filter(_._1 == "b").forall(_._3 == 4L))
+  }
+
   test("epochMixture repeats rows per epoch count, drops non-positive") {
     val df = Seq((1L, 2), (2L, 1), (3L, 0), (4L, -1)).toDF("id", "k")
     val r = Sampling.epochMixture(df, col("k"))

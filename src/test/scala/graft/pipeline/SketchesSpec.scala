@@ -70,6 +70,25 @@ class SketchesSpec extends AnyFunSuite {
     new scala.util.Random(11).shuffle(rows).toDF("v").repartition(8)
   }
 
+  test("equiDepthHistogram: buckets balance, ties collapse, model parity") {
+    val rnd = new scala.util.Random(19)
+    val vals = Seq.fill(200)(rnd.nextInt(50).toLong) // heavy ties
+    val dfv = vals.toDF("v").repartition(4)
+    val k = 4
+    val got = Sketches.equiDepthHistogram(dfv, col("v"), buckets = k)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // model: quantile_disc boundaries + the same strict-greater fold
+    val sorted = vals.sorted
+    val bs = (1 until k).map(i =>
+      sorted(math.max(1, math.ceil(i.toDouble / k * vals.size * (1 - 1e-9)).toLong).toInt - 1))
+    val want = vals.groupBy(v => 1L + bs.count(v > _))
+      .map { case (b, vs) => b -> ((vs.size.toLong, vs.min, vs.max)) }
+    assert(got == want)
+    // population balance: no bucket more than twice the ideal depth
+    assert(got.values.map(_._1).max <= 2L * vals.size / k)
+  }
+
   test("vectorCovarianceStats == naive moments on random vectors") {
     val rnd = new scala.util.Random(17)
     val dim = 5
