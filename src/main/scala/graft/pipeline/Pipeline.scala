@@ -1254,6 +1254,48 @@ object Dedup {
       .select(cols: _*)
     clean.unionAll(confirmed).drop("__h")
   }
+
+  /**
+   * Persist a corpus snapshot bucketed+sorted on its content hash — the
+   * sort-merge-bucket layout for RECURRING cross-snapshot dedup: every
+   * future [[againstCorpusBucketed]] probe shuffles ONLY the new batch;
+   * the (huge, static) corpus reads pre-distributed by its buckets and
+   * never exchanges again. The text-pipeline twin of
+   * `SpatialJoin.saveGeomsBucketedByCell`.
+   */
+  def saveCorpusBucketedByHash(corpus: DataFrame, byCol: String,
+                               table: String, numBuckets: Int): Unit = {
+    require(numBuckets >= 1, "numBuckets must be >= 1")
+    require(!corpus.columns.contains("__h"),
+      "input columns collide with reserved name __h")
+    graft.tools.Warehouse.resetManagedTable(corpus.sparkSession, table)
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("graft.dedupHashOf", byCol).build()
+    corpus.withColumn("__h", xxhash64(col(byCol)))
+      .withMetadata("__h", meta)
+      .write.format("parquet")
+      .bucketBy(numBuckets, "__h")
+      .sortBy("__h")
+      .mode("overwrite")
+      .saveAsTable(table)
+  }
+
+  /** Probe a [[saveCorpusBucketedByHash]] table: anti-join the new batch
+    * against the stored hashes with the corpus side distributed by its
+    * buckets — the join plan carries exactly ONE exchange (the batch). */
+  def againstCorpusBucketed(newDocs: DataFrame, table: String,
+                            byCol: String): DataFrame = {
+    require(!newDocs.columns.contains("__h"),
+      "input columns collide with reserved name __h")
+    val corpus = newDocs.sparkSession.table(table)
+    val hField = corpus.schema(corpus.schema.fieldIndex("__h"))
+    require(hField.metadata.contains("graft.dedupHashOf"),
+      s"$table was not written by saveCorpusBucketedByHash")
+    // a null key never equi-matches, so null-text rows survive — the
+    // same semantics as againstCorpus's anti-join
+    newDocs.join(corpus.select(col("__h")),
+      xxhash64(col(byCol)) === col("__h"), "left_anti")
+  }
 }
 
 object Similarity {

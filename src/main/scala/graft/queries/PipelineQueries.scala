@@ -1476,6 +1476,23 @@ object PipelineQueries {
         .select(col("doc_id"))
     }),
 
+    // the sort-merge-bucket layout for RECURRING cross-snapshot dedup:
+    // corpus hashes persist bucketed+sorted, the probe shuffles ONLY
+    // the new batch — pinned to the SAME oracle as incremental_dedup
+    // (its timing covers the whole save+probe lifecycle, like
+    // sjoin_bucketed)
+    "incremental_dedup_bucketed" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = d.where(col("doc_id") % 3 === 0)
+      val fresh = d.where(col("doc_id") % 3 =!= 0)
+        .unionAll(corpus.where(col("doc_id") % 2 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+      val table = "graft_bucketed_corpus"
+      Dedup.saveCorpusBucketedByHash(corpus, "text", table, numBuckets = 8)
+      Dedup.againstCorpusBucketed(fresh, table, "text")
+        .select(col("doc_id"))
+    }),
+
     // the Bloom pre-split path must return the IDENTICAL survivor set
     // (no false negatives; false positives cleared by the exact join)
     "incremental_dedup_bloom" -> ((s, dir) => {
@@ -3016,6 +3033,7 @@ object PipelineQueries {
          FROM o FULL OUTER JOIN nw ON o.doc_id = nw.doc_id""",
     // both incremental paths must equal the plain text anti-join
     "incremental_dedup" -> incrementalDedupOracle,
+    "incremental_dedup_bucketed" -> incrementalDedupOracle,
     "incremental_dedup_bloom" -> incrementalDedupOracle,
     "quality_linear_score" -> linearScoreOracle,
     "dsir_logweights" -> dsirLogweightsOracle,

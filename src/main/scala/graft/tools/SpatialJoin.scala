@@ -445,33 +445,7 @@ object SpatialJoin {
     require(cellSize > 0, "cellSize must be positive")
     require(!geoms.columns.exists(ReservedGridCols),
       s"input columns collide with reserved grid-join names $ReservedGridCols")
-    // only unqualified names: the stale-directory recovery below maps the
-    // name to a managed location, and for "db.tbl" that mapping (and the
-    // delete) would target the wrong directory
-    require(!table.contains(".") && table.matches("[A-Za-z0-9_]+"),
-      s"table must be an unqualified [A-Za-z0-9_]+ name, got '$table'")
-    val spark = geoms.sparkSession
-    // overwrite must also recover from a stale warehouse directory: a
-    // fresh session's in-memory catalog doesn't know the table, but its
-    // managed location can survive from a previous run and fail CTAS.
-    // Prefer the catalog's own location for the live table; fall back to
-    // the default-database layout <warehouse>/<name> only when the
-    // catalog has never heard of it.
-    val loc =
-      try {
-        val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
-        if (spark.sessionState.catalog.tableExists(ident))
-          new org.apache.hadoop.fs.Path(
-            spark.sessionState.catalog.getTableMetadata(ident).location)
-        else new org.apache.hadoop.fs.Path(
-          spark.sessionState.catalog.defaultTablePath(ident))
-      } catch {
-        case _: org.apache.spark.sql.catalyst.parser.ParseException =>
-          throw new IllegalArgumentException(s"invalid table name '$table'")
-      }
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    val whFs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (whFs.exists(loc)) whFs.delete(loc, true)
+    Warehouse.resetManagedTable(geoms.sparkSession, table)
     val cs = lit(cellSize)
     val metaB = new org.apache.spark.sql.types.MetadataBuilder()
       .putDouble("graft.cellSize", cellSize)

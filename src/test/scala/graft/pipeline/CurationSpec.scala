@@ -112,6 +112,26 @@ class CurationSpec extends AnyFunSuite {
     assert(out == Set(20L, 23L))
   }
 
+  test("againstCorpusBucketed == againstCorpus, batch-side-only exchange") {
+    val exact = Dedup.againstCorpus(freshBatch, corpusSnap, "text")
+      .select("doc_id").as[Long].collect().toSet
+    val table = "graft_bucketed_corpus_test"
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      Dedup.saveCorpusBucketedByHash(corpusSnap, "text", table, numBuckets = 4)
+      // force a shuffle join so the bucket distribution matters
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = Dedup.againstCorpusBucketed(freshBatch, table, "text")
+      assert(j.select("doc_id").as[Long].collect().toSet == exact)
+      val plan = j.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
   test("againstCorpusBloom returns the identical survivor set") {
     val exact = Dedup.againstCorpus(freshBatch, corpusSnap, "text")
       .select("doc_id").as[Long].collect().toSet
