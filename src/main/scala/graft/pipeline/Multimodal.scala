@@ -87,6 +87,69 @@ object Multimodal {
     }(enc)
   }
 
+  /** Full PIXEL decode via JDK ImageIO (PNG/BMP/GIF lossless; JPEG
+    * decodes but is lossy upstream): (width, height, per-channel RGB
+    * sums) — the real feature-extraction step (mean color, luminance,
+    * brightness filters) behind the multimodal schema, not just the
+    * header sniff of [[decodeImage]]. Returns None for anything the JDK
+    * can't decode, so callers can fall back to the documented stub. */
+  def decodePixelStats(bytes: Array[Byte])
+      : Option[(Int, Int, Long, Long, Long)] = {
+    if (bytes == null || bytes.length == 0) return None
+    javax.imageio.ImageIO.setUseCache(false)
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = img.getRGB(x, y)
+            sr += (v >> 16) & 0xff
+            sg += (v >> 8) & 0xff
+            sb += v & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, sr, sg, sb))
+      }
+    } catch { case _: Exception => None }
+  }
+
+  private val pixelStatsType = StructType(Seq(
+    StructField("w", org.apache.spark.sql.types.IntegerType),
+    StructField("h", org.apache.spark.sql.types.IntegerType),
+    StructField("sum_r", org.apache.spark.sql.types.LongType),
+    StructField("sum_g", org.apache.spark.sql.types.LongType),
+    StructField("sum_b", org.apache.spark.sql.types.LongType)))
+
+  /** Batched pixel-stats extraction over a binary column: appends a
+    * `pix` struct (w, h, sum_r, sum_g, sum_b), null when the payload
+    * doesn't decode. Same batched mapPartitions shape as
+    * [[mapDecodePartitions]] — the plumbing a codec swap rides on. */
+  def mapPixelStatsPartitions(df: DataFrame, contentCol: String,
+                              batchSize: Int = 256): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField("pix", pixelStatsType))
+    val contentIdx = df.schema.fieldIndex(contentCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val pix = decodePixelStats(row.getAs[Array[Byte]](contentIdx)) match {
+            case Some((w, h, sr, sg, sb)) => Row(w, h, sr, sg, sb)
+            case None => null
+          }
+          Row.fromSeq(row.toSeq :+ pix)
+        }
+      }
+    }(enc)
+  }
+
   /** Real WAV (RIFF/WAVE) header decode with NO library at all: walks
     * the chunk list (word-aligned), reads the fmt chunk's little-endian
     * fields and sizes frames off the data chunk — (sampleRate, channels,

@@ -1066,6 +1066,20 @@ object PipelineQueries {
           col("meta.height").as("height"), col("meta.format").as("format"))
     }),
 
+    // REAL pixel decode under the FULL oracle gate: the executor-encoded
+    // PNGs are decoded back to their PIXELS (not just header dims) and
+    // per-channel RGB sums must equal pure id arithmetic — feature
+    // extraction (mean color/luminance) with a genuine lossless codec
+    // in the loop
+    "multimodal_pixel_stats" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val withPng = Multimodal.syntheticPngs(docs, "doc_id", "content")
+      Multimodal.mapPixelStatsPartitions(withPng, "content", batchSize = 64)
+        .select(col("doc_id"), col("pix.w").as("w"), col("pix.h").as("h"),
+          col("pix.sum_r").as("sum_r"), col("pix.sum_g").as("sum_g"),
+          col("pix.sum_b").as("sum_b"))
+    }),
+
     // REAL animated-GIF frame sampling under the FULL oracle gate:
     // id-derived multi-frame GIFs are written ON THE EXECUTORS by
     // ImageIO's sequence writer, every 2nd frame is sampled back out
@@ -2866,6 +2880,22 @@ object PipelineQueries {
                 CAST(doc_id % 5 + 2 AS INT) AS height,
                 'png' AS format
          FROM documents""",
+    // the PNG fixture's pixels are (id*31 + x*7 + y) % 0xffffff — the
+    // lossless roundtrip means per-channel sums are LATERAL-range
+    // arithmetic
+    "multimodal_pixel_stats" ->
+      """SELECT doc_id,
+                CAST(doc_id % 7 + 3 AS INT) AS w,
+                CAST(doc_id % 5 + 2 AS INT) AS h,
+                CAST(sum(v // 65536) AS BIGINT) AS sum_r,
+                CAST(sum((v // 256) % 256) AS BIGINT) AS sum_g,
+                CAST(sum(v % 256) AS BIGINT) AS sum_b
+         FROM (SELECT d.doc_id,
+                      (d.doc_id * 31 + x.x * 7 + y.y) % 16777215 AS v
+               FROM documents d,
+                    LATERAL (SELECT unnest(range(0, d.doc_id % 7 + 3)) AS x) x,
+                    LATERAL (SELECT unnest(range(0, d.doc_id % 5 + 2)) AS y) y)
+         GROUP BY doc_id""",
     // the GIF fixture frame structure is pure id arithmetic; range()
     // replays the every-2nd-frame sampling
     "multimodal_gif_frames" ->

@@ -646,6 +646,21 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal decodePixelStats: exact RGB sums through the codec") {
+    val img = new java.awt.image.BufferedImage(3, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // known pixels: (r,g,b) = (x*10, y*20, 5)
+    for (y <- 0 until 2; x <- 0 until 3)
+      img.setRGB(x, y, (x * 10 << 16) | (y * 20 << 8) | 5)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val got = Multimodal.decodePixelStats(bos.toByteArray)
+    // sum_r = 2*(0+10+20), sum_g = 3*(0+20), sum_b = 6*5
+    assert(got == Some((3, 2, 60L, 60L, 30L)))
+    assert(Multimodal.decodePixelStats("garbage".getBytes).isEmpty)
+    assert(Multimodal.decodePixelStats(null).isEmpty)
+  }
+
   test("multimodal decodeImage: real codec on PNG/GIF bytes, None otherwise") {
     def png(w: Int, h: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(w, h,
