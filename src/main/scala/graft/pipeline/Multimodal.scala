@@ -181,6 +181,80 @@ object Multimodal {
     }
   }
 
+  /** Full SAMPLE decode for 16-bit PCM WAV: (rate, channels, frames,
+    * Σ samples, Σ |samples|) — the loudness/DC-offset feature extraction
+    * step behind the audio schema, the PCM twin of [[decodePixelStats]].
+    * Walks the RIFF chunk list like [[decodeWav]] but reads the data
+    * chunk's little-endian signed samples; None for anything that isn't
+    * well-formed 16-bit PCM. */
+  def decodeWavSamples(bytes: Array[Byte])
+      : Option[(Int, Int, Long, Long, Long)] = {
+    if (bytes == null || bytes.length < 44) return None
+    def u32(i: Int): Long = (bytes(i) & 0xffL) | ((bytes(i + 1) & 0xffL) << 8) |
+      ((bytes(i + 2) & 0xffL) << 16) | ((bytes(i + 3) & 0xffL) << 24)
+    def u16(i: Int): Int = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+    def tag(i: Int): String = new String(bytes, i, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var pos = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None
+    var dataPos = -1
+    var dataLen = -1L
+    while (pos + 8 <= bytes.length && (fmt.isEmpty || dataLen < 0)) {
+      val id = tag(pos)
+      val sz = u32(pos + 4)
+      if (id == "fmt " && pos + 8 + 16 <= bytes.length)
+        fmt = Some((u16(pos + 10), u32(pos + 12).toInt, u16(pos + 20), u16(pos + 22)))
+      else if (id == "data") {
+        dataPos = pos + 8
+        dataLen = math.min(sz, (bytes.length - pos - 8).toLong)
+      }
+      pos += 8 + sz.toInt + (sz.toInt & 1)
+    }
+    fmt.flatMap { case (ch, rate, block, bits) =>
+      if (dataLen < 0 || block <= 0 || ch <= 0 || rate <= 0 || bits != 16) None
+      else {
+        var sum = 0L; var sumAbs = 0L
+        val nSamples = (dataLen / 2).toInt
+        var k = 0
+        while (k < nSamples) {
+          val s = (bytes(dataPos + 2 * k + 1) << 8) | (bytes(dataPos + 2 * k) & 0xff)
+          sum += s
+          sumAbs += math.abs(s)
+          k += 1
+        }
+        Some((rate, ch, dataLen / block, sum, sumAbs))
+      }
+    }
+  }
+
+  private val wavStatsType = StructType(Seq(
+    StructField("rate", org.apache.spark.sql.types.IntegerType),
+    StructField("channels", org.apache.spark.sql.types.IntegerType),
+    StructField("frames", org.apache.spark.sql.types.LongType),
+    StructField("sum_s", org.apache.spark.sql.types.LongType),
+    StructField("sum_abs", org.apache.spark.sql.types.LongType)))
+
+  /** Batched PCM sample-stats extraction: appends a `pcm` struct
+    * (rate, channels, frames, sum_s, sum_abs), null when the payload
+    * isn't decodable 16-bit PCM. */
+  def mapWavSampleStatsPartitions(df: DataFrame, contentCol: String,
+                                  batchSize: Int = 256): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField("pcm", wavStatsType))
+    val contentIdx = df.schema.fieldIndex(contentCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val pcm = decodeWavSamples(row.getAs[Array[Byte]](contentIdx)) match {
+            case Some((rate, ch, fr, s, sa)) => Row(rate, ch, fr, s, sa)
+            case None => null
+          }
+          Row.fromSeq(row.toSeq :+ pcm)
+        }
+      }
+    }(enc)
+  }
+
   /** Deterministic REAL PCM-WAV payloads for fixture oracles: per row a
     * 16-bit file with id-derived rate/channels/frames/samples, written
     * by the JDK's javax.sound (an INDEPENDENT writer from [[decodeWav]]'s

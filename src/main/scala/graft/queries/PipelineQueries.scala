@@ -1111,6 +1111,20 @@ object PipelineQueries {
           col("audio_meta.codec").as("codec"))
     }),
 
+    // REAL PCM sample decode under the FULL oracle gate: the JDK-written
+    // WAVs decode back to their SAMPLES (not just the header), and the
+    // signed sum / abs-sum per doc must equal pure id arithmetic — the
+    // loudness/DC-offset audio feature step with a genuine codec pair
+    // (independent writer vs hand-rolled parser) in the loop
+    "multimodal_wav_samples" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val withWav = Multimodal.syntheticWavs(docs, "doc_id", "content")
+      Multimodal.mapWavSampleStatsPartitions(withWav, "content", batchSize = 64)
+        .select(col("doc_id"), col("pcm.rate").as("rate"),
+          col("pcm.channels").as("channels"), col("pcm.frames").as("frames"),
+          col("pcm.sum_s").as("sum_s"), col("pcm.sum_abs").as("sum_abs"))
+    }),
+
     // -- line/LM/index/incremental curation ops ------------------------------
     // line-level Gopher format+repetition stats over deterministic
     // multi-line docs: every doc repeats its own text as a second line
@@ -2912,6 +2926,31 @@ object PipelineQueries {
                 CAST(doc_id % 50 + 10 AS BIGINT) AS n_frames,
                 'pcm_wav' AS codec
          FROM documents""",
+    // the WAV fixture's PCM bytes are (id*131 + i*17) % 256 - 128; the
+    // decoded 16-bit little-endian samples are LATERAL-range arithmetic
+    "multimodal_wav_samples" ->
+      """WITH base AS (SELECT doc_id,
+                              8000 + (doc_id % 4) * 4000 AS rate,
+                              doc_id % 2 + 1 AS channels,
+                              doc_id % 50 + 10 AS frames
+                       FROM documents),
+         samp AS (SELECT b.doc_id, b.rate, b.channels, b.frames,
+                         (b.doc_id * 131 + (2 * k.k) * 17 + 128) % 256
+                         + 256 * ((b.doc_id * 131 + (2 * k.k + 1) * 17 + 128)
+                                  % 256) AS sraw
+                  FROM base b,
+                       LATERAL (SELECT unnest(range(0, b.frames * b.channels))
+                                AS k) k),
+         sgn AS (SELECT doc_id, rate, channels, frames,
+                        CASE WHEN sraw >= 32768 THEN sraw - 65536
+                             ELSE sraw END AS s
+                 FROM samp)
+         SELECT doc_id, CAST(rate AS INT) AS rate,
+                CAST(channels AS INT) AS channels,
+                CAST(frames AS BIGINT) AS frames,
+                CAST(sum(s) AS BIGINT) AS sum_s,
+                CAST(sum(abs(s)) AS BIGINT) AS sum_abs
+         FROM sgn GROUP BY 1, 2, 3, 4""",
     "embed_dedup_exact" ->
       """SELECT min(vec_id) AS keep_id, count(*) AS n FROM (
            SELECT vec_id, embedding FROM embeddings

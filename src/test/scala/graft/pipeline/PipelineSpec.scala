@@ -661,6 +661,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(Multimodal.decodePixelStats(null).isEmpty)
   }
 
+  test("multimodal decodeWavSamples: exact PCM sums, non-16-bit rejected") {
+    // hand-build a 16-bit mono WAV with known samples via javax.sound
+    val samples = Array[Short](100, -200, 300, -32768)
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = (s & 0xff).toByte; pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val got = Multimodal.decodeWavSamples(bos.toByteArray)
+    assert(got == Some((8000, 1, 4L, (100 - 200 + 300 - 32768).toLong,
+      (100 + 200 + 300 + 32768).toLong)))
+    assert(Multimodal.decodeWavSamples("RIFFjunk".getBytes).isEmpty)
+    assert(Multimodal.decodeWavSamples(null).isEmpty)
+  }
+
   test("multimodal decodeImage: real codec on PNG/GIF bytes, None otherwise") {
     def png(w: Int, h: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(w, h,
