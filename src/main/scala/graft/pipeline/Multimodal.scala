@@ -181,6 +181,76 @@ object Multimodal {
     }
   }
 
+  /** REAL image resize: decode, nearest-neighbor downscale so the long
+    * side fits `maxSide` (floor source mapping `sx = x·w div nw` — OUR
+    * arithmetic, not a library resampler, so results are deterministic
+    * and engine-replayable), and report the resized image's dims +
+    * per-channel sums. Upscaling never happens (already-small images
+    * pass through). Returns (w, h, newW, newH, sum_r, sum_g, sum_b). */
+  def resizePixelStats(bytes: Array[Byte], maxSide: Int)
+      : Option[(Int, Int, Int, Int, Long, Long, Long)] = {
+    require(maxSide >= 1, "maxSide must be >= 1")
+    if (bytes == null || bytes.length == 0) return None
+    javax.imageio.ImageIO.setUseCache(false)
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val m = math.max(w, h)
+        val (nw, nh) =
+          if (m <= maxSide) (w, h)
+          else (math.max(1, w * maxSide / m), math.max(1, h * maxSide / m))
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < nh) {
+          val sy = y * h / nh
+          var x = 0
+          while (x < nw) {
+            val v = img.getRGB(x * w / nw, sy)
+            sr += (v >> 16) & 0xff
+            sg += (v >> 8) & 0xff
+            sb += v & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, nw, nh, sr, sg, sb))
+      }
+    } catch { case _: Exception => None }
+  }
+
+  private val resizeStatsType = StructType(Seq(
+    StructField("w", org.apache.spark.sql.types.IntegerType),
+    StructField("h", org.apache.spark.sql.types.IntegerType),
+    StructField("new_w", org.apache.spark.sql.types.IntegerType),
+    StructField("new_h", org.apache.spark.sql.types.IntegerType),
+    StructField("sum_r", org.apache.spark.sql.types.LongType),
+    StructField("sum_g", org.apache.spark.sql.types.LongType),
+    StructField("sum_b", org.apache.spark.sql.types.LongType)))
+
+  /** Batched real-resize stats: appends a `rsz` struct, null when the
+    * payload doesn't decode. */
+  def mapResizeStatsPartitions(df: DataFrame, contentCol: String,
+                               maxSide: Int,
+                               batchSize: Int = 256): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField("rsz", resizeStatsType))
+    val contentIdx = df.schema.fieldIndex(contentCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val rsz = resizePixelStats(row.getAs[Array[Byte]](contentIdx), maxSide) match {
+            case Some((w, h, nw, nh, sr, sg, sb)) => Row(w, h, nw, nh, sr, sg, sb)
+            case None => null
+          }
+          Row.fromSeq(row.toSeq :+ rsz)
+        }
+      }
+    }(enc)
+  }
+
   /** Full SAMPLE decode for 16-bit PCM WAV: (rate, channels, frames,
     * Σ samples, Σ |samples|) — the loudness/DC-offset feature extraction
     * step behind the audio schema, the PCM twin of [[decodePixelStats]].

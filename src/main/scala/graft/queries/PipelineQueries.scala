@@ -1111,6 +1111,22 @@ object PipelineQueries {
           col("audio_meta.codec").as("codec"))
     }),
 
+    // REAL image RESIZE under the FULL oracle gate: nearest-neighbor
+    // downscale with OUR floor source mapping (no library resampler),
+    // so the resized image's per-channel sums are engine-replayable id
+    // arithmetic — the resize stub retired by a genuine decode→resample
+    // path
+    "multimodal_resize_stats" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val withPng = Multimodal.syntheticPngs(docs, "doc_id", "content")
+      Multimodal.mapResizeStatsPartitions(withPng, "content", maxSide = 4,
+          batchSize = 64)
+        .select(col("doc_id"), col("rsz.w").as("w"), col("rsz.h").as("h"),
+          col("rsz.new_w").as("new_w"), col("rsz.new_h").as("new_h"),
+          col("rsz.sum_r").as("sum_r"), col("rsz.sum_g").as("sum_g"),
+          col("rsz.sum_b").as("sum_b"))
+    }),
+
     // REAL PCM sample decode under the FULL oracle gate: the JDK-written
     // WAVs decode back to their SAMPLES (not just the header), and the
     // signed sum / abs-sum per doc must equal pure id arithmetic — the
@@ -2926,6 +2942,33 @@ object PipelineQueries {
                 CAST(doc_id % 50 + 10 AS BIGINT) AS n_frames,
                 'pcm_wav' AS codec
          FROM documents""",
+    // resize replay: dims by the same floor arithmetic, pixels sampled
+    // at sx = x*w//nw, sy = y*h//nh from the id-derived pixel formula
+    "multimodal_resize_stats" ->
+      """WITH base AS (
+           SELECT doc_id, doc_id % 7 + 3 AS w, doc_id % 5 + 2 AS h,
+                  greatest(doc_id % 7 + 3, doc_id % 5 + 2) AS m
+           FROM documents),
+         dims AS (
+           SELECT doc_id, w, h,
+                  CASE WHEN m <= 4 THEN w
+                       ELSE greatest(1, (w * 4) // m) END AS nw,
+                  CASE WHEN m <= 4 THEN h
+                       ELSE greatest(1, (h * 4) // m) END AS nh
+           FROM base),
+         px AS (
+           SELECT d.doc_id, d.w, d.h, d.nw, d.nh,
+                  (d.doc_id * 31 + ((x.x * d.w) // d.nw) * 7
+                   + ((y.y * d.h) // d.nh)) % 16777215 AS v
+           FROM dims d,
+                LATERAL (SELECT unnest(range(0, d.nw)) AS x) x,
+                LATERAL (SELECT unnest(range(0, d.nh)) AS y) y)
+         SELECT doc_id, CAST(w AS INT) AS w, CAST(h AS INT) AS h,
+                CAST(nw AS INT) AS new_w, CAST(nh AS INT) AS new_h,
+                CAST(sum(v // 65536) AS BIGINT) AS sum_r,
+                CAST(sum((v // 256) % 256) AS BIGINT) AS sum_g,
+                CAST(sum(v % 256) AS BIGINT) AS sum_b
+         FROM px GROUP BY 1, 2, 3, 4, 5""",
     // the WAV fixture's PCM bytes are (id*131 + i*17) % 256 - 128; the
     // decoded 16-bit little-endian samples are LATERAL-range arithmetic
     "multimodal_wav_samples" ->

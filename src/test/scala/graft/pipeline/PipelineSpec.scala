@@ -661,6 +661,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(Multimodal.decodePixelStats(null).isEmpty)
   }
 
+  test("multimodal resizePixelStats: nearest-neighbor floor mapping golden") {
+    // 4x2 image, maxSide 2 -> 2x1; sampled sources: (0,0) and (2,0)
+    val img = new java.awt.image.BufferedImage(4, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4)
+      img.setRGB(x, y, (x << 16) | (y << 8) | (x + y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val got = Multimodal.resizePixelStats(bos.toByteArray, maxSide = 2)
+    // pixels kept: (0,0) r=0 g=0 b=0 and (2,0) r=2 g=0 b=2
+    assert(got == Some((4, 2, 2, 1, 2L, 0L, 2L)))
+    // small image passes through untouched
+    val small = Multimodal.resizePixelStats(bos.toByteArray, maxSide = 10)
+    assert(small.map(t => (t._3, t._4)) == Some((4, 2)))
+    assert(Multimodal.resizePixelStats("junk".getBytes, 4).isEmpty)
+  }
+
   test("multimodal decodeWavSamples: exact PCM sums, non-16-bit rejected") {
     // hand-build a 16-bit mono WAV with known samples via javax.sound
     val samples = Array[Short](100, -200, 300, -32768)
