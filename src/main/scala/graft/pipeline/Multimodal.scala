@@ -181,6 +181,61 @@ object Multimodal {
     }
   }
 
+  /** Perceptual difference hash (dHash) — THE classical image near-dup
+    * fingerprint: decode, floor-map to a 9×8 luminance grid (sx =
+    * x·w div 9, sy = y·h div 8 — deterministic, engine-replayable; up-
+    * AND down-scaling by the same rule), one bit per horizontally
+    * adjacent pair (left < right). Integer luminance 299r+587g+114b
+    * (no division — comparisons are scale-invariant). The 64-bit
+    * output plugs straight into [[Dedup.fingerprintDupPairs]]'s
+    * banding for image near-dup joins. */
+  def imageDHash(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null || bytes.length == 0) return None
+    javax.imageio.ImageIO.setUseCache(false)
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        def lum(gx: Int, gy: Int): Long = {
+          val v = img.getRGB(gx * w / 9, gy * h / 8)
+          299L * ((v >> 16) & 0xff) + 587L * ((v >> 8) & 0xff) + 114L * (v & 0xff)
+        }
+        var hash = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (lum(x, y) < lum(x + 1, y)) hash |= 1L << (y * 8 + x)
+            x += 1
+          }
+          y += 1
+        }
+        Some(hash)
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Batched dHash extraction: appends a nullable long `dhash`. */
+  def mapDHashPartitions(df: DataFrame, contentCol: String,
+                         batchSize: Int = 256): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("dhash", org.apache.spark.sql.types.LongType))
+    val contentIdx = df.schema.fieldIndex(contentCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val d: java.lang.Long =
+            imageDHash(row.getAs[Array[Byte]](contentIdx))
+              .map(java.lang.Long.valueOf).orNull
+          Row.fromSeq(row.toSeq :+ d)
+        }
+      }
+    }(enc)
+  }
+
   /** REAL image resize: decode, nearest-neighbor downscale so the long
     * side fits `maxSide` (floor source mapping `sx = x·w div nw` — OUR
     * arithmetic, not a library resampler, so results are deterministic

@@ -770,10 +770,25 @@ object Dedup {
    * the exact Hamming distance is the bit_count(xor) refine.
    */
   def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
-                      ngram: Int = 3, maxHamming: Int = 3): DataFrame = {
+                      ngram: Int = 3, maxHamming: Int = 3): DataFrame =
+    fingerprintDupPairs(
+      df.select(col(idCol), simhash64(col(textCol), ngram).as("__fp64")),
+      idCol, "__fp64", maxHamming)
+
+  /**
+   * Near-duplicate pairs over ANY precomputed 64-bit fingerprint column
+   * (simhash, image dHash, audio fingerprint …): pigeonhole chunk
+   * banding — the hash splits into maxHamming+1 chunks, ≤ maxHamming
+   * differing bits leave at least one chunk intact, so an equi-join per
+   * chunk finds every pair within the radius — then a bit_count(xor)
+   * refine. One signature pass above the band join (ReuseExchange), the
+   * LSH shuffle shape at any scale.
+   */
+  def fingerprintDupPairs(df: DataFrame, idCol: String, fpCol: String,
+                          maxHamming: Int = 3): DataFrame = {
     val chunks = maxHamming + 1
     val width = 64 / chunks
-    val withSim = df.select(col(idCol), simhash64(col(textCol), ngram).as("__sim"))
+    val withSim = df.select(col(idCol), col(fpCol).as("__sim"))
     // same ReuseExchange trick as minhashDupPairs: one signature pass,
     // shuffle-join on the chunk key (the 100 TB shape)
     val banded = withSim.select(col(idCol), col("__sim"),

@@ -1127,6 +1127,52 @@ object PipelineQueries {
           col("rsz.sum_b").as("sum_b"))
     }),
 
+    // Perceptual image hashing (dHash) under the FULL oracle gate: the
+    // executor-encoded PNGs flow through decode → 9×8 floor-mapped
+    // luminance grid → adjacent-pair bits, and every 64-bit hash must
+    // equal DuckDB's replay of the same arithmetic
+    "image_dhash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val withPng = Multimodal.syntheticPngs(docs, "doc_id", "content")
+      Multimodal.mapDHashPartitions(withPng, "content", batchSize = 64)
+        .select(col("doc_id"), col("dhash"))
+    }),
+
+    // image NEAR-DUP pairs: dHash + the generalized fingerprint banding
+    // (the simhash machinery over an arbitrary 64-bit column) — planted
+    // byte-identical copies must surface at hamming 0, and the full
+    // pair set is recomputed all-pairs by the oracle. On a doc subsample:
+    // the tiny gradient fixtures are perceptually NEAR-IDENTICAL by
+    // construction (dHash collapses them — that's its job), so the
+    // full-corpus pair set would be quadratic in cluster size; the
+    // linear-at-scale operator over the whole corpus is image_dedup
+    "image_dhash_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+        .where(col("doc_id") % 25 === 0)
+      val withPng = Multimodal.syntheticPngs(docs, "doc_id", "content")
+      val planted = withPng.unionAll(
+        withPng.where(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("content")))
+      val hashed = Multimodal.mapDHashPartitions(planted, "content",
+          batchSize = 64)
+        .select(col("doc_id"), col("dhash"))
+      Dedup.fingerprintDupPairs(hashed, "doc_id", "dhash", maxHamming = 2)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("long").as("hamming"))
+    }),
+
+    // perceptual image DEDUP: one survivor per distinct dHash (the
+    // single-shuffle exact-dedup plan keyed on the 8-byte hash) — the
+    // linear-at-any-scale image dedup surface
+    "image_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val withPng = Multimodal.syntheticPngs(docs, "doc_id", "content")
+      val hashed = Multimodal.mapDHashPartitions(withPng, "content",
+          batchSize = 64)
+        .select(col("doc_id"), col("dhash"))
+      Dedup.exact(hashed, "dhash", "doc_id")
+    }),
+
     // REAL PCM sample decode under the FULL oracle gate: the JDK-written
     // WAVs decode back to their SAMPLES (not just the header), and the
     // signed sum / abs-sum per doc must equal pure id arithmetic — the
@@ -1736,6 +1782,44 @@ object PipelineQueries {
          FROM graw2)"""
 
   private val signedMax = "9223372036854775808" // 2^63
+
+  /** dHash replay over the synthetic-PNG pixel formula: 9×8 floor-map
+    * luminance grid, adjacent-pair bits summed through a power-of-two
+    * table, signed wrap — ends in `dfp(doc_id, dhash)` over base doc
+    * ids. Must follow a `WITH RECURSIVE` header. */
+  private val dhashCtes: String =
+    s"""dp2(b, v) AS (
+         SELECT 0, CAST(1 AS HUGEINT)
+         UNION ALL SELECT b + 1, v * 2 FROM dp2 WHERE b < 63),
+       dbase AS (SELECT doc_id, doc_id % 7 + 3 AS w, doc_id % 5 + 2 AS h
+                 FROM documents),
+       dg AS (
+         SELECT b.doc_id, x.x AS gx, y.y AS gy,
+                (b.doc_id * 31 + ((x.x * b.w) // 9) * 7
+                 + ((y.y * b.h) // 8)) % 16777215 AS v
+         FROM dbase b,
+              LATERAL (SELECT unnest(range(0, 9)) AS x) x,
+              LATERAL (SELECT unnest(range(0, 8)) AS y) y),
+       dl AS (
+         SELECT doc_id, gx, gy,
+                299 * (v // 65536) + 587 * ((v // 256) % 256)
+                + 114 * (v % 256) AS lum
+         FROM dg),
+       dbits AS (
+         SELECT a.doc_id, a.gy * 8 + a.gx AS k,
+                CASE WHEN a.lum < c.lum THEN 1 ELSE 0 END AS bit
+         FROM dl a JOIN dl c
+           ON c.doc_id = a.doc_id AND c.gy = a.gy AND c.gx = a.gx + 1
+         WHERE a.gx < 8),
+       dfp AS (
+         SELECT doc_id,
+                CAST(CASE WHEN u >= $signedMax THEN u - ${Fp.MOD}
+                          ELSE u END AS BIGINT) AS dhash
+         FROM (SELECT p.doc_id,
+                      SUM(CASE WHEN p.bit = 1 THEN dp2.v
+                               ELSE CAST(0 AS HUGEINT) END) AS u
+               FROM dbits p JOIN dp2 ON dp2.b = p.k
+               GROUP BY p.doc_id))"""
 
   /** Shared replay of the bm25TopK pipeline (tf/idf/dl/score/rank)
     * ending in `ranked(query_id, doc_id, score, rank)` — the bm25_topk
@@ -2942,6 +3026,25 @@ object PipelineQueries {
                 CAST(doc_id % 50 + 10 AS BIGINT) AS n_frames,
                 'pcm_wav' AS codec
          FROM documents""",
+    "image_dhash" ->
+      s"""WITH RECURSIVE $dhashCtes
+         SELECT doc_id, dhash FROM dfp""",
+    "image_dhash_pairs" ->
+      s"""WITH RECURSIVE $dhashCtes,
+         ids AS (SELECT doc_id, doc_id AS src FROM documents
+                 WHERE doc_id % 25 = 0
+                 UNION ALL
+                 SELECT doc_id + 100000, doc_id FROM documents
+                 WHERE doc_id % 50 = 0),
+         hs AS (SELECT i.doc_id, f.dhash
+                FROM ids i JOIN dfp f ON f.doc_id = i.src)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+         FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.dhash, b.dhash)) <= 2""",
+    "image_dedup" ->
+      s"""WITH RECURSIVE $dhashCtes
+         SELECT min(doc_id) AS doc_id, dhash FROM dfp GROUP BY dhash""",
     // resize replay: dims by the same floor arithmetic, pixels sampled
     // at sx = x*w//nw, sy = y*h//nh from the id-derived pixel formula
     "multimodal_resize_stats" ->

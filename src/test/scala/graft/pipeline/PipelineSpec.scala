@@ -661,6 +661,55 @@ class PipelineSpec extends AnyFunSuite {
     assert(Multimodal.decodePixelStats(null).isEmpty)
   }
 
+  test("imageDHash: gradient golden, copy-invariance, distinct structures differ") {
+    def png(f: (Int, Int) => Int, w: Int = 12, h: Int = 10): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, f(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // left-to-right brightening gradient: every adjacent pair ascends
+    val asc = Multimodal.imageDHash(png((x, _) => x * 20 * 0x010101))
+    assert(asc == Some(-1L)) // all 64 bits set
+    // constant image: no pair ascends
+    assert(Multimodal.imageDHash(png((_, _) => 0x808080)) == Some(0L))
+    // byte-identical copies hash identically; mirrored gradient differs
+    val a = png((x, y) => (x * 37 + y * 11) % 0x1000000)
+    assert(Multimodal.imageDHash(a) == Multimodal.imageDHash(a.clone()))
+    // descending gradient: no pair ascends — 0, same class as constant
+    assert(Multimodal.imageDHash(
+      png((x, _) => (11 - x) * 20 * 0x010101)) == Some(0L))
+    // alternating stripes: a mixed bit pattern distinct from both poles
+    val stripes = Multimodal.imageDHash(
+      png((x, _) => if (x % 2 == 0) 0 else 0xffffff))
+    assert(stripes.exists(v => v != -1L && v != 0L) && stripes != asc)
+    assert(Multimodal.imageDHash("junk".getBytes).isEmpty)
+  }
+
+  test("fingerprintDupPairs finds all pairs within the hamming radius") {
+    val rnd = new scala.util.Random(23)
+    val fps = (0L until 80L).map { i =>
+      val base = rnd.nextLong()
+      // flip 0..4 random bits off a shared base for some ids
+      if (i % 4 == 0) (i, 0x0123456789abcdefL ^
+        (0 until rnd.nextInt(4)).map(_ => 1L << rnd.nextInt(64))
+          .foldLeft(0L)(_ | _))
+      else (i, base)
+    }
+    val df = fps.toDF("id", "fp")
+    val got = Dedup.fingerprintDupPairs(df, "id", "fp", maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    val want = (for {
+      i <- fps.indices; j <- (i + 1) until fps.length
+      h = java.lang.Long.bitCount(fps(i)._2 ^ fps(j)._2)
+      if h <= 3
+    } yield (math.min(fps(i)._1, fps(j)._1),
+             math.max(fps(i)._1, fps(j)._1), h)).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("multimodal resizePixelStats: nearest-neighbor floor mapping golden") {
     // 4x2 image, maxSide 2 -> 2x1; sampled sources: (0,0) and (2,0)
     val img = new java.awt.image.BufferedImage(4, 2,
