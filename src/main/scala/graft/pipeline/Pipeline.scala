@@ -1570,6 +1570,47 @@ object Similarity {
   }
 
   /**
+   * Deterministic LCG projection matrix for [[projectVectors]]:
+   * w(i,j) = ((1103515245·(i·outDim+j) + 12345) mod 2³¹) mod 2001 − 1000
+   * — pseudo-random in [−1000, 1000], reproducible in any engine with
+   * 64-bit integer arithmetic (the glibc LCG constants). */
+  def lcgMatrix(inDim: Int, outDim: Int): Array[Array[Long]] =
+    Array.tabulate(inDim, outDim) { (i, j) =>
+      ((1103515245L * (i.toLong * outDim + j) + 12345L) % 2147483648L) % 2001L - 1000L
+    }
+
+  /**
+   * Linear projection of an embedding column through a literal matrix —
+   * the Johnson-Lindenstrauss random-projection / learned-PCA APPLY
+   * step of a dimensionality-reduction pipeline. Inputs quantize to
+   * round(x·scale) integers and the matrix is integer-valued, so every
+   * output coordinate is an exact integer dot product — hash-stable
+   * cross-engine. Long-form (id, j, y_q) output.
+   *
+   * Scale shape: the matrix rides into the plan as a literal (bounded
+   * small state — inDim×outDim), the projection is ONE narrow codegen
+   * projection + a Generate posexplode; the corpus crosses zero
+   * exchanges. Exactness contract: |x|·scale·1000·inDim < 2⁶³.
+   */
+  def projectVectors(df: DataFrame, idCol: String, vecCol: String,
+                     matrix: Array[Array[Long]],
+                     scale: Double = 1000.0): DataFrame = {
+    require(matrix.nonEmpty && matrix.forall(_.length == matrix.head.length),
+      "matrix must be rectangular and non-empty")
+    val outDim = matrix.head.length
+    val q = transform(col(vecCol), x => round(x.cast("double") * scale).cast("long"))
+    val proj = transform(sequence(lit(0), lit(outDim - 1)), j =>
+      aggregate(
+        zip_with(col("__q"), typedLit(matrix.map(_.toSeq).toSeq),
+          (x, row) => x * element_at(row, j + 1)),
+        lit(0L), (acc, v) => acc + v))
+    df.select(col(idCol), q.as("__q"))
+      .select(col(idCol), posexplode(proj))
+      .select(col(idCol), col("pos").cast("long").as("j"),
+        col("col").as("y_q"))
+  }
+
+  /**
    * LSH-bucketed ANN (the scale path): queries and corpus hashed to SRP
    * buckets over several bands; candidates = bucket collisions; exact
    * cosine + top-k on the (much smaller) candidate set. Recall grows

@@ -1280,6 +1280,14 @@ object PipelineQueries {
     "key_skew_profile" -> ((s, dir) =>
       Sketches.keySkewProfile(t(s, dir, "events"), col("user_id"))),
 
+    // Johnson-Lindenstrauss projection APPLY (dim reduction 64→8):
+    // LCG-generated integer matrix as a literal, exact quantized dot
+    // products, zero corpus exchanges — every output coordinate
+    // replayed in DuckDB
+    "embedding_projection" -> ((s, dir) =>
+      Similarity.projectVectors(t(s, dir, "embeddings"), "vec_id",
+        "embedding", Similarity.lcgMatrix(64, 8))),
+
     // k-means ASSIGNMENT over embeddings against a deterministic
     // 8-centroid table (topic bucketing / IVF partitioning as its own
     // operator): quantized int64 distances, argmin folded per-row over
@@ -3185,6 +3193,17 @@ object PipelineQueries {
                 COALESCE(CAST(sum(1000000 // h.first_rank) AS BIGINT), 0)
                   AS sum_rr_ppm
          FROM qs LEFT JOIN hits h USING (query_id)""",
+    "embedding_projection" ->
+      """WITH q AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+           FROM embeddings)
+         SELECT q.vec_id, j.j AS j,
+                CAST(sum(q.v[i.i + 1] *
+                     (((1103515245 * (i.i * 8 + j.j) + 12345) % 2147483648)
+                      % 2001 - 1000)) AS BIGINT) AS y_q
+         FROM q, range(0, 64) i(i), range(0, 8) j(j)
+         GROUP BY 1, 2""",
     "kmeans_assign" ->
       """WITH q AS (
            SELECT vec_id,

@@ -318,6 +318,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(rank1 == Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
   }
 
+  test("projectVectors == naive matmul; JL projection preserves neighbors") {
+    val rnd = new scala.util.Random(29)
+    val vecs = (0L until 30L).map(i => (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val m = Similarity.lcgMatrix(16, 4)
+    val got = Similarity.projectVectors(df, "vec_id", "embedding", m)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    vecs.foreach { case (id, v) =>
+      val q = v.map(x => math.round(x * 1000.0))
+      for (j <- 0 until 4) {
+        val want = (0 until 16).map(i => q(i) * m(i)(j)).sum
+        assert(got((id, j.toLong)) == want, s"($id, $j)")
+      }
+    }
+    assert(got.size == 30 * 4)
+  }
+
   test("srp ANN recall vs brute force on clustered vectors") {
     val rnd = new scala.util.Random(7)
     // clusters: 5 centers, 20 members each with small jitter
