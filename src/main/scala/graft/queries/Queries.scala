@@ -1025,6 +1025,37 @@ object Queries {
       s.table(qName).select(col("text"))
     }),
 
+    // Streaming INGEST FILTER under the DuckDB gate: the full
+    // sample-then-decontaminate ingest pipeline (Streams.ingestFilter)
+    // per micro-batch via foreachBatch — both stages are per-row /
+    // eval-set-local, so survivors are identical under ANY batch split
+    // (the replay-stability property StreamingSpec checks); the oracle
+    // replays the md5 threshold AND the 8-gram eval overlap
+    "stream_ingest_filter" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val eval = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") % 10 === 0).select(col("doc_id"), col("text"))
+      def src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .select(col("doc_id"), col("text"))
+      val outPath = System.getProperty("java.io.tmpdir") +
+        "/graft_stream_ingest_filter_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outPath))
+      val qName = "graft_stream_ingest_filter"
+      s.streams.active.filter(q => q.name == qName).foreach(_.stop())
+      val q = src.writeStream.queryName(qName)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.streaming.Streams.ingestFilter(batch, "doc_id", "text",
+              eval, fraction = 0.5, n = 8, salt = "ingest")
+            .select(col("doc_id"))
+            .write.mode("append").parquet(outPath)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outPath)
+    }),
+
     // Streaming INCREMENTAL DEDUP under the DuckDB gate: the unchanged
     // batch operator (Dedup.againstCorpus — hash + left_anti) applied
     // to a STREAMING new-batch against a STATIC corpus snapshot: the
@@ -1875,6 +1906,26 @@ object Queries {
     // texts are distinct — so first-seen keeps exactly the originals
     "stream_dedup_first_seen" ->
       "SELECT doc_id FROM documents",
+    // md5-threshold sample ∩ not-8-gram-contaminated, replayed relationally
+    "stream_ingest_filter" ->
+      s"""WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+           FROM documents),
+         grams AS (
+           SELECT doc_id,
+                  [array_to_string(w[i:i+7], ' ')
+                   for i in range(1, len(w)-6)] AS g
+           FROM toks),
+         eg AS (SELECT DISTINCT unnest(g) AS gram FROM grams
+                WHERE doc_id % 10 = 0),
+         cont AS (SELECT DISTINCT doc_id
+                  FROM (SELECT doc_id, unnest(g) AS gram FROM grams) t
+                  JOIN eg USING (gram))
+         SELECT doc_id FROM documents
+         WHERE substr(md5(concat_ws('|','ingest',
+                 CAST(doc_id AS VARCHAR))),1,8)
+                 < '${graft.pipeline.Sampling.thresholdHex(0.5)}'
+           AND doc_id NOT IN (SELECT doc_id FROM cont)""",
     // built-in watermark dedup: one survivor per distinct text (which
     // doc_id survives is engine-arbitrary; the key set is not)
     "stream_dedup_watermark" ->
