@@ -1025,6 +1025,37 @@ object Queries {
       s.table(qName).select(col("text"))
     }),
 
+    // Streaming GEOPARQUET SINK under the DuckDB gate: customer points
+    // stream through Streams.geoParquetSink (foreachBatch append that
+    // maintains the spatial sidecar INCREMENTALLY), then the landing
+    // dataset is read back through the bounds-pruned GeoParquet reader
+    // and box-filtered — the whole streaming-ingest → prunable-dataset
+    // → cx query cycle must land on the plain relational box filter
+    "stream_geoparquet_sink" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/customer.parquet").schema
+      val pts = s.readStream.schema(schema)
+        .option("pathGlobFilter", "customer.parquet").parquet(dir)
+        .withColumn("px", ((col("c_custkey") * 7919) % 1000).cast("double"))
+        .withColumn("py", ((col("c_custkey") * 104729) % 1000).cast("double"))
+        .withColumn("pt", st_point(col("px"), col("py")))
+        .select(col("c_custkey"), col("px"), col("py"), col("pt"))
+      val base = System.getProperty("java.io.tmpdir") +
+        "/graft_stream_geosink_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      val qName = "graft_stream_geoparquet_sink"
+      s.streams.active.filter(q => q.name == qName).foreach(_.stop())
+      val q = graft.streaming.Streams.geoParquetSink(pts, s"$base/data",
+          Seq("pt"), s"$base/ckpt")
+        .queryName(qName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.io.GeoParquet.read(s, s"$base/data", "pt", "point",
+          bounds = Some((100.0, 100.0, 600.0, 600.0)))
+        .cx(100, 100, 600, 600)
+        .df.select(col("c_custkey"), col("px"), col("py"))
+    }),
+
     // Streaming INGEST FILTER under the DuckDB gate: the full
     // sample-then-decontaminate ingest pipeline (Streams.ingestFilter)
     // per micro-batch via foreachBatch — both stages are per-row /
@@ -1906,6 +1937,15 @@ object Queries {
     // texts are distinct — so first-seen keeps exactly the originals
     "stream_dedup_first_seen" ->
       "SELECT doc_id FROM documents",
+    // the streamed-in landing dataset must answer the box query exactly
+    // like the batch table
+    "stream_geoparquet_sink" ->
+      """SELECT c_custkey,
+         CAST((c_custkey*7919)%1000 AS DOUBLE) AS px,
+         CAST((c_custkey*104729)%1000 AS DOUBLE) AS py
+         FROM customer
+         WHERE (c_custkey*7919)%1000 BETWEEN 100 AND 600
+           AND (c_custkey*104729)%1000 BETWEEN 100 AND 600""",
     // md5-threshold sample ∩ not-8-gram-contaminated, replayed relationally
     "stream_ingest_filter" ->
       s"""WITH toks AS (
