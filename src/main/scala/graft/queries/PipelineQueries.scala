@@ -217,6 +217,29 @@ object PipelineQueries {
     // blocking + banded-DP levenshtein refine must reproduce DuckDB's
     // all-pairs levenshtein recompute — both engines implement the
     // classic DP, so the distance itself is integer-exact parity.
+    // END-TO-END record linkage: edit-distance blocking feeds the
+    // large/small-star connected components, every record gets a
+    // cluster label (singletons label themselves) — the operator
+    // COMPOSITION under one oracle: DuckDB recomputes plain
+    // levenshtein pairs and closes them with a recursive CTE
+    "record_linkage_clusters" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), lit(1), lit(24)).as("s"))
+      val p = (col("doc_id") % 20).cast("int") + lit(3)
+      val base = d.unionAll(d.where(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          concat(substring(col("s"), lit(1), p - 1), lit("~"),
+            substring(col("s"), p + 1, lit(1000000))).as("s")))
+      val pairs = graft.tools.Joins.editDistancePairs(base, "doc_id", "s",
+          maxDist = 1, q = 4)
+        .select(col("id_a"), col("id_b"))
+      val comps = Dedup.connectedComponentsStar(pairs, "id_a", "id_b")
+      base.select(col("doc_id"))
+        .join(comps, col("doc_id") === col("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+    }),
+
     "edit_distance_pairs" -> ((s, dir) => {
       val d = t(s, dir, "documents")
         .select(col("doc_id"), substring(col("text"), lit(1), lit(24)).as("s"))
@@ -2827,6 +2850,31 @@ object PipelineQueries {
          ORDER BY score DESC, w1, w2 LIMIT 20""",
     // all-pairs levenshtein recompute over the same planted-typo frame;
     // both engines run the classic DP so dist is integer-exact
+    "record_linkage_clusters" ->
+      """WITH RECURSIVE
+         pre AS (SELECT doc_id, substr(text, 1, 24) AS s FROM documents),
+         base AS (
+           SELECT doc_id, s FROM pre
+           UNION ALL
+           SELECT doc_id + 300000,
+                  substr(s, 1, CAST(doc_id % 20 AS INT) + 2) || '~' ||
+                  substr(s, CAST(doc_id % 20 AS INT) + 4)
+           FROM pre WHERE doc_id % 9 = 0
+         ),
+         edges AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM base a, base b
+           WHERE a.doc_id < b.doc_id AND levenshtein(a.s, b.s) <= 1),
+         sym AS (SELECT id_a AS s, id_b AS d FROM edges
+                 UNION SELECT id_b, id_a FROM edges),
+         reach(id, lab) AS (
+           SELECT s, s FROM sym
+           UNION
+           SELECT sym.d, reach.lab FROM reach JOIN sym ON sym.s = reach.id
+         ),
+         comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id)
+         SELECT b.doc_id, COALESCE(c.component, b.doc_id) AS component
+         FROM base b LEFT JOIN comp c ON c.id = b.doc_id""",
     "edit_distance_pairs" ->
       """WITH pre AS (SELECT doc_id, substr(text, 1, 24) AS s FROM documents),
          base AS (
