@@ -1297,6 +1297,29 @@ object PipelineQueries {
         ngram = 4, window = 4)
     }),
 
+    // Robust MAD outlier stats per event type (median absolute
+    // deviation — the robust z-score): TWO passes of the exact grouped
+    // quantile machinery (median, then median deviation), quantized
+    // integers end to end, 3×MAD flag counts per type
+    "value_mad_outliers" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"),
+        round(col("value") * 1000).cast("long").as("v"))
+      val med = Sketches.exactQuantilesByGroup(ev, col("event_type"),
+          col("v"), Seq(0.5))
+        .select(col("grp").as("event_type"), col("quantile").as("med"))
+      val withDev = ev.join(broadcast(med), "event_type")
+        .withColumn("dev", abs(col("v") - col("med")))
+      val mad = Sketches.exactQuantilesByGroup(withDev, col("event_type"),
+          col("dev"), Seq(0.5))
+        .select(col("grp").as("event_type"), col("quantile").as("mad"))
+      withDev.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("dev") > lit(3) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"),
+          min(col("med")).as("med"), min(col("mad")).as("mad"))
+    }),
+
     // Key-skew profile over the event stream's user key: per-key count
     // quantiles, hottest-key ppm share — the pre-shuffle skew
     // diagnostic as a first-class operator, exact integers end to end.
@@ -3026,6 +3049,23 @@ object PipelineQueries {
          SELECT p.i, p.j, p.sum_xy, a.s AS sum_xi, b.s AS sum_xj,
                 (SELECT n FROM nn) AS n
          FROM pr p JOIN sx a ON a.i = p.i JOIN sx b ON b.i = p.j""",
+    "value_mad_outliers" ->
+      """WITH e AS (SELECT event_type,
+                           CAST(round(value * 1000) AS BIGINT) AS v
+                    FROM events),
+         m AS (SELECT event_type, CAST(quantile_disc(v, 0.5) AS BIGINT) AS med
+               FROM e GROUP BY 1),
+         d AS (SELECT e.event_type, v, abs(v - m.med) AS dev, m.med
+               FROM e JOIN m USING (event_type)),
+         md AS (SELECT event_type,
+                       CAST(quantile_disc(dev, 0.5) AS BIGINT) AS mad
+                FROM d GROUP BY 1)
+         SELECT d.event_type, count(*) AS n,
+                CAST(sum(CASE WHEN dev > 3 * md.mad THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_outliers,
+                min(d.med) AS med, min(md.mad) AS mad
+         FROM d JOIN md USING (event_type)
+         GROUP BY 1""",
     "key_skew_profile" ->
       """WITH counts AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
          stats AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
