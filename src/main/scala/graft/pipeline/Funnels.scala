@@ -29,7 +29,25 @@ object Funnels {
    * work).
    */
   def funnelCounts(events: DataFrame, userCol: String, tsCol: String,
-                   typeCol: String, stages: Seq[String]): DataFrame = {
+                   typeCol: String, stages: Seq[String]): DataFrame =
+    funnelImpl(events, userCol, tsCol, typeCol, stages, maxGap = None)
+
+  /**
+   * [[funnelCounts]] with a conversion WINDOW: stage i+1 counts only
+   * events within `maxGap` (same units as `tsCol`) after the user's
+   * earliest qualifying stage-i event — "purchased within an hour of
+   * clicking", the attribution-window form every funnel dashboard
+   * actually runs. Same per-stage plan (filter + user-keyed join + min
+   * aggregate, no windows).
+   */
+  def funnelCountsWithin(events: DataFrame, userCol: String, tsCol: String,
+                         typeCol: String, stages: Seq[String],
+                         maxGap: Column): DataFrame =
+    funnelImpl(events, userCol, tsCol, typeCol, stages, Some(maxGap))
+
+  private def funnelImpl(events: DataFrame, userCol: String, tsCol: String,
+                         typeCol: String, stages: Seq[String],
+                         maxGap: Option[Column]): DataFrame = {
     require(stages.nonEmpty, "stages must be non-empty")
     val u = col(userCol)
     var reach = events.where(col(typeCol) === stages.head)
@@ -37,10 +55,15 @@ object Funnels {
     var out = reach.agg(lit(1).as("stage_idx"),
       lit(stages.head).as("stage"), count(lit(1)).as("n_users"))
     stages.zipWithIndex.drop(1).foreach { case (st, i) =>
+      val gate = maxGap match {
+        case Some(g) => col("__ts") > col("__reach") &&
+          col("__ts") <= col("__reach") + g
+        case None => col("__ts") > col("__reach")
+      }
       reach = events.where(col(typeCol) === st)
         .select(u.as("__u"), col(tsCol).as("__ts"))
         .join(reach, "__u")
-        .where(col("__ts") > col("__reach"))
+        .where(gate)
         .groupBy(col("__u")).agg(min(col("__ts")).as("__reach"))
       out = out.unionAll(reach.agg(lit(i + 1).as("stage_idx"),
         lit(st).as("stage"), count(lit(1)).as("n_users")))

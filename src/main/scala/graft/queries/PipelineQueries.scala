@@ -784,6 +784,14 @@ object PipelineQueries {
       Funnels.funnelCounts(t(s, dir, "events"), "user_id", "ts", "event_type",
         Seq("signup", "click", "purchase"))),
 
+    // the funnel with a 1-hour ATTRIBUTION WINDOW per stage ("purchased
+    // within an hour of clicking"): int64-nanos gap arithmetic, the
+    // oracle replays it as timestamp INTERVAL bounds
+    "funnel_within_1h" -> ((s, dir) =>
+      Funnels.funnelCountsWithin(EventTs.toNanos(t(s, dir, "events")),
+        "user_id", "ts", "event_type", Seq("signup", "click", "purchase"),
+        maxGap = lit(3600L * 1000000000L))),
+
     // cohort retention: first-activity day buckets users, later active
     // days count at their offset. Integer epoch-day via Catalyst
     // IntegralDivide (Column `/` is double division — lossy on int64
@@ -2756,6 +2764,23 @@ object PipelineQueries {
            s3 AS (SELECT e.user_id, min(e.ts) AS r FROM events e
                   JOIN s2 USING (user_id)
                   WHERE e.event_type = 'purchase' AND e.ts > s2.r
+                  GROUP BY e.user_id)
+         SELECT 1 AS stage_idx, 'signup' AS stage,
+                (SELECT count(*) FROM s1) AS n_users
+         UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+         UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""",
+    "funnel_within_1h" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS r FROM events
+                     WHERE event_type = 'signup' GROUP BY user_id),
+           s2 AS (SELECT e.user_id, min(e.ts) AS r FROM events e
+                  JOIN s1 USING (user_id)
+                  WHERE e.event_type = 'click' AND e.ts > s1.r
+                    AND e.ts <= s1.r + INTERVAL 1 HOUR
+                  GROUP BY e.user_id),
+           s3 AS (SELECT e.user_id, min(e.ts) AS r FROM events e
+                  JOIN s2 USING (user_id)
+                  WHERE e.event_type = 'purchase' AND e.ts > s2.r
+                    AND e.ts <= s2.r + INTERVAL 1 HOUR
                   GROUP BY e.user_id)
          SELECT 1 AS stage_idx, 'signup' AS stage,
                 (SELECT count(*) FROM s1) AS n_users

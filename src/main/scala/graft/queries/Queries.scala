@@ -858,6 +858,21 @@ object Queries {
           col("n"), col("vmin"), col("vmax"))
     }),
 
+    // Inter-arrival-time histogram (burstiness / bot-rate diagnostic):
+    // per-user consecutive event gaps, log2-bucketed via the binary-
+    // string-length trick (no ln() ulps) — ONE user-keyed window
+    "interarrival_histogram" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      EventTs.toNanos(t(s, dir, "events"))
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("next_ts", lead(col("ts"), 1).over(w))
+        .where(col("next_ts").isNotNull)
+        .select((length(bin(greatest(col("next_ts") - col("ts"), lit(1L))))
+          - 1).cast("long").as("log2_gap_ns"))
+        .groupBy(col("log2_gap_ns")).agg(count(lit(1)).as("n"))
+    }),
+
     // Per-user event-type transition counts (the Markov-chain /
     // next-event-prediction training table): ONE user-keyed shuffle,
     // lead() within each user's (ts, event_id) total order, then a
@@ -1870,6 +1885,16 @@ object Queries {
                HAVING sum(CAST(l_quantity AS BIGINT)) > 150) b
          JOIN orders ON b.l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey""",
+    "interarrival_histogram" ->
+      """SELECT CAST(length(bin(greatest(gap_ns, 1))) - 1 AS BIGINT)
+                  AS log2_gap_ns,
+                count(*) AS n
+         FROM (SELECT (epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id))
+                       - epoch_us(ts)) * 1000 AS gap_ns
+               FROM events)
+         WHERE gap_ns IS NOT NULL
+         GROUP BY 1""",
     "event_transitions" ->
       """SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
          FROM (SELECT event_type,

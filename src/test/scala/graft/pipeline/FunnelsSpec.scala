@@ -31,6 +31,27 @@ class FunnelsSpec extends AnyFunSuite {
     assert(got2 == Seq((1, "signup", 1L), (2, "click", 0L)))
   }
 
+  test("funnelCountsWithin cuts conversions past the attribution window") {
+    // u1 clicks 5 after signup (in window), u2 clicks 50 after (out),
+    // u3 clicks in-window then purchases 5 after the click (in)
+    val ev = Seq(
+      (1L, 10L, "signup"), (1L, 15L, "click"),
+      (2L, 10L, "signup"), (2L, 60L, "click"),
+      (3L, 10L, "signup"), (3L, 20L, "click"), (3L, 25L, "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Funnels.funnelCountsWithin(ev, "user_id", "ts", "event_type",
+        Seq("signup", "click", "purchase"), maxGap = lit(10L))
+      .as[(Int, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1, "signup", 3L), (2, "click", 2L), (3, "purchase", 1L)))
+    // boundary: exactly maxGap after is IN (<=)
+    val edge = Seq((1L, 10L, "signup"), (1L, 20L, "click"))
+      .toDF("user_id", "ts", "event_type")
+    val got2 = Funnels.funnelCountsWithin(edge, "user_id", "ts", "event_type",
+        Seq("signup", "click"), maxGap = lit(10L))
+      .as[(Int, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got2 == Seq((1, "signup", 1L), (2, "click", 1L)))
+  }
+
   test("retentionCohorts buckets users by first day and offsets") {
     // days directly (dayCol passthrough): u1 active d0,d1,d3; u2 d1,d1(dup),d2
     val ev = Seq((1L, 100L), (1L, 101L), (1L, 103L),
