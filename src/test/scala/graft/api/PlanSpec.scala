@@ -194,6 +194,40 @@ class PlanSpec extends AnyFunSuite {
       s"q-gram blocking, length-band residue and refine joins must all hash:\n$plan")
   }
 
+  test("covariance moments: corpus crosses exactly one (aggregate) exchange") {
+    val rnd = new scala.util.Random(31)
+    val df = (0 until 200).map(_ => Tuple1(Array.fill(6)(rnd.nextDouble())))
+      .toDF("vec")
+    val out = graft.pipeline.Sketches.vectorCovarianceStats(df, "vec", 6)
+    // AQE prints the initial plan again below the final one — count
+    // exchanges in the FINAL section only
+    val plan = finalPlan(out).split("== Initial Plan ==").head
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"expected <=1 exchange, got $exchanges:\n$plan")
+    assert(plan.contains("partial_vector_sum") || plan.contains("VectorSumAgg")
+      || plan.contains("vector_sum"), s"vector aggregate missing:\n$plan")
+  }
+
+  test("linear projection apply: zero exchanges, narrow end to end") {
+    val rnd = new scala.util.Random(37)
+    val df = (0L until 100L).map(i => (i, Array.fill(8)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+    val out = graft.pipeline.Similarity.projectVectors(df, "vec_id",
+      "embedding", graft.pipeline.Similarity.lcgMatrix(8, 3))
+    val plan = finalPlan(out)
+    assert(!plan.contains("Exchange"), s"projection must be narrow:\n$plan")
+  }
+
+  test("quantile normalization: one group-keyed exchange feeds both windows") {
+    val df = (0 until 300).map(i => (s"g${i % 3}", (i % 41).toLong))
+      .toDF("grp", "score")
+    val out = graft.pipeline.Sampling.quantileNormalizeByGroup(
+      df, col("grp"), col("score"), 4)
+    val plan = finalPlan(out).split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+  }
+
   test("sorted-neighborhood pairs: rank join hashes, no single-task window") {
     val docs = (0 until 400).map(i => (i.toLong, s"w${i % 37} x${i % 11} y z a b"))
       .toDF("doc_id", "text")
