@@ -181,6 +181,63 @@ object Multimodal {
     }
   }
 
+  /** REAL image feature extraction: a joint RGB color histogram
+    * (bins³ dims, bin width 256/bins) over the decoded pixels — the
+    * classical content-based-retrieval embedding (histogram cosine is
+    * the pre-deep-learning image similarity). Deterministic integer
+    * counts, engine-replayable. Returns None when the payload doesn't
+    * decode. */
+  def imageColorHistogram(bytes: Array[Byte], bins: Int = 4)
+      : Option[Array[Long]] = {
+    require(bins >= 1 && 256 % bins == 0, "bins must divide 256")
+    if (bytes == null || bytes.length == 0) return None
+    javax.imageio.ImageIO.setUseCache(false)
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val width = 256 / bins
+        val hist = new Array[Long](bins * bins * bins)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val v = img.getRGB(x, y)
+            val r = ((v >> 16) & 0xff) / width
+            val g = ((v >> 8) & 0xff) / width
+            val b = (v & 0xff) / width
+            hist((r * bins + g) * bins + b) += 1L
+            x += 1
+          }
+          y += 1
+        }
+        Some(hist)
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Batched histogram-feature extraction: appends a nullable
+    * array<long> `features` column (the image-embedding shape real
+    * featurizers drop into). */
+  def mapHistogramFeaturesPartitions(df: DataFrame, contentCol: String,
+                                     bins: Int = 4,
+                                     batchSize: Int = 256): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField("features",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false)))
+    val contentIdx = df.schema.fieldIndex(contentCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val f = imageColorHistogram(row.getAs[Array[Byte]](contentIdx), bins)
+            .orNull
+          Row.fromSeq(row.toSeq :+ f)
+        }
+      }
+    }(enc)
+  }
+
   /** Perceptual difference hash (dHash) — THE classical image near-dup
     * fingerprint: decode, floor-map to a 9×8 luminance grid (sx =
     * x·w div 9, sy = y·h div 8 — deterministic, engine-replayable; up-

@@ -1169,6 +1169,21 @@ object PipelineQueries {
         .select(col("doc_id"), col("dhash"))
     }),
 
+    // REAL image feature extraction under the FULL gate: joint RGB
+    // color histograms (the classical CBIR embedding) over the decoded
+    // pixels, long-form (doc_id, dim, n) incl. zero bins — the
+    // "embedding from image" path with a genuine featurizer, not the
+    // hash stub
+    "image_histogram_features" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val withPng = Multimodal.syntheticPngs(docs, "doc_id", "content")
+      Multimodal.mapHistogramFeaturesPartitions(withPng, "content",
+          bins = 4, batchSize = 64)
+        .select(col("doc_id"), posexplode(col("features")))
+        .select(col("doc_id"), col("pos").cast("long").as("dim"),
+          col("col").as("n"))
+    }),
+
     // image NEAR-DUP pairs: dHash + the generalized fingerprint banding
     // (the simhash machinery over an arbitrary 64-bit column) — planted
     // byte-identical copies must surface at hamming 0, and the full
@@ -3166,6 +3181,27 @@ object PipelineQueries {
     "image_dedup" ->
       s"""WITH RECURSIVE $dhashCtes
          SELECT min(doc_id) AS doc_id, dhash FROM dfp GROUP BY dhash""",
+    // histogram replay: per-pixel joint RGB bin from the id formula,
+    // all 64 dims emitted (zero bins included, like posexplode)
+    "image_histogram_features" ->
+      """WITH px AS (
+           SELECT d.doc_id,
+                  (d.doc_id * 31 + x.x * 7 + y.y) % 16777215 AS v
+           FROM documents d,
+                LATERAL (SELECT unnest(range(0, d.doc_id % 7 + 3)) AS x) x,
+                LATERAL (SELECT unnest(range(0, d.doc_id % 5 + 2)) AS y) y),
+         cnt AS (
+           SELECT doc_id,
+                  ((v // 65536) // 64 * 4 + (v // 256) % 256 // 64) * 4
+                  + (v % 256) // 64 AS dim,
+                  count(*) AS n
+           FROM px GROUP BY 1, 2),
+         dims AS (SELECT doc_id, j.j AS dim
+                  FROM documents, range(0, 64) j(j))
+         SELECT dims.doc_id, CAST(dims.dim AS BIGINT) AS dim,
+                CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n
+         FROM dims LEFT JOIN cnt
+           ON cnt.doc_id = dims.doc_id AND cnt.dim = dims.dim""",
     // resize replay: dims by the same floor arithmetic, pixels sampled
     // at sx = x*w//nw, sy = y*h//nh from the id-derived pixel formula
     "multimodal_resize_stats" ->

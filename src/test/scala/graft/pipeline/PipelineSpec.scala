@@ -679,6 +679,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(Multimodal.decodePixelStats(null).isEmpty)
   }
 
+  test("imageColorHistogram: known-color goldens, totals = pixel count") {
+    def png(rgb: Int, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // pure red 255,0,0 -> bin (3,0,0) = dim 48 at bins=4
+    val red = Multimodal.imageColorHistogram(png(0xff0000, 5, 3), bins = 4).get
+    assert(red(48) == 15L && red.sum == 15L && red.length == 64)
+    // mid gray 128,128,128 -> bin (2,2,2) = dim 42
+    val gray = Multimodal.imageColorHistogram(png(0x808080, 2, 2), bins = 4).get
+    assert(gray(42) == 4L && gray.sum == 4L)
+    assert(Multimodal.imageColorHistogram("junk".getBytes).isEmpty)
+  }
+
   test("imageDHash: gradient golden, copy-invariance, distinct structures differ") {
     def png(f: (Int, Int) => Int, w: Int = 12, h: Int = 10): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(w, h,
