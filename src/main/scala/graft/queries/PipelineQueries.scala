@@ -359,6 +359,17 @@ object PipelineQueries {
           col("hamming").cast("long").as("hamming"))
     }),
 
+    // The pipeline FunctionRegistry surface itself under the driver
+    // gate (the Tx.registerAll twin of the geo sql_surface query):
+    // simhash64 and ngram_jaccard invoked from PURE spark.sql TEXT
+    "sql_pipeline_surface" -> ((s, dir) => {
+      graft.pipeline.Tx.registerAll(s)
+      t(s, dir, "documents").createOrReplaceTempView("graft_docs_sql")
+      s.sql("""SELECT doc_id, simhash64(text) AS simhash,
+                      ngram_jaccard(text, text) AS self_jaccard
+               FROM graft_docs_sql""")
+    }),
+
     // FULL differential oracle for the simhash core: DuckDB replays the
     // token byte-hash, the 3-token gram polyFold, both mix64 finishers,
     // and the 64 per-bit ±1 votes in HUGEINT arithmetic — every
@@ -3046,6 +3057,16 @@ object PipelineQueries {
     "ann_pq_exact" -> bruteForceCosineOracle,
     "doc_fingerprint64" -> fingerprintOracle,
     "simhash_fingerprints" -> simhashOracle,
+    // same fingerprint chain; self-jaccard is 1.0 exactly when the doc
+    // has at least one 3-token gram (empty-vs-empty compares 0.0)
+    "sql_pipeline_surface" ->
+      s"""WITH RECURSIVE ${Fp.powsCte(4096)},
+         ${simhashCtes("documents")}
+         SELECT s.doc_id, s.simhash,
+                CAST(CASE WHEN EXISTS (SELECT 1 FROM ghash g
+                                       WHERE g.doc_id = s.doc_id)
+                          THEN 1.0 ELSE 0.0 END AS DOUBLE) AS self_jaccard
+         FROM sims s""",
     "sorted_neighbor_pairs" -> sortedNeighborOracle,
     // winnowing replay: the seed-42 gram-hash chain (ngram=4), then the
     // min over each 4-hash window as a ROWS window frame; start
