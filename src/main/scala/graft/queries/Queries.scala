@@ -123,6 +123,19 @@ object Queries {
     }),
 
     // SURVEY §2.6 st_area: signed shoelace with CW holes subtracting.
+    // spatial measure × relational dimension COMPOSE: supplier diamond
+    // areas rolled up per nation through a broadcast dim join — the
+    // shoelace aggregate and the snowflake join in one plan (diamond
+    // with half-diagonal r has area exactly 2r², integer-valued)
+    "geo_area_by_nation" -> ((s, dir) => {
+      supplierDiamonds(s, dir)
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(st_area(col("diamond"))).cast("long").as("area_sum"),
+          count(lit(1)).as("n"))
+    }),
+
     "area_polygons" -> ((s, dir) => {
       partPolygons(s, dir)
         .groupBy(col("p_brand"))
@@ -1864,6 +1877,14 @@ object Queries {
          GROUP BY 1, 2, 3
          ORDER BY revenue_i DESC, l_orderkey
          LIMIT 10""",
+    "geo_area_by_nation" ->
+      """SELECT n_name,
+                CAST(sum(2 * r * r) AS BIGINT) AS area_sum,
+                count(*) AS n
+         FROM (SELECT s_nationkey, (s_suppkey % 25) * 2 + 21 AS r
+               FROM supplier)
+         JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY n_name""",
     "q5_local_supplier" ->
       """SELECT n_name,
                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
