@@ -798,6 +798,14 @@ object Queries {
           col("o_orderdate"), col("total_qty"))
     }),
 
+    // ROLLUP (hierarchical subtotals — flag, flag+status, grand total):
+    // the other grouping-sets shape next to CUBE, same Expand plan
+    "rollup_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("qty"), count(lit(1)).as("n"))
+    }),
+
     // SURVEY §2.4 inherited aggregates: CUBE over two dims (subtotals +
     // grand total in one pass — Expand + partial aggregation).
     "cube_agg" -> ((s, dir) => {
@@ -1864,6 +1872,9 @@ object Queries {
     "cube_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS qty, count(*) AS n
          FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+    "rollup_agg" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS qty, count(*) AS n
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
     "q3_shipping" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
