@@ -798,6 +798,89 @@ object Queries {
           col("o_orderdate"), col("total_qty"))
     }),
 
+    // TPC-H Q7 shape (volume shipping): revenue flowing between two
+    // named nations, by supplier-nation × customer-nation × ship year.
+    // Scale shape: nation is broadcast into BOTH supplier and customer
+    // (tiny dims); the lineitem fact is date-band filtered at the scan
+    // (pushed filter), joins suppliers broadcast, then orders/customer
+    // on their own keys. The two-direction predicate is applied after
+    // the joins on already-tiny dimension attributes. Revenue is
+    // integer-staged (cents × discount-hundredths) for cross-engine
+    // exactness.
+    "q7_volume_shipping" -> ((s, dir) => {
+      val (n1, n2) = ("NATION_1", "NATION_2")
+      val nat = t(s, dir, "nation")
+        .where(col("n_name").isin(n1, n2))
+        .select(col("n_nationkey"), col("n_name"))
+      val sup = t(s, dir, "supplier")
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = t(s, dir, "customer")
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val li = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).cast("long").as("l_year"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev"))
+      li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .where((col("supp_nation") === n1 && col("cust_nation") === n2) ||
+          (col("supp_nation") === n2 && col("cust_nation") === n1))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(sum(col("rev")).as("revenue_i"))
+    }),
+
+    // TPC-H Q8 shape (national market share): of all ECONOMY-part
+    // revenue sold to customers in region AMERICA, what fraction came
+    // from NATION_6 suppliers, per order year. Scale shape: part
+    // filter and nation dims broadcast; the fact joins orders/customer
+    // on their keys; numerator is a conditional sum inside ONE grouped
+    // aggregate (no second pass over the fact). The share is
+    // integer-permille via BIGINT `div` — exact cross-engine. (At true
+    // 100 TB revenue magnitudes the ×1000 staging would move to
+    // DECIMAL(38,0); sums here are ≤ ~5e16.)
+    "q8_market_share" -> ((s, dir) => {
+      val target = "NATION_6"
+      val amNat = t(s, dir, "nation").join(
+        t(s, dir, "region").where(col("r_name") === "AMERICA"),
+        col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"))
+      val cust = t(s, dir, "customer")
+        .join(broadcast(amNat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val ord = t(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+      val par = t(s, dir, "part").where(col("p_type") === "ECONOMY")
+        .select(col("p_partkey"))
+      val supN = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev"))
+      li.join(broadcast(par), col("l_partkey") === col("p_partkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === target, col("rev")).otherwise(0L))
+            .as("nation_rev_i"),
+          sum(col("rev")).as("total_rev_i"))
+        .withColumn("share_permille",
+          expr("CAST(nation_rev_i * 1000L DIV total_rev_i AS BIGINT)"))
+    }),
+
     // ROLLUP (hierarchical subtotals — flag, flag+status, grand total):
     // the other grouping-sets shape next to CUBE, same Expand plan
     "rollup_agg" -> ((s, dir) => {
@@ -1917,6 +2000,44 @@ object Queries {
                HAVING sum(CAST(l_quantity AS BIGINT)) > 150) b
          JOIN orders ON b.l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey""",
+    "q7_volume_shipping" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                         (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                     AS BIGINT) AS revenue_i
+         FROM lineitem, supplier, orders, customer, nation sn, nation cn
+         WHERE l_suppkey = s_suppkey AND l_orderkey = o_orderkey
+           AND o_custkey = c_custkey
+           AND s_nationkey = sn.n_nationkey AND c_nationkey = cn.n_nationkey
+           AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2') OR
+                (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+           AND l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+         GROUP BY 1, 2, 3""",
+    "q8_market_share" ->
+      """SELECT o_year, nation_rev_i, total_rev_i,
+                CAST(nation_rev_i * 1000 // total_rev_i AS BIGINT)
+                  AS share_permille
+         FROM (
+           SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                  CAST(sum(CASE WHEN sn.n_name = 'NATION_6' THEN rev ELSE 0 END)
+                       AS BIGINT) AS nation_rev_i,
+                  CAST(sum(rev) AS BIGINT) AS total_rev_i
+           FROM (SELECT l_orderkey, l_partkey, l_suppkey,
+                        CAST(round(l_extendedprice * 100) AS BIGINT) *
+                        (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev
+                 FROM lineitem) l
+           JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation cn ON c_nationkey = cn.n_nationkey
+           JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation sn ON s_nationkey = sn.n_nationkey
+           WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o_orderdate < TIMESTAMP '1998-01-01'
+           GROUP BY 1)""",
     "interarrival_histogram" ->
       """SELECT CAST(length(bin(greatest(gap_ns, 1))) - 1 AS BIGINT)
                   AS log2_gap_ns,
