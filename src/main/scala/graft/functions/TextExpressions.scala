@@ -249,6 +249,25 @@ case class CharRollHash(child: Expression, seed: Long) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): CharRollHash = copy(c)
 }
 
+/** Multiplicative bucket hash: (child · const mod 2⁶⁴) >>> shift —
+  * Java long wrap semantics, i.e. the top (64 − shift) bits of an
+  * odd-constant multiply. The count–min-sketch row hash: exact integer
+  * semantics an independent engine can replay with mod-2⁶⁴ HUGEINT
+  * arithmetic. Implemented as an expression because ANSI mode
+  * (Spark 4's default) makes `col * lit` THROW on the intended wrap. */
+case class WrapMulShift(child: Expression, const: Long, shift: Int)
+    extends UnaryExpression {
+  require(shift >= 0 && shift < 64, "shift must be in [0, 64)")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "wrap_mul_shift"
+  override protected def nullSafeEval(t: Any): Any =
+    (t.asInstanceOf[Long] * const) >>> shift
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"(($c * ${const}L) >>> $shift)")
+  override protected def withNewChildInternal(c: Expression): WrapMulShift =
+    copy(c)
+}
+
 /** Unicode NFC normalization (canonical composition): visually
   * identical strings — 'é' vs 'e' + U+0301 combining acute — compare,
   * hash, group, and dedup equal after it. The step a multilingual

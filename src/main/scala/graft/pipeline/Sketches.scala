@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.functions._
 
 /**
@@ -370,5 +371,109 @@ object Sketches {
         s"top-$k not certifiable: kth count $kth <= N/capacity = " +
           s"${n.toDouble / capacity}; raise capacity")
     counted.take(k).toSeq.toDF("v", "n")
+  }
+
+  // -- count–min sketch ----------------------------------------------------
+  // Unlike the HLL/KLL aggregates above, this sketch is DETERMINISTIC
+  // given its row constants: every cell count and every estimate is
+  // exactly replayable by an independent engine, so the driver's DuckDB
+  // oracle can hash-gate it (rare for a sketch).
+
+  /** Per-row multipliers: the 32-bit xxhash primes (public constants).
+    * Depth is capped at 4 — the standard ε·δ trade lives in width. */
+  private val cmsRowConsts = Seq(2654435761L, 2246822519L, 3266489917L, 668265263L)
+
+  /** Bucket of `key` (a 64-bit avalanche-mixed hash) in CMS row `row`
+    * with 2^logWidth buckets: multiplicative hashing — multiply by an
+    * odd constant mod 2^64 (Java long wrap) and keep the TOP logWidth
+    * bits (the low bits of an odd-multiply depend only on the low input
+    * bits; the top bits mix all of them). Wrap semantics need a custom
+    * expression under ANSI mode ([[graft.functions.WrapMulShift]]). */
+  def cmsBucket(key: Column, row: Int, logWidth: Int): Column =
+    Bridge.column(graft.functions.WrapMulShift(
+      Bridge.expression(key), cmsRowConsts(row), 64 - logWidth))
+
+  /** Count–min sketch cells from one key occurrence per input row:
+    * (row, bucket, cnt), at most depth·2^logWidth rows. ONE aggregation
+    * over a ×depth fan-out; map-side partial aggregation collapses each
+    * partition to ≤ depth·2^logWidth cells before the shuffle, so the
+    * exchange carries kilobytes regardless of corpus size — the whole
+    * point of sketching a 100 TB token stream. */
+  def cmsCells(keys: DataFrame, key: Column, depth: Int = 4,
+               logWidth: Int = 10): DataFrame = {
+    require(depth >= 1 && depth <= cmsRowConsts.size,
+      s"depth must be in [1, ${cmsRowConsts.size}]")
+    require(logWidth >= 1 && logWidth <= 30, "logWidth must be in [1, 30]")
+    keys
+      .select(explode(array((0 until depth).map(d =>
+        struct(lit(d).as("row"),
+          cmsBucket(key, d, logWidth).as("bucket"))): _*)).as("rb"))
+      .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates for `probes` (each row carries a `key` hash):
+    * min over the depth cells the key maps to — ≥ the true count,
+    * with the classic (ε = e/width, δ = e^−depth) overcount bound.
+    * The cell table is tiny by construction → broadcast join; the
+    * probe side never shuffles. */
+  def cmsEstimate(cells: DataFrame, probes: DataFrame, key: Column,
+                  depth: Int = 4, logWidth: Int = 10): DataFrame = {
+    val probeCols = probes.columns.map(col).toSeq
+    probes
+      .select(probeCols :+ explode(array((0 until depth).map(d =>
+        struct(lit(d).as("row"),
+          cmsBucket(key, d, logWidth).as("bucket"))): _*)).as("__rb"): _*)
+      .join(broadcast(cells),
+        col("__rb.row") === cells("row") && col("__rb.bucket") === cells("bucket"))
+      .groupBy(probeCols: _*)
+      .agg(min(col("cnt")).as("est_n"))
+  }
+
+  // -- distribution diagnostics (exact, integer-staged) --------------------
+
+  /** Gini concentration of per-key mass: one row
+    * (n_keys, total, gini_ppm) with
+    * gini = (2·Σ i·xᵢ)/(n·Σ xᵢ) − (n+1)/n over counts xᵢ sorted
+    * ascending (ties broken by key for determinism), staged in parts
+    * per million via BIGINT division — exact cross-engine. 0 = uniform,
+    * →1 = all mass on one key. The corpus-curation "is one domain
+    * dominating the crawl?" diagnostic.
+    *
+    * Scale shape: the corpus collapses to per-key counts in ONE grouped
+    * aggregate; the rank window and the final fold then run over |keys|
+    * rows, not corpus rows. */
+  def giniConcentrationPpm(df: DataFrame, key: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(key.as("k")).agg(count(lit(1)).as("n"))
+    val ranked = counts.withColumn("i",
+      row_number().over(Window.orderBy(col("n"), col("k"))))
+    ranked
+      .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("total"),
+        sum(col("i") * col("n")).as("__s1"))
+      .select(col("n_keys"), col("total"),
+        expr("""CAST((1000000L * (2L * __s1 - (n_keys + 1L) * total))
+                DIV (n_keys * total) AS BIGINT)""").as("gini_ppm"))
+  }
+
+  /** Key-distribution drift between two corpus slices (A = rows where
+    * `inA`, B = the rest): one row (n_keys, sum_abs_ppm) where
+    * sum_abs_ppm = Σ_k |p_k − q_k| over per-mille... ppm-floored key
+    * frequencies p (in A) and q (in B). Total-variation distance ×2,
+    * in parts per million, in exact BIGINT arithmetic — the train/val
+    * token-distribution-shift gate of a data pipeline.
+    *
+    * One grouped aggregate over the corpus (conditional sums — no
+    * second pass, no join between the slices), then a broadcast of the
+    * single-row totals. */
+  def tvDriftPpm(df: DataFrame, inA: Column, key: Column): DataFrame = {
+    val counts = df.groupBy(key.as("k"))
+      .agg(sum(when(inA, 1L).otherwise(0L)).as("na"),
+        sum(when(inA, 0L).otherwise(1L)).as("nb"))
+    val tot = counts.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+    counts.crossJoin(broadcast(tot))
+      .select(abs(expr("na * 1000000L DIV ta") -
+        expr("nb * 1000000L DIV tb")).as("__d"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("__d")).as("sum_abs_ppm"))
   }
 }

@@ -1018,6 +1018,56 @@ object PipelineQueries {
         .select(col("v").as("tok"), col("n"))
     }),
 
+    // count–min sketch: the rare sketch that is exactly replayable
+    // (fixed row constants, integer cells), so unlike HLL/KLL it gets a
+    // full DuckDB hash gate — the cells and the min-estimates for the
+    // top-50 true tokens, est_n ≥ true_n by construction
+    "cms_token_estimates" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val occurrences = docs.select(
+        explode(Tx.token_ngram_hashes(col("text"), 1, 42L)).as("k"))
+      val cells = Sketches.cmsCells(occurrences, col("k"),
+        depth = 4, logWidth = 10)
+      val truth = docs
+        .select(explode(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+          .as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("true_n"))
+        .orderBy(col("true_n").desc, col("tok")).limit(50)
+      val probes = truth.select(col("tok"), col("true_n"),
+        element_at(Tx.token_ngram_hashes(col("tok"), 1, 42L), 1).as("__k"))
+      Sketches.cmsEstimate(cells, probes, col("__k"))
+        .select(col("tok"), col("true_n"), col("est_n"))
+    }),
+
+    // Gini concentration of the planted link-host distribution — the
+    // "is one domain dominating the crawl?" curation diagnostic,
+    // integer-ppm staged so the DuckDB replay is exact
+    "domain_gini" -> ((s, dir) => {
+      val id = col("doc_id")
+      val planted = concat(col("text"),
+        when(id % 4 === 0, concat(lit(" see http://site"),
+          (id % 7).cast("string"), lit(".example.com/page")))
+          .otherwise(lit("")),
+        when(id % 4 === 1, concat(lit(" via https://m"),
+          (id % 3).cast("string"), lit(".mirror.org/x"))).otherwise(lit("")))
+      val docs = t(s, dir, "documents").select(id, planted.as("ptext"))
+      Sketches.giniConcentrationPpm(
+        Scrub.explodeHosts(docs, "doc_id", "ptext"), col("host"))
+    }),
+
+    // train-vs-rest token-distribution drift (total variation ×2, ppm):
+    // the split-shift gate; reuses the deterministic hash splitter, all
+    // integer arithmetic
+    "split_token_drift" -> ((s, dir) => {
+      val split = Sampling.splitByHash(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        col("doc_id"), Seq("train" -> 0.7, "val" -> 0.2, "test" -> 0.1),
+        salt = "sp1")
+      val toks = split.select(col("split"),
+        explode(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("tok"))
+      Sketches.tvDriftPpm(toks, col("split") === "train", col("tok"))
+    }),
+
     // quantized tf-idf top terms per doc: score = tf * floor(1e6*N/df),
     // integer-valued both engines, ties on the term string
     "tfidf_top_terms" -> ((s, dir) => {
@@ -1707,6 +1757,49 @@ object PipelineQueries {
   private val ipv4Sql = Scrub.ipv4Pattern
   private val urlSql = Scrub.urlHostPattern
 
+  // count–min sketch replay: cells = counts of (row, top-10-bits of
+  // gfp·C_d mod 2^64) over the seed-42 token-hash chain; probe hashes
+  // recomputed from the token STRINGS through the same two-stage fold,
+  // estimate = min over the 4 cells. 2^54 = the bucket shift for
+  // logWidth 10.
+  private lazy val cmsTokenOracle: String = {
+    def bucket(gfpHugeint: String): String =
+      s"CAST((${Fp.mulmodVar(gfpHugeint, "c.c")}) // 18014398509481984" +
+        " AS BIGINT)"
+    s"""WITH RECURSIVE ${Fp.powsCte(4096)},
+       ${gramHashCtes(1)},
+       cdef(d, c) AS (VALUES
+         (0, CAST(2654435761 AS HUGEINT)), (1, CAST(2246822519 AS HUGEINT)),
+         (2, CAST(3266489917 AS HUGEINT)), (3, CAST(668265263 AS HUGEINT))),
+       cells AS (
+         SELECT c.d, ${bucket("CAST(g.gfp AS HUGEINT)")} AS bucket,
+                count(*) AS cnt
+         FROM ghash g CROSS JOIN cdef c
+         GROUP BY 1, 2),
+       truth AS (
+         SELECT tok, count(*) AS true_n FROM toks2
+         GROUP BY tok ORDER BY true_n DESC, tok LIMIT 50),
+       ptr AS (
+         SELECT tok, true_n,
+                ${Fp.polyFold("list_transform(range(1, length(tok)+1), " +
+                  "i -> CAST(ord(substr(tok, i, 1)) AS HUGEINT))")} AS r
+         FROM truth CROSS JOIN pw),
+       pth AS (SELECT tok, true_n,
+               ${Fp.mix64Stages("CAST(r AS UBIGINT)", "t")}
+               FROM ptr),
+       pgr AS (SELECT tok, true_n,
+               ${Fp.polyFold("[CAST(tfp AS HUGEINT)]")} AS r
+               FROM pth CROSS JOIN pw),
+       pgh AS (SELECT tok, true_n,
+               ${Fp.mix64Stages("CAST(r AS UBIGINT)", "g")}
+               FROM pgr)
+       SELECT p.tok, p.true_n, min(cl.cnt) AS est_n
+       FROM pgh p CROSS JOIN cdef c
+       JOIN cells cl
+         ON cl.d = c.d AND cl.bucket = ${bucket("CAST(p.gfp AS HUGEINT)")}
+       GROUP BY 1, 2"""
+  }
+
   // shared by ann_cosine_topk and the exact-degenerate IVF/PQ configs
   // (nprobe = nlist / refine set = whole corpus reproduce brute force)
   private val bruteForceCosineOracle =
@@ -2343,6 +2436,50 @@ object PipelineQueries {
       """SELECT tok, count(*) AS n
          FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS tok FROM documents)
          GROUP BY tok ORDER BY n DESC, tok LIMIT 20""",
+    "cms_token_estimates" -> cmsTokenOracle,
+    "domain_gini" ->
+      s"""WITH docs AS (
+           SELECT doc_id, text
+             || CASE WHEN doc_id % 4 = 0 THEN ' see http://site' || CAST(doc_id % 7 AS VARCHAR)
+                  || '.example.com/page' ELSE '' END
+             || CASE WHEN doc_id % 4 = 1 THEN ' via https://m' || CAST(doc_id % 3 AS VARCHAR)
+                  || '.mirror.org/x' ELSE '' END AS ptext
+           FROM documents),
+         counts AS (
+           SELECT k, count(*) AS n FROM (
+             SELECT unnest(regexp_extract_all(ptext, '$urlSql', 1)) AS k
+             FROM docs)
+           GROUP BY k),
+         ranked AS (
+           SELECT n, row_number() OVER (ORDER BY n, k) AS i FROM counts),
+         agg AS (
+           SELECT count(*) AS n_keys, sum(n) AS total, sum(i * n) AS s1
+           FROM ranked)
+         SELECT n_keys, CAST(total AS BIGINT) AS total,
+                CAST((1000000 * (2 * s1 - (n_keys + 1) * total))
+                     // (n_keys * total) AS BIGINT) AS gini_ppm
+         FROM agg""",
+    "split_token_drift" ->
+      s"""WITH s AS (
+           SELECT CASE WHEN substr(md5(concat_ws('|','sp1',CAST(doc_id AS VARCHAR))),1,8)
+                         < '${Sampling.thresholdHex(0.7)}' THEN 'train'
+                       WHEN substr(md5(concat_ws('|','sp1',CAST(doc_id AS VARCHAR))),1,8)
+                         < '${Sampling.thresholdHex(0.9)}' THEN 'val'
+                       WHEN substr(md5(concat_ws('|','sp1',CAST(doc_id AS VARCHAR))),1,8)
+                         < '${Sampling.thresholdHex(1.0)}' THEN 'test'
+                       ELSE NULL END AS split,
+                  unnest(regexp_extract_all(text, '\\S+')) AS tok
+           FROM documents),
+         t AS (
+           SELECT tok,
+                  sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS na,
+                  sum(CASE WHEN split = 'train' THEN 0 ELSE 1 END) AS nb
+           FROM s GROUP BY tok),
+         tot AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM t)
+         SELECT count(*) AS n_keys,
+                CAST(sum(abs(na * 1000000 // ta - nb * 1000000 // tb))
+                     AS BIGINT) AS sum_abs_ppm
+         FROM t CROSS JOIN tot""",
     "tfidf_top_terms" ->
       """WITH tf AS (
            SELECT id, term, count(*) AS tf FROM (

@@ -160,4 +160,66 @@ class SketchesSpec extends AnyFunSuite {
     assert(r("s") == ((4L, 1L, 2L)))
     assert(r("v") == ((4L, 0L, 3L)))
   }
+
+  test("cms estimate >= true count, exact when width dwarfs keys") {
+    // 100 distinct keys with known counts; 2^10 buckets ⇒ collisions
+    // unlikely but LEGAL — the estimate must never undercount
+    val keys = (0 until 100).flatMap(k =>
+      Seq.fill(k + 1)(graft.functions.TextHashing.mix64(k.toLong)))
+      .toDF("k").repartition(4)
+    val cells = Sketches.cmsCells(keys, col("k"), depth = 4, logWidth = 10)
+    assert(cells.agg(sum("cnt")).as[Long].head ==
+      4L * (1 to 100).sum) // every occurrence lands in every row
+    val probes = (0 until 100)
+      .map(k => (k.toLong, graft.functions.TextHashing.mix64(k.toLong)))
+      .toDF("orig", "k")
+    val est = Sketches.cmsEstimate(cells, probes, col("k"))
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> t._3).toMap
+    (0 until 100).foreach { k =>
+      assert(est(k.toLong) >= k + 1, s"undercount for key $k")
+    }
+    // with 100 keys in 1024 buckets and 4 rows, min-of-rows is exact
+    // for the vast majority; require >= 90 exact to catch bucket bugs
+    val exact = (0 until 100).count(k => est(k.toLong) == k + 1)
+    assert(exact >= 90, s"only $exact/100 estimates exact")
+  }
+
+  test("cmsBucket stays in range and matches the wrap-multiply formula") {
+    val ks = Seq(Long.MinValue, -1L, 0L, 1L, Long.MaxValue,
+      0x9e3779b97f4a7c15L).toDF("k")
+    val b = ks.select(Sketches.cmsBucket(col("k"), 0, 10).as("b"))
+      .as[Long].collect()
+    assert(b.forall(x => x >= 0 && x < 1024))
+    assert(b(2) == 0L) // key 0 → product 0 → bucket 0
+    assert(b(3) == (2654435761L >>> 54)) // key 1 → the constant itself
+  }
+
+  test("giniConcentrationPpm: 0 on uniform, ~1 on concentrated") {
+    val uniform = (0 until 50).flatMap(k => Seq.fill(10)(s"k$k")).toDF("k")
+    val g0 = Sketches.giniConcentrationPpm(uniform, col("k"))
+      .as[(Long, Long, Long)].head
+    assert(g0 == ((50L, 500L, 0L)))
+    // one key holds 9901 of 10000 units: gini near 1
+    val skewed = ((0 until 99).map(k => (s"k$k", 1)) :+ ("hot", 9901))
+      .flatMap { case (k, n) => Seq.fill(n)(k) }.toDF("k")
+    val g1 = Sketches.giniConcentrationPpm(skewed, col("k"))
+      .as[(Long, Long, Long)].head
+    assert(g1._1 == 100L && g1._2 == 10000L)
+    assert(g1._3 > 970000L && g1._3 < 1000000L, s"gini ${g1._3}")
+  }
+
+  test("tvDriftPpm: 0 for identical slices, 2e6 for disjoint") {
+    val same = (0 until 100).flatMap(i => Seq((true, s"t${i % 10}"),
+      (false, s"t${i % 10}"))).toDF("a", "k")
+    val d0 = Sketches.tvDriftPpm(same, col("a"), col("k"))
+      .as[(Long, Long)].head
+    assert(d0 == ((10L, 0L)))
+    val disjoint = ((0 until 40).map(i => (true, s"a${i % 4}")) ++
+      (0 until 60).map(i => (false, s"b${i % 6}"))).toDF("a", "k")
+    val d1 = Sketches.tvDriftPpm(disjoint, col("a"), col("k"))
+      .as[(Long, Long)].head
+    // 4 a-keys at 250000 ppm + 6 b-keys at floor(1e6/6)=166666 ppm:
+    // 1e6 + 999996 — the ppm floor loses 4 millionths of the exact 2.0
+    assert(d1 == ((10L, 1999996L)))
+  }
 }
