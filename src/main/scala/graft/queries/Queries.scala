@@ -881,6 +881,77 @@ object Queries {
           expr("CAST(nation_rev_i * 1000L DIV total_rev_i AS BIGINT)"))
     }),
 
+    // TPC-H Q4 shape (order priority checking): EXISTS rewritten as a
+    // LEFT SEMI join — each order emits at most once no matter how many
+    // late lines it has, and Spark's semi-join short-circuits per key.
+    // "Late" = any line shipped > 90 days after the order date.
+    "q4_order_priority" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      ord.join(li, col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    // TPC-H Q13 shape (customer order distribution): LEFT OUTER join so
+    // zero-order customers keep a row, then two stacked aggregates —
+    // count per customer, histogram over the counts. The second
+    // aggregate's input is one row per customer (already tiny relative
+    // to orders), the classic reduce-then-reduce shape.
+    "q13_custdist" -> ((s, dir) => {
+      t(s, dir, "customer").select(col("c_custkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
+    // TPC-H Q22 shape (idle wealthy suppliers): suppliers with an
+    // above-average positive balance and no RECENT shipments. The average
+    // threshold is an integer CROSS-MULTIPLICATION (cents·n > total) —
+    // no double division anywhere, exact cross-engine; the "no sales"
+    // test is a LEFT ANTI join on the fact's supplier key. One-row
+    // aggregate broadcast; the anti join shuffles only supplier keys.
+    "q22_idle_suppliers" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier").select(col("s_suppkey"),
+        col("s_nationkey"),
+        round(col("s_acctbal") * 100).cast("long").as("cents"))
+      val tot = sup.where(col("cents") > 0)
+        .agg(sum(col("cents")).as("tc"), count(lit(1)).as("nc"))
+      sup.crossJoin(broadcast(tot))
+        .where(col("cents") * col("nc") > col("tc"))
+        .join(t(s, dir, "lineitem")
+            .where(col("l_shipdate") >= lit("2001-11-01").cast("timestamp"))
+            .select(col("l_suppkey")),
+          col("s_suppkey") === col("l_suppkey"), "left_anti")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("numcust"), sum(col("cents")).as("totacctbal_i"))
+    }),
+
+    // Hive-partitioned layout round-trip: write documents partitioned
+    // by lang (the layout a multilingual corpus lands in), read back
+    // with a partition-column filter. At scale the filter prunes whole
+    // directories BEFORE any file is opened (PartitionFilters, gated in
+    // PlanSpec) — the non-pruned languages cost zero IO.
+    "hive_partition_prune" -> ((s, dir) => {
+      val out = System.getProperty("java.io.tmpdir") +
+        "/graft_hivepart_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+        .write.partitionBy("lang").parquet(out)
+      s.read.parquet(out).where(col("lang").isin("en", "fr"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(length(col("text"))).as("chars"))
+    }),
+
     // ROLLUP (hierarchical subtotals — flag, flag+status, grand total):
     // the other grouping-sets shape next to CUBE, same Expand plan
     "rollup_agg" -> ((s, dir) => {
@@ -2038,6 +2109,44 @@ object Queries {
            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
              AND o_orderdate < TIMESTAMP '1998-01-01'
            GROUP BY 1)""",
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+           AND o_orderdate < TIMESTAMP '1996-10-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+         GROUP BY o_orderpriority""",
+    "q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist
+         FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+               FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+               GROUP BY c_custkey)
+         GROUP BY c_count""",
+    "q22_idle_suppliers" ->
+      """WITH sup AS (
+           SELECT s_suppkey, s_nationkey,
+                  CAST(round(s_acctbal * 100) AS BIGINT) AS cents
+           FROM supplier),
+         tot AS (
+           SELECT CAST(sum(cents) AS BIGINT) AS tc, count(*) AS nc
+           FROM sup WHERE cents > 0)
+         SELECT n_name, count(*) AS numcust,
+                CAST(sum(cents) AS BIGINT) AS totacctbal_i
+         FROM sup CROSS JOIN tot
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE cents * nc > tc
+           AND NOT EXISTS (SELECT 1 FROM lineitem
+                           WHERE l_suppkey = s_suppkey
+                             AND l_shipdate >= TIMESTAMP '2001-11-01')
+         GROUP BY n_name""",
+    "hive_partition_prune" ->
+      """SELECT lang, count(*) AS n,
+                CAST(sum(length(text)) AS BIGINT) AS chars
+         FROM documents
+         WHERE lang IN ('en', 'fr')
+         GROUP BY lang""",
     "interarrival_histogram" ->
       """SELECT CAST(length(bin(greatest(gap_ns, 1))) - 1 AS BIGINT)
                   AS log2_gap_ns,

@@ -476,6 +476,46 @@ class PlanSpec extends AnyFunSuite {
       s"kmeans assignment should not shuffle:\n$plan")
   }
 
+  test("hive-partitioned read prunes partitions at plan time") {
+    val dir = java.nio.file.Files.createTempDirectory("hivepart").toFile
+    try {
+      val docs = (0 until 300).map(i =>
+        (i.toLong, Seq("en", "fr", "zh")(i % 3), s"doc $i"))
+        .toDF("doc_id", "lang", "text")
+      docs.write.mode("overwrite").partitionBy("lang")
+        .parquet(s"$dir/docs")
+      val q = spark.read.parquet(s"$dir/docs").where(col("lang") === "en")
+      val scan = q.queryExecution.executedPlan.toString
+      assert(scan.contains("PartitionFilters") && scan.contains("lang"),
+        s"no partition filter in:\n$scan")
+      // the pruned scan must touch only the en directory
+      val files = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+            .flatMap(_.files.map(_.getPath.toString))
+      }.get
+      assert(files.nonEmpty && files.forall(_.contains("lang=en")),
+        s"pruning read non-en files: $files")
+      assert(q.count() == 100)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    }
+  }
+
+  test("semi and anti joins plan hash-based, never nested-loop") {
+    val orders = (0 until 500).map(i => (i.toLong, i % 5)).toDF("ok", "pri")
+    val lines = (0 until 2000).map(i => ((i % 300).toLong, i)).toDF("lk", "v")
+    val semi = orders.join(lines, col("ok") === col("lk"), "left_semi")
+      .groupBy("pri").count()
+    val anti = orders.join(lines, col("ok") === col("lk"), "left_anti")
+      .groupBy("pri").count()
+    Seq("semi" -> semi, "anti" -> anti).foreach { case (nm, q) =>
+      val plan = finalPlan(q)
+      assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+        s"$nm join not hash-based:\n$plan")
+    }
+  }
+
   test("snapshot diff is one full-outer hash join over hash projections") {
     val a = (0 until 300).map(i => (i.toLong, s"doc $i")).toDF("id", "text")
     val b = (5 until 305).map(i => (i.toLong, s"doc $i x")).toDF("id", "text")
