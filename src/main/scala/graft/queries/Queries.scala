@@ -952,6 +952,50 @@ object Queries {
         .agg(count(lit(1)).as("n"), sum(length(col("text"))).as("chars"))
     }),
 
+    // Schema-evolution read: two parquet batches written with DIFFERENT
+    // schemas (a later ingest added n_chars), merged by a
+    // mergeSchema=true read — rows from the old batch surface the new
+    // column as NULL. The data-lake reality of a corpus ingested over
+    // months; count/sum prove both the union and the null-fill.
+    "merge_schema_read" -> ((s, dir) => {
+      val out = System.getProperty("java.io.tmpdir") +
+        "/graft_mergeschema_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val docs = t(s, dir, "documents")
+      docs.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"))
+        .write.parquet(s"$out/b=1")
+      docs.where(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.parquet(s"$out/b=2")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$out/b=1", s"$out/b=2")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), count(col("n_chars")).as("n_with_chars"),
+          sum(col("n_chars")).as("chars"))
+    }),
+
+    // Small-file compaction: land the corpus as many tiny shards (the
+    // streaming-ingest reality), compact with a round-robin
+    // repartition to a bounded shard count, and prove the compacted
+    // copy is byte-complete. At 100 TB the same two-liner turns a
+    // million 100 KB files (a namenode + open()-per-task disaster)
+    // into block-sized shards; the file-count bound is gated in
+    // LakeSpec, the content here.
+    "compact_small_files" -> ((s, dir) => {
+      val out = System.getProperty("java.io.tmpdir") +
+        "/graft_compact_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      docs.repartition(64).write.parquet(s"$out/small")
+      s.read.parquet(s"$out/small").repartition(4)
+        .write.parquet(s"$out/compact")
+      s.read.parquet(s"$out/compact")
+        .agg(count(lit(1)).as("n"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(length(col("text")).cast("long")).as("chars"))
+    }),
+
     // ROLLUP (hierarchical subtotals — flag, flag+status, grand total):
     // the other grouping-sets shape next to CUBE, same Expand plan
     "rollup_agg" -> ((s, dir) => {
@@ -2147,6 +2191,17 @@ object Queries {
          FROM documents
          WHERE lang IN ('en', 'fr')
          GROUP BY lang""",
+    "merge_schema_read" ->
+      """SELECT lang, count(*) AS n,
+                count(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS n_with_chars,
+                CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT)
+                  AS chars
+         FROM documents
+         GROUP BY lang""",
+    "compact_small_files" ->
+      """SELECT count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+                CAST(sum(length(text)) AS BIGINT) AS chars
+         FROM documents""",
     "interarrival_histogram" ->
       """SELECT CAST(length(bin(greatest(gap_ns, 1))) - 1 AS BIGINT)
                   AS log2_gap_ns,
