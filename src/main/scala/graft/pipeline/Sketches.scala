@@ -456,6 +456,24 @@ object Sketches {
                 DIV (n_keys * total) AS BIGINT)""").as("gini_ppm"))
   }
 
+  /** Exact quantized moment sums per group: n, Σq, Σq², Σq³ over
+    * q = round(value·scale) — the raw material for mean/variance/
+    * skewness at any scale, in ONE map-side-combining aggregate, with
+    * every sum an exact BIGINT (a double Σv³ would be
+    * order-dependent). Downstream standardization (divides) happens on
+    * the tiny per-group frame, not here. Choose `scale` so
+    * max|q|³ · group-count fits int64; the defaults suit
+    * [0, ~1e4)-ranged metrics. */
+  def quantizedMomentsByGroup(df: DataFrame, group: Column, value: Column,
+                              scale: Double = 10.0): DataFrame = {
+    val q = round(value * scale).cast("long")
+    df.select(group.as("grp"), q.as("__q"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("__q")).as("s1"),
+        sum(col("__q") * col("__q")).as("s2"),
+        sum(col("__q") * col("__q") * col("__q")).as("s3"))
+  }
+
   /** Key-distribution drift between two corpus slices (A = rows where
     * `inA`, B = the rest): one row (n_keys, sum_abs_ppm) where
     * sum_abs_ppm = Σ_k |p_k − q_k| over per-mille... ppm-floored key

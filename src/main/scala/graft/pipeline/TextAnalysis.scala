@@ -765,4 +765,21 @@ object TextAnalysis {
     release()
     out
   }
+
+  /** Frequency-ordered label index (the StringIndexer encoding, made
+    * deterministic): labels get dense 0-based indices by descending
+    * count, ties broken by the label string. Returns
+    * (label, n, label_idx) — the categorical-feature dictionary of an
+    * ML-prep pipeline, joinable back onto the corpus.
+    *
+    * Scale shape: ONE grouped aggregate over the corpus; the rank
+    * window then orders |labels| rows (the dictionary), never corpus
+    * rows. */
+  def labelIndex(df: DataFrame, label: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.groupBy(label.as("label")).agg(count(lit(1)).as("n"))
+      .withColumn("label_idx",
+        (row_number().over(Window.orderBy(col("n").desc, col("label"))) - 1)
+          .cast("long"))
+  }
 }

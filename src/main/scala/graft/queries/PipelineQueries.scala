@@ -1068,6 +1068,34 @@ object PipelineQueries {
       Sketches.tvDriftPpm(toks, col("split") === "train", col("tok"))
     }),
 
+    // frequency-ordered label dictionary (deterministic StringIndexer):
+    // dense 0-based codes by count desc, label asc
+    "label_index" -> ((s, dir) => {
+      TextAnalysis.labelIndex(t(s, dir, "documents"), col("lang"))
+    }),
+
+    // leak-proof GROUP-keyed split: hashing the source (not the doc)
+    // sends every doc of a source to ONE split — the train/test
+    // leakage guard when near-duplicates cluster within sources. The
+    // distinct-split count per source proves the invariant; the doc
+    // counts prove the ~80/20 mass
+    "group_split_leakproof" -> ((s, dir) => {
+      Sampling.splitByHash(
+          t(s, dir, "documents").select(col("doc_id"), col("source")),
+          col("source"), Seq("train" -> 0.8, "test" -> 0.2), salt = "gs1")
+        .groupBy(col("split"))
+        .agg(countDistinct(col("source")).as("n_sources"),
+          count(lit(1)).as("n_docs"))
+    }),
+
+    // exact quantized moments of the event value per type (deci-unit
+    // staging: every Σ including the cubes is an exact BIGINT — a
+    // double Σv³ would be order-dependent across engines/partitionings)
+    "moment_stats" -> ((s, dir) => {
+      Sketches.quantizedMomentsByGroup(t(s, dir, "events"),
+        col("event_type"), col("value"), scale = 10.0)
+    }),
+
     // quantized tf-idf top terms per doc: score = tf * floor(1e6*N/df),
     // integer-valued both engines, ties on the term string
     "tfidf_top_terms" -> ((s, dir) => {
@@ -2437,6 +2465,32 @@ object PipelineQueries {
          FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS tok FROM documents)
          GROUP BY tok ORDER BY n DESC, tok LIMIT 20""",
     "cms_token_estimates" -> cmsTokenOracle,
+    "label_index" ->
+      """SELECT lang AS label, count(*) AS n,
+                row_number() OVER (ORDER BY count(*) DESC, lang) - 1
+                  AS label_idx
+         FROM documents GROUP BY lang""",
+    "group_split_leakproof" ->
+      s"""SELECT split, count(DISTINCT source) AS n_sources,
+                 count(*) AS n_docs
+          FROM (
+            SELECT source,
+              CASE WHEN substr(md5(concat_ws('|','gs1',source)),1,8)
+                     < '${Sampling.thresholdHex(0.8)}' THEN 'train'
+                   WHEN substr(md5(concat_ws('|','gs1',source)),1,8)
+                     < '${Sampling.thresholdHex(1.0)}' THEN 'test'
+                   ELSE NULL END AS split
+            FROM documents)
+          GROUP BY split""",
+    "moment_stats" ->
+      """SELECT event_type AS grp, count(*) AS n,
+                CAST(sum(q) AS BIGINT) AS s1,
+                CAST(sum(q * q) AS BIGINT) AS s2,
+                CAST(sum(q * q * q) AS BIGINT) AS s3
+         FROM (SELECT event_type,
+                      CAST(round(value * 10.0) AS BIGINT) AS q
+               FROM events)
+         GROUP BY event_type""",
     "domain_gini" ->
       s"""WITH docs AS (
            SELECT doc_id, text

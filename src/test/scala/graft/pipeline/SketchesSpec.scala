@@ -208,6 +208,27 @@ class SketchesSpec extends AnyFunSuite {
     assert(g1._3 > 970000L && g1._3 < 1000000L, s"gini ${g1._3}")
   }
 
+  test("quantizedMomentsByGroup: exact integer power sums") {
+    val rows = Seq(("a", 1.04), ("a", 2.0), ("a", 3.0), ("b", 0.5))
+      .toDF("grp", "v")
+    val m = Sketches.quantizedMomentsByGroup(rows, col("grp"), col("v"),
+      scale = 10.0)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    // a: q = 10, 20, 30 → s1=60, s2=100+400+900=1400, s3=1000+8000+27000
+    assert(m("a") == ((3L, 60L, 1400L, 36000L)))
+    assert(m("b") == ((1L, 5L, 25L, 125L)))
+  }
+
+  test("labelIndex assigns dense frequency-ordered codes") {
+    val docs = (Seq.fill(5)("en") ++ Seq.fill(5)("fr") ++ Seq.fill(2)("zh"))
+      .toDF("lang")
+    val idx = TextAnalysis.labelIndex(docs, col("lang"))
+      .as[(String, Long, Long)].collect().map(t => t._1 -> t._3).toMap
+    // en/fr tie at 5 → label string breaks the tie; zh last
+    assert(idx == Map("en" -> 0L, "fr" -> 1L, "zh" -> 2L))
+  }
+
   test("tvDriftPpm: 0 for identical slices, 2e6 for disjoint") {
     val same = (0 until 100).flatMap(i => Seq((true, s"t${i % 10}"),
       (false, s"t${i % 10}"))).toDF("a", "k")
