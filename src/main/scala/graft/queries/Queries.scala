@@ -1097,6 +1097,26 @@ object Queries {
     // lead() within each user's (ts, event_id) total order, then a
     // (from, to) aggregate. The window never spans users, so state is
     // bounded by the busiest user, not the stream.
+    // SCD Type-2 build (the warehouse history table): collapse each
+    // user's event stream to its STATE CHANGES and emit validity
+    // intervals [valid_from, valid_to) — open (null) for the current
+    // state. Two windows over ONE user-keyed exchange: lag to detect
+    // changes, lead over the change rows to close intervals.
+    "scd2_user_states" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val changes = EventTs.toTimestamp(t(s, dir, "events"))
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("__prev", lag(col("event_type"), 1).over(w))
+        .where(col("__prev").isNull || col("__prev") =!= col("event_type"))
+      val w2 = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      changes
+        .withColumn("valid_to", lead(col("ts"), 1).over(w2))
+        .select(col("user_id"), col("event_type").as("state"),
+          col("ts").as("valid_from"), col("valid_to"))
+    }),
+
     "event_transitions" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
@@ -2212,6 +2232,15 @@ object Queries {
                FROM events)
          WHERE gap_ns IS NOT NULL
          GROUP BY 1""",
+    "scd2_user_states" ->
+      """SELECT user_id, event_type AS state, ts AS valid_from,
+                lead(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS valid_to
+         FROM (SELECT user_id, ts, event_id, event_type,
+                      lag(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS prev
+               FROM events)
+         WHERE prev IS NULL OR prev <> event_type""",
     "event_transitions" ->
       """SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
          FROM (SELECT event_type,
