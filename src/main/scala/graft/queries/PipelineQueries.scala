@@ -3169,6 +3169,26 @@ object PipelineQueries {
     "simhash_planted_pairs" ->
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b
          FROM documents WHERE doc_id % 10 = 0""",
+    // pigeonhole banding with maxHamming+1 chunks is LOSSLESS (≤3
+    // flipped bits leave ≥1 of 4 chunks intact), so the engine's banded
+    // pair set equals the brute-force all-pairs hamming ≤ 3 population
+    // — replayed here over the full simhash chain + an all-pairs join
+    // (fine at oracle scale; the ENGINE never goes all-pairs)
+    "simhash_pair_stats" ->
+      s"""WITH RECURSIVE ${Fp.powsCte(4096)},
+         docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0),
+         ${simhashCtes("docs")},
+         ph AS (
+           SELECT bit_count(xor(a.simhash, b.simhash)) AS h
+           FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)
+         SELECT count(*) AS n_pairs,
+                coalesce(min(h), -1) AS min_hamming,
+                coalesce(max(h), -1) AS max_hamming
+         FROM ph""",
     "embed_dup_pairs" ->
       """SELECT vec_id AS id_a, vec_id + 100000 AS id_b
          FROM embeddings WHERE vec_id % 10 = 0""",
