@@ -370,7 +370,24 @@ object Multimodal {
     * chunk's little-endian signed samples; None for anything that isn't
     * well-formed 16-bit PCM. */
   def decodeWavSamples(bytes: Array[Byte])
-      : Option[(Int, Int, Long, Long, Long)] = {
+      : Option[(Int, Int, Long, Long, Long)] =
+    wavPcm(bytes).map { case (rate, ch, frames, dataPos, nSamples) =>
+      var sum = 0L; var sumAbs = 0L
+      var k = 0
+      while (k < nSamples) {
+        val s = (bytes(dataPos + 2 * k + 1) << 8) | (bytes(dataPos + 2 * k) & 0xff)
+        sum += s
+        sumAbs += math.abs(s)
+        k += 1
+      }
+      (rate, ch, frames, sum, sumAbs)
+    }
+
+  /** Shared RIFF walk for the 16-bit-PCM decoders:
+    * (rate, channels, frames, data offset, sample count) or None for
+    * anything that isn't well-formed 16-bit PCM. */
+  private def wavPcm(bytes: Array[Byte])
+      : Option[(Int, Int, Long, Int, Int)] = {
     if (bytes == null || bytes.length < 44) return None
     def u32(i: Int): Long = (bytes(i) & 0xffL) | ((bytes(i + 1) & 0xffL) << 8) |
       ((bytes(i + 2) & 0xffL) << 16) | ((bytes(i + 3) & 0xffL) << 24)
@@ -392,21 +409,56 @@ object Multimodal {
       }
       pos += 8 + sz.toInt + (sz.toInt & 1)
     }
+    val dp = dataPos
     fmt.flatMap { case (ch, rate, block, bits) =>
       if (dataLen < 0 || block <= 0 || ch <= 0 || rate <= 0 || bits != 16) None
-      else {
-        var sum = 0L; var sumAbs = 0L
-        val nSamples = (dataLen / 2).toInt
+      else Some((rate, ch, dataLen / block, dp, (dataLen / 2).toInt))
+    }
+  }
+
+  /** First `order` Walsh–Hadamard coefficients over the first `win`
+    * decoded samples (zero-padded past the data): c_k = Σ_n s[n]·σ(n,k)
+    * with σ = ±1 by parity of popcount(n AND k) — sequency-domain audio
+    * features (the ±1-only transform) in EXACT integer arithmetic, so
+    * unlike an FFT the feature vector is bit-replayable by an
+    * independent engine. */
+  def decodeWavWht(bytes: Array[Byte], win: Int = 32,
+                   order: Int = 8): Option[Array[Long]] =
+    wavPcm(bytes).map { case (_, _, _, dataPos, nSamples) =>
+      val out = new Array[Long](order)
+      val n = math.min(win, nSamples)
+      var i = 0
+      while (i < n) {
+        val s = (bytes(dataPos + 2 * i + 1) << 8) | (bytes(dataPos + 2 * i) & 0xff)
         var k = 0
-        while (k < nSamples) {
-          val s = (bytes(dataPos + 2 * k + 1) << 8) | (bytes(dataPos + 2 * k) & 0xff)
-          sum += s
-          sumAbs += math.abs(s)
+        while (k < order) {
+          out(k) += (if (java.lang.Integer.bitCount(i & k) % 2 == 0) s
+                     else -s)
           k += 1
         }
-        Some((rate, ch, dataLen / block, sum, sumAbs))
+        i += 1
       }
+      out
     }
+
+  /** Batched WHT feature extraction: appends `wht` array<long>, null
+    * when the payload is not decodable PCM. */
+  def mapWavWhtPartitions(df: DataFrame, contentCol: String, win: Int = 32,
+                          order: Int = 8, batchSize: Int = 256): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("wht", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType)))
+    val contentIdx = df.schema.fieldIndex(contentCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val wht = decodeWavWht(row.getAs[Array[Byte]](contentIdx), win, order)
+            .orNull
+          Row.fromSeq(row.toSeq :+ wht)
+        }
+      }
+    }(enc)
   }
 
   private val wavStatsType = StructType(Seq(

@@ -1322,6 +1322,19 @@ object PipelineQueries {
           col("pcm.sum_s").as("sum_s"), col("pcm.sum_abs").as("sum_abs"))
     }),
 
+    // audio FEATURE EXTRACTION, not just stats: first 8 Walsh–Hadamard
+    // (sequency) coefficients of each file's first 32 PCM samples —
+    // the ±1-only transform keeps the features exact integers, so the
+    // whole decode→transform chain is DuckDB-replayed per coefficient
+    "multimodal_wav_wht" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val withWav = Multimodal.syntheticWavs(docs, "doc_id", "content")
+      Multimodal.mapWavWhtPartitions(withWav, "content", batchSize = 64)
+        .select(col("doc_id"), posexplode(col("wht")))
+        .select(col("doc_id"), col("pos").cast("long").as("k"),
+          col("col").as("coeff"))
+    }),
+
     // -- line/LM/index/incremental curation ops ------------------------------
     // line-level Gopher format+repetition stats over deterministic
     // multi-line docs: every doc repeats its own text as a second line
@@ -3486,6 +3499,26 @@ object PipelineQueries {
                 CAST(sum(s) AS BIGINT) AS sum_s,
                 CAST(sum(abs(s)) AS BIGINT) AS sum_abs
          FROM sgn GROUP BY 1, 2, 3, 4""",
+    "multimodal_wav_wht" ->
+      """WITH base AS (SELECT doc_id,
+                              (doc_id % 50 + 10) * (doc_id % 2 + 1) AS ns
+                       FROM documents),
+         samp AS (SELECT b.doc_id, n.n,
+                         (b.doc_id * 131 + (2 * n.n) * 17 + 128) % 256
+                         + 256 * ((b.doc_id * 131 + (2 * n.n + 1) * 17 + 128)
+                                  % 256) AS sraw
+                  FROM base b,
+                       LATERAL (SELECT unnest(range(0, least(b.ns, 32)))
+                                AS n) n),
+         sgn AS (SELECT doc_id, n,
+                        CASE WHEN sraw >= 32768 THEN sraw - 65536
+                             ELSE sraw END AS s
+                 FROM samp),
+         ks AS (SELECT unnest(range(0, 8)) AS k)
+         SELECT doc_id, CAST(k AS BIGINT) AS k,
+                CAST(sum(s * CASE WHEN bit_count(n & k) % 2 = 0
+                                  THEN 1 ELSE -1 END) AS BIGINT) AS coeff
+         FROM sgn CROSS JOIN ks GROUP BY 1, 2""",
     "embed_dedup_exact" ->
       """SELECT min(vec_id) AS keep_id, count(*) AS n FROM (
            SELECT vec_id, embedding FROM embeddings

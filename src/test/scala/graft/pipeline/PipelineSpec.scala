@@ -783,6 +783,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(Multimodal.decodeWavSamples(null).isEmpty)
   }
 
+  test("multimodal decodeWavWht: hand-computed Walsh-Hadamard coefficients") {
+    val samples = Array[Short](10, -20, 30, 40)
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = (s & 0xff).toByte; pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val got = Multimodal.decodeWavWht(bos.toByteArray, win = 32, order = 4).get
+    // σ(n,k) = ±1 by parity of popcount(n & k), n = 0..3:
+    // k=0: 10-20+30+40 = 60;   k=1 (− at n=1,3): 10+20+30-40 = 20
+    // k=2 (− at n=2,3): 10-20-30-40 = -80
+    // k=3 (− at n=1,2): 10+20-30+40 = 40
+    assert(got.toSeq == Seq(60L, 20L, -80L, 40L))
+    // zero-padding: win beyond data adds nothing
+    assert(Multimodal.decodeWavWht(bos.toByteArray, win = 4, order = 4).get
+      .toSeq == got.toSeq)
+    assert(Multimodal.decodeWavWht("RIFFjunk".getBytes).isEmpty)
+  }
+
   test("multimodal decodeImage: real codec on PNG/GIF bytes, None otherwise") {
     def png(w: Int, h: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(w, h,
