@@ -274,6 +274,74 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** 2-D Walsh–Hadamard image embedding: decode, floor-map to a
+    * grid×grid luminance field (same 299r+587g+114b integer luminance
+    * and gx·w/grid source mapping as [[imageDHash]]), then the first
+    * order×order sequency coefficients
+    * c_(u,v) = Σ L(gx,gy)·σ(gx,u)·σ(gy,v), σ = ±1 by popcount parity.
+    * The ±1-only transform keeps the embedding exact integers — a real
+    * image featurizer (low-sequency structure ≈ the DCT block an
+    * aHash/pHash uses) that an independent engine replays bit-for-bit.
+    * Flat index k = u·order + v. */
+  def imageWht(bytes: Array[Byte], grid: Int = 8,
+               order: Int = 4): Option[Array[Long]] = {
+    if (bytes == null || bytes.length == 0) return None
+    javax.imageio.ImageIO.setUseCache(false)
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val out = new Array[Long](order * order)
+        var gy = 0
+        while (gy < grid) {
+          var gx = 0
+          while (gx < grid) {
+            val v = img.getRGB(gx * w / grid, gy * h / grid)
+            val lum = 299L * ((v >> 16) & 0xff) + 587L * ((v >> 8) & 0xff) +
+              114L * (v & 0xff)
+            var u = 0
+            while (u < order) {
+              val su = if (java.lang.Integer.bitCount(gx & u) % 2 == 0) 1 else -1
+              var vv = 0
+              while (vv < order) {
+                val sv = if (java.lang.Integer.bitCount(gy & vv) % 2 == 0) su
+                         else -su
+                out(u * order + vv) += sv * lum
+                vv += 1
+              }
+              u += 1
+            }
+            gx += 1
+          }
+          gy += 1
+        }
+        Some(out)
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Batched 2-D WHT embedding extraction: appends `iwht` array<long>,
+    * null when the payload doesn't decode. */
+  def mapImageWhtPartitions(df: DataFrame, contentCol: String, grid: Int = 8,
+                            order: Int = 4, batchSize: Int = 256): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("iwht", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType)))
+    val contentIdx = df.schema.fieldIndex(contentCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val e = imageWht(row.getAs[Array[Byte]](contentIdx), grid, order)
+            .orNull
+          Row.fromSeq(row.toSeq :+ e)
+        }
+      }
+    }(enc)
+  }
+
   /** Batched dHash extraction: appends a nullable long `dhash`. */
   def mapDHashPartitions(df: DataFrame, contentCol: String,
                          batchSize: Int = 256): DataFrame = {

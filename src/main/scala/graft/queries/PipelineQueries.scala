@@ -1258,6 +1258,19 @@ object PipelineQueries {
         .select(col("doc_id"), col("dhash"))
     }),
 
+    // image EMBEDDING, exact: 2-D Walsh–Hadamard sequency coefficients
+    // over the decoded 8×8 luminance field — the integer-exact stand-in
+    // for the pHash DCT block, every coefficient DuckDB-replayed
+    // through decode → floor map → luminance → ±1 transform
+    "image_wht_embedding" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val withPng = Multimodal.syntheticPngs(docs, "doc_id", "content")
+      Multimodal.mapImageWhtPartitions(withPng, "content", batchSize = 64)
+        .select(col("doc_id"), posexplode(col("iwht")))
+        .select(col("doc_id"), col("pos").cast("long").as("k"),
+          col("col").as("coeff"))
+    }),
+
     // REAL image feature extraction under the FULL gate: joint RGB
     // color histograms (the classical CBIR embedding) over the decoded
     // pixels, long-form (doc_id, dim, n) incl. zero bins — the
@@ -3499,6 +3512,29 @@ object PipelineQueries {
                 CAST(sum(s) AS BIGINT) AS sum_s,
                 CAST(sum(abs(s)) AS BIGINT) AS sum_abs
          FROM sgn GROUP BY 1, 2, 3, 4""",
+    "image_wht_embedding" ->
+      """WITH wb AS (SELECT doc_id, doc_id % 7 + 3 AS w, doc_id % 5 + 2 AS h
+                     FROM documents),
+         wg AS (
+           SELECT b.doc_id, x.x AS gx, y.y AS gy,
+                  (b.doc_id * 31 + ((x.x * b.w) // 8) * 7
+                   + ((y.y * b.h) // 8)) % 16777215 AS v
+           FROM wb b,
+                LATERAL (SELECT unnest(range(0, 8)) AS x) x,
+                LATERAL (SELECT unnest(range(0, 8)) AS y) y),
+         wl AS (
+           SELECT doc_id, gx, gy,
+                  299 * (v // 65536) + 587 * ((v // 256) % 256)
+                  + 114 * (v % 256) AS lum
+           FROM wg),
+         uv AS (SELECT u.u, v.v
+                FROM (SELECT unnest(range(0, 4)) AS u) u,
+                     (SELECT unnest(range(0, 4)) AS v) v)
+         SELECT doc_id, CAST(u * 4 + v AS BIGINT) AS k,
+                CAST(sum(lum * (1 - 2 * (bit_count(gx & u) % 2))
+                             * (1 - 2 * (bit_count(gy & v) % 2)))
+                     AS BIGINT) AS coeff
+         FROM wl CROSS JOIN uv GROUP BY 1, 2""",
     "multimodal_wav_wht" ->
       """WITH base AS (SELECT doc_id,
                               (doc_id % 50 + 10) * (doc_id % 2 + 1) AS ns
