@@ -11,7 +11,7 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -19,7 +19,12 @@ object Verify {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.graft.sjoin.cellSize", "128")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // optional hardening gate: FAIL (no interpreted fallback) if any
+    // expression can't compile to generated code
+    if (sys.env.get("SPARK_GRAFT_CODEGEN_ONLY").contains("1"))
+      builder.config("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+        .config("spark.sql.codegen.fallback", "false")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
