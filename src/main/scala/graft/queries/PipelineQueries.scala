@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.pipeline.{Decontaminate, Dedup, Funnels, Graphs, Multimodal, Retrieval, Sampling, Scrub, Similarity, Sketches, TextAnalysis, Tx}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1482,6 +1482,53 @@ object PipelineQueries {
         .orderBy(col("vec_id")).limit(8)
       Retrieval.kmeansAssign(embs, "vec_id", "embedding",
         cents, "vec_id", "embedding")
+    }),
+
+    // IVF-PARTITIONED VECTOR LAKE: the corpus lands hive-partitioned by
+    // its nearest-centroid cell (cluster=K directories); a probe
+    // computes its nprobe=2 nearest cells and READS ONLY THOSE
+    // DIRECTORIES (partition pruning applied to ANN — at 100 TB the
+    // other cells cost zero IO), then ranks candidates by quantized dot.
+    // Integer metric end to end; DuckDB replays assignment, cell
+    // choice, and ranking.
+    "ivf_partitioned_probe" -> ((s, dir) => {
+      val out = System.getProperty("java.io.tmpdir") +
+        "/graft_ivflake_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val embs = t(s, dir, "embeddings")
+      val cents = embs.where(col("vec_id") % 97 === 3)
+        .orderBy(col("vec_id")).limit(8)
+      Retrieval.kmeansAssign(embs, "vec_id", "embedding",
+          cents, "vec_id", "embedding")
+        .join(embs.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        .select(col("vec_id"), col("cluster"), col("embedding"))
+        .write.partitionBy("cluster").parquet(out)
+      // probe = vector 7; its 2 nearest cells from the k collected
+      // centroids (bounded driver state, the k-means contract)
+      val quant: Column => Column =
+        v => transform(v, x => round(x.cast("double") * 1000).cast("long"))
+      val qv = embs.where(col("vec_id") === 7)
+        .select(quant(col("embedding")).as("qv")).collect()(0)
+        .getSeq[Long](0)
+      val centArr = cents
+        .select(col("vec_id").cast("long").as("cid"),
+          quant(col("embedding")).as("cv")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1)))
+        .map { case (cid, cv) =>
+          val d2 = cv.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
+          (d2, cid)
+        }.sorted.take(2).map(_._2)
+      val qlit = array(qv.map(lit(_)): _*)
+      val w = Window.orderBy(col("dot").desc, col("c_id"))
+      s.read.parquet(out)
+        .where(col("cluster").isin(centArr: _*)) // directory pruning
+        .select(col("vec_id").as("c_id"), col("cluster"),
+          aggregate(zip_with(quant(col("embedding")), qlit,
+            (a, b) => a * b), lit(0L), (acc, x) => acc + x).as("dot"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 5)
+        .select(col("c_id"), col("cluster").cast("long").as("cluster"),
+          col("dot"), col("rank"))
     }),
 
     // epoch-mixture materialization: source srcN sees (N % 3) + 1
@@ -3654,6 +3701,46 @@ object PipelineQueries {
                       % 2001 - 1000)) AS BIGINT) AS y_q
          FROM q, range(0, 64) i(i), range(0, 8) j(j)
          GROUP BY 1, 2""",
+    "ivf_partitioned_probe" ->
+      """WITH q AS (
+           SELECT vec_id,
+                  list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+           FROM embeddings),
+         c AS (SELECT vec_id AS cid, v AS cv FROM q
+               WHERE vec_id % 97 = 3 ORDER BY vec_id LIMIT 8),
+         qv AS (SELECT v FROM q WHERE vec_id = 7),
+         pc AS (SELECT cid FROM (
+                  SELECT c.cid, row_number() OVER (ORDER BY
+                    list_sum(list_transform(range(1, len(c.cv) + 1),
+                      i -> (c.cv[i] - qv.v[i]) * (c.cv[i] - qv.v[i]))),
+                    c.cid) AS rn
+                  FROM c CROSS JOIN qv)
+                WHERE rn <= 2),
+         d AS (
+           SELECT q.vec_id, c.cid,
+                  CAST(list_sum(list_transform(range(1, len(q.v) + 1),
+                    i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i]))) AS BIGINT)
+                    AS dist2
+           FROM q CROSS JOIN c),
+         asg AS (SELECT vec_id, cid AS cluster FROM (
+                   SELECT vec_id, cid,
+                          row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY dist2, cid) AS rn
+                   FROM d)
+                 WHERE rn = 1),
+         cand AS (SELECT q.vec_id, q.v, a.cluster
+                  FROM q JOIN asg a USING (vec_id)
+                  WHERE a.cluster IN (SELECT cid FROM pc)),
+         scored AS (
+           SELECT cand.vec_id AS c_id, cand.cluster,
+                  CAST(list_sum(list_transform(range(1, len(cand.v) + 1),
+                    i -> cand.v[i] * qv.v[i])) AS BIGINT) AS dot
+           FROM cand CROSS JOIN qv)
+         SELECT c_id, CAST(cluster AS BIGINT) AS cluster, dot,
+                CAST(row_number() OVER (ORDER BY dot DESC, c_id) AS BIGINT)
+                  AS rank
+         FROM scored QUALIFY rank <= 5""",
     "kmeans_assign" ->
       """WITH q AS (
            SELECT vec_id,
