@@ -106,6 +106,46 @@ object Retrieval {
           .as("sum_rr_ppm"))
   }
 
+  /** Fixed-point nDCG discount weights: w_r = floor(1e6 / log₂(r+1)).
+    * Computed ONCE here and embedded as the literal table BOTH the plan
+    * and any replaying oracle share — the log never re-evaluates on
+    * another engine's libm, so the metric stays exact-integer. */
+  def ndcgWeights(k: Int): Seq[Long] =
+    (1 to k).map(r => math.floor(1e6 / (math.log(r + 1.0) /
+      math.log(2.0))).toLong)
+
+  /**
+   * nDCG@k under binary relevance, exact-integer: per query
+   * DCG = Σ w_rank over relevant results in the top k,
+   * IDCG = Σ_{r ≤ min(|rel|, k)} w_r (the prefix-sum literal), and
+   * ndcg_ppm = 1e6·DCG div IDCG. Missed queries score 0.
+   *
+   * Scale shape mirrors [[mrrAtK]]: the relevance table broadcasts,
+   * the top-k frame crosses one query-keyed aggregate; the weight and
+   * prefix tables are k-entry literals inside codegen.
+   */
+  def ndcgAtK(topk: DataFrame, qidCol: String, docCol: String,
+              rankCol: String, relevance: DataFrame, relQidCol: String,
+              relDocCol: String, k: Int = 10): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val w = ndcgWeights(k)
+    val cum = w.scanLeft(0L)(_ + _).tail
+    val hits = topk.where(col(rankCol) <= k)
+      .join(broadcast(relevance.select(col(relQidCol).as("__rq"),
+        col(relDocCol).as("__rd"))),
+        col(qidCol) === col("__rq") && col(docCol) === col("__rd"))
+      .groupBy(col(qidCol).as("qid"))
+      .agg(sum(element_at(typedLit(w), col(rankCol).cast("int"))).as("__dcg"))
+    relevance.groupBy(col(relQidCol).as("qid"))
+      .agg(count(lit(1)).as("__nrel"))
+      .withColumn("__idcg", element_at(typedLit(cum),
+        least(col("__nrel"), lit(k.toLong)).cast("int")))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(expr("1000000L * __dcg DIV __idcg"), lit(0L))
+          .as("ndcg_ppm"))
+  }
+
   /**
    * K-means ASSIGNMENT over an embedding column against a fixed
    * centroid table — the clustering pass of topic bucketing / IVF-style

@@ -1424,6 +1424,26 @@ object PipelineQueries {
         "query_id", "rel_doc", k = 10)
     }),
 
+    // nDCG@10 over the bm25 ranking with a 3-doc relevance set per
+    // query ({qid, qid+1, qid+2} — binary relevance for the eval
+    // machinery): the log₂ discount rides a fixed-point weight TABLE
+    // (computed once, shared with the oracle as literals) so the
+    // metric is exact integer ppm, never a libm re-evaluation
+    "bm25_ndcg" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val probes = docs.where(col("doc_id") % 100 === 7)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(regexp_extract_all(col("text"), lit("\\S+"),
+            lit(0)), 1, 3), " ").as("qtext"))
+      val topk = Retrieval.bm25TopK(docs, "doc_id", "text", probes,
+        "query_id", "qtext")
+      val rel = probes.select(col("query_id"),
+          explode(array(col("query_id"), col("query_id") + 1,
+            col("query_id") + 2)).as("rel_doc"))
+      Retrieval.ndcgAtK(topk, "query_id", "id", "rank", rel,
+        "query_id", "rel_doc", k = 10)
+    }),
+
     // Winnowing fingerprints (the MOSS algorithm): min gram hash per
     // hash window, per-doc distinct — position-robust fingerprint
     // sampling with the shared-run guarantee. A fully NARROW plan; the
@@ -3690,6 +3710,36 @@ object PipelineQueries {
                 COALESCE(CAST(sum(1000000 // h.first_rank) AS BIGINT), 0)
                   AS sum_rr_ppm
          FROM qs LEFT JOIN hits h USING (query_id)""",
+    "bm25_ndcg" -> {
+      val w = Retrieval.ndcgWeights(10)
+      val cum = w.scanLeft(0L)(_ + _).tail
+      val wt = w.zipWithIndex.map { case (v, i) => s"(${i + 1}, $v)" }
+        .mkString(", ")
+      val cumt = cum.zipWithIndex.map { case (v, i) => s"(${i + 1}, $v)" }
+        .mkString(", ")
+      s"""$bm25Ctes,
+         wt(r, w) AS (VALUES $wt),
+         cumt(n, cw) AS (VALUES $cumt),
+         relq AS (SELECT doc_id AS query_id FROM documents
+                  WHERE doc_id % 100 = 7),
+         rel AS (SELECT query_id, query_id + x.x AS rel_doc
+                 FROM relq,
+                      LATERAL (SELECT unnest(range(0, 3)) AS x) x),
+         nrel AS (SELECT query_id, count(*) AS n_rel FROM rel GROUP BY 1),
+         dcg AS (
+           SELECT r.query_id, sum(wt.w) AS dcg
+           FROM ranked r
+           JOIN rel ON r.query_id = rel.query_id AND r.doc_id = rel.rel_doc
+           JOIN wt ON wt.r = r.rank
+           WHERE r.rank <= 10
+           GROUP BY 1)
+         SELECT n.query_id AS qid,
+                CAST(coalesce(1000000 * d.dcg // c.cw, 0) AS BIGINT)
+                  AS ndcg_ppm
+         FROM nrel n
+         JOIN cumt c ON c.n = least(n.n_rel, 10)
+         LEFT JOIN dcg d ON d.query_id = n.query_id"""
+    },
     "embedding_projection" ->
       """WITH q AS (
            SELECT vec_id, list_transform(embedding,
