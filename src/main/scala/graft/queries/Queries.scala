@@ -1117,6 +1117,36 @@ object Queries {
           col("ts").as("valid_from"), col("valid_to"))
     }),
 
+    // RFM segmentation (the classic behavioral cube): per-user recency
+    // (last-purchase micros) / frequency / monetary-cents, each cut at
+    // its exact distributed 25/75% quantiles into low/mid/high, then
+    // segment counts. Thresholds are 6 collected longs (bounded driver
+    // state, like k-means centroids); the buckets compare against
+    // VALUES so ties are deterministic. All-integer both engines.
+    "rfm_segments" -> ((s, dir) => {
+      val per = EventTs.toTimestamp(t(s, dir, "events"))
+        .where(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(unix_micros(max(col("ts"))).as("rec"),
+          count(lit(1)).as("freq"),
+          sum(round(col("value") * 100).cast("long")).as("mon"))
+      def cuts(metric: String): (Long, Long) = {
+        val q = graft.pipeline.Sketches.exactQuantiles(per, col(metric), Seq(0.25, 0.75))
+          .collect().map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._1)
+        (q(0)._2, q(1)._2)
+      }
+      val (r25, r75) = cuts("rec")
+      val (f25, f75) = cuts("freq")
+      val (m25, m75) = cuts("mon")
+      def bucket(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
+        lit(1L) + when(c > lo, 1L).otherwise(0L) + when(c > hi, 1L).otherwise(0L)
+      per.select(bucket(col("rec"), r25, r75).as("r_bucket"),
+          bucket(col("freq"), f25, f75).as("f_bucket"),
+          bucket(col("mon"), m25, m75).as("m_bucket"))
+        .groupBy(col("r_bucket"), col("f_bucket"), col("m_bucket"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     "event_transitions" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
@@ -2232,6 +2262,24 @@ object Queries {
                FROM events)
          WHERE gap_ns IS NOT NULL
          GROUP BY 1""",
+    "rfm_segments" ->
+      """WITH pm AS (
+           SELECT user_id, epoch_us(max(ts)) AS rec, count(*) AS freq,
+                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    AS mon
+           FROM events WHERE event_type = 'purchase'
+           GROUP BY user_id),
+         qs AS (
+           SELECT quantile_disc(rec, 0.25) AS r25, quantile_disc(rec, 0.75) AS r75,
+                  quantile_disc(freq, 0.25) AS f25, quantile_disc(freq, 0.75) AS f75,
+                  quantile_disc(mon, 0.25) AS m25, quantile_disc(mon, 0.75) AS m75
+           FROM pm)
+         SELECT 1 + CAST(rec > r25 AS INT) + CAST(rec > r75 AS INT) AS r_bucket,
+                1 + CAST(freq > f25 AS INT) + CAST(freq > f75 AS INT) AS f_bucket,
+                1 + CAST(mon > m25 AS INT) + CAST(mon > m75 AS INT) AS m_bucket,
+                count(*) AS n
+         FROM pm CROSS JOIN qs
+         GROUP BY 1, 2, 3""",
     "scd2_user_states" ->
       """SELECT user_id, event_type AS state, ts AS valid_from,
                 lead(ts) OVER (PARTITION BY user_id
