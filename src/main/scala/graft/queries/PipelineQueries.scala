@@ -683,6 +683,37 @@ object PipelineQueries {
           Scrub.redactPii(col("ptext")).as("redacted"): _*)
     }),
 
+    // THE WHOLE PRODUCT IN ONE QUERY: planted duplicates + planted PII
+    // → NFC normalize → PII redact → token-count quality band → exact
+    // dedup on the cleaned text (copies redact identically because the
+    // PII arithmetic keys on doc_id mod 100000) → deterministic 80%
+    // train split. Five chained operators, one relational oracle —
+    // the composition gate for the batch curation stack. Plan: two
+    // narrow fused projections, ONE dedup window shuffle, a hash-band
+    // filter; nothing else.
+    "curation_end_to_end" -> ((s, dir) => {
+      val base = docsWithPlanted(s, dir)
+      val pid = col("doc_id") % 100000
+      val planted = concat(col("text"),
+        when(pid % 3 === 0, concat(lit(" contact u"), pid.cast("string"),
+          lit("@ex"), (pid % 5).cast("string"), lit(".com")))
+          .otherwise(lit("")),
+        when(pid % 4 === 0, concat(lit(" call 555-"),
+          (pid % 900 + 100).cast("string"), lit("-"),
+          lpad((pid % 10000).cast("string"), 4, "0"))).otherwise(lit("")))
+      val cleaned = base.select(col("doc_id"),
+        Scrub.redactPii(Scrub.nfc(planted)).as("t2"))
+      val quality = cleaned
+        .withColumn("toks", size(regexp_extract_all(col("t2"), lit("\\S+"),
+          lit(0))).cast("long"))
+        .where(col("toks") >= 10)
+      val deduped = Dedup.exact(quality, "t2", "doc_id")
+      Sampling.splitByHash(deduped, col("doc_id"), Seq("train" -> 0.8),
+          salt = "ce1")
+        .where(col("split") === "train")
+        .select(col("doc_id"), col("toks"))
+    }),
+
     // URL host extraction + blocklist filter + per-domain counts over
     // deterministically planted links
     "url_domain_counts" -> ((s, dir) => {
@@ -2857,6 +2888,42 @@ object PipelineQueries {
              '$ipv4Sql', '<IP>', 'g'),
              '$phoneSql', '<PHONE>', 'g') AS redacted
          FROM pii""",
+    "curation_end_to_end" ->
+      s"""WITH p AS (
+           SELECT doc_id, doc_id % 100000 AS pid, text FROM (
+             SELECT doc_id, text FROM documents
+             UNION ALL
+             SELECT doc_id + 100000, text FROM documents
+             WHERE doc_id % 10 = 0)),
+         pl AS (
+           SELECT doc_id, nfc_normalize(text
+             || CASE WHEN pid % 3 = 0 THEN ' contact u' || CAST(pid AS VARCHAR)
+                  || '@ex' || CAST(pid % 5 AS VARCHAR) || '.com' ELSE '' END
+             || CASE WHEN pid % 4 = 0 THEN ' call 555-'
+                  || CAST(pid % 900 + 100 AS VARCHAR) || '-'
+                  || lpad(CAST(pid % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END) AS t1
+           FROM p),
+         rd AS (
+           SELECT doc_id,
+                  regexp_replace(regexp_replace(regexp_replace(t1,
+                    '$emailSql', '<EMAIL>', 'g'),
+                    '$ipv4Sql', '<IP>', 'g'),
+                    '$phoneSql', '<PHONE>', 'g') AS t2
+           FROM pl),
+         ql AS (
+           SELECT doc_id, t2, len(regexp_extract_all(t2, '\\S+')) AS toks
+           FROM rd),
+         dd AS (
+           SELECT doc_id, toks FROM (
+             SELECT doc_id, toks,
+                    row_number() OVER (PARTITION BY t2 ORDER BY doc_id) AS rn
+             FROM ql WHERE toks >= 10)
+           WHERE rn = 1)
+         SELECT doc_id, CAST(toks AS BIGINT) AS toks
+         FROM dd
+         WHERE substr(md5(concat_ws('|','ce1',CAST(doc_id AS VARCHAR))),1,8)
+                 < '${Sampling.thresholdHex(0.8)}'""",
     "url_domain_counts" -> urlDomainCountsOracle,
     // the salted two-stage aggregate must be salt-invariant: same oracle
     "salted_domain_counts" -> urlDomainCountsOracle,
