@@ -483,7 +483,9 @@ object Sketches {
     *
     * One grouped aggregate over the corpus (conditional sums — no
     * second pass, no join between the slices), then a broadcast of the
-    * single-row totals. */
+    * single-row totals. Contract: both slices must be non-empty (an
+    * empty side has no distribution to compare; the ppm division
+    * null-propagates rather than inventing a drift). */
   def tvDriftPpm(df: DataFrame, inA: Column, key: Column): DataFrame = {
     val counts = df.groupBy(key.as("k"))
       .agg(sum(when(inA, 1L).otherwise(0L)).as("na"),
