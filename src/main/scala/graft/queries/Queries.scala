@@ -1004,6 +1004,64 @@ object Queries {
         .agg(sum(col("l_quantity")).as("qty"), count(lit(1)).as("n"))
     }),
 
+    // GROUPING SETS with grouping_id — the third grouping-sets shape
+    // next to CUBE/ROLLUP: per-lang, per-source, and grand total in ONE
+    // Expand pass (never three scans), disambiguated by grouping_id
+    "grouping_sets_agg" -> ((s, dir) => {
+      t(s, dir, "documents").createOrReplaceTempView("graft_docs_gs")
+      s.sql("""
+        SELECT lang, source, grouping_id() AS gid, count(*) AS n,
+               CAST(sum(n_chars) AS BIGINT) AS chars
+        FROM graft_docs_gs
+        GROUP BY GROUPING SETS ((lang), (source), ())""")
+    }),
+
+    // ntile batching: equal-count quartiles over the (n_chars, doc_id)
+    // total order — the "split the corpus into K balanced shards by
+    // size rank" primitive. NO single-task global window: the rank
+    // comes from the distributed two-pass machinery and the tile from
+    // the SQL-standard ntile closed form (first n mod k buckets get
+    // one extra row), which the oracle's native ntile must reproduce.
+    "ntile_length_quartiles" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      val (ranked, release) = graft.tools.Ranks.globalRowNumberWithRelease(
+        docs, "__r", 32, col("n_chars"), col("doc_id"))
+      val n = ranked.count()
+      val k = 4L
+      val big = n / k + 1
+      val nbig = n % k
+      val out = ranked.withColumn("tile",
+          expr(s"""CAST(CASE WHEN __r <= ${nbig * big}
+                             THEN (__r - 1) DIV $big
+                             ELSE $nbig + (__r - ${nbig * big} - 1)
+                                  DIV ${n / k}
+                        END + 1 AS BIGINT)"""))
+        .groupBy(col("tile"))
+        .agg(count(lit(1)).as("n"), min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .localCheckpoint(true)
+      release()
+      out
+    }),
+
+    // metrics WITHOUT a second pass: Observation counters piggyback the
+    // main action (here a noop-sink write — at 100 TB the counters ride
+    // the production write job for free instead of re-scanning), then
+    // surface as a one-row frame
+    "observed_quality_counters" -> ((s, dir) => {
+      val obs = new org.apache.spark.sql.Observation()
+      t(s, dir, "documents")
+        .observe(obs, count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("chars"),
+          count(when(col("lang") === "en", 1)).as("n_en"))
+        .write.mode("overwrite").format("noop").save()
+      val row = obs.get
+      import s.implicits._
+      Seq((row("n_docs").asInstanceOf[Long],
+        row("chars").asInstanceOf[Long],
+        row("n_en").asInstanceOf[Long])).toDF("n_docs", "chars", "n_en")
+    }),
+
     // SURVEY §2.4 inherited aggregates: CUBE over two dims (subtotals +
     // grand total in one pass — Expand + partial aggregation).
     "cube_agg" -> ((s, dir) => {
@@ -2120,6 +2178,23 @@ object Queries {
     "cube_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS qty, count(*) AS n
          FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+    "grouping_sets_agg" ->
+      """SELECT lang, source, grouping(lang) * 2 + grouping(source) AS gid,
+                count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+         FROM documents
+         GROUP BY GROUPING SETS ((lang), (source), ())""",
+    "ntile_length_quartiles" ->
+      """SELECT tile, count(*) AS n, min(n_chars) AS min_chars,
+                max(n_chars) AS max_chars
+         FROM (SELECT doc_id, n_chars,
+                      ntile(4) OVER (ORDER BY n_chars, doc_id) AS tile
+               FROM documents)
+         GROUP BY tile""",
+    "observed_quality_counters" ->
+      """SELECT count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS chars,
+                count(CASE WHEN lang = 'en' THEN 1 END) AS n_en
+         FROM documents""",
     "rollup_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS qty, count(*) AS n
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
