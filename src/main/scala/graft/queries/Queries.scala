@@ -996,6 +996,76 @@ object Queries {
           sum(length(col("text")).cast("long")).as("chars"))
     }),
 
+    // TPC-H Q10 shape (returned-item customers): quarter of orders ×
+    // returned lines → revenue per customer → top 20. The fact
+    // collapses against the filtered orders FIRST; customer/nation
+    // attributes join the 20-row... no — join before the top-k is the
+    // classic shape, but the GROUP key is the customer, so the shuffle
+    // after the joins is ∝ customers, and the top-20 is a
+    // WindowGroupLimit-style bounded sort.
+    "q10_returned_items" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = t(s, dir, "lineitem").where(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long")))
+            .as("rev"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer").select(col("c_custkey"), col("c_name"),
+          col("c_nationkey")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(col("rev")).as("revenue_i"))
+        .orderBy(col("revenue_i").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q14 shape (promotion effect): share of one month's revenue
+    // from PROMO parts — numerator and denominator from ONE conditional
+    // grouped pass, share as integer permille
+    "q14_promo_share" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .select(col("l_partkey"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long")))
+            .as("rev"))
+      li.join(broadcast(t(s, dir, "part").select(col("p_partkey"),
+          col("p_type"))), col("l_partkey") === col("p_partkey"))
+        .agg(sum(when(col("p_type") === "PROMO", col("rev")).otherwise(0L))
+          .as("promo_rev_i"), sum(col("rev")).as("total_rev_i"))
+        .withColumn("promo_permille",
+          expr("CAST(promo_rev_i * 1000L DIV total_rev_i AS BIGINT)"))
+    }),
+
+    // TPC-H Q19 shape (disjunctive brand/size/quantity bands): an
+    // OR-of-ANDs predicate across both join sides — the planner must
+    // still push the per-table conjuncts (partkey ranges, quantity
+    // bands) below the join and hash-join on partkey, evaluating the
+    // residual disjunction on joined rows
+    "q19_disjunctive" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_partkey"),
+        col("l_quantity"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .as("rev"))
+      val par = t(s, dir, "part").select(col("p_partkey"), col("p_brand"),
+        col("p_size"))
+      li.join(broadcast(par), col("l_partkey") === col("p_partkey"))
+        .where((col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 30) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 45) &&
+            col("l_quantity").between(20, 30)))
+        .agg(count(lit(1)).as("n"), sum(col("rev")).as("revenue_i"))
+    }),
+
     // ROLLUP (hierarchical subtotals — flag, flag+status, grand total):
     // the other grouping-sets shape next to CUBE, same Expand plan
     "rollup_agg" -> ((s, dir) => {
@@ -2278,6 +2348,47 @@ object Queries {
            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
              AND o_orderdate < TIMESTAMP '1998-01-01'
            GROUP BY 1)""",
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                         (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                     AS BIGINT) AS revenue_i
+         FROM lineitem, orders, customer, nation
+         WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+           AND c_nationkey = n_nationkey
+           AND l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1996-04-01'
+         GROUP BY 1, 2, 3
+         ORDER BY revenue_i DESC, c_custkey
+         LIMIT 20""",
+    "q14_promo_share" ->
+      """SELECT promo_rev_i, total_rev_i,
+                CAST(promo_rev_i * 1000 // total_rev_i AS BIGINT)
+                  AS promo_permille
+         FROM (
+           SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)
+                       AS BIGINT) AS promo_rev_i,
+                  CAST(sum(rev) AS BIGINT) AS total_rev_i
+           FROM (SELECT l_partkey,
+                        CAST(round(l_extendedprice * 100) AS BIGINT) *
+                        (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev
+                 FROM lineitem
+                 WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+                   AND l_shipdate < TIMESTAMP '1997-04-01') l
+           JOIN part ON l_partkey = p_partkey)""",
+    "q19_disjunctive" ->
+      """SELECT count(*) AS n,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                         (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                     AS BIGINT) AS revenue_i
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 30
+                AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 45
+                AND l_quantity BETWEEN 20 AND 30)""",
     "q4_order_priority" ->
       """SELECT o_orderpriority, count(*) AS order_count
          FROM orders
