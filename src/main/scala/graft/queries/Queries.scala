@@ -1066,6 +1066,46 @@ object Queries {
         .agg(count(lit(1)).as("n"), sum(col("rev")).as("revenue_i"))
     }),
 
+    // TPC-H Q15 shape (top supplier): per-supplier quarterly revenue,
+    // keep the max achiever(s) — the aggregate feeds a 1-row max that
+    // broadcasts back as the filter (no self-join of the full
+    // aggregate, no window over all suppliers)
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .as("total_rev_i"))
+      val mx = rev.agg(max(col("total_rev_i")).as("__mx"))
+      rev.crossJoin(broadcast(mx))
+        .where(col("total_rev_i") === col("__mx"))
+        .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev_i"))
+    }),
+
+    // TPC-H Q17 shape (small-quantity revenue): lines of Brand#1 parts
+    // whose quantity is below 20% of that part's average — the
+    // correlated scalar subquery becomes reduce-per-part + join-back,
+    // and the 0.2·avg comparison is the integer cross-multiplication
+    // qty·5·count < sum (no division anywhere)
+    "q17_small_quantity" -> ((s, dir) => {
+      val par = t(s, dir, "part").where(col("p_brand") === "Brand#1")
+        .select(col("p_partkey"))
+      val li = t(s, dir, "lineitem")
+        .join(broadcast(par), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val per = li.groupBy(col("l_partkey").as("__pk"))
+        .agg(sum(col("qty")).as("__sq"), count(lit(1)).as("__cq"))
+      li.join(per, col("l_partkey") === col("__pk"))
+        .where(col("qty") * lit(5L) * col("__cq") < col("__sq"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("rev_cents_i"))
+    }),
+
     // ROLLUP (hierarchical subtotals — flag, flag+status, grand total):
     // the other grouping-sets shape next to CUBE, same Expand plan
     "rollup_agg" -> ((s, dir) => {
@@ -2348,6 +2388,32 @@ object Queries {
            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
              AND o_orderdate < TIMESTAMP '1998-01-01'
            GROUP BY 1)""",
+    "q15_top_supplier" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+                  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                           (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                       AS BIGINT) AS total_rev_i
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1996-04-01'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, total_rev_i
+         FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         WHERE total_rev_i = (SELECT max(total_rev_i) FROM rev)""",
+    "q17_small_quantity" ->
+      """WITH li AS (
+           SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_brand = 'Brand#1'),
+         per AS (
+           SELECT l_partkey AS pk, CAST(sum(qty) AS BIGINT) AS sq,
+                  count(*) AS cq
+           FROM li GROUP BY 1)
+         SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS rev_cents_i
+         FROM li JOIN per ON l_partkey = pk
+         WHERE qty * 5 * cq < sq""",
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, n_name,
                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
