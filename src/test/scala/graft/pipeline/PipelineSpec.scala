@@ -807,6 +807,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(Multimodal.decodeWavWht("RIFFjunk".getBytes).isEmpty)
   }
 
+  test("decodeWavWht transform identities: constant and impulse signals") {
+    def wav(samples: Array[Short]): Array[Byte] = {
+      val pcm = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // constant signal over a full 32-sample window: every nonzero
+    // sequency is balanced ±1 → only c_0 survives, = 32·s
+    val const = Multimodal.decodeWavWht(wav(Array.fill[Short](32)(7))).get
+    assert(const(0) == 32L * 7 && const.drop(1).forall(_ == 0L))
+    // impulse at n=0: σ(0,k) = +1 for every k → all coefficients = s
+    val imp = Multimodal.decodeWavWht(
+      wav((Array[Short](123) ++ Array.fill[Short](31)(0)))).get
+    assert(imp.forall(_ == 123L))
+    // linearity: WHT(a) + WHT(b) == WHT(a+b) sample-wise
+    val a = Array.tabulate[Short](32)(i => (i * 3 - 40).toShort)
+    val b = Array.tabulate[Short](32)(i => (100 - i * 7).toShort)
+    val ab = a.zip(b).map { case (x, y) => (x + y).toShort }
+    val wa = Multimodal.decodeWavWht(wav(a)).get
+    val wb = Multimodal.decodeWavWht(wav(b)).get
+    val wab = Multimodal.decodeWavWht(wav(ab)).get
+    assert(wa.zip(wb).map { case (x, y) => x + y }.toSeq == wab.toSeq)
+  }
+
+  test("imageWht: constant image concentrates all mass in c_(0,0)") {
+    val img = new java.awt.image.BufferedImage(10, 6,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 6; x <- 0 until 10) img.setRGB(x, y, 0x405060)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val w = Multimodal.imageWht(bos.toByteArray).get
+    val lum = 299L * 0x40 + 587L * 0x50 + 114L * 0x60
+    assert(w(0) == 64L * lum, s"c00 ${w(0)} != ${64L * lum}")
+    assert(w.drop(1).forall(_ == 0L))
+  }
+
   test("multimodal decodeImage: real codec on PNG/GIF bytes, None otherwise") {
     def png(w: Int, h: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(w, h,
