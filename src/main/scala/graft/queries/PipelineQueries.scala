@@ -616,6 +616,27 @@ object PipelineQueries {
         .select(col("doc_id"), col("shard"))
     }),
 
+    // the LAST MILE to the trainer: token-band quality filter → 24-token
+    // overlapping chunks → deterministic-shuffle packing of the chunks
+    // into 2000-token shards (the distributed two-pass prefix sum — no
+    // single-task window). Three operators, one oracle; shard sizes are
+    // budget-exact by construction
+    "training_shard_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("__toks", TextAnalysis.tokenCount(col("text")))
+        .where(col("__toks") >= 30)
+      val chunks = TextAnalysis.chunkByTokens(
+        docs.select(col("doc_id"), col("text")), "doc_id", "text",
+        chunkTokens = 24, overlap = 8)
+      val keyed = chunks.select(
+        (col("doc_id") * 1000 + col("chunk_idx")).as("ck"), col("doc_id"),
+        col("chunk_idx"),
+        TextAnalysis.tokenCount(col("chunk_text")).cast("long").as("ctoks"))
+      Sampling.packByTokenBudget(keyed, col("ck"), col("ctoks"),
+          budget = 2000, outCol = "shard", numPartitions = 8, salt = "ts")
+        .select(col("doc_id"), col("chunk_idx"), col("ctoks"), col("shard"))
+    }),
+
     // Gopher/C4-style repetition features per document
     "repetition_stats" -> ((s, dir) => {
       val cols = TextAnalysis.repetitionColumns(col("text"))
@@ -3026,6 +3047,27 @@ object PipelineQueries {
            FROM paras)
          SELECT gid AS doc_id, string_agg(para, chr(10) ORDER BY pos) AS text
          FROM firsts WHERE rn = 1 GROUP BY gid""",
+    "training_shard_pipeline" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_extract_all(text, '\S+') AS w
+           FROM documents),
+         nn AS (SELECT doc_id, w, len(w) AS n FROM toks WHERE len(w) >= 30),
+         chunks AS (
+           SELECT doc_id, n,
+                  unnest(range(0,
+                    CAST(greatest(ceil(CAST(n - 24 AS DOUBLE)/16), 0) AS BIGINT) + 1))
+                    AS chunk_idx
+           FROM nn),
+         ck AS (
+           SELECT doc_id, chunk_idx, doc_id * 1000 + chunk_idx AS ck,
+                  least(CAST(n - chunk_idx * 16 AS BIGINT), 24) AS ctoks
+           FROM chunks)
+         SELECT doc_id, chunk_idx, ctoks,
+                CAST(floor((sum(ctoks) OVER (
+                       ORDER BY md5(concat_ws('|','ts',CAST(ck AS VARCHAR))), ck
+                       ROWS UNBOUNDED PRECEDING) - ctoks) / 2000) AS BIGINT)
+                  AS shard
+         FROM ck""",
     "pack_token_shards" ->
       """SELECT doc_id,
                 CAST(floor((sum(toks) OVER (ORDER BY h, doc_id
