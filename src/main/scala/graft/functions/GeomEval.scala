@@ -600,18 +600,18 @@ object TextEval {
     * dominant cost of the LSH pass. Built once, published safely via
     * computeIfAbsent; one entry per (seed,bits,dim) triple in practice. */
   private val srpTables =
-    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), Array[Double]]
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), Array[Long]]
 
-  private def srpSigns(seed: Long, bits: Int, dim: Int): Array[Double] =
+  private def srpSigns(seed: Long, bits: Int, dim: Int): Array[Long] =
     srpTables.computeIfAbsent((seed, bits, dim), { key =>
       val (s, b, n) = key
-      val tbl = new Array[Double](b * n)
+      val tbl = new Array[Long](b * n)
       var j = 0
       while (j < b) {
         var d = 0
         while (d < n) {
           tbl(j * n + d) =
-            if ((TextHashing.mix64(s ^ (j.toLong << 32) ^ d.toLong) & 1L) == 1L) 1.0 else -1.0
+            if ((TextHashing.mix64(s ^ (j.toLong << 32) ^ d.toLong) & 1L) == 1L) 1L else -1L
           d += 1
         }
         j += 1
@@ -619,18 +619,28 @@ object TextEval {
       tbl
     })
 
+  /** SRP projection scale: components quantize to round(x·2²⁰) before
+    * the signed accumulation, so each bit is the sign of an EXACT
+    * (order-independent) integer sum — bit-replayable by an independent
+    * engine, unlike a floating-point left fold whose sign near zero
+    * depends on summation order. 2²⁰ keeps quantization noise (≤ dim/2
+    * units = dim·2⁻²¹ in value) far below any meaningful projection
+    * magnitude while 64-dim unit-ish vectors stay orders of magnitude
+    * under Long overflow. */
+  val SrpQuantScale: Double = 1048576.0
+
   def srpBits(isFloat: Boolean, v: ArrayData, bits: Int, seed: Long): Long = {
     val n = v.numElements()
     val signs = srpSigns(seed, bits, n)
     var out = 0L
     var j = 0
     while (j < bits) {
-      var acc = 0.0
+      var acc = 0L
       val base = j * n
       var d = 0
       while (d < n) {
         val x = if (isFloat) v.getFloat(d).toDouble else v.getDouble(d)
-        acc += signs(base + d) * x
+        acc += signs(base + d) * roundHalfUp(x * SrpQuantScale).toLong
         d += 1
       }
       if (acc > 0) out |= (1L << j)

@@ -258,6 +258,17 @@ case class CharRollHash(child: Expression, seed: Long) extends UnaryExpression {
 case class WrapMulShift(child: Expression, const: Long, shift: Int)
     extends UnaryExpression {
   require(shift >= 0 && shift < 64, "shift must be in [0, 64)")
+  // input-type contract enforced at ANALYSIS time: a non-long child
+  // would ClassCastException in the interpreted path and silently get
+  // int-width wrap (≠ the intended mod-2⁶⁴) in codegen
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"wrap_mul_shift requires a BIGINT child, got " +
+          child.dataType.catalogString)
   override def dataType: DataType = LongType
   override def prettyName: String = "wrap_mul_shift"
   override protected def nullSafeEval(t: Any): Any =
@@ -649,9 +660,37 @@ case class LangId(child: Expression, langs: Seq[(String, Seq[String])])
   override protected def withNewChildInternal(c: Expression): LangId = copy(c)
 }
 
+/** splitmix64 avalanche of a BIGINT ([[TextHashing.mix64]]) as a
+  * column: the engine's REPLAYABLE scalar hash. Used where a
+  * deterministic hash order must be reproducible by an independent
+  * engine (e.g. the IVF centroid sample) — Spark's builtin `hash()` is
+  * Murmur3 over internal row bytes, which an oracle can't replay
+  * cheaply; this one is three shift-xor-multiply stages a SQL engine
+  * replays in exact mod-2⁶⁴ arithmetic. */
+case class Mix64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "mix64"
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"mix64 requires a BIGINT child, got ${child.dataType.catalogString}")
+  override protected def nullSafeEval(t: Any): Any =
+    TextHashing.mix64(t.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashing.mix64($c)")
+  override protected def withNewChildInternal(c: Expression): Mix64 = copy(c)
+}
+
 /** Sign-random-projection LSH bits for cosine ANN: bit j = sign of
-  * <v, r_j> where r_j components are deterministic ±1 from mix64(seed,
-  * j, dim). Vectors with high cosine similarity agree on most bits. */
+  * <round(v·2²⁰), r_j> where r_j components are deterministic ±1 from
+  * mix64(seed, j, dim). Vectors with high cosine similarity agree on
+  * most bits. The projection is an exact integer sum over quantized
+  * components (GeomEval.SrpQuantScale), so the bits are deterministic
+  * REGARDLESS of accumulation order — an independent engine replays
+  * them bit-for-bit (the ann_srp_topk DuckDB oracle does). */
 case class SrpBits(child: Expression, bits: Int, seed: Long)
     extends UnaryExpression {
   require(bits >= 1 && bits <= 64)

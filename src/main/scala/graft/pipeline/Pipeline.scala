@@ -38,6 +38,8 @@ object Tx {
     Bridge.column(QuantizedDot(Bridge.expression(a), Bridge.expression(b), scale))
   def srp_bits(vec: Column, bits: Int = 16, seed: Long = 42L): Column =
     Bridge.column(SrpBits(Bridge.expression(vec), bits, seed))
+  def mix64_hash(c: Column): Column =
+    Bridge.column(Mix64(Bridge.expression(c)))
   def vector_sum(vec: Column): Column =
     Bridge.column(VectorSumAgg(Bridge.expression(vec)).toAggregateExpression())
 
@@ -1527,8 +1529,12 @@ object Similarity {
     * only collected state (analogous to the sidecar tables). */
   private[pipeline] def sampleCentroids(corpus: DataFrame, corpusId: String,
                               corpusVec: String, nlist: Int): Array[Seq[Double]] =
+    // mix64 (not Spark's Murmur3 hash()) so the hash ORDER — and hence
+    // the centroid choice — is replayable by an independent engine in
+    // exact mod-2⁶⁴ arithmetic (the ann_ivf_topk DuckDB oracle does)
     corpus
-      .withColumn("__h", pmod(hash(col(corpusId)), lit(1000003)))
+      .withColumn("__h", pmod(Tx.mix64_hash(col(corpusId).cast("long")),
+        lit(1000003L)))
       .orderBy(col("__h"), col(corpusId))
       .limit(nlist)
       .select(col(corpusVec).cast("array<double>"))

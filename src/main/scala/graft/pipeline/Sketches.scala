@@ -115,6 +115,50 @@ object Sketches {
   }
 
   /**
+   * [[exactQuantiles]] for SEVERAL columns in ONE pass: the input is
+   * melted to (metric, value) long form — one scan of `df` regardless
+   * of metric count — and ranked ONCE under the (metric, value)
+   * composite order, so each metric occupies a contiguous rank range
+   * and its quantile_disc targets resolve against a per-metric offset.
+   * The offsets are a |metrics|-row collected aggregate (bounded driver
+   * state); the same two-pass distributed rank as [[exactQuantiles]],
+   * no single-task window. Values are cast to long (the integer-staged
+   * convention). Returns (metric, prob, quantile), checkpoint-pinned
+   * (|metrics|·|probs| rows) so the rank cache releases eagerly.
+   */
+  def exactQuantilesMulti(df: DataFrame, metrics: Seq[(String, Column)],
+                          probs: Seq[Double],
+                          numPartitions: Int = 32): DataFrame = {
+    require(metrics.nonEmpty, "metrics must be non-empty")
+    require(probs.nonEmpty && probs.forall(p => p > 0.0 && p <= 1.0),
+      "probs must lie in (0, 1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val melted = df
+      .select(explode(array(metrics.map { case (m, c) =>
+        struct(lit(m).as("m"), c.cast("long").as("v")) }: _*)).as("__mv"))
+      .select(col("__mv.m").as("__m"), col("__mv.v").as("__v"))
+      .where(col("__v").isNotNull)
+    val (ranked, release) = graft.tools.Ranks.globalRowNumberWithRelease(
+      melted, "__rank", numPartitions, col("__m"), col("__v"))
+    val spans = ranked.groupBy(col("__m"))
+      .agg(count(lit(1)).as("n"), min(col("__rank")).as("r0"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // same relative nudge as exactQuantiles (see the comment there)
+    val targets = spans.flatMap { case (m, n, r0) =>
+      probs.map(p => (m, p,
+        r0 - 1L + math.max(1L, math.ceil(p * n * (1 - 1e-9)).toLong)))
+    }.toSeq.toDF("metric", "prob", "__target")
+    val out = ranked
+      .join(broadcast(targets), col("__rank") === col("__target") &&
+        col("__m") === col("metric"))
+      .select(col("metric"), col("prob"), col("__v").as("quantile"))
+      .localCheckpoint(true)
+    release()
+    out
+  }
+
+  /**
    * Exact equi-depth histogram: `buckets` buckets bounded by the exact
    * interior quantiles (quantile_disc convention), per-bucket count /
    * min / max. The equal-POPULATION complement to the equal-WIDTH
@@ -416,7 +460,12 @@ object Sketches {
     * min over the depth cells the key maps to — ≥ the true count,
     * with the classic (ε = e/width, δ = e^−depth) overcount bound.
     * The cell table is tiny by construction → broadcast join; the
-    * probe side never shuffles. */
+    * probe side never shuffles. The join is LEFT OUTER with empty
+    * buckets counting as 0: a probe key never inserted (the sketch's
+    * primary use case) maps to depth empty cells and must return
+    * est_n = 0, and a key whose cells are only partially populated
+    * must take its min over ALL depth cells, not just the non-empty
+    * ones — an inner join would silently violate both. */
   def cmsEstimate(cells: DataFrame, probes: DataFrame, key: Column,
                   depth: Int = 4, logWidth: Int = 10): DataFrame = {
     val probeCols = probes.columns.map(col).toSeq
@@ -425,9 +474,10 @@ object Sketches {
         struct(lit(d).as("row"),
           cmsBucket(key, d, logWidth).as("bucket"))): _*)).as("__rb"): _*)
       .join(broadcast(cells),
-        col("__rb.row") === cells("row") && col("__rb.bucket") === cells("bucket"))
+        col("__rb.row") === cells("row") && col("__rb.bucket") === cells("bucket"),
+        "left")
       .groupBy(probeCols: _*)
-      .agg(min(col("cnt")).as("est_n"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_n"))
   }
 
   // -- distribution diagnostics (exact, integer-staged) --------------------

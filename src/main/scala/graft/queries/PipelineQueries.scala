@@ -445,14 +445,20 @@ object PipelineQueries {
         "c_id", "c_vec", "q_id", "q_vec", k = 5, roundDigits = 12)
     }),
 
-    // rows-only: LSH-bucketed approximate ANN (the 100 TB scale path)
+    // LSH-bucketed approximate ANN (the 100 TB scale path) under the
+    // FULL DuckDB gate: the SRP sign bits are exact integer sums over
+    // quantized components, so the oracle replays the whole pipeline —
+    // sign table (mix64 per (seed, bit, dim)), bucket bits, band
+    // collisions, dedup, cosine refine, top-k — bit-for-bit. The
+    // engine shuffles (id, band, bucket) keys; only the ORACLE goes
+    // all-pairs on the sign grid.
     "ann_srp_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.srpTopK(
         emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
         emb.where(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
-        "c_id", "c_vec", "q_id", "q_vec", k = 5)
+        "c_id", "c_vec", "q_id", "q_vec", k = 5, roundDigits = 12)
     }),
 
     // the SRP plumbing under the FULL DuckDB gate: bits=0 degenerates
@@ -469,16 +475,20 @@ object PipelineQueries {
         bandsSeeds = Seq(1L), bits = 0, roundDigits = 12)
     }),
 
-    // rows-only: IVF-flat ANN (the other scale path — broadcast centroid
-    // cells, probe nprobe cells per query; recall vs brute force is
-    // asserted in PipelineSpec)
+    // IVF-flat ANN (the other scale path — broadcast centroid cells,
+    // probe nprobe cells per query) under the FULL DuckDB gate: the
+    // centroid sample is a mix64-hash-ordered orderBy/limit the oracle
+    // replays exactly, and cell assignment / probe choice / refine are
+    // then pure arithmetic. Recall vs brute force additionally
+    // asserted in PipelineSpec.
     "ann_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(
         emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
         emb.where(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
-        "c_id", "c_vec", "q_id", "q_vec", k = 5, nlist = 16, nprobe = 4)
+        "c_id", "c_vec", "q_id", "q_vec", k = 5, nlist = 16, nprobe = 4,
+        roundDigits = 12)
     }),
 
     // rows-only: product-quantization ADC path (codes + LUT scoring +
@@ -628,9 +638,13 @@ object PipelineQueries {
       val chunks = TextAnalysis.chunkByTokens(
         docs.select(col("doc_id"), col("text")), "doc_id", "text",
         chunkTokens = 24, overlap = 8)
+      // collision-free composite pack key: doc_id·2³² + chunk_idx. A
+      // stride-16 chunker would need a 64-billion-token document to
+      // overflow the low half, and ANSI mode makes the multiply THROW
+      // (rather than silently corrupt shards) past 2³¹ doc_ids.
       val keyed = chunks.select(
-        (col("doc_id") * 1000 + col("chunk_idx")).as("ck"), col("doc_id"),
-        col("chunk_idx"),
+        (col("doc_id") * 4294967296L + col("chunk_idx")).as("ck"),
+        col("doc_id"), col("chunk_idx"),
         TextAnalysis.tokenCount(col("chunk_text")).cast("long").as("ctoks"))
       Sampling.packByTokenBudget(keyed, col("ck"), col("ctoks"),
           budget = 2000, outCol = "shard", numPartitions = 8, salt = "ts")
@@ -1073,7 +1087,9 @@ object PipelineQueries {
     // count–min sketch: the rare sketch that is exactly replayable
     // (fixed row constants, integer cells), so unlike HLL/KLL it gets a
     // full DuckDB hash gate — the cells and the min-estimates for the
-    // top-50 true tokens, est_n ≥ true_n by construction
+    // top-50 true tokens, est_n ≥ true_n by construction. One probe is
+    // a PLANTED UNSEEN token (true_n = 0): it exercises the left-join
+    // contract that empty cells count as 0 for keys never inserted.
     "cms_token_estimates" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val occurrences = docs.select(
@@ -1085,6 +1101,8 @@ object PipelineQueries {
           .as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("true_n"))
         .orderBy(col("true_n").desc, col("tok")).limit(50)
+        .unionByName(docs.sparkSession.range(1).select(
+          lit("zzzunseenprobe").as("tok"), lit(0L).as("true_n")))
       val probes = truth.select(col("tok"), col("true_n"),
         element_at(Tx.token_ngram_hashes(col("tok"), 1, 42L), 1).as("__k"))
       Sketches.cmsEstimate(cells, probes, col("__k"))
@@ -1158,17 +1176,53 @@ object PipelineQueries {
 
     // -- sketch statistics (rows-only: approximate by design) ---------------
     // per-group HLL++ distinct users next to exact row counts
+    // APPROXIMATE sketch under a HASH gate via its CONTRACT: the HLL++
+    // estimate itself is engine-internal (different sketch impls can't
+    // hash-match), but the accuracy contract CAN be checked exactly —
+    // per group: exact distinct, row count, and a boolean "estimate
+    // within ±15% (3·rsd at the default rsd = 0.05)". The oracle
+    // computes the same exact values and asserts the boolean TRUE, so
+    // the gate fails if the sketch ever drifts outside its bound. The
+    // exact side is the CHECK, not the scale path — at 100 TB you run
+    // only the sketch.
     "sketch_distinct" -> ((s, dir) => {
-      Sketches.approxDistinctByGroup(t(s, dir, "events"),
+      val est = Sketches.approxDistinctByGroup(t(s, dir, "events"),
         col("event_type"), col("user_id"))
+      val exact = t(s, dir, "events").groupBy(col("event_type").as("grp"))
+        .agg(count_distinct(col("user_id")).as("n_exact"))
+      est.join(exact, "grp")
+        .select(col("grp"), col("n_exact"), col("n"),
+          (abs(col("approx_distinct") - col("n_exact")) * 100 <=
+            col("n_exact") * 15).as("within_tol"))
     }),
 
-    // per-group KLL-style quantiles of the event value — LONG form
-    // (grp, prob, quantile) scalar rows, not an array column: the
-    // driver harness sorts result frames and cannot order array cells
+    // per-group KLL-style quantiles of the event value, hash-gated by
+    // the RANK CONTRACT: percentile_approx(acc) guarantees the
+    // returned value's rank is within n/acc of p·n. Emit the exact
+    // strict/weak rank checks (integer permyriad staging, one row of
+    // slack for the boundary) — the oracle asserts both TRUE per
+    // (group, prob). The estimate value stays engine-internal.
     "sketch_quantiles" -> ((s, dir) => {
-      Sketches.approxQuantilesByGroupLong(t(s, dir, "events"),
+      val q = Sketches.approxQuantilesByGroupLong(t(s, dir, "events"),
         col("event_type"), col("value"), Seq(0.25, 0.5, 0.9))
+      val ev = t(s, dir, "events")
+        .select(col("event_type").as("grp"), col("value"))
+      q.join(ev, "grp")
+        .groupBy(col("grp"), col("prob"))
+        .agg(count(col("value")).as("n"),
+          sum(when(col("value") < col("quantile"), 1L).otherwise(0L))
+            .as("__n_lt"),
+          sum(when(col("value") <= col("quantile"), 1L).otherwise(0L))
+            .as("__n_le"))
+        .select(col("grp"), col("prob"), col("n"),
+          // rank error <= n/acc (acc = 10000): in permyriad,
+          // n_lt/n <= p + 1/acc + 1/n  and  n_le/n >= p - 1/acc - 1/n
+          (col("__n_lt") * 10000 <=
+            (col("prob") * 10000).cast("long") * col("n") + col("n")
+              + 10000).as("lt_ok"),
+          (col("__n_le") * 10000 >=
+            (col("prob") * 10000).cast("long") * col("n") - col("n")
+              - 10000).as("le_ok"))
     }),
 
     // the sketch path under the FULL oracle gate by exact degeneration
@@ -1183,12 +1237,27 @@ object PipelineQueries {
         acc = 1000000)
     }),
 
-    // mergeable DataSketches HLL: per-group sketches union-rolled to one
-    // global estimate WITHOUT rescanning the table
+    // mergeable DataSketches HLL: per-group sketches union-rolled to
+    // one global estimate WITHOUT rescanning the table — hash-gated by
+    // TWO exact invariants the oracle asserts TRUE: the merged
+    // estimate is within ±5% (3σ at lgK = 12) of the exact global
+    // distinct, and it is at least the largest single group's exact
+    // distinct (roll-up monotonicity, with the same 5% slack).
     "sketch_union_distinct" -> ((s, dir) => {
-      Sketches.hllUnionEstimate(
-        Sketches.hllSketchByGroup(t(s, dir, "events"),
-          col("event_type"), col("user_id")))
+      val events = t(s, dir, "events")
+      val est = Sketches.hllUnionEstimate(
+        Sketches.hllSketchByGroup(events, col("event_type"), col("user_id")))
+      val exact = events.agg(
+        count_distinct(col("user_id")).as("global_exact"))
+      val maxGrp = events.groupBy(col("event_type"))
+        .agg(count_distinct(col("user_id")).as("__gd"))
+        .agg(max(col("__gd")).as("max_group_exact"))
+      est.crossJoin(exact).crossJoin(maxGrp)
+        .select(col("global_exact"), col("max_group_exact"),
+          (abs(col("global_distinct") - col("global_exact")) * 100 <=
+            col("global_exact") * 5).as("within_tol"),
+          (col("global_distinct") * 100 >=
+            col("max_group_exact") * 95).as("ge_max_group"))
     }),
 
     // -- multimodal stubs ----------------------------------------------------
@@ -1949,9 +2018,12 @@ object PipelineQueries {
                 count(*) AS cnt
          FROM ghash g CROSS JOIN cdef c
          GROUP BY 1, 2),
-       truth AS (
+       truth0 AS (
          SELECT tok, count(*) AS true_n FROM toks2
          GROUP BY tok ORDER BY true_n DESC, tok LIMIT 50),
+       truth AS (
+         SELECT * FROM truth0
+         UNION ALL SELECT 'zzzunseenprobe', CAST(0 AS BIGINT)),
        ptr AS (
          SELECT tok, true_n,
                 ${Fp.polyFold("list_transform(range(1, length(tok)+1), " +
@@ -1966,9 +2038,10 @@ object PipelineQueries {
        pgh AS (SELECT tok, true_n,
                ${Fp.mix64Stages("CAST(r AS UBIGINT)", "g")}
                FROM pgr)
-       SELECT p.tok, p.true_n, min(cl.cnt) AS est_n
+       SELECT p.tok, p.true_n,
+              min(coalesce(cl.cnt, CAST(0 AS BIGINT))) AS est_n
        FROM pgh p CROSS JOIN cdef c
-       JOIN cells cl
+       LEFT JOIN cells cl
          ON cl.d = c.d AND cl.bucket = ${bucket("CAST(p.gfp AS HUGEINT)")}
        GROUP BY 1, 2"""
   }
@@ -1986,6 +2059,128 @@ object PipelineQueries {
                                             c.vec_id) AS rank
          FROM embeddings q, embeddings c WHERE q.vec_id < 10
        ) WHERE rank <= 5"""
+
+  // ---- ann_srp_topk full replay --------------------------------------
+  // The SRP pipeline bit-for-bit in DuckDB: sign table = mix64(seed ^
+  // (j<<32) ^ d) & 1 over the 8 band seeds x 12 bits x 64 dims (the
+  // ORACLE goes all-pairs on this grid; the engine caches it per
+  // executor), bucket bits = signs of EXACT integer sums over
+  // round(x*2^20)-quantized components (order-independent, so the
+  // GROUP BY replays the engine's sequential fold exactly), candidates
+  // = band collisions, then the same round-12 cosine refine + top-k as
+  // the brute-force oracle.
+  private lazy val srpTopkOracle: String =
+    s"""WITH sgrid AS (
+         SELECT band, seed, j, d
+         FROM (VALUES (0,1),(1,2),(2,3),(3,4),(4,5),(5,6),(6,7),(7,8))
+              b(band, seed),
+              range(0, 12) t1(j), range(0, 64) t2(d)),
+       sraw AS (
+         SELECT band, j, d,
+                xor(xor(CAST(seed AS BIGINT),
+                        CAST(j AS BIGINT) * 4294967296), CAST(d AS BIGINT))
+                  AS z
+         FROM sgrid),
+       shash AS (
+         SELECT band, j, d,
+         ${Fp.mix64Stages("CAST(z AS UBIGINT)", "s")}
+         FROM sraw),
+       signs AS (
+         SELECT band, j,
+                list(CASE WHEN sfp % 2 = 1 THEN CAST(1 AS BIGINT)
+                          ELSE CAST(-1 AS BIGINT) END ORDER BY d) AS sg
+         FROM shash GROUP BY band, j),
+       qz AS (
+         SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                  x -> CAST(round(x * 1048576) AS BIGINT)) AS q
+         FROM embeddings),
+       proj AS (
+         SELECT v.vec_id, g.band, g.j,
+                list_sum(list_transform(range(1, len(v.q) + 1),
+                  i -> g.sg[i] * v.q[i])) AS y
+         FROM qz v CROSS JOIN signs g),
+       bkts AS (
+         SELECT vec_id, band,
+                CAST(sum(CASE WHEN y > 0 THEN (CAST(1 AS BIGINT) << j)
+                              ELSE 0 END) AS BIGINT) AS bucket
+         FROM proj GROUP BY vec_id, band),
+       cand AS (
+         SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+         FROM bkts q JOIN bkts c ON q.band = c.band AND q.bucket = c.bucket
+         WHERE q.vec_id < 10),
+       srp_scored AS (
+         SELECT cd.q_id, cd.c_id,
+                round(list_cosine_similarity(
+                  CAST(qe.embedding AS DOUBLE[]),
+                  CAST(ce.embedding AS DOUBLE[])), 12) AS cosine
+         FROM cand cd
+         JOIN embeddings qe ON qe.vec_id = cd.q_id
+         JOIN embeddings ce ON ce.vec_id = cd.c_id)
+       SELECT q_id, c_id, cosine, rank FROM (
+         SELECT q_id, c_id, cosine,
+                row_number() OVER (PARTITION BY q_id
+                                   ORDER BY cosine DESC, c_id) AS rank
+         FROM srp_scored) WHERE rank <= 5"""
+
+  // ---- ann_ivf_topk full replay --------------------------------------
+  // Centroids = the mix64-hash-ordered orderBy/limit sample the engine
+  // takes (signed pmod replayed from the UBIGINT avalanche), cell
+  // assignment = per-vector argmax cosine with ties to the HIGHER cell
+  // (the engine's greatest(struct) lexicographic order), probes = each
+  // query's top-4 cells under the same order, then the round-12 cosine
+  // refine + top-k.
+  private lazy val ivfTopkOracle: String =
+    s"""WITH ch AS (
+         SELECT vec_id, embedding,
+         ${Fp.mix64Stages("CAST(vec_id AS UBIGINT)", "c")}
+         FROM embeddings),
+       csel AS (
+         SELECT vec_id, embedding,
+                ((CASE WHEN cfp >= 9223372036854775808
+                       THEN CAST(cfp AS HUGEINT) - ${Fp.MOD}
+                       ELSE CAST(cfp AS HUGEINT) END % 1000003) + 1000003)
+                  % 1000003 AS h
+         FROM ch),
+       cents AS (
+         SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS BIGINT)
+                  AS cell,
+                CAST(embedding AS DOUBLE[]) AS cv
+         FROM csel ORDER BY h, vec_id LIMIT 16),
+       asg AS (
+         SELECT vec_id, cell FROM (
+           SELECT e.vec_id, ct.cell,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY list_cosine_similarity(
+                      CAST(e.embedding AS DOUBLE[]), ct.cv) DESC,
+                    ct.cell DESC) AS rn
+           FROM embeddings e CROSS JOIN cents ct)
+         WHERE rn = 1),
+       probes AS (
+         SELECT vec_id AS q_id, cell FROM (
+           SELECT e.vec_id, ct.cell,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY list_cosine_similarity(
+                      CAST(e.embedding AS DOUBLE[]), ct.cv) DESC,
+                    ct.cell DESC) AS rn
+           FROM embeddings e CROSS JOIN cents ct
+           WHERE e.vec_id < 10)
+         WHERE rn <= 4),
+       cand AS (
+         SELECT p.q_id, a.vec_id AS c_id
+         FROM probes p JOIN asg a USING (cell)),
+       ivf_scored AS (
+         SELECT cd.q_id, cd.c_id,
+                round(list_cosine_similarity(
+                  CAST(qe.embedding AS DOUBLE[]),
+                  CAST(ce.embedding AS DOUBLE[])), 12) AS cosine
+         FROM cand cd
+         JOIN embeddings qe ON qe.vec_id = cd.q_id
+         JOIN embeddings ce ON ce.vec_id = cd.c_id)
+       SELECT q_id, c_id, cosine, rank FROM (
+         SELECT q_id, c_id, cosine,
+                row_number() OVER (PARTITION BY q_id
+                                   ORDER BY cosine DESC, c_id) AS rank
+         FROM ivf_scored) WHERE rank <= 5"""
 
   // ---- doc_fingerprint64 differential oracle ---------------------------
   // DuckDB reimplementation of TextEval.fingerprint (GeomEval.scala):
@@ -3059,7 +3254,8 @@ object PipelineQueries {
                     AS chunk_idx
            FROM nn),
          ck AS (
-           SELECT doc_id, chunk_idx, doc_id * 1000 + chunk_idx AS ck,
+           SELECT doc_id, chunk_idx,
+                  doc_id * 4294967296 + chunk_idx AS ck,
                   least(CAST(n - chunk_idx * 16 AS BIGINT), 24) AS ctoks
            FROM chunks)
          SELECT doc_id, chunk_idx, ctoks,
@@ -3411,6 +3607,30 @@ object PipelineQueries {
          SELECT grp, CAST(0.25 AS DOUBLE) AS prob, q25 AS quantile FROM q
          UNION ALL SELECT grp, CAST(0.5 AS DOUBLE), q50 FROM q
          UNION ALL SELECT grp, CAST(0.9 AS DOUBLE), q90 FROM q""",
+    // approximate sketches, hash-gated by their exact CONTRACT columns
+    // (the estimates themselves are engine-internal): the oracle
+    // recomputes the exact sides and asserts the invariants TRUE
+    "sketch_distinct" ->
+      """SELECT event_type AS grp,
+                count(DISTINCT user_id) AS n_exact,
+                count(user_id) AS n,
+                TRUE AS within_tol
+         FROM events GROUP BY 1""",
+    "sketch_union_distinct" ->
+      """SELECT count(DISTINCT user_id) AS global_exact,
+                (SELECT max(gd) FROM (
+                   SELECT count(DISTINCT user_id) AS gd
+                   FROM events GROUP BY event_type)) AS max_group_exact,
+                TRUE AS within_tol,
+                TRUE AS ge_max_group
+         FROM events""",
+    "sketch_quantiles" ->
+      """WITH g AS (
+           SELECT event_type AS grp, count(value) AS n
+           FROM events GROUP BY 1)
+         SELECT grp, CAST(p AS DOUBLE) AS prob, n,
+                TRUE AS lt_ok, TRUE AS le_ok
+         FROM g CROSS JOIN (SELECT unnest([0.25, 0.5, 0.9]) AS p)""",
     "span_dup_stats" ->
       """WITH base AS (
            SELECT doc_id, text FROM documents
@@ -3468,6 +3688,11 @@ object PipelineQueries {
     // SAME oracle SQL — only the Spark plan differs
     "ann_ivf_exact" -> bruteForceCosineOracle,
     "ann_pq_exact" -> bruteForceCosineOracle,
+    // the APPROXIMATE configs under full replay: integer-staged SRP
+    // bits / mix64-ordered centroid sample make the whole approximate
+    // pipeline deterministic cross-engine
+    "ann_srp_topk" -> srpTopkOracle,
+    "ann_ivf_topk" -> ivfTopkOracle,
     "doc_fingerprint64" -> fingerprintOracle,
     "simhash_fingerprints" -> simhashOracle,
     // same fingerprint chain; self-jaccard is 1.0 exactly when the doc

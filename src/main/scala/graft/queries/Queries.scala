@@ -1140,11 +1140,16 @@ object Queries {
       val k = 4L
       val big = n / k + 1
       val nbig = n % k
+      // when n < k the ELSE branch is unreachable (every __r falls in
+      // the first nbig·big rows), but its interpolated divisor n/k
+      // would be 0 — max(_, 1) keeps the literal well-formed so ANSI
+      // mode cannot raise DIV-by-zero on the dead branch
+      val smallDiv = math.max(n / k, 1L)
       val out = ranked.withColumn("tile",
           expr(s"""CAST(CASE WHEN __r <= ${nbig * big}
                              THEN (__r - 1) DIV $big
                              ELSE $nbig + (__r - ${nbig * big} - 1)
-                                  DIV ${n / k}
+                                  DIV $smallDiv
                         END + 1 AS BIGINT)"""))
         .groupBy(col("tile"))
         .agg(count(lit(1)).as("n"), min(col("n_chars")).as("min_chars"),
@@ -1291,6 +1296,12 @@ object Queries {
     // segment counts. Thresholds are 6 collected longs (bounded driver
     // state, like k-means centroids); the buckets compare against
     // VALUES so ties are deterministic. All-integer both engines.
+    // Plan shape: the fact table is scanned ONCE — the per-user
+    // aggregate is localCheckpoint-pinned, and all six quantile cuts
+    // run in ONE fused pass of the exact-quantile machinery
+    // (exactQuantilesMulti: melted long form, one distributed rank)
+    // instead of the six separate rank passes + final re-aggregation
+    // that previously re-scanned events seven times.
     "rfm_segments" -> ((s, dir) => {
       val per = EventTs.toTimestamp(t(s, dir, "events"))
         .where(col("event_type") === "purchase")
@@ -1298,19 +1309,19 @@ object Queries {
         .agg(unix_micros(max(col("ts"))).as("rec"),
           count(lit(1)).as("freq"),
           sum(round(col("value") * 100).cast("long")).as("mon"))
-      def cuts(metric: String): (Long, Long) = {
-        val q = graft.pipeline.Sketches.exactQuantiles(per, col(metric), Seq(0.25, 0.75))
-          .collect().map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._1)
-        (q(0)._2, q(1)._2)
-      }
-      val (r25, r75) = cuts("rec")
-      val (f25, f75) = cuts("freq")
-      val (m25, m75) = cuts("mon")
-      def bucket(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
-        lit(1L) + when(c > lo, 1L).otherwise(0L) + when(c > hi, 1L).otherwise(0L)
-      per.select(bucket(col("rec"), r25, r75).as("r_bucket"),
-          bucket(col("freq"), f25, f75).as("f_bucket"),
-          bucket(col("mon"), m25, m75).as("m_bucket"))
+        .localCheckpoint(true)
+      val cut = graft.pipeline.Sketches.exactQuantilesMulti(per,
+          Seq("rec" -> col("rec"), "freq" -> col("freq"),
+            "mon" -> col("mon")),
+          Seq(0.25, 0.75))
+        .collect()
+        .map(r => ((r.getString(0), r.getDouble(1)), r.getLong(2))).toMap
+      def bucket(c: org.apache.spark.sql.Column, m: String) =
+        lit(1L) + when(c > cut((m, 0.25)), 1L).otherwise(0L) +
+          when(c > cut((m, 0.75)), 1L).otherwise(0L)
+      per.select(bucket(col("rec"), "rec").as("r_bucket"),
+          bucket(col("freq"), "freq").as("f_bucket"),
+          bucket(col("mon"), "mon").as("m_bucket"))
         .groupBy(col("r_bucket"), col("f_bucket"), col("m_bucket"))
         .agg(count(lit(1)).as("n"))
     }),

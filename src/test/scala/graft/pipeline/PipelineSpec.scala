@@ -624,8 +624,16 @@ class PipelineSpec extends AnyFunSuite {
       Seq((2000L, v.toSeq))
     }
     val df = (base ++ copies ++ near).toDF("vec_id", "embedding")
+    // refineIters > 0: the Lloyd refinement gives the near-copy's
+    // cluster mean a dim-1 component, so the near-copy provably lands
+    // in its original's cell REGARDLESS of which vectors the hash-
+    // ordered sample picks as initial centroids (with refineIters = 0
+    // an all-zero score profile tie-breaks by cell index, and a
+    // 1e-4 perturbation can split the pair across cells — cell
+    // assignment of sub-threshold-similar vectors is implementation-
+    // defined; only EXACT copies co-locate by construction)
     val kept = Dedup.semanticDedup(df, "vec_id", "embedding",
-        nlist = 4, threshold = 0.99)
+        nlist = 4, threshold = 0.99, refineIters = 2)
       .select("vec_id").as[Long].collect().toSet
     assert(kept == (0 until 40).map(_.toLong).toSet)
     // a threshold above the near-copy's cosine keeps it as distinct
