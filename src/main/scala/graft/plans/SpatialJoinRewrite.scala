@@ -22,16 +22,27 @@ import org.apache.spark.sql.graftbridge.Bridge
  * sides cell-exploded and pairs deduped by reference cell.
  *
  * The grid cell edge length comes from `spark.graft.sjoin.cellSize`
- * (data units, default 64): any value is correct — it only shifts the
- * candidate-blowup / selectivity balance. Extra conjuncts in the join
- * condition are preserved as a residual filter; non-inner spatial joins
- * and non-attribute operands fall through untouched (BNLJ remains the
- * correct fallback).
+ * (data units) when set: any value is correct — it only shifts the
+ * candidate-blowup / selectivity balance. When UNSET, the rule derives
+ * it from the geometry side's bbox statistics
+ * ([[SpatialJoin.autoCellSize]]: 2x the median bbox edge via one
+ * approxQuantile pass), the same data-derived default as the API path
+ * — so a 100x scale-up with different geometry extents needs no
+ * manual retuning. The stats pass runs once per rewritten join, at
+ * planning time, over the build side only. Extra conjuncts in the
+ * join condition are preserved as a residual filter; non-inner
+ * spatial joins and non-attribute operands fall through untouched
+ * (BNLJ remains the correct fallback).
  */
 case class SpatialJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  private def cellSize: Double =
-    spark.conf.get("spark.graft.sjoin.cellSize", "64.0").toDouble
+  private def confCellSize: Option[Double] =
+    spark.conf.getOption("spark.graft.sjoin.cellSize").map(_.toDouble)
+  /** Conf value if set, else the data-derived size from the geometry
+    * (build) side — matching `SpatialJoin.sjoin`'s cellSize <= 0 path. */
+  private def cellSizeFor(geomSide: LogicalPlan, geomAttr: AttributeReference): Double =
+    confCellSize.getOrElse(SpatialJoin.autoCellSize(
+      Bridge.ofRows(spark, geomSide), Bridge.column(geomAttr)))
   private def salt: Int =
     spark.conf.get("spark.graft.sjoin.salt", "1").toInt
 
@@ -76,7 +87,7 @@ case class SpatialJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           val joined = SpatialJoin.geomGridInner(
             Bridge.ofRows(spark, aSide), Bridge.ofRows(spark, bSide),
             Bridge.column(aAttr), aKind, Bridge.column(bAttr), bKind,
-            cellSize)
+            cellSizeFor(bSide, bAttr))
           val rewritten = joined.queryExecution.analyzed
           val filtered =
             if (rest.isEmpty) rewritten
@@ -116,7 +127,7 @@ case class SpatialJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
               val joined = SpatialJoin.gridInner(
                 Bridge.ofRows(spark, ptSide), Bridge.ofRows(spark, gmSide),
                 Bridge.column(p), Bridge.column(g),
-                si.rightKind, cellSize, salt)
+                si.rightKind, cellSizeFor(gmSide, g), salt)
               // child plans are embedded as-is, so every original
               // attribute (exprId included) survives; restore the
               // join's output order with a final Project

@@ -897,6 +897,56 @@ object Queries {
         .agg(count(lit(1)).as("order_count"))
     }),
 
+    // TPC-H Q12 shape (shipping-band priority analysis): one
+    // fact-dim equi-join, rows banded by a derived categorical (ship
+    // delay ≥ 60 days standing in for the reduced schema's missing
+    // l_shipmode), and BOTH priority classes counted in ONE pass via
+    // conditional sums — never two scans. The year filter reaches the
+    // lineitem parquet scan (PushedFilters).
+    "q12_ship_priority" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_shipdate"))
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("ship_band",
+          when(datediff(col("l_shipdate"), col("o_orderdate")) >= 60,
+            "slow").otherwise("fast"))
+        .groupBy(col("ship_band"))
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+    }),
+
+    // TPC-H Q20 shape (potential part promotion): the nested SEMI-JOIN
+    // REDUCTION — a name-filtered part set (broadcast) semi-restricts
+    // the fact scan, a keyed aggregate finds (supplier, part) pairs
+    // that moved > 50 units in the year (standing in for the reduced
+    // schema's missing partsupp.availqty threshold), and suppliers are
+    // kept by a LEFT SEMI join on the surviving keys — each stage
+    // strictly shrinks what flows to the next, nothing is recomputed.
+    "q20_promotion_suppliers" -> ((s, dir) => {
+      val smallParts = t(s, dir, "part")
+        .where(col("p_name").startsWith("small "))
+        .select(col("p_partkey"))
+      val shipped = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(broadcast(smallParts),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("__qty"))
+        .where(col("__qty") > 50)
+        .select(col("l_suppkey")).distinct()
+      t(s, dir, "supplier")
+        .join(shipped, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_name"), col("n_name"))
+    }),
+
     // TPC-H Q13 shape (customer order distribution): LEFT OUTER join so
     // zero-order customers keep a row, then two stacked aggregates —
     // count per customer, histogram over the counts. The second
@@ -1459,6 +1509,42 @@ object Queries {
         .start()
       q.awaitTermination()
       s.table(qName).select(col("docId").as("doc_id"))
+    }),
+
+    // Streaming SCD2 under the DuckDB gate — the last batch/streaming
+    // unification gap: the events stream flows through the
+    // flatMapGroupsWithState interval builder (Streams.scd2Intervals),
+    // closed validity slices appending on each state change and the
+    // open slices on the end-of-stream watermark timeout; the final
+    // table must hash-match the BATCH scd2_user_states oracle.
+    "stream_scd2" -> ((s, dir) => {
+      import s.implicits._
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      def src = EventTs.toTimestamp(s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+      // far-future SENTINEL rows (user -1, ts + ~100 years): on a
+      // bounded replay they drive the final watermark past every real
+      // user's idle deadline so all open slices flush — the streaming
+      // stand-in for "the stream ended"; sentinel output is filtered
+      val sentinel = src.where(col("event_id") % 1000 === 0)
+        .withColumn("user_id", lit(-1L))
+        .withColumn("ts", col("ts") + expr("INTERVAL 36500 DAYS"))
+      val events = src.unionAll(sentinel)
+        .select(col("user_id").as("userId"), col("ts"),
+          col("event_id").as("eventId"), col("event_type").as("eventType"))
+        .withWatermark("ts", "1 minute")
+        .as[graft.streaming.StateEvent]
+      val slices = graft.streaming.Streams.scd2Intervals(events)
+      val qName = "graft_stream_scd2"
+      s.streams.active.filter(q => q.name == qName).foreach(_.stop())
+      val q = slices.toDF().writeStream.format("memory").queryName(qName)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qName).where(col("userId") >= 0)
+        .select(col("userId").as("user_id"), col("state"),
+          col("validFrom").as("valid_from"), col("validTo").as("valid_to"))
     }),
 
     // Streaming BUILT-IN dedup state under the DuckDB gate:
@@ -2481,6 +2567,33 @@ object Queries {
                FROM customer LEFT JOIN orders ON c_custkey = o_custkey
                GROUP BY c_custkey)
          GROUP BY c_count""",
+    "q12_ship_priority" ->
+      """SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) >= 60
+                     THEN 'slow' ELSE 'fast' END AS ship_band,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                              THEN 1 ELSE 0 END) AS BIGINT)
+                  AS high_line_count,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                              THEN 0 ELSE 1 END) AS BIGINT)
+                  AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+         GROUP BY 1""",
+    "q20_promotion_suppliers" ->
+      """WITH qualified AS (
+           SELECT DISTINCT l_suppkey
+           FROM lineitem
+           JOIN part ON l_partkey = p_partkey
+           WHERE p_name LIKE 'small %'
+             AND l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1997-01-01'
+           GROUP BY l_suppkey, l_partkey
+           HAVING sum(CAST(l_quantity AS BIGINT)) > 50)
+         SELECT s_name, n_name
+         FROM supplier
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE s_suppkey IN (SELECT l_suppkey FROM qualified)""",
     "q22_idle_suppliers" ->
       """WITH sup AS (
            SELECT s_suppkey, s_nationkey,
@@ -2543,6 +2656,17 @@ object Queries {
                 count(*) AS n
          FROM pm CROSS JOIN qs
          GROUP BY 1, 2, 3""",
+    // streaming twin pinned to the SAME batch oracle — the
+    // unification property as a checked hash gate
+    "stream_scd2" ->
+      """SELECT user_id, event_type AS state, ts AS valid_from,
+                lead(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS valid_to
+         FROM (SELECT user_id, ts, event_id, event_type,
+                      lag(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS prev
+               FROM events)
+         WHERE prev IS NULL OR prev <> event_type""",
     "scd2_user_states" ->
       """SELECT user_id, event_type AS state, ts AS valid_from,
                 lead(ts) OVER (PARTITION BY user_id

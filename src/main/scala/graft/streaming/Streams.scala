@@ -8,6 +8,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * (e.g. [[graft.pipeline.Tx.doc_fingerprint]]), event time. */
 case class DocEvent(docId: Long, fp: Long, ts: java.sql.Timestamp)
 
+/** One keyed state observation for the streaming SCD2 builder. */
+case class StateEvent(userId: Long, ts: java.sql.Timestamp, eventId: Long,
+                      eventType: String)
+
+/** One SCD Type-2 validity slice: [validFrom, validTo), validTo None
+  * while the state is still current. */
+case class ScdSlice(userId: Long, state: String,
+                    validFrom: java.sql.Timestamp,
+                    validTo: Option[java.sql.Timestamp])
+
 /**
  * Structured Streaming operators (SURVEY §2.7: the reference has no
  * streaming surface — these are the engine's scale extensions; every
@@ -103,6 +113,78 @@ object Streams {
                            delay: String = "10 minutes"): DataFrame =
     docs.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /**
+   * Streaming SCD Type-2 builder — the streaming twin of the batch
+   * `scd2_user_states` query: per user, fold the (ts, event_id)-ordered
+   * event stream into state-change validity intervals. CLOSED slices
+   * `[change, next_change)` append as soon as the closing change
+   * arrives (possibly batches later — the open edge rides in state as
+   * (state, validFrom)); the OPEN slice (validTo = None) appends once
+   * the user has been idle for `horizon` of EVENT time (an event-time
+   * timeout at lastSeen + horizon — the churn finalization, same TTL
+   * anchoring as [[dedupFirstSeen]]). A post-horizon event starts a
+   * fresh interval chain: append mode cannot retract an emitted open
+   * slice, so the horizon IS the declaration that the state was final
+   * — size it to the re-engagement window, exactly like a session gap.
+   *
+   * State per user is ONE (state, validFrom) pair — bounded by the
+   * user universe, not the event count; each micro-batch's events sort
+   * only within their group (skew bound = busiest user per batch, same
+   * contract as the batch window).
+   *
+   * Requires a watermark on `ts` (EventTimeTimeout). On a BOUNDED
+   * replay, drive the final watermark past every deadline (e.g. with a
+   * far-future sentinel key) and the emitted table equals the batch
+   * SCD2 build — the unification property the DuckDB gate checks.
+   */
+  def scd2Intervals(events: Dataset[StateEvent],
+                    horizon: String = "0 seconds"): Dataset[ScdSlice] = {
+    import events.sparkSession.implicits._
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(horizon))
+    require(iv.months == 0, s"horizon must not use months: $horizon")
+    val horizonMs = iv.days * 86400000L + iv.microseconds / 1000L
+
+    def fn(user: Long, it: Iterator[StateEvent],
+           st: GroupState[(String, java.sql.Timestamp)]): Iterator[ScdSlice] = {
+      if (st.hasTimedOut) {
+        val (cur, from) = st.get
+        st.remove()
+        Iterator.single(ScdSlice(user, cur, from, None))
+      } else {
+        // Timestamp.compareTo keeps full micros precision (getTime
+        // alone truncates to millis)
+        val evs = it.toArray.sortWith((a, b) => {
+          val c = a.ts.compareTo(b.ts)
+          c < 0 || (c == 0 && a.eventId < b.eventId)
+        })
+        val out = scala.collection.mutable.ArrayBuffer.empty[ScdSlice]
+        var cur: Option[(String, java.sql.Timestamp)] = st.getOption
+        evs.foreach { e =>
+          cur match {
+            case Some((state, from)) if state != e.eventType =>
+              out += ScdSlice(user, state, from, Some(e.ts))
+              cur = Some((e.eventType, e.ts))
+            case None => cur = Some((e.eventType, e.ts))
+            case _ => () // same state: the open slice continues
+          }
+        }
+        cur.foreach(st.update)
+        // deadline anchors on the LAST event seen; max(_, wm+1) both
+        // satisfies the must-be-after-watermark contract and re-arms
+        // the (per-invocation-cleared) timer on every data delivery
+        val lastMs = evs.lastOption.map(_.ts.getTime)
+          .getOrElse(st.get._2.getTime)
+        st.setTimeoutTimestamp(math.max(lastMs + horizonMs,
+          st.getCurrentWatermarkMs + 1))
+        out.iterator
+      }
+    }
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
 
   def dedupFirstSeen(docs: Dataset[DocEvent],
                      stateTtl: Option[String] = None): Dataset[DocEvent] = {

@@ -215,6 +215,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("scd2Intervals closes slices across micro-batches, opens after horizon") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[StateEvent]
+    val q = Streams.scd2Intervals(
+        input.toDS().withWatermark("ts", "0 seconds"),
+        horizon = "30 minutes")
+      .writeStream.format("memory").queryName("scd2_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 logs in then browses (one closed slice emitted:
+      // login [t0, t2)); user 2 logs in (state held open, nothing out)
+      input.addData(StateEvent(1, ts(0), 1, "login"),
+        StateEvent(1, ts(2), 2, "browse"), StateEvent(2, ts(1), 3, "login"))
+      q.processAllAvailable()
+      // batch 2: user 1's purchase closes the browse slice OPENED IN A
+      // PRIOR BATCH — the open edge rode in state across batches; the
+      // 30-minute idle horizon kept the watermark advance (to t2) from
+      // prematurely finalizing it in between
+      input.addData(StateEvent(1, ts(5), 4, "purchase"))
+      q.processAllAvailable()
+      // batch 3: traffic at t60 pushes the watermark past both idle
+      // users' deadlines (t1+30, t5+30) -> their open slices append;
+      // user 9 itself stays within its own horizon (deadline t90)
+      input.addData(StateEvent(9, ts(60), 5, "login"))
+      q.processAllAvailable()
+      input.addData(StateEvent(9, ts(61), 6, "browse"))
+      q.processAllAvailable()
+      val got = spark.table("scd2_out")
+        .select("userId", "state", "validFrom", "validTo")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+          Option(r.getTimestamp(3))))
+        .toSet
+      assert(got.contains((1L, "login", ts(0), Some(ts(2)))))
+      assert(got.contains((1L, "browse", ts(2), Some(ts(5)))))
+      assert(got.contains((1L, "purchase", ts(5), None))) // churned open
+      assert(got.contains((2L, "login", ts(1), None)))
+      // same-state repeat never splits a slice, and the still-active
+      // user 9 has emitted nothing (login->browse closed slice aside)
+      assert(!got.exists(s => s._1 == 1L && s._2 == "browse" && s._3 == ts(5)))
+      assert(!got.exists(s => s._1 == 9L && s._4.isEmpty))
+    } finally q.stop()
+  }
+
   test("dedupFirstSeen with state TTL re-admits a fingerprint after expiry") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[DocEvent]

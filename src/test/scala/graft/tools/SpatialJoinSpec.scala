@@ -122,6 +122,42 @@ class SpatialJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("optimizer rewrite derives cell size from data when the conf is unset") {
+    graft.plans.SpatialJoinRewrite.install(spark)
+    try {
+      spark.conf.unset("spark.graft.sjoin.cellSize")
+      val rnd = new scala.util.Random(41)
+      val pts = (0 until 300).map(i =>
+          (i.toLong, rnd.nextDouble() * 100, rnd.nextDouble() * 100))
+        .toDF("pid", "x", "y").withColumn("pt", st_point(col("x"), col("y")))
+      val polys = (0 until 15).map { i =>
+        val cx = rnd.nextDouble() * 100; val cy = rnd.nextDouble() * 100
+        val r = 5 + rnd.nextDouble() * 10
+        (i.toLong, Seq(Seq(cx + r, cy, cx, cy + r, cx - r, cy, cx, cy - r, cx + r, cy)))
+      }.toDF("gid", "poly")
+
+      // with no conf, the rule must probe the geometry side's bbox
+      // stats (SpatialJoin.autoCellSize) instead of failing or
+      // falling back to a nested loop; pair set is cell-size-invariant
+      val j = pts.join(polys, st_intersects(pts("pt"), polys("poly"), "polygon"))
+      val pairs = j.select("pid", "gid").as[(Long, Long)].collect().toSet
+      val expect = SpatialJoin.pointInGeom(pts, polys, "pt", "poly", "polygon",
+          cellSize = 20.0)
+        .select("pid", "gid").as[(Long, Long)].collect().toSet
+      assert(pairs == expect && pairs.nonEmpty)
+
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+        s"nested loop survived:\n$plan")
+      assert(plan.contains("HashJoin"), s"no hash join in:\n$plan")
+    } finally {
+      spark.conf.set("spark.graft.sjoin.cellSize", "20.0")
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_.isInstanceOf[graft.plans.SpatialJoinRewrite])
+    }
+  }
+
   test("optimizer rewrites a plain st_geom_intersects join to the dual-grid hash join") {
     graft.plans.SpatialJoinRewrite.install(spark)
     try {
