@@ -111,6 +111,41 @@ final case class GeoFrame(df: DataFrame, geometryCol: String, kind: String) {
     }
   }
 
+  /** Reference-parity `.sindex` (geometry/base.py:563-572,
+    * geometry/sindex.py): a DRIVER-side packed Hilbert R-tree over the
+    * frame's per-row bounds, keyed by `keyCol` (long-castable, unique)
+    * since a distributed frame has no stable positional index. Probe
+    * with [[GeoIndex.intersects]] / [[GeoIndex.coversOverlaps]] — the
+    * same covered/overlapping split the reference's `cx` index path
+    * uses (base.py:691-729).
+    *
+    * SCALE CONTRACT: this COLLECTS (key, bbox) — 40 bytes/row, guarded
+    * by `spark.graft.broadcastJoin.maxRows` exactly like the broadcast
+    * joins it shares machinery with. It is the interactive/driver probe
+    * surface; inside queries the same index wins come for free from
+    * `cx` predicate pushdown, sidecar file pruning, and the grid /
+    * broadcast spatial joins. Null geometries are skipped (reference
+    * sjoin semantics). */
+  def sindex(keyCol: String): GeoIndex = {
+    val keyed = graft.tools.SpatialJoin.collectCapped(
+      df.where(geometry.isNotNull)
+        .select(df(keyCol).cast("long"), st_bounds(geometry)),
+      "GeoFrame.sindex input", "cx / sjoin (distributed)")
+    val n = keyed.length
+    val keys = new Array[Long](n)
+    val bounds = new Array[Double](n * 4)
+    var i = 0
+    while (i < n) {
+      val r = keyed(i)
+      keys(i) = r.getLong(0)
+      val b = r.getStruct(1)
+      bounds(i * 4) = b.getDouble(0); bounds(i * 4 + 1) = b.getDouble(1)
+      bounds(i * 4 + 2) = b.getDouble(2); bounds(i * 4 + 3) = b.getDouble(3)
+      i += 1
+    }
+    new GeoIndex(keys, graft.geom.HilbertRtree.build(bounds))
+  }
+
   /** Hilbert distance column over given (or computed) total bounds
     * (reference: geometry/base.py:603-615). */
   def hilbertDistance(p: Int = 15,
@@ -281,4 +316,29 @@ object GeoFrame {
     * ring/line share physical schemas, ring folds into line). */
   val Kinds: Set[String] =
     Set("point", "multipoint", "line", "multiline", "polygon", "multipolygon")
+}
+
+/** Driver-side spatial index returned by [[GeoFrame.sindex]]: a packed
+  * Hilbert R-tree over per-row bounds, answering bbox probes with ROW
+  * KEYS (the reference returns positions; a distributed frame keys by
+  * column instead). Bbox-level candidates only — refine with the exact
+  * kernels where the predicate demands it, as the reference's cx path
+  * does (base.py:713-722). */
+final class GeoIndex private[api] (keys: Array[Long],
+                                   tree: graft.geom.HilbertRtree) {
+  def size: Int = keys.length
+  def isEmpty: Boolean = keys.isEmpty
+  def totalBounds: (Double, Double, Double, Double) = tree.totalBounds
+
+  /** Keys of rows whose bounds intersect the query box. */
+  def intersects(x0: Double, y0: Double, x1: Double, y1: Double): Array[Long] =
+    tree.intersects(x0, y0, x1, y1).map(keys(_))
+
+  /** (fully-covered keys, overlapping-candidate keys) — the covered
+    * rows need no exact refinement, the reference's cx optimization. */
+  def coversOverlaps(x0: Double, y0: Double, x1: Double, y1: Double)
+      : (Array[Long], Array[Long]) = {
+    val (c, o) = tree.coversOverlaps(x0, y0, x1, y1)
+    (c.map(keys(_)), o.map(keys(_)))
+  }
 }

@@ -41,8 +41,8 @@ object SpatialJoin {
     * driver first. Cap is `spark.graft.broadcastJoin.maxRows`
     * (default 10M rows ≈ a few hundred MB of (key, coords) driver
     * state); the error names the fully-distributed twin to use instead. */
-  private def collectCapped(df: DataFrame, what: String,
-                            twin: String): Array[Row] = {
+  private[graft] def collectCapped(df: DataFrame, what: String,
+                                   twin: String): Array[Row] = {
     val cap = df.sparkSession.conf
       .get("spark.graft.broadcastJoin.maxRows", "10000000").toInt
     require(cap >= 1, "spark.graft.broadcastJoin.maxRows must be >= 1")

@@ -228,4 +228,34 @@ class GeoFrameSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
     assert(geomLeft == Set((1L, 100L), (2L, -1L)))
   }
+
+  test("sindex: driver R-tree probes match brute-force bbox filters") {
+    val rnd = new scala.util.Random(71)
+    val pts = (0 until 400).map(i =>
+        (i.toLong, rnd.nextDouble() * 100, rnd.nextDouble() * 100))
+      .toDF("id", "x", "y").withColumn("pt", st_point(col("x"), col("y")))
+      .select("id", "pt")
+      // a null geometry row must be skipped by the index build
+      .unionByName(Seq((999L, -1.0)).toDF("id", "z")
+        .select(col("id"), lit(null).cast(pts0Schema).as("pt")))
+    val gf = GeoFrame(pts, "pt", "point")
+    val idx = gf.sindex("id")
+    assert(idx.size == 400)
+    val got = idx.intersects(20, 30, 60, 70).toSet
+    val want = gf.cx(20, 30, 60, 70).df.select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == want && got.nonEmpty)
+    // points: every intersecting bbox is fully covered by the box
+    val (covers, overlaps) = idx.coversOverlaps(20, 30, 60, 70)
+    assert(covers.toSet == want && overlaps.isEmpty)
+    // degenerate probe off the data: empty, not an error
+    assert(idx.intersects(1000, 1000, 1001, 1001).isEmpty)
+  }
+
+  private def pts0Schema: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("x",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("y",
+        org.apache.spark.sql.types.DoubleType)))
 }

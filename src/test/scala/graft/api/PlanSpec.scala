@@ -526,4 +526,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
       s"non-hash join in:\n$plan")
   }
+
+  test("rfm_segments scans the fact table once: checkpointed aggregate feeds all passes") {
+    // the per-user aggregate is localCheckpoint-pinned, so the fused
+    // quantile pass AND the final bucketing read the materialized
+    // |users|-row frame — the deliverable's plan must contain NO
+    // parquet scan at all (it previously re-scanned events 7x: once
+    // per quantile-cut job plus the final aggregate)
+    val df = graft.SparkEntry.queries("rfm_segments")(
+      spark, "/root/testdata/sf0.001")
+    val plan = finalPlan(df)
+    assert(!plan.contains("Scan parquet") && !plan.contains("FileScan"),
+      s"events re-scanned in the final aggregate:\n$plan")
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan Existing"),
+      s"expected the checkpointed per-user frame as the only source:\n$plan")
+  }
 }
