@@ -947,6 +947,51 @@ object Queries {
         .select(col("s_name"), col("n_name"))
     }),
 
+    // TPC-H Q6 shape (forecast revenue change): pure filter+aggregate,
+    // every predicate pushed to the scan, revenue integer-staged as
+    // Σ cents·pct (exact cross-engine, no double summation order)
+    "q6_forecast_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          round(col("l_discount") * 100).cast("long").between(5, 7) &&
+          col("l_quantity") < 24)
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+            round(col("l_discount") * 100).cast("long")).as("revenue_i"),
+          count(lit(1)).as("n"))
+    }),
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting): the
+    // two-correlated-subqueries query — EXISTS another supplier's line
+    // in the same order (LEFT SEMI) and NOT EXISTS another supplier
+    // who was ALSO late (LEFT ANTI), both planned as hash joins on the
+    // order key with the supplier-inequality as a join residual.
+    // "Late" = shipped > 60 days after the order date (the reduced
+    // schema's stand-in for receiptdate > commitdate).
+    "q21_waiting_supplier" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"))
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val late = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val others = l.select(col("l_orderkey").as("__o2_key"),
+        col("l_suppkey").as("__o2_supp"))
+      val lateOthers = late.select(col("l_orderkey").as("__o3_key"),
+        col("l_suppkey").as("__o3_supp"))
+      late
+        .join(others, col("l_orderkey") === col("__o2_key") &&
+          col("l_suppkey") =!= col("__o2_supp"), "left_semi")
+        .join(lateOthers, col("l_orderkey") === col("__o3_key") &&
+          col("l_suppkey") =!= col("__o3_supp"), "left_anti")
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_name"), col("numwait"))
+    }),
+
     // TPC-H Q13 shape (customer order distribution): LEFT OUTER join so
     // zero-order customers keep a row, then two stacked aggregates —
     // count per customer, histogram over the counts. The second
@@ -2567,6 +2612,31 @@ object Queries {
                FROM customer LEFT JOIN orders ON c_custkey = o_custkey
                GROUP BY c_custkey)
          GROUP BY c_count""",
+    "q6_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                          CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+                  AS revenue_i,
+                count(*) AS n
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+           AND l_quantity < 24""",
+    "q21_waiting_supplier" ->
+      """WITH late AS (
+           SELECT l_orderkey, l_suppkey
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY)
+         SELECT s_name, count(*) AS numwait
+         FROM late l1
+         JOIN supplier ON l1.l_suppkey = s_suppkey
+         WHERE EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM late l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey)
+         GROUP BY s_name""",
     "q12_ship_priority" ->
       """SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) >= 60
                      THEN 'slow' ELSE 'fast' END AS ship_band,
