@@ -74,10 +74,18 @@ def main():
         SELECT event_id + k * {k_evt} AS event_id,
                user_id + k * {k_user} AS user_id,
                * EXCLUDE (event_id, user_id) FROM events {rep}""")
+    # replicas get TWO scattered k-dependent edits in the text HEAD
+    # (chars 2 and 14) plus a tail tag: any two replicas of a base doc
+    # are >= 2 edits apart in any prefix window, so q-gram/edit-distance
+    # blocking sees 10x INDEPENDENT corpora (linear growth) instead of
+    # quadratic cross-replica near-dup blowup a tail-only tag causes
     emit("documents", f"""
         SELECT doc_id + k * {k_doc} AS doc_id,
                CASE WHEN k = 0 THEN text
-                    ELSE text || ' rk' || CAST(k AS VARCHAR) END AS text,
+                    ELSE substr(text, 1, 1) || chr(CAST(97 + k AS INTEGER)) ||
+                         substr(text, 3, 11) || chr(CAST(110 + k AS INTEGER)) ||
+                         substr(text, 15) || ' rk' || CAST(k AS VARCHAR)
+               END AS text,
                lang, source,
                n_chars + CASE WHEN k = 0 THEN 0
                               ELSE 4 + CASE WHEN k >= 10 THEN 1 ELSE 0 END

@@ -491,15 +491,36 @@ object PipelineQueries {
         roundDigits = 12)
     }),
 
-    // rows-only: product-quantization ADC path (codes + LUT scoring +
-    // exact refine); recall gated in PipelineSpec like ivf/srp
+    // product-quantization ADC path (codes + LUT scoring + exact
+    // refine) under a CONTRACT hash gate: the codebook's FP Lloyd
+    // means aren't cross-engine replayable (unlike SRP/IVF above), so
+    // the gate checks the property instead — aggregate recall@5 vs the
+    // in-plan brute-force truth ≥ 80% — asserted TRUE by the oracle.
+    // Same pattern as the sketch contract gates; per-config recall is
+    // additionally spec-gated in PipelineSpec.
     "ann_pq_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.pqTopK(
-        emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
-        emb.where(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
-        "c_id", "c_vec", "q_id", "q_vec", k = 5, m = 8, ksub = 16)
+      val corpus = emb.select(col("vec_id").as("c_id"),
+        col("embedding").as("c_vec"))
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      // refineFactor 32 -> 160 exact-refined candidates of a 500-vector
+      // test corpus; these embeddings are near-random (max off-diagonal
+      // cosine 0.60), PQ's hardest case — measured recall 86%/96% at
+      // sf0.001/sf0.01, comfortably over the 80% contract
+      val pq = Similarity.pqTopK(corpus, queries,
+        "c_id", "c_vec", "q_id", "q_vec", k = 5, m = 8, ksub = 16,
+        refineFactor = 32)
+      val exact = Similarity.bruteForceTopK(corpus, queries,
+        "c_id", "c_vec", "q_id", "q_vec", k = 5, roundDigits = 12)
+      val hits = pq.select(col("q_id"), col("c_id"))
+        .join(exact.select(col("q_id"), col("c_id")),
+          Seq("q_id", "c_id"), "left_semi")
+      exact.agg(count(lit(1)).as("__n_exact"))
+        .crossJoin(hits.agg(count(lit(1)).as("__n_hit")))
+        .select(
+          (col("__n_exact") / 5).cast("long").as("n_queries"),
+          (col("__n_hit") * 10 >= col("__n_exact") * 8).as("recall_ok"))
     }),
 
     // IVF plumbing under the FULL oracle gate: nprobe = nlist degenerates
@@ -3693,6 +3714,11 @@ object PipelineQueries {
     // pipeline deterministic cross-engine
     "ann_srp_topk" -> srpTopkOracle,
     "ann_ivf_topk" -> ivfTopkOracle,
+    // PQ contract gate: recall@5 >= 80% vs the in-plan brute force
+    "ann_pq_topk" ->
+      """SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
+                TRUE AS recall_ok
+         FROM embeddings WHERE vec_id < 10""",
     "doc_fingerprint64" -> fingerprintOracle,
     "simhash_fingerprints" -> simhashOracle,
     // same fingerprint chain; self-jaccard is 1.0 exactly when the doc
