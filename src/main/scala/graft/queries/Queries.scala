@@ -1936,6 +1936,24 @@ object Queries {
         .select(col("id"), col("nn_id"), col("nn_dist2"))
     }),
 
+    // the DENSITY-ADAPTIVE kNN under the SAME oracle: phase 1 probes
+    // at the data-derived r0 (~4k expected neighbors), certified lefts
+    // (>= k candidates found — nothing unseen can be closer) skip the
+    // full-radius pass entirely; only sparse neighborhoods rerun at
+    // radius 150. At 10x density the fixed-radius candidate set grows
+    // 10x per left while this stays ~constant — the fixed-extent
+    // scale-up answer measured in BENCH_sf1.
+    "sjoin_knn_adaptive" -> ((s, dir) => {
+      val cust = custPoints(s, dir).select(col("c_custkey").as("id"), col("pt"))
+      val supp = t(s, dir, "supplier")
+        .withColumn("spt", st_point(((col("s_suppkey") * 7919) % 1000).cast("double"),
+          ((col("s_suppkey") * 104729) % 1000).cast("double")))
+        .select(col("s_suppkey").as("nn_id"), col("spt"))
+      SpatialJoin.nearestJoinAdaptive(cust, supp, "pt", "spt", radius = 150.0,
+          leftKey = "id", rightKey = "nn_id", k = 3, how = "inner")
+        .select(col("id"), col("nn_id"), col("nn_dist2"))
+    }),
+
     // Vocabulary stats via explode (Generate): exact distinct tokens.
     "vocab_stats" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -2160,6 +2178,26 @@ object Queries {
                      THEN bval ELSE fval END AS near_value
          FROM b JOIN f USING (event_id)""",
     "sjoin_knn" ->
+      """WITH a AS (SELECT c_custkey AS id,
+                           CAST((c_custkey*7919)%1000 AS DOUBLE) AS x,
+                           CAST((c_custkey*104729)%1000 AS DOUBLE) AS y
+                    FROM customer),
+              b AS (SELECT s_suppkey AS nn_id,
+                           CAST((s_suppkey*7919)%1000 AS DOUBLE) AS x,
+                           CAST((s_suppkey*104729)%1000 AS DOUBLE) AS y
+                    FROM supplier),
+              best AS (SELECT id, nn_id, d2,
+                              row_number() OVER (PARTITION BY id
+                                ORDER BY d2, nn_id) AS rn
+                       FROM (SELECT a.id, b.nn_id,
+                                    (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) AS d2
+                             FROM a, b
+                             WHERE (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y)
+                                     <= 22500.0))
+         SELECT id, nn_id, d2 AS nn_dist2 FROM best WHERE rn <= 3""",
+    // adaptive variant pinned to the IDENTICAL brute-force oracle —
+    // the two-phase certification must change nothing about the result
+    "sjoin_knn_adaptive" ->
       """WITH a AS (SELECT c_custkey AS id,
                            CAST((c_custkey*7919)%1000 AS DOUBLE) AS x,
                            CAST((c_custkey*104729)%1000 AS DOUBLE) AS y

@@ -325,6 +325,70 @@ object SpatialJoin {
   }
 
   /**
+   * Density-adaptive [[nearestJoin]] — the high-density scale path.
+   * A fixed-radius kNN materializes density·πR² candidates per left
+   * point; when 10x the data lands in the same extent that is 10x the
+   * candidates for the SAME answer (k rows). This variant probes with
+   * a small data-derived radius first and only falls back to `radius`
+   * for the points the probe could not certify:
+   *
+   *  1. r0 = 2·sqrt(k·area/(π·n)) from the right side's bbox and
+   *     count (two cheap aggregates, bounded driver state) — the
+   *     radius that contains ~4k right points at uniform density,
+   *     clamped to `radius`.
+   *  2. Phase 1: [[nearestJoin]] at r0. A left point that finds ≥ k
+   *     candidates within r0 is CERTIFIED: every unseen right point
+   *     lies farther than r0 ≥ its k-th candidate distance, so the
+   *     found top-k are the global top-k.
+   *  3. Phase 2: only the uncertified lefts (sparse neighborhoods)
+   *     rerun at the full `radius`, with `how` semantics preserved.
+   *
+   * At uniform density phase 2 is ~empty and per-left work drops from
+   * density·πR² to ~4k·9 — constant in the corpus size. Worst case
+   * (all mass outside r0) degrades to nearestJoin plus one cheap
+   * probe pass. Results are identical to [[nearestJoin]] by the
+   * certification argument (same tie-break, same how semantics).
+   */
+  def nearestJoinAdaptive(left: DataFrame, right: DataFrame,
+                          leftCol: String, rightCol: String,
+                          radius: Double, leftKey: String, rightKey: String,
+                          k: Int = 1, how: String = "inner",
+                          distCol: String = "nn_dist2"): DataFrame = {
+    require(radius > 0, "radius must be positive")
+    val stats = right.where(col(rightCol).isNotNull)
+      .agg(count(lit(1)),
+        min(st_x(col(rightCol))), max(st_x(col(rightCol))),
+        min(st_y(col(rightCol))), max(st_y(col(rightCol))))
+      .collect()(0)
+    val n = stats.getLong(0)
+    val r0 =
+      if (n == 0 || stats.isNullAt(1)) radius
+      else {
+        val area = (stats.getDouble(2) - stats.getDouble(1)) *
+          (stats.getDouble(4) - stats.getDouble(3))
+        // !(area > 0) also catches NaN extents (all-NaN coordinates)
+        if (!(area > 0)) radius
+        else math.min(radius, 2.0 * math.sqrt(k * area / (math.Pi * n)))
+      }
+    if (r0 >= radius)
+      nearestJoin(left, right, leftCol, rightCol, radius, leftKey, rightKey,
+        k, how, distCol)
+    else {
+      val phase1 = nearestJoin(left, right, leftCol, rightCol, r0,
+        leftKey, rightKey, k, "inner", distCol)
+      val resolvedKeys = phase1.groupBy(col(leftKey))
+        .agg(count(lit(1)).as("__nn_cnt"))
+        .where(col("__nn_cnt") === k)
+        .select(col(leftKey))
+      val resolved = phase1.join(resolvedKeys, Seq(leftKey), "left_semi")
+      val unresolved = left.join(resolvedKeys, Seq(leftKey), "left_anti")
+      val phase2 = nearestJoin(unresolved, right, leftCol, rightCol, radius,
+        leftKey, rightKey, k, how, distCol)
+      resolved.unionByName(phase2)
+    }
+  }
+
+  /**
    * Broadcast variant of [[nearestJoin]] for a dimension-table-sized
    * right side: collect (key, x, y) to the driver (24 bytes/point),
    * build a radius-sized grid hash index once, broadcast it, and probe

@@ -350,6 +350,37 @@ class SpatialJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("nearestJoinAdaptive == nearestJoin on mixed-density data (k=1/3, inner/left)") {
+    val rnd = new scala.util.Random(89)
+    // dense cluster in [0,20)^2 plus sparse far points: phase 1 must
+    // certify the cluster, phase 2 must still catch the sparse lefts
+    val ls = (0 until 200).map(i => (i.toLong, rnd.nextDouble() * 20, rnd.nextDouble() * 20)) ++
+      (200 until 230).map(i => (i.toLong, 60 + rnd.nextDouble() * 40, 60 + rnd.nextDouble() * 40))
+    val rs = (0 until 150).map(i => (i.toLong, rnd.nextDouble() * 20, rnd.nextDouble() * 20)) ++
+      (150 until 155).map(i => (i.toLong, 60 + rnd.nextDouble() * 40, 60 + rnd.nextDouble() * 40))
+    val left = ls.toDF("id", "x", "y").withColumn("pt", st_point(col("x"), col("y")))
+      .select("id", "pt")
+    val right = rs.toDF("nn_id", "sx", "sy")
+      .withColumn("spt", st_point(col("sx"), col("sy"))).select("nn_id", "spt")
+    for (k <- Seq(1, 3); how <- Seq("inner", "left")) {
+      def norm(df: org.apache.spark.sql.DataFrame) = df
+        .select("id", "nn_id", "nn_dist2").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toSet
+      val plain = norm(SpatialJoin.nearestJoin(left, right, "pt", "spt", 40.0,
+        "id", "nn_id", k, how))
+      val adaptive = norm(SpatialJoin.nearestJoinAdaptive(left, right, "pt",
+        "spt", 40.0, "id", "nn_id", k, how))
+      assert(adaptive == plain, s"k=$k how=$how")
+      assert(plain.nonEmpty)
+    }
+    // degenerate right sides fall back to the plain path, not an error
+    val empty = right.where(col("nn_id") < 0)
+    assert(SpatialJoin.nearestJoinAdaptive(left, empty, "pt", "spt", 40.0,
+      "id", "nn_id", 1, "inner").count() == 0)
+  }
+
   test("broadcastNearestJoin skips null/NaN points and null keys on both sides") {
     val left = Seq(
       (1L, Some((5.0, 5.0))),   // matches
