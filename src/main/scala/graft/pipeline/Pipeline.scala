@@ -1022,13 +1022,25 @@ object Dedup {
    * within semantic clusters — the SemDeDup curation recipe, where
    * "what stays" is one representative per tight group per cluster.
    */
+  /** nlist = 0 derives the cell count from the corpus: ceil(n /
+    * targetCellSize) cells keep the within-cell O(cell²) self-join
+    * bounded at ~targetCellSize² pairs per cell REGARDLESS of corpus
+    * size — the density knob a 10x scale-up would otherwise have to
+    * retune by hand (the semantic twin of SpatialJoin.autoCellSize).
+    * Costs one count() when auto. */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     nlist: Int = 16, threshold: Double = 0.99,
-                    refineIters: Int = 0): DataFrame = {
-    require(nlist >= 2 && threshold > 0 && threshold <= 1)
+                    refineIters: Int = 0,
+                    targetCellSize: Int = 256): DataFrame = {
+    require((nlist == 0 || nlist >= 2) && threshold > 0 && threshold <= 1)
+    require(targetCellSize >= 1, "targetCellSize must be >= 1")
     val clean = df.where(col(idCol).isNotNull && col(vecCol).isNotNull)
+    val effNlist =
+      if (nlist > 0) nlist
+      else math.max(2,
+        math.ceil(clean.count().toDouble / targetCellSize).toInt)
     val cents: Array[Seq[Double]] = {
-      val init = Similarity.sampleCentroids(clean, idCol, vecCol, nlist)
+      val init = Similarity.sampleCentroids(clean, idCol, vecCol, effNlist)
       if (refineIters > 0) Similarity.kmeansCentroids(clean, vecCol, init, refineIters)
       else init
     }

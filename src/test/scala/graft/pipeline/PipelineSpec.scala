@@ -642,6 +642,13 @@ class PipelineSpec extends AnyFunSuite {
       .select("vec_id").as[Long].collect().toSet
     assert(keptTight.contains(2000L))
     assert(!keptTight.exists(id => id >= 1000 && id < 2000)) // exact copies still die
+    // nlist = 0 AUTO: 51 vectors / targetCellSize 16 -> 4 cells; exact
+    // copies still collapse (same cell by construction at ANY nlist)
+    val keptAuto = Dedup.semanticDedup(df, "vec_id", "embedding",
+        nlist = 0, threshold = 0.9999999999, targetCellSize = 16)
+      .select("vec_id").as[Long].collect().toSet
+    assert(!keptAuto.exists(id => id >= 1000 && id < 2000))
+    assert((0 until 40).forall(i => keptAuto.contains(i.toLong)))
   }
 
   test("connectedComponentsStar: long chain + parity with label propagation") {

@@ -243,4 +243,29 @@ class SketchesSpec extends AnyFunSuite {
     // 1e6 + 999996 — the ppm floor loses 4 millionths of the exact 2.0
     assert(d1 == ((10L, 1999996L)))
   }
+
+  test("exactQuantilesMulti == per-column exactQuantiles (one fused pass)") {
+    val rnd = new scala.util.Random(101)
+    // different distributions per metric, negatives, ties, and nulls —
+    // the melted composite rank must reproduce each column's own cuts
+    val rows = (0 until 500).map { i =>
+      (i.toLong,
+        if (i % 41 == 0) None else Some(rnd.nextInt(100).toLong - 50),
+        Some(rnd.nextInt(10).toLong),
+        Some((rnd.nextGaussian() * 1000).toLong))
+    }
+    val df = rows.toDF("id", "a", "b", "c")
+    val probs = Seq(0.1, 0.25, 0.5, 0.9, 1.0)
+    val multi = Sketches.exactQuantilesMulti(df,
+        Seq("a" -> col("a"), "b" -> col("b"), "c" -> col("c")), probs)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    assert(multi.size == 15)
+    for (m <- Seq("a", "b", "c")) {
+      val single = Sketches.exactQuantiles(df, col(m).cast("long"), probs)
+        .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+      for (p <- probs)
+        assert(multi((m, p)) == single(p), s"metric=$m p=$p")
+    }
+  }
 }
