@@ -79,18 +79,21 @@ def main():
     # are >= 2 edits apart in any prefix window, so q-gram/edit-distance
     # blocking sees 10x INDEPENDENT corpora (linear growth) instead of
     # quadratic cross-replica near-dup blowup a tail-only tag causes
+    # n_chars tracks the ACTUAL length delta of the edit (head splices
+    # on short docs don't add exactly the tag length), so text-stat
+    # queries see consistent rows at sf1
     emit("documents", f"""
-        SELECT doc_id + k * {k_doc} AS doc_id,
-               CASE WHEN k = 0 THEN text
-                    ELSE substr(text, 1, 1) || chr(CAST(97 + k AS INTEGER)) ||
-                         substr(text, 3, 11) || chr(CAST(110 + k AS INTEGER)) ||
-                         substr(text, 15) || ' rk' || CAST(k AS VARCHAR)
-               END AS text,
-               lang, source,
-               n_chars + CASE WHEN k = 0 THEN 0
-                              ELSE 4 + CASE WHEN k >= 10 THEN 1 ELSE 0 END
-                         END AS n_chars
-        FROM documents {rep}""")
+        SELECT doc_id, new_text AS text, lang, source,
+               CAST(n_chars + length(new_text) - olen AS BIGINT) AS n_chars
+        FROM (
+          SELECT doc_id + k * {k_doc} AS doc_id,
+                 CASE WHEN k = 0 THEN text
+                      ELSE substr(text, 1, 1) || chr(CAST(97 + k AS INTEGER)) ||
+                           substr(text, 3, 11) || chr(CAST(110 + k AS INTEGER)) ||
+                           substr(text, 15) || ' rk' || CAST(k AS VARCHAR)
+                 END AS new_text,
+                 lang, source, n_chars, length(text) AS olen
+          FROM documents {rep})""")
     emit("embeddings", f"""
         SELECT vec_id + k * {k_vec} AS vec_id,
                CAST(list_transform(CAST(embedding AS DOUBLE[]),

@@ -127,8 +127,12 @@ final case class GeoFrame(df: DataFrame, geometryCol: String, kind: String) {
     * broadcast spatial joins. Null geometries are skipped (reference
     * sjoin semantics). */
   def sindex(keyCol: String): GeoIndex = {
+    // null keys are dropped WITH their rows (a row the index cannot
+    // name is a row it cannot return — same "null matches nothing"
+    // contract as the broadcast joins); duplicate keys fail fast
+    // instead of silently conflating distinct rows in probe results
     val keyed = graft.tools.SpatialJoin.collectCapped(
-      df.where(geometry.isNotNull)
+      df.where(geometry.isNotNull && df(keyCol).isNotNull)
         .select(df(keyCol).cast("long"), st_bounds(geometry)),
       "GeoFrame.sindex input", "cx / sjoin (distributed)")
     val n = keyed.length
@@ -137,12 +141,18 @@ final case class GeoFrame(df: DataFrame, geometryCol: String, kind: String) {
     var i = 0
     while (i < n) {
       val r = keyed(i)
+      require(!r.isNullAt(0),
+        s"GeoFrame.sindex: key column '$keyCol' must cast to BIGINT " +
+          "(a non-numeric key casts to null)")
       keys(i) = r.getLong(0)
       val b = r.getStruct(1)
       bounds(i * 4) = b.getDouble(0); bounds(i * 4 + 1) = b.getDouble(1)
       bounds(i * 4 + 2) = b.getDouble(2); bounds(i * 4 + 3) = b.getDouble(3)
       i += 1
     }
+    require(keys.distinct.length == n,
+      s"GeoFrame.sindex: key column '$keyCol' must be unique — " +
+        "duplicate keys would conflate distinct rows in probe results")
     new GeoIndex(keys, graft.geom.HilbertRtree.build(bounds))
   }
 

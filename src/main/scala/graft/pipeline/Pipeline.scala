@@ -1540,21 +1540,37 @@ object Similarity {
   /** Deterministic hash-ordered sample of `nlist` corpus vectors — the
     * only collected state (analogous to the sidecar tables). */
   private[pipeline] def sampleCentroids(corpus: DataFrame, corpusId: String,
-                              corpusVec: String, nlist: Int): Array[Seq[Double]] =
-    // mix64 (not Spark's Murmur3 hash()) so the hash ORDER — and hence
-    // the centroid choice — is replayable by an independent engine in
-    // exact mod-2⁶⁴ arithmetic (the ann_ivf_topk DuckDB oracle does)
+                              corpusVec: String, nlist: Int): Array[Seq[Double]] = {
+    // integral ids hash through mix64 (not Spark's Murmur3 hash()) so
+    // the hash ORDER — and hence the centroid choice — is replayable
+    // by an independent engine in exact mod-2⁶⁴ arithmetic (the
+    // ann_ivf_topk DuckDB oracle does); non-integral ids (uuids etc.)
+    // keep a deterministic sample via xxhash64 — casting those to long
+    // would throw under ANSI or null out and bias the sample
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val h = corpus.schema(corpusId).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        pmod(Tx.mix64_hash(col(corpusId).cast("long")), lit(1000003L))
+      case _ => pmod(xxhash64(col(corpusId)), lit(1000003L))
+    }
     corpus
-      .withColumn("__h", pmod(Tx.mix64_hash(col(corpusId).cast("long")),
-        lit(1000003L)))
+      .withColumn("__h", h)
       .orderBy(col("__h"), col(corpusId))
       .limit(nlist)
       .select(col(corpusVec).cast("array<double>"))
       .collect().map(_.getSeq[Double](0))
+  }
 
   private[pipeline] def cellScoreCols(cents: Array[Seq[Double]], vec: Column): Seq[Column] =
+    // scores round to 12 digits BEFORE the struct argmax: two engines'
+    // float association differs by ~1 ulp, so a raw comparison is
+    // unstable whenever two cells score within ~1e-15 — rounding turns
+    // every near-tie (within 1e-12) into an EXACT tie both engines
+    // break identically on the cell id (same contract as the rounded
+    // cosine refine in the top-k rankings)
     cents.toSeq.zipWithIndex.map { case (cv, i) =>
-      struct(cosine_similarity(vec, typedLit(cv)).as("s"), lit(i.toLong).as("cell"))
+      struct(round(cosine_similarity(vec, typedLit(cv)), 12).as("s"),
+        lit(i.toLong).as("cell"))
     }
 
   /**

@@ -38,11 +38,19 @@ case class SpatialJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def confCellSize: Option[Double] =
     spark.conf.getOption("spark.graft.sjoin.cellSize").map(_.toDouble)
+  // derived sizes cache per CANONICALIZED geometry-side plan: the rule
+  // re-runs on every action of the same DataFrame (and per join in a
+  // multi-join plan) — without the cache each would pay the
+  // autoCellSize stats job again at planning time
+  private val derivedSizes =
+    new java.util.concurrent.ConcurrentHashMap[LogicalPlan, java.lang.Double]
   /** Conf value if set, else the data-derived size from the geometry
     * (build) side — matching `SpatialJoin.sjoin`'s cellSize <= 0 path. */
   private def cellSizeFor(geomSide: LogicalPlan, geomAttr: AttributeReference): Double =
-    confCellSize.getOrElse(SpatialJoin.autoCellSize(
-      Bridge.ofRows(spark, geomSide), Bridge.column(geomAttr)))
+    confCellSize.getOrElse(
+      derivedSizes.computeIfAbsent(geomSide.canonicalized, _ =>
+        SpatialJoin.autoCellSize(
+          Bridge.ofRows(spark, geomSide), Bridge.column(geomAttr))))
   private def salt: Int =
     spark.conf.get("spark.graft.sjoin.salt", "1").toInt
 

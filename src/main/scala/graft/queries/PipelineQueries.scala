@@ -2171,8 +2171,8 @@ object PipelineQueries {
          SELECT vec_id, cell FROM (
            SELECT e.vec_id, ct.cell,
                   row_number() OVER (PARTITION BY e.vec_id
-                    ORDER BY list_cosine_similarity(
-                      CAST(e.embedding AS DOUBLE[]), ct.cv) DESC,
+                    ORDER BY round(list_cosine_similarity(
+                      CAST(e.embedding AS DOUBLE[]), ct.cv), 12) DESC,
                     ct.cell DESC) AS rn
            FROM embeddings e CROSS JOIN cents ct)
          WHERE rn = 1),
@@ -2180,8 +2180,8 @@ object PipelineQueries {
          SELECT vec_id AS q_id, cell FROM (
            SELECT e.vec_id, ct.cell,
                   row_number() OVER (PARTITION BY e.vec_id
-                    ORDER BY list_cosine_similarity(
-                      CAST(e.embedding AS DOUBLE[]), ct.cv) DESC,
+                    ORDER BY round(list_cosine_similarity(
+                      CAST(e.embedding AS DOUBLE[]), ct.cv), 12) DESC,
                     ct.cell DESC) AS rn
            FROM embeddings e CROSS JOIN cents ct
            WHERE e.vec_id < 10)

@@ -1570,8 +1570,11 @@ object Queries {
       // far-future SENTINEL rows (user -1, ts + ~100 years): on a
       // bounded replay they drive the final watermark past every real
       // user's idle deadline so all open slices flush — the streaming
-      // stand-in for "the stream ended"; sentinel output is filtered
-      val sentinel = src.where(col("event_id") % 1000 === 0)
+      // stand-in for "the stream ended"; sentinel output is filtered.
+      // % 100 (not a sparser modulus): any window of 100 consecutive
+      // event_ids contains a sentinel, so the flush cannot silently
+      // depend on the id range starting at 0
+      val sentinel = src.where(col("event_id") % 100 === 0)
         .withColumn("user_id", lit(-1L))
         .withColumn("ts", col("ts") + expr("INTERVAL 36500 DAYS"))
       val events = src.unionAll(sentinel)
@@ -2019,6 +2022,39 @@ object Queries {
   /** Shared by sjoin_nearest (grid + min-struct path) and
     * sjoin_nearest_bcast (broadcast grid-index path): both plans MUST
     * produce the identical nearest assignment. */
+  // shared by sjoin_knn AND sjoin_knn_adaptive (the adaptive two-phase
+  // path must reproduce the brute-force kNN bit-for-bit)
+  private lazy val sjoinKnnOracle: String =
+    """WITH a AS (SELECT c_custkey AS id,
+                         CAST((c_custkey*7919)%1000 AS DOUBLE) AS x,
+                         CAST((c_custkey*104729)%1000 AS DOUBLE) AS y
+                  FROM customer),
+            b AS (SELECT s_suppkey AS nn_id,
+                         CAST((s_suppkey*7919)%1000 AS DOUBLE) AS x,
+                         CAST((s_suppkey*104729)%1000 AS DOUBLE) AS y
+                  FROM supplier),
+            best AS (SELECT id, nn_id, d2,
+                            row_number() OVER (PARTITION BY id
+                              ORDER BY d2, nn_id) AS rn
+                     FROM (SELECT a.id, b.nn_id,
+                                  (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) AS d2
+                           FROM a, b
+                           WHERE (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y)
+                                   <= 22500.0))
+       SELECT id, nn_id, d2 AS nn_dist2 FROM best WHERE rn <= 3"""
+
+  // shared by scd2_user_states AND stream_scd2 (batch/streaming
+  // unification as a code fact, not a comment)
+  private lazy val scd2Oracle: String =
+    """SELECT user_id, event_type AS state, ts AS valid_from,
+              lead(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS valid_to
+       FROM (SELECT user_id, ts, event_id, event_type,
+                    lag(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS prev
+             FROM events)
+       WHERE prev IS NULL OR prev <> event_type"""
+
   private lazy val sjoinNearestOracleSql: String =
     """WITH a AS (SELECT c_custkey AS id,
                          CAST((c_custkey*7919)%1000 AS DOUBLE) AS x,
@@ -2177,44 +2213,11 @@ object Queries {
                                  <= epoch_ns(fts) - epoch_ns(lts))
                      THEN bval ELSE fval END AS near_value
          FROM b JOIN f USING (event_id)""",
-    "sjoin_knn" ->
-      """WITH a AS (SELECT c_custkey AS id,
-                           CAST((c_custkey*7919)%1000 AS DOUBLE) AS x,
-                           CAST((c_custkey*104729)%1000 AS DOUBLE) AS y
-                    FROM customer),
-              b AS (SELECT s_suppkey AS nn_id,
-                           CAST((s_suppkey*7919)%1000 AS DOUBLE) AS x,
-                           CAST((s_suppkey*104729)%1000 AS DOUBLE) AS y
-                    FROM supplier),
-              best AS (SELECT id, nn_id, d2,
-                              row_number() OVER (PARTITION BY id
-                                ORDER BY d2, nn_id) AS rn
-                       FROM (SELECT a.id, b.nn_id,
-                                    (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) AS d2
-                             FROM a, b
-                             WHERE (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y)
-                                     <= 22500.0))
-         SELECT id, nn_id, d2 AS nn_dist2 FROM best WHERE rn <= 3""",
-    // adaptive variant pinned to the IDENTICAL brute-force oracle —
-    // the two-phase certification must change nothing about the result
-    "sjoin_knn_adaptive" ->
-      """WITH a AS (SELECT c_custkey AS id,
-                           CAST((c_custkey*7919)%1000 AS DOUBLE) AS x,
-                           CAST((c_custkey*104729)%1000 AS DOUBLE) AS y
-                    FROM customer),
-              b AS (SELECT s_suppkey AS nn_id,
-                           CAST((s_suppkey*7919)%1000 AS DOUBLE) AS x,
-                           CAST((s_suppkey*104729)%1000 AS DOUBLE) AS y
-                    FROM supplier),
-              best AS (SELECT id, nn_id, d2,
-                              row_number() OVER (PARTITION BY id
-                                ORDER BY d2, nn_id) AS rn
-                       FROM (SELECT a.id, b.nn_id,
-                                    (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) AS d2
-                             FROM a, b
-                             WHERE (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y)
-                                     <= 22500.0))
-         SELECT id, nn_id, d2 AS nn_dist2 FROM best WHERE rn <= 3""",
+    "sjoin_knn" -> sjoinKnnOracle,
+    // adaptive variant pinned to the IDENTICAL brute-force oracle (one
+    // shared val, like bruteForceCosineOracle) — the two-phase
+    // certification must change nothing about the result
+    "sjoin_knn_adaptive" -> sjoinKnnOracle,
     "cx_bbox_points" ->
       """SELECT c_custkey,
          CAST((c_custkey*7919)%1000 AS DOUBLE) AS px,
@@ -2764,26 +2767,10 @@ object Queries {
                 count(*) AS n
          FROM pm CROSS JOIN qs
          GROUP BY 1, 2, 3""",
-    // streaming twin pinned to the SAME batch oracle — the
+    // streaming twin pinned to the SAME batch oracle val — the
     // unification property as a checked hash gate
-    "stream_scd2" ->
-      """SELECT user_id, event_type AS state, ts AS valid_from,
-                lead(ts) OVER (PARTITION BY user_id
-                               ORDER BY ts, event_id) AS valid_to
-         FROM (SELECT user_id, ts, event_id, event_type,
-                      lag(event_type) OVER (PARTITION BY user_id
-                                            ORDER BY ts, event_id) AS prev
-               FROM events)
-         WHERE prev IS NULL OR prev <> event_type""",
-    "scd2_user_states" ->
-      """SELECT user_id, event_type AS state, ts AS valid_from,
-                lead(ts) OVER (PARTITION BY user_id
-                               ORDER BY ts, event_id) AS valid_to
-         FROM (SELECT user_id, ts, event_id, event_type,
-                      lag(event_type) OVER (PARTITION BY user_id
-                                            ORDER BY ts, event_id) AS prev
-               FROM events)
-         WHERE prev IS NULL OR prev <> event_type""",
+    "stream_scd2" -> scd2Oracle,
+    "scd2_user_states" -> scd2Oracle,
     "event_transitions" ->
       """SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
          FROM (SELECT event_type,

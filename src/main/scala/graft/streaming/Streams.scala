@@ -18,6 +18,14 @@ case class ScdSlice(userId: Long, state: String,
                     validFrom: java.sql.Timestamp,
                     validTo: Option[java.sql.Timestamp])
 
+/** Per-user [[Streams.scd2Intervals]] state: the folded chain's open
+  * edge (None until the first below-watermark event folds), the
+  * lateness buffer of events the watermark hasn't passed, and the
+  * latest event time seen (ms) anchoring the idle-horizon timeout. */
+case class Scd2State(state: Option[String],
+                     validFrom: Option[java.sql.Timestamp],
+                     pending: Seq[StateEvent], lastMs: Long)
+
 /**
  * Structured Streaming operators (SURVEY §2.7: the reference has no
  * streaming surface — these are the engine's scale extensions; every
@@ -117,21 +125,24 @@ object Streams {
   /**
    * Streaming SCD Type-2 builder — the streaming twin of the batch
    * `scd2_user_states` query: per user, fold the (ts, event_id)-ordered
-   * event stream into state-change validity intervals. CLOSED slices
-   * `[change, next_change)` append as soon as the closing change
-   * arrives (possibly batches later — the open edge rides in state as
-   * (state, validFrom)); the OPEN slice (validTo = None) appends once
-   * the user has been idle for `horizon` of EVENT time (an event-time
-   * timeout at lastSeen + horizon — the churn finalization, same TTL
-   * anchoring as [[dedupFirstSeen]]). A post-horizon event starts a
-   * fresh interval chain: append mode cannot retract an emitted open
-   * slice, so the horizon IS the declaration that the state was final
-   * — size it to the re-engagement window, exactly like a session gap.
+   * event stream into state-change validity intervals. Events BUFFER
+   * in state until the watermark passes them (an event still above the
+   * watermark may yet be preceded by an out-of-order arrival in a
+   * later micro-batch — folding early would emit inverted slices, and
+   * append mode cannot retract); once below the watermark they fold in
+   * order, appending CLOSED slices `[change, next_change)`. The OPEN
+   * slice (validTo = None) appends once the user has been idle for
+   * `horizon` of EVENT time (an event-time timeout at lastSeen +
+   * horizon — the churn finalization, same TTL anchoring as
+   * [[dedupFirstSeen]]). A post-horizon event starts a fresh interval
+   * chain: the horizon IS the declaration that the state was final —
+   * size it to the re-engagement window, exactly like a session gap.
    *
-   * State per user is ONE (state, validFrom) pair — bounded by the
-   * user universe, not the event count; each micro-batch's events sort
-   * only within their group (skew bound = busiest user per batch, same
-   * contract as the batch window).
+   * State per user is the open edge (state, validFrom) plus the
+   * lateness buffer — events within the watermark delay, the same
+   * bounded buffer every event-time operator keeps; each micro-batch
+   * sorts only its own group (skew bound = busiest user per horizon,
+   * same contract as the batch window).
    *
    * Requires a watermark on `ts` (EventTimeTimeout). On a BOUNDED
    * replay, drive the final watermark past every deadline (e.g. with a
@@ -146,38 +157,70 @@ object Streams {
     require(iv.months == 0, s"horizon must not use months: $horizon")
     val horizonMs = iv.days * 86400000L + iv.microseconds / 1000L
 
-    def fn(user: Long, it: Iterator[StateEvent],
-           st: GroupState[(String, java.sql.Timestamp)]): Iterator[ScdSlice] = {
-      if (st.hasTimedOut) {
-        val (cur, from) = st.get
-        st.remove()
-        Iterator.single(ScdSlice(user, cur, from, None))
-      } else {
+    // events fold into the chain ONLY once the watermark passes them —
+    // an event still above the watermark may yet be preceded by an
+    // out-of-order arrival in a later micro-batch, and folding it
+    // early would emit inverted/overlapping validity slices (append
+    // mode cannot retract). Pending is bounded by the watermark delay
+    // per user in steady state — the same lateness buffer every
+    // event-time operator keeps.
+    def sortEvs(evs: Seq[StateEvent]): Seq[StateEvent] =
+      evs.sortWith((a, b) => {
         // Timestamp.compareTo keeps full micros precision (getTime
         // alone truncates to millis)
-        val evs = it.toArray.sortWith((a, b) => {
-          val c = a.ts.compareTo(b.ts)
-          c < 0 || (c == 0 && a.eventId < b.eventId)
-        })
-        val out = scala.collection.mutable.ArrayBuffer.empty[ScdSlice]
-        var cur: Option[(String, java.sql.Timestamp)] = st.getOption
-        evs.foreach { e =>
-          cur match {
-            case Some((state, from)) if state != e.eventType =>
-              out += ScdSlice(user, state, from, Some(e.ts))
-              cur = Some((e.eventType, e.ts))
-            case None => cur = Some((e.eventType, e.ts))
-            case _ => () // same state: the open slice continues
-          }
+        val c = a.ts.compareTo(b.ts)
+        c < 0 || (c == 0 && a.eventId < b.eventId)
+      })
+
+    def fold(user: Long, chain0: Option[(String, java.sql.Timestamp)],
+             evs: Seq[StateEvent], out: scala.collection.mutable.ArrayBuffer[ScdSlice])
+        : Option[(String, java.sql.Timestamp)] = {
+      var cur = chain0
+      evs.foreach { e =>
+        cur match {
+          case Some((state, from)) if state != e.eventType =>
+            out += ScdSlice(user, state, from, Some(e.ts))
+            cur = Some((e.eventType, e.ts))
+          case None => cur = Some((e.eventType, e.ts))
+          case _ => () // same state: the open slice continues
         }
-        cur.foreach(st.update)
+      }
+      cur
+    }
+
+    def fn(user: Long, it: Iterator[StateEvent],
+           st: GroupState[Scd2State]): Iterator[ScdSlice] = {
+      if (st.hasTimedOut) {
+        // deadline >= lastTs + horizon and wm >= deadline, so every
+        // pending event is below the watermark: fold the remainder,
+        // then finalize the open slice
+        val s = st.get
+        st.remove()
+        val out = scala.collection.mutable.ArrayBuffer.empty[ScdSlice]
+        val chain0 = s.state.map(st0 => (st0, s.validFrom.get))
+        val chain = fold(user, chain0, sortEvs(s.pending), out)
+        chain.foreach { case (state, from) =>
+          out += ScdSlice(user, state, from, None)
+        }
+        out.iterator
+      } else {
+        val wm = st.getCurrentWatermarkMs
+        val s0 = st.getOption.getOrElse(Scd2State(None, None, Seq.empty, 0L))
+        val all = sortEvs(s0.pending ++ it)
+        // fold only events STRICTLY below the watermark millisecond
+        // (getTime truncates micros — the conservative side holds an
+        // event whose ms equals the watermark's)
+        val (ready, hold) = all.partition(_.ts.getTime + 1 <= wm)
+        val out = scala.collection.mutable.ArrayBuffer.empty[ScdSlice]
+        val chain0 = s0.state.map(st0 => (st0, s0.validFrom.get))
+        val chain = fold(user, chain0, ready, out)
+        val lastMs = math.max(s0.lastMs,
+          all.lastOption.map(_.ts.getTime).getOrElse(0L))
+        st.update(Scd2State(chain.map(_._1), chain.map(_._2), hold, lastMs))
         // deadline anchors on the LAST event seen; max(_, wm+1) both
         // satisfies the must-be-after-watermark contract and re-arms
         // the (per-invocation-cleared) timer on every data delivery
-        val lastMs = evs.lastOption.map(_.ts.getTime)
-          .getOrElse(st.get._2.getTime)
-        st.setTimeoutTimestamp(math.max(lastMs + horizonMs,
-          st.getCurrentWatermarkMs + 1))
+        st.setTimeoutTimestamp(math.max(lastMs + horizonMs, wm + 1))
         out.iterator
       }
     }

@@ -224,15 +224,14 @@ class StreamingSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName("scd2_out")
       .outputMode("append").start()
     try {
-      // batch 1: user 1 logs in then browses (one closed slice emitted:
-      // login [t0, t2)); user 2 logs in (state held open, nothing out)
+      // batch 1: user 1 logs in then browses, user 2 logs in — all
+      // events buffer (the watermark hasn't passed them yet)
       input.addData(StateEvent(1, ts(0), 1, "login"),
         StateEvent(1, ts(2), 2, "browse"), StateEvent(2, ts(1), 3, "login"))
       q.processAllAvailable()
-      // batch 2: user 1's purchase closes the browse slice OPENED IN A
-      // PRIOR BATCH — the open edge rode in state across batches; the
-      // 30-minute idle horizon kept the watermark advance (to t2) from
-      // prematurely finalizing it in between
+      // batch 2: user 1's purchase joins the buffer; earlier events
+      // now below the watermark fold, closing slices ACROSS batches;
+      // the 30-minute idle horizon keeps open edges from finalizing
       input.addData(StateEvent(1, ts(5), 4, "purchase"))
       q.processAllAvailable()
       // batch 3: traffic at t60 pushes the watermark past both idle
@@ -256,6 +255,41 @@ class StreamingSpec extends AnyFunSuite {
       // user 9 has emitted nothing (login->browse closed slice aside)
       assert(!got.exists(s => s._1 == 1L && s._2 == "browse" && s._3 == ts(5)))
       assert(!got.exists(s => s._1 == 9L && s._4.isEmpty))
+    } finally q.stop()
+  }
+
+  test("scd2Intervals folds out-of-order cross-batch arrivals in event-time order") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[StateEvent]
+    val q = Streams.scd2Intervals(
+        input.toDS().withWatermark("ts", "5 minutes"),
+        horizon = "30 minutes")
+      .writeStream.format("memory").queryName("scd2_ooo_out")
+      .outputMode("append").start()
+    try {
+      // browse arrives FIRST...
+      input.addData(StateEvent(1, ts(10), 2, "browse"))
+      q.processAllAvailable()
+      // ...then the login that PRECEDES it in event time lands a batch
+      // later (still above the watermark t10-5m = t5, so not late).
+      // Arrival-order folding would emit an inverted browse slice
+      // [t10, t7); the buffer must reorder before folding.
+      input.addData(StateEvent(1, ts(7), 1, "login"))
+      q.processAllAvailable()
+      // push the watermark past user 1's idle deadline (t10 + 30m)
+      input.addData(StateEvent(9, ts(60), 5, "login"))
+      q.processAllAvailable()
+      input.addData(StateEvent(9, ts(90), 6, "login"))
+      q.processAllAvailable()
+      val got = spark.table("scd2_ooo_out")
+        .select("userId", "state", "validFrom", "validTo")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+          Option(r.getTimestamp(3))))
+        .filter(_._1 == 1L).toSet
+      assert(got == Set(
+        (1L, "login", ts(7), Some(ts(10))),
+        (1L, "browse", ts(10), None)), s"$got")
     } finally q.stop()
   }
 
