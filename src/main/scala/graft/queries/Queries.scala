@@ -1582,7 +1582,12 @@ object Queries {
           col("event_id").as("eventId"), col("event_type").as("eventType"))
         .withWatermark("ts", "1 minute")
         .as[graft.streaming.StateEvent]
-      val slices = graft.streaming.Streams.scd2Intervals(events)
+      // horizon spans the whole table's event time: no user may churn
+      // into separate chains even if the source delivers multiple
+      // micro-batches — the batch oracle models ONE chain per user;
+      // the +100y sentinel still clears every lastTs + horizon deadline
+      val slices = graft.streaming.Streams.scd2Intervals(events,
+        horizon = "3650 days")
       val qName = "graft_stream_scd2"
       s.streams.active.filter(q => q.name == qName).foreach(_.stop())
       val q = slices.toDF().writeStream.format("memory").queryName(qName)

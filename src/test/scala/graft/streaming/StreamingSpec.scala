@@ -293,6 +293,71 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("scd2Intervals == batch fold under randomized batch splits and bounded disorder") {
+    implicit val sc = spark.sqlContext
+    val rnd = new scala.util.Random(131)
+    // 15 users x 20 events each, minutes 0..199; delivery order = sorted
+    // by ts then locally shuffled within a 4-minute window (< the
+    // 5-minute watermark delay, so nothing ever arrives late), split
+    // into random micro-batches — the final table must equal the plain
+    // in-memory SCD2 fold regardless of the split or the disorder
+    val types = Array("login", "browse", "cart", "purchase")
+    val events = (for {
+      u <- 1 to 15
+      i <- 0 until 20
+    } yield StateEvent(u.toLong, ts(rnd.nextInt(200)),
+      (u * 1000 + i).toLong, types(rnd.nextInt(types.length)))).toVector
+    val delivery = events.sortBy(e => (e.ts.getTime, e.eventId))
+      .grouped(4).flatMap(w => rnd.shuffle(w)).toVector
+    val sentinel = StateEvent(-1L, ts(10000), 0L, "x")
+
+    val input = MemoryStream[StateEvent]
+    // horizon must exceed any intra-user event-time gap (events span
+    // 200 minutes): a smaller horizon legitimately CHURNS idle users
+    // mid-stream into separate chains, which the single-fold reference
+    // below does not model
+    val q = Streams.scd2Intervals(
+        input.toDS().withWatermark("ts", "5 minutes"),
+        horizon = "300 minutes")
+      .writeStream.format("memory").queryName("scd2_rand_out")
+      .outputMode("append").start()
+    try {
+      var rest = delivery
+      while (rest.nonEmpty) {
+        val n = 1 + rnd.nextInt(40)
+        input.addData(rest.take(n): _*)
+        q.processAllAvailable()
+        rest = rest.drop(n)
+      }
+      input.addData(sentinel)
+      q.processAllAvailable()
+      // one more watermark-advancing batch lets the idle timeouts fire
+      input.addData(StateEvent(-1L, ts(10001), 1L, "x"))
+      q.processAllAvailable()
+
+      val got = spark.table("scd2_rand_out")
+        .select("userId", "state", "validFrom", "validTo")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+          Option(r.getTimestamp(3))))
+        .filter(_._1 >= 0).toSet
+
+      // reference: the batch fold per user over the (ts, eventId) order
+      val want = events.groupBy(_.userId).flatMap { case (u, evs) =>
+        val sorted = evs.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.eventId))
+        val changes = sorted.foldLeft(Vector.empty[StateEvent]) { (acc, e) =>
+          if (acc.isEmpty || acc.last.eventType != e.eventType) acc :+ e else acc
+        }
+        changes.zipWithIndex.map { case (c, i) =>
+          (u, c.eventType, c.ts,
+            if (i + 1 < changes.length) Some(changes(i + 1).ts) else None)
+        }
+      }.toSet
+      assert(got == want,
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    } finally q.stop()
+  }
+
   test("dedupFirstSeen with state TTL re-admits a fingerprint after expiry") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[DocEvent]
