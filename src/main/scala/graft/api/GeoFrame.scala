@@ -308,15 +308,20 @@ final case class GeoFrame(df: DataFrame, geometryCol: String, kind: String) {
   /** Nearest-neighbor join (the geopandas sjoin_nearest extension —
     * point frames only): each left point gets its `k` nearest right
     * rows within `maxDistance`; how="left" keeps isolated left rows.
-    * Delegates to [[graft.tools.SpatialJoin.nearestJoin]] (grid
-    * candidates; k=1 = partial-aggregable min(struct)). */
+    * Delegates to [[graft.tools.SpatialJoin.nearestJoinAdaptive]] —
+    * the density-adaptive two-phase plan, result-identical to the
+    * fixed-radius [[graft.tools.SpatialJoin.nearestJoin]] (same
+    * certification/tie-break contract, shared oracle) but O(k) rather
+    * than O(density·πR²) candidates per left point, so a 10x-denser
+    * extent costs ~1x instead of ~10x. Call `SpatialJoin.nearestJoin`
+    * directly for the explicit fixed-radius baseline. */
   def sjoinNearest(other: GeoFrame, maxDistance: Double,
                    leftKey: String, rightKey: String,
                    k: Int = 1, how: String = "inner",
                    distCol: String = "nn_dist2"): DataFrame = {
     require(kind == "point" && other.kind == "point",
       s"sjoinNearest requires point frames, got $kind x ${other.kind}")
-    SpatialJoin.nearestJoin(df, other.df, geometryCol, other.geometryCol,
+    SpatialJoin.nearestJoinAdaptive(df, other.df, geometryCol, other.geometryCol,
       maxDistance, leftKey, rightKey, k, how, distCol)
   }
 }

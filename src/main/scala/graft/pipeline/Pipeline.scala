@@ -1035,17 +1035,24 @@ object Dedup {
     require((nlist == 0 || nlist >= 2) && threshold > 0 && threshold <= 1)
     require(targetCellSize >= 1, "targetCellSize must be >= 1")
     val clean = df.where(col(idCol).isNotNull && col(vecCol).isNotNull)
+    // auto nlist is capped: beyond the cap the centroid literal in the
+    // plan (and the driver-collected sample) stops being "bounded small
+    // state". At the cap, cells grow linearly with corpus instead —
+    // the documented O(cell²) budget degrades gracefully rather than
+    // the plan exploding. 4096 centroids × 256-target ≈ 1M rows before
+    // any degradation; past ArgmaxUnrollLimit the assignment switches
+    // to the array-fold argmax so plan size stays O(1) in nlist.
     val effNlist =
       if (nlist > 0) nlist
-      else math.max(2,
-        math.ceil(clean.count().toDouble / targetCellSize).toInt)
+      else math.min(4096, math.max(2,
+        math.ceil(clean.count().toDouble / targetCellSize).toInt))
     val cents: Array[Seq[Double]] = {
       val init = Similarity.sampleCentroids(clean, idCol, vecCol, effNlist)
       if (refineIters > 0) Similarity.kmeansCentroids(clean, vecCol, init, refineIters)
       else init
     }
     val assigned = clean.select(col(idCol), col(vecCol)).withColumn("__cell",
-        greatest(Similarity.cellScoreCols(cents, col(vecCol)): _*).getField("cell"))
+        Similarity.cellAssign(cents, col(vecCol)))
       .repartition(col("__cell")) // ONE exchange feeds both self-join sides
     val l = assigned.select(col("__cell"), col(idCol).as("__id_a"),
       col(vecCol).as("__v_a"))
@@ -1561,6 +1568,40 @@ object Similarity {
       .collect().map(_.getSeq[Double](0))
   }
 
+  /** Nearest-centroid cell id via a single array fold — the O(1)-column
+    * twin of the [[cellScoreCols]] + greatest() path for LARGE centroid
+    * counts, where one greatest() over thousands of struct columns
+    * blows up codegen/analysis long before the data does. Same
+    * contract: scores round to 12 digits before comparison, exact ties
+    * break toward the LARGER cell id (matching struct-greatest's
+    * lexicographic tie-break), so both paths assign identical cells. */
+  private[pipeline] def cellArgmaxFold(cents: Array[Seq[Double]], vec: Column): Column =
+    aggregate(
+      typedLit(cents.map(_.toSeq).toSeq),
+      struct(lit(0L).as("i"), lit(-1L).as("cell"),
+        lit(null).cast("double").as("s")),
+      (acc, cv) => {
+        val s = round(cosine_similarity(vec, cv), 12)
+        val better = acc("s").isNull || s >= acc("s")
+        struct(
+          (acc("i") + 1L).as("i"),
+          when(better, acc("i")).otherwise(acc("cell")).as("cell"),
+          when(better, s).otherwise(acc("s")).as("s"))
+      },
+      acc => acc("cell"))
+
+  /** Column-count guard: up to this many centroids the unrolled
+    * greatest(struct…) argmax is used (widest codegen span); beyond it
+    * the [[cellArgmaxFold]] array fold keeps plan size O(1) in nlist. */
+  private[pipeline] val ArgmaxUnrollLimit = 256
+
+  /** Cell assignment choosing the unrolled or folded argmax by centroid
+    * count — both produce identical cells (see [[cellArgmaxFold]]). */
+  private[pipeline] def cellAssign(cents: Array[Seq[Double]], vec: Column): Column =
+    if (cents.length <= ArgmaxUnrollLimit)
+      greatest(cellScoreCols(cents, vec): _*).getField("cell")
+    else cellArgmaxFold(cents, vec)
+
   private[pipeline] def cellScoreCols(cents: Array[Seq[Double]], vec: Column): Seq[Column] =
     // scores round to 12 digits BEFORE the struct argmax: two engines'
     // float association differs by ~1 ulp, so a raw comparison is
@@ -1586,7 +1627,7 @@ object Similarity {
     var cents = init
     for (_ <- 0 until iters) {
       val assigned = corpus.withColumn("__cell",
-        greatest(cellScoreCols(cents, col(corpusVec)): _*).getField("cell"))
+        cellAssign(cents, col(corpusVec)))
       val stats = assigned.groupBy(col("__cell"))
         .agg(vector_sum(col(corpusVec).cast("array<double>")).as("__sum"),
           count(col(corpusVec)).as("__n")) // non-null vectors only

@@ -144,6 +144,14 @@ object Sketches {
     val spans = ranked.groupBy(col("__m"))
       .agg(count(lit(1)).as("n"), min(col("__rank")).as("r0"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // an all-null metric melts away before ranking and would otherwise
+    // vanish from the output silently — map-lookup callers (e.g.
+    // rfm_segments' cut) then die with a bare NoSuchElementException.
+    // Fail fast NAMING the offending column instead.
+    val missing = metrics.map(_._1).toSet -- spans.map(_._1).toSet
+    require(missing.isEmpty,
+      s"exactQuantilesMulti: metric(s) ${missing.mkString(", ")} have no " +
+        "non-null values — quantiles are undefined for an all-null column")
     // same relative nudge as exactQuantiles (see the comment there)
     val targets = spans.flatMap { case (m, n, r0) =>
       probs.map(p => (m, p,

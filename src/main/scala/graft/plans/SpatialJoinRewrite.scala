@@ -38,19 +38,38 @@ case class SpatialJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def confCellSize: Option[Double] =
     spark.conf.getOption("spark.graft.sjoin.cellSize").map(_.toDouble)
-  // derived sizes cache per CANONICALIZED geometry-side plan: the rule
-  // re-runs on every action of the same DataFrame (and per join in a
-  // multi-join plan) — without the cache each would pay the
-  // autoCellSize stats job again at planning time
+  // derived sizes cache keyed by a COMPACT fingerprint of the
+  // canonicalized geometry-side plan (semanticHash + schema), not the
+  // plan object itself — plan trees retain relations/file listings and
+  // would leak driver memory across a long interactive session. The
+  // rule re-runs on every action of the same DataFrame (and per join
+  // in a multi-join plan) — without the cache each would pay the
+  // autoCellSize stats job again at planning time.
   private val derivedSizes =
-    new java.util.concurrent.ConcurrentHashMap[LogicalPlan, java.lang.Double]
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), java.lang.Double]
+  private val MaxCachedSizes = 64
   /** Conf value if set, else the data-derived size from the geometry
-    * (build) side — matching `SpatialJoin.sjoin`'s cellSize <= 0 path. */
+    * (build) side — matching `SpatialJoin.sjoin`'s cellSize <= 0 path.
+    * NOT computeIfAbsent: the stats job runs a Spark action that
+    * re-enters this rule, and a nested computeIfAbsent on the same
+    * ConcurrentHashMap from inside a mapping function is unspecified
+    * (can throw "recursive update" or livelock). Plain get → compute
+    * outside the map → putIfAbsent is recursion-safe; the worst case
+    * is a rare duplicate stats job. */
   private def cellSizeFor(geomSide: LogicalPlan, geomAttr: AttributeReference): Double =
-    confCellSize.getOrElse(
-      derivedSizes.computeIfAbsent(geomSide.canonicalized, _ =>
-        SpatialJoin.autoCellSize(
-          Bridge.ofRows(spark, geomSide), Bridge.column(geomAttr))))
+    confCellSize.getOrElse {
+      val canon = geomSide.canonicalized
+      val key = (canon.semanticHash(), canon.schema.catalogString)
+      derivedSizes.get(key) match {
+        case v: java.lang.Double => v.doubleValue()
+        case null =>
+          val v = SpatialJoin.autoCellSize(
+            Bridge.ofRows(spark, geomSide), Bridge.column(geomAttr))
+          if (derivedSizes.size >= MaxCachedSizes) derivedSizes.clear()
+          derivedSizes.putIfAbsent(key, v)
+          v
+      }
+    }
   private def salt: Int =
     spark.conf.get("spark.graft.sjoin.salt", "1").toInt
 

@@ -191,16 +191,32 @@ object Streams {
     def fn(user: Long, it: Iterator[StateEvent],
            st: GroupState[Scd2State]): Iterator[ScdSlice] = {
       if (st.hasTimedOut) {
-        // deadline >= lastTs + horizon and wm >= deadline, so every
-        // pending event is below the watermark: fold the remainder,
-        // then finalize the open slice
+        // Finalize ONLY when the watermark is STRICTLY past both every
+        // pending event and the horizon deadline. The watermark late
+        // filter drops ts < wm but an ON-TIME event can still carry
+        // ts == wm — with horizon = 0 the deadline millisecond itself
+        // can receive arrivals that belong to this chain, and folding/
+        // removing now would start a second chain and emit duplicate
+        // open slices. Fold whatever is strictly below the watermark,
+        // and if anything is held (or the horizon isn't strictly
+        // passed) re-arm instead of finalizing; any future on-time
+        // event then has ts >= wm > lastMs + horizon, i.e. is
+        // post-horizon and starts a fresh chain BY DESIGN.
         val s = st.get
-        st.remove()
+        val wm = st.getCurrentWatermarkMs
+        val all = sortEvs(s.pending)
+        val (ready, hold) = all.partition(_.ts.getTime + 1 <= wm)
         val out = scala.collection.mutable.ArrayBuffer.empty[ScdSlice]
         val chain0 = s.state.map(st0 => (st0, s.validFrom.get))
-        val chain = fold(user, chain0, sortEvs(s.pending), out)
-        chain.foreach { case (state, from) =>
-          out += ScdSlice(user, state, from, None)
+        val chain = fold(user, chain0, ready, out)
+        if (hold.isEmpty && s.lastMs + horizonMs < wm) {
+          st.remove()
+          chain.foreach { case (state, from) =>
+            out += ScdSlice(user, state, from, None)
+          }
+        } else {
+          st.update(Scd2State(chain.map(_._1), chain.map(_._2), hold, s.lastMs))
+          st.setTimeoutTimestamp(math.max(s.lastMs + horizonMs, wm) + 1)
         }
         out.iterator
       } else {

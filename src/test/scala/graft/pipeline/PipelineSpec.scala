@@ -651,6 +651,32 @@ class PipelineSpec extends AnyFunSuite {
     assert((0 until 40).forall(i => keptAuto.contains(i.toLong)))
   }
 
+  test("cellArgmaxFold == unrolled greatest argmax (ties, negatives, many cells)") {
+    // the array-fold path (used past ArgmaxUnrollLimit centroids) must
+    // assign the IDENTICAL cell as the struct-greatest unroll — incl.
+    // exact score ties, which both must break toward the larger cell id
+    val rnd = new scala.util.Random(77)
+    val dim = 8
+    val cents: Array[Seq[Double]] =
+      Array.tabulate(23)(i =>
+        if (i == 7) Seq.tabulate(dim)(j => (j + 1).toDouble) // duplicate of 3
+        else if (i == 3) Seq.tabulate(dim)(j => (j + 1).toDouble)
+        else Seq.fill(dim)(rnd.nextGaussian()))
+    val vecs = (0 until 200).map(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextGaussian() * (if (i % 5 == 0) -1 else 1))))
+    val df = vecs.toDF("id", "v")
+    val both = df.select(col("id"),
+        org.apache.spark.sql.functions.greatest(
+          Similarity.cellScoreCols(cents, col("v")): _*).getField("cell").as("unrolled"),
+        Similarity.cellArgmaxFold(cents, col("v")).as("folded"))
+      .collect()
+    both.foreach(r => assert(r.getLong(1) == r.getLong(2), s"id=${r.getLong(0)}"))
+    // the duplicate-centroid exact tie must land on the LARGER cell (7)
+    val tieVec = Seq((0L, Seq.tabulate(dim)(j => (j + 1).toDouble * 2))).toDF("id", "v")
+    val tie = tieVec.select(Similarity.cellArgmaxFold(cents, col("v"))).head.getLong(0)
+    assert(tie == 7L)
+  }
+
   test("connectedComponentsStar: long chain + parity with label propagation") {
     // path graph 0-1-…-300 (diameter 300): min-label propagation's
     // O(diameter) rounds cannot finish inside its default maxIters —

@@ -268,4 +268,18 @@ class SketchesSpec extends AnyFunSuite {
         assert(multi((m, p)) == single(p), s"metric=$m p=$p")
     }
   }
+
+  test("exactQuantilesMulti fails fast NAMING an all-null metric") {
+    // an all-null column melts away before ranking; without the guard
+    // it would silently vanish and map-lookup callers would die with a
+    // bare NoSuchElementException far from the cause
+    val df = Seq((1L, Some(5L), Option.empty[Long]),
+                 (2L, Some(7L), Option.empty[Long]))
+      .toDF("id", "ok", "allnull")
+    val e = intercept[IllegalArgumentException] {
+      Sketches.exactQuantilesMulti(df,
+        Seq("ok" -> col("ok"), "allnull" -> col("allnull")), Seq(0.5))
+    }
+    assert(e.getMessage.contains("allnull"))
+  }
 }

@@ -381,6 +381,37 @@ class SpatialJoinSpec extends AnyFunSuite {
       "id", "nn_id", 1, "inner").count() == 0)
   }
 
+  test("GeoFrame.sjoinNearest routes through the adaptive two-phase plan") {
+    val rnd = new scala.util.Random(90)
+    // dense extent: r0 = 2*sqrt(k*area/(pi*n)) << radius, so the
+    // adaptive path must SPLIT (resolved union phase2) rather than
+    // degrade to the single fixed-radius pass
+    val ls = (0 until 300).map(i => (i.toLong, rnd.nextDouble() * 30, rnd.nextDouble() * 30))
+    val rs = (0 until 400).map(i => (i.toLong, rnd.nextDouble() * 30, rnd.nextDouble() * 30))
+    val left = ls.toDF("id", "x", "y").withColumn("pt", st_point(col("x"), col("y")))
+      .select("id", "pt")
+    val right = rs.toDF("nn_id", "sx", "sy")
+      .withColumn("spt", st_point(col("sx"), col("sy"))).select("nn_id", "spt")
+    val lf = graft.api.GeoFrame(left, "pt", "point")
+    val rf = graft.api.GeoFrame(right, "spt", "point")
+    val out = lf.sjoinNearest(rf, maxDistance = 40.0,
+      leftKey = "id", rightKey = "nn_id", k = 2, how = "left")
+    // the two-phase plan is a Union(resolved, phase2) — the fixed-radius
+    // baseline contains no Union anywhere
+    val hasUnion = out.queryExecution.analyzed.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }.nonEmpty
+    assert(hasUnion, "frame-level kNN did not take the adaptive two-phase plan")
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "nn_id", "nn_dist2").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toSet
+    val baseline = norm(SpatialJoin.nearestJoin(left, right, "pt", "spt", 40.0,
+      "id", "nn_id", 2, "left"))
+    assert(norm(out) == baseline)
+  }
+
   test("broadcastNearestJoin skips null/NaN points and null keys on both sides") {
     val left = Seq(
       (1L, Some((5.0, 5.0))),   // matches
