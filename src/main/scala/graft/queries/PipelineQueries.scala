@@ -1282,36 +1282,71 @@ object PipelineQueries {
     }),
 
     // -- multimodal stubs ----------------------------------------------------
-    // rows-only: binary payload decode/feature plumbing (codec stubbed)
+    // INVARIANT-GATED stub plumbing (the sketch-gating trick): the
+    // codec output itself is a documented deterministic fake (non-JDK
+    // formats), so a DuckDB *decode* oracle is impossible — but the
+    // plumbing contracts are oracled exactly: the payload byte length
+    // passes through the decode path untouched (hash-compared per row
+    // against octet_length in DuckDB) and every stub output lands in
+    // its documented range/set, asserted TRUE per row.
     "multimodal_features" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("content"))
       val meta = Multimodal.decodeStub(col("content"))
-      docs.select(col("doc_id"), meta.getField("width").as("width"),
-          meta.getField("height").as("height"), meta.getField("format").as("format"),
-          element_at(Multimodal.extractFeaturesStub(col("content"), 8), 1).as("f0"))
+      val f0 = element_at(Multimodal.extractFeaturesStub(col("content"), 8), 1)
+      docs.select(col("doc_id"),
+        length(col("content")).cast("long").as("byte_len"),
+        (meta.getField("width") >= 32 && meta.getField("width") <= 1951)
+          .as("width_ok"),
+        (meta.getField("height") >= 32 && meta.getField("height") <= 1111)
+          .as("height_ok"),
+        meta.getField("format").isin("jpeg", "png", "webp").as("format_ok"),
+        (f0 >= 0f && f0 < 1f).as("f0_ok"))
     }),
 
-    // rows-only: resize + video frame-sampling plumbing (1->N explode)
+    // resize + video frame-sampling plumbing (1->N explode), gated on
+    // the structural invariants: everyN=4 over a 1..64 stub frame count
+    // samples 1..16 frames; resize(maxSide=512) never exceeds 512 on
+    // either axis and never collapses below 1 (floor of scale >= 512/
+    // 1951 times width >= 32); byte length passes through per row.
     "multimodal_frames" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("content"))
       val small = Multimodal.resizeStub(Multimodal.decodeStub(col("content")), 512)
+      val nFrames = size(Multimodal.frameSampleStub(col("content"), 4))
       docs.select(col("doc_id"),
-        size(Multimodal.frameSampleStub(col("content"), 4)).as("n_frames"),
-        small.getField("width").as("rw"), small.getField("height").as("rh"))
+        length(col("content")).cast("long").as("byte_len"),
+        (nFrames >= 1 && nFrames <= 16).as("n_frames_ok"),
+        (greatest(small.getField("width"), small.getField("height")) <= 512)
+          .as("resize_max_ok"),
+        (least(small.getField("width"), small.getField("height")) >= 1)
+          .as("resize_pos_ok"))
     }),
 
-    // rows-only: the batched per-partition decode path (mapPartitions —
-    // the Scala analog of mapInPandas; per-format counts aggregate the
-    // decoded metadata). Text payloads are not images, so every row
-    // takes the deterministic stub fallback.
+    // the batched per-partition decode path (mapPartitions — the Scala
+    // analog of mapInPandas; text payloads are not images, so every row
+    // takes the deterministic stub fallback). Gated on the batch
+    // contracts DuckDB CAN recompute: the pass preserves the row count
+    // and the total payload bytes EXACTLY (columns ride through
+    // mapPartitions untouched), the decode is a pure function of the
+    // payload (equal contents never disagree on meta), and every meta
+    // lands in the documented range/set.
     "multimodal_batch_decode" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("content"))
-      Multimodal.mapDecodePartitions(docs, "content", batchSize = 128)
-        .groupBy(col("meta.format").as("format"))
-        .agg(count(lit(1)).as("n"), max(col("meta.width")).as("max_w"))
+      val dec = Multimodal.mapDecodePartitions(docs, "content", batchSize = 128)
+      dec.groupBy(col("content"))
+        .agg(count(lit(1)).as("__cnt"),
+          count_distinct(col("meta")).as("__nm"),
+          max(length(col("content")).cast("long")).as("__len"),
+          max(col("meta.width")).as("__w"),
+          min(col("meta.width")).as("__w0"),
+          bool_and(col("meta.format").isin("jpeg", "png", "webp")).as("__fok"))
+        .agg(sum(col("__cnt")).as("total_n"),
+          sum(col("__cnt") * col("__len")).as("sum_bytes"),
+          bool_and(col("__nm") === 1).as("deterministic"),
+          bool_and(col("__w") <= 1951 && col("__w0") >= 32).as("width_ok"),
+          bool_and(col("__fok")).as("formats_ok"))
     }),
 
     // REAL image decode under the FULL oracle gate: per row a genuine
@@ -3809,6 +3844,28 @@ object PipelineQueries {
          UNION ALL SELECT 'p99_n', CAST(quantile_disc(n, 0.99) AS BIGINT)
            FROM counts""",
     "minhash_signatures" -> minhashSignaturesOracle,
+    // stub-codec plumbing gates: byte length passes through the decode
+    // path per row; every stub output is asserted into its documented
+    // range/set (the invariant columns must all be TRUE)
+    "multimodal_features" ->
+      """SELECT doc_id,
+                CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+                TRUE AS width_ok, TRUE AS height_ok,
+                TRUE AS format_ok, TRUE AS f0_ok
+         FROM documents""",
+    "multimodal_frames" ->
+      """SELECT doc_id,
+                CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+                TRUE AS n_frames_ok, TRUE AS resize_max_ok,
+                TRUE AS resize_pos_ok
+         FROM documents""",
+    // batched decode: row count + total payload bytes preserved
+    // exactly; decode purity and range/set membership asserted TRUE
+    "multimodal_batch_decode" ->
+      """SELECT CAST(count(*) AS BIGINT) AS total_n,
+                CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
+                TRUE AS deterministic, TRUE AS width_ok, TRUE AS formats_ok
+         FROM documents""",
     // the real-PNG fixture dimensions are pure id arithmetic
     "multimodal_png_decode" ->
       """SELECT doc_id, CAST(doc_id % 7 + 3 AS INT) AS width,

@@ -1775,6 +1775,42 @@ object Queries {
         col("n_events").as("n"))
     }),
 
+    // CUSTOM-STATE streaming sessionization under the SAME oracle: the
+    // flatMapGroupsWithState sessionizer (watermark-gated buffering +
+    // event-time-timeout flush, the scd2Intervals discipline) must
+    // reproduce the identical gaps-and-islands rollup the built-in
+    // session_window twin above is gated on. Far-future sentinel rows
+    // on a dedicated key drive the final watermark past every open
+    // session's gap deadline so the bounded replay flushes everything;
+    // sentinel output is filtered.
+    "event_sessions_stream_state" -> ((s, dir) => {
+      import s.implicits._
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      def src = EventTs.toTimestamp(s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+      // any window of 100 consecutive event_ids contains a sentinel —
+      // the flush cannot silently depend on the id range starting at 0
+      val sentinel = src.where(col("event_id") % 100 === 0)
+        .withColumn("event_type", lit("__sentinel"))
+        .withColumn("ts", col("ts") + expr("INTERVAL 36500 DAYS"))
+      val events = src.unionAll(sentinel)
+        .select(col("event_type").as("key"), col("ts"))
+        .withWatermark("ts", "1 minute")
+        .as[graft.streaming.SessEvent]
+      val sessions = graft.streaming.Streams.sessionizeWithState(
+        events, gap = "30 minutes")
+      val qName = "graft_event_sessions_stream_state"
+      s.streams.active.filter(q => q.name == qName).foreach(_.stop())
+      val q = sessions.toDF().writeStream.format("memory").queryName(qName)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qName).where(col("key") =!= "__sentinel")
+        .select(col("key").as("event_type"),
+          col("sessionStart").as("session_start"), col("n"))
+    }),
+
     // SURVEY §2.7 sessionization — session_window (the Structured
     // Streaming session operator, here in batch) checked against a
     // gaps-and-islands SQL oracle: a session breaks when the gap to the
@@ -2883,6 +2919,7 @@ object Queries {
                 count(*) AS n, min(value) AS vmin, max(value) AS vmax
          FROM events GROUP BY 1, 2""",
     "event_sessions" -> eventSessionsOracle,
+    "event_sessions_stream_state" -> eventSessionsOracle,
     // the streaming session_window run must land on the same sessions
     "event_sessions_stream" -> eventSessionsOracle,
     // the stream-static anti-join must keep the same survivors as the

@@ -26,6 +26,21 @@ case class Scd2State(state: Option[String],
                      validFrom: Option[java.sql.Timestamp],
                      pending: Seq[StateEvent], lastMs: Long)
 
+/** One keyed observation for the custom-state sessionizer. */
+case class SessEvent(key: String, ts: java.sql.Timestamp)
+
+/** One closed (or flushed-open) session: start = min event time, n =
+  * event count — the gaps-and-islands rollup row. */
+case class SessionOut(key: String, sessionStart: java.sql.Timestamp, n: Long)
+
+/** Per-key [[Streams.sessionizeWithState]] state: the open session's
+  * (start, last, n), the lateness buffer, and the latest event time
+  * seen (ms) anchoring the gap timeout — the session twin of
+  * [[Scd2State]]. */
+case class SessionState(start: Option[java.sql.Timestamp],
+                        last: Option[java.sql.Timestamp], n: Long,
+                        pending: Seq[java.sql.Timestamp], lastMs: Long)
+
 /**
  * Structured Streaming operators (SURVEY §2.7: the reference has no
  * streaming surface — these are the engine's scale extensions; every
@@ -95,6 +110,107 @@ object Streams {
     events.withWatermark(tsCol, watermark)
       .groupBy(session_window(col(tsCol), gap), col(keyCol))
       .agg(count(lit(1)).as("n_events"))
+
+  /**
+   * CUSTOM-STATE sessionizer — the flatMapGroupsWithState twin of the
+   * built-in [[sessionize]], result-identical to the gaps-and-islands
+   * rollup (a session breaks when the gap to the previous event is
+   * >= `gap`, micros precision; output row = key, min ts, count). The
+   * built-in covers count-rollups; this is the extension point for
+   * session state the session_window aggregate can't express (per-event
+   * payload folds, early emission policies) — and it demonstrates the
+   * same buffering discipline as [[scd2Intervals]]:
+   *
+   *  - events BUFFER until the watermark passes them (an out-of-order
+   *    arrival may still precede a buffered event — folding early
+   *    could split or merge a session wrongly, and append mode cannot
+   *    retract); once strictly below the watermark they fold in ts
+   *    order, emitting each CLOSED session as its break is observed
+   *    (both sides of a break are below the watermark, so no on-time
+   *    arrival can land between them);
+   *  - the OPEN session flushes via event-time timeout only once the
+   *    watermark is STRICTLY past lastTs + gap AND nothing is still
+   *    buffered — any later on-time event then necessarily starts a
+   *    new session (same boundary discipline as [[scd2Intervals]]).
+   *
+   * State per key = one open-session edge + the lateness buffer
+   * (bounded by the watermark delay); skew bound = busiest key per
+   * gap window, identical to the built-in operator's shape. On a
+   * bounded replay, drive the final watermark past every deadline
+   * (far-future sentinel key) and the output equals the batch
+   * gaps-and-islands rollup — the unification the DuckDB gate checks.
+   */
+  def sessionizeWithState(events: Dataset[SessEvent],
+                          gap: String = "30 minutes"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    require(iv.months == 0, s"gap must not use months: $gap")
+    val gapMicros = iv.days * 86400000000L + iv.microseconds
+    require(gapMicros > 0, s"gap must be positive: $gap")
+    val gapMs = gapMicros / 1000L
+
+    def micros(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000L
+    def sortTs(tss: Seq[java.sql.Timestamp]): Seq[java.sql.Timestamp] =
+      tss.sortWith(_.compareTo(_) < 0)
+
+    // fold ready (sorted, below-watermark) events into the open edge,
+    // emitting a closed session at every >= gap break
+    def fold(key: String, edge0: (Option[java.sql.Timestamp], Option[java.sql.Timestamp], Long),
+             ready: Seq[java.sql.Timestamp],
+             out: scala.collection.mutable.ArrayBuffer[SessionOut])
+        : (Option[java.sql.Timestamp], Option[java.sql.Timestamp], Long) = {
+      var (start, last, n) = edge0
+      ready.foreach { ts =>
+        (start, last) match {
+          case (Some(s0), Some(l0)) if micros(ts) - micros(l0) >= gapMicros =>
+            out += SessionOut(key, s0, n)
+            start = Some(ts); last = Some(ts); n = 1L
+          case (Some(_), Some(_)) =>
+            last = Some(ts); n += 1L
+          case _ =>
+            start = Some(ts); last = Some(ts); n = 1L
+        }
+      }
+      (start, last, n)
+    }
+
+    def fn(key: String, it: Iterator[SessEvent],
+           st: GroupState[SessionState]): Iterator[SessionOut] = {
+      if (st.hasTimedOut) {
+        val s = st.get
+        val wm = st.getCurrentWatermarkMs
+        val all = sortTs(s.pending)
+        val (ready, hold) = all.partition(_.getTime + 1 <= wm)
+        val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+        val (start, last, n) = fold(key, (s.start, s.last, s.n), ready, out)
+        if (hold.isEmpty && s.lastMs + gapMs < wm) {
+          st.remove()
+          start.foreach(s0 => out += SessionOut(key, s0, n))
+        } else {
+          st.update(SessionState(start, last, n, hold, s.lastMs))
+          st.setTimeoutTimestamp(math.max(s.lastMs + gapMs, wm) + 1)
+        }
+        out.iterator
+      } else {
+        val wm = st.getCurrentWatermarkMs
+        val s0 = st.getOption.getOrElse(SessionState(None, None, 0L, Seq.empty, 0L))
+        val all = sortTs(s0.pending ++ it.map(_.ts))
+        val (ready, hold) = all.partition(_.getTime + 1 <= wm)
+        val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+        val (start, last, n) = fold(key, (s0.start, s0.last, s0.n), ready, out)
+        val lastMs = math.max(s0.lastMs,
+          all.lastOption.map(_.getTime).getOrElse(0L))
+        st.update(SessionState(start, last, n, hold, lastMs))
+        st.setTimeoutTimestamp(math.max(lastMs + gapMs, wm + 1))
+        out.iterator
+      }
+    }
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
 
   /**
    * Streaming first-seen dedup: emit only the first observation of every

@@ -358,6 +358,58 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionizeWithState == batch gaps-and-islands under randomized splits") {
+    implicit val sc = spark.sqlContext
+    val rnd = new scala.util.Random(137)
+    // 6 keys, bursty event times (gaps straddle the 10-minute session
+    // gap), delivered sorted-with-local-disorder in random micro-batch
+    // splits; the final table must equal the plain in-memory fold
+    val keys = Array("a", "b", "c", "d", "e", "f")
+    val events = (for {
+      k <- keys.toSeq
+      i <- 0 until 40
+    } yield graft.streaming.SessEvent(k,
+      ts(i * 3 + (if (rnd.nextInt(4) == 0) 15 else 0) + rnd.nextInt(3)))).toVector
+    val delivery = events.sortBy(_.ts.getTime)
+      .grouped(4).flatMap(w => rnd.shuffle(w)).toVector
+    val input = MemoryStream[graft.streaming.SessEvent]
+    val q = Streams.sessionizeWithState(
+        input.toDS().withWatermark("ts", "5 minutes"), gap = "10 minutes")
+      .writeStream.format("memory").queryName("sess_state_out")
+      .outputMode("append").start()
+    try {
+      var rest = delivery
+      while (rest.nonEmpty) {
+        val n = 1 + rnd.nextInt(50)
+        input.addData(rest.take(n): _*)
+        q.processAllAvailable()
+        rest = rest.drop(n)
+      }
+      // sentinel key drives the watermark past every gap deadline; a
+      // second advance lets the timeouts fire (timeouts fire only for
+      // groups absent from the triggering batch)
+      input.addData(graft.streaming.SessEvent("__s", ts(10000)))
+      q.processAllAvailable()
+      input.addData(graft.streaming.SessEvent("__s", ts(10001)))
+      q.processAllAvailable()
+      val got = spark.table("sess_state_out")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+        .filter(_._1 != "__s").toSet
+      // reference: per-key sort, break when gap >= 10 minutes
+      val want = events.groupBy(_.key).flatMap { case (k, evs) =>
+        val sorted = evs.map(_.ts).sortBy(_.getTime)
+        val sessions = sorted.tail.foldLeft(Vector(Vector(sorted.head))) {
+          (acc, t) =>
+            if (t.getTime - acc.last.last.getTime >= 600000L) acc :+ Vector(t)
+            else acc.init :+ (acc.last :+ t)
+        }
+        sessions.map(ses => (k, ses.head, ses.length.toLong))
+      }.toSet
+      assert(got == want,
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    } finally q.stop()
+  }
+
   test("dedupFirstSeen with state TTL re-admits a fingerprint after expiry") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[DocEvent]
