@@ -1,0 +1,156 @@
+package graft.plans
+
+import graft.functions.{BloomBitsRef, BloomMightContain, LongBloom}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Cast, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+
+/**
+ * Optimizer rule generalizing the decontamination Bloom prefilter
+ * ([[graft.pipeline.Decontaminate.contaminatedIdsBloom]]) into an
+ * automatic pre-shuffle guard for selective equi-joins: an INNER or
+ * LEFT SEMI join on an integral key, whose build side is filter-sized
+ * but whose probe side is large, gets
+ * `Filter(bloom_might_contain(key), probe)` injected UNDER the join —
+ * only probable matches ever enter the probe-side shuffle.
+ *
+ * Result-identical by construction: a Bloom filter has no false
+ * negatives, so no surviving join row is ever dropped; false positives
+ * are removed by the exact join that follows. Inner and left-semi
+ * shapes only — prefiltering the preserved side of an outer/anti join
+ * would drop rows the join must keep.
+ *
+ * The scale case (same as the decontamination path): a build side too
+ * big for a broadcast-hash relation (~50+ bytes/entry) still fits as
+ * ~`bitsPerItem` BITS per entry, and without any filter a
+ * non-broadcastable build side degrades the join to a full shuffle of
+ * EVERY probe row. The filter rides the plan as one reference object
+ * per executor ([[BloomMightContain]]); the build itself is the
+ * distributed tree-OR ([[LongBloom.buildDistributed]]) — the driver
+ * receives filter-sized data, never the keys.
+ *
+ * OPT-IN via `spark.graft.bloomJoin.enabled` (default false): the
+ * build runs one Spark job at planning time, a cost that should be a
+ * deliberate choice. Guards:
+ *  - `spark.graft.bloomJoin.maxBuildBytes` (default 64 MiB): logical
+ *    size estimate above which the build side is too big to scan
+ *    cheaply at planning time;
+ *  - probe side must be at least 4x the build side's estimate —
+ *    filtering a probe the same size as the build saves nothing;
+ *  - already-filtered probes (our own marker present) are skipped, so
+ *    the rule converges at the optimizer fixpoint.
+ *
+ * Built filters cache by (canonicalized-build-plan semanticHash, key
+ * ordinal) with the same recursion-safe get/putIfAbsent discipline and
+ * size cap as [[SpatialJoinRewrite]]'s cell-size cache (the build
+ * action re-enters the optimizer).
+ */
+case class BloomJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private def enabled: Boolean =
+    spark.conf.getOption("spark.graft.bloomJoin.enabled").exists(_.toBoolean)
+  private def maxBuildBytes: Long =
+    spark.conf.getOption("spark.graft.bloomJoin.maxBuildBytes")
+      .map(_.toLong).getOrElse(64L << 20)
+  private def bitsPerItem: Int =
+    spark.conf.getOption("spark.graft.bloomJoin.bitsPerItem")
+      .map(_.toInt).getOrElse(16)
+
+  private val builtFilters =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), (BloomBitsRef, Int)]
+  private val MaxCachedFilters = 32
+
+  private def integral(e: Expression): Boolean = e.dataType match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => conjuncts(a) ++ conjuncts(b)
+    case other => Seq(other)
+  }
+
+  /** The probe side already carries OUR filter on this key. */
+  private def alreadyFiltered(probe: LogicalPlan, key: AttributeReference): Boolean =
+    probe match {
+      case Filter(cond, _) => conjuncts(cond).exists {
+        case BloomMightContain(c, _, _) =>
+          c.references.toSeq.map(_.exprId).contains(key.exprId)
+        case _ => false
+      }
+      case _ => false
+    }
+
+  private def bloomFor(buildSide: LogicalPlan,
+                       buildKey: AttributeReference): (BloomBitsRef, Int) = {
+    val canon = buildSide.canonicalized
+    val ord = buildSide.output.indexWhere(_.exprId == buildKey.exprId)
+    val key = (canon.semanticHash(), ord)
+    builtFilters.get(key) match {
+      case v: (BloomBitsRef, Int) @unchecked if v != null => v
+      case _ =>
+        val keysDf = Bridge.ofRows(spark, buildSide)
+          .select(Bridge.column(buildKey).cast("long"))
+          .na.drop().distinct()
+        val (words, k) = LongBloom.buildDistributed(keysDf, bitsPerItem)
+        val v = (new BloomBitsRef(words), k)
+        if (builtFilters.size >= MaxCachedFilters) builtFilters.clear()
+        builtFilters.putIfAbsent(key, v)
+        v
+    }
+  }
+
+  private def asLong(e: Expression): Expression =
+    if (e.dataType == LongType) e else Cast(e, LongType)
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan
+    else plan.transform {
+      case j @ Join(l, r, jt, Some(cond), _) if jt == Inner || jt == LeftSemi =>
+        val equi = conjuncts(cond).collectFirst {
+          case EqualTo(a: AttributeReference, b: AttributeReference)
+              if integral(a) && integral(b) &&
+                l.outputSet.contains(a) && r.outputSet.contains(b) => (a, b)
+          case EqualTo(a: AttributeReference, b: AttributeReference)
+              if integral(a) && integral(b) &&
+                l.outputSet.contains(b) && r.outputSet.contains(a) => (b, a)
+        }
+        equi match {
+          case Some((lk, rk)) =>
+            val lBytes = l.stats.sizeInBytes
+            val rBytes = r.stats.sizeInBytes
+            // semi joins always probe LEFT (right rows never survive);
+            // inner joins probe the larger side
+            val buildLeft = jt == Inner && lBytes * 4 <= rBytes
+            val probeRight = buildLeft
+            val (build, bKey, probe, pKey) =
+              if (probeRight) (l, lk, r, rk) else (r, rk, l, lk)
+            val worthIt =
+              build.stats.sizeInBytes <= maxBuildBytes &&
+                probe.stats.sizeInBytes >= build.stats.sizeInBytes * 4
+            if (!worthIt || alreadyFiltered(probe, pKey)) j
+            else {
+              val (bits, k) = bloomFor(build, bKey)
+              val guarded = Filter(
+                BloomMightContain(asLong(pKey), bits, k), probe)
+              if (probeRight) j.copy(right = guarded)
+              else j.copy(left = guarded)
+            }
+          case None => j
+        }
+    }
+}
+
+object BloomJoinRewrite {
+  /** Install on an existing session (tests / interactive use); new
+    * sessions get it via `spark.sql.extensions=graft.plans.GraftExtensions`. */
+  def install(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[BloomJoinRewrite]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ BloomJoinRewrite(spark)
+  }
+}

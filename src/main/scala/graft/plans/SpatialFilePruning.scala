@@ -169,6 +169,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(session => SpatialFilePruning(session))
     ext.injectOptimizerRule(session => SpatialJoinRewrite(session))
+    ext.injectOptimizerRule(session => BloomJoinRewrite(session))
 
     fn(ext, "st_area", classOf[StArea].getName, es => StArea(es.head))
     fn(ext, "st_length", classOf[StLength].getName, es => StLength(es.head))

@@ -27,6 +27,32 @@ object Queries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Derived PARTSUPP: the testdata schema has no partsupp table, so
+    * the (part, supplier) pairs observed in lineitem stand in, with
+    * deterministic integer cost/availqty derived from the keys. The
+    * point is the TPC-H PLAN SHAPES these feed (Q2 correlated min,
+    * Q9 profit multi-join, Q11 double aggregation + scalar-subquery
+    * threshold, Q16 anti-joined distinct count) — all replayable
+    * exactly by the oracle from the same arithmetic. */
+  private def partsupp(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(col("l_partkey").as("ps_partkey"),
+        col("l_suppkey").as("ps_suppkey"))
+      .distinct()
+      .withColumn("ps_supplycost_i",
+        (col("ps_partkey") * 31 + col("ps_suppkey") * 17) % 10000 + 1)
+      .withColumn("ps_availqty",
+        (col("ps_partkey") * 7 + col("ps_suppkey") * 3) % 1000 + 1)
+
+  /** The oracle-side twin of [[partsupp]]. */
+  private val PartsuppCte: String =
+    """partsupp AS (
+         SELECT ps_partkey, ps_suppkey,
+                (ps_partkey * 31 + ps_suppkey * 17) % 10000 + 1 AS ps_supplycost_i,
+                (ps_partkey * 7 + ps_suppkey * 3) % 1000 + 1 AS ps_availqty
+         FROM (SELECT DISTINCT l_partkey AS ps_partkey,
+                      l_suppkey AS ps_suppkey FROM lineitem))"""
+
   // ---- derived geometry helpers (Spark side) -------------------------
 
   private def custPoints(spark: SparkSession, dir: String): DataFrame =
@@ -1031,6 +1057,102 @@ object Queries {
         .agg(count(lit(1)).as("numcust"), sum(col("cents")).as("totacctbal_i"))
     }),
 
+    // TPC-H Q2 shape (minimum-cost supplier): the correlated "cost =
+    // per-part MIN over the region's suppliers" subquery, planned as
+    // one keyed aggregate + an equi-join back on (part, cost) — no
+    // correlated re-execution. Region/nation are broadcast dims; the
+    // partsupp side shuffles once on the part key.
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      val eurNat = t(s, dir, "nation").join(
+          broadcast(t(s, dir, "region").where(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val eurSup = t(s, dir, "supplier")
+        .join(broadcast(eurNat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      val ps = partsupp(s, dir)
+        .join(eurSup, col("ps_suppkey") === col("s_suppkey"))
+        .select(col("ps_partkey"), col("ps_suppkey"), col("n_name"),
+          col("ps_supplycost_i"))
+      val minCost = ps.groupBy(col("ps_partkey"))
+        .agg(min(col("ps_supplycost_i")).as("min_cost_i"))
+      ps.join(minCost, Seq("ps_partkey"))
+        .where(col("ps_supplycost_i") === col("min_cost_i"))
+        .join(broadcast(t(s, dir, "part").where(col("p_size") <= 15)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("ps_partkey") === col("p_partkey"))
+        .select(col("p_partkey"), col("p_brand"), col("ps_suppkey"),
+          col("n_name"), col("min_cost_i"))
+    }),
+
+    // TPC-H Q9 shape (product-type profit): the widest join in the
+    // suite — lineitem x part x partsupp x orders x supplier x nation —
+    // with profit in exact integer 10^-4 dollars. Dims broadcast; the
+    // only shuffles are partsupp's build and the final (nation, year)
+    // aggregate (partial map-side).
+    "q9_product_profit" -> ((s, dir) => {
+      val par = t(s, dir, "part").where(col("p_name").contains("cold"))
+        .select(col("p_partkey"))
+      val supN = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      val ord = t(s, dir, "orders").select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("qty_l"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_i"))
+      li.join(broadcast(par), col("l_partkey") === col("p_partkey"))
+        .join(partsupp(s, dir),
+          col("l_partkey") === col("ps_partkey") &&
+            col("l_suppkey") === col("ps_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("n_name").as("nation"), col("o_year"))
+        .agg(sum(col("rev_i") -
+          col("ps_supplycost_i") * col("qty_l") * 100L).as("profit_i"))
+    }),
+
+    // TPC-H Q11 shape (important stock): the DOUBLE aggregation over
+    // partsupp — per-part value rollup, then a broadcast scalar
+    // threshold (here value > 2x the average part's value, a
+    // scale-free fraction) filtering the same rollup. Two keyed
+    // aggregates total; the threshold is a one-row broadcast, and the
+    // comparison is exact integer cross-multiplication.
+    "q11_important_stock" -> ((s, dir) => {
+      val evenSup = t(s, dir, "supplier")
+        .where(col("s_nationkey") % 2 === 0).select(col("s_suppkey"))
+      val perPart = partsupp(s, dir)
+        .join(broadcast(evenSup), col("ps_suppkey") === col("s_suppkey"))
+        .groupBy(col("ps_partkey"))
+        .agg(sum(col("ps_supplycost_i") * col("ps_availqty")).as("value_i"))
+      val tot = perPart.agg(sum(col("value_i")).as("total_i"),
+        count(lit(1)).as("np"))
+      perPart.crossJoin(broadcast(tot))
+        .where(col("value_i") * col("np") > col("total_i") * 2)
+        .select(col("ps_partkey"), col("value_i"))
+    }),
+
+    // TPC-H Q16 shape (parts/supplier relationship): distinct supplier
+    // count per (brand, type, size) bucket, with the complaint-supplier
+    // NOT IN planned as a LEFT ANTI hash join and the part attribute
+    // filter as a broadcast. count_distinct partial-aggregates its
+    // dedup map-side.
+    "q16_parts_supplier_cnt" -> ((s, dir) => {
+      val par = t(s, dir, "part")
+        .where(col("p_brand") =!= "Brand#13" && col("p_size") % 2 === 0)
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      val complaints = t(s, dir, "supplier")
+        .where(col("s_suppkey") % 10 === 7).select(col("s_suppkey"))
+      partsupp(s, dir)
+        .join(complaints, col("ps_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(par), col("ps_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(count_distinct(col("ps_suppkey")).as("supplier_cnt"))
+    }),
+
     // Hive-partitioned layout round-trip: write documents partitioned
     // by lang (the layout a multilingual corpus lands in), read back
     // with a partition-column filter. At scale the filter prunes whole
@@ -1254,6 +1376,20 @@ object Queries {
       out
     }),
 
+    // Global percent_rank/cume_dist WITHOUT a single-task window
+    // (Ranks.globalRankStats): per-value counts (one keyed aggregate —
+    // ties collapse map-side), the distributed prefix-sum over the
+    // value order, and one value-keyed join back. Exact ANSI
+    // definitions, so the native window functions in DuckDB must
+    // reproduce every double bit-for-bit (IEEE division of the same
+    // exact integers).
+    "global_rank_stats" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      graft.tools.Ranks.globalRankStats(docs, col("n_chars"))
+        .select(col("doc_id"), col("rank"), col("percent_rank"),
+          col("cume_dist"))
+    }),
+
     // metrics WITHOUT a second pass: Observation counters piggyback the
     // main action (here a noop-sink write — at 100 TB the counters ride
     // the production write job for free instead of re-scanning), then
@@ -1300,6 +1436,27 @@ object Queries {
         .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(sum(col("__n")).as("n"), sum(col("__qty")).as("qty"))
+    }),
+
+    // The automatic Bloom-join prefilter (plans/BloomJoinRewrite,
+    // opt-in conf): a filter-sized customer subset joined to orders
+    // gets bloom_might_contain(o_custkey) injected UNDER the join, so
+    // only probable matches enter the probe-side shuffle — results
+    // identical by the no-false-negatives property, which is exactly
+    // what the DuckDB gate checks. Materialized eagerly inside the
+    // conf window so the rewrite provably planned this run.
+    "bloom_join_orders" -> ((s, dir) => {
+      s.conf.set("spark.graft.bloomJoin.enabled", "true")
+      try {
+        val cust = t(s, dir, "customer")
+          .where(col("c_custkey") % 13 === 0).select(col("c_custkey"))
+        val ord = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        ord.join(cust, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_custkey"))
+          .agg(count(lit(1)).as("n_orders"), max(col("o_orderkey")).as("max_ok"))
+          .localCheckpoint(true)
+      } finally s.conf.set("spark.graft.bloomJoin.enabled", "false")
     }),
 
     // SURVEY §2.5 set ops (built-in): customers that placed orders vs
@@ -2524,6 +2681,12 @@ object Queries {
                       ntile(4) OVER (ORDER BY n_chars, doc_id) AS tile
                FROM documents)
          GROUP BY tile""",
+    "global_rank_stats" ->
+      """SELECT doc_id,
+                CAST(rank() OVER (ORDER BY n_chars) AS BIGINT) AS rank,
+                percent_rank() OVER (ORDER BY n_chars) AS percent_rank,
+                cume_dist() OVER (ORDER BY n_chars) AS cume_dist
+         FROM documents WHERE n_chars IS NOT NULL""",
     "observed_quality_counters" ->
       """SELECT count(*) AS n_docs,
                 CAST(sum(n_chars) AS BIGINT) AS chars,
@@ -2826,6 +2989,64 @@ object Queries {
          WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
            AND c_nationkey = n_nationkey
          GROUP BY n_name""",
+    "bloom_join_orders" ->
+      """SELECT c_custkey, count(*) AS n_orders, max(o_orderkey) AS max_ok
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE c_custkey % 13 = 0
+         GROUP BY c_custkey""",
+    "q2_min_cost_supplier" ->
+      s"""WITH $PartsuppCte,
+         eur AS (
+           SELECT s_suppkey, n_name
+           FROM supplier, nation, region
+           WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+             AND r_name = 'EUROPE'),
+         ps AS (
+           SELECT ps_partkey, ps_suppkey, n_name, ps_supplycost_i
+           FROM partsupp JOIN eur ON ps_suppkey = s_suppkey),
+         mc AS (
+           SELECT ps_partkey, min(ps_supplycost_i) AS min_cost_i
+           FROM ps GROUP BY 1)
+         SELECT p_partkey, p_brand, ps_suppkey, n_name,
+                CAST(mc.min_cost_i AS BIGINT) AS min_cost_i
+         FROM ps JOIN mc USING (ps_partkey)
+              JOIN part ON ps_partkey = p_partkey
+         WHERE ps_supplycost_i = mc.min_cost_i AND p_size <= 15""",
+    "q9_product_profit" ->
+      s"""WITH $PartsuppCte
+         SELECT n_name AS nation,
+                CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                         (100 - CAST(round(l_discount * 100) AS BIGINT)) -
+                         ps_supplycost_i * CAST(l_quantity AS BIGINT) * 100)
+                     AS BIGINT) AS profit_i
+         FROM lineitem, part, partsupp, orders, supplier, nation
+         WHERE p_partkey = l_partkey AND p_name LIKE '%cold%'
+           AND ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+           AND o_orderkey = l_orderkey
+           AND s_suppkey = l_suppkey AND n_nationkey = s_nationkey
+         GROUP BY 1, 2""",
+    "q11_important_stock" ->
+      s"""WITH $PartsuppCte,
+         pp AS (
+           SELECT ps_partkey,
+                  CAST(sum(ps_supplycost_i * ps_availqty) AS BIGINT) AS value_i
+           FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
+           WHERE s_nationkey % 2 = 0
+           GROUP BY 1),
+         tt AS (SELECT CAST(sum(value_i) AS BIGINT) AS total_i,
+                       count(*) AS np FROM pp)
+         SELECT ps_partkey, value_i FROM pp, tt
+         WHERE value_i * np > total_i * 2""",
+    "q16_parts_supplier_cnt" ->
+      s"""WITH $PartsuppCte
+         SELECT p_brand, p_type, p_size,
+                count(DISTINCT ps_suppkey) AS supplier_cnt
+         FROM partsupp JOIN part ON ps_partkey = p_partkey
+         WHERE p_brand <> 'Brand#13' AND p_size % 2 = 0
+           AND ps_suppkey NOT IN
+               (SELECT s_suppkey FROM supplier WHERE s_suppkey % 10 = 7)
+         GROUP BY 1, 2, 3""",
     "set_ops_counts" ->
       """SELECT count(*) AS n, 'active' AS which
          FROM (SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders)

@@ -134,4 +134,50 @@ object Ranks {
   def globalPrefixSum(df: DataFrame, value: Column, outCol: String,
                       numPartitions: Int, keys: Column*): DataFrame =
     globalPrefixSumWithRelease(df, value, outCol, numPartitions, keys: _*)._1
+
+  /**
+   * Distributed `rank() / percent_rank() / cume_dist() OVER (ORDER BY
+   * value)` — the remaining GLOBAL window shapes users reach for
+   * constantly, without the single-task window they collapse to in
+   * vanilla Spark. Null values are excluded (the ANSI functions order
+   * them to one end; filter or coalesce first if they matter).
+   *
+   * Shape: ONE keyed aggregate collapses the input to per-VALUE counts
+   * (map-side combine absorbs ties — the whole point of rank ties is
+   * that this table is no bigger than the distinct-value count), the
+   * distributed prefix-sum machinery ranks the counts table under the
+   * value order (no driver-side data beyond the per-partition totals
+   * array), and one equi-join on the value carries (rank, percent_rank,
+   * cume_dist) back to the rows. No window operator appears in the plan
+   * at all; every step is a keyed shuffle that scales horizontally.
+   *
+   * Exact ANSI semantics: rank = 1 + |{v' < v}| (ties share),
+   * percent_rank = (rank-1)/(n-1) (0 when n = 1), cume_dist =
+   * |{v' <= v}| / n — both ratios are IEEE divisions of exact integers,
+   * so they hash-match any engine computing the same definition.
+   */
+  def globalRankStats(df: DataFrame, value: Column,
+                      numPartitions: Int = 32,
+                      rankCol: String = "rank",
+                      pctCol: String = "percent_rank",
+                      cumeCol: String = "cume_dist"): DataFrame = {
+    val reserved = Seq("__v", "__c", "__cum", rankCol, pctCol, cumeCol)
+    require(!df.columns.exists(reserved.contains),
+      s"input columns collide with reserved names $reserved")
+    val base = df.withColumn("__v", value).where(col("__v").isNotNull)
+    val counts = base.groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+    val (pref, release) = globalPrefixSumWithRelease(
+      counts, col("__c"), "__cum", numPartitions, col("__v"))
+    // the counts table is tiny relative to the input; pin it so the n
+    // aggregate and the join read one materialization
+    val prefC = pref.localCheckpoint(true)
+    release()
+    val n = prefC.agg(coalesce(max(col("__cum")), lit(0L))).head().getLong(0)
+    val stats = prefC.select(col("__v"),
+      (col("__cum") - col("__c") + 1L).as(rankCol),
+      (when(lit(n) > 1L, (col("__cum") - col("__c")).cast("double") / (n - 1L))
+        .otherwise(0.0)).as(pctCol),
+      (col("__cum").cast("double") / n).as(cumeCol))
+    base.join(stats, Seq("__v")).drop("__v")
+  }
 }

@@ -28,6 +28,37 @@ class PlanSpec extends AnyFunSuite {
     df.queryExecution.executedPlan.toString
   }
 
+  test("bloom-join rewrite injects the prefilter, converges, and keeps results identical") {
+    graft.plans.BloomJoinRewrite.install(spark)
+    val big = (0 until 50000).map(i => (i.toLong, i % 1000)).toDF("pk", "payload")
+    val small = (0 until 50).map(i => (i * 100L, i)).toDF("fk", "tag")
+    def join() = big.join(small, col("pk") === col("fk")).select("pk", "tag")
+    val plain = join().collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(plain.size == 50)
+    spark.conf.set("spark.graft.bloomJoin.enabled", "true")
+    try {
+      val q = join()
+      val opt = q.queryExecution.optimizedPlan.toString
+      assert(opt.contains("bloom_might_contain"), s"no bloom prefilter in:\n$opt")
+      // fixpoint convergence: exactly ONE injected filter, not a stack
+      assert("bloom_might_contain".r.findAllIn(opt).size == 1, opt)
+      val got = q.collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(got == plain)
+      // left-semi probe is the LEFT side
+      val semi = big.join(small, col("pk") === col("fk"), "left_semi")
+      val semiOpt = semi.queryExecution.optimizedPlan.toString
+      assert(semiOpt.contains("bloom_might_contain"), semiOpt)
+      assert(semi.count() == 50)
+      // outer/anti joins are never touched (prefiltering the preserved
+      // side would drop rows)
+      val anti = big.join(small, col("pk") === col("fk"), "left_anti")
+      assert(!anti.queryExecution.optimizedPlan.toString.contains("bloom_might_contain"))
+      assert(anti.count() == 50000 - 50)
+    } finally spark.conf.set("spark.graft.bloomJoin.enabled", "false")
+    // disabled again: no injection
+    assert(!join().queryExecution.optimizedPlan.toString.contains("bloom_might_contain"))
+  }
+
   test("point cx filter pushes down to the parquet scan") {
     val dir = java.nio.file.Files.createTempDirectory("planspec").toFile
     try {
