@@ -1386,8 +1386,8 @@ object Queries {
     "global_rank_stats" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
       graft.tools.Ranks.globalRankStats(docs, col("n_chars"))
-        .select(col("doc_id"), col("rank"), col("percent_rank"),
-          col("cume_dist"))
+        .select(col("doc_id"), col("rank"), col("dense_rank"),
+          col("percent_rank"), col("cume_dist"))
     }),
 
     // metrics WITHOUT a second pass: Observation counters piggyback the
@@ -2684,6 +2684,8 @@ object Queries {
     "global_rank_stats" ->
       """SELECT doc_id,
                 CAST(rank() OVER (ORDER BY n_chars) AS BIGINT) AS rank,
+                CAST(dense_rank() OVER (ORDER BY n_chars) AS BIGINT)
+                  AS dense_rank,
                 percent_rank() OVER (ORDER BY n_chars) AS percent_rank,
                 cume_dist() OVER (ORDER BY n_chars) AS cume_dist
          FROM documents WHERE n_chars IS NOT NULL""",

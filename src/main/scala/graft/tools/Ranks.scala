@@ -159,22 +159,29 @@ object Ranks {
   def globalRankStats(df: DataFrame, value: Column,
                       numPartitions: Int = 32,
                       rankCol: String = "rank",
+                      denseCol: String = "dense_rank",
                       pctCol: String = "percent_rank",
                       cumeCol: String = "cume_dist"): DataFrame = {
-    val reserved = Seq("__v", "__c", "__cum", rankCol, pctCol, cumeCol)
+    val reserved = Seq("__v", "__c", "__cum", rankCol, denseCol, pctCol, cumeCol)
     require(!df.columns.exists(reserved.contains),
       s"input columns collide with reserved names $reserved")
     val base = df.withColumn("__v", value).where(col("__v").isNotNull)
     val counts = base.groupBy(col("__v")).agg(count(lit(1)).as("__c"))
     val (pref, release) = globalPrefixSumWithRelease(
       counts, col("__c"), "__cum", numPartitions, col("__v"))
+    // dense_rank = ordinal of the VALUE = row number of its counts row
+    // (one row per distinct value) — a second two-pass over the
+    // already-collapsed counts table, not the input
+    val (denseRanked, release2) = globalRowNumberWithRelease(
+      pref, denseCol, numPartitions, col("__v"))
     // the counts table is tiny relative to the input; pin it so the n
     // aggregate and the join read one materialization
-    val prefC = pref.localCheckpoint(true)
-    release()
+    val prefC = denseRanked.localCheckpoint(true)
+    release2(); release()
     val n = prefC.agg(coalesce(max(col("__cum")), lit(0L))).head().getLong(0)
     val stats = prefC.select(col("__v"),
       (col("__cum") - col("__c") + 1L).as(rankCol),
+      col(denseCol),
       (when(lit(n) > 1L, (col("__cum") - col("__c")).cast("double") / (n - 1L))
         .otherwise(0.0)).as(pctCol),
       (col("__cum").cast("double") / n).as(cumeCol))

@@ -61,21 +61,24 @@ class RanksSpec extends AnyFunSuite {
     val got = Ranks.globalRankStats(df, col("v"), numPartitions = 8)
     val plan = got.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"no window operator expected:\n$plan")
-    val gotMap = got.select("id", "rank", "percent_rank", "cume_dist")
-      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val gotMap = got.select("id", "rank", "dense_rank", "percent_rank", "cume_dist")
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
     val w = Window.orderBy(col("v"))
     val single = df
       .withColumn("rank", rank().over(w).cast("long"))
+      .withColumn("dense_rank", dense_rank().over(w).cast("long"))
       .withColumn("percent_rank", percent_rank().over(w))
       .withColumn("cume_dist", cume_dist().over(w))
-      .select("id", "rank", "percent_rank", "cume_dist")
-      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      .select("id", "rank", "dense_rank", "percent_rank", "cume_dist")
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
     assert(gotMap == single)
     // single-row edge: percent_rank is defined 0, cume_dist 1
     val one = Ranks.globalRankStats(Seq((1L, 5)).toDF("id", "v"), col("v"))
-      .select("rank", "percent_rank", "cume_dist")
-      .as[(Long, Double, Double)].head()
-    assert(one == ((1L, 0.0, 1.0)))
+      .select("rank", "dense_rank", "percent_rank", "cume_dist")
+      .as[(Long, Long, Double, Double)].head()
+    assert(one == ((1L, 1L, 0.0, 1.0)))
   }
 
   test("globalRowNumber ranks array sort keys (lexicographic)") {
