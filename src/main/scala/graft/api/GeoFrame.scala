@@ -313,8 +313,11 @@ final case class GeoFrame(df: DataFrame, geometryCol: String, kind: String) {
     * fixed-radius [[graft.tools.SpatialJoin.nearestJoin]] (same
     * certification/tie-break contract, shared oracle) but O(k) rather
     * than O(density·πR²) candidates per left point, so a 10x-denser
-    * extent costs ~1x instead of ~10x. Call `SpatialJoin.nearestJoin`
-    * directly for the explicit fixed-radius baseline. */
+    * extent costs ~1x instead of ~10x. NOTE: the adaptive path runs
+    * ONE small stats aggregate over `other` (count + bbox) EAGERLY at
+    * call time to derive the probe radius — this method is not a pure
+    * plan constructor. Call `SpatialJoin.nearestJoin` directly for the
+    * lazy fixed-radius baseline. */
   def sjoinNearest(other: GeoFrame, maxDistance: Double,
                    leftKey: String, rightKey: String,
                    k: Int = 1, how: String = "inner",

@@ -39,6 +39,10 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
  *  - `spark.graft.bloomJoin.maxBuildBytes` (default 64 MiB): logical
  *    size estimate above which the build side is too big to scan
  *    cheaply at planning time;
+ *  - `spark.graft.bloomJoin.minBuildBytes` (default: the session's
+ *    autoBroadcastJoinThreshold): build sides at or below it skip the
+ *    rule — they broadcast-hash-join anyway, which never shuffles the
+ *    probe side, so a prefilter is pure overhead there;
  *  - probe side must be at least 4x the build side's estimate —
  *    filtering a probe the same size as the build saves nothing;
  *  - already-filtered probes (our own marker present) are skipped, so
@@ -56,12 +60,21 @@ case class BloomJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private def maxBuildBytes: Long =
     spark.conf.getOption("spark.graft.bloomJoin.maxBuildBytes")
       .map(_.toLong).getOrElse(64L << 20)
+  /** Build sides at or below this estimate are SKIPPED: they broadcast
+    * on their own, and a broadcast-hash join never shuffles the probe
+    * side — a Bloom prefilter there is pure planning + per-row
+    * overhead. Defaults to the session's autoBroadcastJoinThreshold;
+    * set to -1 to filter regardless (tests / forced-SMJ sessions). */
+  private def minBuildBytes: Long =
+    spark.conf.getOption("spark.graft.bloomJoin.minBuildBytes")
+      .map(_.toLong)
+      .getOrElse(spark.sessionState.conf.autoBroadcastJoinThreshold)
   private def bitsPerItem: Int =
     spark.conf.getOption("spark.graft.bloomJoin.bitsPerItem")
       .map(_.toInt).getOrElse(16)
 
   private val builtFilters =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int), (BloomBitsRef, Int)]
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, String, Int), (BloomBitsRef, Int)]
   private val MaxCachedFilters = 32
 
   private def integral(e: Expression): Boolean = e.dataType match {
@@ -74,9 +87,18 @@ case class BloomJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
-  /** The probe side already carries OUR filter on this key. */
+  /** The probe side already carries OUR filter on this key — ANYWHERE
+    * in its subtree, not just at the root: in the extension path the
+    * rule runs inside the Operator Optimization fixpoint interleaved
+    * with predicate pushdown, which moves the injected Filter below
+    * the probe's Project/Join nodes. A root-only check would re-inject
+    * every iteration (duplicate filters + a planning-time build job
+    * per iteration until the batch's max-iteration abort). Depth
+    * scanning can also match a MANUALLY placed bloom filter on the
+    * same key (e.g. the decontamination path) — skipping injection
+    * there is the right call anyway. */
   private def alreadyFiltered(probe: LogicalPlan, key: AttributeReference): Boolean =
-    probe match {
+    probe.exists {
       case Filter(cond, _) => conjuncts(cond).exists {
         case BloomMightContain(c, _, _) =>
           c.references.toSeq.map(_.exprId).contains(key.exprId)
@@ -89,7 +111,14 @@ case class BloomJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
                        buildKey: AttributeReference): (BloomBitsRef, Int) = {
     val canon = buildSide.canonicalized
     val ord = buildSide.output.indexWhere(_.exprId == buildKey.exprId)
-    val key = (canon.semanticHash(), ord)
+    // a WRONG cache hit here is silent wrong results (the filter's
+    // no-false-negative contract only holds for its own key set), so
+    // the key carries semanticHash + structural hashCode (two
+    // independent 32-bit hashes of the canonicalized plan) + the full
+    // schema string + the key ordinal — collision odds are negligible
+    // without retaining the plan tree itself (driver leak)
+    val key = (canon.semanticHash(), canon.hashCode(),
+      canon.schema.catalogString, ord)
     builtFilters.get(key) match {
       case v: (BloomBitsRef, Int) @unchecked if v != null => v
       case _ =>
@@ -131,6 +160,7 @@ case class BloomJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
               if (probeRight) (l, lk, r, rk) else (r, rk, l, lk)
             val worthIt =
               build.stats.sizeInBytes <= maxBuildBytes &&
+                build.stats.sizeInBytes > minBuildBytes &&
                 probe.stats.sizeInBytes >= build.stats.sizeInBytes * 4
             if (!worthIt || alreadyFiltered(probe, pKey)) j
             else {

@@ -1447,6 +1447,9 @@ object Queries {
     // conf window so the rewrite provably planned this run.
     "bloom_join_orders" -> ((s, dir) => {
       s.conf.set("spark.graft.bloomJoin.enabled", "true")
+      // the sf-test build side is broadcast-sized; lift the broadcast
+      // floor so the gated run provably exercises the rewrite
+      s.conf.set("spark.graft.bloomJoin.minBuildBytes", "-1")
       try {
         val cust = t(s, dir, "customer")
           .where(col("c_custkey") % 13 === 0).select(col("c_custkey"))
@@ -1456,7 +1459,10 @@ object Queries {
           .groupBy(col("c_custkey"))
           .agg(count(lit(1)).as("n_orders"), max(col("o_orderkey")).as("max_ok"))
           .localCheckpoint(true)
-      } finally s.conf.set("spark.graft.bloomJoin.enabled", "false")
+      } finally {
+        s.conf.set("spark.graft.bloomJoin.enabled", "false")
+        s.conf.unset("spark.graft.bloomJoin.minBuildBytes")
+      }
     }),
 
     // SURVEY §2.5 set ops (built-in): customers that placed orders vs

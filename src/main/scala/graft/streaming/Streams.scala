@@ -148,7 +148,14 @@ object Streams {
     require(iv.months == 0, s"gap must not use months: $gap")
     val gapMicros = iv.days * 86400000000L + iv.microseconds
     require(gapMicros > 0, s"gap must be positive: $gap")
-    val gapMs = gapMicros / 1000L
+    // the session FOLD compares in exact micros; the flush deadline is
+    // millisecond-granular (watermark API), so it rounds the gap UP —
+    // a still-in-gap event has ts_us < last_us + gap_us, hence
+    // ts_ms <= lastMs + ceil(gap_us/1000), and finalizing only once
+    // wm is strictly past that bound keeps sub-millisecond gaps safe
+    // (floor division would flush early and split an oracle session;
+    // it would also make gaps under 1 ms flush immediately)
+    val gapMs = (gapMicros + 999L) / 1000L
 
     def micros(ts: java.sql.Timestamp): Long =
       ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000L
@@ -271,7 +278,11 @@ object Streams {
     val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
       org.apache.spark.unsafe.types.UTF8String.fromString(horizon))
     require(iv.months == 0, s"horizon must not use months: $horizon")
-    val horizonMs = iv.days * 86400000L + iv.microseconds / 1000L
+    // ceil division: the within-horizon test is conceptually in micros
+    // but deadlines are millisecond-granular — rounding UP keeps a
+    // sub-millisecond horizon component from finalizing one ms early
+    // (same bound argument as sessionizeWithState's gapMs)
+    val horizonMs = iv.days * 86400000L + (iv.microseconds + 999L) / 1000L
 
     // events fold into the chain ONLY once the watermark passes them —
     // an event still above the watermark may yet be preceded by an

@@ -36,6 +36,9 @@ class PlanSpec extends AnyFunSuite {
     val plain = join().collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(plain.size == 50)
     spark.conf.set("spark.graft.bloomJoin.enabled", "true")
+    // the test build side is broadcast-sized; lift the broadcast floor
+    // so the rule engages (prod default skips broadcastable builds)
+    spark.conf.set("spark.graft.bloomJoin.minBuildBytes", "-1")
     try {
       val q = join()
       val opt = q.queryExecution.optimizedPlan.toString
@@ -54,7 +57,10 @@ class PlanSpec extends AnyFunSuite {
       val anti = big.join(small, col("pk") === col("fk"), "left_anti")
       assert(!anti.queryExecution.optimizedPlan.toString.contains("bloom_might_contain"))
       assert(anti.count() == 50000 - 50)
-    } finally spark.conf.set("spark.graft.bloomJoin.enabled", "false")
+    } finally {
+      spark.conf.set("spark.graft.bloomJoin.enabled", "false")
+      spark.conf.unset("spark.graft.bloomJoin.minBuildBytes")
+    }
     // disabled again: no injection
     assert(!join().queryExecution.optimizedPlan.toString.contains("bloom_might_contain"))
   }

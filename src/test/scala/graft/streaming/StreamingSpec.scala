@@ -410,6 +410,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionizeWithState: sub-millisecond gaps never flush early") {
+    implicit val sc = spark.sqlContext
+    // gap = 500us: the fold compares in micros, but flush deadlines are
+    // ms-granular — floor division would give gapMs = 0 and flush the
+    // open session immediately, splitting in-gap events; ceil keeps it
+    val t0 = ts(0)
+    val t1 = new java.sql.Timestamp(t0.getTime)
+    t1.setNanos(400000) // +400us, inside the 500us gap
+    val input = MemoryStream[graft.streaming.SessEvent]
+    val q = Streams.sessionizeWithState(
+        input.toDS().withWatermark("ts", "0 seconds"), gap = "500 microseconds")
+      .writeStream.format("memory").queryName("sess_subms_out")
+      .outputMode("append").start()
+    try {
+      input.addData(graft.streaming.SessEvent("k", t0),
+        graft.streaming.SessEvent("k", t1))
+      q.processAllAvailable()
+      input.addData(graft.streaming.SessEvent("__s", ts(100)))
+      q.processAllAvailable()
+      input.addData(graft.streaming.SessEvent("__s", ts(101)))
+      q.processAllAvailable()
+      val got = spark.table("sess_subms_out")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+        .filter(_._1 == "k")
+      assert(got.toSeq == Seq(("k", t0, 2L)), got.mkString(","))
+    } finally q.stop()
+  }
+
   test("dedupFirstSeen with state TTL re-admits a fingerprint after expiry") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[DocEvent]
