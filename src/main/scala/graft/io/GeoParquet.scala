@@ -49,6 +49,41 @@ object GeoParquet {
     writeSidecar(gf.df.sparkSession, path, gf.geometryCol +: extraGeomCols)
   }
 
+  /** NUMERIC two-column Z-order data-skipping pack: treat
+    * (`xCol`, `yCol`) as a point, hilbert-pack the files so rows close
+    * in BOTH dimensions land in the same file, and write the per-file
+    * min/max sidecar — the spatial machinery doubling as a lakehouse
+    * data-skipping index for ANY numeric pair (ints stay exact as
+    * doubles below 2^53). Read back with [[readNumericRange]]: a 2-D
+    * range predicate prunes whole FILES from the listing before any
+    * footer is opened — the multi-column generalization of single-key
+    * range partitioning, where one sorted column skips well but the
+    * second skips nothing. */
+  def packNumericToParquet(df: DataFrame, xCol: String, yCol: String,
+                           path: String, numPartitions: Int,
+                           p: Int = 15, mode: String = "error"): Unit = {
+    require(!df.columns.contains(ZPointCol),
+      s"input column collides with reserved name $ZPointCol")
+    val gf = graft.api.GeoFrame(
+      df.withColumn(ZPointCol,
+        graft.Geo.st_point(col(xCol).cast("double"), col(yCol).cast("double"))),
+      ZPointCol, "point")
+    packPartitionsToParquet(gf, path, numPartitions, p, mode)
+  }
+
+  /** Range read over a [[packNumericToParquet]] dataset: sidecar file
+    * pruning + the exact inclusive-box residual filter (the same
+    * conservative contract as the spatial read — missing sidecar or
+    * unknown files degrade to a full scan, never to wrong results).
+    * Returns the original columns. */
+  def readNumericRange(spark: SparkSession, path: String,
+                       x0: Double, y0: Double,
+                       x1: Double, y1: Double): DataFrame =
+    read(spark, path, ZPointCol, "point", Some((x0, y0, x1, y1)))
+      .cx(x0, y0, x1, y1).df.drop(ZPointCol)
+
+  private val ZPointCol = "__zpt"
+
   /** Compute per-file bounds for the geometry columns and write the
     * sidecar JSON. One distributed aggregate per call. */
   def writeSidecar(spark: SparkSession, path: String, geomCols: Seq[String]): Unit =

@@ -1153,6 +1153,25 @@ object Queries {
         .agg(count_distinct(col("ps_suppkey")).as("supplier_cnt"))
     }),
 
+    // NUMERIC Z-order data-skipping (GeoParquet.packNumericToParquet):
+    // documents packed by (n_chars, doc_id) through the hilbert
+    // machinery + per-file min/max sidecar, read back with a 2-D range
+    // that prunes FILES from the listing before any footer opens — the
+    // multi-column lakehouse skip a single sorted column can't give
+    // (file-count pruning asserted in GeoPruneSpec; here the gate is
+    // the inclusive-box semantics vs a plain BETWEEN oracle).
+    "zorder_numeric_prune" -> ((s, dir) => {
+      val out = System.getProperty("java.io.tmpdir") +
+        "/graft_zorder_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      graft.io.GeoParquet.packNumericToParquet(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+        "n_chars", "doc_id", out, numPartitions = 8)
+      graft.io.GeoParquet.readNumericRange(s, out, 100, 50, 2000, 250)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+    }),
+
     // Hive-partitioned layout round-trip: write documents partitioned
     // by lang (the layout a multilingual corpus lands in), read back
     // with a partition-column filter. At scale the filter prunes whole
@@ -3055,6 +3074,11 @@ object Queries {
            AND ps_suppkey NOT IN
                (SELECT s_suppkey FROM supplier WHERE s_suppkey % 10 = 7)
          GROUP BY 1, 2, 3""",
+    "zorder_numeric_prune" ->
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+         FROM documents
+         WHERE n_chars BETWEEN 100 AND 2000 AND doc_id BETWEEN 50 AND 250
+         GROUP BY lang""",
     "set_ops_counts" ->
       """SELECT count(*) AS n, 'active' AS which
          FROM (SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders)

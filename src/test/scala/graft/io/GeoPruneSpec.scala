@@ -129,6 +129,32 @@ class GeoPruneSpec extends AnyFunSuite {
     }
   }
 
+  test("numeric z-order pack prunes files on a 2-D range and matches the plain filter") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toFile
+    try {
+      // two independent uniform numeric columns: a single-column sort
+      // would skip on one and nothing on the other; the z-pack gives
+      // both dimensions locality, so a small 2-D box hits few files
+      val rnd = new scala.util.Random(41)
+      val rows = (0 until 4000).map(i =>
+        (i.toLong, rnd.nextInt(1000), rnd.nextInt(1000)))
+      val df = rows.toDF("id", "a", "b")
+      GeoParquet.packNumericToParquet(df, "a", "b", s"$dir/z", 8)
+      val total = new java.io.File(s"$dir/z").listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+      assert(total >= 8, s"expected >= 8 data files, got $total")
+      val pruned = GeoParquet.readNumericRange(spark, s"$dir/z", 0, 0, 120, 120)
+      assert(scannedFiles(pruned) < total,
+        s"no file pruning: ${scannedFiles(pruned)} of $total")
+      val got = pruned.select("id").as[Long].collect().toSet
+      val want = rows.filter(r => r._2 <= 120 && r._3 <= 120).map(_._1).toSet
+      assert(got == want)
+      // inclusive-box boundary: a probe exactly on the edge survives
+      val edge = rows.find(r => r._2 == 120).map(_._1)
+      edge.foreach(id => assert(!want.contains(id) || got.contains(id)))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
   test("point cx comparisons prune files too (no kernel predicate needed)") {
     val dir = java.nio.file.Files.createTempDirectory("pointprune").toFile
     try {
