@@ -1993,6 +1993,52 @@ object Queries {
           col("sessionStart").as("session_start"), col("n"))
     }),
 
+    // Per-key event-time RATE LIMITER, batch shape: first 3 events per
+    // (user, hour window) in strict (ts, event_id) order — quota
+    // shaping for ingestion. The window is integer micros arithmetic
+    // (epoch_us div 3.6e9), replayed identically by the oracle.
+    "rate_limit_hourly" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("win"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      EventTs.toTimestamp(t(s, dir, "events"))
+        .withColumn("win", expr("unix_micros(ts) div 3600000000"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("user_id"), col("event_id"))
+    }),
+
+    // The CUSTOM-STATE streaming twin (Streams.rateLimit): per-key
+    // admitted-count state per open window, events buffered until the
+    // watermark passes them (admission depends on ORDER — an
+    // out-of-order arrival may claim a slot), window counters pruned
+    // once the watermark closes the window. Same oracle as the batch
+    // shape: the admitted SET is replay-stable by construction.
+    "stream_rate_limit" -> ((s, dir) => {
+      import s.implicits._
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      def src = EventTs.toTimestamp(s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+      val sentinel = src.where(col("event_id") % 100 === 0)
+        .withColumn("user_id", lit(-1L))
+        .withColumn("ts", col("ts") + expr("INTERVAL 36500 DAYS"))
+      val events = src.unionAll(sentinel)
+        .select(col("user_id").as("userId"), col("ts"),
+          col("event_id").as("eventId"), col("event_type").as("eventType"))
+        .withWatermark("ts", "1 minute")
+        .as[graft.streaming.StateEvent]
+      val kept = graft.streaming.Streams.rateLimit(events, limit = 3,
+        window = "1 hour")
+      val qName = "graft_stream_rate_limit"
+      s.streams.active.filter(q => q.name == qName).foreach(_.stop())
+      val q = kept.toDF().writeStream.format("memory").queryName(qName)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qName).where(col("userId") >= 0)
+        .select(col("userId").as("user_id"), col("eventId").as("event_id"))
+    }),
+
     // SURVEY §2.7 sessionization — session_window (the Structured
     // Streaming session operator, here in batch) checked against a
     // gaps-and-islands SQL oracle: a session breaks when the gap to the
@@ -2325,6 +2371,18 @@ object Queries {
   }
   private def leHexSql(h: String): String =
     (15 to 1 by -2).map(i => s"substr($h,$i,2)").mkString("||")
+
+  // shared by the batch window-rank rate limiter and the custom-state
+  // streaming twin: both must admit exactly the first 3 events per
+  // (user, hour window) under the (ts, event_id) total order
+  private lazy val rateLimitOracle: String =
+    """SELECT user_id, event_id FROM (
+         SELECT user_id, event_id,
+                row_number() OVER (PARTITION BY user_id,
+                                                epoch_us(ts) // 3600000000
+                                   ORDER BY ts, event_id) AS rn
+         FROM events)
+       WHERE rn <= 3"""
 
   // shared by batch event_sessions and the streaming session_window
   // twin: both must reproduce the gaps-and-islands session rollup
@@ -3173,6 +3231,8 @@ object Queries {
          FROM events GROUP BY 1, 2""",
     "event_sessions" -> eventSessionsOracle,
     "event_sessions_stream_state" -> eventSessionsOracle,
+    "rate_limit_hourly" -> rateLimitOracle,
+    "stream_rate_limit" -> rateLimitOracle,
     // the streaming session_window run must land on the same sessions
     "event_sessions_stream" -> eventSessionsOracle,
     // the stream-static anti-join must keep the same survivors as the

@@ -26,6 +26,14 @@ case class Scd2State(state: Option[String],
                      validFrom: Option[java.sql.Timestamp],
                      pending: Seq[StateEvent], lastMs: Long)
 
+/** One kept event emitted by [[Streams.rateLimit]]. */
+case class RateKept(userId: Long, eventId: Long)
+
+/** Per-key [[Streams.rateLimit]] state: the lateness buffer plus the
+  * admitted-count per still-open event-time window (windows whose end
+  * has passed the watermark are pruned — they can never admit again). */
+case class RateState(pending: Seq[StateEvent], wins: Map[Long, Long])
+
 /** One keyed observation for the custom-state sessionizer. */
 case class SessEvent(key: String, ts: java.sql.Timestamp)
 
@@ -366,6 +374,85 @@ object Streams {
         st.setTimeoutTimestamp(math.max(lastMs + horizonMs, wm + 1))
         out.iterator
       }
+    }
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /**
+   * Per-key event-time RATE LIMITER: within each tumbling window of
+   * `window` event time, admit the FIRST `limit` events per key in
+   * strict (ts, eventId) order and drop the rest — quota shaping /
+   * throttling for ingestion pipelines (crawler politeness, per-tenant
+   * caps), deterministic in event time so the admitted set is
+   * replay-stable and oracle-checkable (row_number per (key, window)
+   * <= limit in any SQL engine).
+   *
+   * Same buffering discipline as [[scd2Intervals]]: events hold in
+   * state until the watermark strictly passes them (admission depends
+   * on ORDER — an out-of-order arrival may claim a slot ahead of a
+   * buffered event; emitting early would admit the wrong events and
+   * append mode cannot retract), then fold in order against the
+   * per-window admitted counts. A window's counter is pruned once the
+   * watermark passes the window END (every still-possible arrival in
+   * it would be late), so state per key = lateness buffer + the
+   * handful of open-window counters — bounded at any scale, any
+   * runtime. Timeouts re-arm at wm+1: each watermark advance folds
+   * whatever just became ready, and state removes itself once nothing
+   * is pending and every window is closed.
+   */
+  def rateLimit(events: Dataset[StateEvent], limit: Long,
+                window: String = "1 hour"): Dataset[RateKept] = {
+    import events.sparkSession.implicits._
+    require(limit >= 1, s"limit must be >= 1: $limit")
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(window))
+    require(iv.months == 0, s"window must not use months: $window")
+    val winMicros = iv.days * 86400000000L + iv.microseconds
+    require(winMicros > 0, s"window must be positive: $window")
+
+    def micros(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000L
+    def sortEvs(evs: Seq[StateEvent]): Seq[StateEvent] =
+      evs.sortWith((a, b) => {
+        val c = a.ts.compareTo(b.ts)
+        c < 0 || (c == 0 && a.eventId < b.eventId)
+      })
+    // a window is CLOSED once even its last microsecond is late:
+    // ms(windowEnd - 1us) < wm
+    def closed(w: Long, wm: Long): Boolean =
+      ((w + 1) * winMicros - 1) / 1000L < wm
+
+    def fn(user: Long, it: Iterator[StateEvent],
+           st: GroupState[RateState]): Iterator[RateKept] = {
+      val wm = st.getCurrentWatermarkMs
+      val s0 = st.getOption.getOrElse(RateState(Seq.empty, Map.empty))
+      val incoming = if (st.hasTimedOut) Seq.empty else it.toSeq
+      val all = sortEvs(s0.pending ++ incoming)
+      val (ready, hold) = all.partition(_.ts.getTime + 1 <= wm)
+      var wins = s0.wins
+      val out = scala.collection.mutable.ArrayBuffer.empty[RateKept]
+      ready.foreach { e =>
+        val w = Math.floorDiv(micros(e.ts), winMicros)
+        val c = wins.getOrElse(w, 0L)
+        if (c < limit) {
+          out += RateKept(user, e.eventId)
+          wins = wins.updated(w, c + 1)
+        } else if (c == limit) {
+          // saturate instead of counting on: the counter only needs
+          // to answer "full?", and a hot key's overflow stays O(1)
+          wins = wins.updated(w, limit + 1)
+        }
+      }
+      wins = wins.filter { case (w, _) => !closed(w, wm) }
+      if (hold.isEmpty && wins.isEmpty) {
+        if (st.exists) st.remove()
+      } else {
+        st.update(RateState(hold, wins))
+        st.setTimeoutTimestamp(wm + 1)
+      }
+      out.iterator
     }
     events.groupByKey(_.userId)
       .flatMapGroupsWithState(OutputMode.Append,

@@ -410,6 +410,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("rateLimit admits the first N per window in event-time order across batches") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[StateEvent]
+    val q = Streams.rateLimit(
+        input.toDS().withWatermark("ts", "5 minutes"),
+        limit = 2, window = "1 hour")
+      .writeStream.format("memory").queryName("rate_out")
+      .outputMode("append").start()
+    try {
+      // out-of-order delivery INSIDE the watermark: ts=3min arrives
+      // before ts=1min — buffered admission must give the slots to
+      // minutes 1 and 3, not to whatever arrived first
+      input.addData(StateEvent(1, ts(3), 103, "x"), StateEvent(1, ts(4), 104, "x"))
+      q.processAllAvailable()
+      input.addData(StateEvent(1, ts(1), 101, "x"))
+      q.processAllAvailable()
+      // second hour: the window counter resets (minute 61, 62, 63)
+      input.addData(StateEvent(1, ts(61), 201, "x"),
+        StateEvent(1, ts(62), 202, "x"), StateEvent(1, ts(63), 203, "x"))
+      q.processAllAvailable()
+      // sentinel advances the watermark past everything; a second
+      // advance lets the re-armed timeouts drain the buffers
+      input.addData(StateEvent(-1, ts(10000), 0, "x"))
+      q.processAllAvailable()
+      input.addData(StateEvent(-1, ts(10001), 1, "x"))
+      q.processAllAvailable()
+      val got = spark.table("rate_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .filter(_._1 >= 0).toSet
+      assert(got == Set((1L, 101L), (1L, 103L), (1L, 201L), (1L, 202L)),
+        got.toSeq.sorted.mkString(","))
+    } finally q.stop()
+  }
+
   test("sessionizeWithState: sub-millisecond gaps never flush early") {
     implicit val sc = spark.sqlContext
     // gap = 500us: the fold compares in micros, but flush deadlines are
