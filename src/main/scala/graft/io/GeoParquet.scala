@@ -62,20 +62,30 @@ object GeoParquet {
   def packNumericToParquet(df: DataFrame, xCol: String, yCol: String,
                            path: String, numPartitions: Int,
                            p: Int = 15, mode: String = "error"): Unit = {
-    require(!df.columns.contains(ZPointCol),
-      s"input column collides with reserved name $ZPointCol")
+    // both internal names must be free: __zpt is WRITTEN (the range
+    // read filters on it), and packPartitions would silently OVERWRITE
+    // a pre-existing hilbert_distance column with curve values —
+    // corrupting user data on read-back
+    Seq(ZPointCol, "hilbert_distance").foreach(c =>
+      require(!df.columns.contains(c),
+        s"input column collides with reserved name $c"))
     val gf = graft.api.GeoFrame(
       df.withColumn(ZPointCol,
         graft.Geo.st_point(col(xCol).cast("double"), col(yCol).cast("double"))),
       ZPointCol, "point")
-    packPartitionsToParquet(gf, path, numPartitions, p, mode)
+    // the curve rank is a transient sort key — only the point column
+    // persists (the sidecar + residual filter need it)
+    gf.packPartitions(numPartitions, p).df.drop("hilbert_distance")
+      .write.mode(mode).parquet(path)
+    writeSidecar(df.sparkSession, path, Seq(ZPointCol))
   }
 
   /** Range read over a [[packNumericToParquet]] dataset: sidecar file
     * pruning + the exact inclusive-box residual filter (the same
     * conservative contract as the spatial read — missing sidecar or
     * unknown files degrade to a full scan, never to wrong results).
-    * Returns the original columns. */
+    * Inverted ranges normalize like `cx`. Returns the original
+    * columns. */
   def readNumericRange(spark: SparkSession, path: String,
                        x0: Double, y0: Double,
                        x1: Double, y1: Double): DataFrame =
@@ -218,7 +228,14 @@ object GeoParquet {
            bounds: Option[(Double, Double, Double, Double)] = None): GeoFrame = {
     val conf = spark.sessionState.newHadoopConf()
     val sidecarText = bounds.flatMap(_ => readSidecarText(path, conf))
-    val df = (bounds, sidecarText) match {
+    // normalize inverted rects like GeoFrame.cx does: the residual
+    // filters callers compose (cx, intersects_bounds) normalize, and a
+    // raw inverted box here would prune files INSIDE the intended
+    // range — silent row loss, not conservatism
+    val normBounds = bounds.map { case (a, b, c, d) =>
+      (math.min(a, c), math.min(b, d), math.max(a, c), math.max(b, d))
+    }
+    val df = (normBounds, sidecarText) match {
       case (Some((qx0, qy0, qx1, qy1)), Some(text)) =>
         val perFile = parseSidecar(text, geomCol)
         // Conservative pruning, mirroring the planner rule: a sidecar

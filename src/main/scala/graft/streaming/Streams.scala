@@ -59,7 +59,27 @@ case class SessionState(start: Option[java.sql.Timestamp],
  * sessions, and a keyed flatMapGroupsWithState for streaming first-seen
  * dedup (state bounded by an event-time TTL so it scales indefinitely).
  */
-object Streams {
+object Streams extends Serializable {
+  // ^ the custom-state fns below reference the shared helpers, so the
+  // closures capture this (stateless) object — it must serialize
+
+  /** Timestamp → micros since epoch at FULL precision (getTime alone
+    * truncates to millis) — shared by every custom-state machine so a
+    * precision fix lands once, not per operator. */
+  private def tsMicros(ts: java.sql.Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000L
+
+  /** The (ts, eventId) total order every custom-state fold runs in
+    * (Timestamp.compareTo keeps full micros precision). */
+  private def sortByTsId(evs: Seq[StateEvent]): Seq[StateEvent] =
+    evs.sortWith((a, b) => {
+      val c = a.ts.compareTo(b.ts)
+      c < 0 || (c == 0 && a.eventId < b.eventId)
+    })
+
+  /** Plain event-time order for key-free buffers. */
+  private def sortByTs(tss: Seq[java.sql.Timestamp]): Seq[java.sql.Timestamp] =
+    tss.sortWith(_.compareTo(_) < 0)
 
   /** Streaming twin of the batch `events_hourly` query: tumbling 1-hour
     * counts per event type, late data bounded by `watermark`. Extra
@@ -165,11 +185,6 @@ object Streams {
     // it would also make gaps under 1 ms flush immediately)
     val gapMs = (gapMicros + 999L) / 1000L
 
-    def micros(ts: java.sql.Timestamp): Long =
-      ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000L
-    def sortTs(tss: Seq[java.sql.Timestamp]): Seq[java.sql.Timestamp] =
-      tss.sortWith(_.compareTo(_) < 0)
-
     // fold ready (sorted, below-watermark) events into the open edge,
     // emitting a closed session at every >= gap break
     def fold(key: String, edge0: (Option[java.sql.Timestamp], Option[java.sql.Timestamp], Long),
@@ -179,7 +194,7 @@ object Streams {
       var (start, last, n) = edge0
       ready.foreach { ts =>
         (start, last) match {
-          case (Some(s0), Some(l0)) if micros(ts) - micros(l0) >= gapMicros =>
+          case (Some(s0), Some(l0)) if tsMicros(ts) - tsMicros(l0) >= gapMicros =>
             out += SessionOut(key, s0, n)
             start = Some(ts); last = Some(ts); n = 1L
           case (Some(_), Some(_)) =>
@@ -196,7 +211,7 @@ object Streams {
       if (st.hasTimedOut) {
         val s = st.get
         val wm = st.getCurrentWatermarkMs
-        val all = sortTs(s.pending)
+        val all = sortByTs(s.pending)
         val (ready, hold) = all.partition(_.getTime + 1 <= wm)
         val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
         val (start, last, n) = fold(key, (s.start, s.last, s.n), ready, out)
@@ -211,7 +226,7 @@ object Streams {
       } else {
         val wm = st.getCurrentWatermarkMs
         val s0 = st.getOption.getOrElse(SessionState(None, None, 0L, Seq.empty, 0L))
-        val all = sortTs(s0.pending ++ it.map(_.ts))
+        val all = sortByTs(s0.pending ++ it.map(_.ts))
         val (ready, hold) = all.partition(_.getTime + 1 <= wm)
         val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
         val (start, last, n) = fold(key, (s0.start, s0.last, s0.n), ready, out)
@@ -299,14 +314,6 @@ object Streams {
     // mode cannot retract). Pending is bounded by the watermark delay
     // per user in steady state — the same lateness buffer every
     // event-time operator keeps.
-    def sortEvs(evs: Seq[StateEvent]): Seq[StateEvent] =
-      evs.sortWith((a, b) => {
-        // Timestamp.compareTo keeps full micros precision (getTime
-        // alone truncates to millis)
-        val c = a.ts.compareTo(b.ts)
-        c < 0 || (c == 0 && a.eventId < b.eventId)
-      })
-
     def fold(user: Long, chain0: Option[(String, java.sql.Timestamp)],
              evs: Seq[StateEvent], out: scala.collection.mutable.ArrayBuffer[ScdSlice])
         : Option[(String, java.sql.Timestamp)] = {
@@ -339,7 +346,7 @@ object Streams {
         // post-horizon and starts a fresh chain BY DESIGN.
         val s = st.get
         val wm = st.getCurrentWatermarkMs
-        val all = sortEvs(s.pending)
+        val all = sortByTsId(s.pending)
         val (ready, hold) = all.partition(_.ts.getTime + 1 <= wm)
         val out = scala.collection.mutable.ArrayBuffer.empty[ScdSlice]
         val chain0 = s.state.map(st0 => (st0, s.validFrom.get))
@@ -357,7 +364,7 @@ object Streams {
       } else {
         val wm = st.getCurrentWatermarkMs
         val s0 = st.getOption.getOrElse(Scd2State(None, None, Seq.empty, 0L))
-        val all = sortEvs(s0.pending ++ it)
+        val all = sortByTsId(s0.pending ++ it)
         // fold only events STRICTLY below the watermark millisecond
         // (getTime truncates micros — the conservative side holds an
         // event whose ms equals the watermark's)
@@ -412,13 +419,6 @@ object Streams {
     val winMicros = iv.days * 86400000000L + iv.microseconds
     require(winMicros > 0, s"window must be positive: $window")
 
-    def micros(ts: java.sql.Timestamp): Long =
-      ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000L
-    def sortEvs(evs: Seq[StateEvent]): Seq[StateEvent] =
-      evs.sortWith((a, b) => {
-        val c = a.ts.compareTo(b.ts)
-        c < 0 || (c == 0 && a.eventId < b.eventId)
-      })
     // a window is CLOSED once even its last microsecond is late:
     // ms(windowEnd - 1us) < wm
     def closed(w: Long, wm: Long): Boolean =
@@ -429,12 +429,12 @@ object Streams {
       val wm = st.getCurrentWatermarkMs
       val s0 = st.getOption.getOrElse(RateState(Seq.empty, Map.empty))
       val incoming = if (st.hasTimedOut) Seq.empty else it.toSeq
-      val all = sortEvs(s0.pending ++ incoming)
+      val all = sortByTsId(s0.pending ++ incoming)
       val (ready, hold) = all.partition(_.ts.getTime + 1 <= wm)
       var wins = s0.wins
       val out = scala.collection.mutable.ArrayBuffer.empty[RateKept]
       ready.foreach { e =>
-        val w = Math.floorDiv(micros(e.ts), winMicros)
+        val w = Math.floorDiv(tsMicros(e.ts), winMicros)
         val c = wins.getOrElse(w, 0L)
         if (c < limit) {
           out += RateKept(user, e.eventId)

@@ -136,8 +136,11 @@ class GeoPruneSpec extends AnyFunSuite {
       // would skip on one and nothing on the other; the z-pack gives
       // both dimensions locality, so a small 2-D box hits few files
       val rnd = new scala.util.Random(41)
+      // id 99999 sits EXACTLY on the box corner — pins inclusive-box
+      // semantics (an off-by-one exclusive filter would drop it)
       val rows = (0 until 4000).map(i =>
-        (i.toLong, rnd.nextInt(1000), rnd.nextInt(1000)))
+        (i.toLong, rnd.nextInt(1000), rnd.nextInt(1000))) :+
+        ((99999L, 120, 120))
       val df = rows.toDF("id", "a", "b")
       GeoParquet.packNumericToParquet(df, "a", "b", s"$dir/z", 8)
       val total = new java.io.File(s"$dir/z").listFiles()
@@ -148,10 +151,12 @@ class GeoPruneSpec extends AnyFunSuite {
         s"no file pruning: ${scannedFiles(pruned)} of $total")
       val got = pruned.select("id").as[Long].collect().toSet
       val want = rows.filter(r => r._2 <= 120 && r._3 <= 120).map(_._1).toSet
+      assert(got.contains(99999L), "corner row must survive (inclusive box)")
       assert(got == want)
-      // inclusive-box boundary: a probe exactly on the edge survives
-      val edge = rows.find(r => r._2 == 120).map(_._1)
-      edge.foreach(id => assert(!want.contains(id) || got.contains(id)))
+      // inverted bounds normalize like cx — same rows, no silent loss
+      // from the sidecar prune using the raw box
+      val inv = GeoParquet.readNumericRange(spark, s"$dir/z", 120, 120, 0, 0)
+      assert(inv.select("id").as[Long].collect().toSet == want)
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 
