@@ -57,6 +57,20 @@ class PlanSpec extends AnyFunSuite {
       val anti = big.join(small, col("pk") === col("fk"), "left_anti")
       assert(!anti.queryExecution.optimizedPlan.toString.contains("bloom_might_contain"))
       assert(anti.count() == 50000 - 50)
+      // the PRODUCTION scenario: broadcast disabled (the non-
+      // broadcastable-build case the rule exists for) — the physical
+      // plan must be a shuffle join WITH the bloom filter on the probe
+      // side, and results must still match
+      val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val smj = join()
+        val phys = finalPlan(smj)
+        assert(phys.contains("bloom_might_contain"), s"no prefilter in:\n$phys")
+        assert(phys.contains("SortMergeJoin") || phys.contains("ShuffledHashJoin"),
+          s"expected a shuffle join:\n$phys")
+        assert(smj.collect().map(r => (r.getLong(0), r.getInt(1))).toSet == plain)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
     } finally {
       spark.conf.set("spark.graft.bloomJoin.enabled", "false")
       spark.conf.unset("spark.graft.bloomJoin.minBuildBytes")
