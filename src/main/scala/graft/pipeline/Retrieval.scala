@@ -210,4 +210,44 @@ object Retrieval {
           .when(col("__h_old") === col("__h_new"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }
+
+  /**
+   * CDC changelog APPLY — the MERGE INTO / upsert shape of lakehouse
+   * table maintenance: fold a changelog of (key, ts, seq, op,
+   * payload…) rows into a snapshot, LATEST-WINS per key under the
+   * (tsCol, seqCol) order; an op of "D" deletes the key, anything
+   * else ("I"/"U") upserts the payload (keys absent from the snapshot
+   * insert). Unchanged snapshot rows pass through untouched.
+   *
+   * Scale shape: ONE keyed aggregate collapses the changelog to its
+   * per-key latest row via max(struct(ts, seq, op, payload…)) —
+   * lexicographic struct max, partially aggregated MAP-SIDE, so a
+   * hot key's million-row history arrives at the reducer already
+   * folded (the window-rank formulation shuffles and sorts every
+   * version instead). Then one anti join carries untouched snapshot
+   * rows past the touched-key set and the surviving upserts union in;
+   * the (wide) snapshot crosses exactly one key shuffle.
+   *
+   * Contract: (tsCol, seqCol) must totally order each key's changes
+   * (equal pairs would tie-break on op then payload bytes — make the
+   * sequence number unique instead). The changelog must carry every
+   * snapshot payload column plus tsCol/seqCol/opCol.
+   */
+  def applyChangelog(snapshot: DataFrame, changelog: DataFrame,
+                     keyCol: String, tsCol: String, seqCol: String,
+                     opCol: String): DataFrame = {
+    val payload = snapshot.columns.filterNot(_ == keyCol).toSeq
+    val missing = (Seq(keyCol, tsCol, seqCol, opCol) ++ payload)
+      .filterNot(changelog.columns.contains)
+    require(missing.isEmpty,
+      s"changelog is missing column(s): ${missing.mkString(", ")}")
+    val latest = changelog.groupBy(col(keyCol))
+      .agg(max(struct((Seq(tsCol, seqCol, opCol) ++ payload).map(col): _*))
+        .as("__c"))
+    val upserts = latest
+      .where(col("__c").getField(opCol) =!= "D")
+      .select(col(keyCol) +: payload.map(c => col("__c").getField(c).as(c)): _*)
+    snapshot.join(latest, Seq(keyCol), "left_anti")
+      .unionByName(upserts)
+  }
 }

@@ -1785,6 +1785,36 @@ object PipelineQueries {
         .select(col("id").as("doc_id"), col("status"))
     }),
 
+    // CDC changelog APPLY (Retrieval.applyChangelog) — the MERGE INTO
+    // / upsert shape: a synthetic changelog with two-version updates
+    // (latest wins), deletes, a delete-then-update conflict (the later
+    // update must resurrect the row), and inserts of new keys, folded
+    // into the documents snapshot. The engine's map-side struct-max
+    // latest-row pick must equal the oracle's window-rank formulation.
+    "cdc_apply_latest" -> ((s, dir) => {
+      val snap = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        col("n_chars"))
+      def c(cond: Column, ts: Int, op: String, id: Column, lang: Column,
+            nchars: Column) =
+        snap.where(cond).select(id.as("doc_id"), lit(ts).as("ts"),
+          lit(0).as("seq"), lit(op).as("op"), lang.as("lang"),
+          nchars.as("n_chars"))
+      val chg =
+        c(col("doc_id") % 7 === 1, 1, "U", col("doc_id"), col("lang"),
+            col("n_chars") + 1000)
+          .unionAll(c(col("doc_id") % 7 === 1, 2, "U", col("doc_id"),
+            col("lang"), col("n_chars") + 2000))
+          .unionAll(c(col("doc_id") % 11 === 3, 3, "D", col("doc_id"),
+            col("lang"), col("n_chars")))
+          .unionAll(c(col("doc_id") % 13 === 5, 4, "D", col("doc_id"),
+            col("lang"), col("n_chars")))
+          .unionAll(c(col("doc_id") % 13 === 5, 5, "U", col("doc_id"),
+            col("lang"), col("n_chars") + 7))
+          .unionAll(c(col("doc_id") % 17 === 2, 1, "I",
+            col("doc_id") + 500000, lit("xx"), col("doc_id")))
+      Retrieval.applyChangelog(snap, chg, "doc_id", "ts", "seq", "op")
+    }),
+
     // content-defined chunking: corpus plus PREFIX-SHIFTED copies —
     // CDC boundaries re-synchronize after the insertion (the dedup
     // property fixed-size chunking lacks); every chunk of every doc is
@@ -4257,6 +4287,30 @@ object PipelineQueries {
          UNION ALL
          SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
                 count(DISTINCT o_orderpriority) FROM base""",
+    "cdc_apply_latest" ->
+      """WITH snap AS (SELECT doc_id, lang, n_chars FROM documents),
+         chg AS (
+           SELECT doc_id, 1 AS ts, 0 AS seq, 'U' AS op, lang,
+                  n_chars + 1000 AS n_chars FROM snap WHERE doc_id % 7 = 1
+           UNION ALL SELECT doc_id, 2, 0, 'U', lang, n_chars + 2000
+             FROM snap WHERE doc_id % 7 = 1
+           UNION ALL SELECT doc_id, 3, 0, 'D', lang, n_chars
+             FROM snap WHERE doc_id % 11 = 3
+           UNION ALL SELECT doc_id, 4, 0, 'D', lang, n_chars
+             FROM snap WHERE doc_id % 13 = 5
+           UNION ALL SELECT doc_id, 5, 0, 'U', lang, n_chars + 7
+             FROM snap WHERE doc_id % 13 = 5
+           UNION ALL SELECT doc_id + 500000, 1, 0, 'I', 'xx', doc_id
+             FROM snap WHERE doc_id % 17 = 2),
+         latest AS (
+           SELECT * FROM (
+             SELECT *, row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY ts DESC, seq DESC) AS rn
+             FROM chg) WHERE rn = 1)
+         SELECT s.doc_id, s.lang, s.n_chars FROM snap s
+         WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.doc_id = s.doc_id)
+         UNION ALL
+         SELECT doc_id, lang, n_chars FROM latest WHERE op <> 'D'""",
     "snapshot_diff" ->
       """WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 4),
          nw AS (SELECT doc_id,

@@ -149,4 +149,31 @@ class RetrievalSpec extends AnyFunSuite {
     assert(r.toSeq == Seq((1L, "removed"), (2L, "unchanged"),
       (3L, "changed"), (4L, "added")))
   }
+
+  test("applyChangelog: latest-wins upsert/delete/resurrect/insert semantics") {
+    val snap = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L),
+      (4L, "d", 40L)).toDF("id", "v", "n")
+    val chg = Seq(
+      // id 2: two updates — the later one wins
+      (2L, 1, 0, "U", "b1", 21L), (2L, 2, 0, "U", "b2", 22L),
+      // id 3: deleted
+      (3L, 1, 0, "D", "c", 30L),
+      // id 4: delete then a LATER update — the row must resurrect
+      (4L, 1, 0, "D", "d", 40L), (4L, 2, 0, "U", "d2", 42L),
+      // id 9: insert of a key absent from the snapshot
+      (9L, 1, 0, "I", "new", 90L),
+      // id 5: same ts, seq breaks the tie — seq 1 wins
+      (5L, 1, 0, "I", "x0", 50L), (5L, 1, 1, "U", "x1", 51L)
+    ).toDF("id", "ts", "seq", "op", "v", "n")
+    val out = Retrieval.applyChangelog(snap, chg, "id", "ts", "seq", "op")
+      .orderBy("id").as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq((1L, "a", 10L), (2L, "b2", 22L), (4L, "d2", 42L),
+      (5L, "x1", 51L), (9L, "new", 90L)))
+    // a changelog missing a payload column fails fast NAMING it
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.applyChangelog(snap,
+        chg.drop("n"), "id", "ts", "seq", "op")
+    }
+    assert(e.getMessage.contains("n"))
+  }
 }
