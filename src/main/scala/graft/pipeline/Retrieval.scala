@@ -250,4 +250,39 @@ object Retrieval {
     snapshot.join(latest, Seq(keyCol), "left_anti")
       .unionByName(upserts)
   }
+
+  /**
+   * SPLIT-INVARIANT versioned merge — the incremental/streaming form
+   * of [[applyChangelog]]. Both `state` and `changes` carry
+   * (key, ts, seq, op, payload…); the merge keeps, per key, the row
+   * with the maximum (ts, seq) INCLUDING "D" tombstones. Because a
+   * per-key max is associative and commutative, applying a changelog
+   * in ANY batch split — or out of order across batches — yields the
+   * same table: a batch that arrives carrying only OLDER versions of
+   * a key can never regress the stored row, and an old update can
+   * never resurrect a newer delete ([[applyChangelog]], which drops
+   * tombstones, has neither property — it is the one-shot form).
+   * Filter `op != "D"` for the user view; a compaction may drop
+   * tombstones once no older change can still arrive (the same
+   * watermark argument as streaming state eviction).
+   *
+   * Scale shape: one keyed max(struct…) aggregate over
+   * state ∪ changes — map-side partial like [[applyChangelog]]; the
+   * state table crosses one key shuffle per merge.
+   */
+  def mergeVersioned(state: DataFrame, changes: DataFrame, keyCol: String,
+                     tsCol: String, seqCol: String,
+                     opCol: String): DataFrame = {
+    val ordered = Seq(tsCol, seqCol, opCol) ++
+      state.columns.filterNot(c =>
+        c == keyCol || c == tsCol || c == seqCol || c == opCol)
+    val missing = (keyCol +: ordered).filterNot(changes.columns.contains)
+    require(missing.isEmpty,
+      s"changes are missing column(s): ${missing.mkString(", ")}")
+    state.unionByName(changes.select(state.columns.map(col).toSeq: _*))
+      .groupBy(col(keyCol))
+      .agg(max(struct(ordered.map(col): _*)).as("__c"))
+      .select(col(keyCol) +:
+        ordered.map(c => col("__c").getField(c).as(c)): _*)
+  }
 }

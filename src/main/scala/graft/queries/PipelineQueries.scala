@@ -1815,6 +1815,63 @@ object PipelineQueries {
       Retrieval.applyChangelog(snap, chg, "doc_id", "ts", "seq", "op")
     }),
 
+    // The STREAMING upsert sink on the same oracle: the landing table
+    // stores one (ts, seq, op, payload) row per key INCLUDING "D"
+    // tombstones, and each micro-batch folds in via the
+    // split-invariant Retrieval.mergeVersioned (per-key struct max is
+    // associative+commutative, so ANY batch split — or out-of-order
+    // batches — converges to the identical table; an old update can
+    // never resurrect a newer delete). Final view (op != 'D') must
+    // hash-match the one-shot batch apply — merge-on-read CDC as a
+    // checked property.
+    "stream_cdc_upsert" -> ((s, dir) => {
+      val landing = System.getProperty("java.io.tmpdir") +
+        "/graft_cdc_landing_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(landing))
+      // init: the snapshot itself as version (0, 0, 'I') rows
+      t(s, dir, "documents")
+        .select(col("doc_id"), lit(0).as("ts"), lit(0).as("seq"),
+          lit("I").as("op"), col("lang"), col("n_chars"))
+        .write.parquet(landing)
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      def src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      def c(cond: Column, ts: Int, op: String, id: Column, lang: Column,
+            nchars: Column) =
+        src.where(cond).select(id.as("doc_id"), lit(ts).as("ts"),
+          lit(0).as("seq"), lit(op).as("op"), lang.as("lang"),
+          nchars.as("n_chars"))
+      val chg =
+        c(col("doc_id") % 7 === 1, 1, "U", col("doc_id"), col("lang"),
+            col("n_chars") + 1000)
+          .unionAll(c(col("doc_id") % 7 === 1, 2, "U", col("doc_id"),
+            col("lang"), col("n_chars") + 2000))
+          .unionAll(c(col("doc_id") % 11 === 3, 3, "D", col("doc_id"),
+            col("lang"), col("n_chars")))
+          .unionAll(c(col("doc_id") % 13 === 5, 4, "D", col("doc_id"),
+            col("lang"), col("n_chars")))
+          .unionAll(c(col("doc_id") % 13 === 5, 5, "U", col("doc_id"),
+            col("lang"), col("n_chars") + 7))
+          .unionAll(c(col("doc_id") % 17 === 2, 1, "I",
+            col("doc_id") + 500000, lit("xx"), col("doc_id")))
+      val qName = "graft_stream_cdc_upsert"
+      s.streams.active.filter(q => q.name == qName).foreach(_.stop())
+      val q = chg.writeStream.queryName(qName)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val merged = Retrieval.mergeVersioned(
+              s.read.parquet(landing), batch,
+              "doc_id", "ts", "seq", "op")
+            .localCheckpoint(true) // materialize BEFORE overwriting the input
+          merged.write.mode("overwrite").parquet(landing)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(landing).where(col("op") =!= "D")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
     // content-defined chunking: corpus plus PREFIX-SHIFTED copies —
     // CDC boundaries re-synchronize after the insertion (the dedup
     // property fixed-size chunking lacks); every chunk of every doc is
@@ -2527,6 +2584,34 @@ object PipelineQueries {
   // sorted-neighborhood replay: the SAME fingerprint chain over the
   // planted corpus, then row_number over (simhash, doc_id) and a
   // rank-window self-join — rank, window, hamming all bit-for-bit
+  // shared by the one-shot batch changelog apply and the streaming
+  // versioned-merge upsert sink: both must produce the identical
+  // latest-wins view of the same synthetic changelog
+  private val cdcApplyOracle: String =
+    """WITH snap AS (SELECT doc_id, lang, n_chars FROM documents),
+       chg AS (
+         SELECT doc_id, 1 AS ts, 0 AS seq, 'U' AS op, lang,
+                n_chars + 1000 AS n_chars FROM snap WHERE doc_id % 7 = 1
+         UNION ALL SELECT doc_id, 2, 0, 'U', lang, n_chars + 2000
+           FROM snap WHERE doc_id % 7 = 1
+         UNION ALL SELECT doc_id, 3, 0, 'D', lang, n_chars
+           FROM snap WHERE doc_id % 11 = 3
+         UNION ALL SELECT doc_id, 4, 0, 'D', lang, n_chars
+           FROM snap WHERE doc_id % 13 = 5
+         UNION ALL SELECT doc_id, 5, 0, 'U', lang, n_chars + 7
+           FROM snap WHERE doc_id % 13 = 5
+         UNION ALL SELECT doc_id + 500000, 1, 0, 'I', 'xx', doc_id
+           FROM snap WHERE doc_id % 17 = 2),
+       latest AS (
+         SELECT * FROM (
+           SELECT *, row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY ts DESC, seq DESC) AS rn
+           FROM chg) WHERE rn = 1)
+       SELECT s.doc_id, s.lang, s.n_chars FROM snap s
+       WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.doc_id = s.doc_id)
+       UNION ALL
+       SELECT doc_id, lang, n_chars FROM latest WHERE op <> 'D'"""
+
   private val sortedNeighborOracle: String =
     s"""WITH RECURSIVE ${Fp.powsCte(4096)},
        docs AS (
@@ -4287,30 +4372,8 @@ object PipelineQueries {
          UNION ALL
          SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
                 count(DISTINCT o_orderpriority) FROM base""",
-    "cdc_apply_latest" ->
-      """WITH snap AS (SELECT doc_id, lang, n_chars FROM documents),
-         chg AS (
-           SELECT doc_id, 1 AS ts, 0 AS seq, 'U' AS op, lang,
-                  n_chars + 1000 AS n_chars FROM snap WHERE doc_id % 7 = 1
-           UNION ALL SELECT doc_id, 2, 0, 'U', lang, n_chars + 2000
-             FROM snap WHERE doc_id % 7 = 1
-           UNION ALL SELECT doc_id, 3, 0, 'D', lang, n_chars
-             FROM snap WHERE doc_id % 11 = 3
-           UNION ALL SELECT doc_id, 4, 0, 'D', lang, n_chars
-             FROM snap WHERE doc_id % 13 = 5
-           UNION ALL SELECT doc_id, 5, 0, 'U', lang, n_chars + 7
-             FROM snap WHERE doc_id % 13 = 5
-           UNION ALL SELECT doc_id + 500000, 1, 0, 'I', 'xx', doc_id
-             FROM snap WHERE doc_id % 17 = 2),
-         latest AS (
-           SELECT * FROM (
-             SELECT *, row_number() OVER (PARTITION BY doc_id
-                                          ORDER BY ts DESC, seq DESC) AS rn
-             FROM chg) WHERE rn = 1)
-         SELECT s.doc_id, s.lang, s.n_chars FROM snap s
-         WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.doc_id = s.doc_id)
-         UNION ALL
-         SELECT doc_id, lang, n_chars FROM latest WHERE op <> 'D'""",
+    "cdc_apply_latest" -> cdcApplyOracle,
+    "stream_cdc_upsert" -> cdcApplyOracle,
     "snapshot_diff" ->
       """WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 4),
          nw AS (SELECT doc_id,

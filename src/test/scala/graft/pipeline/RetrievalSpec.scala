@@ -176,4 +176,44 @@ class RetrievalSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("n"))
   }
+
+  test("mergeVersioned is split-invariant: any batch order converges, tombstones hold") {
+    val rnd = new scala.util.Random(61)
+    // random versioned history over 30 keys (ts unique per key via the
+    // version index; ~1/4 deletes), initial state = empty-version rows
+    val state0 = (1L to 30L).map(k => (k, 0, 0, "I", s"v$k", k * 10))
+      .toDF("id", "ts", "seq", "op", "v", "n")
+    val history = (1L to 30L).flatMap { k =>
+      (1 to 1 + rnd.nextInt(5)).map { ver =>
+        val op = if (rnd.nextInt(4) == 0) "D" else "U"
+        (k, ver, 0, op, s"v$k-$ver", k * 100 + ver)
+      }
+    }
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").collect().map(_.toSeq).toSeq
+    val oneShot = Retrieval.mergeVersioned(state0,
+      history.toDF("id", "ts", "seq", "op", "v", "n"),
+      "id", "ts", "seq", "op")
+    // shuffle the history, split into random batches, fold
+    val shuffled = rnd.shuffle(history)
+    var acc = state0
+    var rest = shuffled
+    while (rest.nonEmpty) {
+      val b = 1 + rnd.nextInt(20)
+      acc = Retrieval.mergeVersioned(acc,
+        rest.take(b).toDF("id", "ts", "seq", "op", "v", "n"),
+        "id", "ts", "seq", "op").localCheckpoint(true)
+      rest = rest.drop(b)
+    }
+    assert(norm(acc) == norm(oneShot))
+    // tombstone guard across batches: delete at ts 2, then an OLDER
+    // update arrives in a later batch — the row must stay deleted
+    val s1 = Retrieval.mergeVersioned(state0.where(col("id") === 1),
+      Seq((1L, 2, 0, "D", "x", 0L)).toDF("id", "ts", "seq", "op", "v", "n"),
+      "id", "ts", "seq", "op")
+    val s2 = Retrieval.mergeVersioned(s1,
+      Seq((1L, 1, 0, "U", "old", 1L)).toDF("id", "ts", "seq", "op", "v", "n"),
+      "id", "ts", "seq", "op")
+    assert(s2.where(col("op") =!= "D").count() == 0)
+  }
 }
