@@ -94,6 +94,127 @@ object GeoParquet {
 
   private val ZPointCol = "__zpt"
 
+  /** K-COLUMN Z-order data-skipping pack — the general form of
+    * [[packNumericToParquet]] for ANY number of numeric columns (the
+    * Delta/Iceberg OPTIMIZE ZORDER shape): each column is min-max
+    * scaled to a `bitsPerCol`-bit integer rank, the ranks are
+    * bit-interleaved into one morton code (a folded codegen'd column
+    * expression — no UDF), and the rows are range-partitioned + sorted
+    * by the code so rows close in EVERY dimension land in the same
+    * file. The sidecar then records per-file min/max for EACH column
+    * (the same format as the spatial bounds, stored as the degenerate
+    * box [min,min,max,max]), so [[readZOrderRange]] prunes whole files
+    * from the listing before any footer opens, on whichever SUBSET of
+    * the packed columns a query constrains.
+    *
+    * Scale shape: ONE tiny stats aggregate (k mins + k maxes to the
+    * driver), one range shuffle on the code, one per-file bounds
+    * aggregate — the same cost as any pack. Equi-WIDTH scaling: heavy
+    * value skew concentrates ranks in few buckets and weakens (never
+    * breaks) skipping — pruning is bounds-based and the residual
+    * filter is exact, so results stay correct regardless of layout
+    * quality. The interleave order cycles bit-major (bit i of every
+    * column before bit i-1), giving all k columns equal weight. */
+  def packZOrderToParquet(df: DataFrame, cols: Seq[String], path: String,
+                          numPartitions: Int, bitsPerCol: Int = 8,
+                          mode: String = "error"): Unit = {
+    require(cols.nonEmpty && cols.distinct == cols,
+      s"need a non-empty distinct column list, got $cols")
+    require(bitsPerCol >= 1 && bitsPerCol * cols.length <= 62,
+      s"bitsPerCol=$bitsPerCol x ${cols.length} cols must fit a signed long")
+    require(!df.columns.contains(ZCodeCol),
+      s"input column collides with reserved name $ZCodeCol")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"missing column(s): ${missing.mkString(", ")}")
+    // one stats pass: global min/max per column (field 2j = min of
+    // cols(j), field 2j+1 = max)
+    val statAggs = cols.flatMap(c => Seq(
+      min(col(c).cast("double")), max(col(c).cast("double"))))
+    val statsRow = df.agg(statAggs.head, statAggs.tail: _*).head()
+    def stat(i: Int): Double =
+      if (statsRow.isNullAt(i)) Double.NaN else statsRow.getDouble(i)
+    val mins = cols.indices.map(j => stat(2 * j)).toArray
+    val maxs = cols.indices.map(j => stat(2 * j + 1)).toArray
+    val k = cols.length
+    val top = (1L << bitsPerCol) - 1
+    val scaled: Seq[org.apache.spark.sql.Column] = cols.indices.map { j =>
+      val (mn, mx) = (mins(j), maxs(j))
+      if (mn.isNaN || mx <= mn) lit(0L) // constant or all-null column
+      else least(lit(top), greatest(lit(0L),
+        floor((col(cols(j)).cast("double") - mn) / (mx - mn) * (top + 1))
+          .cast("long")))
+    }
+    // interleave: bit i of column j lands at position i*k + j; bits are
+    // disjoint so + folds them (all codegen'd integer ops)
+    val code = (0 until bitsPerCol).flatMap { i =>
+      (0 until k).map { j =>
+        shiftleft(shiftright(scaled(j), i).bitwiseAND(lit(1L)), i * k + j)
+      }
+    }.reduce(_ + _)
+    // null rank sorts first (coalesce to -1 keeps null rows clustered
+    // rather than scattered by repartitionByRange's null placement)
+    df.withColumn(ZCodeCol, coalesce(code, lit(-1L)))
+      .repartitionByRange(numPartitions, col(ZCodeCol))
+      .sortWithinPartitions(ZCodeCol)
+      .drop(ZCodeCol)
+      .write.mode(mode).parquet(path)
+    // per-file per-column min/max sidecar (degenerate [mn,mn,mx,mx] box)
+    val written = df.sparkSession.read.parquet(path)
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"${c}__mn"),
+      max(col(c).cast("double")).as(s"${c}__mx")))
+    val perFile = written.groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    def fileName(uri: String): String = uri.substring(uri.lastIndexOf('/') + 1)
+    val boundsMap = cols.zipWithIndex.map { case (c, j) =>
+      c -> perFile.map { row =>
+        val mn = if (row.isNullAt(1 + j * 2)) Double.NaN else row.getDouble(1 + j * 2)
+        val mx = if (row.isNullAt(2 + j * 2)) Double.NaN else row.getDouble(2 + j * 2)
+        fileName(row.getString(0)) -> Array(mn, mn, mx, mx)
+      }.toMap
+    }.toMap
+    writeSidecarText(df.sparkSession, path, renderSidecar(boundsMap))
+  }
+
+  /** Range read over a [[packZOrderToParquet]] dataset: for each
+    * (column, lo, hi) predicate — any SUBSET of the packed columns —
+    * drop files whose stored [min,max] misses the (normalized,
+    * inclusive) interval, then apply the exact BETWEEN residual filter.
+    * Same conservative contract as every sidecar reader: missing
+    * sidecar, uncovered column, unknown or NaN-bounded files degrade
+    * to "keep", never to wrong results. */
+  def readZOrderRange(spark: SparkSession, path: String,
+                      ranges: Seq[(String, Double, Double)]): DataFrame = {
+    require(ranges.nonEmpty, "need at least one (column, lo, hi) range")
+    val conf = spark.sessionState.newHadoopConf()
+    val norm = ranges.map { case (c, a, b) => (c, math.min(a, b), math.max(a, b)) }
+    val df = readSidecarText(path, conf) match {
+      case Some(text) =>
+        val perCol = norm.map { case (c, lo, hi) => (parseSidecar(text, c), lo, hi) }
+        val root = new HadoopPath(path)
+        val fs = root.getFileSystem(conf)
+        val keep = listDataFiles(fs, root).filter { name =>
+          perCol.forall { case (m, lo, hi) =>
+            m.get(name) match {
+              // degenerate box: vals(0)=min, vals(2)=max (NaN compares
+              // false on both arms -> conservative keep)
+              case Some(vals) if vals.length == 4 =>
+                !(vals(2) < lo || vals(0) > hi)
+              case _ => true
+            }
+          }
+        }
+        if (keep.isEmpty) spark.read.parquet(path).limit(0)
+        else spark.read.parquet(keep.map(f => s"$path/$f").toSeq: _*)
+      case None => spark.read.parquet(path)
+    }
+    norm.foldLeft(df) { case (d, (c, lo, hi)) =>
+      d.where(col(c).cast("double").between(lo, hi))
+    }
+  }
+
+  private val ZCodeCol = "__zcode"
+
   /** Compute per-file bounds for the geometry columns and write the
     * sidecar JSON. One distributed aggregate per call. */
   def writeSidecar(spark: SparkSession, path: String, geomCols: Seq[String]): Unit =

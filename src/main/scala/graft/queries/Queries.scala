@@ -1172,6 +1172,36 @@ object Queries {
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
     }),
 
+    // K-COLUMN Z-order data-skipping (GeoParquet.packZOrderToParquet):
+    // lineitem packed by THREE independent columns via bit-interleaved
+    // morton ranks (the Delta/Iceberg OPTIMIZE ZORDER shape, as one
+    // codegen'd fold expression), per-file per-column min/max sidecar,
+    // read back with a 3-D box that prunes FILES from the listing
+    // before any footer opens — on a 100 TB table the skip works for
+    // whichever SUBSET of the packed columns a query constrains, where
+    // a single sorted column skips on one dimension and nothing else
+    // (file-count pruning + subset/edge cases asserted in GeoPruneSpec;
+    // here the gate is inclusive-interval semantics vs plain BETWEENs).
+    "zorder_multi_prune" -> ((s, dir) => {
+      val out = System.getProperty("java.io.tmpdir") +
+        "/graft_zorder3_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      graft.io.GeoParquet.packZOrderToParquet(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_returnflag"),
+          col("l_quantity"), col("l_discount"), col("l_extendedprice")),
+        Seq("l_quantity", "l_discount", "l_extendedprice"), out,
+        numPartitions = 8)
+      graft.io.GeoParquet.readZOrderRange(s, out, Seq(
+          ("l_quantity", 10.0, 30.0),
+          ("l_discount", 0.02, 0.06),
+          ("l_extendedprice", 10000.0, 40000.0)))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")).cast("long").as("qty"),
+          min(col("l_extendedprice")).as("price_min"),
+          max(col("l_extendedprice")).as("price_max"))
+    }),
+
     // Hive-partitioned layout round-trip: write documents partitioned
     // by lang (the layout a multilingual corpus lands in), read back
     // with a partition-column filter. At scale the filter prunes whole
@@ -3137,6 +3167,16 @@ object Queries {
          FROM documents
          WHERE n_chars BETWEEN 100 AND 2000 AND doc_id BETWEEN 50 AND 250
          GROUP BY lang""",
+    "zorder_multi_prune" ->
+      """SELECT l_returnflag, count(*) AS n,
+                CAST(sum(l_quantity) AS BIGINT) AS qty,
+                min(l_extendedprice) AS price_min,
+                max(l_extendedprice) AS price_max
+         FROM lineitem
+         WHERE l_quantity BETWEEN 10 AND 30
+           AND l_discount BETWEEN 0.02 AND 0.06
+           AND l_extendedprice BETWEEN 10000 AND 40000
+         GROUP BY l_returnflag""",
     "set_ops_counts" ->
       """SELECT count(*) AS n, 'active' AS which
          FROM (SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders)

@@ -160,6 +160,53 @@ class GeoPruneSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 
+  test("k-column z-order pack prunes on any predicate subset and matches plain filters") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder3").toFile
+    try {
+      // three independent uniform columns + a constant column (must not
+      // break scaling) + a planted row on the exact box corner
+      val rnd = new scala.util.Random(43)
+      val rows = (0 until 6000).map(i =>
+        (i.toLong, rnd.nextInt(1000), rnd.nextInt(1000), rnd.nextInt(1000), 7)) :+
+        ((88888L, 150, 150, 150, 7))
+      val df = rows.toDF("id", "a", "b", "c", "k")
+      GeoParquet.packZOrderToParquet(df, Seq("a", "b", "c", "k"), s"$dir/z", 8)
+      val total = new java.io.File(s"$dir/z").listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+      assert(total >= 8, s"expected >= 8 data files, got $total")
+      // full 3-D box (corner row inclusive), constant column unfiltered
+      val got3 = GeoParquet.readZOrderRange(spark, s"$dir/z",
+        Seq(("a", 0.0, 150.0), ("b", 0.0, 150.0), ("c", 0.0, 150.0)))
+      assert(got3.inputFiles.length < total,
+        s"no file pruning: ${got3.inputFiles.length} of $total")
+      val ids3 = got3.select("id").as[Long].collect().toSet
+      val want3 = rows.filter(r => r._2 <= 150 && r._3 <= 150 && r._4 <= 150)
+        .map(_._1).toSet
+      assert(ids3.contains(88888L), "corner row must survive (inclusive box)")
+      assert(ids3 == want3)
+      // SUBSET predicate (one of the packed columns) still prunes and
+      // still matches; inverted bounds normalize
+      val got1 = GeoParquet.readZOrderRange(spark, s"$dir/z", Seq(("a", 60.0, 0.0)))
+      assert(got1.inputFiles.length < total)
+      assert(got1.select("id").as[Long].collect().toSet ==
+        rows.filter(_._2 <= 60).map(_._1).toSet)
+      // constant-column predicate: every file matches (kept), rows exact
+      val gotK = GeoParquet.readZOrderRange(spark, s"$dir/z", Seq(("k", 7.0, 7.0)))
+      assert(gotK.count() == rows.length.toLong)
+      // a range missing every file prunes the whole listing
+      assert(GeoParquet.readZOrderRange(spark, s"$dir/z",
+        Seq(("a", 5000.0, 6000.0))).count() == 0)
+      // reserved-name and unknown-column guards fail fast
+      intercept[IllegalArgumentException] {
+        GeoParquet.packZOrderToParquet(df.withColumnRenamed("id", "__zcode"),
+          Seq("a"), s"$dir/bad", 2)
+      }
+      intercept[IllegalArgumentException] {
+        GeoParquet.packZOrderToParquet(df, Seq("a", "nope"), s"$dir/bad2", 2)
+      }
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
   test("point cx comparisons prune files too (no kernel predicate needed)") {
     val dir = java.nio.file.Files.createTempDirectory("pointprune").toFile
     try {
