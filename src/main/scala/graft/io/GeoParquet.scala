@@ -140,9 +140,12 @@ object GeoParquet {
     val scaled: Seq[org.apache.spark.sql.Column] = cols.indices.map { j =>
       val (mn, mx) = (mins(j), maxs(j))
       if (mn.isNaN || mx <= mn) lit(0L) // constant or all-null column
-      else least(lit(top), greatest(lit(0L),
-        floor((col(cols(j)).cast("double") - mn) / (mx - mn) * (top + 1))
-          .cast("long")))
+      // greatest/least SKIP nulls, so the null case must be explicit
+      // for a null value to propagate into a null code
+      else when(col(cols(j)).isNull, lit(null).cast("long"))
+        .otherwise(least(lit(top), greatest(lit(0L),
+          floor((col(cols(j)).cast("double") - mn) / (mx - mn) * (top + 1))
+            .cast("long"))))
     }
     // interleave: bit i of column j lands at position i*k + j; bits are
     // disjoint so + folds them (all codegen'd integer ops)
@@ -151,8 +154,9 @@ object GeoParquet {
         shiftleft(shiftright(scaled(j), i).bitwiseAND(lit(1L)), i * k + j)
       }
     }.reduce(_ + _)
-    // null rank sorts first (coalesce to -1 keeps null rows clustered
-    // rather than scattered by repartitionByRange's null placement)
+    // a null in ANY packed column nulls the code (see scaled);
+    // coalescing to -1 clusters those rows below every real code
+    // instead of scattering them through the min-value files
     df.withColumn(ZCodeCol, coalesce(code, lit(-1L)))
       .repartitionByRange(numPartitions, col(ZCodeCol))
       .sortWithinPartitions(ZCodeCol)

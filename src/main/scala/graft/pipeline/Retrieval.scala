@@ -273,6 +273,14 @@ object Retrieval {
   def mergeVersioned(state: DataFrame, changes: DataFrame, keyCol: String,
                      tsCol: String, seqCol: String,
                      opCol: String): DataFrame = {
+    // unlike applyChangelog's snapshot, `state` here is itself a
+    // versioned table — it must carry the version columns too (a plain
+    // snapshot passed by mistake would otherwise die much later with an
+    // opaque unresolved-column error)
+    val stateMissing = Seq(keyCol, tsCol, seqCol, opCol)
+      .filterNot(state.columns.contains)
+    require(stateMissing.isEmpty,
+      s"state is missing column(s): ${stateMissing.mkString(", ")}")
     val ordered = Seq(tsCol, seqCol, opCol) ++
       state.columns.filterNot(c =>
         c == keyCol || c == tsCol || c == seqCol || c == opCol)

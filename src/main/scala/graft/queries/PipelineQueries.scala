@@ -1794,25 +1794,8 @@ object PipelineQueries {
     "cdc_apply_latest" -> ((s, dir) => {
       val snap = t(s, dir, "documents").select(col("doc_id"), col("lang"),
         col("n_chars"))
-      def c(cond: Column, ts: Int, op: String, id: Column, lang: Column,
-            nchars: Column) =
-        snap.where(cond).select(id.as("doc_id"), lit(ts).as("ts"),
-          lit(0).as("seq"), lit(op).as("op"), lang.as("lang"),
-          nchars.as("n_chars"))
-      val chg =
-        c(col("doc_id") % 7 === 1, 1, "U", col("doc_id"), col("lang"),
-            col("n_chars") + 1000)
-          .unionAll(c(col("doc_id") % 7 === 1, 2, "U", col("doc_id"),
-            col("lang"), col("n_chars") + 2000))
-          .unionAll(c(col("doc_id") % 11 === 3, 3, "D", col("doc_id"),
-            col("lang"), col("n_chars")))
-          .unionAll(c(col("doc_id") % 13 === 5, 4, "D", col("doc_id"),
-            col("lang"), col("n_chars")))
-          .unionAll(c(col("doc_id") % 13 === 5, 5, "U", col("doc_id"),
-            col("lang"), col("n_chars") + 7))
-          .unionAll(c(col("doc_id") % 17 === 2, 1, "I",
-            col("doc_id") + 500000, lit("xx"), col("doc_id")))
-      Retrieval.applyChangelog(snap, chg, "doc_id", "ts", "seq", "op")
+      Retrieval.applyChangelog(snap, cdcChangelog(snap),
+        "doc_id", "ts", "seq", "op")
     }),
 
     // The STREAMING upsert sink on the same oracle: the landing table
@@ -1834,36 +1817,26 @@ object PipelineQueries {
           lit("I").as("op"), col("lang"), col("n_chars"))
         .write.parquet(landing)
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
-      def src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
-        .select(col("doc_id"), col("lang"), col("n_chars"))
-      def c(cond: Column, ts: Int, op: String, id: Column, lang: Column,
-            nchars: Column) =
-        src.where(cond).select(id.as("doc_id"), lit(ts).as("ts"),
-          lit(0).as("seq"), lit(op).as("op"), lang.as("lang"),
-          nchars.as("n_chars"))
-      val chg =
-        c(col("doc_id") % 7 === 1, 1, "U", col("doc_id"), col("lang"),
-            col("n_chars") + 1000)
-          .unionAll(c(col("doc_id") % 7 === 1, 2, "U", col("doc_id"),
-            col("lang"), col("n_chars") + 2000))
-          .unionAll(c(col("doc_id") % 11 === 3, 3, "D", col("doc_id"),
-            col("lang"), col("n_chars")))
-          .unionAll(c(col("doc_id") % 13 === 5, 4, "D", col("doc_id"),
-            col("lang"), col("n_chars")))
-          .unionAll(c(col("doc_id") % 13 === 5, 5, "U", col("doc_id"),
-            col("lang"), col("n_chars") + 7))
-          .unionAll(c(col("doc_id") % 17 === 2, 1, "I",
-            col("doc_id") + 500000, lit("xx"), col("doc_id")))
+      val chg = cdcChangelog(
+        s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+          .select(col("doc_id"), col("lang"), col("n_chars")))
       val qName = "graft_stream_cdc_upsert"
       s.streams.active.filter(q => q.name == qName).foreach(_.stop())
       val q = chg.writeStream.queryName(qName)
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          val merged = Retrieval.mergeVersioned(
-              s.read.parquet(landing), batch,
+          // crash-safe swap (the sidecar writer's discipline): merge
+          // into a FRESH directory first; only after a complete write
+          // does the old table get replaced — a crash at any point
+          // leaves a complete table on disk (old or new), never a
+          // half-deleted landing dir that mode("overwrite") risks
+          val tmp = new java.io.File(landing + ".next")
+          org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+          Retrieval.mergeVersioned(s.read.parquet(landing), batch,
               "doc_id", "ts", "seq", "op")
-            .localCheckpoint(true) // materialize BEFORE overwriting the input
-          merged.write.mode("overwrite").parquet(landing)
+            .write.parquet(tmp.getPath)
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(landing))
+          org.apache.commons.io.FileUtils.moveDirectory(tmp, new java.io.File(landing))
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
@@ -2581,12 +2554,35 @@ object PipelineQueries {
        ${simhashCtes("documents")}
        SELECT doc_id, simhash FROM sims"""
 
-  // sorted-neighborhood replay: the SAME fingerprint chain over the
-  // planted corpus, then row_number over (simhash, doc_id) and a
-  // rank-window self-join — rank, window, hamming all bit-for-bit
+  // the synthetic changelog shared by cdc_apply_latest (batch
+  // snapshot source) and stream_cdc_upsert (readStream source) —
+  // two-version updates, deletes, a delete-then-update resurrect,
+  // absent-key inserts — over whatever (doc_id, lang, n_chars) source
+  // `src` yields. BY-NAME on purpose: the streaming caller needs a
+  // fresh file source per branch.
+  private def cdcChangelog(src: => DataFrame): DataFrame = {
+    def c(cond: Column, ts: Int, op: String, id: Column, lang: Column,
+          nchars: Column) =
+      src.where(cond).select(id.as("doc_id"), lit(ts).as("ts"),
+        lit(0).as("seq"), lit(op).as("op"), lang.as("lang"),
+        nchars.as("n_chars"))
+    c(col("doc_id") % 7 === 1, 1, "U", col("doc_id"), col("lang"),
+        col("n_chars") + 1000)
+      .unionAll(c(col("doc_id") % 7 === 1, 2, "U", col("doc_id"),
+        col("lang"), col("n_chars") + 2000))
+      .unionAll(c(col("doc_id") % 11 === 3, 3, "D", col("doc_id"),
+        col("lang"), col("n_chars")))
+      .unionAll(c(col("doc_id") % 13 === 5, 4, "D", col("doc_id"),
+        col("lang"), col("n_chars")))
+      .unionAll(c(col("doc_id") % 13 === 5, 5, "U", col("doc_id"),
+        col("lang"), col("n_chars") + 7))
+      .unionAll(c(col("doc_id") % 17 === 2, 1, "I",
+        col("doc_id") + 500000, lit("xx"), col("doc_id")))
+  }
+
   // shared by the one-shot batch changelog apply and the streaming
   // versioned-merge upsert sink: both must produce the identical
-  // latest-wins view of the same synthetic changelog
+  // latest-wins view of cdcChangelog's synthetic changelog
   private val cdcApplyOracle: String =
     """WITH snap AS (SELECT doc_id, lang, n_chars FROM documents),
        chg AS (
@@ -2612,6 +2608,9 @@ object PipelineQueries {
        UNION ALL
        SELECT doc_id, lang, n_chars FROM latest WHERE op <> 'D'"""
 
+  // sorted-neighborhood replay: the SAME fingerprint chain over the
+  // planted corpus, then row_number over (simhash, doc_id) and a
+  // rank-window self-join — rank, window, hamming all bit-for-bit
   private val sortedNeighborOracle: String =
     s"""WITH RECURSIVE ${Fp.powsCte(4096)},
        docs AS (

@@ -204,6 +204,15 @@ class GeoPruneSpec extends AnyFunSuite {
       intercept[IllegalArgumentException] {
         GeoParquet.packZOrderToParquet(df, Seq("a", "nope"), s"$dir/bad2", 2)
       }
+      // nulls: the rank propagates null (greatest/least would skip it),
+      // the code clusters null rows at -1, and the residual BETWEEN
+      // drops them — exactly the SQL BETWEEN semantics
+      val nd = Seq((1L, Option(10), 5), (2L, Option.empty[Int], 6),
+        (3L, Option(900), 7)).toDF("id", "a", "b")
+      GeoParquet.packZOrderToParquet(nd, Seq("a", "b"), s"$dir/zn", 2)
+      val gotN = GeoParquet.readZOrderRange(spark, s"$dir/zn",
+        Seq(("a", 0.0, 1000.0)))
+      assert(gotN.select("id").as[Long].collect().toSet == Set(1L, 3L))
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 

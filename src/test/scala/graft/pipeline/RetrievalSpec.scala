@@ -215,5 +215,14 @@ class RetrievalSpec extends AnyFunSuite {
       Seq((1L, 1, 0, "U", "old", 1L)).toDF("id", "ts", "seq", "op", "v", "n"),
       "id", "ts", "seq", "op")
     assert(s2.where(col("op") =!= "D").count() == 0)
+    // a plain snapshot (no version columns) as state fails fast with a
+    // named-column message, not a deep unresolved-column error
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.mergeVersioned(
+        Seq((1L, "x")).toDF("id", "v"),
+        Seq((1L, 1, 0, "U", "x")).toDF("id", "ts", "seq", "op", "v"),
+        "id", "ts", "seq", "op")
+    }
+    assert(e.getMessage.contains("state is missing"))
   }
 }
