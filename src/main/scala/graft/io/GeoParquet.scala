@@ -163,21 +163,60 @@ object GeoParquet {
       .drop(ZCodeCol)
       .write.mode(mode).parquet(path)
     // per-file per-column min/max sidecar (degenerate [mn,mn,mx,mx] box)
-    val written = df.sparkSession.read.parquet(path)
+    writeSidecarText(df.sparkSession, path,
+      renderSidecar(numericBoundsPerFile(
+        df.sparkSession.read.parquet(path), cols)))
+  }
+
+  /** Per-file min/max for numeric columns, in the sidecar's box format
+    * (degenerate [mn,mn,mx,mx]): one distributed
+    * groupBy(input_file_name) aggregate. */
+  private def numericBoundsPerFile(df: DataFrame, cols: Seq[String])
+      : Map[String, Map[String, Array[Double]]] = {
     val aggs = cols.flatMap(c => Seq(
       min(col(c).cast("double")).as(s"${c}__mn"),
       max(col(c).cast("double")).as(s"${c}__mx")))
-    val perFile = written.groupBy(input_file_name().as("__file"))
+    val perFile = df.groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*).collect()
     def fileName(uri: String): String = uri.substring(uri.lastIndexOf('/') + 1)
-    val boundsMap = cols.zipWithIndex.map { case (c, j) =>
+    cols.zipWithIndex.map { case (c, j) =>
       c -> perFile.map { row =>
         val mn = if (row.isNullAt(1 + j * 2)) Double.NaN else row.getDouble(1 + j * 2)
         val mx = if (row.isNullAt(2 + j * 2)) Double.NaN else row.getDouble(2 + j * 2)
         fileName(row.getString(0)) -> Array(mn, mn, mx, mx)
       }.toMap
     }.toMap
-    writeSidecarText(df.sparkSession, path, renderSidecar(boundsMap))
+  }
+
+  /** Append a batch to a [[packZOrderToParquet]] dataset and update the
+    * per-column sidecar INCREMENTALLY — the numeric twin of
+    * [[appendWithSidecar]] (bounds computed only over the files this
+    * append created, merged into the existing sidecar; single writer
+    * assumed, like any file sink; use from foreachBatch for streaming
+    * ingest). Appended files are clustered within the batch only —
+    * file-level pruning stays CORRECT regardless (stats per file), but
+    * a long append history overlaps more files per query box; re-pack
+    * with [[packZOrderToParquet]] periodically (the compaction step)
+    * to restore global clustering. */
+  def appendNumericWithSidecar(batch: DataFrame, path: String,
+                               cols: Seq[String]): Unit = {
+    val spark = batch.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new HadoopPath(path)
+    val fs = root.getFileSystem(conf)
+    val before = listDataFiles(fs, root).toSet
+    batch.write.mode("append").parquet(path)
+    val newFiles = (listDataFiles(fs, root).toSet -- before).toSeq.sorted
+    if (newFiles.nonEmpty) {
+      val newBounds = numericBoundsPerFile(
+        spark.read.parquet(newFiles.map(f => s"$path/$f"): _*), cols)
+      val existing: Map[String, Map[String, Array[Double]]] =
+        readSidecarText(path, conf).map(parseSidecarAll).getOrElse(Map.empty)
+      val merged = (existing.keySet ++ cols).map { c =>
+        c -> (existing.getOrElse(c, Map.empty) ++ newBounds.getOrElse(c, Map.empty))
+      }.toMap
+      writeSidecarText(spark, path, renderSidecar(merged))
+    }
   }
 
   /** Range read over a [[packZOrderToParquet]] dataset: for each

@@ -1202,6 +1202,39 @@ object Queries {
           max(col("l_extendedprice")).as("price_max"))
     }),
 
+    // INCREMENTAL ingest into a Z-ordered lake
+    // (GeoParquet.appendNumericWithSidecar): a packed base generation
+    // plus two appended batches, each updating the per-column sidecar
+    // over ONLY its own new files — the continuously-ingested table
+    // stays file-skippable without ever recomputing global stats (the
+    // foreachBatch streaming-sink write path; re-pack = compaction).
+    // The gate reads a 3-D box spanning all three generations and must
+    // equal plain BETWEENs over the full table.
+    "zorder_append_prune" -> ((s, dir) => {
+      val out = System.getProperty("java.io.tmpdir") +
+        "/graft_zappend_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val zcols = Seq("l_quantity", "l_discount", "l_extendedprice")
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_returnflag"), col("l_quantity"), col("l_discount"),
+        col("l_extendedprice"))
+      graft.io.GeoParquet.packZOrderToParquet(
+        li.where(col("l_orderkey") % 3 === 0), zcols, out, numPartitions = 4)
+      graft.io.GeoParquet.appendNumericWithSidecar(
+        li.where(col("l_orderkey") % 3 === 1), out, zcols)
+      graft.io.GeoParquet.appendNumericWithSidecar(
+        li.where(col("l_orderkey") % 3 === 2), out, zcols)
+      graft.io.GeoParquet.readZOrderRange(s, out, Seq(
+          ("l_quantity", 20.0, 40.0),
+          ("l_discount", 0.01, 0.05),
+          ("l_extendedprice", 20000.0, 60000.0)))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")).cast("long").as("qty"),
+          min(col("l_extendedprice")).as("price_min"),
+          max(col("l_extendedprice")).as("price_max"))
+    }),
+
     // Hive-partitioned layout round-trip: write documents partitioned
     // by lang (the layout a multilingual corpus lands in), read back
     // with a partition-column filter. At scale the filter prunes whole
@@ -3176,6 +3209,16 @@ object Queries {
          WHERE l_quantity BETWEEN 10 AND 30
            AND l_discount BETWEEN 0.02 AND 0.06
            AND l_extendedprice BETWEEN 10000 AND 40000
+         GROUP BY l_returnflag""",
+    "zorder_append_prune" ->
+      """SELECT l_returnflag, count(*) AS n,
+                CAST(sum(l_quantity) AS BIGINT) AS qty,
+                min(l_extendedprice) AS price_min,
+                max(l_extendedprice) AS price_max
+         FROM lineitem
+         WHERE l_quantity BETWEEN 20 AND 40
+           AND l_discount BETWEEN 0.01 AND 0.05
+           AND l_extendedprice BETWEEN 20000 AND 60000
          GROUP BY l_returnflag""",
     "set_ops_counts" ->
       """SELECT count(*) AS n, 'active' AS which

@@ -216,6 +216,39 @@ class GeoPruneSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 
+  test("incremental numeric-sidecar appends keep the lake skippable and conservative") {
+    val dir = java.nio.file.Files.createTempDirectory("zappend").toFile
+    try {
+      // base generation: low values; appends: mid + high values — a
+      // narrow box should skip files from OTHER generations entirely
+      def gen(lo: Int, n: Int) = (0 until n).map(i =>
+        ((lo * 10000 + i).toLong, lo * 100 + i % 100, lo * 100 + (i * 7) % 100))
+      val base = gen(0, 800).toDF("id", "a", "b")
+      GeoParquet.packZOrderToParquet(base, Seq("a", "b"), s"$dir/z", 4)
+      GeoParquet.appendNumericWithSidecar(gen(5, 800).toDF("id", "a", "b"),
+        s"$dir/z", Seq("a", "b"))
+      GeoParquet.appendNumericWithSidecar(gen(9, 800).toDF("id", "a", "b"),
+        s"$dir/z", Seq("a", "b"))
+      val total = spark.read.parquet(s"$dir/z").inputFiles.length
+      // a box inside the MIDDLE generation: base + high files all skip
+      val mid = GeoParquet.readZOrderRange(spark, s"$dir/z",
+        Seq(("a", 500.0, 560.0), ("b", 500.0, 560.0)))
+      assert(mid.inputFiles.length < total,
+        s"no pruning: ${mid.inputFiles.length} of $total")
+      val wantMid = (gen(0, 800) ++ gen(5, 800) ++ gen(9, 800))
+        .filter(r => r._2 >= 500 && r._2 <= 560 && r._3 >= 500 && r._3 <= 560)
+        .map(_._1).toSet
+      assert(mid.select("id").as[Long].collect().toSet == wantMid)
+      // a file appended WITHOUT a sidecar update (plain write) has no
+      // entry — it must be conservatively kept, never silently skipped
+      gen(3, 50).toDF("id", "a", "b").write.mode("append").parquet(s"$dir/z")
+      val after = GeoParquet.readZOrderRange(spark, s"$dir/z",
+        Seq(("a", 300.0, 320.0)))
+      assert(after.select("id").as[Long].collect().toSet ==
+        gen(3, 50).filter(r => r._2 >= 300 && r._2 <= 320).map(_._1).toSet)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
   test("point cx comparisons prune files too (no kernel predicate needed)") {
     val dir = java.nio.file.Files.createTempDirectory("pointprune").toFile
     try {
