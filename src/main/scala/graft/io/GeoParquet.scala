@@ -252,7 +252,38 @@ object GeoParquet {
       case None => spark.read.parquet(path)
     }
     norm.foldLeft(df) { case (d, (c, lo, hi)) =>
-      d.where(col(c).cast("double").between(lo, hi))
+      d.schema(c).dataType match {
+        // integral columns: [lo, hi] ⇔ col >= ceil(lo) AND
+        // col <= floor(hi) EXACTLY, in the column's own type — a
+        // cast-to-double comparison would be equivalent but the cast
+        // on the attribute blocks parquet predicate pushdown (no
+        // PushedFilters → no row-group/page skipping inside kept files)
+        case t @ (org.apache.spark.sql.types.ByteType |
+                  org.apache.spark.sql.types.ShortType |
+                  org.apache.spark.sql.types.IntegerType |
+                  org.apache.spark.sql.types.LongType) =>
+          // clamp to the type's own range too: every stored value lies
+          // inside it, so clamping keeps the filter exact while the
+          // literal cast below stays ANSI-safe
+          val (tMin, tMax) = t match {
+            case org.apache.spark.sql.types.ByteType => (Byte.MinValue.toLong, Byte.MaxValue.toLong)
+            case org.apache.spark.sql.types.ShortType => (Short.MinValue.toLong, Short.MaxValue.toLong)
+            case org.apache.spark.sql.types.IntegerType => (Int.MinValue.toLong, Int.MaxValue.toLong)
+            case _ => (Long.MinValue, Long.MaxValue)
+          }
+          // toLong saturates for |bound| >= 2^63, which would silently
+          // WIDEN a lower bound above Long.MaxValue — catch those first
+          if (lo >= Long.MaxValue.toDouble || hi < Long.MinValue.toDouble)
+            d.where(lit(false))
+          else {
+            val loL = math.max(math.ceil(lo).toLong, tMin)
+            val hiL = math.min(math.floor(hi).toLong, tMax)
+            if (loL > hiL) d.where(lit(false))
+            else d.where(col(c) >= lit(loL).cast(t) && col(c) <= lit(hiL).cast(t))
+          }
+        case _ =>
+          d.where(col(c).cast("double").between(lo, hi))
+      }
     }
   }
 

@@ -204,6 +204,20 @@ class GeoPruneSpec extends AnyFunSuite {
       intercept[IllegalArgumentException] {
         GeoParquet.packZOrderToParquet(df, Seq("a", "nope"), s"$dir/bad2", 2)
       }
+      // integral residuals translate to native-typed bounds: fractional
+      // limits round EXACTLY (0.5..149.5 on ints ⇔ 1..149) and the
+      // predicate reaches the parquet scan (a cast-to-double residual
+      // would block PushedFilters → no row-group skipping)
+      val frac = GeoParquet.readZOrderRange(spark, s"$dir/z",
+        Seq(("a", 0.5, 149.5)))
+      assert(frac.select("id").as[Long].collect().toSet ==
+        rows.filter(r => r._2 >= 1 && r._2 <= 149).map(_._1).toSet)
+      val pushed = frac.queryExecution.executedPlan.collectFirst {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+          sc.metadata.getOrElse("PushedFilters", "")
+      }.get
+      assert(pushed.contains("GreaterThanOrEqual(a,1)") &&
+        pushed.contains("LessThanOrEqual(a,149)"), s"not pushed: $pushed")
       // nulls: the rank propagates null (greatest/least would skip it),
       // the code clusters null rows at -1, and the residual BETWEEN
       // drops them — exactly the SQL BETWEEN semantics
