@@ -1706,6 +1706,42 @@ object Queries {
         col("n"), col("vmin"), col("vmax"))
     }),
 
+    // Streaming COUNT(DISTINCT) per hour under the DuckDB gate — the
+    // CHAINED stateful-operator idiom (dropDuplicatesWithinWatermark →
+    // windowed count): a plain streaming aggregation cannot express a
+    // distinct count in bounded state; the dedup stage passes exactly
+    // the first event per (user, type, hour) and both stages evict
+    // state past the watermark. Append mode — far-future sentinel rows
+    // drive the final watermark past every real window (their own
+    // window never closes, so the sentinel self-filters).
+    "stream_distinct_users" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = EventTs.toTimestamp(s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      // % 100: any window of 100 consecutive event_ids contains a
+      // sentinel — the flush cannot silently depend on the id range.
+      // ONE constant far-future ts (not ts + offset: that would spread
+      // sentinels over many hours, and every sentinel window except
+      // the last CLOSES and emits) + a tag the output filters.
+      val sentinel = src.where(col("event_id") % 100 === 0)
+        .withColumn("user_id", lit(-1L))
+        .withColumn("event_type", lit("__sentinel"))
+        .withColumn("ts", to_timestamp(lit("2200-01-01 00:00:00")))
+      val agg = graft.streaming.Streams.distinctPerWindow(
+        src.unionAll(sentinel), "user_id")
+        .where(col("event_type") =!= "__sentinel")
+      val qName = "graft_stream_distinct_users"
+      s.streams.active.filter(q => q.name == qName).foreach(_.stop())
+      val q = agg.writeStream.format("memory").queryName(qName)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qName).select(col("window.start").as("hour"),
+        col("event_type"), col("distinct_keys").as("distinct_users"))
+    }),
+
     // STREAM-STREAM interval join under the DuckDB gate: clicks join
     // purchases of the same user within the preceding hour, BOTH sides
     // watermarked streams (the state-bounded shape — the event-time
@@ -3311,6 +3347,12 @@ object Queries {
     "events_hourly_stream" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
                 count(*) AS n, min(value) AS vmin, max(value) AS vmax
+         FROM events GROUP BY 1, 2""",
+    // the chained dedup->window streaming run must land on the exact
+    // relational distinct count
+    "stream_distinct_users" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+                count(DISTINCT user_id) AS distinct_users
          FROM events GROUP BY 1, 2""",
     "event_sessions" -> eventSessionsOracle,
     "event_sessions_stream_state" -> eventSessionsOracle,

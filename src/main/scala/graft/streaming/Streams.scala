@@ -268,6 +268,29 @@ object Streams extends Serializable {
     docs.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming COUNT(DISTINCT key) per tumbling window (+ dims) in
+    * BOUNDED state — the chained-stateful-operator idiom: a windowed
+    * aggregation alone cannot express a distinct count without holding
+    * every key forever, so stage 1 (`dropDuplicatesWithinWatermark` on
+    * (key, dims, window-anchor)) passes exactly the FIRST event of each
+    * (key, window) through, and stage 2 counts the survivors per
+    * window. Both states evict once the watermark passes: stage 1 per
+    * dedup key, stage 2 per closed window. Append output — a window's
+    * count emits once the watermark passes its end (on a bounded
+    * replay, drive the final watermark with a far-future sentinel; the
+    * sentinel's own window never closes, so it self-filters). */
+  def distinctPerWindow(events: DataFrame, keyCol: String,
+                        tsCol: String = "ts",
+                        dims: Seq[String] = Seq("event_type"),
+                        windowDur: String = "1 hour",
+                        watermark: String = "1 hour"): DataFrame =
+    events
+      .withColumn("__wstart", window(col(tsCol), windowDur).getField("start"))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCol +: dims :+ "__wstart")
+      .groupBy(window(col(tsCol), windowDur) +: dims.map(col): _*)
+      .agg(count(lit(1)).as("distinct_keys"))
+
   /**
    * Streaming SCD Type-2 builder — the streaming twin of the batch
    * `scd2_user_states` query: per user, fold the (ts, event_id)-ordered

@@ -215,6 +215,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("distinctPerWindow counts a cross-batch duplicate once and drops late data") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = Streams.distinctPerWindow(
+        input.toDS().toDF("user_id", "ts", "event_type"), "user_id",
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("distinct_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: hour-10 sees users 1 (twice, same type) and 2;
+      // hour-11 sees user 1 again — a NEW (user, window) pair
+      input.addData((1L, ts(0), "click"), (1L, ts(5), "click"),
+        (2L, ts(6), "click"), (1L, ts(61), "click"))
+      q.processAllAvailable()
+      // batch 2: user 1 in hour-10 AGAIN (cross-batch duplicate — the
+      // dedup state must drop it), user 3 new in hour-10... but only
+      // if on time: watermark is t61-10m, so hour-10 arrivals are LATE
+      // and must NOT change the closed window's count
+      input.addData((1L, ts(8), "click"), (3L, ts(9), "click"))
+      q.processAllAvailable()
+      // batch 3: far-future row closes every real window
+      input.addData((99L, ts(600), "flush"))
+      q.processAllAvailable()
+      val got = spark.table("distinct_out")
+        .select(col("window.start"), col("event_type"), col("distinct_keys"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(got.contains((ts(0), "click", 2L)), s"hour-10: $got") // users 1,2
+      assert(got.contains((ts(60), "click", 1L)), s"hour-11: $got") // user 1 once more
+    } finally q.stop()
+  }
+
   test("scd2Intervals closes slices across micro-batches, opens after horizon") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[StateEvent]
