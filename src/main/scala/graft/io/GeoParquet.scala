@@ -200,6 +200,24 @@ object GeoParquet {
     * to restore global clustering. */
   def appendNumericWithSidecar(batch: DataFrame, path: String,
                                cols: Seq[String]): Unit = {
+    // validate BEFORE the append commits: a bad column list must not
+    // leave freshly-written files with no sidecar entries (permanently
+    // unprunable until re-pack) and a duplicate batch on retry
+    require(cols.nonEmpty && cols.distinct == cols,
+      s"need a non-empty distinct column list, got $cols")
+    val missing = cols.filterNot(batch.columns.contains)
+    require(missing.isEmpty, s"missing column(s): ${missing.mkString(", ")}")
+    appendWithBoundsOf(batch, path, cols, numericBoundsPerFile)
+  }
+
+  /** Shared skeleton of the two incremental-append paths: append the
+    * batch, compute bounds over ONLY the files it created (directory
+    * listing diff), merge into the existing sidecar preserving other
+    * columns' entries. Single writer per dataset assumed. */
+  private def appendWithBoundsOf(batch: DataFrame, path: String,
+      cols: Seq[String],
+      boundsFn: (DataFrame, Seq[String]) => Map[String, Map[String, Array[Double]]])
+      : Unit = {
     val spark = batch.sparkSession
     val conf = spark.sessionState.newHadoopConf()
     val root = new HadoopPath(path)
@@ -208,8 +226,10 @@ object GeoParquet {
     batch.write.mode("append").parquet(path)
     val newFiles = (listDataFiles(fs, root).toSet -- before).toSeq.sorted
     if (newFiles.nonEmpty) {
-      val newBounds = numericBoundsPerFile(
+      val newBounds = boundsFn(
         spark.read.parquet(newFiles.map(f => s"$path/$f"): _*), cols)
+      // parse EVERY column already in the sidecar, so appending with a
+      // subset of the columns preserves the others' entries
       val existing: Map[String, Map[String, Array[Double]]] =
         readSidecarText(path, conf).map(parseSidecarAll).getOrElse(Map.empty)
       val merged = (existing.keySet ++ cols).map { c =>
@@ -252,7 +272,11 @@ object GeoParquet {
       case None => spark.read.parquet(path)
     }
     norm.foldLeft(df) { case (d, (c, lo, hi)) =>
-      d.schema(c).dataType match {
+      // NaN bounds (e.g. min/max of an empty aggregate) match nothing,
+      // exactly like SQL BETWEEN — without this, the integral branch's
+      // ceil/floor would turn NaN into a spurious [0, 0] interval
+      if (lo.isNaN || hi.isNaN) d.where(lit(false))
+      else d.schema(c).dataType match {
         // integral columns: [lo, hi] ⇔ col >= ceil(lo) AND
         // col <= floor(hi) EXACTLY, in the column's own type — a
         // cast-to-double comparison would be equivalent but the cast
@@ -376,25 +400,11 @@ object GeoParquet {
     * writer per dataset assumed, like any file-sink). */
   def appendWithSidecar(batch: DataFrame, path: String,
                         geomCols: Seq[String]): Unit = {
-    val spark = batch.sparkSession
-    val conf = spark.sessionState.newHadoopConf()
-    val root = new HadoopPath(path)
-    val fs = root.getFileSystem(conf)
-    val before = listDataFiles(fs, root).toSet
-    batch.write.mode("append").parquet(path)
-    val newFiles = (listDataFiles(fs, root).toSet -- before).toSeq.sorted
-    if (newFiles.nonEmpty) {
-      val newBounds = boundsPerFile(
-        spark.read.parquet(newFiles.map(f => s"$path/$f"): _*), geomCols)
-      // parse EVERY column already in the sidecar, so appending with a
-      // subset of the geometry columns preserves the others' entries
-      val existing: Map[String, Map[String, Array[Double]]] =
-        readSidecarText(path, conf).map(parseSidecarAll).getOrElse(Map.empty)
-      val merged = (existing.keySet ++ geomCols).map { g =>
-        g -> (existing.getOrElse(g, Map.empty) ++ newBounds.getOrElse(g, Map.empty))
-      }.toMap
-      writeSidecarText(spark, path, renderSidecar(merged))
-    }
+    require(geomCols.nonEmpty && geomCols.distinct == geomCols,
+      s"need a non-empty distinct column list, got $geomCols")
+    val missing = geomCols.filterNot(batch.columns.contains)
+    require(missing.isEmpty, s"missing column(s): ${missing.mkString(", ")}")
+    appendWithBoundsOf(batch, path, geomCols, boundsPerFile)
   }
 
   /** Sidecar text via the Hadoop FileSystem API, so every helper works

@@ -1825,11 +1825,13 @@ object PipelineQueries {
       s.streams.active.filter(q => q.name == qName).foreach(_.stop())
       val q = chg.writeStream.queryName(qName)
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          // crash-safe swap (the sidecar writer's discipline): merge
-          // into a FRESH directory first; only after a complete write
-          // does the old table get replaced — a crash at any point
-          // leaves a complete table on disk (old or new), never a
-          // half-deleted landing dir that mode("overwrite") risks
+          // recoverable swap (the sidecar writer's discipline): merge
+          // into a FRESH directory first, so a COMPLETE table exists on
+          // disk at every instant — mode("overwrite") would delete the
+          // old files while the new write could still fail, losing the
+          // table outright. The delete→move window can still leave only
+          // the ".next" dir at a crash (old gone, new not yet renamed),
+          // but the data survives there for manual recovery
           val tmp = new java.io.File(landing + ".next")
           org.apache.commons.io.FileUtils.deleteQuietly(tmp)
           Retrieval.mergeVersioned(s.read.parquet(landing), batch,

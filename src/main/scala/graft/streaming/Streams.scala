@@ -283,13 +283,33 @@ object Streams extends Serializable {
                         tsCol: String = "ts",
                         dims: Seq[String] = Seq("event_type"),
                         windowDur: String = "1 hour",
-                        watermark: String = "1 hour"): DataFrame =
+                        watermark: String = "1 hour"): DataFrame = {
+    // dropDuplicatesWithinWatermark only holds a key for `watermark`
+    // past its FIRST event. A delay shorter than the window lets the
+    // same key's state expire while its window is still open — a later
+    // ON-TIME duplicate in the same window then re-counts (NOT a
+    // distinct count anymore). delay >= windowDur closes the gap: by
+    // the time a key's state can expire, every same-window arrival is
+    // below the watermark and dropped as late.
+    def micros(s: String): Long = {
+      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      require(iv.months == 0, s"calendar-month intervals unsupported: $s")
+      iv.days * 86400000000L + iv.microseconds
+    }
+    require(micros(watermark) >= micros(windowDur),
+      s"watermark delay ($watermark) must be >= window duration " +
+        s"($windowDur), or a key whose dedup state expired mid-window " +
+        "would be double-counted")
+    require(!events.columns.contains("__wstart"),
+      "input column collides with reserved name __wstart")
     events
       .withColumn("__wstart", window(col(tsCol), windowDur).getField("start"))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCol +: dims :+ "__wstart")
       .groupBy(window(col(tsCol), windowDur) +: dims.map(col): _*)
       .agg(count(lit(1)).as("distinct_keys"))
+  }
 
   /**
    * Streaming SCD Type-2 builder — the streaming twin of the batch

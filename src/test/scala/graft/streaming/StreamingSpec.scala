@@ -220,30 +220,38 @@ class StreamingSpec extends AnyFunSuite {
     val input = MemoryStream[(Long, Timestamp, String)]
     val q = Streams.distinctPerWindow(
         input.toDS().toDF("user_id", "ts", "event_type"), "user_id",
-        watermark = "10 minutes")
+        windowDur = "10 minutes", watermark = "10 minutes")
       .writeStream.format("memory").queryName("distinct_out")
       .outputMode("append").start()
     try {
-      // batch 1: hour-10 sees users 1 (twice, same type) and 2;
-      // hour-11 sees user 1 again — a NEW (user, window) pair
+      // batch 1: window [t0,t10) sees users 1 (twice, same type) and 2;
+      // window [t10,t20) sees user 1 again — a NEW (user, window) pair.
+      // Watermark after the batch: t11 - 10m = t1.
       input.addData((1L, ts(0), "click"), (1L, ts(5), "click"),
-        (2L, ts(6), "click"), (1L, ts(61), "click"))
+        (2L, ts(6), "click"), (1L, ts(11), "click"))
       q.processAllAvailable()
-      // batch 2: user 1 in hour-10 AGAIN (cross-batch duplicate — the
-      // dedup state must drop it), user 3 new in hour-10... but only
-      // if on time: watermark is t61-10m, so hour-10 arrivals are LATE
-      // and must NOT change the closed window's count
-      input.addData((1L, ts(8), "click"), (3L, ts(9), "click"))
+      // batch 2, ON TIME (>= t1): user 1 again in [t0,t10) — the
+      // cross-batch duplicate the dedup state must drop — and user 3,
+      // genuinely new in that window
+      input.addData((1L, ts(2), "click"), (3L, ts(3), "click"))
       q.processAllAvailable()
-      // batch 3: far-future row closes every real window
+      // batch 3: advance the watermark to t20 (closes [t0,t10))...
+      input.addData((7L, ts(30), "click"))
+      q.processAllAvailable()
+      // ...then a LATE arrival for the closed window: must not re-emit
+      // or change the count
+      input.addData((4L, ts(5), "click"))
+      q.processAllAvailable()
+      // flush: far-future row closes every remaining real window
       input.addData((99L, ts(600), "flush"))
       q.processAllAvailable()
       val got = spark.table("distinct_out")
         .select(col("window.start"), col("event_type"), col("distinct_keys"))
         .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
         .toSet
-      assert(got.contains((ts(0), "click", 2L)), s"hour-10: $got") // users 1,2
-      assert(got.contains((ts(60), "click", 1L)), s"hour-11: $got") // user 1 once more
+      assert(got.contains((ts(0), "click", 3L)), s"[t0,t10): $got") // users 1,2,3
+      assert(got.contains((ts(10), "click", 1L)), s"[t10,t20): $got") // user 1 once
+      assert(!got.exists(g => g._1 == ts(0) && g._3 != 3L), s"late rewrite: $got")
     } finally q.stop()
   }
 
