@@ -277,6 +277,46 @@ final case class GeoFrame(df: DataFrame, geometryCol: String, kind: String) {
   def backfillNaPartitioned(orderCol: Column, numPartitions: Int): GeoFrame =
     directionalFillPartitioned(orderCol, numPartitions, forward = false)
 
+  /** Positional row access under an EXPLICIT total order — SURVEY
+    * §2.2's take/slice (the reference's iloc, geodataframe.py via the
+    * pandas protocol). A distributed frame has no implicit row order,
+    * so position is DEFINED relative to `orderBy` (include a unique
+    * tiebreak column), materialized by the two-pass distributed row
+    * number ([[graft.tools.Ranks.globalRowNumber]] — range exchange +
+    * O(1) per-partition offsets, NO single-task window), then filtered.
+    * 0-based, stop-exclusive: iloc[start:stop:step]. */
+  def slicePositional(start: Long, stop: Long, step: Long,
+                      numPartitions: Int, orderBy: Column*): GeoFrame = {
+    require(start >= 0 && stop >= start && step >= 1,
+      s"need 0 <= start <= stop and step >= 1, got [$start, $stop) step $step")
+    copy(df = positioned(numPartitions, orderBy)
+      .where(col(GeoFrame.PosCol) >= start && col(GeoFrame.PosCol) < stop &&
+        (col(GeoFrame.PosCol) - start) % step === 0)
+      .drop(GeoFrame.PosCol))
+  }
+
+  /** Positional take — the rows at exactly `indices` (0-based) under
+    * the explicit order: iloc[[i, j, ...]]. Out-of-range indices
+    * select nothing (the pandas contract raises; a distributed frame
+    * can't know its length without a count, so absent rows are the
+    * composable behavior — count the result to detect misses). */
+  def takePositional(indices: Seq[Long], numPartitions: Int,
+                     orderBy: Column*): GeoFrame = {
+    require(indices.nonEmpty && indices.forall(_ >= 0),
+      s"need non-empty, non-negative indices, got $indices")
+    copy(df = positioned(numPartitions, orderBy)
+      .where(col(GeoFrame.PosCol).isin(indices: _*))
+      .drop(GeoFrame.PosCol))
+  }
+
+  private def positioned(numPartitions: Int, orderBy: Seq[Column]): DataFrame = {
+    require(!df.columns.contains(GeoFrame.PosCol),
+      s"input column collides with reserved name ${GeoFrame.PosCol}")
+    graft.tools.Ranks.globalRowNumber(df, GeoFrame.PosCol, numPartitions,
+        orderBy: _*)
+      .withColumn(GeoFrame.PosCol, col(GeoFrame.PosCol) - 1) // 1-based rank -> 0-based pos
+  }
+
   /** Lexicographic geometry sort over flat coordinates, shorter-first on
     * ties — Spark's array ordering IS the reference's comparison
     * (reference: baselist.py:249-290); nested kinds compare flattened. */
@@ -334,6 +374,9 @@ object GeoFrame {
     * ring/line share physical schemas, ring folds into line). */
   val Kinds: Set[String] =
     Set("point", "multipoint", "line", "multiline", "polygon", "multipolygon")
+
+  /** Reserved internal column for positional take/slice ranks. */
+  private[api] val PosCol = "__pos"
 }
 
 /** Driver-side spatial index returned by [[GeoFrame.sindex]]: a packed

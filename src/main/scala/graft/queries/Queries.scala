@@ -111,6 +111,24 @@ object Queries {
         .df.select(col("c_custkey"), col("px"), col("py"))
     }),
 
+    // SURVEY §2.2 positional take/slice (iloc) — Spark-first: position
+    // is DEFINED over an explicit total order (here the geometry's
+    // (x, y) with the key as tiebreak), ranked by the two-pass
+    // distributed row number (no single-task window), then filtered.
+    // Both the slice [10, 400) step 7 and a take of fixed positions,
+    // unioned; DuckDB replays the identical row_number arithmetic.
+    "iloc_slice_points" -> ((s, dir) => {
+      val gf = graft.api.GeoFrame(custPoints(s, dir), "pt", "point")
+      val ord = Seq(col("px"), col("py"), col("c_custkey"))
+      val sliced = gf.slicePositional(10, 400, 7, 16, ord: _*)
+        .df.select(col("c_custkey"), col("px"), col("py"))
+        .withColumn("which", lit("slice"))
+      val taken = gf.takePositional(Seq(0L, 1L, 5L, 99L), 16, ord: _*)
+        .df.select(col("c_custkey"), col("px"), col("py"))
+        .withColumn("which", lit("take"))
+      sliced.unionByName(taken)
+    }),
+
     // SURVEY §2.8 multipoint-vs-rect kernel over per-order multipoints,
     // built with the st_collect_points aggregate (primitive buffer — no
     // per-row array allocation, unlike collect_list + flatten).
@@ -2766,6 +2784,21 @@ object Queries {
          CASE WHEN c_custkey%7=0 THEN -1.0 ELSE CAST((c_custkey*7919)%1000 AS DOUBLE) END AS fx,
          CASE WHEN c_custkey%7=0 THEN -1.0 ELSE CAST((c_custkey*104729)%1000 AS DOUBLE) END AS fy
          FROM customer""",
+    "iloc_slice_points" ->
+      """WITH pts AS (
+           SELECT c_custkey,
+                  CAST((c_custkey * 7919) % 1000 AS DOUBLE) AS px,
+                  CAST((c_custkey * 104729) % 1000 AS DOUBLE) AS py
+           FROM customer),
+         r AS (
+           SELECT c_custkey, px, py,
+                  row_number() OVER (ORDER BY px, py, c_custkey) - 1 AS pos
+           FROM pts)
+         SELECT c_custkey, px, py, 'slice' AS which FROM r
+         WHERE pos >= 10 AND pos < 400 AND (pos - 10) % 7 = 0
+         UNION ALL
+         SELECT c_custkey, px, py, 'take' AS which FROM r
+         WHERE pos IN (0, 1, 5, 99)""",
     "geom_sort_rank" ->
       """SELECT l_orderkey,
                 row_number() OVER (ORDER BY

@@ -252,6 +252,34 @@ class GeoFrameSpec extends AnyFunSuite {
     assert(idx.intersects(1000, 1000, 1001, 1001).isEmpty)
   }
 
+  test("positional slice/take match iloc semantics under the explicit order") {
+    val rnd = new scala.util.Random(83)
+    val rows = (0 until 500).map(i =>
+      (i.toLong, rnd.nextInt(50).toDouble, rnd.nextInt(50).toDouble))
+    val pts = rows.toDF("id", "x", "y")
+      .withColumn("pt", st_point(col("x"), col("y"))).select("id", "pt")
+    val gf = GeoFrame(pts, "pt", "point")
+    val ord = Seq(col("pt.x"), col("pt.y"), col("id"))
+    // the oracle order computed locally: (x, y, id)
+    val sorted = rows.sortBy(r => (r._2, r._3, r._1)).map(_._1)
+    val sliced = gf.slicePositional(3, 40, 5, 8, ord: _*)
+      .df.select("id").collect().map(_.getLong(0)).toSet
+    assert(sliced == (3L until 40L by 5L).map(p => sorted(p.toInt)).toSet)
+    val taken = gf.takePositional(Seq(0L, 7L, 499L), 8, ord: _*)
+      .df.select("id").collect().map(_.getLong(0)).toSet
+    assert(taken == Set(sorted(0), sorted(7), sorted(499)))
+    // out-of-range take positions select nothing (documented contract)
+    assert(gf.takePositional(Seq(10000L), 8, ord: _*).df.count() == 0)
+    // guards fail fast
+    intercept[IllegalArgumentException] {
+      gf.slicePositional(-1, 5, 1, 8, ord: _*)
+    }
+    intercept[IllegalArgumentException] {
+      gf.takePositional(Nil, 8, ord: _*)
+    }
+    spark.catalog.clearCache() // release the rank cache pinned by globalRowNumber
+  }
+
   private def pts0Schema: org.apache.spark.sql.types.DataType =
     org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("x",
