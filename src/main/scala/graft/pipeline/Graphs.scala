@@ -179,6 +179,66 @@ object Graphs {
   }
 
   /**
+   * Multi-source BFS hop distances: min-hop distance from a seed set to
+   * every node reachable within `maxHops` — the link-distance feature a
+   * crawl-frontier scorer keys on (distance from the trusted-seed set
+   * is the classic TrustRank-style spam prior), and the generic
+   * "k-hop neighborhood" primitive.
+   *
+   * Level-synchronous frontier expansion, the scalable BFS shape: each
+   * round joins ONLY the current frontier (not the visited set) against
+   * the edge list, then anti-joins the visited set — two key-partitioned
+   * shuffles per round, no broadcast assumptions, hub fan-out handled by
+   * the join's hash partitioning (AQE-skew-splittable). The visited set
+   * and frontier are localCheckpoint'd per round (O(1) plan size in
+   * rounds — the iterative-DataFrame discipline shared by the whole
+   * module), and each round's only driver traffic is the one-bit
+   * frontier-emptiness probe that allows early exit. Hop counts are
+   * exact integers, so any engine replaying the expansion agrees
+   * bit-for-bit (the differential-oracle property).
+   *
+   * Seeds are distance 0 BY DEFINITION — a seed absent from the edge
+   * list still appears with hops = 0. Returns (node, hops) for every
+   * node whose min distance is <= maxHops; unreachable nodes are
+   * absent (a distributed frame can't enumerate "the rest of the
+   * graph" cheaper than the caller's own node list — left-join this
+   * result against it for an infinity-padded table).
+   */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+              seeds: DataFrame, seedCol: String, maxHops: Int,
+              directed: Boolean = true): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val fwd = edges.select(col(srcCol).cast("string").as("__src"),
+        col(dstCol).cast("string").as("__dst"))
+      .where(col("__src").isNotNull && col("__dst").isNotNull)
+    val adj = (if (directed) fwd
+               else fwd.unionAll(fwd.select(col("__dst").as("__src"),
+                 col("__src").as("__dst"))))
+      .distinct().persist()
+    var dist = seeds.select(col(seedCol).cast("string").as("__node"))
+      .where(col("__node").isNotNull).distinct()
+      .withColumn("__h", lit(0L)).localCheckpoint(false)
+    var frontier = dist
+    var hop = 1
+    var exhausted = false
+    while (hop <= maxHops && !exhausted) {
+      val next = frontier.join(adj, frontier("__node") === adj("__src"))
+        .select(adj("__dst").as("__node")).distinct()
+        .join(dist, Seq("__node"), "left_anti")
+        .withColumn("__h", lit(hop.toLong))
+        .localCheckpoint(false) // reused by the probe, the union, and next round
+      if (next.isEmpty) exhausted = true
+      else {
+        dist = dist.unionAll(next).localCheckpoint(false)
+        frontier = next
+      }
+      hop += 1
+    }
+    adj.unpersist(false)
+    dist.select(col("__node").as("node"), col("__h").as("hops"))
+  }
+
+  /**
    * Per-node triangle counts over an undirected graph (the clustering
    * signal a link-graph quality model keys on: spam farms are
    * triangle-dense, organic link neighborhoods are sparse).

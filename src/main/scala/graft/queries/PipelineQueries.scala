@@ -1017,6 +1017,26 @@ object PipelineQueries {
       Graphs.kCore(nucleus.unionAll(path).unionAll(bridge), "src", "dst", k = 2)
     }),
 
+    // multi-source BFS hop distances (the TrustRank-style link-distance
+    // prior): ring + doubling edges over 64 vertices give genuinely
+    // varied shortest paths, and maxHops = 6 leaves part of the graph
+    // UNREACHED — the frontier cutoff itself is under the gate. Exact
+    // integer hops; the oracle replays the expansion as a bounded
+    // recursive CTE and must agree on every (node, min-hop) row.
+    "bfs_hops" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val ring = d.select(
+        concat(lit("v"), (col("doc_id") % 64).cast("string")).as("src"),
+        concat(lit("v"), ((col("doc_id") + 1) % 64).cast("string")).as("dst"))
+      val dbl = d.select(
+        concat(lit("v"), (col("doc_id") % 64).cast("string")).as("src"),
+        concat(lit("v"), ((col("doc_id") * 2) % 64).cast("string")).as("dst"))
+      val edges = ring.unionAll(dbl).where(col("src") =!= col("dst"))
+      Graphs.bfsHops(edges, "src", "dst",
+        Seq("v9").toDF("node"), "node", maxHops = 6)
+    }),
+
     // normalization-canonical exact dedup: planted variants differing
     // only in case/punctuation/whitespace collapse onto their originals
     "normalize_dedup" -> ((s, dir) => {
@@ -3653,6 +3673,27 @@ object PipelineQueries {
        SELECT u AS node, count(*) AS deg
        FROM peel WHERE iter = (SELECT max(iter) FROM peel)
        GROUP BY u""",
+    // the identical level expansion as a bounded recursive CTE: UNION
+    // (not UNION ALL) dedups (node, h) rows so the recursion is finite,
+    // and min(h) per node is the BFS distance; h < 6 replays the
+    // engine's maxHops frontier cutoff exactly
+    "bfs_hops" ->
+      """WITH RECURSIVE e AS (
+           SELECT DISTINCT src, dst FROM (
+             SELECT 'v' || CAST(doc_id % 64 AS VARCHAR) AS src,
+                    'v' || CAST((doc_id + 1) % 64 AS VARCHAR) AS dst
+             FROM documents
+             UNION ALL
+             SELECT 'v' || CAST(doc_id % 64 AS VARCHAR),
+                    'v' || CAST((doc_id * 2) % 64 AS VARCHAR)
+             FROM documents
+           ) WHERE src <> dst),
+         r(node, h) AS (
+           SELECT 'v9', 0
+           UNION
+           SELECT e.dst, r.h + 1 FROM r JOIN e ON e.src = r.node
+           WHERE r.h < 6)
+       SELECT node, CAST(min(h) AS BIGINT) AS hops FROM r GROUP BY node""",
     // same bucket/shard/rank arithmetic over the shared token-count
     // definition (len of regexp_extract_all \S+)
     "length_bucket_batches" ->

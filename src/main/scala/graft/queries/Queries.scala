@@ -1801,6 +1801,68 @@ object Queries {
       s.table(qName).select(col("click_id"), col("p_ts"), col("p_value"))
     }),
 
+    // stream-stream LEFT OUTER interval join: same clicks ⋈ purchases
+    // shape, but a click with NO purchase in its preceding hour must
+    // emit a null-padded row — and an outer result can only materialize
+    // once the watermark PROVES no match can still arrive (match-window
+    // upper bound below both watermarks). Far-future sentinel rows on
+    // BOTH sides (each side's watermark is tracked separately; the
+    // operator uses the min) push the global watermark past all real
+    // data so the trailing no-data batch flushes every unmatched click;
+    // sentinels carry user_id -1/-2 so they can never join each other,
+    // and the output filters them. The distinct semantics under gate
+    // here vs the inner twin: delayed NULL-side emission from evicted
+    // join state.
+    "stream_stream_left_join" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      def src = EventTs.toTimestamp(s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+      val farTs = to_timestamp(lit("2200-01-01 00:00:00"))
+      val clicksBase = src.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("c_ts"))
+      // sentinel derived FROM stream rows (a batch frame can't union
+      // into a stream); any surviving count works — they join nothing
+      val clicks = clicksBase.unionAll(
+          clicksBase.where(col("click_id") % 100 === 0)
+            .select(lit(-1L).as("click_id"), lit(-1L).as("user_id"),
+              farTs.as("c_ts")))
+        .withWatermark("c_ts", "1 hour")
+      val purchasesBase = src.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("value").as("p_value"))
+      val purchases = purchasesBase.unionAll(
+          purchasesBase.where(col("p_user") % 100 === 0)
+            .select(lit(-2L).as("p_user"), farTs.as("p_ts"),
+              lit(0.0).as("p_value")))
+        .withWatermark("p_ts", "1 hour")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
+          col("p_ts") <= col("c_ts"), "left_outer")
+        // drop sentinels by their EVENT TIME, not their id: a predicate
+        // on a non-watermark column (click_id != -1) is pushed through
+        // the EventTimeWatermark node by PushPredicateThroughNonJoin,
+        // removing the sentinel BEFORE watermark tracking — the click
+        // watermark then stops 1h short of the newest real click and
+        // its unmatched null row never flushes (lost exactly one row at
+        // sf0.001). Predicates referencing the watermark column itself
+        // are NOT pushed below the watermark operator.
+        .where(col("c_ts") < to_timestamp(lit("2100-01-01 00:00:00")))
+      val qName = "graft_stream_stream_left_join"
+      s.streams.active.filter(q => q.name == qName).foreach(_.stop())
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = joined.writeStream.format("memory").queryName(qName)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.table(qName).select(col("click_id"), col("p_ts"), col("p_value"))
+    }),
+
     // the SLIDING-window streaming twin: window(1h, slide 30min) as a
     // real watermarked streaming query, pinned to the same
     // epoch-micros-arithmetic oracle as the batch events_sliding.
@@ -3319,6 +3381,18 @@ object Queries {
          FROM (SELECT event_id, user_id, ts FROM events
                WHERE event_type = 'click') c
          JOIN (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id
+          AND p.ts >= c.ts - INTERVAL 1 HOUR
+          AND p.ts <= c.ts""",
+    // the LEFT JOIN twin: unmatched clicks carry NULL p_ts/p_value —
+    // exactly the rows the streaming side may only emit after the
+    // watermark passes their match window
+    "stream_stream_left_join" ->
+      """SELECT c.event_id AS click_id, p.ts AS p_ts, p.value AS p_value
+         FROM (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click') c
+         LEFT JOIN (SELECT user_id, ts, value FROM events
                WHERE event_type = 'purchase') p
            ON c.user_id = p.user_id
           AND p.ts >= c.ts - INTERVAL 1 HOUR

@@ -179,4 +179,53 @@ class GraphsSpec extends AnyFunSuite {
       }
     }
   }
+
+  /** Single-threaded level BFS over a directed edge list. */
+  private def refBfs(edges: Seq[(String, String)], seeds: Seq[String],
+                     maxHops: Int, directed: Boolean = true): Map[String, Long] = {
+    val adj = (if (directed) edges else edges ++ edges.map(_.swap))
+      .distinct.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    var dist = seeds.distinct.map(_ -> 0L).toMap
+    var frontier = seeds.distinct
+    for (h <- 1 to maxHops if frontier.nonEmpty) {
+      val next = frontier.flatMap(n => adj.getOrElse(n, Nil)).distinct
+        .filterNot(dist.contains)
+      dist ++= next.map(_ -> h.toLong)
+      frontier = next
+    }
+    dist
+  }
+
+  test("bfs hops: path + shortcut takes the shortcut; maxHops truncates; seed is 0") {
+    // a -> b -> c -> d -> e, plus shortcut a -> d
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("a", "d"))
+    val got = Graphs.bfsHops(edges.toDF("src", "dst"), "src", "dst",
+      Seq("a").toDF("n"), "n", maxHops = 10).as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 1L, "e" -> 2L))
+    // truncation: only the 1-hop ball survives maxHops = 1
+    val trunc = Graphs.bfsHops(edges.toDF("src", "dst"), "src", "dst",
+      Seq("a").toDF("n"), "n", maxHops = 1).as[(String, Long)].collect().toMap
+    assert(trunc == Map("a" -> 0L, "b" -> 1L, "d" -> 1L))
+    // a seed absent from the graph still reports distance 0
+    val lone = Graphs.bfsHops(edges.toDF("src", "dst"), "src", "dst",
+      Seq("zz").toDF("n"), "n", maxHops = 3).as[(String, Long)].collect().toMap
+    assert(lone == Map("zz" -> 0L))
+  }
+
+  test("bfs hops match the single-threaded reference on random graphs, both directions") {
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 3; directed <- Seq(true, false)) {
+      val edges = (0 until 150).map { _ =>
+        (s"n${rnd.nextInt(25)}", s"n${rnd.nextInt(25)}")
+      }
+      val seeds = Seq(s"n${rnd.nextInt(25)}", s"n${rnd.nextInt(25)}")
+      for (maxHops <- Seq(0, 2, 8)) {
+        val got = Graphs.bfsHops(edges.toDF("src", "dst"), "src", "dst",
+          seeds.toDF("n"), "n", maxHops, directed).as[(String, Long)]
+          .collect().toMap
+        assert(got == refBfs(edges, seeds, maxHops, directed),
+          s"trial $trial directed $directed maxHops $maxHops")
+      }
+    }
+  }
 }
