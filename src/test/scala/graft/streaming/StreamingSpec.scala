@@ -255,6 +255,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream left-outer join: matches emit promptly, null rows only after the watermark passes the match window") {
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp, Double)]
+    val c = clicks.toDS().toDF("click_id", "user_id", "c_ts")
+      .withWatermark("c_ts", "0 seconds")
+    val p = purchases.toDS().toDF("p_user", "p_ts", "p_value")
+      .withWatermark("p_ts", "0 seconds")
+    val joined = c.join(p,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("p_ts") <= col("c_ts"), "left_outer")
+      .select(col("click_id"), col("p_value"))
+    val q = joined.writeStream.format("memory").queryName("loj_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: click 1 (user 1) has a purchase in its window; click 2
+      // (user 2) has none. Global watermark after the batch is the MIN
+      // of the two sides (t3) — below click 2's match window, so its
+      // null row must NOT emit yet.
+      clicks.addData((1L, 1L, ts(5)), (2L, 2L, ts(5)))
+      purchases.addData((1L, ts(3), 7.0))
+      q.processAllAvailable()
+      val after1 = spark.table("loj_out").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+        .toSet
+      assert(after1.contains((1L, Some(7.0))), s"match missing: $after1")
+      assert(!after1.exists(_._1 == 2L),
+        s"null row emitted before the watermark proved no match: $after1")
+      // batch 2: advance BOTH watermarks past click 2's window upper
+      // bound (non-matching users, so the advance rows join nothing and
+      // themselves stay unflushed at wm == their ts). The no-data batch
+      // that follows must evict click 2 and emit its null row.
+      clicks.addData((9L, 8L, ts(60)))
+      purchases.addData((9L, ts(60), 0.0))
+      q.processAllAvailable()
+      val after2 = spark.table("loj_out").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+        .toSet
+      assert(after2.contains((2L, None)), s"null row not flushed: $after2")
+      assert(after2 == after1 + ((2L, None)), s"unexpected extras: $after2")
+    } finally q.stop()
+  }
+
   test("scd2Intervals closes slices across micro-batches, opens after horizon") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[StateEvent]
