@@ -1863,6 +1863,57 @@ object Queries {
       s.table(qName).select(col("click_id"), col("p_ts"), col("p_value"))
     }),
 
+    // stream-stream FULL OUTER interval join: the remaining eviction
+    // path — unmatched PURCHASES also emit, null-padded on the click
+    // side, once the watermark proves no click window can still claim
+    // them. Same sentinel discipline as the left twin, but the sentinel
+    // filter must be NULL-TOLERANT per side (c_ts is null on
+    // right-only rows, p_ts on left-only rows — a bare c_ts < X would
+    // silently drop every unmatched purchase); the disjunctive form
+    // also keeps the optimizer from pushing it anywhere near the
+    // watermark nodes.
+    "stream_stream_full_join" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      def src = EventTs.toTimestamp(s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+      val farTs = to_timestamp(lit("2200-01-01 00:00:00"))
+      val notSentinel = to_timestamp(lit("2100-01-01 00:00:00"))
+      val clicksBase = src.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("c_ts"))
+      val clicks = clicksBase.unionAll(
+          clicksBase.where(col("click_id") % 100 === 0)
+            .select(lit(-1L).as("click_id"), lit(-1L).as("user_id"),
+              farTs.as("c_ts")))
+        .withWatermark("c_ts", "1 hour")
+      val purchasesBase = src.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("value").as("p_value"))
+      val purchases = purchasesBase.unionAll(
+          purchasesBase.where(col("p_user") % 100 === 0)
+            .select(lit(-2L).as("p_user"), farTs.as("p_ts"),
+              lit(0.0).as("p_value")))
+        .withWatermark("p_ts", "1 hour")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
+          col("p_ts") <= col("c_ts"), "full_outer")
+        .where((col("c_ts").isNull || col("c_ts") < notSentinel) &&
+          (col("p_ts").isNull || col("p_ts") < notSentinel))
+      val qName = "graft_stream_stream_full_join"
+      s.streams.active.filter(q => q.name == qName).foreach(_.stop())
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = joined.writeStream.format("memory").queryName(qName)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.table(qName).select(col("click_id"), col("p_ts"), col("p_value"))
+    }),
+
     // the SLIDING-window streaming twin: window(1h, slide 30min) as a
     // real watermarked streaming query, pinned to the same
     // epoch-micros-arithmetic oracle as the batch events_sliding.
@@ -3393,6 +3444,16 @@ object Queries {
          FROM (SELECT event_id, user_id, ts FROM events
                WHERE event_type = 'click') c
          LEFT JOIN (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id
+          AND p.ts >= c.ts - INTERVAL 1 HOUR
+          AND p.ts <= c.ts""",
+    // the FULL JOIN twin: unmatched purchases appear with NULL click_id
+    "stream_stream_full_join" ->
+      """SELECT c.event_id AS click_id, p.ts AS p_ts, p.value AS p_value
+         FROM (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click') c
+         FULL JOIN (SELECT user_id, ts, value FROM events
                WHERE event_type = 'purchase') p
            ON c.user_id = p.user_id
           AND p.ts >= c.ts - INTERVAL 1 HOUR
