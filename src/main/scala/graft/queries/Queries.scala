@@ -1914,6 +1914,59 @@ object Queries {
       s.table(qName).select(col("click_id"), col("p_ts"), col("p_value"))
     }),
 
+    // Streaming POINT-IN-TIME enrichment (Streams.asofEnrich): each
+    // click binds the user's latest at-or-before purchase value, nulled
+    // past the 6h tolerance — the merge_asof / feature-store pattern as
+    // a FIFTH custom-state machine (a stream-stream join cannot express
+    // "the latest match": it emits every in-window pair). Clicks and
+    // purchases ride ONE keyed stream; events buffer until the
+    // watermark strictly passes them, purchases fold before clicks at
+    // an equal timestamp, and a far-future sentinel key drains the
+    // bounded replay. The oracle is DuckDB's NATIVE ASOF JOIN over the
+    // same micros-truncated event times — batch/streaming unification
+    // for the as-of shape (asof_join_tol's streaming twin).
+    "stream_asof_enrich" -> ((s, dir) => {
+      import s.implicits._
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      def src = EventTs.toTimestamp(s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+      val base = src.where(col("event_type").isin("click", "purchase"))
+        .select(col("user_id").as("userId"), col("ts"),
+          col("event_id").as("eventId"),
+          when(col("event_type") === "click", lit("c"))
+            .otherwise(lit("p")).as("kind"),
+          coalesce(col("value"), lit(0.0)).as("value"))
+      // far-future sentinel on its own key: advances the watermark so
+      // every group's event-time timer fires in the trailing no-data
+      // batch and the full replay folds (ONE constant ts, as always)
+      val sentinel = base.where(col("eventId") % 100 === 0)
+        .select(lit(-1L).as("userId"),
+          to_timestamp(lit("2200-01-01 00:00:00")).as("ts"),
+          lit(-1L).as("eventId"), lit("c").as("kind"), lit(0.0).as("value"))
+      val events = base.unionAll(sentinel)
+        .withWatermark("ts", "1 hour")
+        .as[graft.streaming.AsofEvent]
+      val enriched = graft.streaming.Streams.asofEnrich(events,
+        tolerance = "6 hours")
+      val qName = "graft_stream_asof_enrich"
+      s.streams.active.filter(q => q.name == qName).foreach(_.stop())
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = enriched.toDF().writeStream.format("memory").queryName(qName)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      // the sentinel key's own (null-enriched) rows are not part of the
+      // query; this filter sits above the stateful operator, far from
+      // any watermark node
+      s.table(qName).where(col("eventId") =!= -1L)
+        .select(col("eventId").as("event_id"),
+          col("priorValue").as("prior_value"))
+    }),
+
     // the SLIDING-window streaming twin: window(1h, slide 30min) as a
     // real watermarked streaming query, pinned to the same
     // epoch-micros-arithmetic oracle as the batch events_sliding.
@@ -3448,6 +3501,20 @@ object Queries {
            ON c.user_id = p.user_id
           AND p.ts >= c.ts - INTERVAL 1 HOUR
           AND p.ts <= c.ts""",
+    // the streaming as-of twin replays asof_join_tol's semantics over
+    // MICROS-truncated event times (the engine's watermark clock):
+    // DuckDB's native ASOF JOIN picks the latest at-or-before purchase,
+    // the CASE nulls it past 6h = 21_600e6 us
+    "stream_asof_enrich" ->
+      """WITH c AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us
+                    FROM events WHERE event_type = 'click'),
+            p AS (SELECT user_id AS p_user, epoch_ns(ts) // 1000 AS us,
+                         value FROM events WHERE event_type = 'purchase')
+         SELECT c.event_id,
+                CASE WHEN c.us - r.us <= 21600000000 THEN r.value END
+                  AS prior_value
+         FROM c ASOF LEFT JOIN p r
+           ON c.user_id = r.p_user AND c.us >= r.us""",
     // the FULL JOIN twin: unmatched purchases appear with NULL click_id
     "stream_stream_full_join" ->
       """SELECT c.event_id AS click_id, p.ts AS p_ts, p.value AS p_value

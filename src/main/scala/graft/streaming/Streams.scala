@@ -34,6 +34,22 @@ case class RateKept(userId: Long, eventId: Long)
   * has passed the watermark are pruned — they can never admit again). */
 case class RateState(pending: Seq[StateEvent], wins: Map[Long, Long])
 
+/** One as-of enrichment observation: kind = "p" (a purchase whose
+  * `value` is the payload later clicks pick up) or "c" (a click that
+  * emits one enriched output row). */
+case class AsofEvent(userId: Long, ts: java.sql.Timestamp, eventId: Long,
+                     kind: String, value: Double)
+
+/** One enriched click from [[Streams.asofEnrich]]: the latest
+  * at-or-before purchase's value within tolerance, else None. */
+case class AsofOut(userId: Long, eventId: Long, priorValue: Option[Double])
+
+/** Per-user [[Streams.asofEnrich]] state: the latest FOLDED purchase
+  * (event-time micros + value) and the lateness buffer. */
+case class AsofState(lastPurchUs: Option[Long],
+                     lastPurchValue: Option[Double],
+                     pending: Seq[AsofEvent])
+
 /** One keyed observation for the custom-state sessionizer. */
 case class SessEvent(key: String, ts: java.sql.Timestamp)
 
@@ -542,5 +558,88 @@ object Streams extends Serializable {
 
     docs.groupByKey(_.fp)
       .flatMapGroupsWithState(OutputMode.Append, timeout)(fn)
+  }
+
+  /**
+   * Streaming POINT-IN-TIME (as-of) enrichment: each click picks up the
+   * value of the user's latest at-or-before purchase, nulled out when
+   * that purchase is older than `tolerance` — the feature-store /
+   * merge_asof pattern ([[graft.tools.Joins.asofBackward]]) as an
+   * incremental state machine instead of a per-batch join. A
+   * stream-stream interval join can't express this: "the LATEST match"
+   * is an argmax over the match window, and the join emits EVERY
+   * in-window pair.
+   *
+   * Buffering discipline shared with [[scd2Intervals]]: events hold in
+   * state until the watermark STRICTLY passes them (the enrichment
+   * depends on fold ORDER — an out-of-order purchase arriving in a
+   * later micro-batch must still beat an earlier-batch purchase with an
+   * older event time; emitting a click early would bind the wrong value
+   * and append mode cannot retract), then fold in (ts, kind, eventId)
+   * order with purchases applied BEFORE clicks at an equal timestamp —
+   * the batch join's `p.ts <= c.ts` inclusive edge.
+   *
+   * State per user = the lateness buffer + ONE folded purchase
+   * (micros + value), and the purchase expires once the watermark is
+   * past its tolerance window (no future on-time click can reach it) —
+   * so state TTL = watermark delay + tolerance, bounded at any scale.
+   * Timeouts re-arm at wm+1: each watermark advance folds whatever just
+   * became ready, and the state removes itself once nothing is pending
+   * and the stored purchase is stale. On a BOUNDED replay, drive the
+   * final watermark past every event (far-future sentinel key) and the
+   * emitted table equals the batch as-of join with tolerance — the
+   * unification property the DuckDB gate checks.
+   */
+  def asofEnrich(events: Dataset[AsofEvent],
+                 tolerance: String): Dataset[AsofOut] = {
+    import events.sparkSession.implicits._
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(tolerance))
+    require(iv.months == 0, s"tolerance must not use months: $tolerance")
+    val tolUs = iv.days * 86400000000L + iv.microseconds
+    require(tolUs >= 0, s"tolerance must be >= 0: $tolerance")
+
+    // purchases before clicks at an equal ts (inclusive as-of edge),
+    // ids break the remaining ties for a deterministic fold
+    def kindRank(e: AsofEvent): Int = if (e.kind == "p") 0 else 1
+    def sortAsof(evs: Seq[AsofEvent]): Seq[AsofEvent] =
+      evs.sortWith { (a, b) =>
+        val c = a.ts.compareTo(b.ts)
+        c < 0 || (c == 0 && (kindRank(a) < kindRank(b) ||
+          (kindRank(a) == kindRank(b) && a.eventId < b.eventId)))
+      }
+
+    def fn(user: Long, it: Iterator[AsofEvent],
+           st: GroupState[AsofState]): Iterator[AsofOut] = {
+      val wm = st.getCurrentWatermarkMs
+      val s0 = st.getOption.getOrElse(AsofState(None, None, Seq.empty))
+      val fresh = if (st.hasTimedOut) Seq.empty else it.toSeq
+      val all = sortAsof(s0.pending ++ fresh)
+      // fold only events STRICTLY below the watermark millisecond (an
+      // on-time arrival can still carry ts == wm — the shared boundary
+      // discipline)
+      val (ready, hold) = all.partition(_.ts.getTime + 1 <= wm)
+      var lastUs = s0.lastPurchUs
+      var lastV = s0.lastPurchValue
+      val out = scala.collection.mutable.ArrayBuffer.empty[AsofOut]
+      ready.foreach { e =>
+        if (e.kind == "p") { lastUs = Some(tsMicros(e.ts)); lastV = Some(e.value) }
+        else out += AsofOut(user, e.eventId,
+          if (lastUs.exists(pu => tsMicros(e.ts) - pu <= tolUs)) lastV else None)
+      }
+      // the stored purchase can still serve a future on-time click
+      // (ts >= wm) only while wm <= purchase + tolerance — ms-floor on
+      // the conservative (keep-longer) side
+      val purchaseLive = lastUs.exists(pu => (pu + tolUs) / 1000L + 1 >= wm)
+      if (hold.isEmpty && !purchaseLive) st.remove()
+      else {
+        st.update(AsofState(lastUs, lastV, hold))
+        st.setTimeoutTimestamp(wm + 1) // re-arm on every invocation
+      }
+      out.iterator
+    }
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
   }
 }

@@ -299,6 +299,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("asofEnrich binds an out-of-order cross-batch purchase and nulls past tolerance") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[AsofEvent]
+    val q = Streams.asofEnrich(
+        input.toDS().withWatermark("ts", "10 minutes"), tolerance = "10 minutes")
+      .writeStream.format("memory").queryName("asof_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: click 10 at t5 arrives BEFORE the purchase that will
+      // enrich it. Watermark after the batch = t5 - 10m, so nothing
+      // folds (events hold until the watermark strictly passes them).
+      input.addData(AsofEvent(1L, ts(5), 10L, "c", 0.0))
+      q.processAllAvailable()
+      assert(spark.table("asof_out").isEmpty,
+        "click emitted before the watermark passed it")
+      // batch 2: the OUT-OF-ORDER purchase at t3 (on time: wm is still
+      // t5 - 10m) must bind click 10 despite arriving a batch later;
+      // click 11 at t30 is 27 min past the purchase — beyond tolerance.
+      input.addData(AsofEvent(1L, ts(3), 1L, "p", 42.0),
+        AsofEvent(1L, ts(30), 11L, "c", 0.0))
+      q.processAllAvailable()
+      // far-future drain on its own key: watermark jumps past all real
+      // events and the timers flush every group
+      input.addData(AsofEvent(-1L, ts(6000), -1L, "c", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("asof_out")
+        .where(col("eventId") =!= -1L)
+        .collect().map(r => (r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+      assert(got == Set((10L, Some(42.0)), (11L, None)), s"got $got")
+    } finally q.stop()
+  }
+
   test("scd2Intervals closes slices across micro-batches, opens after horizon") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[StateEvent]
