@@ -55,6 +55,73 @@ object Queries {
 
   // ---- derived geometry helpers (Spark side) -------------------------
 
+  /** Shared skeleton for the three stream-stream interval-join queries
+    * (inner / left_outer / full_outer): clicks ⋈ purchases of the same
+    * user within the preceding hour, BOTH sides watermarked streams
+    * (the event-time range condition lets each side evict state past
+    * the watermark). ALL the hard-won gotchas live here exactly once:
+    *  - far-future sentinel rows on BOTH sides push the global (min)
+    *    watermark past all real data, so the trailing no-data batch
+    *    flushes outer-join state; they derive from the UNFILTERED
+    *    event stream (event_id % 100 — any 100 consecutive ids
+    *    contains one), never from a type- or user-filtered subset
+    *    whose survival would depend on the data distribution;
+    *  - sentinels are dropped by their EVENT TIME, not their id: an id
+    *    predicate is pushed below the EventTimeWatermark node by
+    *    PushPredicateThroughNonJoin, removing the sentinel BEFORE
+    *    watermark tracking — the watermark then stops 1h short of the
+    *    newest real row and its unmatched output never flushes;
+    *  - the sentinel filter is NULL-TOLERANT per side: outer joins
+    *    null the other side's columns, and a bare c_ts < X would drop
+    *    every right-only row of a full outer join;
+    *  - sentinel users are -1 (click side) vs -2 (purchase side), so
+    *    sentinels can never join each other;
+    *  - stateful-join state stores are created PER SHUFFLE PARTITION
+    *    on both sides: size the conf to the state, not the CPU count
+    *    (32 stores of a few hundred rows each are pure commit
+    *    overhead — measured 2.6x on the inner query); the conf is
+    *    read at query start and restored after. */
+  private def streamClickPurchaseJoin(s: SparkSession, dir: String,
+                                      joinType: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    def src = EventTs.toTimestamp(s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val farTs = to_timestamp(lit("2200-01-01 00:00:00"))
+    val notSentinel = to_timestamp(lit("2100-01-01 00:00:00"))
+    val clicks = src.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("c_ts"))
+      .unionAll(src.where(col("event_id") % 100 === 0)
+        .select(lit(-1L).as("click_id"), lit(-1L).as("user_id"),
+          farTs.as("c_ts")))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = src.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("p_value"))
+      .unionAll(src.where(col("event_id") % 100 === 0)
+        .select(lit(-2L).as("p_user"), farTs.as("p_ts"),
+          lit(0.0).as("p_value")))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
+        col("p_ts") <= col("c_ts"), joinType)
+      .where((col("c_ts").isNull || col("c_ts") < notSentinel) &&
+        (col("p_ts").isNull || col("p_ts") < notSentinel))
+    val qName = s"graft_stream_stream_${joinType}_join"
+    s.streams.active.filter(q => q.name == qName).foreach(_.stop())
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = joined.writeStream.format("memory").queryName(qName)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.table(qName).select(col("click_id"), col("p_ts"), col("p_value"))
+  }
+
   private def custPoints(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "customer")
       .withColumn("px", ((col("c_custkey") * 7919) % 1000).cast("double"))
@@ -1766,40 +1833,8 @@ object Queries {
     // range condition lets each side evict state past the watermark).
     // The remaining streaming join shape after windowed agg, session
     // windows, custom state, and stream-static joins.
-    "stream_stream_join" -> ((s, dir) => {
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      def src = EventTs.toTimestamp(s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir))
-      val clicks = src.where(col("event_type") === "click")
-        .select(col("event_id").as("click_id"), col("user_id"),
-          col("ts").as("c_ts"))
-        .withWatermark("c_ts", "1 hour")
-      val purchases = src.where(col("event_type") === "purchase")
-        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
-          col("value").as("p_value"))
-        .withWatermark("p_ts", "1 hour")
-      val joined = clicks.join(purchases,
-        col("user_id") === col("p_user") &&
-          col("p_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
-          col("p_ts") <= col("c_ts"))
-      val qName = "graft_stream_stream_join"
-      s.streams.active.filter(q => q.name == qName).foreach(_.stop())
-      // stateful-join state stores are created PER SHUFFLE PARTITION on
-      // BOTH sides; size that to the state, not the CPU count (32
-      // stores of a few hundred rows each are pure commit overhead —
-      // measured 2.6x on this query). The conf is read at query start;
-      // restore it for the rest of the catalog.
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val q = joined.writeStream.format("memory").queryName(qName)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-      s.table(qName).select(col("click_id"), col("p_ts"), col("p_value"))
-    }),
+    "stream_stream_join" -> ((s, dir) =>
+      streamClickPurchaseJoin(s, dir, "inner")),
 
     // stream-stream LEFT OUTER interval join: same clicks ⋈ purchases
     // shape, but a click with NO purchase in its preceding hour must
@@ -1813,55 +1848,8 @@ object Queries {
     // and the output filters them. The distinct semantics under gate
     // here vs the inner twin: delayed NULL-side emission from evicted
     // join state.
-    "stream_stream_left_join" -> ((s, dir) => {
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      def src = EventTs.toTimestamp(s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir))
-      val farTs = to_timestamp(lit("2200-01-01 00:00:00"))
-      val clicksBase = src.where(col("event_type") === "click")
-        .select(col("event_id").as("click_id"), col("user_id"),
-          col("ts").as("c_ts"))
-      // sentinel derived FROM stream rows (a batch frame can't union
-      // into a stream); any surviving count works — they join nothing
-      val clicks = clicksBase.unionAll(
-          clicksBase.where(col("click_id") % 100 === 0)
-            .select(lit(-1L).as("click_id"), lit(-1L).as("user_id"),
-              farTs.as("c_ts")))
-        .withWatermark("c_ts", "1 hour")
-      val purchasesBase = src.where(col("event_type") === "purchase")
-        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
-          col("value").as("p_value"))
-      val purchases = purchasesBase.unionAll(
-          purchasesBase.where(col("p_user") % 100 === 0)
-            .select(lit(-2L).as("p_user"), farTs.as("p_ts"),
-              lit(0.0).as("p_value")))
-        .withWatermark("p_ts", "1 hour")
-      val joined = clicks.join(purchases,
-        col("user_id") === col("p_user") &&
-          col("p_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
-          col("p_ts") <= col("c_ts"), "left_outer")
-        // drop sentinels by their EVENT TIME, not their id: a predicate
-        // on a non-watermark column (click_id != -1) is pushed through
-        // the EventTimeWatermark node by PushPredicateThroughNonJoin,
-        // removing the sentinel BEFORE watermark tracking — the click
-        // watermark then stops 1h short of the newest real click and
-        // its unmatched null row never flushes (lost exactly one row at
-        // sf0.001). Predicates referencing the watermark column itself
-        // are NOT pushed below the watermark operator.
-        .where(col("c_ts") < to_timestamp(lit("2100-01-01 00:00:00")))
-      val qName = "graft_stream_stream_left_join"
-      s.streams.active.filter(q => q.name == qName).foreach(_.stop())
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val q = joined.writeStream.format("memory").queryName(qName)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-      s.table(qName).select(col("click_id"), col("p_ts"), col("p_value"))
-    }),
+    "stream_stream_left_join" -> ((s, dir) =>
+      streamClickPurchaseJoin(s, dir, "left_outer")),
 
     // stream-stream FULL OUTER interval join: the remaining eviction
     // path — unmatched PURCHASES also emit, null-padded on the click
@@ -1872,47 +1860,8 @@ object Queries {
     // silently drop every unmatched purchase); the disjunctive form
     // also keeps the optimizer from pushing it anywhere near the
     // watermark nodes.
-    "stream_stream_full_join" -> ((s, dir) => {
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      def src = EventTs.toTimestamp(s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir))
-      val farTs = to_timestamp(lit("2200-01-01 00:00:00"))
-      val notSentinel = to_timestamp(lit("2100-01-01 00:00:00"))
-      val clicksBase = src.where(col("event_type") === "click")
-        .select(col("event_id").as("click_id"), col("user_id"),
-          col("ts").as("c_ts"))
-      val clicks = clicksBase.unionAll(
-          clicksBase.where(col("click_id") % 100 === 0)
-            .select(lit(-1L).as("click_id"), lit(-1L).as("user_id"),
-              farTs.as("c_ts")))
-        .withWatermark("c_ts", "1 hour")
-      val purchasesBase = src.where(col("event_type") === "purchase")
-        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
-          col("value").as("p_value"))
-      val purchases = purchasesBase.unionAll(
-          purchasesBase.where(col("p_user") % 100 === 0)
-            .select(lit(-2L).as("p_user"), farTs.as("p_ts"),
-              lit(0.0).as("p_value")))
-        .withWatermark("p_ts", "1 hour")
-      val joined = clicks.join(purchases,
-        col("user_id") === col("p_user") &&
-          col("p_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
-          col("p_ts") <= col("c_ts"), "full_outer")
-        .where((col("c_ts").isNull || col("c_ts") < notSentinel) &&
-          (col("p_ts").isNull || col("p_ts") < notSentinel))
-      val qName = "graft_stream_stream_full_join"
-      s.streams.active.filter(q => q.name == qName).foreach(_.stop())
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val q = joined.writeStream.format("memory").queryName(qName)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-      s.table(qName).select(col("click_id"), col("p_ts"), col("p_value"))
-    }),
+    "stream_stream_full_join" -> ((s, dir) =>
+      streamClickPurchaseJoin(s, dir, "full_outer")),
 
     // Streaming POINT-IN-TIME enrichment (Streams.asofEnrich): each
     // click binds the user's latest at-or-before purchase value, nulled
@@ -1938,8 +1887,11 @@ object Queries {
           coalesce(col("value"), lit(0.0)).as("value"))
       // far-future sentinel on its own key: advances the watermark so
       // every group's event-time timer fires in the trailing no-data
-      // batch and the full replay folds (ONE constant ts, as always)
-      val sentinel = base.where(col("eventId") % 100 === 0)
+      // batch and the full replay folds (ONE constant ts, as always).
+      // Derived from the UNFILTERED stream (any 100 consecutive
+      // event_ids contains one) — a type-filtered subset could lose
+      // every sentinel on a regenerated dataset.
+      val sentinel = src.where(col("event_id") % 100 === 0)
         .select(lit(-1L).as("userId"),
           to_timestamp(lit("2200-01-01 00:00:00")).as("ts"),
           lit(-1L).as("eventId"), lit("c").as("kind"), lit(0.0).as("value"))
@@ -3504,12 +3456,22 @@ object Queries {
     // the streaming as-of twin replays asof_join_tol's semantics over
     // MICROS-truncated event times (the engine's watermark clock):
     // DuckDB's native ASOF JOIN picks the latest at-or-before purchase,
-    // the CASE nulls it past 6h = 21_600e6 us
+    // the CASE nulls it past 6h = 21_600e6 us. Purchases collapse to
+    // one row per (user, us) FIRST — the engine's fold breaks an
+    // equal-timestamp tie deterministically (highest event_id folds
+    // last and wins), while ASOF JOIN's choice among ties is
+    // engine-arbitrary; the rn = 1 pre-collapse replays the same
+    // tie-break instead of trusting it
     "stream_asof_enrich" ->
       """WITH c AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us
                     FROM events WHERE event_type = 'click'),
-            p AS (SELECT user_id AS p_user, epoch_ns(ts) // 1000 AS us,
-                         value FROM events WHERE event_type = 'purchase')
+            p AS (SELECT user_id AS p_user, us, value FROM (
+                    SELECT user_id, epoch_ns(ts) // 1000 AS us, value,
+                           row_number() OVER (
+                             PARTITION BY user_id, epoch_ns(ts) // 1000
+                             ORDER BY event_id DESC) AS rn
+                    FROM events WHERE event_type = 'purchase')
+                  WHERE rn = 1)
          SELECT c.event_id,
                 CASE WHEN c.us - r.us <= 21600000000 THEN r.value END
                   AS prior_value
