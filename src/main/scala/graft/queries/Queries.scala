@@ -1919,6 +1919,50 @@ object Queries {
           col("priorValue").as("prior_value"))
     }),
 
+    // FORWARD streaming as-of (Streams.asofEnrichForward): each click
+    // binds the user's NEXT at-or-after purchase value within 6h —
+    // conversion attribution as the SIXTH custom-state machine and the
+    // mirror of stream_asof_enrich: clicks WAIT in state and each
+    // folding purchase resolves every click at-or-before it; a waiting
+    // click expires to null once the watermark proves any future
+    // purchase would be beyond tolerance. asof_join_fwd's streaming
+    // twin under the same native-ASOF oracle family.
+    "stream_asof_forward" -> ((s, dir) => {
+      import s.implicits._
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      def src = EventTs.toTimestamp(s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+      val base = src.where(col("event_type").isin("click", "purchase"))
+        .select(col("user_id").as("userId"), col("ts"),
+          col("event_id").as("eventId"),
+          when(col("event_type") === "click", lit("c"))
+            .otherwise(lit("p")).as("kind"),
+          coalesce(col("value"), lit(0.0)).as("value"))
+      val sentinel = src.where(col("event_id") % 100 === 0)
+        .select(lit(-1L).as("userId"),
+          to_timestamp(lit("2200-01-01 00:00:00")).as("ts"),
+          lit(-1L).as("eventId"), lit("c").as("kind"), lit(0.0).as("value"))
+      val events = base.unionAll(sentinel)
+        .withWatermark("ts", "1 hour")
+        .as[graft.streaming.AsofEvent]
+      val enriched = graft.streaming.Streams.asofEnrichForward(events,
+        tolerance = "6 hours")
+      val qName = "graft_stream_asof_forward"
+      s.streams.active.filter(q => q.name == qName).foreach(_.stop())
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = enriched.toDF().writeStream.format("memory").queryName(qName)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.table(qName).where(col("eventId") =!= -1L)
+        .select(col("eventId").as("event_id"),
+          col("priorValue").as("next_value"))
+    }),
+
     // the SLIDING-window streaming twin: window(1h, slide 30min) as a
     // real watermarked streaming query, pinned to the same
     // epoch-micros-arithmetic oracle as the batch events_sliding.
@@ -3477,6 +3521,25 @@ object Queries {
                   AS prior_value
          FROM c ASOF LEFT JOIN p r
            ON c.user_id = r.p_user AND c.us >= r.us""",
+    // the forward twin: earliest at-or-after purchase, ties at an equal
+    // (user, us) collapse to the LOWEST event_id (the engine folds
+    // purchases in id order and the first one resolves the waiting
+    // clicks), CASE nulls past 6h
+    "stream_asof_forward" ->
+      """WITH c AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us
+                    FROM events WHERE event_type = 'click'),
+            p AS (SELECT user_id AS p_user, us, value FROM (
+                    SELECT user_id, epoch_ns(ts) // 1000 AS us, value,
+                           row_number() OVER (
+                             PARTITION BY user_id, epoch_ns(ts) // 1000
+                             ORDER BY event_id ASC) AS rn
+                    FROM events WHERE event_type = 'purchase')
+                  WHERE rn = 1)
+         SELECT c.event_id,
+                CASE WHEN r.us - c.us <= 21600000000 THEN r.value END
+                  AS next_value
+         FROM c ASOF LEFT JOIN p r
+           ON c.user_id = r.p_user AND c.us <= r.us""",
     // the FULL JOIN twin: unmatched purchases appear with NULL click_id
     "stream_stream_full_join" ->
       """SELECT c.event_id AS click_id, p.ts AS p_ts, p.value AS p_value

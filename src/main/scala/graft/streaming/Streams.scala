@@ -50,6 +50,12 @@ case class AsofState(lastPurchUs: Option[Long],
                      lastPurchValue: Option[Double],
                      pending: Seq[AsofEvent])
 
+/** Per-user [[Streams.asofEnrichForward]] state: clicks still WAITING
+  * for their next purchase (event-time micros + id) and the lateness
+  * buffer. */
+case class AsofFwdState(waiting: Seq[(Long, Long)],
+                        pending: Seq[AsofEvent])
+
 /** One keyed observation for the custom-state sessionizer. */
 case class SessEvent(key: String, ts: java.sql.Timestamp)
 
@@ -634,6 +640,91 @@ object Streams extends Serializable {
       if (hold.isEmpty && !purchaseLive) st.remove()
       else {
         st.update(AsofState(lastUs, lastV, hold))
+        st.setTimeoutTimestamp(wm + 1) // re-arm on every invocation
+      }
+      out.iterator
+    }
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /**
+   * FORWARD streaming as-of: each click binds the value of the user's
+   * NEXT at-or-after purchase, nulled when that purchase is more than
+   * `tolerance` later — conversion attribution ("did this click convert
+   * within N hours?"), [[graft.tools.Joins.asofForward]] as an
+   * incremental state machine and [[asofEnrich]]'s mirror.
+   *
+   * The mirror inverts the state: backward keeps ONE folded purchase
+   * and clicks resolve instantly; forward keeps the WAITING CLICKS and
+   * each folding purchase resolves every click at-or-before it (the
+   * first purchase a waiting click sees IS its nearest next, since
+   * events fold in event-time order). Clicks fold BEFORE purchases at
+   * an equal timestamp — the inclusive `p.ts >= c.ts` edge. A waiting
+   * click expires (emits null) once the watermark proves any future
+   * on-time purchase would be beyond tolerance; expiring early is
+   * output-identical to meeting that too-late purchase, so no
+   * out-of-tolerance "nearest next" needs tracking. State per user =
+   * lateness buffer + the clicks of one tolerance window — bounded at
+   * any scale. Same buffering/boundary/timeout discipline as the other
+   * four machines; on a bounded replay, drive the final watermark past
+   * every click's tolerance window (far-future sentinel key) and the
+   * emitted table equals the batch forward as-of with tolerance.
+   */
+  def asofEnrichForward(events: Dataset[AsofEvent],
+                        tolerance: String): Dataset[AsofOut] = {
+    import events.sparkSession.implicits._
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(tolerance))
+    require(iv.months == 0, s"tolerance must not use months: $tolerance")
+    val tolUs = iv.days * 86400000000L + iv.microseconds
+    require(tolUs >= 0, s"tolerance must be >= 0: $tolerance")
+
+    // clicks before purchases at an equal ts (inclusive forward edge),
+    // ids break the remaining ties for a deterministic fold
+    def kindRank(e: AsofEvent): Int = if (e.kind == "c") 0 else 1
+    def sortFwd(evs: Seq[AsofEvent]): Seq[AsofEvent] =
+      evs.sortWith { (a, b) =>
+        val c = a.ts.compareTo(b.ts)
+        c < 0 || (c == 0 && (kindRank(a) < kindRank(b) ||
+          (kindRank(a) == kindRank(b) && a.eventId < b.eventId)))
+      }
+
+    def fn(user: Long, it: Iterator[AsofEvent],
+           st: GroupState[AsofFwdState]): Iterator[AsofOut] = {
+      val wm = st.getCurrentWatermarkMs
+      val s0 = st.getOption.getOrElse(AsofFwdState(Seq.empty, Seq.empty))
+      val fresh = if (st.hasTimedOut) Seq.empty else it.toSeq
+      val all = sortFwd(s0.pending ++ fresh)
+      val (ready, hold) = all.partition(_.ts.getTime + 1 <= wm)
+      var waiting = s0.waiting
+      val out = scala.collection.mutable.ArrayBuffer.empty[AsofOut]
+      ready.foreach { e =>
+        if (e.kind == "c") waiting :+= ((tsMicros(e.ts), e.eventId))
+        else {
+          val pUs = tsMicros(e.ts)
+          // every waiting click is at-or-before this purchase (fold
+          // order), so this purchase is each one's nearest next
+          waiting.foreach { case (cUs, cId) =>
+            out += AsofOut(user, cId,
+              if (pUs - cUs <= tolUs) Some(e.value) else None)
+          }
+          waiting = Seq.empty
+        }
+      }
+      // expire clicks whose tolerance window the watermark has passed:
+      // any future on-time purchase (ts >= wm) would be beyond
+      // tolerance, so null now == null then (ms-floor keeps the
+      // conservative side)
+      val (expired, live) = waiting.partition { case (cUs, _) =>
+        (cUs + tolUs) / 1000L + 1 <= wm
+      }
+      expired.foreach { case (_, cId) => out += AsofOut(user, cId, None) }
+      waiting = live
+      if (hold.isEmpty && waiting.isEmpty) st.remove()
+      else {
+        st.update(AsofFwdState(waiting, hold))
         st.setTimeoutTimestamp(wm + 1) // re-arm on every invocation
       }
       out.iterator

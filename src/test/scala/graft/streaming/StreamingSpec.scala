@@ -332,6 +332,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("asofEnrichForward binds a cross-batch future purchase and expires a click past tolerance") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[AsofEvent]
+    val q = Streams.asofEnrichForward(
+        input.toDS().withWatermark("ts", "10 minutes"), tolerance = "10 minutes")
+      .writeStream.format("memory").queryName("asof_fwd_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: click 10 at t5 waits; click 11 at t6 waits too
+      input.addData(AsofEvent(1L, ts(5), 10L, "c", 0.0),
+        AsofEvent(1L, ts(6), 11L, "c", 0.0))
+      q.processAllAvailable()
+      assert(spark.table("asof_fwd_out").isEmpty,
+        "click resolved before the watermark passed anything")
+      // batch 2: purchase at t8 (next for BOTH waiting clicks, within
+      // tolerance of both); click 12 at t25 will find no purchase and
+      // must expire to null at the drain
+      input.addData(AsofEvent(1L, ts(8), 2L, "p", 99.0),
+        AsofEvent(1L, ts(25), 12L, "c", 0.0))
+      q.processAllAvailable()
+      input.addData(AsofEvent(-1L, ts(6000), -1L, "c", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("asof_fwd_out")
+        .where(col("eventId") =!= -1L)
+        .collect().map(r => (r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+      assert(got == Set((10L, Some(99.0)), (11L, Some(99.0)), (12L, None)),
+        s"got $got")
+    } finally q.stop()
+  }
+
   test("scd2Intervals closes slices across micro-batches, opens after horizon") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[StateEvent]
