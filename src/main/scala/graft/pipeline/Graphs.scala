@@ -239,6 +239,66 @@ object Graphs {
   }
 
   /**
+   * Hop-bounded CHEAPEST-PATH costs (weighted BFS / delta-frontier
+   * Bellman-Ford): the minimum total integer edge weight from a seed
+   * set to every node reachable within `maxHops` edges — link distance
+   * with per-edge cost (crawl politeness budgets, weighted trust
+   * propagation), [[bfsHops]]'s weighted generalization.
+   *
+   * Per round, only the FRONTIER (nodes whose cost improved last
+   * round) relaxes its out-edges — the delta optimization that keeps a
+   * settled graph quiet; a min-aggregate collapses parallel candidates
+   * map-side, and a left join against the running table keeps strict
+   * improvements. After k rounds the table holds the exact minimum
+   * over paths of <= k edges (the Bellman-Ford invariant, preserved by
+   * the frontier form), so the hop bound makes the result well-defined
+   * even with negative weights — no negative-cycle divergence inside a
+   * bounded horizon. All integer arithmetic: any engine replaying the
+   * relaxation agrees bit-for-bit.
+   *
+   * Plan shape per round: one keyed join + one min aggregate + one
+   * left-join diff — key-partitioned shuffles only, localCheckpoint
+   * discipline, early exit when a round improves nothing. Returns
+   * (node, cost); unreachable nodes are absent, seeds cost 0.
+   */
+  def minCostHops(edges: DataFrame, srcCol: String, dstCol: String,
+                  weightCol: String, seeds: DataFrame, seedCol: String,
+                  maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val e = edges.select(col(srcCol).cast("string").as("__src"),
+        col(dstCol).cast("string").as("__dst"),
+        col(weightCol).cast("long").as("__w"))
+      .where(col("__src").isNotNull && col("__dst").isNotNull &&
+        col("__w").isNotNull)
+      .persist()
+    var dist = seeds.select(col(seedCol).cast("string").as("__node"))
+      .where(col("__node").isNotNull).distinct()
+      .withColumn("__c", lit(0L)).localCheckpoint(false)
+    var frontier = dist
+    var hop = 1
+    var settled = false
+    while (hop <= maxHops && !settled) {
+      val cand = frontier.join(e, frontier("__node") === e("__src"))
+        .select(e("__dst").as("__node"),
+          (frontier("__c") + e("__w")).as("__cand"))
+        .groupBy(col("__node")).agg(min(col("__cand")).as("__cand"))
+      val improved = cand.join(dist, Seq("__node"), "left")
+        .where(col("__c").isNull || col("__cand") < col("__c"))
+        .select(col("__node"), col("__cand").as("__c"))
+        .localCheckpoint(false) // reused by the probe, the diff, and next round
+      if (improved.isEmpty) settled = true
+      else {
+        dist = dist.join(improved, Seq("__node"), "left_anti")
+          .unionAll(improved).localCheckpoint(false)
+        frontier = improved
+      }
+      hop += 1
+    }
+    e.unpersist(false)
+    dist.select(col("__node").as("node"), col("__c").as("cost"))
+  }
+
+  /**
    * Per-node triangle counts over an undirected graph (the clustering
    * signal a link-graph quality model keys on: spam farms are
    * triangle-dense, organic link neighborhoods are sparse).

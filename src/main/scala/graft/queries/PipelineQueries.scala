@@ -1037,6 +1037,29 @@ object PipelineQueries {
         Seq("v9").toDF("node"), "node", maxHops = 6)
     }),
 
+    // hop-bounded CHEAPEST paths (delta-frontier Bellman-Ford) over the
+    // same ring+doubling graph with deterministic integer edge weights
+    // (7·src + 13·dst mod 20, + 1) — where BFS counts hops, this sums
+    // costs, and a cheap long way round must beat an expensive shortcut.
+    // Exact integer relaxation; the oracle replays it as a bounded
+    // recursive CTE with min-cost per node.
+    "cheapest_path_hops" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      def mkEdges(dstRes: org.apache.spark.sql.Column) = d.select(
+        (col("doc_id") % 64).as("sr"), dstRes.as("dr"))
+      val edges = mkEdges((col("doc_id") + 1) % 64)
+        .unionAll(mkEdges((col("doc_id") * 2) % 64))
+        .where(col("sr") =!= col("dr"))
+        .select(concat(lit("v"), col("sr").cast("string")).as("src"),
+          concat(lit("v"), col("dr").cast("string")).as("dst"),
+          ((col("sr") * 7 + col("dr") * 13) % 20 + 1).as("w"))
+        .distinct() // one row per (src, dst, w): the weight is a pure
+                    // function of the endpoints, so this is edge dedup
+      Graphs.minCostHops(edges, "src", "dst", "w",
+        Seq("v9").toDF("node"), "node", maxHops = 6)
+    }),
+
     // normalization-canonical exact dedup: planted variants differing
     // only in case/punctuation/whitespace collapse onto their originals
     "normalize_dedup" -> ((s, dir) => {
@@ -3694,6 +3717,27 @@ object PipelineQueries {
            SELECT e.dst, r.h + 1 FROM r JOIN e ON e.src = r.node
            WHERE r.h < 6)
        SELECT node, CAST(min(h) AS BIGINT) AS hops FROM r GROUP BY node""",
+    // the weighted twin: identical expansion, cost accumulates the
+    // deterministic (7 src + 13 dst) mod 20 + 1 edge weight, min cost
+    // per node within the 6-hop horizon
+    "cheapest_path_hops" ->
+      """WITH RECURSIVE e AS (
+           SELECT DISTINCT 'v' || CAST(sr AS VARCHAR) AS src,
+                  'v' || CAST(dr AS VARCHAR) AS dst,
+                  (sr * 7 + dr * 13) % 20 + 1 AS w
+           FROM (
+             SELECT doc_id % 64 AS sr, (doc_id + 1) % 64 AS dr
+             FROM documents
+             UNION ALL
+             SELECT doc_id % 64, (doc_id * 2) % 64 FROM documents
+           ) WHERE sr <> dr),
+         r(node, c, h) AS (
+           SELECT 'v9', CAST(0 AS BIGINT), 0
+           UNION
+           SELECT e.dst, r.c + e.w, r.h + 1
+           FROM r JOIN e ON e.src = r.node
+           WHERE r.h < 6)
+       SELECT node, CAST(min(c) AS BIGINT) AS cost FROM r GROUP BY node""",
     // same bucket/shard/rank arithmetic over the shared token-count
     // definition (len of regexp_extract_all \S+)
     "length_bucket_batches" ->

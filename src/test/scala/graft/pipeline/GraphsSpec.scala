@@ -196,6 +196,50 @@ class GraphsSpec extends AnyFunSuite {
     dist
   }
 
+  /** Single-threaded hop-bounded Bellman-Ford. */
+  private def refMinCost(edges: Seq[(String, String, Long)], seeds: Seq[String],
+                         maxHops: Int): Map[String, Long] = {
+    var dist = seeds.distinct.map(_ -> 0L).toMap
+    for (_ <- 1 to maxHops) {
+      val relaxed = edges.flatMap { case (s, t, w) =>
+        dist.get(s).map(c => t -> (c + w))
+      }.groupBy(_._1).map { case (t, cs) => t -> cs.map(_._2).min }
+      dist = (dist.keySet ++ relaxed.keySet).map { n =>
+        n -> math.min(dist.getOrElse(n, Long.MaxValue),
+          relaxed.getOrElse(n, Long.MaxValue))
+      }.toMap
+    }
+    dist
+  }
+
+  test("minCostHops: cheaper two-hop path beats the direct edge; hop bound forces the expensive edge") {
+    // a -> b (1), b -> c (1), a -> c (10): two hops cost 2, one hop 10
+    val edges = Seq(("a", "b", 1L), ("b", "c", 1L), ("a", "c", 10L))
+    val got = Graphs.minCostHops(edges.toDF("src", "dst", "w"), "src", "dst", "w",
+      Seq("a").toDF("n"), "n", maxHops = 5).as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
+    val oneHop = Graphs.minCostHops(edges.toDF("src", "dst", "w"), "src", "dst", "w",
+      Seq("a").toDF("n"), "n", maxHops = 1).as[(String, Long)].collect().toMap
+    assert(oneHop == Map("a" -> 0L, "b" -> 1L, "c" -> 10L))
+  }
+
+  test("minCostHops matches the single-threaded Bellman-Ford on random weighted graphs") {
+    val rnd = new scala.util.Random(59)
+    for (trial <- 1 to 3) {
+      val edges = (0 until 150).map { _ =>
+        (s"n${rnd.nextInt(20)}", s"n${rnd.nextInt(20)}", rnd.nextInt(30).toLong)
+      }
+      val seeds = Seq(s"n${rnd.nextInt(20)}")
+      for (maxHops <- Seq(0, 3, 9)) {
+        val got = Graphs.minCostHops(edges.toDF("src", "dst", "w"),
+          "src", "dst", "w", seeds.toDF("n"), "n", maxHops)
+          .as[(String, Long)].collect().toMap
+        assert(got == refMinCost(edges, seeds, maxHops),
+          s"trial $trial maxHops $maxHops")
+      }
+    }
+  }
+
   test("bfs hops: path + shortcut takes the shortcut; maxHops truncates; seed is 0") {
     // a -> b -> c -> d -> e, plus shortcut a -> d
     val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("a", "d"))
