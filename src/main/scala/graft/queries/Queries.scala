@@ -2329,6 +2329,25 @@ object Queries {
         .select(col("event_type"), col("session_start"), col("n"))
     }),
 
+    // DYNAMIC-GAP sessionization: session_window with a PER-EVENT gap
+    // expression (clicks hold a session open 30 minutes, everything
+    // else 60) — each event spans [ts, ts + gap(event)) and overlapping
+    // spans merge, so the session end is the running MAX of per-event
+    // ends, not last-event + constant. The oracle replays exactly that:
+    // a new island starts when an event's time reaches the cumulative
+    // max end of all its predecessors (prior sessions' ends can never
+    // reach past the break that closed them, so the per-user cummax
+    // equals the in-session cummax at every break test).
+    "event_sessions_dynamic" -> ((s, dir) => {
+      EventTs.toTimestamp(t(s, dir, "events"))
+        .groupBy(col("user_id"),
+          session_window(col("ts"),
+            when(col("event_type") === "click", "30 minutes")
+              .otherwise("60 minutes")))
+        .agg(count(lit(1)).as("n"), min(col("ts")).as("session_start"))
+        .select(col("user_id"), col("session_start"), col("n"))
+    }),
+
     // Rolling event-time window per user (feature engineering): for
     // every event, how many events the same user produced in the
     // preceding hour (inclusive). A RANGE window over int64 nanos —
@@ -3615,6 +3634,35 @@ object Queries {
                 count(DISTINCT user_id) AS distinct_users
          FROM events GROUP BY 1, 2""",
     "event_sessions" -> eventSessionsOracle,
+    // dynamic-gap gaps-and-islands: per-event end = us + gap(type); a
+    // session breaks when an event reaches the cumulative max of all
+    // prior ends (equivalent to the in-session max — see the query
+    // comment); micros arithmetic matches the engine's timestamp grain
+    "event_sessions_dynamic" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS us,
+                  CASE WHEN event_type = 'click' THEN 1800000000
+                       ELSE 3600000000 END AS gap_us
+           FROM events),
+         w AS (
+           SELECT user_id, us,
+                  max(us + gap_us) OVER (
+                    PARTITION BY user_id ORDER BY us
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS prev_end
+           FROM e),
+         b AS (
+           SELECT user_id, us,
+                  CASE WHEN prev_end IS NULL OR us >= prev_end
+                       THEN 1 ELSE 0 END AS brk
+           FROM w),
+         s AS (
+           SELECT user_id, us,
+                  sum(brk) OVER (PARTITION BY user_id ORDER BY us) AS sid
+           FROM b)
+       SELECT user_id, make_timestamp(min(us)) AS session_start,
+              count(*) AS n
+       FROM s GROUP BY user_id, sid""",
     "event_sessions_stream_state" -> eventSessionsOracle,
     "rate_limit_hourly" -> rateLimitOracle,
     "stream_rate_limit" -> rateLimitOracle,
