@@ -2236,6 +2236,30 @@ object Queries {
         col("n_events").as("n"))
     }),
 
+    // the DYNAMIC-GAP streaming twin: session_window with the per-event
+    // gap expression as a real streaming query, pinned to the same
+    // cumulative-max gaps-and-islands oracle as the batch
+    // event_sessions_dynamic — the dynamic merge semantics surviving
+    // the streaming session-state path
+    "event_sessions_dynamic_stream" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = EventTs.toTimestamp(s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+      val agg = src.groupBy(col("user_id"),
+          session_window(col("ts"),
+            when(col("event_type") === "click", "30 minutes")
+              .otherwise("60 minutes")))
+        .agg(count(lit(1)).as("n"), min(col("ts")).as("session_start"))
+      val qName = "graft_event_sessions_dynamic_stream"
+      s.streams.active.filter(q => q.name == qName).foreach(_.stop())
+      val q = agg.writeStream.format("memory").queryName(qName)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qName).select(col("user_id"), col("session_start"), col("n"))
+    }),
+
     // CUSTOM-STATE streaming sessionization under the SAME oracle: the
     // flatMapGroupsWithState sessionizer (watermark-gated buffering +
     // event-time-timeout flush, the scd2Intervals discipline) must
@@ -2684,6 +2708,38 @@ object Queries {
 
   // shared by batch event_sessions and the streaming session_window
   // twin: both must reproduce the gaps-and-islands session rollup
+  // dynamic-gap gaps-and-islands: per-event end = us + gap(type); a
+  // session breaks when an event reaches the cumulative max of all
+  // prior ends (equivalent to the in-session max — prior sessions'
+  // ends can never reach past the break that closed them); micros
+  // arithmetic matches the engine's timestamp grain. ONE val shared by
+  // the batch and streaming twins.
+  private lazy val eventSessionsDynamicOracle: String =
+    """WITH e AS (
+         SELECT user_id, epoch_us(ts) AS us,
+                CASE WHEN event_type = 'click' THEN 1800000000
+                     ELSE 3600000000 END AS gap_us
+         FROM events),
+       w AS (
+         SELECT user_id, us,
+                max(us + gap_us) OVER (
+                  PARTITION BY user_id ORDER BY us
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS prev_end
+         FROM e),
+       b AS (
+         SELECT user_id, us,
+                CASE WHEN prev_end IS NULL OR us >= prev_end
+                     THEN 1 ELSE 0 END AS brk
+         FROM w),
+       s AS (
+         SELECT user_id, us,
+                sum(brk) OVER (PARTITION BY user_id ORDER BY us) AS sid
+         FROM b)
+     SELECT user_id, make_timestamp(min(us)) AS session_start,
+            count(*) AS n
+     FROM s GROUP BY user_id, sid"""
+
   private lazy val eventSessionsOracle: String =
     """WITH d AS (
          SELECT event_type, ts,
@@ -3634,35 +3690,10 @@ object Queries {
                 count(DISTINCT user_id) AS distinct_users
          FROM events GROUP BY 1, 2""",
     "event_sessions" -> eventSessionsOracle,
-    // dynamic-gap gaps-and-islands: per-event end = us + gap(type); a
-    // session breaks when an event reaches the cumulative max of all
-    // prior ends (equivalent to the in-session max — see the query
-    // comment); micros arithmetic matches the engine's timestamp grain
-    "event_sessions_dynamic" ->
-      """WITH e AS (
-           SELECT user_id, epoch_us(ts) AS us,
-                  CASE WHEN event_type = 'click' THEN 1800000000
-                       ELSE 3600000000 END AS gap_us
-           FROM events),
-         w AS (
-           SELECT user_id, us,
-                  max(us + gap_us) OVER (
-                    PARTITION BY user_id ORDER BY us
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                    AS prev_end
-           FROM e),
-         b AS (
-           SELECT user_id, us,
-                  CASE WHEN prev_end IS NULL OR us >= prev_end
-                       THEN 1 ELSE 0 END AS brk
-           FROM w),
-         s AS (
-           SELECT user_id, us,
-                  sum(brk) OVER (PARTITION BY user_id ORDER BY us) AS sid
-           FROM b)
-       SELECT user_id, make_timestamp(min(us)) AS session_start,
-              count(*) AS n
-       FROM s GROUP BY user_id, sid""",
+    "event_sessions_dynamic" -> eventSessionsDynamicOracle,
+    // the streaming twin shares the SAME oracle val — batch/streaming
+    // unification for the dynamic-gap session operator
+    "event_sessions_dynamic_stream" -> eventSessionsDynamicOracle,
     "event_sessions_stream_state" -> eventSessionsOracle,
     "rate_limit_hourly" -> rateLimitOracle,
     "stream_rate_limit" -> rateLimitOracle,
