@@ -73,6 +73,60 @@ object Graphs {
   }
 
   /**
+   * PERSONALIZED PageRank (seed-restart) with the same all-integer
+   * staging as [[pageRankInt]] — authority RELATIVE to a trusted seed
+   * set, i.e. TrustRank proper: the restart mass returns to the seeds
+   * every round instead of spreading uniformly, so pages rank by how
+   * reachable they are from trust, and spam islands with no inbound
+   * path from the seeds stay at exactly 0 (integer arithmetic makes
+   * "no trust" a hard zero, not a small float).
+   *
+   * Per iteration, in exact Long arithmetic:
+   *   rank'(v) = [v ∈ seeds]·base + Σ_{u→v} (rank(u)·dampNum) div (dampDen·outdeg(u))
+   * with rank₀(v) = [v ∈ seeds]·scale and base as in [[pageRankInt]].
+   * Seeds outside the graph's node set are ignored (they have no edges
+   * to carry mass). Same plan discipline: edges persisted once, two
+   * keyed shuffles per round, localCheckpoint'd ranks, fixed rounds;
+   * the seed indicator is joined onto the node table ONCE and reused
+   * every round. Returns (node, rank) in scaled units.
+   */
+  def pageRankPersonalizedInt(edges: DataFrame, srcCol: String, dstCol: String,
+                              seeds: DataFrame, seedCol: String,
+                              iters: Int = 5, scale: Long = 1000000000L,
+                              dampNum: Long = 17L, dampDen: Long = 20L): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(dampNum > 0 && dampDen > dampNum, "need 0 < dampNum < dampDen")
+    val e = edges.select(col(srcCol).cast("string").as("__src"),
+      col(dstCol).cast("string").as("__dst")).persist()
+    val seedSet = seeds.select(col(seedCol).cast("string").as("__node"))
+      .where(col("__node").isNotNull).distinct()
+    val nodes = e.select(col("__src").as("__node"))
+      .unionAll(e.select(col("__dst").as("__node")))
+      .distinct()
+      .join(seedSet.withColumn("__s", lit(1L)), Seq("__node"), "left")
+      .select(col("__node"), coalesce(col("__s"), lit(0L)).as("__s"))
+      .localCheckpoint(false)
+    val deg = e.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
+      .localCheckpoint(false)
+    val base = scale * (dampDen - dampNum) / dampDen
+    var ranks = nodes.select(col("__node"), (col("__s") * scale).as("__r"))
+      .localCheckpoint(false)
+    for (_ <- 1 to iters) {
+      val contrib = e.join(ranks, e("__src") === ranks("__node"))
+        .join(deg, Seq("__src"))
+        .select(col("__dst"),
+          expr(s"(__r * $dampNum) div ($dampDen * __deg)").as("__c"))
+        .groupBy(col("__dst")).agg(sum(col("__c")).as("__in"))
+      ranks = nodes.join(contrib, nodes("__node") === contrib("__dst"), "left")
+        .select(col("__node"),
+          (col("__s") * base + coalesce(col("__in"), lit(0L))).as("__r"))
+        .localCheckpoint(false)
+    }
+    e.unpersist(false)
+    ranks.select(col("__node").as("node"), col("__r").as("rank"))
+  }
+
+  /**
    * HITS hubs & authorities with ALL arithmetic in scaled Longs — the
    * directory-page vs content-page separation PageRank's single score
    * blurs (a links-out-to-good-content hub ranks low in PageRank but

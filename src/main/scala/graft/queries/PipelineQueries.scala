@@ -955,6 +955,21 @@ object PipelineQueries {
       Graphs.pageRankInt(edges, "src", "dst", iters = 5)
     }),
 
+    // PERSONALIZED PageRank (TrustRank proper) over the same host
+    // graph: restart mass returns to the seed h3 every round, so ranks
+    // measure reachability-from-trust and untrusted islands hold a
+    // hard integer 0. Same unrolled-CTE oracle discipline as
+    // pagerank_hosts with a seed-gated base term.
+    "ppr_hosts" -> ((s, dir) => {
+      import s.implicits._
+      val edges = t(s, dir, "documents")
+        .select(concat(lit("h"), (col("doc_id") % 11).cast("string")).as("src"),
+          concat(lit("h"), (col("doc_id") % 7).cast("string")).as("dst"))
+        .where(col("src") =!= col("dst")).distinct()
+      Graphs.pageRankPersonalizedInt(edges, "src", "dst",
+        Seq("h3").toDF("node"), "node", iters = 5)
+    }),
+
     // HITS hubs/authorities over the same host graph: 3 rounds of
     // integer-staged mutual reinforcement with L∞ (max) normalization —
     // a second ITERATIVE graph algorithm under the full hash gate, with
@@ -2803,6 +2818,38 @@ object PipelineQueries {
        SELECT node, r AS rank FROM r5"""
   }
 
+  // personalized replay: identical unrolled rounds, but the restart
+  // base lands ONLY on the seed (LEFT JOIN gate) and r0 is
+  // seed-concentrated — untrusted islands must come out exactly 0
+  private val pprHostsOracle: String = {
+    val steps = (1 to 5).map { k =>
+      s"""r$k AS (
+           SELECT n.node,
+                  CAST(CASE WHEN s.node IS NOT NULL THEN 150000000
+                            ELSE 0 END + COALESCE((
+                    SELECT SUM((p.r * 17) // (20 * dg.d))
+                    FROM edges e
+                    JOIN r${k - 1} p ON p.node = e.src
+                    JOIN deg dg ON dg.src = e.src
+                    WHERE e.dst = n.node), 0) AS BIGINT) AS r
+           FROM nodes n LEFT JOIN seeds s ON s.node = n.node)"""
+    }.mkString(",\n         ")
+    s"""WITH edges AS (
+           SELECT DISTINCT 'h' || CAST(doc_id % 11 AS VARCHAR) AS src,
+                           'h' || CAST(doc_id % 7 AS VARCHAR) AS dst
+           FROM documents WHERE doc_id % 11 <> doc_id % 7),
+         nodes AS (SELECT src AS node FROM edges
+                   UNION SELECT dst FROM edges),
+         seeds AS (SELECT 'h3' AS node),
+         deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+         r0 AS (SELECT n.node,
+                       CAST(CASE WHEN s.node IS NOT NULL
+                                 THEN 1000000000 ELSE 0 END AS BIGINT) AS r
+                FROM nodes n LEFT JOIN seeds s ON s.node = n.node),
+         $steps
+       SELECT node, r AS rank FROM r5"""
+  }
+
   // shared by url_domain_counts (direct groupBy) and
   // salted_domain_counts (two-stage salted aggregate): salting must
   // not change a single count
@@ -3635,6 +3682,7 @@ object PipelineQueries {
                 max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
          FROM events GROUP BY event_type""",
     "pagerank_hosts" -> pagerankHostsOracle,
+    "ppr_hosts" -> pprHostsOracle,
     "hits_hosts" -> hitsHostsOracle,
     "embedding_centroids" ->
       """SELECT grp, dim, CAST(sum(round(x * 1000)) AS BIGINT) AS sum_q,

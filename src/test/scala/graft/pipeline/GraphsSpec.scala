@@ -196,6 +196,43 @@ class GraphsSpec extends AnyFunSuite {
     dist
   }
 
+  /** Single-threaded replay of the seed-restart integer formula. */
+  private def refPprRanks(edges: Seq[(String, String)], seeds: Set[String],
+                          iters: Int, scale: Long = 1000000000L,
+                          num: Long = 17L, den: Long = 20L): Map[String, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val base = scale * (den - num) / den
+    var r = nodes.map(n => n -> (if (seeds(n)) scale else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val in = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => (r(s) * num) / (den * deg(s)) }.sum
+      }
+      r = nodes.map(n =>
+        n -> ((if (seeds(n)) base else 0L) + in.getOrElse(n, 0L))).toMap
+    }
+    r
+  }
+
+  test("personalized pagerank matches the single-threaded reference; unreachable nodes stay at hard zero") {
+    val rnd = new scala.util.Random(17)
+    val edges = (0 until 120).map { _ =>
+      (s"n${rnd.nextInt(15)}", s"n${rnd.nextInt(15)}")
+    }.distinct.filter(e => e._1 != e._2)
+    for (iters <- Seq(1, 5)) {
+      val got = Graphs.pageRankPersonalizedInt(edges.toDF("src", "dst"),
+        "src", "dst", Seq("n0", "n3").toDF("s"), "s", iters)
+        .as[(String, Long)].collect().toMap
+      assert(got == refPprRanks(edges, Set("n0", "n3"), iters), s"iters $iters")
+    }
+    // an island with no inbound path from the seed holds exactly 0
+    val island = Seq(("a", "b"), ("b", "a"), ("x", "y"), ("y", "x"))
+    val r = Graphs.pageRankPersonalizedInt(island.toDF("src", "dst"),
+      "src", "dst", Seq("a").toDF("s"), "s", iters = 6)
+      .as[(String, Long)].collect().toMap
+    assert(r("x") == 0L && r("y") == 0L && r("a") > 0L && r("b") > 0L)
+  }
+
   /** Single-threaded hop-bounded Bellman-Ford. */
   private def refMinCost(edges: Seq[(String, String, Long)], seeds: Seq[String],
                          maxHops: Int): Map[String, Long] = {
