@@ -46,17 +46,37 @@ object Graphs {
   def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
                   iters: Int = 5, scale: Long = 1000000000L,
                   dampNum: Long = 17L, dampDen: Long = 20L): DataFrame = {
-    require(iters >= 1, "iters must be >= 1")
-    require(dampNum > 0 && dampDen > dampNum, "need 0 < dampNum < dampDen")
-    val e = edges.select(col(srcCol).cast("string").as("__src"),
-      col(dstCol).cast("string").as("__dst")).persist()
+    val e = stageEdges(edges, srcCol, dstCol)
     val nodes = e.select(col("__src").as("__node"))
       .unionAll(e.select(col("__dst").as("__node")))
-      .distinct().localCheckpoint(false)
+      .distinct().withColumn("__s", lit(1L)).localCheckpoint(false)
+    val out = pageRankCore(e, nodes, iters, scale, dampNum, dampDen)
+    e.unpersist(false)
+    out
+  }
+
+  private def stageEdges(edges: DataFrame, srcCol: String,
+                         dstCol: String): DataFrame =
+    edges.select(col(srcCol).cast("string").as("__src"),
+      col(dstCol).cast("string").as("__dst")).persist()
+
+  /** Shared power-iteration core: `nodes` carries (__node, __s) where
+    * the indicator __s gates BOTH the initial mass (r0 = __s·scale)
+    * and the per-round restart base (__s·base) — an all-ones indicator
+    * reproduces uniform PageRank bit-for-bit, a seed indicator gives
+    * the personalized variant. One place holds the iteration
+    * discipline (two keyed shuffles per round, localCheckpoint so the
+    * plan stays O(1) in rounds). */
+  private def pageRankCore(e: DataFrame, nodes: DataFrame, iters: Int,
+                           scale: Long, dampNum: Long,
+                           dampDen: Long): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(dampNum > 0 && dampDen > dampNum, "need 0 < dampNum < dampDen")
     val deg = e.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
       .localCheckpoint(false)
     val base = scale * (dampDen - dampNum) / dampDen
-    var ranks = nodes.withColumn("__r", lit(scale)).localCheckpoint(false)
+    var ranks = nodes.select(col("__node"), (col("__s") * scale).as("__r"))
+      .localCheckpoint(false)
     for (_ <- 1 to iters) {
       val contrib = e.join(ranks, e("__src") === ranks("__node"))
         .join(deg, Seq("__src"))
@@ -65,10 +85,9 @@ object Graphs {
         .groupBy(col("__dst")).agg(sum(col("__c")).as("__in"))
       ranks = nodes.join(contrib, nodes("__node") === contrib("__dst"), "left")
         .select(col("__node"),
-          (lit(base) + coalesce(col("__in"), lit(0L))).as("__r"))
+          (col("__s") * base + coalesce(col("__in"), lit(0L))).as("__r"))
         .localCheckpoint(false)
     }
-    e.unpersist(false)
     ranks.select(col("__node").as("node"), col("__r").as("rank"))
   }
 
@@ -94,10 +113,7 @@ object Graphs {
                               seeds: DataFrame, seedCol: String,
                               iters: Int = 5, scale: Long = 1000000000L,
                               dampNum: Long = 17L, dampDen: Long = 20L): DataFrame = {
-    require(iters >= 1, "iters must be >= 1")
-    require(dampNum > 0 && dampDen > dampNum, "need 0 < dampNum < dampDen")
-    val e = edges.select(col(srcCol).cast("string").as("__src"),
-      col(dstCol).cast("string").as("__dst")).persist()
+    val e = stageEdges(edges, srcCol, dstCol)
     val seedSet = seeds.select(col(seedCol).cast("string").as("__node"))
       .where(col("__node").isNotNull).distinct()
     val nodes = e.select(col("__src").as("__node"))
@@ -106,24 +122,9 @@ object Graphs {
       .join(seedSet.withColumn("__s", lit(1L)), Seq("__node"), "left")
       .select(col("__node"), coalesce(col("__s"), lit(0L)).as("__s"))
       .localCheckpoint(false)
-    val deg = e.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
-      .localCheckpoint(false)
-    val base = scale * (dampDen - dampNum) / dampDen
-    var ranks = nodes.select(col("__node"), (col("__s") * scale).as("__r"))
-      .localCheckpoint(false)
-    for (_ <- 1 to iters) {
-      val contrib = e.join(ranks, e("__src") === ranks("__node"))
-        .join(deg, Seq("__src"))
-        .select(col("__dst"),
-          expr(s"(__r * $dampNum) div ($dampDen * __deg)").as("__c"))
-        .groupBy(col("__dst")).agg(sum(col("__c")).as("__in"))
-      ranks = nodes.join(contrib, nodes("__node") === contrib("__dst"), "left")
-        .select(col("__node"),
-          (col("__s") * base + coalesce(col("__in"), lit(0L))).as("__r"))
-        .localCheckpoint(false)
-    }
+    val out = pageRankCore(e, nodes, iters, scale, dampNum, dampDen)
     e.unpersist(false)
-    ranks.select(col("__node").as("node"), col("__r").as("rank"))
+    out
   }
 
   /**

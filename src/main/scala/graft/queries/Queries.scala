@@ -122,6 +122,54 @@ object Queries {
     s.table(qName).select(col("click_id"), col("p_ts"), col("p_value"))
   }
 
+  /** Shared harness for the two streaming as-of queries (backward
+    * enrichment / forward conversion attribution): clicks and
+    * purchases ride ONE keyed AsofEvent stream; the far-future
+    * sentinel derives from the UNFILTERED event stream on its own key
+    * (ONE constant ts — it advances every group's event-time timer so
+    * the bounded replay drains), and the sentinel's own output rows
+    * are filtered ABOVE the stateful operator, far from any watermark
+    * node. `forward` picks the machine and the output column name. */
+  private def streamAsofRun(s: SparkSession, dir: String,
+                            forward: Boolean): DataFrame = {
+    import s.implicits._
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    def src = EventTs.toTimestamp(s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val base = src.where(col("event_type").isin("click", "purchase"))
+      .select(col("user_id").as("userId"), col("ts"),
+        col("event_id").as("eventId"),
+        when(col("event_type") === "click", lit("c"))
+          .otherwise(lit("p")).as("kind"),
+        coalesce(col("value"), lit(0.0)).as("value"))
+    val sentinel = src.where(col("event_id") % 100 === 0)
+      .select(lit(-1L).as("userId"),
+        to_timestamp(lit("2200-01-01 00:00:00")).as("ts"),
+        lit(-1L).as("eventId"), lit("c").as("kind"), lit(0.0).as("value"))
+    val events = base.unionAll(sentinel)
+      .withWatermark("ts", "1 hour")
+      .as[graft.streaming.AsofEvent]
+    val enriched =
+      if (forward)
+        graft.streaming.Streams.asofEnrichForward(events, tolerance = "6 hours")
+      else graft.streaming.Streams.asofEnrich(events, tolerance = "6 hours")
+    val qName =
+      if (forward) "graft_stream_asof_forward" else "graft_stream_asof_enrich"
+    s.streams.active.filter(q => q.name == qName).foreach(_.stop())
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = enriched.toDF().writeStream.format("memory").queryName(qName)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.table(qName).where(col("eventId") =!= -1L)
+      .select(col("eventId").as("event_id"),
+        col("priorValue").as(if (forward) "next_value" else "prior_value"))
+  }
+
   private def custPoints(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "customer")
       .withColumn("px", ((col("c_custkey") * 7919) % 1000).cast("double"))
@@ -1874,50 +1922,7 @@ object Queries {
     // bounded replay. The oracle is DuckDB's NATIVE ASOF JOIN over the
     // same micros-truncated event times — batch/streaming unification
     // for the as-of shape (asof_join_tol's streaming twin).
-    "stream_asof_enrich" -> ((s, dir) => {
-      import s.implicits._
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      def src = EventTs.toTimestamp(s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir))
-      val base = src.where(col("event_type").isin("click", "purchase"))
-        .select(col("user_id").as("userId"), col("ts"),
-          col("event_id").as("eventId"),
-          when(col("event_type") === "click", lit("c"))
-            .otherwise(lit("p")).as("kind"),
-          coalesce(col("value"), lit(0.0)).as("value"))
-      // far-future sentinel on its own key: advances the watermark so
-      // every group's event-time timer fires in the trailing no-data
-      // batch and the full replay folds (ONE constant ts, as always).
-      // Derived from the UNFILTERED stream (any 100 consecutive
-      // event_ids contains one) — a type-filtered subset could lose
-      // every sentinel on a regenerated dataset.
-      val sentinel = src.where(col("event_id") % 100 === 0)
-        .select(lit(-1L).as("userId"),
-          to_timestamp(lit("2200-01-01 00:00:00")).as("ts"),
-          lit(-1L).as("eventId"), lit("c").as("kind"), lit(0.0).as("value"))
-      val events = base.unionAll(sentinel)
-        .withWatermark("ts", "1 hour")
-        .as[graft.streaming.AsofEvent]
-      val enriched = graft.streaming.Streams.asofEnrich(events,
-        tolerance = "6 hours")
-      val qName = "graft_stream_asof_enrich"
-      s.streams.active.filter(q => q.name == qName).foreach(_.stop())
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val q = enriched.toDF().writeStream.format("memory").queryName(qName)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-      // the sentinel key's own (null-enriched) rows are not part of the
-      // query; this filter sits above the stateful operator, far from
-      // any watermark node
-      s.table(qName).where(col("eventId") =!= -1L)
-        .select(col("eventId").as("event_id"),
-          col("priorValue").as("prior_value"))
-    }),
+    "stream_asof_enrich" -> ((s, dir) => streamAsofRun(s, dir, forward = false)),
 
     // FORWARD streaming as-of (Streams.asofEnrichForward): each click
     // binds the user's NEXT at-or-after purchase value within 6h —
@@ -1927,41 +1932,7 @@ object Queries {
     // click expires to null once the watermark proves any future
     // purchase would be beyond tolerance. asof_join_fwd's streaming
     // twin under the same native-ASOF oracle family.
-    "stream_asof_forward" -> ((s, dir) => {
-      import s.implicits._
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      def src = EventTs.toTimestamp(s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir))
-      val base = src.where(col("event_type").isin("click", "purchase"))
-        .select(col("user_id").as("userId"), col("ts"),
-          col("event_id").as("eventId"),
-          when(col("event_type") === "click", lit("c"))
-            .otherwise(lit("p")).as("kind"),
-          coalesce(col("value"), lit(0.0)).as("value"))
-      val sentinel = src.where(col("event_id") % 100 === 0)
-        .select(lit(-1L).as("userId"),
-          to_timestamp(lit("2200-01-01 00:00:00")).as("ts"),
-          lit(-1L).as("eventId"), lit("c").as("kind"), lit(0.0).as("value"))
-      val events = base.unionAll(sentinel)
-        .withWatermark("ts", "1 hour")
-        .as[graft.streaming.AsofEvent]
-      val enriched = graft.streaming.Streams.asofEnrichForward(events,
-        tolerance = "6 hours")
-      val qName = "graft_stream_asof_forward"
-      s.streams.active.filter(q => q.name == qName).foreach(_.stop())
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val q = enriched.toDF().writeStream.format("memory").queryName(qName)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-      s.table(qName).where(col("eventId") =!= -1L)
-        .select(col("eventId").as("event_id"),
-          col("priorValue").as("next_value"))
-    }),
+    "stream_asof_forward" -> ((s, dir) => streamAsofRun(s, dir, forward = true)),
 
     // the SLIDING-window streaming twin: window(1h, slide 30min) as a
     // real watermarked streaming query, pinned to the same

@@ -260,11 +260,17 @@ class GraphsSpec extends AnyFunSuite {
     assert(oneHop == Map("a" -> 0L, "b" -> 1L, "c" -> 10L))
   }
 
-  test("minCostHops matches the single-threaded Bellman-Ford on random weighted graphs") {
+  test("minCostHops matches the single-threaded Bellman-Ford on random weighted graphs, negative weights included") {
     val rnd = new scala.util.Random(59)
-    for (trial <- 1 to 3) {
+    for (trial <- 1 to 4) {
+      // trial 4 draws weights from [-10, 19]: the hop bound keeps the
+      // result well-defined under negative weights (the documented
+      // contract) — a '<' vs '<=' improvement-test regression or a
+      // premature early exit would surface here
       val edges = (0 until 150).map { _ =>
-        (s"n${rnd.nextInt(20)}", s"n${rnd.nextInt(20)}", rnd.nextInt(30).toLong)
+        val w = if (trial == 4) rnd.nextInt(30).toLong - 10
+                else rnd.nextInt(30).toLong
+        (s"n${rnd.nextInt(20)}", s"n${rnd.nextInt(20)}", w)
       }
       val seeds = Seq(s"n${rnd.nextInt(20)}")
       for (maxHops <- Seq(0, 3, 9)) {

@@ -363,13 +363,14 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("asofEnrich == batch backward as-of under randomized batch splits and bounded disorder") {
-    implicit val sc = spark.sqlContext
-    val rnd = new scala.util.Random(211)
-    // 15 users x 24 events (uniform click/purchase mix), minutes 0..199,
-    // distinct per-purchase values so a wrong binding can't pass; local
-    // 4-minute shuffle < the 5-minute delay, so nothing arrives late
-    val events = (for {
+  // ---- shared scaffolding for the randomized as-of equivalence tests ----
+
+  private val asofTolUs = 30L * 60 * 1000000 // 30 minutes
+
+  /** 15 users x 24 events (uniform click/purchase mix), minutes 0..199,
+    * distinct per-purchase values so a wrong binding can't pass. */
+  private def randomAsofEvents(rnd: scala.util.Random): Vector[AsofEvent] =
+    (for {
       u <- 1 to 15
       i <- 0 until 24
     } yield {
@@ -377,14 +378,23 @@ class StreamingSpec extends AnyFunSuite {
       AsofEvent(u.toLong, ts(rnd.nextInt(200)), id,
         if (rnd.nextBoolean()) "c" else "p", id.toDouble)
     }).toVector
+
+  /** Deliver `events` sorted by ts but locally shuffled within windows
+    * of 4 (< the 5-minute watermark delay on this dense data, so
+    * nothing arrives late), in random micro-batches; drain with two
+    * far-future sentinel batches; return eventId -> enriched value for
+    * the real events. ONE copy of the drive/drain discipline. */
+  private def driveRandomAsof(events: Vector[AsofEvent],
+                              rnd: scala.util.Random, table: String,
+                              machine: org.apache.spark.sql.Dataset[AsofEvent]
+                                => org.apache.spark.sql.Dataset[AsofOut])
+      : Map[Long, Option[Double]] = {
+    implicit val sc = spark.sqlContext
     val delivery = events.sortBy(e => (e.ts.getTime, e.eventId))
       .grouped(4).flatMap(w => rnd.shuffle(w)).toVector
-    val tolUs = 30L * 60 * 1000000 // 30 minutes
-
     val input = MemoryStream[AsofEvent]
-    val q = Streams.asofEnrich(
-        input.toDS().withWatermark("ts", "5 minutes"), tolerance = "30 minutes")
-      .writeStream.format("memory").queryName("asof_rand_out")
+    val q = machine(input.toDS().withWatermark("ts", "5 minutes"))
+      .writeStream.format("memory").queryName(table)
       .outputMode("append").start()
     try {
       var rest = delivery
@@ -398,82 +408,52 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       input.addData(AsofEvent(-1L, ts(10001), -2L, "c", 0.0))
       q.processAllAvailable()
-
-      val got = spark.table("asof_rand_out")
-        .collect().map(r => (r.getLong(1),
+      spark.table(table).collect().map(r => (r.getLong(1),
           if (r.isNullAt(2)) None else Some(r.getDouble(2))))
         .filter(_._1 >= 0).toMap
-
-      // reference: per user, single-threaded fold in the engine's
-      // (ts, purchases-first, eventId) order
-      val want = events.groupBy(_.userId).flatMap { case (_, evs) =>
-        val sorted = evs.sortBy(e =>
-          (e.ts.getTime, if (e.kind == "p") 0 else 1, e.eventId))
-        var last: Option[(Long, Double)] = None
-        sorted.flatMap { e =>
-          if (e.kind == "p") { last = Some((e.ts.getTime * 1000, e.value)); None }
-          else Some(e.eventId -> last.collect {
-            case (pu, v) if e.ts.getTime * 1000 - pu <= tolUs => v
-          })
-        }
-      }
-      assert(got == want,
-        s"diff=${(want.toSet -- got.toSet).take(3)} / ${(got.toSet -- want.toSet).take(3)}")
     } finally q.stop()
   }
 
-  test("asofEnrichForward == batch forward as-of under randomized batch splits and bounded disorder") {
-    implicit val sc = spark.sqlContext
-    val rnd = new scala.util.Random(223)
-    val events = (for {
-      u <- 1 to 15
-      i <- 0 until 24
-    } yield {
-      val id = (u * 1000 + i).toLong
-      AsofEvent(u.toLong, ts(rnd.nextInt(200)), id,
-        if (rnd.nextBoolean()) "c" else "p", id.toDouble)
-    }).toVector
-    val delivery = events.sortBy(e => (e.ts.getTime, e.eventId))
-      .grouped(4).flatMap(w => rnd.shuffle(w)).toVector
-    val tolUs = 30L * 60 * 1000000
-
-    val input = MemoryStream[AsofEvent]
-    val q = Streams.asofEnrichForward(
-        input.toDS().withWatermark("ts", "5 minutes"), tolerance = "30 minutes")
-      .writeStream.format("memory").queryName("asof_fwd_rand_out")
-      .outputMode("append").start()
-    try {
-      var rest = delivery
-      while (rest.nonEmpty) {
-        val n = 1 + rnd.nextInt(40)
-        input.addData(rest.take(n): _*)
-        q.processAllAvailable()
-        rest = rest.drop(n)
+  test("asofEnrich == batch backward as-of under randomized batch splits and bounded disorder") {
+    val rnd = new scala.util.Random(211)
+    val events = randomAsofEvents(rnd)
+    val got = driveRandomAsof(events, rnd, "asof_rand_out",
+      Streams.asofEnrich(_, tolerance = "30 minutes"))
+    // reference: per user, single-threaded fold in the engine's
+    // (ts, purchases-first, eventId) order
+    val want = events.groupBy(_.userId).flatMap { case (_, evs) =>
+      val sorted = evs.sortBy(e =>
+        (e.ts.getTime, if (e.kind == "p") 0 else 1, e.eventId))
+      var last: Option[(Long, Double)] = None
+      sorted.flatMap { e =>
+        if (e.kind == "p") { last = Some((e.ts.getTime * 1000, e.value)); None }
+        else Some(e.eventId -> last.collect {
+          case (pu, v) if e.ts.getTime * 1000 - pu <= asofTolUs => v
+        })
       }
-      input.addData(AsofEvent(-1L, ts(10000), -1L, "c", 0.0))
-      q.processAllAvailable()
-      input.addData(AsofEvent(-1L, ts(10001), -2L, "c", 0.0))
-      q.processAllAvailable()
+    }
+    assert(got == want,
+      s"diff=${(want.toSet -- got.toSet).take(3)} / ${(got.toSet -- want.toSet).take(3)}")
+  }
 
-      val got = spark.table("asof_fwd_rand_out")
-        .collect().map(r => (r.getLong(1),
-          if (r.isNullAt(2)) None else Some(r.getDouble(2))))
-        .filter(_._1 >= 0).toMap
-
-      // reference: clicks-first at an equal ts; each click's nearest
-      // next purchase is the first "p" AFTER its sorted position
-      val want = events.groupBy(_.userId).flatMap { case (_, evs) =>
-        val sorted = evs.sortBy(e =>
-          (e.ts.getTime, if (e.kind == "c") 0 else 1, e.eventId)).toVector
-        sorted.zipWithIndex.collect { case (e, i) if e.kind == "c" =>
-          e.eventId -> sorted.drop(i + 1).find(_.kind == "p").collect {
-            case p if p.ts.getTime * 1000 - e.ts.getTime * 1000 <= tolUs => p.value
-          }
+  test("asofEnrichForward == batch forward as-of under randomized batch splits and bounded disorder") {
+    val rnd = new scala.util.Random(223)
+    val events = randomAsofEvents(rnd)
+    val got = driveRandomAsof(events, rnd, "asof_fwd_rand_out",
+      Streams.asofEnrichForward(_, tolerance = "30 minutes"))
+    // reference: clicks-first at an equal ts; each click's nearest
+    // next purchase is the first "p" AFTER its sorted position
+    val want = events.groupBy(_.userId).flatMap { case (_, evs) =>
+      val sorted = evs.sortBy(e =>
+        (e.ts.getTime, if (e.kind == "c") 0 else 1, e.eventId)).toVector
+      sorted.zipWithIndex.collect { case (e, i) if e.kind == "c" =>
+        e.eventId -> sorted.drop(i + 1).find(_.kind == "p").collect {
+          case p if p.ts.getTime * 1000 - e.ts.getTime * 1000 <= asofTolUs => p.value
         }
       }
-      assert(got == want,
-        s"diff=${(want.toSet -- got.toSet).take(3)} / ${(got.toSet -- want.toSet).take(3)}")
-    } finally q.stop()
+    }
+    assert(got == want,
+      s"diff=${(want.toSet -- got.toSet).take(3)} / ${(got.toSet -- want.toSet).take(3)}")
   }
 
   test("scd2Intervals closes slices across micro-batches, opens after horizon") {
