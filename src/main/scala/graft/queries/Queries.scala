@@ -2343,6 +2343,33 @@ object Queries {
         .select(col("user_id"), col("session_start"), col("n"))
     }),
 
+    // TIME-SERIES RESAMPLE + FORWARD FILL (pandas resample('1h').ffill
+    // distributed): every user gets a row for EVERY hour of the
+    // table's span carrying their last at-or-before event value (null
+    // before the first event) — the gap-filling regularization every
+    // feature-store / monitoring pipeline needs. Composes existing
+    // operators: a sequence()-exploded per-user hour grid (the bounds
+    // row is a 1-row broadcast) into the distributed backward as-of
+    // join — one keyed shuffle, output size = |users|·|hours| by
+    // definition. The oracle replays it with generate_series + native
+    // ASOF over the same micros-truncated clock.
+    "resample_ffill" -> ((s, dir) => {
+      val ev = EventTs.toTimestamp(t(s, dir, "events"))
+        .select(col("user_id"), col("ts"), col("value"))
+      val bounds = ev.agg(date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      val grid = ev.select(col("user_id")).distinct()
+        .crossJoin(bounds) // 1-row: Catalyst broadcasts
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"),
+            expr("INTERVAL 1 HOUR"))).as("hour"))
+      graft.tools.Joins.asofBackward(grid,
+          ev.select(col("user_id"), col("ts"),
+            col("value").as("last_value")),
+          Seq("user_id"), "hour", "ts", Seq("last_value"))
+        .select(col("user_id"), col("hour"), col("last_value"))
+    }),
+
     // Rolling event-time window per user (feature engineering): for
     // every event, how many events the same user produced in the
     // preceding hour (inclusive). A RANGE window over int64 nanos —
@@ -3605,6 +3632,22 @@ object Queries {
          SELECT make_timestamp(ws) AS win_start, event_type,
                 count(*) AS n, min(value) AS vmin, max(value) AS vmax
          FROM w GROUP BY 1, 2""",
+    // resample replay: per-user hourly grid via generate_series, last
+    // value via native ASOF on the micros clock (epoch_ns // 1000
+    // matches the engine's truncated timestamps at the window edge)
+    "resample_ffill" ->
+      """WITH b AS (SELECT date_trunc('hour', min(ts)) AS h0,
+                           date_trunc('hour', max(ts)) AS h1 FROM events),
+            u AS (SELECT DISTINCT user_id FROM events),
+            grid AS (SELECT u.user_id,
+                            unnest(generate_series(b.h0, b.h1,
+                                   INTERVAL 1 HOUR)) AS hour
+                     FROM u, b),
+            e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, value
+                  FROM events)
+         SELECT g.user_id, g.hour, e.value AS last_value
+         FROM grid g ASOF LEFT JOIN e
+           ON g.user_id = e.user_id AND epoch_us(g.hour) >= e.us""",
     "rolling_user_counts" ->
       """SELECT event_id,
                 count(*) OVER (PARTITION BY user_id ORDER BY ts
