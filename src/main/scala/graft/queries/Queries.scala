@@ -2370,6 +2370,46 @@ object Queries {
         .select(col("user_id"), col("hour"), col("last_value"))
     }),
 
+    // LINEAR-INTERPOLATION resample (pandas resample('1h').interpolate
+    // distributed): each grid hour takes
+    //   v0 + (v1 - v0) · ((t - t0) / (t1 - t0))
+    // between the surrounding events, null outside the observed range —
+    // the ffill twin's smooth variant, composing BOTH as-of directions
+    // (two keyed shuffles). Hash-exact across engines because every
+    // operand is exact in double (nanos diffs < 2^53) and both engines
+    // evaluate the IDENTICAL IEEE operation sequence — the
+    // global_rank_stats precedent (exact ints → one division) extended
+    // to a four-op float formula.
+    "resample_interp" -> ((s, dir) => {
+      val ev = EventTs.toNanos(t(s, dir, "events"))
+        .select(col("user_id"), col("ts"), col("value"))
+      // hour-floor in INTEGER arithmetic: ts ~1.7e18 ns exceeds 2^53,
+      // so a double division here would corrupt the grid anchor
+      val bounds = ev.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"))
+        .select(expr("(mn div 3600000000000) * 3600000000000").as("h0"),
+          expr("(mx div 3600000000000) * 3600000000000").as("h1"))
+      val grid = ev.select(col("user_id")).distinct()
+        .crossJoin(bounds) // 1-row: Catalyst broadcasts
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"),
+            lit(3600L * 1000000000L))).as("t"))
+      val back = graft.tools.Joins.asofBackward(grid,
+        ev.select(col("user_id"), col("ts"),
+          col("ts").as("t0"), col("value").as("v0")),
+        Seq("user_id"), "t", "ts", Seq("t0", "v0"))
+      val both = graft.tools.Joins.asofForward(back,
+        ev.select(col("user_id"), col("ts"),
+          col("ts").as("t1"), col("value").as("v1")),
+        Seq("user_id"), "t", "ts", Seq("t1", "v1"))
+      both.select(col("user_id"), col("t"),
+        when(col("t0").isNull || col("t1").isNull, lit(null))
+          .when(col("t1") === col("t0"), col("v0"))
+          .otherwise(col("v0") + (col("v1") - col("v0")) *
+            ((col("t") - col("t0")).cast("double") /
+              (col("t1") - col("t0")).cast("double")))
+          .as("v_interp"))
+    }),
+
     // Rolling event-time window per user (feature engineering): for
     // every event, how many events the same user produced in the
     // preceding hour (inclusive). A RANGE window over int64 nanos —
@@ -3648,6 +3688,37 @@ object Queries {
          SELECT g.user_id, g.hour, e.value AS last_value
          FROM grid g ASOF LEFT JOIN e
            ON g.user_id = e.user_id AND epoch_us(g.hour) >= e.us""",
+    // interpolation replay: identical grid (integer hour floor) and the
+    // IDENTICAL IEEE operation sequence v0 + (v1-v0)*((t-t0)/(t1-t0)) —
+    // every operand exact in double (ns diffs < 2^53), so the floats
+    // must agree bit for bit
+    "resample_interp" ->
+      """WITH b AS (SELECT (min(epoch_ns(ts)) // 3600000000000)
+                             * 3600000000000 AS h0,
+                           (max(epoch_ns(ts)) // 3600000000000)
+                             * 3600000000000 AS h1 FROM events),
+            u AS (SELECT DISTINCT user_id FROM events),
+            grid AS (SELECT u.user_id,
+                            unnest(generate_series(b.h0, b.h1,
+                                   3600000000000)) AS t
+                     FROM u, b),
+            e AS (SELECT user_id, epoch_ns(ts) AS ns, value FROM events),
+            back AS (
+              SELECT g.user_id, g.t, e.ns AS t0, e.value AS v0
+              FROM grid g ASOF LEFT JOIN e
+                ON g.user_id = e.user_id AND g.t >= e.ns),
+            bb AS (
+              SELECT bk.user_id, bk.t, bk.t0, bk.v0,
+                     e.ns AS t1, e.value AS v1
+              FROM back bk ASOF LEFT JOIN e
+                ON bk.user_id = e.user_id AND bk.t <= e.ns)
+         SELECT user_id, t,
+                CASE WHEN t0 IS NULL OR t1 IS NULL THEN NULL
+                     WHEN t1 = t0 THEN v0
+                     ELSE v0 + (v1 - v0) *
+                          (CAST(t - t0 AS DOUBLE) / CAST(t1 - t0 AS DOUBLE))
+                END AS v_interp
+         FROM bb""",
     "rolling_user_counts" ->
       """SELECT event_id,
                 count(*) OVER (PARTITION BY user_id ORDER BY ts

@@ -363,6 +363,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream full-outer join also flushes the unmatched RIGHT side after the watermark") {
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp, Double)]
+    val c = clicks.toDS().toDF("click_id", "user_id", "c_ts")
+      .withWatermark("c_ts", "0 seconds")
+    val p = purchases.toDS().toDF("p_user", "p_ts", "p_value")
+      .withWatermark("p_ts", "0 seconds")
+    val joined = c.join(p,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("p_ts") <= col("c_ts"), "full_outer")
+      .select(col("click_id"), col("p_value"))
+    val q = joined.writeStream.format("memory").queryName("foj_out")
+      .outputMode("append").start()
+    try {
+      // click 1 matches its purchase; purchase for user 9 has no click
+      clicks.addData((1L, 1L, ts(5)))
+      purchases.addData((1L, ts(3), 7.0), (9L, ts(4), 5.0))
+      q.processAllAvailable()
+      // advance both watermarks past every match window
+      clicks.addData((8L, 8L, ts(60)))
+      purchases.addData((7L, ts(60), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("foj_out").collect()
+        .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+          if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSet
+      // matched pair + the right-only purchase with NULL click side
+      assert(got.contains((Some(1L), Some(7.0))), s"match missing: $got")
+      assert(got.contains((None, Some(5.0))),
+        s"right-side null row not flushed: $got")
+    } finally q.stop()
+  }
+
   // ---- shared scaffolding for the randomized as-of equivalence tests ----
 
   private val asofTolUs = 30L * 60 * 1000000 // 30 minutes
