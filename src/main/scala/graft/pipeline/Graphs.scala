@@ -46,6 +46,7 @@ object Graphs {
   def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
                   iters: Int = 5, scale: Long = 1000000000L,
                   dampNum: Long = 17L, dampDen: Long = 20L): DataFrame = {
+    validateRankArgs(iters, dampNum, dampDen)
     val e = stageEdges(edges, srcCol, dstCol)
     val nodes = e.select(col("__src").as("__node"))
       .unionAll(e.select(col("__dst").as("__node")))
@@ -60,6 +61,15 @@ object Graphs {
     edges.select(col(srcCol).cast("string").as("__src"),
       col(dstCol).cast("string").as("__dst")).persist()
 
+  /** Validated BEFORE stageEdges persists anything — a require that
+    * fires after the persist would leak a CacheManager entry on every
+    * invalid call. */
+  private def validateRankArgs(iters: Int, dampNum: Long,
+                               dampDen: Long): Unit = {
+    require(iters >= 1, "iters must be >= 1")
+    require(dampNum > 0 && dampDen > dampNum, "need 0 < dampNum < dampDen")
+  }
+
   /** Shared power-iteration core: `nodes` carries (__node, __s) where
     * the indicator __s gates BOTH the initial mass (r0 = __s·scale)
     * and the per-round restart base (__s·base) — an all-ones indicator
@@ -70,8 +80,6 @@ object Graphs {
   private def pageRankCore(e: DataFrame, nodes: DataFrame, iters: Int,
                            scale: Long, dampNum: Long,
                            dampDen: Long): DataFrame = {
-    require(iters >= 1, "iters must be >= 1")
-    require(dampNum > 0 && dampDen > dampNum, "need 0 < dampNum < dampDen")
     val deg = e.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
       .localCheckpoint(false)
     val base = scale * (dampDen - dampNum) / dampDen
@@ -113,6 +121,7 @@ object Graphs {
                               seeds: DataFrame, seedCol: String,
                               iters: Int = 5, scale: Long = 1000000000L,
                               dampNum: Long = 17L, dampDen: Long = 20L): DataFrame = {
+    validateRankArgs(iters, dampNum, dampDen)
     val e = stageEdges(edges, srcCol, dstCol)
     val seedSet = seeds.select(col(seedCol).cast("string").as("__node"))
       .where(col("__node").isNotNull).distinct()

@@ -170,6 +170,40 @@ object Queries {
         col("priorValue").as(if (forward) "next_value" else "prior_value"))
   }
 
+  /** Events on the ns clock for the resample family: NULL user_ids are
+    * dropped on BOTH engines (a window-partitioned as-of would group
+    * NULL keys together while the oracle's equality join never matches
+    * them — guard rather than depend on the data). */
+  private def resampleEvents(s: SparkSession, dir: String): DataFrame =
+    EventTs.toNanos(t(s, dir, "events"))
+      .where(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+
+  /** Collapse equal-(user, ts) events to ONE row — highest event_id
+    * wins (max over the (event_id, value) struct; event_id is unique,
+    * so the pick is total). ASOF's choice among exact-tie build rows
+    * is engine-arbitrary on BOTH sides; the oracles replay this same
+    * collapse with a row_number ORDER BY event_id DESC. */
+  private def collapseTies(ev: DataFrame): DataFrame =
+    ev.groupBy(col("user_id"), col("ts"))
+      .agg(max(struct(col("event_id"), col("value"))).as("__m"))
+      .select(col("user_id"), col("ts"), col("__m.value").as("value"))
+
+  /** Per-user hourly grid on the ns clock: one row per (user,
+    * hour-floor) spanning the whole table; the bounds row is a 1-row
+    * broadcast. Hour-floor MUST be integer `div` — ns epochs ~1.7e18
+    * exceed 2^53, a double division corrupts the grid anchor. */
+  private def userHourGridNs(ev: DataFrame): DataFrame = {
+    val H = 3600L * 1000000000L
+    val bounds = ev.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"))
+      .select(expr(s"(mn div $H) * $H").as("h0"),
+        expr(s"(mx div $H) * $H").as("h1"))
+    ev.select(col("user_id")).distinct()
+      .crossJoin(bounds) // 1-row: Catalyst broadcasts
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), lit(H))).as("t"))
+  }
+
   private def custPoints(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "customer")
       .withColumn("px", ((col("c_custkey") * 7919) % 1000).cast("double"))
@@ -2348,26 +2382,22 @@ object Queries {
     // table's span carrying their last at-or-before event value (null
     // before the first event) — the gap-filling regularization every
     // feature-store / monitoring pipeline needs. Composes existing
-    // operators: a sequence()-exploded per-user hour grid (the bounds
-    // row is a 1-row broadcast) into the distributed backward as-of
-    // join — one keyed shuffle, output size = |users|·|hours| by
-    // definition. The oracle replays it with generate_series + native
-    // ASOF over the same micros-truncated clock.
+    // operators: the shared ns-clock per-user hour grid into the
+    // distributed backward as-of join — one keyed shuffle, output
+    // size = |users|·|hours| by definition. Equal-(user, ts) ties are
+    // PRE-COLLAPSED (highest event_id wins) — ASOF's pick among exact
+    // ties is engine-arbitrary on both sides, the documented
+    // discipline. The oracle replays it with generate_series + native
+    // ASOF on the same ns clock.
     "resample_ffill" -> ((s, dir) => {
-      val ev = EventTs.toTimestamp(t(s, dir, "events"))
-        .select(col("user_id"), col("ts"), col("value"))
-      val bounds = ev.agg(date_trunc("hour", min(col("ts"))).as("h0"),
-        date_trunc("hour", max(col("ts"))).as("h1"))
-      val grid = ev.select(col("user_id")).distinct()
-        .crossJoin(bounds) // 1-row: Catalyst broadcasts
-        .select(col("user_id"),
-          explode(sequence(col("h0"), col("h1"),
-            expr("INTERVAL 1 HOUR"))).as("hour"))
-      graft.tools.Joins.asofBackward(grid,
-          ev.select(col("user_id"), col("ts"),
+      val ev = resampleEvents(s, dir)
+      graft.tools.Joins.asofBackward(userHourGridNs(ev),
+          collapseTies(ev).select(col("user_id"), col("ts"),
             col("value").as("last_value")),
-          Seq("user_id"), "hour", "ts", Seq("last_value"))
-        .select(col("user_id"), col("hour"), col("last_value"))
+          Seq("user_id"), "t", "ts", Seq("last_value"))
+        .select(col("user_id"),
+          timestamp_micros(expr("t div 1000")).as("hour"),
+          col("last_value"))
     }),
 
     // LINEAR-INTERPOLATION resample (pandas resample('1h').interpolate
@@ -2375,33 +2405,24 @@ object Queries {
     //   v0 + (v1 - v0) · ((t - t0) / (t1 - t0))
     // between the surrounding events, null outside the observed range —
     // the ffill twin's smooth variant, composing BOTH as-of directions
-    // (two keyed shuffles). Hash-exact across engines because every
-    // operand is exact in double (nanos diffs < 2^53) and both engines
-    // evaluate the IDENTICAL IEEE operation sequence — the
-    // global_rank_stats precedent (exact ints → one division) extended
-    // to a four-op float formula.
+    // (two keyed shuffles) over the same grid helper and tie collapse.
+    // Hash-exact across engines because every operand is exact in
+    // double (nanos diffs < 2^53) and both engines evaluate the
+    // IDENTICAL IEEE operation sequence — the global_rank_stats
+    // precedent (exact ints → one division) extended to a four-op
+    // float formula.
     "resample_interp" -> ((s, dir) => {
-      val ev = EventTs.toNanos(t(s, dir, "events"))
-        .select(col("user_id"), col("ts"), col("value"))
-      // hour-floor in INTEGER arithmetic: ts ~1.7e18 ns exceeds 2^53,
-      // so a double division here would corrupt the grid anchor
-      val bounds = ev.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"))
-        .select(expr("(mn div 3600000000000) * 3600000000000").as("h0"),
-          expr("(mx div 3600000000000) * 3600000000000").as("h1"))
-      val grid = ev.select(col("user_id")).distinct()
-        .crossJoin(bounds) // 1-row: Catalyst broadcasts
-        .select(col("user_id"),
-          explode(sequence(col("h0"), col("h1"),
-            lit(3600L * 1000000000L))).as("t"))
-      val back = graft.tools.Joins.asofBackward(grid,
-        ev.select(col("user_id"), col("ts"),
+      val ev = resampleEvents(s, dir)
+      val evC = collapseTies(ev)
+      val back = graft.tools.Joins.asofBackward(userHourGridNs(ev),
+        evC.select(col("user_id"), col("ts"),
           col("ts").as("t0"), col("value").as("v0")),
         Seq("user_id"), "t", "ts", Seq("t0", "v0"))
-      val both = graft.tools.Joins.asofForward(back,
-        ev.select(col("user_id"), col("ts"),
+      val joined = graft.tools.Joins.asofForward(back,
+        evC.select(col("user_id"), col("ts"),
           col("ts").as("t1"), col("value").as("v1")),
         Seq("user_id"), "t", "ts", Seq("t1", "v1"))
-      both.select(col("user_id"), col("t"),
+      joined.select(col("user_id"), col("t"),
         when(col("t0").isNull || col("t1").isNull, lit(null))
           .when(col("t1") === col("t0"), col("v0"))
           .otherwise(col("v0") + (col("v1") - col("v0")) *
@@ -3672,22 +3693,33 @@ object Queries {
          SELECT make_timestamp(ws) AS win_start, event_type,
                 count(*) AS n, min(value) AS vmin, max(value) AS vmax
          FROM w GROUP BY 1, 2""",
-    // resample replay: per-user hourly grid via generate_series, last
-    // value via native ASOF on the micros clock (epoch_ns // 1000
-    // matches the engine's truncated timestamps at the window edge)
+    // resample replay: per-user hourly grid via generate_series on the
+    // ns clock (integer hour floor), equal-(user, ns) ties collapsed
+    // to the highest event_id BEFORE the ASOF (its pick among exact
+    // ties is engine-arbitrary), NULL users excluded on both engines
     "resample_ffill" ->
-      """WITH b AS (SELECT date_trunc('hour', min(ts)) AS h0,
-                           date_trunc('hour', max(ts)) AS h1 FROM events),
-            u AS (SELECT DISTINCT user_id FROM events),
+      """WITH b AS (SELECT (min(epoch_ns(ts)) // 3600000000000)
+                             * 3600000000000 AS h0,
+                           (max(epoch_ns(ts)) // 3600000000000)
+                             * 3600000000000 AS h1
+                    FROM events WHERE user_id IS NOT NULL),
+            u AS (SELECT DISTINCT user_id FROM events
+                  WHERE user_id IS NOT NULL),
             grid AS (SELECT u.user_id,
                             unnest(generate_series(b.h0, b.h1,
-                                   INTERVAL 1 HOUR)) AS hour
+                                   3600000000000)) AS t
                      FROM u, b),
-            e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, value
-                  FROM events)
-         SELECT g.user_id, g.hour, e.value AS last_value
+            e AS (SELECT user_id, ns, value FROM (
+                    SELECT user_id, epoch_ns(ts) AS ns, value,
+                           row_number() OVER (
+                             PARTITION BY user_id, epoch_ns(ts)
+                             ORDER BY event_id DESC) AS rn
+                    FROM events WHERE user_id IS NOT NULL)
+                  WHERE rn = 1)
+         SELECT g.user_id, make_timestamp(g.t // 1000) AS hour,
+                e.value AS last_value
          FROM grid g ASOF LEFT JOIN e
-           ON g.user_id = e.user_id AND epoch_us(g.hour) >= e.us""",
+           ON g.user_id = e.user_id AND g.t >= e.ns""",
     // interpolation replay: identical grid (integer hour floor) and the
     // IDENTICAL IEEE operation sequence v0 + (v1-v0)*((t-t0)/(t1-t0)) —
     // every operand exact in double (ns diffs < 2^53), so the floats
@@ -3696,13 +3728,21 @@ object Queries {
       """WITH b AS (SELECT (min(epoch_ns(ts)) // 3600000000000)
                              * 3600000000000 AS h0,
                            (max(epoch_ns(ts)) // 3600000000000)
-                             * 3600000000000 AS h1 FROM events),
-            u AS (SELECT DISTINCT user_id FROM events),
+                             * 3600000000000 AS h1
+                    FROM events WHERE user_id IS NOT NULL),
+            u AS (SELECT DISTINCT user_id FROM events
+                  WHERE user_id IS NOT NULL),
             grid AS (SELECT u.user_id,
                             unnest(generate_series(b.h0, b.h1,
                                    3600000000000)) AS t
                      FROM u, b),
-            e AS (SELECT user_id, epoch_ns(ts) AS ns, value FROM events),
+            e AS (SELECT user_id, ns, value FROM (
+                    SELECT user_id, epoch_ns(ts) AS ns, value,
+                           row_number() OVER (
+                             PARTITION BY user_id, epoch_ns(ts)
+                             ORDER BY event_id DESC) AS rn
+                    FROM events WHERE user_id IS NOT NULL)
+                  WHERE rn = 1),
             back AS (
               SELECT g.user_id, g.t, e.ns AS t0, e.value AS v0
               FROM grid g ASOF LEFT JOIN e
