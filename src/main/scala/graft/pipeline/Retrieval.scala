@@ -241,7 +241,15 @@ object Retrieval {
       .filterNot(changelog.columns.contains)
     require(missing.isEmpty,
       s"changelog is missing column(s): ${missing.mkString(", ")}")
-    val latest = changelog.groupBy(col(keyCol))
+    // NULL key/op rows have no sane meaning here and would diverge
+    // SILENTLY (a NULL op null-filters the =!= "D" upsert branch —
+    // treated as a delete; a NULL key both survives the left_anti,
+    // null keys never match, AND unions back in) — enforced in-plan,
+    // no extra pass, the job fails naming the column
+    val guarded = changelog
+      .withColumn(keyCol, nonNullOrRaise(keyCol, "applyChangelog"))
+      .withColumn(opCol, nonNullOrRaise(opCol, "applyChangelog"))
+    val latest = guarded.groupBy(col(keyCol))
       .agg(max(struct((Seq(tsCol, seqCol, opCol) ++ payload).map(col): _*))
         .as("__c"))
     val upserts = latest
@@ -287,10 +295,25 @@ object Retrieval {
     val missing = (keyCol +: ordered).filterNot(changes.columns.contains)
     require(missing.isEmpty,
       s"changes are missing column(s): ${missing.mkString(", ")}")
+    // same NULL contract as applyChangelog: a NULL key would fold all
+    // null-key versions into one phantom row, a NULL op is
+    // uninterpretable at compaction/user-view time — fail naming the column
     state.unionByName(changes.select(state.columns.map(col).toSeq: _*))
+      .withColumn(keyCol, nonNullOrRaise(keyCol, "mergeVersioned"))
+      .withColumn(opCol, nonNullOrRaise(opCol, "mergeVersioned"))
       .groupBy(col(keyCol))
       .agg(max(struct(ordered.map(col): _*)).as("__c"))
       .select(col(keyCol) +:
         ordered.map(c => col("__c").getField(c).as(c)): _*)
   }
+
+  /** In-plan NULL contract guard: passes the column through untouched
+    * when non-null, otherwise fails the job with a message naming the
+    * offending column — a codegen'd per-row expression, so the check
+    * costs no extra pass and runs distributed (a driver-side count
+    * would scan the changelog twice). */
+  private def nonNullOrRaise(c: String, fn: String): Column =
+    when(col(c).isNull,
+      raise_error(lit(s"$fn: NULL value in required column '$c'")))
+      .otherwise(col(c))
 }

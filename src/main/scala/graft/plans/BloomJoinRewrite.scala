@@ -127,7 +127,14 @@ case class BloomJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           .na.drop().distinct()
         val (words, k) = LongBloom.buildDistributed(keysDf, bitsPerItem)
         val v = (new BloomBitsRef(words), k)
-        if (builtFilters.size >= MaxCachedFilters) builtFilters.clear()
+        // evict ONE arbitrary entry at capacity, not the whole map:
+        // clearing everything makes a workload cycling through
+        // MaxCachedFilters+1 build plans rebuild a planning-time Spark
+        // job for every HOT filter on every query, not just the cold one
+        if (builtFilters.size >= MaxCachedFilters) {
+          val it = builtFilters.keySet().iterator()
+          if (it.hasNext) { it.next(); it.remove() }
+        }
         builtFilters.putIfAbsent(key, v)
         v
     }

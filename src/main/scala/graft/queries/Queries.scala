@@ -136,7 +136,15 @@ object Queries {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     def src = EventTs.toTimestamp(s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir))
+    // NULL guards mirror resampleEvents and run on BOTH engines: a
+    // NULL user_id cannot ride a primitive-Long keyed state machine,
+    // and a NULL-valued purchase must be excluded (not coalesced to
+    // 0.0 — the oracle propagates the raw value). Click values never
+    // surface, so the coalesce below only backstops the primitive
+    // Double encoder field for clicks.
     val base = src.where(col("event_type").isin("click", "purchase"))
+      .where(col("user_id").isNotNull &&
+        (col("event_type") === "click" || col("value").isNotNull))
       .select(col("user_id").as("userId"), col("ts"),
         col("event_id").as("eventId"),
         when(col("event_type") === "click", lit("c"))
@@ -1785,7 +1793,10 @@ object Queries {
     "scd2_user_states" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
+      // NULL users excluded on both engines — the streaming twin's
+      // keyed primitive-Long state cannot hold them (shared oracle)
       val changes = EventTs.toTimestamp(t(s, dir, "events"))
+        .where(col("user_id").isNotNull)
         .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
         .withColumn("__prev", lag(col("event_type"), 1).over(w))
         .where(col("__prev").isNull || col("__prev") =!= col("event_type"))
@@ -2043,7 +2054,10 @@ object Queries {
       val sentinel = src.where(col("event_id") % 100 === 0)
         .withColumn("user_id", lit(-1L))
         .withColumn("ts", col("ts") + expr("INTERVAL 36500 DAYS"))
-      val events = src.unionAll(sentinel)
+      // NULL users excluded on both engines (shared oracle): keyed
+      // primitive-Long state cannot hold them; sentinels are exempt
+      // (their user_id is the constant -1)
+      val events = src.where(col("user_id").isNotNull).unionAll(sentinel)
         .select(col("user_id").as("userId"), col("ts"),
           col("event_id").as("eventId"), col("event_type").as("eventType"))
         .withWatermark("ts", "1 minute")
@@ -2061,7 +2075,8 @@ object Queries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.table(qName).where(col("userId") >= 0)
+      // drop sentinels by their EXACT id — no sign assumption on real ids
+      s.table(qName).where(col("userId") =!= -1L)
         .select(col("userId").as("user_id"), col("state"),
           col("validFrom").as("valid_from"), col("validTo").as("valid_to"))
     }),
@@ -2308,7 +2323,11 @@ object Queries {
     "rate_limit_hourly" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"), col("win"))
         .orderBy(col("ts").asc, col("event_id").asc)
+      // NULL users excluded on both engines (shared oracle): the
+      // streaming twin keys primitive-Long state and cannot hold them,
+      // and a window partition would group NULL keys into one quota
       EventTs.toTimestamp(t(s, dir, "events"))
+        .where(col("user_id").isNotNull)
         .withColumn("win", expr("unix_micros(ts) div 3600000000"))
         .withColumn("rn", row_number().over(w))
         .where(col("rn") <= 3)
@@ -2329,7 +2348,9 @@ object Queries {
       val sentinel = src.where(col("event_id") % 100 === 0)
         .withColumn("user_id", lit(-1L))
         .withColumn("ts", col("ts") + expr("INTERVAL 36500 DAYS"))
-      val events = src.unionAll(sentinel)
+      // same NULL-user guard as the batch twin (sentinels are exempt:
+      // their user_id is the constant -1)
+      val events = src.where(col("user_id").isNotNull).unionAll(sentinel)
         .select(col("user_id").as("userId"), col("ts"),
           col("event_id").as("eventId"), col("event_type").as("eventType"))
         .withWatermark("ts", "1 minute")
@@ -2343,7 +2364,9 @@ object Queries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.table(qName).where(col("userId") >= 0)
+      // drop sentinels by their EXACT id — real ids carry no sign
+      // assumption here (the oracle and batch twin admit any non-null)
+      s.table(qName).where(col("userId") =!= -1L)
         .select(col("userId").as("user_id"), col("eventId").as("event_id"))
     }),
 
@@ -2702,7 +2725,7 @@ object Queries {
        FROM (SELECT user_id, ts, event_id, event_type,
                     lag(event_type) OVER (PARTITION BY user_id
                                           ORDER BY ts, event_id) AS prev
-             FROM events)
+             FROM events WHERE user_id IS NOT NULL)
        WHERE prev IS NULL OR prev <> event_type"""
 
   private lazy val sjoinNearestOracleSql: String =
@@ -2762,7 +2785,7 @@ object Queries {
                 row_number() OVER (PARTITION BY user_id,
                                                 epoch_us(ts) // 3600000000
                                    ORDER BY ts, event_id) AS rn
-         FROM events)
+         FROM events WHERE user_id IS NOT NULL)
        WHERE rn <= 3"""
 
   // shared by batch event_sessions and the streaming session_window
@@ -3642,13 +3665,15 @@ object Queries {
     // tie-break instead of trusting it
     "stream_asof_enrich" ->
       """WITH c AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us
-                    FROM events WHERE event_type = 'click'),
+                    FROM events WHERE event_type = 'click'
+                      AND user_id IS NOT NULL),
             p AS (SELECT user_id AS p_user, us, value FROM (
                     SELECT user_id, epoch_ns(ts) // 1000 AS us, value,
                            row_number() OVER (
                              PARTITION BY user_id, epoch_ns(ts) // 1000
                              ORDER BY event_id DESC) AS rn
-                    FROM events WHERE event_type = 'purchase')
+                    FROM events WHERE event_type = 'purchase'
+                      AND user_id IS NOT NULL AND value IS NOT NULL)
                   WHERE rn = 1)
          SELECT c.event_id,
                 CASE WHEN c.us - r.us <= 21600000000 THEN r.value END
@@ -3661,13 +3686,15 @@ object Queries {
     // clicks), CASE nulls past 6h
     "stream_asof_forward" ->
       """WITH c AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us
-                    FROM events WHERE event_type = 'click'),
+                    FROM events WHERE event_type = 'click'
+                      AND user_id IS NOT NULL),
             p AS (SELECT user_id AS p_user, us, value FROM (
                     SELECT user_id, epoch_ns(ts) // 1000 AS us, value,
                            row_number() OVER (
                              PARTITION BY user_id, epoch_ns(ts) // 1000
                              ORDER BY event_id ASC) AS rn
-                    FROM events WHERE event_type = 'purchase')
+                    FROM events WHERE event_type = 'purchase'
+                      AND user_id IS NOT NULL AND value IS NOT NULL)
                   WHERE rn = 1)
          SELECT c.event_id,
                 CASE WHEN r.us - c.us <= 21600000000 THEN r.value END

@@ -225,4 +225,36 @@ class RetrievalSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("state is missing"))
   }
+
+  test("applyChangelog / mergeVersioned: NULL key or op fails naming the column") {
+    // a NULL op would otherwise SILENTLY count as a delete (=!= "D"
+    // null-filters the upsert branch) and a NULL key both survives the
+    // left_anti and unions back in — the in-plan guard must fail the
+    // job with the column name instead
+    def allMsgs(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage}\n${allMsgs(t.getCause)}"
+    val snap = Seq((1L, "a")).toDF("id", "v")
+    val nullKey = Seq((Option.empty[Long], 1, 0, "U", "x"),
+      (Some(1L), 1, 0, "U", "y")).toDF("id", "ts", "seq", "op", "v")
+    val e1 = intercept[Throwable] {
+      Retrieval.applyChangelog(snap, nullKey, "id", "ts", "seq", "op").collect()
+    }
+    assert(allMsgs(e1).contains("applyChangelog") && allMsgs(e1).contains("'id'"))
+    val nullOp = Seq((1L, 1, 0, Option.empty[String], "x"))
+      .toDF("id", "ts", "seq", "op", "v")
+    val e2 = intercept[Throwable] {
+      Retrieval.applyChangelog(snap, nullOp, "id", "ts", "seq", "op").collect()
+    }
+    assert(allMsgs(e2).contains("'op'"))
+    val state = Seq((1L, 0, 0, "I", "a")).toDF("id", "ts", "seq", "op", "v")
+    val e3 = intercept[Throwable] {
+      Retrieval.mergeVersioned(state, nullOp, "id", "ts", "seq", "op").collect()
+    }
+    assert(allMsgs(e3).contains("mergeVersioned") && allMsgs(e3).contains("'op'"))
+    // non-null changelogs still pass through the guard untouched
+    val ok = Retrieval.applyChangelog(snap,
+      Seq((1L, 1, 0, "U", "z")).toDF("id", "ts", "seq", "op", "v"),
+      "id", "ts", "seq", "op").orderBy("id").as[(Long, String)].collect()
+    assert(ok.toSeq == Seq((1L, "z")))
+  }
 }
