@@ -2260,12 +2260,26 @@ object Queries {
     // gap expression as a real streaming query, pinned to the same
     // cumulative-max gaps-and-islands oracle as the batch
     // event_sessions_dynamic — the dynamic merge semantics surviving
-    // the streaming session-state path
+    // the streaming session-state path. APPEND mode, the production
+    // shape: a closed session emits ONCE when the watermark passes its
+    // end and its state is evicted — output and state no longer scale
+    // with the whole result table per trigger (the previous
+    // complete-mode rewrite did). Far-future sentinels (user -1, one
+    // per 100 event_ids of the UNFILTERED stream) drive the bounded
+    // replay's final watermark past every real session's end; sentinel
+    // output is filtered on the RESULT table, never inside the
+    // streaming plan (an in-plan id predicate is pushed below the
+    // EventTimeWatermark node and would starve watermark tracking).
     "event_sessions_dynamic_stream" -> ((s, dir) => {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val src = EventTs.toTimestamp(s.readStream.schema(schema)
+      def src = EventTs.toTimestamp(s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir))
-      val agg = src.groupBy(col("user_id"),
+      val sentinel = src.where(col("event_id") % 100 === 0)
+        .withColumn("user_id", lit(-1L))
+        .withColumn("ts", col("ts") + expr("INTERVAL 36500 DAYS"))
+      val agg = src.unionAll(sentinel)
+        .withWatermark("ts", "1 minute")
+        .groupBy(col("user_id"),
           session_window(col("ts"),
             when(col("event_type") === "click", "30 minutes")
               .otherwise("60 minutes")))
@@ -2273,11 +2287,15 @@ object Queries {
       val qName = "graft_event_sessions_dynamic_stream"
       s.streams.active.filter(q => q.name == qName).foreach(_.stop())
       val q = agg.writeStream.format("memory").queryName(qName)
-        .outputMode("complete")
+        .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.table(qName).select(col("user_id"), col("session_start"), col("n"))
+      // null-tolerant sentinel drop: NULL =!= -1 is NULL, and the
+      // oracle keeps NULL-user sessions (groupBy groups them)
+      s.table(qName)
+        .where(col("user_id").isNull || col("user_id") =!= -1L)
+        .select(col("user_id"), col("session_start"), col("n"))
     }),
 
     // CUSTOM-STATE streaming sessionization under the SAME oracle: the
