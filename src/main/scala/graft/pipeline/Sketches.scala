@@ -544,6 +544,141 @@ object Sketches {
     * single-row totals. Contract: both slices must be non-empty (an
     * empty side has no distribution to compare; the ppm division
     * null-propagates rather than inventing a drift). */
+  // ---- deterministic mergeable ε-quantile summary -------------------
+  //
+  // The missing piece of the sketch family: exact quantiles
+  // (exactQuantiles / Ranks.globalRankStats) need a full rank shuffle
+  // of the DATA; percentile_approx is a black-box aggregate whose
+  // error can only be gated statistically. This is the classic
+  // Munro-Paterson / MRL per-partition order-statistics summary —
+  // DETERMINISTIC (replays bit-identically), MERGEABLE (summaries
+  // union; weights and error bounds add), with an EXACT self-described
+  // rank-error bound the catalog gate asserts row by row.
+  //
+  // Build (quantileSummary): each input partition is sorted LOCALLY
+  // (narrow, no shuffle) and contributes every ceil(n_p/k)-th order
+  // statistic, weight = its block size, plus the partition's last row
+  // carrying the remainder block. The ONLY shuffles are a P-row count
+  // aggregate and a P-row broadcast back — the data itself never
+  // moves. Summary size ≤ (k+1) rows per partition; two narrow scans
+  // of the source (the per-partition sizes must be known before the
+  // blocks can be cut — both passes see the same deterministic splits).
+  //
+  // Bound (summaryBound): for any threshold x, at most ONE block per
+  // sorted run straddles x (rows sorted ⇒ later blocks are entirely
+  // ≥ the straddler's max), so
+  //   est(x) ≤ n_le(x) ≤ est(x) + Σ_runs (max block weight − 1).
+  // That Σ is computable FROM the summary itself — Σ_part (max w − 1).
+  //
+  // Merge: unionByName of summaries built with distinct tags. Tree
+  // merging at cluster scale re-compresses between levels
+  // (compressSummary): bucket the cum-weight order into ≤ k blocks —
+  // ONE new sorted run, so its own Σ(max w − 1) term composes by
+  // addition with the bound carried by the input summary.
+  //
+  // Query (quantilesFromSummary): target rank T = max(1, ceil(p·N));
+  // qv = min sample v with cumweight ≥ T. The gate's invariants are
+  // then EXACT integers, no statistical slack:
+  //   n_le(qv) ≥ T                       (est ≤ n_le and est(qv) ≥ T)
+  //   n_lt(qv) ≤ T − 1 + bound           (est(<qv) < T + straddlers)
+
+  /** Per-partition order-statistics summary of `value` (nulls
+    * dropped, cast to double): ≤ k+1 rows per input partition, columns
+    * (__part, v, w). `tag` namespaces the partition ids so summaries
+    * of DIFFERENT datasets can union without key collisions.
+    * Empty input ⇒ empty summary (quantilesFromSummary then returns
+    * no rows — there is no quantile of nothing). */
+  def quantileSummary(df: DataFrame, value: Column, k: Int,
+                      tag: String): DataFrame = {
+    // k ≤ 2^20 keeps ceil(np / k) exact in double (np < 2^33 from the
+    // 33-bit partition-local ordinal; quotient error 2^-20 is then
+    // smaller than the 1/k gap to the nearest integer)
+    require(k >= 2 && k <= (1 << 20), s"k must be in [2, 2^20], got $k")
+    require(tag.nonEmpty && !tag.contains(":"), s"bad tag '$tag'")
+    def vals = df.select(value.cast("double").as("v")).na.drop()
+    // pass 1: per-partition row counts — P rows, map-side partial
+    val counts = vals.select(spark_partition_id().cast("long").as("__pid"))
+      .groupBy(col("__pid")).agg(count(lit(1)).as("__np"))
+    // pass 2: local sort (narrow — NO shuffle), partition-local rank
+    // from monotonically_increasing_id's (pid << 33 | ordinal) layout,
+    // keep block-boundary rows. Both passes scan the same
+    // deterministic source splits, so the pids line up.
+    val ranked = vals.sortWithinPartitions("v")
+      .select(col("v"), monotonically_increasing_id().as("__mid"))
+      .select(col("v"), shiftright(col("__mid"), 33).as("__pid"),
+        col("__mid").bitwiseAND(lit((1L << 33) - 1)).as("__r"))
+    ranked.join(broadcast(counts), "__pid")
+      .withColumn("__step",
+        greatest(lit(1L), ceil(col("__np") / k).cast("long")))
+      .where(((col("__r") + 1) % col("__step") === 0) ||
+        (col("__r") === col("__np") - 1))
+      .select(concat(lit(tag), lit(":"), col("__pid")).as("__part"),
+        col("v"),
+        // a last row that is not itself a block boundary carries the
+        // remainder block (np % step rows); block weights sum to np
+        when((col("__r") + 1) % col("__step") === 0, col("__step"))
+          .otherwise(col("__np") % col("__step")).as("w"))
+  }
+
+  /** The summary's self-described worst-case rank error: one row
+    * (bound BIGINT) = Σ over sorted runs of (max block weight − 1).
+    * Valid for a single build, a union of builds, and each
+    * compressSummary output (one run per tag) — bounds ADD across the
+    * unions a caller composes. */
+  def summaryBound(summary: DataFrame): DataFrame =
+    summary.groupBy(col("__part")).agg((max(col("w")) - 1).as("__b"))
+      .agg(coalesce(sum(col("__b")), lit(0L)).as("bound"))
+
+  /** Re-compress a (possibly merged) summary down to ≤ k rows — the
+    * between-levels step of a tree merge: bucket the cum-weight order
+    * into k blocks, each represented by its max v. The output is ONE
+    * sorted run under `tag`; its own summaryBound composes with the
+    * bound of the INPUT summary by addition (the caller tracks
+    * `summaryBound(input) + summaryBound(compressed)`). */
+  def compressSummary(summary: DataFrame, k: Int, tag: String): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(tag.nonEmpty && !tag.contains(":"), s"bad tag '$tag'")
+    // the summary is sketch-sized (kilobytes per input partition), so
+    // the single-task window is bounded regardless of data volume
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("v"), col("__part"))
+    val cum = summary.withColumn("__cum", sum(col("w")).over(win))
+    val tot = cum.agg(max(col("__cum")).as("__n"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("__bs", greatest(lit(1L),
+        ceil(col("__n") / k).cast("long")))
+      .groupBy(expr("(__cum - 1) div __bs").as("__bkt"))
+      .agg(max(col("v")).as("v"), sum(col("w")).as("w"))
+      .select(lit(tag + ":0").as("__part"), col("v"), col("w"))
+  }
+
+  /** Quantiles from a summary: for each prob p, the smallest sample v
+    * whose cumulative weight reaches max(1, ceil(p·N)). Returns
+    * (prob, qv, target, n, bound) — target/n/bound are the EXACT
+    * integers the caller's gate checks the data against:
+    * count(≤ qv) ≥ target and count(< qv) ≤ target − 1 + bound.
+    * `bound` is the caller-composed error budget (summaryBound of the
+    * union, plus the input summary's own bound after a compress). */
+  def quantilesFromSummary(summary: DataFrame, probs: Seq[Double],
+                           bound: DataFrame): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0.0 && p <= 1.0),
+      "probs must be in (0, 1]")
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("v"), col("__part"))
+    val cum = summary.withColumn("__cum", sum(col("w")).over(win))
+    val targets = summary.agg(sum(col("w")).as("n")).crossJoin(bound)
+      .select(explode(array(probs.map(lit): _*)).as("prob"),
+        col("n"), col("bound"))
+      .withColumn("target",
+        greatest(lit(1L), ceil(col("prob") * col("n")).cast("long")))
+    // |probs| rows against a sketch-sized cum table — broadcast range
+    // probe, never a data-sized join
+    cum.join(broadcast(targets), col("__cum") >= col("target"))
+      .groupBy(col("prob"), col("n"), col("bound"), col("target"))
+      .agg(min(col("v")).as("qv"))
+      .select(col("prob"), col("qv"), col("target"), col("n"), col("bound"))
+  }
+
   def tvDriftPpm(df: DataFrame, inA: Column, key: Column): DataFrame = {
     val counts = df.groupBy(key.as("k"))
       .agg(sum(when(inA, 1L).otherwise(0L)).as("na"),

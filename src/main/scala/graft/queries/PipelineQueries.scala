@@ -1316,6 +1316,64 @@ object PipelineQueries {
         acc = 1000000)
     }),
 
+    // DETERMINISTIC MERGEABLE ε-QUANTILE SUMMARY (Munro-Paterson/MRL
+    // per-partition order statistics): two summaries built over
+    // DISJOINT halves of the data union-merge — weights and error
+    // bounds ADD — and the merged sketch's quantiles carry an EXACT
+    // self-described rank bound. The gate has no statistical slack:
+    // the engine recounts true ranks against the data in-plan and the
+    // oracle asserts count(<=qv) >= target and
+    // count(<qv) <= target-1+bound as hard TRUE booleans. The build
+    // never shuffles the data (narrow local sorts + a P-row counts
+    // broadcast) — the 100 TB profile pass exact quantiles can't give.
+    "quantile_sketch_merge" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .where(col("value").isNotNull && col("event_id").isNotNull)
+        .select(col("event_id"), col("value"))
+      val a = Sketches.quantileSummary(
+        ev.where(col("event_id") % 2 === 0).select(col("value")),
+        col("value"), k = 64, tag = "a")
+      val b = Sketches.quantileSummary(
+        ev.where(col("event_id") % 2 =!= 0).select(col("value")),
+        col("value"), k = 64, tag = "b")
+      val merged = a.unionByName(b)
+      val qs = Sketches.quantilesFromSummary(merged,
+        Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99), Sketches.summaryBound(merged))
+      ev.select(col("value")).crossJoin(broadcast(qs))
+        .groupBy(col("prob"), col("n"), col("target"), col("bound"))
+        .agg(sum(when(col("value") <= col("qv"), 1L).otherwise(0L))
+            .as("__le"),
+          sum(when(col("value") < col("qv"), 1L).otherwise(0L)).as("__lt"))
+        .select(col("prob"), col("n"),
+          (col("__le") >= col("target")).as("le_ok"),
+          (col("__lt") <= col("target") - 1 + col("bound")).as("lt_ok"))
+    }),
+
+    // the TREE-MERGE path: a built summary re-compressed to <= 256
+    // rows (the between-levels step of a cluster-scale roll-up; each
+    // compression is one new sorted run whose bound composes by
+    // ADDITION with the input's). Same exact-integer gate.
+    "quantile_sketch_compress" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .where(col("value").isNotNull).select(col("value"))
+      val sk = Sketches.quantileSummary(ev, col("value"), k = 64, tag = "s")
+      val comp = Sketches.compressSummary(sk, k = 256, tag = "c")
+      val bound = Sketches.summaryBound(sk)
+        .crossJoin(Sketches.summaryBound(comp)
+          .withColumnRenamed("bound", "__b2"))
+        .select((col("bound") + col("__b2")).as("bound"))
+      val qs = Sketches.quantilesFromSummary(comp,
+        Seq(0.05, 0.5, 0.95), bound)
+      ev.crossJoin(broadcast(qs))
+        .groupBy(col("prob"), col("n"), col("target"), col("bound"))
+        .agg(sum(when(col("value") <= col("qv"), 1L).otherwise(0L))
+            .as("__le"),
+          sum(when(col("value") < col("qv"), 1L).otherwise(0L)).as("__lt"))
+        .select(col("prob"), col("n"),
+          (col("__le") >= col("target")).as("le_ok"),
+          (col("__lt") <= col("target") - 1 + col("bound")).as("lt_ok"))
+    }),
+
     // mergeable DataSketches HLL: per-group sketches union-rolled to
     // one global estimate WITHOUT rescanning the table — hash-gated by
     // TWO exact invariants the oracle asserts TRUE: the merged
@@ -3936,6 +3994,20 @@ object PipelineQueries {
          SELECT grp, CAST(p AS DOUBLE) AS prob, n,
                 TRUE AS lt_ok, TRUE AS le_ok
          FROM g CROSS JOIN (SELECT unnest([0.25, 0.5, 0.9]) AS p)""",
+    // the merged MRL summary's invariants are EXACT integers computed
+    // in-plan by the engine; the oracle pins the scaffold (probs, n)
+    // and asserts the booleans
+    "quantile_sketch_merge" ->
+      """WITH nn AS (SELECT count(*) AS n FROM events
+                     WHERE value IS NOT NULL AND event_id IS NOT NULL)
+         SELECT CAST(p AS DOUBLE) AS prob, n, TRUE AS le_ok, TRUE AS lt_ok
+         FROM nn CROSS JOIN
+           (SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS p)""",
+    "quantile_sketch_compress" ->
+      """WITH nn AS (SELECT count(*) AS n FROM events
+                     WHERE value IS NOT NULL)
+         SELECT CAST(p AS DOUBLE) AS prob, n, TRUE AS le_ok, TRUE AS lt_ok
+         FROM nn CROSS JOIN (SELECT unnest([0.05, 0.5, 0.95]) AS p)""",
     "span_dup_stats" ->
       """WITH base AS (
            SELECT doc_id, text FROM documents

@@ -282,4 +282,109 @@ class SketchesSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("allnull"))
   }
+
+  // ---- deterministic mergeable quantile summary ----------------------
+
+  /** Exact invariant check: count(<= qv) >= target and
+    * count(< qv) <= target - 1 + bound, per prob, against local truth. */
+  private def checkQuantiles(data: Seq[Double],
+                             qs: Array[(Double, Double, Long, Long, Long)])
+  : Unit = {
+    val sorted = data.sorted
+    for ((prob, qv, target, n, bound) <- qs) {
+      assert(n == data.size.toLong, s"p=$prob n")
+      val le = sorted.count(_ <= qv).toLong
+      val lt = sorted.count(_ < qv).toLong
+      assert(le >= target, s"p=$prob: count(<=qv)=$le < target=$target")
+      assert(lt <= target - 1 + bound,
+        s"p=$prob: count(<qv)=$lt > ${target - 1} + bound=$bound")
+    }
+  }
+
+  private def collectQ(qdf: org.apache.spark.sql.DataFrame) =
+    qdf.collect().map(r => (r.getDouble(0), r.getDouble(1),
+      r.getLong(2), r.getLong(3), r.getLong(4)))
+
+  test("quantileSummary: exact self-described rank bound, ties and skew included") {
+    val rnd = new scala.util.Random(17)
+    // heavy ties (values quantized to 40 levels) + a skewed tail
+    val data = (1 to 5000).map(_ => (rnd.nextInt(40) * 0.5)) ++
+      (1 to 500).map(_ => math.pow(10, rnd.nextDouble() * 3))
+    val df = data.toDF("x").repartition(7) // uneven hash split
+    val probs = Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
+    val sk = Sketches.quantileSummary(df, col("x"), k = 32, tag = "s")
+    // summary is bounded: <= (k+1) rows per partition, weights sum to N
+    val rows = sk.collect()
+    assert(rows.length <= 7 * 33)
+    assert(rows.map(_.getLong(2)).sum == data.size.toLong)
+    // the DOWNSTREAM AGGREGATE in quantilesFromSummary must not let
+    // EliminateSorts strip the partition-local sort the ordinals
+    // depend on — this end-to-end shape is exactly the catalog's
+    val qs = Sketches.quantilesFromSummary(sk, probs,
+      Sketches.summaryBound(sk))
+    checkQuantiles(data, collectQ(qs))
+    // deterministic: an identical rebuild hashes identically
+    val again = Sketches.quantileSummary(df, col("x"), k = 32, tag = "s")
+    assert(again.collect().map(_.toSeq).sortBy(_.toString()).toSeq ==
+      rows.map(_.toSeq).sortBy(_.toString()).toSeq)
+    // scale contract: the DATA is never shuffled — the only exchanges
+    // are the P-row counts aggregate (+ its broadcast back); the
+    // partition-local Sort feeding the ordinals must survive planning
+    // (AQE prints the initial plan too — inspect only the final one)
+    val plan = sk.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(plan.contains("Sort"), plan)
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    val dataShuffles = "Exchange hashpartitioning".r
+      .findAllIn(plan).size
+    assert(dataShuffles <= 1, s"unexpected data shuffle:\n$plan")
+  }
+
+  test("quantile summaries MERGE by union and COMPRESS with additive bounds") {
+    val rnd = new scala.util.Random(23)
+    val a = (1 to 3000).map(_ => rnd.nextGaussian() * 100)
+    val b = (1 to 2000).map(_ => rnd.nextGaussian() * 5 + 400) // disjointish
+    val probs = Seq(0.1, 0.5, 0.9)
+    val ska = Sketches.quantileSummary(a.toDF("x").repartition(5),
+      col("x"), k = 24, tag = "a")
+    val skb = Sketches.quantileSummary(b.toDF("x").repartition(3),
+      col("x"), k = 24, tag = "b")
+    val merged = ska.unionByName(skb)
+    // union-merge: the bound self-describes (tags keep runs distinct)
+    checkQuantiles(a ++ b, collectQ(Sketches.quantilesFromSummary(
+      merged, probs, Sketches.summaryBound(merged))))
+    // tree-merge compression: <= k rows, ONE run, bounds compose by +
+    val comp = Sketches.compressSummary(merged, k = 16, tag = "c")
+    val compRows = comp.collect()
+    assert(compRows.length <= 16)
+    assert(compRows.map(_.getLong(2)).sum == (a.size + b.size).toLong)
+    val totalBound = Sketches.summaryBound(merged)
+      .crossJoin(Sketches.summaryBound(comp).withColumnRenamed(
+        "bound", "b2"))
+      .select((col("bound") + col("b2")).as("bound"))
+    checkQuantiles(a ++ b,
+      collectQ(Sketches.quantilesFromSummary(comp, probs, totalBound)))
+  }
+
+  test("quantile summary guards: bad k/tag/probs fail fast, empty input is empty") {
+    val df = Seq(1.0, 2.0).toDF("x")
+    intercept[IllegalArgumentException] {
+      Sketches.quantileSummary(df, col("x"), k = 1, tag = "s")
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.quantileSummary(df, col("x"), k = 8, tag = "a:b")
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.quantilesFromSummary(
+        Sketches.quantileSummary(df, col("x"), 8, "s"), Seq(0.0),
+        Sketches.summaryBound(df.limit(0)
+          .select(lit("p").as("__part"), col("x").as("v"), lit(1L).as("w"))))
+    }
+    val empty = Sketches.quantileSummary(
+      df.where(col("x") > 99), col("x"), 8, "s")
+    assert(empty.count() == 0)
+    assert(Sketches.quantilesFromSummary(empty, Seq(0.5),
+      Sketches.summaryBound(empty)).count() == 0)
+  }
 }
