@@ -1969,6 +1969,55 @@ object Queries {
     // for the as-of shape (asof_join_tol's streaming twin).
     "stream_asof_enrich" -> ((s, dir) => streamAsofRun(s, dir, forward = false)),
 
+    // STREAMING RESAMPLE + FORWARD FILL (Streams.resampleFfill) — the
+    // incremental twin of resample_ffill and the SEVENTH custom-state
+    // machine (22nd streaming run): every user emits one row per
+    // absolute hour of the configured grid carrying their last
+    // at-or-before value, each row exactly once as the watermark
+    // proves it final — the feature-freshness shape, where the batch
+    // recomputes the whole |users|×|hours| table per run. The grid
+    // bounds are two scalars from a bounds-only batch scan (a
+    // production job declares its window; deriving it from the data
+    // lets the streamed table equal the batch resample). Gated on the
+    // micros-clock replay of the batch oracle: per-user hourly
+    // generate_series into DuckDB's native ASOF, equal-(user, us) ties
+    // pre-collapsed to the highest event_id (the fold order's
+    // deterministic winner), NULL users excluded on both engines.
+    "stream_resample_ffill" -> ((s, dir) => {
+      import s.implicits._
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val H = 3600000000L
+      val b = EventTs.toTimestamp(t(s, dir, "events"))
+        .where(col("user_id").isNotNull)
+        .agg(min(unix_micros(col("ts"))).as("mn"),
+          max(unix_micros(col("ts"))).as("mx")).head()
+      val (h0, h1) = (b.getLong(0) / H * H, b.getLong(1) / H * H)
+      def src = EventTs.toTimestamp(s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+      val sentinel = src.where(col("event_id") % 100 === 0)
+        .select(lit(-1L).as("userId"),
+          to_timestamp(lit("2200-01-01 00:00:00")).as("ts"),
+          lit(-1L).as("eventId"), lit(null).cast("double").as("value"))
+      val events = src.where(col("user_id").isNotNull)
+        .select(col("user_id").as("userId"), col("ts"),
+          col("event_id").as("eventId"), col("value"))
+        .unionAll(sentinel)
+        .withWatermark("ts", "1 hour")
+        .as[graft.streaming.ResEvent]
+      val grid = graft.streaming.Streams.resampleFfill(events, h0, h1)
+      val qName = "graft_stream_resample_ffill"
+      s.streams.active.filter(q => q.name == qName).foreach(_.stop())
+      val q = grid.toDF().writeStream.format("memory").queryName(qName)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qName).where(col("userId") =!= -1L)
+        .select(col("userId").as("user_id"),
+          timestamp_micros(col("hourUs")).as("hour"),
+          col("value").as("last_value"))
+    }),
+
     // FORWARD streaming as-of (Streams.asofEnrichForward): each click
     // binds the user's NEXT at-or-after purchase value within 6h —
     // conversion attribution as the SIXTH custom-state machine and the
@@ -3738,6 +3787,32 @@ object Queries {
          SELECT make_timestamp(ws) AS win_start, event_type,
                 count(*) AS n, min(value) AS vmin, max(value) AS vmax
          FROM w GROUP BY 1, 2""",
+    // the streaming twin replays the same grid-into-ASOF shape on the
+    // MICROS clock (the engine's timestamp grain): hour floors and
+    // tie collapse on epoch_ns // 1000, otherwise identical
+    "stream_resample_ffill" ->
+      """WITH b AS (SELECT (((min(epoch_ns(ts)) // 1000)) // 3600000000)
+                             * 3600000000 AS h0,
+                           (((max(epoch_ns(ts)) // 1000)) // 3600000000)
+                             * 3600000000 AS h1
+                    FROM events WHERE user_id IS NOT NULL),
+            u AS (SELECT DISTINCT user_id FROM events
+                  WHERE user_id IS NOT NULL),
+            grid AS (SELECT u.user_id,
+                            unnest(generate_series(b.h0, b.h1,
+                                   3600000000)) AS t
+                     FROM u, b),
+            e AS (SELECT user_id, us, value FROM (
+                    SELECT user_id, epoch_ns(ts) // 1000 AS us, value,
+                           row_number() OVER (
+                             PARTITION BY user_id, epoch_ns(ts) // 1000
+                             ORDER BY event_id DESC) AS rn
+                    FROM events WHERE user_id IS NOT NULL)
+                  WHERE rn = 1)
+         SELECT g.user_id, make_timestamp(g.t) AS hour,
+                e.value AS last_value
+         FROM grid g ASOF LEFT JOIN e
+           ON g.user_id = e.user_id AND g.t >= e.us""",
     // resample replay: per-user hourly grid via generate_series on the
     // ns clock (integer hour floor), equal-(user, ns) ties collapsed
     // to the highest event_id BEFORE the ASOF (its pick among exact

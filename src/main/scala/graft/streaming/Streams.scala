@@ -56,6 +56,22 @@ case class AsofState(lastPurchUs: Option[Long],
 case class AsofFwdState(waiting: Seq[(Long, Long)],
                         pending: Seq[AsofEvent])
 
+/** One keyed observation for [[Streams.resampleFfill]]; `value` is an
+  * Option so NULL source values ride through unchanged (the grid
+  * forward-fills whatever the last event carried). */
+case class ResEvent(userId: Long, ts: java.sql.Timestamp, eventId: Long,
+                    value: Option[Double])
+
+/** One emitted grid row: the user's last at-or-before value as of the
+  * absolute hour mark `hourUs` (event-time micros), None before the
+  * user's first event. */
+case class ResOut(userId: Long, hourUs: Long, value: Option[Double])
+
+/** Per-user [[Streams.resampleFfill]] state: the running forward-fill
+  * value, the next grid hour still to emit, and the lateness buffer. */
+case class ResState(lastValue: Option[Double], nextHourUs: Long,
+                    pending: Seq[ResEvent])
+
 /** One keyed observation for the custom-state sessionizer. */
 case class SessEvent(key: String, ts: java.sql.Timestamp)
 
@@ -725,6 +741,82 @@ object Streams extends Serializable {
       if (hold.isEmpty && waiting.isEmpty) st.remove()
       else {
         st.update(AsofFwdState(waiting, hold))
+        st.setTimeoutTimestamp(wm + 1) // re-arm on every invocation
+      }
+      out.iterator
+    }
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /**
+   * Streaming TIME-SERIES RESAMPLE + FORWARD FILL — the incremental
+   * twin of the batch per-user-hourly-grid as-of join
+   * (`resample_ffill`): every user emits one row per absolute hour
+   * mark of `[startHourUs, endHourUs]` carrying their last
+   * at-or-before event value (None before the first event), and each
+   * grid row emits EXACTLY ONCE, as soon as the watermark proves it
+   * final — the monitoring/feature-freshness shape, where the batch
+   * query would recompute the whole |users|×|hours| table per run.
+   *
+   * The grid is a CONFIGURED parameter (hour marks must be multiples
+   * of `stepUs`): a stream cannot know the table's global min/max, and
+   * a production resample runs over a declared window.
+   *
+   * Discipline shared with the as-of machines: events hold in the
+   * lateness buffer until the watermark STRICTLY passes them, then
+   * fold in (ts, eventId) order — at an equal micros timestamp the
+   * highest event_id folds last and wins, the batch twin's
+   * tie-collapse. A grid hour h emits once the watermark is strictly
+   * past it (any still-to-come on-time event has ts >= wm > h, so it
+   * cannot change h's fill value). State per user = running fill value
+   * + next grid hour + lateness buffer — bounded at any scale; a user
+   * first seen late backfills the null rows of every already-final
+   * hour in one invocation. On a bounded replay, drive the final
+   * watermark past `endHourUs` (far-future sentinel key) and the
+   * emitted table equals the batch resample.
+   */
+  def resampleFfill(events: Dataset[ResEvent], startHourUs: Long,
+                    endHourUs: Long,
+                    stepUs: Long = 3600000000L): Dataset[ResOut] = {
+    import events.sparkSession.implicits._
+    require(stepUs > 0 && stepUs % 1000 == 0,
+      s"stepUs must be positive whole milliseconds: $stepUs")
+    require(startHourUs % stepUs == 0 && endHourUs % stepUs == 0 &&
+      endHourUs >= startHourUs,
+      s"grid [$startHourUs, $endHourUs] must be step-aligned, start <= end")
+
+    def fn(user: Long, it: Iterator[ResEvent],
+           st: GroupState[ResState]): Iterator[ResOut] = {
+      val wm = st.getCurrentWatermarkMs
+      val s0 = st.getOption.getOrElse(ResState(None, startHourUs, Seq.empty))
+      val fresh = if (st.hasTimedOut) Seq.empty else it.toSeq
+      val all = (s0.pending ++ fresh)
+        .sortBy(e => (tsMicros(e.ts), e.eventId))
+      // shared boundary: ts == wm is still ON TIME — fold only strictly
+      // below the watermark millisecond
+      val (ready, hold) = all.partition(_.ts.getTime + 1 <= wm)
+      var lastV = s0.lastValue
+      var h = s0.nextHourUs
+      var ei = 0
+      val out = scala.collection.mutable.ArrayBuffer.empty[ResOut]
+      // a grid hour is final once wm is strictly past it (hours are
+      // whole ms by the require above)
+      while (h <= endHourUs && h / 1000L + 1 <= wm) {
+        while (ei < ready.size && tsMicros(ready(ei).ts) <= h) {
+          lastV = ready(ei).value; ei += 1
+        }
+        out += ResOut(user, h, lastV)
+        h += stepUs
+      }
+      // fold the final events beyond the last emitted hour too — they
+      // are this user's fill value for hours still to come (every
+      // future ready event has a later ts, so fold order is preserved)
+      while (ei < ready.size) { lastV = ready(ei).value; ei += 1 }
+      if (hold.isEmpty && h > endHourUs) st.remove()
+      else {
+        st.update(ResState(lastV, h, hold))
         st.setTimeoutTimestamp(wm + 1) // re-arm on every invocation
       }
       out.iterator

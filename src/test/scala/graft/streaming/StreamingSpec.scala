@@ -861,4 +861,116 @@ class StreamingSpec extends AnyFunSuite {
       assert(spark.table("sess_out").count() >= 2)
     } finally q2.stop()
   }
+
+  // ---- streaming resample + forward fill -----------------------------
+
+  test("resampleFfill: grid rows emit once and final, late user backfills, boundary events") {
+    implicit val sc = spark.sqlContext
+    val H = 3600000000L
+    val h0 = ts(0).getTime * 1000 / H * H // 10:00
+    val h1 = h0 + 4 * H                   // grid 10:00 .. 14:00
+    val input = MemoryStream[ResEvent]
+    val q = Streams.resampleFfill(
+        input.toDS().withWatermark("ts", "1 minute"), h0, h1)
+      .writeStream.format("memory").queryName("res_basic_out")
+      .outputMode("append").start()
+    try {
+      def rows() = spark.table("res_basic_out").collect()
+        .map(r => (r.getLong(0), (r.getLong(1) - h0) / H,
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+      // user 1: event exactly ON the 11:00 mark (inclusive as-of edge)
+      // plus a mid-hour event; user 2 appears LATE (first event 13:30)
+      input.addData(ResEvent(1L, ts(30), 10L, Some(1.0)),
+        ResEvent(1L, ts(60), 11L, Some(2.0)))
+      q.processAllAvailable()
+      // after feeding 12:31 the watermark passes 11:00, so the first
+      // two grid rows must be out and FINAL: 10:00 -> None (the first
+      // event is 10:30), 11:00 -> 2.0 (the ON-MARK 11:00 event is
+      // inclusive, as-of's <= edge)
+      input.addData(ResEvent(1L, ts(151), 12L, Some(3.0)))
+      q.processAllAvailable()
+      val afterTwo = rows()
+      assert(afterTwo.contains((1L, 0L, None)), afterTwo.toString)
+      assert(afterTwo.contains((1L, 1L, Some(2.0))), afterTwo.toString)
+      // user 2 arrives late: every already-final hour backfills at once
+      input.addData(ResEvent(2L, ts(210), 20L, Some(9.0)))
+      input.addData(ResEvent(-1L, ts(100000), -1L, None))
+      q.processAllAvailable()
+      input.addData(ResEvent(-1L, ts(100001), -2L, None))
+      q.processAllAvailable()
+      val fin = spark.table("res_basic_out")
+        .where(col("userId") =!= -1L).collect()
+        .map(r => ((r.getLong(0), (r.getLong(1) - h0) / H),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      // exactly once: 2 users x 5 grid hours, no duplicates
+      assert(fin.length == 10, fin.toSeq.toString)
+      val m = fin.toMap
+      assert(m((1L, 0L)) == None)         // before first event
+      assert(m((1L, 1L)) == Some(2.0))    // on-mark inclusive
+      assert(m((1L, 2L)) == Some(2.0))    // 12:31 is AFTER the 12:00 mark
+      assert(m((1L, 3L)) == Some(3.0))    // 12:31 <= 13:00, then ffill
+      assert(m((1L, 4L)) == Some(3.0))
+      assert(m((2L, 0L)) == None)         // backfilled nulls
+      assert(m((2L, 2L)) == None)
+      assert(m((2L, 3L)) == None)         // 13:30 is AFTER the 13:00 mark
+      assert(m((2L, 4L)) == Some(9.0))    // first mark at-or-after 13:30
+    } finally q.stop()
+  }
+
+  test("resampleFfill == single-threaded grid fold under randomized batch splits and bounded disorder") {
+    implicit val sc = spark.sqlContext
+    val rnd = new scala.util.Random(229)
+    val H = 3600000000L
+    // 10 users x 30 events over 10 hours; clustered minutes force
+    // equal-timestamp ties (the highest event_id must win)
+    val events = (for { u <- 1 to 10; i <- 0 until 30 } yield {
+      val id = (u * 1000 + i).toLong
+      ResEvent(u.toLong, ts(rnd.nextInt(120) * 5), id, Some(id.toDouble))
+    }).toVector
+    def usOf(e: ResEvent) = e.ts.getTime * 1000
+    val h0 = events.map(usOf).min / H * H
+    val h1 = events.map(usOf).max / H * H
+    val delivery = events.sortBy(e => (e.ts.getTime, e.eventId))
+      .grouped(4).flatMap(w => rnd.shuffle(w)).toVector
+    val input = MemoryStream[ResEvent]
+    val q = Streams.resampleFfill(
+        input.toDS().withWatermark("ts", "5 minutes"), h0, h1)
+      .writeStream.format("memory").queryName("res_rand_out")
+      .outputMode("append").start()
+    try {
+      var rest = delivery
+      while (rest.nonEmpty) {
+        val n = 1 + rnd.nextInt(50)
+        input.addData(rest.take(n): _*)
+        q.processAllAvailable()
+        rest = rest.drop(n)
+      }
+      input.addData(ResEvent(-1L, ts(100000), -1L, None))
+      q.processAllAvailable()
+      input.addData(ResEvent(-1L, ts(100001), -2L, None))
+      q.processAllAvailable()
+      val real = spark.table("res_rand_out")
+        .where(col("userId") =!= -1L).collect()
+        .map(r => ((r.getLong(0), r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      val got = real.toMap
+      assert(real.length == got.size, "duplicate grid rows emitted")
+      // reference: per user, fold events in (us, eventId) order across
+      // the full grid — the batch resample's semantics
+      val want = (1 to 10).flatMap { u =>
+        val evs = events.filter(_.userId == u.toLong)
+          .sortBy(e => (usOf(e), e.eventId))
+        var last: Option[Double] = None
+        var i = 0
+        (h0 to h1 by H).map { h =>
+          while (i < evs.size && usOf(evs(i)) <= h) {
+            last = evs(i).value; i += 1
+          }
+          (u.toLong, h) -> last
+        }
+      }.toMap
+      assert(got == want,
+        s"diff=${(want.toSet -- got.toSet).take(3)} / ${(got.toSet -- want.toSet).take(3)}")
+    } finally q.stop()
+  }
 }
