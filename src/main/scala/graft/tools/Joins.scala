@@ -276,10 +276,17 @@ object Joins {
    *    distance d, so dropping them loses nothing;
    *  - the residue — BOTH strings shorter than q·(d+1) chars (< 4 for
    *    q=2, d=1; exactly the rows whose distinct-gram count can be
-   *    <= d·q) — pairs via a length-band join: each short row
+   *    <= d·q) — pairs via a SALTED length-band join: each short row
    *    replicates to keys len..len+maxDist and meets partners at their
-   *    exact length. The short universe is bounded by the alphabet to
-   *    the power q·(d+1); its buckets are the documented skew risk.
+   *    exact length. A corpus of millions of same-length short keys
+   *    would otherwise land one length bucket on one reducer task
+   *    (the skew risk previously only documented): the probe side
+   *    carries a deterministic id-hash salt in [0, shortSalt) and the
+   *    build side replicates across all salts, splitting a hot bucket
+   *    over shortSalt tasks with IDENTICAL output. The candidate
+   *    PAIRS themselves are inherent to the semantics (every
+   *    same-length short pair is a genuine candidate at distance 1) —
+   *    salting fixes where they are enumerated, not how many there are.
    *
    * Refine: Spark's banded-DP `levenshtein(a, b, threshold)` (returns
    * −1 above the threshold, the exact distance otherwise) on distinct
@@ -287,9 +294,11 @@ object Joins {
    */
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
                         maxDist: Int = 1, q: Int = 2,
-                        rareFirst: Boolean = true): DataFrame = {
+                        rareFirst: Boolean = true,
+                        shortSalt: Int = 8): DataFrame = {
     require(maxDist >= 1, "maxDist must be >= 1")
     require(q >= 1, "q must be >= 1")
+    require(shortSalt >= 1, s"shortSalt must be >= 1, got $shortSalt")
     val minLong = q * (maxDist + 1)
     val base = df.select(col(idCol).as("__eid"), col(strCol).as("__es"))
       .withColumn("__el", length(col("__es")))
@@ -340,11 +349,16 @@ object Joins {
     // shorts entirely
     val shorts = base.where(col("__el") < minLong)
     val nearShort = base.where(col("__el") < minLong + maxDist)
+    // deterministic id-hash salt on the probe, full replication on the
+    // (alphabet-bounded) build: a planted hot length bucket spreads
+    // over shortSalt reducer tasks, output unchanged
     val shortCand = shorts
       .select(col("__eid").as("id_a"),
-        explode(sequence(col("__el"), col("__el") + lit(maxDist))).as("__lkey"))
-      .join(nearShort.select(col("__eid").as("id_b"), col("__el").as("__lkey")),
-        Seq("__lkey"))
+        explode(sequence(col("__el"), col("__el") + lit(maxDist))).as("__lkey"),
+        pmod(xxhash64(col("__eid")), lit(shortSalt.toLong)).as("__salt"))
+      .join(nearShort.select(col("__eid").as("id_b"), col("__el").as("__lkey"),
+          explode(sequence(lit(0L), lit(shortSalt.toLong - 1))).as("__salt")),
+        Seq("__lkey", "__salt"))
       .where(col("id_a") =!= col("id_b"))
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"))

@@ -279,6 +279,36 @@ class JoinsSpec extends AnyFunSuite {
     }
   }
 
+  test("editDistancePairs short-branch salting: planted hot length bucket, output invariant") {
+    val rnd = new scala.util.Random(37)
+    val alpha = "abcd"
+    // planted HOT BUCKET: 250 length-3 strings (every one a short-branch
+    // row at q=2, d=1, all landing on the same few length keys) plus a
+    // sprinkle of longer strings so both branches run
+    val rows = ((0L until 250L).map { i =>
+      (i, Seq.fill(3)(alpha(rnd.nextInt(alpha.length))).mkString)
+    } ++ (250L until 280L).map { i =>
+      (i, Seq.fill(6 + rnd.nextInt(4))(alpha(rnd.nextInt(alpha.length))).mkString)
+    }).toDF("id", "s")
+    val a = rows.select(col("id").as("id_a"), col("s").as("sa"))
+    val b = rows.select(col("id").as("id_b"), col("s").as("sb"))
+    val brute = a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("sa"), col("sb")).as("dist"))
+      .where(col("dist") <= 1)
+      .as[(Long, Long, Int)].collect().toSet
+    // the salt must not change results at ANY factor (1 = unsalted)
+    for (salt <- Seq(1, 8, 13)) {
+      val got = Joins.editDistancePairs(rows, "id", "s", maxDist = 1,
+          shortSalt = salt)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == brute, s"shortSalt=$salt: ${got.size} vs ${brute.size}")
+    }
+    intercept[IllegalArgumentException] {
+      Joins.editDistancePairs(rows, "id", "s", shortSalt = 0)
+    }
+  }
+
   test("saltedJoin == plain inner join, skewed fact key included") {
     // fact: key 0 is hot (200 rows), keys 1..9 sparse; dim unique keys
     val fact = ((0 until 200).map(i => (0L, i.toLong)) ++
