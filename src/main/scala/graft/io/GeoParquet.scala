@@ -27,6 +27,17 @@ object GeoParquet {
 
   val SidecarName = "_spatial_metadata.json"
 
+  /** Generation manifest: data file name → the generation (commit
+    * ordinal) that created it. Appends never delete files, so the
+    * snapshot at generation g is exactly the files with gen <= g —
+    * the minimal time-travel log a merge-on-append lake needs. Packs
+    * write generation 0; each [[appendWithSidecar]] /
+    * [[appendNumericWithSidecar]] commit records max+1. Single writer
+    * per dataset assumed (like the sidecar); files a recorded dataset
+    * gains OUTSIDE this API belong to no generation and are invisible
+    * to [[readZOrderAtGeneration]]. */
+  val GenerationsName = "_generations.json"
+
   /** Write `gf` as parquet and attach the per-file bounds sidecar. The
     * sidecar covers the active geometry plus `extraGeomCols` — the
     * reference records partition bounds for EVERY geometry column
@@ -78,6 +89,7 @@ object GeoParquet {
     gf.packPartitions(numPartitions, p).df.drop("hilbert_distance")
       .write.mode(mode).parquet(path)
     writeSidecar(df.sparkSession, path, Seq(ZPointCol))
+    recordInitialGeneration(df.sparkSession, path)
   }
 
   /** Range read over a [[packNumericToParquet]] dataset: sidecar file
@@ -166,6 +178,7 @@ object GeoParquet {
     writeSidecarText(df.sparkSession, path,
       renderSidecar(numericBoundsPerFile(
         df.sparkSession.read.parquet(path), cols)))
+    recordInitialGeneration(df.sparkSession, path)
   }
 
   /** Per-file min/max for numeric columns, in the sidecar's box format
@@ -236,6 +249,13 @@ object GeoParquet {
         c -> (existing.getOrElse(c, Map.empty) ++ newBounds.getOrElse(c, Map.empty))
       }.toMap
       writeSidecarText(spark, path, renderSidecar(merged))
+      // generation log: this commit's files get max+1; a pre-manifest
+      // dataset's existing files back-fill as generation 0
+      val gens = readGenerations(path, conf).getOrElse(
+        before.map(_ -> 0).toMap)
+      val nextGen = if (gens.isEmpty) 0 else gens.values.max + 1
+      writeGenerations(spark, path,
+        gens ++ newFiles.map(_ -> nextGen))
     }
   }
 
@@ -250,13 +270,55 @@ object GeoParquet {
                       ranges: Seq[(String, Double, Double)]): DataFrame = {
     require(ranges.nonEmpty, "need at least one (column, lo, hi) range")
     val conf = spark.sessionState.newHadoopConf()
+    val root = new HadoopPath(path)
+    val fs = root.getFileSystem(conf)
+    readZOrderSubset(spark, path, listDataFiles(fs, root).toSeq, ranges)
+  }
+
+  /** TIME-TRAVEL read over a packed+appended dataset: the snapshot at
+    * generation `gen` is exactly the files the manifest records with
+    * generation <= gen (appends never delete). Optional `ranges` get
+    * the same sidecar file pruning + exact residual as
+    * [[readZOrderRange]] — per-file stats stay valid for any subset of
+    * the files. Fails fast when the dataset has no manifest (it was
+    * not written through the pack/append API) or `gen` is unrecorded. */
+  def readZOrderAtGeneration(spark: SparkSession, path: String, gen: Int,
+                             ranges: Seq[(String, Double, Double)] = Nil)
+      : DataFrame = {
+    require(gen >= 0, s"generation must be >= 0, got $gen")
+    val conf = spark.sessionState.newHadoopConf()
+    val gens = readGenerations(path, conf).getOrElse(throw
+      new IllegalArgumentException(s"no generation manifest at $path — " +
+        "the dataset was not written via the graft pack/append API"))
+    val latest = gens.values.max
+    require(gen <= latest,
+      s"generation $gen not recorded at $path (latest is $latest)")
+    readZOrderSubset(spark, path,
+      gens.collect { case (f, g) if g <= gen => f }.toSeq.sorted, ranges)
+  }
+
+  /** Latest recorded generation ordinal (0 = the initial pack). */
+  def currentGeneration(spark: SparkSession, path: String): Int = {
+    val gens = readGenerations(path,
+      spark.sessionState.newHadoopConf()).getOrElse(throw
+      new IllegalArgumentException(s"no generation manifest at $path"))
+    gens.values.max
+  }
+
+  /** Shared body of the range and at-generation reads: sidecar file
+    * pruning restricted to `files`, then the exact residual filters.
+    * Missing sidecar / unknown files degrade to keep — never to wrong
+    * results. */
+  private def readZOrderSubset(spark: SparkSession, path: String,
+                               files: Seq[String],
+                               ranges: Seq[(String, Double, Double)])
+      : DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
     val norm = ranges.map { case (c, a, b) => (c, math.min(a, b), math.max(a, b)) }
-    val df = readSidecarText(path, conf) match {
-      case Some(text) =>
+    val keep = readSidecarText(path, conf) match {
+      case Some(text) if norm.nonEmpty =>
         val perCol = norm.map { case (c, lo, hi) => (parseSidecar(text, c), lo, hi) }
-        val root = new HadoopPath(path)
-        val fs = root.getFileSystem(conf)
-        val keep = listDataFiles(fs, root).filter { name =>
+        files.filter { name =>
           perCol.forall { case (m, lo, hi) =>
             m.get(name) match {
               // degenerate box: vals(0)=min, vals(2)=max (NaN compares
@@ -267,10 +329,11 @@ object GeoParquet {
             }
           }
         }
-        if (keep.isEmpty) spark.read.parquet(path).limit(0)
-        else spark.read.parquet(keep.map(f => s"$path/$f").toSeq: _*)
-      case None => spark.read.parquet(path)
+      case _ => files
     }
+    val df =
+      if (keep.isEmpty) spark.read.parquet(path).limit(0)
+      else spark.read.parquet(keep.map(f => s"$path/$f"): _*)
     norm.foldLeft(df) { case (d, (c, lo, hi)) =>
       // NaN bounds (e.g. min/max of an empty aggregate) match nothing,
       // exactly like SQL BETWEEN — without this, the integral branch's
@@ -365,9 +428,13 @@ object GeoParquet {
     * delete/rename signal failure by RETURNING false (not throwing), so
     * both results are checked: a silent failure here would leave the
     * dataset permanently unprunable with a stray tmp file. */
-  private def writeSidecarText(spark: SparkSession, path: String, text: String): Unit = {
-    val p = new HadoopPath(path, SidecarName)
-    val tmp = new HadoopPath(path, s".$SidecarName.tmp")
+  private def writeSidecarText(spark: SparkSession, path: String, text: String): Unit =
+    writeTextAtomic(spark, path, SidecarName, text)
+
+  private def writeTextAtomic(spark: SparkSession, path: String,
+                              name: String, text: String): Unit = {
+    val p = new HadoopPath(path, name)
+    val tmp = new HadoopPath(path, s".$name.tmp")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     try {
       val out = fs.create(tmp, true)
@@ -537,6 +604,39 @@ object GeoParquet {
   /** Every geometry column recorded in a sidecar, with its per-file
     * bounds (column blocks are flat `{file:[...],...}` objects, so the
     * column names are exactly the keys directly followed by '{'). */
+  /** Record every current data file as generation 0 — the initial
+    * pack's commit in the generation log. */
+  private def recordInitialGeneration(spark: SparkSession, path: String): Unit = {
+    val root = new HadoopPath(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    writeGenerations(spark, path,
+      listDataFiles(fs, root).map(_ -> 0).toMap)
+  }
+
+  private def writeGenerations(spark: SparkSession, path: String,
+                               m: Map[String, Int]): Unit =
+    writeTextAtomic(spark, path, GenerationsName,
+      m.toSeq.sortBy(_._1)
+        .map { case (f, g) => "\"" + f + "\":" + g }
+        .mkString("{", ",", "}"))
+
+  private[graft] def readGenerations(path: String, conf: Configuration)
+      : Option[Map[String, Int]] = {
+    val p = new HadoopPath(path, GenerationsName)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try {
+        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        in.readFully(bytes)
+        new String(bytes, StandardCharsets.UTF_8)
+      } finally in.close()
+      Some("\"([^\"]+)\":(\\d+)".r.findAllMatchIn(text)
+        .map(m => m.group(1) -> m.group(2).toInt).toMap)
+    }
+  }
+
   private[graft] def parseSidecarAll(json: String): Map[String, Map[String, Array[Double]]] = {
     val marker = "\"partition_bounds\":{"
     val start = json.indexOf(marker)

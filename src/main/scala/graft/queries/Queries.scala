@@ -1410,6 +1410,41 @@ object Queries {
           max(col("l_extendedprice")).as("price_max"))
     }),
 
+    // TIME TRAVEL over the z-ordered lake: the pack/append API records
+    // a generation manifest (file -> commit ordinal; appends never
+    // delete, so generation g = files with gen <= g). Reading the
+    // SAME table at each of its three generations must reproduce the
+    // exact historical snapshots — with sidecar file pruning still
+    // applying inside a snapshot (per-file stats are valid for any
+    // file subset). The oracle replays each snapshot from the batch
+    // residues the demo committed.
+    "zorder_time_travel" -> ((s, dir) => {
+      val out = System.getProperty("java.io.tmpdir") +
+        "/graft_ztt_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val zcols = Seq("l_quantity", "l_extendedprice")
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      graft.io.GeoParquet.packZOrderToParquet(
+        li.where(col("l_orderkey") % 3 === 0), zcols, out, numPartitions = 4)
+      graft.io.GeoParquet.appendNumericWithSidecar(
+        li.where(col("l_orderkey") % 3 === 1), out, zcols)
+      graft.io.GeoParquet.appendNumericWithSidecar(
+        li.where(col("l_orderkey") % 3 === 2), out, zcols)
+      require(graft.io.GeoParquet.currentGeneration(s, out) == 2,
+        "expected three recorded generations")
+      (0 to 2).map { g =>
+        graft.io.GeoParquet.readZOrderAtGeneration(s, out, g,
+            Seq(("l_quantity", 10.0, 35.0)))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity")).cast("long").as("qty"),
+            min(col("l_extendedprice")).as("price_min"),
+            max(col("l_extendedprice")).as("price_max"))
+          .select(lit(g).as("gen"), col("n"), col("qty"),
+            col("price_min"), col("price_max"))
+      }.reduce(_ unionAll _)
+    }),
+
     // Hive-partitioned layout round-trip: write documents partitioned
     // by lang (the layout a multilingual corpus lands in), read back
     // with a partition-column filter. At scale the filter prunes whole
@@ -3675,6 +3710,17 @@ object Queries {
            AND l_discount BETWEEN 0.01 AND 0.05
            AND l_extendedprice BETWEEN 20000 AND 60000
          GROUP BY l_returnflag""",
+    // each generation snapshot = the orderkey residues committed so far
+    "zorder_time_travel" ->
+      """SELECT g AS gen, count(*) AS n,
+                CAST(sum(l_quantity) AS BIGINT) AS qty,
+                min(l_extendedprice) AS price_min,
+                max(l_extendedprice) AS price_max
+         FROM (SELECT unnest([0, 1, 2]) AS g)
+         CROSS JOIN lineitem
+         WHERE l_orderkey % 3 <= g
+           AND l_quantity BETWEEN 10 AND 35
+         GROUP BY g""",
     "set_ops_counts" ->
       """SELECT count(*) AS n, 'active' AS which
          FROM (SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders)

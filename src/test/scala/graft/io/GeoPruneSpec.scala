@@ -263,6 +263,65 @@ class GeoPruneSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 
+  test("generation manifest: time-travel reads, pruning at a generation, guards") {
+    val dir = java.nio.file.Files.createTempDirectory("ztimetravel").toFile
+    try {
+      def gen(lo: Int, n: Int) = (0 until n).map(i =>
+        ((lo * 10000 + i).toLong, lo * 100 + i % 100, lo * 100 + (i * 7) % 100))
+      val path = s"$dir/z"
+      GeoParquet.packZOrderToParquet(gen(0, 600).toDF("id", "a", "b"),
+        Seq("a", "b"), path, 4)
+      assert(GeoParquet.currentGeneration(spark, path) == 0)
+      GeoParquet.appendNumericWithSidecar(gen(5, 600).toDF("id", "a", "b"),
+        path, Seq("a", "b"))
+      GeoParquet.appendNumericWithSidecar(gen(9, 600).toDF("id", "a", "b"),
+        path, Seq("a", "b"))
+      assert(GeoParquet.currentGeneration(spark, path) == 2)
+      // snapshot at each generation == the batches committed so far
+      def ids(g: Int) = GeoParquet.readZOrderAtGeneration(spark, path, g)
+        .select("id").as[Long].collect().toSet
+      assert(ids(0) == gen(0, 600).map(_._1).toSet)
+      assert(ids(1) == (gen(0, 600) ++ gen(5, 600)).map(_._1).toSet)
+      assert(ids(2) == (gen(0, 600) ++ gen(5, 600) ++ gen(9, 600)).map(_._1).toSet)
+      // sidecar pruning still applies WITHIN a generation snapshot: a
+      // box inside the middle batch scans fewer files than gen 1 holds,
+      // with exact rows
+      val g1Files = GeoParquet.readZOrderAtGeneration(spark, path, 1)
+        .inputFiles.length
+      val pruned = GeoParquet.readZOrderAtGeneration(spark, path, 1,
+        Seq(("a", 500.0, 560.0)))
+      assert(pruned.inputFiles.length < g1Files,
+        s"no pruning: ${pruned.inputFiles.length} of $g1Files")
+      assert(pruned.select("id").as[Long].collect().toSet ==
+        (gen(0, 600) ++ gen(5, 600))
+          .filter(r => r._2 >= 500 && r._2 <= 560).map(_._1).toSet)
+      // a file written OUTSIDE the API belongs to no generation and is
+      // invisible to time travel (single-writer contract)
+      gen(3, 50).toDF("id", "a", "b").write.mode("append").parquet(path)
+      assert(ids(2) ==
+        (gen(0, 600) ++ gen(5, 600) ++ gen(9, 600)).map(_._1).toSet)
+      // guards: unrecorded generation, negative, missing manifest
+      intercept[IllegalArgumentException] {
+        GeoParquet.readZOrderAtGeneration(spark, path, 3)
+      }
+      intercept[IllegalArgumentException] {
+        GeoParquet.readZOrderAtGeneration(spark, path, -1)
+      }
+      gen(0, 10).toDF("id", "a", "b").write.parquet(s"$dir/plain")
+      val e = intercept[IllegalArgumentException] {
+        GeoParquet.readZOrderAtGeneration(spark, s"$dir/plain", 0)
+      }
+      assert(e.getMessage.contains("manifest"))
+      // a PRE-MANIFEST dataset (plain parquet dir) backfills its
+      // existing files as generation 0 on the first API append
+      GeoParquet.appendNumericWithSidecar(gen(7, 40).toDF("id", "a", "b"),
+        s"$dir/plain", Seq("a", "b"))
+      assert(GeoParquet.currentGeneration(spark, s"$dir/plain") == 1)
+      assert(GeoParquet.readZOrderAtGeneration(spark, s"$dir/plain", 0)
+        .select("id").as[Long].collect().toSet == gen(0, 10).map(_._1).toSet)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
   test("point cx comparisons prune files too (no kernel predicate needed)") {
     val dir = java.nio.file.Files.createTempDirectory("pointprune").toFile
     try {
