@@ -1374,6 +1374,65 @@ object PipelineQueries {
           (col("__lt") <= col("target") - 1 + col("bound")).as("lt_ok"))
     }),
 
+    // the STREAMING profile path: each micro-batch folds into ONE
+    // running mergeable summary inside foreachBatch (union a per-batch
+    // build, re-compress past a size threshold — the tree merge
+    // unrolled over time). Driver state = the kilobyte summary + one
+    // carried bound scalar; the stream itself is never rescanned. The
+    // final quantiles pass the SAME exact-integer gate, with the bound
+    // composed across every compression (carried + current, the
+    // additive law compressSummary documents).
+    "stream_quantile_sketch" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = EventTs.toTimestamp(s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+        .where(col("value").isNotNull).select(col("value"))
+      // running summary + the bound carried across compressions:
+      // invariant — true rank error <= carriedBound +
+      // summaryBound(current). AvailableNow runs batches sequentially,
+      // so plain vars are safe (same discipline as the CDC sink).
+      var current: Option[org.apache.spark.sql.DataFrame] = None
+      var carriedBound = 0L
+      val qName = "graft_stream_quantile_sketch"
+      s.streams.active.filter(q => q.name == qName).foreach(_.stop())
+      val q = src.writeStream.queryName(qName)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          val bs = Sketches.quantileSummary(batch, col("value"),
+            k = 64, tag = s"b$id")
+          val merged = current.map(_.unionByName(bs)).getOrElse(bs)
+            .localCheckpoint(true)
+          current = Some(
+            if (merged.count() <= 4096) merged
+            else {
+              // fold the pre-compression bound into the carried scalar
+              // BEFORE the part structure is erased
+              carriedBound += Sketches.summaryBound(merged)
+                .head().getLong(0)
+              Sketches.compressSummary(merged, k = 1024, tag = s"c$id")
+                .localCheckpoint(true)
+            })
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val summary = current.getOrElse(
+        throw new IllegalStateException("stream delivered no batches"))
+      val bound = Sketches.summaryBound(summary)
+        .select((col("bound") + lit(carriedBound)).as("bound"))
+      val qs = Sketches.quantilesFromSummary(summary,
+        Seq(0.1, 0.5, 0.9), bound)
+      t(s, dir, "events").where(col("value").isNotNull)
+        .select(col("value")).crossJoin(broadcast(qs))
+        .groupBy(col("prob"), col("n"), col("target"), col("bound"))
+        .agg(sum(when(col("value") <= col("qv"), 1L).otherwise(0L))
+            .as("__le"),
+          sum(when(col("value") < col("qv"), 1L).otherwise(0L)).as("__lt"))
+        .select(col("prob"), col("n"),
+          (col("__le") >= col("target")).as("le_ok"),
+          (col("__lt") <= col("target") - 1 + col("bound")).as("lt_ok"))
+    }),
+
     // mergeable DataSketches HLL: per-group sketches union-rolled to
     // one global estimate WITHOUT rescanning the table — hash-gated by
     // TWO exact invariants the oracle asserts TRUE: the merged
@@ -4008,6 +4067,11 @@ object PipelineQueries {
                      WHERE value IS NOT NULL)
          SELECT CAST(p AS DOUBLE) AS prob, n, TRUE AS le_ok, TRUE AS lt_ok
          FROM nn CROSS JOIN (SELECT unnest([0.05, 0.5, 0.95]) AS p)""",
+    "stream_quantile_sketch" ->
+      """WITH nn AS (SELECT count(*) AS n FROM events
+                     WHERE value IS NOT NULL)
+         SELECT CAST(p AS DOUBLE) AS prob, n, TRUE AS le_ok, TRUE AS lt_ok
+         FROM nn CROSS JOIN (SELECT unnest([0.1, 0.5, 0.9]) AS p)""",
     "span_dup_stats" ->
       """WITH base AS (
            SELECT doc_id, text FROM documents

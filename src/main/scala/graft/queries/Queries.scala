@@ -1897,13 +1897,21 @@ object Queries {
     // AvailableNow trigger, memory sink — whose final table must
     // hash-match the BATCH oracle. Batch/streaming unification is the
     // engine claim; this makes it a checked property, not prose.
+    // APPEND mode (the production shape: each window emits once and
+    // its state evicts when the watermark closes it); far-future
+    // sentinels flush the bounded replay's trailing windows, and their
+    // own far-future window rows are dropped on the RESULT table by a
+    // predicate on the window time (never in-plan by id — the pushdown
+    // gotcha).
     "events_hourly_stream" -> ((s, dir) => {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       // the file stream source wants a DIRECTORY; select just the
       // events file out of the sf dir with a glob filter
-      val src = EventTs.toTimestamp(s.readStream.schema(schema)
+      def src = EventTs.toTimestamp(s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir))
-      val agg = graft.streaming.Streams.hourlyCounts(src,
+      val sentinel = src.where(col("event_id") % 100 === 0)
+        .withColumn("ts", col("ts") + expr("INTERVAL 36500 DAYS"))
+      val agg = graft.streaming.Streams.hourlyCounts(src.unionAll(sentinel),
         tsCol = "ts", typeCol = "event_type",
         extraAggs = Seq(min(col("value")).as("vmin"), max(col("value")).as("vmax")))
       val qName = "graft_events_hourly_stream"
@@ -1911,12 +1919,13 @@ object Queries {
       // a prior run in this JVM (bench reps) may still own the name
       s.streams.active.filter(q => q.name == qName).foreach(_.stop())
       val q = agg.writeStream.format("memory").queryName(qName)
-        .outputMode("complete") // all windows in the final table
+        .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
       s.table(qName).select(col("window.start").as("hour"), col("event_type"),
-        col("n"), col("vmin"), col("vmax"))
+          col("n"), col("vmin"), col("vmax"))
+        .where(col("hour") < to_timestamp(lit("2100-01-01 00:00:00")))
     }),
 
     // Streaming COUNT(DISTINCT) per hour under the DuckDB gate — the
@@ -2066,23 +2075,27 @@ object Queries {
     // the SLIDING-window streaming twin: window(1h, slide 30min) as a
     // real watermarked streaming query, pinned to the same
     // epoch-micros-arithmetic oracle as the batch events_sliding.
+    // Append mode + sentinel flush, like the tumbling twin.
     "events_sliding_stream" -> ((s, dir) => {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val src = EventTs.toTimestamp(s.readStream.schema(schema)
+      def src = EventTs.toTimestamp(s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir))
-      val agg = graft.streaming.Streams.hourlyCounts(src,
+      val sentinel = src.where(col("event_id") % 100 === 0)
+        .withColumn("ts", col("ts") + expr("INTERVAL 36500 DAYS"))
+      val agg = graft.streaming.Streams.hourlyCounts(src.unionAll(sentinel),
         tsCol = "ts", typeCol = "event_type",
         extraAggs = Seq(min(col("value")).as("vmin"), max(col("value")).as("vmax")),
         slide = Some("30 minutes"))
       val qName = "graft_events_sliding_stream"
       s.streams.active.filter(q => q.name == qName).foreach(_.stop())
       val q = agg.writeStream.format("memory").queryName(qName)
-        .outputMode("complete")
+        .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
       s.table(qName).select(col("window.start").as("win_start"),
-        col("event_type"), col("n"), col("vmin"), col("vmax"))
+          col("event_type"), col("n"), col("vmin"), col("vmax"))
+        .where(col("win_start") < to_timestamp(lit("2100-01-01 00:00:00")))
     }),
 
     // Streaming FIRST-SEEN DEDUP under the DuckDB gate: documents (plus
@@ -2319,25 +2332,32 @@ object Queries {
     }),
 
     // Streaming SESSIONIZATION under the DuckDB gate: the session_window
-    // aggregation as a real streaming query (complete output mode — all
-    // sessions in the final table, no watermark-emission race), pinned
-    // to the same gaps-and-islands oracle as the batch event_sessions.
+    // aggregation as a real streaming query, pinned to the same
+    // gaps-and-islands oracle as the batch event_sessions. Append mode
+    // (closed sessions emit once and evict at the watermark); a
+    // far-future sentinel KEY flushes the bounded replay's open
+    // sessions and is dropped on the result table, exactly like the
+    // custom-state twin below.
     "event_sessions_stream" -> ((s, dir) => {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val src = EventTs.toTimestamp(s.readStream.schema(schema)
+      def src = EventTs.toTimestamp(s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir))
-      val agg = graft.streaming.Streams.sessionize(src, "event_type",
-        "ts", gap = "30 minutes")
+      val sentinel = src.where(col("event_id") % 100 === 0)
+        .withColumn("event_type", lit("__sentinel"))
+        .withColumn("ts", col("ts") + expr("INTERVAL 36500 DAYS"))
+      val agg = graft.streaming.Streams.sessionize(src.unionAll(sentinel),
+        "event_type", "ts", gap = "30 minutes")
       val qName = "graft_event_sessions_stream"
       s.streams.active.filter(q => q.name == qName).foreach(_.stop())
       val q = agg.writeStream.format("memory").queryName(qName)
-        .outputMode("complete")
+        .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.table(qName).select(col("event_type"),
-        col("session_window.start").as("session_start"),
-        col("n_events").as("n"))
+      s.table(qName).where(col("event_type") =!= "__sentinel")
+        .select(col("event_type"),
+          col("session_window.start").as("session_start"),
+          col("n_events").as("n"))
     }),
 
     // the DYNAMIC-GAP streaming twin: session_window with the per-event
