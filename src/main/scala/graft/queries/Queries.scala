@@ -2576,6 +2576,25 @@ object Queries {
           .as("v_interp"))
     }),
 
+    // SWEEP-LINE CONCURRENCY (Ranks.sweepConcurrency): each event
+    // opens a half-open 30-minute activity interval; the gauge = how
+    // many are open at each event point, hourly peaks = the
+    // "concurrent sessions right now" monitoring rollup. A self-join
+    // would be an O(n·k) range join and a vanilla window a single-task
+    // global sort; the sweep is ±1 deltas + the distributed two-pass
+    // prefix sum (one range shuffle). Per-bucket MAX is
+    // tie-order-invariant (the multiset of running values across equal
+    // (t, delta) rows is fixed), so the gauge gates exactly: the
+    // oracle replays the same ordered running sum.
+    "interval_concurrency" -> ((s, dir) => {
+      val iv = EventTs.toTimestamp(t(s, dir, "events"))
+        .select(unix_micros(col("ts")).as("st"),
+          (unix_micros(col("ts")) + 1800000000L).as("en"))
+      graft.tools.Ranks.sweepConcurrency(iv, "st", "en")
+        .groupBy(expr("t div 3600000000").as("hour_bucket"))
+        .agg(max(col("gauge")).as("peak"), count(lit(1)).as("n_points"))
+    }),
+
     // Rolling event-time window per user (feature engineering): for
     // every event, how many events the same user produced in the
     // preceding hour (inclusive). A RANGE window over int64 nanos —
@@ -3951,6 +3970,23 @@ object Queries {
                   RANGE BETWEEN INTERVAL '1 hour' PRECEDING
                         AND CURRENT ROW) AS n_prev_hour
          FROM events""",
+    // the ordered running sum replayed as a window; per-bucket max is
+    // tie-order-invariant, so the two engines' arbitrary orders among
+    // equal (t, delta) rows cannot diverge
+    "interval_concurrency" ->
+      """WITH d AS (
+           SELECT epoch_ns(ts) // 1000 AS t, 1 AS delta FROM events
+           UNION ALL
+           SELECT epoch_ns(ts) // 1000 + 1800000000 AS t, -1 AS delta
+           FROM events),
+         r AS (SELECT t,
+                      CAST(sum(delta) OVER (ORDER BY t, delta
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS gauge
+               FROM d)
+         SELECT t // 3600000000 AS hour_bucket, max(gauge) AS peak,
+                count(*) AS n_points
+         FROM r GROUP BY 1""",
     // copies share the fingerprint with a later event time; all corpus
     // texts are distinct — so first-seen keeps exactly the originals
     "stream_dedup_first_seen" ->

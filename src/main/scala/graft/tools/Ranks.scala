@@ -187,4 +187,42 @@ object Ranks {
       (col("__cum").cast("double") / n).as(cumeCol))
     base.join(stats, Seq("__v")).drop("__v")
   }
+
+  /**
+   * Distributed SWEEP-LINE concurrency gauge: for a table of half-open
+   * intervals [start, end), the number of intervals open at each event
+   * point — "how many sessions/queries/locks are active right now",
+   * the classic overlap-counting analytic that a self-join would turn
+   * into an O(n·k) range join and a vanilla window into a single-task
+   * sort.
+   *
+   * Shape: each interval becomes a +1 row at start and a −1 row at end
+   * (2n narrow rows), and the gauge is the running sum under the
+   * (t, delta) total order — the distributed two-pass prefix sum, so
+   * the only data-sized operation is one range shuffle. Ordering
+   * deltas ascending applies ends BEFORE starts at an equal timestamp:
+   * half-open semantics (an interval ending exactly when another
+   * starts never overlaps it).
+   *
+   * Ties: equal (t, delta) rows are interchangeable — the MULTISET of
+   * running values after any permutation is identical (each of k equal
+   * +1s lands on base+1..base+k) — so any aggregate of the gauge
+   * (max/min per bucket, global peak) is deterministic and
+   * cross-engine gateable even though per-ROW attribution among ties
+   * is not.
+   *
+   * Returns (t, delta, gauge) — gauge = open-interval count AFTER
+   * applying the row's delta. Aggregate per time bucket for the
+   * monitoring rollup.
+   */
+  def sweepConcurrency(intervals: DataFrame, startCol: String,
+                       endCol: String,
+                       numPartitions: Int = 32): DataFrame = {
+    val deltas = intervals
+      .select(col(startCol).cast("long").as("t"), lit(1L).as("delta"))
+      .unionAll(intervals
+        .select(col(endCol).cast("long").as("t"), lit(-1L).as("delta")))
+    globalPrefixSum(deltas, col("delta"), "gauge", numPartitions,
+      col("t"), col("delta"))
+  }
 }

@@ -91,4 +91,31 @@ class RanksSpec extends AnyFunSuite {
     // empty < [1.0] < [1.0,5.0](id 2) < [1.0,5.0](id 4) < [2.0,1.0]
     assert(got == Map(5L -> 1L, 3L -> 2L, 2L -> 3L, 4L -> 4L, 1L -> 5L))
   }
+
+  test("sweepConcurrency: gauge peaks, half-open boundary, ties; no window in plan") {
+    // intervals: [0,10) [5,15) [10,20) — [0,10) and [10,20) NEVER
+    // overlap (half-open), peak 2 at t=5; plus three identical [30,40)
+    // (tie multiplicity → peak 3)
+    val iv = Seq((0L, 10L), (5L, 15L), (10L, 20L),
+      (30L, 40L), (30L, 40L), (30L, 40L)).toDF("st", "en")
+    val sweep = Ranks.sweepConcurrency(iv, "st", "en", numPartitions = 3)
+    val plan = sweep.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Window"), s"no window operator expected:\n$plan")
+    val rows = sweep.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // global gauge multiset: reference single-threaded sweep
+    val ref = Seq((0L, 1L), (5L, 1L), (10L, -1L), (10L, 1L), (15L, -1L),
+        (20L, -1L), (30L, 1L), (30L, 1L), (30L, 1L), (40L, -1L),
+        (40L, -1L), (40L, -1L))
+      .sortBy(x => (x._1, x._2))
+      .scanLeft((0L, 0L, 0L)) { case ((_, _, run), (t, d)) => (t, d, run + d) }
+      .drop(1)
+    assert(rows.sortBy(x => (x._1, x._2, x._3)).toSeq ==
+      ref.sortBy(x => (x._1, x._2, x._3)))
+    // the peak within any bucket is tie-order-invariant
+    assert(rows.map(_._3).max == 3)
+    // boundary: at t=10 the close of [0,10) applies BEFORE the open of
+    // [10,20), so the gauge reads {1, 2} there — never 3, which would
+    // mean the two half-open intervals were counted as overlapping
+    assert(rows.filter(_._1 == 10L).map(_._3).sorted.toSeq == Seq(1L, 2L))
+  }
 }
