@@ -89,7 +89,7 @@ object GeoParquet {
     gf.packPartitions(numPartitions, p).df.drop("hilbert_distance")
       .write.mode(mode).parquet(path)
     writeSidecar(df.sparkSession, path, Seq(ZPointCol))
-    recordInitialGeneration(df.sparkSession, path)
+    recordInitialGeneration(df.sparkSession, path, mode)
   }
 
   /** Range read over a [[packNumericToParquet]] dataset: sidecar file
@@ -178,7 +178,7 @@ object GeoParquet {
     writeSidecarText(df.sparkSession, path,
       renderSidecar(numericBoundsPerFile(
         df.sparkSession.read.parquet(path), cols)))
-    recordInitialGeneration(df.sparkSession, path)
+    recordInitialGeneration(df.sparkSession, path, mode)
   }
 
   /** Per-file min/max for numeric columns, in the sidecar's box format
@@ -270,9 +270,18 @@ object GeoParquet {
                       ranges: Seq[(String, Double, Double)]): DataFrame = {
     require(ranges.nonEmpty, "need at least one (column, lo, hi) range")
     val conf = spark.sessionState.newHadoopConf()
-    val root = new HadoopPath(path)
-    val fs = root.getFileSystem(conf)
-    readZOrderSubset(spark, path, listDataFiles(fs, root).toSeq, ranges)
+    // no sidecar -> WHOLE-DIRECTORY read (partition discovery intact
+    // for layouts this API didn't write, e.g. hive subdirs), exact
+    // residual only — an explicit top-level file listing would drop
+    // partition subdirectories
+    if (readSidecarText(path, conf).isEmpty)
+      readZOrderSubset(spark, path, None, ranges)
+    else {
+      val root = new HadoopPath(path)
+      val fs = root.getFileSystem(conf)
+      readZOrderSubset(spark, path,
+        Some(listDataFiles(fs, root).toSeq), ranges)
+    }
   }
 
   /** TIME-TRAVEL read over a packed+appended dataset: the snapshot at
@@ -290,11 +299,14 @@ object GeoParquet {
     val gens = readGenerations(path, conf).getOrElse(throw
       new IllegalArgumentException(s"no generation manifest at $path — " +
         "the dataset was not written via the graft pack/append API"))
+    require(gens.nonEmpty,
+      s"generation manifest at $path records no data files")
     val latest = gens.values.max
     require(gen <= latest,
       s"generation $gen not recorded at $path (latest is $latest)")
     readZOrderSubset(spark, path,
-      gens.collect { case (f, g) if g <= gen => f }.toSeq.sorted, ranges)
+      Some(gens.collect { case (f, g) if g <= gen => f }.toSeq.sorted),
+      ranges)
   }
 
   /** Latest recorded generation ordinal (0 = the initial pack). */
@@ -302,38 +314,44 @@ object GeoParquet {
     val gens = readGenerations(path,
       spark.sessionState.newHadoopConf()).getOrElse(throw
       new IllegalArgumentException(s"no generation manifest at $path"))
+    require(gens.nonEmpty,
+      s"generation manifest at $path records no data files")
     gens.values.max
   }
 
   /** Shared body of the range and at-generation reads: sidecar file
-    * pruning restricted to `files`, then the exact residual filters.
+    * pruning restricted to `files` (None = whole-directory read, the
+    * missing-sidecar fallback), then the exact residual filters.
     * Missing sidecar / unknown files degrade to keep — never to wrong
     * results. */
   private def readZOrderSubset(spark: SparkSession, path: String,
-                               files: Seq[String],
+                               files: Option[Seq[String]],
                                ranges: Seq[(String, Double, Double)])
       : DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
     val norm = ranges.map { case (c, a, b) => (c, math.min(a, b), math.max(a, b)) }
-    val keep = readSidecarText(path, conf) match {
-      case Some(text) if norm.nonEmpty =>
-        val perCol = norm.map { case (c, lo, hi) => (parseSidecar(text, c), lo, hi) }
-        files.filter { name =>
-          perCol.forall { case (m, lo, hi) =>
-            m.get(name) match {
-              // degenerate box: vals(0)=min, vals(2)=max (NaN compares
-              // false on both arms -> conservative keep)
-              case Some(vals) if vals.length == 4 =>
-                !(vals(2) < lo || vals(0) > hi)
-              case _ => true
+    val df = files match {
+      case None => spark.read.parquet(path)
+      case Some(fl) =>
+        val keep = readSidecarText(path, conf) match {
+          case Some(text) if norm.nonEmpty =>
+            val perCol = norm.map { case (c, lo, hi) => (parseSidecar(text, c), lo, hi) }
+            fl.filter { name =>
+              perCol.forall { case (m, lo, hi) =>
+                m.get(name) match {
+                  // degenerate box: vals(0)=min, vals(2)=max (NaN compares
+                  // false on both arms -> conservative keep)
+                  case Some(vals) if vals.length == 4 =>
+                    !(vals(2) < lo || vals(0) > hi)
+                  case _ => true
+                }
+              }
             }
-          }
+          case _ => fl
         }
-      case _ => files
+        if (keep.isEmpty) spark.read.parquet(path).limit(0)
+        else spark.read.parquet(keep.map(f => s"$path/$f"): _*)
     }
-    val df =
-      if (keep.isEmpty) spark.read.parquet(path).limit(0)
-      else spark.read.parquet(keep.map(f => s"$path/$f"): _*)
     norm.foldLeft(df) { case (d, (c, lo, hi)) =>
       // NaN bounds (e.g. min/max of an empty aggregate) match nothing,
       // exactly like SQL BETWEEN — without this, the integral branch's
@@ -457,7 +475,10 @@ object GeoParquet {
   private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
                             root: HadoopPath): Array[String] =
     if (!fs.exists(root)) Array.empty
-    else fs.listStatus(root).map(_.getPath.getName)
+    // isFile: a hive-partitioned layout keeps its data in SUBDIRS —
+    // those are not flat data files and must never enter the sidecar,
+    // the append diff, or the generation manifest
+    else fs.listStatus(root).filter(_.isFile).map(_.getPath.getName)
       .filter(n => !n.startsWith("_") && !n.startsWith("."))
 
   /** Append a batch to the dataset and update the sidecar INCREMENTALLY:
@@ -477,8 +498,12 @@ object GeoParquet {
   /** Sidecar text via the Hadoop FileSystem API, so every helper works
     * on any supported filesystem (file:, hdfs://, s3a://, ...) exactly
     * like the planner rule. None when no sidecar exists. */
-  private[graft] def readSidecarText(path: String, conf: Configuration): Option[String] = {
-    val p = new HadoopPath(path, SidecarName)
+  private[graft] def readSidecarText(path: String, conf: Configuration): Option[String] =
+    readTextFile(path, SidecarName, conf)
+
+  private def readTextFile(path: String, name: String,
+                           conf: Configuration): Option[String] = {
+    val p = new HadoopPath(path, name)
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) None
     else {
@@ -601,16 +626,29 @@ object GeoParquet {
     Some((graft.geom.HilbertRtree.build(bounds), files))
   }
 
-  /** Every geometry column recorded in a sidecar, with its per-file
-    * bounds (column blocks are flat `{file:[...],...}` objects, so the
-    * column names are exactly the keys directly followed by '{'). */
-  /** Record every current data file as generation 0 — the initial
-    * pack's commit in the generation log. */
-  private def recordInitialGeneration(spark: SparkSession, path: String): Unit = {
+  /** Record the pack's commit in the generation log. `mode="append"`
+    * onto a dataset that already has a manifest MERGES like the
+    * incremental append (the new files get max+1) — stamping everything
+    * back to generation 0 would silently destroy the commit history.
+    * Any other mode ("error" = fresh dir, "overwrite" = history
+    * replaced) records every current file as generation 0. */
+  private def recordInitialGeneration(spark: SparkSession, path: String,
+                                      mode: String = "error"): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
     val root = new HadoopPath(path)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    writeGenerations(spark, path,
-      listDataFiles(fs, root).map(_ -> 0).toMap)
+    val fs = root.getFileSystem(conf)
+    val files = listDataFiles(fs, root)
+    val existing =
+      if (mode.equalsIgnoreCase("append")) readGenerations(path, conf)
+      else None
+    existing match {
+      case Some(gens) if gens.nonEmpty =>
+        val next = gens.values.max + 1
+        writeGenerations(spark, path,
+          gens ++ files.filterNot(gens.contains).map(_ -> next))
+      case _ =>
+        writeGenerations(spark, path, files.map(_ -> 0).toMap)
+    }
   }
 
   private def writeGenerations(spark: SparkSession, path: String,
@@ -621,22 +659,14 @@ object GeoParquet {
         .mkString("{", ",", "}"))
 
   private[graft] def readGenerations(path: String, conf: Configuration)
-      : Option[Map[String, Int]] = {
-    val p = new HadoopPath(path, GenerationsName)
-    val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val text = try {
-        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-        in.readFully(bytes)
-        new String(bytes, StandardCharsets.UTF_8)
-      } finally in.close()
-      Some("\"([^\"]+)\":(\\d+)".r.findAllMatchIn(text)
+      : Option[Map[String, Int]] =
+    readTextFile(path, GenerationsName, conf).map(text =>
+      "\"([^\"]+)\":(\\d+)".r.findAllMatchIn(text)
         .map(m => m.group(1) -> m.group(2).toInt).toMap)
-    }
-  }
 
+  /** Every geometry column recorded in a sidecar, with its per-file
+    * bounds (column blocks are flat `{file:[...],...}` objects, so the
+    * column names are exactly the keys directly followed by '{'). */
   private[graft] def parseSidecarAll(json: String): Map[String, Map[String, Array[Double]]] = {
     val marker = "\"partition_bounds\":{"
     val start = json.indexOf(marker)

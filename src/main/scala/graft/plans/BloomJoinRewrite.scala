@@ -75,6 +75,12 @@ case class BloomJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private val builtFilters =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int, String, Int), (BloomBitsRef, Int)]
+  // FIFO eviction order: CHM iteration order is a STABLE bucket order,
+  // so "evict the iterator's first entry" picks the same victim every
+  // time — a hot filter landing there would be rebuilt on every insert.
+  // Oldest-insert-first spreads the churn round-robin instead.
+  private val insertionOrder =
+    new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, String, Int)]
   private val MaxCachedFilters = 32
 
   private def integral(e: Expression): Boolean = e.dataType match {
@@ -127,15 +133,16 @@ case class BloomJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           .na.drop().distinct()
         val (words, k) = LongBloom.buildDistributed(keysDf, bitsPerItem)
         val v = (new BloomBitsRef(words), k)
-        // evict ONE arbitrary entry at capacity, not the whole map:
-        // clearing everything makes a workload cycling through
-        // MaxCachedFilters+1 build plans rebuild a planning-time Spark
-        // job for every HOT filter on every query, not just the cold one
-        if (builtFilters.size >= MaxCachedFilters) {
-          val it = builtFilters.keySet().iterator()
-          if (it.hasNext) { it.next(); it.remove() }
+        // evict the OLDEST insert at capacity, not the whole map (and
+        // not a stable bucket-order victim): a workload cycling through
+        // MaxCachedFilters+1 build plans then rebuilds each filter once
+        // per cycle instead of the same one on every query
+        while (builtFilters.size >= MaxCachedFilters) {
+          val victim = insertionOrder.poll()
+          if (victim == null) builtFilters.clear() // queue drift backstop
+          else builtFilters.remove(victim)
         }
-        builtFilters.putIfAbsent(key, v)
+        if (builtFilters.putIfAbsent(key, v) == null) insertionOrder.offer(key)
         v
     }
   }

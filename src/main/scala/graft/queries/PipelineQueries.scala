@@ -1336,7 +1336,10 @@ object PipelineQueries {
       val b = Sketches.quantileSummary(
         ev.where(col("event_id") % 2 =!= 0).select(col("value")),
         col("value"), k = 64, tag = "b")
-      val merged = a.unionByName(b)
+      // pin the kilobyte summary: summaryBound + the two references in
+      // quantilesFromSummary must read ONE materialization, not re-run
+      // the two-pass build per reference
+      val merged = a.unionByName(b).localCheckpoint(true)
       val qs = Sketches.quantilesFromSummary(merged,
         Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99), Sketches.summaryBound(merged))
       ev.select(col("value")).crossJoin(broadcast(qs))
@@ -1356,8 +1359,12 @@ object PipelineQueries {
     "quantile_sketch_compress" -> ((s, dir) => {
       val ev = t(s, dir, "events")
         .where(col("value").isNotNull).select(col("value"))
+      // pinned like the merge twin: sk feeds compressSummary AND its
+      // own bound; comp feeds the quantile read twice
       val sk = Sketches.quantileSummary(ev, col("value"), k = 64, tag = "s")
+        .localCheckpoint(true)
       val comp = Sketches.compressSummary(sk, k = 256, tag = "c")
+        .localCheckpoint(true)
       val bound = Sketches.summaryBound(sk)
         .crossJoin(Sketches.summaryBound(comp)
           .withColumnRenamed("bound", "__b2"))

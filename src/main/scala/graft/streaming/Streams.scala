@@ -814,8 +814,17 @@ object Streams extends Serializable {
       // are this user's fill value for hours still to come (every
       // future ready event has a later ts, so fold order is preserved)
       while (ei < ready.size) { lastV = ready(ei).value; ei += 1 }
-      if (hold.isEmpty && h > endHourUs) st.remove()
-      else {
+      if (hold.isEmpty && h > endHourUs) {
+        // grid complete: keep a TOMBSTONE instead of removing — a
+        // removed key whose user sends one more on-time event would
+        // re-create state at startHourUs and re-emit the whole grid as
+        // null rows, breaking exactly-once. The tombstone is three
+        // constants per completed key; the far-future timeout keeps it
+        // from waking on every watermark advance (it only wakes on new
+        // events, and then emits nothing: h is already past the grid).
+        st.update(ResState(None, h, Seq.empty))
+        st.setTimeoutTimestamp(Long.MaxValue / 2)
+      } else {
         st.update(ResState(lastV, h, hold))
         st.setTimeoutTimestamp(wm + 1) // re-arm on every invocation
       }

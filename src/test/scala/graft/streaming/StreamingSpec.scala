@@ -914,6 +914,13 @@ class StreamingSpec extends AnyFunSuite {
       assert(m((2L, 2L)) == None)
       assert(m((2L, 3L)) == None)         // 13:30 is AFTER the 13:00 mark
       assert(m((2L, 4L)) == Some(9.0))    // first mark at-or-after 13:30
+      // exactly-once across COMPLETION: a later on-time event for a key
+      // whose grid already drained must not re-create state and
+      // re-emit the grid (the tombstone case)
+      input.addData(ResEvent(1L, ts(100002), 30L, Some(7.0)))
+      q.processAllAvailable()
+      assert(spark.table("res_basic_out")
+        .where(col("userId") =!= -1L).count() == 10)
     } finally q.stop()
   }
 
