@@ -679,6 +679,95 @@ object Sketches {
       .select(col("prob"), col("qv"), col("target"), col("n"), col("bound"))
   }
 
+  /** Per-GROUP twin of [[quantileSummary]] — the per-language /
+    * per-source distribution profile a corpus card needs, still with
+    * ZERO data shuffles: partitions local-sort by (group, value), each
+    * (partition, group) run contributes its evenly-spaced order
+    * statistics, and the run's START ordinal derives from the counts
+    * table alone (the running sum of earlier groups' counts within the
+    * partition — a window over the P×|groups| counts table, never the
+    * data). Rows with a NULL group or value are dropped. Output
+    * (__part, g, v, w); merge = unionByName with distinct tags, bounds
+    * per group via [[summaryBoundByGroup]].
+    *
+    * CONTRACT (stricter than the global form): the source's
+    * row→partition assignment must be CONTENT-deterministic across
+    * re-evaluation — parquet/file splits and hash repartitioning are;
+    * a round-robin `repartition(n)` is NOT (its distribution order
+    * follows the binary row layout, which changes with column
+    * pruning, and the two passes prune differently). The global
+    * [[quantileSummary]] only needs partition SIZES, which round-robin
+    * fixes arithmetically; the per-(partition, group) counts here need
+    * the assignment itself. */
+  def quantileSummaryByGroup(df: DataFrame, groupCol: String, value: Column,
+                             k: Int, tag: String): DataFrame = {
+    require(k >= 2 && k <= (1 << 20), s"k must be in [2, 2^20], got $k")
+    require(tag.nonEmpty && !tag.contains(":"), s"bad tag '$tag'")
+    def vals = df.select(col(groupCol).cast("string").as("g"),
+      value.cast("double").as("v")).na.drop()
+    val counts = vals.select(spark_partition_id().cast("long").as("__pid"),
+        col("g"))
+      .groupBy(col("__pid"), col("g")).agg(count(lit(1)).as("__np"))
+    // run start = Σ earlier groups' counts in this partition; the
+    // window order MUST match sortWithinPartitions' string order (it
+    // does: same engine, same binary collation)
+    val wStart = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col("g"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val withStart = counts.withColumn("__r0",
+      coalesce(sum(col("__np")).over(wStart), lit(0L)))
+    val ranked = vals.sortWithinPartitions("g", "v")
+      .select(col("g"), col("v"), monotonically_increasing_id().as("__mid"))
+      .select(col("g"), col("v"), shiftright(col("__mid"), 33).as("__pid"),
+        col("__mid").bitwiseAND(lit((1L << 33) - 1)).as("__r"))
+    ranked.join(broadcast(withStart), Seq("__pid", "g"))
+      .withColumn("__lr", col("__r") - col("__r0"))
+      .withColumn("__step",
+        greatest(lit(1L), ceil(col("__np") / k).cast("long")))
+      .where(((col("__lr") + 1) % col("__step") === 0) ||
+        (col("__lr") === col("__np") - 1))
+      .select(concat(lit(tag), lit(":"), col("__pid"), lit(":"), col("g"))
+          .as("__part"),
+        col("g"), col("v"),
+        when((col("__lr") + 1) % col("__step") === 0, col("__step"))
+          .otherwise(col("__np") % col("__step")).as("w"))
+  }
+
+  /** Per-group worst-case rank error: (g, bound) — Σ over the group's
+    * sorted runs of (max block weight − 1), the grouped twin of
+    * [[summaryBound]]. */
+  def summaryBoundByGroup(summary: DataFrame): DataFrame =
+    summary.groupBy(col("__part"), col("g"))
+      .agg((max(col("w")) - 1).as("__b"))
+      .groupBy(col("g")).agg(coalesce(sum(col("__b")), lit(0L)).as("bound"))
+
+  /** Per-group quantiles from a grouped summary: for each (group,
+    * prob), the smallest sample v whose within-group cumulative weight
+    * reaches max(1, ceil(p·n_g)). Returns (g, prob, qv, target, n,
+    * bound) with the same exact-integer gate contract as the global
+    * form — checked per group. `bounds` = (g, bound), normally
+    * [[summaryBoundByGroup]] of the same (pinned) summary. */
+  def quantilesFromSummaryByGroup(summary: DataFrame, probs: Seq[Double],
+                                  bounds: DataFrame): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0.0 && p <= 1.0),
+      "probs must be in (0, 1]")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v"), col("__part"))
+    val cum = summary.withColumn("__cum", sum(col("w")).over(win))
+    val targets = summary.groupBy(col("g")).agg(sum(col("w")).as("n"))
+      .join(bounds, "g")
+      .select(col("g").as("__tg"), col("n"), col("bound"),
+        explode(array(probs.map(lit): _*)).as("prob"))
+      .withColumn("target",
+        greatest(lit(1L), ceil(col("prob") * col("n")).cast("long")))
+    cum.join(broadcast(targets),
+        col("g") === col("__tg") && col("__cum") >= col("target"))
+      .groupBy(col("g"), col("prob"), col("n"), col("bound"), col("target"))
+      .agg(min(col("v")).as("qv"))
+      .select(col("g"), col("prob"), col("qv"), col("target"),
+        col("n"), col("bound"))
+  }
+
   def tvDriftPpm(df: DataFrame, inA: Column, key: Column): DataFrame = {
     val counts = df.groupBy(key.as("k"))
       .agg(sum(when(inA, 1L).otherwise(0L)).as("na"),

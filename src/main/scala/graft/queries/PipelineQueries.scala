@@ -1381,6 +1381,30 @@ object PipelineQueries {
           (col("__lt") <= col("target") - 1 + col("bound")).as("lt_ok"))
     }),
 
+    // the PER-GROUP twin: one summary per event_type, still zero data
+    // shuffles (run starts derive from the P×|groups| counts table,
+    // never the data) — the per-language/per-source distribution
+    // profile of a corpus card. Same exact-integer gate, checked per
+    // (group, prob).
+    "quantile_sketch_by_group" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .where(col("value").isNotNull && col("event_type").isNotNull)
+        .select(col("event_type").as("g"), col("value"))
+      val sk = Sketches.quantileSummaryByGroup(ev, "g", col("value"),
+        k = 48, tag = "s").localCheckpoint(true)
+      val qs = Sketches.quantilesFromSummaryByGroup(sk,
+        Seq(0.25, 0.5, 0.9), Sketches.summaryBoundByGroup(sk))
+      ev.join(broadcast(qs), "g")
+        .groupBy(col("g"), col("prob"), col("n"), col("target"),
+          col("bound"))
+        .agg(sum(when(col("value") <= col("qv"), 1L).otherwise(0L))
+            .as("__le"),
+          sum(when(col("value") < col("qv"), 1L).otherwise(0L)).as("__lt"))
+        .select(col("g").as("grp"), col("prob"), col("n"),
+          (col("__le") >= col("target")).as("le_ok"),
+          (col("__lt") <= col("target") - 1 + col("bound")).as("lt_ok"))
+    }),
+
     // the STREAMING profile path: each micro-batch folds into ONE
     // running mergeable summary inside foreachBatch (union a per-batch
     // build, re-compress past a size threshold — the tree merge
@@ -4079,6 +4103,13 @@ object PipelineQueries {
                      WHERE value IS NOT NULL)
          SELECT CAST(p AS DOUBLE) AS prob, n, TRUE AS le_ok, TRUE AS lt_ok
          FROM nn CROSS JOIN (SELECT unnest([0.1, 0.5, 0.9]) AS p)""",
+    "quantile_sketch_by_group" ->
+      """WITH g AS (SELECT event_type AS grp, count(*) AS n FROM events
+                    WHERE value IS NOT NULL AND event_type IS NOT NULL
+                    GROUP BY 1)
+         SELECT grp, CAST(p AS DOUBLE) AS prob, n,
+                TRUE AS le_ok, TRUE AS lt_ok
+         FROM g CROSS JOIN (SELECT unnest([0.25, 0.5, 0.9]) AS p)""",
     "span_dup_stats" ->
       """WITH base AS (
            SELECT doc_id, text FROM documents

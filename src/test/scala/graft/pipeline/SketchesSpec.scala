@@ -367,6 +367,58 @@ class SketchesSpec extends AnyFunSuite {
       collectQ(Sketches.quantilesFromSummary(comp, probs, totalBound)))
   }
 
+  test("quantileSummaryByGroup: per-group bounds hold, run starts from the counts table") {
+    val rnd = new scala.util.Random(41)
+    // three groups with very different sizes and distributions, ties
+    // included; 5 partitions so every partition holds several groups
+    // (the run-start arithmetic is what is under test). HASH
+    // repartition on the value: the two passes must see the same
+    // row->partition assignment (the documented contract — round-robin
+    // repartition re-deals rows when the pruned schema differs)
+    val data = (1 to 4000).map(_ => ("a", rnd.nextInt(30) * 1.0)) ++
+      (1 to 700).map(_ => ("b", rnd.nextGaussian() * 50)) ++
+      (1 to 23).map(_ => ("c", rnd.nextDouble()))
+    val df = rnd.shuffle(data).toDF("g", "x").repartition(5, col("x"))
+    val sk = Sketches.quantileSummaryByGroup(df, "g", col("x"),
+      k = 16, tag = "s").localCheckpoint(true)
+    // weights reconstruct each group's exact count
+    val wsums = sk.groupBy("g").agg(sum("w")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wsums == Map("a" -> 4000L, "b" -> 700L, "c" -> 23L))
+    val qs = Sketches.quantilesFromSummaryByGroup(sk,
+        Seq(0.1, 0.5, 0.9, 1.0), Sketches.summaryBoundByGroup(sk))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(qs.length == 12)
+    for ((g, prob, qv, target, n, bound) <- qs) {
+      val vals = data.filter(_._1 == g).map(_._2).sorted
+      assert(n == vals.size.toLong, s"g=$g n")
+      val le = vals.count(_ <= qv).toLong
+      val lt = vals.count(_ < qv).toLong
+      assert(le >= target, s"g=$g p=$prob: le=$le < target=$target")
+      assert(lt <= target - 1 + bound,
+        s"g=$g p=$prob: lt=$lt > ${target - 1} + bound=$bound")
+    }
+    // grouped summaries MERGE like the global ones (distinct tags)
+    val half1 = rnd.shuffle(data).take(2000)
+    val half2 = data.diff(half1)
+    val m = Sketches.quantileSummaryByGroup(half1.toDF("g", "x")
+        .repartition(3, col("x")), "g", col("x"), 16, "p")
+      .unionByName(Sketches.quantileSummaryByGroup(half2.toDF("g", "x")
+        .repartition(4, col("x")), "g", col("x"), 16, "q"))
+      .localCheckpoint(true)
+    val mq = Sketches.quantilesFromSummaryByGroup(m, Seq(0.5),
+        Sketches.summaryBoundByGroup(m))
+      .collect().map(r => (r.getString(0), r.getDouble(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    for ((g, qv, target, n, bound) <- mq) {
+      val vals = data.filter(_._1 == g).map(_._2).sorted
+      assert(n == vals.size.toLong)
+      assert(vals.count(_ <= qv) >= target)
+      assert(vals.count(_ < qv) <= target - 1 + bound, s"g=$g merged")
+    }
+  }
+
   test("quantile summary guards: bad k/tag/probs fail fast, empty input is empty") {
     val df = Seq(1.0, 2.0).toDF("x")
     intercept[IllegalArgumentException] {
