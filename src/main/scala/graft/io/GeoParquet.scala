@@ -86,10 +86,16 @@ object GeoParquet {
       ZPointCol, "point")
     // the curve rank is a transient sort key — only the point column
     // persists (the sidecar + residual filter need it)
+    val before = {
+      val root = new HadoopPath(path)
+      val fs = root.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+      listDataFiles(fs, root).toSet
+    }
     gf.packPartitions(numPartitions, p).df.drop("hilbert_distance")
       .write.mode(mode).parquet(path)
-    writeSidecar(df.sparkSession, path, Seq(ZPointCol))
-    recordInitialGeneration(df.sparkSession, path, mode)
+    writeSidecarMerged(df.sparkSession, path,
+      boundsPerFile(df.sparkSession.read.parquet(path), Seq(ZPointCol)))
+    recordInitialGeneration(df.sparkSession, path, mode, before)
   }
 
   /** Range read over a [[packNumericToParquet]] dataset: sidecar file
@@ -169,16 +175,22 @@ object GeoParquet {
     // a null in ANY packed column nulls the code (see scaled);
     // coalescing to -1 clusters those rows below every real code
     // instead of scattering them through the min-value files
+    val before = {
+      val root = new HadoopPath(path)
+      val fs = root.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+      listDataFiles(fs, root).toSet
+    }
     df.withColumn(ZCodeCol, coalesce(code, lit(-1L)))
       .repartitionByRange(numPartitions, col(ZCodeCol))
       .sortWithinPartitions(ZCodeCol)
       .drop(ZCodeCol)
       .write.mode(mode).parquet(path)
-    // per-file per-column min/max sidecar (degenerate [mn,mn,mx,mx] box)
-    writeSidecarText(df.sparkSession, path,
-      renderSidecar(numericBoundsPerFile(
-        df.sparkSession.read.parquet(path), cols)))
-    recordInitialGeneration(df.sparkSession, path, mode)
+    // per-file per-column min/max sidecar (degenerate [mn,mn,mx,mx]
+    // box), merged over any surviving sidecar so an append-mode pack
+    // preserves OTHER columns' entries
+    writeSidecarMerged(df.sparkSession, path,
+      numericBoundsPerFile(df.sparkSession.read.parquet(path), cols))
+    recordInitialGeneration(df.sparkSession, path, mode, before)
   }
 
   /** Per-file min/max for numeric columns, in the sidecar's box format
@@ -270,18 +282,21 @@ object GeoParquet {
                       ranges: Seq[(String, Double, Double)]): DataFrame = {
     require(ranges.nonEmpty, "need at least one (column, lo, hi) range")
     val conf = spark.sessionState.newHadoopConf()
-    // no sidecar -> WHOLE-DIRECTORY read (partition discovery intact
-    // for layouts this API didn't write, e.g. hive subdirs), exact
-    // residual only — an explicit top-level file listing would drop
-    // partition subdirectories
-    if (readSidecarText(path, conf).isEmpty)
-      readZOrderSubset(spark, path, None, ranges)
-    else {
-      val root = new HadoopPath(path)
-      val fs = root.getFileSystem(conf)
-      readZOrderSubset(spark, path,
-        Some(listDataFiles(fs, root).toSeq), ranges)
-    }
+    // read the sidecar ONCE and hand it down (it grows with file and
+    // column count; a second read per call is pure duplicated IO on an
+    // object store)
+    val sidecar = readSidecarText(path, conf)
+    val root = new HadoopPath(path)
+    val fs = root.getFileSystem(conf)
+    val listed = listDataFiles(fs, root)
+    // no sidecar, OR a non-flat layout (empty top-level listing, e.g.
+    // hive subdirs someone attached a sidecar to) -> WHOLE-DIRECTORY
+    // read (partition discovery intact), exact residual only — degrade
+    // to keep, never to zero rows
+    if (sidecar.isEmpty || listed.isEmpty)
+      readZOrderSubset(spark, path, None, ranges, None)
+    else
+      readZOrderSubset(spark, path, Some(listed.toSeq), ranges, sidecar)
   }
 
   /** TIME-TRAVEL read over a packed+appended dataset: the snapshot at
@@ -306,7 +321,7 @@ object GeoParquet {
       s"generation $gen not recorded at $path (latest is $latest)")
     readZOrderSubset(spark, path,
       Some(gens.collect { case (f, g) if g <= gen => f }.toSeq.sorted),
-      ranges)
+      ranges, readSidecarText(path, conf))
   }
 
   /** Latest recorded generation ordinal (0 = the initial pack). */
@@ -326,14 +341,14 @@ object GeoParquet {
     * results. */
   private def readZOrderSubset(spark: SparkSession, path: String,
                                files: Option[Seq[String]],
-                               ranges: Seq[(String, Double, Double)])
+                               ranges: Seq[(String, Double, Double)],
+                               sidecar: Option[String])
       : DataFrame = {
-    val conf = spark.sessionState.newHadoopConf()
     val norm = ranges.map { case (c, a, b) => (c, math.min(a, b), math.max(a, b)) }
     val df = files match {
       case None => spark.read.parquet(path)
       case Some(fl) =>
-        val keep = readSidecarText(path, conf) match {
+        val keep = sidecar match {
           case Some(text) if norm.nonEmpty =>
             val perCol = norm.map { case (c, lo, hi) => (parseSidecar(text, c), lo, hi) }
             fl.filter { name =>
@@ -543,17 +558,21 @@ object GeoParquet {
         else {
           val root = new HadoopPath(path)
           val fs = root.getFileSystem(conf)
-          val keep = listDataFiles(fs, root).filter { name =>
+          val listed = listDataFiles(fs, root)
+          val keep = listed.filter { name =>
             perFile.get(name) match {
               case Some(Array(x0, y0, x1, y1)) =>
                 !(x1 < qx0 || x0 > qx1 || y1 < qy0 || y0 > qy1)
               case _ => true // unknown file: conservative keep
             }
           }
-          if (keep.isEmpty)
-            spark.read.parquet(path).limit(0)
-          else
-            spark.read.parquet(keep.map(f => s"$path/$f").toSeq: _*)
+          // an EMPTY listing with a non-empty sidecar means the data
+          // does not live in flat top-level files (e.g. a partitioned
+          // subdir layout someone attached a sidecar to) — degrade to
+          // the full read, never to zero rows
+          if (listed.isEmpty) spark.read.parquet(path)
+          else if (keep.isEmpty) spark.read.parquet(path).limit(0)
+          else spark.read.parquet(keep.map(f => s"$path/$f").toSeq: _*)
         }
       case _ => spark.read.parquet(path)
     }
@@ -626,29 +645,52 @@ object GeoParquet {
     Some((graft.geom.HilbertRtree.build(bounds), files))
   }
 
-  /** Record the pack's commit in the generation log. `mode="append"`
-    * onto a dataset that already has a manifest MERGES like the
-    * incremental append (the new files get max+1) — stamping everything
-    * back to generation 0 would silently destroy the commit history.
-    * Any other mode ("error" = fresh dir, "overwrite" = history
-    * replaced) records every current file as generation 0. */
+  /** Record the pack's commit in the generation log.
+    *  - "append" onto a dataset with a manifest MERGES like the
+    *    incremental append (this pack's new files get max+1); without
+    *    a manifest, the files that existed BEFORE the pack back-fill
+    *    as generation 0 and the pack's files as 1 (matching
+    *    [[appendWithBoundsOf]]'s back-fill).
+    *  - "ignore" NEVER touches an existing manifest (SaveMode.Ignore
+    *    may not have written anything — replacing history is never
+    *    justified); without one, the current files record as 0.
+    *  - "error" (fresh dir) / "overwrite" (history replaced): every
+    *    current file records as generation 0. */
   private def recordInitialGeneration(spark: SparkSession, path: String,
-                                      mode: String = "error"): Unit = {
+                                      mode: String,
+                                      before: Set[String]): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val root = new HadoopPath(path)
     val fs = root.getFileSystem(conf)
     val files = listDataFiles(fs, root)
-    val existing =
-      if (mode.equalsIgnoreCase("append")) readGenerations(path, conf)
-      else None
-    existing match {
+    val m = mode.toLowerCase
+    val existing = readGenerations(path, conf)
+    if (m == "ignore" && existing.isDefined) ()
+    else if (m == "append") existing match {
       case Some(gens) if gens.nonEmpty =>
         val next = gens.values.max + 1
         writeGenerations(spark, path,
           gens ++ files.filterNot(gens.contains).map(_ -> next))
+      case _ if before.nonEmpty =>
+        writeGenerations(spark, path,
+          before.map(_ -> 0).toMap ++
+            files.filterNot(before.contains).map(_ -> 1))
       case _ =>
         writeGenerations(spark, path, files.map(_ -> 0).toMap)
     }
+    else writeGenerations(spark, path, files.map(_ -> 0).toMap)
+  }
+
+  /** Write fresh per-file bounds MERGED over any existing sidecar:
+    * other columns' entries are preserved (they still describe the
+    * files they name; files they don't name stay conservatively kept
+    * on read). A replaced directory has no surviving sidecar, so
+    * "merge" degrades to a plain write exactly when it should. */
+  private def writeSidecarMerged(spark: SparkSession, path: String,
+      fresh: Map[String, Map[String, Array[Double]]]): Unit = {
+    val existing = readSidecarText(path, spark.sessionState.newHadoopConf())
+      .map(parseSidecarAll).getOrElse(Map.empty)
+    writeSidecarText(spark, path, renderSidecar(existing ++ fresh))
   }
 
   private def writeGenerations(spark: SparkSession, path: String,

@@ -771,11 +771,16 @@ object Streams extends Serializable {
    * tie-collapse. A grid hour h emits once the watermark is strictly
    * past it (any still-to-come on-time event has ts >= wm > h, so it
    * cannot change h's fill value). State per user = running fill value
-   * + next grid hour + lateness buffer — bounded at any scale; a user
-   * first seen late backfills the null rows of every already-final
-   * hour in one invocation. On a bounded replay, drive the final
-   * watermark past `endHourUs` (far-future sentinel key) and the
-   * emitted table equals the batch resample.
+   * + next grid hour + lateness buffer — bounded at any scale AND
+   * reclaimed: a completed key's state is removed, which is
+   * exactly-once-safe because events past the grid end are ignored
+   * without creating state (they cannot affect any grid row) and
+   * events inside a completed grid are watermark-late. Consequently a
+   * user FIRST seen after the grid end emits nothing. A user first
+   * seen late but inside the grid backfills the null rows of every
+   * already-final hour in one invocation. On a bounded replay, drive
+   * the final watermark past `endHourUs` (far-future sentinel key) and
+   * the emitted table equals the batch resample.
    */
   def resampleFfill(events: Dataset[ResEvent], startHourUs: Long,
                     endHourUs: Long,
@@ -790,8 +795,20 @@ object Streams extends Serializable {
     def fn(user: Long, it: Iterator[ResEvent],
            st: GroupState[ResState]): Iterator[ResOut] = {
       val wm = st.getCurrentWatermarkMs
+      // events PAST the grid end cannot affect any grid row (a
+      // backward fill at hour h only sees events with ts <= h <=
+      // endHourUs) — ignoring them here is what makes state removal
+      // at grid completion PROVABLY exactly-once: once the watermark
+      // is past endHourUs, an event at ts <= endHourUs is late
+      // (dropped before reaching this function) and an event past it
+      // is ignored without creating state, so a completed key can
+      // never be re-created and re-emit. Side effect, documented: a
+      // user FIRST seen after the grid end emits no rows at all.
+      val fresh =
+        if (st.hasTimedOut) Seq.empty
+        else it.filter(e => tsMicros(e.ts) <= endHourUs).toSeq
+      if (!st.exists && fresh.isEmpty) return Iterator.empty
       val s0 = st.getOption.getOrElse(ResState(None, startHourUs, Seq.empty))
-      val fresh = if (st.hasTimedOut) Seq.empty else it.toSeq
       val all = (s0.pending ++ fresh)
         .sortBy(e => (tsMicros(e.ts), e.eventId))
       // shared boundary: ts == wm is still ON TIME — fold only strictly
@@ -814,17 +831,12 @@ object Streams extends Serializable {
       // are this user's fill value for hours still to come (every
       // future ready event has a later ts, so fold order is preserved)
       while (ei < ready.size) { lastV = ready(ei).value; ei += 1 }
-      if (hold.isEmpty && h > endHourUs) {
-        // grid complete: keep a TOMBSTONE instead of removing — a
-        // removed key whose user sends one more on-time event would
-        // re-create state at startHourUs and re-emit the whole grid as
-        // null rows, breaking exactly-once. The tombstone is three
-        // constants per completed key; the far-future timeout keeps it
-        // from waking on every watermark advance (it only wakes on new
-        // events, and then emits nothing: h is already past the grid).
-        st.update(ResState(None, h, Seq.empty))
-        st.setTimeoutTimestamp(Long.MaxValue / 2)
-      } else {
+      // grid complete: removal is safe — no event can ever reach this
+      // key again (late ones are dropped by the watermark, post-grid
+      // ones are ignored above without creating state), so state is
+      // RECLAIMED per completed key, not tombstoned
+      if (hold.isEmpty && h > endHourUs) st.remove()
+      else {
         st.update(ResState(lastV, h, hold))
         st.setTimeoutTimestamp(wm + 1) // re-arm on every invocation
       }

@@ -214,14 +214,24 @@ object Ranks {
    * Returns (t, delta, gauge) — gauge = open-interval count AFTER
    * applying the row's delta. Aggregate per time bucket for the
    * monitoring rollup.
+   *
+   * Intervals with a NULL start or end are EXCLUDED (standard SQL
+   * comparison semantics — an unbounded interval has no place on the
+   * sweep; a null-keyed delta would sort to the front and offset every
+   * gauge value). Close an ongoing interval at a horizon timestamp
+   * first if it should count.
    */
   def sweepConcurrency(intervals: DataFrame, startCol: String,
                        endCol: String,
                        numPartitions: Int = 32): DataFrame = {
+    // ONE source scan: each interval explodes to its two delta rows
     val deltas = intervals
-      .select(col(startCol).cast("long").as("t"), lit(1L).as("delta"))
-      .unionAll(intervals
-        .select(col(endCol).cast("long").as("t"), lit(-1L).as("delta")))
+      .where(col(startCol).isNotNull && col(endCol).isNotNull)
+      .select(explode(array(
+        struct(col(startCol).cast("long").as("t"), lit(1L).as("delta")),
+        struct(col(endCol).cast("long").as("t"), lit(-1L).as("delta"))))
+        .as("__e"))
+      .select(col("__e.t").as("t"), col("__e.delta").as("delta"))
     globalPrefixSum(deltas, col("delta"), "gauge", numPartitions,
       col("t"), col("delta"))
   }

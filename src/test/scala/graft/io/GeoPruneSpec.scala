@@ -322,6 +322,67 @@ class GeoPruneSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 
+  test("generation manifest under pack modes: append merges, ignore preserves, back-fill") {
+    val dir = java.nio.file.Files.createTempDirectory("ztmode").toFile
+    try {
+      def gen(lo: Int, n: Int) = (0 until n).map(i =>
+        ((lo * 10000 + i).toLong, lo * 100 + i % 100, lo * 100 + (i * 7) % 100))
+      val path = s"$dir/z"
+      GeoParquet.packZOrderToParquet(gen(0, 200).toDF("id", "a", "b"),
+        Seq("a", "b"), path, 2)
+      GeoParquet.appendNumericWithSidecar(gen(5, 200).toDF("id", "a", "b"),
+        path, Seq("a", "b"))
+      assert(GeoParquet.currentGeneration(spark, path) == 1)
+      // a pack in APPEND mode is one more commit, NOT a history reset
+      GeoParquet.packZOrderToParquet(gen(9, 200).toDF("id", "a", "b"),
+        Seq("a", "b"), path, 2, mode = "append")
+      assert(GeoParquet.currentGeneration(spark, path) == 2)
+      assert(GeoParquet.readZOrderAtGeneration(spark, path, 0)
+        .select("id").as[Long].collect().toSet == gen(0, 200).map(_._1).toSet)
+      assert(GeoParquet.readZOrderAtGeneration(spark, path, 2).count() == 600)
+      // IGNORE mode never touches an existing manifest (the write may
+      // have been a no-op)
+      GeoParquet.packZOrderToParquet(gen(3, 10).toDF("id", "a", "b"),
+        Seq("a", "b"), path, 2, mode = "ignore")
+      assert(GeoParquet.currentGeneration(spark, path) == 2)
+      assert(GeoParquet.readZOrderAtGeneration(spark, path, 2).count() == 600)
+      // append-mode pack onto a PRE-MANIFEST dir back-fills old=0/new=1
+      // (matching the incremental append's back-fill)
+      gen(0, 50).toDF("id", "a", "b").write.parquet(s"$dir/plain")
+      GeoParquet.packZOrderToParquet(gen(7, 60).toDF("id", "a", "b"),
+        Seq("a", "b"), s"$dir/plain", 2, mode = "append")
+      assert(GeoParquet.currentGeneration(spark, s"$dir/plain") == 1)
+      assert(GeoParquet.readZOrderAtGeneration(spark, s"$dir/plain", 0)
+        .count() == 50)
+      assert(GeoParquet.readZOrderAtGeneration(spark, s"$dir/plain", 1)
+        .count() == 110)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
+  test("append-mode pack preserves OTHER columns' sidecar entries") {
+    val dir = java.nio.file.Files.createTempDirectory("zmerge").toFile
+    try {
+      val path = s"$dir/z"
+      val rows = (0 until 400).map(i => (i.toLong, i % 100, (i * 7) % 100, i % 50))
+      GeoParquet.packZOrderToParquet(rows.toDF("id", "a", "b", "c"),
+        Seq("a", "b", "c"), path, 2)
+      // re-pack-append on a SUBSET of columns must not drop c's entries
+      GeoParquet.packZOrderToParquet(
+        (400 until 800).map(i => (i.toLong, i % 100, (i * 7) % 100, 200 + i % 50))
+          .toDF("id", "a", "b", "c"),
+        Seq("a", "b"), path, 2, mode = "append")
+      // c-range query: the ORIGINAL files' c-bounds survive, so a probe
+      // outside their range prunes them while the exact residual keeps
+      // results right either way
+      val hi = GeoParquet.readZOrderRange(spark, path, Seq(("c", 200.0, 249.0)))
+      assert(hi.select("id").as[Long].collect().toSet ==
+        (400L until 800L).toSet)
+      val total = spark.read.parquet(path).inputFiles.length
+      assert(hi.inputFiles.length < total,
+        s"c entries lost: scanned ${hi.inputFiles.length} of $total")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
   test("point cx comparisons prune files too (no kernel predicate needed)") {
     val dir = java.nio.file.Files.createTempDirectory("pointprune").toFile
     try {

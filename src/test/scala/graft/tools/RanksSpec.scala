@@ -117,5 +117,12 @@ class RanksSpec extends AnyFunSuite {
     // [10,20), so the gauge reads {1, 2} there — never 3, which would
     // mean the two half-open intervals were counted as overlapping
     assert(rows.filter(_._1 == 10L).map(_._3).sorted.toSeq == Seq(1L, 2L))
+    // a NULL-bounded interval is EXCLUDED, not sorted to the front
+    // where its unmatched delta would offset every gauge value
+    val withNull = Seq((Some(0L), Some(10L)), (Some(5L), Option.empty[Long]))
+      .toDF("st", "en")
+    val g = Ranks.sweepConcurrency(withNull, "st", "en", 2).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(g.sorted.toSeq == Seq((0L, 1L), (10L, 0L)))
   }
 }
