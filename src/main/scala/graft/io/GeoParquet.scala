@@ -86,16 +86,12 @@ object GeoParquet {
       ZPointCol, "point")
     // the curve rank is a transient sort key — only the point column
     // persists (the sidecar + residual filter need it)
-    val before = {
-      val root = new HadoopPath(path)
-      val fs = root.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
-      listDataFiles(fs, root).toSet
-    }
+    val before = listDataFileSet(df.sparkSession, path)
     gf.packPartitions(numPartitions, p).df.drop("hilbert_distance")
       .write.mode(mode).parquet(path)
-    writeSidecarMerged(df.sparkSession, path,
-      boundsPerFile(df.sparkSession.read.parquet(path), Seq(ZPointCol)))
-    recordInitialGeneration(df.sparkSession, path, mode, before)
+    finishPack(df.sparkSession, path, mode, before,
+      newFiles => boundsPerFile(df.sparkSession.read.parquet(
+        newFiles.map(f => s"$path/$f"): _*), Seq(ZPointCol)))
   }
 
   /** Range read over a [[packNumericToParquet]] dataset: sidecar file
@@ -175,22 +171,19 @@ object GeoParquet {
     // a null in ANY packed column nulls the code (see scaled);
     // coalescing to -1 clusters those rows below every real code
     // instead of scattering them through the min-value files
-    val before = {
-      val root = new HadoopPath(path)
-      val fs = root.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
-      listDataFiles(fs, root).toSet
-    }
+    val before = listDataFileSet(df.sparkSession, path)
     df.withColumn(ZCodeCol, coalesce(code, lit(-1L)))
       .repartitionByRange(numPartitions, col(ZCodeCol))
       .sortWithinPartitions(ZCodeCol)
       .drop(ZCodeCol)
       .write.mode(mode).parquet(path)
     // per-file per-column min/max sidecar (degenerate [mn,mn,mx,mx]
-    // box), merged over any surviving sidecar so an append-mode pack
-    // preserves OTHER columns' entries
-    writeSidecarMerged(df.sparkSession, path,
-      numericBoundsPerFile(df.sparkSession.read.parquet(path), cols))
-    recordInitialGeneration(df.sparkSession, path, mode, before)
+    // box), computed over ONLY this pack's files and merged over any
+    // surviving sidecar — an append-mode pack neither rescans the
+    // existing files nor drops other columns' entries
+    finishPack(df.sparkSession, path, mode, before,
+      newFiles => numericBoundsPerFile(df.sparkSession.read.parquet(
+        newFiles.map(f => s"$path/$f"): _*), cols))
   }
 
   /** Per-file min/max for numeric columns, in the sidecar's box format
@@ -645,52 +638,67 @@ object GeoParquet {
     Some((graft.geom.HilbertRtree.build(bounds), files))
   }
 
-  /** Record the pack's commit in the generation log.
-    *  - "append" onto a dataset with a manifest MERGES like the
-    *    incremental append (this pack's new files get max+1); without
-    *    a manifest, the files that existed BEFORE the pack back-fill
-    *    as generation 0 and the pack's files as 1 (matching
-    *    [[appendWithBoundsOf]]'s back-fill).
-    *  - "ignore" NEVER touches an existing manifest (SaveMode.Ignore
-    *    may not have written anything — replacing history is never
-    *    justified); without one, the current files record as 0.
-    *  - "error" (fresh dir) / "overwrite" (history replaced): every
-    *    current file records as generation 0. */
-  private def recordInitialGeneration(spark: SparkSession, path: String,
-                                      mode: String,
-                                      before: Set[String]): Unit = {
-    val conf = spark.sessionState.newHadoopConf()
+  /** The names of the data files directly under `path`, as a set. */
+  private def listDataFileSet(spark: SparkSession, path: String): Set[String] = {
     val root = new HadoopPath(path)
-    val fs = root.getFileSystem(conf)
-    val files = listDataFiles(fs, root)
-    val m = mode.toLowerCase
-    val existing = readGenerations(path, conf)
-    if (m == "ignore" && existing.isDefined) ()
-    else if (m == "append") existing match {
-      case Some(gens) if gens.nonEmpty =>
-        val next = gens.values.max + 1
-        writeGenerations(spark, path,
-          gens ++ files.filterNot(gens.contains).map(_ -> next))
-      case _ if before.nonEmpty =>
-        writeGenerations(spark, path,
-          before.map(_ -> 0).toMap ++
-            files.filterNot(before.contains).map(_ -> 1))
-      case _ =>
-        writeGenerations(spark, path, files.map(_ -> 0).toMap)
-    }
-    else writeGenerations(spark, path, files.map(_ -> 0).toMap)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    listDataFiles(fs, root).toSet
   }
 
-  /** Write fresh per-file bounds MERGED over any existing sidecar:
-    * other columns' entries are preserved (they still describe the
-    * files they name; files they don't name stay conservatively kept
-    * on read). A replaced directory has no surviving sidecar, so
-    * "merge" degrades to a plain write exactly when it should. */
-  private def writeSidecarMerged(spark: SparkSession, path: String,
-      fresh: Map[String, Map[String, Array[Double]]]): Unit = {
-    val existing = readSidecarText(path, spark.sessionState.newHadoopConf())
-      .map(parseSidecarAll).getOrElse(Map.empty)
-    writeSidecarText(spark, path, renderSidecar(existing ++ fresh))
+  /** Shared tail of the pack functions: compute sidecar bounds over
+    * ONLY the files this pack created (the before/after listing diff,
+    * same as the incremental append — an append-mode pack never
+    * rescans the existing files), merge them over any surviving
+    * sidecar (other columns' entries are preserved; a replaced
+    * directory has no surviving sidecar, so the merge degrades to a
+    * plain write exactly when it should), and record the commit in the
+    * generation log:
+    *  - a NO-OP write (mode="ignore" onto an existing dir — no new
+    *    files) touches NOTHING: no scan, no sidecar, no manifest;
+    *  - "append" onto a dataset with a manifest records the new files
+    *    as max+1 (files that appeared OUTSIDE the API stay unrecorded
+    *    and invisible to time travel, like the incremental append);
+    *    without a manifest, the pre-pack files back-fill as
+    *    generation 0 and the pack's files as 1;
+    *  - "error" / "overwrite" / first write: everything records as 0. */
+  private def finishPack(spark: SparkSession, path: String, mode: String,
+      before: Set[String],
+      boundsOf: Seq[String] => Map[String, Map[String, Array[Double]]])
+      : Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val after = listDataFileSet(spark, path)
+    val newFiles = (after -- before).toSeq.sorted
+    val m = mode.toLowerCase
+    if (m == "ignore" && newFiles.isEmpty) return
+    if (newFiles.nonEmpty) {
+      val existing = readSidecarText(path, conf)
+        .map(parseSidecarAll).getOrElse(Map.empty)
+      val fresh = boundsOf(newFiles)
+      // column-level outer merge, file-level inner merge: a column
+      // this pack covers keeps the old files' entries and gains the
+      // new files'; other columns stay untouched
+      val merged = (existing.keySet ++ fresh.keySet).map { c =>
+        c -> (existing.getOrElse(c, Map.empty) ++ fresh.getOrElse(c, Map.empty))
+      }.toMap
+      writeSidecarText(spark, path, renderSidecar(merged))
+    }
+    if (m == "append") readGenerations(path, conf) match {
+      case Some(gens) if gens.nonEmpty =>
+        val next = gens.values.max + 1
+        writeGenerations(spark, path, gens ++ newFiles.map(_ -> next))
+      case _ if before.nonEmpty =>
+        writeGenerations(spark, path,
+          before.map(_ -> 0).toMap ++ newFiles.map(_ -> 1))
+      case _ =>
+        writeGenerations(spark, path, newFiles.map(_ -> 0).toMap)
+    }
+    else if (m == "ignore") {
+      // a write happened (dir was absent): record it unless some other
+      // writer's manifest already exists
+      if (readGenerations(path, conf).isEmpty)
+        writeGenerations(spark, path, after.map(_ -> 0).toMap)
+    }
+    else writeGenerations(spark, path, after.map(_ -> 0).toMap)
   }
 
   private def writeGenerations(spark: SparkSession, path: String,

@@ -2026,7 +2026,11 @@ object Queries {
     // micros-clock replay of the batch oracle: per-user hourly
     // generate_series into DuckDB's native ASOF, equal-(user, us) ties
     // pre-collapsed to the highest event_id (the fold order's
-    // deterministic winner), NULL users excluded on both engines.
+    // deterministic winner), NULL users excluded on both engines, and
+    // the grid covering the users OBSERVED WITHIN it (the machine's
+    // documented contract: a user first seen after the grid end emits
+    // nothing — state-reclamation safety; the oracle's u CTE applies
+    // the same ts <= h1 restriction).
     "stream_resample_ffill" -> ((s, dir) => {
       import s.implicits._
       val schema = s.read.parquet(s"$dir/events.parquet").schema
@@ -3881,8 +3885,9 @@ object Queries {
                            (((max(epoch_ns(ts)) // 1000)) // 3600000000)
                              * 3600000000 AS h1
                     FROM events WHERE user_id IS NOT NULL),
-            u AS (SELECT DISTINCT user_id FROM events
-                  WHERE user_id IS NOT NULL),
+            u AS (SELECT DISTINCT user_id FROM events, b
+                  WHERE user_id IS NOT NULL
+                    AND epoch_ns(ts) // 1000 <= b.h1),
             grid AS (SELECT u.user_id,
                             unnest(generate_series(b.h0, b.h1,
                                    3600000000)) AS t
@@ -3976,9 +3981,10 @@ object Queries {
     "interval_concurrency" ->
       """WITH d AS (
            SELECT epoch_ns(ts) // 1000 AS t, 1 AS delta FROM events
+           WHERE ts IS NOT NULL
            UNION ALL
            SELECT epoch_ns(ts) // 1000 + 1800000000 AS t, -1 AS delta
-           FROM events),
+           FROM events WHERE ts IS NOT NULL),
          r AS (SELECT t,
                       CAST(sum(delta) OVER (ORDER BY t, delta
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
