@@ -140,6 +140,24 @@ object GeoParquet {
       s"input column collides with reserved name $ZCodeCol")
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"missing column(s): ${missing.mkString(", ")}")
+    val before = listDataFileSet(df.sparkSession, path)
+    zSortedWrite(df, cols, path, numPartitions, bitsPerCol, mode)
+    // per-file per-column min/max sidecar (degenerate [mn,mn,mx,mx]
+    // box), computed over ONLY this pack's files and merged over any
+    // surviving sidecar — an append-mode pack neither rescans the
+    // existing files nor drops other columns' entries
+    finishPack(df.sparkSession, path, mode, before,
+      newFiles => numericBoundsPerFile(df.sparkSession.read.parquet(
+        newFiles.map(f => s"$path/$f"): _*), cols))
+  }
+
+  /** The pack's sort+write step alone (no sidecar, no manifest):
+    * min-max scale, bit-interleave, range-partition + local sort on
+    * the morton code, write. Shared by [[packZOrderToParquet]] and
+    * [[compactZOrderGeneration]], whose commits differ. */
+  private def zSortedWrite(df: DataFrame, cols: Seq[String], path: String,
+                           numPartitions: Int, bitsPerCol: Int,
+                           mode: String): Unit = {
     // one stats pass: global min/max per column (field 2j = min of
     // cols(j), field 2j+1 = max)
     val statAggs = cols.flatMap(c => Seq(
@@ -171,19 +189,11 @@ object GeoParquet {
     // a null in ANY packed column nulls the code (see scaled);
     // coalescing to -1 clusters those rows below every real code
     // instead of scattering them through the min-value files
-    val before = listDataFileSet(df.sparkSession, path)
     df.withColumn(ZCodeCol, coalesce(code, lit(-1L)))
       .repartitionByRange(numPartitions, col(ZCodeCol))
       .sortWithinPartitions(ZCodeCol)
       .drop(ZCodeCol)
       .write.mode(mode).parquet(path)
-    // per-file per-column min/max sidecar (degenerate [mn,mn,mx,mx]
-    // box), computed over ONLY this pack's files and merged over any
-    // surviving sidecar — an append-mode pack neither rescans the
-    // existing files nor drops other columns' entries
-    finishPack(df.sparkSession, path, mode, before,
-      newFiles => numericBoundsPerFile(df.sparkSession.read.parquet(
-        newFiles.map(f => s"$path/$f"): _*), cols))
   }
 
   /** Per-file min/max for numeric columns, in the sidecar's box format
@@ -254,14 +264,73 @@ object GeoParquet {
         c -> (existing.getOrElse(c, Map.empty) ++ newBounds.getOrElse(c, Map.empty))
       }.toMap
       writeSidecarText(spark, path, renderSidecar(merged))
-      // generation log: this commit's files get max+1; a pre-manifest
-      // dataset's existing files back-fill as generation 0
-      val gens = readGenerations(path, conf).getOrElse(
-        before.map(_ -> 0).toMap)
-      val nextGen = if (gens.isEmpty) 0 else gens.values.max + 1
-      writeGenerations(spark, path,
-        gens ++ newFiles.map(_ -> nextGen))
+      // generation log: this commit's files get currentGen+1; a
+      // pre-manifest dataset's existing files back-fill as generation 0
+      commitGenState(spark, path, {
+        case Some(st) if st.files.nonEmpty =>
+          warnUnrecorded(path, before -- st.files.keySet)
+          st.copy(files = st.files ++
+            newFiles.map(_ -> GenEntry(st.currentGen + 1, -1)))
+        case st =>
+          val backfill =
+            if (before.isEmpty) newFiles.map(_ -> GenEntry(0, -1))
+            else before.toSeq.map(_ -> GenEntry(0, -1)) ++
+              newFiles.map(_ -> GenEntry(1, -1))
+          GenState(st.map(_.commit).getOrElse(0), 0, backfill.toMap)
+      })
     }
+  }
+
+  /** A data file on disk but absent from the manifest is either a
+    * foreign append (legitimate under the single-writer contract —
+    * visible to plain reads, invisible to time travel) or OUR OWN torn
+    * commit (crash between the data write and the manifest write).
+    * The two are indistinguishable, so commits SURFACE them instead of
+    * silently letting snapshots shrink; [[adoptUnrecordedFiles]] is
+    * the explicit repair. */
+  private def warnUnrecorded(path: String, unrecorded: Set[String]): Unit =
+    if (unrecorded.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"$path has ${unrecorded.size} data file(s) outside the " +
+          s"generation manifest (${unrecorded.toSeq.sorted.take(5).mkString(", ")}" +
+          (if (unrecorded.size > 5) ", ..." else "") + ") — a foreign " +
+          "append or a torn commit; they are visible to plain reads " +
+          "but belong to no time-travel snapshot. Call " +
+          "GeoParquet.adoptUnrecordedFiles to fold them into a new " +
+          "generation.")
+
+  /** Data files on disk that belong to no generation (foreign appends
+    * or torn commits — see [[warnUnrecorded]]). Empty when the dataset
+    * has no manifest at all. */
+  def unrecordedFiles(spark: SparkSession, path: String): Seq[String] = {
+    val conf = spark.sessionState.newHadoopConf()
+    readGenState(path, conf) match {
+      case None => Nil
+      case Some(st) => (listDataFileSet(spark, path) -- st.files.keySet)
+        .toSeq.sorted
+    }
+  }
+
+  /** Explicit repair for torn commits: fold every unrecorded data file
+    * into a NEW generation, making the manifest agree with what plain
+    * reads already return. Returns the adopted file names (empty =
+    * nothing to do, no commit written). Sidecar entries are NOT
+    * invented for them — pruning degrades to conservative-keep, which
+    * is always correct. */
+  def adoptUnrecordedFiles(spark: SparkSession, path: String): Seq[String] = {
+    val found = unrecordedFiles(spark, path)
+    if (found.isEmpty) return Nil
+    commitGenState(spark, path, {
+      case Some(st) =>
+        // recompute inside the CAS loop: a racing commit may have
+        // recorded some of them already
+        val fresh = found.filterNot(st.files.keySet)
+        st.copy(files = st.files ++
+          fresh.map(_ -> GenEntry(st.currentGen + 1, -1)))
+      case None => throw new IllegalArgumentException(
+        s"no generation manifest at $path")
+    })
+    found
   }
 
   /** Range read over a [[packZOrderToParquet]] dataset: for each
@@ -281,12 +350,22 @@ object GeoParquet {
     val sidecar = readSidecarText(path, conf)
     val root = new HadoopPath(path)
     val fs = root.getFileSystem(conf)
-    val listed = listDataFiles(fs, root)
+    // files a compaction superseded (or a vacuum tombstoned) are NOT
+    // part of the current snapshot even though they are still on disk
+    // for time travel — exclude them; unrecorded (foreign) files stay
+    // conservatively visible as before
+    val removed = readGenState(path, conf)
+      .map(_.removedSet).getOrElse(Set.empty)
+    val listed = listDataFiles(fs, root).filterNot(removed)
+    if (removed.nonEmpty)
+      // a compacted dataset can never fall back to the whole-directory
+      // read (it would double-count the superseded files)
+      readZOrderSubset(spark, path, Some(listed.toSeq.sorted), ranges, sidecar)
     // no sidecar, OR a non-flat layout (empty top-level listing, e.g.
     // hive subdirs someone attached a sidecar to) -> WHOLE-DIRECTORY
     // read (partition discovery intact), exact residual only — degrade
     // to keep, never to zero rows
-    if (sidecar.isEmpty || listed.isEmpty)
+    else if (sidecar.isEmpty || listed.isEmpty)
       readZOrderSubset(spark, path, None, ranges, None)
     else
       readZOrderSubset(spark, path, Some(listed.toSeq), ranges, sidecar)
@@ -304,27 +383,153 @@ object GeoParquet {
       : DataFrame = {
     require(gen >= 0, s"generation must be >= 0, got $gen")
     val conf = spark.sessionState.newHadoopConf()
-    val gens = readGenerations(path, conf).getOrElse(throw
+    val st = readGenState(path, conf).getOrElse(throw
       new IllegalArgumentException(s"no generation manifest at $path — " +
         "the dataset was not written via the graft pack/append API"))
-    require(gens.nonEmpty,
+    require(st.files.nonEmpty,
       s"generation manifest at $path records no data files")
-    val latest = gens.values.max
+    val latest = st.currentGen
     require(gen <= latest,
       s"generation $gen not recorded at $path (latest is $latest)")
-    readZOrderSubset(spark, path,
-      Some(gens.collect { case (f, g) if g <= gen => f }.toSeq.sorted),
+    require(gen >= st.minGen,
+      s"generation $gen at $path was vacuumed (oldest readable is ${st.minGen})")
+    readZOrderSubset(spark, path, Some(st.liveAt(gen)),
       ranges, readSidecarText(path, conf))
   }
 
   /** Latest recorded generation ordinal (0 = the initial pack). */
   def currentGeneration(spark: SparkSession, path: String): Int = {
-    val gens = readGenerations(path,
+    val st = readGenState(path,
       spark.sessionState.newHadoopConf()).getOrElse(throw
       new IllegalArgumentException(s"no generation manifest at $path"))
-    require(gens.nonEmpty,
+    require(st.files.nonEmpty,
       s"generation manifest at $path records no data files")
-    gens.values.max
+    st.currentGen
+  }
+
+  /** Oldest generation still readable (0 until a vacuum advances it). */
+  def minReadableGeneration(spark: SparkSession, path: String): Int = {
+    val st = readGenState(path,
+      spark.sessionState.newHadoopConf()).getOrElse(throw
+      new IllegalArgumentException(s"no generation manifest at $path"))
+    st.minGen
+  }
+
+  /** OPTIMIZE-shaped compaction that PRESERVES time travel: re-cluster
+    * the current snapshot globally (the same min-max scale + morton
+    * interleave + range sort as the pack) into fresh files committed
+    * as a NEW generation, while the superseded files stay on disk and
+    * every prior generation stays readable — the old re-pack
+    * (mode="overwrite") destroyed the manifest, making compaction and
+    * time travel mutually exclusive. The current-snapshot readers
+    * ([[readZOrderRange]], plain [[readZOrderAtGeneration]] at the new
+    * head) see ONLY the compacted files; [[vacuumGenerations]] is the
+    * retention dual that eventually deletes the superseded ones.
+    *
+    * Scale shape: one read of the live files + one pack (stats pass,
+    * range shuffle, bounds aggregate) — the cost of the data ONCE, no
+    * history rescans. Returns the new head generation. Concurrent
+    * appends that land between the snapshot read and the commit stay
+    * live untouched (only the files this call actually rewrote are
+    * tombstoned), so no row is ever lost to the race. */
+  def compactZOrderGeneration(spark: SparkSession, path: String,
+                              cols: Seq[String], numPartitions: Int,
+                              bitsPerCol: Int = 8): Int = {
+    require(cols.nonEmpty && cols.distinct == cols,
+      s"need a non-empty distinct column list, got $cols")
+    require(bitsPerCol >= 1 && bitsPerCol * cols.length <= 62,
+      s"bitsPerCol=$bitsPerCol x ${cols.length} cols must fit a signed long")
+    val conf = spark.sessionState.newHadoopConf()
+    val st = readGenState(path, conf).getOrElse(throw
+      new IllegalArgumentException(s"no generation manifest at $path — " +
+        "only pack/append-API datasets can be compacted"))
+    require(st.files.nonEmpty,
+      s"generation manifest at $path records no data files")
+    val snapshotGen = st.currentGen
+    val live = st.liveAt(snapshotGen)
+    require(live.nonEmpty, s"empty current snapshot at $path")
+    val before = listDataFileSet(spark, path)
+    val df = spark.read.parquet(live.map(f => s"$path/$f"): _*)
+    require(!df.columns.contains(ZCodeCol),
+      s"input column collides with reserved name $ZCodeCol")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"missing column(s): ${missing.mkString(", ")}")
+    // append-mode write: reads pin their file lists at planning, so
+    // reading the live files while appending fresh ones is safe
+    zSortedWrite(df, cols, path, numPartitions, bitsPerCol, "append")
+    val newFiles = (listDataFileSet(spark, path) -- before).toSeq.sorted
+    require(newFiles.nonEmpty, s"compaction of $path produced no files")
+    // sidecar: ADD the compacted files' bounds, KEEP the superseded
+    // files' entries — they still prune reads at pre-compaction
+    // generations (vacuum is what retires them)
+    val fresh = numericBoundsPerFile(
+      spark.read.parquet(newFiles.map(f => s"$path/$f"): _*), cols)
+    val existing = readSidecarText(path, conf)
+      .map(parseSidecarAll).getOrElse(Map.empty)
+    val mergedSidecar = (existing.keySet ++ fresh.keySet).map { c =>
+      c -> (existing.getOrElse(c, Map.empty) ++ fresh.getOrElse(c, Map.empty))
+    }.toMap
+    writeSidecarText(spark, path, renderSidecar(mergedSidecar))
+    val liveSet = live.toSet
+    commitGenState(spark, path, {
+      case Some(cur) =>
+        val g = cur.currentGen + 1
+        cur.copy(files = cur.files.map { case (f, e) =>
+          // tombstone ONLY the files this call rewrote; anything a
+          // concurrent commit added meanwhile stays live
+          if (e.removed < 0 && liveSet(f)) f -> e.copy(removed = g)
+          else f -> e
+        } ++ newFiles.map(_ -> GenEntry(g, -1)))
+      case None => throw new IllegalStateException(
+        s"generation manifest at $path vanished mid-compaction")
+    }).currentGen
+  }
+
+  /** Retention dual of [[compactZOrderGeneration]]: keep the newest
+    * `retain` generations BEHIND the head readable (retain=0 keeps
+    * only the head) and physically delete every file visible in none
+    * of them. The manifest commit advances `minGen` FIRST, so a crash
+    * mid-delete leaves unreadable-but-present files that the next
+    * vacuum finishes off (reads never see them: they are tombstoned).
+    * Tombstone ENTRIES stay in the manifest as an audit trail — only
+    * data files and their sidecar entries are reclaimed. Returns the
+    * names of the files deleted. */
+  def vacuumGenerations(spark: SparkSession, path: String,
+                        retain: Int): Seq[String] = {
+    require(retain >= 0, s"retain must be >= 0, got $retain")
+    val conf = spark.sessionState.newHadoopConf()
+    val st0 = readGenState(path, conf).getOrElse(throw
+      new IllegalArgumentException(s"no generation manifest at $path"))
+    require(st0.files.nonEmpty,
+      s"generation manifest at $path records no data files")
+    val st = commitGenState(spark, path, {
+      case Some(cur) => cur.copy(minGen =
+        math.max(cur.minGen, math.max(0, cur.currentGen - retain)))
+      case None => throw new IllegalStateException(
+        s"generation manifest at $path vanished mid-vacuum")
+    })
+    // a file is invisible at EVERY readable generation g >= minGen
+    // exactly when removed <= minGen (visibility needs removed > g)
+    val root = new HadoopPath(path)
+    val fs = root.getFileSystem(conf)
+    // tombstones from an EARLIER vacuum recompute as dead every run;
+    // the exists filter keeps the return value honest (only what this
+    // call actually reclaims) and makes the whole step idempotent
+    val dead = st.files.collect {
+      case (f, e) if e.removed >= 0 && e.removed <= st.minGen => f
+    }.toSeq.sorted.filter(f => fs.exists(new HadoopPath(root, f)))
+    if (dead.nonEmpty) {
+      // retire the dead files' sidecar entries so the sidecar tracks
+      // only readable files (pruning of remaining generations is
+      // unaffected — per-file stats are independent)
+      readSidecarText(path, conf).map(parseSidecarAll).foreach { sc =>
+        val deadSet = dead.toSet
+        writeSidecarText(spark, path, renderSidecar(
+          sc.map { case (c, m) => c -> m.filterNot(kv => deadSet(kv._1)) }))
+      }
+      dead.foreach(f => fs.delete(new HadoopPath(root, f), false))
+    }
+    dead
   }
 
   /** Shared body of the range and at-generation reads: sidecar file
@@ -460,16 +665,30 @@ object GeoParquet {
   private def writeTextAtomic(spark: SparkSession, path: String,
                               name: String, text: String): Unit = {
     val p = new HadoopPath(path, name)
-    val tmp = new HadoopPath(path, s".$name.tmp")
+    // tmp name unique PER WRITER: concurrent sidecar writers sharing
+    // one tmp had one rename steal the other's file (FileNotFound mid-
+    // commit). The sidecar is advisory (conservative-keep), so last-
+    // writer-wins on CONTENT is acceptable — a crash mid-write is not;
+    // the manifest additionally goes through the commit-marker CAS.
+    val tmp = new HadoopPath(path,
+      s".$name.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     try {
       val out = fs.create(tmp, true)
       try out.write(text.getBytes(StandardCharsets.UTF_8))
       finally out.close()
-      if (fs.exists(p) && !fs.delete(p, false))
-        throw new java.io.IOException(s"failed to delete old sidecar $p")
-      if (!fs.rename(tmp, p))
-        throw new java.io.IOException(s"failed to rename $tmp to $p")
+      // delete-then-rename can interleave with a racer's own pair:
+      // a vanished target or a rename beaten to the name just retries
+      var renamed = false
+      var tries = 0
+      while (!renamed && tries < 5) {
+        tries += 1
+        if (fs.exists(p)) fs.delete(p, false)
+        renamed = fs.rename(tmp, p)
+      }
+      if (!renamed)
+        throw new java.io.IOException(
+          s"failed to rename $tmp to $p after $tries attempts")
     } catch {
       case e: Throwable =>
         try fs.delete(tmp, false) catch { case _: Throwable => () }
@@ -682,37 +901,168 @@ object GeoParquet {
       }.toMap
       writeSidecarText(spark, path, renderSidecar(merged))
     }
-    if (m == "append") readGenerations(path, conf) match {
-      case Some(gens) if gens.nonEmpty =>
-        val next = gens.values.max + 1
-        writeGenerations(spark, path, gens ++ newFiles.map(_ -> next))
-      case _ if before.nonEmpty =>
-        writeGenerations(spark, path,
-          before.map(_ -> 0).toMap ++ newFiles.map(_ -> 1))
-      case _ =>
-        writeGenerations(spark, path, newFiles.map(_ -> 0).toMap)
-    }
+    if (m == "append") commitGenState(spark, path, {
+      case Some(st) if st.files.nonEmpty =>
+        warnUnrecorded(path, before -- st.files.keySet)
+        st.copy(files = st.files ++
+          newFiles.map(_ -> GenEntry(st.currentGen + 1, -1)))
+      case st =>
+        val backfill =
+          if (before.isEmpty) newFiles.map(_ -> GenEntry(0, -1))
+          else before.toSeq.map(_ -> GenEntry(0, -1)) ++
+            newFiles.map(_ -> GenEntry(1, -1))
+        GenState(st.map(_.commit).getOrElse(0), 0, backfill.toMap)
+    })
     else if (m == "ignore") {
       // a write happened (dir was absent): record it unless some other
       // writer's manifest already exists
-      if (readGenerations(path, conf).isEmpty)
-        writeGenerations(spark, path, after.map(_ -> 0).toMap)
+      if (readGenState(path, conf).isEmpty)
+        commitGenState(spark, path, _ =>
+          GenState(0, 0, after.map(_ -> GenEntry(0, -1)).toMap))
     }
-    else writeGenerations(spark, path, after.map(_ -> 0).toMap)
+    else commitGenState(spark, path, _ =>
+      GenState(0, 0, after.map(_ -> GenEntry(0, -1)).toMap))
   }
 
-  private def writeGenerations(spark: SparkSession, path: String,
-                               m: Map[String, Int]): Unit =
-    writeTextAtomic(spark, path, GenerationsName,
-      m.toSeq.sortBy(_._1)
-        .map { case (f, g) => "\"" + f + "\":" + g }
-        .mkString("{", ",", "}"))
+  /** One data file's lifecycle in the generation log: visible at
+    * every generation g with added <= g < removed (removed == -1 means
+    * live — visible through the current generation). */
+  private[graft] final case class GenEntry(added: Int, removed: Int)
 
-  private[graft] def readGenerations(path: String, conf: Configuration)
-      : Option[Map[String, Int]] =
-    readTextFile(path, GenerationsName, conf).map(text =>
-      "\"([^\"]+)\":(\\d+)".r.findAllMatchIn(text)
-        .map(m => m.group(1) -> m.group(2).toInt).toMap)
+  /** The generation manifest's full state. `commit` is the CAS
+    * ordinal (every successful manifest write increments it — it
+    * counts WRITES, not generations); `minGen` is the oldest still-
+    * readable generation (vacuum advances it); `files` keeps one entry
+    * per data file ever committed, INCLUDING tombstones of vacuumed
+    * files (tiny, and they both audit history and stop a deleted name
+    * from ever being mistaken for an unrecorded foreign file). */
+  private[graft] final case class GenState(commit: Int, minGen: Int,
+                                           files: Map[String, GenEntry]) {
+    def currentGen: Int =
+      if (files.isEmpty) -1
+      else files.valuesIterator.map(e => math.max(e.added, e.removed)).max
+    def liveAt(g: Int): Seq[String] =
+      files.collect { case (f, e)
+        if e.added <= g && (e.removed < 0 || e.removed > g) => f }.toSeq.sorted
+    /** Every file some commit superseded (compaction) or vacuumed. */
+    def removedSet: Set[String] =
+      files.collect { case (f, e) if e.removed >= 0 => f }.toSet
+  }
+
+  private def renderGenState(st: GenState): String =
+    s"""{"_commit":${st.commit},"_min":${st.minGen},"files":{""" +
+      st.files.toSeq.sortBy(_._1)
+        .map { case (f, e) => "\"" + f + "\":[" + e.added + "," + e.removed + "]" }
+        .mkString(",") + "}}"
+
+  /** Legacy (round-10) manifest shape: {"file":gen,...} — every file
+    * live, nothing vacuumed. Still parsed so existing datasets keep
+    * their history; the next commit rewrites in the current shape. */
+  private def renderLegacyGenerations(m: Map[String, Int]): String =
+    m.toSeq.sortBy(_._1)
+      .map { case (f, g) => "\"" + f + "\":" + g }
+      .mkString("{", ",", "}")
+
+  /** STRICT manifest parse: the reconstructed state must re-render to
+    * the exact stored text (both shapes are machine-written with a
+    * canonical key order), so a hand-edited / truncated / future-format
+    * manifest is an ERROR — never a silently smaller snapshot. */
+  private[graft] def parseGenState(text: String, where: String): GenState = {
+    val t = text.trim
+    if (t.startsWith("{\"_commit\":")) {
+      val commit = "\"_commit\":(\\d+)".r.findFirstMatchIn(t).map(_.group(1).toInt)
+      val minG = "\"_min\":(\\d+)".r.findFirstMatchIn(t).map(_.group(1).toInt)
+      val entries = "\"([^\"]+)\":\\[(-?\\d+),(-?\\d+)\\]".r.findAllMatchIn(t)
+        .map(m => m.group(1) -> GenEntry(m.group(2).toInt, m.group(3).toInt)).toMap
+      require(commit.isDefined && minG.isDefined,
+        s"malformed generation manifest at $where: missing _commit/_min")
+      val st = GenState(commit.get, minG.get, entries)
+      require(renderGenState(st) == t,
+        s"malformed generation manifest at $where: entries do not " +
+          "round-trip the stored text (hand edit, truncation, or an " +
+          "unsupported future format)")
+      st
+    } else {
+      val entries = "\"([^\"]+)\":(\\d+)".r.findAllMatchIn(t)
+        .map(m => m.group(1) -> m.group(2).toInt).toMap
+      require(renderLegacyGenerations(entries) == t,
+        s"malformed generation manifest at $where: entries do not " +
+          "round-trip the stored text")
+      GenState(
+        commit = if (entries.isEmpty) 0 else entries.values.max + 1,
+        minGen = 0,
+        files = entries.map { case (f, g) => f -> GenEntry(g, -1) })
+    }
+  }
+
+  private[graft] def readGenState(path: String, conf: Configuration)
+      : Option[GenState] =
+    readTextFile(path, GenerationsName, conf)
+      .map(parseGenState(_, s"$path/$GenerationsName"))
+
+  /** Single-winner manifest commit (the "detected, not assumed"
+    * replacement for the old last-writer-wins rename): the writer that
+    * exclusively CREATES the `.gencommit-N` marker owns write ordinal
+    * N; a loser re-reads the (by then advanced) manifest and retries
+    * its update on top of it, so a concurrent API writer's commit is
+    * merged instead of clobbered. After the rename the manifest is
+    * read back and must be byte-identical — a non-API writer racing
+    * the rename is an IOException, never lost history. A marker whose
+    * manifest never lands (the owner crashed between the two steps) is
+    * adopted after three stale re-reads. Exclusive create is atomic on
+    * local/HDFS semantics; object stores without atomic
+    * create-if-absent keep only the read-back detection. */
+  private def commitGenState(spark: SparkSession, path: String,
+      update: Option[GenState] => GenState): GenState = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new HadoopPath(path)
+    val fs = root.getFileSystem(conf)
+    var lastCommitSeen = -1
+    var staleRounds = 0
+    var attempts = 0
+    while (attempts < 24) {
+      attempts += 1
+      val cur = readGenState(path, conf)
+      val next = update(cur).copy(commit = cur.map(_.commit).getOrElse(0) + 1)
+      val marker = new HadoopPath(root, s".gencommit-${next.commit}")
+      val won =
+        try { fs.create(marker, false).close(); true }
+        catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+                case _: java.io.IOException if fs.exists(marker) => false }
+      if (won) {
+        val text = renderGenState(next)
+        writeTextAtomic(spark, path, GenerationsName, text)
+        val back = readTextFile(path, GenerationsName, conf)
+        if (!back.contains(text))
+          throw new java.io.IOException(
+            s"generation-manifest commit at $path interleaved with a " +
+              "writer outside the commit protocol (read-back mismatch " +
+              s"on ordinal ${next.commit}) — refusing to continue with " +
+              "lost history")
+        // dead markers: no writer ever targets an ordinal <= the
+        // manifest's current commit (every attempt re-reads first)
+        try fs.listStatus(root).map(_.getPath.getName)
+          .filter(_.startsWith(".gencommit-"))
+          .filter(_.stripPrefix(".gencommit-").toIntOption.exists(_ < next.commit))
+          .foreach(n => fs.delete(new HadoopPath(root, n), false))
+        catch { case _: java.io.IOException => () }
+        return next
+      }
+      // lost the marker race: wait for the winner's manifest, then
+      // retry on top of it; adopt the marker if the winner never lands
+      val seen = cur.map(_.commit).getOrElse(0)
+      if (seen == lastCommitSeen) staleRounds += 1
+      else { staleRounds = 0; lastCommitSeen = seen }
+      if (staleRounds >= 3) {
+        try fs.delete(marker, false)
+        catch { case _: java.io.IOException => () }
+        staleRounds = 0
+      }
+      Thread.sleep(25L * math.min(attempts, 8))
+    }
+    throw new java.io.IOException(
+      s"generation-manifest commit contention at $path: 24 attempts lost")
+  }
 
   /** Every geometry column recorded in a sidecar, with its per-file
     * bounds (column blocks are flat `{file:[...],...}` objects, so the

@@ -679,6 +679,40 @@ object Sketches {
       .select(col("prob"), col("qv"), col("target"), col("n"), col("bound"))
   }
 
+  /** Fail-fast for the grouped summary's content-determinism contract:
+    * the two passes (counts, ranked) re-evaluate the source with
+    * different pruned schemas, so any ROUND-ROBIN redistribution in the
+    * source plan re-deals rows between them (sortBeforeRepartition
+    * orders by the binary row layout) and the per-(partition, group)
+    * counts silently stop describing the ranked pass. Parquet/file
+    * splits, hash/range repartitioning, and local coalesce are all
+    * content-deterministic; `df.repartition(n)` and keyless REBALANCE
+    * hints are not — reject them here so misuse is an error instead of
+    * plausible-but-wrong quantiles (the failure the builder's own spec
+    * observed as 3850/4000 group weights before the contract existed). */
+  private[graft] def requireContentDeterministicSource(
+      df: DataFrame, op: String): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Repartition, RebalancePartitions}
+    val bad = df.queryExecution.analyzed.collect {
+      // Repartition(shuffle = true) is df.repartition(n): round-robin.
+      // shuffle = false is coalesce — a narrow, deterministic merge of
+      // the source's own splits, which the contract allows.
+      case r: Repartition if r.shuffle => s"round-robin repartition(${r.numPartitions})"
+      // keyless REBALANCE is round-robin-ish (AQE splits by size);
+      // keyed rebalance still appends random salt to split skewed
+      // groups, so reject both shapes.
+      case r: RebalancePartitions => s"rebalance hint (${r.partitionExpressions.size} keys)"
+    }
+    require(bad.isEmpty,
+      s"$op requires a content-deterministic source (parquet/file splits " +
+        s"or hash/range repartitioning): the source plan contains " +
+        s"${bad.mkString(", ")}, whose row-to-partition assignment " +
+        "changes between the operator's two passes and would produce " +
+        "silently wrong per-group weights. Remove it or replace with " +
+        "repartition(n, col(...)).")
+  }
+
   /** Per-GROUP twin of [[quantileSummary]] — the per-language /
     * per-source distribution profile a corpus card needs, still with
     * ZERO data shuffles: partitions local-sort by (group, value), each
@@ -698,11 +732,14 @@ object Sketches {
     * pruning, and the two passes prune differently). The global
     * [[quantileSummary]] only needs partition SIZES, which round-robin
     * fixes arithmetically; the per-(partition, group) counts here need
-    * the assignment itself. */
+    * the assignment itself. ENFORCED: a source plan containing a
+    * round-robin repartition or rebalance hint is rejected up front
+    * (see [[requireContentDeterministicSource]]). */
   def quantileSummaryByGroup(df: DataFrame, groupCol: String, value: Column,
                              k: Int, tag: String): DataFrame = {
     require(k >= 2 && k <= (1 << 20), s"k must be in [2, 2^20], got $k")
     require(tag.nonEmpty && !tag.contains(":"), s"bad tag '$tag'")
+    requireContentDeterministicSource(df, "quantileSummaryByGroup")
     def vals = df.select(col(groupCol).cast("string").as("g"),
       value.cast("double").as("v")).na.drop()
     val counts = vals.select(spark_partition_id().cast("long").as("__pid"),

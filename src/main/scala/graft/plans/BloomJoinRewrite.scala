@@ -82,6 +82,13 @@ case class BloomJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private val insertionOrder =
     new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, String, Int)]
   private val MaxCachedFilters = 32
+  /** Guards ONLY the evict+insert step (driver-side, rare, O(1)) so
+    * concurrent rule invocations can't each poll a victim (over-evict)
+    * or transiently exceed capacity. The filter BUILD stays outside the
+    * lock: it runs a Spark action, and a Spark action under a lock an
+    * optimizer rule also takes is the re-entrant-optimize livelock this
+    * file already avoids in the get→compute→putIfAbsent shape. */
+  private val cacheLock = new Object
 
   private def integral(e: Expression): Boolean = e.dataType match {
     case ByteType | ShortType | IntegerType | LongType => true
@@ -136,14 +143,23 @@ case class BloomJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         // evict the OLDEST insert at capacity, not the whole map (and
         // not a stable bucket-order victim): a workload cycling through
         // MaxCachedFilters+1 build plans then rebuilds each filter once
-        // per cycle instead of the same one on every query
-        while (builtFilters.size >= MaxCachedFilters) {
-          val victim = insertionOrder.poll()
-          if (victim == null) builtFilters.clear() // queue drift backstop
-          else builtFilters.remove(victim)
+        // per cycle instead of the same one on every query. Locked so
+        // two racing inserts can't both poll a victim or leave the map
+        // over capacity; a thread losing the putIfAbsent race adopts
+        // the winner's filter (same key ⇒ same key set ⇒ same
+        // no-false-negative contract) instead of orphaning its own.
+        cacheLock.synchronized {
+          val winner = builtFilters.putIfAbsent(key, v)
+          if (winner == null) {
+            insertionOrder.offer(key)
+            while (builtFilters.size > MaxCachedFilters) {
+              val victim = insertionOrder.poll()
+              if (victim == null) builtFilters.clear() // queue drift backstop
+              else builtFilters.remove(victim)
+            }
+            v
+          } else winner
         }
-        if (builtFilters.putIfAbsent(key, v) == null) insertionOrder.offer(key)
-        v
     }
   }
 

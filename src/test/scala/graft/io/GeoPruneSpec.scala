@@ -493,4 +493,166 @@ class GeoPruneSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(dir)
     }
   }
+
+  private def genRows(lo: Int, n: Int) = (0 until n).map(i =>
+    ((lo * 10000 + i).toLong, lo * 100 + i % 100, lo * 100 + (i * 7) % 100))
+
+  test("compaction commits a new generation; every prior generation stays readable") {
+    val dir = java.nio.file.Files.createTempDirectory("zcompact").toFile
+    try {
+      val path = s"$dir/z"
+      GeoParquet.packZOrderToParquet(genRows(0, 600).toDF("id", "a", "b"),
+        Seq("a", "b"), path, 4)
+      GeoParquet.appendNumericWithSidecar(genRows(5, 600).toDF("id", "a", "b"),
+        path, Seq("a", "b"))
+      GeoParquet.appendNumericWithSidecar(genRows(9, 600).toDF("id", "a", "b"),
+        path, Seq("a", "b"))
+      def ids(g: Int) = GeoParquet.readZOrderAtGeneration(spark, path, g)
+        .select("id").as[Long].collect().toSet
+      val all = (genRows(0, 600) ++ genRows(5, 600) ++ genRows(9, 600))
+        .map(_._1).toSet
+      val filesBeforeCompact = GeoParquet
+        .readZOrderAtGeneration(spark, path, 2).inputFiles.length
+      val newGen = GeoParquet.compactZOrderGeneration(spark, path,
+        Seq("a", "b"), numPartitions = 2)
+      assert(newGen == 3 && GeoParquet.currentGeneration(spark, path) == 3)
+      // the head snapshot: same rows, FEWER files (12 -> 2)
+      val head = GeoParquet.readZOrderAtGeneration(spark, path, 3)
+      assert(head.select("id").as[Long].collect().toSet == all)
+      assert(head.inputFiles.length < filesBeforeCompact,
+        s"no compaction: ${head.inputFiles.length} of $filesBeforeCompact")
+      // time travel is PRESERVED: pre-compaction snapshots are intact
+      assert(ids(0) == genRows(0, 600).map(_._1).toSet)
+      assert(ids(1) == (genRows(0, 600) ++ genRows(5, 600)).map(_._1).toSet)
+      assert(ids(2) == all)
+      // the CURRENT-snapshot range read never double-counts: the
+      // superseded files are on disk but tombstoned
+      val ranged = GeoParquet.readZOrderRange(spark, path,
+        Seq(("a", 0.0, 2000.0)))
+      assert(ranged.select("id").as[Long].collect().toSet == all)
+      // and sidecar pruning works on the compacted files too
+      val probe = GeoParquet.readZOrderRange(spark, path,
+        Seq(("a", 500.0, 560.0)))
+      assert(probe.select("id").as[Long].collect().toSet ==
+        (genRows(0, 600) ++ genRows(5, 600) ++ genRows(9, 600))
+          .filter(r => r._2 >= 500 && r._2 <= 560).map(_._1).toSet)
+      // an append AFTER compaction keeps composing
+      GeoParquet.appendNumericWithSidecar(genRows(12, 100).toDF("id", "a", "b"),
+        path, Seq("a", "b"))
+      assert(GeoParquet.currentGeneration(spark, path) == 4)
+      assert(ids(4) == all ++ genRows(12, 100).map(_._1))
+      assert(ids(3) == all)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
+  test("vacuum retains the newest generations, deletes dead files, is idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("zvacuum").toFile
+    try {
+      val path = s"$dir/z"
+      GeoParquet.packZOrderToParquet(genRows(0, 400).toDF("id", "a", "b"),
+        Seq("a", "b"), path, 3)
+      GeoParquet.appendNumericWithSidecar(genRows(5, 400).toDF("id", "a", "b"),
+        path, Seq("a", "b"))
+      GeoParquet.compactZOrderGeneration(spark, path, Seq("a", "b"), 2)
+      val all = (genRows(0, 400) ++ genRows(5, 400)).map(_._1).toSet
+      val onDiskBefore = spark.read.parquet(path).inputFiles.length
+      // retain 0 => only the head (gen 2) stays readable
+      val deleted = GeoParquet.vacuumGenerations(spark, path, retain = 0)
+      assert(deleted.nonEmpty)
+      assert(GeoParquet.minReadableGeneration(spark, path) == 2)
+      val e = intercept[IllegalArgumentException] {
+        GeoParquet.readZOrderAtGeneration(spark, path, 1)
+      }
+      assert(e.getMessage.contains("vacuum"))
+      // the head snapshot is untouched, on disk the dead files are gone
+      assert(GeoParquet.readZOrderAtGeneration(spark, path, 2)
+        .select("id").as[Long].collect().toSet == all)
+      assert(GeoParquet.readZOrderRange(spark, path, Seq(("a", 0.0, 2000.0)))
+        .select("id").as[Long].collect().toSet == all)
+      assert(spark.read.parquet(path).inputFiles.length < onDiskBefore)
+      // idempotent: a second vacuum reclaims nothing new
+      assert(GeoParquet.vacuumGenerations(spark, path, retain = 0).isEmpty)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
+  test("manifest is strict: corruption is an error, never a smaller snapshot") {
+    val dir = java.nio.file.Files.createTempDirectory("zstrict").toFile
+    try {
+      val path = s"$dir/z"
+      GeoParquet.packZOrderToParquet(genRows(0, 100).toDF("id", "a", "b"),
+        Seq("a", "b"), path, 2)
+      val mf = new java.io.File(path, "_generations.json")
+      val text = new String(java.nio.file.Files.readAllBytes(mf.toPath))
+      // raw edit: drop the Hadoop CRC twin too, or the checksum (not
+      // the strict parse) is what trips
+      def rawWrite(s: String): Unit = {
+        java.nio.file.Files.write(mf.toPath, s.getBytes)
+        new java.io.File(path, "._generations.json.crc").delete()
+      }
+      // truncate one entry's closing bracket — the permissive parse of
+      // old rounds would silently drop entries; now it must throw
+      rawWrite(text.replaceFirst("\\]", ""))
+      val e = intercept[IllegalArgumentException] {
+        GeoParquet.currentGeneration(spark, path)
+      }
+      assert(e.getMessage.contains("malformed"))
+      rawWrite(text)
+      assert(GeoParquet.currentGeneration(spark, path) == 0)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
+  test("unrecorded files are surfaced and adoptable; concurrent commits never lose history") {
+    val dir = java.nio.file.Files.createTempDirectory("zcas").toFile
+    try {
+      val path = s"$dir/z"
+      GeoParquet.packZOrderToParquet(genRows(0, 200).toDF("id", "a", "b"),
+        Seq("a", "b"), path, 2)
+      // a foreign (or torn-commit) file: visible to plain reads,
+      // invisible to time travel, SURFACED by the audit API
+      genRows(3, 50).toDF("id", "a", "b").write.mode("append").parquet(path)
+      val orphans = GeoParquet.unrecordedFiles(spark, path)
+      assert(orphans.nonEmpty)
+      assert(GeoParquet.readZOrderAtGeneration(spark, path, 0)
+        .count() == 200)
+      // explicit repair folds them into a NEW generation
+      assert(GeoParquet.adoptUnrecordedFiles(spark, path) == orphans)
+      assert(GeoParquet.unrecordedFiles(spark, path).isEmpty)
+      assert(GeoParquet.currentGeneration(spark, path) == 1)
+      assert(GeoParquet.readZOrderAtGeneration(spark, path, 1).count() == 250)
+      assert(GeoParquet.readZOrderAtGeneration(spark, path, 0).count() == 200)
+      // adopt with nothing to adopt: no commit written
+      assert(GeoParquet.adoptUnrecordedFiles(spark, path).isEmpty)
+      assert(GeoParquet.currentGeneration(spark, path) == 1)
+
+      // an ORPHANED commit marker (a writer that died between marker
+      // and manifest) must not wedge the dataset: the next commit
+      // adopts it after a few stale reads
+      val st = GeoParquet.readGenState(path,
+        spark.sessionState.newHadoopConf()).get
+      java.nio.file.Files.createFile(
+        new java.io.File(path, s".gencommit-${st.commit + 1}").toPath)
+      GeoParquet.appendNumericWithSidecar(genRows(7, 50).toDF("id", "a", "b"),
+        path, Seq("a", "b"))
+      assert(GeoParquet.currentGeneration(spark, path) == 2)
+      assert(GeoParquet.readZOrderAtGeneration(spark, path, 2).count() == 300)
+
+      // CONCURRENT API appends from 4 threads: with the old last-
+      // writer-wins rename some thread's manifest entries were silently
+      // clobbered (its files became permanently unrecorded); the CAS
+      // loop must record every file
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fs = (0 until 4).map { t =>
+        Future(GeoParquet.appendNumericWithSidecar(
+          genRows(20 + t, 80).toDF("id", "a", "b"), path, Seq("a", "b")))
+      }
+      Await.result(Future.sequence(fs), 120.seconds)
+      assert(GeoParquet.unrecordedFiles(spark, path).isEmpty,
+        "concurrent commit lost manifest entries")
+      val head = GeoParquet.currentGeneration(spark, path)
+      assert(GeoParquet.readZOrderAtGeneration(spark, path, head)
+        .count() == 300 + 4 * 80)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
 }

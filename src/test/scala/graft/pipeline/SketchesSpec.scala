@@ -439,4 +439,31 @@ class SketchesSpec extends AnyFunSuite {
     assert(Sketches.quantilesFromSummary(empty, Seq(0.5),
       Sketches.summaryBound(empty)).count() == 0)
   }
+
+  test("quantileSummaryByGroup rejects round-robin sources, accepts deterministic ones") {
+    val data = (1 to 200).map(i => (if (i % 3 == 0) "a" else "b", i * 1.0))
+    // df.repartition(n) is round-robin: the documented silent-wrong-
+    // weights footgun must now be an ERROR, not a plausible answer
+    val rr = intercept[IllegalArgumentException] {
+      Sketches.quantileSummaryByGroup(
+        data.toDF("g", "x").repartition(7), "g", col("x"), 8, "s")
+    }
+    assert(rr.getMessage.contains("round-robin"))
+    // a keyless REBALANCE hint is equally non-deterministic
+    val rb = intercept[IllegalArgumentException] {
+      Sketches.quantileSummaryByGroup(
+        data.toDF("g", "x").hint("rebalance"), "g", col("x"), 8, "s")
+    }
+    assert(rb.getMessage.contains("rebalance"))
+    // hash repartition and coalesce remain accepted (content-
+    // deterministic), and the result is still exact on weights
+    for (src <- Seq(data.toDF("g", "x").repartition(5, col("x")),
+      data.toDF("g", "x").repartition(6, col("x")).coalesce(3))) {
+      val sk = Sketches.quantileSummaryByGroup(src, "g", col("x"), 8, "s")
+      val wsums = sk.groupBy("g").agg(sum("w")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(wsums == Map("a" -> data.count(_._1 == "a").toLong,
+        "b" -> data.count(_._1 == "b").toLong))
+    }
+  }
 }
