@@ -27,6 +27,34 @@ object Queries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Scratch dir for queries that WRITE a dataset: keyed by the sf dir
+    * AND the Spark application id, so two harness processes running
+    * against the same sf dir can never interleave commits into one
+    * directory (the generation-manifest corruption ADVICE flagged).
+    * Pair with [[collectAndClean]], which removes the dir once the
+    * result is materialized — an app-unique dir is otherwise never
+    * reclaimed by later runs. */
+  private def processTmpDir(s: SparkSession, tag: String, dir: String): String = {
+    val out = System.getProperty("java.io.tmpdir") +
+      s"/graft_${tag}_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    out
+  }
+
+  /** Materialize a (small, aggregate-sized) result eagerly and delete
+    * the scratch dataset it still lazily references — the returned
+    * frame is a local collection, safe to evaluate any time after the
+    * directory is gone. */
+  private def collectAndClean(s: SparkSession, scratchDir: String,
+                              df: DataFrame): DataFrame = {
+    val rows = df.collect().toSeq
+    val out = s.createDataFrame(
+      s.sparkContext.parallelize(rows, 1), df.schema)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratchDir))
+    out
+  }
+
   /** Derived PARTSUPP: the testdata schema has no partsupp table, so
     * the (part, supplier) pairs observed in lineitem stand in, with
     * deterministic integer cost/availqty derived from the keys. The
@@ -1386,9 +1414,7 @@ object Queries {
     // The gate reads a 3-D box spanning all three generations and must
     // equal plain BETWEENs over the full table.
     "zorder_append_prune" -> ((s, dir) => {
-      val out = System.getProperty("java.io.tmpdir") +
-        "/graft_zappend_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val out = processTmpDir(s, "zappend", dir)
       val zcols = Seq("l_quantity", "l_discount", "l_extendedprice")
       val li = t(s, dir, "lineitem").select(col("l_orderkey"),
         col("l_returnflag"), col("l_quantity"), col("l_discount"),
@@ -1399,7 +1425,7 @@ object Queries {
         li.where(col("l_orderkey") % 3 === 1), out, zcols)
       graft.io.GeoParquet.appendNumericWithSidecar(
         li.where(col("l_orderkey") % 3 === 2), out, zcols)
-      graft.io.GeoParquet.readZOrderRange(s, out, Seq(
+      collectAndClean(s, out, graft.io.GeoParquet.readZOrderRange(s, out, Seq(
           ("l_quantity", 20.0, 40.0),
           ("l_discount", 0.01, 0.05),
           ("l_extendedprice", 20000.0, 60000.0)))
@@ -1407,7 +1433,7 @@ object Queries {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity")).cast("long").as("qty"),
           min(col("l_extendedprice")).as("price_min"),
-          max(col("l_extendedprice")).as("price_max"))
+          max(col("l_extendedprice")).as("price_max")))
     }),
 
     // TIME TRAVEL over the z-ordered lake: the pack/append API records
@@ -1419,9 +1445,10 @@ object Queries {
     // file subset). The oracle replays each snapshot from the batch
     // residues the demo committed.
     "zorder_time_travel" -> ((s, dir) => {
-      val out = System.getProperty("java.io.tmpdir") +
-        "/graft_ztt_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      // per-PROCESS tmp dir (two harnesses against the same sf dir must
+      // not interleave generation commits), deleted once the result is
+      // materialized — see collectAndClean
+      val out = processTmpDir(s, "ztt", dir)
       val zcols = Seq("l_quantity", "l_extendedprice")
       val li = t(s, dir, "lineitem").select(col("l_orderkey"),
         col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
@@ -1433,7 +1460,7 @@ object Queries {
         li.where(col("l_orderkey") % 3 === 2), out, zcols)
       require(graft.io.GeoParquet.currentGeneration(s, out) == 2,
         "expected three recorded generations")
-      (0 to 2).map { g =>
+      collectAndClean(s, out, (0 to 2).map { g =>
         graft.io.GeoParquet.readZOrderAtGeneration(s, out, g,
             Seq(("l_quantity", 10.0, 35.0)))
           .agg(count(lit(1)).as("n"),
@@ -1442,7 +1469,57 @@ object Queries {
             max(col("l_extendedprice")).as("price_max"))
           .select(lit(g).as("gen"), col("n"), col("qty"),
             col("price_min"), col("price_max"))
-      }.reduce(_ unionAll _)
+      }.reduce(_ unionAll _))
+    }),
+
+    // COMPACTION WITH TIME TRAVEL (the Delta/Iceberg OPTIMIZE shape):
+    // after three commits, compactZOrderGeneration rewrites the head
+    // snapshot as generation 3 — FEWER files, same rows — while every
+    // prior generation stays readable; a retention vacuum then fences
+    // off generation 0 (minGen advances) WITHOUT touching the files
+    // generations 1-3 still need. The gate proves read-at-generation
+    // equality before AND after the compaction: gen 3 must reproduce
+    // gen 2's content exactly, from different (compacted) files.
+    "zorder_compact_travel" -> ((s, dir) => {
+      val out = processTmpDir(s, "zct", dir)
+      val zcols = Seq("l_quantity", "l_extendedprice")
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      graft.io.GeoParquet.packZOrderToParquet(
+        li.where(col("l_orderkey") % 3 === 0), zcols, out, numPartitions = 4)
+      graft.io.GeoParquet.appendNumericWithSidecar(
+        li.where(col("l_orderkey") % 3 === 1), out, zcols)
+      graft.io.GeoParquet.appendNumericWithSidecar(
+        li.where(col("l_orderkey") % 3 === 2), out, zcols)
+      val preFiles = graft.io.GeoParquet
+        .readZOrderAtGeneration(s, out, 2).inputFiles.length
+      require(graft.io.GeoParquet.compactZOrderGeneration(
+        s, out, zcols, numPartitions = 2) == 3, "compaction must commit gen 3")
+      val head = graft.io.GeoParquet.readZOrderAtGeneration(s, out, 3)
+      require(head.inputFiles.length < preFiles,
+        s"compaction did not shrink the file count " +
+          s"(${head.inputFiles.length} of $preFiles)")
+      // retention: keep 2 generations behind the head -> gen 0 fenced
+      // off; nothing deletes (gens 1-2 still reference every old file)
+      require(graft.io.GeoParquet.vacuumGenerations(s, out, retain = 2).isEmpty,
+        "vacuum(2) must not delete files generations 1-2 still need")
+      require(graft.io.GeoParquet.minReadableGeneration(s, out) == 1,
+        "vacuum(2) must fence generation 0")
+      require(
+        try { graft.io.GeoParquet.readZOrderAtGeneration(s, out, 0); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("vacuum") },
+        "reading a vacuumed generation must fail fast")
+      collectAndClean(s, out, (1 to 3).map { g =>
+        graft.io.GeoParquet.readZOrderAtGeneration(s, out, g,
+            Seq(("l_quantity", 10.0, 35.0)))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity")).cast("long").as("qty"),
+            min(col("l_extendedprice")).as("price_min"),
+            max(col("l_extendedprice")).as("price_max"))
+          .select(lit(g).as("gen"), col("n"), col("qty"),
+            col("price_min"), col("price_max"))
+      }.reduce(_ unionAll _))
     }),
 
     // Hive-partitioned layout round-trip: write documents partitioned
@@ -3762,6 +3839,18 @@ object Queries {
          FROM (SELECT unnest([0, 1, 2]) AS g)
          CROSS JOIN lineitem
          WHERE l_orderkey % 3 <= g
+           AND l_quantity BETWEEN 10 AND 35
+         GROUP BY g""",
+    // gen 3 is the COMPACTED head: same content as gen 2 from fewer
+    // files, so its oracle slice is gen 2's (least(g, 2))
+    "zorder_compact_travel" ->
+      """SELECT g AS gen, count(*) AS n,
+                CAST(sum(l_quantity) AS BIGINT) AS qty,
+                min(l_extendedprice) AS price_min,
+                max(l_extendedprice) AS price_max
+         FROM (SELECT unnest([1, 2, 3]) AS g)
+         CROSS JOIN lineitem
+         WHERE l_orderkey % 3 <= least(g, 2)
            AND l_quantity BETWEEN 10 AND 35
          GROUP BY g""",
     "set_ops_counts" ->
