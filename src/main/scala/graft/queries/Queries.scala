@@ -2317,6 +2317,64 @@ object Queries {
         .df.select(col("c_custkey"), col("px"), col("py"))
     }),
 
+    // STREAMING TIME-TRAVEL INGEST: the incremental sidecar append
+    // sink composed with the generation manifest — every micro-batch
+    // lands as ONE generation commit (zero new machinery: foreachBatch
+    // + the exact appendNumericWithSidecar the batch lake uses), so
+    // readZOrderAtGeneration replays any PREFIX of the stream after
+    // the fact. The input is staged as three files with strictly
+    // increasing mtimes; the file source (oldest-first) +
+    // maxFilesPerTrigger=1 then yields a deterministic batch
+    // sequence, which is exactly what the prefix oracle demands —
+    // the gate is the zorder_time_travel family (generation g ==
+    // batches 0..g), hash-matched against DuckDB.
+    "stream_zorder_travel" -> ((s, dir) => {
+      val base = processTmpDir(s, "szt", dir)
+      val zcols = Seq("l_quantity", "l_extendedprice")
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      (0 to 2).foreach { g =>
+        li.where(col("l_orderkey") % 3 === g).coalesce(1)
+          .write.parquet(s"$base/stage/b$g")
+        val part = new java.io.File(s"$base/stage/b$g").listFiles()
+          .filter(f => f.getName.endsWith(".parquet") &&
+            !f.getName.startsWith(".") && !f.getName.startsWith("_")).head
+        val tgt = new java.io.File(s"$base/src/batch$g.parquet")
+        tgt.getParentFile.mkdirs()
+        org.apache.commons.io.FileUtils.moveFile(part, tgt)
+        require(tgt.setLastModified(1000000L * (g + 1)),
+          s"cannot stamp mtime on $tgt")
+      }
+      val schema = s.read.parquet(s"$base/src").schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+      val qName = "graft_stream_zorder_travel"
+      s.streams.active.filter(q => q.name == qName).foreach(_.stop())
+      val q = src.writeStream.queryName(qName)
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.io.GeoParquet.appendNumericWithSidecar(
+            batch, s"$base/lake", zcols)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      require(graft.io.GeoParquet.currentGeneration(s, s"$base/lake") == 2,
+        "expected one generation per micro-batch (3 batches)")
+      require(graft.io.GeoParquet.unrecordedFiles(s, s"$base/lake").isEmpty,
+        "every streamed file must be manifest-recorded")
+      collectAndClean(s, base, (0 to 2).map { g =>
+        graft.io.GeoParquet.readZOrderAtGeneration(s, s"$base/lake", g,
+            Seq(("l_quantity", 10.0, 35.0)))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity")).cast("long").as("qty"),
+            min(col("l_extendedprice")).as("price_min"),
+            max(col("l_extendedprice")).as("price_max"))
+          .select(lit(g).as("gen"), col("n"), col("qty"),
+            col("price_min"), col("price_max"))
+      }.reduce(_ unionAll _))
+    }),
+
     // Streaming INGEST FILTER under the DuckDB gate: the full
     // sample-then-decontaminate ingest pipeline (Streams.ingestFilter)
     // per micro-batch via foreachBatch — both stages are per-row /
@@ -3832,6 +3890,18 @@ object Queries {
          GROUP BY l_returnflag""",
     // each generation snapshot = the orderkey residues committed so far
     "zorder_time_travel" ->
+      """SELECT g AS gen, count(*) AS n,
+                CAST(sum(l_quantity) AS BIGINT) AS qty,
+                min(l_extendedprice) AS price_min,
+                max(l_extendedprice) AS price_max
+         FROM (SELECT unnest([0, 1, 2]) AS g)
+         CROSS JOIN lineitem
+         WHERE l_orderkey % 3 <= g
+           AND l_quantity BETWEEN 10 AND 35
+         GROUP BY g""",
+    // generation g == stream prefix 0..g — the zorder_time_travel
+    // oracle verbatim (one micro-batch per generation)
+    "stream_zorder_travel" ->
       """SELECT g AS gen, count(*) AS n,
                 CAST(sum(l_quantity) AS BIGINT) AS qty,
                 min(l_extendedprice) AS price_min,
