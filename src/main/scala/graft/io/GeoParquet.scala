@@ -415,6 +415,54 @@ object GeoParquet {
     st.minGen
   }
 
+  /** INCREMENTAL change read (the Delta-CDF shape for an append-only
+    * lake): the rows that ARRIVED in generations (fromGen, toGen] —
+    * exactly the files those commits added, so the cost is the new
+    * data alone, never a diff of two snapshots. Generations a
+    * compaction committed are REWRITES of existing rows, not arrivals,
+    * and are skipped (the manifest records them), so an incremental
+    * consumer polling `(lastSeen, current]` never re-reads the corpus
+    * because maintenance re-clustered it. Optional `ranges` get the
+    * usual sidecar pruning + exact residual. Fails fast if any
+    * in-window file was vacuumed away (the changes are no longer
+    * reconstructible) — never a silently partial result. */
+  def readZOrderChanges(spark: SparkSession, path: String,
+                        fromGen: Int, toGen: Int,
+                        ranges: Seq[(String, Double, Double)] = Nil)
+      : DataFrame = {
+    require(fromGen >= -1 && fromGen <= toGen,
+      s"need -1 <= fromGen <= toGen, got ($fromGen, $toGen]")
+    val conf = spark.sessionState.newHadoopConf()
+    val st = readGenState(path, conf).getOrElse(throw
+      new IllegalArgumentException(s"no generation manifest at $path — " +
+        "the dataset was not written via the graft pack/append API"))
+    require(st.files.nonEmpty,
+      s"generation manifest at $path records no data files")
+    require(toGen <= st.currentGen,
+      s"generation $toGen not recorded at $path (latest is ${st.currentGen})")
+    val window = st.files.toSeq.collect {
+      case (f, e) if e.added > fromGen && e.added <= toGen &&
+        !st.rewrites(e.added) => (f, e)
+    }
+    val vacuumed = window.collect {
+      case (f, e) if e.removed >= 0 && e.removed <= st.minGen => f
+    }
+    require(vacuumed.isEmpty,
+      s"changes in ($fromGen, $toGen] at $path include vacuumed file(s) " +
+        s"${vacuumed.sorted.take(3).mkString(", ")}" +
+        (if (vacuumed.size > 3) ", ..." else "") +
+        " — the window is no longer reconstructible")
+    val files = window.map(_._1).sorted
+    if (files.isEmpty)
+      // schema-stable empty result (e.g. a window holding only a
+      // compaction commit)
+      readZOrderSubset(spark, path, Some(st.liveAt(st.currentGen)),
+        ranges, None).limit(0)
+    else
+      readZOrderSubset(spark, path, Some(files), ranges,
+        readSidecarText(path, conf))
+  }
+
   /** OPTIMIZE-shaped compaction that PRESERVES time travel: re-cluster
     * the current snapshot globally (the same min-max scale + morton
     * interleave + range sort as the pack) into fresh files committed
@@ -479,7 +527,10 @@ object GeoParquet {
           // concurrent commit added meanwhile stays live
           if (e.removed < 0 && liveSet(f)) f -> e.copy(removed = g)
           else f -> e
-        } ++ newFiles.map(_ -> GenEntry(g, -1)))
+        } ++ newFiles.map(_ -> GenEntry(g, -1)),
+          // a compaction generation REWRITES rows, it does not add
+          // them — change readers (readZOrderChanges) skip it
+          rewrites = cur.rewrites + g)
       case None => throw new IllegalStateException(
         s"generation manifest at $path vanished mid-compaction")
     }).currentGen
@@ -937,7 +988,8 @@ object GeoParquet {
     * files (tiny, and they both audit history and stop a deleted name
     * from ever being mistaken for an unrecorded foreign file). */
   private[graft] final case class GenState(commit: Int, minGen: Int,
-                                           files: Map[String, GenEntry]) {
+                                           files: Map[String, GenEntry],
+                                           rewrites: Set[Int] = Set.empty) {
     def currentGen: Int =
       if (files.isEmpty) -1
       else files.valuesIterator.map(e => math.max(e.added, e.removed)).max
@@ -950,7 +1002,8 @@ object GeoParquet {
   }
 
   private def renderGenState(st: GenState): String =
-    s"""{"_commit":${st.commit},"_min":${st.minGen},"files":{""" +
+    s"""{"_commit":${st.commit},"_min":${st.minGen},"_rw":[""" +
+      st.rewrites.toSeq.sorted.mkString(",") + """],"files":{""" +
       st.files.toSeq.sortBy(_._1)
         .map { case (f, e) => "\"" + f + "\":[" + e.added + "," + e.removed + "]" }
         .mkString(",") + "}}"
@@ -972,11 +1025,24 @@ object GeoParquet {
     if (t.startsWith("{\"_commit\":")) {
       val commit = "\"_commit\":(\\d+)".r.findFirstMatchIn(t).map(_.group(1).toInt)
       val minG = "\"_min\":(\\d+)".r.findFirstMatchIn(t).map(_.group(1).toInt)
+      val rw = "\"_rw\":\\[([0-9,]*)\\]".r.findFirstMatchIn(t)
+        .map(_.group(1)).map(s =>
+          if (s.isEmpty) Set.empty[Int] else s.split(',').map(_.toInt).toSet)
       val entries = "\"([^\"]+)\":\\[(-?\\d+),(-?\\d+)\\]".r.findAllMatchIn(t)
         .map(m => m.group(1) -> GenEntry(m.group(2).toInt, m.group(3).toInt)).toMap
       require(commit.isDefined && minG.isDefined,
         s"malformed generation manifest at $where: missing _commit/_min")
-      val st = GenState(commit.get, minG.get, entries)
+      // _rw absent (an early-v2 manifest) = no rewrites — still strict:
+      // the round-trip below re-renders WITH _rw, so only texts whose
+      // entries reproduce exactly pass; early-v2 text fails the
+      // round-trip against the _rw render, so compare against both
+      val st = GenState(commit.get, minG.get, entries, rw.getOrElse(Set.empty))
+      val earlyV2 =
+        s"""{"_commit":${st.commit},"_min":${st.minGen},"files":{""" +
+          st.files.toSeq.sortBy(_._1)
+            .map { case (f, e) => "\"" + f + "\":[" + e.added + "," + e.removed + "]" }
+            .mkString(",") + "}}"
+      if (rw.isEmpty && earlyV2 == t) return st
       require(renderGenState(st) == t,
         s"malformed generation manifest at $where: entries do not " +
           "round-trip the stored text (hand edit, truncation, or an " +

@@ -2375,6 +2375,42 @@ object Queries {
       }.reduce(_ unionAll _))
     }),
 
+    // INCREMENTAL CHANGE READS over the generation lake (the Delta-CDF
+    // consumption shape): a consumer polling (lastSeen, current] reads
+    // ONLY the files those commits added — and a compaction generation
+    // is a rewrite, not an arrival, so maintenance never makes the
+    // consumer re-read the corpus. Three windows gated: the two
+    // appends, the compaction-only window (must be EMPTY — count 0,
+    // null aggregates, matched by the oracle's WHERE FALSE branch),
+    // and the post-compaction append.
+    "zorder_changes_read" -> ((s, dir) => {
+      val out = processTmpDir(s, "zchg", dir)
+      val zcols = Seq("l_quantity", "l_extendedprice")
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      graft.io.GeoParquet.packZOrderToParquet(
+        li.where(col("l_orderkey") % 4 === 0), zcols, out, numPartitions = 3)
+      graft.io.GeoParquet.appendNumericWithSidecar(
+        li.where(col("l_orderkey") % 4 === 1), out, zcols)
+      graft.io.GeoParquet.appendNumericWithSidecar(
+        li.where(col("l_orderkey") % 4 === 2), out, zcols)
+      require(graft.io.GeoParquet.compactZOrderGeneration(
+        s, out, zcols, numPartitions = 2) == 3, "compaction must commit gen 3")
+      graft.io.GeoParquet.appendNumericWithSidecar(
+        li.where(col("l_orderkey") % 4 === 3), out, zcols)
+      def win(w: Int, a: Int, b: Int) =
+        graft.io.GeoParquet.readZOrderChanges(s, out, a, b,
+            Seq(("l_quantity", 10.0, 35.0)))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity")).cast("long").as("qty"),
+            min(col("l_extendedprice")).as("price_min"),
+            max(col("l_extendedprice")).as("price_max"))
+          .select(lit(w).as("win"), col("n"), col("qty"),
+            col("price_min"), col("price_max"))
+      collectAndClean(s, out,
+        win(1, 0, 2) unionAll win(2, 2, 3) unionAll win(3, 3, 4))
+    }),
+
     // Streaming INGEST FILTER under the DuckDB gate: the full
     // sample-then-decontaminate ingest pipeline (Streams.ingestFilter)
     // per micro-batch via foreachBatch — both stages are per-row /
@@ -3911,6 +3947,28 @@ object Queries {
          WHERE l_orderkey % 3 <= g
            AND l_quantity BETWEEN 10 AND 35
          GROUP BY g""",
+    // windows: (0,2] = the two appends; (2,3] = compaction only (a
+    // rewrite — EMPTY for a change consumer); (3,4] = the last append
+    "zorder_changes_read" ->
+      """SELECT 1 AS win, count(*) AS n,
+                CAST(sum(l_quantity) AS BIGINT) AS qty,
+                min(l_extendedprice) AS price_min,
+                max(l_extendedprice) AS price_max
+         FROM lineitem
+         WHERE l_orderkey % 4 IN (1, 2) AND l_quantity BETWEEN 10 AND 35
+         UNION ALL
+         SELECT 2 AS win, count(*) AS n,
+                CAST(sum(l_quantity) AS BIGINT) AS qty,
+                min(l_extendedprice) AS price_min,
+                max(l_extendedprice) AS price_max
+         FROM lineitem WHERE 1 = 0
+         UNION ALL
+         SELECT 3 AS win, count(*) AS n,
+                CAST(sum(l_quantity) AS BIGINT) AS qty,
+                min(l_extendedprice) AS price_min,
+                max(l_extendedprice) AS price_max
+         FROM lineitem
+         WHERE l_orderkey % 4 = 3 AND l_quantity BETWEEN 10 AND 35""",
     // gen 3 is the COMPACTED head: same content as gen 2 from fewer
     // files, so its oracle slice is gen 2's (least(g, 2))
     "zorder_compact_travel" ->

@@ -542,6 +542,23 @@ class GeoPruneSpec extends AnyFunSuite {
       assert(GeoParquet.currentGeneration(spark, path) == 4)
       assert(ids(4) == all ++ genRows(12, 100).map(_._1))
       assert(ids(3) == all)
+      // INCREMENTAL change reads: exactly the rows that ARRIVED in the
+      // window; the compaction generation (3) is a rewrite and must be
+      // invisible to a change consumer
+      def chg(a: Int, b: Int) = GeoParquet.readZOrderChanges(spark, path, a, b)
+        .select("id").as[Long].collect().toSet
+      assert(chg(-1, 0) == genRows(0, 600).map(_._1).toSet)
+      assert(chg(0, 2) == (genRows(5, 600) ++ genRows(9, 600)).map(_._1).toSet)
+      assert(chg(2, 3).isEmpty, "a compaction-only window must be empty")
+      assert(chg(2, 4) == genRows(12, 100).map(_._1).toSet)
+      // range pruning applies to the window's files too
+      assert(GeoParquet.readZOrderChanges(spark, path, 0, 2,
+          Seq(("a", 500.0, 560.0))).select("id").as[Long].collect().toSet ==
+        (genRows(5, 600) ++ genRows(9, 600))
+          .filter(r => r._2 >= 500 && r._2 <= 560).map(_._1).toSet)
+      intercept[IllegalArgumentException] {
+        GeoParquet.readZOrderChanges(spark, path, 0, 5)
+      }
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 
@@ -572,6 +589,16 @@ class GeoPruneSpec extends AnyFunSuite {
       assert(spark.read.parquet(path).inputFiles.length < onDiskBefore)
       // idempotent: a second vacuum reclaims nothing new
       assert(GeoParquet.vacuumGenerations(spark, path, retain = 0).isEmpty)
+      // a change window whose files were vacuumed away must FAIL, not
+      // return a silently partial diff
+      val ve = intercept[IllegalArgumentException] {
+        GeoParquet.readZOrderChanges(spark, path, 0, 1)
+      }
+      assert(ve.getMessage.contains("vacuum"))
+      // the head-only window still reads (its files are the compacted
+      // ones... which are a rewrite, so the window is EMPTY — the
+      // arrivals predate the vacuum horizon)
+      assert(GeoParquet.readZOrderChanges(spark, path, 1, 2).count() == 0)
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 
