@@ -138,6 +138,8 @@ object GeoParquet {
       s"bitsPerCol=$bitsPerCol x ${cols.length} cols must fit a signed long")
     require(!df.columns.contains(ZCodeCol),
       s"input column collides with reserved name $ZCodeCol")
+    require(!cols.contains(RowCountCol),
+      s"$RowCountCol is a reserved sidecar name")
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"missing column(s): ${missing.mkString(", ")}")
     val before = listDataFileSet(df.sparkSession, path)
@@ -196,14 +198,26 @@ object GeoParquet {
       .write.mode(mode).parquet(path)
   }
 
+  /** Reserved sidecar pseudo-column: per-file ROW COUNTS, stored in the
+    * same degenerate-box shape ([n,n,n,n]) so the sidecar format, the
+    * merge paths, and vacuum's entry retirement all apply unchanged
+    * (pruning readers only consult the columns a query names, so the
+    * extra block is invisible to them). Counts are what turn the
+    * sidecar into a real metadata layer: COUNT/MIN/MAX at any
+    * generation answer from kilobytes with ZERO data IO
+    * ([[statsAtGeneration]], [[generationHistory]]). */
+  private[graft] val RowCountCol = "__rowcount"
+
   /** Per-file min/max for numeric columns, in the sidecar's box format
-    * (degenerate [mn,mn,mx,mx]): one distributed
-    * groupBy(input_file_name) aggregate. */
+    * (degenerate [mn,mn,mx,mx]), plus the per-file row count under
+    * [[RowCountCol]]: one distributed groupBy(input_file_name)
+    * aggregate. */
   private def numericBoundsPerFile(df: DataFrame, cols: Seq[String])
       : Map[String, Map[String, Array[Double]]] = {
     val aggs = cols.flatMap(c => Seq(
       min(col(c).cast("double")).as(s"${c}__mn"),
-      max(col(c).cast("double")).as(s"${c}__mx")))
+      max(col(c).cast("double")).as(s"${c}__mx"))) :+
+      count(lit(1)).as("__n")
     val perFile = df.groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*).collect()
     def fileName(uri: String): String = uri.substring(uri.lastIndexOf('/') + 1)
@@ -213,7 +227,10 @@ object GeoParquet {
         val mx = if (row.isNullAt(2 + j * 2)) Double.NaN else row.getDouble(2 + j * 2)
         fileName(row.getString(0)) -> Array(mn, mn, mx, mx)
       }.toMap
-    }.toMap
+    }.toMap + (RowCountCol -> perFile.map { row =>
+      val n = row.getLong(1 + cols.length * 2).toDouble
+      fileName(row.getString(0)) -> Array(n, n, n, n)
+    }.toMap)
   }
 
   /** Append a batch to a [[packZOrderToParquet]] dataset and update the
@@ -233,6 +250,8 @@ object GeoParquet {
     // unprunable until re-pack) and a duplicate batch on retry
     require(cols.nonEmpty && cols.distinct == cols,
       s"need a non-empty distinct column list, got $cols")
+    require(!cols.contains(RowCountCol),
+      s"$RowCountCol is a reserved sidecar name")
     val missing = cols.filterNot(batch.columns.contains)
     require(missing.isEmpty, s"missing column(s): ${missing.mkString(", ")}")
     appendWithBoundsOf(batch, path, cols, numericBoundsPerFile)
@@ -257,10 +276,12 @@ object GeoParquet {
       val newBounds = boundsFn(
         spark.read.parquet(newFiles.map(f => s"$path/$f"): _*), cols)
       // parse EVERY column already in the sidecar, so appending with a
-      // subset of the columns preserves the others' entries
+      // subset of the columns preserves the others' entries (keyed on
+      // newBounds.keySet, not cols — boundsFn may emit pseudo-columns
+      // like the per-file row counts)
       val existing: Map[String, Map[String, Array[Double]]] =
         readSidecarText(path, conf).map(parseSidecarAll).getOrElse(Map.empty)
-      val merged = (existing.keySet ++ cols).map { c =>
+      val merged = (existing.keySet ++ newBounds.keySet).map { c =>
         c -> (existing.getOrElse(c, Map.empty) ++ newBounds.getOrElse(c, Map.empty))
       }.toMap
       writeSidecarText(spark, path, renderSidecar(merged))
@@ -463,6 +484,81 @@ object GeoParquet {
         readSidecarText(path, conf))
   }
 
+  /** METADATA-ONLY stats: COUNT(*) plus per-column MIN/MAX of the
+    * snapshot at generation `gen`, answered from the manifest + sidecar
+    * alone — kilobytes of driver-side reads, ZERO data IO, zero Spark
+    * jobs (the classic lakehouse trick; at 100 TB this is the
+    * difference between a dashboard refresh and a full scan). Per-file
+    * row counts ride the sidecar under the reserved [[RowCountCol]]
+    * block written by every pack/append/compaction since r11. Fails
+    * fast when any live file lacks a count or column entry (a foreign
+    * append or a pre-r11 sidecar) — degrading to a scan is the
+    * CALLER's call, never a silent one. A column all-null within a
+    * file contributes no min/max (NaN entries skipped), matching
+    * SQL MIN/MAX null semantics; an all-null column yields NaN
+    * sentinels. Returns (rowCount, col -> (min, max)). */
+  def statsAtGeneration(spark: SparkSession, path: String, gen: Int,
+                        cols: Seq[String]): (Long, Map[String, (Double, Double)]) = {
+    require(cols.distinct == cols, s"duplicate column in $cols")
+    val conf = spark.sessionState.newHadoopConf()
+    val st = readGenState(path, conf).getOrElse(throw
+      new IllegalArgumentException(s"no generation manifest at $path"))
+    require(st.files.nonEmpty,
+      s"generation manifest at $path records no data files")
+    require(gen >= st.minGen && gen <= st.currentGen,
+      s"generation $gen unreadable at $path " +
+        s"(readable: [${st.minGen}, ${st.currentGen}])")
+    val live = st.liveAt(gen)
+    val text = readSidecarText(path, conf).getOrElse(throw
+      new IllegalArgumentException(s"no sidecar at $path"))
+    val counts = parseSidecar(text, RowCountCol)
+    val missingN = live.filterNot(counts.contains)
+    require(missingN.isEmpty,
+      s"metadata-only stats unavailable at $path: no row count for " +
+        s"${missingN.take(3).mkString(", ")}" +
+        (if (missingN.size > 3) ", ..." else "") +
+        " (pre-r11 sidecar or foreign file) — run a pack/compaction to refresh")
+    val n = live.map(f => counts(f)(0).toLong).sum
+    val perCol = cols.map { c =>
+      val entries = parseSidecar(text, c)
+      val missing = live.filterNot(entries.contains)
+      require(missing.isEmpty,
+        s"metadata-only stats unavailable at $path: column $c has no " +
+          s"bounds for ${missing.take(3).mkString(", ")}" +
+          (if (missing.size > 3) ", ..." else ""))
+      val boxes = live.map(entries).filter(v => !v(0).isNaN || !v(2).isNaN)
+      if (boxes.isEmpty) c -> (Double.NaN, Double.NaN)
+      else c -> (boxes.map(_(0)).min, boxes.map(_(2)).max)
+    }.toMap
+    (n, perCol)
+  }
+
+  /** DESCRIBE HISTORY twin: one row per generation — (generation,
+    * isRewrite, filesAdded, rowsAdded) — computed from the manifest +
+    * sidecar row counts alone (no data IO). `rowsAdded` of a rewrite
+    * generation counts the rows the compaction REWROTE, not new
+    * arrivals. Vacuumed files still report (their manifest entries are
+    * tombstones, and a vacuum retires sidecar entries — those report
+    * rowsAdded = -1, surfacing that the count is no longer known). */
+  def generationHistory(spark: SparkSession, path: String)
+      : Seq[(Int, Boolean, Int, Long)] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val st = readGenState(path, conf).getOrElse(throw
+      new IllegalArgumentException(s"no generation manifest at $path"))
+    require(st.files.nonEmpty,
+      s"generation manifest at $path records no data files")
+    val counts = readSidecarText(path, conf)
+      .map(parseSidecar(_, RowCountCol)).getOrElse(Map.empty)
+    st.files.groupBy(_._2.added).toSeq.sortBy(_._1).map { case (g, fs) =>
+      val names = fs.keys.toSeq
+      val rows =
+        if (names.forall(counts.contains))
+          names.map(f => counts(f)(0).toLong).sum
+        else -1L
+      (g, st.rewrites(g), names.size, rows)
+    }
+  }
+
   /** OPTIMIZE-shaped compaction that PRESERVES time travel: re-cluster
     * the current snapshot globally (the same min-max scale + morton
     * interleave + range sort as the pack) into fresh files committed
@@ -487,6 +583,8 @@ object GeoParquet {
       s"need a non-empty distinct column list, got $cols")
     require(bitsPerCol >= 1 && bitsPerCol * cols.length <= 62,
       s"bitsPerCol=$bitsPerCol x ${cols.length} cols must fit a signed long")
+    require(!cols.contains(RowCountCol),
+      s"$RowCountCol is a reserved sidecar name")
     val conf = spark.sessionState.newHadoopConf()
     val st = readGenState(path, conf).getOrElse(throw
       new IllegalArgumentException(s"no generation manifest at $path — " +

@@ -2411,6 +2411,48 @@ object Queries {
         win(1, 0, 2) unionAll win(2, 2, 3) unionAll win(3, 3, 4))
     }),
 
+    // METADATA-ONLY STATS + HISTORY over the generation lake: per-file
+    // row counts ride the sidecar (reserved __rowcount block), so
+    // COUNT/MIN/MAX at ANY generation — and the per-generation
+    // DESCRIBE-HISTORY row counts — answer from kilobytes of driver
+    // metadata with ZERO data IO (at 100 TB: a dashboard refresh
+    // instead of a full scan). The gate recomputes every number from
+    // the DATA in DuckDB: five generations (pack, two appends, a
+    // compaction rewrite, an append), each row carrying the
+    // generation's arrival count AND the snapshot's metadata-derived
+    // count/min/max.
+    "zorder_stats_history" -> ((s, dir) => {
+      val out = processTmpDir(s, "zsh", dir)
+      val zcols = Seq("l_quantity", "l_extendedprice")
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      graft.io.GeoParquet.packZOrderToParquet(
+        li.where(col("l_orderkey") % 4 === 0), zcols, out, numPartitions = 3)
+      graft.io.GeoParquet.appendNumericWithSidecar(
+        li.where(col("l_orderkey") % 4 === 1), out, zcols)
+      graft.io.GeoParquet.appendNumericWithSidecar(
+        li.where(col("l_orderkey") % 4 === 2), out, zcols)
+      require(graft.io.GeoParquet.compactZOrderGeneration(
+        s, out, zcols, numPartitions = 2) == 3, "compaction must commit gen 3")
+      graft.io.GeoParquet.appendNumericWithSidecar(
+        li.where(col("l_orderkey") % 4 === 3), out, zcols)
+      val hist = graft.io.GeoParquet.generationHistory(s, out)
+      require(hist.map(_._1) == Seq(0, 1, 2, 3, 4),
+        s"expected generations 0..4, got ${hist.map(_._1)}")
+      require(hist.forall(_._4 >= 0),
+        "every generation must carry sidecar row counts")
+      val rows = hist.map { case (g, rw, _, added) =>
+        val (n, stats) = graft.io.GeoParquet.statsAtGeneration(
+          s, out, g, Seq("l_extendedprice"))
+        val (mn, mx) = stats("l_extendedprice")
+        (g, if (rw) 1 else 0, added, n, mn, mx)
+      }
+      val df = s.createDataFrame(rows).toDF(
+        "gen", "is_rewrite", "rows_added", "n", "emin", "emax")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      df
+    }),
+
     // Streaming INGEST FILTER under the DuckDB gate: the full
     // sample-then-decontaminate ingest pipeline (Streams.ingestFilter)
     // per micro-batch via foreachBatch — both stages are per-row /
@@ -3947,6 +3989,35 @@ object Queries {
          WHERE l_orderkey % 3 <= g
            AND l_quantity BETWEEN 10 AND 35
          GROUP BY g""",
+    // five generations over %4 slices: gens 0-2 = prefix snapshots,
+    // gen 3 = the compaction rewrite (rows_added counts what it
+    // REWROTE, the snapshot equals gen 2's), gen 4 = the last append
+    "zorder_stats_history" ->
+      """SELECT 0 AS gen, 0 AS is_rewrite,
+                (SELECT count(*) FROM lineitem WHERE l_orderkey % 4 = 0) AS rows_added,
+                count(*) AS n, min(l_extendedprice) AS emin,
+                max(l_extendedprice) AS emax
+         FROM lineitem WHERE l_orderkey % 4 <= 0
+         UNION ALL
+         SELECT 1, 0,
+                (SELECT count(*) FROM lineitem WHERE l_orderkey % 4 = 1),
+                count(*), min(l_extendedprice), max(l_extendedprice)
+         FROM lineitem WHERE l_orderkey % 4 <= 1
+         UNION ALL
+         SELECT 2, 0,
+                (SELECT count(*) FROM lineitem WHERE l_orderkey % 4 = 2),
+                count(*), min(l_extendedprice), max(l_extendedprice)
+         FROM lineitem WHERE l_orderkey % 4 <= 2
+         UNION ALL
+         SELECT 3, 1,
+                (SELECT count(*) FROM lineitem WHERE l_orderkey % 4 <= 2),
+                count(*), min(l_extendedprice), max(l_extendedprice)
+         FROM lineitem WHERE l_orderkey % 4 <= 2
+         UNION ALL
+         SELECT 4, 0,
+                (SELECT count(*) FROM lineitem WHERE l_orderkey % 4 = 3),
+                count(*), min(l_extendedprice), max(l_extendedprice)
+         FROM lineitem""",
     // windows: (0,2] = the two appends; (2,3] = compaction only (a
     // rewrite — EMPTY for a change consumer); (3,4] = the last append
     "zorder_changes_read" ->

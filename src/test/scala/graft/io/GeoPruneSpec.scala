@@ -628,6 +628,58 @@ class GeoPruneSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 
+  test("metadata-only stats and history answer from the sidecar alone") {
+    val dir = java.nio.file.Files.createTempDirectory("zstats").toFile
+    try {
+      val path = s"$dir/z"
+      val base = genRows(0, 500)
+      val app = genRows(5, 300)
+      GeoParquet.packZOrderToParquet(base.toDF("id", "a", "b"),
+        Seq("a", "b"), path, 3)
+      GeoParquet.appendNumericWithSidecar(app.toDF("id", "a", "b"),
+        path, Seq("a", "b"))
+      // stats at each generation == brute-force over the prefix data
+      val (n0, s0) = GeoParquet.statsAtGeneration(spark, path, 0, Seq("a"))
+      assert(n0 == 500L && s0("a") ==
+        (base.map(_._2).min.toDouble, base.map(_._2).max.toDouble))
+      val (n1, s1) = GeoParquet.statsAtGeneration(spark, path, 1, Seq("a", "b"))
+      val all = base ++ app
+      assert(n1 == 800L)
+      assert(s1("a") == (all.map(_._2).min.toDouble, all.map(_._2).max.toDouble))
+      assert(s1("b") == (all.map(_._3).min.toDouble, all.map(_._3).max.toDouble))
+      assert(GeoParquet.generationHistory(spark, path)
+        .map(h => (h._1, h._2, h._4)) == Seq((0, false, 500L), (1, false, 300L)))
+      // a compaction rewrite reports what it REWROTE; the snapshot
+      // stats are unchanged
+      GeoParquet.compactZOrderGeneration(spark, path, Seq("a", "b"), 2)
+      assert(GeoParquet.generationHistory(spark, path)
+        .map(h => (h._1, h._2, h._4)) ==
+        Seq((0, false, 500L), (1, false, 300L), (2, true, 800L)))
+      assert(GeoParquet.statsAtGeneration(spark, path, 2, Seq("a")) ==
+        ((800L, Map("a" -> (all.map(_._2).min.toDouble,
+          all.map(_._2).max.toDouble)))))
+      // an ADOPTED foreign file has no sidecar counts: stats must fail
+      // fast, never silently undercount
+      genRows(9, 40).toDF("id", "a", "b").write.mode("append").parquet(path)
+      GeoParquet.adoptUnrecordedFiles(spark, path)
+      val e = intercept[IllegalArgumentException] {
+        GeoParquet.statsAtGeneration(spark, path, 3, Seq("a"))
+      }
+      assert(e.getMessage.contains("metadata-only stats unavailable"))
+      // ...and its history row surfaces the unknown count as -1
+      assert(GeoParquet.generationHistory(spark, path)
+        .map(h => (h._1, h._4)).last == ((3, -1L)))
+      // pre-adoption generations still answer
+      assert(GeoParquet.statsAtGeneration(spark, path, 2, Seq("a"))._1 == 800L)
+      // vacuum retires dead files' sidecar entries: their generations
+      // report -1 instead of a stale count
+      GeoParquet.vacuumGenerations(spark, path, retain = 0)
+      val hist = GeoParquet.generationHistory(spark, path)
+      assert(hist.filter(h => h._1 <= 1).forall(_._4 == -1L))
+      assert(hist.find(_._1 == 2).get._4 == 800L)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
   test("unrecorded files are surfaced and adoptable; concurrent commits never lose history") {
     val dir = java.nio.file.Files.createTempDirectory("zcas").toFile
     try {
