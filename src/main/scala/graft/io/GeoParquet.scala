@@ -275,31 +275,32 @@ object GeoParquet {
     if (newFiles.nonEmpty) {
       val newBounds = boundsFn(
         spark.read.parquet(newFiles.map(f => s"$path/$f"): _*), cols)
-      // parse EVERY column already in the sidecar, so appending with a
-      // subset of the columns preserves the others' entries (keyed on
-      // newBounds.keySet, not cols — boundsFn may emit pseudo-columns
-      // like the per-file row counts)
-      val existing: Map[String, Map[String, Array[Double]]] =
-        readSidecarText(path, conf).map(parseSidecarAll).getOrElse(Map.empty)
-      val merged = (existing.keySet ++ newBounds.keySet).map { c =>
-        c -> (existing.getOrElse(c, Map.empty) ++ newBounds.getOrElse(c, Map.empty))
-      }.toMap
-      writeSidecarText(spark, path, renderSidecar(merged))
-      // generation log: this commit's files get currentGen+1; a
-      // pre-manifest dataset's existing files back-fill as generation 0
-      commitGenState(spark, path, {
-        case Some(st) if st.files.nonEmpty =>
-          warnUnrecorded(path, before -- st.files.keySet)
-          st.copy(files = st.files ++
-            newFiles.map(_ -> GenEntry(st.currentGen + 1, -1)))
-        case st =>
-          val backfill =
-            if (before.isEmpty) newFiles.map(_ -> GenEntry(0, -1))
-            else before.toSeq.map(_ -> GenEntry(0, -1)) ++
-              newFiles.map(_ -> GenEntry(1, -1))
-          GenState(st.map(_.commit).getOrElse(0), 0, backfill.toMap)
-      })
+      // outer-merge into whatever sidecar exists, under the update
+      // path's read-back retry — appending with a subset of columns
+      // preserves the others' (and the row-count block's) entries even
+      // against a concurrent writer
+      updateSidecar(spark, path, mergeSidecarBounds(_, newBounds))
+      commitGenState(spark, path, appendCommit(path, before, newFiles))
     }
+  }
+
+  /** The append-commit shape shared by the incremental appends and
+    * append-mode packs: this commit's files land at currentGen+1; a
+    * pre-manifest dataset back-fills its existing files as generation
+    * 0 (and the new files as 1; 0 alone when the dataset is brand
+    * new). Surfaces unrecorded pre-existing files on every commit. */
+  private def appendCommit(path: String, before: Set[String],
+      newFiles: Seq[String]): Option[GenState] => GenState = {
+    case Some(st) if st.files.nonEmpty =>
+      warnUnrecorded(path, before -- st.files.keySet)
+      st.copy(files = st.files ++
+        newFiles.map(_ -> GenEntry(st.currentGen + 1, -1)))
+    case st =>
+      val backfill =
+        if (before.isEmpty) newFiles.map(_ -> GenEntry(0, -1))
+        else before.toSeq.map(_ -> GenEntry(0, -1)) ++
+          newFiles.map(_ -> GenEntry(1, -1))
+      GenState(st.map(_.commit).getOrElse(0), 0, backfill.toMap)
   }
 
   /** A data file on disk but absent from the manifest is either a
@@ -476,8 +477,9 @@ object GeoParquet {
     val files = window.map(_._1).sorted
     if (files.isEmpty)
       // schema-stable empty result (e.g. a window holding only a
-      // compaction commit)
-      readZOrderSubset(spark, path, Some(st.liveAt(st.currentGen)),
+      // compaction commit): ONE live file carries the schema — planning
+      // over the whole head for a guaranteed-empty frame is wasted IO
+      readZOrderSubset(spark, path, Some(st.liveAt(st.currentGen).take(1)),
         ranges, None).limit(0)
     else
       readZOrderSubset(spark, path, Some(files), ranges,
@@ -610,28 +612,47 @@ object GeoParquet {
     // generations (vacuum is what retires them)
     val fresh = numericBoundsPerFile(
       spark.read.parquet(newFiles.map(f => s"$path/$f"): _*), cols)
-    val existing = readSidecarText(path, conf)
-      .map(parseSidecarAll).getOrElse(Map.empty)
-    val mergedSidecar = (existing.keySet ++ fresh.keySet).map { c =>
-      c -> (existing.getOrElse(c, Map.empty) ++ fresh.getOrElse(c, Map.empty))
-    }.toMap
-    writeSidecarText(spark, path, renderSidecar(mergedSidecar))
+    updateSidecar(spark, path, mergeSidecarBounds(_, fresh))
     val liveSet = live.toSet
-    commitGenState(spark, path, {
-      case Some(cur) =>
-        val g = cur.currentGen + 1
-        cur.copy(files = cur.files.map { case (f, e) =>
-          // tombstone ONLY the files this call rewrote; anything a
-          // concurrent commit added meanwhile stays live
-          if (e.removed < 0 && liveSet(f)) f -> e.copy(removed = g)
-          else f -> e
-        } ++ newFiles.map(_ -> GenEntry(g, -1)),
-          // a compaction generation REWRITES rows, it does not add
-          // them — change readers (readZOrderChanges) skip it
-          rewrites = cur.rewrites + g)
-      case None => throw new IllegalStateException(
-        s"generation manifest at $path vanished mid-compaction")
-    }).currentGen
+    try {
+      commitGenState(spark, path, {
+        case Some(cur) =>
+          // another compaction tombstoning ANY of our snapshot means
+          // both rewrote the same rows — recording ours too would
+          // leave two live copies of every row at the head. Abort;
+          // concurrent APPENDS are safe (they stay live untouched),
+          // concurrent COMPACTION is a single-maintainer contract this
+          // makes detected, not assumed.
+          val taken = liveSet.filter(f =>
+            cur.files.get(f).exists(_.removed >= 0))
+          if (taken.nonEmpty) throw new java.util.ConcurrentModificationException(
+            s"concurrent compaction at $path already rewrote " +
+              s"${taken.toSeq.sorted.take(3).mkString(", ")}" +
+              (if (taken.size > 3) ", ..." else ""))
+          val g = cur.currentGen + 1
+          cur.copy(files = cur.files.map { case (f, e) =>
+            // tombstone ONLY the files this call rewrote; anything a
+            // concurrent commit added meanwhile stays live
+            if (e.removed < 0 && liveSet(f)) f -> e.copy(removed = g)
+            else f -> e
+          } ++ newFiles.map(_ -> GenEntry(g, -1)),
+            // a compaction generation REWRITES rows, it does not add
+            // them — change readers (readZOrderChanges) skip it
+            rewrites = cur.rewrites + g)
+        case None => throw new IllegalStateException(
+          s"generation manifest at $path vanished mid-compaction")
+      }).currentGen
+    } catch {
+      case e: java.util.ConcurrentModificationException =>
+        // our rewritten files were never recorded — remove them so
+        // they don't linger as unrecorded strays
+        val root = new HadoopPath(path)
+        val fs = root.getFileSystem(conf)
+        newFiles.foreach(f =>
+          try fs.delete(new HadoopPath(root, f), false)
+          catch { case _: java.io.IOException => () })
+        throw e
+    }
   }
 
   /** Retention dual of [[compactZOrderGeneration]]: keep the newest
@@ -662,20 +683,21 @@ object GeoParquet {
     val root = new HadoopPath(path)
     val fs = root.getFileSystem(conf)
     // tombstones from an EARLIER vacuum recompute as dead every run;
-    // the exists filter keeps the return value honest (only what this
-    // call actually reclaims) and makes the whole step idempotent
+    // intersecting with ONE directory listing (not one exists RPC per
+    // tombstone — history grows forever) keeps the return value honest
+    // (only what this call actually reclaims) and the step idempotent
+    val present = listDataFiles(fs, root).toSet
     val dead = st.files.collect {
-      case (f, e) if e.removed >= 0 && e.removed <= st.minGen => f
-    }.toSeq.sorted.filter(f => fs.exists(new HadoopPath(root, f)))
+      case (f, e) if e.removed >= 0 && e.removed <= st.minGen &&
+        present(f) => f
+    }.toSeq.sorted
     if (dead.nonEmpty) {
       // retire the dead files' sidecar entries so the sidecar tracks
       // only readable files (pruning of remaining generations is
       // unaffected — per-file stats are independent)
-      readSidecarText(path, conf).map(parseSidecarAll).foreach { sc =>
-        val deadSet = dead.toSet
-        writeSidecarText(spark, path, renderSidecar(
-          sc.map { case (c, m) => c -> m.filterNot(kv => deadSet(kv._1)) }))
-      }
+      val deadSet = dead.toSet
+      updateSidecar(spark, path,
+        _.map { case (c, m) => c -> m.filterNot(kv => deadSet(kv._1)) })
       dead.foreach(f => fs.delete(new HadoopPath(root, f), false))
     }
     dead
@@ -801,6 +823,44 @@ object GeoParquet {
     sb.append("}}").toString
   }
 
+  /** The one sidecar update path (append / pack / compaction /
+    * vacuum): read-merge-write with read-back verification and bounded
+    * retries. The sidecar is advisory for PRUNING (conservative-keep),
+    * but the r11 metadata stats made its row-count block load-bearing,
+    * so a concurrent writer's entries must never be silently dropped:
+    * a read-back mismatch means another writer's text landed after
+    * ours — re-apply the update on top of THEIR state and retry.
+    * Updates are per-file upserts/removals, so re-application
+    * converges regardless of interleaving order. */
+  private def updateSidecar(spark: SparkSession, path: String,
+      f: Map[String, Map[String, Array[Double]]] =>
+        Map[String, Map[String, Array[Double]]]): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    var attempts = 0
+    while (attempts < 8) {
+      attempts += 1
+      val cur = readSidecarText(path, conf)
+      val next = renderSidecar(f(cur.map(parseSidecarAll).getOrElse(Map.empty)))
+      writeSidecarText(spark, path, next)
+      if (readSidecarText(path, conf).contains(next)) return
+      Thread.sleep(20L * attempts)
+    }
+    throw new java.io.IOException(
+      s"sidecar update contention at $path: 8 attempts lost")
+  }
+
+  /** Column-level outer + file-level inner merge of fresh per-file
+    * bounds into an existing sidecar: a column the update covers keeps
+    * the old files' entries and gains the new files'; other columns
+    * (and pseudo-columns like the row counts) stay untouched. */
+  private def mergeSidecarBounds(
+      existing: Map[String, Map[String, Array[Double]]],
+      fresh: Map[String, Map[String, Array[Double]]])
+      : Map[String, Map[String, Array[Double]]] =
+    (existing.keySet ++ fresh.keySet).map { c =>
+      c -> (existing.getOrElse(c, Map.empty) ++ fresh.getOrElse(c, Map.empty))
+    }.toMap
+
   /** Write the sidecar via temp-file + rename. A reader racing the swap
     * either sees the old complete file or (in the tiny delete→rename
     * window) no sidecar at all — which every reader treats as
@@ -908,6 +968,24 @@ object GeoParquet {
     val normBounds = bounds.map { case (a, b, c, d) =>
       (math.min(a, c), math.min(b, d), math.max(a, c), math.max(b, d))
     }
+    // files a compaction tombstoned are not part of the current
+    // snapshot even though they stay on disk for time travel — every
+    // read path must exclude them, not just readZOrderRange
+    val removed = readGenState(path, conf).map(_.removedSet)
+      .getOrElse(Set.empty)
+    // the no-pruning fallback: whole directory when nothing was ever
+    // tombstoned; the live listing when something was (a whole-dir
+    // read would double-count); whole dir again for non-flat layouts
+    // (tombstones only ever name flat files)
+    def unprunedRead(): DataFrame =
+      if (removed.isEmpty) spark.read.parquet(path)
+      else {
+        val root = new HadoopPath(path)
+        val fs = root.getFileSystem(conf)
+        val listed = listDataFiles(fs, root).filterNot(removed)
+        if (listed.isEmpty) spark.read.parquet(path)
+        else spark.read.parquet(listed.map(f => s"$path/$f").toSeq: _*)
+      }
     val df = (normBounds, sidecarText) match {
       case (Some((qx0, qy0, qx1, qy1)), Some(text)) =>
         val perFile = parseSidecar(text, geomCol)
@@ -915,11 +993,11 @@ object GeoParquet {
         // that doesn't cover this column prunes nothing, and data files
         // the sidecar doesn't mention (e.g. appended after the sidecar
         // was written) are always kept. NaN bounds compare false → kept.
-        if (perFile.isEmpty) spark.read.parquet(path)
+        if (perFile.isEmpty) unprunedRead()
         else {
           val root = new HadoopPath(path)
           val fs = root.getFileSystem(conf)
-          val listed = listDataFiles(fs, root)
+          val listed = listDataFiles(fs, root).filterNot(removed)
           val keep = listed.filter { name =>
             perFile.get(name) match {
               case Some(Array(x0, y0, x1, y1)) =>
@@ -935,7 +1013,7 @@ object GeoParquet {
           else if (keep.isEmpty) spark.read.parquet(path).limit(0)
           else spark.read.parquet(keep.map(f => s"$path/$f").toSeq: _*)
         }
-      case _ => spark.read.parquet(path)
+      case _ => unprunedRead()
     }
     GeoFrame(df, geomCol, kind)
   }
@@ -1039,29 +1117,13 @@ object GeoParquet {
     val m = mode.toLowerCase
     if (m == "ignore" && newFiles.isEmpty) return
     if (newFiles.nonEmpty) {
-      val existing = readSidecarText(path, conf)
-        .map(parseSidecarAll).getOrElse(Map.empty)
+      // bounds computed ONCE outside the update closure (it runs a
+      // Spark aggregate; the retry loop must not repeat it)
       val fresh = boundsOf(newFiles)
-      // column-level outer merge, file-level inner merge: a column
-      // this pack covers keeps the old files' entries and gains the
-      // new files'; other columns stay untouched
-      val merged = (existing.keySet ++ fresh.keySet).map { c =>
-        c -> (existing.getOrElse(c, Map.empty) ++ fresh.getOrElse(c, Map.empty))
-      }.toMap
-      writeSidecarText(spark, path, renderSidecar(merged))
+      updateSidecar(spark, path, mergeSidecarBounds(_, fresh))
     }
-    if (m == "append") commitGenState(spark, path, {
-      case Some(st) if st.files.nonEmpty =>
-        warnUnrecorded(path, before -- st.files.keySet)
-        st.copy(files = st.files ++
-          newFiles.map(_ -> GenEntry(st.currentGen + 1, -1)))
-      case st =>
-        val backfill =
-          if (before.isEmpty) newFiles.map(_ -> GenEntry(0, -1))
-          else before.toSeq.map(_ -> GenEntry(0, -1)) ++
-            newFiles.map(_ -> GenEntry(1, -1))
-        GenState(st.map(_.commit).getOrElse(0), 0, backfill.toMap)
-    })
+    if (m == "append")
+      commitGenState(spark, path, appendCommit(path, before, newFiles))
     else if (m == "ignore") {
       // a write happened (dir was absent): record it unless some other
       // writer's manifest already exists
@@ -1126,7 +1188,17 @@ object GeoParquet {
       val rw = "\"_rw\":\\[([0-9,]*)\\]".r.findFirstMatchIn(t)
         .map(_.group(1)).map(s =>
           if (s.isEmpty) Set.empty[Int] else s.split(',').map(_.toInt).toSet)
-      val entries = "\"([^\"]+)\":\\[(-?\\d+),(-?\\d+)\\]".r.findAllMatchIn(t)
+      // scope the file-entry regex to the "files" block: run on the
+      // WHOLE text it also matches a two-element "_rw":[a,b] list as a
+      // phantom file, which then fails the strict round-trip and
+      // bricks the dataset on its second compaction
+      val filesBody = {
+        val marker = "\"files\":{"
+        val i = t.indexOf(marker)
+        if (i < 0) "" else t.substring(i + marker.length)
+      }
+      val entries = "\"([^\"]+)\":\\[(-?\\d+),(-?\\d+)\\]".r
+        .findAllMatchIn(filesBody)
         .map(m => m.group(1) -> GenEntry(m.group(2).toInt, m.group(3).toInt)).toMap
       require(commit.isDefined && minG.isDefined,
         s"malformed generation manifest at $where: missing _commit/_min")
@@ -1173,16 +1245,19 @@ object GeoParquet {
     * read back and must be byte-identical — a non-API writer racing
     * the rename is an IOException, never lost history. A marker whose
     * manifest never lands (the owner crashed between the two steps) is
-    * adopted after three stale re-reads. Exclusive create is atomic on
-    * local/HDFS semantics; object stores without atomic
-    * create-if-absent keep only the read-back detection. */
+    * adopted after ≥ 2 s of observed staleness, and a slow owner that
+    * resumes after being adopted is stopped by an ownership re-check
+    * (manifest already at its ordinal ⇒ claim void) before it can
+    * clobber the adopter. Exclusive create is atomic on local/HDFS
+    * semantics; object stores without atomic create-if-absent keep
+    * only the read-back detection. */
   private def commitGenState(spark: SparkSession, path: String,
       update: Option[GenState] => GenState): GenState = {
     val conf = spark.sessionState.newHadoopConf()
     val root = new HadoopPath(path)
     val fs = root.getFileSystem(conf)
     var lastCommitSeen = -1
-    var staleRounds = 0
+    var staleSinceNanos = 0L
     var attempts = 0
     while (attempts < 24) {
       attempts += 1
@@ -1194,6 +1269,14 @@ object GeoParquet {
         catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
                 case _: java.io.IOException if fs.exists(marker) => false }
       if (won) {
+        // ownership re-check: if we stalled long enough after creating
+        // the marker that a loser adopted it (deleted + re-created +
+        // committed this ordinal), our write would clobber THEIR
+        // commit — the manifest having reached our ordinal means our
+        // claim is void; fall back into the retry loop instead
+        if (readGenState(path, conf).exists(_.commit >= next.commit)) {
+          Thread.sleep(25L * math.min(attempts, 8))
+        } else {
         val text = renderGenState(next)
         writeTextAtomic(spark, path, GenerationsName, text)
         val back = readTextFile(path, GenerationsName, conf)
@@ -1211,18 +1294,26 @@ object GeoParquet {
           .foreach(n => fs.delete(new HadoopPath(root, n), false))
         catch { case _: java.io.IOException => () }
         return next
+        }
+      } else {
+        // lost the marker race: wait for the winner's manifest, then
+        // retry on top of it. A marker whose manifest NEVER lands (the
+        // owner died between the two steps) is adopted — but only after
+        // the staleness has persisted ≥ 2 s of wall clock, so a merely
+        // SLOW owner (GC pause, slow store) keeps its claim; a live
+        // owner that stalls past that and resumes is caught by the
+        // ownership re-check above before it can clobber the adopter
+        val seen = cur.map(_.commit).getOrElse(0)
+        if (seen != lastCommitSeen || staleSinceNanos == 0L) {
+          lastCommitSeen = seen
+          staleSinceNanos = System.nanoTime()
+        } else if (System.nanoTime() - staleSinceNanos > 2000000000L) {
+          try fs.delete(marker, false)
+          catch { case _: java.io.IOException => () }
+          staleSinceNanos = 0L
+        }
+        Thread.sleep(25L * math.min(attempts, 8))
       }
-      // lost the marker race: wait for the winner's manifest, then
-      // retry on top of it; adopt the marker if the winner never lands
-      val seen = cur.map(_.commit).getOrElse(0)
-      if (seen == lastCommitSeen) staleRounds += 1
-      else { staleRounds = 0; lastCommitSeen = seen }
-      if (staleRounds >= 3) {
-        try fs.delete(marker, false)
-        catch { case _: java.io.IOException => () }
-        staleRounds = 0
-      }
-      Thread.sleep(25L * math.min(attempts, 8))
     }
     throw new java.io.IOException(
       s"generation-manifest commit contention at $path: 24 attempts lost")

@@ -559,6 +559,16 @@ class GeoPruneSpec extends AnyFunSuite {
       intercept[IllegalArgumentException] {
         GeoParquet.readZOrderChanges(spark, path, 0, 5)
       }
+      // SECOND compaction: the manifest then carries a two-element
+      // rewrite list ("_rw":[3,5]) — the state where a file-entry
+      // regex scoped to the whole text (not the files block) swallowed
+      // _rw as a phantom file and the strict parse bricked the dataset
+      assert(GeoParquet.compactZOrderGeneration(spark, path,
+        Seq("a", "b"), 2) == 5)
+      assert(GeoParquet.currentGeneration(spark, path) == 5)
+      assert(ids(5) == all ++ genRows(12, 100).map(_._1))
+      assert(chg(4, 5).isEmpty, "the second rewrite is not an arrival")
+      assert(ids(4) == all ++ genRows(12, 100).map(_._1))
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 
