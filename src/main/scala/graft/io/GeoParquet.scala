@@ -644,13 +644,32 @@ object GeoParquet {
       }).currentGen
     } catch {
       case e: java.util.ConcurrentModificationException =>
-        // our rewritten files were never recorded — remove them so
-        // they don't linger as unrecorded strays
+        // our rewritten files were never recorded — retire their
+        // sidecar entries FIRST (they were merged before the commit
+        // attempt; left behind they are phantom bounds/row-counts no
+        // vacuum can ever reclaim, and partitionSindex would index
+        // nonexistent files), then remove the files themselves
+        val newSet = newFiles.toSet
+        try updateSidecar(spark, path,
+          _.map { case (c, m) => c -> m.filterNot(kv => newSet(kv._1)) })
+        catch { case se: java.io.IOException => e.addSuppressed(se) }
         val root = new HadoopPath(path)
         val fs = root.getFileSystem(conf)
-        newFiles.foreach(f =>
+        // Hadoop delete signals failure by RETURNING false — check it;
+        // a file that survives is a duplicate copy of live rows that
+        // plain reads would double-count and adoptUnrecordedFiles
+        // would permanently bless
+        val failed = newFiles.filterNot { f =>
           try fs.delete(new HadoopPath(root, f), false)
-          catch { case _: java.io.IOException => () })
+          catch { case _: java.io.IOException => false }
+        }
+        if (failed.nonEmpty)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"aborted compaction at $path could not delete " +
+              s"${failed.take(5).mkString(", ")}" +
+              (if (failed.size > 5) ", ..." else "") +
+              " — these are DUPLICATE copies of live rows; delete them " +
+              "manually, do NOT adoptUnrecordedFiles them")
         throw e
     }
   }
@@ -780,9 +799,12 @@ object GeoParquet {
 
   /** Compute per-file bounds for the geometry columns and write the
     * sidecar JSON. One distributed aggregate per call. */
-  def writeSidecar(spark: SparkSession, path: String, geomCols: Seq[String]): Unit =
-    writeSidecarText(spark, path,
-      renderSidecar(boundsPerFile(spark.read.parquet(path), geomCols)))
+  def writeSidecar(spark: SparkSession, path: String, geomCols: Seq[String]): Unit = {
+    // full rebuild, but still through the versioned update path so a
+    // concurrent incremental append can't be silently clobbered
+    val fresh = boundsPerFile(spark.read.parquet(path), geomCols)
+    updateSidecar(spark, path, _ => fresh)
+  }
 
   /** Per-file bounds for each geometry column: one distributed
     * groupBy(input_file_name) aggregate over `df`. */
@@ -810,9 +832,10 @@ object GeoParquet {
 
   /** Render the sidecar JSON (NaN bounds serialize as null, the same
     * convention parseSidecar reads back). */
-  private def renderSidecar(m: Map[String, Map[String, Array[Double]]]): String = {
+  private def renderSidecar(m: Map[String, Map[String, Array[Double]]],
+                            version: Int = 1): String = {
     val sb = new StringBuilder
-    sb.append("{\"version\":1,\"partition_bounds\":{")
+    sb.append(s"""{"version":$version,"partition_bounds":{""")
     sb.append(m.toSeq.sortBy(_._1).map { case (g, files) =>
       val entries = files.toSeq.sortBy(_._1).map { case (f, vals) =>
         "\"" + f + "\":[" +
@@ -823,30 +846,98 @@ object GeoParquet {
     sb.append("}}").toString
   }
 
+  /** Exclusively claim a commit marker holding `nonce`; the nonce
+    * distinguishes OUR claim from an adopter's re-created marker for
+    * the same ordinal. */
+  private def claimMarker(fs: org.apache.hadoop.fs.FileSystem,
+                          marker: HadoopPath, nonce: String): Boolean =
+    try {
+      val out = fs.create(marker, false)
+      try out.write(nonce.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.io.IOException if fs.exists(marker) => false
+    }
+
+  /** Does the marker still hold OUR nonce? (false on missing /
+    * unreadable / someone else's nonce — i.e. an adopter took over) */
+  private def markerHolds(fs: org.apache.hadoop.fs.FileSystem,
+                          marker: HadoopPath, nonce: String): Boolean =
+    try {
+      val in = fs.open(marker)
+      try {
+        val bytes = new Array[Byte](nonce.length)
+        in.readFully(bytes)
+        new String(bytes, StandardCharsets.UTF_8) == nonce
+      } finally in.close()
+    } catch { case _: java.io.IOException => false }
+
   /** The one sidecar update path (append / pack / compaction /
-    * vacuum): read-merge-write with read-back verification and bounded
-    * retries. The sidecar is advisory for PRUNING (conservative-keep),
-    * but the r11 metadata stats made its row-count block load-bearing,
-    * so a concurrent writer's entries must never be silently dropped:
-    * a read-back mismatch means another writer's text landed after
-    * ours — re-apply the update on top of THEIR state and retry.
-    * Updates are per-file upserts/removals, so re-application
-    * converges regardless of interleaving order. */
+    * vacuum / full rebuild): versioned read-merge-write under the same
+    * exclusive-marker CAS as the generation manifest. The sidecar is
+    * advisory for PRUNING (conservative-keep), but the r11 metadata
+    * stats made its row-count block load-bearing, so a concurrent
+    * writer's entries must never be silently dropped: the winner of
+    * the `.sccommit-(v+1)` marker owns sidecar version v+1, losers
+    * re-read and re-apply on top (updates are per-file upserts /
+    * removals, so re-application converges), a marker whose write
+    * never lands is adopted after ≥ 2 s, and a resumed slow owner is
+    * stopped by the marker-nonce re-check right before its write.
+    * No-op updates (identical content, or an empty result where no
+    * sidecar existed) return without writing. */
   private def updateSidecar(spark: SparkSession, path: String,
       f: Map[String, Map[String, Array[Double]]] =>
         Map[String, Map[String, Array[Double]]]): Unit = {
     val conf = spark.sessionState.newHadoopConf()
+    val root = new HadoopPath(path)
+    val fs = root.getFileSystem(conf)
+    var lastVerSeen = -1
+    var staleSinceNanos = 0L
     var attempts = 0
-    while (attempts < 8) {
+    while (attempts < 24) {
       attempts += 1
       val cur = readSidecarText(path, conf)
-      val next = renderSidecar(f(cur.map(parseSidecarAll).getOrElse(Map.empty)))
-      writeSidecarText(spark, path, next)
-      if (readSidecarText(path, conf).contains(next)) return
-      Thread.sleep(20L * attempts)
+      val curVer = cur.flatMap(t =>
+        "\"version\":(\\d+)".r.findFirstMatchIn(t)).map(_.group(1).toInt)
+        .getOrElse(0)
+      val next = f(cur.map(parseSidecarAll).getOrElse(Map.empty))
+      if (next.isEmpty && cur.isEmpty) return // nothing to fabricate
+      if (cur.contains(renderSidecar(next, curVer))) return // no-op
+      val nextText = renderSidecar(next, curVer + 1)
+      val marker = new HadoopPath(root, s".sccommit-${curVer + 1}")
+      val nonce = java.util.UUID.randomUUID().toString
+      if (claimMarker(fs, marker, nonce)) {
+        if (markerHolds(fs, marker, nonce)) {
+          writeSidecarText(spark, path, nextText)
+          if (!readSidecarText(path, conf).contains(nextText))
+            throw new java.io.IOException(
+              s"sidecar update at $path interleaved with a writer " +
+                s"outside the commit protocol (read-back mismatch on " +
+                s"version ${curVer + 1})")
+          try fs.listStatus(root).map(_.getPath.getName)
+            .filter(_.startsWith(".sccommit-"))
+            .filter(_.stripPrefix(".sccommit-").toIntOption.exists(_ < curVer + 1))
+            .foreach(n => fs.delete(new HadoopPath(root, n), false))
+          catch { case _: java.io.IOException => () }
+          return
+        }
+        Thread.sleep(25L * math.min(attempts, 8))
+      } else {
+        if (curVer != lastVerSeen || staleSinceNanos == 0L) {
+          lastVerSeen = curVer
+          staleSinceNanos = System.nanoTime()
+        } else if (System.nanoTime() - staleSinceNanos > 2000000000L) {
+          try fs.delete(marker, false)
+          catch { case _: java.io.IOException => () }
+          staleSinceNanos = 0L
+        }
+        Thread.sleep(25L * math.min(attempts, 8))
+      }
     }
     throw new java.io.IOException(
-      s"sidecar update contention at $path: 8 attempts lost")
+      s"sidecar update contention at $path: 24 attempts lost")
   }
 
   /** Column-level outer + file-level inner merge of fresh per-file
@@ -1264,17 +1355,20 @@ object GeoParquet {
       val cur = readGenState(path, conf)
       val next = update(cur).copy(commit = cur.map(_.commit).getOrElse(0) + 1)
       val marker = new HadoopPath(root, s".gencommit-${next.commit}")
-      val won =
-        try { fs.create(marker, false).close(); true }
-        catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-                case _: java.io.IOException if fs.exists(marker) => false }
-      if (won) {
-        // ownership re-check: if we stalled long enough after creating
-        // the marker that a loser adopted it (deleted + re-created +
-        // committed this ordinal), our write would clobber THEIR
-        // commit — the manifest having reached our ordinal means our
-        // claim is void; fall back into the retry loop instead
-        if (readGenState(path, conf).exists(_.commit >= next.commit)) {
+      val nonce = java.util.UUID.randomUUID().toString
+      if (claimMarker(fs, marker, nonce)) {
+        // ownership re-check via the marker NONCE right before the
+        // write: if we stalled long enough after claiming that a loser
+        // adopted the ordinal (deleted + re-created the marker), its
+        // content no longer holds our nonce and our claim is void —
+        // fall back into the retry loop instead of clobbering the
+        // adopter's commit. RESIDUAL window: an owner that stalls ≥ 2 s
+        // and then resumes in the microseconds between this check and
+        // the rename can still clobber the adopter (rename-if-match
+        // does not exist on a plain filesystem); the read-back below
+        // catches one of the two orderings. Documented, not assumed
+        // impossible.
+        if (!markerHolds(fs, marker, nonce)) {
           Thread.sleep(25L * math.min(attempts, 8))
         } else {
         val text = renderGenState(next)

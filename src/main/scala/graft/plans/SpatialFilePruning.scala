@@ -35,7 +35,16 @@ case class SpatialFilePruning(spark: SparkSession) extends Rule[LogicalPlan] {
       if (boxes.nonEmpty && fsRel.partitionSchema.isEmpty &&
           fsRel.location.rootPaths.length == 1) {
         val root = fsRel.location.rootPaths.head
-        val current = fsRel.location.inputFiles
+        // parity with GeoParquet.read: files a compaction tombstoned
+        // are still on disk for time travel but are NOT part of the
+        // current snapshot — this rule must not keep them either, or
+        // the pruned scan double-counts every superseded row
+        val removed = GeoParquet.readGenState(root.toString,
+            spark.sessionState.newHadoopConf())
+          .map(_.removedSet).getOrElse(Set.empty)
+        val current = fsRel.location.inputFiles.filter { uri =>
+          !removed(uri.substring(uri.lastIndexOf('/') + 1))
+        }
         // every (column, box) pair prunes independently; keep the
         // intersection of survivors
         val kept = boxes.foldLeft(current) { case (files, (geomName, qx0, qy0, qx1, qy1)) =>
@@ -52,7 +61,10 @@ case class SpatialFilePruning(spark: SparkSession) extends Rule[LogicalPlan] {
             case None => files
           }
         }
-        if (kept.length < current.length) {
+        // compare against the ORIGINAL file list: a tombstone-only
+        // shrink (boxes pruned nothing further) must still rewrite the
+        // scan, or the superseded files stay in it
+        if (kept.length < fsRel.location.inputFiles.length) {
           val prunedIndex = new InMemoryFileIndex(spark,
             kept.toIndexedSeq.map(new Path(_)), fsRel.options,
             Some(fsRel.dataSchema))
