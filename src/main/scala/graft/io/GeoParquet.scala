@@ -293,8 +293,11 @@ object GeoParquet {
       newFiles: Seq[String]): Option[GenState] => GenState = {
     case Some(st) if st.files.nonEmpty =>
       warnUnrecorded(path, before -- st.files.keySet)
+      // the listing diff can include a CONCURRENT writer's files —
+      // never re-stamp an entry another commit already recorded
       st.copy(files = st.files ++
-        newFiles.map(_ -> GenEntry(st.currentGen + 1, -1)))
+        newFiles.filterNot(st.files.keySet)
+          .map(_ -> GenEntry(st.currentGen + 1, -1)))
     case st =>
       val backfill =
         if (before.isEmpty) newFiles.map(_ -> GenEntry(0, -1))
@@ -635,7 +638,13 @@ object GeoParquet {
             // concurrent commit added meanwhile stays live
             if (e.removed < 0 && liveSet(f)) f -> e.copy(removed = g)
             else f -> e
-          } ++ newFiles.map(_ -> GenEntry(g, -1)),
+            // the listing diff can contain a CONCURRENT writer's files
+            // (the diff spans the whole rewrite) — never re-stamp an
+            // already-recorded entry, or their arrival generation
+            // becomes our rewrite generation and change readers lose
+            // their rows
+          } ++ newFiles.filterNot(cur.files.keySet)
+              .map(_ -> GenEntry(g, -1)),
             // a compaction generation REWRITES rows, it does not add
             // them — change readers (readZOrderChanges) skip it
             rewrites = cur.rewrites + g)
@@ -643,15 +652,26 @@ object GeoParquet {
           s"generation manifest at $path vanished mid-compaction")
       }).currentGen
     } catch {
-      case e: java.util.ConcurrentModificationException =>
-        // our rewritten files were never recorded — retire their
-        // sidecar entries FIRST (they were merged before the commit
-        // attempt; left behind they are phantom bounds/row-counts no
-        // vacuum can ever reclaim, and partitionSindex would index
-        // nonexistent files), then remove the files themselves
-        val newSet = newFiles.toSet
+      // cleanup on ANY failed commit (concurrent-compaction abort,
+      // CAS contention, read-back mismatch): our rewritten files are
+      // duplicate copies of live rows — but the listing diff can
+      // contain a concurrent writer's COMMITTED files too, so only
+      // touch what the current manifest does NOT record
+      case e @ (_: java.util.ConcurrentModificationException |
+                _: java.io.IOException) =>
+        val strays = (try readGenState(path, conf) catch {
+          case _: IllegalArgumentException => None
+        }) match {
+          case Some(cur) => newFiles.filterNot(cur.files.keySet)
+          case None => newFiles
+        }
+        // retire the strays' sidecar entries FIRST (left behind they
+        // are phantom bounds/row-counts no vacuum can ever reclaim,
+        // and partitionSindex would index nonexistent files), then
+        // remove the files themselves
+        val straySet = strays.toSet
         try updateSidecar(spark, path,
-          _.map { case (c, m) => c -> m.filterNot(kv => newSet(kv._1)) })
+          _.map { case (c, m) => c -> m.filterNot(kv => straySet(kv._1)) })
         catch { case se: java.io.IOException => e.addSuppressed(se) }
         val root = new HadoopPath(path)
         val fs = root.getFileSystem(conf)
@@ -659,7 +679,7 @@ object GeoParquet {
         // a file that survives is a duplicate copy of live rows that
         // plain reads would double-count and adoptUnrecordedFiles
         // would permanently bless
-        val failed = newFiles.filterNot { f =>
+        val failed = strays.filterNot { f =>
           try fs.delete(new HadoopPath(root, f), false)
           catch { case _: java.io.IOException => false }
         }
@@ -909,7 +929,15 @@ object GeoParquet {
       val marker = new HadoopPath(root, s".sccommit-${curVer + 1}")
       val nonce = java.util.UUID.randomUUID().toString
       if (claimMarker(fs, marker, nonce)) {
-        if (markerHolds(fs, marker, nonce)) {
+        // version re-check mirrors the manifest's ordinal re-check:
+        // success-path cleanup deletes committed .sccommit markers, so
+        // a writer stalled across several commits could re-claim an
+        // old version with its own fresh marker — the sidecar having
+        // reached our target version voids the claim
+        val verNow = readSidecarText(path, conf).flatMap(t =>
+          "\"version\":(\\d+)".r.findFirstMatchIn(t)).map(_.group(1).toInt)
+          .getOrElse(0)
+        if (markerHolds(fs, marker, nonce) && verNow < curVer + 1) {
           writeSidecarText(spark, path, nextText)
           if (!readSidecarText(path, conf).contains(nextText))
             throw new java.io.IOException(
@@ -1362,13 +1390,18 @@ object GeoParquet {
         // adopted the ordinal (deleted + re-created the marker), its
         // content no longer holds our nonce and our claim is void —
         // fall back into the retry loop instead of clobbering the
-        // adopter's commit. RESIDUAL window: an owner that stalls ≥ 2 s
-        // and then resumes in the microseconds between this check and
-        // the rename can still clobber the adopter (rename-if-match
-        // does not exist on a plain filesystem); the read-back below
-        // catches one of the two orderings. Documented, not assumed
-        // impossible.
-        if (!markerHolds(fs, marker, nonce)) {
+        // adopter's commit. The ORDINAL re-check closes the other
+        // hole: success-path cleanup deletes committed markers, so a
+        // writer that stalled across SEVERAL commits can re-claim an
+        // old ordinal with a fresh marker of its own — the manifest
+        // having reached its ordinal voids the claim regardless of
+        // who holds the marker. RESIDUAL window: an owner resuming in
+        // the microseconds between these checks and the rename can
+        // still clobber (rename-if-match does not exist on a plain
+        // filesystem); the read-back below catches one of the two
+        // orderings. Documented, not assumed impossible.
+        if (!markerHolds(fs, marker, nonce) ||
+            readGenState(path, conf).exists(_.commit >= next.commit)) {
           Thread.sleep(25L * math.min(attempts, 8))
         } else {
         val text = renderGenState(next)

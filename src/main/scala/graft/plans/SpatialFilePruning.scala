@@ -35,42 +35,62 @@ case class SpatialFilePruning(spark: SparkSession) extends Rule[LogicalPlan] {
       if (boxes.nonEmpty && fsRel.partitionSchema.isEmpty &&
           fsRel.location.rootPaths.length == 1) {
         val root = fsRel.location.rootPaths.head
-        // parity with GeoParquet.read: files a compaction tombstoned
-        // are still on disk for time travel but are NOT part of the
-        // current snapshot — this rule must not keep them either, or
-        // the pruned scan double-counts every superseded row
-        val removed = GeoParquet.readGenState(root.toString,
-            spark.sessionState.newHadoopConf())
-          .map(_.removedSet).getOrElse(Set.empty)
-        val current = fsRel.location.inputFiles.filter { uri =>
-          !removed(uri.substring(uri.lastIndexOf('/') + 1))
-        }
-        // every (column, box) pair prunes independently; keep the
-        // intersection of survivors
-        val kept = boxes.foldLeft(current) { case (files, (geomName, qx0, qy0, qx1, qy1)) =>
-          sidecarBounds(root, geomName) match {
-            case Some(perFile) => files.filter { uri =>
-              val name = uri.substring(uri.lastIndexOf('/') + 1)
-              perFile.get(name) match {
-                case Some(Array(x0, y0, x1, y1)) =>
-                  // NaN bounds (empty file) compare false -> kept
-                  !(x1 < qx0 || x0 > qx1 || y1 < qy0 || y0 > qy1)
-                case _ => true // unknown file: conservative keep
+        val conf = spark.sessionState.newHadoopConf()
+        // ONE sidecar read for every box (it was re-read per column);
+        // no sidecar -> no graft metadata -> nothing this rule can do,
+        // and no manifest round-trip is paid for plain parquet dirs
+        GeoParquet.readSidecarText(root.toString, conf) match {
+          case None => f
+          case Some(sidecarText) =>
+            val allFiles = fsRel.location.inputFiles
+            val names = allFiles.map(uri =>
+              uri.substring(uri.lastIndexOf('/') + 1)).toSet
+            // parity with GeoParquet.read: compaction-tombstoned files
+            // are not part of the current snapshot and must not be
+            // kept — but ONLY when the pinned listing already contains
+            // the compacted replacements (the live set). A listing
+            // pinned BEFORE the compaction is a consistent stale
+            // snapshot: dropping its tombstoned files without their
+            // replacements would silently lose rows, so it is left
+            // untouched. A malformed/foreign manifest is treated as
+            // absent (this rule stays conservative, never a
+            // planning-time crash).
+            val removed = (try GeoParquet.readGenState(root.toString, conf)
+              catch { case _: IllegalArgumentException => None }) match {
+              case Some(st) if st.removedSet.nonEmpty &&
+                  st.liveAt(st.currentGen).forall(names.contains) =>
+                st.removedSet
+              case _ => Set.empty[String]
+            }
+            val current = allFiles.filter { uri =>
+              !removed(uri.substring(uri.lastIndexOf('/') + 1))
+            }
+            // every (column, box) pair prunes independently; keep the
+            // intersection of survivors
+            val kept = boxes.foldLeft(current) { case (files, (geomName, qx0, qy0, qx1, qy1)) =>
+              val perFile = GeoParquet.parseSidecar(sidecarText, geomName)
+              if (perFile.isEmpty) files
+              else files.filter { uri =>
+                val name = uri.substring(uri.lastIndexOf('/') + 1)
+                perFile.get(name) match {
+                  case Some(Array(x0, y0, x1, y1)) =>
+                    // NaN bounds (empty file) compare false -> kept
+                    !(x1 < qx0 || x0 > qx1 || y1 < qy0 || y0 > qy1)
+                  case _ => true // unknown file: conservative keep
+                }
               }
             }
-            case None => files
-          }
+            // compare against the ORIGINAL file list: a tombstone-only
+            // shrink (boxes pruned nothing further) must still rewrite
+            // the scan, or the superseded files stay in it
+            if (kept.length < allFiles.length) {
+              val prunedIndex = new InMemoryFileIndex(spark,
+                kept.toIndexedSeq.map(new Path(_)), fsRel.options,
+                Some(fsRel.dataSchema))
+              val newRel = fsRel.copy(location = prunedIndex)(spark)
+              Filter(cond, l.copy(relation = newRel))
+            } else f
         }
-        // compare against the ORIGINAL file list: a tombstone-only
-        // shrink (boxes pruned nothing further) must still rewrite the
-        // scan, or the superseded files stay in it
-        if (kept.length < fsRel.location.inputFiles.length) {
-          val prunedIndex = new InMemoryFileIndex(spark,
-            kept.toIndexedSeq.map(new Path(_)), fsRel.options,
-            Some(fsRel.dataSchema))
-          val newRel = fsRel.copy(location = prunedIndex)(spark)
-          Filter(cond, l.copy(relation = newRel))
-        } else f
       } else f
   }
 
