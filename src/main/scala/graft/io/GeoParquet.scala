@@ -257,10 +257,18 @@ object GeoParquet {
     appendWithBoundsOf(batch, path, cols, numericBoundsPerFile)
   }
 
-  /** Shared skeleton of the two incremental-append paths: append the
-    * batch, compute bounds over ONLY the files it created (directory
-    * listing diff), merge into the existing sidecar preserving other
-    * columns' entries. Single writer per dataset assumed. */
+  /** Shared skeleton of the two incremental-append paths: STAGE the
+    * batch into a private hidden directory, move its (job-UUID-named,
+    * collision-free) part files into the dataset, compute bounds over
+    * exactly those files, merge into the existing sidecar preserving
+    * other columns' entries, commit the generation. Staging avoids the
+    * shared `_temporary/0` of a direct mode("append") write — two
+    * CONCURRENT appends there have the first job's commit delete the
+    * second's in-flight task files (the classic FileOutputCommitter
+    * hazard); with per-writer staging the appends compose, matching
+    * the manifest CAS. A crash after some moves leaves surfaced-
+    * not-silent torn state (warnUnrecorded / adoptUnrecordedFiles);
+    * a crash before any move leaves only an invisible dot-dir. */
   private def appendWithBoundsOf(batch: DataFrame, path: String,
       cols: Seq[String],
       boundsFn: (DataFrame, Seq[String]) => Map[String, Map[String, Array[Double]]])
@@ -270,8 +278,26 @@ object GeoParquet {
     val root = new HadoopPath(path)
     val fs = root.getFileSystem(conf)
     val before = listDataFiles(fs, root).toSet
-    batch.write.mode("append").parquet(path)
-    val newFiles = (listDataFiles(fs, root).toSet -- before).toSeq.sorted
+    val staging = new HadoopPath(root,
+      s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
+    val newFiles =
+      try {
+        batch.write.parquet(staging.toString)
+        val parts = fs.listStatus(staging).filter(_.isFile)
+          .map(_.getPath.getName)
+          .filter(n => !n.startsWith("_") && !n.startsWith(".")).sorted
+        parts.foreach { n =>
+          // part names embed the write job's UUID — unique across
+          // writers, so the move can never collide
+          if (!fs.rename(new HadoopPath(staging, n), new HadoopPath(root, n)))
+            throw new java.io.IOException(
+              s"failed to move staged append file $n into $path")
+        }
+        parts.toSeq
+      } finally {
+        try fs.delete(staging, true)
+        catch { case _: java.io.IOException => () }
+      }
     if (newFiles.nonEmpty) {
       val newBounds = boundsFn(
         spark.read.parquet(newFiles.map(f => s"$path/$f"): _*), cols)
@@ -834,7 +860,7 @@ object GeoParquet {
       val b = st_bounds(col(g))
       Seq(min(b.getField("x0")).as(s"${g}__x0"), min(b.getField("y0")).as(s"${g}__y0"),
           max(b.getField("x1")).as(s"${g}__x1"), max(b.getField("y1")).as(s"${g}__y1"))
-    }
+    } :+ count(lit(1)).as("__n")
     val perFile = df.groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -847,7 +873,13 @@ object GeoParquet {
         }.toArray
         fileName(row.getString(0)) -> vals
       }.toMap
-    }.toMap
+    }.toMap + (RowCountCol -> perFile.map { row =>
+      // geo lakes carry the per-file row counts too, so a spatial
+      // dataset's COUNT at any generation is a metadata-only answer
+      // exactly like the numeric lake's
+      val n = row.getLong(1 + geomCols.length * 4).toDouble
+      fileName(row.getString(0)) -> Array(n, n, n, n)
+    }.toMap)
   }
 
   /** Render the sidecar JSON (NaN bounds serialize as null, the same
@@ -1280,7 +1312,7 @@ object GeoParquet {
       files.collect { case (f, e) if e.removed >= 0 => f }.toSet
   }
 
-  private def renderGenState(st: GenState): String =
+  private[graft] def renderGenState(st: GenState): String =
     s"""{"_commit":${st.commit},"_min":${st.minGen},"_rw":[""" +
       st.rewrites.toSeq.sorted.mkString(",") + """],"files":{""" +
       st.files.toSeq.sortBy(_._1)

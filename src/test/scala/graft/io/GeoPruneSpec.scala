@@ -122,8 +122,12 @@ class GeoPruneSpec extends AnyFunSuite {
       val sidecar = GeoParquet.readSidecarText(s"$dir/d",
         spark.sessionState.newHadoopConf()).get
       val all = GeoParquet.parseSidecarAll(sidecar)
-      assert(all.keySet == Set("a", "b"))
+      // the reserved __rowcount block rides along since r11 (geo lakes
+      // get metadata-only COUNTs too)
+      assert(all.keySet == Set("a", "b", GeoParquet.RowCountCol))
       assert(all("a").size == all("b").size + 1, s"a=${all("a").size} b=${all("b").size}")
+      assert(all(GeoParquet.RowCountCol).values.map(_(0).toLong).sum == 41L,
+        "write + append files all carry their row counts")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(dir)
     }
