@@ -142,24 +142,39 @@ object GeoParquet {
       s"$RowCountCol is a reserved sidecar name")
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"missing column(s): ${missing.mkString(", ")}")
-    val before = listDataFileSet(df.sparkSession, path)
-    zSortedWrite(df, cols, path, numPartitions, bitsPerCol, mode)
+    val spark = df.sparkSession
+    val before = listDataFileSet(spark, path)
+    // append-mode packs can race a concurrent streaming append:
+    // STAGE the sorted output (exact file list, private staging dir)
+    // instead of a direct shared-_temporary write + listing diff.
+    // Exclusive modes (error/overwrite/ignore-on-absent) own the
+    // directory by construction and write directly.
+    val staged =
+      if (mode.toLowerCase == "append") {
+        val root = new HadoopPath(path)
+        val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+        Some(stageInto(zSortedFrame(df, cols, numPartitions, bitsPerCol),
+          root, fs))
+      } else {
+        zSortedFrame(df, cols, numPartitions, bitsPerCol)
+          .write.mode(mode).parquet(path)
+        None
+      }
     // per-file per-column min/max sidecar (degenerate [mn,mn,mx,mx]
     // box), computed over ONLY this pack's files and merged over any
     // surviving sidecar — an append-mode pack neither rescans the
     // existing files nor drops other columns' entries
-    finishPack(df.sparkSession, path, mode, before,
-      newFiles => numericBoundsPerFile(df.sparkSession.read.parquet(
-        newFiles.map(f => s"$path/$f"): _*), cols))
+    finishPack(spark, path, mode, before,
+      newFiles => numericBoundsPerFile(spark.read.parquet(
+        newFiles.map(f => s"$path/$f"): _*), cols), staged)
   }
 
-  /** The pack's sort+write step alone (no sidecar, no manifest):
+  /** The pack's sort step alone (no write, no sidecar, no manifest):
     * min-max scale, bit-interleave, range-partition + local sort on
-    * the morton code, write. Shared by [[packZOrderToParquet]] and
-    * [[compactZOrderGeneration]], whose commits differ. */
-  private def zSortedWrite(df: DataFrame, cols: Seq[String], path: String,
-                           numPartitions: Int, bitsPerCol: Int,
-                           mode: String): Unit = {
+    * the morton code. Shared by [[packZOrderToParquet]] and
+    * [[compactZOrderGeneration]], whose writes and commits differ. */
+  private def zSortedFrame(df: DataFrame, cols: Seq[String],
+                           numPartitions: Int, bitsPerCol: Int): DataFrame = {
     // one stats pass: global min/max per column (field 2j = min of
     // cols(j), field 2j+1 = max)
     val statAggs = cols.flatMap(c => Seq(
@@ -195,7 +210,6 @@ object GeoParquet {
       .repartitionByRange(numPartitions, col(ZCodeCol))
       .sortWithinPartitions(ZCodeCol)
       .drop(ZCodeCol)
-      .write.mode(mode).parquet(path)
   }
 
   /** Reserved sidecar pseudo-column: per-file ROW COUNTS, stored in the
@@ -278,26 +292,7 @@ object GeoParquet {
     val root = new HadoopPath(path)
     val fs = root.getFileSystem(conf)
     val before = listDataFiles(fs, root).toSet
-    val staging = new HadoopPath(root,
-      s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
-    val newFiles =
-      try {
-        batch.write.parquet(staging.toString)
-        val parts = fs.listStatus(staging).filter(_.isFile)
-          .map(_.getPath.getName)
-          .filter(n => !n.startsWith("_") && !n.startsWith(".")).sorted
-        parts.foreach { n =>
-          // part names embed the write job's UUID — unique across
-          // writers, so the move can never collide
-          if (!fs.rename(new HadoopPath(staging, n), new HadoopPath(root, n)))
-            throw new java.io.IOException(
-              s"failed to move staged append file $n into $path")
-        }
-        parts.toSeq
-      } finally {
-        try fs.delete(staging, true)
-        catch { case _: java.io.IOException => () }
-      }
+    val newFiles = stageInto(batch, root, fs)
     if (newFiles.nonEmpty) {
       val newBounds = boundsFn(
         spark.read.parquet(newFiles.map(f => s"$path/$f"): _*), cols)
@@ -307,6 +302,37 @@ object GeoParquet {
       // against a concurrent writer
       updateSidecar(spark, path, mergeSidecarBounds(_, newBounds))
       commitGenState(spark, path, appendCommit(path, before, newFiles))
+    }
+  }
+
+  /** Write `df` into a private hidden staging directory under `root`,
+    * move its (job-UUID-named, collision-free) part files into the
+    * dataset, and return EXACTLY those names. This is the write shape
+    * for every path a concurrent writer is possible on: a direct
+    * mode("append") write shares `_temporary/0` (one job's commit
+    * deletes another's in-flight task files), and a before/after
+    * listing diff can capture a CONCURRENT writer's files — staging
+    * eliminates both. A crash after some moves leaves surfaced-
+    * not-silent torn state (warnUnrecorded / adoptUnrecordedFiles); a
+    * crash before any move leaves only an invisible dot-dir. */
+  private def stageInto(df: DataFrame, root: HadoopPath,
+                        fs: org.apache.hadoop.fs.FileSystem): Seq[String] = {
+    val staging = new HadoopPath(root,
+      s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      df.write.parquet(staging.toString)
+      val parts = fs.listStatus(staging).filter(_.isFile)
+        .map(_.getPath.getName)
+        .filter(n => !n.startsWith("_") && !n.startsWith(".")).sorted
+      parts.foreach { n =>
+        if (!fs.rename(new HadoopPath(staging, n), new HadoopPath(root, n)))
+          throw new java.io.IOException(
+            s"failed to move staged file $n into $root")
+      }
+      parts.toSeq
+    } finally {
+      try fs.delete(staging, true)
+      catch { case _: java.io.IOException => () }
     }
   }
 
@@ -625,16 +651,20 @@ object GeoParquet {
     val snapshotGen = st.currentGen
     val live = st.liveAt(snapshotGen)
     require(live.nonEmpty, s"empty current snapshot at $path")
-    val before = listDataFileSet(spark, path)
     val df = spark.read.parquet(live.map(f => s"$path/$f"): _*)
     require(!df.columns.contains(ZCodeCol),
       s"input column collides with reserved name $ZCodeCol")
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"missing column(s): ${missing.mkString(", ")}")
-    // append-mode write: reads pin their file lists at planning, so
-    // reading the live files while appending fresh ones is safe
-    zSortedWrite(df, cols, path, numPartitions, bitsPerCol, "append")
-    val newFiles = (listDataFileSet(spark, path) -- before).toSeq.sorted
+    // STAGED write (reads pin their file lists at planning, so reading
+    // the live files while staging fresh ones is safe): the new-file
+    // list is exact, so a concurrent append's files can never be
+    // captured, mis-stamped as rewrite output, or destroyed by the
+    // abort cleanup below
+    val root = new HadoopPath(path)
+    val fs = root.getFileSystem(conf)
+    val newFiles = stageInto(
+      zSortedFrame(df, cols, numPartitions, bitsPerCol), root, fs)
     require(newFiles.nonEmpty, s"compaction of $path produced no files")
     // sidecar: ADD the compacted files' bounds, KEEP the superseded
     // files' entries — they still prune reads at pre-compaction
@@ -664,11 +694,8 @@ object GeoParquet {
             // concurrent commit added meanwhile stays live
             if (e.removed < 0 && liveSet(f)) f -> e.copy(removed = g)
             else f -> e
-            // the listing diff can contain a CONCURRENT writer's files
-            // (the diff spans the whole rewrite) — never re-stamp an
-            // already-recorded entry, or their arrival generation
-            // becomes our rewrite generation and change readers lose
-            // their rows
+            // newFiles is the EXACT staged list (ours alone); the
+            // filterNot is pure defense against a replayed commit
           } ++ newFiles.filterNot(cur.files.keySet)
               .map(_ -> GenEntry(g, -1)),
             // a compaction generation REWRITES rows, it does not add
@@ -679,14 +706,18 @@ object GeoParquet {
       }).currentGen
     } catch {
       // cleanup on ANY failed commit (concurrent-compaction abort,
-      // CAS contention, read-back mismatch): our rewritten files are
-      // duplicate copies of live rows — but the listing diff can
-      // contain a concurrent writer's COMMITTED files too, so only
-      // touch what the current manifest does NOT record
+      // CAS contention, read-back mismatch): newFiles is the exact
+      // staged list — every one OURS, none committed (the commit is
+      // what failed), so retiring and deleting them can never touch a
+      // concurrent writer's data. The defensive manifest re-read still
+      // excludes anything a replayed commit might have recorded; its
+      // own failure (flaky store) must not mask the original error or
+      // skip the cleanup entirely
       case e @ (_: java.util.ConcurrentModificationException |
                 _: java.io.IOException) =>
         val strays = (try readGenState(path, conf) catch {
-          case _: IllegalArgumentException => None
+          case se if scala.util.control.NonFatal(se) =>
+            e.addSuppressed(se); None
         }) match {
           case Some(cur) => newFiles.filterNot(cur.files.keySet)
           case None => newFiles
@@ -698,9 +729,8 @@ object GeoParquet {
         val straySet = strays.toSet
         try updateSidecar(spark, path,
           _.map { case (c, m) => c -> m.filterNot(kv => straySet(kv._1)) })
-        catch { case se: java.io.IOException => e.addSuppressed(se) }
-        val root = new HadoopPath(path)
-        val fs = root.getFileSystem(conf)
+        catch { case se if scala.util.control.NonFatal(se) =>
+          e.addSuppressed(se) }
         // Hadoop delete signals failure by RETURNING false — check it;
         // a file that survives is a duplicate copy of live rows that
         // plain reads would double-count and adoptUnrecordedFiles
@@ -846,6 +876,8 @@ object GeoParquet {
   /** Compute per-file bounds for the geometry columns and write the
     * sidecar JSON. One distributed aggregate per call. */
   def writeSidecar(spark: SparkSession, path: String, geomCols: Seq[String]): Unit = {
+    require(!geomCols.contains(RowCountCol),
+      s"$RowCountCol is a reserved sidecar name")
     // full rebuild, but still through the versioned update path so a
     // concurrent incremental append can't be silently clobbered
     val fresh = boundsPerFile(spark.read.parquet(path), geomCols)
@@ -856,6 +888,11 @@ object GeoParquet {
     * groupBy(input_file_name) aggregate over `df`. */
   private def boundsPerFile(df: DataFrame, geomCols: Seq[String])
       : Map[String, Map[String, Array[Double]]] = {
+    // central guard: every geo pack/write path funnels here, and a
+    // column literally named __rowcount would have its bounds block
+    // clobbered by the counts (wrong pruning, not a fail-fast)
+    require(!geomCols.contains(RowCountCol),
+      s"$RowCountCol is a reserved sidecar name")
     val aggs = geomCols.flatMap { g =>
       val b = st_bounds(col(g))
       Seq(min(b.getField("x0")).as(s"${g}__x0"), min(b.getField("y0")).as(s"${g}__y0"),
@@ -1077,6 +1114,8 @@ object GeoParquet {
                         geomCols: Seq[String]): Unit = {
     require(geomCols.nonEmpty && geomCols.distinct == geomCols,
       s"need a non-empty distinct column list, got $geomCols")
+    require(!geomCols.contains(RowCountCol),
+      s"$RowCountCol is a reserved sidecar name")
     val missing = geomCols.filterNot(batch.columns.contains)
     require(missing.isEmpty, s"missing column(s): ${missing.mkString(", ")}")
     appendWithBoundsOf(batch, path, geomCols, boundsPerFile)
@@ -1260,11 +1299,14 @@ object GeoParquet {
     *  - "error" / "overwrite" / first write: everything records as 0. */
   private def finishPack(spark: SparkSession, path: String, mode: String,
       before: Set[String],
-      boundsOf: Seq[String] => Map[String, Map[String, Array[Double]]])
+      boundsOf: Seq[String] => Map[String, Map[String, Array[Double]]],
+      knownNew: Option[Seq[String]] = None)
       : Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val after = listDataFileSet(spark, path)
-    val newFiles = (after -- before).toSeq.sorted
+    // a STAGED write knows its files exactly; the listing diff is only
+    // for the exclusive modes, where no concurrent writer can pollute it
+    val newFiles = knownNew.getOrElse((after -- before).toSeq.sorted)
     val m = mode.toLowerCase
     if (m == "ignore" && newFiles.isEmpty) return
     if (newFiles.nonEmpty) {

@@ -36,60 +36,70 @@ case class SpatialFilePruning(spark: SparkSession) extends Rule[LogicalPlan] {
           fsRel.location.rootPaths.length == 1) {
         val root = fsRel.location.rootPaths.head
         val conf = spark.sessionState.newHadoopConf()
-        // ONE sidecar read for every box (it was re-read per column);
-        // no sidecar -> no graft metadata -> nothing this rule can do,
-        // and no manifest round-trip is paid for plain parquet dirs
-        GeoParquet.readSidecarText(root.toString, conf) match {
-          case None => f
-          case Some(sidecarText) =>
-            val allFiles = fsRel.location.inputFiles
-            val names = allFiles.map(uri =>
-              uri.substring(uri.lastIndexOf('/') + 1)).toSet
-            // parity with GeoParquet.read: compaction-tombstoned files
-            // are not part of the current snapshot and must not be
-            // kept — but ONLY when the pinned listing already contains
-            // the compacted replacements (the live set). A listing
-            // pinned BEFORE the compaction is a consistent stale
-            // snapshot: dropping its tombstoned files without their
-            // replacements would silently lose rows, so it is left
-            // untouched. A malformed/foreign manifest is treated as
-            // absent (this rule stays conservative, never a
-            // planning-time crash).
-            val removed = (try GeoParquet.readGenState(root.toString, conf)
-              catch { case _: IllegalArgumentException => None }) match {
-              case Some(st) if st.removedSet.nonEmpty &&
-                  st.liveAt(st.currentGen).forall(names.contains) =>
-                st.removedSet
-              case _ => Set.empty[String]
-            }
-            val current = allFiles.filter { uri =>
-              !removed(uri.substring(uri.lastIndexOf('/') + 1))
-            }
-            // every (column, box) pair prunes independently; keep the
-            // intersection of survivors
-            val kept = boxes.foldLeft(current) { case (files, (geomName, qx0, qy0, qx1, qy1)) =>
-              val perFile = GeoParquet.parseSidecar(sidecarText, geomName)
-              if (perFile.isEmpty) files
-              else files.filter { uri =>
-                val name = uri.substring(uri.lastIndexOf('/') + 1)
-                perFile.get(name) match {
-                  case Some(Array(x0, y0, x1, y1)) =>
-                    // NaN bounds (empty file) compare false -> kept
-                    !(x1 < qx0 || x0 > qx1 || y1 < qy0 || y0 > qy1)
-                  case _ => true // unknown file: conservative keep
-                }
+        // ONE sidecar read for every box (it was re-read per column).
+        // A malformed/foreign manifest is treated as absent — this
+        // rule stays conservative, never a planning-time crash.
+        val sidecarText = GeoParquet.readSidecarText(root.toString, conf)
+        val stOpt =
+          try GeoParquet.readGenState(root.toString, conf)
+          catch { case _: IllegalArgumentException => None }
+        // no graft metadata at all -> nothing this rule can do (two
+        // cheap existence probes for plain parquet dirs)
+        if (sidecarText.isEmpty && stOpt.isEmpty) f
+        else {
+          val allFiles = fsRel.location.inputFiles
+          val names = allFiles.map(uri =>
+            uri.substring(uri.lastIndexOf('/') + 1)).toSet
+          // parity with GeoParquet.read: compaction-tombstoned files
+          // are not part of the current snapshot and must not be kept.
+          // A tombstone is droppable only if its REPLACEMENTS — the
+          // files added at its removal generation — are all in the
+          // pinned listing: a listing pinned BEFORE that compaction is
+          // a consistent stale snapshot whose tombstoned files still
+          // carry the rows, and dropping them would silently lose
+          // data. Per-generation (not whole-live-set) so a later
+          // append committed after the pin can't void the guard.
+          val removed = stOpt match {
+            case Some(st) if st.removedSet.nonEmpty =>
+              val addedAt = st.files.toSeq.groupBy(_._2.added)
+                .map { case (g, fs) => g -> fs.map(_._1) }
+              st.files.collect {
+                case (fname, e) if e.removed >= 0 &&
+                  addedAt.getOrElse(e.removed, Nil).forall(names.contains) =>
+                  fname
+              }.toSet
+            case _ => Set.empty[String]
+          }
+          val current = allFiles.filter { uri =>
+            !removed(uri.substring(uri.lastIndexOf('/') + 1))
+          }
+          // every (column, box) pair prunes independently; keep the
+          // intersection of survivors
+          val kept = boxes.foldLeft(current) { case (files, (geomName, qx0, qy0, qx1, qy1)) =>
+            val perFile = sidecarText
+              .map(GeoParquet.parseSidecar(_, geomName))
+              .getOrElse(Map.empty)
+            if (perFile.isEmpty) files
+            else files.filter { uri =>
+              val name = uri.substring(uri.lastIndexOf('/') + 1)
+              perFile.get(name) match {
+                case Some(Array(x0, y0, x1, y1)) =>
+                  // NaN bounds (empty file) compare false -> kept
+                  !(x1 < qx0 || x0 > qx1 || y1 < qy0 || y0 > qy1)
+                case _ => true // unknown file: conservative keep
               }
             }
-            // compare against the ORIGINAL file list: a tombstone-only
-            // shrink (boxes pruned nothing further) must still rewrite
-            // the scan, or the superseded files stay in it
-            if (kept.length < allFiles.length) {
-              val prunedIndex = new InMemoryFileIndex(spark,
-                kept.toIndexedSeq.map(new Path(_)), fsRel.options,
-                Some(fsRel.dataSchema))
-              val newRel = fsRel.copy(location = prunedIndex)(spark)
-              Filter(cond, l.copy(relation = newRel))
-            } else f
+          }
+          // compare against the ORIGINAL file list: a tombstone-only
+          // shrink (boxes pruned nothing further) must still rewrite
+          // the scan, or the superseded files stay in it
+          if (kept.length < allFiles.length) {
+            val prunedIndex = new InMemoryFileIndex(spark,
+              kept.toIndexedSeq.map(new Path(_)), fsRel.options,
+              Some(fsRel.dataSchema))
+            val newRel = fsRel.copy(location = prunedIndex)(spark)
+            Filter(cond, l.copy(relation = newRel))
+          } else f
         }
       } else f
   }
@@ -163,12 +173,6 @@ case class SpatialFilePruning(spark: SparkSession) extends Rule[LogicalPlan] {
     kernelBoxes ++ pointBoxes
   }
 
-  /** Per-file bounds from the sidecar at `root`, if present. */
-  private def sidecarBounds(root: Path,
-                            geomCol: String): Option[Map[String, Array[Double]]] =
-    GeoParquet.readSidecarText(root.toString, spark.sessionState.newHadoopConf())
-      .map(GeoParquet.parseSidecar(_, geomCol))
-      .filter(_.nonEmpty)
 }
 
 object SpatialFilePruning {
