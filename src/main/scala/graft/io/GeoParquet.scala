@@ -45,6 +45,11 @@ object GeoParquet {
     * file pruning. */
   def write(gf: GeoFrame, path: String, mode: String = "error",
             extraGeomCols: Seq[String] = Nil): Unit = {
+    // validate BEFORE the data write commits (a post-write failure
+    // would leave appended files with no sidecar entries and a
+    // duplicate batch on retry)
+    require(!(gf.geometryCol +: extraGeomCols).contains(RowCountCol),
+      s"$RowCountCol is a reserved sidecar name")
     gf.df.write.mode(mode).parquet(path)
     writeSidecar(gf.df.sparkSession, path, gf.geometryCol +: extraGeomCols)
   }
@@ -55,6 +60,8 @@ object GeoParquet {
   def packPartitionsToParquet(gf: GeoFrame, path: String, numPartitions: Int,
                               p: Int = 15, mode: String = "error",
                               extraGeomCols: Seq[String] = Nil): Unit = {
+    require(!(gf.geometryCol +: extraGeomCols).contains(RowCountCol),
+      s"$RowCountCol is a reserved sidecar name")
     val packed = gf.packPartitions(numPartitions, p)
     packed.df.write.mode(mode).parquet(path)
     writeSidecar(gf.df.sparkSession, path, gf.geometryCol +: extraGeomCols)
@@ -86,12 +93,21 @@ object GeoParquet {
       ZPointCol, "point")
     // the curve rank is a transient sort key — only the point column
     // persists (the sidecar + residual filter need it)
-    val before = listDataFileSet(df.sparkSession, path)
-    gf.packPartitions(numPartitions, p).df.drop("hilbert_distance")
-      .write.mode(mode).parquet(path)
-    finishPack(df.sparkSession, path, mode, before,
-      newFiles => boundsPerFile(df.sparkSession.read.parquet(
-        newFiles.map(f => s"$path/$f"): _*), Seq(ZPointCol)))
+    val spark = df.sparkSession
+    val before = listDataFileSet(spark, path)
+    val packed = gf.packPartitions(numPartitions, p).df.drop("hilbert_distance")
+    // append mode stages like every concurrent-writer path (exact
+    // file list, no shared _temporary, no listing-diff capture);
+    // exclusive modes own the directory and write directly
+    val staged =
+      if (mode.toLowerCase == "append") {
+        val root = new HadoopPath(path)
+        val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+        Some(stageInto(packed, root, fs))
+      } else { packed.write.mode(mode).parquet(path); None }
+    finishPack(spark, path, mode, before,
+      newFiles => boundsPerFile(spark.read.parquet(
+        newFiles.map(f => s"$path/$f"): _*), Seq(ZPointCol)), staged)
   }
 
   /** Range read over a [[packNumericToParquet]] dataset: sidecar file
@@ -665,15 +681,19 @@ object GeoParquet {
     val fs = root.getFileSystem(conf)
     val newFiles = stageInto(
       zSortedFrame(df, cols, numPartitions, bitsPerCol), root, fs)
-    require(newFiles.nonEmpty, s"compaction of $path produced no files")
-    // sidecar: ADD the compacted files' bounds, KEEP the superseded
-    // files' entries — they still prune reads at pre-compaction
-    // generations (vacuum is what retires them)
-    val fresh = numericBoundsPerFile(
-      spark.read.parquet(newFiles.map(f => s"$path/$f"): _*), cols)
-    updateSidecar(spark, path, mergeSidecarBounds(_, fresh))
     val liveSet = live.toSet
+    // EVERYTHING after the staged files became visible runs under the
+    // cleanup: a failure anywhere (empty-output require, sidecar
+    // contention, vanished manifest, commit abort) must not leave a
+    // full duplicate copy of the snapshot on disk
     try {
+      require(newFiles.nonEmpty, s"compaction of $path produced no files")
+      // sidecar: ADD the compacted files' bounds, KEEP the superseded
+      // files' entries — they still prune reads at pre-compaction
+      // generations (vacuum is what retires them)
+      val fresh = numericBoundsPerFile(
+        spark.read.parquet(newFiles.map(f => s"$path/$f"): _*), cols)
+      updateSidecar(spark, path, mergeSidecarBounds(_, fresh))
       commitGenState(spark, path, {
         case Some(cur) =>
           // another compaction tombstoning ANY of our snapshot means
@@ -705,16 +725,16 @@ object GeoParquet {
           s"generation manifest at $path vanished mid-compaction")
       }).currentGen
     } catch {
-      // cleanup on ANY failed commit (concurrent-compaction abort,
-      // CAS contention, read-back mismatch): newFiles is the exact
-      // staged list — every one OURS, none committed (the commit is
-      // what failed), so retiring and deleting them can never touch a
-      // concurrent writer's data. The defensive manifest re-read still
-      // excludes anything a replayed commit might have recorded; its
-      // own failure (flaky store) must not mask the original error or
-      // skip the cleanup entirely
-      case e @ (_: java.util.ConcurrentModificationException |
-                _: java.io.IOException) =>
+      // cleanup on ANY failure after the staged files became visible
+      // (concurrent-compaction abort, CAS contention, read-back
+      // mismatch, sidecar contention, vanished manifest, empty-output
+      // require): newFiles is the exact staged list — every one OURS,
+      // none committed (the commit is what failed), so retiring and
+      // deleting them can never touch a concurrent writer's data. The
+      // defensive manifest re-read still excludes anything a replayed
+      // commit might have recorded; its own failure (flaky store) must
+      // not mask the original error or skip the cleanup entirely
+      case e if scala.util.control.NonFatal(e) =>
         val strays = (try readGenState(path, conf) catch {
           case se if scala.util.control.NonFatal(se) =>
             e.addSuppressed(se); None
@@ -1303,9 +1323,10 @@ object GeoParquet {
       knownNew: Option[Seq[String]] = None)
       : Unit = {
     val conf = spark.sessionState.newHadoopConf()
-    val after = listDataFileSet(spark, path)
-    // a STAGED write knows its files exactly; the listing diff is only
-    // for the exclusive modes, where no concurrent writer can pollute it
+    // a STAGED write knows its files exactly; the listing (one RPC on
+    // an object store) is only taken for the exclusive modes, where no
+    // concurrent writer can pollute the diff
+    lazy val after = listDataFileSet(spark, path)
     val newFiles = knownNew.getOrElse((after -- before).toSeq.sorted)
     val m = mode.toLowerCase
     if (m == "ignore" && newFiles.isEmpty) return

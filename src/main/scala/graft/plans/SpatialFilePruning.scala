@@ -37,12 +37,16 @@ case class SpatialFilePruning(spark: SparkSession) extends Rule[LogicalPlan] {
         val root = fsRel.location.rootPaths.head
         val conf = spark.sessionState.newHadoopConf()
         // ONE sidecar read for every box (it was re-read per column).
-        // A malformed/foreign manifest is treated as absent — this
-        // rule stays conservative, never a planning-time crash.
-        val sidecarText = GeoParquet.readSidecarText(root.toString, conf)
+        // A malformed/foreign manifest — or ANY read failure, e.g. the
+        // exists-then-open race against a writer's delete→rename swap —
+        // is treated as absent: this rule stays conservative, never a
+        // planning-time crash.
+        val sidecarText =
+          try GeoParquet.readSidecarText(root.toString, conf)
+          catch { case scala.util.control.NonFatal(_) => None }
         val stOpt =
           try GeoParquet.readGenState(root.toString, conf)
-          catch { case _: IllegalArgumentException => None }
+          catch { case scala.util.control.NonFatal(_) => None }
         // no graft metadata at all -> nothing this rule can do (two
         // cheap existence probes for plain parquet dirs)
         if (sidecarText.isEmpty && stOpt.isEmpty) f
