@@ -308,16 +308,73 @@ object GeoParquet {
     val root = new HadoopPath(path)
     val fs = root.getFileSystem(conf)
     val before = listDataFiles(fs, root).toSet
-    val newFiles = stageInto(batch, root, fs)
-    if (newFiles.nonEmpty) {
-      val newBounds = boundsFn(
-        spark.read.parquet(newFiles.map(f => s"$path/$f"): _*), cols)
-      // outer-merge into whatever sidecar exists, under the update
-      // path's read-back retry — appending with a subset of columns
-      // preserves the others' (and the row-count block's) entries even
-      // against a concurrent writer
-      updateSidecar(spark, path, mergeSidecarBounds(_, newBounds))
-      commitGenState(spark, path, appendCommit(path, before, newFiles))
+    val staged = stageInto(batch, root, fs)
+    if (staged.nonEmpty) {
+      val boundsAll = boundsFn(
+        spark.read.parquet(staged.map(f => s"$path/$f"): _*), cols)
+      // 0-row parts never enter the dataset (see [[dropEmptyNewFiles]]);
+      // an all-empty batch appends NOTHING — no sidecar write, no
+      // generation (an idle streaming ingest no longer accretes empty
+      // files and empty commits)
+      val (newFiles, newBounds, _) = dropEmptyNewFiles(
+        fs, root, staged, boundsAll, cols, keepSchemaFileIfAllEmpty = false)
+      if (newFiles.nonEmpty) {
+        // outer-merge into whatever sidecar exists, under the update
+        // path's read-back retry — appending with a subset of columns
+        // preserves the others' (and the row-count block's) entries even
+        // against a concurrent writer
+        updateSidecar(spark, path, mergeSidecarBounds(_, newBounds))
+        commitGenState(spark, path, appendCommit(path, before, newFiles))
+      }
+    }
+  }
+
+  /** Spark's file writer creates a part file per TASK, including 0-row
+    * tasks (an empty scan split, a filtered-empty partition) — at
+    * sf0.1 a filtered lineitem append reliably writes one. A 0-row
+    * file must never enter the dataset: the bounds pass (a groupBy
+    * over input_file_name) yields NO sidecar entries for it, so it
+    * would carry a manifest entry with no row count, permanently
+    * degrading the metadata-only stats paths ([[statsAtGeneration]],
+    * [[generationHistory]]) for its generation — the r11
+    * zorder_stats_history sf0.1 failure — and cost every future
+    * reader a footer open for zero rows. Files absent from `fresh`'s
+    * [[RowCountCol]] block are exactly the 0-row ones (count(lit(1))
+    * covers every row regardless of nulls). When ALL parts are empty
+    * and the caller needs a schema-preserving file (a fresh pack, or
+    * compacting an empty snapshot), ONE file is kept with EXPLICIT
+    * zero-count + unknown-bounds entries so the dataset stays readable
+    * and countable. Returns (kept files, bounds to merge, dropped
+    * names); a delete failure leaves an unrecorded file plain reads
+    * see as 0 rows — warned, never fatal. */
+  private def dropEmptyNewFiles(fs: org.apache.hadoop.fs.FileSystem,
+      root: HadoopPath, files: Seq[String],
+      fresh: Map[String, Map[String, Array[Double]]], cols: Seq[String],
+      keepSchemaFileIfAllEmpty: Boolean)
+      : (Seq[String], Map[String, Map[String, Array[Double]]], Set[String]) = {
+    val nonEmpty = fresh.getOrElse(RowCountCol, Map.empty).keySet
+    val (keep, empty) = files.partition(nonEmpty)
+    def delete(names: Seq[String]): Unit = {
+      val failed = names.filterNot { f =>
+        try fs.delete(new HadoopPath(root, f), false)
+        catch { case _: java.io.IOException => false }
+      }
+      if (failed.nonEmpty)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"could not delete 0-row part file(s) ${failed.mkString(", ")} " +
+            s"under $root — harmless (no rows, no manifest entry) but " +
+            "unreclaimed until a manual delete")
+    }
+    if (keep.nonEmpty || !keepSchemaFileIfAllEmpty || files.isEmpty) {
+      delete(empty)
+      (keep, fresh, empty.toSet)
+    } else {
+      val head = files.head
+      delete(files.tail)
+      val explicit = cols.map(c => c -> Map(head ->
+        Array(Double.NaN, Double.NaN, Double.NaN, Double.NaN))).toMap +
+        (RowCountCol -> Map(head -> Array(0.0, 0.0, 0.0, 0.0)))
+      (Seq(head), mergeSidecarBounds(fresh, explicit), files.tail.toSet)
     }
   }
 
@@ -679,9 +736,13 @@ object GeoParquet {
     // abort cleanup below
     val root = new HadoopPath(path)
     val fs = root.getFileSystem(conf)
-    val newFiles = stageInto(
+    val staged = stageInto(
       zSortedFrame(df, cols, numPartitions, bitsPerCol), root, fs)
     val liveSet = live.toSet
+    // the abort cleanup below must only touch files still on disk:
+    // the 0-row-part drop deletes some staged files pre-commit, so
+    // the var narrows from the full staged list to the kept one
+    var newFiles: Seq[String] = staged
     // EVERYTHING after the staged files became visible runs under the
     // cleanup: a failure anywhere (empty-output require, sidecar
     // contention, vanished manifest, commit abort) must not leave a
@@ -691,8 +752,15 @@ object GeoParquet {
       // sidecar: ADD the compacted files' bounds, KEEP the superseded
       // files' entries — they still prune reads at pre-compaction
       // generations (vacuum is what retires them)
-      val fresh = numericBoundsPerFile(
+      val freshAll = numericBoundsPerFile(
         spark.read.parquet(newFiles.map(f => s"$path/$f"): _*), cols)
+      // 0-row parts never enter the snapshot (see [[dropEmptyNewFiles]]);
+      // an all-empty rewrite (compacting an empty snapshot) keeps ONE
+      // schema-preserving file with explicit zero-count entries so the
+      // head generation stays readable and countable
+      val (kept, fresh, _) = dropEmptyNewFiles(
+        fs, root, staged, freshAll, cols, keepSchemaFileIfAllEmpty = true)
+      newFiles = kept
       updateSidecar(spark, path, mergeSidecarBounds(_, fresh))
       commitGenState(spark, path, {
         case Some(cur) =>
