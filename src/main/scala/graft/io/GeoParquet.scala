@@ -107,7 +107,8 @@ object GeoParquet {
       } else { packed.write.mode(mode).parquet(path); None }
     finishPack(spark, path, mode, before,
       newFiles => boundsPerFile(spark.read.parquet(
-        newFiles.map(f => s"$path/$f"): _*), Seq(ZPointCol)), staged)
+        newFiles.map(f => s"$path/$f"): _*), Seq(ZPointCol)),
+      Seq(ZPointCol), staged)
   }
 
   /** Range read over a [[packNumericToParquet]] dataset: sidecar file
@@ -182,7 +183,8 @@ object GeoParquet {
     // existing files nor drops other columns' entries
     finishPack(spark, path, mode, before,
       newFiles => numericBoundsPerFile(spark.read.parquet(
-        newFiles.map(f => s"$path/$f"): _*), cols), staged)
+        newFiles.map(f => s"$path/$f"): _*), cols),
+      cols, staged)
   }
 
   /** The pack's sort step alone (no write, no sidecar, no manifest):
@@ -1384,37 +1386,62 @@ object GeoParquet {
     *    and invisible to time travel, like the incremental append);
     *    without a manifest, the pre-pack files back-fill as
     *    generation 0 and the pack's files as 1;
-    *  - "error" / "overwrite" / first write: everything records as 0. */
+    *  - "error" / "overwrite" / first write: everything records as 0.
+    *
+    * 0-row parts never enter the dataset (see [[dropEmptyNewFiles]] —
+    * `repartitionByRange` emits an empty partition whenever
+    * numPartitions exceeds the distinct range keys, so SMALL or skewed
+    * packs reliably produce them): a fresh exclusive pack of an
+    * all-empty frame keeps ONE schema-preserving file with explicit
+    * zero-count entries so the dataset stays readable and countable;
+    * an append-mode pack whose parts are all empty appends NOTHING —
+    * no sidecar write, no generation (same contract as
+    * [[appendWithBoundsOf]]). */
   private def finishPack(spark: SparkSession, path: String, mode: String,
       before: Set[String],
       boundsOf: Seq[String] => Map[String, Map[String, Array[Double]]],
+      cols: Seq[String],
       knownNew: Option[Seq[String]] = None)
       : Unit = {
     val conf = spark.sessionState.newHadoopConf()
+    val root = new HadoopPath(path)
+    val fs = root.getFileSystem(conf)
     // a STAGED write knows its files exactly; the listing (one RPC on
     // an object store) is only taken for the exclusive modes, where no
     // concurrent writer can pollute the diff
     lazy val after = listDataFileSet(spark, path)
-    val newFiles = knownNew.getOrElse((after -- before).toSeq.sorted)
+    val rawNew = knownNew.getOrElse((after -- before).toSeq.sorted)
     val m = mode.toLowerCase
-    if (m == "ignore" && newFiles.isEmpty) return
-    if (newFiles.nonEmpty) {
-      // bounds computed ONCE outside the update closure (it runs a
-      // Spark aggregate; the retry loop must not repeat it)
-      val fresh = boundsOf(newFiles)
-      updateSidecar(spark, path, mergeSidecarBounds(_, fresh))
-    }
-    if (m == "append")
-      commitGenState(spark, path, appendCommit(path, before, newFiles))
-    else if (m == "ignore") {
+    if (m == "ignore" && rawNew.isEmpty) return
+    val (newFiles, dropped) =
+      if (rawNew.nonEmpty) {
+        // bounds computed ONCE outside the update closure (it runs a
+        // Spark aggregate; the retry loop must not repeat it)
+        val freshAll = boundsOf(rawNew)
+        // an append onto existing data behaves like the incremental
+        // append (all-empty → nothing); every other mode owns the
+        // directory fresh and must leave it readable
+        val (kept, fresh, droppedSet) = dropEmptyNewFiles(
+          fs, root, rawNew, freshAll, cols,
+          keepSchemaFileIfAllEmpty = m != "append" || before.isEmpty)
+        if (kept.nonEmpty)
+          updateSidecar(spark, path, mergeSidecarBounds(_, fresh))
+        (kept, droppedSet)
+      } else (rawNew, Set.empty[String])
+    if (m == "append") {
+      // commit only what was actually appended; an all-empty (or
+      // no-op) append touches neither the sidecar nor the manifest
+      if (newFiles.nonEmpty)
+        commitGenState(spark, path, appendCommit(path, before, newFiles))
+    } else if (m == "ignore") {
       // a write happened (dir was absent): record it unless some other
       // writer's manifest already exists
       if (readGenState(path, conf).isEmpty)
         commitGenState(spark, path, _ =>
-          GenState(0, 0, after.map(_ -> GenEntry(0, -1)).toMap))
+          GenState(0, 0, (after -- dropped).map(_ -> GenEntry(0, -1)).toMap))
     }
     else commitGenState(spark, path, _ =>
-      GenState(0, 0, after.map(_ -> GenEntry(0, -1)).toMap))
+      GenState(0, 0, (after -- dropped).map(_ -> GenEntry(0, -1)).toMap))
   }
 
   /** One data file's lifecycle in the generation log: visible at

@@ -103,6 +103,11 @@ class GeoPruneSpec extends AnyFunSuite {
         .withColumn("a", st_point(col("x"), col("y")))
         .withColumn("b", st_point(col("x") + 1000, col("y") + 1000))
         .select("id", "a", "b")
+        // explicit range layout: the session is getOrCreate-shared
+        // across suites, so the input's default partition count (and
+        // with it, whether the write is prunable at all) must not
+        // depend on which suite created it
+        .repartitionByRange(4, col("id"))
       GeoParquet.write(GeoFrame(rows, "a", "point"), s"$dir/d",
         mode = "overwrite", extraGeomCols = Seq("b"))
       // append updating only column a's bounds
@@ -746,6 +751,93 @@ class GeoPruneSpec extends AnyFunSuite {
       val head = GeoParquet.currentGeneration(spark, path)
       assert(GeoParquet.readZOrderAtGeneration(spark, path, head)
         .count() == 300 + 4 * 80)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
+  test("0-row parts never enter the manifest: empty packs, filtered appends, stats stay metadata-only") {
+    // regression for the r11/r12 zorder_stats_history flake: Spark's
+    // file writer emits a part file for TASK 0 even when its partition
+    // is empty (schema preservation) — a 0-row file in the manifest
+    // with no __rowcount sidecar twin permanently degrades the
+    // metadata-only stats paths. Pin every entry point: fresh pack,
+    // append-mode pack, incremental append, compaction.
+    val dir = java.nio.file.Files.createTempDirectory("zemptyparts").toFile
+    val conf = spark.sessionState.newHadoopConf()
+    def assertMetadataConsistent(p: String): Unit = {
+      val st = GeoParquet.readGenState(p, conf).get
+      val counts = GeoParquet.readSidecarText(p, conf)
+        .map(GeoParquet.parseSidecar(_, "__rowcount")).getOrElse(Map.empty)
+      val live = st.files.collect { case (f, e) if e.removed < 0 => f }.toSet
+      assert((live -- counts.keySet).isEmpty,
+        s"live manifest entries with no __rowcount: ${live -- counts.keySet}")
+      assert(GeoParquet.generationHistory(spark, p).forall(_._4 >= 0),
+        s"unknown rowsAdded: ${GeoParquet.generationHistory(spark, p)}")
+      // and stats answer from metadata at every readable generation
+      (st.minGen to st.currentGen).foreach { g =>
+        val (n, _) = GeoParquet.statsAtGeneration(spark, p, g, Nil)
+        assert(n == GeoParquet.readZOrderAtGeneration(spark, p, g).count(),
+          s"metadata count mismatch at generation $g")
+      }
+    }
+    try {
+      import spark.implicits._
+      val path = s"$dir/z"
+      def rows(lo: Int, n: Int) = (0 until n).map(i =>
+        ((lo * 1000 + i).toLong, lo * 10 + i % 10, lo * 10 + (i * 3) % 10))
+      val empty = rows(0, 10).toDF("id", "a", "b").where(col("id") < 0)
+
+      // 1. a fresh exclusive pack of an ALL-EMPTY frame was the live
+      // bug: one 0-row part entered the manifest with no row count and
+      // statsAtGeneration threw forever. Now: ONE schema-preserving
+      // file, explicit zero count, readable and countable.
+      GeoParquet.packZOrderToParquet(empty, Seq("a", "b"), path, 4)
+      assert(GeoParquet.readZOrderAtGeneration(spark, path, 0).count() == 0)
+      assert(GeoParquet.statsAtGeneration(spark, path, 0, Seq("a"))._1 == 0L)
+      assertMetadataConsistent(path)
+
+      // 2. a real append, then an append-mode PACK of an all-empty
+      // frame: appends NOTHING — no new generation, no manifest entry,
+      // no file left on disk
+      GeoParquet.appendNumericWithSidecar(
+        rows(1, 200).toDF("id", "a", "b"), path, Seq("a", "b"))
+      val genBefore = GeoParquet.currentGeneration(spark, path)
+      val filesBefore = new java.io.File(path).listFiles()
+        .map(_.getName).filter(n => !n.startsWith("_") && !n.startsWith(".")).toSet
+      GeoParquet.packZOrderToParquet(empty, Seq("a", "b"), path, 4,
+        mode = "append")
+      assert(GeoParquet.currentGeneration(spark, path) == genBefore,
+        "all-empty append-mode pack committed a generation")
+      val filesAfter = new java.io.File(path).listFiles()
+        .map(_.getName).filter(n => !n.startsWith("_") && !n.startsWith(".")).toSet
+      assert(filesAfter == filesBefore,
+        "all-empty append-mode pack left files on disk")
+
+      // 3. the original r12 reproducer shape: an incremental append
+      // whose FIRST partition is filtered empty (task 0 writes the
+      // 0-row part) — the empty part must be dropped, not committed
+      val skewBatch = rows(2, 200).toDF("id", "a", "b")
+        .repartitionByRange(2, col("id"))
+        .where(col("id") >= 2100) // range partition 0 (low ids) now empty
+      GeoParquet.appendNumericWithSidecar(skewBatch, path, Seq("a", "b"))
+      assertMetadataConsistent(path)
+
+      // 4. an append-mode pack of a real frame onto the skewed lake,
+      // then compaction: every generation still metadata-consistent
+      GeoParquet.packZOrderToParquet(rows(3, 150).toDF("id", "a", "b"),
+        Seq("a", "b"), path, 3, mode = "append")
+      GeoParquet.compactZOrderGeneration(spark, path, Seq("a", "b"), 2)
+      assertMetadataConsistent(path)
+      val head = GeoParquet.currentGeneration(spark, path)
+      assert(GeoParquet.readZOrderAtGeneration(spark, path, head)
+        .count() == 200 + 100 + 150)
+
+      // 5. the numeric point-pack twin (geo bounds path) of case 1
+      val p2 = s"$dir/npt"
+      GeoParquet.packNumericToParquet(
+        empty.withColumnRenamed("a", "x").withColumnRenamed("b", "y"),
+        "x", "y", p2, 4)
+      assert(GeoParquet.readNumericRange(spark, p2, 0, 0, 100, 100).count() == 0)
+      assert(GeoParquet.statsAtGeneration(spark, p2, 0, Nil)._1 == 0L)
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 }
