@@ -31,18 +31,19 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     // optional comma-separated subset for targeted perf iteration
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val outcomes = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
-        catch { case t: Throwable =>
-          // keep the JSON contract; failures must still be visible
-          System.err.println(s"[bench] $name FAILED: ${t.getClass.getSimpleName}: ${t.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case t: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${t.getClass.getSimpleName}: ${t.getMessage}")
+            false
+          }
+        (ok, (System.nanoTime() - t0) / 1e9)
+      }
       // hygiene OUTSIDE the timed window: 160+ queries in one JVM pile
       // up persisted frames and localCheckpoint blocks (queries are
       // self-contained, so dropping them between queries is safe), and
@@ -51,10 +52,22 @@ object Bench {
       // same query late in a full-suite run.
       spark.catalog.clearCache()
       System.gc()
-      name -> times(times.length / 2)
-    }.toMap
+      // a failed rep must never fold into the median (a query failing
+      // 2/3 reps used to publish a clean-looking number); median over
+      // the SUCCESSFUL reps only, -1.0 when every rep failed
+      val good = runs.filter(_._1).map(_._2).sorted
+      val median = if (good.nonEmpty) good(good.length / 2) else -1.0
+      (name, median, runs.count(!_._1))
+    }
+    val results = outcomes.map { case (n, m, _) => n -> m }.toMap
+    val failed = outcomes.collect { case (n, _, f) if f > 0 => n -> f }.toMap
     def fmt(v: Double): String = f"$v%.3f"
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // all-failed queries (-1 sentinel) stay OUT of the total but are
+    // visible in the failed block and their own -1 entry
+    val total = results.values.filter(_ >= 0).sum
+    val failedJson = failed.toSeq.sortBy(_._1)
+      .map { case (k, n) => "\"" + k + "\":" + n }.mkString("{", ",", "}")
+    val failedField = if (failed.isEmpty) "" else s""","failed":$failedJson"""
     // The driver keeps only the last ~2000 chars of stdout and parses a
     // JSON line out of that tail. With 160+ queries the full per-query
     // map is ~4KB — it can NEVER fit (r5 and r6 bench numbers were both
@@ -65,7 +78,7 @@ object Bench {
     val fullQs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size}$failedField,"queries":$fullQs,"sf":"$sfDir"}"""
     // only a FULL-suite run may overwrite the committed artifact — a
     // targeted SPARK_GRAFT_BENCH_ONLY iteration must not clobber it
     // (r6 shipped a 1-query BENCH_FULL.json exactly that way)
@@ -96,7 +109,7 @@ object Bench {
     // stop Spark BEFORE printing so the JSON is the last stdout line
     // (shutdown logs go to stderr; the driver parses stdout).
     spark.stop()
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"queries":$qs,"sf":"$sfDir","full":"BENCH_FULL.json"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size}$failedField,"queries":$qs,"sf":"$sfDir","full":"BENCH_FULL.json"}""")
     System.out.flush()
   }
 }
