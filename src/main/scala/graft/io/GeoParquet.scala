@@ -391,7 +391,8 @@ object GeoParquet {
     * not-silent torn state (warnUnrecorded / adoptUnrecordedFiles); a
     * crash before any move leaves only an invisible dot-dir. */
   private def stageInto(df: DataFrame, root: HadoopPath,
-                        fs: org.apache.hadoop.fs.FileSystem): Seq[String] = {
+                        fs: org.apache.hadoop.fs.FileSystem,
+                        prefix: String = ""): Seq[String] = {
     val staging = new HadoopPath(root,
       s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
     try {
@@ -399,8 +400,10 @@ object GeoParquet {
       val parts = fs.listStatus(staging).filter(_.isFile)
         .map(_.getPath.getName)
         .filter(n => !n.startsWith("_") && !n.startsWith(".")).sorted
+        .map(prefix + _)
       parts.foreach { n =>
-        if (!fs.rename(new HadoopPath(staging, n), new HadoopPath(root, n)))
+        if (!fs.rename(new HadoopPath(staging, n.drop(prefix.length)),
+            new HadoopPath(root, n)))
           throw new java.io.IOException(
             s"failed to move staged file $n into $root")
       }
@@ -410,6 +413,55 @@ object GeoParquet {
       catch { case _: java.io.IOException => () }
     }
   }
+
+  /** Compaction output carries this name prefix so readers can tell an
+    * IN-FLIGHT (or aborted) rewrite's files — renamed into the live
+    * directory before the tombstoning commit, their rows still live in
+    * the files they rewrite — from a foreign append, which must stay
+    * conservatively visible. Without the marker the two are
+    * indistinguishable and a reader racing a compaction double-counts
+    * every rewritten row. Files named `rw-*` by anything other than
+    * [[compactZOrderGeneration]] are out of contract. */
+  private[graft] val RewritePrefix = "rw-"
+
+  /** The CURRENT-snapshot view of a PINNED directory listing,
+    * reconciled against a manifest read AFTER the listing was taken
+    * (list first: a manifest read before the listing can miss the very
+    * tombstones explaining rewrite files the listing then picks up).
+    * Rules, each per rewrite generation so commits that land after the
+    * pin cannot void the guard:
+    *  - a tombstone applies only when its rewrite's output is fully
+    *    present in the listing — otherwise the pre-rewrite snapshot
+    *    stands (a listing pinned before the compaction is a consistent
+    *    stale snapshot; dropping its tombstoned files would lose rows);
+    *  - rewrite output participates only as a COMPLETE set: a listing
+    *    pinned mid-rename must not mix both copies of the same rows;
+    *  - files a vacuum may already have deleted (removed <= minGen)
+    *    are not required present — a live file must never be dropped
+    *    because its long-dead generation siblings were reclaimed;
+    *  - an unrecorded [[RewritePrefix]] file is an in-flight or
+    *    aborted compaction's output: dropped, never double-read. Other
+    *    unrecorded files are foreign appends, kept conservatively. */
+  private[graft] def reconcileListing(listed: Seq[String],
+                                      stOpt: Option[GenState]): Seq[String] =
+    stOpt match {
+      case None => listed
+      case Some(st) =>
+        val names = listed.toSet
+        val required = st.files.toSeq
+          .filter { case (_, e) => e.removed < 0 || e.removed > st.minGen }
+          .groupBy(_._2.added)
+        def fullyListed(g: Int): Boolean =
+          required.getOrElse(g, Nil).forall { case (f, _) => names.contains(f) }
+        listed.filter { f =>
+          st.files.get(f) match {
+            case Some(e) =>
+              (e.removed < 0 || !fullyListed(e.removed)) &&
+                (!st.rewrites(e.added) || fullyListed(e.added))
+            case None => !f.startsWith(RewritePrefix)
+          }
+        }
+    }
 
   /** The append-commit shape shared by the incremental appends and
     * append-mode packs: this commit's files land at currentGen+1; a
@@ -468,9 +520,14 @@ object GeoParquet {
     * reads already return. Returns the adopted file names (empty =
     * nothing to do, no commit written). Sidecar entries are NOT
     * invented for them — pruning degrades to conservative-keep, which
-    * is always correct. */
+    * is always correct. Unrecorded [[RewritePrefix]] files are NEVER
+    * adopted: they are an in-flight or aborted compaction's output,
+    * duplicate copies of rows still live in the files they rewrite —
+    * adopting them would double every rewritten row. Readers drop
+    * them; reclaiming the bytes is a manual delete. */
   def adoptUnrecordedFiles(spark: SparkSession, path: String): Seq[String] = {
     val found = unrecordedFiles(spark, path)
+      .filterNot(_.startsWith(RewritePrefix))
     if (found.isEmpty) return Nil
     commitGenState(spark, path, {
       case Some(st) =>
@@ -491,28 +548,37 @@ object GeoParquet {
     * inclusive) interval, then apply the exact BETWEEN residual filter.
     * Same conservative contract as every sidecar reader: missing
     * sidecar, uncovered column, unknown or NaN-bounded files degrade
-    * to "keep", never to wrong results. */
+    * to "keep", never to wrong results.
+    *
+    * Racing a compaction: the listing is PINNED before the manifest
+    * read and reconciled per rewrite generation ([[reconcileListing]]),
+    * so the result is always ONE consistent snapshot — pre- or
+    * post-compaction, never a mix that loses or double-counts the
+    * rewritten rows. A reader that must observe one fixed snapshot
+    * across several calls should pin it explicitly with
+    * [[readZOrderAtGeneration]]. */
   def readZOrderRange(spark: SparkSession, path: String,
                       ranges: Seq[(String, Double, Double)]): DataFrame = {
     require(ranges.nonEmpty, "need at least one (column, lo, hi) range")
     val conf = spark.sessionState.newHadoopConf()
+    val root = new HadoopPath(path)
+    val fs = root.getFileSystem(conf)
+    // listing FIRST, manifest second (see [[reconcileListing]]): the
+    // old order read removedSet before listing, so a compaction
+    // committing in between had its tombstones missed while its output
+    // files made the listing — every rewritten row read twice
+    val listed = listDataFiles(fs, root).toSeq.sorted
+    val stOpt = readGenState(path, conf)
     // read the sidecar ONCE and hand it down (it grows with file and
     // column count; a second read per call is pure duplicated IO on an
     // object store)
     val sidecar = readSidecarText(path, conf)
-    val root = new HadoopPath(path)
-    val fs = root.getFileSystem(conf)
-    // files a compaction superseded (or a vacuum tombstoned) are NOT
-    // part of the current snapshot even though they are still on disk
-    // for time travel — exclude them; unrecorded (foreign) files stay
-    // conservatively visible as before
-    val removed = readGenState(path, conf)
-      .map(_.removedSet).getOrElse(Set.empty)
-    val listed = listDataFiles(fs, root).filterNot(removed)
-    if (removed.nonEmpty)
-      // a compacted dataset can never fall back to the whole-directory
-      // read (it would double-count the superseded files)
-      readZOrderSubset(spark, path, Some(listed.toSeq.sorted), ranges, sidecar)
+    val current = reconcileListing(listed, stOpt)
+    if (current.size != listed.size)
+      // the manifest excluded something (tombstones, in-flight rewrite
+      // output): never fall back to the whole-directory read — it
+      // would double-count the excluded files
+      readZOrderSubset(spark, path, Some(current), ranges, sidecar)
     // no sidecar, OR a non-flat layout (empty top-level listing, e.g.
     // hive subdirs someone attached a sidecar to) -> WHOLE-DIRECTORY
     // read (partition discovery intact), exact residual only — degrade
@@ -520,7 +586,7 @@ object GeoParquet {
     else if (sidecar.isEmpty || listed.isEmpty)
       readZOrderSubset(spark, path, None, ranges, None)
     else
-      readZOrderSubset(spark, path, Some(listed.toSeq), ranges, sidecar)
+      readZOrderSubset(spark, path, Some(current), ranges, sidecar)
   }
 
   /** TIME-TRAVEL read over a packed+appended dataset: the snapshot at
@@ -738,8 +804,12 @@ object GeoParquet {
     // abort cleanup below
     val root = new HadoopPath(path)
     val fs = root.getFileSystem(conf)
+    // rewrite output is marked by name (see [[RewritePrefix]]): until
+    // the tombstoning commit lands these files duplicate live rows,
+    // and the marker is what lets a racing reader drop them
     val staged = stageInto(
-      zSortedFrame(df, cols, numPartitions, bitsPerCol), root, fs)
+      zSortedFrame(df, cols, numPartitions, bitsPerCol), root, fs,
+      prefix = RewritePrefix)
     val liveSet = live.toSet
     // the abort cleanup below must only touch files still on disk:
     // the 0-row-part drop deletes some staged files pre-commit, so
@@ -1250,22 +1320,23 @@ object GeoParquet {
     }
     // files a compaction tombstoned are not part of the current
     // snapshot even though they stay on disk for time travel — every
-    // read path must exclude them, not just readZOrderRange
-    val removed = readGenState(path, conf).map(_.removedSet)
-      .getOrElse(Set.empty)
-    // the no-pruning fallback: whole directory when nothing was ever
-    // tombstoned; the live listing when something was (a whole-dir
-    // read would double-count); whole dir again for non-flat layouts
-    // (tombstones only ever name flat files)
+    // read path must exclude them, not just readZOrderRange. Listing
+    // PINNED before the manifest read, reconciled per rewrite
+    // generation (see [[reconcileListing]]).
+    val root = new HadoopPath(path)
+    val fsH = root.getFileSystem(conf)
+    val listed = listDataFiles(fsH, root).toSeq.sorted
+    val stOpt = readGenState(path, conf)
+    val current = reconcileListing(listed, stOpt)
+    val manifestDropped = current.size != listed.size
+    // the no-pruning fallback: whole directory when the manifest
+    // excluded nothing; the reconciled listing when it did (a
+    // whole-dir read would double-count); whole dir again for non-flat
+    // layouts (tombstones only ever name flat files)
     def unprunedRead(): DataFrame =
-      if (removed.isEmpty) spark.read.parquet(path)
-      else {
-        val root = new HadoopPath(path)
-        val fs = root.getFileSystem(conf)
-        val listed = listDataFiles(fs, root).filterNot(removed)
-        if (listed.isEmpty) spark.read.parquet(path)
-        else spark.read.parquet(listed.map(f => s"$path/$f").toSeq: _*)
-      }
+      if (!manifestDropped || listed.isEmpty) spark.read.parquet(path)
+      else if (current.isEmpty) spark.read.parquet(path).limit(0)
+      else spark.read.parquet(current.map(f => s"$path/$f"): _*)
     val df = (normBounds, sidecarText) match {
       case (Some((qx0, qy0, qx1, qy1)), Some(text)) =>
         val perFile = parseSidecar(text, geomCol)
@@ -1275,10 +1346,7 @@ object GeoParquet {
         // was written) are always kept. NaN bounds compare false → kept.
         if (perFile.isEmpty) unprunedRead()
         else {
-          val root = new HadoopPath(path)
-          val fs = root.getFileSystem(conf)
-          val listed = listDataFiles(fs, root).filterNot(removed)
-          val keep = listed.filter { name =>
+          val keep = current.filter { name =>
             perFile.get(name) match {
               case Some(Array(x0, y0, x1, y1)) =>
                 !(x1 < qx0 || x0 > qx1 || y1 < qy0 || y0 > qy1)
@@ -1291,7 +1359,7 @@ object GeoParquet {
           // the full read, never to zero rows
           if (listed.isEmpty) spark.read.parquet(path)
           else if (keep.isEmpty) spark.read.parquet(path).limit(0)
-          else spark.read.parquet(keep.map(f => s"$path/$f").toSeq: _*)
+          else spark.read.parquet(keep.map(f => s"$path/$f"): _*)
         }
       case _ => unprunedRead()
     }

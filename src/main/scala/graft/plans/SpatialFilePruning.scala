@@ -54,28 +54,17 @@ case class SpatialFilePruning(spark: SparkSession) extends Rule[LogicalPlan] {
           val allFiles = fsRel.location.inputFiles
           val names = allFiles.map(uri =>
             uri.substring(uri.lastIndexOf('/') + 1)).toSet
-          // parity with GeoParquet.read: compaction-tombstoned files
-          // are not part of the current snapshot and must not be kept.
-          // A tombstone is droppable only if its REPLACEMENTS — the
-          // files added at its removal generation — are all in the
-          // pinned listing: a listing pinned BEFORE that compaction is
-          // a consistent stale snapshot whose tombstoned files still
-          // carry the rows, and dropping them would silently lose
-          // data. Per-generation (not whole-live-set) so a later
-          // append committed after the pin can't void the guard.
-          val removed = stOpt match {
-            case Some(st) if st.removedSet.nonEmpty =>
-              val addedAt = st.files.toSeq.groupBy(_._2.added)
-                .map { case (g, fs) => g -> fs.map(_._1) }
-              st.files.collect {
-                case (fname, e) if e.removed >= 0 &&
-                  addedAt.getOrElse(e.removed, Nil).forall(names.contains) =>
-                  fname
-              }.toSet
-            case _ => Set.empty[String]
-          }
+          // parity with GeoParquet.read: the plan's pinned listing is
+          // reconciled against the (later-read) manifest per rewrite
+          // generation — tombstones apply only when their replacements
+          // are all pinned, rewrite output participates only as a
+          // complete set, and unrecorded rw-* files (an in-flight or
+          // aborted compaction's output) are dropped. See
+          // GeoParquet.reconcileListing for the full contract.
+          val keepNames = GeoParquet.reconcileListing(
+            names.toSeq.sorted, stOpt).toSet
           val current = allFiles.filter { uri =>
-            !removed(uri.substring(uri.lastIndexOf('/') + 1))
+            keepNames(uri.substring(uri.lastIndexOf('/') + 1))
           }
           // every (column, box) pair prunes independently; keep the
           // intersection of survivors

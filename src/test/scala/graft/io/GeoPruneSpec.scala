@@ -840,4 +840,84 @@ class GeoPruneSpec extends AnyFunSuite {
       assert(GeoParquet.statsAtGeneration(spark, p2, 0, Nil)._1 == 0L)
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
+
+  test("readers racing a compaction see one consistent snapshot in every interleaving") {
+    import GeoParquet.{GenEntry, GenState}
+    // --- unit level: reconcileListing over every list/commit order a
+    // reader can observe around one compaction (old files a,b,c at
+    // gens 0-1; rewrite gen 2 tombstones them and adds d,e) ---
+    val pre = GenState(3, 0, Map(
+      "a" -> GenEntry(0, -1), "b" -> GenEntry(0, -1), "c" -> GenEntry(1, -1)))
+    val post = GenState(4, 0, Map(
+      "a" -> GenEntry(0, 2), "b" -> GenEntry(0, 2), "c" -> GenEntry(1, 2),
+      "rw-d" -> GenEntry(2, -1), "rw-e" -> GenEntry(2, -1)), rewrites = Set(2))
+    def rec(listed: Seq[String], st: GenState) =
+      GeoParquet.reconcileListing(listed.sorted, Some(st)).toSet
+    // listing before any rename, manifest before the commit: old world
+    assert(rec(Seq("a", "b", "c"), pre) == Set("a", "b", "c"))
+    // renames visible, commit NOT yet landed (the in-flight window the
+    // rw- marker exists for): rewrite output dropped, old rows once
+    assert(rec(Seq("a", "b", "c", "rw-d", "rw-e"), pre) == Set("a", "b", "c"))
+    // MID-rename listing, commit landed: rewrite output incomplete ->
+    // the pre-rewrite snapshot stands (old kept, partial output dropped)
+    assert(rec(Seq("a", "b", "c", "rw-d"), post) == Set("a", "b", "c"))
+    // the r12-VERDICT interleaving, fixed by list-first: listing has
+    // both copies, manifest has the tombstones -> new world exactly
+    assert(rec(Seq("a", "b", "c", "rw-d", "rw-e"), post) == Set("rw-d", "rw-e"))
+    // stale listing (pinned before the compaction), fresh manifest:
+    // tombstones do NOT apply without their replacements -> old world
+    assert(rec(Seq("a", "b", "c"), post) == Set("a", "b", "c"))
+    // an unrecorded plain-named file is a foreign append: kept
+    assert(rec(Seq("a", "b", "c", "part-foreign"), pre) ==
+      Set("a", "b", "c", "part-foreign"))
+    // a live rewrite-output file must survive its vacuumed generation
+    // siblings: f added at rewrite 2 alongside g; g tombstoned at 3 and
+    // vacuum (minGen 3) already deleted it from disk
+    val vac = GenState(9, 3, Map(
+      "rw-f" -> GenEntry(2, -1), "rw-g" -> GenEntry(2, 3),
+      "h" -> GenEntry(3, -1)), rewrites = Set(2, 3))
+    assert(rec(Seq("rw-f", "h"), vac) == Set("rw-f", "h"))
+
+    // --- end-to-end: simulate the in-flight window on a real lake
+    // (compaction output renamed into the live dir, commit pending) and
+    // check the reader does not double-count ---
+    val dir = java.nio.file.Files.createTempDirectory("zrace").toFile
+    try {
+      import spark.implicits._
+      val path = s"$dir/z"
+      def rows(lo: Int, n: Int) = (0 until n).map(i =>
+        ((lo * 1000 + i).toLong, lo * 10 + i % 10, lo * 10 + (i * 3) % 10))
+      GeoParquet.packZOrderToParquet(rows(1, 300).toDF("id", "a", "b"),
+        Seq("a", "b"), path, 3)
+      GeoParquet.appendNumericWithSidecar(rows(2, 200).toDF("id", "a", "b"),
+        path, Seq("a", "b"))
+      val full = GeoParquet.readZOrderRange(spark, path,
+        Seq(("a", 0.0, 1e9))).count()
+      assert(full == 500)
+      // in-flight compaction: a fresh copy of every live row sits in
+      // the dir under rw- names, tombstoning commit not yet landed
+      val live = new java.io.File(path).listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith(".") && !f.getName.endsWith(".crc"))
+      live.foreach { f =>
+        java.nio.file.Files.copy(f.toPath,
+          new java.io.File(path, s"rw-inflight-${f.getName}").toPath)
+      }
+      assert(GeoParquet.readZOrderRange(spark, path,
+        Seq(("a", 0.0, 1e9))).count() == 500,
+        "reader double-counted in-flight rewrite output")
+      // the repair API must never adopt the duplicates either
+      assert(GeoParquet.adoptUnrecordedFiles(spark, path).isEmpty)
+      assert(GeoParquet.readZOrderRange(spark, path,
+        Seq(("a", 0.0, 1e9))).count() == 500)
+      // a real compaction over the simulated-torn state still yields
+      // exactly one copy of every row at the new head
+      live.foreach { f =>
+        new java.io.File(path, s"rw-inflight-${f.getName}").delete() }
+      val g = GeoParquet.compactZOrderGeneration(spark, path, Seq("a", "b"), 2)
+      assert(GeoParquet.readZOrderRange(spark, path,
+        Seq(("a", 0.0, 1e9))).count() == 500)
+      assert(GeoParquet.readZOrderAtGeneration(spark, path, g).count() == 500)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
 }
