@@ -1895,9 +1895,7 @@ object PipelineQueries {
     // Integer metric end to end; DuckDB replays assignment, cell
     // choice, and ranking.
     "ivf_partitioned_probe" -> ((s, dir) => {
-      val out = System.getProperty("java.io.tmpdir") +
-        "/graft_ivflake_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val out = Queries.processTmpDir(s, "ivflake", dir)
       val embs = t(s, dir, "embeddings")
       val cents = embs.where(col("vec_id") % 97 === 3)
         .orderBy(col("vec_id")).limit(8)
@@ -1923,7 +1921,7 @@ object PipelineQueries {
         }.sorted.take(2).map(_._2)
       val qlit = array(qv.map(lit(_)): _*)
       val w = Window.orderBy(col("dot").desc, col("c_id"))
-      s.read.parquet(out)
+      Queries.collectAndClean(s, out, s.read.parquet(out)
         .where(col("cluster").isin(centArr: _*)) // directory pruning
         .select(col("vec_id").as("c_id"), col("cluster"),
           aggregate(zip_with(quant(col("embedding")), qlit,
@@ -1931,7 +1929,7 @@ object PipelineQueries {
         .withColumn("rank", row_number().over(w).cast("long"))
         .where(col("rank") <= 5)
         .select(col("c_id"), col("cluster").cast("long").as("cluster"),
-          col("dot"), col("rank"))
+          col("dot"), col("rank")))
     }),
 
     // epoch-mixture materialization: source srcN sees (N % 3) + 1
@@ -2014,9 +2012,7 @@ object PipelineQueries {
     // hash-match the one-shot batch apply — merge-on-read CDC as a
     // checked property.
     "stream_cdc_upsert" -> ((s, dir) => {
-      val landing = System.getProperty("java.io.tmpdir") +
-        "/graft_cdc_landing_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(landing))
+      val landing = Queries.processTmpDir(s, "cdc_landing", dir)
       // init: the snapshot itself as version (0, 0, 'I') rows
       t(s, dir, "documents")
         .select(col("doc_id"), lit(0).as("ts"), lit(0).as("seq"),
@@ -2049,8 +2045,9 @@ object PipelineQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.read.parquet(landing).where(col("op") =!= "D")
-        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Queries.collectAndClean(s, landing,
+        s.read.parquet(landing).where(col("op") =!= "D")
+          .select(col("doc_id"), col("lang"), col("n_chars")))
     }),
 
     // content-defined chunking: corpus plus PREFIX-SHIFTED copies —

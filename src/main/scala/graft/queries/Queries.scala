@@ -34,10 +34,21 @@ object Queries {
     * Pair with [[collectAndClean]], which removes the dir once the
     * result is materialized — an app-unique dir is otherwise never
     * reclaimed by later runs. */
-  private def processTmpDir(s: SparkSession, tag: String, dir: String): String = {
-    val out = System.getProperty("java.io.tmpdir") +
-      s"/graft_${tag}_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
-      "_" + s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+  private[queries] def processTmpDir(s: SparkSession, tag: String, dir: String): String = {
+    val base = System.getProperty("java.io.tmpdir")
+    val stem = s"graft_${tag}_" + dir.replaceAll("[^A-Za-z0-9]", "_") + "_"
+    val out = base + "/" + stem +
+      s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    // stale-sibling sweep: app-unique dirs from EARLIER processes (same
+    // stem, other appId) are never revisited by their owner and would
+    // accumulate forever. Only siblings untouched for 2h+ are swept — a
+    // live harness re-creates its scratch at every query start (the
+    // deleteQuietly below refreshes the top-level mtime), so an active
+    // foreign dir can never be yanked mid-read.
+    val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
+    Option(new java.io.File(base).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(stem) && f.lastModified < cutoff)
+      .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
     out
   }
@@ -46,7 +57,7 @@ object Queries {
     * the scratch dataset it still lazily references — the returned
     * frame is a local collection, safe to evaluate any time after the
     * directory is gone. */
-  private def collectAndClean(s: SparkSession, scratchDir: String,
+  private[queries] def collectAndClean(s: SparkSession, scratchDir: String,
                               df: DataFrame): DataFrame = {
     val rows = df.collect().toSeq
     val out = s.createDataFrame(
@@ -808,16 +819,15 @@ object Queries {
     // under the driver's oracle gate. The box filter is exact, so the
     // result is independent of which files survive pruning.
     "pack_roundtrip" -> ((s, dir) => {
-      val out = System.getProperty("java.io.tmpdir") +
-        "/graft_pack_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val out = processTmpDir(s, "pack", dir)
       val gf = graft.api.GeoFrame(
         custPoints(s, dir).select(col("c_custkey"), col("pt")), "pt", "point")
       graft.io.GeoParquet.packPartitionsToParquet(gf, out, numPartitions = 8,
         mode = "overwrite")
-      graft.io.GeoParquet.read(s, out, "pt", "point",
+      collectAndClean(s, out, graft.io.GeoParquet.read(s, out, "pt", "point",
           bounds = Some((200.0, 200.0, 700.0, 700.0)))
         .cx(200, 200, 700, 700)
-        .df.select(col("c_custkey"))
+        .df.select(col("c_custkey")))
     }),
 
     // SURVEY §2.1 serde: WKT export of derived points (round-trip parsing
@@ -850,12 +860,11 @@ object Queries {
     // the full text must survive escaping byte-for-byte (the oracle
     // reads the ORIGINAL parquet — any serde loss hash-mismatches).
     "jsonl_roundtrip" -> ((s, dir) => {
-      val out = System.getProperty("java.io.tmpdir") +
-        "/graft_jsonl_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val out = processTmpDir(s, "jsonl", dir)
       t(s, dir, "documents").select(col("doc_id"), col("text"))
         .write.json(out)
-      s.read.json(out).select(col("doc_id"), col("text"))
+      collectAndClean(s, out,
+        s.read.json(out).select(col("doc_id"), col("text")))
     }),
 
     // CSV ingest/export round-trip — the other interchange format a
@@ -863,39 +872,36 @@ object Queries {
     // quote), header, multiline fields; the oracle reads the ORIGINAL
     // parquet, so any quoting/inference loss hash-mismatches.
     "csv_roundtrip" -> ((s, dir) => {
-      val out = System.getProperty("java.io.tmpdir") +
-        "/graft_csv_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val out = processTmpDir(s, "csv", dir)
       t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
         .write.option("header", "true").option("escape", "\"").csv(out)
-      s.read.option("header", "true").option("multiLine", "true")
-        .option("escape", "\"")
-        .schema("doc_id LONG, lang STRING, text STRING").csv(out)
-        .select(col("doc_id"), col("lang"), col("text"))
+      collectAndClean(s, out,
+        s.read.option("header", "true").option("multiLine", "true")
+          .option("escape", "\"")
+          .schema("doc_id LONG, lang STRING, text STRING").csv(out)
+          .select(col("doc_id"), col("lang"), col("text")))
     }),
 
     // gzip-compressed JSONL round-trip — the shape public web corpora
     // actually ship in (CC dumps are .jsonl.gz); Spark must write and
     // transparently re-read the compressed shards losslessly.
     "jsonl_gzip_roundtrip" -> ((s, dir) => {
-      val out = System.getProperty("java.io.tmpdir") +
-        "/graft_jsonlgz_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val out = processTmpDir(s, "jsonlgz", dir)
       t(s, dir, "documents").select(col("doc_id"), col("text"))
         .write.option("compression", "gzip").json(out)
-      s.read.json(out).select(col("doc_id"), col("text"))
+      collectAndClean(s, out,
+        s.read.json(out).select(col("doc_id"), col("text")))
     }),
 
     // ORC round-trip — Spark's other built-in columnar format (ZLIB by
     // default); the full documents table must survive the column-typed
     // write+read bit-for-bit vs the parquet oracle.
     "orc_roundtrip" -> ((s, dir) => {
-      val out = System.getProperty("java.io.tmpdir") +
-        "/graft_orc_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val out = processTmpDir(s, "orc", dir)
       t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
         .write.orc(out)
-      s.read.orc(out).select(col("doc_id"), col("lang"), col("text"))
+      collectAndClean(s, out,
+        s.read.orc(out).select(col("doc_id"), col("lang"), col("text")))
     }),
 
     // XML round-trip — Spark 4's built-in XML source (the format
@@ -903,15 +909,13 @@ object Queries {
     // survive element escaping + schema'd re-read bit-for-bit vs the
     // parquet oracle.
     "xml_roundtrip" -> ((s, dir) => {
-      val out = System.getProperty("java.io.tmpdir") +
-        "/graft_xml_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val out = processTmpDir(s, "xml", dir)
       t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
         .write.option("rowTag", "doc").format("xml").save(out)
-      s.read.option("rowTag", "doc")
+      collectAndClean(s, out, s.read.option("rowTag", "doc")
         .schema("doc_id LONG, lang STRING, text STRING").format("xml")
         .load(out)
-        .select(col("doc_id"), col("lang"), col("text"))
+        .select(col("doc_id"), col("lang"), col("text")))
     }),
 
     // SURVEY §2.1 serde: GeoJSON export (the WKT twin; integer coords so
@@ -1364,15 +1368,14 @@ object Queries {
     // (file-count pruning asserted in GeoPruneSpec; here the gate is
     // the inclusive-box semantics vs a plain BETWEEN oracle).
     "zorder_numeric_prune" -> ((s, dir) => {
-      val out = System.getProperty("java.io.tmpdir") +
-        "/graft_zorder_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val out = processTmpDir(s, "zorder", dir)
       graft.io.GeoParquet.packNumericToParquet(
         t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
         "n_chars", "doc_id", out, numPartitions = 8)
-      graft.io.GeoParquet.readNumericRange(s, out, 100, 50, 2000, 250)
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+      collectAndClean(s, out,
+        graft.io.GeoParquet.readNumericRange(s, out, 100, 50, 2000, 250)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars")))
     }),
 
     // K-COLUMN Z-order data-skipping (GeoParquet.packZOrderToParquet):
@@ -1386,15 +1389,13 @@ object Queries {
     // (file-count pruning + subset/edge cases asserted in GeoPruneSpec;
     // here the gate is inclusive-interval semantics vs plain BETWEENs).
     "zorder_multi_prune" -> ((s, dir) => {
-      val out = System.getProperty("java.io.tmpdir") +
-        "/graft_zorder3_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val out = processTmpDir(s, "zorder3", dir)
       graft.io.GeoParquet.packZOrderToParquet(
         t(s, dir, "lineitem").select(col("l_orderkey"), col("l_returnflag"),
           col("l_quantity"), col("l_discount"), col("l_extendedprice")),
         Seq("l_quantity", "l_discount", "l_extendedprice"), out,
         numPartitions = 8)
-      graft.io.GeoParquet.readZOrderRange(s, out, Seq(
+      collectAndClean(s, out, graft.io.GeoParquet.readZOrderRange(s, out, Seq(
           ("l_quantity", 10.0, 30.0),
           ("l_discount", 0.02, 0.06),
           ("l_extendedprice", 10000.0, 40000.0)))
@@ -1402,7 +1403,7 @@ object Queries {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity")).cast("long").as("qty"),
           min(col("l_extendedprice")).as("price_min"),
-          max(col("l_extendedprice")).as("price_max"))
+          max(col("l_extendedprice")).as("price_max")))
     }),
 
     // INCREMENTAL ingest into a Z-ordered lake
@@ -1528,14 +1529,13 @@ object Queries {
     // directories BEFORE any file is opened (PartitionFilters, gated in
     // PlanSpec) — the non-pruned languages cost zero IO.
     "hive_partition_prune" -> ((s, dir) => {
-      val out = System.getProperty("java.io.tmpdir") +
-        "/graft_hivepart_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val out = processTmpDir(s, "hivepart", dir)
       t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
         .write.partitionBy("lang").parquet(out)
-      s.read.parquet(out).where(col("lang").isin("en", "fr"))
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n"), sum(length(col("text"))).as("chars"))
+      collectAndClean(s, out,
+        s.read.parquet(out).where(col("lang").isin("en", "fr"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"), sum(length(col("text"))).as("chars")))
     }),
 
     // Schema-evolution read: two parquet batches written with DIFFERENT
@@ -1544,9 +1544,7 @@ object Queries {
     // column as NULL. The data-lake reality of a corpus ingested over
     // months; count/sum prove both the union and the null-fill.
     "merge_schema_read" -> ((s, dir) => {
-      val out = System.getProperty("java.io.tmpdir") +
-        "/graft_mergeschema_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val out = processTmpDir(s, "mergeschema", dir)
       val docs = t(s, dir, "documents")
       docs.where(col("doc_id") % 2 === 0)
         .select(col("doc_id"), col("lang"))
@@ -1554,11 +1552,11 @@ object Queries {
       docs.where(col("doc_id") % 2 === 1)
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .write.parquet(s"$out/b=2")
-      s.read.option("mergeSchema", "true")
+      collectAndClean(s, out, s.read.option("mergeSchema", "true")
         .parquet(s"$out/b=1", s"$out/b=2")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n"), count(col("n_chars")).as("n_with_chars"),
-          sum(col("n_chars")).as("chars"))
+          sum(col("n_chars")).as("chars")))
     }),
 
     // Small-file compaction: land the corpus as many tiny shards (the
@@ -1569,17 +1567,15 @@ object Queries {
     // into block-sized shards; the file-count bound is gated in
     // LakeSpec, the content here.
     "compact_small_files" -> ((s, dir) => {
-      val out = System.getProperty("java.io.tmpdir") +
-        "/graft_compact_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val out = processTmpDir(s, "compact", dir)
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       docs.repartition(64).write.parquet(s"$out/small")
       s.read.parquet(s"$out/small").repartition(4)
         .write.parquet(s"$out/compact")
-      s.read.parquet(s"$out/compact")
+      collectAndClean(s, out, s.read.parquet(s"$out/compact")
         .agg(count(lit(1)).as("n"),
           sum(col("doc_id")).as("id_sum"),
-          sum(length(col("text")).cast("long")).as("chars"))
+          sum(length(col("text")).cast("long")).as("chars")))
     }),
 
     // TPC-H Q10 shape (returned-item customers): quarter of orders ×
@@ -2300,9 +2296,7 @@ object Queries {
         .withColumn("py", ((col("c_custkey") * 104729) % 1000).cast("double"))
         .withColumn("pt", st_point(col("px"), col("py")))
         .select(col("c_custkey"), col("px"), col("py"), col("pt"))
-      val base = System.getProperty("java.io.tmpdir") +
-        "/graft_stream_geosink_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      val base = processTmpDir(s, "stream_geosink", dir)
       val qName = "graft_stream_geoparquet_sink"
       s.streams.active.filter(q => q.name == qName).foreach(_.stop())
       val q = graft.streaming.Streams.geoParquetSink(pts, s"$base/data",
@@ -2311,10 +2305,11 @@ object Queries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      graft.io.GeoParquet.read(s, s"$base/data", "pt", "point",
-          bounds = Some((100.0, 100.0, 600.0, 600.0)))
-        .cx(100, 100, 600, 600)
-        .df.select(col("c_custkey"), col("px"), col("py"))
+      collectAndClean(s, base,
+        graft.io.GeoParquet.read(s, s"$base/data", "pt", "point",
+            bounds = Some((100.0, 100.0, 600.0, 600.0)))
+          .cx(100, 100, 600, 600)
+          .df.select(col("c_custkey"), col("px"), col("py")))
     }),
 
     // STREAMING TIME-TRAVEL INGEST: the incremental sidecar append
@@ -2466,9 +2461,7 @@ object Queries {
       def src = s.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
         .select(col("doc_id"), col("text"))
-      val outPath = System.getProperty("java.io.tmpdir") +
-        "/graft_stream_ingest_filter_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outPath))
+      val outPath = processTmpDir(s, "stream_ingest_filter", dir)
       val qName = "graft_stream_ingest_filter"
       s.streams.active.filter(q => q.name == qName).foreach(_.stop())
       val q = src.writeStream.queryName(qName)
@@ -2481,7 +2474,7 @@ object Queries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.read.parquet(outPath)
+      collectAndClean(s, outPath, s.read.parquet(outPath))
     }),
 
     // Streaming INCREMENTAL DEDUP under the DuckDB gate: the unchanged
@@ -2530,9 +2523,7 @@ object Queries {
         .unionAll(src.where(col("doc_id") % 3 === 0)
           .select((col("doc_id") + 200000).as("doc_id"),
             concat(col("text"), lit(" xnear")).as("text")))
-      val outPath = System.getProperty("java.io.tmpdir") +
-        "/graft_stream_near_dedup_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outPath))
+      val outPath = processTmpDir(s, "stream_near_dedup", dir)
       val qName = "graft_stream_near_dedup"
       s.streams.active.filter(q => q.name == qName).foreach(_.stop())
       val q = fresh.writeStream.queryName(qName)
@@ -2545,7 +2536,7 @@ object Queries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.read.parquet(outPath)
+      collectAndClean(s, outPath, s.read.parquet(outPath))
     }),
 
     // Streaming SESSIONIZATION under the DuckDB gate: the session_window
