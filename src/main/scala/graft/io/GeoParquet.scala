@@ -16,7 +16,9 @@ import scala.jdk.CollectionConverters._
  * (reference: io/parquet.py:143-275, 411-446, 488-519).
  *
  * Layout: an ordinary Spark parquet dataset plus `_spatial_metadata.json`:
- *   {"version":1, "partition_bounds": {<geomCol>: {<fileName>: [x0,y0,x1,y1], ...}}}
+ *   {"version":1, "_commit":N, "partition_bounds": {<geomCol>: {<fileName>: [x0,y0,x1,y1], ...}}}
+ * ("version" is the frozen FORMAT version; "_commit" counts CAS writes
+ * — see [[sidecarCommit]] for the legacy fallback.)
  *
  * The bounds table is computed with ONE distributed pass over the written
  * files (group by input_file_name), so nothing is collected to the driver
@@ -946,17 +948,38 @@ object GeoParquet {
       case (f, e) if e.removed >= 0 && e.removed <= st.minGen &&
         present(f) => f
     }.toSeq.sorted
-    if (dead.nonEmpty) {
-      // retire the dead files' sidecar entries so the sidecar tracks
-      // only readable files (pruning of remaining generations is
-      // unaffected — per-file stats are independent)
-      val deadSet = dead.toSet
-      updateSidecar(spark, path,
-        _.map { case (c, m) => c -> m.filterNot(kv => deadSet(kv._1)) })
-      dead.foreach(f => fs.delete(new HadoopPath(root, f), false))
-    }
-    dead
+    if (dead.isEmpty) return Nil
+    // retire the dead files' sidecar entries so the sidecar tracks
+    // only readable files (pruning of remaining generations is
+    // unaffected — per-file stats are independent)
+    val deadSet = dead.toSet
+    updateSidecar(spark, path,
+      _.map { case (c, m) => c -> m.filterNot(kv => deadSet(kv._1)) })
+    // Hadoop FileSystem.delete signals failure by RETURNING false, not
+    // throwing — silently trusting it reported ghosts as reclaimed. A
+    // failed delete is warned and left out of the return value; the
+    // file is still tombstoned (reads never see it) and the next
+    // vacuum retries it (dead is recomputed from the listing).
+    val (deleted, failed) = deleteQuietlyEach(fs, root, dead)
+    if (failed.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"vacuum at $path could not delete ${failed.size} dead file(s) " +
+          s"(${failed.take(5).mkString(", ")}" +
+          (if (failed.size > 5) ", ..." else "") +
+          ") — invisible to reads (tombstoned); the next vacuum retries")
+    deleted
   }
+
+  /** Delete each name under `root`, partitioning into (deleted,
+    * failed): Hadoop FileSystem.delete reports failure by returning
+    * false OR throwing (filesystem-dependent) — both count as failed,
+    * neither aborts the sweep. */
+  private[graft] def deleteQuietlyEach(fs: org.apache.hadoop.fs.FileSystem,
+      root: HadoopPath, names: Seq[String]): (Seq[String], Seq[String]) =
+    names.partition { f =>
+      try fs.delete(new HadoopPath(root, f), false)
+      catch { case _: java.io.IOException => false }
+    }
 
   /** Shared body of the range and at-generation reads: sidecar file
     * pruning restricted to `files` (None = whole-directory read, the
@@ -1080,11 +1103,16 @@ object GeoParquet {
   }
 
   /** Render the sidecar JSON (NaN bounds serialize as null, the same
-    * convention parseSidecar reads back). */
+    * convention parseSidecar reads back). `version` is the FORMAT
+    * version, frozen at 1; `_commit` is the CAS write ordinal the
+    * update path bumps — conflating the two (the pre-r13 shape used
+    * "version" as the counter) meant a format bump could never be
+    * told apart from a busy writer. Legacy sidecars without "_commit"
+    * read their "version" as the ordinal. */
   private def renderSidecar(m: Map[String, Map[String, Array[Double]]],
-                            version: Int = 1): String = {
+                            commit: Int = 0): String = {
     val sb = new StringBuilder
-    sb.append(s"""{"version":$version,"partition_bounds":{""")
+    sb.append(s"""{"version":1,"_commit":$commit,"partition_bounds":{""")
     sb.append(m.toSeq.sortBy(_._1).map { case (g, files) =>
       val entries = files.toSeq.sortBy(_._1).map { case (f, vals) =>
         "\"" + f + "\":[" +
@@ -1123,6 +1151,19 @@ object GeoParquet {
       } finally in.close()
     } catch { case _: java.io.IOException => false }
 
+  /** The sidecar's CAS write ordinal: "_commit" in the current shape,
+    * falling back to "version" for legacy sidecars that used it as the
+    * counter. The key is anchored to the text head (both fields are
+    * machine-rendered before "partition_bounds"), so a file named
+    * `"_commit"` deep in a bounds block can never shadow it. */
+  private[graft] def sidecarCommit(text: String): Option[Int] = {
+    val head = text.substring(0, math.min(text.length,
+      math.max(0, text.indexOf("\"partition_bounds\""))))
+    "\"_commit\":(\\d+)".r.findFirstMatchIn(head)
+      .orElse("\"version\":(\\d+)".r.findFirstMatchIn(head))
+      .map(_.group(1).toInt)
+  }
+
   /** The one sidecar update path (append / pack / compaction /
     * vacuum / full rebuild): versioned read-merge-write under the same
     * exclusive-marker CAS as the generation manifest. The sidecar is
@@ -1148,8 +1189,7 @@ object GeoParquet {
     while (attempts < 24) {
       attempts += 1
       val cur = readSidecarText(path, conf)
-      val curVer = cur.flatMap(t =>
-        "\"version\":(\\d+)".r.findFirstMatchIn(t)).map(_.group(1).toInt)
+      val curVer = cur.flatMap(sidecarCommit)
         .getOrElse(0)
       val next = f(cur.map(parseSidecarAll).getOrElse(Map.empty))
       if (next.isEmpty && cur.isEmpty) return // nothing to fabricate
@@ -1163,8 +1203,7 @@ object GeoParquet {
         // a writer stalled across several commits could re-claim an
         // old version with its own fresh marker — the sidecar having
         // reached our target version voids the claim
-        val verNow = readSidecarText(path, conf).flatMap(t =>
-          "\"version\":(\\d+)".r.findFirstMatchIn(t)).map(_.group(1).toInt)
+        val verNow = readSidecarText(path, conf).flatMap(sidecarCommit)
           .getOrElse(0)
         if (markerHolds(fs, marker, nonce) && verNow < curVer + 1) {
           writeSidecarText(spark, path, nextText)

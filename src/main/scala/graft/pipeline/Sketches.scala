@@ -689,28 +689,53 @@ object Sketches {
     * content-deterministic; `df.repartition(n)` and keyless REBALANCE
     * hints are not — reject them here so misuse is an error instead of
     * plausible-but-wrong quantiles (the failure the builder's own spec
-    * observed as 3850/4000 group weights before the contract existed). */
+    * observed as 3850/4000 group weights before the contract existed).
+    *
+    * The traversal stops at nodes that RESET the contract — once rows
+    * pass a hash repartition-by-expression or an aggregate, their
+    * downstream partition assignment is a pure function of content,
+    * so any round-robin BELOW such a node is harmless and accepted
+    * (the r11 rule rejected it — a false positive on a safe plan). A
+    * RANGE repartition deliberately does NOT reset: its bound sampling
+    * is order-sensitive (per-partition reservoir), and an upstream
+    * round-robin can reorder rows between the two passes, moving the
+    * sampled bounds themselves. */
   private[graft] def requireContentDeterministicSource(
       df: DataFrame, op: String): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.SortOrder
     import org.apache.spark.sql.catalyst.plans.logical.{
-      Repartition, RebalancePartitions}
-    val bad = df.queryExecution.analyzed.collect {
+      Aggregate, LogicalPlan, Repartition, RepartitionByExpression,
+      RebalancePartitions}
+    def offenders(p: LogicalPlan): Seq[String] = p match {
+      // hash repartition: downstream assignment = hash(keys) % n,
+      // pure content — whatever happens below cannot leak through
+      case r: RepartitionByExpression
+          if r.partitionExpressions.nonEmpty &&
+            !r.partitionExpressions.exists(_.isInstanceOf[SortOrder]) => Nil
+      // aggregates exchange on the grouping keys and emit one row per
+      // group: content-deterministic output and placement
+      case _: Aggregate => Nil
       // Repartition(shuffle = true) is df.repartition(n): round-robin.
       // shuffle = false is coalesce — a narrow, deterministic merge of
       // the source's own splits, which the contract allows.
-      case r: Repartition if r.shuffle => s"round-robin repartition(${r.numPartitions})"
+      case r: Repartition if r.shuffle =>
+        Seq(s"round-robin repartition(${r.numPartitions})")
       // keyless REBALANCE is round-robin-ish (AQE splits by size);
       // keyed rebalance still appends random salt to split skewed
       // groups, so reject both shapes.
-      case r: RebalancePartitions => s"rebalance hint (${r.partitionExpressions.size} keys)"
+      case r: RebalancePartitions =>
+        Seq(s"rebalance hint (${r.partitionExpressions.size} keys)")
+      case other => other.children.flatMap(offenders)
     }
+    val bad = offenders(df.queryExecution.analyzed)
     require(bad.isEmpty,
       s"$op requires a content-deterministic source (parquet/file splits " +
         s"or hash/range repartitioning): the source plan contains " +
         s"${bad.mkString(", ")}, whose row-to-partition assignment " +
         "changes between the operator's two passes and would produce " +
-        "silently wrong per-group weights. Remove it or replace with " +
-        "repartition(n, col(...)).")
+        "silently wrong per-group weights. Remove it, replace with " +
+        "repartition(n, col(...)), or put it below a hash repartition " +
+        "or aggregation (which reset the contract).")
   }
 
   /** Per-GROUP twin of [[quantileSummary]] — the per-language /

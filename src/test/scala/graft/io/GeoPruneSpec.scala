@@ -920,4 +920,76 @@ class GeoPruneSpec extends AnyFunSuite {
       assert(GeoParquet.readZOrderAtGeneration(spark, path, g).count() == 500)
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
+
+  test("sidecar: frozen format version, separate CAS ordinal, legacy fallback") {
+    val dir = java.nio.file.Files.createTempDirectory("scver").toFile
+    try {
+      import spark.implicits._
+      val path = s"$dir/z"
+      val conf = spark.sessionState.newHadoopConf()
+      def rows(lo: Int, n: Int) = (0 until n).map(i =>
+        ((lo * 1000 + i).toLong, lo * 10 + i % 10, lo * 10 + (i * 3) % 10))
+      GeoParquet.packZOrderToParquet(rows(1, 100).toDF("id", "a", "b"),
+        Seq("a", "b"), path, 2)
+      GeoParquet.appendNumericWithSidecar(rows(2, 100).toDF("id", "a", "b"),
+        path, Seq("a", "b"))
+      val text = GeoParquet.readSidecarText(path, conf).get
+      // the format version never moves; the CAS ordinal counts writes
+      assert(text.contains("\"version\":1"), text.take(80))
+      assert(GeoParquet.sidecarCommit(text).exists(_ >= 2), text.take(80))
+      // a legacy sidecar (pre-r13: "version" doubled as the counter)
+      // reads its version as the ordinal
+      assert(GeoParquet.sidecarCommit(
+        """{"version":7,"partition_bounds":{}}""") == Some(7))
+      // a bounds entry that happens to be NAMED "_commit" cannot
+      // shadow the header field
+      assert(GeoParquet.sidecarCommit(
+        """{"version":1,"_commit":3,"partition_bounds":{"c":{"_commit":[9,9,9,9]}}}""")
+        == Some(3))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
+  test("vacuum reports only what it actually reclaimed; failed deletes retry") {
+    val dir = java.nio.file.Files.createTempDirectory("vacdel").toFile
+    try {
+      import spark.implicits._
+      val path = s"$dir/z"
+      val conf = spark.sessionState.newHadoopConf()
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(conf)
+      def rows(lo: Int, n: Int) = (0 until n).map(i =>
+        ((lo * 1000 + i).toLong, lo * 10 + i % 10, lo * 10 + (i * 3) % 10))
+      GeoParquet.packZOrderToParquet(rows(1, 200).toDF("id", "a", "b"),
+        Seq("a", "b"), path, 2)
+      GeoParquet.appendNumericWithSidecar(rows(2, 100).toDF("id", "a", "b"),
+        path, Seq("a", "b"))
+      GeoParquet.compactZOrderGeneration(spark, path, Seq("a", "b"), 2)
+      val before = new java.io.File(path).listFiles().map(_.getName)
+        .filter(n => !n.startsWith("_") && !n.startsWith(".") &&
+          !n.endsWith(".crc")).toSet
+      val reclaimed = GeoParquet.vacuumGenerations(spark, path, retain = 0)
+      val after = new java.io.File(path).listFiles().map(_.getName)
+        .filter(n => !n.startsWith("_") && !n.startsWith(".") &&
+          !n.endsWith(".crc")).toSet
+      // the return value is exactly what left the disk, and a second
+      // vacuum finds nothing left to do
+      assert(reclaimed.toSet == before -- after)
+      assert(reclaimed.nonEmpty)
+      assert(GeoParquet.vacuumGenerations(spark, path, retain = 0).isEmpty)
+      // the failure path itself: a non-recursive delete of a non-empty
+      // directory fails on every Hadoop FS — it must land in `failed`,
+      // not abort the sweep or be reported deleted
+      val blocker = new java.io.File(dir, "blocked")
+      assert(new java.io.File(blocker, "child").mkdirs())
+      java.nio.file.Files.writeString(
+        new java.io.File(blocker, "child/x.txt").toPath, "x")
+      val realFile = new java.io.File(dir, "real.txt")
+      java.nio.file.Files.writeString(realFile.toPath, "y")
+      val (deleted, failed) = GeoParquet.deleteQuietlyEach(fs,
+        new org.apache.hadoop.fs.Path(dir.getPath),
+        Seq("real.txt", "blocked"))
+      assert(deleted == Seq("real.txt") && failed == Seq("blocked"))
+      assert(!realFile.exists() && blocker.exists())
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
 }

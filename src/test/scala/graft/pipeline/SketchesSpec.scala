@@ -465,5 +465,25 @@ class SketchesSpec extends AnyFunSuite {
       assert(wsums == Map("a" -> data.count(_._1 == "a").toLong,
         "b" -> data.count(_._1 == "b").toLong))
     }
+    // a round-robin BELOW a hash repartition or an aggregate is
+    // harmless — those nodes reset the contract (assignment becomes a
+    // pure function of content) — and used to be a false-positive
+    // rejection; weights must come out exact
+    for (src <- Seq(
+      data.toDF("g", "x").repartition(7).repartition(5, col("g")),
+      data.toDF("g", "x").repartition(7)
+        .groupBy(col("g"), col("x")).agg(count(lit(1)).as("c"))
+        .select(col("g"), col("x")))) {
+      val sk = Sketches.quantileSummaryByGroup(src, "g", col("x"), 8, "s")
+      assert(sk.agg(sum("w")).head.getLong(0) > 0)
+    }
+    // a range repartition does NOT cleanse an upstream round-robin
+    // (its bound sampling is order-sensitive): still rejected
+    val rrange = intercept[IllegalArgumentException] {
+      Sketches.quantileSummaryByGroup(
+        data.toDF("g", "x").repartition(7).repartitionByRange(4, col("x")),
+        "g", col("x"), 8, "s")
+    }
+    assert(rrange.getMessage.contains("round-robin"))
   }
 }
