@@ -660,6 +660,16 @@ object GeoParquet {
       s"generation manifest at $path records no data files")
     require(toGen <= st.currentGen,
       s"generation $toGen not recorded at $path (latest is ${st.currentGen})")
+    // a window reaching below the oldest readable generation is not
+    // reconstructible: its files may have been vacuumed, and their
+    // manifest entries tombstone-compacted away entirely (the per-file
+    // check below cannot see a dropped entry) — fail fast, never a
+    // silently partial result
+    require(fromGen + 1 >= st.minGen,
+      s"changes in ($fromGen, $toGen] at $path reach below the oldest " +
+        s"readable generation ${st.minGen} — its files may have been " +
+        "vacuumed away (and their entries compacted); the window is no " +
+        "longer reconstructible")
     val window = st.files.toSeq.collect {
       case (f, e) if e.added > fromGen && e.added <= toGen &&
         !st.rewrites(e.added) => (f, e)
@@ -737,9 +747,11 @@ object GeoParquet {
     * isRewrite, filesAdded, rowsAdded) — computed from the manifest +
     * sidecar row counts alone (no data IO). `rowsAdded` of a rewrite
     * generation counts the rows the compaction REWROTE, not new
-    * arrivals. Vacuumed files still report (their manifest entries are
-    * tombstones, and a vacuum retires sidecar entries — those report
-    * rowsAdded = -1, surfacing that the count is no longer known). */
+    * arrivals. Vacuumed generations leave the history entirely once
+    * their tombstones are compacted (vacuum's final commit); a
+    * generation some of whose files were vacuumed but whose entries
+    * survive (delete failed) reports rowsAdded = -1, surfacing that
+    * the count is no longer known. */
   def generationHistory(spark: SparkSession, path: String)
       : Seq[(Int, Boolean, Int, Long)] = {
     val conf = spark.sessionState.newHadoopConf()
@@ -948,25 +960,59 @@ object GeoParquet {
       case (f, e) if e.removed >= 0 && e.removed <= st.minGen &&
         present(f) => f
     }.toSeq.sorted
-    if (dead.isEmpty) return Nil
-    // retire the dead files' sidecar entries so the sidecar tracks
-    // only readable files (pruning of remaining generations is
-    // unaffected — per-file stats are independent)
-    val deadSet = dead.toSet
-    updateSidecar(spark, path,
-      _.map { case (c, m) => c -> m.filterNot(kv => deadSet(kv._1)) })
-    // Hadoop FileSystem.delete signals failure by RETURNING false, not
-    // throwing — silently trusting it reported ghosts as reclaimed. A
-    // failed delete is warned and left out of the return value; the
-    // file is still tombstoned (reads never see it) and the next
-    // vacuum retries it (dead is recomputed from the listing).
-    val (deleted, failed) = deleteQuietlyEach(fs, root, dead)
-    if (failed.nonEmpty)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"vacuum at $path could not delete ${failed.size} dead file(s) " +
-          s"(${failed.take(5).mkString(", ")}" +
-          (if (failed.size > 5) ", ..." else "") +
-          ") — invisible to reads (tombstoned); the next vacuum retries")
+    val deleted =
+      if (dead.isEmpty) Nil
+      else {
+        // retire the dead files' sidecar entries so the sidecar tracks
+        // only readable files (pruning of remaining generations is
+        // unaffected — per-file stats are independent)
+        val deadSet = dead.toSet
+        updateSidecar(spark, path,
+          _.map { case (c, m) => c -> m.filterNot(kv => deadSet(kv._1)) })
+        // Hadoop FileSystem.delete signals failure by RETURNING false,
+        // not throwing — silently trusting it reported ghosts as
+        // reclaimed. A failed delete is warned and left out of the
+        // return value; the file is still tombstoned (reads never see
+        // it) and the next vacuum retries it (dead is recomputed from
+        // the listing).
+        val (ok, failed) = deleteQuietlyEach(fs, root, dead)
+        if (failed.nonEmpty)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"vacuum at $path could not delete ${failed.size} dead file(s) " +
+              s"(${failed.take(5).mkString(", ")}" +
+              (if (failed.size > 5) ", ..." else "") +
+              ") — invisible to reads (tombstoned); the next vacuum retries")
+        ok
+      }
+    // TOMBSTONE COMPACTION — the manifest-scale bound. An entry with
+    // removed <= minGen whose file is OFF DISK is invisible to every
+    // readable generation (visibility needs removed > g >= minGen), to
+    // reconcileListing (which only requires files with removed >
+    // minGen), and to every changes window a reader is still allowed
+    // to ask for (readZOrderChanges fails fast below minGen) — so it
+    // is pure dead weight the old design kept forever, O(history) in
+    // the one file every commit re-parses and re-renders. Dropping it
+    // bounds the manifest at ~(live files + readable-window
+    // tombstones). A dead entry whose DELETE FAILED is kept: its file
+    // is still on disk, and dropping the entry would let it be
+    // mistaken for an adoptable foreign append (duplicate rows).
+    val onDisk = listDataFiles(fs, root).toSet
+    val droppable = st.files.collect {
+      case (f, e) if e.removed >= 0 && e.removed <= st.minGen &&
+        !onDisk(f) => f
+    }.toSet
+    if (droppable.nonEmpty)
+      commitGenState(spark, path, {
+        case Some(cur) => cur.copy(files = cur.files.filterNot {
+          // re-check against the CURRENT state inside the CAS loop; a
+          // racing vacuum may have advanced minGen further (harmless)
+          // but never backwards
+          case (f, e) => droppable(f) && e.removed >= 0 &&
+            e.removed <= cur.minGen
+        })
+        case None => throw new IllegalStateException(
+          s"generation manifest at $path vanished mid-vacuum")
+      })
     deleted
   }
 
@@ -1560,9 +1606,15 @@ object GeoParquet {
     * ordinal (every successful manifest write increments it — it
     * counts WRITES, not generations); `minGen` is the oldest still-
     * readable generation (vacuum advances it); `files` keeps one entry
-    * per data file ever committed, INCLUDING tombstones of vacuumed
-    * files (tiny, and they both audit history and stop a deleted name
-    * from ever being mistaken for an unrecorded foreign file). */
+    * per data file of the READABLE history: tombstones of files whose
+    * bytes a vacuum reclaimed are compacted away by the vacuum's final
+    * commit (they are invisible to every readable generation and every
+    * reconciliation rule), bounding the manifest at ~(live files +
+    * readable-window tombstones) instead of all history — the
+    * O(history) growth of the one file every commit re-parses was the
+    * named 100×-scale killer. Tombstones of files still ON DISK are
+    * always kept (dropping one would let the file be mistaken for an
+    * adoptable foreign append). */
   private[graft] final case class GenState(commit: Int, minGen: Int,
                                            files: Map[String, GenEntry],
                                            rewrites: Set[Int] = Set.empty) {

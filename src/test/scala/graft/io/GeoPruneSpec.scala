@@ -992,4 +992,89 @@ class GeoPruneSpec extends AnyFunSuite {
       assert(!realFile.exists() && blocker.exists())
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
+
+  test("vacuum compacts dead tombstones: the manifest shrinks, readable generations are untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("ztombc").toFile
+    try {
+      import spark.implicits._
+      val path = s"$dir/z"
+      val conf = spark.sessionState.newHadoopConf()
+      def rows(lo: Int, n: Int) = (0 until n).map(i =>
+        ((lo * 1000 + i).toLong, lo * 10 + i % 10, lo * 10 + (i * 3) % 10))
+      GeoParquet.packZOrderToParquet(rows(1, 300).toDF("id", "a", "b"),
+        Seq("a", "b"), path, 3)
+      GeoParquet.appendNumericWithSidecar(rows(2, 200).toDF("id", "a", "b"),
+        path, Seq("a", "b"))
+      GeoParquet.compactZOrderGeneration(spark, path, Seq("a", "b"), 2)
+      GeoParquet.appendNumericWithSidecar(rows(3, 100).toDF("id", "a", "b"),
+        path, Seq("a", "b"))
+      GeoParquet.compactZOrderGeneration(spark, path, Seq("a", "b"), 2)
+      val stBefore = GeoParquet.readGenState(path, conf).get
+      // pin every snapshot that will REMAIN readable after the vacuum
+      val keepFrom = stBefore.currentGen - 1
+      val snapshots = (keepFrom to stBefore.currentGen).map { g =>
+        g -> GeoParquet.readZOrderAtGeneration(spark, path, g)
+          .select("id").as[Long].collect().toSet
+      }
+      GeoParquet.vacuumGenerations(spark, path, retain = 1)
+      val stAfter = GeoParquet.readGenState(path, conf).get
+      // dead tombstones are gone: strictly fewer entries, and none
+      // below the horizon
+      assert(stAfter.files.size < stBefore.files.size,
+        s"manifest did not shrink: ${stBefore.files.size} -> ${stAfter.files.size}")
+      assert(!stAfter.files.values.exists(e =>
+        e.removed >= 0 && e.removed <= stAfter.minGen))
+      // every still-readable generation reads back identical
+      snapshots.foreach { case (g, ids) =>
+        assert(GeoParquet.readZOrderAtGeneration(spark, path, g)
+          .select("id").as[Long].collect().toSet == ids,
+          s"generation $g changed across tombstone compaction")
+      }
+      // history covers only surviving generations, all with known rows
+      val hist = GeoParquet.generationHistory(spark, path)
+      assert(hist.forall(_._4 >= 0), s"unknown rowsAdded in $hist")
+      // and the current-snapshot reader agrees
+      assert(GeoParquet.readZOrderRange(spark, path, Seq(("a", 0.0, 1e9)))
+        .count() == 600)
+      // idempotent: nothing further to reclaim or compact
+      assert(GeoParquet.vacuumGenerations(spark, path, retain = 1).isEmpty)
+      assert(GeoParquet.readGenState(path, conf).get.files.size ==
+        stAfter.files.size)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
+  test("manifest scale ceiling: a 10k-file state parses, renders, and round-trips in bounded time") {
+    import GeoParquet.{GenEntry, GenState}
+    // the per-commit driver cost at scale is parse(text) + render(next)
+    // over the whole manifest — measure it at the 10k-file ceiling the
+    // lake is specified for (PLANS.md records the numbers; the assert
+    // is a loose non-flake bound catching accidental quadratic blowups)
+    val files = (0 until 10000).map(i =>
+      f"part-$i%05d-0123456789ab.c000.snappy.parquet" ->
+        GenEntry(i % 50, if (i % 7 == 0) i % 50 + 1 else -1)).toMap
+    val st = GenState(123, 3, files, rewrites = Set(10, 20, 30))
+    val t0 = System.nanoTime()
+    val text = GeoParquet.renderGenState(st)
+    val parsed = GeoParquet.parseGenState(text, "ceiling-spec")
+    val t1 = System.nanoTime()
+    assert(parsed == st)
+    val ms = (t1 - t0) / 1e6
+    info(f"10k-file manifest render+parse: $ms%.1f ms, ${text.length} bytes")
+    assert(ms < 10000, f"render+parse took $ms%.1f ms at 10k files")
+    // liveAt + reconcileListing stay linear too. The listing is what a
+    // real directory holds: every file not yet vacuumed (tombstoned
+    // files stay on disk until a vacuum reclaims them) — reconciling
+    // it must recover exactly the live snapshot
+    val onDisk = st.files.collect {
+      case (f, e) if e.removed < 0 || e.removed > st.minGen => f
+    }.toSeq.sorted
+    val t2 = System.nanoTime()
+    val live = st.liveAt(st.currentGen)
+    val rec = GeoParquet.reconcileListing(onDisk, Some(st))
+    val t3 = System.nanoTime()
+    assert(rec.toSet == live.toSet)
+    val ms2 = (t3 - t2) / 1e6
+    info(f"10k-file liveAt+reconcile: $ms2%.1f ms")
+    assert(ms2 < 10000, f"liveAt+reconcile took $ms2%.1f ms at 10k files")
+  }
 }
