@@ -453,8 +453,13 @@ object GeoParquet {
         val required = st.files.toSeq
           .filter { case (_, e) => e.removed < 0 || e.removed > st.minGen }
           .groupBy(_._2.added)
-        def fullyListed(g: Int): Boolean =
-          required.getOrElse(g, Nil).forall { case (f, _) => names.contains(f) }
+        // memoized per generation: a big compaction puts ~all entries
+        // at ONE generation, and an unmemoized forall per listed file
+        // would make planning O(listed x generation size) — quadratic
+        // exactly after the largest rewrites
+        val fullyMemo = scala.collection.mutable.HashMap.empty[Int, Boolean]
+        def fullyListed(g: Int): Boolean = fullyMemo.getOrElseUpdate(g,
+          required.getOrElse(g, Nil).forall { case (f, _) => names.contains(f) })
         listed.filter { f =>
           st.files.get(f) match {
             case Some(e) =>
@@ -576,15 +581,16 @@ object GeoParquet {
     // object store)
     val sidecar = readSidecarText(path, conf)
     val current = reconcileListing(listed, stOpt)
-    if (current.size != listed.size)
-      // the manifest excluded something (tombstones, in-flight rewrite
-      // output): never fall back to the whole-directory read — it
-      // would double-count the excluded files
+    // a MANIFESTED dataset always reads through the reconciled pinned
+    // listing: a whole-directory fallback would RE-LIST at scan
+    // planning and pick up files the pin never saw — an in-flight
+    // compaction's rw-* output double-counts every rewritten row
+    if (stOpt.nonEmpty && listed.nonEmpty)
       readZOrderSubset(spark, path, Some(current), ranges, sidecar)
-    // no sidecar, OR a non-flat layout (empty top-level listing, e.g.
-    // hive subdirs someone attached a sidecar to) -> WHOLE-DIRECTORY
-    // read (partition discovery intact), exact residual only — degrade
-    // to keep, never to zero rows
+    // no manifest: no sidecar, OR a non-flat layout (empty top-level
+    // listing, e.g. hive subdirs someone attached a sidecar to) ->
+    // WHOLE-DIRECTORY read (partition discovery intact), exact
+    // residual only — degrade to keep, never to zero rows
     else if (sidecar.isEmpty || listed.isEmpty)
       readZOrderSubset(spark, path, None, ranges, None)
     else
@@ -855,9 +861,13 @@ object GeoParquet {
           // leave two live copies of every row at the head. Abort;
           // concurrent APPENDS are safe (they stay live untouched),
           // concurrent COMPACTION is a single-maintainer contract this
-          // makes detected, not assumed.
+          // makes detected, not assumed. A snapshot file ABSENT from
+          // the manifest counts as taken too: absence can only mean a
+          // rival rewrite whose tombstones a vacuum already compacted
+          // away (or a manifest replacement) — commit ours on top and
+          // every row doubles at the head.
           val taken = liveSet.filter(f =>
-            cur.files.get(f).exists(_.removed >= 0))
+            cur.files.get(f).forall(_.removed >= 0))
           if (taken.nonEmpty) throw new java.util.ConcurrentModificationException(
             s"concurrent compaction at $path already rewrote " +
               s"${taken.toSeq.sorted.take(3).mkString(", ")}" +
@@ -1003,13 +1013,21 @@ object GeoParquet {
     }.toSet
     if (droppable.nonEmpty)
       commitGenState(spark, path, {
-        case Some(cur) => cur.copy(files = cur.files.filterNot {
+        case Some(cur) =>
           // re-check against the CURRENT state inside the CAS loop; a
           // racing vacuum may have advanced minGen further (harmless)
           // but never backwards
-          case (f, e) => droppable(f) && e.removed >= 0 &&
-            e.removed <= cur.minGen
-        })
+          val kept = cur.files.filterNot { case (f, e) =>
+            droppable(f) && e.removed >= 0 && e.removed <= cur.minGen
+          }
+          // a rewrite generation none of whose added files survive is
+          // below the horizon on every axis (its adds were themselves
+          // tombstoned at <= minGen): readers can never list its files
+          // or ask for its window, so its _rw marker is dead weight —
+          // without this the _rw list grows O(compactions ever), the
+          // same growth law the entry compaction just removed
+          val addedGens = kept.valuesIterator.map(_.added).toSet
+          cur.copy(files = kept, rewrites = cur.rewrites.filter(addedGens))
         case None => throw new IllegalStateException(
           s"generation manifest at $path vanished mid-vacuum")
       })
@@ -1413,13 +1431,14 @@ object GeoParquet {
     val listed = listDataFiles(fsH, root).toSeq.sorted
     val stOpt = readGenState(path, conf)
     val current = reconcileListing(listed, stOpt)
-    val manifestDropped = current.size != listed.size
-    // the no-pruning fallback: whole directory when the manifest
-    // excluded nothing; the reconciled listing when it did (a
-    // whole-dir read would double-count); whole dir again for non-flat
-    // layouts (tombstones only ever name flat files)
+    // the no-pruning fallback: a MANIFESTED dataset always reads its
+    // reconciled pinned listing (a whole-dir read would RE-LIST at
+    // scan planning and pick up an in-flight compaction's rw-* output
+    // the pin never saw — double-counting every rewritten row); the
+    // whole directory only without a manifest, or for non-flat
+    // layouts (manifests only ever name flat files)
     def unprunedRead(): DataFrame =
-      if (!manifestDropped || listed.isEmpty) spark.read.parquet(path)
+      if (stOpt.isEmpty || listed.isEmpty) spark.read.parquet(path)
       else if (current.isEmpty) spark.read.parquet(path).limit(0)
       else spark.read.parquet(current.map(f => s"$path/$f"): _*)
     val df = (normBounds, sidecarText) match {
@@ -1624,9 +1643,10 @@ object GeoParquet {
     def liveAt(g: Int): Seq[String] =
       files.collect { case (f, e)
         if e.added <= g && (e.removed < 0 || e.removed > g) => f }.toSeq.sorted
-    /** Every file some commit superseded (compaction) or vacuumed. */
-    def removedSet: Set[String] =
-      files.collect { case (f, e) if e.removed >= 0 => f }.toSet
+    // NOTE: there is deliberately no "removedSet" helper — reads must
+    // reconcile tombstones against a PINNED listing per rewrite
+    // generation (reconcileListing); a bulk exclude-all-tombstones set
+    // loses rows on a listing pinned before the compaction.
   }
 
   private[graft] def renderGenState(st: GenState): String =

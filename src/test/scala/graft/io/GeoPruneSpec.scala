@@ -1040,6 +1040,18 @@ class GeoPruneSpec extends AnyFunSuite {
       assert(GeoParquet.vacuumGenerations(spark, path, retain = 1).isEmpty)
       assert(GeoParquet.readGenState(path, conf).get.files.size ==
         stAfter.files.size)
+      // a deeper vacuum retires the older rewrite's whole generation:
+      // its _rw marker must go with its entries (the _rw list is the
+      // same O(compactions-ever) growth law the entry compaction fixed)
+      GeoParquet.vacuumGenerations(spark, path, retain = 0)
+      val stFinal = GeoParquet.readGenState(path, conf).get
+      val addedGens = stFinal.files.values.map(_.added).toSet
+      assert(stFinal.rewrites.subsetOf(addedGens),
+        s"orphan _rw markers: ${stFinal.rewrites -- addedGens}")
+      assert(stFinal.rewrites.size < stAfter.rewrites.size,
+        s"rewrites did not shrink: ${stAfter.rewrites} -> ${stFinal.rewrites}")
+      assert(GeoParquet.readZOrderRange(spark, path, Seq(("a", 0.0, 1e9)))
+        .count() == 600)
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 
