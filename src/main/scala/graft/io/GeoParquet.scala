@@ -581,20 +581,19 @@ object GeoParquet {
     // object store)
     val sidecar = readSidecarText(path, conf)
     val current = reconcileListing(listed, stOpt)
-    // a MANIFESTED dataset always reads through the reconciled pinned
-    // listing: a whole-directory fallback would RE-LIST at scan
-    // planning and pick up files the pin never saw — an in-flight
-    // compaction's rw-* output double-counts every rewritten row
-    if (stOpt.nonEmpty && listed.nonEmpty)
+    // a MANIFESTED or sidecar'd flat dataset always reads through the
+    // reconciled pinned listing: a whole-directory fallback would
+    // RE-LIST at scan planning and pick up files the pin never saw —
+    // an in-flight compaction's rw-* output double-counts every
+    // rewritten row. The whole-directory read (partition discovery
+    // intact, exact residual only) remains only for layouts the pin
+    // cannot describe: no graft metadata at all, or a non-flat layout
+    // (empty top-level listing, e.g. hive subdirs someone attached a
+    // sidecar to) — degrade to keep, never to zero rows.
+    if (listed.nonEmpty && (stOpt.nonEmpty || sidecar.nonEmpty))
       readZOrderSubset(spark, path, Some(current), ranges, sidecar)
-    // no manifest: no sidecar, OR a non-flat layout (empty top-level
-    // listing, e.g. hive subdirs someone attached a sidecar to) ->
-    // WHOLE-DIRECTORY read (partition discovery intact), exact
-    // residual only — degrade to keep, never to zero rows
-    else if (sidecar.isEmpty || listed.isEmpty)
-      readZOrderSubset(spark, path, None, ranges, None)
     else
-      readZOrderSubset(spark, path, Some(current), ranges, sidecar)
+      readZOrderSubset(spark, path, None, ranges, None)
   }
 
   /** TIME-TRAVEL read over a packed+appended dataset: the snapshot at
@@ -861,13 +860,8 @@ object GeoParquet {
           // leave two live copies of every row at the head. Abort;
           // concurrent APPENDS are safe (they stay live untouched),
           // concurrent COMPACTION is a single-maintainer contract this
-          // makes detected, not assumed. A snapshot file ABSENT from
-          // the manifest counts as taken too: absence can only mean a
-          // rival rewrite whose tombstones a vacuum already compacted
-          // away (or a manifest replacement) — commit ours on top and
-          // every row doubles at the head.
-          val taken = liveSet.filter(f =>
-            cur.files.get(f).forall(_.removed >= 0))
+          // makes detected, not assumed.
+          val taken = rivalTaken(liveSet, cur)
           if (taken.nonEmpty) throw new java.util.ConcurrentModificationException(
             s"concurrent compaction at $path already rewrote " +
               s"${taken.toSeq.sorted.take(3).mkString(", ")}" +
@@ -933,6 +927,18 @@ object GeoParquet {
         throw e
     }
   }
+
+  /** The compaction-vs-compaction guard: which of OUR snapshot files a
+    * rival rewrite already claimed by the time we commit. TOMBSTONED
+    * (removed >= 0) is the direct signal; ABSENT from the manifest
+    * counts too — vacuum's tombstone compaction never drops a live
+    * (removed = -1) entry, so a snapshot file can vanish only via a
+    * rival rewrite whose tombstones were since compacted away (or a
+    * manifest replacement), and committing our rewrite on top would
+    * leave two live copies of every row at the head. */
+  private[graft] def rivalTaken(liveSet: Set[String],
+                                cur: GenState): Set[String] =
+    liveSet.filter(f => cur.files.get(f).forall(_.removed >= 0))
 
   /** Retention dual of [[compactZOrderGeneration]]: keep the newest
     * `retain` generations BEHIND the head readable (retain=0 keeps
@@ -1006,7 +1012,10 @@ object GeoParquet {
     // tombstones). A dead entry whose DELETE FAILED is kept: its file
     // is still on disk, and dropping the entry would let it be
     // mistaken for an adoptable foreign append (duplicate rows).
-    val onDisk = listDataFiles(fs, root).toSet
+    // On-disk derives from the listing already taken: `present` minus
+    // what this call just deleted (failed deletes stay; names never
+    // reappear) — no second paginated listing RPC per vacuum.
+    val onDisk = present -- deleted
     val droppable = st.files.collect {
       case (f, e) if e.removed >= 0 && e.removed <= st.minGen &&
         !onDisk(f) => f

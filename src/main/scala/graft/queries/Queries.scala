@@ -41,18 +41,19 @@ object Queries {
       s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
     // stale-sibling sweep: app-unique dirs from EARLIER processes (same
     // stem, other appId) are never revisited by their owner and would
-    // accumulate forever. Staleness looks at the dir AND its direct
-    // children (part files land inside data/ckpt/b=N subdirs, whose
-    // entry churn refreshes the CHILD's mtime, not the top level's);
-    // only siblings whole-tree-idle for 2h+ are swept, so a live
-    // foreign harness — which rewrites its scratch within any query —
-    // can never be yanked mid-read. Residual: a foreign query stalled
-    // >2h between its write and its read loses the scratch; its run
-    // fails loudly (FileNotFound), never silently.
+    // accumulate forever. Staleness is the newest mtime in the WHOLE
+    // tree (streaming checkpoints churn in grandchildren like
+    // ckpt/offsets/N and data/_spark_metadata/N — a depth-1 check
+    // misses them); only siblings whole-tree-idle for 2h+ are swept,
+    // so a live foreign harness can never be yanked mid-query.
+    // Residual: a foreign query idle >2h between its last write and
+    // its read loses the scratch; its run fails loudly
+    // (FileNotFound), never silently. Scratch trees are small
+    // (hundreds of entries), so the walk is cheap.
     val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
     def newestTouch(f: java.io.File): Long =
       (f.lastModified +: Option(f.listFiles()).getOrElse(Array.empty)
-        .map(_.lastModified).toSeq).max
+        .map(newestTouch).toSeq).max
     Option(new java.io.File(base).listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith(stem) && newestTouch(f) < cutoff)
       .foreach(org.apache.commons.io.FileUtils.deleteQuietly)

@@ -1055,6 +1055,20 @@ class GeoPruneSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 
+  test("concurrent-compaction guard: tombstoned AND manifest-absent snapshot files abort the rival") {
+    import GeoParquet.{GenEntry, GenState}
+    // our compaction pinned snapshot {a, b, c}; by commit time a rival
+    // rewrote a (tombstoned) and a vacuum compacted b's tombstone away
+    // entirely (absent). Only c — still live — is safe.
+    val cur = GenState(9, 2, Map(
+      "a" -> GenEntry(0, 2), "c" -> GenEntry(0, -1),
+      "rw-x" -> GenEntry(2, -1)), rewrites = Set(2))
+    assert(GeoParquet.rivalTaken(Set("a", "b", "c"), cur) == Set("a", "b"),
+      "tombstoned (a) and vacuum-compacted-absent (b) must both count " +
+        "as taken; committing over either doubles every row at the head")
+    assert(GeoParquet.rivalTaken(Set("c"), cur).isEmpty)
+  }
+
   test("manifest scale ceiling: a 10k-file state parses, renders, and round-trips in bounded time") {
     import GeoParquet.{GenEntry, GenState}
     // the per-commit driver cost at scale is parse(text) + render(next)
