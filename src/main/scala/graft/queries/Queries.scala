@@ -51,11 +51,15 @@ object Queries {
     // (FileNotFound), never silently. Scratch trees are small
     // (hundreds of entries), so the walk is cheap.
     val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
-    def newestTouch(f: java.io.File): Long =
-      (f.lastModified +: Option(f.listFiles()).getOrElse(Array.empty)
-        .map(newestTouch).toSeq).max
+    // short-circuits at the first fresh entry (a live sibling answers
+    // at its root); never follows directory symlinks, so a cyclic or
+    // external link can neither loop the walk nor pin the sibling
+    def anyFresh(f: java.io.File): Boolean =
+      f.lastModified >= cutoff ||
+        (!java.nio.file.Files.isSymbolicLink(f.toPath) &&
+          Option(f.listFiles()).getOrElse(Array.empty).exists(anyFresh))
     Option(new java.io.File(base).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith(stem) && newestTouch(f) < cutoff)
+      .filter(f => f.getName.startsWith(stem) && !anyFresh(f))
       .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
     out
