@@ -1728,10 +1728,151 @@ object GeoParquet {
     }
   }
 
+  /** One commit's INCREMENTAL manifest change (the Delta-log shape):
+    * `set` upserts file entries, `del` drops them (tombstone
+    * compaction), `minGen` is the absolute new horizon, rwAdd/rwDel
+    * adjust the rewrite-generation set. Written as
+    * `_gendelta-<commit>.json`, O(change) bytes — the full-state
+    * checkpoint (`_generations.json`) is rewritten only every
+    * [[DeltaFoldEvery]] commits, so per-commit driver work no longer
+    * scales with the file count. */
+  private[graft] final case class GenDelta(commit: Int, minGen: Int,
+      rwAdd: Set[Int], rwDel: Set[Int],
+      set: Map[String, GenEntry], del: Set[String])
+
+  private[graft] val DeltaFoldEvery = 16
+  private val DeltaPrefix = "_gendelta-"
+  private def deltaName(commit: Int) = s"$DeltaPrefix$commit.json"
+
+  private[graft] def renderGenDelta(d: GenDelta): String =
+    s"""{"_dcommit":${d.commit},"_min":${d.minGen},"_rwa":[""" +
+      d.rwAdd.toSeq.sorted.mkString(",") + """],"_rwd":[""" +
+      d.rwDel.toSeq.sorted.mkString(",") + """],"set":{""" +
+      d.set.toSeq.sortBy(_._1)
+        .map { case (f, e) => "\"" + f + "\":[" + e.added + "," + e.removed + "]" }
+        .mkString(",") + """},"del":[""" +
+      d.del.toSeq.sorted.map("\"" + _ + "\"").mkString(",") + "]}"
+
+  /** STRICT delta parse — same philosophy as [[parseGenState]]: the
+    * reconstruction must re-render to the exact stored text, block
+    * regexes scoped to their substring (the r11 phantom-entry lesson). */
+  private[graft] def parseGenDelta(text: String, where: String): GenDelta = {
+    val t = text.trim
+    val commit = "\"_dcommit\":(\\d+)".r.findFirstMatchIn(t).map(_.group(1).toInt)
+    val minG = "\"_min\":(\\d+)".r.findFirstMatchIn(t).map(_.group(1).toInt)
+    require(commit.isDefined && minG.isDefined,
+      s"malformed generation delta at $where: missing _dcommit/_min")
+    def intList(key: String): Set[Int] =
+      ("\"" + key + "\":\\[([0-9,]*)\\]").r.findFirstMatchIn(t).map(_.group(1))
+        .map(s => if (s.isEmpty) Set.empty[Int]
+                  else s.split(',').map(_.toInt).toSet)
+        .getOrElse(Set.empty)
+    val setBody = {
+      val marker = "\"set\":{"
+      val i = t.indexOf(marker)
+      if (i < 0) "" else {
+        val rest = t.substring(i + marker.length)
+        rest.substring(0, math.max(0, rest.indexOf('}')))
+      }
+    }
+    val set = "\"([^\"]+)\":\\[(-?\\d+),(-?\\d+)\\]".r.findAllMatchIn(setBody)
+      .map(m => m.group(1) -> GenEntry(m.group(2).toInt, m.group(3).toInt)).toMap
+    val delBody = {
+      val marker = "\"del\":["
+      val i = t.indexOf(marker)
+      if (i < 0) "" else {
+        val rest = t.substring(i + marker.length)
+        rest.substring(0, math.max(0, rest.indexOf(']')))
+      }
+    }
+    val del = "\"([^\"]+)\"".r.findAllMatchIn(delBody).map(_.group(1)).toSet
+    val d = GenDelta(commit.get, minG.get, intList("_rwa"), intList("_rwd"),
+      set, del)
+    require(renderGenDelta(d) == t,
+      s"malformed generation delta at $where: entries do not round-trip " +
+        "the stored text (hand edit, truncation, or an unsupported " +
+        "future format)")
+    d
+  }
+
+  /** The mechanical diff a commit writes: apply(prev, diff(prev, next))
+    * == next for ANY pair (GenStateProperties pins it). */
+  private[graft] def diffGenState(prev: GenState, next: GenState): GenDelta =
+    GenDelta(
+      commit = next.commit,
+      minGen = next.minGen,
+      rwAdd = next.rewrites -- prev.rewrites,
+      rwDel = prev.rewrites -- next.rewrites,
+      set = next.files.filter { case (f, e) => !prev.files.get(f).contains(e) },
+      del = prev.files.keySet -- next.files.keySet)
+
+  private[graft] def applyGenDelta(prev: GenState, d: GenDelta): GenState =
+    GenState(
+      commit = d.commit,
+      minGen = d.minGen,
+      files = (prev.files -- d.del) ++ d.set,
+      rewrites = prev.rewrites -- d.rwDel ++ d.rwAdd)
+
+  /** The manifest state plus how many deltas sit on top of the
+    * checkpoint (the commit path folds a new checkpoint once this
+    * reaches [[DeltaFoldEvery]]). The checkpoint is read FIRST, then
+    * the deltas are listed: a checkpoint fold racing this read deletes
+    * deltas the stale checkpoint still needs, which surfaces as a GAP
+    * in the delta ordinals — re-read (the new checkpoint covers the
+    * gap). A gap that persists across retries is a torn dataset
+    * (hand-deleted delta), an ERROR — never a silently older
+    * snapshot. */
+  private[graft] def readGenStateFull(path: String, conf: Configuration)
+      : Option[(GenState, Int)] = {
+    val root = new HadoopPath(path)
+    val fs = root.getFileSystem(conf)
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val ckpt = readTextFile(path, GenerationsName, conf)
+        .map(parseGenState(_, s"$path/$GenerationsName"))
+      val deltaOrdinals =
+        (try fs.listStatus(root).map(_.getPath.getName).toSeq
+         catch { case _: java.io.FileNotFoundException => Nil })
+          .filter(n => n.startsWith(DeltaPrefix) && n.endsWith(".json"))
+          .flatMap(_.stripPrefix(DeltaPrefix).stripSuffix(".json").toIntOption)
+          .sorted
+      ckpt match {
+        case None =>
+          if (deltaOrdinals.isEmpty) return None
+          if (attempts >= 8) throw new java.io.IOException(
+            s"generation deltas at $path with no checkpoint — torn dataset")
+        case Some(base) =>
+          val applicable = deltaOrdinals.filter(_ > base.commit)
+          val contiguous = applicable ==
+            (base.commit + 1 to base.commit + applicable.length)
+          if (contiguous) {
+            // a delta vanishing between the listing and its read is
+            // the same checkpoint-fold race as a gap — retry whole
+            // (readTextFile's exists-then-open can also throw on the
+            // race; treat it as vanished, never as corruption)
+            val texts = applicable.map(n =>
+              n -> (try readTextFile(path, deltaName(n), conf)
+                    catch { case _: java.io.FileNotFoundException => None }))
+            if (texts.forall(_._2.isDefined))
+              return Some((texts.foldLeft(base) { case (s, (n, t)) =>
+                applyGenDelta(s, parseGenDelta(t.get, s"$path/${deltaName(n)}"))
+              }, applicable.length))
+            if (attempts >= 8) throw new java.io.IOException(
+              s"generation delta at $path vanished across retries — " +
+                "torn dataset")
+          } else if (attempts >= 8) throw new java.io.IOException(
+            s"generation manifest at $path has a delta gap above commit " +
+              s"${base.commit} (${applicable.mkString(",")}) — torn dataset")
+      }
+      Thread.sleep(25L * math.min(attempts, 8))
+    }
+    None // unreachable
+  }
+
   private[graft] def readGenState(path: String, conf: Configuration)
       : Option[GenState] =
-    readTextFile(path, GenerationsName, conf)
-      .map(parseGenState(_, s"$path/$GenerationsName"))
+    readGenStateFull(path, conf).map(_._1)
 
   /** Single-winner manifest commit (the "detected, not assumed"
     * replacement for the old last-writer-wins rename): the writer that
@@ -1747,7 +1888,18 @@ object GeoParquet {
     * (manifest already at its ordinal ⇒ claim void) before it can
     * clobber the adopter. Exclusive create is atomic on local/HDFS
     * semantics; object stores without atomic create-if-absent keep
-    * only the read-back detection. */
+    * only the read-back detection.
+    *
+    * WHAT the winner writes (the 100×-commit design): normally an
+    * O(change) `_gendelta-N.json` — per-commit driver work no longer
+    * scales with the file count. The full-state checkpoint
+    * (`_generations.json`) is written only for the FIRST commit, or
+    * when [[DeltaFoldEvery]] deltas have piled up — the fold, after
+    * read-back, deletes the deltas it covers (readers racing the
+    * cleanup see a delta gap and re-read; see [[readGenStateFull]]).
+    * A crash between checkpoint write and delta cleanup leaves stale
+    * deltas <= the checkpoint's commit, which every reader filters
+    * out and the next fold re-deletes. */
   private def commitGenState(spark: SparkSession, path: String,
       update: Option[GenState] => GenState): GenState = {
     val conf = spark.sessionState.newHadoopConf()
@@ -1758,7 +1910,9 @@ object GeoParquet {
     var attempts = 0
     while (attempts < 24) {
       attempts += 1
-      val cur = readGenState(path, conf)
+      val full = readGenStateFull(path, conf)
+      val cur = full.map(_._1)
+      val deltasOnTop = full.map(_._2).getOrElse(0)
       val next = update(cur).copy(commit = cur.map(_.commit).getOrElse(0) + 1)
       val marker = new HadoopPath(root, s".gencommit-${next.commit}")
       val nonce = java.util.UUID.randomUUID().toString
@@ -1782,15 +1936,29 @@ object GeoParquet {
             readGenState(path, conf).exists(_.commit >= next.commit)) {
           Thread.sleep(25L * math.min(attempts, 8))
         } else {
-        val text = renderGenState(next)
-        writeTextAtomic(spark, path, GenerationsName, text)
-        val back = readTextFile(path, GenerationsName, conf)
+        val fold = cur.isEmpty || deltasOnTop + 1 >= DeltaFoldEvery
+        val (name, text) =
+          if (fold) (GenerationsName, renderGenState(next))
+          else (deltaName(next.commit),
+            renderGenDelta(diffGenState(cur.get, next)))
+        writeTextAtomic(spark, path, name, text)
+        val back = readTextFile(path, name, conf)
         if (!back.contains(text))
           throw new java.io.IOException(
             s"generation-manifest commit at $path interleaved with a " +
               "writer outside the commit protocol (read-back mismatch " +
               s"on ordinal ${next.commit}) — refusing to continue with " +
               "lost history")
+        // after a verified fold: the deltas it covers are dead (every
+        // reader filters ordinals <= the checkpoint's commit); delete
+        // failures are retried by the next fold
+        if (fold)
+          try fs.listStatus(root).map(_.getPath.getName)
+            .filter(n => n.startsWith(DeltaPrefix) && n.endsWith(".json"))
+            .filter(_.stripPrefix(DeltaPrefix).stripSuffix(".json")
+              .toIntOption.exists(_ <= next.commit))
+            .foreach(n => fs.delete(new HadoopPath(root, n), false))
+          catch { case _: java.io.IOException => () }
         // dead markers: no writer ever targets an ordinal <= the
         // manifest's current commit (every attempt re-reads first)
         try fs.listStatus(root).map(_.getPath.getName)

@@ -43,6 +43,26 @@ object GenStateProperties extends Properties("genstate") {
     parsed == st
   }
 
+  property("delta render -> parse is the identity") = forAll(
+    for {
+      c <- Gen.choose(0, 1000); m <- Gen.choose(0, 10)
+      ra <- Gen.listOf(Gen.choose(0, 30)); rd <- Gen.listOf(Gen.choose(0, 30))
+      ns <- Gen.choose(0, 8); setNames <- Gen.listOfN(ns, fileName)
+      setEntries <- Gen.listOfN(ns, genEntry)
+      del <- Gen.listOf(fileName)
+    } yield GeoParquet.GenDelta(c, m, ra.toSet, rd.toSet,
+      setNames.zip(setEntries).toMap, del.toSet)) { d =>
+    GeoParquet.parseGenDelta(GeoParquet.renderGenDelta(d), "t") == d
+  }
+
+  property("apply(prev, diff(prev, next)) == next for arbitrary pairs") =
+    forAll(genState, genState) { (prev, next0) =>
+      // the commit path always bumps the ordinal; diff/apply carry it
+      val next = next0.copy(commit = prev.commit + 1)
+      GeoParquet.applyGenDelta(prev,
+        GeoParquet.diffGenState(prev, next)) == next
+    }
+
   property("legacy v1 text parses to an all-live state") =
     forAll(Gen.mapOf(Gen.zip(fileName, Gen.choose(0, 9)))) { m =>
       val text = m.toSeq.sortBy(_._1)

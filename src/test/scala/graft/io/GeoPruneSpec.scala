@@ -1069,6 +1069,60 @@ class GeoPruneSpec extends AnyFunSuite {
     assert(GeoParquet.rivalTaken(Set("c"), cur).isEmpty)
   }
 
+  test("delta log: commits write O(change) deltas, fold into a checkpoint, and every generation stays exact") {
+    val dir = java.nio.file.Files.createTempDirectory("zdeltalog").toFile
+    try {
+      import spark.implicits._
+      val path = s"$dir/z"
+      val conf = spark.sessionState.newHadoopConf()
+      def batch(lo: Int) = Seq((lo.toLong, lo % 10, (lo * 3) % 10),
+        (lo.toLong + 100000, lo % 10 + 1, (lo * 3) % 10 + 1))
+        .toDF("id", "a", "b")
+      def deltaFiles(): Seq[String] = new java.io.File(path).listFiles()
+        .map(_.getName).filter(n => n.startsWith("_gendelta-") &&
+          n.endsWith(".json")).toSeq.sorted
+      GeoParquet.packZOrderToParquet(batch(0), Seq("a", "b"), path, 1)
+      // first commit is the checkpoint itself — no delta
+      assert(deltaFiles().isEmpty)
+      // drive enough commits to cross at least one fold boundary
+      // (each append = 1 manifest commit; pack was 1)
+      val nAppends = GeoParquet.DeltaFoldEvery + 6
+      (1 to nAppends).foreach { i =>
+        GeoParquet.appendNumericWithSidecar(batch(i), path, Seq("a", "b"))
+        val st = GeoParquet.readGenState(path, conf).get
+        assert(st.currentGen == i, s"generation drift at append $i")
+      }
+      // the fold happened: far fewer deltas on disk than commits, and
+      // the checkpoint carries most of the history
+      val onTop = deltaFiles().size
+      assert(onTop < GeoParquet.DeltaFoldEvery,
+        s"fold never ran: $onTop deltas for ${nAppends + 1} commits")
+      val ckpt = GeoParquet.parseGenState(java.nio.file.Files.readString(
+        new java.io.File(path, "_generations.json").toPath), "ckpt")
+      assert(ckpt.commit >= GeoParquet.DeltaFoldEvery,
+        s"checkpoint never advanced: ${ckpt.commit}")
+      // every generation reads back exactly its batches
+      val head = GeoParquet.currentGeneration(spark, path)
+      assert(head == nAppends)
+      (0 to head).foreach { g =>
+        assert(GeoParquet.readZOrderAtGeneration(spark, path, g).count() ==
+          2L * (g + 1), s"wrong snapshot at generation $g")
+      }
+      // stats stay metadata-only across the delta/checkpoint seam
+      assert(GeoParquet.statsAtGeneration(spark, path, head, Seq("a"))._1 ==
+        2L * (head + 1))
+      // compaction + vacuum ride the same log: tombstone compaction's
+      // entry drops arrive as delta "del"s and survive a re-read
+      GeoParquet.compactZOrderGeneration(spark, path, Seq("a", "b"), 2)
+      GeoParquet.vacuumGenerations(spark, path, retain = 0)
+      val st2 = GeoParquet.readGenState(path, conf).get
+      assert(st2.files.values.forall(_.removed < 0),
+        "dead tombstones survived the delta-logged compaction")
+      assert(GeoParquet.readZOrderRange(spark, path, Seq(("a", 0.0, 1e9)))
+        .count() == 2L * (nAppends + 1))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
   test("manifest scale ceiling: a 10k-file state parses, renders, and round-trips in bounded time") {
     import GeoParquet.{GenEntry, GenState}
     // the per-commit driver cost at scale is parse(text) + render(next)
