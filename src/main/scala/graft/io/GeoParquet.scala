@@ -1741,8 +1741,20 @@ object GeoParquet {
       set: Map[String, GenEntry], del: Set[String])
 
   private[graft] val DeltaFoldEvery = 16
+  /** Every log artifact lives in this dedicated subdirectory (<= ~
+    * DeltaFoldEvery + 2 entries at any time): readers discover the
+    * newest checkpoint and the deltas with ONE small listing instead
+    * of paging the whole (possibly million-file) dataset directory. An
+    * underscore prefix keeps it invisible to Spark's data listings. */
+  private[graft] val GenDirName = "_gen"
   private val DeltaPrefix = "_gendelta-"
+  private val CkptPrefix = "_genckpt-"
   private def deltaName(commit: Int) = s"$DeltaPrefix$commit.json"
+  private def ckptName(commit: Int) = s"$CkptPrefix$commit.json"
+  private def ordinalOf(name: String, prefix: String): Option[Int] =
+    if (name.startsWith(prefix) && name.endsWith(".json"))
+      name.stripPrefix(prefix).stripSuffix(".json").toIntOption
+    else None
 
   private[graft] def renderGenDelta(d: GenDelta): String =
     s"""{"_dcommit":${d.commit},"_min":${d.minGen},"_rwa":[""" +
@@ -1767,24 +1779,25 @@ object GeoParquet {
         .map(s => if (s.isEmpty) Set.empty[Int]
                   else s.split(',').map(_.toInt).toSet)
         .getOrElse(Set.empty)
-    val setBody = {
-      val marker = "\"set\":{"
-      val i = t.indexOf(marker)
-      if (i < 0) "" else {
-        val rest = t.substring(i + marker.length)
-        rest.substring(0, math.max(0, rest.indexOf('}')))
-      }
-    }
+    // block boundaries use the canonical inter-block marker, located
+    // AFTER the set block's start (a file literally NAMED "del" must
+    // not hijack the del block), and the del block runs to the LAST
+    // ']' (the canonical text ends "]}")  — a pathological name
+    // containing the marker itself mis-scopes, which the round-trip
+    // check below turns into an error the WRITE path already refused
+    // to produce (see the self-round-trip guard in commitGenState)
+    val setStart = t.indexOf("\"set\":{")
+    val delMarker = "},\"del\":["
+    val delStart = if (setStart < 0) -1 else t.indexOf(delMarker, setStart)
+    val setBody =
+      if (setStart < 0 || delStart < 0) ""
+      else t.substring(setStart + "\"set\":{".length, delStart)
     val set = "\"([^\"]+)\":\\[(-?\\d+),(-?\\d+)\\]".r.findAllMatchIn(setBody)
       .map(m => m.group(1) -> GenEntry(m.group(2).toInt, m.group(3).toInt)).toMap
-    val delBody = {
-      val marker = "\"del\":["
-      val i = t.indexOf(marker)
-      if (i < 0) "" else {
-        val rest = t.substring(i + marker.length)
-        rest.substring(0, math.max(0, rest.indexOf(']')))
-      }
-    }
+    val delBody =
+      if (delStart < 0) ""
+      else t.substring(delStart + delMarker.length,
+        math.max(delStart + delMarker.length, t.lastIndexOf(']')))
     val del = "\"([^\"]+)\"".r.findAllMatchIn(delBody).map(_.group(1)).toSet
     val d = GenDelta(commit.get, minG.get, intList("_rwa"), intList("_rwd"),
       set, del)
@@ -1815,55 +1828,71 @@ object GeoParquet {
 
   /** The manifest state plus how many deltas sit on top of the
     * checkpoint (the commit path folds a new checkpoint once this
-    * reaches [[DeltaFoldEvery]]). The checkpoint is read FIRST, then
-    * the deltas are listed: a checkpoint fold racing this read deletes
-    * deltas the stale checkpoint still needs, which surfaces as a GAP
-    * in the delta ordinals — re-read (the new checkpoint covers the
-    * gap). A gap that persists across retries is a torn dataset
-    * (hand-deleted delta), an ERROR — never a silently older
-    * snapshot. */
+    * reaches [[DeltaFoldEvery]]). ONE listing of the tiny `_gen/` dir
+    * discovers checkpoints and deltas together; the base is the
+    * HIGHEST-ordinal checkpoint (the fold creates the new one before
+    * deleting older ones, so a max-ordinal checkpoint always exists —
+    * no delete-then-rename window can leave the log uncovered), with
+    * the legacy root `_generations.json` as the pre-delta-era
+    * fallback. Any file vanishing between the listing and its read is
+    * a racing fold's cleanup — the base was superseded; re-list (the
+    * new checkpoint covers everything). A GAP in the delta ordinals
+    * above the base has the same cause and the same cure. Either
+    * persisting across retries is a torn dataset (hand-deleted file),
+    * an ERROR — never a silently older snapshot. */
   private[graft] def readGenStateFull(path: String, conf: Configuration)
       : Option[(GenState, Int)] = {
-    val root = new HadoopPath(path)
-    val fs = root.getFileSystem(conf)
+    val genDir = new HadoopPath(path, GenDirName)
+    val fs = genDir.getFileSystem(conf)
     var attempts = 0
     while (true) {
       attempts += 1
-      val ckpt = readTextFile(path, GenerationsName, conf)
-        .map(parseGenState(_, s"$path/$GenerationsName"))
-      val deltaOrdinals =
-        (try fs.listStatus(root).map(_.getPath.getName).toSeq
-         catch { case _: java.io.FileNotFoundException => Nil })
-          .filter(n => n.startsWith(DeltaPrefix) && n.endsWith(".json"))
-          .flatMap(_.stripPrefix(DeltaPrefix).stripSuffix(".json").toIntOption)
-          .sorted
-      ckpt match {
+      val names =
+        try fs.listStatus(genDir).map(_.getPath.getName).toSeq
+        catch { case _: java.io.FileNotFoundException => Nil }
+      val ckptOrds = names.flatMap(ordinalOf(_, CkptPrefix)).sorted
+      val deltaOrds = names.flatMap(ordinalOf(_, DeltaPrefix)).sorted
+      // exists-then-open races a fold's cleanup on every artifact —
+      // treat a throw as vanished (superseded base), never corruption
+      def readArtifact(name: String): Option[String] =
+        try readTextFile(s"$path/$GenDirName", name, conf)
+        catch { case _: java.io.FileNotFoundException => None }
+      val base: Option[GenState] = ckptOrds.lastOption match {
+        case Some(n) => readArtifact(ckptName(n))
+          .map(parseGenState(_, s"$path/$GenDirName/${ckptName(n)}"))
         case None =>
-          if (deltaOrdinals.isEmpty) return None
+          // legacy pre-delta dataset: the root _generations.json IS
+          // the checkpoint (the first fold migrates and deletes it)
+          try readTextFile(path, GenerationsName, conf)
+            .map(parseGenState(_, s"$path/$GenerationsName"))
+          catch { case _: java.io.FileNotFoundException => None }
+      }
+      base match {
+        case None if ckptOrds.isEmpty && deltaOrds.isEmpty => return None
+        case None =>
+          // listed a checkpoint/deltas but the base read found nothing:
+          // a fold's cleanup (or its crash window) — retry into the
+          // fresh listing
           if (attempts >= 8) throw new java.io.IOException(
-            s"generation deltas at $path with no checkpoint — torn dataset")
-        case Some(base) =>
-          val applicable = deltaOrdinals.filter(_ > base.commit)
+            s"generation log at $path has artifacts but no readable " +
+              "checkpoint — torn dataset")
+        case Some(b) =>
+          val applicable = deltaOrds.filter(_ > b.commit)
           val contiguous = applicable ==
-            (base.commit + 1 to base.commit + applicable.length)
+            (b.commit + 1 to b.commit + applicable.length)
           if (contiguous) {
-            // a delta vanishing between the listing and its read is
-            // the same checkpoint-fold race as a gap — retry whole
-            // (readTextFile's exists-then-open can also throw on the
-            // race; treat it as vanished, never as corruption)
-            val texts = applicable.map(n =>
-              n -> (try readTextFile(path, deltaName(n), conf)
-                    catch { case _: java.io.FileNotFoundException => None }))
+            val texts = applicable.map(n => n -> readArtifact(deltaName(n)))
             if (texts.forall(_._2.isDefined))
-              return Some((texts.foldLeft(base) { case (s, (n, t)) =>
-                applyGenDelta(s, parseGenDelta(t.get, s"$path/${deltaName(n)}"))
+              return Some((texts.foldLeft(b) { case (s, (n, t)) =>
+                applyGenDelta(s,
+                  parseGenDelta(t.get, s"$path/$GenDirName/${deltaName(n)}"))
               }, applicable.length))
             if (attempts >= 8) throw new java.io.IOException(
               s"generation delta at $path vanished across retries — " +
                 "torn dataset")
           } else if (attempts >= 8) throw new java.io.IOException(
-            s"generation manifest at $path has a delta gap above commit " +
-              s"${base.commit} (${applicable.mkString(",")}) — torn dataset")
+            s"generation log at $path has a delta gap above commit " +
+              s"${b.commit} (${applicable.mkString(",")}) — torn dataset")
       }
       Thread.sleep(25L * math.min(attempts, 8))
     }
@@ -1891,20 +1920,29 @@ object GeoParquet {
     * only the read-back detection.
     *
     * WHAT the winner writes (the 100×-commit design): normally an
-    * O(change) `_gendelta-N.json` — per-commit driver work no longer
-    * scales with the file count. The full-state checkpoint
-    * (`_generations.json`) is written only for the FIRST commit, or
-    * when [[DeltaFoldEvery]] deltas have piled up — the fold, after
-    * read-back, deletes the deltas it covers (readers racing the
-    * cleanup see a delta gap and re-read; see [[readGenStateFull]]).
-    * A crash between checkpoint write and delta cleanup leaves stale
-    * deltas <= the checkpoint's commit, which every reader filters
-    * out and the next fold re-deletes. */
+    * O(change) `_gen/_gendelta-N.json` — per-commit driver work no
+    * longer scales with the file count. A full-state checkpoint
+    * `_gen/_genckpt-N.json` is written only for the FIRST commit, or
+    * when [[DeltaFoldEvery]] deltas have piled up. The fold CREATES
+    * the new checkpoint before deleting anything, so a max-ordinal
+    * checkpoint always exists — a crash mid-fold can never leave
+    * deltas uncovered (the delete-then-rename window of a fixed-name
+    * checkpoint could). After read-back the fold deletes the older
+    * checkpoints, the deltas it covers, and the legacy root
+    * `_generations.json`; readers racing the cleanup re-list (see
+    * [[readGenStateFull]]); a crash mid-cleanup leaves stale
+    * artifacts every reader filters out and the next fold re-deletes.
+    *
+    * Both artifact kinds are self-round-trip-checked BEFORE the write:
+    * a file name the canonical text cannot represent fails THIS commit
+    * with the dataset untouched, instead of bricking every subsequent
+    * read of a log that no longer parses. */
   private def commitGenState(spark: SparkSession, path: String,
       update: Option[GenState] => GenState): GenState = {
     val conf = spark.sessionState.newHadoopConf()
-    val root = new HadoopPath(path)
-    val fs = root.getFileSystem(conf)
+    val genDirStr = s"$path/$GenDirName"
+    val genDir = new HadoopPath(genDirStr)
+    val fs = genDir.getFileSystem(conf)
     var lastCommitSeen = -1
     var staleSinceNanos = 0L
     var attempts = 0
@@ -1914,7 +1952,7 @@ object GeoParquet {
       val cur = full.map(_._1)
       val deltasOnTop = full.map(_._2).getOrElse(0)
       val next = update(cur).copy(commit = cur.map(_.commit).getOrElse(0) + 1)
-      val marker = new HadoopPath(root, s".gencommit-${next.commit}")
+      val marker = new HadoopPath(genDir, s".gencommit-${next.commit}")
       val nonce = java.util.UUID.randomUUID().toString
       if (claimMarker(fs, marker, nonce)) {
         // ownership re-check via the marker NONCE right before the
@@ -1938,34 +1976,61 @@ object GeoParquet {
         } else {
         val fold = cur.isEmpty || deltasOnTop + 1 >= DeltaFoldEvery
         val (name, text) =
-          if (fold) (GenerationsName, renderGenState(next))
-          else (deltaName(next.commit),
-            renderGenDelta(diffGenState(cur.get, next)))
-        writeTextAtomic(spark, path, name, text)
-        val back = readTextFile(path, name, conf)
-        if (!back.contains(text))
-          throw new java.io.IOException(
+          if (fold) {
+            val t = renderGenState(next)
+            require(parseGenState(t, "self-check") == next,
+              s"commit at $path aborted: the state does not survive the " +
+                "canonical text (a file name the log format cannot " +
+                "represent?) — dataset left untouched")
+            (ckptName(next.commit), t)
+          } else {
+            val d = diffGenState(cur.get, next)
+            val t = renderGenDelta(d)
+            require(parseGenDelta(t, "self-check") == d,
+              s"commit at $path aborted: the delta does not survive the " +
+                "canonical text (a file name the log format cannot " +
+                "represent?) — dataset left untouched")
+            (deltaName(next.commit), t)
+          }
+        writeTextAtomic(spark, genDirStr, name, text)
+        val back =
+          try readTextFile(genDirStr, name, conf)
+          catch { case _: java.io.FileNotFoundException => None }
+        if (!back.contains(text)) {
+          // our artifact may legitimately be GONE or SUPERSEDED
+          // already: a racing fold at ordinal >= ours can only exist
+          // if some writer READ and applied our commit first — the
+          // commit landed; only a mismatch the log does NOT reflect is
+          // out-of-protocol interference
+          val landedAnyway =
+            try readGenStateFull(path, conf).exists(_._1.commit >= next.commit)
+            catch { case _: java.io.IOException => false }
+          if (!landedAnyway) throw new java.io.IOException(
             s"generation-manifest commit at $path interleaved with a " +
               "writer outside the commit protocol (read-back mismatch " +
               s"on ordinal ${next.commit}) — refusing to continue with " +
               "lost history")
-        // after a verified fold: the deltas it covers are dead (every
-        // reader filters ordinals <= the checkpoint's commit); delete
-        // failures are retried by the next fold
-        if (fold)
-          try fs.listStatus(root).map(_.getPath.getName)
-            .filter(n => n.startsWith(DeltaPrefix) && n.endsWith(".json"))
-            .filter(_.stripPrefix(DeltaPrefix).stripSuffix(".json")
-              .toIntOption.exists(_ <= next.commit))
-            .foreach(n => fs.delete(new HadoopPath(root, n), false))
-          catch { case _: java.io.IOException => () }
-        // dead markers: no writer ever targets an ordinal <= the
-        // manifest's current commit (every attempt re-reads first)
-        try fs.listStatus(root).map(_.getPath.getName)
-          .filter(_.startsWith(".gencommit-"))
-          .filter(_.stripPrefix(".gencommit-").toIntOption.exists(_ < next.commit))
-          .foreach(n => fs.delete(new HadoopPath(root, n), false))
-        catch { case _: java.io.IOException => () }
+        }
+        // cleanup, all inside the tiny _gen/ dir (one listing): after
+        // a verified fold the older checkpoints and the deltas it
+        // covers are dead (every reader takes the max checkpoint and
+        // filters ordinals <= its commit); dead markers (ordinals <=
+        // the current commit) go in the same pass. Failures are
+        // harmless — the next fold re-deletes.
+        try {
+          val entries = fs.listStatus(genDir).map(_.getPath.getName)
+          val dead = entries.filter { n =>
+            (fold && ordinalOf(n, DeltaPrefix).exists(_ <= next.commit)) ||
+            (fold && ordinalOf(n, CkptPrefix).exists(_ < next.commit)) ||
+            n.startsWith(".gencommit-") &&
+              n.stripPrefix(".gencommit-").toIntOption.exists(_ < next.commit)
+          }
+          dead.foreach(n => fs.delete(new HadoopPath(genDir, n), false))
+          // the legacy pre-delta checkpoint is superseded by the fold
+          if (fold)
+            fs.delete(new HadoopPath(new HadoopPath(path), GenerationsName),
+              false)
+        } catch { case _: java.io.IOException => () }
         return next
         }
       } else {

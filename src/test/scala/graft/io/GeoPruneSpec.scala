@@ -627,13 +627,16 @@ class GeoPruneSpec extends AnyFunSuite {
       val path = s"$dir/z"
       GeoParquet.packZOrderToParquet(genRows(0, 100).toDF("id", "a", "b"),
         Seq("a", "b"), path, 2)
-      val mf = new java.io.File(path, "_generations.json")
+      // the checkpoint lives in the _gen/ log dir (versioned name)
+      val mf = new java.io.File(s"$path/_gen").listFiles()
+        .filter(f => f.getName.startsWith("_genckpt-") &&
+          f.getName.endsWith(".json")).head
       val text = new String(java.nio.file.Files.readAllBytes(mf.toPath))
       // raw edit: drop the Hadoop CRC twin too, or the checksum (not
       // the strict parse) is what trips
       def rawWrite(s: String): Unit = {
         java.nio.file.Files.write(mf.toPath, s.getBytes)
-        new java.io.File(path, "._generations.json.crc").delete()
+        new java.io.File(s"$path/_gen", s".${mf.getName}.crc").delete()
       }
       // truncate one entry's closing bracket — the permissive parse of
       // old rounds would silently drop entries; now it must throw
@@ -728,7 +731,7 @@ class GeoPruneSpec extends AnyFunSuite {
       val st = GeoParquet.readGenState(path,
         spark.sessionState.newHadoopConf()).get
       java.nio.file.Files.createFile(
-        new java.io.File(path, s".gencommit-${st.commit + 1}").toPath)
+        new java.io.File(s"$path/_gen", s".gencommit-${st.commit + 1}").toPath)
       GeoParquet.appendNumericWithSidecar(genRows(7, 50).toDF("id", "a", "b"),
         path, Seq("a", "b"))
       assert(GeoParquet.currentGeneration(spark, path) == 2)
@@ -1078,7 +1081,8 @@ class GeoPruneSpec extends AnyFunSuite {
       def batch(lo: Int) = Seq((lo.toLong, lo % 10, (lo * 3) % 10),
         (lo.toLong + 100000, lo % 10 + 1, (lo * 3) % 10 + 1))
         .toDF("id", "a", "b")
-      def deltaFiles(): Seq[String] = new java.io.File(path).listFiles()
+      def deltaFiles(): Seq[String] = new java.io.File(s"$path/_gen")
+        .listFiles()
         .map(_.getName).filter(n => n.startsWith("_gendelta-") &&
           n.endsWith(".json")).toSeq.sorted
       GeoParquet.packZOrderToParquet(batch(0), Seq("a", "b"), path, 1)
@@ -1097,8 +1101,12 @@ class GeoPruneSpec extends AnyFunSuite {
       val onTop = deltaFiles().size
       assert(onTop < GeoParquet.DeltaFoldEvery,
         s"fold never ran: $onTop deltas for ${nAppends + 1} commits")
-      val ckpt = GeoParquet.parseGenState(java.nio.file.Files.readString(
-        new java.io.File(path, "_generations.json").toPath), "ckpt")
+      val ckptFile = new java.io.File(s"$path/_gen").listFiles()
+        .filter(f => f.getName.startsWith("_genckpt-") &&
+          f.getName.endsWith(".json"))
+        .maxBy(_.getName.stripPrefix("_genckpt-").stripSuffix(".json").toInt)
+      val ckpt = GeoParquet.parseGenState(
+        java.nio.file.Files.readString(ckptFile.toPath), "ckpt")
       assert(ckpt.commit >= GeoParquet.DeltaFoldEvery,
         s"checkpoint never advanced: ${ckpt.commit}")
       // every generation reads back exactly its batches
@@ -1120,6 +1128,49 @@ class GeoPruneSpec extends AnyFunSuite {
         "dead tombstones survived the delta-logged compaction")
       assert(GeoParquet.readZOrderRange(spark, path, Seq(("a", 0.0, 1e9)))
         .count() == 2L * (nAppends + 1))
+
+      // a crash BETWEEN fold and cleanup leaves an older checkpoint +
+      // covered deltas next to the new checkpoint: readers must take
+      // the max checkpoint and ignore the stale artifacts
+      val genDir = new java.io.File(s"$path/_gen")
+      val stNow = GeoParquet.readGenState(path, conf).get
+      // stale ordinals strictly below the live checkpoint's: a reader
+      // takes the max checkpoint and filters deltas by ordinal, so
+      // neither file below is ever opened
+      java.nio.file.Files.writeString(
+        new java.io.File(genDir, "_genckpt-1.json").toPath,
+        "{this text is never read: the max-ordinal checkpoint wins}")
+      java.nio.file.Files.writeString(
+        new java.io.File(genDir, "_gendelta-5.json").toPath,
+        "{covered delta, filtered by ordinal, never read}")
+      assert(GeoParquet.readGenState(path, conf).get == stNow,
+        "stale fold artifacts changed the read state")
+      Seq("_genckpt-1.json", "_gendelta-5.json").foreach(n =>
+        new java.io.File(genDir, n).delete())
+
+      // LEGACY layout (pre-delta era): the checkpoint at the root as
+      // _generations.json and no _gen/ dir must read, append (first
+      // delta), and migrate on the first fold
+      val legacy = s"$dir/legacy"
+      GeoParquet.packZOrderToParquet(batch(0), Seq("a", "b"), legacy, 1)
+      val lGen = new java.io.File(s"$legacy/_gen")
+      val lCkpt = lGen.listFiles().filter(_.getName.startsWith("_genckpt-")).head
+      java.nio.file.Files.move(lCkpt.toPath,
+        new java.io.File(legacy, "_generations.json").toPath)
+      org.apache.commons.io.FileUtils.deleteDirectory(lGen)
+      assert(GeoParquet.currentGeneration(spark, legacy) == 0)
+      GeoParquet.appendNumericWithSidecar(batch(1), legacy, Seq("a", "b"))
+      assert(GeoParquet.currentGeneration(spark, legacy) == 1)
+      assert(new java.io.File(legacy, "_generations.json").exists())
+      (2 to GeoParquet.DeltaFoldEvery).foreach(i =>
+        GeoParquet.appendNumericWithSidecar(batch(i), legacy, Seq("a", "b")))
+      // the fold migrated: versioned checkpoint present, legacy gone
+      assert(new java.io.File(s"$legacy/_gen").listFiles()
+        .exists(_.getName.startsWith("_genckpt-")))
+      assert(!new java.io.File(legacy, "_generations.json").exists())
+      assert(GeoParquet.readZOrderAtGeneration(spark, legacy,
+        GeoParquet.DeltaFoldEvery).count() ==
+        2L * (GeoParquet.DeltaFoldEvery + 1))
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 
