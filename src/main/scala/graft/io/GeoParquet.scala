@@ -1850,25 +1850,51 @@ object GeoParquet {
       val names =
         try fs.listStatus(genDir).map(_.getPath.getName).toSeq
         catch { case _: java.io.FileNotFoundException => Nil }
+      val genDirExists = names.nonEmpty ||
+        (try fs.exists(genDir) catch { case _: java.io.IOException => false })
       val ckptOrds = names.flatMap(ordinalOf(_, CkptPrefix)).sorted
-      val deltaOrds = names.flatMap(ordinalOf(_, DeltaPrefix)).sorted
       // exists-then-open races a fold's cleanup on every artifact —
       // treat a throw as vanished (superseded base), never corruption
-      def readArtifact(name: String): Option[String] =
-        try readTextFile(s"$path/$GenDirName", name, conf)
+      def readArtifact(dir: String, name: String): Option[String] =
+        try readTextFile(dir, name, conf)
         catch { case _: java.io.FileNotFoundException => None }
-      val base: Option[GenState] = ckptOrds.lastOption match {
-        case Some(n) => readArtifact(ckptName(n))
-          .map(parseGenState(_, s"$path/$GenDirName/${ckptName(n)}"))
+      // legacy layouts put log artifacts at the ROOT: the pre-delta
+      // era's _generations.json checkpoint, and the one intermediate
+      // build's root-level deltas on top of it. Both are read until
+      // the first fold migrates and sweeps them. The root listing is
+      // taken ONLY on the legacy path (no versioned checkpoint yet) —
+      // steady-state reads never page the data directory.
+      val (base, deltaDirs) = ckptOrds.lastOption match {
+        case Some(n) =>
+          (readArtifact(genLogDir(path), ckptName(n))
+            .map(parseGenState(_, s"$path/$GenDirName/${ckptName(n)}")),
+            names.flatMap(ordinalOf(_, DeltaPrefix))
+              .map(o => o -> genLogDir(path)))
         case None =>
-          // legacy pre-delta dataset: the root _generations.json IS
-          // the checkpoint (the first fold migrates and deletes it)
-          try readTextFile(path, GenerationsName, conf)
+          val legacy = readArtifact(path, GenerationsName)
             .map(parseGenState(_, s"$path/$GenerationsName"))
-          catch { case _: java.io.FileNotFoundException => None }
+          val rootNames =
+            if (legacy.isEmpty) Nil
+            else try new HadoopPath(path).getFileSystem(conf)
+              .listStatus(new HadoopPath(path)).map(_.getPath.getName).toSeq
+            catch { case _: java.io.FileNotFoundException => Nil }
+          (legacy,
+            (names.flatMap(ordinalOf(_, DeltaPrefix))
+              .map(o => o -> genLogDir(path)) ++
+             rootNames.flatMap(ordinalOf(_, DeltaPrefix))
+               .map(o => o -> path)).distinctBy(_._1))
       }
+      val deltaOrds = deltaDirs.map(_._1).sorted
+      val deltaDirOf = deltaDirs.toMap
       base match {
-        case None if ckptOrds.isEmpty && deltaOrds.isEmpty => return None
+        case None if ckptOrds.isEmpty && deltaOrds.isEmpty =>
+          // an EXISTING _gen dir with no readable artifact is either a
+          // torn first commit (legitimately manifest-less) or a
+          // listing that raced a fold's create+cleanup — retry before
+          // concluding None, so an established dataset can never
+          // transiently read as having no manifest. Plain datasets
+          // (no _gen dir at all) return immediately.
+          if (!genDirExists || attempts >= 3) return None
         case None =>
           // listed a checkpoint/deltas but the base read found nothing:
           // a fold's cleanup (or its crash window) — retry into the
@@ -1881,11 +1907,12 @@ object GeoParquet {
           val contiguous = applicable ==
             (b.commit + 1 to b.commit + applicable.length)
           if (contiguous) {
-            val texts = applicable.map(n => n -> readArtifact(deltaName(n)))
+            val texts = applicable.map(n =>
+              n -> readArtifact(deltaDirOf(n), deltaName(n)))
             if (texts.forall(_._2.isDefined))
               return Some((texts.foldLeft(b) { case (s, (n, t)) =>
                 applyGenDelta(s,
-                  parseGenDelta(t.get, s"$path/$GenDirName/${deltaName(n)}"))
+                  parseGenDelta(t.get, s"${deltaDirOf(n)}/${deltaName(n)}"))
               }, applicable.length))
             if (attempts >= 8) throw new java.io.IOException(
               s"generation delta at $path vanished across retries — " +
@@ -1898,6 +1925,8 @@ object GeoParquet {
     }
     None // unreachable
   }
+
+  private def genLogDir(path: String): String = s"$path/$GenDirName"
 
   private[graft] def readGenState(path: String, conf: Configuration)
       : Option[GenState] =
@@ -1975,21 +2004,28 @@ object GeoParquet {
           Thread.sleep(25L * math.min(attempts, 8))
         } else {
         val fold = cur.isEmpty || deltasOnTop + 1 >= DeltaFoldEvery
+        // self-round-trip BEFORE the write: a file name the canonical
+        // text cannot represent must fail THIS commit with the dataset
+        // untouched, not write a log later reads cannot parse. The
+        // strict parsers throw on any drift, so the check is
+        // try-wrapped to produce the write-side diagnostic.
+        def surviveCanonical(check: => Boolean): Unit = {
+          val ok = try check
+            catch { case _: IllegalArgumentException => false }
+          require(ok,
+            s"commit at $path aborted: the update does not survive the " +
+              "canonical log text (a file name the format cannot " +
+              "represent?) — dataset left untouched")
+        }
         val (name, text) =
           if (fold) {
             val t = renderGenState(next)
-            require(parseGenState(t, "self-check") == next,
-              s"commit at $path aborted: the state does not survive the " +
-                "canonical text (a file name the log format cannot " +
-                "represent?) — dataset left untouched")
+            surviveCanonical(parseGenState(t, "self-check") == next)
             (ckptName(next.commit), t)
           } else {
             val d = diffGenState(cur.get, next)
             val t = renderGenDelta(d)
-            require(parseGenDelta(t, "self-check") == d,
-              s"commit at $path aborted: the delta does not survive the " +
-                "canonical text (a file name the log format cannot " +
-                "represent?) — dataset left untouched")
+            surviveCanonical(parseGenDelta(t, "self-check") == d)
             (deltaName(next.commit), t)
           }
         writeTextAtomic(spark, genDirStr, name, text)
@@ -1997,39 +2033,68 @@ object GeoParquet {
           try readTextFile(genDirStr, name, conf)
           catch { case _: java.io.FileNotFoundException => None }
         if (!back.contains(text)) {
-          // our artifact may legitimately be GONE or SUPERSEDED
-          // already: a racing fold at ordinal >= ours can only exist
-          // if some writer READ and applied our commit first — the
-          // commit landed; only a mismatch the log does NOT reflect is
-          // out-of-protocol interference
-          val landedAnyway =
-            try readGenStateFull(path, conf).exists(_._1.commit >= next.commit)
-            catch { case _: java.io.IOException => false }
-          if (!landedAnyway) throw new java.io.IOException(
-            s"generation-manifest commit at $path interleaved with a " +
-              "writer outside the commit protocol (read-back mismatch " +
-              s"on ordinal ${next.commit}) — refusing to continue with " +
-              "lost history")
+          // our artifact GONE may be legitimate: a racing fold at a
+          // STRICTLY higher ordinal can only exist if some writer read
+          // and applied our commit first — the commit landed. A log
+          // still AT our ordinal, or a different text under our name,
+          // is the same-ordinal clobber (the documented residual
+          // owner-vs-adopter window) or out-of-protocol interference —
+          // always an error, or the clobbered writer's batch silently
+          // vanishes while its caller reports success.
+          var confirmFailure: Throwable = null
+          val landedAnyway = back.isEmpty && {
+            try readGenStateFull(path, conf).exists(_._1.commit > next.commit)
+            catch { case e: java.io.IOException => confirmFailure = e; false }
+          }
+          if (!landedAnyway) {
+            val ex = new java.io.IOException(
+              s"generation-manifest commit at $path interleaved with a " +
+                "writer outside the commit protocol (read-back mismatch " +
+                s"on ordinal ${next.commit}) — refusing to continue with " +
+                "lost history")
+            if (confirmFailure != null) ex.addSuppressed(confirmFailure)
+            throw ex
+          }
         }
         // cleanup, all inside the tiny _gen/ dir (one listing): after
         // a verified fold the older checkpoints and the deltas it
         // covers are dead (every reader takes the max checkpoint and
         // filters ordinals <= its commit); dead markers (ordinals <=
-        // the current commit) go in the same pass. Failures are
-        // harmless — the next fold re-deletes.
+        // the current commit) and crashed writers' orphaned tmp files
+        // go in the same pass. Failures are harmless — the next fold
+        // re-deletes.
         try {
           val entries = fs.listStatus(genDir).map(_.getPath.getName)
+          // ".<artifact>.json.tmp-<uuid>" left by a crashed
+          // writeTextAtomic: recover the artifact stem and its ordinal
+          def tmpOrdinal(n: String): Option[Int] =
+            if (n.startsWith(".") && n.contains(".json.tmp-")) {
+              val stem =
+                n.drop(1).substring(0, n.indexOf(".json.tmp-") - 1) + ".json"
+              ordinalOf(stem, DeltaPrefix).orElse(ordinalOf(stem, CkptPrefix))
+            } else None
           val dead = entries.filter { n =>
             (fold && ordinalOf(n, DeltaPrefix).exists(_ <= next.commit)) ||
             (fold && ordinalOf(n, CkptPrefix).exists(_ < next.commit)) ||
             n.startsWith(".gencommit-") &&
-              n.stripPrefix(".gencommit-").toIntOption.exists(_ < next.commit)
+              n.stripPrefix(".gencommit-").toIntOption.exists(_ < next.commit) ||
+            tmpOrdinal(n).exists(_ < next.commit)
           }
           dead.foreach(n => fs.delete(new HadoopPath(genDir, n), false))
-          // the legacy pre-delta checkpoint is superseded by the fold
-          if (fold)
-            fs.delete(new HadoopPath(new HadoopPath(path), GenerationsName),
-              false)
+          // legacy-era artifacts at the ROOT (the pre-delta checkpoint
+          // and the one intermediate build's root deltas/markers) are
+          // superseded by the fold; the root listing is taken only
+          // when the legacy checkpoint actually exists
+          if (fold) {
+            val rootPath = new HadoopPath(path)
+            if (fs.exists(new HadoopPath(rootPath, GenerationsName))) {
+              fs.listStatus(rootPath).map(_.getPath.getName)
+                .filter(n => ordinalOf(n, DeltaPrefix).isDefined ||
+                  n.startsWith(".gencommit-"))
+                .foreach(n => fs.delete(new HadoopPath(rootPath, n), false))
+              fs.delete(new HadoopPath(rootPath, GenerationsName), false)
+            }
+          }
         } catch { case _: java.io.IOException => () }
         return next
         }
