@@ -1844,14 +1844,31 @@ object GeoParquet {
       : Option[(GenState, Int)] = {
     val genDir = new HadoopPath(path, GenDirName)
     val fs = genDir.getFileSystem(conf)
+    // one listing of _gen: (artifact names, dir-exists) — existence is
+    // free here (FNF vs empty success), no separate exists() RPC
+    def listGen(): (Seq[String], Boolean) =
+      try (fs.listStatus(genDir).map(_.getPath.getName).toSeq, true)
+      catch { case _: java.io.FileNotFoundException => (Nil, false) }
+    // every conclusion that did NOT come from a versioned checkpoint
+    // (a legacy-based state, or "no manifest at all") is CONFIRMED by
+    // re-listing _gen: the migration fold writes its versioned
+    // checkpoint BEFORE sweeping anything at the root, so if no
+    // versioned checkpoint exists at confirm time, no sweep can have
+    // raced the legacy reads this attempt made — the conclusion
+    // stands. If one appeared, retry into it. This closes every
+    // stale-legacy / transient-None interleaving at the cost of one
+    // extra tiny-dir (or FNF) round-trip on the non-steady-state
+    // paths only.
+    def confirmedNoVersionedCkpt(): Boolean =
+      listGen()._1.forall(n => ordinalOf(n, CkptPrefix).isEmpty)
     var attempts = 0
+    var emptySeen = 0
     while (true) {
       attempts += 1
-      val names =
-        try fs.listStatus(genDir).map(_.getPath.getName).toSeq
-        catch { case _: java.io.FileNotFoundException => Nil }
-      val genDirExists = names.nonEmpty ||
-        (try fs.exists(genDir) catch { case _: java.io.IOException => false })
+      if (attempts > 50) throw new java.io.IOException(
+        s"unable to obtain a consistent generation-log read at $path " +
+          "after 50 attempts")
+      val (names, genDirExists) = listGen()
       val ckptOrds = names.flatMap(ordinalOf(_, CkptPrefix)).sorted
       // exists-then-open races a fold's cleanup on every artifact —
       // treat a throw as vanished (superseded base), never corruption
@@ -1867,7 +1884,7 @@ object GeoParquet {
       val (base, deltaDirs) = ckptOrds.lastOption match {
         case Some(n) =>
           (readArtifact(genLogDir(path), ckptName(n))
-            .map(parseGenState(_, s"$path/$GenDirName/${ckptName(n)}")),
+            .map(parseGenState(_, s"${genLogDir(path)}/${ckptName(n)}")),
             names.flatMap(ordinalOf(_, DeltaPrefix))
               .map(o => o -> genLogDir(path)))
         case None =>
@@ -1875,8 +1892,8 @@ object GeoParquet {
             .map(parseGenState(_, s"$path/$GenerationsName"))
           val rootNames =
             if (legacy.isEmpty) Nil
-            else try new HadoopPath(path).getFileSystem(conf)
-              .listStatus(new HadoopPath(path)).map(_.getPath.getName).toSeq
+            else try fs.listStatus(new HadoopPath(path))
+              .map(_.getPath.getName).toSeq
             catch { case _: java.io.FileNotFoundException => Nil }
           (legacy,
             (names.flatMap(ordinalOf(_, DeltaPrefix))
@@ -1884,17 +1901,23 @@ object GeoParquet {
              rootNames.flatMap(ordinalOf(_, DeltaPrefix))
                .map(o => o -> path)).distinctBy(_._1))
       }
+      val legacyBased = ckptOrds.isEmpty && base.isDefined
       val deltaOrds = deltaDirs.map(_._1).sorted
       val deltaDirOf = deltaDirs.toMap
       base match {
         case None if ckptOrds.isEmpty && deltaOrds.isEmpty =>
-          // an EXISTING _gen dir with no readable artifact is either a
-          // torn first commit (legitimately manifest-less) or a
-          // listing that raced a fold's create+cleanup — retry before
-          // concluding None, so an established dataset can never
-          // transiently read as having no manifest. Plain datasets
-          // (no _gen dir at all) return immediately.
-          if (!genDirExists || attempts >= 3) return None
+          // "no manifest at all" must be confirmed: a migration fold
+          // racing this attempt could have created _gen and swept the
+          // legacy checkpoint between our listing and our legacy read
+          // (SaveMode-ignore would otherwise reset an established
+          // dataset). An _gen dir that EXISTS but lists empty is
+          // either a torn first commit (legitimately manifest-less)
+          // or a readdir racing a fold — retried on its own counter.
+          if (confirmedNoVersionedCkpt()) {
+            if (!genDirExists) return None
+            emptySeen += 1
+            if (emptySeen >= 3) return None
+          }
         case None =>
           // listed a checkpoint/deltas but the base read found nothing:
           // a fold's cleanup (or its crash window) — retry into the
@@ -1909,7 +1932,8 @@ object GeoParquet {
           if (contiguous) {
             val texts = applicable.map(n =>
               n -> readArtifact(deltaDirOf(n), deltaName(n)))
-            if (texts.forall(_._2.isDefined))
+            if (texts.forall(_._2.isDefined) &&
+                (!legacyBased || confirmedNoVersionedCkpt()))
               return Some((texts.foldLeft(b) { case (s, (n, t)) =>
                 applyGenDelta(s,
                   parseGenDelta(t.get, s"${deltaDirOf(n)}/${deltaName(n)}"))
@@ -1969,7 +1993,7 @@ object GeoParquet {
   private def commitGenState(spark: SparkSession, path: String,
       update: Option[GenState] => GenState): GenState = {
     val conf = spark.sessionState.newHadoopConf()
-    val genDirStr = s"$path/$GenDirName"
+    val genDirStr = genLogDir(path)
     val genDir = new HadoopPath(genDirStr)
     val fs = genDir.getFileSystem(conf)
     var lastCommitSeen = -1
@@ -2044,7 +2068,8 @@ object GeoParquet {
           var confirmFailure: Throwable = null
           val landedAnyway = back.isEmpty && {
             try readGenStateFull(path, conf).exists(_._1.commit > next.commit)
-            catch { case e: java.io.IOException => confirmFailure = e; false }
+            catch { case scala.util.control.NonFatal(e) =>
+              confirmFailure = e; false }
           }
           if (!landedAnyway) {
             val ex = new java.io.IOException(
@@ -2067,12 +2092,15 @@ object GeoParquet {
           val entries = fs.listStatus(genDir).map(_.getPath.getName)
           // ".<artifact>.json.tmp-<uuid>" left by a crashed
           // writeTextAtomic: recover the artifact stem and its ordinal
-          def tmpOrdinal(n: String): Option[Int] =
-            if (n.startsWith(".") && n.contains(".json.tmp-")) {
-              val stem =
-                n.drop(1).substring(0, n.indexOf(".json.tmp-") - 1) + ".json"
+          def tmpOrdinal(n: String): Option[Int] = {
+            val d = if (n.startsWith(".")) n.drop(1) else ""
+            val i = d.indexOf(".json.tmp-")
+            if (i <= 0) None
+            else {
+              val stem = d.substring(0, i) + ".json"
               ordinalOf(stem, DeltaPrefix).orElse(ordinalOf(stem, CkptPrefix))
-            } else None
+            }
+          }
           val dead = entries.filter { n =>
             (fold && ordinalOf(n, DeltaPrefix).exists(_ <= next.commit)) ||
             (fold && ordinalOf(n, CkptPrefix).exists(_ < next.commit)) ||
@@ -2090,7 +2118,10 @@ object GeoParquet {
             if (fs.exists(new HadoopPath(rootPath, GenerationsName))) {
               fs.listStatus(rootPath).map(_.getPath.getName)
                 .filter(n => ordinalOf(n, DeltaPrefix).isDefined ||
-                  n.startsWith(".gencommit-"))
+                  n.startsWith(".gencommit-") ||
+                  // the intermediate era's own crashed-writer tmp files
+                  (n.contains(".json.tmp-") &&
+                    (n.contains(DeltaPrefix) || n.contains(GenerationsName))))
                 .foreach(n => fs.delete(new HadoopPath(rootPath, n), false))
               fs.delete(new HadoopPath(rootPath, GenerationsName), false)
             }
