@@ -1932,13 +1932,17 @@ object GeoParquet {
           if (contiguous) {
             val texts = applicable.map(n =>
               n -> readArtifact(deltaDirOf(n), deltaName(n)))
-            if (texts.forall(_._2.isDefined) &&
-                (!legacyBased || confirmedNoVersionedCkpt()))
-              return Some((texts.foldLeft(b) { case (s, (n, t)) =>
-                applyGenDelta(s,
-                  parseGenDelta(t.get, s"${deltaDirOf(n)}/${deltaName(n)}"))
-              }, applicable.length))
-            if (attempts >= 8) throw new java.io.IOException(
+            if (texts.forall(_._2.isDefined)) {
+              if (!legacyBased || confirmedNoVersionedCkpt())
+                return Some((texts.foldLeft(b) { case (s, (n, t)) =>
+                  applyGenDelta(s,
+                    parseGenDelta(t.get, s"${deltaDirOf(n)}/${deltaName(n)}"))
+                }, applicable.length))
+              // else: a versioned checkpoint appeared while this
+              // attempt read the legacy base — nothing vanished, the
+              // dataset is healthy; retry into the checkpoint (the
+              // 50-attempt backstop bounds the loop)
+            } else if (attempts >= 8) throw new java.io.IOException(
               s"generation delta at $path vanished across retries — " +
                 "torn dataset")
           } else if (attempts >= 8) throw new java.io.IOException(
@@ -2119,9 +2123,13 @@ object GeoParquet {
               fs.listStatus(rootPath).map(_.getPath.getName)
                 .filter(n => ordinalOf(n, DeltaPrefix).isDefined ||
                   n.startsWith(".gencommit-") ||
-                  // the intermediate era's own crashed-writer tmp files
-                  (n.contains(".json.tmp-") &&
-                    (n.contains(DeltaPrefix) || n.contains(GenerationsName))))
+                  // the intermediate era's own crashed-writer tmp
+                  // files, matched by the EXACT writeTextAtomic shape
+                  // (".<stem>.json.tmp-<uuid>") — an unanchored
+                  // substring match could delete a user's look-alike
+                  // file in the data root
+                  tmpOrdinal(n).isDefined ||
+                  n.startsWith(s".$GenerationsName.tmp-"))
                 .foreach(n => fs.delete(new HadoopPath(rootPath, n), false))
               fs.delete(new HadoopPath(rootPath, GenerationsName), false)
             }
