@@ -1840,14 +1840,35 @@ object GeoParquet {
     * above the base has the same cause and the same cure. Either
     * persisting across retries is a torn dataset (hand-deleted file),
     * an ERROR — never a silently older snapshot. */
+  /** Per-process memo of the last assembled state per dataset, keyed
+    * by the log's LISTING SIGNATURE (max checkpoint ordinal + delta
+    * ordinal set). Log artifacts are immutable once their atomic
+    * rename lands (ordinals are claimed exclusively; a same-ordinal
+    * rewrite is out of protocol and caught by the commit read-back),
+    * so an identical signature implies identical content — the memo
+    * skips the per-artifact opens and parses, not the listing, which
+    * stays the freshness authority. Metadata-read-heavy paths
+    * (statsAtGeneration per generation, history, per-read manifest
+    * checks) would otherwise pay ~DeltaFoldEvery small opens each.
+    * Only versioned-checkpoint reads are memoized (legacy and
+    * no-manifest conclusions go through the confirm step). Bounded:
+    * cleared wholesale past 64 datasets. */
+  private val genStateMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (Seq[(String, Long, Long)], (GenState, Int))]()
+
   private[graft] def readGenStateFull(path: String, conf: Configuration)
       : Option[(GenState, Int)] = {
     val genDir = new HadoopPath(path, GenDirName)
     val fs = genDir.getFileSystem(conf)
-    // one listing of _gen: (artifact names, dir-exists) — existence is
-    // free here (FNF vs empty success), no separate exists() RPC
-    def listGen(): (Seq[String], Boolean) =
-      try (fs.listStatus(genDir).map(_.getPath.getName).toSeq, true)
+    // one listing of _gen: (artifact statuses, dir-exists) — existence
+    // is free here (FNF vs empty success), no separate exists() RPC.
+    // Statuses (name, length, mtime) feed the memo signature: a
+    // dataset DELETED and REBUILT at the same path reuses ordinal 1,
+    // so ordinals alone cannot discriminate content.
+    def listGen(): (Seq[(String, Long, Long)], Boolean) =
+      try (fs.listStatus(genDir).map(st => (st.getPath.getName, st.getLen,
+        st.getModificationTime)).toSeq.sortBy(_._1), true)
       catch { case _: java.io.FileNotFoundException => (Nil, false) }
     // every conclusion that did NOT come from a versioned checkpoint
     // (a legacy-based state, or "no manifest at all") is CONFIRMED by
@@ -1860,7 +1881,7 @@ object GeoParquet {
     // extra tiny-dir (or FNF) round-trip on the non-steady-state
     // paths only.
     def confirmedNoVersionedCkpt(): Boolean =
-      listGen()._1.forall(n => ordinalOf(n, CkptPrefix).isEmpty)
+      listGen()._1.forall(e => ordinalOf(e._1, CkptPrefix).isEmpty)
     var attempts = 0
     var emptySeen = 0
     while (true) {
@@ -1868,7 +1889,8 @@ object GeoParquet {
       if (attempts > 50) throw new java.io.IOException(
         s"unable to obtain a consistent generation-log read at $path " +
           "after 50 attempts")
-      val (names, genDirExists) = listGen()
+      val (statuses, genDirExists) = listGen()
+      val names = statuses.map(_._1)
       val ckptOrds = names.flatMap(ordinalOf(_, CkptPrefix)).sorted
       // exists-then-open races a fold's cleanup on every artifact —
       // treat a throw as vanished (superseded base), never corruption
@@ -1881,6 +1903,15 @@ object GeoParquet {
       // the first fold migrates and sweeps them. The root listing is
       // taken ONLY on the legacy path (no versioned checkpoint yet) —
       // steady-state reads never page the data directory.
+      // the signature is the full (name, length, mtime) listing of the
+      // log artifacts — identical signature implies identical content
+      val sig = statuses.filter(e =>
+        ordinalOf(e._1, CkptPrefix).isDefined ||
+          ordinalOf(e._1, DeltaPrefix).isDefined)
+      if (ckptOrds.nonEmpty) {
+        val hit = genStateMemo.get(path)
+        if (hit != null && hit._1 == sig) return Some(hit._2)
+      }
       val (base, deltaDirs) = ckptOrds.lastOption match {
         case Some(n) =>
           (readArtifact(genLogDir(path), ckptName(n))
@@ -1933,11 +1964,17 @@ object GeoParquet {
             val texts = applicable.map(n =>
               n -> readArtifact(deltaDirOf(n), deltaName(n)))
             if (texts.forall(_._2.isDefined)) {
-              if (!legacyBased || confirmedNoVersionedCkpt())
-                return Some((texts.foldLeft(b) { case (s, (n, t)) =>
+              if (!legacyBased || confirmedNoVersionedCkpt()) {
+                val result = (texts.foldLeft(b) { case (s, (n, t)) =>
                   applyGenDelta(s,
                     parseGenDelta(t.get, s"${deltaDirOf(n)}/${deltaName(n)}"))
-                }, applicable.length))
+                }, applicable.length)
+                if (!legacyBased) {
+                  if (genStateMemo.size > 64) genStateMemo.clear()
+                  genStateMemo.put(path, (sig, result))
+                }
+                return Some(result)
+              }
               // else: a versioned checkpoint appeared while this
               // attempt read the legacy base — nothing vanished, the
               // dataset is healthy; retry into the checkpoint (the
