@@ -59,12 +59,14 @@ object Bench {
       val median = if (good.nonEmpty) good(good.length / 2) else -1.0
       (name, median, runs.count(!_._1))
     }
-    val results = outcomes.map { case (n, m, _) => n -> m }.toMap
+    // all-failed queries are OMITTED from the queries map entirely (a
+    // consumer summing the map reproduces "value" exactly); they remain
+    // enumerated in the "failed" block — the old -1.0 in-map sentinel
+    // was only distinguishable by a sign convention
+    val results = outcomes.collect { case (n, m, _) if m >= 0 => n -> m }.toMap
     val failed = outcomes.collect { case (n, _, f) if f > 0 => n -> f }.toMap
     def fmt(v: Double): String = f"$v%.3f"
-    // all-failed queries (-1 sentinel) stay OUT of the total but are
-    // visible in the failed block and their own -1 entry
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.values.sum
     val failedJson = failed.toSeq.sortBy(_._1)
       .map { case (k, n) => "\"" + k + "\":" + n }.mkString("{", ",", "}")
     val failedField = if (failed.isEmpty) "" else s""","failed":$failedJson"""

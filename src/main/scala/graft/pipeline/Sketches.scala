@@ -708,10 +708,30 @@ object Sketches {
       RebalancePartitions}
     def offenders(p: LogicalPlan): Seq[String] = p match {
       // hash repartition: downstream assignment = hash(keys) % n,
-      // pure content — whatever happens below cannot leak through
+      // pure content — whatever happens below cannot leak through.
+      // Only when every key is DETERMINISTIC, though: repartition(n,
+      // rand()) is itself content-nondeterministic, and treating it as
+      // a reset would also shield a round-robin below it — reject it
+      // outright instead of traversing (it can never become safe).
+      // The analyzer's PullOutNondeterministic rule hides the rand
+      // behind a Project alias (the keys become plain attributes), so
+      // the keys' REFERENCES are traced to nondeterministic aliases
+      // anywhere below, not just checked for direct nondeterminism.
       case r: RepartitionByExpression
           if r.partitionExpressions.nonEmpty &&
-            !r.partitionExpressions.exists(_.isInstanceOf[SortOrder]) => Nil
+            !r.partitionExpressions.exists(_.isInstanceOf[SortOrder]) =>
+        import org.apache.spark.sql.catalyst.expressions.Alias
+        import org.apache.spark.sql.catalyst.plans.logical.Project
+        val ndIds: Set[Long] = r.child.collect {
+          case pr: Project => pr.projectList.collect {
+            case a: Alias if !a.child.deterministic => a.exprId.id }
+        }.flatten.toSet
+        val keysNd = r.partitionExpressions.exists(!_.deterministic) ||
+          r.partitionExpressions.flatMap(_.references)
+            .exists(att => ndIds(att.exprId.id))
+        if (!keysNd) Nil
+        else Seq("nondeterministic repartition-by-expression " +
+          "(e.g. repartition(n, rand()))")
       // aggregates exchange on the grouping keys and emit one row per
       // group: content-deterministic output and placement
       case _: Aggregate => Nil

@@ -59,10 +59,48 @@ object Queries {
         (!java.nio.file.Files.isSymbolicLink(f.toPath) &&
           Option(f.listFiles()).getOrElse(Array.empty).exists(anyFresh))
     Option(new java.io.File(base).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith(stem) && !anyFresh(f))
-      .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+      .foreach { f =>
+        val n = f.getName
+        if (n.startsWith(".graft_sweep_" + stem)) {
+          // a crashed sweep's rename-aside leftover: adjudicated stale
+          // when it was renamed; finish the delete
+          org.apache.commons.io.FileUtils.deleteQuietly(f)
+        } else if (n.startsWith(stem) && !anyFresh(f)) {
+          // re-check freshness IMMEDIATELY before acting (the
+          // scan→delete window is a TOCTOU against a foreign harness
+          // resuming exactly then), then rename ASIDE before deleting
+          // so the victim-visible transition is atomic — whole tree
+          // present, or root FileNotFound; never a half-deleted tree.
+          // A failed rename skips the sweep (owner plausibly live).
+          // The sweep is LOGGED so a victim run's FileNotFound is
+          // diagnosable.
+          if (!anyFresh(f)) {
+            val aside = new java.io.File(base, ".graft_sweep_" + n)
+            if (f.renameTo(aside)) {
+              org.slf4j.LoggerFactory.getLogger(getClass).info(
+                s"swept stale scratch $n (whole-tree idle 2h+)")
+              org.apache.commons.io.FileUtils.deleteQuietly(aside)
+            }
+          }
+        }
+      }
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
     out
+  }
+
+  /** Bounded-width per-row digest of a (doc_id[, lang], text) frame:
+    * the serde round-trip queries compare EVERY row byte-for-byte via
+    * md5 + length instead of returning the raw text, so the
+    * [[collectAndClean]] driver materialization is O(rows x ~50 B)
+    * regardless of corpus byte size. The oracle computes the same
+    * md5/length over the ORIGINAL parquet — any serde loss still
+    * hash-mismatches, per row. */
+  private def textDigest(df: DataFrame, withLang: Boolean): DataFrame = {
+    val base = Seq(col("doc_id")) ++
+      (if (withLang) Seq(col("lang")) else Nil)
+    df.select(base ++ Seq(
+      length(col("text")).cast("long").as("text_len"),
+      md5(col("text").cast("binary")).as("text_md5")): _*)
   }
 
   /** Materialize a (small, aggregate-sized) result eagerly and delete
@@ -871,12 +909,16 @@ object Queries {
     // line-delimited JSON and read back schema-inferred; every id and
     // the full text must survive escaping byte-for-byte (the oracle
     // reads the ORIGINAL parquet — any serde loss hash-mismatches).
+    // The RESULT is a per-row digest (length + md5), not the text
+    // itself: byte-exactness is checked just as strictly, but the
+    // driver-side collect stays O(rows x ~50B) instead of scaling
+    // with corpus bytes.
     "jsonl_roundtrip" -> ((s, dir) => {
       val out = processTmpDir(s, "jsonl", dir)
       t(s, dir, "documents").select(col("doc_id"), col("text"))
         .write.json(out)
       collectAndClean(s, out,
-        s.read.json(out).select(col("doc_id"), col("text")))
+        textDigest(s.read.json(out), withLang = false))
     }),
 
     // CSV ingest/export round-trip — the other interchange format a
@@ -888,10 +930,10 @@ object Queries {
       t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
         .write.option("header", "true").option("escape", "\"").csv(out)
       collectAndClean(s, out,
-        s.read.option("header", "true").option("multiLine", "true")
+        textDigest(s.read.option("header", "true").option("multiLine", "true")
           .option("escape", "\"")
-          .schema("doc_id LONG, lang STRING, text STRING").csv(out)
-          .select(col("doc_id"), col("lang"), col("text")))
+          .schema("doc_id LONG, lang STRING, text STRING").csv(out),
+          withLang = true))
     }),
 
     // gzip-compressed JSONL round-trip — the shape public web corpora
@@ -902,7 +944,7 @@ object Queries {
       t(s, dir, "documents").select(col("doc_id"), col("text"))
         .write.option("compression", "gzip").json(out)
       collectAndClean(s, out,
-        s.read.json(out).select(col("doc_id"), col("text")))
+        textDigest(s.read.json(out), withLang = false))
     }),
 
     // ORC round-trip — Spark's other built-in columnar format (ZLIB by
@@ -912,8 +954,7 @@ object Queries {
       val out = processTmpDir(s, "orc", dir)
       t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
         .write.orc(out)
-      collectAndClean(s, out,
-        s.read.orc(out).select(col("doc_id"), col("lang"), col("text")))
+      collectAndClean(s, out, textDigest(s.read.orc(out), withLang = true))
     }),
 
     // XML round-trip — Spark 4's built-in XML source (the format
@@ -924,10 +965,9 @@ object Queries {
       val out = processTmpDir(s, "xml", dir)
       t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
         .write.option("rowTag", "doc").format("xml").save(out)
-      collectAndClean(s, out, s.read.option("rowTag", "doc")
+      collectAndClean(s, out, textDigest(s.read.option("rowTag", "doc")
         .schema("doc_id LONG, lang STRING, text STRING").format("xml")
-        .load(out)
-        .select(col("doc_id"), col("lang"), col("text")))
+        .load(out), withLang = true))
     }),
 
     // SURVEY §2.1 serde: GeoJSON export (the WKT twin; integer coords so
@@ -3540,15 +3580,15 @@ object Queries {
     // the round-trip must reproduce the source table exactly — any
     // JSON escaping/inference loss shows up as a hash mismatch
     "jsonl_roundtrip" ->
-      "SELECT doc_id, text FROM documents",
+      "SELECT doc_id, length(text) AS text_len, md5(text) AS text_md5 FROM documents",
     "csv_roundtrip" ->
-      "SELECT doc_id, lang, text FROM documents",
+      "SELECT doc_id, lang, length(text) AS text_len, md5(text) AS text_md5 FROM documents",
     "orc_roundtrip" ->
-      "SELECT doc_id, lang, text FROM documents",
+      "SELECT doc_id, lang, length(text) AS text_len, md5(text) AS text_md5 FROM documents",
     "jsonl_gzip_roundtrip" ->
-      "SELECT doc_id, text FROM documents",
+      "SELECT doc_id, length(text) AS text_len, md5(text) AS text_md5 FROM documents",
     "xml_roundtrip" ->
-      "SELECT doc_id, lang, text FROM documents",
+      "SELECT doc_id, lang, length(text) AS text_len, md5(text) AS text_md5 FROM documents",
     "sql_surface" ->
       """SELECT p_partkey,
                 4.0*((p_partkey%5)+1)*((p_partkey%5)+1) AS area,

@@ -485,5 +485,16 @@ class SketchesSpec extends AnyFunSuite {
         "g", col("x"), 8, "s")
     }
     assert(rrange.getMessage.contains("round-robin"))
+    // repartition(n, rand()) is itself content-nondeterministic: it
+    // must be rejected, not treated as a contract reset (which would
+    // also shield a round-robin below it from detection)
+    for (src <- Seq(
+      data.toDF("g", "x").repartition(5, rand(42)),
+      data.toDF("g", "x").repartition(7).repartition(5, rand(42)))) {
+      val nd = intercept[IllegalArgumentException] {
+        Sketches.quantileSummaryByGroup(src, "g", col("x"), 8, "s")
+      }
+      assert(nd.getMessage.contains("nondeterministic"))
+    }
   }
 }
