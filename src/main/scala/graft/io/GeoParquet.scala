@@ -1749,6 +1749,18 @@ object GeoParquet {
   private[graft] val GenDirName = "_gen"
   private val DeltaPrefix = "_gendelta-"
   private val CkptPrefix = "_genckpt-"
+  /** Dataset identity: an empty `_genid-<uuid>` file whose NAME (never
+    * its content — it is listed, not opened) feeds the log-read memo's
+    * listing signature. Without it, a dataset DELETED and REBUILT at
+    * the same path whose checkpoint coincides in name, byte length,
+    * and mtime granule (coarse object-store mtimes make length the
+    * only real discriminator — and part-file names are fixed-width,
+    * so lengths collide by construction) would serve the memoized
+    * stale state. Created at FOLD time only (first commit and every
+    * [[DeltaFoldEvery]]-th), so steady-state delta commits pay no
+    * extra RPC; never deleted by any cleanup. Two racing folds can
+    * leave two id files — harmless, the signature just carries both. */
+  private[graft] val IdPrefix = "_genid-"
   private def deltaName(commit: Int) = s"$DeltaPrefix$commit.json"
   private def ckptName(commit: Int) = s"$CkptPrefix$commit.json"
   private def ordinalOf(name: String, prefix: String): Option[Int] =
@@ -1904,10 +1916,13 @@ object GeoParquet {
       // taken ONLY on the legacy path (no versioned checkpoint yet) —
       // steady-state reads never page the data directory.
       // the signature is the full (name, length, mtime) listing of the
-      // log artifacts — identical signature implies identical content
+      // log artifacts PLUS the dataset-identity file names ([[IdPrefix]]):
+      // identical signature implies identical content, and a same-path
+      // rebuild always carries a fresh identity name
       val sig = statuses.filter(e =>
         ordinalOf(e._1, CkptPrefix).isDefined ||
-          ordinalOf(e._1, DeltaPrefix).isDefined)
+          ordinalOf(e._1, DeltaPrefix).isDefined ||
+          e._1.startsWith(IdPrefix))
       if (ckptOrds.nonEmpty) {
         val hit = genStateMemo.get(path)
         if (hit != null && hit._1 == sig) return Some(hit._2)
@@ -1993,6 +2008,22 @@ object GeoParquet {
 
   private def genLogDir(path: String): String = s"$path/$GenDirName"
 
+  /** Create the [[IdPrefix]] identity file if none exists (exclusive
+    * create; a racer winning the create, or any IO failure, is fine —
+    * the id is a memo-invalidation aid, never load-bearing for
+    * correctness of the log itself). */
+  private def ensureDatasetId(fs: org.apache.hadoop.fs.FileSystem,
+                              genDir: HadoopPath): Unit =
+    try {
+      val has =
+        try fs.listStatus(genDir).exists(_.getPath.getName.startsWith(IdPrefix))
+        catch { case _: java.io.FileNotFoundException => false }
+      if (!has)
+        fs.create(new HadoopPath(genDir,
+          IdPrefix + java.util.UUID.randomUUID().toString.take(12)), false)
+          .close()
+    } catch { case _: java.io.IOException => () }
+
   private[graft] def readGenState(path: String, conf: Configuration)
       : Option[GenState] =
     readGenStateFull(path, conf).map(_._1)
@@ -2069,6 +2100,10 @@ object GeoParquet {
           Thread.sleep(25L * math.min(attempts, 8))
         } else {
         val fold = cur.isEmpty || deltasOnTop + 1 >= DeltaFoldEvery
+        // fold-time only: make sure the dataset has an identity file
+        // BEFORE the checkpoint lands (a crash in between leaves a
+        // harmless extra id the next fold's exists-check tolerates)
+        if (fold) ensureDatasetId(fs, genDir)
         // self-round-trip BEFORE the write: a file name the canonical
         // text cannot represent must fail THIS commit with the dataset
         // untouched, not write a log later reads cannot parse. The

@@ -1174,6 +1174,78 @@ class GeoPruneSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 
+  test("log-read memo: a same-path rebuild never serves the dead dataset's state") {
+    // the memo keys on the (name, length, mtime) listing of the log
+    // artifacts. A dataset DELETED and REBUILT at the same path whose
+    // checkpoint collides in all three (fixed-width part names make
+    // lengths collide by construction; object-store mtimes are coarse)
+    // would alias — the _genid-* dataset-identity file, created at
+    // fold time and carried in the signature, is what breaks the tie.
+    // This spec constructs the collision EXACTLY and proves the fresh
+    // state is served.
+    import GeoParquet.{GenEntry, GenState}
+    val dir = java.nio.file.Files.createTempDirectory("zmemoalias").toFile
+    try {
+      val path = s"$dir/d"
+      val conf = spark.sessionState.newHadoopConf()
+      val genDir = new java.io.File(s"$path/_gen")
+      assert(genDir.mkdirs())
+      // same-shape states: one file each, fixed-width names, identical
+      // numeric fields -> rendered texts are byte-length-equal
+      val st1 = GenState(0, 0, Map("part-aaaaaaaa.parquet" -> GenEntry(0, -1)))
+      val st2 = GenState(0, 0, Map("part-bbbbbbbb.parquet" -> GenEntry(0, -1)))
+      val t1 = GeoParquet.renderGenState(st1)
+      val t2 = GeoParquet.renderGenState(st2)
+      assert(t1 != t2 && t1.length == t2.length,
+        "precondition: distinct same-length checkpoint texts")
+      val ckpt = new java.io.File(genDir, "_genckpt-0.json")
+      java.nio.file.Files.writeString(ckpt.toPath, t1)
+      assert(new java.io.File(genDir, "_genid-aaaaaaaaaaaa").createNewFile())
+      val mt = 1700000000000L
+      assert(ckpt.setLastModified(mt))
+      new java.io.File(genDir, "_genid-aaaaaaaaaaaa").setLastModified(mt)
+      assert(GeoParquet.readGenState(path, conf).contains(st1))
+      // second read is memo-hot (same signature) and must still be st1
+      assert(GeoParquet.readGenState(path, conf).contains(st1))
+      val oldListing = genDir.listFiles().filterNot(_.getName
+        .startsWith("_genid-")).map(f =>
+        (f.getName, f.length(), f.lastModified())).toSeq.sorted
+      // adversarial rebuild: delete the dataset, recreate at the SAME
+      // path with the SAME checkpoint name/length/mtime but different
+      // content — plus the fresh identity a real fold would write
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+      assert(genDir.mkdirs())
+      java.nio.file.Files.writeString(ckpt.toPath, t2)
+      assert(new java.io.File(genDir, "_genid-bbbbbbbbbbbb").createNewFile())
+      assert(ckpt.setLastModified(mt))
+      new java.io.File(genDir, "_genid-bbbbbbbbbbbb").setLastModified(mt)
+      val newListing = genDir.listFiles().filterNot(_.getName
+        .startsWith("_genid-")).map(f =>
+        (f.getName, f.length(), f.lastModified())).toSeq.sorted
+      assert(oldListing == newListing,
+        "precondition: without the identity file the signatures collide")
+      assert(GeoParquet.readGenState(path, conf).contains(st2),
+        "memo served the dead dataset's state after a same-path rebuild")
+
+      // the real write path plants the identity: a pack (first commit
+      // = fold) creates _genid-*, and a pre-identity dataset (id file
+      // removed, as a legacy-era lake would be) gains one at the next
+      // fold without any extra per-commit work in between
+      import spark.implicits._
+      val real = s"$dir/real"
+      def batch(lo: Int) = Seq((lo.toLong, lo % 10, (lo * 3) % 10))
+        .toDF("id", "a", "b")
+      GeoParquet.packZOrderToParquet(batch(0), Seq("a", "b"), real, 1)
+      def idFiles() = new java.io.File(s"$real/_gen").listFiles()
+        .map(_.getName).filter(_.startsWith("_genid-")).toSeq
+      assert(idFiles().nonEmpty, "pack (first fold) must plant _genid-*")
+      idFiles().foreach(n => new java.io.File(s"$real/_gen", n).delete())
+      (1 to GeoParquet.DeltaFoldEvery).foreach(i =>
+        GeoParquet.appendNumericWithSidecar(batch(i), real, Seq("a", "b")))
+      assert(idFiles().nonEmpty, "fold must re-plant a missing _genid-*")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
   test("manifest scale ceiling: a 10k-file state parses, renders, and round-trips in bounded time") {
     import GeoParquet.{GenEntry, GenState}
     // the per-commit driver cost at scale is parse(text) + render(next)
