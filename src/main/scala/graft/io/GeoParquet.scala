@@ -20,6 +20,16 @@ import scala.jdk.CollectionConverters._
  * ("version" is the frozen FORMAT version; "_commit" counts CAS writes
  * — see [[sidecarCommit]] for the legacy fallback.)
  *
+ * The root file is the CHECKPOINT of a delta log, not the whole store:
+ * steady-state commits write an O(change) `_sc/_scdelta-N.json` (per-file
+ * upserts + removals) and the checkpoint is rewritten only on the first
+ * commit, a full rebuild, or when [[DeltaFoldEvery]] deltas have piled
+ * up — the same growth escape the generation manifest made in `_gen/`.
+ * Readers ([[readSidecarText]]) materialize checkpoint+deltas back into
+ * the one canonical text, so every consumer (including datasets written
+ * before the delta log existed, whose root file simply has no deltas)
+ * parses exactly what it always did.
+ *
  * The bounds table is computed with ONE distributed pass over the written
  * files (group by input_file_name), so nothing is collected to the driver
  * except the tiny per-file table — at 100 TB / 1 GB files that is ~100k
@@ -327,7 +337,7 @@ object GeoParquet {
         // path's read-back retry — appending with a subset of columns
         // preserves the others' (and the row-count block's) entries even
         // against a concurrent writer
-        updateSidecar(spark, path, mergeSidecarBounds(_, newBounds))
+        commitSidecar(spark, path, newBounds, Set.empty)
         commitGenState(spark, path, appendCommit(path, before, newFiles))
       }
     }
@@ -470,6 +480,43 @@ object GeoParquet {
         }
     }
 
+  /** [[reconcileListing]] plus an existence probe on the files it kept
+    * WITHOUT manifest backing. Vacuum's tombstone compaction drops
+    * dead entries from the manifest, so a listing pinned BEFORE a
+    * vacuum's delete and reconciled against the post-compaction
+    * manifest sees the deleted file as unrecorded — the conservative
+    * keep would hand a vanished path to the scan (FileNotFound at
+    * execution; pre-compaction the persistent tombstone excluded it).
+    * Unrecorded files are rare (foreign appends / torn commits, warned
+    * on every commit), so the probe costs zero extra RPCs on the
+    * steady path; manifest-RECORDED files are never probed — a
+    * vanished recorded-live file is real corruption and must fail
+    * loudly, never silently shrink the snapshot. A probe that itself
+    * fails keeps the file (conservative: a loud scan failure beats
+    * silently dropping live rows). */
+  private[graft] def reconcileListingProbed(
+      fs: org.apache.hadoop.fs.FileSystem, root: HadoopPath,
+      listed: Seq[String], stOpt: Option[GenState]): Seq[String] = {
+    val kept = reconcileListing(listed, stOpt)
+    stOpt match {
+      case None => kept
+      case Some(st) =>
+        kept.filter { f =>
+          st.files.contains(f) || {
+            val present =
+              try fs.exists(new HadoopPath(root, f))
+              catch { case _: java.io.IOException => true }
+            if (!present)
+              org.slf4j.LoggerFactory.getLogger(getClass).info(
+                s"dropping $f from a pinned listing of $root: unrecorded " +
+                  "and no longer on disk (listing straddled a vacuum's " +
+                  "tombstone compaction)")
+            present
+          }
+        }
+    }
+  }
+
   /** The append-commit shape shared by the incremental appends and
     * append-mode packs: this commit's files land at currentGen+1; a
     * pre-manifest dataset back-fills its existing files as generation
@@ -580,7 +627,7 @@ object GeoParquet {
     // column count; a second read per call is pure duplicated IO on an
     // object store)
     val sidecar = readSidecarText(path, conf)
-    val current = reconcileListing(listed, stOpt)
+    val current = reconcileListingProbed(fs, root, listed, stOpt)
     // a MANIFESTED or sidecar'd flat dataset always reads through the
     // reconciled pinned listing: a whole-directory fallback would
     // RE-LIST at scan planning and pick up files the pin never saw —
@@ -852,7 +899,7 @@ object GeoParquet {
       val (kept, fresh, _) = dropEmptyNewFiles(
         fs, root, staged, freshAll, cols, keepSchemaFileIfAllEmpty = true)
       newFiles = kept
-      updateSidecar(spark, path, mergeSidecarBounds(_, fresh))
+      commitSidecar(spark, path, fresh, Set.empty)
       commitGenState(spark, path, {
         case Some(cur) =>
           // another compaction tombstoning ANY of our snapshot means
@@ -905,8 +952,7 @@ object GeoParquet {
         // and partitionSindex would index nonexistent files), then
         // remove the files themselves
         val straySet = strays.toSet
-        try updateSidecar(spark, path,
-          _.map { case (c, m) => c -> m.filterNot(kv => straySet(kv._1)) })
+        try commitSidecar(spark, path, Map.empty, straySet)
         catch { case se if scala.util.control.NonFatal(se) =>
           e.addSuppressed(se) }
         // Hadoop delete signals failure by RETURNING false — check it;
@@ -983,8 +1029,7 @@ object GeoParquet {
         // only readable files (pruning of remaining generations is
         // unaffected — per-file stats are independent)
         val deadSet = dead.toSet
-        updateSidecar(spark, path,
-          _.map { case (c, m) => c -> m.filterNot(kv => deadSet(kv._1)) })
+        commitSidecar(spark, path, Map.empty, deadSet)
         // Hadoop FileSystem.delete signals failure by RETURNING false,
         // not throwing — silently trusting it reported ghosts as
         // reclaimed. A failed delete is warned and left out of the
@@ -1137,7 +1182,7 @@ object GeoParquet {
     // full rebuild, but still through the versioned update path so a
     // concurrent incremental append can't be silently clobbered
     val fresh = boundsPerFile(spark.read.parquet(path), geomCols)
-    updateSidecar(spark, path, _ => fresh)
+    commitSidecar(spark, path, Map.empty, Set.empty, replace = Some(fresh))
   }
 
   /** Per-file bounds for each geometry column: one distributed
@@ -1182,7 +1227,7 @@ object GeoParquet {
     * "version" as the counter) meant a format bump could never be
     * told apart from a busy writer. Legacy sidecars without "_commit"
     * read their "version" as the ordinal. */
-  private def renderSidecar(m: Map[String, Map[String, Array[Double]]],
+  private[graft] def renderSidecar(m: Map[String, Map[String, Array[Double]]],
                             commit: Int = 0): String = {
     val sb = new StringBuilder
     sb.append(s"""{"version":1,"_commit":$commit,"partition_bounds":{""")
@@ -1237,59 +1282,234 @@ object GeoParquet {
       .map(_.group(1).toInt)
   }
 
-  /** The one sidecar update path (append / pack / compaction /
-    * vacuum / full rebuild): versioned read-merge-write under the same
-    * exclusive-marker CAS as the generation manifest. The sidecar is
-    * advisory for PRUNING (conservative-keep), but the r11 metadata
-    * stats made its row-count block load-bearing, so a concurrent
-    * writer's entries must never be silently dropped: the winner of
-    * the `.sccommit-(v+1)` marker owns sidecar version v+1, losers
-    * re-read and re-apply on top (updates are per-file upserts /
-    * removals, so re-application converges), a marker whose write
-    * never lands is adopted after ≥ 2 s, and a resumed slow owner is
-    * stopped by the marker-nonce re-check right before its write.
-    * No-op updates (identical content, or an empty result where no
-    * sidecar existed) return without writing. */
-  private def updateSidecar(spark: SparkSession, path: String,
-      f: Map[String, Map[String, Array[Double]]] =>
-        Map[String, Map[String, Array[Double]]]): Unit = {
+  /** One sidecar change: per-column per-file bounds UPSERTS plus file
+    * REMOVALS (a removed file's entries leave every column, including
+    * the row-count block). This is the unit a delta file records —
+    * every update path (append / compaction / vacuum / abort-cleanup)
+    * is expressible as one, and re-applying a change on top of a
+    * concurrent writer's commit converges (upserts are per-file puts,
+    * removals per-file deletes). */
+  private[graft] final case class ScDelta(
+      ups: Map[String, Map[String, Array[Double]]], del: Set[String])
+
+  private[graft] def applyScDelta(
+      st: Map[String, Map[String, Array[Double]]], d: ScDelta)
+      : Map[String, Map[String, Array[Double]]] = {
+    val removed =
+      if (d.del.isEmpty) st
+      else st.map { case (c, m) => c -> (m -- d.del) }
+    if (d.ups.isEmpty) removed
+    else (removed.keySet ++ d.ups.keySet).map { c =>
+      c -> (removed.getOrElse(c, Map.empty) ++ d.ups.getOrElse(c, Map.empty))
+    }.toMap
+  }
+
+  private[graft] def renderScDelta(d: ScDelta): String = {
+    val sb = new StringBuilder
+    sb.append("""{"version":1,"del":[""")
+    sb.append(d.del.toSeq.sorted.map("\"" + _ + "\"").mkString(","))
+    sb.append("""],"ups":{""")
+    sb.append(d.ups.toSeq.sortBy(_._1).map { case (g, files) =>
+      val entries = files.toSeq.sortBy(_._1).map { case (f, vals) =>
+        "\"" + f + "\":[" +
+          vals.map(v => if (v.isNaN) "null" else v.toString).mkString(",") +
+          "]"
+      }
+      "\"" + g + "\":{" + entries.mkString(",") + "}"
+    }.mkString(","))
+    sb.append("}}").toString
+  }
+
+  /** Strict parse of [[renderScDelta]]'s canonical shape (commit-time
+    * self-round-trip guarantees nothing else is ever on disk). */
+  private[graft] def parseScDelta(json: String, where: String): ScDelta = {
+    def fail(msg: String): Nothing = throw new IllegalArgumentException(
+      s"unparseable sidecar delta at $where: $msg")
+    val delMarker = "\"del\":["
+    val di = json.indexOf(delMarker)
+    if (di < 0) fail("missing del block")
+    val dEnd = json.indexOf(']', di + delMarker.length)
+    if (dEnd < 0) fail("unterminated del block")
+    val del = "\"([^\"]+)\"".r
+      .findAllMatchIn(json.substring(di + delMarker.length, dEnd))
+      .map(_.group(1)).toSet
+    val upsMarker = "\"ups\":{"
+    val ui = json.indexOf(upsMarker, dEnd)
+    if (ui < 0) fail("missing ups block")
+    var pos = ui + upsMarker.length
+    val ups = Map.newBuilder[String, Map[String, Array[Double]]]
+    while (pos < json.length && json.charAt(pos) == '"') {
+      val nameEnd = json.indexOf("\":{", pos + 1)
+      if (nameEnd < 0) fail("bad column block")
+      val colName = json.substring(pos + 1, nameEnd)
+      val blockEnd = json.indexOf('}', nameEnd + 3)
+      if (blockEnd < 0) fail("unterminated column block")
+      val entries = json.substring(nameEnd + 3, blockEnd)
+      val files = "\"([^\"]+)\":\\[([^\\]]*)\\]".r
+        .findAllMatchIn(entries).map { m =>
+          m.group(1) -> m.group(2).split(',').map { s =>
+            val t = s.trim
+            if (t == "null") Double.NaN else t.toDouble
+          }
+        }.toMap
+      ups += colName -> files
+      pos = blockEnd + 1
+      if (pos < json.length && json.charAt(pos) == ',') pos += 1
+    }
+    ScDelta(ups.result(), del)
+  }
+
+  /** The one sidecar update path (append / pack / compaction / vacuum /
+    * abort-cleanup / full rebuild), now a DELTA LOG like the generation
+    * manifest's: the winner of the `_sc/.sccommit-(v+1)` marker owns
+    * sidecar version v+1 and normally writes an O(change)
+    * `_sc/_scdelta-(v+1).json`; the root `_spatial_metadata.json` is
+    * rewritten (atomically, via [[writeSidecarText]]) only on the first
+    * commit, a `replace` (full rebuild), or when [[DeltaFoldEvery]]
+    * deltas have piled up — per-commit metadata bytes no longer scale
+    * with the live file count (the last O(live-files) write the lake
+    * had). The fold writes the new checkpoint BEFORE deleting the
+    * deltas it covers, so a reader always finds a base; readers racing
+    * the cleanup retry (see [[readSidecarFull]]).
+    *
+    * Concurrency contract is unchanged: the sidecar is advisory for
+    * PRUNING (conservative-keep) but its row-count block is
+    * load-bearing for metadata stats, so losers of the marker re-read
+    * and re-apply on top (changes are per-file upserts/removals —
+    * re-application converges), a marker whose artifact never lands is
+    * adopted after ≥ 2 s, and a resumed slow owner is stopped by the
+    * marker-nonce + version re-check before its write. No-op changes
+    * (every upsert already present with equal bounds, no removal
+    * matching a recorded file) return without writing. Markers from
+    * the pre-delta protocol lived at the dataset ROOT; a crashed one
+    * left there is an invisible dotfile no code reads — harmless. */
+  private def commitSidecar(spark: SparkSession, path: String,
+      ups: Map[String, Map[String, Array[Double]]],
+      dels: Set[String],
+      replace: Option[Map[String, Map[String, Array[Double]]]] = None)
+      : Unit = {
     val conf = spark.sessionState.newHadoopConf()
-    val root = new HadoopPath(path)
-    val fs = root.getFileSystem(conf)
+    val scDirStr = scLogDir(path)
+    val scDir = new HadoopPath(scDirStr)
+    val fs = scDir.getFileSystem(conf)
+    def boundsEq(a: Array[Double], b: Array[Double]): Boolean =
+      java.util.Arrays.equals(a, b) // NaN-aware, unlike ==
     var lastVerSeen = -1
     var staleSinceNanos = 0L
     var attempts = 0
     while (attempts < 24) {
       attempts += 1
-      val cur = readSidecarText(path, conf)
-      val curVer = cur.flatMap(sidecarCommit)
-        .getOrElse(0)
-      val next = f(cur.map(parseSidecarAll).getOrElse(Map.empty))
-      if (next.isEmpty && cur.isEmpty) return // nothing to fabricate
-      if (cur.contains(renderSidecar(next, curVer))) return // no-op
-      val nextText = renderSidecar(next, curVer + 1)
-      val marker = new HadoopPath(root, s".sccommit-${curVer + 1}")
+      val full = readSidecarFull(path, conf)
+      val curText = full.map(_._1)
+      val deltasOnTop = full.map(_._2).getOrElse(0)
+      val curVer = curText.flatMap(sidecarCommit).getOrElse(0)
+      val curState = curText.map(parseSidecarAll).getOrElse(Map.empty)
+      val delta = ScDelta(ups, dels)
+      val next = replace.getOrElse(applyScDelta(curState, delta))
+      if (next.isEmpty && curText.isEmpty) return // nothing to fabricate
+      // no-op detection in O(change), not O(live) renders: a change
+      // whose removals hit no recorded file and whose upserts all
+      // match the recorded bounds leaves the state untouched
+      val noop = replace match {
+        case Some(_) => curText.isDefined &&
+          renderSidecar(next, curVer) == renderSidecar(curState, curVer)
+        case None => curText.isDefined &&
+          dels.forall(f => !curState.exists(_._2.contains(f))) &&
+          ups.forall { case (c, files) => files.forall { case (f, v) =>
+            curState.get(c).flatMap(_.get(f)).exists(boundsEq(_, v)) } }
+      }
+      if (noop) return
+      val nextVer = curVer + 1
+      val marker = new HadoopPath(scDir, s".sccommit-$nextVer")
       val nonce = java.util.UUID.randomUUID().toString
       if (claimMarker(fs, marker, nonce)) {
         // version re-check mirrors the manifest's ordinal re-check:
-        // success-path cleanup deletes committed .sccommit markers, so
-        // a writer stalled across several commits could re-claim an
-        // old version with its own fresh marker — the sidecar having
-        // reached our target version voids the claim
-        val verNow = readSidecarText(path, conf).flatMap(sidecarCommit)
-          .getOrElse(0)
-        if (markerHolds(fs, marker, nonce) && verNow < curVer + 1) {
-          writeSidecarText(spark, path, nextText)
-          if (!readSidecarText(path, conf).contains(nextText))
-            throw new java.io.IOException(
-              s"sidecar update at $path interleaved with a writer " +
-                s"outside the commit protocol (read-back mismatch on " +
-                s"version ${curVer + 1})")
-          try fs.listStatus(root).map(_.getPath.getName)
-            .filter(_.startsWith(".sccommit-"))
-            .filter(_.stripPrefix(".sccommit-").toIntOption.exists(_ < curVer + 1))
-            .foreach(n => fs.delete(new HadoopPath(root, n), false))
-          catch { case _: java.io.IOException => () }
+        // success-path cleanup deletes committed markers, so a writer
+        // stalled across several commits could re-claim an old version
+        // with a fresh marker — the sidecar having reached our target
+        // version voids the claim
+        val verNow = readSidecarFull(path, conf)
+          .flatMap(f => sidecarCommit(f._1)).getOrElse(0)
+        if (markerHolds(fs, marker, nonce) && verNow < nextVer) {
+          val fold = replace.isDefined || curText.isEmpty ||
+            deltasOnTop + 1 >= DeltaFoldEvery
+          // self-round-trip BEFORE the write (same guard as the
+          // manifest): a file/column name the canonical text cannot
+          // represent fails THIS commit with the dataset untouched
+          def surviveCanonical(check: => Boolean): Unit = {
+            val ok = try check
+              catch { case _: IllegalArgumentException => false }
+            require(ok,
+              s"sidecar commit at $path aborted: the change does not " +
+                "survive the canonical text (a file or column name the " +
+                "format cannot represent?) — dataset left untouched")
+          }
+          // landed-anyway: our artifact vanished/differs but the log
+          // advanced PAST our ordinal — only possible if some writer
+          // read and applied our commit first, i.e. it landed
+          def landedAnyway(sink: Throwable => Unit): Boolean =
+            try readSidecarFull(path, conf)
+              .flatMap(f => sidecarCommit(f._1)).exists(_ > nextVer)
+            catch { case e if scala.util.control.NonFatal(e) =>
+              sink(e); false }
+          if (fold) {
+            val t = renderSidecar(next, nextVer)
+            surviveCanonical(renderSidecar(parseSidecarAll(t), nextVer) == t)
+            writeSidecarText(spark, path, t)
+            val back = readTextFile(path, SidecarName, conf)
+            if (!back.contains(t)) {
+              var suppressed: Throwable = null
+              if (!landedAnyway(e => suppressed = e)) {
+                val ex = new java.io.IOException(
+                  s"sidecar update at $path interleaved with a writer " +
+                    "outside the commit protocol (read-back mismatch " +
+                    s"on version $nextVer)")
+                if (suppressed != null) ex.addSuppressed(suppressed)
+                throw ex
+              }
+            }
+          } else {
+            val dt = renderScDelta(delta)
+            surviveCanonical {
+              val rt = parseScDelta(dt, "self-check")
+              renderScDelta(rt) == dt
+            }
+            writeTextAtomic(spark, scDirStr, scDeltaName(nextVer), dt)
+            val back =
+              try readTextFile(scDirStr, scDeltaName(nextVer), conf)
+              catch { case _: java.io.FileNotFoundException => None }
+            if (!back.contains(dt)) {
+              var suppressed: Throwable = null
+              if (!(back.isEmpty && landedAnyway(e => suppressed = e))) {
+                val ex = new java.io.IOException(
+                  s"sidecar update at $path interleaved with a writer " +
+                    "outside the commit protocol (read-back mismatch " +
+                    s"on version $nextVer)")
+                if (suppressed != null) ex.addSuppressed(suppressed)
+                throw ex
+              }
+            }
+          }
+          // cleanup inside the tiny _sc/ dir (one listing): after a
+          // verified fold the deltas it covers are dead (readers apply
+          // only ordinals > the checkpoint's); dead markers and crashed
+          // writers' tmp files go in the same pass. Failures are
+          // harmless — the next fold re-deletes.
+          try {
+            val names = fs.listStatus(scDir).map(_.getPath.getName)
+            def tmpOrdinal(n: String): Option[Int] = {
+              val d = if (n.startsWith(".")) n.drop(1) else ""
+              val i = d.indexOf(".json.tmp-")
+              if (i <= 0) None
+              else ordinalOf(d.substring(0, i) + ".json", ScDeltaPrefix)
+            }
+            names.filter { n =>
+              (fold && ordinalOf(n, ScDeltaPrefix).exists(_ <= nextVer)) ||
+                (n.startsWith(".sccommit-") && n.stripPrefix(".sccommit-")
+                  .toIntOption.exists(_ < nextVer)) ||
+                tmpOrdinal(n).exists(_ < nextVer)
+            }.foreach(n => fs.delete(new HadoopPath(scDir, n), false))
+          } catch { case _: java.io.IOException => () }
           return
         }
         Thread.sleep(25L * math.min(attempts, 8))
@@ -1393,11 +1613,99 @@ object GeoParquet {
     appendWithBoundsOf(batch, path, geomCols, boundsPerFile)
   }
 
+  /** Sidecar delta-log artifacts live in `_sc/` next to the data,
+    * exactly like the generation manifest's `_gen/`. */
+  private[graft] val ScDirName = "_sc"
+  private[graft] val ScDeltaPrefix = "_scdelta-"
+  private def scDeltaName(commit: Int) = s"$ScDeltaPrefix$commit.json"
+  private def scLogDir(path: String): String = s"$path/$ScDirName"
+
+  /** Per-process memo of the MATERIALIZED sidecar text, keyed on
+    * (md5 of the root checkpoint text, the `_sc/` delta listing):
+    * content-hashing the base makes same-path-rebuild aliasing
+    * impossible by construction (unlike a stat signature), and the
+    * hash costs one pass over bytes we had to read anyway. Only the
+    * deltas-on-top parse+apply+render is saved — exactly the part
+    * that grows with the file count. */
+  private val scTextMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
   /** Sidecar text via the Hadoop FileSystem API, so every helper works
     * on any supported filesystem (file:, hdfs://, s3a://, ...) exactly
-    * like the planner rule. None when no sidecar exists. */
+    * like the planner rule. None when no sidecar exists. The returned
+    * text is the MATERIALIZED current state: the root checkpoint with
+    * any contiguous `_sc/` delta commits applied and the CAS ordinal
+    * advanced accordingly — datasets without deltas (including every
+    * pre-delta-log dataset) return their root text byte-identical. */
   private[graft] def readSidecarText(path: String, conf: Configuration): Option[String] =
-    readTextFile(path, SidecarName, conf)
+    readSidecarFull(path, conf).map(_._1)
+
+  /** [[readSidecarText]] plus how many deltas sit on top of the root
+    * checkpoint (the fold trigger). Retries transient windows: the
+    * fold's checkpoint swap can momentarily hide the root file while
+    * deltas still exist, and its cleanup can delete a delta between
+    * our listing and our read. */
+  private[graft] def readSidecarFull(path: String, conf: Configuration)
+      : Option[(String, Int)] = {
+    val scDir = new HadoopPath(scLogDir(path))
+    val fs = scDir.getFileSystem(conf)
+    def listSc(): Seq[(String, Long, Long)] =
+      try fs.listStatus(scDir).map(st => (st.getPath.getName, st.getLen,
+        st.getModificationTime)).toSeq.sortBy(_._1)
+      catch { case _: java.io.FileNotFoundException => Nil }
+    var attempts = 0
+    while (attempts < 50) {
+      attempts += 1
+      val entries = listSc()
+      val deltaOrdsAll = entries.flatMap(e => ordinalOf(e._1, ScDeltaPrefix))
+      val root = readTextFile(path, SidecarName, conf)
+      root match {
+        case None =>
+          // no checkpoint: with no deltas either, there is genuinely no
+          // sidecar. With deltas present we are inside a fold's swap
+          // window (or looking at a crashed fold's debris after someone
+          // deleted the root by hand) — retry briefly, then degrade to
+          // the conservative no-sidecar answer, the same contract the
+          // pre-delta swap window had
+          if (deltaOrdsAll.isEmpty || attempts >= 8) return None
+          Thread.sleep(10L * attempts)
+        case Some(text) =>
+          val v = sidecarCommit(text).getOrElse(0)
+          val applicable = deltaOrdsAll.filter(_ > v).sorted
+          if (applicable.isEmpty) return Some((text, 0))
+          val contiguous = applicable ==
+            (v + 1 to v + applicable.length)
+          if (contiguous) {
+            val md5 = java.security.MessageDigest.getInstance("MD5")
+              .digest(text.getBytes(StandardCharsets.UTF_8))
+            val sig = java.util.Base64.getEncoder.encodeToString(md5) +
+              "|" + entries.mkString(";")
+            val hit = scTextMemo.get(path)
+            if (hit != null && hit._1 == sig)
+              return Some((hit._2, applicable.length))
+            val texts = applicable.map { n =>
+              try readTextFile(scLogDir(path), scDeltaName(n), conf)
+              catch { case _: java.io.FileNotFoundException => None }
+            }
+            if (texts.forall(_.isDefined)) {
+              val st = applicable.zip(texts)
+                .foldLeft(parseSidecarAll(text)) { case (s, (n, t)) =>
+                  applyScDelta(s, parseScDelta(t.get,
+                    s"${scLogDir(path)}/${scDeltaName(n)}"))
+                }
+              val out = renderSidecar(st, v + applicable.length)
+              if (scTextMemo.size > 64) scTextMemo.clear()
+              scTextMemo.put(path, (sig, out))
+              return Some((out, applicable.length))
+            } // a delta vanished: fold cleanup raced the listing — retry
+          } // non-contiguous: our root read predates a fold — retry
+          Thread.sleep(5L * attempts)
+      }
+    }
+    throw new java.io.IOException(
+      s"unable to obtain a consistent sidecar read at $path " +
+        "after 50 attempts")
+  }
 
   private def readTextFile(path: String, name: String,
                            conf: Configuration): Option[String] = {
@@ -1439,7 +1747,7 @@ object GeoParquet {
     val fsH = root.getFileSystem(conf)
     val listed = listDataFiles(fsH, root).toSeq.sorted
     val stOpt = readGenState(path, conf)
-    val current = reconcileListing(listed, stOpt)
+    val current = reconcileListingProbed(fsH, root, listed, stOpt)
     // the no-pruning fallback: a MANIFESTED dataset always reads its
     // reconciled pinned listing (a whole-dir read would RE-LIST at
     // scan planning and pick up an in-flight compaction's rw-* output
@@ -1606,7 +1914,7 @@ object GeoParquet {
           fs, root, rawNew, freshAll, cols,
           keepSchemaFileIfAllEmpty = m != "append" || before.isEmpty)
         if (kept.nonEmpty)
-          updateSidecar(spark, path, mergeSidecarBounds(_, fresh))
+          commitSidecar(spark, path, fresh, Set.empty)
         (kept, droppedSet)
       } else (rawNew, Set.empty[String])
     if (m == "append") {

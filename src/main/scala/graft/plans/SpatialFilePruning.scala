@@ -61,8 +61,8 @@ case class SpatialFilePruning(spark: SparkSession) extends Rule[LogicalPlan] {
           // complete set, and unrecorded rw-* files (an in-flight or
           // aborted compaction's output) are dropped. See
           // GeoParquet.reconcileListing for the full contract.
-          val keepNames = GeoParquet.reconcileListing(
-            names.toSeq.sorted, stOpt).toSet
+          val keepNames = GeoParquet.reconcileListingProbed(
+            root.getFileSystem(conf), root, names.toSeq.sorted, stOpt).toSet
           val current = allFiles.filter { uri =>
             keepNames(uri.substring(uri.lastIndexOf('/') + 1))
           }

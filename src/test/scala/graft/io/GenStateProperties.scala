@@ -158,6 +158,62 @@ object GenStateProperties extends Properties("genstate") {
       }
     }
 
+  // -- sidecar delta log (the _sc/ twin of the manifest's _gendelta) --
+
+  private val boundsVal: Gen[Double] = Gen.oneOf(
+    Gen.const(Double.NaN), Gen.choose(-1e6, 1e6),
+    Gen.choose(-50, 50).map(_.toDouble))
+  private val boundsArr: Gen[Array[Double]] =
+    Gen.listOfN(4, boundsVal).map(_.toArray)
+  private val colName: Gen[String] = for {
+    n <- Gen.choose(1, 8)
+    cs <- Gen.listOfN(n, Gen.oneOf(('a' to 'z') ++ ('0' to '9') :+ '_'))
+  } yield cs.mkString
+  private val colBlock: Gen[Map[String, Array[Double]]] =
+    Gen.mapOf(Gen.zip(fileName, boundsArr))
+  private val scState: Gen[Map[String, Map[String, Array[Double]]]] =
+    Gen.mapOf(Gen.zip(colName, colBlock))
+  private val scDelta: Gen[GeoParquet.ScDelta] = for {
+    ups <- scState
+    del <- Gen.listOf(fileName)
+  } yield GeoParquet.ScDelta(ups, del.toSet)
+
+  // Array[Double] breaks ==; canonical text is the equality domain
+  private def canon(st: Map[String, Map[String, Array[Double]]]): String =
+    GeoParquet.renderSidecar(st, 0)
+
+  property("scdelta render -> parse -> render is the identity") =
+    forAll(scDelta) { d =>
+      val t = GeoParquet.renderScDelta(d)
+      GeoParquet.renderScDelta(GeoParquet.parseScDelta(t, "t")) == t
+    }
+
+  property("sidecar render -> parseAll -> render is the identity") =
+    forAll(scState) { st =>
+      val t = canon(st)
+      canon(GeoParquet.parseSidecarAll(t)) == t
+    }
+
+  property("applyScDelta: removals erase, upserts land, the rest survives") =
+    forAll(scState, scDelta) { (st, d) =>
+      val got = GeoParquet.applyScDelta(st, d)
+      def b2s(a: Array[Double]) = a.map(_.toString).mkString(",")
+      // a deleted file is gone from EVERY column unless this delta's
+      // upsert re-adds it there
+      val delsErase = d.del.forall(f => got.forall { case (c, m) =>
+        m.contains(f) == d.ups.get(c).exists(_.contains(f)) })
+      // every upsert lands with exactly its bounds
+      val upsLand = d.ups.forall { case (c, files) =>
+        files.forall { case (f, v) =>
+          got.get(c).flatMap(_.get(f)).exists(w => b2s(w) == b2s(v)) } }
+      // untouched entries (not deleted, not upserted) survive unchanged
+      val restSurvives = st.forall { case (c, m) =>
+        m.forall { case (f, v) =>
+          d.del(f) || d.ups.get(c).exists(_.contains(f)) ||
+            got.get(c).flatMap(_.get(f)).exists(w => b2s(w) == b2s(v)) } }
+      delsErase && upsLand && restSurvives
+    }
+
   // -- pinned on-disk format golden: the v2 render must never drift
   // (an old engine reading a new manifest, or vice versa, is a strict
   // ERROR by design — so the format itself must be frozen by a test)

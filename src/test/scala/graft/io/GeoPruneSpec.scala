@@ -1174,6 +1174,160 @@ class GeoPruneSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 
+  test("a listing pinned across a vacuum's tombstone compaction never hands a vanished file to the scan") {
+    // the race: reader lists the dir (tombstoned file X present), a
+    // vacuum deletes X AND compacts X's manifest entry away, reader
+    // then reads the manifest — X is now unrecorded, and the pure
+    // conservative keep would put the deleted path into an explicit
+    // parquet scan (FileNotFound at execution). The probed reconcile
+    // drops exactly that file; live and genuinely-foreign files are
+    // untouched.
+    val dir = java.nio.file.Files.createTempDirectory("vacpin").toFile
+    try {
+      import spark.implicits._
+      val path = s"$dir/z"
+      val conf = spark.sessionState.newHadoopConf()
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(conf)
+      def rows(lo: Int, n: Int) = (0 until n).map(i =>
+        ((lo * 1000 + i).toLong, lo * 10 + i % 10, lo * 10 + (i * 3) % 10))
+      GeoParquet.packZOrderToParquet(rows(1, 200).toDF("id", "a", "b"),
+        Seq("a", "b"), path, 2)
+      GeoParquet.appendNumericWithSidecar(rows(2, 100).toDF("id", "a", "b"),
+        path, Seq("a", "b"))
+      GeoParquet.compactZOrderGeneration(spark, path, Seq("a", "b"), 2)
+      // PIN the listing while the superseded files are still on disk
+      val pinned = new java.io.File(path).listFiles().map(_.getName)
+        .filter(n => !n.startsWith("_") && !n.startsWith(".") &&
+          !n.endsWith(".crc")).toSeq.sorted
+      val stPre = GeoParquet.readGenState(path, conf).get
+      val tombstoned = stPre.files.collect {
+        case (f, e) if e.removed >= 0 => f }.toSet
+      assert(tombstoned.nonEmpty && tombstoned.subsetOf(pinned.toSet))
+      // the vacuum deletes the dead files and compacts their entries
+      val reclaimed = GeoParquet.vacuumGenerations(spark, path, retain = 0)
+      assert(reclaimed.toSet == tombstoned)
+      val stPost = GeoParquet.readGenState(path, conf).get
+      assert(tombstoned.forall(f => !stPost.files.contains(f)),
+        "tombstone compaction did not drop the dead entries")
+      // pre-fix behavior, pinned for documentation: the pure reconcile
+      // keeps the vanished files (they look like foreign appends)
+      val pure = GeoParquet.reconcileListing(pinned, Some(stPost))
+      assert(tombstoned.subsetOf(pure.toSet))
+      // the probed reconcile drops exactly the vanished ones
+      val probed = GeoParquet.reconcileListingProbed(fs, root, pinned,
+        Some(stPost))
+      assert(probed.toSet == pure.toSet -- tombstoned)
+      assert(probed.toSet == stPost.liveAt(stPost.currentGen).toSet)
+      // a genuinely-foreign file still on disk survives the probe
+      java.nio.file.Files.writeString(
+        new java.io.File(path, "foreign-append.parquet").toPath, "x")
+      val withForeign = GeoParquet.reconcileListingProbed(fs, root,
+        pinned :+ "foreign-append.parquet", Some(stPost))
+      assert(withForeign.contains("foreign-append.parquet"))
+      assert(new java.io.File(path, "foreign-append.parquet").delete())
+      // end-to-end: the explicit-path read over the probed listing
+      // returns the full snapshot (and the normal read path agrees)
+      assert(spark.read.parquet(probed.map(f => s"$path/$f"): _*)
+        .count() == 300)
+      assert(GeoParquet.readZOrderRange(spark, path,
+        Seq(("a", -1e9, 1e9))).count() == 300)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
+  test("sidecar delta log: commits write O(change) deltas, fold into the checkpoint, reads stay exact") {
+    val dir = java.nio.file.Files.createTempDirectory("scdeltalog").toFile
+    try {
+      import spark.implicits._
+      val path = s"$dir/z"
+      val conf = spark.sessionState.newHadoopConf()
+      def batch(lo: Int) = Seq((lo.toLong, lo % 10, (lo * 3) % 10),
+        (lo.toLong + 100000, lo % 10 + 1, (lo * 3) % 10 + 1))
+        .toDF("id", "a", "b").coalesce(1)
+      def scFiles(p: String = path): Seq[String] = {
+        val d = new java.io.File(s"$p/_sc")
+        if (!d.exists()) Nil
+        else d.listFiles().map(_.getName)
+          .filter(n => n.startsWith("_scdelta-") && n.endsWith(".json"))
+          .toSeq.sorted
+      }
+      def rootText() = java.nio.file.Files.readString(
+        new java.io.File(path, "_spatial_metadata.json").toPath)
+      def rowCounts(): Map[String, Double] = GeoParquet.parseSidecar(
+        GeoParquet.readSidecarText(path, conf).get, "__rowcount")
+        .map { case (f, v) => f -> v(0) }
+      // first commit is the checkpoint itself — no delta
+      GeoParquet.packZOrderToParquet(batch(0), Seq("a", "b"), path, 1)
+      assert(scFiles().isEmpty)
+      // appends commit O(change) deltas; the root checkpoint does not move
+      val rootAfterPack = rootText()
+      (1 to 5).foreach(i =>
+        GeoParquet.appendNumericWithSidecar(batch(i), path, Seq("a", "b")))
+      assert(scFiles().size == 5, scFiles().mkString(","))
+      assert(rootText() == rootAfterPack,
+        "a delta commit rewrote the checkpoint")
+      // the materialized text carries the advanced ordinal and EVERY
+      // file's row count — stats across the checkpoint/delta seam
+      val text5 = GeoParquet.readSidecarText(path, conf).get
+      assert(GeoParquet.sidecarCommit(text5).contains(6), text5.take(60))
+      assert(rowCounts().values.sum == 12.0)
+      // cross the fold boundary: deltas collapse into a new checkpoint
+      (6 to GeoParquet.DeltaFoldEvery).foreach(i =>
+        GeoParquet.appendNumericWithSidecar(batch(i), path, Seq("a", "b")))
+      assert(scFiles().size < GeoParquet.DeltaFoldEvery,
+        s"fold never ran: ${scFiles().size} deltas")
+      assert(GeoParquet.sidecarCommit(rootText())
+        .exists(_ >= GeoParquet.DeltaFoldEvery),
+        "fold did not advance the checkpoint ordinal")
+      // O(change) at the byte level: one more single-file append's
+      // delta is several times smaller than the checkpoint it avoids
+      GeoParquet.appendNumericWithSidecar(
+        batch(GeoParquet.DeltaFoldEvery + 1), path, Seq("a", "b"))
+      val deltaLen = new java.io.File(s"$path/_sc", scFiles().last).length()
+      val ckptLen = new java.io.File(path, "_spatial_metadata.json").length()
+      assert(deltaLen * 4 < ckptLen,
+        s"delta $deltaLen B is not O(change) vs checkpoint $ckptLen B")
+      // reads stay exact across the seam: pruning, counts, generations
+      val n = GeoParquet.DeltaFoldEvery + 2 // batches 0..DeltaFoldEvery+1
+      assert(GeoParquet.readZOrderRange(spark, path,
+        Seq(("a", 0.0, 1e9))).count() == 2L * n)
+      assert(GeoParquet.statsAtGeneration(spark, path,
+        GeoParquet.currentGeneration(spark, path), Seq("a"))._1 == 2L * n)
+      // a stale delta BELOW the checkpoint ordinal is dead by ordinal
+      // filtering — its content is never opened
+      java.nio.file.Files.writeString(
+        new java.io.File(s"$path/_sc", "_scdelta-1.json").toPath,
+        "{this text is never read: ordinals <= the checkpoint's are dead}")
+      val before = GeoParquet.readSidecarText(path, conf).get
+      assert(GeoParquet.readSidecarText(path, conf).contains(before))
+      new java.io.File(s"$path/_sc", "_scdelta-1.json").delete()
+      // compaction + vacuum removals ride the same log: dead files'
+      // entries leave every block (including __rowcount) via delta dels
+      val liveBefore = rowCounts().keySet
+      GeoParquet.compactZOrderGeneration(spark, path, Seq("a", "b"), 2)
+      GeoParquet.vacuumGenerations(spark, path, retain = 0)
+      val countsAfter = rowCounts()
+      assert(countsAfter.values.sum == 2.0 * n)
+      assert(countsAfter.keySet.intersect(liveBefore).isEmpty,
+        "vacuumed files still recorded in the sidecar")
+      // LEGACY layout: a root checkpoint with no _sc/ at all (every
+      // pre-delta-log dataset) reads verbatim and upgrades on append
+      val legacy = s"$dir/legacy"
+      GeoParquet.packZOrderToParquet(batch(0), Seq("a", "b"), legacy, 1)
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$legacy/_sc"))
+      val legacyRaw = java.nio.file.Files.readString(
+        new java.io.File(legacy, "_spatial_metadata.json").toPath)
+      assert(GeoParquet.readSidecarText(legacy, conf).contains(legacyRaw))
+      GeoParquet.appendNumericWithSidecar(batch(1), legacy, Seq("a", "b"))
+      assert(scFiles(legacy).nonEmpty, "append onto a legacy sidecar " +
+        "must start the delta log")
+      assert(GeoParquet.parseSidecar(
+        GeoParquet.readSidecarText(legacy, conf).get, "__rowcount")
+        .size == 2)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
   test("log-read memo: a same-path rebuild never serves the dead dataset's state") {
     // the memo keys on the (name, length, mtime) listing of the log
     // artifacts. A dataset DELETED and REBUILT at the same path whose
