@@ -496,6 +496,28 @@ object Queries {
         .select(col("c_custkey"), col("s_suppkey"))
     }),
 
+    // SURVEY §2.3 sjoin under PATHOLOGICAL SPATIAL SKEW: ~90% of the
+    // points collapse into ONE 128-unit grid cell (the dask reference
+    // inherits the same exposure — its partition pruning, sjoin.py:105-122,
+    // cannot split a dense partition). salt=8 splits the hot cell into 8
+    // shuffle keys: each point hashes into one sub-key, diamonds replicate
+    // to all 8, so the largest reducer holds ~1/8th of the hot cell
+    // instead of all of it. Same exactness contract as every sjoin (even
+    // coords, odd radii — no boundary ties); the oracle is the plain
+    // cross-join predicate.
+    "sjoin_skewed" -> ((s, dir) => {
+      val hot = col("c_custkey") % 10 =!= 0
+      val px = when(hot, ((col("c_custkey") * 13) % 50) * 2)
+        .otherwise(((col("c_custkey") * 7919) % 500) * 2).cast("double")
+      val py = when(hot, ((col("c_custkey") * 17) % 50) * 2)
+        .otherwise(((col("c_custkey") * 104729) % 500) * 2).cast("double")
+      val pts = t(s, dir, "customer").withColumn("pt", st_point(px, py))
+      val dia = supplierDiamonds(s, dir)
+      SpatialJoin.pointInGeom(pts, dia.select(col("s_suppkey"), col("diamond")),
+          "pt", "diamond", "polygon", cellSize = 128.0, salt = 8)
+        .select(col("c_custkey"), col("s_suppkey"))
+    }),
+
     // SURVEY §2.6 st_oriented: polygons constructed with the WRONG
     // orientation (shell CW, hole CCW) are normalized before the signed
     // area — the result is the canonical shell-minus-hole value; without
@@ -3398,6 +3420,16 @@ object Queries {
          FROM customer, supplier
          WHERE abs(((c_custkey*7919)%500)*2 - ((s_suppkey*7919)%500)*2)
              + abs(((c_custkey*104729)%500)*2 - ((s_suppkey*104729)%500)*2)
+             <= (s_suppkey%25)*2 + 21""",
+    "sjoin_skewed" ->
+      """SELECT c_custkey, s_suppkey
+         FROM customer, supplier
+         WHERE abs((CASE WHEN c_custkey%10<>0 THEN (c_custkey*13%50)*2
+                         ELSE (c_custkey*7919%500)*2 END)
+                   - (s_suppkey*7919%500)*2)
+             + abs((CASE WHEN c_custkey%10<>0 THEN (c_custkey*17%50)*2
+                         ELSE (c_custkey*104729%500)*2 END)
+                   - (s_suppkey*104729%500)*2)
              <= (s_suppkey%25)*2 + 21""",
     "sjoin_auto" ->
       """SELECT c_custkey, s_suppkey

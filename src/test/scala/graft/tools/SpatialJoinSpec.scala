@@ -32,6 +32,74 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(grid.nonEmpty)
   }
 
+  test("salted grid join under 90% one-cell skew: exact result, hot cell split across reducer keys") {
+    // 90% of points collapse into the single [0,20)^2 grid cell at
+    // cellSize=20 (the pathological-skew shape the r13 verdict flagged);
+    // the other 10% spread over [0,100)^2
+    val pts = (0 until 1000).map { i =>
+      if (i % 10 != 0)
+        (i.toLong, (i * 13 % 1000) / 50.0, (i * 17 % 1000) / 50.0)
+      else // spread side kept OUT of [0,20)^2 so the hot count is exact
+        (i.toLong, 20.0 + (i * 7 % 80), 20.0 + (i * 11 % 80))
+    }.toDF("pid", "x", "y").withColumn("pt", st_point(col("x"), col("y")))
+    val polys = (0 until 20).map { i =>
+      val cx = (i * 23 % 100).toDouble; val cy = (i * 37 % 100).toDouble
+      val r = 4.0 + i % 7
+      (i.toLong, Seq(Seq(cx + r, cy, cx, cy + r, cx - r, cy, cx, cy - r, cx + r, cy)))
+    }.toDF("gid", "poly")
+    val salt = 8
+    val salted = SpatialJoin.pointInGeom(pts, polys, "pt", "poly", "polygon",
+        cellSize = 20.0, salt = salt)
+      .select("pid", "gid").as[(Long, Long)].collect().toSet
+    // brute-force oracle: every pair through the exact kernel
+    val brute = pts.crossJoin(polys)
+      .where(st_intersects(col("pt"), col("poly"), "polygon"))
+      .select("pid", "gid").as[(Long, Long)].collect().toSet
+    assert(salted == brute)
+    assert(brute.nonEmpty)
+    // the reducer-size claim, asserted at the DATA level (what bounds a
+    // shuffle partition is rows per join key): unsalted, the hot cell is
+    // ONE key holding ~900 points; salted, each (cell, salt) sub-key
+    // holds a hash-split share. Recompute the exact keys the join uses.
+    def keyCounts(saltN: Int): Map[(Long, Long, Int), Long] = pts
+      .withColumn("__kx", floor(st_x(col("pt")) / 20.0).cast("long"))
+      .withColumn("__ky", floor(st_y(col("pt")) / 20.0).cast("long"))
+      .withColumn("__ks",
+        if (saltN == 1) lit(0) else pmod(hash(col("pt")), lit(saltN)))
+      .groupBy("__kx", "__ky", "__ks").count()
+      .as[(Long, Long, Int, Long)].collect()
+      .map { case (a, b, c, n) => (a, b, c) -> n }.toMap
+    val unsalted = keyCounts(1)
+    val hotKey = unsalted.maxBy(_._2)
+    assert(hotKey._1 == ((0L, 0L, 0)) && hotKey._2 == 900L,
+      s"skew shape drifted: $hotKey")
+    val saltedCounts = keyCounts(salt)
+    val maxSalted = saltedCounts.values.max
+    // fair share is 900/8 ≈ 113; hash splits are lumpy, so allow 2x —
+    // the point is the hot cell no longer rides ONE reducer key
+    assert(maxSalted <= 2 * (900 / salt + 1),
+      s"hot cell not split: max salted key holds $maxSalted of 900")
+    // and the geometry side replicates exactly salt-fold per overlapped
+    // cell (the cost side of the trade, pinned so it never silently grows)
+    val gridded = polys.select(st_bounds(col("poly")).as("b"))
+      .select(floor(col("b.x0") / 20.0).cast("long").as("x0"),
+        floor(col("b.x1") / 20.0).cast("long").as("x1"),
+        floor(col("b.y0") / 20.0).cast("long").as("y0"),
+        floor(col("b.y1") / 20.0).cast("long").as("y1"))
+      .select(((col("x1") - col("x0") + 1) * (col("y1") - col("y0") + 1))
+        .as("cells"))
+      .as[Long].collect().sum
+    val saltedGeomRows = polys
+      .withColumn("b", st_bounds(col("poly")))
+      .withColumn("cx", explode(sequence(floor(col("b.x0") / 20.0).cast("long"),
+        floor(col("b.x1") / 20.0).cast("long"))))
+      .withColumn("cy", explode(sequence(floor(col("b.y0") / 20.0).cast("long"),
+        floor(col("b.y1") / 20.0).cast("long"))))
+      .withColumn("s", explode(sequence(lit(0), lit(salt - 1))))
+      .count()
+    assert(saltedGeomRows == gridded * salt)
+  }
+
   test("bucketed geometry table joins without a geometry-side exchange") {
     val rnd = new scala.util.Random(59)
     val pts = (0 until 400).map(i =>
