@@ -1174,6 +1174,82 @@ class GeoPruneSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 
+  test("retention policy end-to-end: _min's reader guarantee, and over-vacuumed windows fail fast") {
+    // the policy surface, hand-driven: retain=k after vacuum means
+    //   - EVERY generation in [_min, head] (with _min = head - k) reads
+    //     exactly and answers metadata-only stats,
+    //   - EVERY read below _min fails fast naming the vacuum,
+    //   - an incremental consumer can still poll (lastSeen, head] iff
+    //     lastSeen + 1 >= _min; one generation staler fails fast
+    //     ("no longer reconstructible"), never a partial result,
+    //   - _min never moves backwards (a later, laxer vacuum cannot
+    //     resurrect a guarantee already given up).
+    val dir = java.nio.file.Files.createTempDirectory("retain").toFile
+    try {
+      import spark.implicits._
+      val path = s"$dir/z"
+      val conf = spark.sessionState.newHadoopConf()
+      def batch(lo: Int) = Seq((lo.toLong, lo % 10, (lo * 3) % 10),
+        (lo.toLong + 100000, lo % 10 + 1, (lo * 3) % 10 + 1))
+        .toDF("id", "a", "b").coalesce(1)
+      GeoParquet.packZOrderToParquet(batch(0), Seq("a", "b"), path, 1)
+      (1 to 4).foreach(i =>
+        GeoParquet.appendNumericWithSidecar(batch(i), path, Seq("a", "b")))
+      GeoParquet.compactZOrderGeneration(spark, path, Seq("a", "b"), 2) // g5
+      GeoParquet.appendNumericWithSidecar(batch(5), path, Seq("a", "b")) // g6
+      assert(GeoParquet.currentGeneration(spark, path) == 6)
+      assert(GeoParquet.minReadableGeneration(spark, path) == 0)
+      // pre-vacuum: the full history is readable and reconstructible
+      assert(GeoParquet.readZOrderChanges(spark, path, -1, 6).count() == 12)
+      assert(GeoParquet.readZOrderAtGeneration(spark, path, 0).count() == 2)
+      // vacuum(retain=2): _min = 4. The g0-g4 originals were tombstoned
+      // at g5 (the compaction), 5 > _min, so nothing is deletable yet —
+      // the retention guard is a POLICY line, not (yet) physics
+      assert(GeoParquet.vacuumGenerations(spark, path, retain = 2).isEmpty)
+      assert(GeoParquet.minReadableGeneration(spark, path) == 4)
+      // _min's guarantee: every g in [4, 6] exact (snapshot + stats)
+      val wantRows = Map(4 -> 10L, 5 -> 10L, 6 -> 12L)
+      (4 to 6).foreach { g =>
+        assert(GeoParquet.readZOrderAtGeneration(spark, path, g).count() ==
+          wantRows(g), s"snapshot at g$g")
+        assert(GeoParquet.statsAtGeneration(spark, path, g, Seq("a"))._1 ==
+          wantRows(g), s"stats at g$g")
+      }
+      // below _min: fail fast, named
+      val e1 = intercept[IllegalArgumentException] {
+        GeoParquet.readZOrderAtGeneration(spark, path, 3) }
+      assert(e1.getMessage.contains("vacuumed"))
+      val e2 = intercept[IllegalArgumentException] {
+        GeoParquet.statsAtGeneration(spark, path, 3, Seq("a")) }
+      assert(e2.getMessage.contains("unreadable"))
+      // incremental consumers: lastSeen=3 is exactly at the edge
+      // (fromGen+1 == _min) and still reconstructible; the arrivals in
+      // (3,6] are the g4 and g6 batches (g5 is a rewrite, skipped)
+      assert(GeoParquet.readZOrderChanges(spark, path, 3, 6).count() == 4)
+      val e3 = intercept[IllegalArgumentException] {
+        GeoParquet.readZOrderChanges(spark, path, 2, 6) }
+      assert(e3.getMessage.contains("no longer reconstructible"))
+      // a later, laxer vacuum cannot move _min backwards
+      GeoParquet.vacuumGenerations(spark, path, retain = 5)
+      assert(GeoParquet.minReadableGeneration(spark, path) == 4)
+      // the aggressive end: retain=0 keeps only the head. Now the g5
+      // tombstones (removed=5 <= _min=6) are dead — bytes reclaimed
+      val reclaimed = GeoParquet.vacuumGenerations(spark, path, retain = 0)
+      assert(reclaimed.nonEmpty)
+      assert(GeoParquet.minReadableGeneration(spark, path) == 6)
+      assert(GeoParquet.readZOrderAtGeneration(spark, path, 6).count() == 12)
+      // a consumer one generation stale (lastSeen=4) is cut off LOUDLY;
+      // one at lastSeen=5 still reads exactly the g6 arrivals
+      assert(GeoParquet.readZOrderChanges(spark, path, 5, 6).count() == 2)
+      val e4 = intercept[IllegalArgumentException] {
+        GeoParquet.readZOrderChanges(spark, path, 4, 6) }
+      assert(e4.getMessage.contains("below the oldest readable"))
+      // history stays metadata-only and all-known for what survives
+      val hist = GeoParquet.generationHistory(spark, path)
+      assert(hist.forall(_._4 >= 0), s"unknown row counts in $hist")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
   test("a listing pinned across a vacuum's tombstone compaction never hands a vanished file to the scan") {
     // the race: reader lists the dir (tombstoned file X present), a
     // vacuum deletes X AND compacts X's manifest entry away, reader
