@@ -501,17 +501,31 @@ object GeoParquet {
     stOpt match {
       case None => kept
       case Some(st) =>
-        kept.filter { f =>
-          st.files.contains(f) || {
-            val present =
+        val unrecorded = kept.filterNot(st.files.contains)
+        if (unrecorded.isEmpty) kept
+        else {
+          // several unrecorded files: ONE fresh listing answers every
+          // probe at once (serial exists() would cost O(foreign files)
+          // round-trips per read on an object store); a single file
+          // keeps the cheaper point probe. Probe failure = keep
+          // (conservative: a loud scan failure beats dropping live rows).
+          val present: String => Boolean =
+            if (unrecorded.sizeIs > 1)
+              try listDataFiles(fs, root).toSet
+              catch { case _: java.io.IOException => (_: String) => true }
+            else f =>
               try fs.exists(new HadoopPath(root, f))
               catch { case _: java.io.IOException => true }
-            if (!present)
-              org.slf4j.LoggerFactory.getLogger(getClass).info(
-                s"dropping $f from a pinned listing of $root: unrecorded " +
-                  "and no longer on disk (listing straddled a vacuum's " +
-                  "tombstone compaction)")
-            present
+          kept.filter { f =>
+            st.files.contains(f) || {
+              val ok = present(f)
+              if (!ok)
+                org.slf4j.LoggerFactory.getLogger(getClass).info(
+                  s"dropping $f from a pinned listing of $root: unrecorded " +
+                    "and no longer on disk (listing straddled a vacuum's " +
+                    "tombstone compaction)")
+              ok
+            }
           }
         }
     }
@@ -1490,6 +1504,25 @@ object GeoParquet {
               }
             }
           }
+          // POST-write ownership re-check: a writer stalled past the
+          // 2 s adoption window between the pre-write checks and the
+          // write can land its artifact at an ordinal an adopter
+          // already owns (and a later fold may already have covered) —
+          // its own read-back still matches, so without this check it
+          // would report success while its change was never
+          // materialized. The marker no longer holding our nonce is
+          // the adoption's fingerprint: treat the write as suspect and
+          // RETRY — the retry's no-op detection returns quietly when
+          // the change in fact landed, and re-commits it on top of the
+          // adopter's state when it did not. (A marker a SUBSEQUENT
+          // commit's cleanup already deleted also lands here; the same
+          // retry resolves it via no-op in one extra read.) A stale
+          // fold that already swapped the root checkpoint cannot be
+          // un-written — that residual predates the delta log and is
+          // unchanged, merely narrowed by this check.
+          if (!markerHolds(fs, marker, nonce)) {
+            Thread.sleep(25L * math.min(attempts, 8))
+          } else {
           // cleanup inside the tiny _sc/ dir (one listing): after a
           // verified fold the deltas it covers are dead (readers apply
           // only ordinals > the checkpoint's); dead markers and crashed
@@ -1511,6 +1544,7 @@ object GeoParquet {
             }.foreach(n => fs.delete(new HadoopPath(scDir, n), false))
           } catch { case _: java.io.IOException => () }
           return
+          }
         }
         Thread.sleep(25L * math.min(attempts, 8))
       } else {
@@ -1620,13 +1654,14 @@ object GeoParquet {
   private def scDeltaName(commit: Int) = s"$ScDeltaPrefix$commit.json"
   private def scLogDir(path: String): String = s"$path/$ScDirName"
 
-  /** Per-process memo of the MATERIALIZED sidecar text, keyed on
-    * (md5 of the root checkpoint text, the `_sc/` delta listing):
-    * content-hashing the base makes same-path-rebuild aliasing
-    * impossible by construction (unlike a stat signature), and the
-    * hash costs one pass over bytes we had to read anyway. Only the
-    * deltas-on-top parse+apply+render is saved — exactly the part
-    * that grows with the file count. */
+  /** Per-process memo of the MATERIALIZED sidecar text, keyed on an
+    * md5 over the root checkpoint text AND every applicable delta
+    * text: pure content addressing, so no same-path rebuild or
+    * snapshot restore can ever alias (a stat signature could — fixed-
+    * width names collide in length, object-store mtimes are coarse).
+    * The hash costs one pass over bytes the read fetches anyway; what
+    * the memo saves is the parse+apply+render, exactly the part that
+    * grows with the live file count. */
   private val scTextMemo =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
@@ -1676,17 +1711,25 @@ object GeoParquet {
           val contiguous = applicable ==
             (v + 1 to v + applicable.length)
           if (contiguous) {
-            val md5 = java.security.MessageDigest.getInstance("MD5")
-              .digest(text.getBytes(StandardCharsets.UTF_8))
-            val sig = java.util.Base64.getEncoder.encodeToString(md5) +
-              "|" + entries.mkString(";")
-            val hit = scTextMemo.get(path)
-            if (hit != null && hit._1 == sig)
-              return Some((hit._2, applicable.length))
             val texts = applicable.map { n =>
               try readTextFile(scLogDir(path), scDeltaName(n), conf)
               catch { case _: java.io.FileNotFoundException => None }
             }
+            // the signature CONTENT-hashes everything it covers —
+            // checkpoint and deltas — so no rebuild/restore at the same
+            // path can ever alias (a stat signature could: fixed-width
+            // names collide in length, object-store mtimes are coarse).
+            // Deltas are O(change)-small and read here anyway; what the
+            // memo saves is the O(live-files) parse + apply + render.
+            val md = java.security.MessageDigest.getInstance("MD5")
+            md.update(text.getBytes(StandardCharsets.UTF_8))
+            texts.foreach(t => md.update(
+              t.getOrElse("\u0000").getBytes(StandardCharsets.UTF_8)))
+            val sig = java.util.Base64.getEncoder.encodeToString(md.digest()) +
+              "|" + applicable.mkString(",")
+            val hit = scTextMemo.get(path)
+            if (hit != null && hit._1 == sig)
+              return Some((hit._2, applicable.length))
             if (texts.forall(_.isDefined)) {
               val st = applicable.zip(texts)
                 .foldLeft(parseSidecarAll(text)) { case (s, (n, t)) =>
@@ -2465,6 +2508,23 @@ object GeoParquet {
             throw ex
           }
         }
+        // POST-write ownership re-check (mirrors commitSidecar's): a
+        // writer stalled past the 2 s adoption window between the
+        // pre-write checks and the write can land its artifact at an
+        // ordinal an adopter already owns — and if a later fold has
+        // already covered and deleted the adopter's artifact, the
+        // stale writer's read-back matches its OWN dead file and it
+        // would report success for a commit no reader will ever apply
+        // (a silently lost append). The marker no longer holding our
+        // nonce fingerprints the adoption: retry instead of returning —
+        // the retry re-applies the caller's update on the adopter's
+        // state (append/compaction updates are per-file upserts, so
+        // re-application converges; a change that already landed
+        // re-commits as an empty delta). The stale-fold checkpoint
+        // clobber remains the documented residual, narrowed here.
+        if (!markerHolds(fs, marker, nonce)) {
+          Thread.sleep(25L * math.min(attempts, 8))
+        } else {
         // cleanup, all inside the tiny _gen/ dir (one listing): after
         // a verified fold the older checkpoints and the deltas it
         // covers are dead (every reader takes the max checkpoint and
@@ -2516,6 +2576,7 @@ object GeoParquet {
           }
         } catch { case _: java.io.IOException => () }
         return next
+        }
         }
       } else {
         // lost the marker race: wait for the winner's manifest, then

@@ -716,16 +716,30 @@ object Sketches {
       // The analyzer's PullOutNondeterministic rule hides the rand
       // behind a Project alias (the keys become plain attributes), so
       // the keys' REFERENCES are traced to nondeterministic aliases
-      // anywhere below, not just checked for direct nondeterminism.
+      // anywhere below — TRANSITIVELY: a rand column re-aliased through
+      // further Projects (or surfaced by an Aggregate/Window alias)
+      // carries the taint, or select(rand.as("r")).select($"r".as("r2"))
+      // .repartition(n, $"r2") would slip through as "deterministic".
       case r: RepartitionByExpression
           if r.partitionExpressions.nonEmpty &&
             !r.partitionExpressions.exists(_.isInstanceOf[SortOrder]) =>
         import org.apache.spark.sql.catalyst.expressions.Alias
-        import org.apache.spark.sql.catalyst.plans.logical.Project
-        val ndIds: Set[Long] = r.child.collect {
-          case pr: Project => pr.projectList.collect {
-            case a: Alias if !a.child.deterministic => a.exprId.id }
-        }.flatten.toSet
+        import org.apache.spark.sql.catalyst.plans.logical.{Project, Window}
+        def taintedIds(p2: LogicalPlan): Set[Long] = {
+          val below = p2.children.flatMap(taintedIds).toSet
+          val named = p2 match {
+            case pr: Project => pr.projectList
+            case ag: Aggregate => ag.aggregateExpressions
+            case w: Window => w.windowExpressions
+            case _ => Nil
+          }
+          below ++ named.collect {
+            case a: Alias if !a.child.deterministic ||
+              a.child.references.exists(att => below(att.exprId.id)) =>
+              a.exprId.id
+          }
+        }
+        val ndIds = taintedIds(r.child)
         val keysNd = r.partitionExpressions.exists(!_.deterministic) ||
           r.partitionExpressions.flatMap(_.references)
             .exists(att => ndIds(att.exprId.id))

@@ -496,5 +496,30 @@ class SketchesSpec extends AnyFunSuite {
       }
       assert(nd.getMessage.contains("nondeterministic"))
     }
+    // the taint is TRANSITIVE: a rand column RE-ALIASED through further
+    // Projects (or surfaced through an aggregate alias) is the same
+    // nondeterministic key wearing a deterministic-looking alias chain
+    for (src <- Seq(
+      data.toDF("g", "x").withColumn("r", rand(1))
+        .select(col("g"), col("x"), col("r").as("r2"))
+        .repartition(5, col("r2")),
+      data.toDF("g", "x").withColumn("r", rand(1))
+        .select(col("g"), col("x"), col("r").as("r2"))
+        .select(col("g"), col("x"), col("r2").as("r3"))
+        .repartition(5, col("r3")),
+      data.toDF("g", "x").withColumn("r", rand(2)).groupBy("g")
+        .agg(first(col("r")).as("fr"), sum(col("x")).as("x"))
+        .repartition(5, col("fr")))) {
+      val nd = intercept[IllegalArgumentException] {
+        Sketches.quantileSummaryByGroup(src, "g", col("x"), 8, "s")
+      }
+      assert(nd.getMessage.contains("nondeterministic"))
+    }
+    // ...while a DETERMINISTIC alias chain over the same shape stays a
+    // legitimate contract reset (no false positive from the taint walk)
+    val okAliased = data.toDF("g", "x").withColumn("r", col("x") * 2)
+      .select(col("g"), col("x"), col("r").as("r2"))
+      .repartition(7).repartition(5, col("r2"))
+    Sketches.quantileSummaryByGroup(okAliased, "g", col("x"), 8, "s")
   }
 }
