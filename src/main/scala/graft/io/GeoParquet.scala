@@ -20,15 +20,16 @@ import scala.jdk.CollectionConverters._
  * ("version" is the frozen FORMAT version; "_commit" counts CAS writes
  * — see [[sidecarCommit]] for the legacy fallback.)
  *
- * The root file is the CHECKPOINT of a delta log, not the whole store:
- * steady-state commits write an O(change) `_sc/_scdelta-N.json` (per-file
- * upserts + removals) and the checkpoint is rewritten only on the first
- * commit, a full rebuild, or when [[DeltaFoldEvery]] deltas have piled
- * up — the same growth escape the generation manifest made in `_gen/`.
- * Readers ([[readSidecarText]]) materialize checkpoint+deltas back into
- * the one canonical text, so every consumer (including datasets written
- * before the delta log existed, whose root file simply has no deltas)
- * parses exactly what it always did.
+ * The sidecar is a DELTA LOG in `_sc/` (the twin of the manifest's
+ * `_gen/`): steady-state commits write an O(change) `_sc/_scdelta-N.json`
+ * (per-file upserts + removals); an ordinal-named checkpoint
+ * `_sc/_scckpt-N.json` is written only on the first commit, a full
+ * rebuild, or when [[DeltaFoldEvery]] deltas have piled up —
+ * created-new-before-delete-old, never replaced in place. The root
+ * `_spatial_metadata.json` is the LEGACY base (pre-delta-log datasets),
+ * read until the first fold migrates and sweeps it. Readers
+ * ([[readSidecarText]]) materialize checkpoint+deltas back into the one
+ * canonical text, so every consumer parses exactly what it always did.
  *
  * The bounds table is computed with ONE distributed pass over the written
  * files (group by input_file_name), so nothing is collected to the driver
@@ -1377,14 +1378,18 @@ object GeoParquet {
     * abort-cleanup / full rebuild), now a DELTA LOG like the generation
     * manifest's: the winner of the `_sc/.sccommit-(v+1)` marker owns
     * sidecar version v+1 and normally writes an O(change)
-    * `_sc/_scdelta-(v+1).json`; the root `_spatial_metadata.json` is
-    * rewritten (atomically, via [[writeSidecarText]]) only on the first
-    * commit, a `replace` (full rebuild), or when [[DeltaFoldEvery]]
-    * deltas have piled up — per-commit metadata bytes no longer scale
-    * with the live file count (the last O(live-files) write the lake
-    * had). The fold writes the new checkpoint BEFORE deleting the
-    * deltas it covers, so a reader always finds a base; readers racing
-    * the cleanup retry (see [[readSidecarFull]]).
+    * `_sc/_scdelta-(v+1).json`; a versioned checkpoint
+    * `_sc/_scckpt-(v+1).json` is written only on the first commit, a
+    * `replace` (full rebuild), or when [[DeltaFoldEvery]] deltas have
+    * piled up — per-commit metadata bytes no longer scale with the
+    * live file count (the last O(live-files) write the lake had). The
+    * fold CREATES the new checkpoint before deleting the older ones,
+    * the deltas it covers, and the legacy root file, so a max-ordinal
+    * base always exists — a crash mid-fold can never leave the deltas
+    * uncovered (a fixed-name checkpoint's delete-then-rename window
+    * could, and a later commit would then restart ordinals UNDER the
+    * surviving deltas); readers racing the cleanup retry (see
+    * [[readSidecarFull]]).
     *
     * Concurrency contract is unchanged: the sidecar is advisory for
     * PRUNING (conservative-keep) but its row-count block is
@@ -1466,33 +1471,38 @@ object GeoParquet {
               .flatMap(f => sidecarCommit(f._1)).exists(_ > nextVer)
             catch { case e if scala.util.control.NonFatal(e) =>
               sink(e); false }
-          if (fold) {
-            val t = renderSidecar(next, nextVer)
-            surviveCanonical(renderSidecar(parseSidecarAll(t), nextVer) == t)
-            writeSidecarText(spark, path, t)
-            val back = readTextFile(path, SidecarName, conf)
-            if (!back.contains(t)) {
-              var suppressed: Throwable = null
-              if (!landedAnyway(e => suppressed = e)) {
-                val ex = new java.io.IOException(
-                  s"sidecar update at $path interleaved with a writer " +
-                    "outside the commit protocol (read-back mismatch " +
-                    s"on version $nextVer)")
-                if (suppressed != null) ex.addSuppressed(suppressed)
-                throw ex
+          val (artName, artText) =
+            if (fold) {
+              val t = renderSidecar(next, nextVer)
+              surviveCanonical(renderSidecar(parseSidecarAll(t), nextVer) == t)
+              (scCkptName(nextVer), t)
+            } else {
+              val dt = renderScDelta(delta)
+              surviveCanonical {
+                val rt = parseScDelta(dt, "self-check")
+                renderScDelta(rt) == dt
               }
+              (scDeltaName(nextVer), dt)
             }
-          } else {
-            val dt = renderScDelta(delta)
-            surviveCanonical {
-              val rt = parseScDelta(dt, "self-check")
-              renderScDelta(rt) == dt
-            }
-            writeTextAtomic(spark, scDirStr, scDeltaName(nextVer), dt)
+          // ordinal-named artifacts are IMMUTABLE: never-replace write,
+          // so a writer resuming after a >2s stall can no longer
+          // overwrite the artifact an adopter already committed at the
+          // same ordinal (delete-then-rename could — both callers then
+          // reported success while one change was silently gone). A
+          // false return means the ordinal is already taken: fall back
+          // into the retry loop like any lost race.
+          val wrote = writeTextNoReplace(spark, scDirStr, artName, artText)
+          if (wrote) {
             val back =
-              try readTextFile(scDirStr, scDeltaName(nextVer), conf)
+              try readTextFile(scDirStr, artName, conf)
               catch { case _: java.io.FileNotFoundException => None }
-            if (!back.contains(dt)) {
+            if (!back.contains(artText)) {
+              // our artifact GONE can be legitimate: a newer fold can
+              // only have covered and deleted it after some writer read
+              // and applied it — the commit landed. Different content
+              // under our name is out-of-protocol interference (the
+              // no-replace write makes in-protocol overwrites
+              // impossible) — always an error.
               var suppressed: Throwable = null
               if (!(back.isEmpty && landedAnyway(e => suppressed = e))) {
                 val ex = new java.io.IOException(
@@ -1504,6 +1514,9 @@ object GeoParquet {
               }
             }
           }
+          if (!wrote) {
+            Thread.sleep(25L * math.min(attempts, 8))
+          } else {
           // POST-write ownership re-check: a writer stalled past the
           // 2 s adoption window between the pre-write checks and the
           // write can land its artifact at an ordinal an adopter
@@ -1516,16 +1529,14 @@ object GeoParquet {
           // the change in fact landed, and re-commits it on top of the
           // adopter's state when it did not. (A marker a SUBSEQUENT
           // commit's cleanup already deleted also lands here; the same
-          // retry resolves it via no-op in one extra read.) A stale
-          // fold that already swapped the root checkpoint cannot be
-          // un-written — that residual predates the delta log and is
-          // unchanged, merely narrowed by this check.
+          // retry resolves it via no-op in one extra read.)
           if (!markerHolds(fs, marker, nonce)) {
             Thread.sleep(25L * math.min(attempts, 8))
           } else {
           // cleanup inside the tiny _sc/ dir (one listing): after a
-          // verified fold the deltas it covers are dead (readers apply
-          // only ordinals > the checkpoint's); dead markers and crashed
+          // verified fold the deltas it covers and the checkpoints it
+          // supersedes are dead (readers take the max checkpoint and
+          // apply only ordinals above it); dead markers and crashed
           // writers' tmp files go in the same pass. Failures are
           // harmless — the next fold re-deletes.
           try {
@@ -1535,15 +1546,24 @@ object GeoParquet {
               val i = d.indexOf(".json.tmp-")
               if (i <= 0) None
               else ordinalOf(d.substring(0, i) + ".json", ScDeltaPrefix)
+                .orElse(ordinalOf(d.substring(0, i) + ".json", ScCkptPrefix))
             }
             names.filter { n =>
               (fold && ordinalOf(n, ScDeltaPrefix).exists(_ <= nextVer)) ||
+                (fold && ordinalOf(n, ScCkptPrefix).exists(_ < nextVer)) ||
                 (n.startsWith(".sccommit-") && n.stripPrefix(".sccommit-")
                   .toIntOption.exists(_ < nextVer)) ||
                 tmpOrdinal(n).exists(_ < nextVer)
             }.foreach(n => fs.delete(new HadoopPath(scDir, n), false))
+            // the legacy root checkpoint (pre-delta-log datasets) is
+            // superseded once a versioned checkpoint exists — swept by
+            // the fold exactly like _generations.json was
+            if (fold)
+              fs.delete(new HadoopPath(new HadoopPath(path), SidecarName),
+                false)
           } catch { case _: java.io.IOException => () }
           return
+          }
           }
         }
         Thread.sleep(25L * math.min(attempts, 8))
@@ -1575,24 +1595,23 @@ object GeoParquet {
       c -> (existing.getOrElse(c, Map.empty) ++ fresh.getOrElse(c, Map.empty))
     }.toMap
 
-  /** Write the sidecar via temp-file + rename. A reader racing the swap
-    * either sees the old complete file or (in the tiny delete→rename
-    * window) no sidecar at all — which every reader treats as
-    * "no pruning", never a partial-JSON crash. Hadoop FileSystem
-    * delete/rename signal failure by RETURNING false (not throwing), so
-    * both results are checked: a silent failure here would leave the
-    * dataset permanently unprunable with a stray tmp file. */
-  private def writeSidecarText(spark: SparkSession, path: String, text: String): Unit =
-    writeTextAtomic(spark, path, SidecarName, text)
-
-  private def writeTextAtomic(spark: SparkSession, path: String,
-                              name: String, text: String): Unit = {
+  /** Atomic-visibility, NEVER-REPLACE write for ordinal-named log
+    * artifacts (deltas and versioned checkpoints in `_gen/` and
+    * `_sc/`): tmp write + rename, but the rename is attempted only
+    * when the target does not exist, and `false` is returned instead
+    * of clobbering. This is what makes log artifacts immutable — a
+    * writer resuming after a >2 s stall (whose ordinal an adopter
+    * re-claimed and committed) gets `false` and retries, instead of
+    * delete-then-rename silently replacing the adopter's committed
+    * artifact while both callers report success. RESIDUAL: a plain
+    * filesystem has no rename-if-absent, so two renames racing within
+    * the exists-check window can still collide — that needs the
+    * same-ordinal claim to begin with (the 2 s adoption path) AND
+    * sub-millisecond alignment; the commit read-back catches most
+    * orderings. Documented, not assumed impossible. */
+  private def writeTextNoReplace(spark: SparkSession, path: String,
+                                 name: String, text: String): Boolean = {
     val p = new HadoopPath(path, name)
-    // tmp name unique PER WRITER: concurrent sidecar writers sharing
-    // one tmp had one rename steal the other's file (FileNotFound mid-
-    // commit). The sidecar is advisory (conservative-keep), so last-
-    // writer-wins on CONTENT is acceptable — a crash mid-write is not;
-    // the manifest additionally goes through the commit-marker CAS.
     val tmp = new HadoopPath(path,
       s".$name.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -1600,18 +1619,14 @@ object GeoParquet {
       val out = fs.create(tmp, true)
       try out.write(text.getBytes(StandardCharsets.UTF_8))
       finally out.close()
-      // delete-then-rename can interleave with a racer's own pair:
-      // a vanished target or a rename beaten to the name just retries
-      var renamed = false
-      var tries = 0
-      while (!renamed && tries < 5) {
-        tries += 1
-        if (fs.exists(p)) fs.delete(p, false)
-        renamed = fs.rename(tmp, p)
+      if (fs.exists(p)) {
+        try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
+        false
+      } else if (fs.rename(tmp, p)) true
+      else {
+        try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
+        false
       }
-      if (!renamed)
-        throw new java.io.IOException(
-          s"failed to rename $tmp to $p after $tries attempts")
     } catch {
       case e: Throwable =>
         try fs.delete(tmp, false) catch { case _: Throwable => () }
@@ -1648,10 +1663,20 @@ object GeoParquet {
   }
 
   /** Sidecar delta-log artifacts live in `_sc/` next to the data,
-    * exactly like the generation manifest's `_gen/`. */
+    * exactly like the generation manifest's `_gen/`. Checkpoints are
+    * ORDINAL-NAMED (`_scckpt-N.json`, created-new-before-delete-old,
+    * never overwritten in place): a fixed-name root checkpoint would
+    * need a delete-then-rename swap whose crash window leaves the
+    * deltas uncovered — and a later commit, finding no base, would
+    * restart the ordinals UNDER the surviving deltas (silent wrong-base
+    * replay). The root `_spatial_metadata.json` remains as the LEGACY
+    * base (pre-delta-log datasets) and is swept by the first fold,
+    * exactly like `_generations.json` was for the manifest. */
   private[graft] val ScDirName = "_sc"
   private[graft] val ScDeltaPrefix = "_scdelta-"
+  private[graft] val ScCkptPrefix = "_scckpt-"
   private def scDeltaName(commit: Int) = s"$ScDeltaPrefix$commit.json"
+  private def scCkptName(commit: Int) = s"$ScCkptPrefix$commit.json"
   private def scLogDir(path: String): String = s"$path/$ScDirName"
 
   /** Per-process memo of the MATERIALIZED sidecar text, keyed on an
@@ -1693,16 +1718,27 @@ object GeoParquet {
       attempts += 1
       val entries = listSc()
       val deltaOrdsAll = entries.flatMap(e => ordinalOf(e._1, ScDeltaPrefix))
-      val root = readTextFile(path, SidecarName, conf)
+      val ckptOrds = entries.flatMap(e => ordinalOf(e._1, ScCkptPrefix))
+      // base: the max versioned checkpoint; the legacy root file only
+      // when none exists yet (pre-delta-log dataset, swept by the
+      // first fold). A checkpoint vanishing between the listing and
+      // the read means a newer fold's cleanup raced us — re-list.
+      val root = ckptOrds.maxOption match {
+        case Some(n) =>
+          try readTextFile(scLogDir(path), scCkptName(n), conf)
+          catch { case _: java.io.FileNotFoundException => None }
+        case None => readTextFile(path, SidecarName, conf)
+      }
       root match {
         case None =>
-          // no checkpoint: with no deltas either, there is genuinely no
-          // sidecar. With deltas present we are inside a fold's swap
-          // window (or looking at a crashed fold's debris after someone
-          // deleted the root by hand) — retry briefly, then degrade to
-          // the conservative no-sidecar answer, the same contract the
-          // pre-delta swap window had
-          if (deltaOrdsAll.isEmpty || attempts >= 8) return None
+          // no base at all: with no deltas either, there is genuinely
+          // no sidecar. A listed checkpoint that vanished is a racing
+          // fold — retry into the fresh listing. Deltas with NO base
+          // ever is a torn dataset (someone deleted the checkpoint by
+          // hand) — degrade to the conservative no-sidecar answer
+          // after a few confirming retries.
+          if (ckptOrds.isEmpty && (deltaOrdsAll.isEmpty || attempts >= 8))
+            return None
           Thread.sleep(10L * attempts)
         case Some(text) =>
           val v = sidecarCommit(text).getOrElse(0)
@@ -2479,7 +2515,14 @@ object GeoParquet {
             surviveCanonical(parseGenDelta(t, "self-check") == d)
             (deltaName(next.commit), t)
           }
-        writeTextAtomic(spark, genDirStr, name, text)
+        // never-replace write: log artifacts are immutable, so a stale
+        // writer can no longer overwrite the artifact an adopter
+        // committed at the same ordinal — it gets `false` and retries
+        // like any lost race (its update re-applies on fresh state)
+        val wrote = writeTextNoReplace(spark, genDirStr, name, text)
+        if (!wrote) {
+          Thread.sleep(25L * math.min(attempts, 8))
+        } else {
         val back =
           try readTextFile(genDirStr, name, conf)
           catch { case _: java.io.FileNotFoundException => None }
@@ -2576,6 +2619,7 @@ object GeoParquet {
           }
         } catch { case _: java.io.IOException => () }
         return next
+        }
         }
         }
       } else {

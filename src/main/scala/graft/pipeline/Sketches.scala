@@ -724,16 +724,31 @@ object Sketches {
           if r.partitionExpressions.nonEmpty &&
             !r.partitionExpressions.exists(_.isInstanceOf[SortOrder]) =>
         import org.apache.spark.sql.catalyst.expressions.Alias
-        import org.apache.spark.sql.catalyst.plans.logical.{Project, Window}
+        import org.apache.spark.sql.catalyst.plans.logical.{
+          Project, Union, Window}
         def taintedIds(p2: LogicalPlan): Set[Long] = {
-          val below = p2.children.flatMap(taintedIds).toSet
+          val childTaints = p2.children.map(taintedIds)
+          val below = childTaints.flatten.toSet
           val named = p2 match {
             case pr: Project => pr.projectList
             case ag: Aggregate => ag.aggregateExpressions
             case w: Window => w.windowExpressions
             case _ => Nil
           }
-          below ++ named.collect {
+          // Union reuses the FIRST child's exprIds for its output, so a
+          // tainted column contributed by any OTHER child must taint
+          // the output attribute positionally or it escapes the walk
+          val unionTaint = p2 match {
+            case u: Union =>
+              val out = u.output
+              out.indices.collect {
+                case i if u.children.zip(childTaints).exists {
+                  case (c, t) => i < c.output.length &&
+                    t(c.output(i).exprId.id) } => out(i).exprId.id
+              }.toSet
+            case _ => Set.empty[Long]
+          }
+          below ++ unionTaint ++ named.collect {
             case a: Alias if !a.child.deterministic ||
               a.child.references.exists(att => below(att.exprId.id)) =>
               a.exprId.id

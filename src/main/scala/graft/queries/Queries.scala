@@ -66,21 +66,19 @@ object Queries {
           // when it was renamed; finish the delete
           org.apache.commons.io.FileUtils.deleteQuietly(f)
         } else if (n.startsWith(stem) && !anyFresh(f)) {
-          // re-check freshness IMMEDIATELY before acting (the
-          // scan→delete window is a TOCTOU against a foreign harness
-          // resuming exactly then), then rename ASIDE before deleting
-          // so the victim-visible transition is atomic — whole tree
-          // present, or root FileNotFound; never a half-deleted tree.
-          // A failed rename skips the sweep (owner plausibly live).
-          // The sweep is LOGGED so a victim run's FileNotFound is
-          // diagnosable.
-          if (!anyFresh(f)) {
-            val aside = new java.io.File(base, ".graft_sweep_" + n)
-            if (f.renameTo(aside)) {
-              org.slf4j.LoggerFactory.getLogger(getClass).info(
-                s"swept stale scratch $n (whole-tree idle 2h+)")
-              org.apache.commons.io.FileUtils.deleteQuietly(aside)
-            }
+          // rename ASIDE before deleting, so the victim-visible
+          // transition is atomic — whole tree present, or root
+          // FileNotFound; never a half-deleted tree (the rename, not a
+          // re-stat, is what closes the scan→delete TOCTOU: a foreign
+          // harness resuming mid-sweep sees a vanished root, not a
+          // torn one). A failed rename skips the sweep (owner
+          // plausibly live). The sweep is LOGGED so a victim run's
+          // FileNotFound is diagnosable.
+          val aside = new java.io.File(base, ".graft_sweep_" + n)
+          if (f.renameTo(aside)) {
+            org.slf4j.LoggerFactory.getLogger(getClass).info(
+              s"swept stale scratch $n (whole-tree idle 2h+)")
+            org.apache.commons.io.FileUtils.deleteQuietly(aside)
           }
         }
       }

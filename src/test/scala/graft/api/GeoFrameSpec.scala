@@ -5,6 +5,7 @@ import graft.io.GeoParquet
 import graft.tools.SpatialJoin
 import java.nio.file.Files
 import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -157,7 +158,13 @@ class GeoFrameSpec extends AnyFunSuite {
     val gf = GeoFrame(pointsDf(1000), "pt", "point").packPartitions(4)
     GeoParquet.write(gf.copy(df = gf.df.drop("x", "y")), dir)
 
-    assert(Files.exists(java.nio.file.Paths.get(dir, GeoParquet.SidecarName)))
+    // the sidecar lives as a versioned checkpoint in _sc/ (the root
+    // name remains only as the pre-delta-log legacy base)
+    assert(GeoParquet.readSidecarText(dir,
+      spark.sessionState.newHadoopConf()).exists(_.contains("partition_bounds")))
+    assert(Files.list(java.nio.file.Paths.get(dir, GeoParquet.ScDirName))
+      .iterator().asScala.exists(_.getFileName.toString
+        .startsWith(GeoParquet.ScCkptPrefix)))
     val full = GeoParquet.read(spark, dir, "pt", "point")
     assert(full.df.count() == 1000)
 

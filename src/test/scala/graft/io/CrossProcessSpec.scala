@@ -121,11 +121,9 @@ class CrossProcessSpec extends AnyFunSuite {
         s"no mid-race manifest fold: checkpoints at $ckpts")
       assert(ordinals("_gen", "_gendelta-").count(_ > ckpts.max) <
         GeoParquet.DeltaFoldEvery)
-      val scCkptOrd = GeoParquet.sidecarCommit(
-        java.nio.file.Files.readString(
-          new java.io.File(path, "_spatial_metadata.json").toPath))
-      assert(scCkptOrd.exists(_ > GeoParquet.DeltaFoldEvery),
-        s"no mid-race sidecar fold: checkpoint ordinal $scCkptOrd")
+      val scCkpts = ordinals("_sc", "_scckpt-")
+      assert(scCkpts.nonEmpty && scCkpts.max > GeoParquet.DeltaFoldEvery,
+        s"no mid-race sidecar fold: checkpoints at $scCkpts")
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 }

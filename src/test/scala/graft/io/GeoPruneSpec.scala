@@ -1327,20 +1327,23 @@ class GeoPruneSpec extends AnyFunSuite {
           .filter(n => n.startsWith("_scdelta-") && n.endsWith(".json"))
           .toSeq.sorted
       }
-      def rootText() = java.nio.file.Files.readString(
-        new java.io.File(path, "_spatial_metadata.json").toPath)
+      def ckptFile(): java.io.File = new java.io.File(s"$path/_sc")
+        .listFiles().filter(f => f.getName.startsWith("_scckpt-") &&
+          f.getName.endsWith(".json"))
+        .maxBy(_.getName.stripPrefix("_scckpt-").stripSuffix(".json").toInt)
+      def ckptText() = java.nio.file.Files.readString(ckptFile().toPath)
       def rowCounts(): Map[String, Double] = GeoParquet.parseSidecar(
         GeoParquet.readSidecarText(path, conf).get, "__rowcount")
         .map { case (f, v) => f -> v(0) }
       // first commit is the checkpoint itself — no delta
       GeoParquet.packZOrderToParquet(batch(0), Seq("a", "b"), path, 1)
       assert(scFiles().isEmpty)
-      // appends commit O(change) deltas; the root checkpoint does not move
-      val rootAfterPack = rootText()
+      // appends commit O(change) deltas; the checkpoint does not move
+      val rootAfterPack = ckptText()
       (1 to 5).foreach(i =>
         GeoParquet.appendNumericWithSidecar(batch(i), path, Seq("a", "b")))
       assert(scFiles().size == 5, scFiles().mkString(","))
-      assert(rootText() == rootAfterPack,
+      assert(ckptText() == rootAfterPack,
         "a delta commit rewrote the checkpoint")
       // the materialized text carries the advanced ordinal and EVERY
       // file's row count — stats across the checkpoint/delta seam
@@ -1352,15 +1355,17 @@ class GeoPruneSpec extends AnyFunSuite {
         GeoParquet.appendNumericWithSidecar(batch(i), path, Seq("a", "b")))
       assert(scFiles().size < GeoParquet.DeltaFoldEvery,
         s"fold never ran: ${scFiles().size} deltas")
-      assert(GeoParquet.sidecarCommit(rootText())
+      assert(GeoParquet.sidecarCommit(ckptText())
         .exists(_ >= GeoParquet.DeltaFoldEvery),
         "fold did not advance the checkpoint ordinal")
+      assert(!new java.io.File(path, "_spatial_metadata.json").exists(),
+        "fold left a root-file copy a fixed-name swap would need")
       // O(change) at the byte level: one more single-file append's
       // delta is several times smaller than the checkpoint it avoids
       GeoParquet.appendNumericWithSidecar(
         batch(GeoParquet.DeltaFoldEvery + 1), path, Seq("a", "b"))
       val deltaLen = new java.io.File(s"$path/_sc", scFiles().last).length()
-      val ckptLen = new java.io.File(path, "_spatial_metadata.json").length()
+      val ckptLen = ckptFile().length()
       assert(deltaLen * 4 < ckptLen,
         s"delta $deltaLen B is not O(change) vs checkpoint $ckptLen B")
       // reads stay exact across the seam: pruning, counts, generations
@@ -1390,6 +1395,10 @@ class GeoPruneSpec extends AnyFunSuite {
       // pre-delta-log dataset) reads verbatim and upgrades on append
       val legacy = s"$dir/legacy"
       GeoParquet.packZOrderToParquet(batch(0), Seq("a", "b"), legacy, 1)
+      val lCkpt = new java.io.File(s"$legacy/_sc").listFiles()
+        .filter(_.getName.startsWith("_scckpt-")).head
+      java.nio.file.Files.move(lCkpt.toPath,
+        new java.io.File(legacy, "_spatial_metadata.json").toPath)
       org.apache.commons.io.FileUtils.deleteDirectory(
         new java.io.File(s"$legacy/_sc"))
       val legacyRaw = java.nio.file.Files.readString(
@@ -1401,6 +1410,16 @@ class GeoPruneSpec extends AnyFunSuite {
       assert(GeoParquet.parseSidecar(
         GeoParquet.readSidecarText(legacy, conf).get, "__rowcount")
         .size == 2)
+      // the first fold MIGRATES: versioned checkpoint lands in _sc,
+      // the legacy root file is swept
+      (2 to GeoParquet.DeltaFoldEvery).foreach(i =>
+        GeoParquet.appendNumericWithSidecar(batch(i), legacy, Seq("a", "b")))
+      assert(new java.io.File(s"$legacy/_sc").listFiles()
+        .exists(_.getName.startsWith("_scckpt-")))
+      assert(!new java.io.File(legacy, "_spatial_metadata.json").exists())
+      assert(GeoParquet.parseSidecar(
+        GeoParquet.readSidecarText(legacy, conf).get, "__rowcount")
+        .size == GeoParquet.DeltaFoldEvery + 1)
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 

@@ -509,7 +509,12 @@ class SketchesSpec extends AnyFunSuite {
         .repartition(5, col("r3")),
       data.toDF("g", "x").withColumn("r", rand(2)).groupBy("g")
         .agg(first(col("r")).as("fr"), sum(col("x")).as("x"))
-        .repartition(5, col("fr")))) {
+        .repartition(5, col("fr")),
+      // Union reuses the FIRST child's exprIds: the deterministic left
+      // leg must not launder the right leg's rand column
+      data.toDF("g", "x").withColumn("k", lit(0.0))
+        .union(data.toDF("g", "x").withColumn("k", rand(3)))
+        .repartition(5, col("k")))) {
       val nd = intercept[IllegalArgumentException] {
         Sketches.quantileSummaryByGroup(src, "g", col("x"), 8, "s")
       }
