@@ -1491,7 +1491,10 @@ object GeoParquet {
           // reported success while one change was silently gone). A
           // false return means the ordinal is already taken: fall back
           // into the retry loop like any lost race.
-          val wrote = writeTextNoReplace(spark, scDirStr, artName, artText)
+          val sibling =
+            if (fold) scDeltaName(nextVer) else scCkptName(nextVer)
+          val wrote = writeTextNoReplace(spark, scDirStr, artName, artText,
+            alsoAbsent = Seq(sibling))
           if (wrote) {
             val back =
               try readTextFile(scDirStr, artName, conf)
@@ -1514,9 +1517,7 @@ object GeoParquet {
               }
             }
           }
-          if (!wrote) {
-            Thread.sleep(25L * math.min(attempts, 8))
-          } else {
+          if (wrote) {
           // POST-write ownership re-check: a writer stalled past the
           // 2 s adoption window between the pre-write checks and the
           // write can land its artifact at an ordinal an adopter
@@ -1530,9 +1531,7 @@ object GeoParquet {
           // adopter's state when it did not. (A marker a SUBSEQUENT
           // commit's cleanup already deleted also lands here; the same
           // retry resolves it via no-op in one extra read.)
-          if (!markerHolds(fs, marker, nonce)) {
-            Thread.sleep(25L * math.min(attempts, 8))
-          } else {
+          if (markerHolds(fs, marker, nonce)) {
           // cleanup inside the tiny _sc/ dir (one listing): after a
           // verified fold the deltas it covers and the checkpoints it
           // supersedes are dead (readers take the max checkpoint and
@@ -1610,16 +1609,29 @@ object GeoParquet {
     * sub-millisecond alignment; the commit read-back catches most
     * orderings. Documented, not assumed impossible. */
   private def writeTextNoReplace(spark: SparkSession, path: String,
-                                 name: String, text: String): Boolean = {
+                                 name: String, text: String,
+                                 alsoAbsent: Seq[String] = Nil): Boolean = {
     val p = new HadoopPath(path, name)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    // `alsoAbsent`: sibling names that ALSO claim this ordinal (a fold
+    // checkpoint vs a delta at the same N — an adopter may have
+    // committed the other KIND, and landing ours beside it would
+    // shadow or dead-letter theirs). Checked before the upload (a fold
+    // checkpoint is O(live-files) bytes — don't pay it on the common
+    // refusal path) and again, for the target name, via the rename
+    // guard below.
+    def taken: Boolean = (name +: alsoAbsent).exists { n =>
+      try fs.exists(new HadoopPath(path, n))
+      catch { case _: java.io.IOException => false }
+    }
+    if (taken) return false
     val tmp = new HadoopPath(path,
       s".$name.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     try {
       val out = fs.create(tmp, true)
       try out.write(text.getBytes(StandardCharsets.UTF_8))
       finally out.close()
-      if (fs.exists(p)) {
+      if (taken) {
         try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
         false
       } else if (fs.rename(tmp, p)) true
@@ -1731,14 +1743,29 @@ object GeoParquet {
       }
       root match {
         case None =>
-          // no base at all: with no deltas either, there is genuinely
-          // no sidecar. A listed checkpoint that vanished is a racing
-          // fold — retry into the fresh listing. Deltas with NO base
-          // ever is a torn dataset (someone deleted the checkpoint by
-          // hand) — degrade to the conservative no-sidecar answer
-          // after a few confirming retries.
-          if (ckptOrds.isEmpty && (deltaOrdsAll.isEmpty || attempts >= 8))
-            return None
+          if (ckptOrds.isEmpty && deltaOrdsAll.isEmpty) {
+            // "no sidecar at all" must be CONFIRMED: a migration fold
+            // racing this read can have written _scckpt-N and swept
+            // the legacy root between our _sc listing and our root
+            // read (the same interleaving the manifest reader
+            // confirms against). A checkpoint in the fresh listing
+            // means retry; still nothing means genuinely no sidecar.
+            if (!listSc().exists(e =>
+                ordinalOf(e._1, ScCkptPrefix).isDefined))
+              return None
+          } else if (ckptOrds.isEmpty && attempts >= 8) {
+            // deltas with no readable base, persistently: someone
+            // deleted the checkpoint out of protocol. THROW like the
+            // manifest's torn-dataset error — a conservative None here
+            // would let the next commit fabricate a fresh base UNDER
+            // the surviving deltas (wrong-base replay, or permanently
+            // non-contiguous ordinals bricking every later read)
+            throw new java.io.IOException(
+              s"sidecar log at $path has deltas but no readable " +
+                "checkpoint — torn dataset")
+          }
+          // a LISTED checkpoint whose read found nothing is a racing
+          // fold's cleanup — retry into the fresh listing
           Thread.sleep(10L * attempts)
         case Some(text) =>
           val v = sidecarCommit(text).getOrElse(0)
@@ -2519,7 +2546,10 @@ object GeoParquet {
         // writer can no longer overwrite the artifact an adopter
         // committed at the same ordinal — it gets `false` and retries
         // like any lost race (its update re-applies on fresh state)
-        val wrote = writeTextNoReplace(spark, genDirStr, name, text)
+        val sibling =
+          if (fold) deltaName(next.commit) else ckptName(next.commit)
+        val wrote = writeTextNoReplace(spark, genDirStr, name, text,
+          alsoAbsent = Seq(sibling))
         if (!wrote) {
           Thread.sleep(25L * math.min(attempts, 8))
         } else {

@@ -1420,6 +1420,19 @@ class GeoPruneSpec extends AnyFunSuite {
       assert(GeoParquet.parseSidecar(
         GeoParquet.readSidecarText(legacy, conf).get, "__rowcount")
         .size == GeoParquet.DeltaFoldEvery + 1)
+      // TORN dataset: deltas with no readable base must THROW, never
+      // degrade to "no sidecar" — a conservative None would let the
+      // next commit fabricate a fresh base UNDER the surviving deltas
+      // (wrong-base replay / permanently non-contiguous ordinals)
+      val torn = s"$dir/torn"
+      GeoParquet.packZOrderToParquet(batch(0), Seq("a", "b"), torn, 1)
+      GeoParquet.appendNumericWithSidecar(batch(1), torn, Seq("a", "b"))
+      new java.io.File(s"$torn/_sc").listFiles()
+        .filter(_.getName.startsWith("_scckpt-")).foreach(f =>
+          assert(f.delete()))
+      val tornEx = intercept[java.io.IOException] {
+        GeoParquet.readSidecarText(torn, conf) }
+      assert(tornEx.getMessage.contains("torn dataset"))
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 
