@@ -1258,18 +1258,11 @@ object GeoParquet {
 
   /** Exclusively claim a commit marker holding `nonce`; the nonce
     * distinguishes OUR claim from an adopter's re-created marker for
-    * the same ordinal. */
+    * the same ordinal. Delegates to [[LogFs.exclusiveCreate]] (contract
+    * primitive P1 — kernel-atomic O_EXCL on local filesystems). */
   private def claimMarker(fs: org.apache.hadoop.fs.FileSystem,
                           marker: HadoopPath, nonce: String): Boolean =
-    try {
-      val out = fs.create(marker, false)
-      try out.write(nonce.getBytes(StandardCharsets.UTF_8))
-      finally out.close()
-      true
-    } catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      case _: java.io.IOException if fs.exists(marker) => false
-    }
+    LogFs.exclusiveCreate(fs, marker, nonce.getBytes(StandardCharsets.UTF_8))
 
   /** Does the marker still hold OUR nonce? (false on missing /
     * unreadable / someone else's nonce — i.e. an adopter took over) */
@@ -1362,10 +1355,15 @@ object GeoParquet {
       val entries = json.substring(nameEnd + 3, blockEnd)
       val files = "\"([^\"]+)\":\\[([^\\]]*)\\]".r
         .findAllMatchIn(entries).map { m =>
-          m.group(1) -> m.group(2).split(',').map { s =>
-            val t = s.trim
-            if (t == "null") Double.NaN else t.toDouble
-          }
+          // an empty body renders as "[]" and must parse back to an
+          // empty array — split(',') would yield Array("") and fail a
+          // zero-width entry with a misleading "unparseable"
+          val body = m.group(2).trim
+          m.group(1) -> (if (body.isEmpty) Array.empty[Double]
+            else body.split(',').map { s =>
+              val t = s.trim
+              if (t == "null") Double.NaN else t.toDouble
+            })
         }.toMap
       ups += colName -> files
       pos = blockEnd + 1
@@ -1602,12 +1600,12 @@ object GeoParquet {
     * writer resuming after a >2 s stall (whose ordinal an adopter
     * re-claimed and committed) gets `false` and retries, instead of
     * delete-then-rename silently replacing the adopter's committed
-    * artifact while both callers report success. RESIDUAL: a plain
-    * filesystem has no rename-if-absent, so two renames racing within
-    * the exists-check window can still collide — that needs the
-    * same-ordinal claim to begin with (the 2 s adoption path) AND
-    * sub-millisecond alignment; the commit read-back catches most
-    * orderings. Documented, not assumed impossible. */
+    * artifact while both callers report success. The publish itself is
+    * [[LogFs]] contract primitive P3: on local filesystems an ATOMIC
+    * no-replace hard link (no probe-to-rename window at all); only on
+    * filesystems without such a primitive does it degrade to the
+    * guarded probe+rename, whose residual (two publishes racing inside
+    * the probe window) LogFsSpec forces and pins. */
   private def writeTextNoReplace(spark: SparkSession, path: String,
                                  name: String, text: String,
                                  alsoAbsent: Seq[String] = Nil): Boolean = {
@@ -1621,8 +1619,12 @@ object GeoParquet {
     // refusal path) and again, for the target name, via the rename
     // guard below.
     def taken: Boolean = (name +: alsoAbsent).exists { n =>
+      // a FAILED probe counts as taken: the caller retries a lost race
+      // (cheap), whereas treating it as absent would let the fallback
+      // rename clobber a committed artifact the probe just failed to
+      // see — the non-conservative direction
       try fs.exists(new HadoopPath(path, n))
-      catch { case _: java.io.IOException => false }
+      catch { case _: java.io.IOException => true }
     }
     if (taken) return false
     val tmp = new HadoopPath(path,
@@ -1634,10 +1636,21 @@ object GeoParquet {
       if (taken) {
         try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
         false
-      } else if (fs.rename(tmp, p)) true
-      else {
-        try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
-        false
+      } else {
+        LogFs.raceInjection.foreach(_(p)) // test seam: competitor lands HERE
+        LogFs.linkNoReplace(fs, tmp, p) match {
+          case Some(published) =>
+            try fs.delete(tmp, false)
+            catch { case _: java.io.IOException => () }
+            published
+          case None => // no atomic primitive: guarded rename fallback
+            if (fs.rename(tmp, p)) true
+            else {
+              try fs.delete(tmp, false)
+              catch { case _: java.io.IOException => () }
+              false
+            }
+        }
       }
     } catch {
       case e: Throwable =>
@@ -2476,7 +2489,7 @@ object GeoParquet {
     * a file name the canonical text cannot represent fails THIS commit
     * with the dataset untouched, instead of bricking every subsequent
     * read of a log that no longer parses. */
-  private def commitGenState(spark: SparkSession, path: String,
+  private[graft] def commitGenState(spark: SparkSession, path: String,
       update: Option[GenState] => GenState): GenState = {
     val conf = spark.sessionState.newHadoopConf()
     val genDirStr = genLogDir(path)
@@ -2491,6 +2504,14 @@ object GeoParquet {
       val cur = full.map(_._1)
       val deltasOnTop = full.map(_._2).getOrElse(0)
       val next = update(cur).copy(commit = cur.map(_.commit).getOrElse(0) + 1)
+      // converged-change no-op (commitSidecar's twin): a retry entered
+      // because success-path cleanup deleted our marker (or an adopter
+      // took the ordinal) re-applies the caller's update on state that
+      // already CONTAINS it; committing that would write a spurious
+      // empty delta, inflating ordinals under contention and breaking
+      // exact commit-count accounting (CrossProcessSpec's 1+appends)
+      if (cur.exists(c => next == c.copy(commit = next.commit)))
+        return cur.get
       val marker = new HadoopPath(genDir, s".gencommit-${next.commit}")
       val nonce = java.util.UUID.randomUUID().toString
       if (claimMarker(fs, marker, nonce)) {

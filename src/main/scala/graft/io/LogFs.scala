@@ -1,0 +1,126 @@
+package graft.io
+
+import java.nio.file.{FileAlreadyExistsException, Files, Paths}
+import org.apache.hadoop.fs.{FileSystem, Path => HadoopPath}
+
+/**
+ * THE FILESYSTEM CONTRACT of the two commit protocols (`_gen/` and
+ * `_sc/` delta logs), stated once, with the primitives implemented in
+ * one place. Everything the CAS design assumes about the storage layer
+ * is one of these three facts — any filesystem providing them gets the
+ * full no-lost-commit guarantee; anything weaker degrades exactly as
+ * documented per primitive.
+ *
+ * P1 EXCLUSIVE CREATE (load-bearing for the marker CAS): creating a
+ *    file that must not already exist ([[exclusiveCreate]]) fails when
+ *    it does, ATOMICALLY — two racing claimants of `.gencommit-N` /
+ *    `.sccommit-N` must never both win. On `file://` this is
+ *    open(O_CREAT|O_EXCL) via java.nio CREATE_NEW (kernel-atomic); on
+ *    other schemes it is Hadoop `create(p, overwrite = false)`, which
+ *    HDFS makes atomic at the NameNode but a bare object store may
+ *    implement as check-then-act — there, two same-ordinal claims can
+ *    BOTH win and safety falls back to the marker-nonce + read-back
+ *    re-checks (which catch most but not all orderings; see P3).
+ *
+ * P2 LIST/READ-AFTER-WRITE VISIBILITY (load-bearing for adoption and
+ *    folds): a completed [[exclusiveCreate]] / publish is visible to a
+ *    subsequent `listStatus`/`open` by ANY process. Local FS and HDFS
+ *    give this outright; S3-consistent stores do since 2020. A store
+ *    with delayed listing visibility can double-adopt an ordinal —
+ *    the never-replace publish (P3) then turns the collision into a
+ *    lost race for one writer instead of a lost commit.
+ *
+ * P3 PUBLISH-NO-REPLACE (load-bearing for artifact immutability): a
+ *    log artifact (`_gendelta-N` / `_genckpt-N` / `_scdelta-N` /
+ *    `_scckpt-N`), once committed, is never silently overwritten — a
+ *    stale writer publishing at an ordinal an adopter re-claimed must
+ *    LOSE (and retry on fresh state), not clobber. On `file://` the
+ *    publish is a POSIX hard link ([[linkNoReplace]]): link(2) fails
+ *    EEXIST atomically, so the probe-to-rename window of a plain
+ *    exists+rename DOES NOT EXIST here. On filesystems without any
+ *    no-replace primitive the caller falls back to probe+rename,
+ *    whose safety then rests on the FS's OWN rename semantics:
+ *    Hadoop's checksummed LocalFileSystem and HDFS refuse an existing
+ *    file target (LogFsSpec forces the race and pins the refusal),
+ *    but a bare rename(2) (RawLocalFileSystem's fast path, POSIX
+ *    mounts) silently REPLACES — pinned at the primitive level in
+ *    LogFsSpec — which is exactly why the atomic link path is the
+ *    default wherever the scheme provides one. An object-store
+ *    deployment needs a conditional put (If-None-Match) adapter to
+ *    restore P3; absent that, single-writer-per-dataset is the
+ *    documented mode.
+ */
+private[graft] object LogFs {
+
+  /** Test seam (LogFsSpec): force the probe+rename fallback even where
+    * the atomic hard-link primitive exists, to prove the fallback's
+    * residual is real and the link path closes it. Never set outside
+    * tests. */
+  @volatile private[graft] var disableAtomicLink: Boolean = false
+
+  /** Test seam (LogFsSpec): invoked with the publish target right
+    * before the no-replace attempt — the adversarial spec lands a
+    * competitor's artifact in exactly the probe-to-publish window. */
+  @volatile private[graft] var raceInjection: Option[HadoopPath => Unit] = None
+
+  private def isLocal(fs: FileSystem): Boolean =
+    fs.getUri != null && fs.getUri.getScheme == "file"
+
+  /** P1: atomically create `p` holding `bytes`; false when it already
+    * exists (or a racer won). IOExceptions with the file absent
+    * propagate — a broken filesystem must be loud, not a lost claim. */
+  private[graft] def exclusiveCreate(fs: FileSystem, p: HadoopPath,
+                                     bytes: Array[Byte]): Boolean =
+    if (isLocal(fs)) {
+      try {
+        // CREATE_NEW = open(O_CREAT|O_EXCL): the kernel arbitrates the
+        // race; Hadoop's local create(p, false) is exists-then-create
+        // and two processes can BOTH win inside its check window.
+        val nio = Paths.get(p.toUri.getPath)
+        // Hadoop create() makes parent dirs implicitly; nio does not —
+        // the first marker of a fresh log dir needs them (idempotent)
+        if (nio.getParent != null) Files.createDirectories(nio.getParent)
+        Files.write(nio, bytes, java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        true
+      } catch {
+        case _: FileAlreadyExistsException => false
+        case e: java.io.IOException => if (fs.exists(p)) false else throw e
+      }
+    } else {
+      try {
+        val out = fs.create(p, false)
+        try out.write(bytes)
+        finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case e: java.io.IOException => if (fs.exists(p)) false else throw e
+      }
+    }
+
+  /** P3: atomically publish the fully-written `tmp` at `dst` without
+    * ever replacing an existing `dst`. Some(true) = published (tmp
+    * still present — caller removes it), Some(false) = dst already
+    * exists (lost race, loudly NOT a clobber), None = no atomic
+    * primitive on this filesystem — caller falls back to the guarded
+    * probe+rename with its documented residual. */
+  private[graft] def linkNoReplace(fs: FileSystem, tmp: HadoopPath,
+                                   dst: HadoopPath): Option[Boolean] =
+    if (disableAtomicLink || !isLocal(fs)) None
+    else {
+      try {
+        // link(2): EEXIST-atomic, same-directory so same-device always
+        Files.createLink(Paths.get(dst.toUri.getPath),
+          Paths.get(tmp.toUri.getPath))
+        Some(true)
+      } catch {
+        case _: FileAlreadyExistsException => Some(false)
+        case _: UnsupportedOperationException => None
+        // anything else (parent vanished, exotic mount): fall back to
+        // the rename path rather than failing a commit a plain rename
+        // would have carried
+        case _: java.io.IOException => None
+      }
+    }
+}
