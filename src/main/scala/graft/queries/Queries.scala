@@ -516,6 +516,25 @@ object Queries {
         .select(col("c_custkey"), col("s_suppkey"))
     }),
 
+    // Same pathological skew, ADAPTIVE salting: one cheap per-cell count
+    // finds the dense cell(s) and only those get the 8-way split —
+    // geometries in cold cells are no longer replicated 8x (blanket
+    // salting's global cost for a local hot spot). Identical result set
+    // to sjoin_skewed by construction; same cross-join-predicate oracle.
+    "sjoin_skewed_adaptive" -> ((s, dir) => {
+      val hot = col("c_custkey") % 10 =!= 0
+      val px = when(hot, ((col("c_custkey") * 13) % 50) * 2)
+        .otherwise(((col("c_custkey") * 7919) % 500) * 2).cast("double")
+      val py = when(hot, ((col("c_custkey") * 17) % 50) * 2)
+        .otherwise(((col("c_custkey") * 104729) % 500) * 2).cast("double")
+      val pts = t(s, dir, "customer").withColumn("pt", st_point(px, py))
+      val dia = supplierDiamonds(s, dir)
+      SpatialJoin.pointInGeom(pts, dia.select(col("s_suppkey"), col("diamond")),
+          "pt", "diamond", "polygon", cellSize = 128.0, salt = 8,
+          adaptiveSalt = true)
+        .select(col("c_custkey"), col("s_suppkey"))
+    }),
+
     // SURVEY §2.6 st_oriented: polygons constructed with the WRONG
     // orientation (shell CW, hole CCW) are normalized before the signed
     // area — the result is the canonical shell-minus-hole value; without
@@ -3420,6 +3439,16 @@ object Queries {
              + abs(((c_custkey*104729)%500)*2 - ((s_suppkey*104729)%500)*2)
              <= (s_suppkey%25)*2 + 21""",
     "sjoin_skewed" ->
+      """SELECT c_custkey, s_suppkey
+         FROM customer, supplier
+         WHERE abs((CASE WHEN c_custkey%10<>0 THEN (c_custkey*13%50)*2
+                         ELSE (c_custkey*7919%500)*2 END)
+                   - (s_suppkey*7919%500)*2)
+             + abs((CASE WHEN c_custkey%10<>0 THEN (c_custkey*17%50)*2
+                         ELSE (c_custkey*104729%500)*2 END)
+                   - (s_suppkey*104729%500)*2)
+             <= (s_suppkey%25)*2 + 21""",
+    "sjoin_skewed_adaptive" ->
       """SELECT c_custkey, s_suppkey
          FROM customer, supplier
          WHERE abs((CASE WHEN c_custkey%10<>0 THEN (c_custkey*13%50)*2

@@ -92,15 +92,30 @@ object SpatialJoin {
    */
   /** Column-based inner grid join — shared by the name-based API below
     * and the planner rewrite (graft.plans.SpatialJoinRewrite). Returns
-    * every column of both inputs for the matching pairs. */
+    * every column of both inputs for the matching pairs.
+    *
+    * `hotCells`, when set, restricts salting to the listed (cx, cy)
+    * cells: points and geometries in every OTHER cell keep the single
+    * `__salt = 0` key — cold cells stop paying the salt-fold geometry
+    * replication that blanket salting charges globally to fix one hot
+    * spot. Both sides derive hot-ness from the same literal set, so a
+    * candidate pair still meets in exactly one (cell, salt) key. */
   def gridInner(points: DataFrame, geoms: DataFrame,
                 pointCol: Column, geomCol: Column, geomKind: String,
-                cellSize: Double, salt: Int = 1): DataFrame = {
+                cellSize: Double, salt: Int = 1,
+                hotCells: Option[Seq[(Long, Long)]] = None): DataFrame = {
     require(cellSize > 0, "cellSize must be positive")
     require(salt >= 1, "salt must be >= 1")
     require(!(points.columns ++ geoms.columns).exists(ReservedGridCols),
       s"input columns collide with reserved grid-join names $ReservedGridCols")
+    require(hotCells.forall(_.nonEmpty),
+      "hotCells = Some(empty) is ambiguous — pass salt = 1 instead")
     val cs = lit(cellSize)
+    // literal predicate over the (tiny, contract-capped) hot-cell set:
+    // stays inside whole-stage codegen, no extra join
+    def isHot: Column = hotCells.get
+      .map { case (x, y) => col("__cx") === lit(x) && col("__cy") === lit(y) }
+      .reduce(_ || _)
 
     val bounds = st_bounds(geomCol)
     val gridded0 = geoms
@@ -114,20 +129,65 @@ object SpatialJoin {
       .drop("__gb")
     val gridded =
       if (salt == 1) gridded0.withColumn("__salt", lit(0))
-      else gridded0.withColumn("__salt",
+      else if (hotCells.isEmpty) gridded0.withColumn("__salt",
         explode(sequence(lit(0), lit(salt - 1))))
+      else gridded0.withColumn("__salt",
+        explode(when(isHot, sequence(lit(0), lit(salt - 1)))
+          .otherwise(sequence(lit(0), lit(0)))))
 
-    val cellPoints = points
+    val cellPoints0 = points
       .withColumn("__cx", floor(st_x(pointCol) / cs).cast("long"))
       .withColumn("__cy", floor(st_y(pointCol) / cs).cast("long"))
+    val cellPoints = cellPoints0
       .withColumn("__salt",
         if (salt == 1) lit(0)
-        else pmod(hash(pointCol), lit(salt)))
+        else if (hotCells.isEmpty) pmod(hash(pointCol), lit(salt))
+        else when(isHot, pmod(hash(pointCol), lit(salt))).otherwise(lit(0)))
 
     cellPoints
       .join(gridded, Seq("__cx", "__cy", "__salt"), "inner")
       .where(st_intersects(pointCol, geomCol, geomKind))
       .drop("__cx", "__cy", "__salt")
+  }
+
+  /** Exact per-cell point counts → the cells whose population exceeds
+    * `hotCellFactor` × fair share (total / shuffle partitions). The
+    * count is one aggregation with map-side combine (shuffle bytes are
+    * O(#occupied cells), not O(points)); the result is contract-small
+    * BY CONSTRUCTION — at most partitions/factor cells can exceed the
+    * threshold — so collecting it to the driver is bounded the same
+    * way the broadcast-join caps are. Returns None when nothing is hot
+    * (plain unsalted join is optimal) and ALL-CELLS when the cap is
+    * somehow exceeded (degenerate guard: blanket salting stays
+    * correct, never an error). */
+  private[graft] def detectHotCells(points: DataFrame, pointCol: Column,
+                                    cellSize: Double): Option[Seq[(Long, Long)]] = {
+    val spark = points.sparkSession
+    val cs = lit(cellSize)
+    val factor = spark.conf
+      .get("spark.graft.sjoin.hotCellFactor", "2.0").toDouble
+    require(factor > 0, "spark.graft.sjoin.hotCellFactor must be > 0")
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val counts = points.select(
+        floor(st_x(pointCol) / cs).cast("long").as("__cx"),
+        floor(st_y(pointCol) / cs).cast("long").as("__cy"))
+      .groupBy("__cx", "__cy").count()
+      .persist() // two actions below; O(#occupied cells) rows
+    try {
+      val total = counts.agg(coalesce(sum("count"), lit(0L)))
+        .first().getLong(0)
+      if (total == 0) return None
+      val threshold = math.max(1L, (factor * total.toDouble / parts).toLong)
+      // > threshold caps the hot set at parts/factor cells; the +1
+      // probe only guards against arithmetic drift
+      val cap = math.max(16, (parts / factor).toInt + 1)
+      val hot = counts.where(col("count") > threshold)
+        .select("__cx", "__cy").limit(cap + 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      if (hot.isEmpty) None
+      else if (hot.length > cap) Some(Seq.empty) // degenerate: salt all
+      else Some(hot)
+    } finally counts.unpersist()
   }
 
   /**
@@ -558,16 +618,31 @@ object SpatialJoin {
       .drop("__cx", "__cy")
   }
 
+  /** `adaptiveSalt = true` (with `salt > 1`) detects the dense cells
+    * first ([[detectHotCells]] — one cheap counting pass over the
+    * point side) and salts ONLY those: the blanket mode's salt-fold
+    * geometry replication in every cold cell is the dominant cost of
+    * salting at scale, and pruning it is what the dask reference
+    * cannot do (sjoin.py:105-122 prunes partitions but cannot split a
+    * dense one). Falls back to unsalted when no cell is hot and to
+    * blanket salting when the hot set exceeds its contract cap. */
   def pointInGeom(points: DataFrame, geoms: DataFrame,
                   pointCol: String, geomCol: String, geomKind: String,
                   cellSize: Double = 0, how: String = "inner",
                   leftKey: String = null, rightKey: String = null,
-                  salt: Int = 1): DataFrame = {
+                  salt: Int = 1, adaptiveSalt: Boolean = false): DataFrame = {
     // cellSize <= 0 = derive from the data (median bbox edge)
     val cs = if (cellSize > 0) cellSize
              else autoCellSize(geoms, geoms(geomCol))
+    val (effSalt, hot) =
+      if (!adaptiveSalt || salt <= 1) (salt, None)
+      else detectHotCells(points, points(pointCol), cs) match {
+        case None => (1, None) // nothing hot: unsalted is optimal
+        case Some(cells) if cells.isEmpty => (salt, None) // cap hit: salt all
+        case Some(cells) => (salt, Some(cells))
+      }
     val matched = gridInner(points, geoms, points(pointCol), geoms(geomCol),
-      geomKind, cs, salt)
+      geomKind, cs, effSalt, hot)
     applyGeomHow(points, geoms, matched, how, leftKey, rightKey)
   }
 

