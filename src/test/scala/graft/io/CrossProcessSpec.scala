@@ -126,4 +126,73 @@ class CrossProcessSpec extends AnyFunSuite {
         s"no mid-race sidecar fold: checkpoints at $scCkpts")
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
+
+  test("vacuum/compaction JVM racing an appender JVM never breaks a concurrent reader") {
+    val dir = java.nio.file.Files.createTempDirectory("xproc-vac").toFile
+    try {
+      import spark.implicits._
+      val path = s"$dir/z"
+      val conf = spark.sessionState.newHadoopConf()
+      GeoParquet.packZOrderToParquet(
+        Seq((1L, 0, 0), (2L, 1, 1)).toDF("id", "a", "b").coalesce(1),
+        Seq("a", "b"), path, 1)
+      val perChild = 12
+      val outA = new java.io.File(dir, "appender.log")
+      val outM = new java.io.File(dir, "maint.log")
+      val a = childJava("graft.io.CrossProcessAppendMain", outA,
+        path, "100", perChild.toString)
+      val m = childJava("graft.io.CrossProcessMaintMain", outM,
+        path, "6", "2")
+      // the PARENT is the third process: reads the head snapshot in a
+      // loop while appends, compactions and vacuums land underneath.
+      // Every read must succeed (a pinned listing straddling a
+      // vacuum's delete must reconcile, not throw FileNotFound), carry
+      // no duplicate ids (tombstone-vs-rewrite double-count), no torn
+      // append batch, and never LOSE a batch it has already seen.
+      var seen = Set.empty[Long]
+      var reads = 0
+      while (a.isAlive || m.isAlive) {
+        val ids = GeoParquet.readZOrderRange(spark, path,
+          Seq(("a", -1e9, 1e9))).select("id").as[Long].collect().toSeq
+        reads += 1
+        assert(ids.distinct.size == ids.size,
+          s"duplicate ids under maintenance race: ${ids.sorted}")
+        val batches = ids.filter(_ >= 1000L).map(_ / 1000L).distinct
+        batches.foreach { k =>
+          assert(ids.contains(k * 1000L) && ids.contains(k * 1000L + 1L),
+            s"torn append batch $k visible: ${ids.sorted}")
+        }
+        assert(ids.contains(1L) && ids.contains(2L), "seed rows vanished")
+        val now = batches.toSet
+        assert(seen.subsetOf(now),
+          s"previously visible batches vanished: ${seen -- now}")
+        seen = now
+        Thread.sleep(20L)
+      }
+      val deadline = System.nanoTime() + 300L * 1000000000L
+      for ((p, out) <- Seq((a, outA), (m, outM))) {
+        val remaining = math.max(1L, (deadline - System.nanoTime()) / 1000000L)
+        assert(p.waitFor(remaining, java.util.concurrent.TimeUnit.MILLISECONDS))
+        assert(p.exitValue() == 0,
+          s"child failed (exit ${p.exitValue()}); tail of ${out.getName}:\n" +
+            scala.util.Try(java.nio.file.Files.readString(out.toPath)
+              .takeRight(2000)).getOrElse("<unreadable>"))
+      }
+      assert(reads >= 3, s"reader raced only $reads times — no real window")
+      // final state exact: every batch present exactly once, all
+      // maintenance notwithstanding; compaction + vacuum left a trace
+      val st = GeoParquet.readGenState(path, conf).get
+      val ids = GeoParquet.readZOrderRange(spark, path,
+        Seq(("a", -1e9, 1e9))).select("id").as[Long].collect().sorted.toSeq
+      val expected = (Seq(1L, 2L) ++ (0 until perChild)
+        .flatMap(i => Seq((100 + i) * 1000L, (100 + i) * 1000L + 1L))).sorted
+      assert(ids == expected)
+      assert(st.rewrites.nonEmpty, "no compaction generation recorded")
+      assert(st.minGen > 0, "no vacuum took effect")
+      // appends never share an ordinal: at least one commit per append
+      // plus the pack's (maintenance commits add more on top)
+      assert(st.commit >= 1 + perChild,
+        s"commit ordinal ${st.commit} lost appends")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
 }
