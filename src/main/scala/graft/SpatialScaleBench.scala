@@ -1,0 +1,115 @@
+package graft
+
+import graft.Geo._
+import graft.tools.SpatialJoin
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** EXTENT-GROWING scale drill for the spatial-join family.
+  *
+  * The catalog's sf1 sweep replicates rows into the SAME coordinate
+  * extent (keys are folded mod a fixed range inside every query), so
+  * its spatial-join "slope" measures candidate-pair OUTPUT growth
+  * (~quadratic in density), not plan scaling. This drill is the
+  * constant-density complement: replicas are TILED into new 1000x1000
+  * blocks, so 10x rows = 10x extent = ~10x output, and the wall-clock
+  * slope isolates how the grid plans themselves scale. A near-linear
+  * slope here is the evidence the sf1 sweep structurally cannot give.
+  *
+  * Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 on local[32]; prints
+  * one JSON line {op: {t_base, t_10x, rows_base, rows_10x, slope}}. */
+object SpatialScaleBench {
+  private def tile(df: DataFrame, reps: Int): DataFrame = {
+    val cols = math.ceil(math.sqrt(reps.toDouble)).toInt
+    df.crossJoin(spark_range(df.sparkSession, reps))
+      .withColumn("__offx", (col("__k") % cols) * 1000.0)
+      .withColumn("__offy", floor(col("__k") / cols) * 1000.0)
+  }
+  private def spark_range(s: SparkSession, n: Int): DataFrame =
+    s.range(n).toDF("__k")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def customers = spark.read.parquet(s"$sfDir/customer.parquet")
+    def suppliers = spark.read.parquet(s"$sfDir/supplier.parquet")
+
+    /** Points/diamonds in [0,1000)^2 per tile (the sjoin catalog
+      * family's coordinate recipe), then tiled `reps`-fold. */
+    def points(reps: Int): DataFrame = tile(customers, reps)
+      .withColumn("pt", st_point(
+        ((col("c_custkey") * 7919) % 500).cast("double") * 2 + col("__offx"),
+        ((col("c_custkey") * 104729) % 500).cast("double") * 2 + col("__offy")))
+      .select("c_custkey", "pt")
+    def diamonds(reps: Int): DataFrame = {
+      val cx = ((col("s_suppkey") * 7919) % 500).cast("double") * 2 + col("__offx")
+      val cy = ((col("s_suppkey") * 104729) % 500).cast("double") * 2 + col("__offy")
+      val r = ((col("s_suppkey") % 25) * 2 + 21).cast("double")
+      tile(suppliers, reps)
+        .withColumn("diamond", array(array(
+          cx + r, cy, cx, cy + r, cx - r, cy, cx, cy - r, cx + r, cy)))
+        .select("s_suppkey", "diamond")
+    }
+    def lines(reps: Int): DataFrame = {
+      val x0 = ((col("s_suppkey") * 131) % 1000).cast("double") + col("__offx")
+      val y0 = ((col("s_suppkey") * 257) % 1000).cast("double") + col("__offy")
+      tile(suppliers, reps)
+        .withColumn("ln", array(x0, y0, x0 + 30.0, y0 + 18.0))
+        .select(col("s_suppkey").as("l_key"), col("ln"))
+    }
+
+    val ops: Seq[(String, Int => DataFrame)] = Seq(
+      "grid_point_in_polygon" -> { reps: Int =>
+        SpatialJoin.pointInGeom(points(reps), diamonds(reps),
+          "pt", "diamond", "polygon", cellSize = 128.0)
+      },
+      "grid_geom_join_lines" -> { reps: Int =>
+        SpatialJoin.geomGridInner(lines(reps), diamonds(reps),
+          col("ln"), "line", col("diamond"), "polygon", cellSize = 128.0)
+      },
+      "distance_join" -> { reps: Int =>
+        SpatialJoin.distanceJoin(
+          points(reps).withColumnRenamed("c_custkey", "a_key")
+            .withColumnRenamed("pt", "a_pt"),
+          points(reps).withColumnRenamed("c_custkey", "b_key")
+            .withColumnRenamed("pt", "b_pt"),
+          "a_pt", "b_pt", radius = 8.0)
+      })
+
+    val baseReps = 4
+    val bigReps = 40 // 10x rows, 10x tiles: constant density
+    def timed(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    val results = ops.map { case (name, mk) =>
+      mk(baseReps).count() // warm codegen/readers outside the window
+      def median3(reps: Int): (Double, Long) = {
+        val runs = (1 to 3).map(_ => timed(mk(reps).count()))
+        (runs.map(_._1).sorted.apply(1), runs.head._2)
+      }
+      val (tb, nb) = median3(baseReps)
+      val (tx, nx) = median3(bigReps)
+      name -> (tb, tx, nb, nx)
+    }
+    spark.stop()
+    val body = results.map { case (n, (tb, tx, nb, nx)) =>
+      f""""$n":{"t_base":$tb%.3f,"t_10x":$tx%.3f,"rows_base":$nb,"rows_10x":$nx,"slope":${tx / tb}%.2f}"""
+    }.mkString(",")
+    val line = s"""{"metric":"spatial_extent_scale","base_reps":$baseReps,"big_reps":$bigReps,"ops":{$body},"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_extent.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case t: Throwable => System.err.println(s"[extent] write failed: $t") }
+    println(line)
+  }
+}
