@@ -31,17 +31,22 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     // optional comma-separated subset for targeted perf iteration
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
-    // FIXED-SEED shuffle of the run order: alphabetical order clustered
-    // whole families at the end of the suite, and the ambient suite-late
+    // PER-NAME-HASH run order: alphabetical order clustered whole
+    // families at the end of the suite, and the ambient suite-late
     // inflation (GC/page-cache accumulation over 285 queries in one JVM)
     // concentrated in them — three rounds of "stream_* regressed" were
     // window position, not code (the r15 tree-to-tree A/B pinned it:
-    // BENCH_AB_r15.json, median ratio 1.002). A deterministic shuffle
+    // BENCH_AB_r15.json, median ratio 1.002). Sorting by md5(name)
     // spreads every family across the window so positional drift shows
-    // up as uniform noise instead of a fake family regression; the seed
-    // is fixed so round-over-round comparisons stay position-identical.
-    val order = new scala.util.Random(0x9e3779b9L)
-      .shuffle(SparkEntry.queries.toSeq.sortBy(_._1))
+    // up as uniform noise instead of a fake family regression, and —
+    // unlike a seeded sequence shuffle, which re-permutes EVERYTHING
+    // when one query is added — keeps every existing query's relative
+    // position stable as the catalog grows, so round-over-round
+    // comparisons stay position-comparable.
+    def orderKey(name: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(name.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val order = SparkEntry.queries.toSeq.sortBy(q => (orderKey(q._1), q._1))
     val outcomes = order
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

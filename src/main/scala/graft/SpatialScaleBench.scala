@@ -43,20 +43,24 @@ object SpatialScaleBench {
     def customers = spark.read.parquet(s"$sfDir/customer.parquet")
     def suppliers = spark.read.parquet(s"$sfDir/supplier.parquet")
 
-    /** Points/diamonds in [0,1000)^2 per tile (the sjoin catalog
-      * family's coordinate recipe), then tiled `reps`-fold. */
-    def points(reps: Int): DataFrame = tile(customers, reps)
-      .withColumn("pt", st_point(
-        ((col("c_custkey") * 7919) % 500).cast("double") * 2 + col("__offx"),
-        ((col("c_custkey") * 104729) % 500).cast("double") * 2 + col("__offy")))
-      .select("c_custkey", "pt")
+    /** Points/diamonds in [0,1000)^2 per tile — the sjoin catalog
+      * family's SHARED coordinate recipe (graft.queries.Queries), so
+      * the drill measures the exact workload shape the catalog runs,
+      * then tiled `reps`-fold. */
+    import graft.queries.Queries.{sjoinCenterXY, diamondRadius, diamondRing}
+    def points(reps: Int): DataFrame = {
+      val (px, py) = sjoinCenterXY(col("c_custkey"))
+      tile(customers, reps)
+        .withColumn("pt", st_point(px + col("__offx"), py + col("__offy")))
+        .select("c_custkey", "pt")
+    }
     def diamonds(reps: Int): DataFrame = {
-      val cx = ((col("s_suppkey") * 7919) % 500).cast("double") * 2 + col("__offx")
-      val cy = ((col("s_suppkey") * 104729) % 500).cast("double") * 2 + col("__offy")
-      val r = ((col("s_suppkey") % 25) * 2 + 21).cast("double")
+      val (cx0, cy0) = sjoinCenterXY(col("s_suppkey"))
+      val cx = cx0 + col("__offx")
+      val cy = cy0 + col("__offy")
       tile(suppliers, reps)
-        .withColumn("diamond", array(array(
-          cx + r, cy, cx, cy + r, cx - r, cy, cx, cy - r, cx + r, cy)))
+        .withColumn("diamond",
+          array(diamondRing(cx, cy, diamondRadius(col("s_suppkey")))))
         .select("s_suppkey", "diamond")
     }
     def lines(reps: Int): DataFrame = {

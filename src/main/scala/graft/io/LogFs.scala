@@ -72,14 +72,23 @@ private[graft] object LogFs {
   private[graft] def exclusiveCreate(fs: FileSystem, p: HadoopPath,
                                      bytes: Array[Byte]): Boolean =
     if (isLocal(fs)) {
+      val nio = Paths.get(p.toUri.getPath)
+      // Hadoop create() makes parent dirs implicitly; nio does not —
+      // the first marker of a fresh log dir needs them (idempotent).
+      // OUTSIDE the lost-race handler: a parent component existing as
+      // a regular file is a broken layout that must fail loudly, not
+      // read as "marker already exists" and spin the retry loop
+      if (nio.getParent != null)
+        try Files.createDirectories(nio.getParent)
+        catch {
+          case e: FileAlreadyExistsException => throw new java.io.IOException(
+            s"cannot create log dir for $p: a parent component exists " +
+              "as a regular file", e)
+        }
       try {
         // CREATE_NEW = open(O_CREAT|O_EXCL): the kernel arbitrates the
         // race; Hadoop's local create(p, false) is exists-then-create
         // and two processes can BOTH win inside its check window.
-        val nio = Paths.get(p.toUri.getPath)
-        // Hadoop create() makes parent dirs implicitly; nio does not —
-        // the first marker of a fresh log dir needs them (idempotent)
-        if (nio.getParent != null) Files.createDirectories(nio.getParent)
         Files.write(nio, bytes, java.nio.file.StandardOpenOption.CREATE_NEW,
           java.nio.file.StandardOpenOption.WRITE)
         true
@@ -113,6 +122,17 @@ private[graft] object LogFs {
         // link(2): EEXIST-atomic, same-directory so same-device always
         Files.createLink(Paths.get(dst.toUri.getPath),
           Paths.get(tmp.toUri.getPath))
+        // carry Hadoop's checksum sidecar along (the rename publish
+        // moved it implicitly; without it ChecksumFileSystem reads the
+        // artifact unverified and bit-rot that still parses would pass
+        // silently). Same bytes => same crc, so a hard link is exact;
+        // best-effort — a raw fs has no crc to carry, and the data
+        // link above is the commit point either way
+        def crcOf(p: HadoopPath) = Paths.get(
+          new HadoopPath(p.getParent, s".${p.getName}.crc").toUri.getPath)
+        if (Files.exists(crcOf(tmp)))
+          try Files.createLink(crcOf(dst), crcOf(tmp))
+          catch { case _: java.io.IOException => () }
         Some(true)
       } catch {
         case _: FileAlreadyExistsException => Some(false)

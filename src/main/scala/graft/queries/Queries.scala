@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Geo._
 import graft.tools.SpatialJoin
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -327,12 +327,23 @@ object Queries {
         (((col("c_custkey") * 104729) % 500) * 2).cast("double")))
       .select(col("c_custkey"), col("pt"))
 
+  /** The sjoin family's shared coordinate recipe (even centers from a
+    * key, odd radii — no boundary ties), exposed for the extent-scale
+    * drill (SpatialScaleBench) so it measures the SAME workload shape
+    * as the catalog family instead of a hand-copied one. */
+  private[graft] def sjoinCenterXY(key: Column): (Column, Column) =
+    ((((key * 7919) % 500) * 2).cast("double"),
+      (((key * 104729) % 500) * 2).cast("double"))
+  private[graft] def diamondRadius(key: Column): Column =
+    ((key % 25) * 2 + 21).cast("double")
+  private[graft] def diamondRing(cx: Column, cy: Column, r: Column): Column =
+    array(cx + r, cy, cx, cy + r, cx - r, cy, cx, cy - r, cx + r, cy)
+
   /** supplier diamonds: CCW rotated squares, radius odd, centers even. */
   private def supplierDiamonds(spark: SparkSession, dir: String): DataFrame = {
-    val sx = (((col("s_suppkey") * 7919) % 500) * 2).cast("double")
-    val sy = (((col("s_suppkey") * 104729) % 500) * 2).cast("double")
-    val r = ((col("s_suppkey") % 25) * 2 + 21).cast("double")
-    val ring = array(sx + r, sy, sx, sy + r, sx - r, sy, sx, sy - r, sx + r, sy)
+    val (sx, sy) = sjoinCenterXY(col("s_suppkey"))
+    val r = diamondRadius(col("s_suppkey"))
+    val ring = diamondRing(sx, sy, r)
     t(spark, dir, "supplier").withColumn("diamond", array(ring))
       .withColumn("sx", sx).withColumn("sy", sy).withColumn("r", r)
   }

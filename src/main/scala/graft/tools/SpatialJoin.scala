@@ -168,9 +168,16 @@ object SpatialJoin {
       .get("spark.graft.sjoin.hotCellFactor", "2.0").toDouble
     require(factor > 0, "spark.graft.sjoin.hotCellFactor must be > 0")
     val parts = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    val counts = points.select(
+    // null points never match in the inner join, so they neither form
+    // a hot cell nor belong in the fair-share total (a null-heavy
+    // input would otherwise group into one (null,null) "cell" that
+    // NPEs the collect below and inflates the threshold)
+    val counts = points.where(pointCol.isNotNull).select(
         floor(st_x(pointCol) / cs).cast("long").as("__cx"),
         floor(st_y(pointCol) / cs).cast("long").as("__cy"))
+      // a non-null struct can still carry null coordinates — those
+      // rows match nothing either; drop them before the long collect
+      .where(col("__cx").isNotNull && col("__cy").isNotNull)
       .groupBy("__cx", "__cy").count()
       .persist() // two actions below; O(#occupied cells) rows
     try {

@@ -185,6 +185,28 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(keyCounts.filter(k => !(k._1 == 0 && k._2 == 0)).forall(_._3 == 0))
   }
 
+  test("adaptive salting tolerates a null-majority point column") {
+    // 250 of 300 points are null: nulls match nothing in the join, so
+    // they must neither form a phantom hot cell (the (null,null) group
+    // NPE'd the hot-cell collect pre-fix) nor inflate the fair-share
+    // total; the 50 real points all land in one cell and still trip
+    // detection on the non-null population alone
+    val pts = (0 until 300).map(i => (i.toLong, (i * 13 % 100) / 5.0, (i * 17 % 100) / 5.0))
+      .toDF("pid", "x", "y")
+      .withColumn("pt", when(col("pid") >= 250, st_point(col("x"), col("y"))))
+    val hot = SpatialJoin.detectHotCells(pts, col("pt"), 20.0)
+    assert(hot.contains(Seq((0L, 0L))), s"null rows broke detection: $hot")
+    val polys = Seq((0L, Seq(Seq(14.0, 7.0, 7.0, 14.0, 0.0, 7.0, 7.0, 0.0, 14.0, 7.0))))
+      .toDF("gid", "poly")
+    val adaptive = SpatialJoin.pointInGeom(pts, polys, "pt", "poly", "polygon",
+        cellSize = 20.0, salt = 4, adaptiveSalt = true)
+      .select("pid", "gid").as[(Long, Long)].collect().toSet
+    val brute = pts.where(col("pt").isNotNull).crossJoin(polys)
+      .where(st_intersects(col("pt"), col("poly"), "polygon"))
+      .select("pid", "gid").as[(Long, Long)].collect().toSet
+    assert(adaptive == brute && brute.nonEmpty)
+  }
+
   test("adaptive salting with no hot cell degrades to the unsalted plan") {
     val pts = (0 until 400).map(i =>
         (i.toLong, (i * 37 % 400) / 4.0, (i * 53 % 400) / 4.0))
