@@ -916,6 +916,17 @@ object GeoParquet {
       newFiles = kept
       commitSidecar(spark, path, fresh, Set.empty)
       commitGenState(spark, path, {
+        case Some(cur) if newFiles.forall(cur.files.keySet) =>
+          // CONVERGED RE-APPLICATION: commitGenState re-invokes this
+          // update when an adoption or success-path marker cleanup
+          // voided our ownership AFTER the commit landed. The staged
+          // names are unique to this call (uuid part files), so all of
+          // them being recorded means OUR commit applied — return the
+          // state unchanged and let the converged no-op guard resolve
+          // quietly. Without this arm, rivalTaken below reads our own
+          // freshly-landed tombstones as a rival compaction and aborts
+          // (with cleanup) a compaction that in fact succeeded.
+          cur
         case Some(cur) =>
           // another compaction tombstoning ANY of our snapshot means
           // both rewrote the same rows — recording ours too would
@@ -1619,12 +1630,16 @@ object GeoParquet {
     // refusal path) and again, for the target name, via the rename
     // guard below.
     def taken: Boolean = (name +: alsoAbsent).exists { n =>
-      // a FAILED probe counts as taken: the caller retries a lost race
-      // (cheap), whereas treating it as absent would let the fallback
-      // rename clobber a committed artifact the probe just failed to
-      // see — the non-conservative direction
-      try fs.exists(new HadoopPath(path, n))
-      catch { case _: java.io.IOException => true }
+      // a TRANSIENT probe failure counts as taken: the caller retries
+      // a lost race (cheap), whereas treating it as absent would let
+      // the fallback rename clobber a committed artifact the probe
+      // just failed to see. A failure that REPEATS on the immediate
+      // second probe is a broken filesystem, not a race — rethrow so
+      // the caller surfaces the real I/O error instead of burning its
+      // retry budget and reporting fake contention.
+      val p = new HadoopPath(path, n)
+      try fs.exists(p)
+      catch { case _: java.io.IOException => fs.exists(p); true }
     }
     if (taken) return false
     val tmp = new HadoopPath(path,
@@ -2614,8 +2629,9 @@ object GeoParquet {
         // the retry re-applies the caller's update on the adopter's
         // state (append/compaction updates are per-file upserts, so
         // re-application converges; a change that already landed
-        // re-commits as an empty delta). The stale-fold checkpoint
-        // clobber remains the documented residual, narrowed here.
+        // resolves via the converged-change no-op at the loop head,
+        // committing nothing). The stale-fold checkpoint clobber
+        // remains the documented residual, narrowed here.
         if (!markerHolds(fs, marker, nonce)) {
           Thread.sleep(25L * math.min(attempts, 8))
         } else {

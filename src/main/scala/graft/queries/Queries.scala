@@ -321,11 +321,25 @@ object Queries {
   /** even-coordinate customer probe points for the diamond joins —
     * nothing ever lands exactly on a diamond boundary (odd radius), so
     * the winding-number result is unambiguous. */
-  private def diamondProbePoints(spark: SparkSession, dir: String): DataFrame =
+  private def diamondProbePoints(spark: SparkSession, dir: String): DataFrame = {
+    val (px, py) = sjoinCenterXY(col("c_custkey"))
     t(spark, dir, "customer")
-      .withColumn("pt", st_point((((col("c_custkey") * 7919) % 500) * 2).cast("double"),
-        (((col("c_custkey") * 104729) % 500) * 2).cast("double")))
+      .withColumn("pt", st_point(px, py))
       .select(col("c_custkey"), col("pt"))
+  }
+
+  /** The PATHOLOGICALLY SKEWED probe points shared by the two skewed
+    * sjoin queries: ~90% of customers collapse into one 128-unit grid
+    * cell ([0,100)^2), the rest spread over the full extent. */
+  private def skewedSjoinPoints(spark: SparkSession, dir: String): DataFrame = {
+    val hot = col("c_custkey") % 10 =!= 0
+    val (cx, cy) = sjoinCenterXY(col("c_custkey"))
+    val px = when(hot, ((col("c_custkey") * 13) % 50) * 2).otherwise(cx)
+      .cast("double")
+    val py = when(hot, ((col("c_custkey") * 17) % 50) * 2).otherwise(cy)
+      .cast("double")
+    t(spark, dir, "customer").withColumn("pt", st_point(px, py))
+  }
 
   /** The sjoin family's shared coordinate recipe (even centers from a
     * key, odd radii — no boundary ties), exposed for the extent-scale
@@ -496,9 +510,7 @@ object Queries {
     "sjoin_points_in_diamonds" -> ((s, dir) => {
       // even-coordinate points so nothing ever lands exactly on a diamond
       // boundary (odd radius) — winding-number result is unambiguous
-      val pts = t(s, dir, "customer")
-        .withColumn("pt", st_point((((col("c_custkey") * 7919) % 500) * 2).cast("double"),
-          (((col("c_custkey") * 104729) % 500) * 2).cast("double")))
+      val pts = diamondProbePoints(s, dir)
       val dia = supplierDiamonds(s, dir)
       SpatialJoin.pointInGeom(pts, dia.select(col("s_suppkey"), col("diamond")),
           "pt", "diamond", "polygon", cellSize = 128.0)
@@ -515,12 +527,7 @@ object Queries {
     // coords, odd radii — no boundary ties); the oracle is the plain
     // cross-join predicate.
     "sjoin_skewed" -> ((s, dir) => {
-      val hot = col("c_custkey") % 10 =!= 0
-      val px = when(hot, ((col("c_custkey") * 13) % 50) * 2)
-        .otherwise(((col("c_custkey") * 7919) % 500) * 2).cast("double")
-      val py = when(hot, ((col("c_custkey") * 17) % 50) * 2)
-        .otherwise(((col("c_custkey") * 104729) % 500) * 2).cast("double")
-      val pts = t(s, dir, "customer").withColumn("pt", st_point(px, py))
+      val pts = skewedSjoinPoints(s, dir)
       val dia = supplierDiamonds(s, dir)
       SpatialJoin.pointInGeom(pts, dia.select(col("s_suppkey"), col("diamond")),
           "pt", "diamond", "polygon", cellSize = 128.0, salt = 8)
@@ -533,12 +540,7 @@ object Queries {
     // salting's global cost for a local hot spot). Identical result set
     // to sjoin_skewed by construction; same cross-join-predicate oracle.
     "sjoin_skewed_adaptive" -> ((s, dir) => {
-      val hot = col("c_custkey") % 10 =!= 0
-      val px = when(hot, ((col("c_custkey") * 13) % 50) * 2)
-        .otherwise(((col("c_custkey") * 7919) % 500) * 2).cast("double")
-      val py = when(hot, ((col("c_custkey") * 17) % 50) * 2)
-        .otherwise(((col("c_custkey") * 104729) % 500) * 2).cast("double")
-      val pts = t(s, dir, "customer").withColumn("pt", st_point(px, py))
+      val pts = skewedSjoinPoints(s, dir)
       val dia = supplierDiamonds(s, dir)
       SpatialJoin.pointInGeom(pts, dia.select(col("s_suppkey"), col("diamond")),
           "pt", "diamond", "polygon", cellSize = 128.0, salt = 8,
@@ -599,9 +601,7 @@ object Queries {
     // Verify/Bench) must turn this into the grid hash join; same oracle
     // as sjoin_points_in_diamonds.
     "sjoin_auto" -> ((s, dir) => {
-      val pts = t(s, dir, "customer")
-        .withColumn("pt", st_point((((col("c_custkey") * 7919) % 500) * 2).cast("double"),
-          (((col("c_custkey") * 104729) % 500) * 2).cast("double")))
+      val pts = diamondProbePoints(s, dir)
       val dia = supplierDiamonds(s, dir).select(col("s_suppkey"), col("diamond"))
       pts.join(dia, st_intersects(pts("pt"), dia("diamond"), "polygon"))
         .select(col("c_custkey"), col("s_suppkey"))

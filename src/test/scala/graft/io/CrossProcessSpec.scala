@@ -151,7 +151,16 @@ class CrossProcessSpec extends AnyFunSuite {
       // append batch, and never LOSE a batch it has already seen.
       var seen = Set.empty[Long]
       var reads = 0
+      val deadline = System.nanoTime() + 300L * 1000000000L
       while (a.isAlive || m.isAlive) {
+        // a hung child must FAIL the test with its log, not hang the
+        // suite: bound the reader loop by the same deadline the
+        // waitFor below enforces
+        assert(System.nanoTime() < deadline,
+          "children still alive after 300s; tails:\n" +
+            Seq(outA, outM).map(f => f.getName + ":\n" +
+              scala.util.Try(java.nio.file.Files.readString(f.toPath)
+                .takeRight(1500)).getOrElse("<unreadable>")).mkString("\n"))
         val ids = GeoParquet.readZOrderRange(spark, path,
           Seq(("a", -1e9, 1e9))).select("id").as[Long].collect().toSeq
         reads += 1
@@ -169,7 +178,6 @@ class CrossProcessSpec extends AnyFunSuite {
         seen = now
         Thread.sleep(20L)
       }
-      val deadline = System.nanoTime() + 300L * 1000000000L
       for ((p, out) <- Seq((a, outA), (m, outM))) {
         val remaining = math.max(1L, (deadline - System.nanoTime()) / 1000000L)
         assert(p.waitFor(remaining, java.util.concurrent.TimeUnit.MILLISECONDS))
