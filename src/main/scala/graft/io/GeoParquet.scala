@@ -2587,27 +2587,41 @@ object GeoParquet {
         val wrote = writeTextNoReplace(spark, genDirStr, name, text,
           alsoAbsent = Seq(sibling))
         if (!wrote) {
+          // a refused publish can recur at the SAME ordinal (transient
+          // probe fault with the manifest unmoved) — release the marker
+          // while it still carries OUR nonce, or the retry blocks on
+          // its own claim and waits out its own 2 s adoption clock
+          // while rivals read a live owner as a stale marker
+          if (markerHolds(fs, marker, nonce))
+            try fs.delete(marker, false)
+            catch { case _: java.io.IOException => () }
           Thread.sleep(25L * math.min(attempts, 8))
         } else {
         val back =
           try readTextFile(genDirStr, name, conf)
           catch { case _: java.io.FileNotFoundException => None }
+        var retryCovered = false
         if (!back.contains(text)) {
           // our artifact GONE may be legitimate: a racing fold at a
           // STRICTLY higher ordinal can only exist if some writer read
           // and applied our commit first — the commit landed. A log
-          // still AT our ordinal, or a different text under our name,
-          // is the same-ordinal clobber (the documented residual
-          // owner-vs-adopter window) or out-of-protocol interference —
-          // always an error, or the clobbered writer's batch silently
-          // vanishes while its caller reports success.
+          // gone but still readable AT our ordinal is a same-ordinal
+          // fold that covered-and-deleted our artifact WITHOUT having
+          // read it (the stale-fold shadow) — in-protocol, recoverable:
+          // retry re-applies on fresh state (the loop-head converged
+          // guard no-ops if the change is in fact inside). Only a
+          // DIFFERENT text under our name, or a state that went
+          // BACKWARD, is out-of-protocol interference — an error, or
+          // the clobbered writer's batch silently vanishes while its
+          // caller reports success.
           var confirmFailure: Throwable = null
-          val landedAnyway = back.isEmpty && {
-            try readGenStateFull(path, conf).exists(_._1.commit > next.commit)
+          val stCommit: Option[Int] =
+            try readGenStateFull(path, conf).map(_._1.commit)
             catch { case scala.util.control.NonFatal(e) =>
-              confirmFailure = e; false }
-          }
-          if (!landedAnyway) {
+              confirmFailure = e; None }
+          val landedAnyway = back.isEmpty && stCommit.exists(_ > next.commit)
+          retryCovered = back.isEmpty && stCommit.contains(next.commit)
+          if (!landedAnyway && !retryCovered) {
             val ex = new java.io.IOException(
               s"generation-manifest commit at $path interleaved with a " +
                 "writer outside the commit protocol (read-back mismatch " +
@@ -2617,6 +2631,9 @@ object GeoParquet {
             throw ex
           }
         }
+        if (retryCovered) {
+          Thread.sleep(25L * math.min(attempts, 8))
+        } else {
         // POST-write ownership re-check (mirrors commitSidecar's): a
         // writer stalled past the 2 s adoption window between the
         // pre-write checks and the write can land its artifact at an
@@ -2689,6 +2706,7 @@ object GeoParquet {
         }
         }
         }
+        }
       } else {
         // lost the marker race: wait for the winner's manifest, then
         // retry on top of it. A marker whose manifest NEVER lands (the
@@ -2741,10 +2759,17 @@ object GeoParquet {
     // entries look like: "file1":[1.0,2.0,3.0,4.0],"file2":[...]
     val pat = "\"([^\"]+)\":\\[([^\\]]*)\\]".r
     pat.findAllMatchIn(entries).map { m =>
-      val vals = m.group(2).split(',').map { s =>
-        val t = s.trim
-        if (t == "null") Double.NaN else t.toDouble
-      }
+      // "[]" must round-trip like parseScDelta's — renderSidecar emits
+      // an empty array verbatim, and split(',') on "" would throw,
+      // turning a committed empty-array entry into a sidecar no later
+      // read, commit, or fold could ever parse (a poison pill the
+      // delta-side fix alone would have let THROUGH the commit gate)
+      val body = m.group(2).trim
+      val vals = if (body.isEmpty) Array.empty[Double]
+        else body.split(',').map { s =>
+          val t = s.trim
+          if (t == "null") Double.NaN else t.toDouble
+        }
       m.group(1) -> vals
     }.toMap
   }

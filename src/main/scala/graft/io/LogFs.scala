@@ -7,9 +7,15 @@ import org.apache.hadoop.fs.{FileSystem, Path => HadoopPath}
  * THE FILESYSTEM CONTRACT of the two commit protocols (`_gen/` and
  * `_sc/` delta logs), stated once, with the primitives implemented in
  * one place. Everything the CAS design assumes about the storage layer
- * is one of these three facts — any filesystem providing them gets the
- * full no-lost-commit guarantee; anything weaker degrades exactly as
- * documented per primitive.
+ * is one of these three facts; anything weaker degrades exactly as
+ * documented per primitive. SCOPE OF THE GUARANTEE: each primitive
+ * arbitrates ONE name — the atomic publish cannot referee the
+ * cross-name collision where a >2s-stalled fold's `_genckpt-N` lands
+ * beside an adopter's committed `_gendelta-N` and shadows it (readers
+ * take the max checkpoint); that window is narrowed by the sibling
+ * probes, the marker-nonce/ordinal re-checks, and the read-back
+ * covered-ordinal retry, and remains the protocol's one documented
+ * residual (GeoParquet's post-write re-check comment).
  *
  * P1 EXCLUSIVE CREATE (load-bearing for the marker CAS): creating a
  *    file that must not already exist ([[exclusiveCreate]]) fails when

@@ -183,4 +183,17 @@ class LogFsSpec extends AnyFunSuite {
     assert(parsed.ups("geom")("part-0.parquet").isEmpty)
     assert(parsed.del.isEmpty)
   }
+
+  test("parseSidecar round-trips an empty bounds array (delta-side acceptance must not outrun the materialized parser)") {
+    // the shape the delta parser accepts must stay parseable AFTER it
+    // is applied and re-rendered into the materialized sidecar text —
+    // a delta-only fix would let an empty array COMMIT and then poison
+    // every later sidecar read, commit, and fold
+    val text = GeoParquet.renderSidecar(
+      Map("geom" -> Map("part-0.parquet" -> Array.empty[Double],
+        "part-1.parquet" -> Array(1.0, 2.0, 3.0, 4.0))), 3)
+    val all = GeoParquet.parseSidecarAll(text)
+    assert(all("geom")("part-0.parquet").isEmpty)
+    assert(all("geom")("part-1.parquet").toSeq == Seq(1.0, 2.0, 3.0, 4.0))
+  }
 }
