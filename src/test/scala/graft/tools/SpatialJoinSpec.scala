@@ -185,6 +185,38 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(keyCounts.filter(k => !(k._1 == 0 && k._2 == 0)).forall(_._3 == 0))
   }
 
+  test("gridInner is exact for ARBITRARY hot-cell designations") {
+    // the safety argument for adaptive salting is that the hot set is
+    // a pure PERFORMANCE hint: both sides derive saltedness from the
+    // same literal predicate, so ANY designation — cells with no
+    // points, the whole grid, a random scatter — must leave the result
+    // identical to brute force. Detection quality can then never be a
+    // correctness question; seeded random designations pin it.
+    val rnd = new scala.util.Random(421)
+    val pts = (0 until 600).map(i =>
+        (i.toLong, rnd.nextInt(50) * 2.0, rnd.nextInt(50) * 2.0))
+      .toDF("pid", "x", "y").withColumn("pt", st_point(col("x"), col("y")))
+      .select("pid", "pt")
+    val polys = (0 until 15).map { i =>
+      val cx = rnd.nextInt(50) * 2.0; val cy = rnd.nextInt(50) * 2.0
+      val r = rnd.nextInt(8) * 2 + 5.0 // odd radius, even centers: no ties
+      (i.toLong, Seq(Seq(cx + r, cy, cx, cy + r, cx - r, cy, cx, cy - r, cx + r, cy)))
+    }.toDF("gid", "poly")
+    val brute = pts.crossJoin(polys)
+      .where(st_intersects(col("pt"), col("poly"), "polygon"))
+      .select("pid", "gid").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty)
+    (1 to 6).foreach { trial =>
+      val salt = 2 + rnd.nextInt(6)
+      val hot = Seq.fill(1 + rnd.nextInt(4))(
+        (rnd.nextInt(5).toLong, rnd.nextInt(5).toLong)).distinct
+      val got = SpatialJoin.gridInner(pts, polys, col("pt"), col("poly"),
+          "polygon", cellSize = 20.0, salt = salt, hotCells = Some(hot))
+        .select("pid", "gid").as[(Long, Long)].collect().toSet
+      assert(got == brute, s"trial $trial drifted: salt=$salt hot=$hot")
+    }
+  }
+
   test("adaptive salting tolerates a null-majority point column") {
     // 250 of 300 points are null: nulls match nothing in the join, so
     // they must neither form a phantom hot cell (the (null,null) group
