@@ -63,6 +63,20 @@ object SpatialScaleBench {
           array(diamondRing(cx, cy, diamondRadius(col("s_suppkey")))))
         .select("s_suppkey", "diamond")
     }
+    /** Tile 0 carries the catalog's 90%-one-cell skew shape; every
+      * other tile keeps the uniform recipe — one GLOBAL hot cell no
+      * matter how far the extent grows. */
+    def skewedPoints(reps: Int): DataFrame = {
+      val (ux, uy) = sjoinCenterXY(col("c_custkey"))
+      val hot = col("__k") === 0 && col("c_custkey") % 10 =!= 0
+      tile(customers, reps)
+        .withColumn("pt", st_point(
+          when(hot, (((col("c_custkey") * 13) % 50) * 2).cast("double"))
+            .otherwise(ux) + col("__offx"),
+          when(hot, (((col("c_custkey") * 17) % 50) * 2).cast("double"))
+            .otherwise(uy) + col("__offy")))
+        .select("c_custkey", "pt")
+    }
     def lines(reps: Int): DataFrame = {
       val x0 = ((col("s_suppkey") * 131) % 1000).cast("double") + col("__offx")
       val y0 = ((col("s_suppkey") * 257) % 1000).cast("double") + col("__offy")
@@ -87,6 +101,20 @@ object SpatialScaleBench {
           points(reps).withColumnRenamed("c_custkey", "b_key")
             .withColumnRenamed("pt", "b_pt"),
           "a_pt", "b_pt", radius = 8.0)
+      },
+      // ONE global hot cell (tile 0 skewed, every other tile uniform)
+      // while the cold extent grows with scale: blanket salting pays
+      // salt-fold replication in EVERY new cold tile, adaptive only in
+      // the one hot cell — the gap this mode exists for should WIDEN
+      // with extent, measured here side by side
+      "sjoin_skew_blanket" -> { reps: Int =>
+        SpatialJoin.pointInGeom(skewedPoints(reps), diamonds(reps),
+          "pt", "diamond", "polygon", cellSize = 128.0, salt = 8)
+      },
+      "sjoin_skew_adaptive" -> { reps: Int =>
+        SpatialJoin.pointInGeom(skewedPoints(reps), diamonds(reps),
+          "pt", "diamond", "polygon", cellSize = 128.0, salt = 8,
+          adaptiveSalt = true)
       })
 
     val baseReps = 4
