@@ -63,18 +63,21 @@ object SpatialScaleBench {
           array(diamondRing(cx, cy, diamondRadius(col("s_suppkey")))))
         .select("s_suppkey", "diamond")
     }
-    /** Tile 0 carries the catalog's 90%-one-cell skew shape; every
-      * other tile keeps the uniform recipe — one GLOBAL hot cell no
-      * matter how far the extent grows. */
+    /** 90% of EVERY replica's points collapse into the single global
+      * hot cell ([0,100)^2 — no tile offset on the hot branch), the
+      * cold 10% tile out with the extent: the hot mass scales WITH the
+      * data, so the adaptive detector keeps firing at every scale (a
+      * fixed-mass hot cell would fall under the total-scaled threshold
+      * at 10x and silently measure the unsalted fallback instead). */
     def skewedPoints(reps: Int): DataFrame = {
       val (ux, uy) = sjoinCenterXY(col("c_custkey"))
-      val hot = col("__k") === 0 && col("c_custkey") % 10 =!= 0
+      val hot = col("c_custkey") % 10 =!= 0
       tile(customers, reps)
         .withColumn("pt", st_point(
           when(hot, (((col("c_custkey") * 13) % 50) * 2).cast("double"))
-            .otherwise(ux) + col("__offx"),
+            .otherwise(ux + col("__offx")),
           when(hot, (((col("c_custkey") * 17) % 50) * 2).cast("double"))
-            .otherwise(uy) + col("__offy")))
+            .otherwise(uy + col("__offy"))))
         .select("c_custkey", "pt")
     }
     def lines(reps: Int): DataFrame = {

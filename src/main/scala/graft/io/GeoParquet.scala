@@ -1472,14 +1472,15 @@ object GeoParquet {
                 "survive the canonical text (a file or column name the " +
                 "format cannot represent?) — dataset left untouched")
           }
-          // landed-anyway: our artifact vanished/differs but the log
-          // advanced PAST our ordinal — only possible if some writer
-          // read and applied our commit first, i.e. it landed
-          def landedAnyway(sink: Throwable => Unit): Boolean =
-            try readSidecarFull(path, conf)
-              .flatMap(f => sidecarCommit(f._1)).exists(_ > nextVer)
+          // post-mismatch version probe: PAST our ordinal = some writer
+          // read and applied our commit first (it landed); still AT our
+          // ordinal = a same-ordinal fold covered-and-deleted our
+          // artifact without reading it — in-protocol, retryable (the
+          // manifest twin's retryCovered)
+          def verAfter(sink: Throwable => Unit): Option[Int] =
+            try readSidecarFull(path, conf).flatMap(f => sidecarCommit(f._1))
             catch { case e if scala.util.control.NonFatal(e) =>
-              sink(e); false }
+              sink(e); None }
           val (artName, artText) =
             if (fold) {
               val t = renderSidecar(next, nextVer)
@@ -1504,6 +1505,16 @@ object GeoParquet {
             if (fold) scDeltaName(nextVer) else scCkptName(nextVer)
           val wrote = writeTextNoReplace(spark, scDirStr, artName, artText,
             alsoAbsent = Seq(sibling))
+          if (!wrote) {
+            // a refused publish can recur at the SAME version — release
+            // the marker while it still carries OUR nonce (mirrors the
+            // manifest twin; same check-then-delete residual as the 2 s
+            // adoption path), or the retry blocks on its own claim
+            if (markerHolds(fs, marker, nonce))
+              try fs.delete(marker, false)
+              catch { case _: java.io.IOException => () }
+          }
+          var coveredRetry = false
           if (wrote) {
             val back =
               try readTextFile(scDirStr, artName, conf)
@@ -1511,12 +1522,19 @@ object GeoParquet {
             if (!back.contains(artText)) {
               // our artifact GONE can be legitimate: a newer fold can
               // only have covered and deleted it after some writer read
-              // and applied it — the commit landed. Different content
-              // under our name is out-of-protocol interference (the
-              // no-replace write makes in-protocol overwrites
+              // and applied it — the commit landed. A log still
+              // readable AT our version is a same-ordinal fold that
+              // covered us without reading us — retry on fresh state
+              // (the manifest twin's retryCovered; the no-op detection
+              // resolves it quietly if the change did land). Different
+              // content under our name is out-of-protocol interference
+              // (the no-replace write makes in-protocol overwrites
               // impossible) — always an error.
               var suppressed: Throwable = null
-              if (!(back.isEmpty && landedAnyway(e => suppressed = e))) {
+              val v = verAfter(e => suppressed = e)
+              val landed = back.isEmpty && v.exists(_ > nextVer)
+              coveredRetry = back.isEmpty && v.contains(nextVer)
+              if (!landed && !coveredRetry) {
                 val ex = new java.io.IOException(
                   s"sidecar update at $path interleaved with a writer " +
                     "outside the commit protocol (read-back mismatch " +
@@ -1526,7 +1544,7 @@ object GeoParquet {
               }
             }
           }
-          if (wrote) {
+          if (wrote && !coveredRetry) {
           // POST-write ownership re-check: a writer stalled past the
           // 2 s adoption window between the pre-write checks and the
           // write can land its artifact at an ordinal an adopter
@@ -2591,7 +2609,10 @@ object GeoParquet {
           // probe fault with the manifest unmoved) — release the marker
           // while it still carries OUR nonce, or the retry blocks on
           // its own claim and waits out its own 2 s adoption clock
-          // while rivals read a live owner as a stale marker
+          // while rivals read a live owner as a stale marker. The
+          // markerHolds-then-delete pair is check-then-act — the same
+          // residual shape as the 2 s adoption delete, caught by the
+          // ordinal re-checks and never-replace publish like it
           if (markerHolds(fs, marker, nonce))
             try fs.delete(marker, false)
             catch { case _: java.io.IOException => () }
@@ -2764,9 +2785,9 @@ object GeoParquet {
       // turning a committed empty-array entry into a sidecar no later
       // read, commit, or fold could ever parse (a poison pill the
       // delta-side fix alone would have let THROUGH the commit gate)
-      val body = m.group(2).trim
-      val vals = if (body.isEmpty) Array.empty[Double]
-        else body.split(',').map { s =>
+      val arrayBody = m.group(2).trim // NOT the enclosing `body` (JSON tail)
+      val vals = if (arrayBody.isEmpty) Array.empty[Double]
+        else arrayBody.split(',').map { s =>
           val t = s.trim
           if (t == "null") Double.NaN else t.toDouble
         }
