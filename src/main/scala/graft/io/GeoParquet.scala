@@ -21,10 +21,12 @@ import scala.jdk.CollectionConverters._
  * — see [[sidecarCommit]] for the legacy fallback.)
  *
  * The sidecar is a DELTA LOG in `_sc/` (the twin of the manifest's
- * `_gen/`): steady-state commits write an O(change) `_sc/_scdelta-N.json`
- * (per-file upserts + removals); an ordinal-named checkpoint
- * `_sc/_scckpt-N.json` is written only on the first commit, a full
- * rebuild, or when [[DeltaFoldEvery]] deltas have piled up —
+ * `_gen/`): ordinal N is exactly ONE artifact `_sc/_sc-N.json` — an
+ * O(change) delta (per-file upserts + removals) in steady state, or a
+ * full-state checkpoint on the first commit, a full rebuild, or when
+ * [[DeltaFoldEvery]] deltas have piled up; the KIND lives in the
+ * canonical text head, not the name, so the never-replace publish
+ * arbitrates the whole ordinal ([[ScArtPrefix]]). Checkpoints are
  * created-new-before-delete-old, never replaced in place. The root
  * `_spatial_metadata.json` is the LEGACY base (pre-delta-log datasets),
  * read until the first fold migrates and sweeps it. Readers
@@ -1386,11 +1388,11 @@ object GeoParquet {
   /** The one sidecar update path (append / pack / compaction / vacuum /
     * abort-cleanup / full rebuild), now a DELTA LOG like the generation
     * manifest's: the winner of the `_sc/.sccommit-(v+1)` marker owns
-    * sidecar version v+1 and normally writes an O(change)
-    * `_sc/_scdelta-(v+1).json`; a versioned checkpoint
-    * `_sc/_scckpt-(v+1).json` is written only on the first commit, a
-    * `replace` (full rebuild), or when [[DeltaFoldEvery]] deltas have
-    * piled up — per-commit metadata bytes no longer scale with the
+    * sidecar version v+1 and publishes `_sc/_sc-(v+1).json` — normally
+    * an O(change) delta; a full-state checkpoint only on the first
+    * commit, a `replace` (full rebuild), or when [[DeltaFoldEvery]]
+    * deltas have piled up — per-commit metadata bytes no longer scale
+    * with the
     * live file count (the last O(live-files) write the lake had). The
     * fold CREATES the new checkpoint before deleting the older ones,
     * the deltas it covers, and the legacy root file, so a max-ordinal
@@ -1481,19 +1483,24 @@ object GeoParquet {
             try readSidecarFull(path, conf).flatMap(f => sidecarCommit(f._1))
             catch { case e if scala.util.control.NonFatal(e) =>
               sink(e); None }
-          val (artName, artText) =
+          // single-name-per-ordinal (the manifest twin's format): both
+          // kinds publish `_sc-N.json` — kind lives in the canonical
+          // text head — so a stalled fold's checkpoint and an
+          // adopter's delta collide on the NAME and P3 arbitrates.
+          val artText =
             if (fold) {
               val t = renderSidecar(next, nextVer)
               surviveCanonical(renderSidecar(parseSidecarAll(t), nextVer) == t)
-              (scCkptName(nextVer), t)
+              t
             } else {
               val dt = renderScDelta(delta)
               surviveCanonical {
                 val rt = parseScDelta(dt, "self-check")
                 renderScDelta(rt) == dt
               }
-              (scDeltaName(nextVer), dt)
+              dt
             }
+          val artName = scArtName(nextVer)
           // ordinal-named artifacts are IMMUTABLE: never-replace write,
           // so a writer resuming after a >2s stall can no longer
           // overwrite the artifact an adopter already committed at the
@@ -1501,10 +1508,10 @@ object GeoParquet {
           // reported success while one change was silently gone). A
           // false return means the ordinal is already taken: fall back
           // into the retry loop like any lost race.
-          val sibling =
-            if (fold) scDeltaName(nextVer) else scCkptName(nextVer)
+          // legacy twin names kept in alsoAbsent purely as
+          // mixed-version defense (an old JVM racing this one)
           val wrote = writeTextNoReplace(spark, scDirStr, artName, artText,
-            alsoAbsent = Seq(sibling))
+            alsoAbsent = Seq(scDeltaName(nextVer), scCkptName(nextVer)))
           if (!wrote) {
             // a refused publish can recur at the SAME version — release
             // the marker while it still carries OUR nonce (mirrors the
@@ -1573,9 +1580,14 @@ object GeoParquet {
               if (i <= 0) None
               else ordinalOf(d.substring(0, i) + ".json", ScDeltaPrefix)
                 .orElse(ordinalOf(d.substring(0, i) + ".json", ScCkptPrefix))
+                .orElse(ordinalOf(d.substring(0, i) + ".json", ScArtPrefix))
             }
+            // unified ordinals < N are dead whatever their kind; the
+            // legacy-NAMED sweep below IS the migration (twin layout
+            // gone after the first fold)
             names.filter { n =>
-              (fold && ordinalOf(n, ScDeltaPrefix).exists(_ <= nextVer)) ||
+              (fold && ordinalOf(n, ScArtPrefix).exists(_ < nextVer)) ||
+                (fold && ordinalOf(n, ScDeltaPrefix).exists(_ <= nextVer)) ||
                 (fold && ordinalOf(n, ScCkptPrefix).exists(_ < nextVer)) ||
                 (n.startsWith(".sccommit-") && n.stripPrefix(".sccommit-")
                   .toIntOption.exists(_ < nextVer)) ||
@@ -1648,16 +1660,16 @@ object GeoParquet {
     // refusal path) and again, for the target name, via the rename
     // guard below.
     def taken: Boolean = (name +: alsoAbsent).exists { n =>
-      // a TRANSIENT probe failure counts as taken: the caller retries
-      // a lost race (cheap), whereas treating it as absent would let
-      // the fallback rename clobber a committed artifact the probe
-      // just failed to see. A failure that REPEATS on the immediate
-      // second probe is a broken filesystem, not a race — rethrow so
-      // the caller surfaces the real I/O error instead of burning its
-      // retry budget and reporting fake contention.
+      // a TRANSIENT probe failure retries once and USES the second
+      // probe's verdict (a one-shot fault whose retry proves the name
+      // absent must not cost a full marker-release + retry round). A
+      // failure that REPEATS on the immediate second probe is a
+      // broken filesystem, not a race — the second call's exception
+      // propagates so the caller surfaces the real I/O error instead
+      // of burning its retry budget and reporting fake contention.
       val p = new HadoopPath(path, n)
       try fs.exists(p)
-      catch { case _: java.io.IOException => fs.exists(p); true }
+      catch { case _: java.io.IOException => fs.exists(p) }
     }
     if (taken) return false
     val tmp = new HadoopPath(path,
@@ -1722,7 +1734,7 @@ object GeoParquet {
 
   /** Sidecar delta-log artifacts live in `_sc/` next to the data,
     * exactly like the generation manifest's `_gen/`. Checkpoints are
-    * ORDINAL-NAMED (`_scckpt-N.json`, created-new-before-delete-old,
+    * ORDINAL-NAMED (`_sc-N.json`, created-new-before-delete-old,
     * never overwritten in place): a fixed-name root checkpoint would
     * need a delete-then-rename swap whose crash window leaves the
     * deltas uncovered — and a later commit, finding no base, would
@@ -1731,11 +1743,33 @@ object GeoParquet {
     * base (pre-delta-log datasets) and is swept by the first fold,
     * exactly like `_generations.json` was for the manifest. */
   private[graft] val ScDirName = "_sc"
+  /** LEGACY (pre-r16) twin-name layout — still read, swept by the
+    * first fold, never written (see [[GenArtPrefix]] for why the
+    * kind-in-the-name layout had a cross-name shadow window). */
   private[graft] val ScDeltaPrefix = "_scdelta-"
   private[graft] val ScCkptPrefix = "_scckpt-"
+  /** CURRENT single-name-per-ordinal layout: `_sc-N.json`, kind in the
+    * canonical text head (checkpoints start `{"version":1,"_commit":`,
+    * deltas `{"version":1,"del":[`) — the manifest's `_gen-N.json`
+    * twin, same P3 whole-ordinal arbitration. */
+  private[graft] val ScArtPrefix = "_sc-"
   private def scDeltaName(commit: Int) = s"$ScDeltaPrefix$commit.json"
   private def scCkptName(commit: Int) = s"$ScCkptPrefix$commit.json"
+  private[graft] def scArtName(commit: Int) = s"$ScArtPrefix$commit.json"
   private def scLogDir(path: String): String = s"$path/$ScDirName"
+
+  /** Kind of a unified `_sc-N.json` artifact by its canonical head
+    * (both shapes are machine-rendered, commit-time self-round-trip
+    * checked): true = materialized checkpoint, false = delta. Anything
+    * else is a hand edit / truncation — an ERROR, never a guess. */
+  private[graft] def scArtIsCkpt(text: String, where: String): Boolean = {
+    val t = text.trim
+    if (t.startsWith("{\"version\":1,\"_commit\":")) true
+    else if (t.startsWith("{\"version\":1,\"del\":[")) false
+    else throw new IllegalArgumentException(
+      s"malformed unified sidecar log artifact at $where: head is " +
+        "neither a checkpoint nor a delta")
+  }
 
   /** Per-process memo of the MATERIALIZED sidecar text, keyed on an
     * md5 over the root checkpoint text AND every applicable delta
@@ -1771,33 +1805,73 @@ object GeoParquet {
       try fs.listStatus(scDir).map(st => (st.getPath.getName, st.getLen,
         st.getModificationTime)).toSeq.sortBy(_._1)
       catch { case _: java.io.FileNotFoundException => Nil }
+    def readArt(name: String): Option[String] =
+      try readTextFile(scLogDir(path), name, conf)
+      catch { case _: java.io.FileNotFoundException => None }
     var attempts = 0
     while (attempts < 50) {
       attempts += 1
       val entries = listSc()
-      val deltaOrdsAll = entries.flatMap(e => ordinalOf(e._1, ScDeltaPrefix))
-      val ckptOrds = entries.flatMap(e => ordinalOf(e._1, ScCkptPrefix))
-      // base: the max versioned checkpoint; the legacy root file only
-      // when none exists yet (pre-delta-log dataset, swept by the
-      // first fold). A checkpoint vanishing between the listing and
-      // the read means a newer fold's cleanup raced us — re-list.
+      // unified artifacts (`_sc-N.json`, current layout) carry their
+      // kind in the text head — read them up front (the same opens a
+      // base+deltas read pays anyway). One vanishing between listing
+      // and read is a racing fold's cleanup — re-list.
+      val uniOrds = entries.flatMap(e => ordinalOf(e._1, ScArtPrefix)).sorted
+      val uniTexts: Map[Int, String] = uniOrds.flatMap(o =>
+        readArt(scArtName(o)).map(o -> _)).toMap
+      if (uniTexts.size != uniOrds.size) {
+        if (attempts >= 8) throw new java.io.IOException(
+          s"sidecar log artifact at $path vanished across retries — " +
+            "torn dataset")
+        Thread.sleep(10L * attempts)
+      } else {
+      val uniCkptOrds = uniOrds.filter(o =>
+        scArtIsCkpt(uniTexts(o), s"${scLogDir(path)}/${scArtName(o)}"))
+      val uniDeltaOrds = uniOrds.filterNot(uniCkptOrds.contains)
+      val deltaOrdsAll = (entries.flatMap(e =>
+        ordinalOf(e._1, ScDeltaPrefix)) ++ uniDeltaOrds).distinct
+      val ckptOrds = (entries.flatMap(e =>
+        ordinalOf(e._1, ScCkptPrefix)) ++ uniCkptOrds).distinct
+      // base: the max versioned checkpoint across BOTH namespaces; the
+      // legacy root file only when none exists yet (pre-delta-log
+      // dataset, swept by the first fold). A checkpoint vanishing
+      // between the listing and the read means a newer fold's cleanup
+      // raced us — re-list.
       val root = ckptOrds.maxOption match {
         case Some(n) =>
-          try readTextFile(scLogDir(path), scCkptName(n), conf)
-          catch { case _: java.io.FileNotFoundException => None }
+          if (uniCkptOrds.contains(n)) uniTexts.get(n)
+          else readArt(scCkptName(n))
         case None => readTextFile(path, SidecarName, conf)
       }
+      def deltaText(n: Int): Option[String] =
+        if (uniDeltaOrds.contains(n)) uniTexts.get(n)
+        else readArt(scDeltaName(n))
+      def deltaWhere(n: Int): String =
+        if (uniDeltaOrds.contains(n)) s"${scLogDir(path)}/${scArtName(n)}"
+        else s"${scLogDir(path)}/${scDeltaName(n)}"
       root match {
         case None =>
           if (ckptOrds.isEmpty && deltaOrdsAll.isEmpty) {
             // "no sidecar at all" must be CONFIRMED: a migration fold
-            // racing this read can have written _scckpt-N and swept
-            // the legacy root between our _sc listing and our root
-            // read (the same interleaving the manifest reader
+            // racing this read can have written its checkpoint and
+            // swept the legacy root between our _sc listing and our
+            // root read (the same interleaving the manifest reader
             // confirms against). A checkpoint in the fresh listing
             // means retry; still nothing means genuinely no sidecar.
-            if (!listSc().exists(e =>
-                ordinalOf(e._1, ScCkptPrefix).isDefined))
+            // Unified artifacts need an open to classify — one that
+            // vanishes mid-confirm is a racing fold: NOT confirmed.
+            val fresh = listSc()
+            val legacyCkpt = fresh.exists(e =>
+              ordinalOf(e._1, ScCkptPrefix).isDefined)
+            val uniMaybeCkpt = fresh
+              .flatMap(e => ordinalOf(e._1, ScArtPrefix)).exists { o =>
+                readArt(scArtName(o)) match {
+                  case Some(t) =>
+                    scArtIsCkpt(t, s"${scLogDir(path)}/${scArtName(o)}")
+                  case None => true
+                }
+              }
+            if (!legacyCkpt && !uniMaybeCkpt)
               return None
           } else if (ckptOrds.isEmpty && attempts >= 8) {
             // deltas with no readable base, persistently: someone
@@ -1820,10 +1894,7 @@ object GeoParquet {
           val contiguous = applicable ==
             (v + 1 to v + applicable.length)
           if (contiguous) {
-            val texts = applicable.map { n =>
-              try readTextFile(scLogDir(path), scDeltaName(n), conf)
-              catch { case _: java.io.FileNotFoundException => None }
-            }
+            val texts = applicable.map(deltaText)
             // the signature CONTENT-hashes everything it covers —
             // checkpoint and deltas — so no rebuild/restore at the same
             // path can ever alias (a stat signature could: fixed-width
@@ -1842,8 +1913,7 @@ object GeoParquet {
             if (texts.forall(_.isDefined)) {
               val st = applicable.zip(texts)
                 .foldLeft(parseSidecarAll(text)) { case (s, (n, t)) =>
-                  applyScDelta(s, parseScDelta(t.get,
-                    s"${scLogDir(path)}/${scDeltaName(n)}"))
+                  applyScDelta(s, parseScDelta(t.get, deltaWhere(n)))
                 }
               val out = renderSidecar(st, v + applicable.length)
               if (scTextMemo.size > 64) scTextMemo.clear()
@@ -1852,6 +1922,7 @@ object GeoParquet {
             } // a delta vanished: fold cleanup raced the listing — retry
           } // non-contiguous: our root read predates a fold — retry
           Thread.sleep(5L * attempts)
+      }
       }
     }
     throw new java.io.IOException(
@@ -2192,7 +2263,7 @@ object GeoParquet {
     * `set` upserts file entries, `del` drops them (tombstone
     * compaction), `minGen` is the absolute new horizon, rwAdd/rwDel
     * adjust the rewrite-generation set. Written as
-    * `_gendelta-<commit>.json`, O(change) bytes — the full-state
+    * `_gen-<commit>.json`, O(change) bytes — the full-state
     * checkpoint (`_generations.json`) is rewritten only every
     * [[DeltaFoldEvery]] commits, so per-commit driver work no longer
     * scales with the file count. */
@@ -2207,8 +2278,26 @@ object GeoParquet {
     * of paging the whole (possibly million-file) dataset directory. An
     * underscore prefix keeps it invisible to Spark's data listings. */
   private[graft] val GenDirName = "_gen"
-  private val DeltaPrefix = "_gendelta-"
-  private val CkptPrefix = "_genckpt-"
+  /** LEGACY (pre-r16) twin-name layout: deltas and checkpoints carried
+    * their kind in the NAME, so a >2s-stalled fold's `_genckpt-N`
+    * could land BESIDE an adopter's committed `_gendelta-N` — two
+    * different names at one ordinal that no never-replace publish can
+    * referee, and readers taking the max checkpoint silently shadowed
+    * the delta (the protocol's one documented lost-commit residual).
+    * Still READ (and swept by the first fold) for existing datasets;
+    * never written. */
+  private[graft] val DeltaPrefix = "_gendelta-"
+  private[graft] val CkptPrefix = "_genckpt-"
+  /** CURRENT single-name-per-ordinal layout: ordinal N is exactly ONE
+    * artifact `_gen-N.json` whose KIND lives in the canonical text
+    * itself (checkpoints start `{"_commit":`, deltas `{"_dcommit":` —
+    * both strict-round-trip shapes, so the head is load-bearing and
+    * verified). With one name per ordinal the P3 never-replace publish
+    * ([[LogFs.linkNoReplace]], EEXIST-atomic on `file://`) arbitrates
+    * the WHOLE ordinal: a stalled fold's checkpoint and an adopter's
+    * delta now collide on the NAME and one of them LOSES loudly —
+    * the cross-name shadow window is closed, not narrowed. */
+  private[graft] val GenArtPrefix = "_gen-"
   /** Dataset identity: an empty `_genid-<uuid>` file whose NAME (never
     * its content — it is listed, not opened) feeds the log-read memo's
     * listing signature. Without it, a dataset DELETED and REBUILT at
@@ -2223,10 +2312,28 @@ object GeoParquet {
   private[graft] val IdPrefix = "_genid-"
   private def deltaName(commit: Int) = s"$DeltaPrefix$commit.json"
   private def ckptName(commit: Int) = s"$CkptPrefix$commit.json"
+  private[graft] def genArtName(commit: Int) = s"$GenArtPrefix$commit.json"
   private def ordinalOf(name: String, prefix: String): Option[Int] =
     if (name.startsWith(prefix) && name.endsWith(".json"))
       name.stripPrefix(prefix).stripSuffix(".json").toIntOption
     else None
+  // the namespaces cannot alias: "_gendelta-5.json".stripPrefix("_gen-")
+  // = "delta-5" has no integer ordinal, and "_genid-…" never carries
+  // the "_gen-" dash. Same for "_sc-" vs "_scdelta-"/"_scckpt-".
+
+  /** Kind of a unified `_gen-N.json` artifact, decided by the
+    * canonical text's HEAD (both render shapes are strict-round-trip
+    * machine text, so the first key is as load-bearing as a name):
+    * true = full-state checkpoint, false = delta. Anything else is a
+    * hand edit / truncation — an ERROR, never a guess. */
+  private[graft] def genArtIsCkpt(text: String, where: String): Boolean = {
+    val t = text.trim
+    if (t.startsWith("{\"_commit\":")) true
+    else if (t.startsWith("{\"_dcommit\":")) false
+    else throw new IllegalArgumentException(
+      s"malformed unified log artifact at $where: head is neither a " +
+        "checkpoint nor a delta")
+  }
 
   private[graft] def renderGenDelta(d: GenDelta): String =
     s"""{"_dcommit":${d.commit},"_min":${d.minGen},"_rwa":[""" +
@@ -2352,8 +2459,28 @@ object GeoParquet {
     // stale-legacy / transient-None interleaving at the cost of one
     // extra tiny-dir (or FNF) round-trip on the non-steady-state
     // paths only.
-    def confirmedNoVersionedCkpt(): Boolean =
-      listGen()._1.forall(e => ordinalOf(e._1, CkptPrefix).isEmpty)
+    // exists-then-open races a fold's cleanup on every artifact —
+    // treat a throw as vanished (superseded base), never corruption
+    def readArtifact(dir: String, name: String): Option[String] =
+      try readTextFile(dir, name, conf)
+      catch { case _: java.io.FileNotFoundException => None }
+    // a versioned checkpoint is a legacy-NAMED `_genckpt-…` or a
+    // unified artifact whose TEXT is a checkpoint — the latter needs
+    // an open to classify, which only the rare non-steady-state
+    // confirm paths pay (the tiny-dir artifacts are O(change) bytes).
+    // A unified artifact that vanishes mid-confirm is a racing fold's
+    // cleanup — NOT confirmed (retry into the fresh layout).
+    def confirmedNoVersionedCkpt(): Boolean = {
+      val entries = listGen()._1
+      entries.forall(e => ordinalOf(e._1, CkptPrefix).isEmpty) &&
+        !entries.flatMap(e => ordinalOf(e._1, GenArtPrefix)).exists { o =>
+          readArtifact(genLogDir(path), genArtName(o)) match {
+            case Some(t) =>
+              genArtIsCkpt(t, s"${genLogDir(path)}/${genArtName(o)}")
+            case None => true
+          }
+        }
+    }
     var attempts = 0
     var emptySeen = 0
     while (true) {
@@ -2363,36 +2490,66 @@ object GeoParquet {
           "after 50 attempts")
       val (statuses, genDirExists) = listGen()
       val names = statuses.map(_._1)
-      val ckptOrds = names.flatMap(ordinalOf(_, CkptPrefix)).sorted
-      // exists-then-open races a fold's cleanup on every artifact —
-      // treat a throw as vanished (superseded base), never corruption
-      def readArtifact(dir: String, name: String): Option[String] =
-        try readTextFile(dir, name, conf)
-        catch { case _: java.io.FileNotFoundException => None }
+      // the signature is the full (name, length, mtime) listing of the
+      // log artifacts PLUS the dataset-identity file names ([[IdPrefix]]):
+      // identical signature implies identical content, and a same-path
+      // rebuild always carries a fresh identity name. Checked BEFORE
+      // the unified-artifact opens — the memo's whole point is to skip
+      // per-artifact reads, and it only ever stores conclusions from
+      // versioned-checkpoint reads, so a signature hit is safe
+      // regardless of what this attempt would have classified.
+      val sig = statuses.filter(e =>
+        ordinalOf(e._1, CkptPrefix).isDefined ||
+          ordinalOf(e._1, DeltaPrefix).isDefined ||
+          ordinalOf(e._1, GenArtPrefix).isDefined ||
+          e._1.startsWith(IdPrefix))
+      val hit = genStateMemo.get(path)
+      if (hit != null && hit._1 == sig) return Some(hit._2)
+      // unified artifacts (`_gen-N.json`, current layout) carry their
+      // kind in the text head — read them up front (the same opens a
+      // base+deltas read pays anyway; only post-crash stragglers an
+      // upcoming fold will sweep cost an extra open). One vanishing
+      // between the listing and its read is a racing fold's cleanup —
+      // re-list, bounded by the attempt counter.
+      val uniOrds = names.flatMap(ordinalOf(_, GenArtPrefix)).sorted
+      val uniTexts: Map[Int, String] = uniOrds.flatMap(o =>
+        readArtifact(genLogDir(path), genArtName(o)).map(o -> _)).toMap
+      if (uniTexts.size != uniOrds.size) {
+        if (attempts >= 8) throw new java.io.IOException(
+          s"generation log artifact at $path vanished across retries — " +
+            "torn dataset")
+        Thread.sleep(25L * math.min(attempts, 8))
+      } else {
+      val uniCkptOrds = uniOrds.filter(o =>
+        genArtIsCkpt(uniTexts(o), s"${genLogDir(path)}/${genArtName(o)}"))
+      val legacyCkptOrds = names.flatMap(ordinalOf(_, CkptPrefix))
+      val ckptOrds = (legacyCkptOrds ++ uniCkptOrds).distinct.sorted
       // legacy layouts put log artifacts at the ROOT: the pre-delta
       // era's _generations.json checkpoint, and the one intermediate
       // build's root-level deltas on top of it. Both are read until
       // the first fold migrates and sweeps them. The root listing is
       // taken ONLY on the legacy path (no versioned checkpoint yet) —
       // steady-state reads never page the data directory.
-      // the signature is the full (name, length, mtime) listing of the
-      // log artifacts PLUS the dataset-identity file names ([[IdPrefix]]):
-      // identical signature implies identical content, and a same-path
-      // rebuild always carries a fresh identity name
-      val sig = statuses.filter(e =>
-        ordinalOf(e._1, CkptPrefix).isDefined ||
-          ordinalOf(e._1, DeltaPrefix).isDefined ||
-          e._1.startsWith(IdPrefix))
-      if (ckptOrds.nonEmpty) {
-        val hit = genStateMemo.get(path)
-        if (hit != null && hit._1 == sig) return Some(hit._2)
-      }
-      val (base, deltaDirs) = ckptOrds.lastOption match {
+      // deltas merge BOTH namespaces: legacy-named `_gendelta-…`
+      // (and the intermediate era's root-level ones) read lazily by
+      // name, unified ones already in hand.
+      def legacyDeltaText(dir: String)(o: Int): Option[String] =
+        readArtifact(dir, deltaName(o))
+      val uniDeltaSrc: Seq[(Int, (String, Int => Option[String]))] =
+        (uniOrds.toSet -- uniCkptOrds).toSeq.map(o =>
+          o -> (s"${genLogDir(path)}/${genArtName(o)}",
+            (n: Int) => uniTexts.get(n)))
+      val (base, deltaSrcs) = ckptOrds.lastOption match {
         case Some(n) =>
-          (readArtifact(genLogDir(path), ckptName(n))
-            .map(parseGenState(_, s"${genLogDir(path)}/${ckptName(n)}")),
+          val bText =
+            if (uniCkptOrds.contains(n))
+              Some(uniTexts(n) -> s"${genLogDir(path)}/${genArtName(n)}")
+            else readArtifact(genLogDir(path), ckptName(n))
+              .map(_ -> s"${genLogDir(path)}/${ckptName(n)}")
+          (bText.map { case (t, w) => parseGenState(t, w) },
             names.flatMap(ordinalOf(_, DeltaPrefix))
-              .map(o => o -> genLogDir(path)))
+              .map(o => o -> (s"${genLogDir(path)}/${deltaName(o)}",
+                legacyDeltaText(genLogDir(path)) _)) ++ uniDeltaSrc)
         case None =>
           val legacy = readArtifact(path, GenerationsName)
             .map(parseGenState(_, s"$path/$GenerationsName"))
@@ -2403,13 +2560,16 @@ object GeoParquet {
             catch { case _: java.io.FileNotFoundException => Nil }
           (legacy,
             (names.flatMap(ordinalOf(_, DeltaPrefix))
-              .map(o => o -> genLogDir(path)) ++
+              .map(o => o -> (s"${genLogDir(path)}/${deltaName(o)}",
+                legacyDeltaText(genLogDir(path)) _)) ++
              rootNames.flatMap(ordinalOf(_, DeltaPrefix))
-               .map(o => o -> path)).distinctBy(_._1))
+               .map(o => o -> (s"$path/${deltaName(o)}",
+                 legacyDeltaText(path) _)) ++
+             uniDeltaSrc).distinctBy(_._1))
       }
       val legacyBased = ckptOrds.isEmpty && base.isDefined
-      val deltaOrds = deltaDirs.map(_._1).sorted
-      val deltaDirOf = deltaDirs.toMap
+      val deltaOrds = deltaSrcs.map(_._1).sorted
+      val deltaSrcOf = deltaSrcs.toMap
       base match {
         case None if ckptOrds.isEmpty && deltaOrds.isEmpty =>
           // "no manifest at all" must be confirmed: a migration fold
@@ -2436,13 +2596,11 @@ object GeoParquet {
           val contiguous = applicable ==
             (b.commit + 1 to b.commit + applicable.length)
           if (contiguous) {
-            val texts = applicable.map(n =>
-              n -> readArtifact(deltaDirOf(n), deltaName(n)))
+            val texts = applicable.map(n => n -> deltaSrcOf(n)._2(n))
             if (texts.forall(_._2.isDefined)) {
               if (!legacyBased || confirmedNoVersionedCkpt()) {
                 val result = (texts.foldLeft(b) { case (s, (n, t)) =>
-                  applyGenDelta(s,
-                    parseGenDelta(t.get, s"${deltaDirOf(n)}/${deltaName(n)}"))
+                  applyGenDelta(s, parseGenDelta(t.get, deltaSrcOf(n)._1))
                 }, applicable.length)
                 if (!legacyBased) {
                   if (genStateMemo.size > 64) genStateMemo.clear()
@@ -2462,6 +2620,7 @@ object GeoParquet {
               s"${b.commit} (${applicable.mkString(",")}) — torn dataset")
       }
       Thread.sleep(25L * math.min(attempts, 8))
+      }
     }
     None // unreachable
   }
@@ -2504,11 +2663,13 @@ object GeoParquet {
     * semantics; object stores without atomic create-if-absent keep
     * only the read-back detection.
     *
-    * WHAT the winner writes (the 100×-commit design): normally an
-    * O(change) `_gen/_gendelta-N.json` — per-commit driver work no
-    * longer scales with the file count. A full-state checkpoint
-    * `_gen/_genckpt-N.json` is written only for the FIRST commit, or
-    * when [[DeltaFoldEvery]] deltas have piled up. The fold CREATES
+    * WHAT the winner writes (the 100×-commit design): ordinal N is
+    * exactly ONE artifact `_gen/_gen-N.json` ([[GenArtPrefix]]) —
+    * normally an O(change) delta, so per-commit driver work does not
+    * scale with the file count; a full-state checkpoint only for the
+    * FIRST commit, or when [[DeltaFoldEvery]] deltas have piled up
+    * (the kind lives in the text head, so the never-replace publish
+    * arbitrates the whole ordinal). The fold CREATES
     * the new checkpoint before deleting anything, so a max-ordinal
     * checkpoint always exists — a crash mid-fold can never leave
     * deltas uncovered (the delete-then-rename window of a fixed-name
@@ -2585,25 +2746,27 @@ object GeoParquet {
               "canonical log text (a file name the format cannot " +
               "represent?) — dataset left untouched")
         }
-        val (name, text) =
+        // single-name-per-ordinal: BOTH kinds publish `_gen-N.json`
+        // (kind lives in the canonical text head), so a stalled fold's
+        // checkpoint and an adopter's delta at the same ordinal now
+        // collide on the NAME and the P3 never-replace publish
+        // arbitrates — the cross-name shadow window is closed. The
+        // legacy twin names stay in `alsoAbsent` purely as
+        // mixed-version defense (an old JVM racing this one).
+        val text =
           if (fold) {
             val t = renderGenState(next)
             surviveCanonical(parseGenState(t, "self-check") == next)
-            (ckptName(next.commit), t)
+            t
           } else {
             val d = diffGenState(cur.get, next)
             val t = renderGenDelta(d)
             surviveCanonical(parseGenDelta(t, "self-check") == d)
-            (deltaName(next.commit), t)
+            t
           }
-        // never-replace write: log artifacts are immutable, so a stale
-        // writer can no longer overwrite the artifact an adopter
-        // committed at the same ordinal — it gets `false` and retries
-        // like any lost race (its update re-applies on fresh state)
-        val sibling =
-          if (fold) deltaName(next.commit) else ckptName(next.commit)
+        val name = genArtName(next.commit)
         val wrote = writeTextNoReplace(spark, genDirStr, name, text,
-          alsoAbsent = Seq(sibling))
+          alsoAbsent = Seq(deltaName(next.commit), ckptName(next.commit)))
         if (!wrote) {
           // a refused publish can recur at the SAME ordinal (transient
           // probe fault with the manifest unmoved) — release the marker
@@ -2691,9 +2854,18 @@ object GeoParquet {
             else {
               val stem = d.substring(0, i) + ".json"
               ordinalOf(stem, DeltaPrefix).orElse(ordinalOf(stem, CkptPrefix))
+                .orElse(ordinalOf(stem, GenArtPrefix))
             }
           }
+          // unified ordinals strictly below the fold's checkpoint are
+          // dead whatever their kind (deltas are covered, checkpoints
+          // superseded); the artifact AT next.commit is the checkpoint
+          // this fold just verified. Legacy-NAMED artifacts (pre-r16
+          // twin layout) are swept on the same fold: deltas <= N are
+          // covered, checkpoints < N superseded — this is the
+          // migration, after which the dataset is single-name only.
           val dead = entries.filter { n =>
+            (fold && ordinalOf(n, GenArtPrefix).exists(_ < next.commit)) ||
             (fold && ordinalOf(n, DeltaPrefix).exists(_ <= next.commit)) ||
             (fold && ordinalOf(n, CkptPrefix).exists(_ < next.commit)) ||
             n.startsWith(".gencommit-") &&

@@ -9,13 +9,16 @@ import org.apache.hadoop.fs.{FileSystem, Path => HadoopPath}
  * one place. Everything the CAS design assumes about the storage layer
  * is one of these three facts; anything weaker degrades exactly as
  * documented per primitive. SCOPE OF THE GUARANTEE: each primitive
- * arbitrates ONE name — the atomic publish cannot referee the
- * cross-name collision where a >2s-stalled fold's `_genckpt-N` lands
- * beside an adopter's committed `_gendelta-N` and shadows it (readers
- * take the max checkpoint); that window is narrowed by the sibling
- * probes, the marker-nonce/ordinal re-checks, and the read-back
- * covered-ordinal retry, and remains the protocol's one documented
- * residual (GeoParquet's post-write re-check comment).
+ * arbitrates ONE name. Since r16 both logs are SINGLE-NAME-PER-ORDINAL
+ * (`_gen-N.json` / `_sc-N.json`, kind tagged in the canonical text
+ * head), so the publish arbitration covers the WHOLE ordinal: the old
+ * cross-name shadow — a >2s-stalled fold's `_genckpt-N` landing beside
+ * an adopter's committed `_gendelta-N` and shadowing it (readers take
+ * the max checkpoint) — is structurally impossible between writers of
+ * this format; it survives only as a mixed-VERSION residual (a pre-r16
+ * JVM racing a current one during the legacy-layout migration window),
+ * narrowed there by the legacy sibling probes, the marker-nonce/
+ * ordinal re-checks, and the read-back covered-ordinal retry.
  *
  * P1 EXCLUSIVE CREATE (load-bearing for the marker CAS): creating a
  *    file that must not already exist ([[exclusiveCreate]]) fails when
@@ -52,11 +55,51 @@ import org.apache.hadoop.fs.{FileSystem, Path => HadoopPath}
  *    mounts) silently REPLACES — pinned at the primitive level in
  *    LogFsSpec — which is exactly why the atomic link path is the
  *    default wherever the scheme provides one. An object-store
- *    deployment needs a conditional put (If-None-Match) adapter to
- *    restore P3; absent that, single-writer-per-dataset is the
- *    documented mode.
+ *    deployment restores P3 (and P1) by registering its store's
+ *    conditional put ([[ConditionalPut]] via
+ *    [[registerConditionalPut]] — the seam AdversarialFsSpec proves
+ *    out); absent that, single-writer-per-dataset is the documented
+ *    mode.
  */
 private[graft] object LogFs {
+
+  /** THE OBJECT-STORE ADAPTER SEAM (P1 + P3 restored on stores with a
+    * conditional put): one method — write `bytes` at `p` atomically
+    * IFF nothing exists there (HTTP `If-None-Match: *`; S3
+    * conditional PUT, GCS `ifGenerationMatch=0`, ABFS ETag create).
+    * `true` = created; `false` = something already exists (lost race,
+    * loudly NOT a clobber). Implementations must be store-atomic: a
+    * client-side exists+put is exactly the check-then-act window this
+    * seam exists to remove. Register per URI scheme at session start
+    * ([[registerConditionalPut]]); when registered, BOTH the marker
+    * CAS (P1) and the artifact publish (P3) route through it, which
+    * upgrades that scheme from the documented
+    * single-writer-per-dataset mode to full multi-writer safety.
+    * AdversarialFsSpec drives both commit protocols through a
+    * deliberately broken filesystem (replace-on-rename, delayed
+    * listing visibility) and proves safety holds through an adapter
+    * and degrades LOUDLY without one. */
+  trait ConditionalPut {
+    def putIfAbsent(fs: FileSystem, p: HadoopPath,
+                    bytes: Array[Byte]): Boolean
+  }
+
+  private val conditionalPuts =
+    new java.util.concurrent.ConcurrentHashMap[String, ConditionalPut]()
+
+  /** Register a store's conditional-put for a URI scheme (e.g. "s3a").
+    * Idempotent per scheme — last registration wins. */
+  def registerConditionalPut(scheme: String, put: ConditionalPut): Unit =
+    conditionalPuts.put(scheme, put)
+
+  /** Test hygiene: drop a registration (never needed in production —
+    * an adapter outliving its store client is harmless). */
+  private[graft] def unregisterConditionalPut(scheme: String): Unit =
+    conditionalPuts.remove(scheme)
+
+  private def adapterFor(fs: FileSystem): Option[ConditionalPut] =
+    Option(fs.getUri).map(_.getScheme).flatMap(s =>
+      Option(conditionalPuts.get(s)))
 
   /** Test seam (LogFsSpec): force the probe+rename fallback even where
     * the atomic hard-link primitive exists, to prove the fallback's
@@ -77,7 +120,8 @@ private[graft] object LogFs {
     * propagate — a broken filesystem must be loud, not a lost claim. */
   private[graft] def exclusiveCreate(fs: FileSystem, p: HadoopPath,
                                      bytes: Array[Byte]): Boolean =
-    if (isLocal(fs)) {
+    if (adapterFor(fs).isDefined) adapterFor(fs).get.putIfAbsent(fs, p, bytes)
+    else if (isLocal(fs)) {
       val nio = Paths.get(p.toUri.getPath)
       // Hadoop create() makes parent dirs implicitly; nio does not —
       // the first marker of a fresh log dir needs them (idempotent).
@@ -122,7 +166,19 @@ private[graft] object LogFs {
     * probe+rename with its documented residual. */
   private[graft] def linkNoReplace(fs: FileSystem, tmp: HadoopPath,
                                    dst: HadoopPath): Option[Boolean] =
-    if (disableAtomicLink || !isLocal(fs)) None
+    if (!disableAtomicLink && adapterFor(fs).isDefined) {
+      // conditional-put adapter: the store itself arbitrates the name.
+      // The fully-written tmp is re-read and pushed as one atomic
+      // if-absent put — the caller deletes tmp on Some(_) either way.
+      val in = fs.open(tmp)
+      val bytes =
+        try {
+          val len = fs.getFileStatus(tmp).getLen.toInt
+          val b = new Array[Byte](len); in.readFully(b); b
+        } finally in.close()
+      Some(adapterFor(fs).get.putIfAbsent(fs, dst, bytes))
+    }
+    else if (disableAtomicLink || !isLocal(fs)) None
     else {
       try {
         // link(2): EEXIST-atomic, same-directory so same-device always
@@ -138,7 +194,20 @@ private[graft] object LogFs {
           new HadoopPath(p.getParent, s".${p.getName}.crc").toUri.getPath)
         if (Files.exists(crcOf(tmp)))
           try Files.createLink(crcOf(dst), crcOf(tmp))
-          catch { case _: java.io.IOException => () }
+          catch {
+            case _: java.io.IOException =>
+              // a STALE orphaned dst crc (out-of-band partial delete)
+              // must not pair the freshly committed artifact with a
+              // mismatched checksum — every later ChecksumFileSystem
+              // read would fail ChecksumException on a good artifact.
+              // The data link above is already the commit point, so
+              // delete-and-retry-once stays safe; a second failure
+              // leaves no crc (unverified read, not a poisoned one).
+              try {
+                Files.deleteIfExists(crcOf(dst))
+                Files.createLink(crcOf(dst), crcOf(tmp))
+              } catch { case _: java.io.IOException => () }
+          }
         Some(true)
       } catch {
         case _: FileAlreadyExistsException => Some(false)

@@ -162,9 +162,7 @@ class GeoFrameSpec extends AnyFunSuite {
     // name remains only as the pre-delta-log legacy base)
     assert(GeoParquet.readSidecarText(dir,
       spark.sessionState.newHadoopConf()).exists(_.contains("partition_bounds")))
-    assert(Files.list(java.nio.file.Paths.get(dir, GeoParquet.ScDirName))
-      .iterator().asScala.exists(_.getFileName.toString
-        .startsWith(GeoParquet.ScCkptPrefix)))
+    assert(graft.io.LogLayout.scCkpts(dir).nonEmpty)
     val full = GeoParquet.read(spark, dir, "pt", "point")
     assert(full.df.count() == 1000)
 

@@ -1,0 +1,56 @@
+package graft.io
+
+import java.net.URI
+import org.apache.hadoop.fs.{FileStatus, Path => HadoopPath, RawLocalFileSystem}
+
+/** A deliberately hostile "object store" for AdversarialFsSpec,
+  * registered under the `advfs:` scheme and backed by the local disk
+  * through [[RawLocalFileSystem]] — which natively exhibits BOTH
+  * degradations the [[LogFs]] contract documents for stores without
+  * its primitives:
+  *
+  *  - P3 broken: rename is a bare rename(2) — it silently REPLACES an
+  *    existing target (no checksummed-LocalFileSystem refusal, no
+  *    atomic-link path because the scheme is not `file`).
+  *  - P1 weak: `create(p, overwrite = false)` is exists-then-create —
+  *    a check-then-act window, not a kernel CAS.
+  *
+  * On top, [[AdversarialFs.hideFromListings]] simulates DELAYED
+  * LISTING VISIBILITY (P2 broken): names in the set exist, open and
+  * exists() see them, but listStatus omits them — the object-store
+  * eventual-listing shape. */
+class AdversarialFs extends RawLocalFileSystem {
+  override def getUri: URI = URI.create("advfs:///")
+  override def listStatus(f: HadoopPath): Array[FileStatus] = {
+    val all = super.listStatus(f)
+    if (AdversarialFs.hideFromListings.isEmpty) all
+    else all.filterNot(st =>
+      AdversarialFs.hideFromListings.contains(st.getPath.getName))
+  }
+}
+
+object AdversarialFs {
+  /** File NAMES currently invisible to listStatus (visible to open /
+    * exists / getFileStatus — exactly the delayed-listing shape). */
+  val hideFromListings: java.util.Set[String] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** A store-atomic conditional put over the advfs backing disk: the
+    * kernel's O_CREAT|O_EXCL arbitration stands in for the store's
+    * If-None-Match — what a real S3/GCS/ABFS adapter provides. */
+  object StrictConditionalPut extends LogFs.ConditionalPut {
+    override def putIfAbsent(fs: org.apache.hadoop.fs.FileSystem,
+                             p: HadoopPath, bytes: Array[Byte]): Boolean = {
+      val nio = java.nio.file.Paths.get(p.toUri.getPath)
+      if (nio.getParent != null) java.nio.file.Files.createDirectories(nio.getParent)
+      try {
+        java.nio.file.Files.write(nio, bytes,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    }
+  }
+}

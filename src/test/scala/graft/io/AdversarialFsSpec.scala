@@ -1,0 +1,160 @@
+package graft.io
+
+import org.apache.hadoop.fs.{Path => HadoopPath}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Drives BOTH commit protocols through [[AdversarialFs]] — a
+  * filesystem with every object-store degradation the [[LogFs]]
+  * contract documents (replace-on-rename, check-then-act create,
+  * delayed listing visibility) — and proves, per the contract:
+  *
+  *  1. WITHOUT an adapter, the forced same-ordinal publish race
+  *     CLOBBERS: the single-writer-per-dataset caveat is real,
+  *     pinned, and not hypothetical.
+  *  2. WITH a [[LogFs.ConditionalPut]] registered for the scheme, the
+  *     SAME forced race is a lost race — the competitor's artifact
+  *     survives byte-identical, the writer re-lands on fresh state —
+  *     i.e. the adapter seam restores full multi-writer safety.
+  *  3. Delayed LISTING visibility (P2) costs availability, never
+  *     correctness: the appender that cannot see the newest artifact
+  *     fails LOUDLY after its retry budget; nothing on disk moved.
+  */
+class AdversarialFsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    s.sparkContext.hadoopConfiguration
+      .set("fs.advfs.impl", classOf[AdversarialFs].getName)
+    s
+  }
+
+  private def withAdvLake(f: String => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("advfs").toFile
+    try {
+      import spark.implicits._
+      val path = s"advfs:${dir.getAbsolutePath}/z"
+      GeoParquet.packZOrderToParquet(
+        Seq((1L, 0, 0), (2L, 1, 1)).toDF("id", "a", "b").coalesce(1),
+        Seq("a", "b"), path, 1)
+      f(path)
+    } finally {
+      LogFs.raceInjection = None
+      LogFs.unregisterConditionalPut("advfs")
+      AdversarialFs.hideFromListings.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    }
+  }
+
+  private def plantCompetitor(path: String): (String, () => Boolean) = {
+    val competitorText = GeoParquet.renderGenDelta(GeoParquet.GenDelta(
+      commit = 2, minGen = 0, rwAdd = Set.empty, rwDel = Set.empty,
+      set = Map.empty, del = Set.empty))
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    LogFs.raceInjection = Some { (dst: HadoopPath) =>
+      if (dst.getName == GeoParquet.genArtName(2) &&
+          fired.compareAndSet(false, true))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dst.toUri.getPath),
+          competitorText.getBytes("UTF-8"))
+    }
+    (competitorText, () => fired.get)
+  }
+
+  private def genArtifact(path: String, name: String): Option[String] = {
+    val f = new java.io.File(
+      s"${path.stripPrefix("advfs:")}/_gen/$name")
+    if (f.exists) Some(java.nio.file.Files.readString(f.toPath)) else None
+  }
+
+  test("advfs sanity: the scheme really is broken the way object stores are (rename replaces; no atomic link)") {
+    val dir = java.nio.file.Files.createTempDirectory("advfs-pin").toFile
+    try {
+      val conf = spark.sessionState.newHadoopConf()
+      val fs = new HadoopPath(s"advfs:${dir.getAbsolutePath}/x")
+        .getFileSystem(conf)
+      assert(fs.isInstanceOf[AdversarialFs])
+      val a = new HadoopPath(s"advfs:${dir.getAbsolutePath}/a")
+      val b = new HadoopPath(s"advfs:${dir.getAbsolutePath}/b")
+      val out = fs.create(a, false); out.write("THEIRS".getBytes); out.close()
+      val out2 = fs.create(b, false); out2.write("MINE".getBytes); out2.close()
+      assert(fs.rename(b, a), "rename refused — advfs lost its P3 break")
+      val in = fs.open(a)
+      val buf = new Array[Byte](4); in.readFully(buf); in.close()
+      assert(new String(buf) == "MINE", "rename did not replace")
+      assert(LogFs.linkNoReplace(fs, a, b).isEmpty,
+        "non-file scheme without adapter must have NO atomic publish")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
+  test("WITHOUT adapter: the forced publish race CLOBBERS the competitor — the single-writer caveat is real (pinned)") {
+    withAdvLake { path =>
+      import spark.implicits._
+      val (competitorText, fired) = plantCompetitor(path)
+      GeoParquet.appendNumericWithSidecar(
+        Seq((10L, 5, 5), (11L, 6, 6)).toDF("id", "a", "b").coalesce(1),
+        path, Seq("a", "b"))
+      assert(fired(), "the race was never injected — publish path drifted")
+      // the writer's probe+rename fallback REPLACED the competitor's
+      // committed artifact: its commit is gone and nobody errored.
+      // This is exactly the degradation LogFs documents for stores
+      // with no no-replace primitive — why multi-writer on such a
+      // store REQUIRES the ConditionalPut adapter (next test).
+      val onDisk = genArtifact(path, GeoParquet.genArtName(2))
+      assert(onDisk.isDefined && !onDisk.contains(competitorText),
+        "fallback rename REFUSED on advfs — the degradation pin is " +
+          "stale; re-check whether the adapter seam is still load-bearing")
+    }
+  }
+
+  test("WITH ConditionalPut adapter: the same race is a lost race — competitor survives byte-identical, writer re-lands") {
+    withAdvLake { path =>
+      import spark.implicits._
+      LogFs.registerConditionalPut("advfs", AdversarialFs.StrictConditionalPut)
+      val conf = spark.sessionState.newHadoopConf()
+      val (competitorText, fired) = plantCompetitor(path)
+      GeoParquet.appendNumericWithSidecar(
+        Seq((10L, 5, 5), (11L, 6, 6)).toDF("id", "a", "b").coalesce(1),
+        path, Seq("a", "b"))
+      assert(fired(), "the race was never injected — publish path drifted")
+      assert(genArtifact(path, GeoParquet.genArtName(2)).contains(competitorText),
+        "the adapter's conditional put REPLACED a committed artifact")
+      val st = GeoParquet.readGenState(path, conf).get
+      assert(st.commit == 3, s"append did not re-land: commit ${st.commit}")
+      val ids = GeoParquet.readZOrderRange(spark, path, Seq(("a", -1e9, 1e9)))
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 10L, 11L))
+    }
+  }
+
+  test("P2 delayed listing visibility: the appender fails LOUDLY after its retry budget; no commit is lost") {
+    withAdvLake { path =>
+      import spark.implicits._
+      LogFs.registerConditionalPut("advfs", AdversarialFs.StrictConditionalPut)
+      val conf = spark.sessionState.newHadoopConf()
+      // one committed append so a delta artifact exists to hide
+      GeoParquet.appendNumericWithSidecar(
+        Seq((10L, 5, 5)).toDF("id", "a", "b").coalesce(1),
+        path, Seq("a", "b"))
+      val before = GeoParquet.readGenState(path, conf).get
+      assert(before.commit == 2)
+      // the newest artifact vanishes from LISTINGS (still exists):
+      // every reader now assembles the stale state, so the next
+      // appender keeps claiming ordinal 2 — whose name the store
+      // refuses (exists() is not delayed) — until its budget is spent
+      AdversarialFs.hideFromListings.add(GeoParquet.genArtName(2))
+      val e = intercept[java.io.IOException] {
+        GeoParquet.appendNumericWithSidecar(
+          Seq((20L, 7, 7)).toDF("id", "a", "b").coalesce(1),
+          path, Seq("a", "b"))
+      }
+      assert(e.getMessage.contains("attempts"),
+        s"expected the loud retry-budget failure, got: ${e.getMessage}")
+      // availability was lost, correctness was not: the hidden
+      // artifact is untouched and the state is exactly pre-append
+      AdversarialFs.hideFromListings.clear()
+      assert(GeoParquet.readGenState(path, conf).contains(before))
+    }
+  }
+}

@@ -111,17 +111,12 @@ class CrossProcessSpec extends AnyFunSuite {
       assert(GeoParquet.statsAtGeneration(spark, path, st.currentGen,
         Seq("a"))._1 == 2L * (1 + totalAppends))
       // a fold happened mid-race and left the folded steady state
-      def ordinals(d: String, prefix: String): Seq[Int] =
-        Option(new java.io.File(s"$path/$d").listFiles())
-          .getOrElse(Array.empty).map(_.getName)
-          .filter(n => n.startsWith(prefix) && n.endsWith(".json"))
-          .map(_.stripPrefix(prefix).stripSuffix(".json").toInt).toSeq
-      val ckpts = ordinals("_gen", "_genckpt-")
+      val ckpts = LogLayout.genCkpts(path).map(_._1)
       assert(ckpts.nonEmpty && ckpts.max > GeoParquet.DeltaFoldEvery,
         s"no mid-race manifest fold: checkpoints at $ckpts")
-      assert(ordinals("_gen", "_gendelta-").count(_ > ckpts.max) <
+      assert(LogLayout.genDeltas(path).map(_._1).count(_ > ckpts.max) <
         GeoParquet.DeltaFoldEvery)
-      val scCkpts = ordinals("_sc", "_scckpt-")
+      val scCkpts = LogLayout.scCkpts(path).map(_._1)
       assert(scCkpts.nonEmpty && scCkpts.max > GeoParquet.DeltaFoldEvery,
         s"no mid-race sidecar fold: checkpoints at $scCkpts")
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)

@@ -627,10 +627,9 @@ class GeoPruneSpec extends AnyFunSuite {
       val path = s"$dir/z"
       GeoParquet.packZOrderToParquet(genRows(0, 100).toDF("id", "a", "b"),
         Seq("a", "b"), path, 2)
-      // the checkpoint lives in the _gen/ log dir (versioned name)
-      val mf = new java.io.File(s"$path/_gen").listFiles()
-        .filter(f => f.getName.startsWith("_genckpt-") &&
-          f.getName.endsWith(".json")).head
+      // the checkpoint lives in the _gen/ log dir (unified ordinal
+      // name, kind in the text head)
+      val mf = LogLayout.genCkpts(path).head._2
       val text = new String(java.nio.file.Files.readAllBytes(mf.toPath))
       // raw edit: drop the Hadoop CRC twin too, or the checksum (not
       // the strict parse) is what trips
@@ -1081,10 +1080,8 @@ class GeoPruneSpec extends AnyFunSuite {
       def batch(lo: Int) = Seq((lo.toLong, lo % 10, (lo * 3) % 10),
         (lo.toLong + 100000, lo % 10 + 1, (lo * 3) % 10 + 1))
         .toDF("id", "a", "b")
-      def deltaFiles(): Seq[String] = new java.io.File(s"$path/_gen")
-        .listFiles()
-        .map(_.getName).filter(n => n.startsWith("_gendelta-") &&
-          n.endsWith(".json")).toSeq.sorted
+      def deltaFiles(): Seq[String] =
+        LogLayout.genDeltas(path).map(_._2.getName)
       GeoParquet.packZOrderToParquet(batch(0), Seq("a", "b"), path, 1)
       // first commit is the checkpoint itself — no delta
       assert(deltaFiles().isEmpty)
@@ -1101,10 +1098,7 @@ class GeoPruneSpec extends AnyFunSuite {
       val onTop = deltaFiles().size
       assert(onTop < GeoParquet.DeltaFoldEvery,
         s"fold never ran: $onTop deltas for ${nAppends + 1} commits")
-      val ckptFile = new java.io.File(s"$path/_gen").listFiles()
-        .filter(f => f.getName.startsWith("_genckpt-") &&
-          f.getName.endsWith(".json"))
-        .maxBy(_.getName.stripPrefix("_genckpt-").stripSuffix(".json").toInt)
+      val ckptFile = LogLayout.genCkpts(path).last._2
       val ckpt = GeoParquet.parseGenState(
         java.nio.file.Files.readString(ckptFile.toPath), "ckpt")
       assert(ckpt.commit >= GeoParquet.DeltaFoldEvery,
@@ -1154,7 +1148,7 @@ class GeoPruneSpec extends AnyFunSuite {
       val legacy = s"$dir/legacy"
       GeoParquet.packZOrderToParquet(batch(0), Seq("a", "b"), legacy, 1)
       val lGen = new java.io.File(s"$legacy/_gen")
-      val lCkpt = lGen.listFiles().filter(_.getName.startsWith("_genckpt-")).head
+      val lCkpt = LogLayout.genCkpts(legacy).head._2
       java.nio.file.Files.move(lCkpt.toPath,
         new java.io.File(legacy, "_generations.json").toPath)
       org.apache.commons.io.FileUtils.deleteDirectory(lGen)
@@ -1165,8 +1159,7 @@ class GeoPruneSpec extends AnyFunSuite {
       (2 to GeoParquet.DeltaFoldEvery).foreach(i =>
         GeoParquet.appendNumericWithSidecar(batch(i), legacy, Seq("a", "b")))
       // the fold migrated: versioned checkpoint present, legacy gone
-      assert(new java.io.File(s"$legacy/_gen").listFiles()
-        .exists(_.getName.startsWith("_genckpt-")))
+      assert(LogLayout.genCkpts(legacy).nonEmpty)
       assert(!new java.io.File(legacy, "_generations.json").exists())
       assert(GeoParquet.readZOrderAtGeneration(spark, legacy,
         GeoParquet.DeltaFoldEvery).count() ==
@@ -1320,17 +1313,9 @@ class GeoPruneSpec extends AnyFunSuite {
       def batch(lo: Int) = Seq((lo.toLong, lo % 10, (lo * 3) % 10),
         (lo.toLong + 100000, lo % 10 + 1, (lo * 3) % 10 + 1))
         .toDF("id", "a", "b").coalesce(1)
-      def scFiles(p: String = path): Seq[String] = {
-        val d = new java.io.File(s"$p/_sc")
-        if (!d.exists()) Nil
-        else d.listFiles().map(_.getName)
-          .filter(n => n.startsWith("_scdelta-") && n.endsWith(".json"))
-          .toSeq.sorted
-      }
-      def ckptFile(): java.io.File = new java.io.File(s"$path/_sc")
-        .listFiles().filter(f => f.getName.startsWith("_scckpt-") &&
-          f.getName.endsWith(".json"))
-        .maxBy(_.getName.stripPrefix("_scckpt-").stripSuffix(".json").toInt)
+      def scFiles(p: String = path): Seq[String] =
+        LogLayout.scDeltas(p).map(_._2.getName)
+      def ckptFile(): java.io.File = LogLayout.scCkpts(path).last._2
       def ckptText() = java.nio.file.Files.readString(ckptFile().toPath)
       def rowCounts(): Map[String, Double] = GeoParquet.parseSidecar(
         GeoParquet.readSidecarText(path, conf).get, "__rowcount")
@@ -1395,8 +1380,7 @@ class GeoPruneSpec extends AnyFunSuite {
       // pre-delta-log dataset) reads verbatim and upgrades on append
       val legacy = s"$dir/legacy"
       GeoParquet.packZOrderToParquet(batch(0), Seq("a", "b"), legacy, 1)
-      val lCkpt = new java.io.File(s"$legacy/_sc").listFiles()
-        .filter(_.getName.startsWith("_scckpt-")).head
+      val lCkpt = LogLayout.scCkpts(legacy).head._2
       java.nio.file.Files.move(lCkpt.toPath,
         new java.io.File(legacy, "_spatial_metadata.json").toPath)
       org.apache.commons.io.FileUtils.deleteDirectory(
@@ -1414,8 +1398,7 @@ class GeoPruneSpec extends AnyFunSuite {
       // the legacy root file is swept
       (2 to GeoParquet.DeltaFoldEvery).foreach(i =>
         GeoParquet.appendNumericWithSidecar(batch(i), legacy, Seq("a", "b")))
-      assert(new java.io.File(s"$legacy/_sc").listFiles()
-        .exists(_.getName.startsWith("_scckpt-")))
+      assert(LogLayout.scCkpts(legacy).nonEmpty)
       assert(!new java.io.File(legacy, "_spatial_metadata.json").exists())
       assert(GeoParquet.parseSidecar(
         GeoParquet.readSidecarText(legacy, conf).get, "__rowcount")
@@ -1427,9 +1410,7 @@ class GeoPruneSpec extends AnyFunSuite {
       val torn = s"$dir/torn"
       GeoParquet.packZOrderToParquet(batch(0), Seq("a", "b"), torn, 1)
       GeoParquet.appendNumericWithSidecar(batch(1), torn, Seq("a", "b"))
-      new java.io.File(s"$torn/_sc").listFiles()
-        .filter(_.getName.startsWith("_scckpt-")).foreach(f =>
-          assert(f.delete()))
+      LogLayout.scCkpts(torn).foreach(c => assert(c._2.delete()))
       val tornEx = intercept[java.io.IOException] {
         GeoParquet.readSidecarText(torn, conf) }
       assert(tornEx.getMessage.contains("torn dataset"))
@@ -1460,7 +1441,7 @@ class GeoPruneSpec extends AnyFunSuite {
       val t2 = GeoParquet.renderGenState(st2)
       assert(t1 != t2 && t1.length == t2.length,
         "precondition: distinct same-length checkpoint texts")
-      val ckpt = new java.io.File(genDir, "_genckpt-0.json")
+      val ckpt = new java.io.File(genDir, "_gen-0.json")
       java.nio.file.Files.writeString(ckpt.toPath, t1)
       assert(new java.io.File(genDir, "_genid-aaaaaaaaaaaa").createNewFile())
       val mt = 1700000000000L

@@ -1,0 +1,173 @@
+package graft.io
+
+import org.apache.hadoop.fs.{Path => HadoopPath}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The r16 single-name-per-ordinal log format: why it exists (the
+  * legacy twin-name layout's cross-name shadow window, PINNED here on
+  * a hand-built legacy log), why it closes the window (the same
+  * interleaving FORCED through the race seam now costs the fold a
+  * lost-race retry instead of shadowing the adopter's commit), and
+  * how pre-r16 datasets migrate (twin-name artifacts read exactly,
+  * new commits land unified beside them, the first fold sweeps the
+  * legacy names — including every crash-window intermediate state). */
+class LogFormatSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder().master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  import GeoParquet.{GenDelta, GenEntry, GenState}
+
+  private def writeGen(path: String, name: String, text: String): Unit = {
+    val d = new java.io.File(s"$path/_gen")
+    d.mkdirs()
+    java.nio.file.Files.writeString(new java.io.File(d, name).toPath, text)
+  }
+
+  test("LEGACY twin-name layout: a stalled fold's checkpoint SHADOWS an adopter's same-ordinal delta (the residual the r16 format removes, pinned)") {
+    val dir = java.nio.file.Files.createTempDirectory("shadow-legacy").toFile
+    try {
+      val path = s"$dir/d"
+      val conf = spark.sessionState.newHadoopConf()
+      // commit 1: checkpoint {f1}
+      val stA = GenState(1, 0, Map("f1.parquet" -> GenEntry(0, -1)))
+      writeGen(path, "_genckpt-1.json", GeoParquet.renderGenState(stA))
+      // commit 2, the ADOPTER's delta: adds f2
+      val d2 = GenDelta(2, 0, Set.empty, Set.empty,
+        Map("f2.parquet" -> GenEntry(1, -1)), Set.empty)
+      writeGen(path, "_gendelta-2.json", GeoParquet.renderGenDelta(d2))
+      // commit 2 AGAIN, the stalled fold's checkpoint — folded from
+      // state as of commit 1, never saw the adopter's delta. Two
+      // DIFFERENT names at one ordinal: no never-replace publish can
+      // referee this, and readers take the max checkpoint.
+      val stStale = GenState(2, 0, Map("f1.parquet" -> GenEntry(0, -1)))
+      writeGen(path, "_genckpt-2.json", GeoParquet.renderGenState(stStale))
+
+      val st = GeoParquet.readGenState(path, conf).get
+      assert(st.commit == 2)
+      assert(!st.files.contains("f2.parquet"),
+        "legacy layout no longer shadows — this pin is stale, " +
+          "re-examine whether the migration story is still needed")
+      // the pinned residual: the adopter's committed f2 is INVISIBLE
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
+  test("r16 format: the SAME fold-vs-adopter interleaving is a lost race, never a shadow — both commits land") {
+    val dir = java.nio.file.Files.createTempDirectory("shadow-closed").toFile
+    try {
+      import spark.implicits._
+      val path = s"$dir/z"
+      val conf = spark.sessionState.newHadoopConf()
+      GeoParquet.packZOrderToParquet(
+        Seq((1L, 0, 0), (2L, 1, 1)).toDF("id", "a", "b").coalesce(1),
+        Seq("a", "b"), path, 1)
+      // drive to the brink of the fold: commits 2..16 are deltas, the
+      // NEXT commit (17) folds (DeltaFoldEvery deltas on top)
+      (2 to GeoParquet.DeltaFoldEvery).foreach { i =>
+        GeoParquet.commitGenState(spark, path, cur => cur.get.copy(
+          files = cur.get.files + (s"pad-$i.parquet" -> GenEntry(0, -1))))
+      }
+      val foldOrd = GeoParquet.DeltaFoldEvery + 1
+      // the adopter's competitor delta lands at the fold's ordinal in
+      // the exact publish window — at the SAME NAME the fold wants,
+      // because the format has only one name per ordinal
+      val competitor = GeoParquet.renderGenDelta(GenDelta(foldOrd, 0,
+        Set.empty, Set.empty,
+        Map("competitor.parquet" -> GenEntry(0, -1)), Set.empty))
+      val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+      LogFs.raceInjection = Some { (dst: HadoopPath) =>
+        if (dst.getName == GeoParquet.genArtName(foldOrd) &&
+            fired.compareAndSet(false, true))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dst.toUri.getPath),
+            competitor.getBytes("UTF-8"))
+      }
+      // our writer walks into the fold at ordinal 17 and loses the
+      // publish; the retry re-reads (the competitor's delta INCLUDED)
+      // and folds at 18 on top of BOTH changes
+      val st = GeoParquet.commitGenState(spark, path, cur => cur.get.copy(
+        files = cur.get.files + ("mine.parquet" -> GenEntry(0, -1))))
+      assert(fired.get(), "the race was never injected — fold path drifted")
+      assert(st.files.contains("competitor.parquet"),
+        "the fold SHADOWED the adopter's same-ordinal commit")
+      assert(st.files.contains("mine.parquet"), "the writer lost its commit")
+      val reread = GeoParquet.readGenState(path, conf).get
+      assert(reread == st)
+      // and the log is single-name-per-ordinal unified artifacts only
+      val names = new java.io.File(s"$path/_gen").list().toSeq
+      assert(!names.exists(n => n.startsWith(GeoParquet.DeltaPrefix) ||
+        n.startsWith(GeoParquet.CkptPrefix)))
+    } finally {
+      LogFs.raceInjection = None
+      org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    }
+  }
+
+  test("pre-r16 twin-name datasets migrate: exact reads mixed, unified commits beside legacy names, first fold sweeps them (both logs)") {
+    val dir = java.nio.file.Files.createTempDirectory("twin-migrate").toFile
+    try {
+      import spark.implicits._
+      val path = s"$dir/z"
+      val conf = spark.sessionState.newHadoopConf()
+      def batch(lo: Int) = Seq((lo.toLong, lo % 10, (lo * 3) % 10))
+        .toDF("id", "a", "b").coalesce(1)
+      GeoParquet.packZOrderToParquet(batch(0), Seq("a", "b"), path, 1)
+      (1 to 3).foreach(i =>
+        GeoParquet.appendNumericWithSidecar(batch(i), path, Seq("a", "b")))
+      val stBefore = GeoParquet.readGenState(path, conf).get
+      val scBefore = GeoParquet.readSidecarText(path, conf).get
+      // time-travel the layout: rename every unified artifact to its
+      // r15 twin name per kind — exactly what an r15-written dataset
+      // looks like on disk
+      LogLayout.genCkpts(path).foreach { case (o, f) =>
+        assert(f.renameTo(new java.io.File(f.getParent, s"_genckpt-$o.json"))) }
+      LogLayout.genDeltas(path).foreach { case (o, f) =>
+        assert(f.renameTo(new java.io.File(f.getParent, s"_gendelta-$o.json"))) }
+      LogLayout.scCkpts(path).foreach { case (o, f) =>
+        assert(f.renameTo(new java.io.File(f.getParent, s"_scckpt-$o.json"))) }
+      LogLayout.scDeltas(path).foreach { case (o, f) =>
+        assert(f.renameTo(new java.io.File(f.getParent, s"_scdelta-$o.json"))) }
+      // the rename broke the Hadoop checksum pairing; drop stale crcs
+      Seq("_gen", "_sc").foreach { d =>
+        Option(new java.io.File(s"$path/$d").listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".crc")).foreach(_.delete()) }
+
+      // exact read of the pure-legacy layout
+      assert(GeoParquet.readGenState(path, conf).contains(stBefore))
+      assert(GeoParquet.readSidecarText(path, conf).contains(scBefore))
+
+      // new commits land UNIFIED beside the legacy names (the
+      // crash-window intermediate state: mixed namespaces, one
+      // ordinal line) and still read exactly
+      GeoParquet.appendNumericWithSidecar(batch(4), path, Seq("a", "b"))
+      assert(LogLayout.genDeltas(path).nonEmpty, "append did not commit unified")
+      val mixedNames = new java.io.File(s"$path/_gen").list().toSeq
+      assert(mixedNames.exists(_.startsWith(GeoParquet.DeltaPrefix)))
+      assert(GeoParquet.readGenState(path, conf).get.currentGen == 4)
+      assert(GeoParquet.readZOrderRange(spark, path, Seq(("a", -1e9, 1e9)))
+        .count() == 5)
+
+      // drive past the fold: the migration sweeps every legacy name
+      (5 to GeoParquet.DeltaFoldEvery + 2).foreach(i =>
+        GeoParquet.appendNumericWithSidecar(batch(i), path, Seq("a", "b")))
+      val genNames = new java.io.File(s"$path/_gen").list().toSeq
+      assert(!genNames.exists(n => n.startsWith(GeoParquet.DeltaPrefix) ||
+        n.startsWith(GeoParquet.CkptPrefix)),
+        s"fold did not sweep legacy manifest names: $genNames")
+      val scNames = new java.io.File(s"$path/_sc").list().toSeq
+      assert(!scNames.exists(n => n.startsWith(GeoParquet.ScDeltaPrefix) ||
+        n.startsWith(GeoParquet.ScCkptPrefix)),
+        s"fold did not sweep legacy sidecar names: $scNames")
+      val n = GeoParquet.DeltaFoldEvery + 3
+      assert(GeoParquet.readZOrderRange(spark, path, Seq(("a", -1e9, 1e9)))
+        .count() == n)
+      assert(GeoParquet.parseSidecar(
+        GeoParquet.readSidecarText(path, conf).get, "__rowcount").size == n)
+      // every generation still reconstructs across the migrated seam
+      (0 until n).foreach(g => assert(
+        GeoParquet.readZOrderAtGeneration(spark, path, g).count() == g + 1,
+        s"wrong snapshot at generation $g"))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+}

@@ -43,7 +43,7 @@ class LogFsSpec extends AnyFunSuite {
     }
   }
 
-  /** One-shot injection: when the publish target is `_gendelta-2.json`
+  /** One-shot injection: when the publish target is `_gen-2.json`
     * under `path`, land a competitor's VALID empty delta there first —
     * the competitor "committed inside the probe-to-publish window". */
   private def plantCompetitor(path: String): (String, () => Boolean) = {
@@ -52,7 +52,7 @@ class LogFsSpec extends AnyFunSuite {
       set = Map.empty, del = Set.empty))
     val fired = new AtomicBoolean(false)
     LogFs.raceInjection = Some { (dst: HadoopPath) =>
-      if (dst.getName == "_gendelta-2.json" &&
+      if (dst.getName == "_gen-2.json" &&
           dst.toString.contains(path.stripPrefix("file:")) &&
           fired.compareAndSet(false, true)) {
         java.nio.file.Files.write(
@@ -100,7 +100,7 @@ class LogFsSpec extends AnyFunSuite {
       assert(fired(), "the race was never injected — publish path drifted")
       // the competitor's artifact is byte-identical on disk: the atomic
       // link REFUSED the ordinal instead of replacing it
-      assert(genArtifact(path, "_gendelta-2.json").contains(competitorText))
+      assert(genArtifact(path, "_gen-2.json").contains(competitorText))
       // and the writer's append still landed — on fresh state, at the
       // next ordinal (lost race, not lost commit)
       val st = GeoParquet.readGenState(path, conf).get
@@ -126,7 +126,7 @@ class LogFsSpec extends AnyFunSuite {
       // degrades to a lost race on this stack — the competitor's
       // artifact survives byte-identical and the writer re-lands on
       // fresh state at the next ordinal
-      assert(genArtifact(path, "_gendelta-2.json").contains(competitorText),
+      assert(genArtifact(path, "_gen-2.json").contains(competitorText),
         "fallback rename REPLACED a committed artifact — this platform's " +
           "rename semantics changed; P3 now rests on the link path alone")
       val st = GeoParquet.readGenState(path, conf).get
