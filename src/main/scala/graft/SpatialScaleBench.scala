@@ -36,6 +36,11 @@ object SpatialScaleBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // this drill MEASURES the adaptive arm: force the hot-cell
+      // detection pass regardless of the small-input gate (the gate
+      // would otherwise silently turn the arm into blanket salting at
+      // the base scale — the r15 drill-soundness bug class)
+      .config("spark.graft.sjoin.adaptiveSalt.minBytes", "0")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -128,6 +133,7 @@ object SpatialScaleBench {
       ((System.nanoTime() - t0) / 1e9, n)
     }
     val results = ops.map { case (name, mk) =>
+      val detectionsBefore = SpatialJoin.detectionRuns.get()
       mk(baseReps).count() // warm codegen/readers outside the window
       def median3(reps: Int): (Double, Long) = {
         val runs = (1 to 3).map(_ => timed(mk(reps).count()))
@@ -135,6 +141,11 @@ object SpatialScaleBench {
       }
       val (tb, nb) = median3(baseReps)
       val (tx, nx) = median3(bigReps)
+      // arm soundness: the adaptive arm must have RUN detection (an
+      // arm silently measuring a fallback is the r15 drill bug class)
+      if (name.contains("adaptive"))
+        require(SpatialJoin.detectionRuns.get() > detectionsBefore,
+          s"$name never ran hot-cell detection — the arm measured a fallback")
       name -> (tb, tx, nb, nx)
     }
     spark.stop()

@@ -33,6 +33,14 @@ import org.apache.spark.sql.graftbridge.Bridge
  * join condition are preserved as a residual filter; non-inner
  * spatial joins and non-attribute operands fall through untouched
  * (BNLJ remains the correct fallback).
+ *
+ * Skew: `spark.graft.sjoin.salt` > 1 salts the grid keys;
+ * `spark.graft.sjoin.adaptiveSalt=true` additionally runs hot-cell
+ * detection (one counting pass, cached per canonicalized point-side
+ * plan so the fixed-point optimizer never re-fires it) and salts ONLY
+ * the dense cells — the planner twin of
+ * `pointInGeom(adaptiveSalt = true)`, with the same small-input gate
+ * (`spark.graft.sjoin.adaptiveSalt.minBytes`).
  */
 case class SpatialJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -72,6 +80,57 @@ case class SpatialJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   private def salt: Int =
     spark.conf.get("spark.graft.sjoin.salt", "1").toInt
+
+  // hot-cell detection results keyed like derivedSizes — a COMPACT
+  // fingerprint of the canonicalized POINT-side plan plus every conf
+  // the detection depends on. The cache is what keeps the eager
+  // counting pass from re-firing inside the fixed-point optimizer
+  // (the rule re-runs per optimizer iteration and per action of the
+  // same DataFrame); same get → compute outside the map → putIfAbsent
+  // recursion-safety story as derivedSizes (the detection job's own
+  // planning re-enters this rule, but its plan carries no spatial
+  // join, so it cannot recurse into detection).
+  private val derivedHotCells = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String, Long, String, String), Option[Seq[(Long, Long)]]]
+
+  /** Planner twin of `pointInGeom(adaptiveSalt = true)`'s engage
+    * logic: `spark.graft.sjoin.adaptiveSalt=true` (with salt > 1)
+    * detects hot cells once per distinct point-side plan and salts
+    * only those; point sides under
+    * `spark.graft.sjoin.adaptiveSalt.minBytes` (plan-stats estimate)
+    * skip the counting pass and keep blanket salting — the same gate
+    * that makes the API flag safe to leave on. Returns (effective
+    * salt, hot set) exactly as the API path maps them: no hot cell →
+    * unsalted; cap exceeded → blanket; else hot-only. */
+  private def adaptiveFor(ptSide: LogicalPlan, pointAttr: AttributeReference,
+                          cellSize: Double, s: Int): (Int, Option[Seq[(Long, Long)]]) = {
+    val enabled =
+      spark.conf.get("spark.graft.sjoin.adaptiveSalt", "false").toBoolean
+    if (s <= 1 || !enabled) (s, None)
+    else if (ptSide.stats.sizeInBytes <
+        BigInt(SpatialJoin.adaptiveMinBytes(spark))) (s, None)
+    else {
+      val canon = ptSide.canonicalized
+      val key = (canon.semanticHash(), canon.schema.catalogString,
+        java.lang.Double.doubleToLongBits(cellSize),
+        spark.conf.get("spark.graft.sjoin.hotCellFactor", "2.0"),
+        spark.conf.get("spark.sql.shuffle.partitions", "200"))
+      val detected = derivedHotCells.get(key) match {
+        case null =>
+          val v = SpatialJoin.detectHotCells(
+            Bridge.ofRows(spark, ptSide), Bridge.column(pointAttr), cellSize)
+          if (derivedHotCells.size >= MaxCachedSizes) derivedHotCells.clear()
+          derivedHotCells.putIfAbsent(key, v)
+          v
+        case v => v
+      }
+      detected match {
+        case None => (1, None)
+        case Some(cells) if cells.isEmpty => (s, None)
+        case Some(cells) => (s, Some(cells))
+      }
+    }
+  }
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(a, b) => conjuncts(a) ++ conjuncts(b)
@@ -151,10 +210,12 @@ case class SpatialJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             else None
           sides match {
             case Some((ptSide, gmSide)) =>
+              val cs = cellSizeFor(gmSide, g)
+              val (effSalt, hot) = adaptiveFor(ptSide, p, cs, salt)
               val joined = SpatialJoin.gridInner(
                 Bridge.ofRows(spark, ptSide), Bridge.ofRows(spark, gmSide),
                 Bridge.column(p), Bridge.column(g),
-                si.rightKind, cellSizeFor(gmSide, g), salt)
+                si.rightKind, cs, effSalt, hot)
               // child plans are embedded as-is, so every original
               // attribute (exprId included) survives; restore the
               // join's output order with a final Project

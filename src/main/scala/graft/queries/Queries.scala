@@ -542,10 +542,21 @@ object Queries {
     "sjoin_skewed_adaptive" -> ((s, dir) => {
       val pts = skewedSjoinPoints(s, dir)
       val dia = supplierDiamonds(s, dir)
-      SpatialJoin.pointInGeom(pts, dia.select(col("s_suppkey"), col("diamond")),
+      // this query EXERCISES the adaptive path: force the detection
+      // pass past the small-input gate (detection is eager, so the
+      // conf override can be scoped to construction and restored)
+      val key = "spark.graft.sjoin.adaptiveSalt.minBytes"
+      val saved = s.conf.getOption(key)
+      s.conf.set(key, "0")
+      try SpatialJoin.pointInGeom(pts,
+          dia.select(col("s_suppkey"), col("diamond")),
           "pt", "diamond", "polygon", cellSize = 128.0, salt = 8,
           adaptiveSalt = true)
         .select(col("c_custkey"), col("s_suppkey"))
+      finally saved match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
     }),
 
     // SURVEY §2.6 st_oriented: polygons constructed with the WRONG

@@ -160,8 +160,27 @@ object SpatialJoin {
     * (plain unsalted join is optimal) and ALL-CELLS when the cap is
     * somehow exceeded (degenerate guard: blanket salting stays
     * correct, never an error). */
+  /** Diagnostic seam: counting passes this JVM has run — the scale
+    * drill asserts its adaptive arm really detected (soundness: an arm
+    * silently measuring a fallback is the r15 drill bug class), specs
+    * assert the small-input gate skips the pass entirely. */
+  private[graft] val detectionRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Point sides below this many bytes (plan-stats estimate) skip
+    * hot-cell detection under `adaptiveSalt = true`: the counting pass
+    * costs about one extra scan of the point side, which can't pay for
+    * itself when the whole join is small — the gate makes adaptive
+    * safe to leave on globally. Override (e.g. `0` to force detection)
+    * via `spark.graft.sjoin.adaptiveSalt.minBytes`. */
+  private[graft] val DefaultAdaptiveMinBytes: Long = 32L * 1024 * 1024
+
+  private[graft] def adaptiveMinBytes(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.get("spark.graft.sjoin.adaptiveSalt.minBytes",
+      DefaultAdaptiveMinBytes.toString).toLong
+
   private[graft] def detectHotCells(points: DataFrame, pointCol: Column,
                                     cellSize: Double): Option[Seq[(Long, Long)]] = {
+    detectionRuns.incrementAndGet()
     val spark = points.sparkSession
     val cs = lit(cellSize)
     val factor = spark.conf
@@ -632,7 +651,21 @@ object SpatialJoin {
     * salting at scale, and pruning it is what the dask reference
     * cannot do (sjoin.py:105-122 prunes partitions but cannot split a
     * dense one). Falls back to unsalted when no cell is hot and to
-    * blanket salting when the hot set exceeds its contract cap. */
+    * blanket salting when the hot set exceeds its contract cap.
+    *
+    * EAGER BY DESIGN when detection engages: this call runs the
+    * counting pass as a Spark job at DataFrame-CONSTRUCTION time (the
+    * hot set must be known to build the plan), and the point side's
+    * lineage is computed twice — once by the detection pass, once by
+    * the join itself. Cache the point side upstream (`.persist()`)
+    * when its lineage is expensive; this method deliberately does not
+    * persist for you (a CacheManager entry it could never safely
+    * unpersist would pin your data for the session). Small inputs
+    * skip detection entirely: below
+    * `spark.graft.sjoin.adaptiveSalt.minBytes` (default 32 MB of
+    * plan-stats bytes) the counting pass cannot pay for itself and
+    * blanket salting is used — so `adaptiveSalt = true` is safe to
+    * leave on as a default. */
   def pointInGeom(points: DataFrame, geoms: DataFrame,
                   pointCol: String, geomCol: String, geomKind: String,
                   cellSize: Double = 0, how: String = "inner",
@@ -641,8 +674,12 @@ object SpatialJoin {
     // cellSize <= 0 = derive from the data (median bbox edge)
     val cs = if (cellSize > 0) cellSize
              else autoCellSize(geoms, geoms(geomCol))
+    val smallPoints = adaptiveSalt && salt > 1 &&
+      points.queryExecution.optimizedPlan.stats.sizeInBytes <
+        BigInt(adaptiveMinBytes(points.sparkSession))
     val (effSalt, hot) =
       if (!adaptiveSalt || salt <= 1) (salt, None)
+      else if (smallPoints) (salt, None) // blanket: cheap at this size
       else detectHotCells(points, points(pointCol), cs) match {
         case None => (1, None) // nothing hot: unsalted is optimal
         case Some(cells) if cells.isEmpty => (salt, None) // cap hit: salt all

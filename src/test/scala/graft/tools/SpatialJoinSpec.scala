@@ -12,6 +12,19 @@ class SpatialJoinSpec extends AnyFunSuite {
 
   import spark.implicits._
 
+  /** Run `f` with the adaptive-salt small-input gate disabled (these
+    * specs exercise the detection path on deliberately tiny inputs),
+    * restoring the session conf after. */
+  private def forceDetection[T](f: => T): T = {
+    val key = "spark.graft.sjoin.adaptiveSalt.minBytes"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "0")
+    try f finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("broadcast r-tree sjoin matches grid-cell sjoin") {
     val rnd = new scala.util.Random(23)
     val pts = (0 until 500).map(i =>
@@ -121,9 +134,10 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(hot.contains(Seq((0L, 0L))), s"hot-cell detection drifted: $hot")
 
     // exactness: identical to the brute-force kernel oracle
-    val adaptive = SpatialJoin.pointInGeom(pts, polys, "pt", "poly", "polygon",
+    val adaptive = forceDetection {
+      SpatialJoin.pointInGeom(pts, polys, "pt", "poly", "polygon",
         cellSize = 20.0, salt = salt, adaptiveSalt = true)
-      .select("pid", "gid").as[(Long, Long)].collect().toSet
+    }.select("pid", "gid").as[(Long, Long)].collect().toSet
     val brute = pts.crossJoin(polys)
       .where(st_intersects(col("pt"), col("poly"), "polygon"))
       .select("pid", "gid").as[(Long, Long)].collect().toSet
@@ -230,9 +244,10 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(hot.contains(Seq((0L, 0L))), s"null rows broke detection: $hot")
     val polys = Seq((0L, Seq(Seq(14.0, 7.0, 7.0, 14.0, 0.0, 7.0, 7.0, 0.0, 14.0, 7.0))))
       .toDF("gid", "poly")
-    val adaptive = SpatialJoin.pointInGeom(pts, polys, "pt", "poly", "polygon",
+    val adaptive = forceDetection {
+      SpatialJoin.pointInGeom(pts, polys, "pt", "poly", "polygon",
         cellSize = 20.0, salt = 4, adaptiveSalt = true)
-      .select("pid", "gid").as[(Long, Long)].collect().toSet
+    }.select("pid", "gid").as[(Long, Long)].collect().toSet
     val brute = pts.where(col("pt").isNotNull).crossJoin(polys)
       .where(st_intersects(col("pt"), col("poly"), "polygon"))
       .select("pid", "gid").as[(Long, Long)].collect().toSet
@@ -248,13 +263,152 @@ class SpatialJoinSpec extends AnyFunSuite {
       val cx = (i * 31 % 100).toDouble; val cy = (i * 41 % 100).toDouble
       (i.toLong, Seq(Seq(cx + 6, cy, cx, cy + 6, cx - 6, cy, cx, cy - 6, cx + 6, cy)))
     }.toDF("gid", "poly")
-    val adaptive = SpatialJoin.pointInGeom(pts, polys, "pt", "poly", "polygon",
+    val adaptive = forceDetection {
+      SpatialJoin.pointInGeom(pts, polys, "pt", "poly", "polygon",
         cellSize = 20.0, salt = 8, adaptiveSalt = true)
-      .select("pid", "gid").as[(Long, Long)].collect().toSet
+    }.select("pid", "gid").as[(Long, Long)].collect().toSet
     val brute = pts.crossJoin(polys)
       .where(st_intersects(col("pt"), col("poly"), "polygon"))
       .select("pid", "gid").as[(Long, Long)].collect().toSet
     assert(adaptive == brute && brute.nonEmpty)
+  }
+
+  test("small-input gate: adaptiveSalt below minBytes skips the counting pass, result stays exact") {
+    // a tiny local point side sits far under the (explicit, huge)
+    // threshold — pointInGeom must NOT run the detection job, and the
+    // join proceeds with blanket salting (cheap at this size)
+    val key = "spark.graft.sjoin.adaptiveSalt.minBytes"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, (1L << 40).toString)
+    try {
+      val pts = (0 until 500).map { i =>
+        if (i % 10 != 0) (i.toLong, (i * 13 % 1000) / 50.0, (i * 17 % 1000) / 50.0)
+        else (i.toLong, 20.0 + (i * 7 % 80), 20.0 + (i * 11 % 80))
+      }.toDF("pid", "x", "y").withColumn("pt", st_point(col("x"), col("y")))
+      val polys = (0 until 20).map { i =>
+        val cx = (i * 23 % 100).toDouble; val cy = (i * 37 % 100).toDouble
+        val r = 4.0 + i % 7
+        (i.toLong, Seq(Seq(cx + r, cy, cx, cy + r, cx - r, cy, cx, cy - r, cx + r, cy)))
+      }.toDF("gid", "poly")
+      val runsBefore = SpatialJoin.detectionRuns.get()
+      val gated = SpatialJoin.pointInGeom(pts, polys, "pt", "poly", "polygon",
+          cellSize = 20.0, salt = 8, adaptiveSalt = true)
+      assert(SpatialJoin.detectionRuns.get() == runsBefore,
+        "the small-input gate did not skip the counting pass")
+      val got = gated.select("pid", "gid").as[(Long, Long)].collect().toSet
+      val brute = pts.crossJoin(polys)
+        .where(st_intersects(col("pt"), col("poly"), "polygon"))
+        .select("pid", "gid").as[(Long, Long)].collect().toSet
+      assert(got == brute && brute.nonEmpty)
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("planner-path adaptive salting: a plain st_intersects join under the conf plans hot-cell-only salting and matches the API path") {
+    graft.plans.SpatialJoinRewrite.install(spark)
+    val confs = Seq(
+      "spark.graft.sjoin.cellSize" -> "20.0",
+      "spark.graft.sjoin.salt" -> "8",
+      "spark.graft.sjoin.adaptiveSalt" -> "true",
+      "spark.graft.sjoin.adaptiveSalt.minBytes" -> "0")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // the 90%-one-cell skew shape: hot cell (0,0) at cellSize 20
+      val pts = (0 until 1000).map { i =>
+        if (i % 10 != 0) (i.toLong, (i * 13 % 1000) / 50.0, (i * 17 % 1000) / 50.0)
+        else (i.toLong, 20.0 + (i * 7 % 80), 20.0 + (i * 11 % 80))
+      }.toDF("pid", "x", "y").withColumn("pt", st_point(col("x"), col("y")))
+      val polys = (0 until 20).map { i =>
+        val cx = (i * 23 % 100).toDouble; val cy = (i * 37 % 100).toDouble
+        val r = 4.0 + i % 7
+        (i.toLong, Seq(Seq(cx + r, cy, cx, cy + r, cx - r, cy, cx, cy - r, cx + r, cy)))
+      }.toDF("gid", "poly")
+
+      val runsBefore = SpatialJoin.detectionRuns.get()
+      val j = pts.join(polys, st_intersects(pts("pt"), polys("poly"), "polygon"))
+      val pairs = j.select("pid", "gid").as[(Long, Long)].collect().toSet
+      val runsAfterFirst = SpatialJoin.detectionRuns.get()
+      assert(runsAfterFirst > runsBefore,
+        "planner path never ran hot-cell detection")
+      val expect = forceDetection {
+        SpatialJoin.pointInGeom(pts, polys, "pt", "poly", "polygon",
+          cellSize = 20.0, salt = 8, adaptiveSalt = true)
+      }.select("pid", "gid").as[(Long, Long)].collect().toSet
+      assert(pairs == expect && pairs.nonEmpty)
+
+      // hot-cell-ONLY salting in the executed plan: the salt columns
+      // are conditional (CASE WHEN on the hot-cell literals), never
+      // the blanket unconditional pmod/explode, and the join is still
+      // a hash join — no nested loop
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("CASE WHEN"),
+        s"no conditional (hot-cell-only) salting in:\n$plan")
+      assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+        s"nested loop survived:\n$plan")
+      assert(plan.contains("HashJoin"), s"no hash join in:\n$plan")
+
+      // the detection result is CACHED on the canonicalized point
+      // side: re-planning the same join (fresh DataFrame, fixed-point
+      // optimizer re-runs included) must not re-fire the counting job.
+      // (runsAfterFirst can't be the baseline — the API-path `expect`
+      // call above legitimately ran its own detection.)
+      val runsBeforeReplan = SpatialJoin.detectionRuns.get()
+      val j2 = pts.join(polys, st_intersects(pts("pt"), polys("poly"), "polygon"))
+      val pairs2 = j2.select("pid", "gid").as[(Long, Long)].collect().toSet
+      assert(pairs2 == expect)
+      assert(SpatialJoin.detectionRuns.get() == runsBeforeReplan,
+        "detection re-fired on a re-plan of the same point side")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_.isInstanceOf[graft.plans.SpatialJoinRewrite])
+    }
+  }
+
+  test("planner-path small-input gate: adaptiveSalt conf on a small point side plans blanket salt with no counting pass") {
+    graft.plans.SpatialJoinRewrite.install(spark)
+    val confs = Seq(
+      "spark.graft.sjoin.cellSize" -> "20.0",
+      "spark.graft.sjoin.salt" -> "4",
+      "spark.graft.sjoin.adaptiveSalt" -> "true",
+      "spark.graft.sjoin.adaptiveSalt.minBytes" -> (1L << 40).toString)
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val rnd = new scala.util.Random(47)
+      val pts = (0 until 300).map(i =>
+          (i.toLong, rnd.nextDouble() * 100, rnd.nextDouble() * 100))
+        .toDF("pid", "x", "y").withColumn("pt", st_point(col("x"), col("y")))
+      val polys = (0 until 15).map { i =>
+        val cx = rnd.nextDouble() * 100; val cy = rnd.nextDouble() * 100
+        val r = 5 + rnd.nextDouble() * 10
+        (i.toLong, Seq(Seq(cx + r, cy, cx, cy + r, cx - r, cy, cx, cy - r, cx + r, cy)))
+      }.toDF("gid", "poly")
+      val runsBefore = SpatialJoin.detectionRuns.get()
+      val j = pts.join(polys, st_intersects(pts("pt"), polys("poly"), "polygon"))
+      val pairs = j.select("pid", "gid").as[(Long, Long)].collect().toSet
+      assert(SpatialJoin.detectionRuns.get() == runsBefore,
+        "the planner gate did not skip the counting pass")
+      val expect = SpatialJoin.pointInGeom(pts, polys, "pt", "poly", "polygon",
+          cellSize = 20.0, salt = 4)
+        .select("pid", "gid").as[(Long, Long)].collect().toSet
+      assert(pairs == expect && pairs.nonEmpty)
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_.isInstanceOf[graft.plans.SpatialJoinRewrite])
+    }
   }
 
   test("bucketed geometry table joins without a geometry-side exchange") {
