@@ -15,12 +15,50 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Streaming checkpoints off the contended disk (r16, the
+    // per-window streaming-outlier mechanism): most catalog stream
+    // queries take Spark's default TEMP checkpoint under
+    // java.io.tmpdir — small synchronous WAL/state-store writes that
+    // measured 1.5-2.2x slower under active page-cache writeback
+    // while batch queries barely moved, so the suite's own lake
+    // writes episodically inflate whichever streaming query is
+    // running. A tmpfs base (when present) makes them insensitive.
+    // The base is rotated to a FRESH random subdir before every rep
+    // (the conf's base/queryName layout would otherwise make rep 2
+    // RESUME rep 1's checkpoint and measure an empty increment);
+    // the whole tree is deleted before exit.
+    val ckptRoot: Option[String] = {
+      val shm = new java.io.File("/dev/shm")
+      val root = if (shm.isDirectory && shm.canWrite) "/dev/shm" else null
+      Option(root).map(_ + s"/graft_ckpt_${java.util.UUID.randomUUID().toString.take(8)}")
+    }
+    // cleanup via shutdown hook, not just the success path: tmpfs
+    // pages are RAM, and an uncaught throw anywhere below must not
+    // leak the tree until reboot
+    ckptRoot.foreach(r => Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(r))
+      catch { case _: java.io.IOException => () })))
+    // the PREVIOUS rotation's tree is deleted on each rotate (its
+    // query has terminated — awaitTermination precedes the return):
+    // tmpfs pages are RAM, and letting ~queries x reps of abandoned
+    // WAL/state files accumulate until exit would itself pressure the
+    // page cache this change exists to protect
+    var lastCkptDir: Option[String] = None
+    def rotateCkpt(): Unit = ckptRoot.foreach { r =>
+      lastCkptDir.foreach(d =>
+        try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+        catch { case _: java.io.IOException => () })
+      val next = s"$r/${java.util.UUID.randomUUID().toString.take(12)}"
+      lastCkptDir = Some(next)
+      spark.conf.set("spark.sql.streaming.checkpointLocation", next)
+    }
     // JIT/codegen/session warmup: run EVERY query once on the smallest
     // sf so the timed sf0.1 pass measures steady state, not one-time
     // codegen compilation.
     val warmDir = "/root/testdata/sf0.001"
     val warmOnly = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     SparkEntry.queries.keys.filter(q => warmOnly.forall(_.contains(q))).foreach { q =>
+      rotateCkpt()
       try SparkEntry.queries(q)(spark, warmDir).count()
       catch { case _: Throwable => }
     }
@@ -51,6 +89,7 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val runs = (1 to reps).map { _ =>
+        rotateCkpt()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
@@ -126,7 +165,7 @@ object Bench {
     val qs = sel.mkString("{", ",", "}")
     // stop Spark BEFORE printing so the JSON is the last stdout line
     // (shutdown logs go to stderr; the driver parses stdout).
-    spark.stop()
+    spark.stop() // the shutdown hook above reclaims the tmpfs tree
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size}$failedField,"queries":$qs,"sf":"$sfDir","full":"BENCH_FULL.json"}""")
     System.out.flush()
   }

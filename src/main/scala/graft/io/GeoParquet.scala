@@ -1760,16 +1760,21 @@ object GeoParquet {
 
   /** Kind of a unified `_sc-N.json` artifact by its canonical head
     * (both shapes are machine-rendered, commit-time self-round-trip
-    * checked): true = materialized checkpoint, false = delta. Anything
-    * else is a hand edit / truncation — an ERROR, never a guess. */
-  private[graft] def scArtIsCkpt(text: String, where: String): Boolean = {
+    * checked): Some(true) = materialized checkpoint, Some(false) =
+    * delta, None = neither — same dead-vs-live error policy as
+    * [[genArtKind]]. */
+  private[graft] def scArtKind(text: String): Option[Boolean] = {
     val t = text.trim
-    if (t.startsWith("{\"version\":1,\"_commit\":")) true
-    else if (t.startsWith("{\"version\":1,\"del\":[")) false
-    else throw new IllegalArgumentException(
-      s"malformed unified sidecar log artifact at $where: head is " +
-        "neither a checkpoint nor a delta")
+    if (t.startsWith("{\"version\":1,\"_commit\":")) Some(true)
+    else if (t.startsWith("{\"version\":1,\"del\":[")) Some(false)
+    else None
   }
+
+  /** [[scArtKind]] for a LIVE artifact: unknown head = ERROR. */
+  private[graft] def scArtIsCkpt(text: String, where: String): Boolean =
+    scArtKind(text).getOrElse(throw new IllegalArgumentException(
+      s"malformed unified sidecar log artifact at $where: head is " +
+        "neither a checkpoint nor a delta"))
 
   /** Per-process memo of the MATERIALIZED sidecar text, keyed on an
     * md5 over the root checkpoint text AND every applicable delta
@@ -1813,25 +1818,32 @@ object GeoParquet {
       attempts += 1
       val entries = listSc()
       // unified artifacts (`_sc-N.json`, current layout) carry their
-      // kind in the text head — read them up front (the same opens a
-      // base+deltas read pays anyway). One vanishing between listing
-      // and read is a racing fold's cleanup — re-list.
-      val uniOrds = entries.flatMap(e => ordinalOf(e._1, ScArtPrefix)).sorted
-      val uniTexts: Map[Int, String] = uniOrds.flatMap(o =>
-        readArt(scArtName(o)).map(o -> _)).toMap
-      if (uniTexts.size != uniOrds.size) {
+      // kind in the text head — read + classify up front with the
+      // policy SHARED with the manifest reader ([[classifyUniArts]]:
+      // dead-vs-live for vanished and malformed ordinals, twin-drop
+      // warning). None = a LIVE artifact vanished → re-list.
+      val legacyScCkptOrdsAll = entries.flatMap(e =>
+        ordinalOf(e._1, ScCkptPrefix))
+      val uniArtsOpt = classifyUniArts(entries.map(_._1), ScArtPrefix,
+        scArtName, scArtKind, legacyScCkptOrdsAll,
+        entries.flatMap(e => ordinalOf(e._1, ScDeltaPrefix)),
+        scLogDir(path), readArt, "sidecar", path)
+      if (uniArtsOpt.isEmpty) {
         if (attempts >= 8) throw new java.io.IOException(
           s"sidecar log artifact at $path vanished across retries — " +
             "torn dataset")
         Thread.sleep(10L * attempts)
       } else {
-      val uniCkptOrds = uniOrds.filter(o =>
-        scArtIsCkpt(uniTexts(o), s"${scLogDir(path)}/${scArtName(o)}"))
-      val uniDeltaOrds = uniOrds.filterNot(uniCkptOrds.contains)
-      val deltaOrdsAll = (entries.flatMap(e =>
-        ordinalOf(e._1, ScDeltaPrefix)) ++ uniDeltaOrds).distinct
-      val ckptOrds = (entries.flatMap(e =>
-        ordinalOf(e._1, ScCkptPrefix)) ++ uniCkptOrds).distinct
+      val uniArts = uniArtsOpt.get
+      val uniTexts = uniArts.texts
+      val uniCkptOrds = uniArts.ckptOrds
+      val uniDeltaOrds = uniArts.deltaOrds
+      val deltaOrdsAll = (uniDeltaOrds ++ entries.flatMap(e =>
+        ordinalOf(e._1, ScDeltaPrefix))).distinct
+      // a legacy ckpt twin never out-ranks the unified artifact (the
+      // gen reader's twin policy)
+      val ckptOrds = (legacyScCkptOrdsAll
+        .filterNot(uniArts.twinOrds.contains) ++ uniCkptOrds).distinct
       // base: the max versioned checkpoint across BOTH namespaces; the
       // legacy root file only when none exists yet (pre-delta-log
       // dataset, swept by the first fold). A checkpoint vanishing
@@ -1863,13 +1875,12 @@ object GeoParquet {
             val fresh = listSc()
             val legacyCkpt = fresh.exists(e =>
               ordinalOf(e._1, ScCkptPrefix).isDefined)
+            // vanished mid-confirm and unclassifiable heads both count
+            // as "maybe a checkpoint" — not confirmed; the main pass
+            // raises the precise error if the artifact participates
             val uniMaybeCkpt = fresh
               .flatMap(e => ordinalOf(e._1, ScArtPrefix)).exists { o =>
-                readArt(scArtName(o)) match {
-                  case Some(t) =>
-                    scArtIsCkpt(t, s"${scLogDir(path)}/${scArtName(o)}")
-                  case None => true
-                }
+                readArt(scArtName(o)).flatMap(scArtKind).forall(identity)
               }
             if (!legacyCkpt && !uniMaybeCkpt)
               return None
@@ -2324,15 +2335,97 @@ object GeoParquet {
   /** Kind of a unified `_gen-N.json` artifact, decided by the
     * canonical text's HEAD (both render shapes are strict-round-trip
     * machine text, so the first key is as load-bearing as a name):
-    * true = full-state checkpoint, false = delta. Anything else is a
-    * hand edit / truncation — an ERROR, never a guess. */
-  private[graft] def genArtIsCkpt(text: String, where: String): Boolean = {
+    * Some(true) = full-state checkpoint, Some(false) = delta, None =
+    * neither (hand edit / truncation / out-of-band damage). Whether
+    * None is an error depends on whether the artifact PARTICIPATES:
+    * a damaged straggler at or below the live checkpoint is dead
+    * (ignored, swept by the next fold — opening it at all is new in
+    * the unified layout, and it must not brick reads the legacy
+    * layout survived), while a damaged artifact that would
+    * participate in the state is a loud [[genArtIsCkpt]] error. */
+  private[graft] def genArtKind(text: String): Option[Boolean] = {
     val t = text.trim
-    if (t.startsWith("{\"_commit\":")) true
-    else if (t.startsWith("{\"_dcommit\":")) false
-    else throw new IllegalArgumentException(
+    if (t.startsWith("{\"_commit\":")) Some(true)
+    else if (t.startsWith("{\"_dcommit\":")) Some(false)
+    else None
+  }
+
+  /** [[genArtKind]] for a LIVE artifact: unknown head = ERROR. */
+  private[graft] def genArtIsCkpt(text: String, where: String): Boolean =
+    genArtKind(text).getOrElse(throw new IllegalArgumentException(
       s"malformed unified log artifact at $where: head is neither a " +
-        "checkpoint nor a delta")
+        "checkpoint nor a delta"))
+
+  /** One listing's unified-artifact view, shared by BOTH log readers
+    * (the classification policy must never drift between the twins):
+    * checkpoints, usable deltas, the texts already in hand, and the
+    * legacy twin ordinals the caller must EXCLUDE from its own
+    * legacy-name lists (a legacy twin must never out-rank the unified
+    * artifact — e.g. a pre-r16 stalled fold's `_genckpt-N` becoming
+    * the read base over the committed `_gen-N.json`, which would be
+    * the very shadow this format closes). */
+  private[graft] final case class UniArts(ckptOrds: Seq[Int], deltaOrds: Seq[Int],
+                                   texts: Map[Int, String], twinOrds: Set[Int])
+
+  /** Once-per-(path, twin-set) guard for the dropped-twin warning: a
+    * read-only dataset stuck in the twin state must not log the
+    * multi-line WARN on every sidecar read forever. Bounded like the
+    * log-read memos. */
+  private val warnedTwins =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Read + classify every unified artifact in one listing. Policies
+    * (identical for `_gen`/`_sc`):
+    *  - VANISHED between listing and read: dead (ignored) when a
+    *    checkpoint at or above its ordinal is visible in this listing
+    *    — that is a fold's sweep racing us over an artifact nobody
+    *    needs; a vanish that could PARTICIPATE returns None → the
+    *    caller re-lists (bounded by its attempts guard).
+    *  - MALFORMED head: dead (ignored, next fold sweeps) below the
+    *    max checkpoint; a LIVE one throws via `strictKind` — the
+    *    strict-parse philosophy, scoped to artifacts that matter.
+    *  - LEGACY TWIN at a unified ordinal: the unified artifact wins;
+    *    warn loudly — an unsupported pre-r16 writer lost that commit.
+    */
+  private[graft] def classifyUniArts(
+      listedNames: Seq[String], artPrefix: String, artNameOf: Int => String,
+      kindOf: String => Option[Boolean],
+      legacyCkptOrds: Seq[Int], legacyDeltaOrds: Seq[Int],
+      dirWhere: String, read: String => Option[String],
+      logLabel: String, path: String): Option[UniArts] = {
+    val uniOrds = listedNames.flatMap(ordinalOf(_, artPrefix)).sorted
+    val texts: Map[Int, String] =
+      uniOrds.flatMap(o => read(artNameOf(o)).map(o -> _)).toMap
+    val present = uniOrds.filter(texts.contains)
+    val uniCkpt = present.filter(o => kindOf(texts(o)).contains(true))
+    // legacy twins never out-rank unified artifacts anywhere — not
+    // even in the coverage horizon below
+    val twins = (legacyDeltaOrds ++ legacyCkptOrds).toSet
+      .intersect(uniOrds.toSet)
+    val ckptMax =
+      (legacyCkptOrds.filterNot(twins.contains) ++ uniCkpt).maxOption
+    def liveOnly(ords: Seq[Int]): Seq[Int] =
+      ckptMax.fold(ords)(b => ords.filter(_ > b))
+    if (liveOnly(uniOrds.filterNot(texts.contains)).nonEmpty) return None
+    val malformed = present.filter(o => kindOf(texts(o)).isEmpty)
+    val liveMalformed = liveOnly(malformed)
+    if (liveMalformed.nonEmpty) throw new IllegalArgumentException(
+      s"malformed unified $logLabel log artifact at " +
+        s"$dirWhere/${artNameOf(liveMalformed.head)}: head is neither " +
+        "a checkpoint nor a delta")
+    if (twins.nonEmpty &&
+        warnedTwins.add(s"$path|$logLabel|${twins.toSeq.sorted.mkString(",")}")) {
+      if (warnedTwins.size > 256) warnedTwins.clear()
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"$logLabel log at $path has legacy twin-name artifacts at " +
+          s"ordinal(s) ${twins.toSeq.sorted.mkString(",")} beside " +
+          "unified ones — a pre-r16 writer is sharing this dataset " +
+          "(unsupported during migration); its commits at those " +
+          "ordinals were ignored. Upgrade all writers together.")
+    }
+    Some(UniArts(uniCkpt,
+      present.filterNot(uniCkpt.contains).filterNot(malformed.contains),
+      texts, twins))
   }
 
   private[graft] def renderGenDelta(d: GenDelta): String =
@@ -2474,11 +2567,12 @@ object GeoParquet {
       val entries = listGen()._1
       entries.forall(e => ordinalOf(e._1, CkptPrefix).isEmpty) &&
         !entries.flatMap(e => ordinalOf(e._1, GenArtPrefix)).exists { o =>
-          readArtifact(genLogDir(path), genArtName(o)) match {
-            case Some(t) =>
-              genArtIsCkpt(t, s"${genLogDir(path)}/${genArtName(o)}")
-            case None => true
-          }
+          // vanished mid-confirm (racing fold) and unclassifiable
+          // heads both count as "maybe a checkpoint" — NOT confirmed;
+          // the main pass raises the precise error if the artifact
+          // actually participates
+          readArtifact(genLogDir(path), genArtName(o))
+            .flatMap(genArtKind).forall(identity)
         }
     }
     var attempts = 0
@@ -2506,23 +2600,32 @@ object GeoParquet {
       val hit = genStateMemo.get(path)
       if (hit != null && hit._1 == sig) return Some(hit._2)
       // unified artifacts (`_gen-N.json`, current layout) carry their
-      // kind in the text head — read them up front (the same opens a
-      // base+deltas read pays anyway; only post-crash stragglers an
-      // upcoming fold will sweep cost an extra open). One vanishing
-      // between the listing and its read is a racing fold's cleanup —
-      // re-list, bounded by the attempt counter.
-      val uniOrds = names.flatMap(ordinalOf(_, GenArtPrefix)).sorted
-      val uniTexts: Map[Int, String] = uniOrds.flatMap(o =>
-        readArtifact(genLogDir(path), genArtName(o)).map(o -> _)).toMap
-      if (uniTexts.size != uniOrds.size) {
+      // kind in the text head — read + classify them up front (the
+      // same opens a base+deltas read pays anyway; only post-crash
+      // stragglers an upcoming fold will sweep cost an extra open).
+      // Shared policy with the sidecar reader: [[classifyUniArts]].
+      val legacyCkptOrdsAll = names.flatMap(ordinalOf(_, CkptPrefix))
+      val uniArtsOpt = classifyUniArts(names, GenArtPrefix, genArtName,
+        genArtKind, legacyCkptOrdsAll,
+        names.flatMap(ordinalOf(_, DeltaPrefix)), genLogDir(path),
+        n => readArtifact(genLogDir(path), n), "generation", path)
+      if (uniArtsOpt.isEmpty) {
+        // a LIVE unified artifact vanished between listing and read —
+        // a racing fold; re-list (persistently = torn)
         if (attempts >= 8) throw new java.io.IOException(
           s"generation log artifact at $path vanished across retries — " +
             "torn dataset")
         Thread.sleep(25L * math.min(attempts, 8))
       } else {
-      val uniCkptOrds = uniOrds.filter(o =>
-        genArtIsCkpt(uniTexts(o), s"${genLogDir(path)}/${genArtName(o)}"))
-      val legacyCkptOrds = names.flatMap(ordinalOf(_, CkptPrefix))
+      val uniArts = uniArtsOpt.get
+      val uniTexts = uniArts.texts
+      val uniCkptOrds = uniArts.ckptOrds
+      // a legacy twin never out-ranks the unified artifact: a pre-r16
+      // stalled fold's `_genckpt-N` beside the committed `_gen-N.json`
+      // must not become the read base (that would be the shadow this
+      // format closes, re-opened through the migration seam)
+      val legacyCkptOrds =
+        legacyCkptOrdsAll.filterNot(uniArts.twinOrds.contains)
       val ckptOrds = (legacyCkptOrds ++ uniCkptOrds).distinct.sorted
       // legacy layouts put log artifacts at the ROOT: the pre-delta
       // era's _generations.json checkpoint, and the one intermediate
@@ -2536,9 +2639,16 @@ object GeoParquet {
       def legacyDeltaText(dir: String)(o: Int): Option[String] =
         readArtifact(dir, deltaName(o))
       val uniDeltaSrc: Seq[(Int, (String, Int => Option[String]))] =
-        (uniOrds.toSet -- uniCkptOrds).toSeq.map(o =>
+        uniArts.deltaOrds.map(o =>
           o -> (s"${genLogDir(path)}/${genArtName(o)}",
             (n: Int) => uniTexts.get(n)))
+      // deltas merge BOTH namespaces with the UNIFIED artifact
+      // preferred on a duplicate ordinal (distinctBy keeps the first
+      // occurrence): a mixed-version race can leave `_gendelta-N`
+      // beside `_gen-N.json`, and without the dedup the duplicate
+      // ordinal fails the contiguity check forever — a fake torn
+      // dataset instead of the documented mixed-version residual
+      // (classifyUniArts warned about the dropped twin).
       val (base, deltaSrcs) = ckptOrds.lastOption match {
         case Some(n) =>
           val bText =
@@ -2547,9 +2657,10 @@ object GeoParquet {
             else readArtifact(genLogDir(path), ckptName(n))
               .map(_ -> s"${genLogDir(path)}/${ckptName(n)}")
           (bText.map { case (t, w) => parseGenState(t, w) },
-            names.flatMap(ordinalOf(_, DeltaPrefix))
-              .map(o => o -> (s"${genLogDir(path)}/${deltaName(o)}",
-                legacyDeltaText(genLogDir(path)) _)) ++ uniDeltaSrc)
+            (uniDeltaSrc ++
+             names.flatMap(ordinalOf(_, DeltaPrefix))
+               .map(o => o -> (s"${genLogDir(path)}/${deltaName(o)}",
+                 legacyDeltaText(genLogDir(path)) _))).distinctBy(_._1))
         case None =>
           val legacy = readArtifact(path, GenerationsName)
             .map(parseGenState(_, s"$path/$GenerationsName"))
@@ -2559,13 +2670,13 @@ object GeoParquet {
               .map(_.getPath.getName).toSeq
             catch { case _: java.io.FileNotFoundException => Nil }
           (legacy,
-            (names.flatMap(ordinalOf(_, DeltaPrefix))
+            (uniDeltaSrc ++
+             names.flatMap(ordinalOf(_, DeltaPrefix))
               .map(o => o -> (s"${genLogDir(path)}/${deltaName(o)}",
                 legacyDeltaText(genLogDir(path)) _)) ++
              rootNames.flatMap(ordinalOf(_, DeltaPrefix))
                .map(o => o -> (s"$path/${deltaName(o)}",
-                 legacyDeltaText(path) _)) ++
-             uniDeltaSrc).distinctBy(_._1))
+                 legacyDeltaText(path) _))).distinctBy(_._1))
       }
       val legacyBased = ckptOrds.isEmpty && base.isDefined
       val deltaOrds = deltaSrcs.map(_._1).sorted

@@ -15,10 +15,18 @@ import org.apache.hadoop.fs.{FileSystem, Path => HadoopPath}
  * cross-name shadow — a >2s-stalled fold's `_genckpt-N` landing beside
  * an adopter's committed `_gendelta-N` and shadowing it (readers take
  * the max checkpoint) — is structurally impossible between writers of
- * this format; it survives only as a mixed-VERSION residual (a pre-r16
- * JVM racing a current one during the legacy-layout migration window),
- * narrowed there by the legacy sibling probes, the marker-nonce/
- * ordinal re-checks, and the read-back covered-ordinal retry.
+ * this format. MIXED VERSIONS ARE NOT SUPPORTED ON A SHARED DATASET:
+ * a pre-r16 JVM's commits publish legacy twin names the current
+ * reader deliberately ignores on a duplicate ordinal (and the first
+ * fold sweeps) — every such commit is dropped, not raced — and once
+ * any fold has migrated the layout, a pre-r16 JVM cannot even READ
+ * the dataset (it knows only the legacy names, so it concludes no
+ * manifest exists and a commit from it would fabricate a fresh legacy
+ * base under the live log). Upgrade every JVM touching a dataset
+ * together; the current reader logs a warning whenever it drops a
+ * legacy twin so the misconfiguration is visible, and the current
+ * writer's own publishes still probe the legacy names (`alsoAbsent`)
+ * so IT never tramples an old JVM's committed artifact.
  *
  * P1 EXCLUSIVE CREATE (load-bearing for the marker CAS): creating a
  *    file that must not already exist ([[exclusiveCreate]]) fails when
@@ -61,7 +69,11 @@ import org.apache.hadoop.fs.{FileSystem, Path => HadoopPath}
  *    out); absent that, single-writer-per-dataset is the documented
  *    mode.
  */
-private[graft] object LogFs {
+// The object is PUBLIC solely so deployments can reach the
+// [[LogFs.ConditionalPut]] registration ([[LogFs.registerConditionalPut]])
+// the P3 contract above prescribes for object stores; every other
+// member stays private[graft].
+object LogFs {
 
   /** THE OBJECT-STORE ADAPTER SEAM (P1 + P3 restored on stores with a
     * conditional put): one method — write `bytes` at `p` atomically
@@ -120,8 +132,14 @@ private[graft] object LogFs {
     * propagate — a broken filesystem must be loud, not a lost claim. */
   private[graft] def exclusiveCreate(fs: FileSystem, p: HadoopPath,
                                      bytes: Array[Byte]): Boolean =
-    if (adapterFor(fs).isDefined) adapterFor(fs).get.putIfAbsent(fs, p, bytes)
-    else if (isLocal(fs)) {
+    adapterFor(fs) match {
+      case Some(a) => a.putIfAbsent(fs, p, bytes)
+      case None => exclusiveCreateDefault(fs, p, bytes)
+    }
+
+  private def exclusiveCreateDefault(fs: FileSystem, p: HadoopPath,
+                                     bytes: Array[Byte]): Boolean =
+    if (isLocal(fs)) {
       val nio = Paths.get(p.toUri.getPath)
       // Hadoop create() makes parent dirs implicitly; nio does not —
       // the first marker of a fresh log dir needs them (idempotent).
@@ -166,20 +184,43 @@ private[graft] object LogFs {
     * probe+rename with its documented residual. */
   private[graft] def linkNoReplace(fs: FileSystem, tmp: HadoopPath,
                                    dst: HadoopPath): Option[Boolean] =
-    if (!disableAtomicLink && adapterFor(fs).isDefined) {
-      // conditional-put adapter: the store itself arbitrates the name.
-      // The fully-written tmp is re-read and pushed as one atomic
-      // if-absent put — the caller deletes tmp on Some(_) either way.
-      val in = fs.open(tmp)
-      val bytes =
-        try {
-          val len = fs.getFileStatus(tmp).getLen.toInt
-          val b = new Array[Byte](len); in.readFully(b); b
-        } finally in.close()
-      Some(adapterFor(fs).get.putIfAbsent(fs, dst, bytes))
-    }
-    else if (disableAtomicLink || !isLocal(fs)) None
-    else {
+    (if (disableAtomicLink) None else adapterFor(fs)) match {
+      case Some(adapter) =>
+        // conditional-put adapter: the store itself arbitrates the
+        // name. The fully-written tmp is re-read and pushed as one
+        // atomic if-absent put — the caller deletes tmp on Some(_)
+        // either way. (Single registry lookup: a concurrent
+        // unregister must fall back cleanly, never NoSuchElement.)
+        // A tmp that VANISHED before the re-read was swept by a
+        // rival's cleanup after we stalled past the adoption window —
+        // the same lost race the local link path reports (its rename
+        // of a missing tmp returns false); map it to Some(false)
+        // instead of failing the whole commit with FileNotFound.
+        // the FNF catch covers ONLY the tmp re-read: an adapter that
+        // throws FNF from the store itself (S3A maps 404s to FNF) is
+        // a broken filesystem and must stay loud, never a fake lost
+        // race that burns the caller's retry budget
+        val bytesOpt =
+          try {
+            val in = fs.open(tmp)
+            try {
+              val len = fs.getFileStatus(tmp).getLen
+              // log artifacts are O(change)/O(live-files) metadata; a
+              // ~2 GiB one means something else went wrong — name the
+              // real limit instead of dying in the array allocation
+              // (the JVM cap is slightly under Int.MaxValue)
+              require(len < Int.MaxValue - 8,
+                s"log artifact $tmp is $len bytes — too large for a " +
+                  "single conditional put")
+              val b = new Array[Byte](len.toInt); in.readFully(b); Some(b)
+            } finally in.close()
+          } catch {
+            case _: java.io.FileNotFoundException => None
+          }
+        Some(bytesOpt.exists(adapter.putIfAbsent(fs, dst, _)))
+      case None if disableAtomicLink || !isLocal(fs) => None
+      case None =>
+    {
       try {
         // link(2): EEXIST-atomic, same-directory so same-device always
         Files.createLink(Paths.get(dst.toUri.getPath),
@@ -217,5 +258,6 @@ private[graft] object LogFs {
         // would have carried
         case _: java.io.IOException => None
       }
+    }
     }
 }

@@ -104,6 +104,144 @@ class LogFormatSpec extends AnyFunSuite {
     }
   }
 
+  test("mixed-version duplicate ordinal: a legacy twin BESIDE the unified artifact reads (unified preferred) — never a fake torn dataset") {
+    val dir = java.nio.file.Files.createTempDirectory("dup-ordinal").toFile
+    try {
+      import spark.implicits._
+      val path = s"$dir/z"
+      val conf = spark.sessionState.newHadoopConf()
+      def batch(lo: Int) = Seq((lo.toLong, lo % 10, (lo * 3) % 10))
+        .toDF("id", "a", "b").coalesce(1)
+      GeoParquet.packZOrderToParquet(batch(0), Seq("a", "b"), path, 1)
+      (1 to 2).foreach(i =>
+        GeoParquet.appendNumericWithSidecar(batch(i), path, Seq("a", "b")))
+      val st = GeoParquet.readGenState(path, conf).get
+      // a pre-r16 JVM (whose publish guard probes only the legacy twin
+      // names) lands `_gendelta-3` beside the committed `_gen-3.json`;
+      // same on the sidecar log. Without per-ordinal dedup the
+      // duplicate fails the contiguity check forever.
+      val rogue = GeoParquet.renderGenDelta(GeoParquet.GenDelta(3, 0,
+        Set.empty, Set.empty,
+        Map("rogue.parquet" -> GenEntry(0, -1)), Set.empty))
+      writeGen(path, "_gendelta-3.json", rogue)
+      val scDir = new java.io.File(s"$path/_sc")
+      java.nio.file.Files.writeString(
+        new java.io.File(scDir, "_scdelta-3.json").toPath,
+        GeoParquet.renderScDelta(GeoParquet.ScDelta(
+          Map("geom" -> Map("rogue.parquet" -> Array(0.0, 0.0, 1.0, 1.0))),
+          Set.empty)))
+      val reread = GeoParquet.readGenState(path, conf).get
+      assert(reread == st, "duplicate ordinal changed the state — the " +
+        "unified artifact must win")
+      assert(!reread.files.contains("rogue.parquet"))
+      assert(GeoParquet.readSidecarText(path, conf).exists(
+        !_.contains("rogue.parquet")))
+      // the WORST twin: a pre-r16 stalled fold's legacy CHECKPOINT at
+      // the unified ordinal — if it became the read base it would
+      // shadow the unified delta (the exact window this format
+      // closes, re-opened through the migration seam). It must lose.
+      val staleCkpt = GeoParquet.renderGenState(GenState(3, 0,
+        Map("only-f0.parquet" -> GenEntry(0, -1))))
+      writeGen(path, "_genckpt-3.json", staleCkpt)
+      val reread2 = GeoParquet.readGenState(path, conf).get
+      assert(reread2 == st,
+        "a legacy checkpoint twin out-ranked the unified artifact")
+      assert(new java.io.File(s"$path/_gen/_genckpt-3.json").delete())
+      // and the lake keeps working past it (commits, fold, sweep)
+      (3 to GeoParquet.DeltaFoldEvery + 1).foreach(i =>
+        GeoParquet.appendNumericWithSidecar(batch(i), path, Seq("a", "b")))
+      val names = new java.io.File(s"$path/_gen").list().toSeq
+      assert(!names.contains("_gendelta-3.json"), "fold did not sweep the twin")
+      assert(GeoParquet.readZOrderRange(spark, path, Seq(("a", -1e9, 1e9)))
+        .count() == GeoParquet.DeltaFoldEvery + 2)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
+  test("a damaged DEAD unified artifact (covered by the checkpoint) is ignored; a damaged LIVE one is a loud error (both logs)") {
+    val dir = java.nio.file.Files.createTempDirectory("dead-malformed").toFile
+    try {
+      import spark.implicits._
+      val path = s"$dir/z"
+      val conf = spark.sessionState.newHadoopConf()
+      def batch(lo: Int) = Seq((lo.toLong, lo % 10, (lo * 3) % 10))
+        .toDF("id", "a", "b").coalesce(1)
+      GeoParquet.packZOrderToParquet(batch(0), Seq("a", "b"), path, 1)
+      GeoParquet.appendNumericWithSidecar(batch(1), path, Seq("a", "b"))
+      val st = GeoParquet.readGenState(path, conf).get
+      val sc = GeoParquet.readSidecarText(path, conf).get
+      // DEAD: ordinal 0 sits below the checkpoint (ordinal 1) in both
+      // logs — a 0-byte straggler there must not brick reads the
+      // legacy layout (which never opened covered artifacts) survived
+      writeGen(path, GeoParquet.genArtName(0), "")
+      java.nio.file.Files.writeString(new java.io.File(
+        s"$path/_sc/${GeoParquet.scArtName(0)}").toPath, "")
+      assert(GeoParquet.readGenState(path, conf).contains(st))
+      assert(GeoParquet.readSidecarText(path, conf).contains(sc))
+      // LIVE: the same damage ABOVE the checkpoint would participate
+      // in the state — strict-parse loud error, never a guess
+      writeGen(path, GeoParquet.genArtName(3), "{broken}")
+      val e = intercept[IllegalArgumentException] {
+        GeoParquet.readGenState(path, conf) }
+      assert(e.getMessage.contains("malformed"))
+      assert(new java.io.File(s"$path/_gen/${GeoParquet.genArtName(3)}").delete())
+      java.nio.file.Files.writeString(new java.io.File(
+        s"$path/_sc/${GeoParquet.scArtName(3)}").toPath, "{broken}")
+      val e2 = intercept[IllegalArgumentException] {
+        GeoParquet.readSidecarText(path, conf) }
+      assert(e2.getMessage.contains("malformed"))
+      assert(new java.io.File(s"$path/_sc/${GeoParquet.scArtName(3)}").delete())
+      // healthy again, and the next fold sweeps the dead stragglers
+      assert(GeoParquet.readGenState(path, conf).contains(st))
+      (2 to GeoParquet.DeltaFoldEvery + 1).foreach(i =>
+        GeoParquet.appendNumericWithSidecar(batch(i), path, Seq("a", "b")))
+      assert(!new java.io.File(s"$path/_gen/${GeoParquet.genArtName(0)}").exists(),
+        "fold did not sweep the dead damaged artifact")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
+  test("classifyUniArts vanish policy: a DEAD artifact vanishing mid-read is ignored; a LIVE one forces a re-list") {
+    // simulate the racing-fold sweep directly at the classifier seam:
+    // the listing shows ordinals {1 (ckpt), 2, 3}, but ordinal 2's
+    // read returns None (deleted between listStatus and open)
+    val ckpt1 = GeoParquet.renderGenState(
+      GenState(1, 0, Map("f.parquet" -> GenEntry(0, -1))))
+    val delta3 = GeoParquet.renderGenDelta(GenDelta(3, 0, Set.empty,
+      Set.empty, Map("g.parquet" -> GenEntry(1, -1)), Set.empty))
+    def readOf(m: Map[String, String])(n: String): Option[String] = m.get(n)
+    // dead vanish: ckpt at 3 covers ordinal 2 — classification proceeds
+    val deadOk = GeoParquet.classifyUniArts(
+      Seq("_gen-1.json", "_gen-2.json", "_gen-3.json"),
+      GeoParquet.GenArtPrefix, GeoParquet.genArtName,
+      GeoParquet.genArtKind,
+      legacyCkptOrds = Nil, legacyDeltaOrds = Nil, dirWhere = "spec",
+      read = readOf(Map(
+        "_gen-1.json" -> ckpt1,
+        "_gen-3.json" -> GeoParquet.renderGenState(
+          GenState(3, 0, Map("f.parquet" -> GenEntry(0, -1)))))),
+      logLabel = "generation", path = "spec")
+    assert(deadOk.exists(u => u.ckptOrds == Seq(1, 3) && u.deltaOrds.isEmpty),
+      s"dead vanish was not tolerated: $deadOk")
+    // live vanish: ordinal 3 (above the max checkpoint 1) is missing —
+    // the caller must re-list, never assemble around a live hole
+    val liveGone = GeoParquet.classifyUniArts(
+      Seq("_gen-1.json", "_gen-3.json"),
+      GeoParquet.GenArtPrefix, GeoParquet.genArtName,
+      GeoParquet.genArtKind,
+      legacyCkptOrds = Nil, legacyDeltaOrds = Nil, dirWhere = "spec",
+      read = readOf(Map("_gen-1.json" -> ckpt1)),
+      logLabel = "generation", path = "spec")
+    assert(liveGone.isEmpty, "a LIVE vanished artifact must force a re-list")
+    // and the delta variant still classifies
+    val both = GeoParquet.classifyUniArts(
+      Seq("_gen-1.json", "_gen-3.json"),
+      GeoParquet.GenArtPrefix, GeoParquet.genArtName,
+      GeoParquet.genArtKind,
+      legacyCkptOrds = Nil, legacyDeltaOrds = Nil, dirWhere = "spec",
+      read = readOf(Map("_gen-1.json" -> ckpt1, "_gen-3.json" -> delta3)),
+      logLabel = "generation", path = "spec")
+    assert(both.exists(u => u.ckptOrds == Seq(1) && u.deltaOrds == Seq(3)))
+  }
+
   test("pre-r16 twin-name datasets migrate: exact reads mixed, unified commits beside legacy names, first fold sweeps them (both logs)") {
     val dir = java.nio.file.Files.createTempDirectory("twin-migrate").toFile
     try {

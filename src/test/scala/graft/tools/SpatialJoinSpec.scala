@@ -12,18 +12,22 @@ class SpatialJoinSpec extends AnyFunSuite {
 
   import spark.implicits._
 
-  /** Run `f` with the adaptive-salt small-input gate disabled (these
-    * specs exercise the detection path on deliberately tiny inputs),
-    * restoring the session conf after. */
-  private def forceDetection[T](f: => T): T = {
-    val key = "spark.graft.sjoin.adaptiveSalt.minBytes"
-    val saved = spark.conf.getOption(key)
-    spark.conf.set(key, "0")
-    try f finally saved match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+  /** Run `f` with the given session confs set, restoring (or
+    * unsetting) each afterwards — the one exception-safe copy of the
+    * save/set/restore dance every conf-sensitive test needs. */
+  private def withConfs[T](kvs: (String, String)*)(f: => T): T = {
+    val saved = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
   }
+
+  /** Run `f` with the adaptive-salt small-input gate disabled (these
+    * specs exercise the detection path on deliberately tiny inputs). */
+  private def forceDetection[T](f: => T): T =
+    withConfs("spark.graft.sjoin.adaptiveSalt.minBytes" -> "0")(f)
 
   test("broadcast r-tree sjoin matches grid-cell sjoin") {
     val rnd = new scala.util.Random(23)
@@ -277,10 +281,8 @@ class SpatialJoinSpec extends AnyFunSuite {
     // a tiny local point side sits far under the (explicit, huge)
     // threshold — pointInGeom must NOT run the detection job, and the
     // join proceeds with blanket salting (cheap at this size)
-    val key = "spark.graft.sjoin.adaptiveSalt.minBytes"
-    val saved = spark.conf.getOption(key)
-    spark.conf.set(key, (1L << 40).toString)
-    try {
+    withConfs("spark.graft.sjoin.adaptiveSalt.minBytes" ->
+        (1L << 40).toString) {
       val pts = (0 until 500).map { i =>
         if (i % 10 != 0) (i.toLong, (i * 13 % 1000) / 50.0, (i * 17 % 1000) / 50.0)
         else (i.toLong, 20.0 + (i * 7 % 80), 20.0 + (i * 11 % 80))
@@ -300,22 +302,16 @@ class SpatialJoinSpec extends AnyFunSuite {
         .where(st_intersects(col("pt"), col("poly"), "polygon"))
         .select("pid", "gid").as[(Long, Long)].collect().toSet
       assert(got == brute && brute.nonEmpty)
-    } finally saved match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
     }
   }
 
   test("planner-path adaptive salting: a plain st_intersects join under the conf plans hot-cell-only salting and matches the API path") {
     graft.plans.SpatialJoinRewrite.install(spark)
-    val confs = Seq(
+    try withConfs(
       "spark.graft.sjoin.cellSize" -> "20.0",
       "spark.graft.sjoin.salt" -> "8",
       "spark.graft.sjoin.adaptiveSalt" -> "true",
-      "spark.graft.sjoin.adaptiveSalt.minBytes" -> "0")
-    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
+      "spark.graft.sjoin.adaptiveSalt.minBytes" -> "0") {
       // the 90%-one-cell skew shape: hot cell (0,0) at cellSize 20
       val pts = (0 until 1000).map { i =>
         if (i % 10 != 0) (i.toLong, (i * 13 % 1000) / 50.0, (i * 17 % 1000) / 50.0)
@@ -362,10 +358,6 @@ class SpatialJoinSpec extends AnyFunSuite {
       assert(SpatialJoin.detectionRuns.get() == runsBeforeReplan,
         "detection re-fired on a re-plan of the same point side")
     } finally {
-      saved.foreach {
-        case (k, Some(v)) => spark.conf.set(k, v)
-        case (k, None) => spark.conf.unset(k)
-      }
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations
           .filterNot(_.isInstanceOf[graft.plans.SpatialJoinRewrite])
@@ -374,14 +366,11 @@ class SpatialJoinSpec extends AnyFunSuite {
 
   test("planner-path small-input gate: adaptiveSalt conf on a small point side plans blanket salt with no counting pass") {
     graft.plans.SpatialJoinRewrite.install(spark)
-    val confs = Seq(
+    try withConfs(
       "spark.graft.sjoin.cellSize" -> "20.0",
       "spark.graft.sjoin.salt" -> "4",
       "spark.graft.sjoin.adaptiveSalt" -> "true",
-      "spark.graft.sjoin.adaptiveSalt.minBytes" -> (1L << 40).toString)
-    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
+      "spark.graft.sjoin.adaptiveSalt.minBytes" -> (1L << 40).toString) {
       val rnd = new scala.util.Random(47)
       val pts = (0 until 300).map(i =>
           (i.toLong, rnd.nextDouble() * 100, rnd.nextDouble() * 100))
@@ -401,10 +390,6 @@ class SpatialJoinSpec extends AnyFunSuite {
         .select("pid", "gid").as[(Long, Long)].collect().toSet
       assert(pairs == expect && pairs.nonEmpty)
     } finally {
-      saved.foreach {
-        case (k, Some(v)) => spark.conf.set(k, v)
-        case (k, None) => spark.conf.unset(k)
-      }
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations
           .filterNot(_.isInstanceOf[graft.plans.SpatialJoinRewrite])
