@@ -1840,10 +1840,15 @@ object GeoParquet {
       val uniDeltaOrds = uniArts.deltaOrds
       val deltaOrdsAll = (uniDeltaOrds ++ entries.flatMap(e =>
         ordinalOf(e._1, ScDeltaPrefix))).distinct
-      // a legacy ckpt twin never out-ranks the unified artifact (the
-      // gen reader's twin policy)
-      val ckptOrds = (legacyScCkptOrdsAll
+      // a legacy ckpt twin never out-ranks the unified artifact —
+      // unless it is the ONLY base in existence (the gen reader's
+      // twin policy: drop-the-twin degrades to readable-with-loss,
+      // never to a torn dataset)
+      val ckptOrds0 = (legacyScCkptOrdsAll
         .filterNot(uniArts.twinOrds.contains) ++ uniCkptOrds).distinct
+      val ckptOrds =
+        if (ckptOrds0.nonEmpty) ckptOrds0
+        else legacyScCkptOrdsAll.distinct
       // base: the max versioned checkpoint across BOTH namespaces; the
       // legacy root file only when none exists yet (pre-delta-log
       // dataset, swept by the first fold). A checkpoint vanishing
@@ -1853,7 +1858,13 @@ object GeoParquet {
         case Some(n) =>
           if (uniCkptOrds.contains(n)) uniTexts.get(n)
           else readArt(scCkptName(n))
-        case None => readTextFile(path, SidecarName, conf)
+        case None =>
+          // FNF-guarded like every other artifact read (the gen
+          // reader's readArtifact twin): a migration fold can sweep
+          // the legacy root between our exists-probe and the open —
+          // that is a retry, never a crash out of the 50-attempt loop
+          try readTextFile(path, SidecarName, conf)
+          catch { case _: java.io.FileNotFoundException => None }
       }
       def deltaText(n: Int): Option[String] =
         if (uniDeltaOrds.contains(n)) uniTexts.get(n)
@@ -2413,9 +2424,12 @@ object GeoParquet {
       s"malformed unified $logLabel log artifact at " +
         s"$dirWhere/${artNameOf(liveMalformed.head)}: head is neither " +
         "a checkpoint nor a delta")
-    if (twins.nonEmpty &&
-        warnedTwins.add(s"$path|$logLabel|${twins.toSeq.sorted.mkString(",")}")) {
-      if (warnedTwins.size > 256) warnedTwins.clear()
+    if (twins.nonEmpty && {
+        // evict BEFORE adding — clearing after would wipe the fresh
+        // key and re-log this very dataset on its next read
+        if (warnedTwins.size > 256) warnedTwins.clear()
+        warnedTwins.add(s"$path|$logLabel|${twins.toSeq.sorted.mkString(",")}")
+      }) {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"$logLabel log at $path has legacy twin-name artifacts at " +
           s"ordinal(s) ${twins.toSeq.sorted.mkString(",")} beside " +
@@ -2623,10 +2637,17 @@ object GeoParquet {
       // a legacy twin never out-ranks the unified artifact: a pre-r16
       // stalled fold's `_genckpt-N` beside the committed `_gen-N.json`
       // must not become the read base (that would be the shadow this
-      // format closes, re-opened through the migration seam)
+      // format closes, re-opened through the migration seam) — UNLESS
+      // it is the ONLY base in existence: drop-the-twin must degrade
+      // to a readable state with the colliding commit lost+warned,
+      // never to a permanently torn dataset (a pre-r16 fold that
+      // swept everything its twin covered leaves exactly this shape)
       val legacyCkptOrds =
         legacyCkptOrdsAll.filterNot(uniArts.twinOrds.contains)
-      val ckptOrds = (legacyCkptOrds ++ uniCkptOrds).distinct.sorted
+      val ckptOrds0 = (legacyCkptOrds ++ uniCkptOrds).distinct.sorted
+      val ckptOrds =
+        if (ckptOrds0.nonEmpty) ckptOrds0
+        else legacyCkptOrdsAll.distinct.sorted
       // legacy layouts put log artifacts at the ROOT: the pre-delta
       // era's _generations.json checkpoint, and the one intermediate
       // build's root-level deltas on top of it. Both are read until

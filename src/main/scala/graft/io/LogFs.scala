@@ -196,10 +196,15 @@ object LogFs {
         // the same lost race the local link path reports (its rename
         // of a missing tmp returns false); map it to Some(false)
         // instead of failing the whole commit with FileNotFound.
-        // the FNF catch covers ONLY the tmp re-read: an adapter that
-        // throws FNF from the store itself (S3A maps 404s to FNF) is
-        // a broken filesystem and must stay loud, never a fake lost
-        // race that burns the caller's retry budget
+        // the FNF catch covers ONLY the tmp re-read, and even there
+        // it must discriminate: tmp gone WITH our ordinal's dst taken
+        // = a rival adopted our ordinal and a later commit swept our
+        // tmp — a lost race (retryable, like the local link path's
+        // rename of a missing tmp). Tmp gone with dst ABSENT = the
+        // store cannot read back its own fresh create — a broken
+        // filesystem that must stay LOUD (rethrow), not 24 silent
+        // retries ending in a fake 'contention' error. Adapter-side
+        // errors (S3A maps 404s to FNF) are outside the catch.
         val bytesOpt =
           try {
             val in = fs.open(tmp)
@@ -215,7 +220,8 @@ object LogFs {
               val b = new Array[Byte](len.toInt); in.readFully(b); Some(b)
             } finally in.close()
           } catch {
-            case _: java.io.FileNotFoundException => None
+            case e: java.io.FileNotFoundException =>
+              if (fs.exists(dst)) None else throw e
           }
         Some(bytesOpt.exists(adapter.putIfAbsent(fs, dst, _)))
       case None if disableAtomicLink || !isLocal(fs) => None

@@ -199,6 +199,43 @@ class LogFormatSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 
+  test("twin-only base: when a legacy checkpoint twin is the ONLY base, the dataset stays READABLE (colliding commit dropped) — never torn") {
+    // the shape a pre-r16 fold leaves when it folds+sweeps while a
+    // current JVM committed a unified delta at the same ordinal:
+    // {_genckpt-5, _gen-5.json(delta)} and nothing else. Excluding
+    // the twin from base selection here would leave base=None with a
+    // delta present — a permanent fake torn dataset; the policy is
+    // drop-the-colliding-commit, keep reading.
+    val dir = java.nio.file.Files.createTempDirectory("twin-only").toFile
+    try {
+      val path = s"$dir/d"
+      val conf = spark.sessionState.newHadoopConf()
+      val legacySt = GenState(5, 0, Map("legacy.parquet" -> GenEntry(0, -1)))
+      writeGen(path, "_genckpt-5.json", GeoParquet.renderGenState(legacySt))
+      writeGen(path, GeoParquet.genArtName(5),
+        GeoParquet.renderGenDelta(GenDelta(5, 0, Set.empty, Set.empty,
+          Map("uni.parquet" -> GenEntry(1, -1)), Set.empty)))
+      val st = GeoParquet.readGenState(path, conf).get
+      assert(st == legacySt,
+        s"twin-only base did not fall back to the legacy checkpoint: $st")
+      assert(!st.files.contains("uni.parquet"),
+        "the colliding unified commit must be dropped, not merged")
+      // sidecar twin of the same shape
+      val scDir = new java.io.File(s"$path/_sc"); scDir.mkdirs()
+      val scText = GeoParquet.renderSidecar(
+        Map("geom" -> Map("legacy.parquet" -> Array(0.0, 0.0, 1.0, 1.0))), 2)
+      java.nio.file.Files.writeString(
+        new java.io.File(scDir, "_scckpt-2.json").toPath, scText)
+      java.nio.file.Files.writeString(
+        new java.io.File(scDir, GeoParquet.scArtName(2)).toPath,
+        GeoParquet.renderScDelta(GeoParquet.ScDelta(
+          Map("geom" -> Map("uni.parquet" -> Array(2.0, 2.0, 3.0, 3.0))),
+          Set.empty)))
+      assert(GeoParquet.readSidecarText(path, conf).contains(scText),
+        "sidecar twin-only base did not fall back to the legacy checkpoint")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
   test("classifyUniArts vanish policy: a DEAD artifact vanishing mid-read is ignored; a LIVE one forces a re-list") {
     // simulate the racing-fold sweep directly at the classifier seam:
     // the listing shows ordinals {1 (ckpt), 2, 3}, but ordinal 2's
