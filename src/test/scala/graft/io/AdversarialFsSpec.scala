@@ -128,6 +128,34 @@ class AdversarialFsSpec extends AnyFunSuite {
     }
   }
 
+  test("adapter publish with a missing tmp: ordinal taken = lost race; ordinal free = loud store fault") {
+    // the discriminator for a vanished tmp on the adapter path: a
+    // rival that adopted our ordinal (and whose later commit swept
+    // our tmp) left the dst NAME taken — that is the retryable lost
+    // race; a store that cannot read back its own fresh create (dst
+    // absent too) must stay a loud error, never 24 silent retries
+    val dir = java.nio.file.Files.createTempDirectory("advfs-fnf").toFile
+    try {
+      LogFs.registerConditionalPut("advfs", AdversarialFs.StrictConditionalPut)
+      val conf = spark.sessionState.newHadoopConf()
+      val base = s"advfs:${dir.getAbsolutePath}"
+      val fs = new HadoopPath(s"$base/x").getFileSystem(conf)
+      val goneTmp = new HadoopPath(s"$base/.gone.tmp-1")
+      val takenDst = new HadoopPath(s"$base/_gen-7.json")
+      assert(AdversarialFs.StrictConditionalPut.putIfAbsent(
+        fs, takenDst, "RIVAL".getBytes("UTF-8")))
+      assert(LogFs.linkNoReplace(fs, goneTmp, takenDst).contains(false),
+        "swept tmp with the ordinal taken must read as a lost race")
+      val freeDst = new HadoopPath(s"$base/_gen-8.json")
+      intercept[java.io.FileNotFoundException] {
+        LogFs.linkNoReplace(fs, goneTmp, freeDst)
+      }
+    } finally {
+      LogFs.unregisterConditionalPut("advfs")
+      org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    }
+  }
+
   test("P2 delayed listing visibility: the appender fails LOUDLY after its retry budget; no commit is lost") {
     withAdvLake { path =>
       import spark.implicits._
