@@ -1840,15 +1840,10 @@ object GeoParquet {
       val uniDeltaOrds = uniArts.deltaOrds
       val deltaOrdsAll = (uniDeltaOrds ++ entries.flatMap(e =>
         ordinalOf(e._1, ScDeltaPrefix))).distinct
-      // a legacy ckpt twin never out-ranks the unified artifact —
-      // unless it is the ONLY base in existence (the gen reader's
-      // twin policy: drop-the-twin degrades to readable-with-loss,
-      // never to a torn dataset)
-      val ckptOrds0 = (legacyScCkptOrdsAll
-        .filterNot(uniArts.twinOrds.contains) ++ uniCkptOrds).distinct
-      val ckptOrds =
-        if (ckptOrds0.nonEmpty) ckptOrds0
-        else legacyScCkptOrdsAll.distinct
+      // base selection uses the classifier's POST-POLICY legacy set
+      // (twins excluded, except the twin-only fallback) — the gen
+      // reader's identical policy, by construction
+      val ckptOrds = (uniArts.legacyCkptOrds ++ uniCkptOrds).distinct
       // base: the max versioned checkpoint across BOTH namespaces; the
       // legacy root file only when none exists yet (pre-delta-log
       // dataset, swept by the first fold). A checkpoint vanishing
@@ -2369,14 +2364,22 @@ object GeoParquet {
 
   /** One listing's unified-artifact view, shared by BOTH log readers
     * (the classification policy must never drift between the twins):
-    * checkpoints, usable deltas, the texts already in hand, and the
-    * legacy twin ordinals the caller must EXCLUDE from its own
-    * legacy-name lists (a legacy twin must never out-rank the unified
-    * artifact — e.g. a pre-r16 stalled fold's `_genckpt-N` becoming
-    * the read base over the committed `_gen-N.json`, which would be
-    * the very shadow this format closes). */
+    * unified checkpoints, usable unified deltas, the texts already in
+    * hand, and `legacyCkptOrds` — the POST-POLICY set of legacy
+    * checkpoint ordinals the reader may use for base selection.
+    * Legacy twins (a legacy name at an ordinal a unified artifact
+    * holds) are excluded from it, so a pre-r16 stalled fold's
+    * `_genckpt-N` can never shadow the committed `_gen-N.json` —
+    * UNLESS the chain without the twin is UNREADABLE (no base, or a
+    * delta gap a pre-r16 fold's sweep left): then the highest twin
+    * checkpoint that yields a consistent read is included, because
+    * drop-the-colliding-commit must degrade to readable-with-loss,
+    * never to a permanently torn dataset. The classifier's own
+    * dead/live horizons use the same post-policy set, so a dead
+    * straggler below a twin-only base stays dead. */
   private[graft] final case class UniArts(ckptOrds: Seq[Int], deltaOrds: Seq[Int],
-                                   texts: Map[Int, String], twinOrds: Set[Int])
+                                   texts: Map[Int, String],
+                                   legacyCkptOrds: Seq[Int])
 
   /** Once-per-(path, twin-set) guard for the dropped-twin warning: a
     * read-only dataset stuck in the twin state must not log the
@@ -2410,36 +2413,75 @@ object GeoParquet {
     val present = uniOrds.filter(texts.contains)
     val uniCkpt = present.filter(o => kindOf(texts(o)).contains(true))
     // legacy twins never out-rank unified artifacts anywhere — not
-    // even in the coverage horizon below
+    // even in the coverage horizon below — UNLESS the chain WITHOUT
+    // the twin is unreadable. A pre-r16 fold folds at N and sweeps
+    // the legacy deltas its twin covered, which can leave (a) no
+    // other versioned base at all, or (b) a stale base below a delta
+    // GAP; in both shapes the highest twin checkpoint that yields a
+    // CONSISTENT read becomes the base (readable-with-loss), and the
+    // dead/live horizons agree with that choice by construction. The
+    // preference test is contiguity of the post-dedup delta ordinals
+    // above the post-policy base — when that chain is whole, the
+    // unified commits win and the twin is ignored (the shadow stays
+    // closed).
     val twins = (legacyDeltaOrds ++ legacyCkptOrds).toSet
       .intersect(uniOrds.toSet)
-    val ckptMax =
-      (legacyCkptOrds.filterNot(twins.contains) ++ uniCkpt).maxOption
+    val nonTwinLegacyCkpt = legacyCkptOrds.filterNot(twins.contains)
+    val malformed = present.filter(o => kindOf(texts(o)).isEmpty)
+    val uniDelta = present
+      .filterNot(uniCkpt.contains).filterNot(malformed.contains)
+    val deltaSet = (uniDelta ++ legacyDeltaOrds).distinct.sorted
+    def contiguousAbove(b: Int): Boolean = {
+      val ds = deltaSet.filter(_ > b)
+      ds == (b + 1 to b + ds.length)
+    }
+    val postMax = (nonTwinLegacyCkpt ++ uniCkpt).maxOption
+    val twinMax = legacyCkptOrds.filter(twins.contains).maxOption
+    val useTwin = twinMax.exists(t =>
+      postMax.forall(_ < t) &&
+        postMax.forall(b => !contiguousAbove(b)) &&
+        contiguousAbove(t))
+    val effLegacyCkpt =
+      if (useTwin) (nonTwinLegacyCkpt ++ twinMax).distinct
+      else nonTwinLegacyCkpt
+    val ckptMax = (effLegacyCkpt ++ uniCkpt).maxOption
     def liveOnly(ords: Seq[Int]): Seq[Int] =
       ckptMax.fold(ords)(b => ords.filter(_ > b))
     if (liveOnly(uniOrds.filterNot(texts.contains)).nonEmpty) return None
-    val malformed = present.filter(o => kindOf(texts(o)).isEmpty)
     val liveMalformed = liveOnly(malformed)
     if (liveMalformed.nonEmpty) throw new IllegalArgumentException(
       s"malformed unified $logLabel log artifact at " +
         s"$dirWhere/${artNameOf(liveMalformed.head)}: head is neither " +
         "a checkpoint nor a delta")
     if (twins.nonEmpty && {
-        // evict BEFORE adding — clearing after would wipe the fresh
-        // key and re-log this very dataset on its next read
-        if (warnedTwins.size > 256) warnedTwins.clear()
-        warnedTwins.add(s"$path|$logLabel|${twins.toSeq.sorted.mkString(",")}")
+        // membership FIRST: an over-capacity set must not clear (and
+        // thereby re-log) a dataset whose key is already present —
+        // eviction runs only when a genuinely NEW key is about to go
+        // in (evicted datasets re-warn once each; bounded, not spam)
+        val key = s"$path|$logLabel|${twins.toSeq.sorted.mkString(",")}"
+        !warnedTwins.contains(key) && {
+          if (warnedTwins.size > 256) warnedTwins.clear()
+          warnedTwins.add(key)
+        }
       }) {
+      // name the RIGHT loser: in the twin-fallback the legacy
+      // checkpoint IS the base and it is the CURRENT format's
+      // colliding commit that is dropped; everywhere else the
+      // pre-r16 writer's twin is the one ignored
+      val loser =
+        if (useTwin)
+          "the legacy checkpoint is the only readable base, so the " +
+            "CURRENT-format commit(s) at the colliding ordinal(s) " +
+            "were dropped"
+        else "its commits at those ordinals were ignored"
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"$logLabel log at $path has legacy twin-name artifacts at " +
           s"ordinal(s) ${twins.toSeq.sorted.mkString(",")} beside " +
           "unified ones — a pre-r16 writer is sharing this dataset " +
-          "(unsupported during migration); its commits at those " +
-          "ordinals were ignored. Upgrade all writers together.")
+          s"(unsupported during migration); $loser. " +
+          "Upgrade all writers together.")
     }
-    Some(UniArts(uniCkpt,
-      present.filterNot(uniCkpt.contains).filterNot(malformed.contains),
-      texts, twins))
+    Some(UniArts(uniCkpt, uniDelta, texts, effLegacyCkpt))
   }
 
   private[graft] def renderGenDelta(d: GenDelta): String =
@@ -2634,20 +2676,12 @@ object GeoParquet {
       val uniArts = uniArtsOpt.get
       val uniTexts = uniArts.texts
       val uniCkptOrds = uniArts.ckptOrds
-      // a legacy twin never out-ranks the unified artifact: a pre-r16
-      // stalled fold's `_genckpt-N` beside the committed `_gen-N.json`
-      // must not become the read base (that would be the shadow this
-      // format closes, re-opened through the migration seam) — UNLESS
-      // it is the ONLY base in existence: drop-the-twin must degrade
-      // to a readable state with the colliding commit lost+warned,
-      // never to a permanently torn dataset (a pre-r16 fold that
-      // swept everything its twin covered leaves exactly this shape)
-      val legacyCkptOrds =
-        legacyCkptOrdsAll.filterNot(uniArts.twinOrds.contains)
-      val ckptOrds0 = (legacyCkptOrds ++ uniCkptOrds).distinct.sorted
+      // base selection uses the classifier's POST-POLICY legacy set
+      // (twins excluded, except the twin-only fallback — see
+      // [[UniArts.legacyCkptOrds]]), so the dead/live horizons and
+      // the effective base can never disagree
       val ckptOrds =
-        if (ckptOrds0.nonEmpty) ckptOrds0
-        else legacyCkptOrdsAll.distinct.sorted
+        (uniArts.legacyCkptOrds ++ uniCkptOrds).distinct.sorted
       // legacy layouts put log artifacts at the ROOT: the pre-delta
       // era's _generations.json checkpoint, and the one intermediate
       // build's root-level deltas on top of it. Both are read until

@@ -196,15 +196,20 @@ object LogFs {
         // the same lost race the local link path reports (its rename
         // of a missing tmp returns false); map it to Some(false)
         // instead of failing the whole commit with FileNotFound.
-        // the FNF catch covers ONLY the tmp re-read, and even there
-        // it must discriminate: tmp gone WITH our ordinal's dst taken
-        // = a rival adopted our ordinal and a later commit swept our
-        // tmp — a lost race (retryable, like the local link path's
-        // rename of a missing tmp). Tmp gone with dst ABSENT = the
-        // store cannot read back its own fresh create — a broken
-        // filesystem that must stay LOUD (rethrow), not 24 silent
-        // retries ending in a fake 'contention' error. Adapter-side
-        // errors (S3A maps 404s to FNF) are outside the catch.
+        // the FNF catch covers ONLY the tmp re-read: a missing tmp is
+        // ALWAYS a lost race (Some(false)) — exactly what the local
+        // link path reports when its rename finds the tmp gone. The
+        // tempting "dst absent too = broken store, rethrow"
+        // discriminator is WRONG: a fold at a higher ordinal sweeps
+        // the adopted dst and our tmp in the same cleanup pass, so a
+        // perfectly healthy deep race also presents as tmp+dst both
+        // absent. A store that genuinely cannot read back its own
+        // fresh create fails every retry and surfaces as the caller's
+        // bounded retry-budget IOException (~24 attempts) — loud,
+        // just less precise; never failing a healthy race outranks
+        // naming the broken store on the first attempt. Adapter-side
+        // errors (S3A maps 404s to FNF) are outside the catch and
+        // stay loud.
         val bytesOpt =
           try {
             val in = fs.open(tmp)
@@ -220,8 +225,7 @@ object LogFs {
               val b = new Array[Byte](len.toInt); in.readFully(b); Some(b)
             } finally in.close()
           } catch {
-            case e: java.io.FileNotFoundException =>
-              if (fs.exists(dst)) None else throw e
+            case _: java.io.FileNotFoundException => None
           }
         Some(bytesOpt.exists(adapter.putIfAbsent(fs, dst, _)))
       case None if disableAtomicLink || !isLocal(fs) => None

@@ -128,12 +128,13 @@ class AdversarialFsSpec extends AnyFunSuite {
     }
   }
 
-  test("adapter publish with a missing tmp: ordinal taken = lost race; ordinal free = loud store fault") {
-    // the discriminator for a vanished tmp on the adapter path: a
-    // rival that adopted our ordinal (and whose later commit swept
-    // our tmp) left the dst NAME taken — that is the retryable lost
-    // race; a store that cannot read back its own fresh create (dst
-    // absent too) must stay a loud error, never 24 silent retries
+  test("adapter publish with a missing tmp is ALWAYS a lost race — a fold can sweep tmp and dst in one pass, so dst-absence proves nothing") {
+    // symmetric with the local link path (whose rename of a missing
+    // tmp returns false): the committed artifact survives, the
+    // writer's retry loop re-reads and re-lands. A store that
+    // genuinely cannot read back its own create fails every retry
+    // and surfaces as the caller's bounded retry-budget IOException —
+    // loud, never a silently failed healthy race.
     val dir = java.nio.file.Files.createTempDirectory("advfs-fnf").toFile
     try {
       LogFs.registerConditionalPut("advfs", AdversarialFs.StrictConditionalPut)
@@ -146,10 +147,11 @@ class AdversarialFsSpec extends AnyFunSuite {
         fs, takenDst, "RIVAL".getBytes("UTF-8")))
       assert(LogFs.linkNoReplace(fs, goneTmp, takenDst).contains(false),
         "swept tmp with the ordinal taken must read as a lost race")
+      // deep race: a fold swept BOTH our tmp and the adopted dst —
+      // still a lost race, never an exception out of the commit
       val freeDst = new HadoopPath(s"$base/_gen-8.json")
-      intercept[java.io.FileNotFoundException] {
-        LogFs.linkNoReplace(fs, goneTmp, freeDst)
-      }
+      assert(LogFs.linkNoReplace(fs, goneTmp, freeDst).contains(false),
+        "swept tmp with the ordinal free must also read as a lost race")
     } finally {
       LogFs.unregisterConditionalPut("advfs")
       org.apache.commons.io.FileUtils.deleteQuietly(dir)

@@ -220,6 +220,44 @@ class LogFormatSpec extends AnyFunSuite {
         s"twin-only base did not fall back to the legacy checkpoint: $st")
       assert(!st.files.contains("uni.parquet"),
         "the colliding unified commit must be dropped, not merged")
+      // the dead/live horizon must AGREE with the fallback base: a
+      // damaged unified straggler BELOW the twin-only base is dead
+      // (ignored), not a brick — the classifier computes its horizon
+      // from the same post-policy checkpoint set the reader bases on
+      writeGen(path, GeoParquet.genArtName(3), "")
+      assert(GeoParquet.readGenState(path, conf).contains(legacySt),
+        "a dead straggler below a twin-only base bricked the read")
+      assert(new java.io.File(s"$path/_gen/${GeoParquet.genArtName(3)}").delete())
+      // a STALE unified checkpoint below a delta GAP must not defeat
+      // the fallback: {_gen-1(ckpt), _gen-5(delta), _genckpt-5} is
+      // what a pre-r16 fold leaves when it sweeps legacy deltas 2-4 —
+      // the only consistent read bases on the twin at 5, never a
+      // permanent "delta gap — torn dataset"
+      val gapDir = s"$dir/gap"
+      writeGen(gapDir, GeoParquet.genArtName(1),
+        GeoParquet.renderGenState(
+          GenState(1, 0, Map("old.parquet" -> GenEntry(0, -1)))))
+      writeGen(gapDir, GeoParquet.genArtName(5),
+        GeoParquet.renderGenDelta(GenDelta(5, 0, Set.empty, Set.empty,
+          Map("uni.parquet" -> GenEntry(1, -1)), Set.empty)))
+      writeGen(gapDir, "_genckpt-5.json", GeoParquet.renderGenState(legacySt))
+      val gapSt = GeoParquet.readGenState(gapDir, conf).get
+      assert(gapSt == legacySt,
+        s"gap-below-twin did not fall back to the twin base: $gapSt")
+      // and when the post-policy chain IS whole, the twin stays
+      // ignored (the shadow must not re-open through the fallback)
+      val wholeDir = s"$dir/whole"
+      writeGen(wholeDir, GeoParquet.genArtName(1),
+        GeoParquet.renderGenState(
+          GenState(1, 0, Map("old.parquet" -> GenEntry(0, -1)))))
+      writeGen(wholeDir, GeoParquet.genArtName(2),
+        GeoParquet.renderGenDelta(GenDelta(2, 0, Set.empty, Set.empty,
+          Map("uni.parquet" -> GenEntry(1, -1)), Set.empty)))
+      writeGen(wholeDir, "_genckpt-2.json", GeoParquet.renderGenState(
+        GenState(2, 0, Map("old.parquet" -> GenEntry(0, -1)))))
+      val wholeSt = GeoParquet.readGenState(wholeDir, conf).get
+      assert(wholeSt.files.contains("uni.parquet"),
+        "a consistent unified chain lost its commit to a twin checkpoint")
       // sidecar twin of the same shape
       val scDir = new java.io.File(s"$path/_sc"); scDir.mkdirs()
       val scText = GeoParquet.renderSidecar(
