@@ -1660,16 +1660,27 @@ object GeoParquet {
     // refusal path) and again, for the target name, via the rename
     // guard below.
     def taken: Boolean = (name +: alsoAbsent).exists { n =>
-      // a TRANSIENT probe failure retries once and USES the second
-      // probe's verdict (a one-shot fault whose retry proves the name
-      // absent must not cost a full marker-release + retry round). A
-      // failure that REPEATS on the immediate second probe is a
-      // broken filesystem, not a race — the second call's exception
-      // propagates so the caller surfaces the real I/O error instead
-      // of burning its retry budget and reporting fake contention.
+      // a TRANSIENT probe failure retries once, but the second
+      // probe's verdict is TRUSTED only where an atomic no-replace
+      // primitive will arbitrate the publish anyway (then a spurious
+      // "absent" just loses the race at publish) AND the probed name
+      // IS the publish target — the atomic publish arbitrates `name`
+      // only, never the `alsoAbsent` legacy twins. Everywhere else
+      // (probe+rename fallback, twin probes) the probe is the only
+      // defense against a clobber/shadow, so a suspicious failure
+      // reads as taken: one wasted marker-release round, never a
+      // replaced committed artifact. A failure that REPEATS on the
+      // immediate second probe is a broken filesystem, not a race —
+      // the second call's exception propagates in every mode so the
+      // caller surfaces the real I/O error instead of burning its
+      // retry budget on fake contention.
       val p = new HadoopPath(path, n)
       try fs.exists(p)
-      catch { case _: java.io.IOException => fs.exists(p) }
+      catch {
+        case _: java.io.IOException =>
+          val second = fs.exists(p) // throws -> broken fs, loud
+          if (n == name && LogFs.publishArbitrates(fs)) second else true
+      }
     }
     if (taken) return false
     val tmp = new HadoopPath(path,
@@ -2437,10 +2448,23 @@ object GeoParquet {
     }
     val postMax = (nonTwinLegacyCkpt ++ uniCkpt).maxOption
     val twinMax = legacyCkptOrds.filter(twins.contains).maxOption
-    val useTwin = twinMax.exists(t =>
+    val twinWanted = twinMax.exists(t =>
       postMax.forall(_ < t) &&
         postMax.forall(b => !contiguousAbove(b)) &&
         contiguousAbove(t))
+    // The fallback expands the coverage horizon (ckptMax) up to the
+    // legacy twin — which would reclassify a unified artifact that
+    // VANISHED between listing and read as dead, below the vanish
+    // check's horizon. But a transient vanish is exactly what can have
+    // created the delta gap that ENGAGED the fallback, so that verdict
+    // is circular: engage it only when every LISTED unified ordinal
+    // was actually read; otherwise re-list (None — bounded by the
+    // caller's attempts guard). A persistent gap still converges: a
+    // genuinely swept artifact drops out of the next LISTING, allRead
+    // holds, and the fallback proceeds.
+    val allRead = present.length == uniOrds.length
+    if (twinWanted && !allRead) return None
+    val useTwin = twinWanted
     val effLegacyCkpt =
       if (useTwin) (nonTwinLegacyCkpt ++ twinMax).distinct
       else nonTwinLegacyCkpt

@@ -127,6 +127,21 @@ object LogFs {
   private def isLocal(fs: FileSystem): Boolean =
     fs.getUri != null && fs.getUri.getScheme == "file"
 
+  /** True when [[linkNoReplace]] will arbitrate the publish target
+    * with an atomic no-replace primitive (a registered
+    * [[ConditionalPut]], or the local hard-link path): a caller's
+    * existence probe may then retry a transient failure and trust the
+    * second verdict — a spurious "absent" just loses the race at
+    * publish time, it cannot clobber. On the probe+rename fallback
+    * (no adapter, non-local scheme, or the link seam disabled) the
+    * probe is the ONLY defense against replace-on-rename, so callers
+    * must treat a probe failure as taken. Conservative: the local
+    * link path can still degrade to rename on an exotic-mount
+    * IOException, but that fallback shares the probe's failure cause
+    * so the residual window needs two independent faults. */
+  private[graft] def publishArbitrates(fs: FileSystem): Boolean =
+    !disableAtomicLink && (adapterFor(fs).nonEmpty || isLocal(fs))
+
   /** P1: atomically create `p` holding `bytes`; false when it already
     * exists (or a racer won). IOExceptions with the file absent
     * propagate — a broken filesystem must be loud, not a lost claim. */

@@ -27,6 +27,14 @@ class AdversarialFs extends RawLocalFileSystem {
     else all.filterNot(st =>
       AdversarialFs.hideFromListings.contains(st.getPath.getName))
   }
+  override def exists(p: HadoopPath): Boolean = {
+    val stage = Option(AdversarialFs.probeFaults.get(p.getName))
+      .map(_.incrementAndGet()).getOrElse(3)
+    if (stage == 1)
+      throw new java.io.IOException(s"injected transient probe fault: $p")
+    else if (stage == 2) false
+    else super.exists(p)
+  }
 }
 
 object AdversarialFs {
@@ -34,6 +42,16 @@ object AdversarialFs {
     * exists / getFileStatus — exactly the delayed-listing shape). */
   val hideFromListings: java.util.Set[String] =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** exists() fault injection per NAME: the first probe throws a
+    * transient IOException, the immediate second probe spuriously
+    * reports ABSENT, every later probe tells the truth — the exact
+    * flaky-store sequence the taken-probe discriminator must survive
+    * on a store whose publish is a replace-on-rename. */
+  val probeFaults = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicInteger]()
+  def injectProbeFault(name: String): Unit =
+    probeFaults.put(name, new java.util.concurrent.atomic.AtomicInteger(0))
 
   /** A store-atomic conditional put over the advfs backing disk: the
     * kernel's O_CREAT|O_EXCL arbitration stands in for the store's

@@ -43,6 +43,7 @@ class AdversarialFsSpec extends AnyFunSuite {
       LogFs.raceInjection = None
       LogFs.unregisterConditionalPut("advfs")
       AdversarialFs.hideFromListings.clear()
+      AdversarialFs.probeFaults.clear()
       org.apache.commons.io.FileUtils.deleteQuietly(dir)
     }
   }
@@ -155,6 +156,57 @@ class AdversarialFsSpec extends AnyFunSuite {
     } finally {
       LogFs.unregisterConditionalPut("advfs")
       org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    }
+  }
+
+  test("flaky taken-probe on the RENAME-fallback path: a spurious second 'absent' reads as TAKEN — the committed artifact survives, never a clobber") {
+    // the r16-ADVICE residual: probe1 throws, probe2 spuriously says
+    // absent, and the store's publish is a bare replace-on-rename (no
+    // adapter, non-local scheme). Trusting the second verdict would
+    // rename OVER the committed artifact; the discriminator must
+    // treat the failure as taken instead. The artifact is also hidden
+    // from LISTINGS so the writer keeps re-claiming its ordinal — the
+    // run ends in the loud retry-budget failure, with the competitor
+    // byte-identical on disk.
+    withAdvLake { path =>
+      import spark.implicits._
+      val competitorText = GeoParquet.renderGenDelta(GeoParquet.GenDelta(
+        commit = 2, minGen = 0, rwAdd = Set.empty, rwDel = Set.empty,
+        set = Map.empty, del = Set.empty))
+      val artName = GeoParquet.genArtName(2)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"${path.stripPrefix("advfs:")}/_gen/$artName"),
+        competitorText.getBytes("UTF-8"))
+      AdversarialFs.hideFromListings.add(artName)
+      AdversarialFs.injectProbeFault(artName)
+      val e = intercept[java.io.IOException] {
+        GeoParquet.appendNumericWithSidecar(
+          Seq((10L, 5, 5)).toDF("id", "a", "b").coalesce(1),
+          path, Seq("a", "b"))
+      }
+      assert(e.getMessage.contains("attempts"),
+        s"expected the loud retry-budget failure, got: ${e.getMessage}")
+      assert(genArtifact(path, artName).contains(competitorText),
+        "the rename-fallback publish CLOBBERED the committed artifact " +
+          "after a flaky probe — the taken discriminator regressed")
+    }
+  }
+
+  test("flaky taken-probe WITH an adapter: the second verdict is trusted and the commit lands in one round (no wasted marker release)") {
+    withAdvLake { path =>
+      import spark.implicits._
+      LogFs.registerConditionalPut("advfs", AdversarialFs.StrictConditionalPut)
+      val conf = spark.sessionState.newHadoopConf()
+      // fault the probe of the NEXT ordinal's name (nothing planted:
+      // the spurious 'absent' is in fact the truth) — with the
+      // adapter arbitrating the publish, the writer may trust it and
+      // commit without burning a marker-release round
+      AdversarialFs.injectProbeFault(GeoParquet.genArtName(2))
+      GeoParquet.appendNumericWithSidecar(
+        Seq((10L, 5, 5)).toDF("id", "a", "b").coalesce(1),
+        path, Seq("a", "b"))
+      val st = GeoParquet.readGenState(path, conf).get
+      assert(st.commit == 2, s"append did not land: commit ${st.commit}")
     }
   }
 

@@ -317,6 +317,44 @@ class LogFormatSpec extends AnyFunSuite {
     assert(both.exists(u => u.ckptOrds == Seq(1) && u.deltaOrds == Seq(3)))
   }
 
+  test("twin fallback is NOT engaged over a vanished unified read — re-list, never memoize stale twin state") {
+    // the r16-ADVICE shape: a HEALTHY unified chain {1 ckpt, 2 delta,
+    // 3 delta} beside a legacy checkpoint twin at the max ordinal 3
+    // (mixed-version dataset). Delta 2's read transiently fails
+    // (vanish between listing and open): the gap makes
+    // contiguousAbove(postMax=1) false, which WANTS the twin fallback
+    // — whose expanded horizon (ckptMax=3) would then classify the
+    // vanished 2 as dead and silently return the stale twin state,
+    // dropping unified commits 2 AND 3. The classifier must re-list
+    // (None) instead; with all reads present the unified chain wins
+    // and the twin stays ignored.
+    val ckpt1 = GeoParquet.renderGenState(
+      GenState(1, 0, Map("f.parquet" -> GenEntry(0, -1))))
+    def delta(n: Int) = GeoParquet.renderGenDelta(GenDelta(n, 0, Set.empty,
+      Set.empty, Map(s"g$n.parquet" -> GenEntry(1, -1)), Set.empty))
+    def readOf(m: Map[String, String])(n: String): Option[String] = m.get(n)
+    val listing = Seq("_gen-1.json", "_gen-2.json", "_gen-3.json")
+    val vanished = GeoParquet.classifyUniArts(
+      listing, GeoParquet.GenArtPrefix, GeoParquet.genArtName,
+      GeoParquet.genArtKind,
+      legacyCkptOrds = Seq(3), legacyDeltaOrds = Nil, dirWhere = "spec",
+      read = readOf(Map("_gen-1.json" -> ckpt1, "_gen-3.json" -> delta(3))),
+      logLabel = "generation", path = "spec-vanish-twin")
+    assert(vanished.isEmpty,
+      "a vanished unified read engaged the twin fallback — stale twin " +
+        "state would be memoized and the live unified commits dropped")
+    val whole = GeoParquet.classifyUniArts(
+      listing, GeoParquet.GenArtPrefix, GeoParquet.genArtName,
+      GeoParquet.genArtKind,
+      legacyCkptOrds = Seq(3), legacyDeltaOrds = Nil, dirWhere = "spec",
+      read = readOf(Map("_gen-1.json" -> ckpt1,
+        "_gen-2.json" -> delta(2), "_gen-3.json" -> delta(3))),
+      logLabel = "generation", path = "spec-vanish-twin-whole")
+    assert(whole.exists(u => u.ckptOrds == Seq(1) &&
+        u.deltaOrds == Seq(2, 3) && u.legacyCkptOrds.isEmpty),
+      s"the re-listed whole chain must classify unified (twin ignored): $whole")
+  }
+
   test("pre-r16 twin-name datasets migrate: exact reads mixed, unified commits beside legacy names, first fold sweeps them (both logs)") {
     val dir = java.nio.file.Files.createTempDirectory("twin-migrate").toFile
     try {
