@@ -27,6 +27,12 @@ object Verify {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // no catalog query may leak a session-conf mutation (construction
+    // that set/restored spark.graft.* state raced concurrent planning
+    // — r16 verdict #6): snapshot before, assert identical after
+    def graftConfs: Map[String, String] =
+      spark.conf.getAll.filter(_._1.startsWith("spark.graft."))
+    val confsBefore = graftConfs
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -35,6 +41,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      val now = graftConfs
+      require(now == confsBefore,
+        s"[verify] $name leaked a session-conf mutation: " +
+          s"before=$confsBefore after=$now")
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

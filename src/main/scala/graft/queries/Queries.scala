@@ -542,21 +542,15 @@ object Queries {
     "sjoin_skewed_adaptive" -> ((s, dir) => {
       val pts = skewedSjoinPoints(s, dir)
       val dia = supplierDiamonds(s, dir)
-      // this query EXERCISES the adaptive path: force the detection
-      // pass past the small-input gate (detection is eager, so the
-      // conf override can be scoped to construction and restored)
-      val key = "spark.graft.sjoin.adaptiveSalt.minBytes"
-      val saved = s.conf.getOption(key)
-      s.conf.set(key, "0")
-      try SpatialJoin.pointInGeom(pts,
+      // this query EXERCISES the adaptive path: the explicit override
+      // forces the detection pass past the small-input gate WITHOUT
+      // touching session-global conf (construction must never mutate
+      // shared session state — Verify asserts it)
+      SpatialJoin.pointInGeom(pts,
           dia.select(col("s_suppkey"), col("diamond")),
           "pt", "diamond", "polygon", cellSize = 128.0, salt = 8,
-          adaptiveSalt = true)
+          adaptiveSalt = true, adaptiveMinBytesOverride = 0)
         .select(col("c_custkey"), col("s_suppkey"))
-      finally saved match {
-        case Some(v) => s.conf.set(key, v)
-        case None => s.conf.unset(key)
-      }
     }),
 
     // SURVEY §2.6 st_oriented: polygons constructed with the WRONG
@@ -616,6 +610,52 @@ object Queries {
       val dia = supplierDiamonds(s, dir).select(col("s_suppkey"), col("diamond"))
       pts.join(dia, st_intersects(pts("pt"), dia("diamond"), "polygon"))
         .select(col("c_custkey"), col("s_suppkey"))
+    }),
+
+    // sjoin how=left via the PLANNER (r17): a plain DataFrame LEFT
+    // join with the st_intersects predicate — SpatialJoinRewrite plans
+    // it as the keyless single-cell left-outer grid join (a point keys
+    // exactly one cell, so outer multiplicity needs no key column);
+    // without the rule this is a BroadcastNestedLoopJoin. Oracle is
+    // the plain SQL LEFT JOIN.
+    "sjoin_sql_left" -> ((s, dir) => {
+      val pts = diamondProbePoints(s, dir)
+      val dia = supplierDiamonds(s, dir).select(col("s_suppkey"), col("diamond"))
+      pts.join(dia, st_intersects(pts("pt"), dia("diamond"), "polygon"), "left")
+        .select(col("c_custkey"), col("s_suppkey"))
+    }),
+
+    // sjoin how=right via the PLANNER (r17), point side on the RIGHT
+    // (the preserved side): planned as the reordered left-outer grid
+    // join. Oracle is the plain SQL RIGHT JOIN.
+    "sjoin_sql_right" -> ((s, dir) => {
+      val pts = diamondProbePoints(s, dir)
+      val dia = supplierDiamonds(s, dir).select(col("s_suppkey"), col("diamond"))
+      dia.join(pts, st_intersects(pts("pt"), dia("diamond"), "polygon"), "right")
+        .select(col("c_custkey"), col("s_suppkey"))
+    }),
+
+    // spatial SEMI join via the PLANNER (r17): customers inside at
+    // least one diamond, each once — the grid shape decides membership
+    // with the exact predicate inside the join condition. The
+    // spatial-filter primitive of decontamination-style pipelines
+    // ("rows covered by any region") at full distribution.
+    "sjoin_semi" -> ((s, dir) => {
+      val pts = diamondProbePoints(s, dir)
+      val dia = supplierDiamonds(s, dir).select(col("s_suppkey"), col("diamond"))
+      pts.join(dia, st_intersects(pts("pt"), dia("diamond"), "polygon"),
+          "left_semi")
+        .select(col("c_custkey"))
+    }),
+
+    // spatial ANTI join via the PLANNER (r17): customers covered by NO
+    // diamond — the complement filter ("rows outside every region").
+    "sjoin_anti" -> ((s, dir) => {
+      val pts = diamondProbePoints(s, dir)
+      val dia = supplierDiamonds(s, dir).select(col("s_suppkey"), col("diamond"))
+      pts.join(dia, st_intersects(pts("pt"), dia("diamond"), "polygon"),
+          "left_anti")
+        .select(col("c_custkey"))
     }),
 
     // SURVEY §2.3 sjoin how=left: every point row kept, diamond key null
@@ -768,6 +808,40 @@ object Queries {
       SpatialJoin.geomJoin(segs, nsegs, "seg", "line", "nseg", "line",
           cellSize = 8.0, how = "left", leftKey = "o_orderkey")
         .select(col("o_orderkey"), col("n_nationkey"))
+    }),
+
+    // r17: the geometry x geometry grid join under PATHOLOGICAL SKEW —
+    // ~90% of the lineitem segments collapse into ONE 8-unit grid cell
+    // ([0,8)^2). adaptiveSalt detects the dense EXPLODED-cell keys on
+    // the probe side and splits only those (8-way), leaving cold cells
+    // unreplicated — the dual-grid twin of sjoin_skewed_adaptive,
+    // closing the skew gap the r16 verdict flagged (geomGridInner had
+    // no salting mode at all). The explicit override forces detection
+    // past the small-input gate without touching session conf. Same
+    // independent CLRS integer-arithmetic oracle as sjoin_lines.
+    "sjoin_lines_skewed" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val hot = col("l_orderkey") % 10 =!= 0
+      val ax0 = when(hot, (col("l_orderkey") * 13) % 8)
+        .otherwise(col("l_orderkey") % 50).cast("double")
+      val ay0 = when(hot, (col("l_partkey") * 17) % 8)
+        .otherwise(col("l_partkey") % 50).cast("double")
+      val dx = (col("l_suppkey") % 7).cast("double") - 3
+      val dy = ((col("l_orderkey") * 3) % 7).cast("double") - 3
+      val segs = li
+        .where(!(col("l_suppkey") % 7 === 3 && (col("l_orderkey") * 3) % 7 === 3))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          array(ax0, ay0, ax0 + dx, ay0 + dy).as("seg"))
+      val nat = t(s, dir, "nation")
+      val bx0 = (col("n_nationkey") * 2).cast("double")
+      val by0 = ((col("n_nationkey") * 7) % 50).cast("double")
+      val bdy = ((col("n_nationkey") % 5) * 3).cast("double") - 6
+      val nsegs = nat.select(col("n_nationkey"),
+        array(bx0, by0, bx0 + 6, by0 + bdy).as("nseg"))
+      SpatialJoin.geomJoin(segs, nsegs, "seg", "line", "nseg", "line",
+          cellSize = 8.0, salt = 8, adaptiveSalt = true,
+          adaptiveMinBytesOverride = 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("n_nationkey"))
     }),
 
     // SURVEY §2.4 GROUPED total_bounds through the custom
@@ -939,6 +1013,39 @@ object Queries {
           bounds = Some((200.0, 200.0, 700.0, 700.0)))
         .cx(200, 200, 700, 700)
         .df.select(col("c_custkey")))
+    }),
+
+    // SURVEY §2.2 dask `cx_partitions` under the DuckDB oracle (r17 —
+    // previously ScalaTest-only): file-granularity bbox read — WHOLE
+    // candidate partitions survive, no row-level residual
+    // (dask.py:641-654). The lake is built in-query with one file per
+    // deterministic px-band, so the oracle can recompute each file's
+    // bounds (min/max per band) and the survivor row-set in pure SQL.
+    "cx_partitions" -> ((s, dir) => {
+      val out = processTmpDir(s, "cxpart", dir)
+      val pts = custPoints(s, dir)
+      (0 until 4).foreach { b =>
+        val part = pts.where(floor(col("px") / 250).cast("int") === b)
+          .select(col("c_custkey"), col("pt")).coalesce(1)
+        graft.io.GeoParquet.appendWithSidecar(part, out, Seq("pt"))
+      }
+      collectAndClean(s, out,
+        graft.io.GeoParquet.read(s, out, "pt", "point",
+            bounds = Some((300.0, 0.0, 600.0, 1000.0)))
+          .df.select(col("c_custkey")))
+    }),
+
+    // SURVEY §2.2 `.sindex` under the DuckDB oracle (r17 — previously
+    // ScalaTest-only): the driver-side packed Hilbert R-tree probe
+    // (geometry/sindex.py) — keys of rows whose bounds intersect the
+    // query box; for points that is exactly the closed bbox filter the
+    // oracle states in SQL.
+    "sindex_probe" -> ((s, dir) => {
+      import s.implicits._
+      val gf = graft.api.GeoFrame(
+        custPoints(s, dir).select(col("c_custkey"), col("pt")), "pt", "point")
+      gf.sindex("c_custkey").intersects(200.0, 300.0, 700.0, 800.0)
+        .toSeq.toDF("c_custkey")
     }),
 
     // SURVEY §2.1 serde: WKT export of derived points (round-trip parsing
@@ -1924,6 +2031,13 @@ object Queries {
     // what the DuckDB gate checks. Materialized eagerly inside the
     // conf window so the rewrite provably planned this run.
     "bloom_join_orders" -> ((s, dir) => {
+      // this query deliberately SCOPES the opt-in conf to construction:
+      // the rewrite fires during the eager localCheckpoint below, and
+      // the finally restores the EXACT prior state (value-faithful —
+      // Verify asserts construction leaks no spark.graft.* mutation)
+      val keys = Seq("spark.graft.bloomJoin.enabled",
+        "spark.graft.bloomJoin.minBuildBytes")
+      val saved = keys.map(k => k -> s.conf.getOption(k))
       s.conf.set("spark.graft.bloomJoin.enabled", "true")
       // the sf-test build side is broadcast-sized; lift the broadcast
       // floor so the gated run provably exercises the rewrite
@@ -1937,9 +2051,9 @@ object Queries {
           .groupBy(col("c_custkey"))
           .agg(count(lit(1)).as("n_orders"), max(col("o_orderkey")).as("max_ok"))
           .localCheckpoint(true)
-      } finally {
-        s.conf.set("spark.graft.bloomJoin.enabled", "false")
-        s.conf.unset("spark.graft.bloomJoin.minBuildBytes")
+      } finally saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
       }
     }),
 
@@ -3117,17 +3231,12 @@ object Queries {
 
   /** DuckDB-equivalent SQL per query (same column names — the driver's
     * compare sorts columns by name before hashing). */
-  /** Shared by sjoin_lines (grid path) and sjoin_lines_bcast (broadcast
-    * R-tree path): both plans MUST produce the identical pair set. */
-  private lazy val sjoinLinesOracleSql: String =
-    """WITH a AS (
-         SELECT l_orderkey, l_linenumber,
-                l_orderkey % 50 AS ax0, l_partkey % 50 AS ay0,
-                l_orderkey % 50 + (l_suppkey % 7 - 3) AS ax1,
-                l_partkey % 50 + ((l_orderkey*3) % 7 - 3) AS ay1
-         FROM lineitem
-         WHERE NOT (l_suppkey % 7 = 3 AND (l_orderkey*3) % 7 = 3)
-       ),
+  /** The CLRS segment-intersection oracle body, parameterized by the
+    * `a`-side CTE so the skewed variant shares one formulation (an
+    * independent integer-arithmetic differential for the segment
+    * kernel at join scale). */
+  private def clrsLinesSql(aCte: String): String =
+    s"""WITH a AS ($aCte),
        b AS (
          SELECT n_nationkey,
                 n_nationkey*2 AS bx0, (n_nationkey*7) % 50 AS by0,
@@ -3153,6 +3262,31 @@ object Queries {
                    AND ay0 BETWEEN least(by0,by1) AND greatest(by0,by1))
           OR (d4=0 AND ax1 BETWEEN least(bx0,bx1) AND greatest(bx0,bx1)
                    AND ay1 BETWEEN least(by0,by1) AND greatest(by0,by1))"""
+
+  /** Shared by sjoin_lines (grid path) and sjoin_lines_bcast (broadcast
+    * R-tree path): both plans MUST produce the identical pair set. */
+  private lazy val sjoinLinesOracleSql: String = clrsLinesSql(
+    """SELECT l_orderkey, l_linenumber,
+              l_orderkey % 50 AS ax0, l_partkey % 50 AS ay0,
+              l_orderkey % 50 + (l_suppkey % 7 - 3) AS ax1,
+              l_partkey % 50 + ((l_orderkey*3) % 7 - 3) AS ay1
+       FROM lineitem
+       WHERE NOT (l_suppkey % 7 = 3 AND (l_orderkey*3) % 7 = 3)""")
+
+  /** sjoin_lines_skewed: identical CLRS body over the 90%-one-cell
+    * segment recipe. */
+  private lazy val sjoinLinesSkewedOracleSql: String = clrsLinesSql(
+    """SELECT l_orderkey, l_linenumber,
+              CASE WHEN l_orderkey % 10 <> 0 THEN (l_orderkey*13) % 8
+                   ELSE l_orderkey % 50 END AS ax0,
+              CASE WHEN l_orderkey % 10 <> 0 THEN (l_partkey*17) % 8
+                   ELSE l_partkey % 50 END AS ay0,
+              CASE WHEN l_orderkey % 10 <> 0 THEN (l_orderkey*13) % 8
+                   ELSE l_orderkey % 50 END + (l_suppkey % 7 - 3) AS ax1,
+              CASE WHEN l_orderkey % 10 <> 0 THEN (l_partkey*17) % 8
+                   ELSE l_partkey % 50 END + ((l_orderkey*3) % 7 - 3) AS ay1
+       FROM lineitem
+       WHERE NOT (l_suppkey % 7 = 3 AND (l_orderkey*3) % 7 = 3)""")
 
   /** Shared by sjoin_nearest (grid + min-struct path) and
     * sjoin_nearest_bcast (broadcast grid-index path): both plans MUST
@@ -3492,6 +3626,32 @@ object Queries {
            ON abs(((c_custkey*7919)%500)*2 - ((s_suppkey*7919)%500)*2)
             + abs(((c_custkey*104729)%500)*2 - ((s_suppkey*104729)%500)*2)
             <= (s_suppkey%25)*2 + 21""",
+    "sjoin_sql_left" ->
+      """SELECT c_custkey, s_suppkey
+         FROM customer LEFT JOIN supplier
+           ON abs(((c_custkey*7919)%500)*2 - ((s_suppkey*7919)%500)*2)
+            + abs(((c_custkey*104729)%500)*2 - ((s_suppkey*104729)%500)*2)
+            <= (s_suppkey%25)*2 + 21""",
+    "sjoin_sql_right" ->
+      """SELECT c_custkey, s_suppkey
+         FROM supplier RIGHT JOIN customer
+           ON abs(((c_custkey*7919)%500)*2 - ((s_suppkey*7919)%500)*2)
+            + abs(((c_custkey*104729)%500)*2 - ((s_suppkey*104729)%500)*2)
+            <= (s_suppkey%25)*2 + 21""",
+    "sjoin_semi" ->
+      """SELECT c_custkey FROM customer
+         WHERE EXISTS (
+           SELECT 1 FROM supplier
+           WHERE abs(((c_custkey*7919)%500)*2 - ((s_suppkey*7919)%500)*2)
+               + abs(((c_custkey*104729)%500)*2 - ((s_suppkey*104729)%500)*2)
+               <= (s_suppkey%25)*2 + 21)""",
+    "sjoin_anti" ->
+      """SELECT c_custkey FROM customer
+         WHERE NOT EXISTS (
+           SELECT 1 FROM supplier
+           WHERE abs(((c_custkey*7919)%500)*2 - ((s_suppkey*7919)%500)*2)
+               + abs(((c_custkey*104729)%500)*2 - ((s_suppkey*104729)%500)*2)
+               <= (s_suppkey%25)*2 + 21)""",
     "sjoin_right" ->
       """SELECT c_custkey, s_suppkey
          FROM supplier LEFT JOIN customer
@@ -3532,6 +3692,24 @@ object Queries {
       """SELECT c_custkey FROM customer
          WHERE (c_custkey*7919)%1000 BETWEEN 200 AND 700
            AND (c_custkey*104729)%1000 BETWEEN 200 AND 700""",
+    "cx_partitions" ->
+      // file-granularity semantics: every row of every px-band whose
+      // recomputed file bounds intersect the query box (closed, the
+      // reader's !(x1<qx0 || x0>qx1 || ...) predicate)
+      """SELECT c_custkey FROM customer
+         WHERE floor(((c_custkey*7919)%1000) / 250) IN (
+           SELECT band FROM (
+             SELECT floor(((c_custkey*7919)%1000) / 250) AS band,
+                    min((c_custkey*7919)%1000) AS mnx,
+                    max((c_custkey*7919)%1000) AS mxx,
+                    min((c_custkey*104729)%1000) AS mny,
+                    max((c_custkey*104729)%1000) AS mxy
+             FROM customer GROUP BY 1)
+           WHERE mnx <= 600 AND mxx >= 300 AND mny <= 1000 AND mxy >= 0)""",
+    "sindex_probe" ->
+      """SELECT c_custkey FROM customer
+         WHERE (c_custkey*7919)%1000 BETWEEN 200 AND 700
+           AND (c_custkey*104729)%1000 BETWEEN 300 AND 800""",
     "sjoin_lines_left" -> {
       // the same CLRS formulation, inlined into a LEFT JOIN's ON clause
       val d1 = "(a.ax1-a.ax0)*(b.by0-a.ay0) - (a.ay1-a.ay0)*(b.bx0-a.ax0)"
@@ -3568,6 +3746,7 @@ object Queries {
          )"""
     },
     "sjoin_lines" -> sjoinLinesOracleSql,
+    "sjoin_lines_skewed" -> sjoinLinesSkewedOracleSql,
     "intersects_point_multipoint" ->
       """SELECT l_orderkey, l_linenumber FROM lineitem
          WHERE (l_partkey%10 = l_orderkey%10 AND l_suppkey%10 = l_partkey%10)

@@ -35,6 +35,13 @@ object SpatialJoin {
   val ReservedGeomGridCols: Set[String] =
     ReservedGridCols ++ Set("__ax0", "__ay0", "__bx0", "__by0")
 
+  /** Superset claimed by the point-side-preserving join variants
+    * ([[gridPointJoin]]): the geometry side's cell/salt columns get
+    * their own names so the outer join condition can reference both
+    * sides explicitly. */
+  val ReservedGridOuterCols: Set[String] =
+    ReservedGridCols ++ Set("__gx", "__gy", "__gsalt")
+
   /** Driver-collect with an ENFORCED size contract for the broadcast
     * join variants: the build side is read through limit(cap+1), so an
     * oversized side fails fast after cap+1 rows — it never OOMs the
@@ -81,8 +88,12 @@ object SpatialJoin {
    * @param how       "inner", "left" (all points kept) or "right" (all
    *                  geometries kept — the reference's right join keeps the
    *                  right geometry column, tools/sjoin.py:249-270)
-   * @param leftKey   required for how="left": a unique key column in `points`
+   * @param leftKey   ignored since r17: how="left" is keyless (a point keys
+   *                  exactly one grid cell, so a single left-outer grid join
+   *                  preserves multiplicity without a uniqueness contract)
    * @param rightKey  required for how="right": a unique key column in `geoms`
+   *                  (the geometry side cell-explodes, so its outer variant
+   *                  still recomposes through a key join)
    * @param salt      >1 splits each grid cell into `salt` shuffle keys:
    *                  points hash into one sub-key, geometries replicate to
    *                  all of them — bounds the reducer size for skewed
@@ -111,43 +122,101 @@ object SpatialJoin {
     require(hotCells.forall(_.nonEmpty),
       "hotCells = Some(empty) is ambiguous — pass salt = 1 instead")
     val cs = lit(cellSize)
-    // literal predicate over the (tiny, contract-capped) hot-cell set:
-    // stays inside whole-stage codegen, no extra join
-    def isHot: Column = hotCells.get
-      .map { case (x, y) => col("__cx") === lit(x) && col("__cy") === lit(y) }
-      .reduce(_ || _)
-
-    val bounds = st_bounds(geomCol)
-    val gridded0 = geoms
-      .withColumn("__gb", bounds)
-      .withColumn("__cx",
-        explode(sequence(floor(col("__gb.x0") / cs).cast("long"),
-                         floor(col("__gb.x1") / cs).cast("long"))))
-      .withColumn("__cy",
-        explode(sequence(floor(col("__gb.y0") / cs).cast("long"),
-                         floor(col("__gb.y1") / cs).cast("long"))))
-      .drop("__gb")
-    val gridded =
-      if (salt == 1) gridded0.withColumn("__salt", lit(0))
-      else if (hotCells.isEmpty) gridded0.withColumn("__salt",
-        explode(sequence(lit(0), lit(salt - 1))))
-      else gridded0.withColumn("__salt",
-        explode(when(isHot, sequence(lit(0), lit(salt - 1)))
-          .otherwise(sequence(lit(0), lit(0)))))
-
-    val cellPoints0 = points
-      .withColumn("__cx", floor(st_x(pointCol) / cs).cast("long"))
-      .withColumn("__cy", floor(st_y(pointCol) / cs).cast("long"))
-    val cellPoints = cellPoints0
-      .withColumn("__salt",
-        if (salt == 1) lit(0)
-        else if (hotCells.isEmpty) pmod(hash(pointCol), lit(salt))
-        else when(isHot, pmod(hash(pointCol), lit(salt))).otherwise(lit(0)))
-
+    val gridded = griddedGeoms(geoms, geomCol, cs, salt, hotCells,
+      "__cx", "__cy", "__salt")
+    val cellPoints = celledPoints(points, pointCol, cs, salt, hotCells)
     cellPoints
       .join(gridded, Seq("__cx", "__cy", "__salt"), "inner")
       .where(st_intersects(pointCol, geomCol, geomKind))
       .drop("__cx", "__cy", "__salt")
+  }
+
+  /** Literal hot-cell predicate over the (tiny, contract-capped) set:
+    * stays inside whole-stage codegen, no extra join. */
+  private def isHotCell(cells: Seq[(Long, Long)], cx: String, cy: String): Column =
+    cells.map { case (x, y) => col(cx) === lit(x) && col(cy) === lit(y) }
+      .reduce(_ || _)
+
+  /** Geometry side exploded to every grid cell its bbox overlaps, plus
+    * the salt column (replicated to all salt values in hot cells) —
+    * under caller-chosen temp-column names, so the outer variant can
+    * join the two sides on explicit, distinct columns. */
+  private def griddedGeoms(geoms: DataFrame, geomCol: Column, cs: Column,
+                           salt: Int, hotCells: Option[Seq[(Long, Long)]],
+                           cx: String, cy: String, saltCol: String): DataFrame = {
+    val gridded0 = geoms
+      .withColumn("__gb", st_bounds(geomCol))
+      .withColumn(cx,
+        explode(sequence(floor(col("__gb.x0") / cs).cast("long"),
+                         floor(col("__gb.x1") / cs).cast("long"))))
+      .withColumn(cy,
+        explode(sequence(floor(col("__gb.y0") / cs).cast("long"),
+                         floor(col("__gb.y1") / cs).cast("long"))))
+      .drop("__gb")
+    if (salt == 1) gridded0.withColumn(saltCol, lit(0))
+    else if (hotCells.isEmpty) gridded0.withColumn(saltCol,
+      explode(sequence(lit(0), lit(salt - 1))))
+    else gridded0.withColumn(saltCol,
+      explode(when(isHotCell(hotCells.get, cx, cy), sequence(lit(0), lit(salt - 1)))
+        .otherwise(sequence(lit(0), lit(0)))))
+  }
+
+  /** Point side keyed by its SINGLE containing cell, salt hashed from
+    * the point (one key per point row — the property the preserving
+    * join variants rest on). */
+  private def celledPoints(points: DataFrame, pointCol: Column, cs: Column,
+                           salt: Int, hotCells: Option[Seq[(Long, Long)]]): DataFrame = {
+    val cellPoints0 = points
+      .withColumn("__cx", floor(st_x(pointCol) / cs).cast("long"))
+      .withColumn("__cy", floor(st_y(pointCol) / cs).cast("long"))
+    cellPoints0.withColumn("__salt",
+      if (salt == 1) lit(0)
+      else if (hotCells.isEmpty) pmod(hash(pointCol), lit(salt))
+      else when(isHotCell(hotCells.get, "__cx", "__cy"),
+        pmod(hash(pointCol), lit(salt))).otherwise(lit(0)))
+  }
+
+  /** Point-side-PRESERVING grid join variants: `left` (outer),
+    * `left_semi`, `left_anti` — the planner's target shape for
+    * `points.join(geoms, st_intersects(p, g), "left"/"semi"/"anti")`
+    * and the keyless implementation of `pointInGeom(how = "left")`.
+    *
+    * Outer semantics without any key column rest on one property: a
+    * point keys exactly ONE (cell, salt), so the left-outer hash join
+    * preserves each point row exactly once when nothing matches, and
+    * candidate pairs meet on exactly one key when something does. The
+    * exact intersection predicate (and any `residual` conjunct) is
+    * folded INTO the join condition — a post-filter would be wrong
+    * under outer semantics (it would drop preserved rows), and
+    * semi/anti decide membership on the full condition. Catalyst still
+    * extracts the cell columns as equi-keys, so the plan stays a hash
+    * (or sort-merge) join — never a nested loop. Null/NaN points never
+    * satisfy the exact predicate, so they are preserved (left) or kept
+    * (anti) exactly as the naive nested-loop semantics would. */
+  def gridPointJoin(points: DataFrame, geoms: DataFrame,
+                    pointCol: Column, geomCol: Column, geomKind: String,
+                    cellSize: Double, joinType: String,
+                    residual: Option[Column] = None,
+                    salt: Int = 1,
+                    hotCells: Option[Seq[(Long, Long)]] = None): DataFrame = {
+    require(cellSize > 0, "cellSize must be positive")
+    require(salt >= 1, "salt must be >= 1")
+    require(Set("left", "left_semi", "left_anti").contains(joinType),
+      s"unsupported joinType=$joinType (inner goes through gridInner)")
+    require(!(points.columns ++ geoms.columns).exists(ReservedGridOuterCols),
+      s"input columns collide with reserved grid-join names $ReservedGridOuterCols")
+    require(hotCells.forall(_.nonEmpty),
+      "hotCells = Some(empty) is ambiguous — pass salt = 1 instead")
+    val cs = lit(cellSize)
+    val cp = celledPoints(points, pointCol, cs, salt, hotCells)
+    val gg = griddedGeoms(geoms, geomCol, cs, salt, hotCells,
+      "__gx", "__gy", "__gsalt")
+    val base = cp("__cx") === gg("__gx") && cp("__cy") === gg("__gy") &&
+      cp("__salt") === gg("__gsalt") &&
+      st_intersects(pointCol, geomCol, geomKind)
+    val cond = residual.map(base && _).getOrElse(base)
+    cp.join(gg, cond, joinType)
+      .drop("__cx", "__cy", "__salt", "__gx", "__gy", "__gsalt")
   }
 
   /** Exact per-cell point counts → the cells whose population exceeds
@@ -178,15 +247,81 @@ object SpatialJoin {
     spark.conf.get("spark.graft.sjoin.adaptiveSalt.minBytes",
       DefaultAdaptiveMinBytes.toString).toLong
 
+  /** Row-count twin of the byte threshold, used where plan byte stats
+    * are unreliable (derived, non-scan point sides): inputs under this
+    * many rows skip hot-cell detection. 256k rows ≈ the 32 MB default
+    * at ~128 B/row. */
+  private[graft] val DefaultAdaptiveMinRows: Long = 262144
+
+  private[graft] def adaptiveMinRows(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.get("spark.graft.sjoin.adaptiveSalt.minRows",
+      DefaultAdaptiveMinRows.toString).toLong
+
+  /** Diagnostic seam: bounded row probes this JVM has run (specs
+    * assert when the gate probes vs trusts plan stats). */
+  private[graft] val probeRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** HONEST small-input verdict for the adaptive-salt gate. Plan-stats
+    * `sizeInBytes` is truthful only at a scan: without CBO every join
+    * estimate is a product of its children, so a DERIVED point side
+    * almost always reads huge and a bytes-only gate never skips —
+    * charging the detection scan to exactly the expensive lineages it
+    * exists to protect. Verdict order:
+    *  1. `minBytes <= 0` → never small (the drills force detection);
+    *  2. a CBO `rowCount`, when present, against
+    *     `spark.graft.sjoin.adaptiveSalt.minRows` (default 262144);
+    *  3. `sizeInBytes` below `minBytes` → small (stats only
+    *     over-count, so a below-threshold estimate is definitive);
+    *  4. a bare scan (leaf plan) → big (file stats are honest there);
+    *  5. otherwise a BOUNDED row probe: count at most minRows+1 rows
+    *     via take() on a one-column projection (incremental partition
+    *     launch, early stop, driver state capped at minRows unit
+    *     rows). One cheap job at construction/plan time — the planner
+    *     caches the verdict per canonicalized plan; callers must
+    *     guard `isStreaming` first (a probe is a batch action). */
+  private[graft] def smallInputSide(df: DataFrame, minBytes: Long): Boolean = {
+    if (minBytes <= 0) return false
+    val minRows = adaptiveMinRows(df.sparkSession)
+    smallPlanVerdict(df.queryExecution.optimizedPlan, minBytes, minRows)
+      .getOrElse(probeSmall(df, minRows))
+  }
+
+  /** The job-free part of the verdict (steps 2–4 above): Some(answer)
+    * when plan stats decide, None when only the bounded probe can. */
+  private[graft] def smallPlanVerdict(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      minBytes: Long, minRows: Long): Option[Boolean] = {
+    require(minRows >= 0 && minRows < Int.MaxValue - 8,
+      "spark.graft.sjoin.adaptiveSalt.minRows must fit an Int")
+    plan.stats.rowCount match {
+      case Some(rc) => Some(rc < BigInt(minRows))
+      case None if plan.stats.sizeInBytes < BigInt(minBytes) => Some(true)
+      case None
+          if plan.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.logical.LeafNode] => Some(false)
+      case None => None
+    }
+  }
+
+  /** The bounded row probe (step 5 above) — one batch job. */
+  private[graft] def probeSmall(df: DataFrame, minRows: Long): Boolean = {
+    probeRuns.incrementAndGet()
+    df.select(lit(1).as("__one")).take(minRows.toInt + 1).length <= minRows
+  }
+
+  /** The shared engage mapping: no hot cell → unsalted is optimal;
+    * contract cap exceeded → blanket; else hot-only. */
+  private def mapDetected(salt: Int, detected: Option[Seq[(Long, Long)]])
+      : (Int, Option[Seq[(Long, Long)]]) = detected match {
+    case None => (1, None)
+    case Some(cells) if cells.isEmpty => (salt, None)
+    case Some(cells) => (salt, Some(cells))
+  }
+
   private[graft] def detectHotCells(points: DataFrame, pointCol: Column,
                                     cellSize: Double): Option[Seq[(Long, Long)]] = {
     detectionRuns.incrementAndGet()
-    val spark = points.sparkSession
     val cs = lit(cellSize)
-    val factor = spark.conf
-      .get("spark.graft.sjoin.hotCellFactor", "2.0").toDouble
-    require(factor > 0, "spark.graft.sjoin.hotCellFactor must be > 0")
-    val parts = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
     // null points never match in the inner join, so they neither form
     // a hot cell nor belong in the fair-share total (a null-heavy
     // input would otherwise group into one (null,null) "cell" that
@@ -198,7 +333,48 @@ object SpatialJoin {
       // rows match nothing either; drop them before the long collect
       .where(col("__cx").isNotNull && col("__cy").isNotNull)
       .groupBy("__cx", "__cy").count()
-      .persist() // two actions below; O(#occupied cells) rows
+    hotFromCounts(counts, points.sparkSession)
+  }
+
+  /** [[detectHotCells]] for a geometry side of the dual-grid join: the
+    * skew unit is the EXPLODED cell key — a geometry spanning k cells
+    * contributes k, because reducer load is per (cell, salt) key. Same
+    * threshold/cap contract (and [[detectionRuns]] seam) as the point
+    * detector. */
+  private[graft] def detectHotGeomCells(geoms: DataFrame, geomCol: Column,
+                                        cellSize: Double): Option[Seq[(Long, Long)]] = {
+    detectionRuns.incrementAndGet()
+    val cs = lit(cellSize)
+    val counts = geoms.where(geomCol.isNotNull)
+      .select(st_bounds(geomCol).as("__gb"))
+      .select(
+        explode(sequence(floor(col("__gb.x0") / cs).cast("long"),
+                         floor(col("__gb.x1") / cs).cast("long"))).as("__cx"),
+        col("__gb"))
+      .select(col("__cx"),
+        explode(sequence(floor(col("__gb.y0") / cs).cast("long"),
+                         floor(col("__gb.y1") / cs).cast("long"))).as("__cy"))
+      .where(col("__cx").isNotNull && col("__cy").isNotNull)
+      .groupBy("__cx", "__cy").count()
+    hotFromCounts(counts, geoms.sparkSession)
+  }
+
+  /** Exact per-cell counts → the cells whose population exceeds
+    * `hotCellFactor` × fair share (total / shuffle partitions). One
+    * aggregation with map-side combine (shuffle bytes O(#occupied
+    * cells)); the hot set is contract-small BY CONSTRUCTION — at most
+    * partitions/factor cells can exceed the threshold — so collecting
+    * it is bounded like the broadcast-join caps. None = nothing hot;
+    * Some(empty) = cap exceeded (degenerate guard: blanket salting
+    * stays correct, never an error). */
+  private def hotFromCounts(counts0: DataFrame,
+                            spark: org.apache.spark.sql.SparkSession)
+      : Option[Seq[(Long, Long)]] = {
+    val factor = spark.conf
+      .get("spark.graft.sjoin.hotCellFactor", "2.0").toDouble
+    require(factor > 0, "spark.graft.sjoin.hotCellFactor must be > 0")
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val counts = counts0.persist() // two actions below; O(#occupied cells) rows
     try {
       val total = counts.agg(coalesce(sum("count"), lit(0L)))
         .first().getLong(0)
@@ -231,10 +407,14 @@ object SpatialJoin {
   def geomGridInner(left: DataFrame, right: DataFrame,
                     leftCol: Column, leftKind: String,
                     rightCol: Column, rightKind: String,
-                    cellSize: Double): DataFrame = {
+                    cellSize: Double, salt: Int = 1,
+                    hotCells: Option[Seq[(Long, Long)]] = None): DataFrame = {
     require(cellSize > 0, "cellSize must be positive")
+    require(salt >= 1, "salt must be >= 1")
     require(!(left.columns ++ right.columns).exists(ReservedGeomGridCols),
       s"input columns collide with reserved grid-join names $ReservedGeomGridCols")
+    require(hotCells.forall(_.nonEmpty),
+      "hotCells = Some(empty) is ambiguous — pass salt = 1 instead")
     val cs = lit(cellSize)
 
     def gridded(df: DataFrame, g: Column, cx0: String, cy0: String): DataFrame = {
@@ -249,13 +429,36 @@ object SpatialJoin {
         .drop("__gb")
     }
 
-    gridded(left, leftCol, "__ax0", "__ay0")
-      .join(gridded(right, rightCol, "__bx0", "__by0"),
-        Seq("__cx", "__cy"), "inner")
+    // Skew: the LEFT (probe) side hashes each exploded copy into one
+    // salt value where its cell is hot; the RIGHT (build) side
+    // replicates hot-cell copies to all salt values. A candidate pair
+    // thus still meets exactly once per shared cell — at the left
+    // copy's salt — so the PBSM reference-cell dedup below is
+    // untouched by salting (it filters on cell coordinates only).
+    val l0 = gridded(left, leftCol, "__ax0", "__ay0")
+    val r0 = gridded(right, rightCol, "__bx0", "__by0")
+    val (l1, r1) =
+      if (salt == 1)
+        (l0.withColumn("__salt", lit(0)), r0.withColumn("__salt", lit(0)))
+      else {
+        val lSalt = hotCells match {
+          case None => pmod(hash(leftCol), lit(salt))
+          case Some(cells) => when(isHotCell(cells, "__cx", "__cy"),
+            pmod(hash(leftCol), lit(salt))).otherwise(lit(0))
+        }
+        val rSalt = hotCells match {
+          case None => explode(sequence(lit(0), lit(salt - 1)))
+          case Some(cells) => explode(
+            when(isHotCell(cells, "__cx", "__cy"), sequence(lit(0), lit(salt - 1)))
+              .otherwise(sequence(lit(0), lit(0))))
+        }
+        (l0.withColumn("__salt", lSalt), r0.withColumn("__salt", rSalt))
+      }
+    l1.join(r1, Seq("__cx", "__cy", "__salt"), "inner")
       .where(col("__cx") === greatest(col("__ax0"), col("__bx0")) &&
              col("__cy") === greatest(col("__ay0"), col("__by0")))
       .where(st_geom_intersects(leftCol, leftKind, rightCol, rightKind))
-      .drop("__cx", "__cy", "__ax0", "__ay0", "__bx0", "__by0")
+      .drop("__cx", "__cy", "__salt", "__ax0", "__ay0", "__bx0", "__by0")
   }
 
   /**
@@ -269,12 +472,26 @@ object SpatialJoin {
                leftCol: String, leftKind: String,
                rightCol: String, rightKind: String,
                cellSize: Double = 0, how: String = "inner",
-               leftKey: String = null, rightKey: String = null): DataFrame = {
+               leftKey: String = null, rightKey: String = null,
+               salt: Int = 1, adaptiveSalt: Boolean = false,
+               adaptiveMinBytesOverride: Long = -1L): DataFrame = {
     val cs = if (cellSize > 0) cellSize
              else math.max(autoCellSize(left, left(leftCol)),
                            autoCellSize(right, right(rightCol)))
+    // adaptive skew handling, mirroring pointInGeom: detect hot cells
+    // on the LEFT (probe) side's EXPLODED cell keys and salt only
+    // those. Same eager-by-design caveat and small-input gate
+    // (adaptiveMinBytesOverride >= 0 replaces the session conf — so
+    // catalog queries never touch session-global state).
+    val minBytes = if (adaptiveMinBytesOverride >= 0) adaptiveMinBytesOverride
+                   else adaptiveMinBytes(left.sparkSession)
+    val (effSalt, hot) =
+      if (!adaptiveSalt || salt <= 1) (salt, None)
+      else if (left.isStreaming) (salt, None) // no batch job on a stream
+      else if (smallInputSide(left, minBytes)) (salt, None) // blanket: cheap
+      else mapDetected(salt, detectHotGeomCells(left, left(leftCol), cs))
     val matched = geomGridInner(left, right, left(leftCol), leftKind,
-      right(rightCol), rightKind, cs)
+      right(rightCol), rightKind, cs, effSalt, hot)
     applyGeomHow(left, right, matched, how, leftKey, rightKey)
   }
 
@@ -670,24 +887,34 @@ object SpatialJoin {
                   pointCol: String, geomCol: String, geomKind: String,
                   cellSize: Double = 0, how: String = "inner",
                   leftKey: String = null, rightKey: String = null,
-                  salt: Int = 1, adaptiveSalt: Boolean = false): DataFrame = {
+                  salt: Int = 1, adaptiveSalt: Boolean = false,
+                  adaptiveMinBytesOverride: Long = -1L): DataFrame = {
     // cellSize <= 0 = derive from the data (median bbox edge)
     val cs = if (cellSize > 0) cellSize
              else autoCellSize(geoms, geoms(geomCol))
-    val smallPoints = adaptiveSalt && salt > 1 &&
-      points.queryExecution.optimizedPlan.stats.sizeInBytes <
-        BigInt(adaptiveMinBytes(points.sparkSession))
+    // adaptiveMinBytesOverride >= 0 replaces the session conf for this
+    // call only — catalog queries and tests that force (or suppress)
+    // detection no longer mutate session-global state to do it
+    val minBytes = if (adaptiveMinBytesOverride >= 0) adaptiveMinBytesOverride
+                   else adaptiveMinBytes(points.sparkSession)
     val (effSalt, hot) =
       if (!adaptiveSalt || salt <= 1) (salt, None)
-      else if (smallPoints) (salt, None) // blanket: cheap at this size
-      else detectHotCells(points, points(pointCol), cs) match {
-        case None => (1, None) // nothing hot: unsalted is optimal
-        case Some(cells) if cells.isEmpty => (salt, None) // cap hit: salt all
-        case Some(cells) => (salt, Some(cells))
-      }
-    val matched = gridInner(points, geoms, points(pointCol), geoms(geomCol),
-      geomKind, cs, effSalt, hot)
-    applyGeomHow(points, geoms, matched, how, leftKey, rightKey)
+      else if (points.isStreaming) (salt, None) // no batch job on a stream
+      else if (smallInputSide(points, minBytes)) (salt, None) // blanket: cheap
+      else mapDetected(salt, detectHotCells(points, points(pointCol), cs))
+    if (how == "left")
+      // KEYLESS left outer: a point keys exactly one (cell, salt), so
+      // the single left-outer grid join preserves multiplicity exactly
+      // — one join instead of inner-then-key-rejoin, and no uniqueness
+      // contract (`leftKey` is accepted for source compatibility and
+      // ignored)
+      gridPointJoin(points, geoms, points(pointCol), geoms(geomCol),
+        geomKind, cs, "left", None, effSalt, hot)
+    else {
+      val matched = gridInner(points, geoms, points(pointCol), geoms(geomCol),
+        geomKind, cs, effSalt, hot)
+      applyGeomHow(points, geoms, matched, how, leftKey, rightKey)
+    }
   }
 
   /**

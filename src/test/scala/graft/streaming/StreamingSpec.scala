@@ -141,6 +141,55 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("spatial-join rewrite on a STREAMING point side under adaptiveSalt: no plan-time batch job, blanket salt, exact result") {
+    import graft.Geo._
+    // the r16-ADVICE streaming hazard: adaptiveSalt=true would run the
+    // hot-cell detection count (a batch action) at plan time of a
+    // streaming query — and streaming plans report huge sizeInBytes,
+    // so the byte gate never saved it. The rule must skip detection
+    // (and the honest gate's probe) for a streaming point side and
+    // fall back to blanket salting.
+    val prevRules = spark.experimental.extraOptimizations
+    graft.plans.SpatialJoinRewrite.install(spark)
+    implicit val sc = spark.sqlContext
+    spark.conf.set("spark.graft.sjoin.cellSize", "20.0")
+    spark.conf.set("spark.graft.sjoin.salt", "4")
+    spark.conf.set("spark.graft.sjoin.adaptiveSalt", "true")
+    spark.conf.set("spark.graft.sjoin.adaptiveSalt.minBytes", "0")
+    try {
+      val input = MemoryStream[(Long, Double, Double)]
+      val pts = input.toDF().toDF("event_id", "x", "y")
+        .withColumn("pt", st_point(col("x"), col("y")))
+        .select("event_id", "pt")
+      val fences = Seq(
+        (1L, Seq(Seq(0.0, 0, 20, 0, 20, 20, 0, 20, 0, 0))),
+        (2L, Seq(Seq(40.0, 40, 60, 40, 60, 60, 40, 60, 40, 40)))).toDF("fence_id", "fence")
+      val j = pts.join(fences, st_intersects(pts("pt"), fences("fence"), "polygon"))
+      val runsBefore = graft.tools.SpatialJoin.detectionRuns.get()
+      val probesBefore = graft.tools.SpatialJoin.probeRuns.get()
+      val q = j.select("event_id", "fence_id")
+        .writeStream.format("memory").queryName("sjoin_stream_adaptive")
+        .outputMode("append").start()
+      try {
+        input.addData((100L, 10.0, 10.0), (101L, 50.0, 50.0), (102L, 90.0, 90.0))
+        q.processAllAvailable()
+        val hits = spark.table("sjoin_stream_adaptive")
+          .as[(Long, Long)].collect().toSet
+        assert(hits == Set((100L, 1L), (101L, 2L)))
+      } finally q.stop()
+      assert(graft.tools.SpatialJoin.detectionRuns.get() == runsBefore,
+        "hot-cell detection ran at plan time of a STREAMING query")
+      assert(graft.tools.SpatialJoin.probeRuns.get() == probesBefore,
+        "the small-input probe ran at plan time of a STREAMING query")
+    } finally {
+      spark.experimental.extraOptimizations = prevRules
+      Seq("spark.graft.sjoin.cellSize", "spark.graft.sjoin.salt",
+        "spark.graft.sjoin.adaptiveSalt",
+        "spark.graft.sjoin.adaptiveSalt.minBytes")
+        .foreach(spark.conf.unset)
+    }
+  }
+
   test("ingestFilter: replay-stable sampling + decontamination per batch") {
     implicit val sc = spark.sqlContext
     val evalDocs = Seq(

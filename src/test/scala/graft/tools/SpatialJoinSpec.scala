@@ -861,4 +861,312 @@ class SpatialJoinSpec extends AnyFunSuite {
         "polygon", rightKey = "gid").count() >= 0)
     } finally spark.conf.unset("spark.graft.broadcastJoin.maxRows")
   }
+
+  // ---- r17: planner outer/semi/anti, keyless left, geom salting,
+  // ---- honest gate ----------------------------------------------------
+
+  /** Uniform points over [0,100)^2 plus one NaN row (must be PRESERVED
+    * by outer variants, matched by nothing) — pid NOT unique when
+    * `dupEvery` > 0, to exercise the keyless multiplicity contract. */
+  private def outerPts(seed: Int, n: Int = 300, dupEvery: Int = 0) = {
+    val rnd = new scala.util.Random(seed)
+    val rows = (0 until n).map { i =>
+      val pid = if (dupEvery > 0 && i % dupEvery == 0) 7L else i.toLong
+      (pid, rnd.nextDouble() * 100, rnd.nextDouble() * 100)
+    } :+ ((9998L, Double.NaN, Double.NaN))
+    rows.toDF("pid", "x", "y")
+      .withColumn("pt", st_point(col("x"), col("y"))).select("pid", "pt")
+  }
+  private def outerPolys(seed: Int, n: Int = 12) = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      val cx = rnd.nextDouble() * 100; val cy = rnd.nextDouble() * 100
+      val r = 5 + rnd.nextDouble() * 10
+      (i.toLong, Seq(Seq(cx + r, cy, cx, cy + r, cx - r, cy, cx, cy - r, cx + r, cy)))
+    }.toDF("gid", "poly")
+  }
+  private def withRule[T](confs: (String, String)*)(f: => T): T = {
+    graft.plans.SpatialJoinRewrite.install(spark)
+    try withConfs(confs: _*)(f)
+    finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations
+        .filterNot(_.isInstanceOf[graft.plans.SpatialJoinRewrite])
+  }
+  /** Multiset compare (outer joins carry multiplicity, sets would hide
+    * duplicate-row bugs). */
+  private def bag(df: org.apache.spark.sql.DataFrame): Map[(Option[Long], Option[Long]), Int] =
+    df.collect().toSeq
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+                 if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .groupBy(identity).view.mapValues(_.size).toMap
+
+  test("planner LEFT OUTER st_intersects join: NestedLoop-free, exact BNLJ multiset (NaN point preserved)") {
+    val pts = outerPts(61, dupEvery = 25)
+    val polys = outerPolys(62)
+    // ground truth: the BNLJ semantics, rule NOT installed
+    val expect = bag(pts.join(polys,
+        st_intersects(pts("pt"), polys("poly"), "polygon"), "left")
+      .select("pid", "gid"))
+    withRule("spark.graft.sjoin.cellSize" -> "20.0") {
+      val j = pts.join(polys,
+        st_intersects(pts("pt"), polys("poly"), "polygon"), "left")
+      assert(bag(j.select("pid", "gid")) == expect)
+      assert(expect.exists(_._1._2.isEmpty), "shape drifted: no unmatched point")
+      assert(expect.contains((Some(9998L), None)), "NaN point not preserved")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+        s"nested loop survived:\n$plan")
+      assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+        s"no hash/merge join in:\n$plan")
+    }
+  }
+
+  test("planner RIGHT OUTER (point side on the right) plans as the reordered left-outer grid join") {
+    val pts = outerPts(63)
+    val polys = outerPolys(64)
+    val expect = bag(polys.join(pts,
+        st_intersects(pts("pt"), polys("poly"), "polygon"), "right")
+      .select("gid", "pid"))
+    withRule("spark.graft.sjoin.cellSize" -> "20.0") {
+      val j = polys.join(pts,
+        st_intersects(pts("pt"), polys("poly"), "polygon"), "right")
+      assert(bag(j.select("gid", "pid")) == expect)
+      assert(expect.contains((None, Some(9998L))), "NaN point not preserved")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+        s"nested loop survived:\n$plan")
+    }
+  }
+
+  test("planner LEFT SEMI / LEFT ANTI st_intersects joins: NestedLoop-free, exact membership") {
+    val pts = outerPts(65)
+    val polys = outerPolys(66)
+    val pred = st_intersects(pts("pt"), polys("poly"), "polygon")
+    val expectSemi = pts.join(polys, pred, "left_semi")
+      .select("pid").as[Long].collect().sorted.toSeq
+    val expectAnti = pts.join(polys, pred, "left_anti")
+      .select("pid").as[Long].collect().sorted.toSeq
+    withRule("spark.graft.sjoin.cellSize" -> "20.0") {
+      val semi = pts.join(polys, pred, "left_semi")
+      val anti = pts.join(polys, pred, "left_anti")
+      assert(semi.select("pid").as[Long].collect().sorted.toSeq == expectSemi)
+      assert(anti.select("pid").as[Long].collect().sorted.toSeq == expectAnti)
+      assert(expectSemi.nonEmpty && expectAnti.nonEmpty, "degenerate shape")
+      assert(expectAnti.contains(9998L), "NaN point must be anti-kept")
+      Seq(semi, anti).foreach { d =>
+        val plan = d.queryExecution.executedPlan.toString
+        assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+          s"nested loop survived:\n$plan")
+      }
+    }
+  }
+
+  test("preserved-GEOMETRY-side outer join falls through to BNLJ but stays correct (documented fallback)") {
+    val pts = outerPts(67)
+    val polys = outerPolys(68)
+    // right join preserving the polys (point on the LEFT): the geometry
+    // side explodes in the grid shape, so there is no keyless outer
+    // rewrite — the rule must leave it to Catalyst
+    val expect = bag(pts.join(polys,
+        st_intersects(pts("pt"), polys("poly"), "polygon"), "right")
+      .select("pid", "gid"))
+    withRule("spark.graft.sjoin.cellSize" -> "20.0") {
+      val j = pts.join(polys,
+        st_intersects(pts("pt"), polys("poly"), "polygon"), "right")
+      assert(bag(j.select("pid", "gid")) == expect)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("NestedLoop") || plan.contains("Cartesian"),
+        s"fallback pin stale — preserved-geometry outer got rewritten:\n$plan")
+    }
+  }
+
+  test("residual conjunct rides INSIDE the outer join condition (not a row-dropping post-filter)") {
+    val pts = outerPts(69)
+    val polys = outerPolys(70)
+    val cond = st_intersects(pts("pt"), polys("poly"), "polygon") &&
+      polys("gid") % 2 === 0
+    val expect = bag(pts.join(polys, cond, "left").select("pid", "gid"))
+    withRule("spark.graft.sjoin.cellSize" -> "20.0") {
+      val j = pts.join(polys, cond, "left")
+      assert(bag(j.select("pid", "gid")) == expect)
+      // the residual must have changed something vs the pure predicate
+      val pure = bag(pts.join(polys,
+        st_intersects(pts("pt"), polys("poly"), "polygon"), "left")
+        .select("pid", "gid"))
+      assert(expect != pure, "residual conjunct had no effect — shape drifted")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+        s"nested loop survived:\n$plan")
+    }
+  }
+
+  test("pointInGeom how=left is KEYLESS: duplicate left keys keep exact multiplicity (and salting composes)") {
+    val pts = outerPts(71, dupEvery = 10) // pid=7 shared by ~30 rows
+    val polys = outerPolys(72)
+    val expect = bag(pts.join(polys,
+        st_intersects(pts("pt"), polys("poly"), "polygon"), "left")
+      .select("pid", "gid"))
+    // no leftKey passed at all — the old key-join shape would have
+    // required one and merged the duplicate-pid candidate sets
+    val got = bag(SpatialJoin.pointInGeom(pts, polys, "pt", "poly", "polygon",
+        cellSize = 20.0, how = "left")
+      .select("pid", "gid"))
+    assert(got == expect)
+    val salted = bag(SpatialJoin.pointInGeom(pts, polys, "pt", "poly", "polygon",
+        cellSize = 20.0, how = "left", salt = 4)
+      .select("pid", "gid"))
+    assert(salted == expect)
+  }
+
+  test("geomGridInner salting (blanket and hot-cell-only) is exact; cold-cell build copies are NOT replicated") {
+    // segments: 90% collapse into the [0,20)^2 cell, rest spread
+    val segs = (0 until 800).map { i =>
+      val (x0, y0) =
+        if (i % 10 != 0) ((i * 13 % 200) / 10.0, (i * 17 % 200) / 10.0)
+        else (20.0 + i * 7 % 70, 20.0 + i * 11 % 70)
+      (i.toLong, Seq(x0, y0, x0 + 4.0, y0 + 3.0))
+    }.toDF("sid", "seg")
+    val polys = outerPolys(74).withColumnRenamed("gid", "pgid")
+    val unsalted = SpatialJoin.geomGridInner(segs, polys, col("seg"), "line",
+        col("poly"), "polygon", cellSize = 20.0)
+      .select("sid", "pgid").as[(Long, Long)].collect().toSet
+    val brute = segs.crossJoin(polys)
+      .where(st_geom_intersects(col("seg"), "line", col("poly"), "polygon"))
+      .select("sid", "pgid").as[(Long, Long)].collect().toSet
+    assert(unsalted == brute && brute.nonEmpty)
+    val blanket = SpatialJoin.geomGridInner(segs, polys, col("seg"), "line",
+        col("poly"), "polygon", cellSize = 20.0, salt = 5)
+      .select("sid", "pgid").as[(Long, Long)].collect().toSet
+    assert(blanket == brute)
+    val hotOnly = SpatialJoin.geomGridInner(segs, polys, col("seg"), "line",
+        col("poly"), "polygon", cellSize = 20.0, salt = 5,
+        hotCells = Some(Seq((0L, 0L))))
+      .select("sid", "pgid").as[(Long, Long)].collect().toSet
+    assert(hotOnly == brute)
+    // arbitrary (even wrong) hot designations stay exact — hot-ness is
+    // a performance hint, never a correctness input
+    val weird = SpatialJoin.geomGridInner(segs, polys, col("seg"), "line",
+        col("poly"), "polygon", cellSize = 20.0, salt = 3,
+        hotCells = Some(Seq((2L, 2L), (-5L, 1L))))
+      .select("sid", "pgid").as[(Long, Long)].collect().toSet
+    assert(weird == brute)
+    // cost side, at the data level: under hot-only salting the build
+    // side replicates ONLY its hot-cell copies
+    def buildRows(saltN: Int, hot: Option[Seq[(Long, Long)]]): Long = {
+      val g = polys.withColumn("b", st_bounds(col("poly")))
+        .withColumn("cx", explode(sequence(floor(col("b.x0") / 20.0).cast("long"),
+          floor(col("b.x1") / 20.0).cast("long"))))
+        .withColumn("cy", explode(sequence(floor(col("b.y0") / 20.0).cast("long"),
+          floor(col("b.y1") / 20.0).cast("long"))))
+      hot match {
+        case None => g.count() * saltN
+        case Some(cells) =>
+          val isHot = cells.map { case (x, y) =>
+            col("cx") === lit(x) && col("cy") === lit(y) }.reduce(_ || _)
+          g.withColumn("n", when(isHot, lit(saltN)).otherwise(lit(1)))
+            .agg(sum("n")).as[Long].head()
+      }
+    }
+    val copies = buildRows(1, None)
+    val hotCopies = buildRows(5, Some(Seq((0L, 0L))))
+    assert(hotCopies < copies * 5,
+      s"hot-only salting replicated cold cells: $hotCopies vs blanket ${copies * 5}")
+  }
+
+  test("geomJoin adaptiveSalt: the geometry detector fires past the override gate, result exact; gate skips below it") {
+    val segs = (0 until 800).map { i =>
+      val (x0, y0) =
+        if (i % 10 != 0) ((i * 13 % 200) / 10.0, (i * 17 % 200) / 10.0)
+        else (20.0 + i * 7 % 70, 20.0 + i * 11 % 70)
+      (i.toLong, Seq(x0, y0, x0 + 4.0, y0 + 3.0))
+    }.toDF("sid", "seg")
+    val polys = outerPolys(74).withColumnRenamed("gid", "pgid")
+    val brute = segs.crossJoin(polys)
+      .where(st_geom_intersects(col("seg"), "line", col("poly"), "polygon"))
+      .select("sid", "pgid").as[(Long, Long)].collect().toSet
+    val runsBefore = SpatialJoin.detectionRuns.get()
+    val adaptive = SpatialJoin.geomJoin(segs, polys, "seg", "line",
+        "poly", "polygon", cellSize = 20.0, salt = 8,
+        adaptiveSalt = true, adaptiveMinBytesOverride = 0)
+      .select("sid", "pgid").as[(Long, Long)].collect().toSet
+    assert(SpatialJoin.detectionRuns.get() > runsBefore,
+      "geomJoin adaptive arm never ran the geometry hot-cell detector")
+    assert(adaptive == brute && brute.nonEmpty)
+    // gate: a huge override threshold must skip detection entirely
+    // (blanket salting) without touching any session conf
+    val runsGated = SpatialJoin.detectionRuns.get()
+    val gated = SpatialJoin.geomJoin(segs, polys, "seg", "line",
+        "poly", "polygon", cellSize = 20.0, salt = 8,
+        adaptiveSalt = true, adaptiveMinBytesOverride = 1L << 40)
+      .select("sid", "pgid").as[(Long, Long)].collect().toSet
+    assert(SpatialJoin.detectionRuns.get() == runsGated,
+      "the override gate did not skip the counting pass")
+    assert(gated == brute)
+    assert(spark.conf.getOption("spark.graft.sjoin.adaptiveSalt.minBytes").isEmpty,
+      "geomJoin leaked a session conf mutation")
+  }
+
+  test("honest small-input gate: a DERIVED (non-scan) point side is probed, not byte-guessed — small skips detection, big detects") {
+    // derive the point side through a JOIN so its sizeInBytes estimate
+    // is a product of children (the dishonest-stats shape); minBytes=1
+    // forces the gate past the bytes shortcut into the probe
+    val base = outerPts(75)
+    val keys = (0 until 500).map(i => Tuple1(i.toLong)).toDF("pid")
+    val derived = base.join(keys, Seq("pid"), "inner")
+    val polys = outerPolys(76)
+    withConfs("spark.graft.sjoin.adaptiveSalt.minRows" -> "1000") {
+      val probesBefore = SpatialJoin.probeRuns.get()
+      val runsBefore = SpatialJoin.detectionRuns.get()
+      val small = SpatialJoin.pointInGeom(derived, polys, "pt", "poly",
+        "polygon", cellSize = 20.0, salt = 8, adaptiveSalt = true,
+        adaptiveMinBytesOverride = 1L)
+      assert(SpatialJoin.probeRuns.get() == probesBefore + 1,
+        "the derived side was not probed")
+      assert(SpatialJoin.detectionRuns.get() == runsBefore,
+        "a probe-verdict-small side still ran detection")
+      val got = bag(small.select("pid", "gid")
+        .where(col("gid").isNotNull))
+      val expect = bag(derived.crossJoin(polys)
+        .where(st_intersects(col("pt"), col("poly"), "polygon"))
+        .select("pid", "gid"))
+      assert(got == expect && expect.nonEmpty)
+    }
+    withConfs("spark.graft.sjoin.adaptiveSalt.minRows" -> "100") {
+      val runsBefore = SpatialJoin.detectionRuns.get()
+      SpatialJoin.pointInGeom(derived, polys, "pt", "poly",
+        "polygon", cellSize = 20.0, salt = 8, adaptiveSalt = true,
+        adaptiveMinBytesOverride = 1L)
+      assert(SpatialJoin.detectionRuns.get() > runsBefore,
+        "a probe-verdict-big side skipped detection")
+    }
+  }
+
+  test("planner honest gate: the probe runs ONCE per derived point side (cached), detection skipped while small") {
+    val base = outerPts(77)
+    val keys = (0 until 500).map(i => Tuple1(i.toLong)).toDF("pid")
+    val derived = base.join(keys, Seq("pid"), "inner")
+    val polys = outerPolys(78)
+    withRule(
+      "spark.graft.sjoin.cellSize" -> "20.0",
+      "spark.graft.sjoin.salt" -> "8",
+      "spark.graft.sjoin.adaptiveSalt" -> "true",
+      "spark.graft.sjoin.adaptiveSalt.minBytes" -> "1",
+      "spark.graft.sjoin.adaptiveSalt.minRows" -> "1000") {
+      val probesBefore = SpatialJoin.probeRuns.get()
+      val runsBefore = SpatialJoin.detectionRuns.get()
+      val j = derived.join(polys,
+        st_intersects(derived("pt"), polys("poly"), "polygon"))
+      val n1 = j.count()
+      assert(SpatialJoin.detectionRuns.get() == runsBefore,
+        "planner gate did not skip detection for a probe-small derived side")
+      val probesAfter = SpatialJoin.probeRuns.get()
+      assert(probesAfter > probesBefore, "planner gate never probed")
+      // re-plan: the probe verdict is cached per canonicalized plan
+      val j2 = derived.join(polys,
+        st_intersects(derived("pt"), polys("poly"), "polygon"))
+      assert(j2.count() == n1)
+      assert(SpatialJoin.probeRuns.get() == probesAfter,
+        "the probe re-fired on a re-plan of the same point side")
+    }
+  }
 }
