@@ -92,6 +92,21 @@ object SpatialScaleBench {
         .withColumn("ln", array(x0, y0, x0 + 30.0, y0 + 18.0))
         .select(col("s_suppkey").as("l_key"), col("ln"))
     }
+    /** The geometry-side twin of [[skewedPoints]]: 90% of every
+      * replica's segments collapse into the global hot cell (origin in
+      * [0,100)^2, no tile offset), cold 10% tile out — the planted
+      * skew for the dual-grid join's adaptive arm (its detector counts
+      * EXPLODED cell keys on this side). */
+    def skewedLines(reps: Int): DataFrame = {
+      val hot = col("c_custkey") % 10 =!= 0
+      val x0 = when(hot, (((col("c_custkey") * 13) % 50) * 2).cast("double"))
+        .otherwise(((col("c_custkey") * 131) % 1000).cast("double") + col("__offx"))
+      val y0 = when(hot, (((col("c_custkey") * 17) % 50) * 2).cast("double"))
+        .otherwise(((col("c_custkey") * 257) % 1000).cast("double") + col("__offy"))
+      tile(customers, reps)
+        .withColumn("ln", array(x0, y0, x0 + 30.0, y0 + 18.0))
+        .select(col("c_custkey").as("l_key"), col("ln"))
+    }
 
     val ops: Seq[(String, Int => DataFrame)] = Seq(
       "grid_point_in_polygon" -> { reps: Int =>
@@ -123,6 +138,21 @@ object SpatialScaleBench {
         SpatialJoin.pointInGeom(skewedPoints(reps), diamonds(reps),
           "pt", "diamond", "polygon", cellSize = 128.0, salt = 8,
           adaptiveSalt = true)
+      },
+      // the dual-grid (geometry x geometry) twin of the skew pair: one
+      // global hot cell in a growing cold extent — blanket salting
+      // replicates the build side salt-fold in EVERY cold tile,
+      // adaptive only in the hot cell (r16 verdict #2: geomGridInner
+      // previously had no salting mode at all)
+      "geom_skew_blanket" -> { reps: Int =>
+        SpatialJoin.geomGridInner(skewedLines(reps), diamonds(reps),
+          col("ln"), "line", col("diamond"), "polygon", cellSize = 128.0,
+          salt = 8)
+      },
+      "geom_skew_adaptive" -> { reps: Int =>
+        SpatialJoin.geomJoin(skewedLines(reps), diamonds(reps),
+          "ln", "line", "diamond", "polygon", cellSize = 128.0,
+          salt = 8, adaptiveSalt = true)
       })
 
     val baseReps = 4
