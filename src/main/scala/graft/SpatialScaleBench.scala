@@ -135,9 +135,12 @@ object SpatialScaleBench {
           "pt", "diamond", "polygon", cellSize = 128.0, salt = 8)
       },
       "sjoin_skew_adaptive" -> { reps: Int =>
+        // the override makes detection unconditional INDEPENDENT of
+        // conf plumbing (belt and braces with the minBytes=0 session
+        // conf above; the arm-engaged assertion below is the backstop)
         SpatialJoin.pointInGeom(skewedPoints(reps), diamonds(reps),
           "pt", "diamond", "polygon", cellSize = 128.0, salt = 8,
-          adaptiveSalt = true)
+          adaptiveSalt = true, adaptiveMinBytesOverride = 0)
       },
       // the dual-grid (geometry x geometry) twin of the skew pair: one
       // global hot cell in a growing cold extent — blanket salting
@@ -152,7 +155,7 @@ object SpatialScaleBench {
       "geom_skew_adaptive" -> { reps: Int =>
         SpatialJoin.geomJoin(skewedLines(reps), diamonds(reps),
           "ln", "line", "diamond", "polygon", cellSize = 128.0,
-          salt = 8, adaptiveSalt = true)
+          salt = 8, adaptiveSalt = true, adaptiveMinBytesOverride = 0)
       })
 
     val baseReps = 4

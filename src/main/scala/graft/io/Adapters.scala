@@ -48,31 +48,95 @@ object LogFsAdapters {
     * build() — never a silent downgrade to a racy put.
     *
     * Failure mapping, per the seam's contract: `false` ONLY when the
-    * name is taken (lost race — [[FileAlreadyExistsException]] at
-    * build or at close, or an IOException with the target visible);
-    * any other error stays loud. The object-store caveat that the
-    * data PUT happens at close() is why the whole write is inside one
-    * try — a conditional-create refusal can surface at either end. */
+    * name is genuinely taken by someone else (lost race —
+    * [[FileAlreadyExistsException]]/PathExists at build or at close,
+    * or a build-time IOException with the target visible); any other
+    * error stays loud. The object-store caveat that the data PUT
+    * happens at close() is why the refusal can surface at either end.
+    * CRITICAL asymmetry: an IOException AFTER a successful build() is
+    * ambiguous — on a create-visible store (HDFS) we already won the
+    * name and the failure is OUR partial write (mapping it to `false`
+    * would make the caller treat our garbage as a competitor's
+    * committed artifact: a permanently wedged ordinal), while on an
+    * object store the arbitration only happens at close(), so a
+    * visible target could be a COMPETITOR's commit (deleting it would
+    * be a clobber). The discriminator is a content READ-BACK of the
+    * target: byte-equal to our payload → our put actually committed
+    * (ack lost) → `true`; empty or a strict prefix of our payload →
+    * our partial create → delete it and rethrow LOUD (the name stays
+    * claimable for the retry; readers already tolerate a
+    * vanished-then-relisted artifact); anything else → a competitor's
+    * artifact → lost race. Byte-identical content from a competitor
+    * is the same logical commit (payloads embed writer-specific file
+    * names/nonces), so the `true` mapping is safe. */
   final class AtomicCreateConditionalPut(
       mustOpts: Map[String, String] = Map.empty)
       extends LogFs.ConditionalPut {
     override def putIfAbsent(fs: FileSystem, p: HadoopPath,
-                             bytes: Array[Byte]): Boolean =
+                             bytes: Array[Byte]): Boolean = {
+      var won = false
       try {
         val builder = fs.createFile(p).overwrite(false)
         mustOpts.foreach { case (k, v) => builder.must(k, v) }
         val out = builder.build()
+        won = true
         try out.write(bytes)
         finally out.close()
         true
       } catch {
         case _: FileAlreadyExistsException => false
         case _: org.apache.hadoop.fs.PathExistsException => false
-        case e: java.io.IOException =>
-          // connectors differ in how they surface the conditional
-          // refusal; a visible target after the failure IS the lost
-          // race, anything else is a broken store and must be loud
+        case e: java.io.IOException if !won =>
+          // build-time refusal: connectors differ in how they surface
+          // the conditional-create rejection; a visible target after a
+          // failed CREATE is the lost race, anything else is a broken
+          // store and must be loud
           if (fs.exists(p)) false else throw e
+        case e: java.io.IOException =>
+          // post-build failure: read the target back and discriminate
+          // (see the class doc). verdict: Some(result) to return;
+          // None = our strict-prefix partial → delete it, stay loud.
+          // An absent target and read-back failures both rethrow the
+          // ORIGINAL error — loud, never a guessed verdict.
+          if (!targetVisible(fs, p, e)) throw e // nothing committed; retryable
+          val verdict: Option[Boolean] =
+            try {
+              val len = fs.getFileStatus(p).getLen
+              if (len > bytes.length) Some(false) // longer: competitor's
+              else {
+                val b = new Array[Byte](len.toInt)
+                val in = fs.open(p)
+                try in.readFully(b) finally in.close()
+                if (!java.util.Arrays.equals(b,
+                    java.util.Arrays.copyOfRange(bytes, 0, b.length)))
+                  Some(false) // different content: competitor's
+                else if (len == bytes.length)
+                  Some(true) // byte-equal: our put committed, ack lost
+                else None // our strict-prefix partial create
+              }
+            } catch {
+              case rb: java.io.IOException => e.addSuppressed(rb); throw e
+            }
+          verdict match {
+            case Some(v) => v
+            case None =>
+              // the delete is load-bearing (a surviving empty partial
+              // wedges the ordinal for every later reader) — a failed
+              // delete must at least be DIAGNOSABLE from the error
+              try fs.delete(p, false)
+              catch { case de: java.io.IOException => e.addSuppressed(de) }
+              throw e
+          }
       }
+    }
+
+    /** exists(p), with a probe failure suppressed INTO the original
+      * error and reported as "present" (the conservative direction:
+      * the caller proceeds to the read-back, which rethrows loudly if
+      * the store is genuinely broken). Returns true iff p is visible. */
+    private def targetVisible(fs: FileSystem, p: HadoopPath,
+                              e: java.io.IOException): Boolean =
+      try fs.exists(p)
+      catch { case pe: java.io.IOException => e.addSuppressed(pe); true }
   }
 }

@@ -183,41 +183,35 @@ case class SpatialJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  /** Planner twin of `pointInGeom(adaptiveSalt = true)`'s engage
-    * logic: `spark.graft.sjoin.adaptiveSalt=true` (with salt > 1)
-    * detects hot cells once per distinct point-side plan and salts
-    * only those; small point sides (honest verdict — see [[smallFor]])
-    * skip the counting pass and keep blanket salting, and a STREAMING
-    * point side does too (detection and the probe are batch actions —
-    * illegal at plan time of a streaming query). Returns (effective
-    * salt, hot set) exactly as the API path maps them: no hot cell →
-    * unsalted; cap exceeded → blanket; else hot-only. */
+  /** Planner twin of the API paths' adaptive-salt engage logic, one
+    * function for both arms: `spark.graft.sjoin.adaptiveSalt=true`
+    * (with salt > 1) detects hot cells once per distinct probe-side
+    * plan (`kind` separates the point detector from the exploded-cell
+    * geometry detector) and salts only those; small probe sides
+    * (honest verdict — [[smallFor]]) skip the counting pass and keep
+    * blanket salting, and a STREAMING probe side does too (detection
+    * and the probe are batch actions — illegal at plan time of a
+    * streaming query). The detected→(salt, hot) mapping is
+    * [[SpatialJoin.mapDetected]] — the single shared copy, so the
+    * planner and API semantics cannot drift. */
+  private def adaptiveSaltFor(side: LogicalPlan, kind: String,
+                              cellSize: Double, s: Int,
+                              detect: org.apache.spark.sql.DataFrame => Option[Seq[(Long, Long)]])
+      : (Int, Option[Seq[(Long, Long)]]) =
+    if (s <= 1 || !adaptiveEnabled) (s, None)
+    else if (side.isStreaming) (s, None)
+    else if (smallFor(side)) (s, None)
+    else SpatialJoin.mapDetected(s, detectCached(kind, side, cellSize, detect))
+
   private def adaptiveFor(ptSide: LogicalPlan, pointAttr: AttributeReference,
                           cellSize: Double, s: Int): (Int, Option[Seq[(Long, Long)]]) =
-    if (s <= 1 || !adaptiveEnabled) (s, None)
-    else if (ptSide.isStreaming) (s, None)
-    else if (smallFor(ptSide)) (s, None)
-    else detectCached("pt", ptSide, cellSize,
-      df => SpatialJoin.detectHotCells(df, Bridge.column(pointAttr), cellSize)) match {
-      case None => (1, None)
-      case Some(cells) if cells.isEmpty => (s, None)
-      case Some(cells) => (s, Some(cells))
-    }
+    adaptiveSaltFor(ptSide, "pt", cellSize, s,
+      df => SpatialJoin.detectHotCells(df, Bridge.column(pointAttr), cellSize))
 
-  /** [[adaptiveFor]] for the geometry×geometry arm: hot-ness is
-    * counted on the probe (left) side's EXPLODED cell keys
-    * ([[SpatialJoin.detectHotGeomCells]]), same guards and mapping. */
   private def adaptiveGeomFor(aSide: LogicalPlan, aAttr: AttributeReference,
                               cellSize: Double, s: Int): (Int, Option[Seq[(Long, Long)]]) =
-    if (s <= 1 || !adaptiveEnabled) (s, None)
-    else if (aSide.isStreaming) (s, None)
-    else if (smallFor(aSide)) (s, None)
-    else detectCached("geom", aSide, cellSize,
-      df => SpatialJoin.detectHotGeomCells(df, Bridge.column(aAttr), cellSize)) match {
-      case None => (1, None)
-      case Some(cells) if cells.isEmpty => (s, None)
-      case Some(cells) => (s, Some(cells))
-    }
+    adaptiveSaltFor(aSide, "geom", cellSize, s,
+      df => SpatialJoin.detectHotGeomCells(df, Bridge.column(aAttr), cellSize))
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(a, b) => conjuncts(a) ++ conjuncts(b)

@@ -2034,7 +2034,13 @@ object Queries {
       // this query deliberately SCOPES the opt-in conf to construction:
       // the rewrite fires during the eager localCheckpoint below, and
       // the finally restores the EXACT prior state (value-faithful —
-      // Verify asserts construction leaks no spark.graft.* mutation)
+      // Verify asserts construction leaks no spark.graft.* mutation).
+      // Unlike the sjoin queries (whose adaptiveMinBytesOverride param
+      // replaced their conf window), an OPTIMIZER RULE's opt-in has no
+      // per-call seam — the rule reads session conf at plan time — so
+      // a scoped set/try/finally around the eager materialization is
+      // the narrowest possible window; concurrent planning in the same
+      // session during it would see the opt-in (harness is sequential)
       val keys = Seq("spark.graft.bloomJoin.enabled",
         "spark.graft.bloomJoin.minBuildBytes")
       val saved = keys.map(k => k -> s.conf.getOption(k))

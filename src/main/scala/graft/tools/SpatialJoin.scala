@@ -273,7 +273,7 @@ object SpatialJoin {
     *  3. `sizeInBytes` below `minBytes` → small (stats only
     *     over-count, so a below-threshold estimate is definitive);
     *  4. a bare scan (leaf plan) → big (file stats are honest there);
-    *  5. otherwise a BOUNDED row probe: count at most minRows+1 rows
+    *  5. otherwise a BOUNDED row probe: count at most minRows rows
     *     via take() on a one-column projection (incremental partition
     *     launch, early stop, driver state capped at minRows unit
     *     rows). One cheap job at construction/plan time — the planner
@@ -303,15 +303,18 @@ object SpatialJoin {
     }
   }
 
-  /** The bounded row probe (step 5 above) — one batch job. */
+  /** The bounded row probe (step 5 above) — one batch job. Small iff
+    * strictly fewer than minRows rows exist, matching the stats
+    * verdict's `rowCount < minRows` ("inputs UNDER this many rows"). */
   private[graft] def probeSmall(df: DataFrame, minRows: Long): Boolean = {
     probeRuns.incrementAndGet()
-    df.select(lit(1).as("__one")).take(minRows.toInt + 1).length <= minRows
+    df.select(lit(1).as("__one")).take(minRows.toInt).length < minRows
   }
 
-  /** The shared engage mapping: no hot cell → unsalted is optimal;
-    * contract cap exceeded → blanket; else hot-only. */
-  private def mapDetected(salt: Int, detected: Option[Seq[(Long, Long)]])
+  /** The shared engage mapping (API paths AND the planner — one copy,
+    * so the semantics cannot drift): no hot cell → unsalted is
+    * optimal; contract cap exceeded → blanket; else hot-only. */
+  private[graft] def mapDetected(salt: Int, detected: Option[Seq[(Long, Long)]])
       : (Int, Option[Seq[(Long, Long)]]) = detected match {
     case None => (1, None)
     case Some(cells) if cells.isEmpty => (salt, None)

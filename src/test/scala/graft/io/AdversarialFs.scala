@@ -35,6 +35,53 @@ class AdversarialFs extends RawLocalFileSystem {
     else if (stage == 2) false
     else super.exists(p)
   }
+  private def maybeWrap(f: HadoopPath,
+                        out: org.apache.hadoop.fs.FSDataOutputStream)
+      : org.apache.hadoop.fs.FSDataOutputStream = {
+    val fw = AdversarialFs.failWriteOnce.remove(f.getName)
+    val fc = AdversarialFs.failCloseOnce.remove(f.getName)
+    if (!fw && !fc) out
+    else new org.apache.hadoop.fs.FSDataOutputStream(
+      new java.io.FilterOutputStream(out) {
+        override def write(b: Array[Byte], off: Int, len: Int): Unit =
+          if (fw) throw new java.io.IOException(s"injected write fault: $f")
+          else out.write(b, off, len)
+        override def write(b: Int): Unit =
+          if (fw) throw new java.io.IOException(s"injected write fault: $f")
+          else out.write(b)
+        override def close(): Unit = {
+          out.close()
+          if (fc) throw new java.io.IOException(s"injected close fault: $f")
+        }
+      }, null)
+  }
+  // the createFile() builder funnels through different create
+  // overloads depending on Hadoop version/flags — wrap both funnels
+  override def create(f: HadoopPath,
+                      permission: org.apache.hadoop.fs.permission.FsPermission,
+                      overwrite: Boolean, bufferSize: Int, replication: Short,
+                      blockSize: Long,
+                      progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream =
+    maybeWrap(f, super.create(f, permission, overwrite, bufferSize,
+      replication, blockSize, progress))
+  override def create(f: HadoopPath,
+                      permission: org.apache.hadoop.fs.permission.FsPermission,
+                      flags: java.util.EnumSet[org.apache.hadoop.fs.CreateFlag],
+                      bufferSize: Int, replication: Short, blockSize: Long,
+                      progress: org.apache.hadoop.util.Progressable,
+                      checksumOpt: org.apache.hadoop.fs.Options.ChecksumOpt)
+      : org.apache.hadoop.fs.FSDataOutputStream =
+    maybeWrap(f, super.create(f, permission, flags, bufferSize, replication,
+      blockSize, progress, checksumOpt))
+  override def createNonRecursive(f: HadoopPath,
+                      permission: org.apache.hadoop.fs.permission.FsPermission,
+                      flags: java.util.EnumSet[org.apache.hadoop.fs.CreateFlag],
+                      bufferSize: Int, replication: Short, blockSize: Long,
+                      progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream =
+    maybeWrap(f, super.createNonRecursive(f, permission, flags, bufferSize,
+      replication, blockSize, progress))
 }
 
 object AdversarialFs {
@@ -52,6 +99,17 @@ object AdversarialFs {
     String, java.util.concurrent.atomic.AtomicInteger]()
   def injectProbeFault(name: String): Unit =
     probeFaults.put(name, new java.util.concurrent.atomic.AtomicInteger(0))
+
+  /** create()-stream fault injection per NAME, one-shot: the CREATE
+    * itself succeeds (the file is immediately visible — the
+    * create-visible HDFS shape), then the first write throws
+    * (`failWriteOnce` — on-disk stays an empty partial) or the close
+    * throws after writing through (`failCloseOnce` — on-disk holds
+    * the full payload, the lost-ack shape). */
+  val failWriteOnce: java.util.Set[String] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  val failCloseOnce: java.util.Set[String] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** A store-atomic conditional put over the advfs backing disk: the
     * kernel's O_CREAT|O_EXCL arbitration stands in for the store's

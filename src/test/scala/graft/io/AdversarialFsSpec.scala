@@ -198,6 +198,44 @@ class AdversarialFsSpec extends AnyFunSuite {
     }
   }
 
+  test("shipped adapter post-build failures: a failed OWN write is LOUD with the partial cleaned up; a lost ack after a full write reads as success — never a fake lost race") {
+    // the review finding this pins: mapping any post-build IOException
+    // to 'exists => lost race' would let OUR OWN failed write read as
+    // a competitor's commit — the caller would walk away and the
+    // empty partial would wedge the ordinal for every future reader.
+    val dir = java.nio.file.Files.createTempDirectory("advfs-postbuild").toFile
+    try {
+      val adapter = new LogFsAdapters.AtomicCreateConditionalPut()
+      val conf = spark.sessionState.newHadoopConf()
+      val base = s"advfs:${dir.getAbsolutePath}"
+      val fs = new HadoopPath(s"$base/x").getFileSystem(conf)
+      // 1. write fails after the create won: LOUD + no wedged partial
+      val t1 = new HadoopPath(s"$base/_gen-9.json")
+      AdversarialFs.failWriteOnce.add("_gen-9.json")
+      val e = intercept[java.io.IOException](
+        adapter.putIfAbsent(fs, t1, "PAYLOAD".getBytes("UTF-8")))
+      assert(e.getMessage.contains("injected write fault"),
+        s"wrong failure surfaced: ${e.getMessage}")
+      assert(!fs.exists(t1),
+        "the empty partial create was not cleaned up — the ordinal is wedged")
+      // ...and the retry lands cleanly on the freed name
+      assert(adapter.putIfAbsent(fs, t1, "PAYLOAD".getBytes("UTF-8")))
+      // 2. close fails AFTER the payload fully wrote (lost ack): the
+      // read-back discriminator recognizes our own bytes => success
+      val t2 = new HadoopPath(s"$base/_gen-10.json")
+      AdversarialFs.failCloseOnce.add("_gen-10.json")
+      assert(adapter.putIfAbsent(fs, t2, "PAYLOAD2".getBytes("UTF-8")),
+        "a lost ack on a fully-committed put must read as success")
+      val in = fs.open(t2)
+      val buf = new Array[Byte](8); in.readFully(buf); in.close()
+      assert(new String(buf, "UTF-8") == "PAYLOAD2")
+    } finally {
+      AdversarialFs.failWriteOnce.clear()
+      AdversarialFs.failCloseOnce.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    }
+  }
+
   test("flaky taken-probe on the RENAME-fallback path: a spurious second 'absent' reads as TAKEN — the committed artifact survives, never a clobber") {
     // the r16-ADVICE residual: probe1 throws, probe2 spuriously says
     // absent, and the store's publish is a bare replace-on-rename (no

@@ -1141,6 +1141,25 @@ class SpatialJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("small-input gate boundary: exactly minRows rows is NOT small on BOTH verdict paths (probe and stats agree)") {
+    // "inputs UNDER this many rows skip detection" — the probe and the
+    // stats verdict must agree at the boundary or the gate's answer
+    // would depend on whether CBO stats happen to be present
+    val df100 = spark.range(100).toDF("v")
+    val df99 = spark.range(99).toDF("v")
+    assert(!SpatialJoin.probeSmall(df100, 100), "probe: exactly minRows must be big")
+    assert(SpatialJoin.probeSmall(df99, 100), "probe: minRows-1 must be small")
+    // a BARE Range is a leaf with a known rowCount (a Project on top
+    // would hide it behind the size-only stats visitor), so the
+    // rowCount verdict decides here
+    assert(SpatialJoin.smallPlanVerdict(
+      spark.range(100).queryExecution.optimizedPlan, 1L, 100).contains(false),
+      "stats: exactly minRows must be big")
+    assert(SpatialJoin.smallPlanVerdict(
+      spark.range(99).queryExecution.optimizedPlan, 1L, 100).contains(true),
+      "stats: minRows-1 must be small")
+  }
+
   test("planner honest gate: the probe runs ONCE per derived point side (cached), detection skipped while small") {
     val base = outerPts(77)
     val keys = (0 until 500).map(i => Tuple1(i.toLong)).toDF("pid")
