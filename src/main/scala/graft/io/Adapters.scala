@@ -90,8 +90,12 @@ object LogFsAdapters {
           // build-time refusal: connectors differ in how they surface
           // the conditional-create rejection; a visible target after a
           // failed CREATE is the lost race, anything else is a broken
-          // store and must be loud
-          if (fs.exists(p)) false else throw e
+          // store and must be loud. Same probe-failure hygiene as the
+          // post-build branch: a transient exists() fault suppresses
+          // into the original error and reads as visible — mapping a
+          // plausible lost race to `false` instead of crashing the
+          // commit and discarding the refusal cause.
+          if (targetVisible(fs, p, e)) false else throw e
         case e: java.io.IOException =>
           // post-build failure: read the target back and discriminate
           // (see the class doc). verdict: Some(result) to return;

@@ -226,6 +226,12 @@ class AdversarialFsSpec extends AnyFunSuite {
       AdversarialFs.failCloseOnce.add("_gen-10.json")
       assert(adapter.putIfAbsent(fs, t2, "PAYLOAD2".getBytes("UTF-8")),
         "a lost ack on a fully-committed put must read as success")
+      // engagement pin: unlike the write-fault arm (self-proving via
+      // intercept), a success here would be vacuous if the builder
+      // routed around the wrapped create funnels and the fault never
+      // fired — assert it was consumed
+      assert(!AdversarialFs.failCloseOnce.contains("_gen-10.json"),
+        "the close fault never fired — the create funnel wrap is stale")
       val in = fs.open(t2)
       val buf = new Array[Byte](8); in.readFully(buf); in.close()
       assert(new String(buf, "UTF-8") == "PAYLOAD2")
