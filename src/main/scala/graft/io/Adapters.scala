@@ -134,13 +134,15 @@ object LogFsAdapters {
       }
     }
 
-    /** exists(p), with a probe failure suppressed INTO the original
-      * error and reported as "present" (the conservative direction:
-      * the caller proceeds to the read-back, which rethrows loudly if
-      * the store is genuinely broken). Returns true iff p is visible. */
+    /** The shared lost-race-vs-broken-store probe
+      * ([[LogFs.probeVisible]]): retries once on a transient fault; a
+      * REPEATING fault propagates the ORIGINAL error with the probe
+      * fault suppressed — both call sites (build-time refusal,
+      * post-build read-back gate) surface the real cause on the first
+      * attempt instead of burning the caller's retry budget on fake
+      * contention. Returns true iff p is visible. */
     private def targetVisible(fs: FileSystem, p: HadoopPath,
                               e: java.io.IOException): Boolean =
-      try fs.exists(p)
-      catch { case pe: java.io.IOException => e.addSuppressed(pe); true }
+      LogFs.probeVisible(fs, p, e)
   }
 }

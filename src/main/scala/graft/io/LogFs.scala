@@ -142,6 +142,27 @@ object LogFs {
   private[graft] def publishArbitrates(fs: FileSystem): Boolean =
     !disableAtomicLink && (adapterFor(fs).nonEmpty || isLocal(fs))
 
+  /** The lost-race-vs-broken-store discriminator shared by every
+    * create/publish refusal handler (exclusiveCreate's two default
+    * branches and both branches of the shipped adapter): after an
+    * ambiguous IOException `orig` from a create-like operation, probe
+    * the target — visible = lost race. The probe itself retries once
+    * on a transient fault; a REPEATING fault is a broken store and
+    * propagates the ORIGINAL error with the probe fault attached as
+    * suppressed — loud on the first attempt with the real cause,
+    * never a guessed verdict that burns the caller's retry budget on
+    * fake contention. */
+  private[io] def probeVisible(fs: FileSystem, p: HadoopPath,
+                               orig: java.io.IOException): Boolean =
+    try fs.exists(p)
+    catch {
+      case _: java.io.IOException =>
+        try fs.exists(p)
+        catch {
+          case pe: java.io.IOException => orig.addSuppressed(pe); throw orig
+        }
+    }
+
   /** P1: atomically create `p` holding `bytes`; false when it already
     * exists (or a racer won). IOExceptions with the file absent
     * propagate — a broken filesystem must be loud, not a lost claim. */
@@ -177,7 +198,7 @@ object LogFs {
         true
       } catch {
         case _: FileAlreadyExistsException => false
-        case e: java.io.IOException => if (fs.exists(p)) false else throw e
+        case e: java.io.IOException => if (probeVisible(fs, p, e)) false else throw e
       }
     } else {
       try {
@@ -187,7 +208,7 @@ object LogFs {
         true
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case e: java.io.IOException => if (fs.exists(p)) false else throw e
+        case e: java.io.IOException => if (probeVisible(fs, p, e)) false else throw e
       }
     }
 
