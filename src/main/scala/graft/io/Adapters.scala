@@ -90,19 +90,25 @@ object LogFsAdapters {
           // build-time refusal: connectors differ in how they surface
           // the conditional-create rejection; a visible target after a
           // failed CREATE is the lost race, anything else is a broken
-          // store and must be loud. Same probe-failure hygiene as the
-          // post-build branch: a transient exists() fault suppresses
-          // into the original error and reads as visible — mapping a
-          // plausible lost race to `false` instead of crashing the
-          // commit and discarding the refusal cause.
-          if (targetVisible(fs, p, e)) false else throw e
+          // store and must be loud. The probe is the shared
+          // [[LogFs.probeVisible]] discriminator: retry once on a
+          // transient fault and trust the second verdict; a REPEATING
+          // fault throws the ORIGINAL refusal with both probe faults
+          // suppressed (loud with the real cause — the deliberate
+          // trade is that a flaky probe can crash a healthy lost race
+          // rather than ever mislabel a broken store as contention).
+          if (LogFs.probeVisible(fs, p, e)) false else throw e
         case e: java.io.IOException =>
           // post-build failure: read the target back and discriminate
           // (see the class doc). verdict: Some(result) to return;
           // None = our strict-prefix partial → delete it, stay loud.
-          // An absent target and read-back failures both rethrow the
-          // ORIGINAL error — loud, never a guessed verdict.
-          if (!targetVisible(fs, p, e)) throw e // nothing committed; retryable
+          // Deliberately NO exists() pre-gate: a spurious "absent"
+          // verdict there would skip the load-bearing partial cleanup
+          // below (wedging the ordinal); instead the status call
+          // itself discriminates — an absent target surfaces as
+          // FileNotFound, which (like every read-back failure)
+          // suppresses into the ORIGINAL error and rethrows it: loud,
+          // retryable, never a guessed verdict.
           val verdict: Option[Boolean] =
             try {
               val len = fs.getFileStatus(p).getLen
@@ -134,15 +140,5 @@ object LogFsAdapters {
       }
     }
 
-    /** The shared lost-race-vs-broken-store probe
-      * ([[LogFs.probeVisible]]): retries once on a transient fault; a
-      * REPEATING fault propagates the ORIGINAL error with the probe
-      * fault suppressed — both call sites (build-time refusal,
-      * post-build read-back gate) surface the real cause on the first
-      * attempt instead of burning the caller's retry budget on fake
-      * contention. Returns true iff p is visible. */
-    private def targetVisible(fs: FileSystem, p: HadoopPath,
-                              e: java.io.IOException): Boolean =
-      LogFs.probeVisible(fs, p, e)
   }
 }

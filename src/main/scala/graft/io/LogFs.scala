@@ -144,22 +144,30 @@ object LogFs {
 
   /** The lost-race-vs-broken-store discriminator shared by every
     * create/publish refusal handler (exclusiveCreate's two default
-    * branches and both branches of the shipped adapter): after an
+    * branches and the shipped adapter's build-time branch): after an
     * ambiguous IOException `orig` from a create-like operation, probe
     * the target — visible = lost race. The probe itself retries once
-    * on a transient fault; a REPEATING fault is a broken store and
-    * propagates the ORIGINAL error with the probe fault attached as
-    * suppressed — loud on the first attempt with the real cause,
-    * never a guessed verdict that burns the caller's retry budget on
-    * fake contention. */
+    * on a transient fault and TRUSTS the retry's verdict; a REPEATING
+    * fault is a broken store and propagates the ORIGINAL error with
+    * BOTH probe faults attached as suppressed — loud on the first
+    * attempt with the real cause, never a guessed verdict that burns
+    * the caller's retry budget on fake contention. Deliberate trade:
+    * a flaky probe whose retry spuriously reads "absent" crashes a
+    * healthy lost race LOUDLY (the caller's commit fails with the
+    * refusal cause) — acceptable, because the alternative (assume
+    * visible) would mislabel every broken store as contention. Do NOT
+    * use this where an "absent" verdict skips load-bearing cleanup —
+    * the adapter's post-build read-back deliberately probes by
+    * reading the target instead. */
   private[io] def probeVisible(fs: FileSystem, p: HadoopPath,
                                orig: java.io.IOException): Boolean =
     try fs.exists(p)
     catch {
-      case _: java.io.IOException =>
+      case pe1: java.io.IOException =>
         try fs.exists(p)
         catch {
-          case pe: java.io.IOException => orig.addSuppressed(pe); throw orig
+          case pe2: java.io.IOException =>
+            orig.addSuppressed(pe1); orig.addSuppressed(pe2); throw orig
         }
     }
 

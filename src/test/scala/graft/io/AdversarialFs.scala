@@ -28,6 +28,8 @@ class AdversarialFs extends RawLocalFileSystem {
       AdversarialFs.hideFromListings.contains(st.getPath.getName))
   }
   override def exists(p: HadoopPath): Boolean = {
+    if (AdversarialFs.probeFaultsAlways.contains(p.getName))
+      throw new java.io.IOException(s"injected persistent probe fault: $p")
     val stage = Option(AdversarialFs.probeFaults.get(p.getName))
       .map(_.incrementAndGet()).getOrElse(3)
     if (stage == 1)
@@ -99,6 +101,11 @@ object AdversarialFs {
     String, java.util.concurrent.atomic.AtomicInteger]()
   def injectProbeFault(name: String): Unit =
     probeFaults.put(name, new java.util.concurrent.atomic.AtomicInteger(0))
+
+  /** exists() throws on EVERY probe of these names — the broken-store
+    * shape (vs the one-shot transient above). */
+  val probeFaultsAlways: java.util.Set[String] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** create()-stream fault injection per NAME, one-shot: the CREATE
     * itself succeeds (the file is immediately visible — the

@@ -198,6 +198,42 @@ class AdversarialFsSpec extends AnyFunSuite {
     }
   }
 
+  test("probeVisible semantics: a transient probe fault uses the retry verdict; a persistent one throws the ORIGINAL error with both faults suppressed") {
+    val dir = java.nio.file.Files.createTempDirectory("advfs-probe").toFile
+    try {
+      val conf = spark.sessionState.newHadoopConf()
+      val base = s"advfs:${dir.getAbsolutePath}"
+      val fs = new HadoopPath(s"$base/x").getFileSystem(conf)
+      // transient: probe 1 throws, probe 2's (spurious-absent) verdict
+      // is TRUSTED — the documented trade: a healthy lost race can
+      // crash loudly, a broken store is never mislabeled contention
+      val p1 = new HadoopPath(s"$base/_pv-1")
+      val out = fs.create(p1, false); out.write("X".getBytes); out.close()
+      AdversarialFs.injectProbeFault("_pv-1")
+      val orig1 = new java.io.IOException("original refusal")
+      assert(!LogFs.probeVisible(fs, p1, orig1),
+        "the retry's verdict was not trusted")
+      assert(LogFs.probeVisible(fs, p1, orig1),
+        "post-fault probes must tell the truth again")
+      // persistent: the ORIGINAL error propagates, both probe faults
+      // attached — never a cause-less fake-contention loop
+      val p2 = new HadoopPath(s"$base/_pv-2")
+      AdversarialFs.probeFaultsAlways.add("_pv-2")
+      val orig2 = new java.io.IOException("original refusal 2")
+      val thrown = intercept[java.io.IOException](
+        LogFs.probeVisible(fs, p2, orig2))
+      assert(thrown eq orig2, s"wrong error surfaced: $thrown")
+      assert(thrown.getSuppressed.length == 2 &&
+        thrown.getSuppressed.forall(
+          _.getMessage.contains("injected persistent probe fault")),
+        "both probe faults must ride the original error as suppressed")
+    } finally {
+      AdversarialFs.probeFaults.clear()
+      AdversarialFs.probeFaultsAlways.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    }
+  }
+
   test("shipped adapter post-build failures: a failed OWN write is LOUD with the partial cleaned up; a lost ack after a full write reads as success — never a fake lost race") {
     // the review finding this pins: mapping any post-build IOException
     // to 'exists => lost race' would let OUR OWN failed write read as
