@@ -104,28 +104,39 @@ object LogFsAdapters {
           // None = our strict-prefix partial → delete it, stay loud.
           // Deliberately NO exists() pre-gate: a spurious "absent"
           // verdict there would skip the load-bearing partial cleanup
-          // below (wedging the ordinal); instead the status call
-          // itself discriminates — an absent target surfaces as
-          // FileNotFound, which (like every read-back failure)
-          // suppresses into the ORIGINAL error and rethrows it: loud,
-          // retryable, never a guessed verdict.
+          // below (wedging the ordinal); the status call itself
+          // discriminates instead — an absent target surfaces as
+          // FileNotFound.
+          def readBack(): Option[Boolean] = {
+            val len = fs.getFileStatus(p).getLen
+            if (len > bytes.length) Some(false) // longer: competitor's
+            else {
+              val b = new Array[Byte](len.toInt)
+              val in = fs.open(p)
+              try in.readFully(b) finally in.close()
+              if (!java.util.Arrays.equals(b,
+                  java.util.Arrays.copyOfRange(bytes, 0, b.length)))
+                Some(false) // different content: competitor's
+              else if (len == bytes.length)
+                Some(true) // byte-equal: our put committed, ack lost
+              else None // our strict-prefix partial create
+            }
+          }
+          // retried ONCE: a one-shot transient fault (or spurious
+          // FileNotFound) must not skip the load-bearing cleanup; a
+          // repeating failure — including a genuinely absent target,
+          // which reads FileNotFound both times — suppresses both
+          // faults into the ORIGINAL error and rethrows it: loud,
+          // retryable, never a guessed verdict
           val verdict: Option[Boolean] =
-            try {
-              val len = fs.getFileStatus(p).getLen
-              if (len > bytes.length) Some(false) // longer: competitor's
-              else {
-                val b = new Array[Byte](len.toInt)
-                val in = fs.open(p)
-                try in.readFully(b) finally in.close()
-                if (!java.util.Arrays.equals(b,
-                    java.util.Arrays.copyOfRange(bytes, 0, b.length)))
-                  Some(false) // different content: competitor's
-                else if (len == bytes.length)
-                  Some(true) // byte-equal: our put committed, ack lost
-                else None // our strict-prefix partial create
-              }
-            } catch {
-              case rb: java.io.IOException => e.addSuppressed(rb); throw e
+            try readBack()
+            catch {
+              case rb1: java.io.IOException =>
+                try readBack()
+                catch {
+                  case rb2: java.io.IOException =>
+                    e.addSuppressed(rb1); e.addSuppressed(rb2); throw e
+                }
             }
           verdict match {
             case Some(v) => v

@@ -206,17 +206,36 @@ object LogFs {
         true
       } catch {
         case _: FileAlreadyExistsException => false
+        // a generic IOException from the one-shot Files.write cannot
+        // distinguish refused-create from won-create-then-failed-write
+        // (whose partial the probe would read as "taken"); the
+        // misclassification only costs a TRANSIENT stall here — this
+        // primitive serves the marker CAS alone, and the caller's
+        // 2-second stale-marker sweep deletes a marker that never
+        // advances, so a stray partial self-heals
         case e: java.io.IOException => if (probeVisible(fs, p, e)) false else throw e
       }
     } else {
+      var won = false
       try {
         val out = fs.create(p, false)
+        won = true
         try out.write(bytes)
         finally out.close()
         true
       } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case e: java.io.IOException => if (probeVisible(fs, p, e)) false else throw e
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException if !won => false
+        case e: java.io.IOException if !won =>
+          if (probeVisible(fs, p, e)) false else throw e
+        case e: java.io.IOException =>
+          // the create WON, so the failure is OUR write — probing here
+          // would read our own partial as a competitor's claim and
+          // stall the marker until the stale sweep; instead clean the
+          // partial (ours by arbitration in the sanctioned
+          // create-atomic / single-writer modes) and stay loud
+          try fs.delete(p, false)
+          catch { case de: java.io.IOException => e.addSuppressed(de) }
+          throw e
       }
     }
 

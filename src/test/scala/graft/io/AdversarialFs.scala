@@ -42,7 +42,8 @@ class AdversarialFs extends RawLocalFileSystem {
       : org.apache.hadoop.fs.FSDataOutputStream = {
     val fw = AdversarialFs.failWriteOnce.remove(f.getName)
     val fc = AdversarialFs.failCloseOnce.remove(f.getName)
-    if (!fw && !fc) out
+    val fl = AdversarialFs.failCloseLoseOnce.remove(f.getName)
+    if (!fw && !fc && !fl) out
     else new org.apache.hadoop.fs.FSDataOutputStream(
       new java.io.FilterOutputStream(out) {
         override def write(b: Array[Byte], off: Int, len: Int): Unit =
@@ -53,6 +54,13 @@ class AdversarialFs extends RawLocalFileSystem {
           else out.write(b)
         override def close(): Unit = {
           out.close()
+          if (fl) {
+            // the object-store lost-put shape: the PUT at close fails
+            // server-side, so NOTHING lands at the name
+            java.nio.file.Files.deleteIfExists(
+              java.nio.file.Paths.get(f.toUri.getPath))
+            throw new java.io.IOException(s"injected lost put: $f")
+          }
           if (fc) throw new java.io.IOException(s"injected close fault: $f")
         }
       }, null)
@@ -116,6 +124,10 @@ object AdversarialFs {
   val failWriteOnce: java.util.Set[String] =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   val failCloseOnce: java.util.Set[String] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** close() throws AND nothing lands at the name (the object-store
+    * failed-conditional-PUT shape). */
+  val failCloseLoseOnce: java.util.Set[String] =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** A store-atomic conditional put over the advfs backing disk: the

@@ -44,6 +44,10 @@ class AdversarialFsSpec extends AnyFunSuite {
       LogFs.unregisterConditionalPut("advfs")
       AdversarialFs.hideFromListings.clear()
       AdversarialFs.probeFaults.clear()
+      AdversarialFs.probeFaultsAlways.clear()
+      AdversarialFs.failWriteOnce.clear()
+      AdversarialFs.failCloseOnce.clear()
+      AdversarialFs.failCloseLoseOnce.clear()
       org.apache.commons.io.FileUtils.deleteQuietly(dir)
     }
   }
@@ -268,6 +272,20 @@ class AdversarialFsSpec extends AnyFunSuite {
       // fired — assert it was consumed
       assert(!AdversarialFs.failCloseOnce.contains("_gen-10.json"),
         "the close fault never fired — the create funnel wrap is stale")
+      // 3. the PUT itself is lost at close (object-store shape: close
+      // throws and NOTHING lands): the read-back finds no target —
+      // the ORIGINAL close fault rethrows (loud, retryable, never the
+      // tempting 'absent = lost race' guess) and the retry lands
+      val t3 = new HadoopPath(s"$base/_gen-11.json")
+      AdversarialFs.failCloseLoseOnce.add("_gen-11.json")
+      val e3 = intercept[java.io.IOException](
+        adapter.putIfAbsent(fs, t3, "PAYLOAD3".getBytes("UTF-8")))
+      assert(e3.getMessage.contains("injected lost put"),
+        s"wrong failure surfaced: ${e3.getMessage}")
+      assert(e3.getSuppressed.length == 2,
+        "both read-back FileNotFounds must ride the original error")
+      assert(!fs.exists(t3))
+      assert(adapter.putIfAbsent(fs, t3, "PAYLOAD3".getBytes("UTF-8")))
       val in = fs.open(t2)
       val buf = new Array[Byte](8); in.readFully(buf); in.close()
       assert(new String(buf, "UTF-8") == "PAYLOAD2")
