@@ -122,22 +122,14 @@ object LogFsAdapters {
               else None // our strict-prefix partial create
             }
           }
-          // retried ONCE: a one-shot transient fault (or spurious
-          // FileNotFound) must not skip the load-bearing cleanup; a
-          // repeating failure — including a genuinely absent target,
-          // which reads FileNotFound both times — suppresses both
-          // faults into the ORIGINAL error and rethrows it: loud,
-          // retryable, never a guessed verdict
-          val verdict: Option[Boolean] =
-            try readBack()
-            catch {
-              case rb1: java.io.IOException =>
-                try readBack()
-                catch {
-                  case rb2: java.io.IOException =>
-                    e.addSuppressed(rb1); e.addSuppressed(rb2); throw e
-                }
-            }
+          // retried ONCE (the shared [[LogFs.retryOnce]] shape): a
+          // one-shot transient fault (or spurious FileNotFound) must
+          // not skip the load-bearing cleanup; a repeating failure —
+          // including a genuinely absent target, which reads
+          // FileNotFound both times — suppresses both faults into the
+          // ORIGINAL error and rethrows it: loud, retryable, never a
+          // guessed verdict
+          val verdict: Option[Boolean] = LogFs.retryOnce(e)(readBack())
           verdict match {
             case Some(v) => v
             case None =>

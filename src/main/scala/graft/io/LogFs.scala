@@ -161,13 +161,21 @@ object LogFs {
     * reading the target instead. */
   private[io] def probeVisible(fs: FileSystem, p: HadoopPath,
                                orig: java.io.IOException): Boolean =
-    try fs.exists(p)
+    retryOnce(orig)(fs.exists(p))
+
+  /** Shared retry-once shape for post-failure probes/read-backs: run
+    * `body`, retry it once on an IOException (trusting the retry's
+    * result), and on a REPEATING failure propagate the ORIGINAL error
+    * with both faults attached as suppressed — loud with the real
+    * cause, never a guessed verdict. */
+  private[io] def retryOnce[T](orig: java.io.IOException)(body: => T): T =
+    try body
     catch {
-      case pe1: java.io.IOException =>
-        try fs.exists(p)
+      case e1: java.io.IOException =>
+        try body
         catch {
-          case pe2: java.io.IOException =>
-            orig.addSuppressed(pe1); orig.addSuppressed(pe2); throw orig
+          case e2: java.io.IOException =>
+            orig.addSuppressed(e1); orig.addSuppressed(e2); throw orig
         }
     }
 
@@ -220,24 +228,72 @@ object LogFs {
       try {
         val out = fs.create(p, false)
         won = true
+        // a write fault must not be masked by the follow-up close's
+        // failure — the root cause rides the thrown error, the close
+        // fault attaches as suppressed
         try out.write(bytes)
-        finally out.close()
+        catch {
+          case we: Throwable =>
+            try out.close()
+            catch { case ce: Throwable => we.addSuppressed(ce) }
+            throw we
+        }
+        out.close()
         true
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException if !won => false
         case e: java.io.IOException if !won =>
           if (probeVisible(fs, p, e)) false else throw e
         case e: java.io.IOException =>
-          // the create WON, so the failure is OUR write — probing here
-          // would read our own partial as a competitor's claim and
-          // stall the marker until the stale sweep; instead clean the
-          // partial (ours by arbitration in the sanctioned
-          // create-atomic / single-writer modes) and stay loud
-          try fs.delete(p, false)
-          catch { case de: java.io.IOException => e.addSuppressed(de) }
-          throw e
+          // the create "won" but the write/close failed. Ownership is
+          // NOT implied on a check-then-act store (both creates can
+          // win; the visible file may be a COMPETITOR's committed
+          // claim), so discriminate by content read-back exactly like
+          // the adapter: byte-equal = our claim actually committed
+          // (true); empty/strict prefix = our partial — delete it
+          // (self-heal: the caller's retry loop re-claims the freed
+          // name) and warn with the cause so a persistent fault never
+          // reads as cause-less contention; anything else = a
+          // competitor's claim — lost race, NEVER deleted
+          ownClaimVerdict(fs, p, bytes, e)
       }
     }
+
+  /** The won-create-then-failed-write discriminator of
+    * [[exclusiveCreateDefault]]'s generic branch (see the call site).
+    * Read-back failures attach to the original error and rethrow it —
+    * loud, never a guessed verdict. */
+  private def ownClaimVerdict(fs: FileSystem, p: HadoopPath,
+                              bytes: Array[Byte],
+                              e: java.io.IOException): Boolean = {
+    val verdict: Option[Boolean] = retryOnce(e) {
+      if (!fs.exists(p)) Some(false) // nothing landed: name free, retry
+      else {
+      val len = fs.getFileStatus(p).getLen
+      if (len > bytes.length) Some(false) // longer: competitor's
+      else {
+        val b = new Array[Byte](len.toInt)
+        val in = fs.open(p)
+        try in.readFully(b) finally in.close()
+        if (!java.util.Arrays.equals(b,
+            java.util.Arrays.copyOfRange(bytes, 0, b.length)))
+          Some(false) // different content: competitor's
+        else if (len == bytes.length) Some(true) // ours, committed
+        else None // our strict-prefix partial
+      }
+      }
+    }
+    verdict match {
+      case Some(v) => v
+      case None =>
+        try fs.delete(p, false)
+        catch { case de: java.io.IOException => e.addSuppressed(de) }
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"marker write at $p failed after winning the create; the " +
+            "partial was cleaned and the claim will retry", e)
+        false
+    }
+  }
 
   /** P3: atomically publish the fully-written `tmp` at `dst` without
     * ever replacing an existing `dst`. Some(true) = published (tmp

@@ -65,8 +65,16 @@ class AdversarialFs extends RawLocalFileSystem {
         }
       }, null)
   }
-  // the createFile() builder funnels through different create
-  // overloads depending on Hadoop version/flags — wrap both funnels
+  // the createFile() builder and the plain create(p, overwrite)
+  // convenience funnel through different overloads depending on
+  // Hadoop version/flags — wrap every funnel RawLocalFileSystem
+  // implements directly
+  override def create(f: HadoopPath, overwrite: Boolean, bufferSize: Int,
+                      replication: Short, blockSize: Long,
+                      progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream =
+    maybeWrap(f, super.create(f, overwrite, bufferSize, replication,
+      blockSize, progress))
   override def create(f: HadoopPath,
                       permission: org.apache.hadoop.fs.permission.FsPermission,
                       overwrite: Boolean, bufferSize: Int, replication: Short,

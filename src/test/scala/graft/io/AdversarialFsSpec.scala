@@ -202,6 +202,27 @@ class AdversarialFsSpec extends AnyFunSuite {
     }
   }
 
+  test("marker CAS: a failed OWN marker write self-heals — partial deleted, claim retried in-loop, commit lands (no adapter)") {
+    // the won-create-then-failed-write shape in exclusiveCreateDefault's
+    // generic branch: the old code probed its own empty partial as a
+    // competitor's claim (stall until the stale sweep); the new
+    // discriminator recognizes the strict-prefix partial as OURS,
+    // deletes it, and lets the caller's retry loop re-claim the name —
+    // the append must succeed within its normal budget
+    withAdvLake { path =>
+      import spark.implicits._
+      val conf = spark.sessionState.newHadoopConf()
+      AdversarialFs.failWriteOnce.add(".gencommit-2")
+      GeoParquet.appendNumericWithSidecar(
+        Seq((10L, 5, 5)).toDF("id", "a", "b").coalesce(1),
+        path, Seq("a", "b"))
+      assert(!AdversarialFs.failWriteOnce.contains(".gencommit-2"),
+        "the marker write fault never fired — injection routed around")
+      assert(GeoParquet.readGenState(path, conf).exists(_.commit == 2),
+        "the append did not land after the self-healed marker claim")
+    }
+  }
+
   test("probeVisible semantics: a transient probe fault uses the retry verdict; a persistent one throws the ORIGINAL error with both faults suppressed") {
     val dir = java.nio.file.Files.createTempDirectory("advfs-probe").toFile
     try {
@@ -292,6 +313,7 @@ class AdversarialFsSpec extends AnyFunSuite {
     } finally {
       AdversarialFs.failWriteOnce.clear()
       AdversarialFs.failCloseOnce.clear()
+      AdversarialFs.failCloseLoseOnce.clear()
       org.apache.commons.io.FileUtils.deleteQuietly(dir)
     }
   }
