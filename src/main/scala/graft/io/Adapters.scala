@@ -107,21 +107,10 @@ object LogFsAdapters {
           // below (wedging the ordinal); the status call itself
           // discriminates instead — an absent target surfaces as
           // FileNotFound.
-          def readBack(): Option[Boolean] = {
-            val len = fs.getFileStatus(p).getLen
-            if (len > bytes.length) Some(false) // longer: competitor's
-            else {
-              val b = new Array[Byte](len.toInt)
-              val in = fs.open(p)
-              try in.readFully(b) finally in.close()
-              if (!java.util.Arrays.equals(b,
-                  java.util.Arrays.copyOfRange(bytes, 0, b.length)))
-                Some(false) // different content: competitor's
-              else if (len == bytes.length)
-                Some(true) // byte-equal: our put committed, ack lost
-              else None // our strict-prefix partial create
-            }
-          }
+          // Some(false) = competitor's, Some(true) = ours committed
+          // (ack lost), None = our strict-prefix partial; throws
+          // FileNotFound when absent — the shared [[LogFs.contentVerdict]]
+          def readBack(): Option[Boolean] = LogFs.contentVerdict(fs, p, bytes)
           // retried ONCE (the shared [[LogFs.retryOnce]] shape): a
           // one-shot transient fault (or spurious FileNotFound) must
           // not skip the load-bearing cleanup; a repeating failure —

@@ -180,8 +180,14 @@ object LogFs {
     }
 
   /** P1: atomically create `p` holding `bytes`; false when it already
-    * exists (or a racer won). IOExceptions with the file absent
-    * propagate — a broken filesystem must be loud, not a lost claim. */
+    * exists (or a racer won). Refusal-time IOExceptions with the file
+    * absent propagate — a broken filesystem must be loud, not a lost
+    * claim. One deliberate exception on the generic-Hadoop branch: a
+    * WON create whose own write then fails maps through
+    * [[ownClaimVerdict]] — an absent/partial target there is OUR
+    * failed claim, so the first such failure self-heals to `false`
+    * (in-loop retry) and only a repeating one (or a failed cleanup)
+    * propagates, with the cause. */
   private[graft] def exclusiveCreate(fs: FileSystem, p: HadoopPath,
                                      bytes: Array[Byte]): Boolean =
     adapterFor(fs) match {
@@ -259,35 +265,69 @@ object LogFs {
       }
     }
 
+  /** The content read-back discriminator shared by [[ownClaimVerdict]]
+    * and the shipped adapter's post-build gate: compare what is AT the
+    * name with what WE tried to put there. Some(false) = a
+    * competitor's artifact (longer or different content), Some(true) =
+    * byte-equal — our put actually committed (ack lost), None = our
+    * strict-prefix partial. Throws FileNotFoundException when the name
+    * is absent — each caller maps absence per its own contract. */
+  private[io] def contentVerdict(fs: FileSystem, p: HadoopPath,
+                                 bytes: Array[Byte]): Option[Boolean] = {
+    val len = fs.getFileStatus(p).getLen
+    if (len > bytes.length) Some(false) // longer: competitor's
+    else {
+      val b = new Array[Byte](len.toInt)
+      val in = fs.open(p)
+      try in.readFully(b) finally in.close()
+      if (!java.util.Arrays.equals(b,
+          java.util.Arrays.copyOfRange(bytes, 0, b.length)))
+        Some(false) // different content: competitor's
+      else if (len == bytes.length) Some(true) // ours, committed
+      else None // our strict-prefix partial
+    }
+  }
+
+  /** Consecutive self-healed own-write failures per marker path: the
+    * SECOND consecutive one rethrows the cause instead of letting a
+    * persistent fault burn the caller's whole retry budget into a
+    * cause-less "contention" error. Entries clear on any other
+    * outcome; bounded by a wholesale guard (distinct failing paths
+    * only — never hot-path state). */
+  private val selfHeals =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
   /** The won-create-then-failed-write discriminator of
     * [[exclusiveCreateDefault]]'s generic branch (see the call site).
     * Read-back failures attach to the original error and rethrow it —
-    * loud, never a guessed verdict. */
+    * loud, never a guessed verdict. A target absent on read-back maps
+    * to false (nothing landed; the name is free for the caller's
+    * in-loop retry) — the residual of a SPURIOUS FileNotFound leaving
+    * the partial behind is a bounded stall, because the marker
+    * stale-sweep frees a claim that never advances. */
   private def ownClaimVerdict(fs: FileSystem, p: HadoopPath,
                               bytes: Array[Byte],
                               e: java.io.IOException): Boolean = {
-    val verdict: Option[Boolean] = retryOnce(e) {
-      if (!fs.exists(p)) Some(false) // nothing landed: name free, retry
-      else {
-      val len = fs.getFileStatus(p).getLen
-      if (len > bytes.length) Some(false) // longer: competitor's
-      else {
-        val b = new Array[Byte](len.toInt)
-        val in = fs.open(p)
-        try in.readFully(b) finally in.close()
-        if (!java.util.Arrays.equals(b,
-            java.util.Arrays.copyOfRange(bytes, 0, b.length)))
-          Some(false) // different content: competitor's
-        else if (len == bytes.length) Some(true) // ours, committed
-        else None // our strict-prefix partial
-      }
-      }
+    val verdict: Option[Option[Boolean]] = retryOnce(e) {
+      try Some(contentVerdict(fs, p, bytes))
+      catch { case _: java.io.FileNotFoundException => None } // absent
     }
     verdict match {
-      case Some(v) => v
-      case None =>
-        try fs.delete(p, false)
-        catch { case de: java.io.IOException => e.addSuppressed(de) }
+      case None => selfHeals.remove(p.toString); false // name free: retry
+      case Some(Some(v)) => selfHeals.remove(p.toString); v
+      case Some(None) =>
+        val cleaned =
+          try fs.delete(p, false)
+          catch { case de: java.io.IOException => e.addSuppressed(de); false }
+        if (selfHeals.size > 1024) selfHeals.clear()
+        val heals = selfHeals.merge(p.toString, 1, (a, b) => a + b)
+        if (!cleaned || heals >= 2) {
+          // a cleanup that failed, or a SECOND consecutive self-heal
+          // of the same claim (persistent fault): loud with the real
+          // cause now, not fake contention 22 attempts later
+          selfHeals.remove(p.toString)
+          throw e
+        }
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"marker write at $p failed after winning the create; the " +
             "partial was cleaned and the claim will retry", e)

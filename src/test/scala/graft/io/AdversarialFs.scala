@@ -40,7 +40,8 @@ class AdversarialFs extends RawLocalFileSystem {
   private def maybeWrap(f: HadoopPath,
                         out: org.apache.hadoop.fs.FSDataOutputStream)
       : org.apache.hadoop.fs.FSDataOutputStream = {
-    val fw = AdversarialFs.failWriteOnce.remove(f.getName)
+    val fw = AdversarialFs.failWriteOnce.remove(f.getName) ||
+      AdversarialFs.failWriteAlways.contains(f.getName)
     val fc = AdversarialFs.failCloseOnce.remove(f.getName)
     val fl = AdversarialFs.failCloseLoseOnce.remove(f.getName)
     if (!fw && !fc && !fl) out
@@ -67,8 +68,10 @@ class AdversarialFs extends RawLocalFileSystem {
   }
   // the createFile() builder and the plain create(p, overwrite)
   // convenience funnel through different overloads depending on
-  // Hadoop version/flags — wrap every funnel RawLocalFileSystem
-  // implements directly
+  // Hadoop version/flags — wrap the funnels the code under test
+  // actually reaches (engagement is ASSERTED per spec via the
+  // consumed-flag checks, so a future funnel bypass fails loudly
+  // rather than silently testing nothing)
   override def create(f: HadoopPath, overwrite: Boolean, bufferSize: Int,
                       replication: Short, blockSize: Long,
                       progress: org.apache.hadoop.util.Progressable)
@@ -100,6 +103,14 @@ class AdversarialFs extends RawLocalFileSystem {
       : org.apache.hadoop.fs.FSDataOutputStream =
     maybeWrap(f, super.createNonRecursive(f, permission, flags, bufferSize,
       replication, blockSize, progress))
+  override def createNonRecursive(f: HadoopPath,
+                      permission: org.apache.hadoop.fs.permission.FsPermission,
+                      overwrite: Boolean, bufferSize: Int, replication: Short,
+                      blockSize: Long,
+                      progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream =
+    maybeWrap(f, super.createNonRecursive(f, permission, overwrite,
+      bufferSize, replication, blockSize, progress))
 }
 
 object AdversarialFs {
@@ -136,6 +147,10 @@ object AdversarialFs {
   /** close() throws AND nothing lands at the name (the object-store
     * failed-conditional-PUT shape). */
   val failCloseLoseOnce: java.util.Set[String] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** EVERY create-stream write to these names throws — the persistent
+    * own-write-fault (broken store / quota) shape. */
+  val failWriteAlways: java.util.Set[String] =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** A store-atomic conditional put over the advfs backing disk: the

@@ -46,6 +46,7 @@ class AdversarialFsSpec extends AnyFunSuite {
       AdversarialFs.probeFaults.clear()
       AdversarialFs.probeFaultsAlways.clear()
       AdversarialFs.failWriteOnce.clear()
+      AdversarialFs.failWriteAlways.clear()
       AdversarialFs.failCloseOnce.clear()
       AdversarialFs.failCloseLoseOnce.clear()
       org.apache.commons.io.FileUtils.deleteQuietly(dir)
@@ -220,6 +221,23 @@ class AdversarialFsSpec extends AnyFunSuite {
         "the marker write fault never fired — injection routed around")
       assert(GeoParquet.readGenState(path, conf).exists(_.commit == 2),
         "the append did not land after the self-healed marker claim")
+      // PERSISTENT own-write fault: the second consecutive self-heal
+      // of the same claim throws the REAL cause promptly — never a
+      // cause-less 'attempts lost' after the whole budget burns
+      AdversarialFs.failWriteAlways.add(".gencommit-3")
+      val e = intercept[java.io.IOException] {
+        GeoParquet.appendNumericWithSidecar(
+          Seq((11L, 6, 6)).toDF("id", "a", "b").coalesce(1),
+          path, Seq("a", "b"))
+      }
+      assert(e.getMessage.contains("injected write fault"),
+        s"persistent fault surfaced as: ${e.getMessage}")
+      AdversarialFs.failWriteAlways.clear()
+      // and the store healing lets the same append land
+      GeoParquet.appendNumericWithSidecar(
+        Seq((11L, 6, 6)).toDF("id", "a", "b").coalesce(1),
+        path, Seq("a", "b"))
+      assert(GeoParquet.readGenState(path, conf).exists(_.commit == 3))
     }
   }
 
