@@ -245,6 +245,11 @@ object LogFs {
             throw we
         }
         out.close()
+        // a clean claim ends the failure episode: the consecutive
+        // self-heal count must not leak into a later legitimate
+        // re-claim of the same path (long-running driver, rebuilt
+        // dataset at the same location)
+        selfHeals.remove(p.toString)
         true
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException if !won => false
@@ -288,11 +293,14 @@ object LogFs {
     }
   }
 
-  /** Consecutive self-healed own-write failures per marker path: the
-    * SECOND consecutive one rethrows the cause instead of letting a
+  /** Consecutive self-healed own-write failures per marker path
+    * (either shape: partial landed, or nothing landed): the SECOND
+    * consecutive one rethrows the cause instead of letting a
     * persistent fault burn the caller's whole retry budget into a
-    * cause-less "contention" error. Entries clear on any other
-    * outcome; bounded by a wholesale guard (distinct failing paths
+    * cause-less "contention" error. Entries clear on a
+    * committed/competitor verdict AND on the next clean claim of the
+    * path (so one healed episode never poisons a later legitimate
+    * re-claim); bounded by a wholesale guard (distinct failing paths
     * only — never hot-path state). */
   private val selfHeals =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
@@ -313,24 +321,38 @@ object LogFs {
       catch { case _: java.io.FileNotFoundException => None } // absent
     }
     verdict match {
-      case None => selfHeals.remove(p.toString); false // name free: retry
       case Some(Some(v)) => selfHeals.remove(p.toString); v
-      case Some(None) =>
-        val cleaned =
-          try fs.delete(p, false)
-          catch { case de: java.io.IOException => e.addSuppressed(de); false }
+      case other =>
+        // None (absent — nothing landed, e.g. a lost PUT at close) and
+        // Some(None) (our strict-prefix partial) are BOTH our own
+        // failed write: both self-heal, and both count toward the
+        // consecutive-failure bound — a persistent fault of either
+        // shape (or alternating shapes) throws its real cause on the
+        // second attempt, never cause-less contention 22 sleeps later.
+        val cleaned = other match {
+          case Some(None) =>
+            (try fs.delete(p, false)
+             catch { case de: java.io.IOException =>
+               e.addSuppressed(de); false }) || {
+              // a rival's stale sweep may have freed the name between
+              // read-back and delete — cleanup is then MOOT, not failed
+              try !fs.exists(p)
+              catch { case pe: java.io.IOException =>
+                e.addSuppressed(pe); false }
+            }
+          case _ => true // absent: nothing to clean
+        }
         if (selfHeals.size > 1024) selfHeals.clear()
         val heals = selfHeals.merge(p.toString, 1, (a, b) => a + b)
         if (!cleaned || heals >= 2) {
-          // a cleanup that failed, or a SECOND consecutive self-heal
-          // of the same claim (persistent fault): loud with the real
-          // cause now, not fake contention 22 attempts later
+          // a cleanup that genuinely failed (partial still visible), or
+          // a SECOND consecutive self-heal of the same claim: loud now
           selfHeals.remove(p.toString)
           throw e
         }
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"marker write at $p failed after winning the create; the " +
-            "partial was cleaned and the claim will retry", e)
+            "name is free again and the claim will retry", e)
         false
     }
   }

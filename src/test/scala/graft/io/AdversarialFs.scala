@@ -43,7 +43,8 @@ class AdversarialFs extends RawLocalFileSystem {
     val fw = AdversarialFs.failWriteOnce.remove(f.getName) ||
       AdversarialFs.failWriteAlways.contains(f.getName)
     val fc = AdversarialFs.failCloseOnce.remove(f.getName)
-    val fl = AdversarialFs.failCloseLoseOnce.remove(f.getName)
+    val fl = AdversarialFs.failCloseLoseOnce.remove(f.getName) ||
+      AdversarialFs.failCloseLoseAlways.contains(f.getName)
     if (!fw && !fc && !fl) out
     else new org.apache.hadoop.fs.FSDataOutputStream(
       new java.io.FilterOutputStream(out) {
@@ -151,6 +152,10 @@ object AdversarialFs {
   /** EVERY create-stream write to these names throws — the persistent
     * own-write-fault (broken store / quota) shape. */
   val failWriteAlways: java.util.Set[String] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** EVERY close of these names loses the put (persistent
+    * lost-conditional-PUT shape). */
+  val failCloseLoseAlways: java.util.Set[String] =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** A store-atomic conditional put over the advfs backing disk: the

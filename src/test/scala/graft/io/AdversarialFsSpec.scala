@@ -49,6 +49,7 @@ class AdversarialFsSpec extends AnyFunSuite {
       AdversarialFs.failWriteAlways.clear()
       AdversarialFs.failCloseOnce.clear()
       AdversarialFs.failCloseLoseOnce.clear()
+      AdversarialFs.failCloseLoseAlways.clear()
       org.apache.commons.io.FileUtils.deleteQuietly(dir)
     }
   }
@@ -233,7 +234,21 @@ class AdversarialFsSpec extends AnyFunSuite {
       assert(e.getMessage.contains("injected write fault"),
         s"persistent fault surfaced as: ${e.getMessage}")
       AdversarialFs.failWriteAlways.clear()
-      // and the store healing lets the same append land
+      // same bound for the ABSENT shape (persistent lost PUT at
+      // close: nothing ever lands) — alternating/consistent shapes
+      // share one consecutive counter
+      AdversarialFs.failCloseLoseAlways.add(".gencommit-3")
+      val e2 = intercept[java.io.IOException] {
+        GeoParquet.appendNumericWithSidecar(
+          Seq((11L, 6, 6)).toDF("id", "a", "b").coalesce(1),
+          path, Seq("a", "b"))
+      }
+      assert(e2.getMessage.contains("injected lost put"),
+        s"persistent lost-put surfaced as: ${e2.getMessage}")
+      AdversarialFs.failCloseLoseAlways.clear()
+      // and after the store heals, a LATER one-shot fault on the same
+      // claim still self-heals (the episode counters cleared)
+      AdversarialFs.failWriteOnce.add(".gencommit-3")
       GeoParquet.appendNumericWithSidecar(
         Seq((11L, 6, 6)).toDF("id", "a", "b").coalesce(1),
         path, Seq("a", "b"))
