@@ -252,9 +252,15 @@ object LogFs {
         selfHeals.remove(p.toString)
         true
       } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException if !won => false
+        // a refusal ends any self-heal episode on this path (a RIVAL
+        // holds the name now): clear the counter so a healed episode
+        // here never poisons a later legitimate re-claim that ends in
+        // a lost race instead of a clean win
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException if !won =>
+          selfHeals.remove(p.toString); false
         case e: java.io.IOException if !won =>
-          if (probeVisible(fs, p, e)) false else throw e
+          if (probeVisible(fs, p, e)) { selfHeals.remove(p.toString); false }
+          else throw e
         case e: java.io.IOException =>
           // the create "won" but the write/close failed. Ownership is
           // NOT implied on a check-then-act store (both creates can
@@ -308,11 +314,14 @@ object LogFs {
   /** The won-create-then-failed-write discriminator of
     * [[exclusiveCreateDefault]]'s generic branch (see the call site).
     * Read-back failures attach to the original error and rethrow it —
-    * loud, never a guessed verdict. A target absent on read-back maps
-    * to false (nothing landed; the name is free for the caller's
-    * in-loop retry) — the residual of a SPURIOUS FileNotFound leaving
-    * the partial behind is a bounded stall, because the marker
-    * stale-sweep frees a claim that never advances. */
+    * loud, never a guessed verdict. A target absent on read-back is
+    * OUR failed write with nothing landed: it self-heals to false
+    * (name free for the caller's in-loop retry) and counts toward the
+    * same consecutive bound as the partial shape — the second
+    * consecutive failure of either shape throws the cause. The
+    * residual of a SPURIOUS FileNotFound leaving the partial behind
+    * is a bounded stall, because the marker stale-sweep frees a claim
+    * that never advances. */
   private def ownClaimVerdict(fs: FileSystem, p: HadoopPath,
                               bytes: Array[Byte],
                               e: java.io.IOException): Boolean = {
@@ -335,10 +344,11 @@ object LogFs {
              catch { case de: java.io.IOException =>
                e.addSuppressed(de); false }) || {
               // a rival's stale sweep may have freed the name between
-              // read-back and delete — cleanup is then MOOT, not failed
-              try !fs.exists(p)
-              catch { case pe: java.io.IOException =>
-                e.addSuppressed(pe); false }
+              // read-back and delete — cleanup is then MOOT, not
+              // failed; the probe tolerates one transient fault like
+              // every other post-failure probe here (a double fault
+              // throws e with both attached)
+              retryOnce(e)(!fs.exists(p))
             }
           case _ => true // absent: nothing to clean
         }

@@ -252,6 +252,8 @@ class AdversarialFsSpec extends AnyFunSuite {
       GeoParquet.appendNumericWithSidecar(
         Seq((11L, 6, 6)).toDF("id", "a", "b").coalesce(1),
         path, Seq("a", "b"))
+      assert(!AdversarialFs.failWriteOnce.contains(".gencommit-3"),
+        "the final one-shot fault never fired — the pin is vacuous")
       assert(GeoParquet.readGenState(path, conf).exists(_.commit == 3))
     }
   }
