@@ -252,15 +252,13 @@ object LogFs {
         selfHeals.remove(p.toString)
         true
       } catch {
-        // a refusal ends any self-heal episode on this path (a RIVAL
-        // holds the name now): clear the counter so a healed episode
-        // here never poisons a later legitimate re-claim that ends in
-        // a lost race instead of a clean win
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException if !won =>
-          selfHeals.remove(p.toString); false
+        // refusals do NOT touch the self-heal counter: the recency
+        // horizon retires stale episodes on its own, and clearing here
+        // would let our own undeletable leftover (which refuses the
+        // next create) reset the persistent-fault bound every cycle
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException if !won => false
         case e: java.io.IOException if !won =>
-          if (probeVisible(fs, p, e)) { selfHeals.remove(p.toString); false }
-          else throw e
+          if (probeVisible(fs, p, e)) false else throw e
         case e: java.io.IOException =>
           // the create "won" but the write/close failed. Ownership is
           // NOT implied on a check-then-act store (both creates can
@@ -301,15 +299,22 @@ object LogFs {
 
   /** Consecutive self-healed own-write failures per marker path
     * (either shape: partial landed, or nothing landed): the SECOND
-    * consecutive one rethrows the cause instead of letting a
+    * one within an episode rethrows the cause instead of letting a
     * persistent fault burn the caller's whole retry budget into a
-    * cause-less "contention" error. Entries clear on a
-    * committed/competitor verdict AND on the next clean claim of the
-    * path (so one healed episode never poisons a later legitimate
-    * re-claim); bounded by a wholesale guard (distinct failing paths
-    * only — never hot-path state). */
+    * cause-less "contention" error. An "episode" is RECENCY-bounded —
+    * an entry only accumulates when the previous failure was under
+    * [[EpisodeNanos]] ago — so stale state from any ending the
+    * bookkeeping cannot observe (thrown endings, lost races to a
+    * rival) can never poison a later legitimate re-claim of the same
+    * path; entries also clear on a committed/competitor verdict and
+    * on the next clean claim. Deliberately NOT cleared on a create
+    * refusal: our own undeletable leftover can refuse the next
+    * create, and clearing there would reset the bound every cycle of
+    * a persistent fault. Bounded by a wholesale guard (distinct
+    * failing paths only — never hot-path state). */
   private val selfHeals =
-    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Long)]()
+  private val EpisodeNanos = 60L * 1000 * 1000 * 1000
 
   /** The won-create-then-failed-write discriminator of
     * [[exclusiveCreateDefault]]'s generic branch (see the call site).
@@ -353,7 +358,10 @@ object LogFs {
           case _ => true // absent: nothing to clean
         }
         if (selfHeals.size > 1024) selfHeals.clear()
-        val heals = selfHeals.merge(p.toString, 1, (a, b) => a + b)
+        val now = System.nanoTime()
+        val heals = selfHeals.compute(p.toString, (_, prev) =>
+          if (prev != null && now - prev._2 < EpisodeNanos) (prev._1 + 1, now)
+          else (1, now))._1
         if (!cleaned || heals >= 2) {
           // a cleanup that genuinely failed (partial still visible), or
           // a SECOND consecutive self-heal of the same claim: loud now
