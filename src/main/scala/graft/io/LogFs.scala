@@ -305,13 +305,25 @@ object LogFs {
     * an entry only accumulates when the previous failure was under
     * [[EpisodeNanos]] ago — so stale state from any ending the
     * bookkeeping cannot observe (thrown endings, lost races to a
-    * rival) can never poison a later legitimate re-claim of the same
-    * path; entries also clear on a committed/competitor verdict and
-    * on the next clean claim. Deliberately NOT cleared on a create
-    * refusal: our own undeletable leftover can refuse the next
-    * create, and clearing there would reset the bound every cycle of
-    * a persistent fault. Bounded by a wholesale guard (distinct
-    * failing paths only — never hot-path state). */
+    * rival) retires on its own instead of poisoning a later
+    * legitimate re-claim of the same path; entries also clear on a
+    * committed/competitor verdict and on the next clean claim.
+    * Deliberately NOT cleared on a create refusal: our own
+    * undeletable leftover can refuse the next create, and clearing
+    * there would reset the bound every cycle of a persistent fault.
+    * KNOWN RESIDUALS of the horizon, both loud-with-cause rather than
+    * silent: (a) a persistent fault whose per-attempt cycle exceeds
+    * the horizon (e.g. 60s+ RPC timeouts) resets the count each time,
+    * so it surfaces as the caller's budget-exhaustion error while the
+    * real cause lives in the per-heal WARN logs; (b) two DISTINCT
+    * legitimate episodes of the same path within one horizon can
+    * merge, making the second throw its (real, transient) cause on
+    * its first fault instead of healing — a retryable loud failure.
+    * Threading a per-claim episode token through the caller's retry
+    * loop would remove both at the cost of widening the P1 API;
+    * revisit if either residual is ever observed in practice.
+    * Bounded by a wholesale guard (distinct failing paths only —
+    * never hot-path state). */
   private val selfHeals =
     new java.util.concurrent.ConcurrentHashMap[String, (Int, Long)]()
   private val EpisodeNanos = 60L * 1000 * 1000 * 1000
@@ -342,7 +354,8 @@ object LogFs {
         // failed write: both self-heal, and both count toward the
         // consecutive-failure bound — a persistent fault of either
         // shape (or alternating shapes) throws its real cause on the
-        // second attempt, never cause-less contention 22 sleeps later.
+        // second IN-HORIZON attempt instead of burning the caller's
+        // budget (see the selfHeals doc for the horizon's residuals).
         val cleaned = other match {
           case Some(None) =>
             (try fs.delete(p, false)
