@@ -1160,6 +1160,42 @@ class SpatialJoinSpec extends AnyFunSuite {
       "stats: minRows-1 must be small")
   }
 
+  test("SQL EXISTS / NOT EXISTS with st_intersects plan through the grid semi/anti joins (subquery rewrite feeds the point arm)") {
+    // Catalyst's RewritePredicateSubquery turns the correlated
+    // EXISTS/NOT EXISTS into LeftSemi/LeftAnti joins BEFORE the
+    // user-provided optimizer batch runs, so the r17 point arm must
+    // pick them up — the SQL-text twin of the semi/anti DataFrame
+    // joins, and the decontamination shape analysts actually type.
+    graft.Geo.registerAll(spark)
+    val pts = outerPts(81)
+    val polys = outerPolys(82)
+    pts.createOrReplaceTempView("ex_pts")
+    polys.createOrReplaceTempView("ex_polys")
+    val pred = st_intersects(pts("pt"), polys("poly"), "polygon")
+    val expectSemi = pts.join(polys, pred, "left_semi")
+      .select("pid").as[Long].collect().sorted.toSeq
+    val expectAnti = pts.join(polys, pred, "left_anti")
+      .select("pid").as[Long].collect().sorted.toSeq
+    withRule("spark.graft.sjoin.cellSize" -> "20.0") {
+      val semi = spark.sql(
+        """SELECT pid FROM ex_pts p WHERE EXISTS (
+             SELECT 1 FROM ex_polys g
+             WHERE st_intersects_polygon(p.pt, g.poly))""")
+      val anti = spark.sql(
+        """SELECT pid FROM ex_pts p WHERE NOT EXISTS (
+             SELECT 1 FROM ex_polys g
+             WHERE st_intersects_polygon(p.pt, g.poly))""")
+      assert(semi.as[Long].collect().sorted.toSeq == expectSemi)
+      assert(anti.as[Long].collect().sorted.toSeq == expectAnti)
+      assert(expectSemi.nonEmpty && expectAnti.nonEmpty, "degenerate shape")
+      Seq("EXISTS" -> semi, "NOT EXISTS" -> anti).foreach { case (what, d) =>
+        val plan = d.queryExecution.executedPlan.toString
+        assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+          s"$what survived as a nested loop:\n$plan")
+      }
+    }
+  }
+
   test("planner honest gate: the probe runs ONCE per derived point side (cached), detection skipped while small") {
     val base = outerPts(77)
     val keys = (0 until 500).map(i => Tuple1(i.toLong)).toDF("pid")
