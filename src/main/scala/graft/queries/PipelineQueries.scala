@@ -1426,27 +1426,29 @@ object PipelineQueries {
       var carriedBound = 0L
       val qName = "graft_stream_quantile_sketch"
       s.streams.active.filter(q => q.name == qName).foreach(_.stop())
-      val q = src.writeStream.queryName(qName)
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
-          val bs = Sketches.quantileSummary(batch, col("value"),
-            k = 64, tag = s"b$id")
-          val merged = current.map(_.unionByName(bs)).getOrElse(bs)
-            .localCheckpoint(true)
-          current = Some(
-            if (merged.count() <= 4096) merged
-            else {
-              // fold the pre-compression bound into the carried scalar
-              // BEFORE the part structure is erased
-              carriedBound += Sketches.summaryBound(merged)
-                .head().getLong(0)
-              Sketches.compressSummary(merged, k = 1024, tag = s"c$id")
-                .localCheckpoint(true)
-            })
-          ()
-        }
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      Queries.streamScoped(s) {
+        val q = src.writeStream.queryName(qName)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            val bs = Sketches.quantileSummary(batch, col("value"),
+              k = 64, tag = s"b$id")
+            val merged = current.map(_.unionByName(bs)).getOrElse(bs)
+              .localCheckpoint(true)
+            current = Some(
+              if (merged.count() <= 4096) merged
+              else {
+                // fold the pre-compression bound into the carried scalar
+                // BEFORE the part structure is erased
+                carriedBound += Sketches.summaryBound(merged)
+                  .head().getLong(0)
+                Sketches.compressSummary(merged, k = 1024, tag = s"c$id")
+                  .localCheckpoint(true)
+              })
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       val summary = current.getOrElse(
         throw new IllegalStateException("stream delivered no batches"))
       val bound = Sketches.summaryBound(summary)
@@ -2025,26 +2027,28 @@ object PipelineQueries {
           .select(col("doc_id"), col("lang"), col("n_chars")))
       val qName = "graft_stream_cdc_upsert"
       s.streams.active.filter(q => q.name == qName).foreach(_.stop())
-      val q = chg.writeStream.queryName(qName)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          // recoverable swap (the sidecar writer's discipline): merge
-          // into a FRESH directory first, so a COMPLETE table exists on
-          // disk at every instant — mode("overwrite") would delete the
-          // old files while the new write could still fail, losing the
-          // table outright. The delete→move window can still leave only
-          // the ".next" dir at a crash (old gone, new not yet renamed),
-          // but the data survives there for manual recovery
-          val tmp = new java.io.File(landing + ".next")
-          org.apache.commons.io.FileUtils.deleteQuietly(tmp)
-          Retrieval.mergeVersioned(s.read.parquet(landing), batch,
-              "doc_id", "ts", "seq", "op")
-            .write.parquet(tmp.getPath)
-          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(landing))
-          org.apache.commons.io.FileUtils.moveDirectory(tmp, new java.io.File(landing))
-        }
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      Queries.streamScoped(s) {
+        val q = chg.writeStream.queryName(qName)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            // recoverable swap (the sidecar writer's discipline): merge
+            // into a FRESH directory first, so a COMPLETE table exists on
+            // disk at every instant — mode("overwrite") would delete the
+            // old files while the new write could still fail, losing the
+            // table outright. The delete→move window can still leave only
+            // the ".next" dir at a crash (old gone, new not yet renamed),
+            // but the data survives there for manual recovery
+            val tmp = new java.io.File(landing + ".next")
+            org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+            Retrieval.mergeVersioned(s.read.parquet(landing), batch,
+                "doc_id", "ts", "seq", "op")
+              .write.parquet(tmp.getPath)
+            org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(landing))
+            org.apache.commons.io.FileUtils.moveDirectory(tmp, new java.io.File(landing))
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       Queries.collectAndClean(s, landing,
         s.read.parquet(landing).where(col("op") =!= "D")
           .select(col("doc_id"), col("lang"), col("n_chars")))

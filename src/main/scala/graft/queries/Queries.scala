@@ -114,6 +114,30 @@ object Queries {
     out
   }
 
+  /** Scope `spark.sql.shuffle.partitions` to the streaming-state
+    * default for the duration of a streaming run (the `.start()` ..
+    * `awaitTermination()` region — the conf is read at query start).
+    * Stateful streaming creates ONE state store per shuffle partition
+    * per stateful operator, and every micro-batch pays a commit
+    * (delta write + fsync + maintenance) per store — at the bench's
+    * state sizes (a few MB total) 32 stores are pure commit overhead:
+    * measured 2.6x on the interval join (r16), and profiled again on
+    * the windowed-agg / flatMapGroupsWithState family (r17 opt:
+    * flatMapGroupsWithState commitMs ~40-59s cumulative per batch at
+    * 32 partitions, the zero-row flush batch alone costing 1-3.7s).
+    * Production sizes state stores to the STATE, not the core count,
+    * via `spark.graft.stream.shufflePartitions`; read/restore keeps
+    * the session conf untouched for the batch catalog. */
+  private[queries] def streamScoped[T](s: SparkSession)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions",
+        s.conf.getOption("spark.graft.stream.shufflePartitions")
+          .getOrElse("8"))
+      body
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Derived PARTSUPP: the testdata schema has no partsupp table, so
     * the (part, supplier) pairs observed in lineitem stand in, with
     * deterministic integer cost/availqty derived from the keys. The
@@ -197,15 +221,13 @@ object Queries {
         (col("p_ts").isNull || col("p_ts") < notSentinel))
     val qName = s"graft_stream_stream_${joinType}_join"
     s.streams.active.filter(q => q.name == qName).foreach(_.stop())
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    streamScoped(s) {
       val q = joined.writeStream.format("memory").queryName(qName)
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     s.table(qName).select(col("click_id"), col("p_ts"), col("p_value"))
   }
 
@@ -251,15 +273,13 @@ object Queries {
     val qName =
       if (forward) "graft_stream_asof_forward" else "graft_stream_asof_enrich"
     s.streams.active.filter(q => q.name == qName).foreach(_.stop())
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    streamScoped(s) {
       val q = enriched.toDF().writeStream.format("memory").queryName(qName)
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     s.table(qName).where(col("eventId") =!= -1L)
       .select(col("eventId").as("event_id"),
         col("priorValue").as(if (forward) "next_value" else "prior_value"))
@@ -2224,11 +2244,13 @@ object Queries {
       // (sliding twin below reuses this pattern with a 30min slide)
       // a prior run in this JVM (bench reps) may still own the name
       s.streams.active.filter(q => q.name == qName).foreach(_.stop())
-      val q = agg.writeStream.format("memory").queryName(qName)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      streamScoped(s) {
+        val q = agg.writeStream.format("memory").queryName(qName)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table(qName).select(col("window.start").as("hour"), col("event_type"),
           col("n"), col("vmin"), col("vmax"))
         .where(col("hour") < to_timestamp(lit("2100-01-01 00:00:00")))
@@ -2261,11 +2283,13 @@ object Queries {
         .where(col("event_type") =!= "__sentinel")
       val qName = "graft_stream_distinct_users"
       s.streams.active.filter(q => q.name == qName).foreach(_.stop())
-      val q = agg.writeStream.format("memory").queryName(qName)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      streamScoped(s) {
+        val q = agg.writeStream.format("memory").queryName(qName)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table(qName).select(col("window.start").as("hour"),
         col("event_type"), col("distinct_keys").as("distinct_users"))
     }),
@@ -2361,11 +2385,13 @@ object Queries {
       val grid = graft.streaming.Streams.resampleFfill(events, h0, h1)
       val qName = "graft_stream_resample_ffill"
       s.streams.active.filter(q => q.name == qName).foreach(_.stop())
-      val q = grid.toDF().writeStream.format("memory").queryName(qName)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      streamScoped(s) {
+        val q = grid.toDF().writeStream.format("memory").queryName(qName)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table(qName).where(col("userId") =!= -1L)
         .select(col("userId").as("user_id"),
           timestamp_micros(col("hourUs")).as("hour"),
@@ -2398,11 +2424,13 @@ object Queries {
         slide = Some("30 minutes"))
       val qName = "graft_events_sliding_stream"
       s.streams.active.filter(q => q.name == qName).foreach(_.stop())
-      val q = agg.writeStream.format("memory").queryName(qName)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      streamScoped(s) {
+        val q = agg.writeStream.format("memory").queryName(qName)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table(qName).select(col("window.start").as("win_start"),
           col("event_type"), col("n"), col("vmin"), col("vmax"))
         .where(col("win_start") < to_timestamp(lit("2100-01-01 00:00:00")))
@@ -2432,11 +2460,13 @@ object Queries {
       val deduped = graft.streaming.Streams.dedupFirstSeen(events)
       val qName = "graft_stream_dedup_first_seen"
       s.streams.active.filter(q => q.name == qName).foreach(_.stop())
-      val q = deduped.toDF().writeStream.format("memory").queryName(qName)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      streamScoped(s) {
+        val q = deduped.toDF().writeStream.format("memory").queryName(qName)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table(qName).select(col("docId").as("doc_id"))
     }),
 
@@ -2477,11 +2507,13 @@ object Queries {
         horizon = "3650 days")
       val qName = "graft_stream_scd2"
       s.streams.active.filter(q => q.name == qName).foreach(_.stop())
-      val q = slices.toDF().writeStream.format("memory").queryName(qName)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      streamScoped(s) {
+        val q = slices.toDF().writeStream.format("memory").queryName(qName)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       // drop sentinels by their EXACT id — no sign assumption on real ids
       s.table(qName).where(col("userId") =!= -1L)
         .select(col("userId").as("user_id"), col("state"),
@@ -2507,11 +2539,13 @@ object Queries {
         planted, Seq("text"), "ts", "10 minutes")
       val qName = "graft_stream_dedup_watermark"
       s.streams.active.filter(q => q.name == qName).foreach(_.stop())
-      val q = deduped.writeStream.format("memory").queryName(qName)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      streamScoped(s) {
+        val q = deduped.writeStream.format("memory").queryName(qName)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table(qName).select(col("text"))
     }),
 
@@ -2532,12 +2566,14 @@ object Queries {
       val base = processTmpDir(s, "stream_geosink", dir)
       val qName = "graft_stream_geoparquet_sink"
       s.streams.active.filter(q => q.name == qName).foreach(_.stop())
-      val q = graft.streaming.Streams.geoParquetSink(pts, s"$base/data",
-          Seq("pt"), s"$base/ckpt")
-        .queryName(qName)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      streamScoped(s) {
+        val q = graft.streaming.Streams.geoParquetSink(pts, s"$base/data",
+            Seq("pt"), s"$base/ckpt")
+          .queryName(qName)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       collectAndClean(s, base,
         graft.io.GeoParquet.read(s, s"$base/data", "pt", "point",
             bounds = Some((100.0, 100.0, 600.0, 600.0)))
@@ -2578,15 +2614,17 @@ object Queries {
         .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
       val qName = "graft_stream_zorder_travel"
       s.streams.active.filter(q => q.name == qName).foreach(_.stop())
-      val q = src.writeStream.queryName(qName)
-        .option("checkpointLocation", s"$base/ckpt")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          graft.io.GeoParquet.appendNumericWithSidecar(
-            batch, s"$base/lake", zcols)
-        }
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      streamScoped(s) {
+        val q = src.writeStream.queryName(qName)
+          .option("checkpointLocation", s"$base/ckpt")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            graft.io.GeoParquet.appendNumericWithSidecar(
+              batch, s"$base/lake", zcols)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       require(graft.io.GeoParquet.currentGeneration(s, s"$base/lake") == 2,
         "expected one generation per micro-batch (3 batches)")
       require(graft.io.GeoParquet.unrecordedFiles(s, s"$base/lake").isEmpty,
@@ -2697,16 +2735,18 @@ object Queries {
       val outPath = processTmpDir(s, "stream_ingest_filter", dir)
       val qName = "graft_stream_ingest_filter"
       s.streams.active.filter(q => q.name == qName).foreach(_.stop())
-      val q = src.writeStream.queryName(qName)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          graft.streaming.Streams.ingestFilter(batch, "doc_id", "text",
-              eval, fraction = 0.5, n = 8, salt = "ingest")
-            .select(col("doc_id"))
-            .write.mode("append").parquet(outPath)
-        }
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      streamScoped(s) {
+        val q = src.writeStream.queryName(qName)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            graft.streaming.Streams.ingestFilter(batch, "doc_id", "text",
+                eval, fraction = 0.5, n = 8, salt = "ingest")
+              .select(col("doc_id"))
+              .write.mode("append").parquet(outPath)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       collectAndClean(s, outPath, s.read.parquet(outPath))
     }),
 
@@ -2729,11 +2769,13 @@ object Queries {
       val deduped = graft.pipeline.Dedup.againstCorpus(fresh, corpus, "text")
       val qName = "graft_stream_incremental_dedup"
       s.streams.active.filter(q => q.name == qName).foreach(_.stop())
-      val q = deduped.writeStream.format("memory").queryName(qName)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      streamScoped(s) {
+        val q = deduped.writeStream.format("memory").queryName(qName)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table(qName).select(col("doc_id"))
     }),
 
@@ -2759,16 +2801,18 @@ object Queries {
       val outPath = processTmpDir(s, "stream_near_dedup", dir)
       val qName = "graft_stream_near_dedup"
       s.streams.active.filter(q => q.name == qName).foreach(_.stop())
-      val q = fresh.writeStream.queryName(qName)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          graft.pipeline.Dedup.dedupNearAgainstCorpus(batch, corpus,
-              "doc_id", "text", shingle = 5, threshold = 0.8)
-            .select(col("doc_id"))
-            .write.mode("append").parquet(outPath)
-        }
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      streamScoped(s) {
+        val q = fresh.writeStream.queryName(qName)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            graft.pipeline.Dedup.dedupNearAgainstCorpus(batch, corpus,
+                "doc_id", "text", shingle = 5, threshold = 0.8)
+              .select(col("doc_id"))
+              .write.mode("append").parquet(outPath)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       collectAndClean(s, outPath, s.read.parquet(outPath))
     }),
 
@@ -2790,11 +2834,13 @@ object Queries {
         "event_type", "ts", gap = "30 minutes")
       val qName = "graft_event_sessions_stream"
       s.streams.active.filter(q => q.name == qName).foreach(_.stop())
-      val q = agg.writeStream.format("memory").queryName(qName)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      streamScoped(s) {
+        val q = agg.writeStream.format("memory").queryName(qName)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table(qName).where(col("event_type") =!= "__sentinel")
         .select(col("event_type"),
           col("session_window.start").as("session_start"),
@@ -2831,11 +2877,13 @@ object Queries {
         .agg(count(lit(1)).as("n"), min(col("ts")).as("session_start"))
       val qName = "graft_event_sessions_dynamic_stream"
       s.streams.active.filter(q => q.name == qName).foreach(_.stop())
-      val q = agg.writeStream.format("memory").queryName(qName)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      streamScoped(s) {
+        val q = agg.writeStream.format("memory").queryName(qName)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       // null-tolerant sentinel drop: NULL =!= -1 is NULL, and the
       // oracle keeps NULL-user sessions (groupBy groups them)
       s.table(qName)
@@ -2869,11 +2917,13 @@ object Queries {
         events, gap = "30 minutes")
       val qName = "graft_event_sessions_stream_state"
       s.streams.active.filter(q => q.name == qName).foreach(_.stop())
-      val q = sessions.toDF().writeStream.format("memory").queryName(qName)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      streamScoped(s) {
+        val q = sessions.toDF().writeStream.format("memory").queryName(qName)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table(qName).where(col("key") =!= "__sentinel")
         .select(col("key").as("event_type"),
           col("sessionStart").as("session_start"), col("n"))
@@ -2922,11 +2972,13 @@ object Queries {
         window = "1 hour")
       val qName = "graft_stream_rate_limit"
       s.streams.active.filter(q => q.name == qName).foreach(_.stop())
-      val q = kept.toDF().writeStream.format("memory").queryName(qName)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      streamScoped(s) {
+        val q = kept.toDF().writeStream.format("memory").queryName(qName)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       // drop sentinels by their EXACT id — real ids carry no sign
       // assumption here (the oracle and batch twin admit any non-null)
       s.table(qName).where(col("userId") =!= -1L)
