@@ -44,14 +44,19 @@ object ProfileQuery {
       spark.conf.set("spark.sql.streaming.checkpointLocation", next)
     }
 
-    // job-level accounting
-    case class JobRec(id: Int, desc: String, start: Long, var end: Long = -1L)
+    // job-level accounting; label = job description if set, else the
+    // first stage's call site (SQL actions rarely set a description)
+    case class JobRec(id: Int, desc: String, tasks: Int, start: Long,
+                      var end: Long = -1L)
     val jobs = mutable.ArrayBuffer.empty[JobRec]
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = jobs.synchronized {
-        val d = Option(j.properties.getProperty("spark.job.description"))
-          .orElse(Option(j.properties.getProperty("callSite.short"))).getOrElse("")
-        jobs += JobRec(j.jobId, d, j.time)
+        val d = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .filter(_.nonEmpty)
+          .orElse(j.stageInfos.headOption.map(_.name.takeWhile(_ != '\n')))
+          .getOrElse("")
+        jobs += JobRec(j.jobId, d, j.stageInfos.map(_.numTasks).sum, j.time)
       }
       override def onJobEnd(j: SparkListenerJobEnd): Unit = jobs.synchronized {
         jobs.find(_.id == j.jobId).foreach(_.end = j.time)
@@ -92,11 +97,12 @@ object ProfileQuery {
         println(f"\n--- rep $rep wall=$wall%.3f s rows=$n")
         val js = jobs.synchronized(jobs.toVector)
         val byDesc = js.groupBy(_.desc).map { case (d, v) =>
-          (d, v.size, v.map(j => (j.end.max(j.start)) - j.start).sum)
+          (d, v.size, v.map(j => (j.end.max(j.start)) - j.start).sum,
+            v.map(_.tasks).sum)
         }.toSeq.sortBy(-_._3)
         println(f"  jobs=${js.size} totalJobMs=${byDesc.map(_._3).sum}")
-        byDesc.take(20).foreach { case (d, c, ms) =>
-          println(f"  $ms%6d ms  n=$c%-3d ${d.take(110)}") }
+        byDesc.take(25).foreach { case (d, c, ms, tk) =>
+          println(f"  $ms%6d ms  n=$c%-3d tasks=$tk%-5d ${d.take(100)}") }
         progress.synchronized(progress.toVector).foreach(p => println("  " + p))
         spark.catalog.clearCache()
         System.gc()

@@ -121,8 +121,7 @@ object GeoParquet {
         Some(stageInto(packed, root, fs))
       } else { packed.write.mode(mode).parquet(path); None }
     finishPack(spark, path, mode, before,
-      newFiles => boundsPerFile(spark.read.parquet(
-        newFiles.map(f => s"$path/$f"): _*), Seq(ZPointCol)),
+      newFiles => pointBoundsForFiles(spark, path, newFiles, Seq(ZPointCol)),
       Seq(ZPointCol), staged)
   }
 
@@ -197,8 +196,7 @@ object GeoParquet {
     // surviving sidecar — an append-mode pack neither rescans the
     // existing files nor drops other columns' entries
     finishPack(spark, path, mode, before,
-      newFiles => numericBoundsPerFile(spark.read.parquet(
-        newFiles.map(f => s"$path/$f"): _*), cols),
+      newFiles => numericBoundsForFiles(spark, path, newFiles, cols),
       cols, staged)
   }
 
@@ -259,7 +257,7 @@ object GeoParquet {
     * (degenerate [mn,mn,mx,mx]), plus the per-file row count under
     * [[RowCountCol]]: one distributed groupBy(input_file_name)
     * aggregate. */
-  private def numericBoundsPerFile(df: DataFrame, cols: Seq[String])
+  private[graft] def numericBoundsPerFile(df: DataFrame, cols: Seq[String])
       : Map[String, Map[String, Array[Double]]] = {
     val aggs = cols.flatMap(c => Seq(
       min(col(c).cast("double")).as(s"${c}__mn"),
@@ -278,6 +276,194 @@ object GeoParquet {
       val n = row.getLong(1 + cols.length * 2).toDouble
       fileName(row.getString(0)) -> Array(n, n, n, n)
     }.toMap)
+  }
+
+  /** [[numericBoundsPerFile]] for files whose names (under `path`) are
+    * known exactly — the commit-path variant: per-column min/max and
+    * row counts come from the PARQUET FOOTERS the write already
+    * produced (driver metadata reads, ZERO data IO), with the exact
+    * scan aggregate as the per-file fallback whenever a footer's
+    * statistics cannot be trusted to equal the scan's answer. At scale
+    * this is the difference between an append that commits from
+    * kilobytes of metadata and one that re-reads every byte it just
+    * wrote (the sidecar values surface verbatim in
+    * [[statsAtGeneration]], so "trusted" means EXACTLY equal, not just
+    * conservative).
+    *
+    * A footer column chunk is trusted only when:
+    *  - the column is a top-level INT32/INT64 (plain or signed-int
+    *    annotated) or FLOAT/DOUBLE (plain) primitive — decimals,
+    *    timestamps, unsigned ints have cast semantics the scan defines;
+    *  - min/max statistics are present with a set null count;
+    *  - a floating min/max is neither NaN nor ±0.0: writers OMIT
+    *    float/double stats when NaNs are present (the scan propagates
+    *    NaN as the max — Spark orders NaN largest), and the format
+    *    rounds ±0.0 outward (-0.0 min / +0.0 max), so a zero endpoint
+    *    is ambiguous between the two signed zeros while the scan
+    *    returns the stored value.
+    * Cast-to-double equals the scan's `min(cast(c as double))` because
+    * the eligible casts are monotone non-decreasing, so
+    * min(cast(x)) == cast(min(x)) (same for max). 0-row files are
+    * OMITTED from every block, exactly like the scan's
+    * groupBy(input_file_name) — [[dropEmptyNewFiles]] depends on that.
+    * FooterStatsSpec pins footer == scan on every shape above. */
+  private[graft] def numericBoundsForFiles(spark: SparkSession, path: String,
+      files: Seq[String], cols: Seq[String])
+      : Map[String, Map[String, Array[Double]]] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val perFile = scala.collection.mutable.HashMap
+      .empty[String, (Long, Map[String, (Double, Double)])]
+    val fallback = scala.collection.mutable.ArrayBuffer.empty[String]
+    files.foreach { f =>
+      footerFileStats(conf, new HadoopPath(s"$path/$f"), cols) match {
+        case Some((rows, stats)) => if (rows > 0) perFile(f) = (rows, stats)
+        case None => fallback += f
+      }
+    }
+    val trusted: Map[String, Map[String, Array[Double]]] =
+      cols.map { c =>
+        c -> perFile.map { case (f, (_, stats)) =>
+          val (mn, mx) = stats(c); f -> Array(mn, mn, mx, mx)
+        }.toMap
+      }.toMap + (RowCountCol -> perFile.map { case (f, (rows, _)) =>
+        f -> Array(rows.toDouble, rows.toDouble, rows.toDouble, rows.toDouble)
+      }.toMap)
+    if (fallback.isEmpty) trusted
+    else mergeSidecarBounds(trusted, numericBoundsPerFile(
+      spark.read.parquet(fallback.map(f => s"$path/$f").toSeq: _*), cols))
+  }
+
+  /** [[boundsPerFile]] for POINT-geometry columns over known file names
+    * — the spatial twin of [[numericBoundsForFiles]]: a point is the
+    * plain struct(x, y) [[graft.Geo.st_point]] writes, its per-row
+    * bounds are the coordinates themselves, so a file's bbox is exactly
+    * (min x-leaf, min y-leaf, max x-leaf, max y-leaf) — all four sit in
+    * the parquet footer the write already produced. Any file whose
+    * schema is not point-shaped for every column (line/polygon arrays,
+    * extra fields, swapped field order — st_bounds reads positionally,
+    * so the names must pin the positions) or whose leaf statistics are
+    * not trusted (NaN / ±0.0 endpoints — common for coordinate grids
+    * touching 0) falls back to the exact scan aggregate, per file.
+    * FooterStatsSpec pins footer == scan here too. */
+  private[graft] def pointBoundsForFiles(spark: SparkSession, path: String,
+      files: Seq[String], geomCols: Seq[String])
+      : Map[String, Map[String, Array[Double]]] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.schema.{GroupType, MessageType, Type}
+    val conf = spark.sessionState.newHadoopConf()
+    def pointShaped(schema: MessageType): Boolean = geomCols.forall { g =>
+      schema.containsField(g) && (schema.getType(Seq(g): _*) match {
+        case gt: GroupType if gt.getRepetition != Type.Repetition.REPEATED &&
+            gt.getFieldCount == 2 =>
+          def dbl(i: Int, name: String): Boolean = {
+            val f = gt.getType(i)
+            f.isPrimitive && f.getName == name &&
+              f.getRepetition != Type.Repetition.REPEATED &&
+              f.asPrimitiveType.getPrimitiveTypeName ==
+                PrimitiveTypeName.DOUBLE &&
+              f.getLogicalTypeAnnotation == null
+          }
+          dbl(0, "x") && dbl(1, "y")
+        case _ => false
+      })
+    }
+    val leaves = geomCols.flatMap(g => Seq(s"$g.x", s"$g.y"))
+    val perFile = scala.collection.mutable.HashMap
+      .empty[String, (Long, Map[String, (Double, Double)])]
+    val fallback = scala.collection.mutable.ArrayBuffer.empty[String]
+    files.foreach { f =>
+      footerFileStats(conf, new HadoopPath(s"$path/$f"), leaves,
+          pointShaped) match {
+        case Some((rows, stats)) => if (rows > 0) perFile(f) = (rows, stats)
+        case None => fallback += f
+      }
+    }
+    val trusted: Map[String, Map[String, Array[Double]]] =
+      geomCols.map { g =>
+        g -> perFile.map { case (f, (_, stats)) =>
+          val (x0, x1) = stats(s"$g.x")
+          val (y0, y1) = stats(s"$g.y")
+          f -> Array(x0, y0, x1, y1)
+        }.toMap
+      }.toMap + (RowCountCol -> perFile.map { case (f, (rows, _)) =>
+        f -> Array(rows.toDouble, rows.toDouble, rows.toDouble, rows.toDouble)
+      }.toMap)
+    if (fallback.isEmpty) trusted
+    else mergeSidecarBounds(trusted, boundsPerFile(spark.read.parquet(
+      fallback.map(f => s"$path/$f").toSeq: _*), geomCols))
+  }
+
+  /** One file's (rowCount, per-LEAF (min, max)) from its parquet
+    * footer — `leaves` are dot paths ("c" for a top-level primitive,
+    * "pt.x" for a struct field) — or None when the file's schema fails
+    * `schemaOk` or ANY requested leaf's statistics are not trusted
+    * (see [[numericBoundsForFiles]]) — the caller then scans the
+    * whole file. An all-null leaf yields (NaN, NaN), the scan's
+    * convention. IO errors propagate: the footer belongs to a file this
+    * commit just moved into place, so an unreadable footer is real
+    * corruption, not a reason to silently fall back. */
+  private def footerFileStats(conf: Configuration, file: HadoopPath,
+      leaves: Seq[String],
+      schemaOk: org.apache.parquet.schema.MessageType => Boolean = _ => true)
+      : Option[(Long, Map[String, (Double, Double)])] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      if (!schemaOk(reader.getFooter.getFileMetaData.getSchema)) return None
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val rowCount = blocks.map(_.getRowCount).sum
+      if (rowCount == 0) return Some((0L, Map.empty))
+      val stats = leaves.map { c =>
+        var mn = Double.PositiveInfinity
+        var mx = Double.NegativeInfinity
+        var nonNull = 0L
+        blocks.foreach { b =>
+          val cc = b.getColumns.asScala
+            .find(_.getPath.toDotString == c)
+            .getOrElse(return None)
+          val pt = cc.getPrimitiveType
+          val floating = pt.getPrimitiveTypeName match {
+            case PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE => true
+            case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 => false
+            case _ => return None
+          }
+          pt.getLogicalTypeAnnotation match {
+            case null => ()
+            case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+              if i.isSigned => ()
+            case _ => return None
+          }
+          val st = cc.getStatistics
+          if (st == null || !st.isNumNullsSet) return None
+          val chunkNonNull = cc.getValueCount - st.getNumNulls
+          if (chunkNonNull > 0) {
+            if (!st.hasNonNullValue) return None
+            // NaN from toD means either an unexpected stats box (defense
+            // — the physical-type gate above should make it impossible)
+            // or a stored floating NaN: both distrust the footer
+            def toD(v: Any): Double = v match {
+              case d: java.lang.Double => d.doubleValue()
+              case f: java.lang.Float => f.doubleValue()
+              case l: java.lang.Long => l.doubleValue()
+              case i: java.lang.Integer => i.doubleValue()
+              case _ => Double.NaN
+            }
+            val cmn = toD(st.genericGetMin)
+            val cmx = toD(st.genericGetMax)
+            if (cmn.isNaN || cmx.isNaN ||
+                (floating && (cmn == 0.0 || cmx == 0.0))) return None
+            nonNull += chunkNonNull
+            if (cmn < mn) mn = cmn
+            if (cmx > mx) mx = cmx
+          }
+        }
+        c -> (if (nonNull == 0) (Double.NaN, Double.NaN) else (mn, mx))
+      }.toMap
+      Some((rowCount, stats))
+    } finally reader.close()
   }
 
   /** Append a batch to a [[packZOrderToParquet]] dataset and update the
@@ -301,7 +487,8 @@ object GeoParquet {
       s"$RowCountCol is a reserved sidecar name")
     val missing = cols.filterNot(batch.columns.contains)
     require(missing.isEmpty, s"missing column(s): ${missing.mkString(", ")}")
-    appendWithBoundsOf(batch, path, cols, numericBoundsPerFile)
+    appendWithBoundsOf(batch, path, cols,
+      files => numericBoundsForFiles(batch.sparkSession, path, files, cols))
   }
 
   /** Shared skeleton of the two incremental-append paths: STAGE the
@@ -318,7 +505,7 @@ object GeoParquet {
     * a crash before any move leaves only an invisible dot-dir. */
   private def appendWithBoundsOf(batch: DataFrame, path: String,
       cols: Seq[String],
-      boundsFn: (DataFrame, Seq[String]) => Map[String, Map[String, Array[Double]]])
+      boundsFn: Seq[String] => Map[String, Map[String, Array[Double]]])
       : Unit = {
     val spark = batch.sparkSession
     val conf = spark.sessionState.newHadoopConf()
@@ -327,8 +514,7 @@ object GeoParquet {
     val before = listDataFiles(fs, root).toSet
     val staged = stageInto(batch, root, fs)
     if (staged.nonEmpty) {
-      val boundsAll = boundsFn(
-        spark.read.parquet(staged.map(f => s"$path/$f"): _*), cols)
+      val boundsAll = boundsFn(staged)
       // 0-row parts never enter the dataset (see [[dropEmptyNewFiles]]);
       // an all-empty batch appends NOTHING — no sidecar write, no
       // generation (an idle streaming ingest no longer accretes empty
@@ -907,8 +1093,7 @@ object GeoParquet {
       // sidecar: ADD the compacted files' bounds, KEEP the superseded
       // files' entries — they still prune reads at pre-compaction
       // generations (vacuum is what retires them)
-      val freshAll = numericBoundsPerFile(
-        spark.read.parquet(newFiles.map(f => s"$path/$f"): _*), cols)
+      val freshAll = numericBoundsForFiles(spark, path, newFiles, cols)
       // 0-row parts never enter the snapshot (see [[dropEmptyNewFiles]]);
       // an all-empty rewrite (compacting an empty snapshot) keeps ONE
       // schema-preserving file with explicit zero-count entries so the
@@ -1208,14 +1393,19 @@ object GeoParquet {
     require(!geomCols.contains(RowCountCol),
       s"$RowCountCol is a reserved sidecar name")
     // full rebuild, but still through the versioned update path so a
-    // concurrent incremental append can't be silently clobbered
-    val fresh = boundsPerFile(spark.read.parquet(path), geomCols)
+    // concurrent incremental append can't be silently clobbered;
+    // point-shaped files rebuild from footers (zero data IO), others
+    // scan — per file, see pointBoundsForFiles
+    val root = new HadoopPath(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val fresh = pointBoundsForFiles(spark, path,
+      listDataFiles(fs, root).sorted.toSeq, geomCols)
     commitSidecar(spark, path, Map.empty, Set.empty, replace = Some(fresh))
   }
 
   /** Per-file bounds for each geometry column: one distributed
     * groupBy(input_file_name) aggregate over `df`. */
-  private def boundsPerFile(df: DataFrame, geomCols: Seq[String])
+  private[graft] def boundsPerFile(df: DataFrame, geomCols: Seq[String])
       : Map[String, Map[String, Array[Double]]] = {
     // central guard: every geo pack/write path funnels here, and a
     // column literally named __rowcount would have its bounds block
@@ -1740,7 +1930,8 @@ object GeoParquet {
       s"$RowCountCol is a reserved sidecar name")
     val missing = geomCols.filterNot(batch.columns.contains)
     require(missing.isEmpty, s"missing column(s): ${missing.mkString(", ")}")
-    appendWithBoundsOf(batch, path, geomCols, boundsPerFile)
+    appendWithBoundsOf(batch, path, geomCols,
+      files => pointBoundsForFiles(batch.sparkSession, path, files, geomCols))
   }
 
   /** Sidecar delta-log artifacts live in `_sc/` next to the data,

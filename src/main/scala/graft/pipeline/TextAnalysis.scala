@@ -409,8 +409,16 @@ object TextAnalysis {
                          keepFraction: Double = 0.5): DataFrame = {
     require(keepFraction > 0.0 && keepFraction < 1.0,
       "keepFraction must be in (0, 1)")
+    // lazy localCheckpoint: the weights frame is consumed TWICE (the
+    // quantile's rank pass and the final filter) and each evaluation
+    // re-runs the whole tokenize+model pipeline — including the model's
+    // two corpus-count passes — so without the pin the corpus is
+    // tokenized ~6x instead of 3x. One (id, n_tokens, logweight) row
+    // per doc: bounded blocks, GC-reclaimed (the candidate-set
+    // convention in Dedup).
     val w = importanceWeights(raw, idCol, textCol,
       importanceModel(raw, target, textCol, buckets), buckets)
+      .localCheckpoint(false)
     val thr = graft.pipeline.Sketches
       .exactQuantiles(w, col("logweight"), Seq(1.0 - keepFraction))
       .select(col("quantile").as("__thr"))

@@ -1847,14 +1847,20 @@ object PipelineQueries {
     "value_mad_outliers" -> ((s, dir) => {
       val ev = t(s, dir, "events").select(col("event_type"),
         round(col("value") * 1000).cast("long").as("v"))
+      // both quantile frames are |event_types| rows but lazily wrap a
+      // full group-windowed pass — pin them so the pass runs once, not
+      // once per downstream consumer (mad's window re-evaluates med,
+      // the final aggregate re-evaluates both)
       val med = Sketches.exactQuantilesByGroup(ev, col("event_type"),
           col("v"), Seq(0.5))
         .select(col("grp").as("event_type"), col("quantile").as("med"))
+        .localCheckpoint(false)
       val withDev = ev.join(broadcast(med), "event_type")
         .withColumn("dev", abs(col("v") - col("med")))
       val mad = Sketches.exactQuantilesByGroup(withDev, col("event_type"),
           col("dev"), Seq(0.5))
         .select(col("grp").as("event_type"), col("quantile").as("mad"))
+        .localCheckpoint(false)
       withDev.join(broadcast(mad), "event_type")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -2145,9 +2151,13 @@ object PipelineQueries {
     // vectors before indexing" curation step, composing the quantized
     // arithmetic with the exact-quantile machinery
     "embed_norm_filter" -> ((s, dir) => {
+      // lazy localCheckpoint: norms feed the quantile's rank pass AND
+      // the final filter — without the pin the 64-dim dot products run
+      // twice over the corpus (two narrow longs per row pinned instead)
       val norms = t(s, dir, "embeddings").select(col("vec_id"),
         Tx.quantized_dot(col("embedding"), col("embedding"))
           .cast("long").as("qnorm"))
+        .localCheckpoint(false)
       val thr = Sketches.exactQuantiles(norms, col("qnorm"), Seq(0.9))
         .select(col("quantile").as("__thr"))
       norms.crossJoin(broadcast(thr))
