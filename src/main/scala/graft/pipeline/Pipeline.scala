@@ -42,6 +42,9 @@ object Tx {
     Bridge.column(Mix64(Bridge.expression(c)))
   def vector_sum(vec: Column): Column =
     Bridge.column(VectorSumAgg(Bridge.expression(vec)).toAggregateExpression())
+  def vector_outer_sum(vec: Column, scale: Double, dim: Int): Column =
+    Bridge.column(VectorOuterSumAgg(Bridge.expression(vec), scale, dim)
+      .toAggregateExpression())
 
   /** Register the pipeline functions on a session's SQL surface (default
     * hyperparameters), completing the spark.sql story next to
@@ -976,11 +979,17 @@ object Dedup {
     // longer-diameter graph needs ~15 rounds. Checkpointing
     // materializes AND truncates; blocks are freed by the
     // ContextCleaner when the previous round's frame drops out of scope.
+    // LAZY localCheckpoint in the loop (r17 opt): every round runs an
+    // aggregate action immediately after (the convergence count), which
+    // materializes the checkpoint blocks in the SAME job — the eager
+    // variant paid one extra materialization job per round, pure
+    // scheduling overhead on an iterative operator. Lineage truncation
+    // (the reason the checkpoint exists) is identical.
     var labels = sym.groupBy(col("__s"))
       .agg(min(col("__d")).as("__nbr"))
       .select(col("__s").as("id"),
         least(col("__s"), col("__nbr")).as("component"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIters) {
@@ -992,7 +1001,7 @@ object Dedup {
         .select(col("id"), col("component"),
           least(col("component"), coalesce(col("__nbr"), col("component")))
             .as("__next"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       changed = updated.where(col("__next") < col("component")).count()
       labels = updated.select(col("id"), col("__next").as("component"))
       i += 1
@@ -1096,11 +1105,13 @@ object Dedup {
     // Checkpointing materializes AND truncates lineage; the blocks are
     // released by the ContextCleaner when the previous round's frame
     // goes out of scope.
+    // lazy: the signature aggregate right below materializes the
+    // blocks in its own job (same for every round's checkpoint)
     var e = edges
       .where(col(aCol).isNotNull && col(bCol).isNotNull && col(aCol) =!= col(bCol))
       .select(col(aCol).cast("long").as("__u"), col(bCol).cast("long").as("__v"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     def signature(df: DataFrame): (Long, Long) = {
       // bit_xor fold: order-independent and overflow-free (a sum of
@@ -1149,7 +1160,7 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
       val nsig = signature(next)
       e = next
       converged = nsig == sig
