@@ -135,14 +135,22 @@ object Bench {
     val fullQs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size}$failedField,"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"cpus":$cpus$failedField,"queries":$fullQs,"sf":"$sfDir"}"""
     // only a FULL-suite run may overwrite the committed artifact — a
     // targeted SPARK_GRAFT_BENCH_ONLY iteration must not clobber it
-    // (r6 shipped a 1-query BENCH_FULL.json exactly that way)
+    // (r6 shipped a 1-query BENCH_FULL.json exactly that way).
+    // Additionally write a core-count-stamped copy: a lower-core rerun
+    // overwrites BENCH_FULL.json but not the other run's stamped file,
+    // so both full maps of a two-core-count session stay readable.
     if (only.isEmpty)
-      try java.nio.file.Files.write(
-        java.nio.file.Paths.get("BENCH_FULL.json"),
-        (fullLine + "\n").getBytes("UTF-8"))
+      try {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get("BENCH_FULL.json"),
+          (fullLine + "\n").getBytes("UTF-8"))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"BENCH_FULL_c$cpus.json"),
+          (fullLine + "\n").getBytes("UTF-8"))
+      }
       catch { case t: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: $t") }
     val headline = Seq(
       "q1_agg", "sjoin_points_in_diamonds", "sjoin_lines", "sjoin_knn",
@@ -166,7 +174,7 @@ object Bench {
     // stop Spark BEFORE printing so the JSON is the last stdout line
     // (shutdown logs go to stderr; the driver parses stdout).
     spark.stop() // the shutdown hook above reclaims the tmpfs tree
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size}$failedField,"queries":$qs,"sf":"$sfDir","full":"BENCH_FULL.json"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"cpus":$cpus$failedField,"queries":$qs,"sf":"$sfDir","full":"BENCH_FULL.json"}""")
     System.out.flush()
   }
 }

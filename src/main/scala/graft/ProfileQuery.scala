@@ -82,10 +82,16 @@ object ProfileQuery {
     args.foreach { name =>
       val fn = SparkEntry.queries(name)
       println(s"\n################ $name ################")
-      // warm-up at the smallest sf (codegen/JIT), mirroring Bench
+      // warm-up at the smallest sibling sf (codegen/JIT), mirroring
+      // Bench — derived from SPARK_GRAFT_SF_DIR's parent (a hardcoded
+      // path silently skipped warm-up on other layouts and rep 1 then
+      // measured cold codegen), overridable via SPARK_GRAFT_WARM_DIR;
+      // a FAILED warm-up is loud for the same reason.
+      val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
+        new java.io.File(sfDir).getParent + "/sf0.001")
       rotateCkpt()
-      try fn(spark, "/root/testdata/sf0.001").count() catch { case t: Throwable =>
-        println(s"warmup failed: $t") }
+      try fn(spark, warmDir).count() catch { case t: Throwable =>
+        println(s"*** WARM-UP FAILED (rep 1 will measure cold codegen): $t") }
       (1 to reps).foreach { rep =>
         jobs.synchronized(jobs.clear()); progress.synchronized(progress.clear())
         rotateCkpt()

@@ -127,7 +127,16 @@ object Queries {
     * 32 partitions, the zero-row flush batch alone costing 1-3.7s).
     * Production sizes state stores to the STATE, not the core count,
     * via `spark.graft.stream.shufflePartitions`; read/restore keeps
-    * the session conf untouched for the batch catalog. */
+    * the session conf untouched for the batch catalog.
+    *
+    * COUPLING, documented (r18): the scoped setting also governs any
+    * batch jobs submitted from inside a foreachBatch sink during the
+    * run (CDC merge-rewrite, near-dedup-vs-corpus, summary merges).
+    * Correct but sized to state-commit overhead, not batch width — a
+    * deployment whose foreachBatch bodies shuffle real volume should
+    * set the session value back inside the body (the conf is read per
+    * query start/batch plan), or raise
+    * `spark.graft.stream.shufflePartitions` for that pipeline. */
   private[queries] def streamScoped[T](s: SparkSession)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     try {
