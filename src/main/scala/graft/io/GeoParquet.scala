@@ -312,24 +312,43 @@ object GeoParquet {
       : Map[String, Map[String, Array[Double]]] = {
     val conf = spark.sessionState.newHadoopConf()
     val perFile = scala.collection.mutable.HashMap
-      .empty[String, (Long, Map[String, (Double, Double)])]
+      .empty[String, (Long, Map[String, Option[(Double, Double)]])]
     val fallback = scala.collection.mutable.ArrayBuffer.empty[String]
     files.foreach { f =>
-      footerFileStats(conf, new HadoopPath(s"$path/$f"), cols) match {
+      footerFileStatsPartial(conf, new HadoopPath(s"$path/$f"), cols) match {
         case Some((rows, stats)) => if (rows > 0) perFile(f) = (rows, stats)
-        case None => fallback += f
+        case None => fallback += f // unreachable with the default schema
+                                   // gate; kept as the safe full-scan path
       }
     }
     val trusted: Map[String, Map[String, Array[Double]]] =
       cols.map { c =>
-        c -> perFile.map { case (f, (_, stats)) =>
-          val (mn, mx) = stats(c); f -> Array(mn, mn, mx, mx)
+        c -> perFile.collect { case (f, (_, stats)) if stats(c).isDefined =>
+          val (mn, mx) = stats(c).get; f -> Array(mn, mn, mx, mx)
         }.toMap
       }.toMap + (RowCountCol -> perFile.map { case (f, (rows, _)) =>
         f -> Array(rows.toDouble, rows.toDouble, rows.toDouble, rows.toDouble)
       }.toMap)
-    if (fallback.isEmpty) trusted
-    else mergeSidecarBounds(trusted, numericBoundsPerFile(
+    // PER-COLUMN fallback (r18, guide §6): one untrusted column (e.g. a
+    // legitimate ±0.0 float endpoint) no longer drags the file's OTHER
+    // columns back to the data scan — only the ambiguous column(s) are
+    // scanned, the footers keep serving the rest. Files are grouped by
+    // their untrusted column set so each group is one scan aggregate
+    // reading exactly the columns it needs (column-pruned at the scan).
+    // Row counts always come from the footer block metadata (exact
+    // regardless of stats trust); the scan's duplicate RowCountCol
+    // values merge over them harmlessly (identical by construction).
+    val partialGroups = perFile.toSeq
+      .map { case (f, (_, stats)) => f -> cols.filter(c => stats(c).isEmpty) }
+      .filter(_._2.nonEmpty)
+      .groupBy(_._2)
+      .map { case (cs, fs) => cs -> fs.map(_._1) }
+    val withPartial = partialGroups.foldLeft(trusted) { case (acc, (cs, fs)) =>
+      mergeSidecarBounds(acc, numericBoundsPerFile(
+        spark.read.parquet(fs.map(f => s"$path/$f").toSeq: _*), cs))
+    }
+    if (fallback.isEmpty) withPartial
+    else mergeSidecarBounds(withPartial, numericBoundsPerFile(
       spark.read.parquet(fallback.map(f => s"$path/$f").toSeq: _*), cols))
   }
 
@@ -405,7 +424,26 @@ object GeoParquet {
   private def footerFileStats(conf: Configuration, file: HadoopPath,
       leaves: Seq[String],
       schemaOk: org.apache.parquet.schema.MessageType => Boolean = _ => true)
-      : Option[(Long, Map[String, (Double, Double)])] = {
+      : Option[(Long, Map[String, (Double, Double)])] =
+    // all-or-nothing view (the point path: a bbox needs BOTH x and y
+    // leaves, so partial trust buys nothing there)
+    footerFileStatsPartial(conf, file, leaves, schemaOk).flatMap {
+      case (rows, stats) =>
+        if (rows == 0) Some((0L, Map.empty))
+        else if (stats.valuesIterator.forall(_.isDefined))
+          Some((rows, stats.map { case (k, v) => k -> v.get }))
+        else None
+    }
+
+  /** Per-LEAF variant of [[footerFileStats]] (r18): returns the row
+    * count (block metadata — exact regardless of stats trust) plus each
+    * requested leaf's bounds, `None` per leaf whose statistics are not
+    * trusted — the caller scans ONLY those. Overall None only when the
+    * file fails `schemaOk`. */
+  private def footerFileStatsPartial(conf: Configuration, file: HadoopPath,
+      leaves: Seq[String],
+      schemaOk: org.apache.parquet.schema.MessageType => Boolean = _ => true)
+      : Option[(Long, Map[String, Option[(Double, Double)]])] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
@@ -416,7 +454,8 @@ object GeoParquet {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
       val rowCount = blocks.map(_.getRowCount).sum
       if (rowCount == 0) return Some((0L, Map.empty))
-      val stats = leaves.map { c =>
+
+      def leafStats(c: String): Option[(Double, Double)] = {
         var mn = Double.PositiveInfinity
         var mx = Double.NegativeInfinity
         var nonNull = 0L
@@ -460,9 +499,10 @@ object GeoParquet {
             if (cmx > mx) mx = cmx
           }
         }
-        c -> (if (nonNull == 0) (Double.NaN, Double.NaN) else (mn, mx))
-      }.toMap
-      Some((rowCount, stats))
+        Some(if (nonNull == 0) (Double.NaN, Double.NaN) else (mn, mx))
+      }
+
+      Some((rowCount, leaves.map(c => c -> leafStats(c)).toMap))
     } finally reader.close()
   }
 

@@ -226,11 +226,22 @@ object Graphs {
       .unionAll(und.select(col("__v").as("__u"), col("__u").as("__v")))
       .localCheckpoint(false)
     var done = false
+    var round = 0
     while (!done) {
+      round += 1
       val deg = sym.groupBy(col("__u")).agg(count(lit(1)).as("__d"))
       val bad = deg.where(col("__d") < k).select(col("__u").as("__bad"))
-        .localCheckpoint(false) // reused by the count and both filters
-      if (bad.count() == 0L) done = true
+        .localCheckpoint(false) // reused by the probe and both filters
+      // fixpoint probe every SECOND round (r18, guide §1.2): the count
+      // is the loop's only per-round driver action — skipping it on
+      // even rounds halves the sequential job chain on deep peel
+      // cascades (each unprobed round's work folds into the next
+      // probe's job; the lazy checkpoints still truncate lineage).
+      // Filtering with an EMPTY bad set is the identity, so at worst
+      // one no-op round runs past the fixpoint — the result is
+      // byte-identical either way, and the loop still terminates
+      // because the probe fires every other round.
+      if (round % 2 == 1 && bad.count() == 0L) done = true
       else {
         sym = sym
           .join(bad, sym("__u") === bad("__bad"), "left_anti")
@@ -291,7 +302,12 @@ object Graphs {
         .join(dist, Seq("__node"), "left_anti")
         .withColumn("__h", lit(hop.toLong))
         .localCheckpoint(false) // reused by the probe, the union, and next round
-      if (next.isEmpty) exhausted = true
+      // emptiness probe every SECOND hop (r18, guide §1.2): the probe
+      // is the loop's only per-round driver action; expanding an EMPTY
+      // frontier yields an empty next and unioning it is the identity,
+      // so a skipped probe costs at most one no-op round while halving
+      // the sequential job chain (maxHops still bounds the loop).
+      if (hop % 2 == 1 && next.isEmpty) exhausted = true
       else {
         dist = dist.unionAll(next).localCheckpoint(false)
         frontier = next
@@ -350,7 +366,12 @@ object Graphs {
         .where(col("__c").isNull || col("__cand") < col("__c"))
         .select(col("__node"), col("__cand").as("__c"))
         .localCheckpoint(false) // reused by the probe, the diff, and next round
-      if (improved.isEmpty) settled = true
+      // settledness probe every SECOND hop (r18, guide §1.2): same
+      // argument as bfsHops — relaxing from an EMPTY frontier improves
+      // nothing, and diffing/unioning an empty improved set is the
+      // identity, so a skipped probe costs at most one no-op round
+      // while halving the sequential job chain (maxHops still bounds).
+      if (hop % 2 == 1 && improved.isEmpty) settled = true
       else {
         dist = dist.join(improved, Seq("__node"), "left_anti")
           .unionAll(improved).localCheckpoint(false)

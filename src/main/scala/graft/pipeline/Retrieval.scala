@@ -47,15 +47,25 @@ object Retrieval {
     require(k >= 1, "k must be >= 1")
     val tf = TextAnalysis.termFrequencies(docs, idCol, textCol).persist()
     val n = docs.count()
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      // integer div (Column./ is double division; `div` is IntegralDivide)
-      .select(col("term"), (floorLog2(expr(s"$n div df")) + lit(1)).as("idf"))
-    val dl = tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
     // distinct query terms: q∩d membership weighting, not qtf weighting
     val qterms = queries.select(col(qidCol).as("query_id"), explode(
         array_distinct(regexp_extract_all(col(qtextCol), lit("\\S+"), lit(0))))
         .as("term"))
-    val scored = tf.join(dfreq, Seq("term"))
+    // The score only ever READS df/idf for terms of some query (the
+    // qterms join is inner), and df(t) over the query-term-filtered tf
+    // equals df(t) over the full tf for every such term — so filter the
+    // corpus tf down with the broadcast query side FIRST and aggregate
+    // df on the survivors. The corpus then never crosses a term-keyed
+    // exchange at all (the old shape shuffled the full tf into a
+    // sort-merge join with the full-corpus dfreq): dfreq is
+    // query-vocabulary-sized, broadcast like the query side itself.
+    val qdist = qterms.select(col("term")).distinct()
+    val tfq = tf.join(broadcast(qdist), Seq("term"))
+    val dfreq = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      // integer div (Column./ is double division; `div` is IntegralDivide)
+      .select(col("term"), (floorLog2(expr(s"$n div df")) + lit(1)).as("idf"))
+    val dl = tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+    val scored = tfq.join(broadcast(dfreq), Seq("term"))
       .join(broadcast(qterms), Seq("term"))
       .groupBy(col("query_id"), col("id"))
       .agg(sum(col("tf") * col("idf")).as("__num"))

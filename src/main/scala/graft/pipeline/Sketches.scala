@@ -93,9 +93,11 @@ object Sketches {
     val spark = df.sparkSession
     import spark.implicits._
     val vals = df.select(value.as("__v")).where(col("__v").isNotNull)
-    val (ranked, release) = graft.tools.Ranks.globalRowNumberWithRelease(
+    // n rides out of the rank machinery's own offsets collect (r18,
+    // guide §1.2) — the old ranked.count() was one more sequential
+    // action over the cached frame
+    val (ranked, n, release) = graft.tools.Ranks.globalRowNumberWithCount(
       vals, "__rank", numPartitions, col("__v"))
-    val n = ranked.count()
     // ceil over a RELATIVELY nudged product: the double p*n can land
     // one ulp above the true integer (0.57*100 -> 57.000000000000006
     // -> ceil 58, but quantile_disc says 57). A relative factor keeps
@@ -185,24 +187,49 @@ object Sketches {
   def equiDepthHistogram(df: DataFrame, value: Column, buckets: Int,
                          numPartitions: Int = 32): DataFrame = {
     require(buckets >= 1, "buckets must be >= 1")
-    val interior =
-      if (buckets == 1) Seq.empty[Long]
-      else {
-        val probs = (1 until buckets).map(_.toDouble / buckets)
-        exactQuantiles(df, value.cast("long"), probs, numPartitions)
-          .collect().map(r => (r.getDouble(0), r.getLong(1)))
-          .sortBy(_._1).map(_._2).toSeq
-      }
+    val spark = df.sparkSession
+    import spark.implicits._
     val v = value.cast("long")
-    val bucket =
-      if (interior.isEmpty) lit(1L)
-      else aggregate(typedLit(interior), lit(1L),
-        (acc, b) => acc + when(v > b, 1L).otherwise(0L))
-    df.select(v.as("__v"), bucket.as("bucket"))
-      .where(col("__v").isNotNull)
+    if (buckets == 1)
+      // no boundaries to find: a single pass rolls everything into
+      // bucket 1, exactly like the interior-empty branch always did
+      return df.select(v.as("__v"), lit(1L).as("bucket"))
+        .where(col("__v").isNotNull)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("__v")).as("min_v"),
+          max(col("__v")).as("max_v"))
+    // Inline the exact-quantile rank machinery instead of calling
+    // exactQuantiles (r18, guide §1.2/§5): the ranked frame is already
+    // cached and carries __v, so the per-bucket rollup can aggregate IT
+    // — the old shape re-scanned and re-null-filtered the whole source
+    // a second time for the rollup, and paid a separate count() plus an
+    // intermediate checkpoint inside exactQuantiles. Same boundaries,
+    // same value-based bucket assignment, identical rows out.
+    val probs = (1 until buckets).map(_.toDouble / buckets)
+    val vals = df.select(v.as("__v")).where(col("__v").isNotNull)
+    val (ranked, n, release) = graft.tools.Ranks.globalRowNumberWithCount(
+      vals, "__rank", numPartitions, col("__v"))
+    // same relative nudge as exactQuantiles (see the comment there)
+    val targets = probs
+      .map(p => (p, math.max(1L, math.ceil(p * n * (1 - 1e-9)).toLong)))
+      .toDF("prob", "__target")
+    val interior = ranked
+      .join(broadcast(targets), col("__rank") === col("__target"))
+      .select(col("prob"), col("__v"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+      .sortBy(_._1).map(_._2).toSeq
+    val bucket = aggregate(typedLit(interior), lit(1L),
+      (acc, b) => acc + when(col("__v") > b, 1L).otherwise(0L))
+    // pin the (≤ buckets rows) rollup before dropping the rank cache it
+    // reads — the caller's action then replays the checkpoint only
+    val out = ranked
+      .select(col("__v"), bucket.as("bucket"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"), min(col("__v")).as("min_v"),
         max(col("__v")).as("max_v"))
+      .localCheckpoint(true)
+    release()
+    out
   }
 
   /**

@@ -319,12 +319,27 @@ object Joins {
     val grams = (if (rareFirst) {
       val exploded = longs.select(col("__eid"), col("__el"),
         explode(gramHashes).as("__gram"))
-      val freq = exploded.groupBy(col("__gram")).agg(count(lit(1)).as("__df"))
-      exploded.join(freq, Seq("__gram"))
+      // frequency ESTIMATE from a deterministic 1-in-8 id-hash sample
+      // (r18 opt): the count only decides the prefix ORDER, and the
+      // prefix lemma is lossless under ANY single global total order
+      // on gram values — an estimated df reorders candidates, never
+      // results (the levenshtein refine is the exact filter). Sampling
+      // cuts the counts pass (which re-evaluates the whole upstream)
+      // to 1/8 of the corpus; a stop-gram's estimate stays huge (it is
+      // in every sampled row), which is all the order needs. Hash
+      // sampling is deterministic across runs and task retries. Grams
+      // outside the sample estimate 0 (= rarest, ties by hash) via the
+      // LEFT join — an inner join would DROP their prefix rows.
+      val freq = longs
+        .where(pmod(xxhash64(col("__eid")), lit(8L)) === 0L)
+        .select(explode(gramHashes).as("__gram"))
+        .groupBy(col("__gram")).agg(count(lit(1)).as("__df"))
+      exploded.join(freq, Seq("__gram"), "left")
         .groupBy(col("__eid"))
         .agg(first(col("__el")).as("__el"),
           slice(transform(array_sort(
-              collect_list(struct(col("__df"), col("__gram")))),
+              collect_list(struct(coalesce(col("__df"), lit(0L)).as("__df"),
+                col("__gram")))),
             x => x("__gram")), 1, maxDist * q + 1).as("__pref"))
         .select(col("__eid"), col("__el"), explode(col("__pref")).as("__gram"))
     } else {

@@ -39,6 +39,19 @@ object Ranks {
   def globalRowNumberWithRelease(df: DataFrame, outCol: String,
                                  numPartitions: Int,
                                  keys: Column*): (DataFrame, () => Unit) = {
+    val (res, _, release) =
+      globalRowNumberWithCount(df, outCol, numPartitions, keys: _*)
+    (res, release)
+  }
+
+  /** [[globalRowNumberWithRelease]] plus the TOTAL row count, read off
+    * the same per-partition stats collect that builds the rank offsets
+    * — a caller that also needs n (every exact-quantile shape does)
+    * saves one whole count() action over the ranked frame (r18,
+    * guide §1.2: fewer sequential actions). */
+  def globalRowNumberWithCount(df: DataFrame, outCol: String,
+                               numPartitions: Int,
+                               keys: Column*): (DataFrame, Long, () => Unit) = {
     require(keys.nonEmpty, "globalRowNumber requires at least one sort key")
     val bucketed = df.repartitionByRange(numPartitions, keys: _*)
       .sortWithinPartitions(keys: _*)
@@ -67,7 +80,7 @@ object Ranks {
           .withColumn(outCol, col("__mid") +
             element_at(typedLit(adjust.toSeq), col("__pid") + 1))
           .drop("__pid", "__mid")
-    (result, () => { bucketed.unpersist(false); () })
+    (result, cum, () => { bucketed.unpersist(false); () })
   }
 
   /** [[globalRowNumberWithRelease]] without the unpersist handle — the
@@ -91,6 +104,18 @@ object Ranks {
   def globalPrefixSumWithRelease(df: DataFrame, value: Column, outCol: String,
                                  numPartitions: Int,
                                  keys: Column*): (DataFrame, () => Unit) = {
+    val (res, _, release) =
+      globalPrefixSumWithTotal(df, value, outCol, numPartitions, keys: _*)
+    (res, release)
+  }
+
+  /** [[globalPrefixSumWithRelease]] plus the GLOBAL total of `value`,
+    * read off the per-partition totals collect that builds the offsets
+    * — saves the caller a separate sum/max action over the result
+    * (r18, guide §1.2: fewer sequential actions). */
+  def globalPrefixSumWithTotal(df: DataFrame, value: Column, outCol: String,
+                               numPartitions: Int,
+                               keys: Column*): (DataFrame, Long, () => Unit) = {
     require(keys.nonEmpty, "globalPrefixSum requires at least one sort key")
     val bucketed = df
       .withColumn("__pval", coalesce(value.cast("long"), lit(0L)))
@@ -127,7 +152,7 @@ object Ranks {
           .withColumn(outCol, col("__run") +
             element_at(typedLit(offsets.toSeq), col("__pid") + 1))
           .drop("__pval", "__pid", "__run")
-    (result, () => { bucketed.unpersist(false); () })
+    (result, cum, () => { bucketed.unpersist(false); () })
   }
 
   /** [[globalPrefixSumWithRelease]] without the unpersist handle. */
@@ -167,18 +192,20 @@ object Ranks {
       s"input columns collide with reserved names $reserved")
     val base = df.withColumn("__v", value).where(col("__v").isNotNull)
     val counts = base.groupBy(col("__v")).agg(count(lit(1)).as("__c"))
-    val (pref, release) = globalPrefixSumWithRelease(
+    // n = Σ counts rides out of the prefix-sum machinery's own offsets
+    // collect (r18, guide §1.2) — the old max(__cum) aggregate was one
+    // more sequential action over the checkpointed counts table
+    val (pref, n, release) = globalPrefixSumWithTotal(
       counts, col("__c"), "__cum", numPartitions, col("__v"))
     // dense_rank = ordinal of the VALUE = row number of its counts row
     // (one row per distinct value) — a second two-pass over the
     // already-collapsed counts table, not the input
     val (denseRanked, release2) = globalRowNumberWithRelease(
       pref, denseCol, numPartitions, col("__v"))
-    // the counts table is tiny relative to the input; pin it so the n
-    // aggregate and the join read one materialization
+    // the counts table is tiny relative to the input; pin it so the
+    // final join reads one materialization
     val prefC = denseRanked.localCheckpoint(true)
     release2(); release()
-    val n = prefC.agg(coalesce(max(col("__cum")), lit(0L))).head().getLong(0)
     val stats = prefC.select(col("__v"),
       (col("__cum") - col("__c") + 1L).as(rankCol),
       col(denseCol),

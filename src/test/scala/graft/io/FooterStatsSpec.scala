@@ -79,6 +79,22 @@ class FooterStatsSpec extends AnyFunSuite {
     assertAgree(df, Seq("k", "zero_min", "zero_max"))
   }
 
+  test("mixed trust: one untrusted column falls back PER COLUMN and agrees") {
+    import spark.implicits._
+    // the 3-col zorder pack shape: two clean columns plus a column whose
+    // minimum is a legitimate 0.0 (l_discount's case) — r18's per-column
+    // fallback must keep the footers for the clean columns, scan only
+    // the ambiguous one, and still equal the full scan on every value.
+    // Include NaN rows in a FOURTH column so two different untrusted
+    // column sets coexist across files.
+    val df = (1 to 900).map { i =>
+      (i.toLong, i * 1.25 + 3,
+        if (i % 4 == 0) 0.0 else (i % 10) / 10.0,
+        if (i % 111 == 0) Double.NaN else i * 2.0)
+    }.toDF("k", "clean", "zero_min", "nan_col").repartition(3)
+    assertAgree(df, Seq("k", "clean", "zero_min", "nan_col"))
+  }
+
   test("decimal columns take the scan fallback and agree") {
     import spark.implicits._
     val df = (1 to 50).map(i => (i.toLong, BigDecimal(i) / 4))
